@@ -1,13 +1,433 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{GraftOntology => O, PropertyGraph}
+import graft.operators._
+import graft.sources.TpchGraph
+
+/** Cached fixture state per (session, sf-dir): graph + subclass closure. */
+object Fixture {
+  private val closures =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def graph(spark: SparkSession, sfDir: String): PropertyGraph =
+    TpchGraph(spark, sfDir)
+
+  def closure(spark: SparkSession, sfDir: String): DataFrame =
+    closures.computeIfAbsent((spark, sfDir), { _ =>
+      val c = SubclassClosure.fromGraph(graph(spark, sfDir), O.ontology).cache()
+      c.count()
+      c
+    })
+}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
+  private val ont = O.ontology
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("g03_onehop_fwd")(spark, "/root/testdata/sf0.001")
+
+  private def custIds(ks: Int*) = ks.map("CUST:" + _)
+  private def natIds(ks: Int*) = ks.map("NAT:" + _)
+  private def partIds(ks: Int*) = ks.map("PART:" + _)
+
+  private def sortedCats = concat_ws("|", array_sort(col("categories"))).as("cats")
+
+  private def oneHop(spark: SparkSession, sfDir: String, qg: QueryGraph,
+                     expand: Boolean = true): DataFrame = {
+    val res = OneHop.answer(spark, Fixture.graph(spark, sfDir), ont, qg,
+      closure = Some(Fixture.closure(spark, sfDir)), expandSubclasses = expand)
+    res.matches
+  }
+
+  private def bindings(df: DataFrame): DataFrame =
+    df.select(col("edge_id"), col("input_id"), col("output_id"))
+      .orderBy("edge_id", "input_id")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G1 — graph construction
+    "g01_graph_nodes" -> ((s, dir) =>
+      Fixture.graph(s, dir).nodes.select(col("id"), col("name"), sortedCats)
+        .orderBy("id")),
+    "g02_graph_edges" -> ((s, dir) =>
+      Fixture.graph(s, dir).edges.select(
+        col("edge_id"), col("subject"), col("object"), col("predicate"),
+        col("qualified_predicate"), col("object_direction"), col("object_aspect"),
+        col("primary_knowledge_source").as("src"))
+        .orderBy("edge_id")),
+
+    // G2 — one-hop forward
+    "g03_onehop_fwd" -> ((s, dir) => bindings(oneHop(s, dir, QueryGraph.oneHop(
+      QNode("n0", ids = custIds(1, 2, 7, 13, 42, 99)),
+      QNode("n1", categories = Seq(O.Nation)),
+      QEdge("n0", "n1", predicates = Seq(O.LocatedIn)))))),
+
+    // G3 — one-hop reverse (pinned object side)
+    "g04_onehop_rev" -> ((s, dir) => bindings(oneHop(s, dir, QueryGraph.oneHop(
+      QNode("n_out", categories = Seq(O.Customer)),
+      QNode("n_in", ids = natIds(1, 3, 5)),
+      QEdge("n_out", "n_in", predicates = Seq(O.LocatedIn)))))),
+
+    // G4 — unconstrained predicate + output node
+    "g05_onehop_open" -> ((s, dir) => bindings(oneHop(s, dir, QueryGraph.oneHop(
+      QNode("n0", ids = natIds(7)),
+      QNode("n1"),
+      QEdge("n0", "n1"))))),
+
+    // G5 — doubly-pinned
+    "g06_onehop_pinned" -> ((s, dir) => bindings(oneHop(s, dir, QueryGraph.oneHop(
+      QNode("n0", ids = natIds(0 to 11: _*)),
+      QNode("n1", ids = Seq("REG:1", "REG:2")),
+      QEdge("n0", "n1", predicates = Seq(O.PartOf)))))),
+
+    // G6 — multiple ids / predicates / categories
+    "g07_onehop_multi" -> ((s, dir) => bindings(oneHop(s, dir, QueryGraph.oneHop(
+      QNode("n_out", categories = Seq(O.Customer, O.Nation)),
+      QNode("n_in", ids = natIds(0, 1, 2)),
+      QEdge("n_out", "n_in", predicates = Seq(O.LocatedIn, O.AdjacentTo)))))),
+
+    // G7 — category hierarchy (Actor -> Customer+Supplier)
+    "g08_category_hierarchy" -> ((s, dir) => bindings(oneHop(s, dir, QueryGraph.oneHop(
+      QNode("n_out", categories = Seq(O.Actor)),
+      QNode("n_in", ids = natIds(3)),
+      QEdge("n_out", "n_in", predicates = Seq(O.AffiliatedWith)))))),
+
+    // G8 — predicate hierarchy (transacts -> supplied_by etc.)
+    "g09_predicate_hierarchy" -> ((s, dir) => bindings(oneHop(s, dir, QueryGraph.oneHop(
+      QNode("n0", ids = partIds(1 to 10: _*)),
+      QNode("n1"),
+      QEdge("n0", "n1", predicates = Seq(O.Transacts)))))),
+
+    // G9 — symmetric predicate, both directions
+    "g10_symmetric" -> ((s, dir) => bindings(oneHop(s, dir, QueryGraph.oneHop(
+      QNode("n0", ids = natIds(4)),
+      QNode("n1"),
+      QEdge("n0", "n1", predicates = Seq(O.AdjacentTo)))))),
+
+    // G10 — canonical predicate flip (query side; ingest flip feeds g02)
+    "g11_canonical_flip" -> ((s, dir) => bindings(oneHop(s, dir, QueryGraph.oneHop(
+      QNode("nb"),
+      QNode("na", ids = custIds(1 to 6: _*)),
+      QEdge("nb", "na", predicates = Seq(O.PlacedBy)))))),
+
+    // G11 — subclass transitive closure table
+    "g12_subclass_closure" -> ((s, dir) =>
+      Fixture.closure(s, dir).orderBy("ancestor", "descendant")),
+
+    // G12 — subclass expansion with query-id mapping
+    "g13_subclass_expansion" -> ((s, dir) => oneHop(s, dir, QueryGraph.oneHop(
+      QNode("n_out"),
+      QNode("n_in", ids = Seq("REG:3")),
+      QEdge("n_out", "n_in", predicates = Seq(O.LocatedIn))))
+      .select(col("edge_id"), col("input_id"),
+        col("input_query_id").as("query_id"), col("output_id"))
+      .orderBy("edge_id", "input_id")),
+
+    // G13 — edgeless single-node query
+    "g14_single_node" -> ((s, dir) =>
+      GraphOps.singleNode(s, Fixture.graph(s, dir),
+        Seq("REG:1", "NAT:20", "CUST:3"), Some(Fixture.closure(s, dir)))
+        .orderBy("node_id")),
+
+    // G14 — qualified predicates with qualifier-value hierarchy
+    "g15_qualified" -> ((s, dir) => bindings(oneHop(s, dir, QueryGraph.oneHop(
+      QNode("nOrd"),
+      QNode("nPart", ids = partIds(1 to 40: _*)),
+      QEdge("nOrd", "nPart", qualifierConstraints = Seq(
+        QualifierConstraint(qualifiedPredicate = Some(O.Ships),
+          objectDirection = Some(O.Flagged)))))))),
+
+    // G15 — attribute constraints (numeric >, negated ==, source alias)
+    "g16_attr_constraint" -> ((s, dir) => bindings(oneHop(s, dir, QueryGraph.oneHop(
+      QNode("nOut", categories = Seq(O.Customer)),
+      QNode("nIn", ids = natIds(0 to 9: _*)),
+      QEdge("nOut", "nIn", predicates = Seq(O.LocatedIn),
+        attributeConstraints = Seq(
+          AttributeConstraint("acctbal", ">", numValues = Seq(1000.0)),
+          AttributeConstraint("mktsegment", "==", strValues = Seq("MACHINERY"),
+            negated = true),
+          AttributeConstraint("knowledge_source", "==",
+            strValues = Seq("infores:crm")))))))),
+
+    // G16 — preferred-id normalization + edge merge
+    "g17_normalize_merge" -> ((s, dir) => {
+      val g = Fixture.graph(s, dir)
+      val cn = g.edges.where(col("edge_id").startsWith("E-CN:"))
+      // Duplicate CUST->NAT edges under the alias id, then normalize+merge.
+      val aliased = cn
+        .join(g.nodes.select(col("id").as("subject"), col("equiv_ids")), Seq("subject"))
+        .withColumn("subject", element_at(col("equiv_ids"), 1))
+        .drop("equiv_ids")
+        .withColumn("edge_id", concat(lit("ALIAS-"), col("edge_id")))
+        .select(cn.columns.map(col): _*)
+      val merged = Normalizer.normalize(cn.unionAll(aliased),
+        Normalizer.preferredIdMap(g.nodes))
+      merged.select(col("edge_id"), col("subject"), col("object"),
+        col("n_merged").cast("long").as("n_merged"),
+        concat_ws("|", col("list_attrs")("tags")).as("tags"))
+        .orderBy("edge_id")
+    }),
+
+    // G17 — batch pair edge lookup
+    "g18_get_edges" -> ((s, dir) =>
+      GraphOps.getEdges(s, Fixture.graph(s, dir), Seq(
+        ("NAT:0", "REG:0"), ("NAT:1", "NAT:2"), ("CUST:1", "NAT:7"),
+        ("REG:0", "NAT:3")))
+        .select("pair_key", "edge_id", "subject", "object", "predicate")
+        .orderBy("pair_key", "edge_id")),
+
+    // G18 — batch neighbors
+    "g19_get_neighbors" -> ((s, dir) =>
+      GraphOps.getNeighbors(s, Fixture.graph(s, dir), ont,
+        natIds(0 to 4: _*), Seq(O.Customer), Seq(O.RelatedTo))
+        .orderBy("input_id", "neighbor_id")),
+
+    // G19 — meta knowledge graph
+    "g20_meta_kg" -> ((s, dir) =>
+      GraphOps.metaTriples(Fixture.graph(s, dir))
+        .select(col("subject_category"), col("predicate"), col("object_category"),
+          concat_ws("|", col("attribute_names")).as("attribute_names"),
+          concat_ws("|", col("qualified_predicates")).as("qualified_predicates"),
+          concat_ws("|", col("object_directions")).as("object_directions"),
+          concat_ws("|", col("object_aspects")).as("object_aspects"))
+        .orderBy("subject_category", "predicate", "object_category")),
+    "g21_meta_nodes" -> ((s, dir) =>
+      GraphOps.metaNodes(Fixture.graph(s, dir))
+        .select(col("category"), concat_ws("|", col("prefixes")).as("prefixes"))
+        .orderBy("category")),
+
+    // G20 — SRI test triples
+    "g22_test_triples" -> ((s, dir) =>
+      GraphOps.testTriples(Fixture.graph(s, dir))
+        .orderBy("subject_category", "predicate", "object_category")),
+
+    // G21 — TRAPI result bindings with is_set grouping
+    "g23_result_bindings" -> ((s, dir) => {
+      val res = OneHop.answer(s, Fixture.graph(s, dir), ont, QueryGraph.oneHop(
+        QNode("n_out"),
+        QNode("n_in", ids = natIds(0, 1)),
+        QEdge("n_out", "n_in", predicates = Seq(O.LocatedIn))),
+        closure = None, expandSubclasses = false)
+      GraphOps.resultBindings(res, inputIsSet = false, outputIsSet = true)
+        .select(col("in_key"), col("out_key"),
+          concat_ws("|", col("edge_ids")).as("edge_ids"),
+          concat_ws("|", col("input_ids")).as("input_ids"),
+          concat_ws("|", col("output_ids")).as("output_ids"))
+        .orderBy("in_key", "out_key")
+    })
+  )
+
+  private val idList: Seq[String] => String = ids => ids.map("'" + _ + "'").mkString(", ")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a weaker rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "g01_graph_nodes" -> TpchGraph.oracle(
+      "SELECT id, name, cats FROM g_nodes ORDER BY id"),
+
+    "g02_graph_edges" -> TpchGraph.oracle(
+      """SELECT edge_id, subject, object, predicate, qualified_predicate,
+         object_direction, object_aspect, src FROM g_edges ORDER BY edge_id"""),
+
+    "g03_onehop_fwd" -> TpchGraph.oracle(
+      s"""SELECT edge_id, subject AS input_id, object AS output_id FROM g_edges
+          WHERE predicate = 'graft:located_in'
+            AND subject IN (${idList(custIds(1, 2, 7, 13, 42, 99))})
+          ORDER BY edge_id, input_id"""),
+
+    "g04_onehop_rev" -> TpchGraph.oracle(
+      s"""SELECT edge_id, object AS input_id, subject AS output_id FROM g_edges
+          WHERE predicate = 'graft:located_in'
+            AND object IN (${idList(natIds(1, 3, 5))})
+            AND subject LIKE 'CUST:%'
+          ORDER BY edge_id, input_id"""),
+
+    "g05_onehop_open" -> TpchGraph.oracle(
+      """SELECT e.edge_id, e.subject AS input_id, e.object AS output_id
+         FROM g_edges e JOIN s ON e.subject = s.id
+         UNION ALL
+         SELECT e.edge_id, e.object, e.subject
+         FROM g_edges e JOIN s ON e.object = s.id
+         ORDER BY edge_id, input_id""",
+      extraCtes = """s AS (SELECT 'NAT:7' AS id
+         UNION ALL SELECT 'CUST:' || c_custkey FROM customer WHERE c_nationkey = 7)"""),
+
+    "g06_onehop_pinned" -> TpchGraph.oracle(
+      s"""SELECT edge_id, subject AS input_id, object AS output_id FROM g_edges
+          WHERE predicate = 'graft:part_of'
+            AND subject IN (${idList(natIds(0 to 11: _*))})
+            AND object IN ('REG:1', 'REG:2')
+          ORDER BY edge_id, input_id"""),
+
+    "g07_onehop_multi" -> TpchGraph.oracle(
+      """SELECT e.edge_id, e.object AS input_id, e.subject AS output_id
+         FROM g_edges e JOIN s ON e.object = s.id
+         WHERE e.predicate = 'graft:located_in' AND e.subject LIKE 'CUST:%'
+         UNION ALL
+         SELECT e.edge_id, e.subject, e.object
+         FROM g_edges e JOIN s ON e.subject = s.id
+         WHERE e.predicate = 'graft:adjacent_to'
+         UNION ALL
+         SELECT e.edge_id, e.object, e.subject
+         FROM g_edges e JOIN s ON e.object = s.id
+         WHERE e.predicate = 'graft:adjacent_to'
+         ORDER BY edge_id, input_id""",
+      extraCtes = """s AS (SELECT 'NAT:0' AS id UNION ALL SELECT 'NAT:1' UNION ALL SELECT 'NAT:2'
+         UNION ALL SELECT 'CUST:' || c_custkey FROM customer WHERE c_nationkey <= 2)"""),
+
+    "g08_category_hierarchy" -> TpchGraph.oracle(
+      """SELECT edge_id, object AS input_id, subject AS output_id FROM g_edges
+         WHERE predicate = 'graft:located_in' AND object = 'NAT:3'
+         ORDER BY edge_id, input_id"""),
+
+    "g09_predicate_hierarchy" -> TpchGraph.oracle(
+      s"""SELECT edge_id, subject AS input_id, object AS output_id FROM g_edges
+          WHERE predicate = 'graft:supplied_by'
+            AND subject IN (${idList(partIds(1 to 10: _*))})
+          ORDER BY edge_id, input_id"""),
+
+    "g10_symmetric" -> TpchGraph.oracle(
+      """SELECT edge_id, subject AS input_id, object AS output_id FROM g_edges
+         WHERE predicate = 'graft:adjacent_to' AND subject = 'NAT:4'
+         UNION ALL
+         SELECT edge_id, object, subject FROM g_edges
+         WHERE predicate = 'graft:adjacent_to' AND object = 'NAT:4'
+         ORDER BY edge_id, input_id"""),
+
+    "g11_canonical_flip" -> TpchGraph.oracle(
+      s"""SELECT edge_id, subject AS input_id, object AS output_id FROM g_edges
+          WHERE predicate = 'graft:placed'
+            AND subject IN (${idList(custIds(1 to 6: _*))})
+          ORDER BY edge_id, input_id"""),
+
+    "g12_subclass_closure" -> TpchGraph.oracle(
+      "SELECT ancestor, descendant FROM g_closure ORDER BY ancestor, descendant"),
+
+    "g13_subclass_expansion" -> TpchGraph.oracle(
+      """SELECT e.edge_id, e.object AS input_id, 'REG:3' AS query_id,
+                e.subject AS output_id
+         FROM g_edges e
+         JOIN nation n ON e.object = 'NAT:' || n.n_nationkey AND n.n_regionkey = 3
+         WHERE e.predicate = 'graft:located_in'
+         ORDER BY edge_id, input_id"""),
+
+    "g14_single_node" -> TpchGraph.oracle(
+      """SELECT node_id, query_id FROM (
+           SELECT unnest(['REG:1', 'NAT:20', 'CUST:3']) AS node_id,
+                  CAST(NULL AS VARCHAR) AS query_id
+           UNION ALL
+           SELECT descendant, min(ancestor) FROM g_closure
+           WHERE ancestor IN ('REG:1', 'NAT:20', 'CUST:3')
+             AND descendant NOT IN ('REG:1', 'NAT:20', 'CUST:3')
+           GROUP BY descendant)
+         ORDER BY node_id"""),
+
+    "g15_qualified" -> TpchGraph.oracle(
+      s"""SELECT edge_id, object AS input_id, subject AS output_id FROM g_edges
+          WHERE qualified_predicate = 'graft:ships'
+            AND object_direction IN ('graft:returned', 'graft:accepted')
+            AND object IN (${idList(partIds(1 to 40: _*))})
+          ORDER BY edge_id, input_id"""),
+
+    "g16_attr_constraint" -> TpchGraph.oracle(
+      s"""SELECT e.edge_id, e.object AS input_id, e.subject AS output_id
+          FROM g_edges e JOIN customer c ON e.subject = 'CUST:' || c.c_custkey
+          WHERE e.predicate = 'graft:located_in'
+            AND e.object IN (${idList(natIds(0 to 9: _*))})
+            AND c.c_acctbal > 1000 AND c.c_mktsegment <> 'MACHINERY'
+          ORDER BY edge_id, input_id"""),
+
+    "g17_normalize_merge" -> TpchGraph.oracle(
+      """SELECT 'CUST:' || c_custkey || '--graft:located_in--NAT:' || c_nationkey
+             || '--infores:crm' AS edge_id,
+           'CUST:' || c_custkey AS subject, 'NAT:' || c_nationkey AS object,
+           2 AS n_merged,
+           c_mktsegment || '|' || c_mktsegment || '|tier' || (c_custkey % 3)
+             || '|tier' || (c_custkey % 3) AS tags
+         FROM customer ORDER BY edge_id"""),
+
+    "g18_get_edges" -> TpchGraph.oracle(
+      """SELECT p.pair_key, e.edge_id, e.subject, e.object, e.predicate
+         FROM g_edges e
+         JOIN p ON least(e.subject, e.object) = p.lo
+               AND greatest(e.subject, e.object) = p.hi
+         ORDER BY pair_key, edge_id""",
+      extraCtes = """p AS (
+         SELECT 'NAT:0--REG:0' AS pair_key, 'NAT:0' AS lo, 'REG:0' AS hi
+         UNION ALL SELECT 'NAT:1--NAT:2', 'NAT:1', 'NAT:2'
+         UNION ALL SELECT 'CUST:1--NAT:7', 'CUST:1', 'NAT:7'
+         UNION ALL SELECT 'REG:0--NAT:3', 'NAT:3', 'REG:0')"""),
+
+    "g19_get_neighbors" -> TpchGraph.oracle(
+      """SELECT DISTINCT 'NAT:' || c_nationkey AS input_id,
+                'CUST:' || c_custkey AS neighbor_id
+         FROM customer WHERE c_nationkey <= 4
+         ORDER BY input_id, neighbor_id"""),
+
+    "g20_meta_kg" -> metaKgOracle,
+
+    "g21_meta_nodes" ->
+      """SELECT * FROM (VALUES
+           ('graft:Customer', 'CUST'), ('graft:Nation', 'NAT'),
+           ('graft:Order', 'ORD'), ('graft:Part', 'PART'),
+           ('graft:Region', 'REG'), ('graft:Supplier', 'SUPP'),
+           ('graft:Tradeable', 'PART'))
+         AS t(category, prefixes) ORDER BY category""",
+
+    "g22_test_triples" -> TpchGraph.oracle(
+      """SELECT pc_s.cat AS subject_category, e.predicate,
+                pc_o.cat AS object_category,
+                arg_min(e.subject, e.edge_id) AS subject_id,
+                arg_min(e.object, e.edge_id) AS object_id,
+                min(e.edge_id) AS example_edge_id
+         FROM g_edges e
+         JOIN pc pc_s ON pc_s.prefix = split_part(e.subject, ':', 1)
+         JOIN pc pc_o ON pc_o.prefix = split_part(e.object, ':', 1)
+         GROUP BY 1, 2, 3
+         ORDER BY subject_category, predicate, object_category""",
+      extraCtes = """pc AS (
+         SELECT * FROM (VALUES ('REG', 'graft:Region'), ('NAT', 'graft:Nation'),
+           ('CUST', 'graft:Customer'), ('SUPP', 'graft:Supplier'),
+           ('PART', 'graft:Part'), ('PART', 'graft:Tradeable'),
+           ('ORD', 'graft:Order')) AS t(prefix, cat))"""),
+
+    "g23_result_bindings" -> TpchGraph.oracle(
+      """SELECT object AS in_key, '*' AS out_key,
+                string_agg(edge_id, '|' ORDER BY edge_id) AS edge_ids,
+                object AS input_ids,
+                string_agg(DISTINCT subject, '|' ORDER BY subject) AS output_ids
+         FROM g_edges
+         WHERE predicate = 'graft:located_in' AND object IN ('NAT:0', 'NAT:1')
+         GROUP BY object
+         ORDER BY in_key, out_key""")
+  )
+
+  /** Static meta-KG oracle: the fixture's meta triples are fully determined
+   * by the graph construction (both lineitem qualifier values are always
+   * present at sf >= 0.01). */
+  private def metaKgOracle: String =
+    """SELECT * FROM (VALUES
+        ('graft:Customer', 'graft:located_in', 'graft:Nation', 'acctbal|mktsegment|tags', '', '', ''),
+        ('graft:Customer', 'graft:placed', 'graft:Order', 'priority|status|totalprice', '', '', ''),
+        ('graft:Customer', 'graft:subclass_of', 'graft:Nation', '', '', '', ''),
+        ('graft:Nation', 'graft:adjacent_to', 'graft:Nation', '', '', '', ''),
+        ('graft:Nation', 'graft:part_of', 'graft:Region', '', '', '', ''),
+        ('graft:Nation', 'graft:subclass_of', 'graft:Region', '', '', '', ''),
+        ('graft:Order', 'graft:contains_item', 'graft:Part',
+         'discount|extendedprice|quantity|shipdate', 'graft:ships',
+         'graft:accepted|graft:returned', 'graft:finished|graft:open'),
+        ('graft:Order', 'graft:contains_item', 'graft:Tradeable',
+         'discount|extendedprice|quantity|shipdate', 'graft:ships',
+         'graft:accepted|graft:returned', 'graft:finished|graft:open'),
+        ('graft:Part', 'graft:supplied_by', 'graft:Supplier', '', '', '', ''),
+        ('graft:Supplier', 'graft:located_in', 'graft:Nation', 'acctbal', '', '', ''),
+        ('graft:Tradeable', 'graft:supplied_by', 'graft:Supplier', '', '', '', ''))
+       AS t(subject_category, predicate, object_category, attribute_names,
+            qualified_predicates, object_directions, object_aspects)
+       ORDER BY subject_category, predicate, object_category"""
 }

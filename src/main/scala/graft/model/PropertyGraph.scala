@@ -1,0 +1,51 @@
+package graft.model
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Columnar property graph — the Spark-native replacement for the reference
+ * engine's nested-dict main index (ref: /root/reference/app/app/plover.py:85-113).
+ *
+ * Instead of a node -> category -> predicate -> direction -> neighbor ->
+ * edge-ids map materialized in RAM, we keep two columnar tables and let
+ * Catalyst turn every lookup into broadcast-joined, predicate-pushed scans.
+ * At 100 TB the "index" is parquet layout + statistics, not a data structure.
+ *
+ * Core node columns (extra property columns may follow):
+ *   id          string   — node identifier (CURIE-style "PREFIX:local")
+ *   name        string
+ *   categories  array<string> — most-specific categories only (the builder
+ *               prunes proper ancestors, ref plover.py:835-880)
+ *
+ * Core edge columns:
+ *   edge_id                  string
+ *   subject / object         string
+ *   predicate                string (canonical form; builder flips inverse
+ *                            edges, ref plover.py:1060-1090)
+ *   qualified_predicate      string (nullable)
+ *   object_direction         string (nullable)   qualifier
+ *   object_aspect            string (nullable)   qualifier
+ *   primary_knowledge_source string (nullable)
+ *   attrs                    map<string,string>  scalar string attributes
+ *   num_attrs                map<string,double>  scalar numeric attributes
+ *   list_attrs               map<string,array<string>> list attributes
+ */
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
+
+  /** Persist both sides (used by long-lived query sessions / benchmarks). */
+  def cache(): PropertyGraph = {
+    nodes.cache(); edges.cache(); this
+  }
+
+  def unpersist(): PropertyGraph = {
+    nodes.unpersist(); edges.unpersist(); this
+  }
+}
+
+object PropertyGraph {
+  val NodeCols: Seq[String] = Seq("id", "name", "categories")
+  val EdgeCols: Seq[String] = Seq(
+    "edge_id", "subject", "object", "predicate", "qualified_predicate",
+    "object_direction", "object_aspect", "primary_knowledge_source",
+    "attrs", "num_attrs", "list_attrs")
+}

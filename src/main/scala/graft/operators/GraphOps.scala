@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{Ontology, PropertyGraph}
+
+/**
+ * Batch graph lookups and edgeless queries — Spark-native equivalents of
+ * the reference endpoints beyond `/query`.
+ */
+object GraphOps {
+
+  /**
+   * Edgeless (single-node) query: ids + subclass descendants intersected
+   * with the node set; keeps the descendant -> query-id mapping
+   * (ref: /root/reference/app/app/plover.py:2778-2820).
+   * Returns (node_id, query_id) — query_id null for directly-listed ids.
+   */
+  def singleNode(spark: SparkSession, graph: PropertyGraph, ids: Seq[String],
+                 closure: Option[DataFrame]): DataFrame = {
+    val expanded = OneHop.expandIds(spark, ids, closure, expand = true)
+    expanded.join(graph.nodes.select(col("id").as("node_id")), Seq("node_id"), "left_semi")
+  }
+
+  /**
+   * Edges between node pairs, undirected, all predicates, no subclass
+   * reasoning (ref: plover.py:1934-1981 `get_edges`). The reference loops
+   * per pair on the driver; here the whole batch is ONE equi-join on the
+   * unordered endpoint pair, so 10^6 pairs cost the same plan as 10.
+   * Returns (pair_key, edge_id, subject, object, predicate).
+   */
+  def getEdges(spark: SparkSession, graph: PropertyGraph,
+               pairs: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val pairsDF = pairs.toDF("na", "nb")
+      .withColumn("pair_key", concat_ws("--", col("na"), col("nb")))
+      .withColumn("lo", least(col("na"), col("nb")))
+      .withColumn("hi", greatest(col("na"), col("nb")))
+      .select("pair_key", "lo", "hi")
+    graph.edges
+      .withColumn("lo", least(col("subject"), col("object")))
+      .withColumn("hi", greatest(col("subject"), col("object")))
+      .join(broadcast(pairsDF), Seq("lo", "hi"))
+      .select("pair_key", "edge_id", "subject", "object", "predicate")
+  }
+
+  /**
+   * Neighbors of each input node matching category/predicate filters, no
+   * subclass reasoning (ref: plover.py:1982-2010 `get_neighbors`; the
+   * reference's QG template puts the input node on the SUBJECT side).
+   * One join for the whole batch. Returns distinct (input_id, neighbor_id).
+   */
+  def getNeighbors(spark: SparkSession, graph: PropertyGraph, ont: Ontology,
+                   ids: Seq[String], categories: Seq[String],
+                   predicates: Seq[String]): DataFrame = {
+    val qg = QueryGraph.oneHop(
+      QNode("n_in", ids = ids),
+      QNode("n_out", categories = categories),
+      QEdge("n_in", "n_out", predicates = predicates))
+    val res = OneHop.answer(spark, graph, ont, qg, closure = None, expandSubclasses = false)
+    res.matches.select(col("input_id"), col("output_id").as("neighbor_id")).distinct()
+  }
+
+  /**
+   * Meta knowledge graph triples (ref: plover.py:1139-1240): one row per
+   * (subject_category, predicate, object_category) over most-specific
+   * categories, with sorted attribute-name list and qualifier value sets.
+   * One shuffle over a narrow projection of the edge table.
+   */
+  def metaTriples(graph: PropertyGraph): DataFrame = {
+    val subjCats = graph.nodes.select(col("id").as("subject"),
+      explode(col("categories")).as("subject_category"))
+    val objCats = graph.nodes.select(col("id").as("object"),
+      explode(col("categories")).as("object_category"))
+    graph.edges
+      .select(col("subject"), col("object"), col("predicate"),
+        col("qualified_predicate"), col("object_direction"), col("object_aspect"),
+        array_union(map_keys(col("attrs")),
+          array_union(map_keys(col("num_attrs")), map_keys(col("list_attrs"))))
+          .as("attr_names"))
+      .join(subjCats, Seq("subject"))
+      .join(objCats, Seq("object"))
+      .groupBy("subject_category", "predicate", "object_category")
+      .agg(
+        array_sort(array_distinct(flatten(collect_list(col("attr_names")))))
+          .as("attribute_names"),
+        array_sort(array_compact(collect_set(col("qualified_predicate"))))
+          .as("qualified_predicates"),
+        array_sort(array_compact(collect_set(col("object_direction"))))
+          .as("object_directions"),
+        array_sort(array_compact(collect_set(col("object_aspect"))))
+          .as("object_aspects"))
+  }
+
+  /** Meta nodes: category -> sorted distinct CURIE prefixes
+   * (ref: plover.py:1219-1227). */
+  def metaNodes(graph: PropertyGraph): DataFrame =
+    graph.nodes
+      .select(explode(col("categories")).as("category"),
+        split(col("id"), ":").getItem(0).as("prefix"))
+      .groupBy("category")
+      .agg(array_sort(collect_set(col("prefix"))).as("prefixes"))
+
+  /**
+   * SRI test triples: one deterministic example edge per meta triple
+   * (ref: plover.py:1160-1176; the reference keeps the first edge seen —
+   * we keep the min edge_id for determinism).
+   */
+  def testTriples(graph: PropertyGraph): DataFrame = {
+    val subjCats = graph.nodes.select(col("id").as("subject"),
+      explode(col("categories")).as("subject_category"))
+    val objCats = graph.nodes.select(col("id").as("object"),
+      explode(col("categories")).as("object_category"))
+    graph.edges.select("edge_id", "subject", "object", "predicate")
+      .join(subjCats, Seq("subject"))
+      .join(objCats, Seq("object"))
+      .groupBy("subject_category", "predicate", "object_category")
+      .agg(min_by(struct(col("subject"), col("object")), col("edge_id")).as("ex"),
+        min(col("edge_id")).as("example_edge_id"))
+      .select(col("subject_category"), col("predicate"), col("object_category"),
+        col("ex.subject").as("subject_id"), col("ex.object").as("object_id"),
+        col("example_edge_id"))
+  }
+
+  /**
+   * TRAPI result-row assembly (ref: plover.py:2322-2410 `_get_trapi_results`):
+   * edges grouped into results by (input, output) binding keys, where an
+   * is_set qnode collapses its side to a single "*" group.
+   */
+  def resultBindings(res: OneHop.Result, inputIsSet: Boolean,
+                     outputIsSet: Boolean): DataFrame = {
+    val inKey = if (inputIsSet) lit("*") else col("input_id")
+    val outKey = if (outputIsSet) lit("*") else col("output_id")
+    res.matches
+      .withColumn("in_key", inKey).withColumn("out_key", outKey)
+      .groupBy("in_key", "out_key")
+      .agg(
+        array_sort(collect_set(col("edge_id"))).as("edge_ids"),
+        array_sort(collect_set(col("input_id"))).as("input_ids"),
+        array_sort(collect_set(col("output_id"))).as("output_ids"))
+  }
+}

@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{Ontology, PropertyGraph}
+
+/**
+ * One-hop query answering — the Spark-native core of the reference engine
+ * (ref: /root/reference/app/app/plover.py:1790-1917 `answer_query`,
+ * :2011-2120 `_lookup_answers`).
+ *
+ * The reference walks a nested node->category->predicate->direction map per
+ * input curie. Here the whole lookup is two broadcast joins against the
+ * columnar edge table plus literal `isin` predicate filters (computed from
+ * the driver-side ontology), so Catalyst pushes everything into the scan
+ * and there is no per-curie loop — the same plan serves 1 or 10^6 input
+ * ids, and at 100 TB the big table is never shuffled.
+ *
+ * Semantics preserved:
+ *  - canonical-predicate forcing of the qedge (flip when all predicates are
+ *    non-canonical; mixed is an error);
+ *  - input qnode = the pinned node with the most ids; query ids expanded to
+ *    subclass descendants with a descendant->query-id mapping;
+ *  - predicate expansion: descendants incl. mixins, mixin->direct mappings
+ *    kept alongside, root predicate default;
+ *  - per-predicate bidirectionality (`_consider_bidirectional`);
+ *  - qualified queries match via conglomerate semantics with None-wildcard
+ *    components and component-hierarchy expansion;
+ *  - output-category filter only when no output ids were pinned; category
+ *    match is against most-specific node categories;
+ *  - attribute-constraint filtering;
+ *  - optional result-size guard (`num_edges_per_answer_cutoff`).
+ */
+object OneHop {
+
+  /** Matched edges with binding columns:
+   * input_id/output_id (which endpoint fulfilled which qnode) and
+   * input_query_id/output_query_id (non-null when the endpoint was reached
+   * via subclass expansion of a pinned query id). */
+  final case class Result(matches: DataFrame, inputKey: String, outputKey: String)
+
+  def answer(spark: SparkSession, graph: PropertyGraph, ont: Ontology, qg: QueryGraph,
+             closure: Option[DataFrame] = None,
+             expandSubclasses: Boolean = true,
+             maxEdges: Option[Long] = None): Result = {
+    val qedge = QueryGraph.forceCanonical(qg.edge.get, ont)
+    val subjQ = qg.node(qedge.subjectKey)
+    val objQ = qg.node(qedge.objectKey)
+    require(subjQ.ids.nonEmpty || objQ.ids.nonEmpty,
+      "At least one qnode must have ids")
+
+    // Input qnode = first (in qnode order) with strictly the most ids
+    // (plover.py:2594-2613)
+    val inputQ = qg.nodes.foldLeft(Option.empty[QNode]) { (best, qn) =>
+      if (qn.ids.size > best.map(_.ids.size).getOrElse(0)) Some(qn) else best
+    }.get
+    val outputQ = if (inputQ.key == subjQ.key) objQ else subjQ
+    val inputIsSubject = inputQ.key == qedge.subjectKey
+
+    val inputExp = expandIds(spark, inputQ.ids, closure, expandSubclasses)
+    val outputExpOpt =
+      if (outputQ.ids.nonEmpty) Some(expandIds(spark, outputQ.ids, closure, expandSubclasses))
+      else None
+
+    // ---- predicate + direction conditions (literal, driver-computed) ----
+    val (matchCond, bidirCond) =
+      if (qedge.qualifierConstraints.nonEmpty) qualifiedConds(qedge, ont)
+      else plainConds(qedge, ont)
+
+    val fwdCond = matchCond && (bidirCond || lit(inputIsSubject))
+    val bwdCond = matchCond && (bidirCond || lit(!inputIsSubject))
+
+    val edges = graph.edges
+    val inFwd = inputExp
+      .withColumnRenamed("node_id", "subject")
+      .withColumnRenamed("query_id", "input_query_id")
+    val fwd = edges.where(fwdCond)
+      .join(broadcast(inFwd), Seq("subject"))
+      .withColumn("input_id", col("subject"))
+      .withColumn("output_id", col("object"))
+    val inBwd = inputExp
+      .withColumnRenamed("node_id", "object")
+      .withColumnRenamed("query_id", "input_query_id")
+    val bwd = edges.where(bwdCond)
+      .join(broadcast(inBwd), Seq("object"))
+      .withColumn("input_id", col("object"))
+      .withColumn("output_id", col("subject"))
+    var matched = fwd.unionByName(bwd)
+
+    // ---- output-side filtering ----
+    matched = outputExpOpt match {
+      case Some(outExp) =>
+        // Pinned output ids: intersect (categories are ignored in this case,
+        // plover.py:2045-2049)
+        val out = outExp
+          .withColumnRenamed("node_id", "output_id")
+          .withColumnRenamed("query_id", "output_query_id")
+        matched.join(broadcast(out), Seq("output_id"))
+      case None =>
+        val withNull = matched.withColumn("output_query_id", lit(null).cast("string"))
+        if (outputQ.categories.isEmpty) withNull
+        else {
+          val cats = expandCategories(outputQ.categories, ont)
+          val catNodes = graph.nodes
+            .where(arrays_overlap(col("categories"), lit(cats.toArray)))
+            .select(col("id").as("output_id"))
+          withNull.join(catNodes, Seq("output_id"), "left_semi")
+        }
+    }
+
+    if (qedge.attributeConstraints.nonEmpty)
+      matched = matched.where(AttributeConstraints.compileAll(qedge.attributeConstraints))
+
+    maxEdges.foreach { limit =>
+      val n = matched.select("edge_id").distinct().count()
+      if (n > limit)
+        throw new IllegalStateException(
+          s"Query would produce $n answer edges, more than the cutoff of $limit")
+    }
+
+    Result(matched, inputQ.key, outputQ.key)
+  }
+
+  /** Query category list -> expanded literal set
+   * (ref: plover.py:2614-2628 `_get_expanded_output_category_ids`). */
+  def expandCategories(categories: Seq[String], ont: Ontology): Set[String] = {
+    val raw = if (categories.nonEmpty) categories.toSet else Set(ont.rootCategory)
+    val proper = ont.replaceMixinsWithDirectMappings(raw)
+    ont.descendantsOfAll(proper, includeMixins = false)
+  }
+
+  /** Non-qualified predicate match + bidirectionality conditions
+   * (ref: plover.py:2704-2743). */
+  private def plainConds(qedge: QEdge, ont: Ontology): (Column, Column) = {
+    val raw = if (qedge.predicates.nonEmpty) qedge.predicates.toSet else Set(ont.rootPredicate)
+    val qgPreds = raw ++ ont.replaceMixinsWithDirectMappings(raw)
+    val expanded = ont.descendantsOfAll(qgPreds, includeMixins = true)
+    val bidirPreds = expanded.filter(p => ont.considerBidirectional(p, qgPreds))
+    val dirPreds = expanded.diff(bidirPreds)
+    val matchCond = col("predicate").isin(expanded.toSeq: _*)
+    val bidirCond =
+      if (dirPreds.isEmpty) lit(true)
+      else if (bidirPreds.isEmpty) lit(false)
+      else col("predicate").isin(bidirPreds.toSeq: _*)
+    (matchCond, bidirCond)
+  }
+
+  /**
+   * Qualified-query (conglomerate) match condition
+   * (ref: plover.py:1486-1520 conglomerate descendant index, :2744-2777
+   * `_get_conglomerate_predicates_from_qedge`). An edge matches a
+   * qualifier constraint iff it carries SOME qualifier info and each
+   * non-None query component is an ancestor-or-self of the edge's
+   * component; the predicate component may be fulfilled by either the
+   * edge's qualified predicate or its regular predicate.
+   */
+  private def qualifiedConds(qedge: QEdge, ont: Ontology): (Column, Column) = {
+    val isQualified = col("qualified_predicate").isNotNull ||
+      col("object_direction").isNotNull || col("object_aspect").isNotNull
+
+    val perConstraint = qedge.qualifierConstraints.map { qc =>
+      val predComponents: Seq[Option[String]] =
+        if (qc.qualifiedPredicate.isEmpty && qedge.predicates.nonEmpty)
+          qedge.predicates.map(Some(_))
+        else Seq(qc.qualifiedPredicate)
+      val predConds = predComponents.map {
+        case Some(p) =>
+          val d = ont.descendants(p, includeMixins = true).toSeq
+          col("qualified_predicate").isin(d: _*) || col("predicate").isin(d: _*)
+        case None =>
+          // all-None conglomerates never match (plover.py:1516 difference
+          // with {"None--None--None"})
+          if (qc.objectDirection.isEmpty && qc.objectAspect.isEmpty) lit(false)
+          else lit(true)
+      }
+      val dirCond = qc.objectDirection match {
+        case Some(d) =>
+          col("object_direction").isin(ont.descendants(d, includeMixins = true).toSeq: _*)
+        case None => lit(true)
+      }
+      val aspCond = qc.objectAspect match {
+        case Some(a) =>
+          col("object_aspect").isin(ont.descendants(a, includeMixins = true).toSeq: _*)
+        case None => lit(true)
+      }
+      predConds.map(pc => pc && dirCond && aspCond).reduce(_ || _)
+    }
+    val matchCond = isQualified && perConstraint.reduce(_ || _)
+
+    // Direct QG "used predicates" for bidirectionality (plover.py:2629-2654):
+    // the qualified predicate when given, else the regular predicates.
+    val direct: Set[String] = qedge.qualifierConstraints.flatMap { qc =>
+      qc.qualifiedPredicate.map(Seq(_)).getOrElse(
+        if (qedge.predicates.nonEmpty) qedge.predicates else Seq.empty)
+    }.toSet
+    val edgeUsed = coalesce(col("qualified_predicate"), col("predicate"))
+    val directSym = direct.filter(ont.isSymmetric)
+    val bidirCond =
+      if (direct.nonEmpty && direct.forall(ont.isSymmetric)) lit(true)
+      else {
+        val descOfDirectSym = ont.descendantsOfAll(directSym, includeMixins = true)
+        val inDirect = if (direct.isEmpty) lit(false) else edgeUsed.isin(direct.toSeq: _*)
+        val inDirectSym =
+          if (directSym.isEmpty) lit(false) else edgeUsed.isin(directSym.toSeq: _*)
+        val fallback = edgeUsed.isin(
+          (ont.symmetric ++ descOfDirectSym).toSeq: _*)
+        when(inDirect, inDirectSym).otherwise(fallback)
+      }
+    (matchCond, bidirCond)
+  }
+
+  /**
+   * Expand pinned query ids to subclass descendants, keeping a
+   * descendant -> query-id mapping (null for ids the user listed directly;
+   * min() tie-break when a node descends from several query ids).
+   * Ref: plover.py:1835-1867.
+   */
+  def expandIds(spark: SparkSession, ids: Seq[String], closure: Option[DataFrame],
+                expand: Boolean): DataFrame = {
+    import spark.implicits._
+    val idsDF = ids.toDF("node_id")
+    val originals = idsDF.withColumn("query_id", lit(null).cast("string"))
+    closure match {
+      case Some(c) if expand =>
+        val descendants = c
+          .join(broadcast(ids.toDF("ancestor")), Seq("ancestor"))
+          .select(col("descendant").as("node_id"), col("ancestor").as("query_id"))
+          .join(broadcast(idsDF), Seq("node_id"), "left_anti")
+          .groupBy("node_id").agg(min("query_id").as("query_id"))
+        originals.unionByName(descendants)
+      case _ => originals
+    }
+  }
+}
