@@ -1,0 +1,375 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/**
+ * LLM-data-pipeline query registry (SURVEY.md §2 P1-P14) — merged into
+ * SparkEntry.queries / oracleSql. Each oracle is hand-derived ANSI SQL
+ * over the same parquet inputs, computing bit-identically to the Spark
+ * plan (md5-based token codes, ordered IEEE folds, mirrored expression
+ * shapes — see functions.TextFunctions / VectorFunctions docs).
+ *
+ * The correctness gate runs at sf0.01; oracles reference the sf0.01
+ * parquet files directly so they are self-contained regardless of which
+ * views the harness registers.
+ */
+object PipelineEntry {
+
+  private val Sf = "/root/testdata/sf0.01"
+  private val HashMod = 2147483647L
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  /** The events parquet stores ts as TIMESTAMP(NANOS), which Spark's
+   * vectorized reader rejects; read nanos as long and floor to micros
+   * (DuckDB's reader does the same truncation). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def probes(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+
+  // ------------------------------------------------------------ queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1 — exact dedup. The corpus has no exact duplicates, so the query
+    // unions a shifted copy: every text occurs exactly twice and dedup
+    // must keep the original id with n_dups = 2.
+    "p01_dedup_exact" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val copy = d.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.exact(d.unionAll(copy)).orderBy("doc_id")
+    }),
+
+    // P2 — n-gram Jaccard near-dup pairs (the generator plants ~5% of
+    // docs as near-duplicates; nothing else scores above 0.3).
+    "p02_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    // P3 — MinHash + banded LSH candidates scored by signature agreement.
+    "p03_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), k = 16, bands = 4, shingleN = 3,
+        minAgree = 8).orderBy("id_a", "id_b")),
+
+    // P4 — SimHash near-dup pairs within Hamming distance 3.
+    "p04_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // P5 — embedding-cosine near-dup, exact quadratic mode capped to the
+    // first 1000 vectors (the documented ground-truth baseline; P7 is the
+    // scale path).
+    "p05_embed_dup" -> ((s, dir) =>
+      Dedup.embeddingPairs(embs(s, dir).where(col("vec_id") < 1000),
+        threshold = 0.4).orderBy("id_a", "id_b")),
+
+    // P6 — brute-force cosine top-k for 5 probe vectors.
+    "p06_ann_topk" -> ((s, dir) =>
+      Ann.bruteForceTopK(embs(s, dir), probes(s, dir), k = 10)
+        .orderBy("probe_id", "rank")),
+
+    // P7 — LSH-bucketed ANN (2 tables x 8 hyperplanes).
+    "p07_ann_lsh" -> ((s, dir) =>
+      Ann.lshTopK(embs(s, dir), probes(s, dir), k = 10, nPlanes = 8,
+        nTables = 2).orderBy("probe_id", "rank")),
+
+    // P8 — stopword-vote language ID.
+    "p08_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(docs(s, dir)).orderBy("id")),
+
+    // P9 — quality scoring.
+    "p09_quality" -> ((s, dir) =>
+      TextAnalysis.quality(docs(s, dir)).orderBy("id")),
+
+    // P10 — token counting (whitespace + BPE-ish regex).
+    "p10_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(docs(s, dir)).orderBy("id")),
+
+    // P11 — rolling-hash fingerprint + content hash.
+    "p11_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(docs(s, dir)).orderBy("id")),
+
+    // P12 — multimodal binary-column plumbing (expression feature path).
+    "p12_multimodal" -> ((s, dir) =>
+      Multimodal.features(Multimodal.fromDocuments(docs(s, dir)))
+        .orderBy("doc_id")),
+
+    // P13 — gap-based sessionization (30 min).
+    "p13_sessionize" -> ((s, dir) =>
+      Sessionize.sessions(events(s, dir), gapMinutes = 30)
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("total_value"))
+        .orderBy("user_id", "session_idx")),
+
+    // P14 — tumbling 1h window aggregation.
+    "p14_window_agg" -> ((s, dir) =>
+      Sessionize.tumblingAgg(events(s, dir), widthMinutes = 60)
+        .select(unix_micros(col("window_start")).as("window_us"),
+          col("event_type"), col("n_events"), col("n_users"), col("total_value"))
+        .orderBy("window_us", "event_type"))
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  /** Shared corpus CTEs (tokens / distinct 3-gram shingles / shingle codes),
+   * mirroring TextFunctions bit-for-bit. */
+  private val docCtes =
+    s"""documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+         i -> array_to_string(list_slice(t, i, i+2), ' '))) AS s
+       FROM toks WHERE len(t) >= 3)"""
+
+  private val embCte =
+    s"""emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM read_parquet('$Sf/embeddings.parquet'))"""
+
+  private val eventsCte =
+    s"""events AS (SELECT * FROM read_parquet('$Sf/events.parquet'))"""
+
+  /** Ordered left-fold dot product of 1-indexed `dim`-length double lists —
+   * bit-identical to VectorFunctions.dot (aggregate starts at 0.0, and
+   * 0.0 + x == x for IEEE doubles). */
+  private def dotSql(a: String, b: String, dim: Int = 64): String =
+    s"list_reduce(list_transform(range(1,${dim + 1}), i -> $a[i] * $b[i]), (x,y) -> x+y)"
+
+  /** Sign-LSH bucket over 8 hyperplanes from table `t` (plane index
+   * t*8+j), mirroring VectorFunctions.lshBucket/hyperplane. */
+  private def bucketSql(v: String, t: String): String =
+    s"""list_sum(list_transform(range(0,8), j -> CASE WHEN
+       list_reduce(list_transform(range(0,64), i ->
+         $v[i+1] * ((((1103515245*((($t)*8+j)*64+i)+12345) % 2147483648) / 2147483648.0) - 0.5)),
+         (x,y) -> x+y) >= 0
+       THEN (1::BIGINT << j) ELSE 0 END))::BIGINT"""
+
+  /** The 16-entry MinHash signature list over distinct shingle codes
+   * (a_i = 1000003 + 2i, b_i = 12345 + 97i mod 2^31-1). */
+  private def sigSql: String = {
+    val entries = (0 until 16).map { i =>
+      val a = 1000003L + 2L * i
+      val b = 12345L + 97L * i
+      s"list_min(list_transform(d, x -> ($a*x + $b) % $HashMod))"
+    }
+    s"[${entries.mkString(",\n  ")}]"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "p01_dedup_exact" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS n_dups
+FROM all_docs GROUP BY md5(text) ORDER BY doc_id""",
+
+    "p02_ngram_jaccard" ->
+      s"""WITH $docCtes,
+ex AS (SELECT doc_id, unnest(s) AS shingle, len(s)::BIGINT AS n FROM sh),
+co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c,
+         any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(c::DOUBLE / (na + nb - c)::DOUBLE, 6) AS jaccard
+FROM co WHERE c::DOUBLE / (na + nb - c)::DOUBLE >= 0.8
+ORDER BY id_a, id_b""",
+
+    "p03_minhash_lsh" ->
+      s"""WITH $docCtes,
+codes AS (
+  SELECT doc_id,
+         list_distinct(list_transform(s, x -> ('0x' || substring(md5(x),1,8))::BIGINT)) AS d
+  FROM sh WHERE len(s) > 0),
+sigs AS (SELECT doc_id, $sigSql AS sig FROM codes),
+banded AS (
+  SELECT doc_id, sig, bd,
+         md5(array_to_string(list_slice(sig, bd*4+1, bd*4+4), ',')) AS bh
+  FROM sigs, range(0,4) r(bd)),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands,
+         any_value(a.sig) AS sa, any_value(b.sig) AS sb
+  FROM banded a JOIN banded b ON a.bd = b.bd AND a.bh = b.bh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, n_bands,
+       len(list_filter(range(1,17), i -> sa[i] = sb[i]))::BIGINT AS n_agree
+FROM cand
+WHERE len(list_filter(range(1,17), i -> sa[i] = sb[i])) >= 8
+ORDER BY id_a, id_b""",
+
+    "p04_simhash" ->
+      s"""WITH $docCtes,
+codes AS (SELECT doc_id,
+  list_distinct(list_transform(s, x -> ('0x' || substring(md5(x),1,8))::BIGINT)) AS d
+  FROM sh),
+shs AS (SELECT doc_id,
+  list_sum(list_transform(range(0,32), j -> CASE WHEN
+    list_reduce([0]::BIGINT[] || list_transform(d, c ->
+      CASE WHEN (c >> j) % 2 = 1 THEN 1 ELSE -1 END), (a,b) -> a+b) >= 0
+    THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
+  FROM codes),
+banded AS (SELECT doc_id, simhash, bd, (simhash >> (bd*8)) % 256 AS band_byte
+           FROM shs, range(0,4) r(bd)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+  FROM banded a JOIN banded b
+    ON a.bd = b.bd AND a.band_byte = b.band_byte AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+ORDER BY id_a, id_b""",
+
+    "p05_embed_dup" ->
+      s"""WITH $embCte,
+sub AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM emb WHERE vec_id < 1000),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cs
+  FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cs, 6) AS cosine FROM pairs WHERE cs >= 0.4
+ORDER BY id_a, id_b""",
+
+    "p06_ann_topk" ->
+      s"""WITH $embCte,
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM emb),
+p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM n WHERE vec_id < 5),
+scored AS (
+  SELECT p.probe_id, n.vec_id AS neighbor_id,
+         ${dotSql("p.pv", "n.v")} / (p.pn * n.nrm) AS cs
+  FROM n CROSS JOIN p WHERE p.probe_id <> n.vec_id),
+ranked AS (
+  SELECT probe_id, neighbor_id, cs,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT probe_id, rank, neighbor_id, round(cs, 6) AS cosine
+FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
+
+    "p07_ann_lsh" ->
+      s"""WITH $embCte,
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM emb),
+cb AS (SELECT vec_id, v, nrm, t, ${bucketSql("v", "t")} AS bucket
+       FROM n, range(0,2) r(t)),
+pb AS (SELECT * FROM cb WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT pb.vec_id AS probe_id, cb.vec_id AS neighbor_id
+  FROM cb JOIN pb ON cb.t = pb.t AND cb.bucket = pb.bucket
+  WHERE pb.vec_id <> cb.vec_id),
+scored AS (
+  SELECT c.probe_id, c.neighbor_id,
+         ${dotSql("p.v", "q.v")} / (p.nrm * q.nrm) AS cs
+  FROM cand c JOIN n p ON p.vec_id = c.probe_id
+              JOIN n q ON q.vec_id = c.neighbor_id),
+ranked AS (
+  SELECT probe_id, neighbor_id, cs,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT probe_id, rank, neighbor_id, round(cs, 6) AS cosine
+FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
+
+    "p08_langid" -> {
+      val langs = Seq("de", "en", "es", "fr")
+      val hitExprs = langs.map { l =>
+        val words = graft.functions.TextFunctions.DefaultStopwords(l)
+          .map("'" + _ + "'").mkString(", ")
+        s"len(list_filter(t, x -> list_contains([$words], x)))::BIGINT AS ${l}_hits"
+      }.mkString(",\n  ")
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+hits AS (SELECT doc_id AS id,
+  $hitExprs
+  FROM toks)
+SELECT id,
+  CASE WHEN de_hits >= GREATEST(en_hits, es_hits, fr_hits) THEN 'de'
+       WHEN en_hits >= GREATEST(es_hits, fr_hits) THEN 'en'
+       WHEN es_hits >= fr_hits THEN 'es'
+       ELSE 'fr' END AS predicted_lang,
+  de_hits, en_hits, es_hits, fr_hits
+FROM hits ORDER BY id"""
+    },
+
+    "p09_quality" -> {
+      val stop = graft.functions.TextFunctions.DefaultStopwords("en")
+        .map("'" + _ + "'").mkString(", ")
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+base AS (
+  SELECT doc_id AS id, length(text)::BIGINT AS n_chars,
+         string_split_regex(lower(trim(text)), '\\s+') AS t,
+         length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::BIGINT AS punct
+  FROM documents),
+m AS (
+  SELECT id, n_chars, len(t)::BIGINT AS n_tokens,
+    list_reduce([0]::BIGINT[] || list_transform(t, x -> length(x)::BIGINT),
+      (a,b) -> a+b)::DOUBLE / len(t)::DOUBLE AS mean_len,
+    punct::DOUBLE / n_chars::DOUBLE AS punct_ratio,
+    len(list_filter(t, x -> list_contains([$stop], x)))::DOUBLE / len(t)::DOUBLE
+      AS stop_ratio
+  FROM base)
+SELECT id, n_chars, n_tokens,
+  round(mean_len, 6) AS mean_token_len,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(stop_ratio, 6) AS stopword_ratio,
+  round(GREATEST(0.0, 1.0 - abs(mean_len - 5.0) / 10.0 - punct_ratio * 2.0
+    + stop_ratio * 0.5), 6) AS quality_score
+FROM m ORDER BY id"""
+    },
+
+    "p10_tokens" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT doc_id AS id,
+  len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS ws_tokens,
+  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))::BIGINT AS bpe_tokens
+FROM documents ORDER BY id""",
+
+    "p11_fingerprint" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+toks AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents)
+SELECT doc_id AS id,
+  list_reduce([0]::BIGINT[] ||
+    list_transform(t, x -> ('0x' || substring(md5(x),1,8))::BIGINT),
+    (a,b) -> (a*131 + b % $HashMod) % $HashMod) AS fingerprint,
+  md5(text) AS content_hash
+FROM toks ORDER BY id""",
+
+    "p12_multimodal" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+  octet_length(encode(text))::BIGINT AS byte_len,
+  (n_chars % 640 + 1)::INTEGER AS width,
+  (doc_id % 480 + 1)::INTEGER AS height,
+  (n_chars % 640 + 1)::BIGINT * (doc_id % 480 + 1)::BIGINT AS n_pixels,
+  md5(text) AS payload_hash
+FROM documents ORDER BY doc_id""",
+
+    "p13_sessionize" ->
+      s"""WITH $eventsCte,
+e AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+f AS (SELECT *, CASE WHEN prev_ts IS NULL
+        OR (epoch_us(ts) // 1000000) - (epoch_us(prev_ts) // 1000000) > 1800
+        THEN 1 ELSE 0 END AS is_new FROM e),
+g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx FROM f)
+SELECT user_id, session_idx, count(*) AS n_events,
+  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+  round(sum(value), 4) AS total_value
+FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+
+    "p14_window_agg" ->
+      s"""WITH $eventsCte
+SELECT epoch_us(date_trunc('hour', ts)) AS window_us, event_type,
+  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+  round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY window_us, event_type"""
+  )
+}

@@ -49,7 +49,10 @@ object SparkEntry {
       .orderBy("edge_id", "input_id")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graphQueries ++ PipelineEntry.queries
+
+  private def graphQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // G1 — graph construction
     "g01_graph_nodes" -> ((s, dir) =>
       Fixture.graph(s, dir).nodes.select(col("id"), col("name"), sortedCats)
@@ -226,7 +229,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    graphOracleSql ++ PipelineEntry.oracleSql
+
+  private def graphOracleSql: Map[String, String] = Map(
     "g01_graph_nodes" -> TpchGraph.oracle(
       "SELECT id, name, cats FROM g_nodes ORDER BY id"),
 

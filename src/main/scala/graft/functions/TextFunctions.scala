@@ -85,6 +85,7 @@ object TextFunctions {
     }._1
 
   val DefaultStopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "von", "zu"),
     "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "it"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
     "fr" -> Seq("le", "la", "de", "et", "un", "en", "du", "est"))

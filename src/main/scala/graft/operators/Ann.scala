@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => VF}
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (SURVEY.md §2 P6-P7).
+ *
+ * Scale design:
+ *  - `bruteForceTopK` broadcasts the (small) probe set against the corpus —
+ *    the corpus is scanned once, never shuffled, and the per-probe top-k is
+ *    a window over (probe, cosine). This is the exact baseline: at 100 TB
+ *    it is one full scan per probe batch, which is the right cost model
+ *    when probes are few and recall must be 1.0.
+ *  - `lshTopK` is the scale path: both sides hash to sign-LSH buckets
+ *    (deterministic hyperplanes, VectorFunctions.lshBucket) and only
+ *    same-bucket candidates are scored. The corpus side can be
+ *    pre-bucketed/bucketed-by-layout so a probe touches 1/2^nPlanes of the
+ *    data. Recall < 1 for borderline neighbors — the classic IVF/LSH
+ *    trade — and multi-table probing (`nTables`) recovers recall by
+ *    unioning independent hyperplane sets.
+ *
+ * Ties are broken by candidate id so results are deterministic and
+ * oracle-comparable.
+ */
+object Ann {
+
+  /** Exact cosine top-k per probe. Probes = (probe_id, probe vector).
+   * Returns (probe_id, rank, neighbor_id, cosine), rank 1..k. */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int = 10,
+                     vecCol: String = "embedding", idCol: String = "vec_id",
+                     probeIdCol: String = "probe_id", probeVecCol: String = "probe_vec"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), VF.toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", VF.norm(col("cv")))
+    val p = probes.select(col(probeIdCol).as("probe_id"), VF.toDouble(col(probeVecCol)).as("pv"))
+      .withColumn("pn", VF.norm(col("pv")))
+    val scored = c.crossJoin(broadcast(p))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VF.dot(col("pv"), col("cv")) / (col("pn") * col("cn")))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /**
+   * Sign-LSH bucketed top-k: probes only score candidates sharing a bucket
+   * in at least one of `nTables` independent hyperplane tables.
+   * Returns (probe_id, rank, neighbor_id, cosine) ranked within the
+   * candidate set (rank 1..<=k; fewer when the buckets are sparse).
+   */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int = 10,
+              nPlanes: Int = 8, nTables: Int = 2, dim: Int = 64,
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              probeIdCol: String = "probe_id", probeVecCol: String = "probe_vec"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), VF.toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", VF.norm(col("cv")))
+    val p = probes.select(col(probeIdCol).as("probe_id"), VF.toDouble(col(probeVecCol)).as("pv"))
+      .withColumn("pn", VF.norm(col("pv")))
+
+    // Plane index offset per table makes the tables independent while
+    // keeping every hyperplane deterministic.
+    def buckets(v: org.apache.spark.sql.Column) = array((0 until nTables).map { t =>
+      struct(lit(t).as("table"),
+        VF.lshBucket(v, nPlanes, dim, planeOffset = t * nPlanes).as("bucket"))
+    }: _*)
+
+    val cb = c.select(col("neighbor_id"), col("cv"), col("cn"),
+      explode(buckets(col("cv"))).as("tb"))
+      .select(col("neighbor_id"), col("cv"), col("cn"), col("tb.table"), col("tb.bucket"))
+    val pb = p.select(col("probe_id"), col("pv"), col("pn"),
+      explode(buckets(col("pv"))).as("tb"))
+      .select(col("probe_id"), col("pv"), col("pn"), col("tb.table"), col("tb.bucket"))
+
+    val candidates = cb.join(broadcast(pb), Seq("table", "bucket"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .select("probe_id", "pv", "pn", "neighbor_id", "cv", "cn")
+      .dropDuplicates("probe_id", "neighbor_id") // a pair may collide in several tables
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates
+      .withColumn("cosine", VF.dot(col("pv"), col("cv")) / (col("pn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/**
+ * Deduplication operators for large-scale text/embedding corpora
+ * (SURVEY.md §2 P1-P5). These go beyond the reference engine: they are the
+ * operators an LLM-training-data pipeline needs at 100 TB.
+ *
+ * Scale design notes (what decides 100 TB viability is the JOIN TOPOLOGY,
+ * not the per-row hashing):
+ *
+ *  - Exact dedup (P1) is one hash-keyed groupBy — the only shuffle is on
+ *    md5(text), uniformly distributed, map-side partial aggregation applies.
+ *  - N-gram Jaccard (P2) uses an inverted-index join: explode distinct
+ *    shingles, self-join on the shingle value, count co-occurrences per
+ *    pair. Never all-pairs. A document-frequency cutoff drops ubiquitous
+ *    shingles (the skew/stopword guard — a shingle shared by k docs
+ *    produces k^2 join rows).
+ *  - MinHash+LSH (P3) is the classic banded explode + self-join on
+ *    (band_index, band_hash): cost is O(candidates), not O(n^2), and band
+ *    hashes are uniform so the shuffle has no skew. Candidates are then
+ *    scored by signature agreement — no second pass over raw text.
+ *  - SimHash (P4) bands the 32-bit fingerprint into 4 bytes; documents
+ *    within Hamming distance 3 of each other must agree on at least one
+ *    full byte only if the <=3 flipped bits fall outside it — with 4 bands
+ *    and <=3 flips the pigeonhole guarantees one untouched band, so
+ *    banding is recall-lossless for maxHamming <= 3.
+ *  - Embedding near-dup (P5) exact mode is a quadratic self-join — correct
+ *    but only for modest partitions; the scale path is sign-LSH bucketing
+ *    (`bucketed = true`, same join topology as P7 ANN).
+ *
+ * Everything is codegen'd Column expressions over md5-based portable token
+ * codes (TextFunctions), so every operator has a bit-exact DuckDB oracle.
+ */
+object Dedup {
+
+  // ---------------------------------------------------------------- P1
+  /**
+   * Exact dedup: group by content hash, keep the minimum id per group.
+   * Returns one row per distinct content: (id, content_hash, n_dups).
+   */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).as("id"), md5(col(textCol)).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id").as(idCol), col("content_hash"), col("n_dups"))
+
+  /** (id, shingles) with DISTINCT n-gram shingles of the lower-cased
+   * whitespace tokens. */
+  def shingleSets(docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      array_distinct(TF.shingles(TF.tokens(col(textCol)), n)).as("shingles"))
+
+  // ---------------------------------------------------------------- P2
+  /**
+   * N-gram Jaccard near-duplicate pairs via inverted-index join.
+   * Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+   *
+   * @param maxShingleFreq drop shingles occurring in more than this many
+   *   documents before pairing (0 = keep all). The skew guard: a shingle in
+   *   k docs contributes k^2 pair rows, and ubiquitous shingles carry no
+   *   discriminative signal. Exactness note: dropping a shared shingle can
+   *   only LOWER a pair's computed jaccard (numerator loses 1, denominator
+   *   loses 1 and num<=den), so with a high-frequency cutoff the operator
+   *   is conservative, never over-reporting.
+   */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                   maxShingleFreq: Long = 0,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sets = shingleSets(docs, n, textCol, idCol)
+    val exploded = sets
+      .select(col("id"), size(col("shingles")).cast("long").as("n_shingles"),
+        explode(col("shingles")).as("shingle"))
+    val pruned =
+      if (maxShingleFreq <= 0) exploded
+      else {
+        val hot = exploded.groupBy("shingle").count()
+          .where(col("count") > maxShingleFreq).select("shingle")
+        exploded.join(hot, Seq("shingle"), "left_anti")
+      }
+    val a = pruned.select(col("shingle"), col("id").as("id_a"), col("n_shingles").as("na"))
+    val b = pruned.select(col("shingle"), col("id").as("id_b"), col("n_shingles").as("nb"))
+    a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("co"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .withColumn("jaccard",
+        col("co").cast("double") / (col("na") + col("nb") - col("co")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- P3
+  /**
+   * MinHash + banded-LSH near-duplicate candidates.
+   * Signature of k minhashes over shingle token-codes, split into `bands`
+   * bands of k/bands rows each; a pair is a candidate iff some band hashes
+   * identically. Candidates are scored by signature agreement (the unbiased
+   * Jaccard estimate) and kept when >= minAgree of k components match.
+   * Returns (id_a, id_b, n_bands, n_agree), id_a < id_b.
+   */
+  def minhashLshPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                      shingleN: Int = 3, minAgree: Int = 8,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val r = k / bands
+    require(bands * r == k, s"bands ($bands) must divide k ($k)")
+    val sigs = shingleSets(docs, shingleN, textCol, idCol)
+      .where(size(col("shingles")) > 0)
+      .select(col("id"),
+        TF.minhashSignature(TF.tokenCodes(col("shingles")), k).as("sig"))
+
+    // Banded explode: one row per (doc, band), keyed by the band's hash.
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_hash",
+        md5(concat_ws(",",
+          transform(slice(col("sig"), col("band") * r + 1, lit(r)), _.cast("string")))))
+
+    val left = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val right = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    val agree = size(filter(sequence(lit(0), lit(k - 1)),
+      i => element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1)))
+
+    left.join(right, Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_bands"),
+        first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
+      .withColumn("n_agree", agree.cast("long"))
+      .where(col("n_agree") >= minAgree)
+      .select("id_a", "id_b", "n_bands", "n_agree")
+  }
+
+  // ---------------------------------------------------------------- P4
+  /** (id, simhash) — 32-bit SimHash over distinct n-gram shingle codes.
+   * Shingles, not single tokens: on a small shared vocabulary every
+   * document's token SET overlaps heavily, collapsing token-level
+   * simhashes; shingle sets keep near-identical docs close and unrelated
+   * docs far. */
+  def simhashes(docs: DataFrame, shingleN: Int = 3, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame =
+    shingleSets(docs, shingleN, textCol, idCol)
+      .where(size(col("shingles")) > 0) // docs too short to shingle have no hash
+      .select(col("id"), TF.simhash(TF.tokenCodes(col("shingles"))).as("simhash"))
+
+  /**
+   * SimHash near-duplicate pairs within `maxHamming` bit flips, via 4-band
+   * bucketing of the 32-bit fingerprint (recall-lossless for
+   * maxHamming <= 3 by pigeonhole — see object doc).
+   * Returns (id_a, id_b, hamming), id_a < id_b.
+   */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, shingleN: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming <= 3, "4-band bucketing is only recall-lossless for maxHamming <= 3")
+    val sh = simhashes(docs, shingleN, textCol, idCol)
+    val banded = sh.select(col("id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_byte", expr("shiftright(simhash, band * 8) % 256"))
+    val left = banded.select(col("band"), col("band_byte"),
+      col("id").as("id_a"), col("simhash").as("sh_a"))
+    val right = banded.select(col("band"), col("band_byte"),
+      col("id").as("id_b"), col("simhash").as("sh_b"))
+    left.join(right, Seq("band", "band_byte"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // ---------------------------------------------------------------- P5
+  /**
+   * Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+   * cosine >= threshold, id_a < id_b.
+   *
+   * `bucketed = false` is the exact quadratic self-join (ground truth /
+   * modest partitions); `bucketed = true` prefilters through sign-LSH
+   * buckets (`nPlanes` hyperplanes) so only same-bucket pairs are scored —
+   * the 100 TB path, at the cost of recall for borderline pairs.
+   */
+  def embeddingPairs(embs: DataFrame, threshold: Double = 0.4,
+                     bucketed: Boolean = false, nPlanes: Int = 8, dim: Int = 64,
+                     vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    // Precompute each vector's norm once (N sqrt-dots instead of 2 per
+    // pair — at n^2 pairs that's the dominant cost).
+    val base = embs.select(col(idCol).as("id"), VF.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", VF.norm(col("v")))
+    val withKey =
+      if (bucketed) base.withColumn("bucket", VF.lshBucket(col("v"), nPlanes, dim))
+      else base.withColumn("bucket", lit(0L))
+    val a = withKey.select(col("bucket"), col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = withKey.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", VF.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+
+/**
+ * Per-document text analysis operators (SURVEY.md §2 P8-P11): language ID,
+ * quality scoring, token counting, fingerprinting.
+ *
+ * All four are embarrassingly parallel narrow projections — no shuffle, no
+ * UDFs, pure whole-stage-codegen expressions — so they scale linearly with
+ * the corpus and cost one scan each (or one combined scan when composed).
+ * Hashing is md5-based (engine-portable), making every output bit-exactly
+ * DuckDB-checkable.
+ */
+object TextAnalysis {
+
+  /** "BPE-ish" token regex: alnum runs or single non-alnum-non-space
+   * symbols — the pre-tokenizer split pattern most BPE vocabularies use.
+   * RE2/Java-regex portable. */
+  val BpeTokenPattern = "[a-z0-9]+|[^a-z0-9\\s]"
+
+  /**
+   * P8 — Language ID by stopword voting: per-language hit counts over the
+   * whitespace tokens + argmax prediction (alphabetical tie-break).
+   * Output: (id, predicted_lang, <lang>_hits...).
+   */
+  def languageId(docs: DataFrame,
+                 stopwords: Map[String, Seq[String]] = TF.DefaultStopwords,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = TF.tokens(col(textCol))
+    val scores = TF.languageScores(toks, stopwords)
+    val hitCols = scores.map { case (lang, c) =>
+      c.cast("long").as(s"${lang}_hits")
+    }
+    docs.select(
+      (col(idCol).as("id") +: TF.predictedLanguage(scores).as("predicted_lang") +: hitCols): _*)
+  }
+
+  /**
+   * P9 — Quality scoring: structural ratios a data-curation pipeline
+   * filters on. All doubles rounded to 6dp for cross-engine stability.
+   * Output: (id, n_chars, n_tokens, mean_token_len, punct_ratio,
+   *          stopword_ratio, quality_score).
+   */
+  def quality(docs: DataFrame, stopwords: Seq[String] = TF.DefaultStopwords("en"),
+              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val text = col(textCol)
+    val toks = TF.tokens(text)
+    val nChars = length(text).cast("long")
+    val nToks = size(toks).cast("long")
+    val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / nToks.cast("double")
+    val punct = length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).cast("long")
+    val punctRatio = punct.cast("double") / nChars.cast("double")
+    val stopHits = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+    val stopRatio = stopHits.cast("double") / nToks.cast("double")
+    // Simple interpretable score: stopword presence is good (natural
+    // language), excessive punctuation is bad, degenerate token length
+    // (too short/long) is bad.
+    val score = greatest(lit(0.0),
+      lit(1.0) - abs(meanLen - lit(5.0)) / lit(10.0) - punctRatio * lit(2.0)
+        + stopRatio * lit(0.5))
+    docs.select(col(idCol).as("id"), nChars.as("n_chars"), nToks.as("n_tokens"),
+      round(meanLen, 6).as("mean_token_len"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(score, 6).as("quality_score"))
+  }
+
+  /**
+   * P10 — Token counting: whitespace tokens and BPE-ish regex tokens
+   * (alnum runs + individual symbols).
+   * Output: (id, ws_tokens, bpe_tokens).
+   */
+  def tokenCounts(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      size(TF.tokens(col(textCol))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(lower(col(textCol)), lit(BpeTokenPattern), lit(0)))
+        .cast("long").as("bpe_tokens"))
+
+  /**
+   * P11 — Document fingerprint: order-sensitive polynomial rolling hash
+   * over the token codes (content-defined identity that survives
+   * re-serialization but not reordering), plus the order-insensitive
+   * content hash for contrast.
+   * Output: (id, fingerprint, content_hash).
+   */
+  def fingerprints(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      TF.rollingFingerprint(TF.tokenCodes(TF.tokens(col(textCol))))
+        .as("fingerprint"),
+      md5(col(textCol)).as("content_hash"))
+}

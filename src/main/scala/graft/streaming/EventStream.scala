@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming ingest over the events schema (SURVEY.md §2 P15):
+ * watermarked dedup -> tumbling-window aggregation, plus a stateful
+ * gap-sessionizer via flatMapGroupsWithState. The batch twins
+ * (operators.Sessionize) compute identical results on a static frame —
+ * the StreamingSpec asserts that parity.
+ *
+ * Scale design: state is keyed by event_id (dedup) and user_id
+ * (sessions) — both high-cardinality, so state distributes evenly across
+ * executors; the watermark bounds state size (late events beyond it are
+ * dropped and their dedup/session state evicted). Window aggregation is a
+ * streaming partial-agg: only (window, event_type) groups live in state.
+ */
+object EventStream {
+
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source over an events parquet directory. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Exactly-once event-id dedup within the watermark horizon. */
+  def deduped(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
+  /** Tumbling-window per-type aggregation (streaming twin of
+   * Sessionize.tumblingAgg; n_users is approximate in streaming mode
+   * because count_distinct needs full-window state — we carry the exact
+   * count here too since state is bounded by the watermark). */
+  def windowedCounts(events: DataFrame, widthMinutes: Int = 60,
+                     watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$widthMinutes minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 4).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("n_users"), col("total_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(sessionIdx: Long, lastTs: Long, nEvents: Long,
+                                startTs: Long, totalValue: Double)
+  final case class SessionOut(user_id: Long, session_idx: Long, n_events: Long,
+                              session_start: Timestamp, session_end: Timestamp,
+                              total_value: Double)
+
+  /**
+   * Stateful gap-based sessionizer: emits a session row when the gap to
+   * the next event exceeds `gapMinutes` or the state times out (no events
+   * for the gap duration). Processing-time timeout keeps the demo simple;
+   * an event-time timeout + watermark is the production setting.
+   */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+    events.select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.sessionIdx, s.nEvents,
+              new Timestamp(s.startTs), new Timestamp(s.lastTs), s.totalValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                    totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.sessionIdx, s.nEvents,
+                    new Timestamp(s.startTs), new Timestamp(s.lastTs), s.totalValue)
+                  cur = Some(SessionState(s.sessionIdx + 1, t, 1L, t, e.value))
+                case None =>
+                  cur = Some(SessionState(1L, t, 1L, t, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}
