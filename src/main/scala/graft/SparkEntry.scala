@@ -209,6 +209,70 @@ object SparkEntry {
       GraphOps.testTriples(Fixture.graph(s, dir))
         .orderBy("subject_category", "predicate", "object_category")),
 
+    // G23 — ingest transforms: trial-phase enum coercion, property zip
+    // into list-of-structs (with nested coercion + empty pruning), empty
+    // attribute pruning (ref: plover.py:1011-1059, :1742-1747).
+    "g24_ingest_transforms" -> ((s, dir) => {
+      import graft.sources.GraphBuilder
+      val nullS = lit(null).cast("string")
+      val raw = s.read.parquet(s"$dir/customer.parquet").select(
+        concat(lit("E-ZIP:"), col("c_custkey").cast("string")).as("edge_id"),
+        concat(lit("CUST:"), col("c_custkey").cast("string")).as("subject"),
+        concat(lit("NAT:"), col("c_nationkey").cast("string")).as("object"),
+        lit(O.LocatedIn).as("predicate"),
+        nullS.as("qualified_predicate"), nullS.as("object_direction"),
+        nullS.as("object_aspect"), lit("infores:crm").as("primary_knowledge_source"),
+        map(lit("note"),
+          when(col("c_custkey") % 7 === 0, lit("")).otherwise(lit("ok"))).as("attrs"),
+        map(lit("phase"), (col("c_custkey") % 9).cast("double") / 2.0).as("num_attrs"),
+        map(
+          lit("tags"), array(col("c_mktsegment"),
+            concat(lit("tier"), (col("c_custkey") % 3).cast("string"))),
+          lit("tag_scores"), array(
+            concat(lit("s"), (col("c_custkey") % 4).cast("string")),
+            when(col("c_custkey") % 5 === 0, lit(""))
+              .otherwise(concat(lit("q"), (col("c_custkey") % 2).cast("string")))),
+          lit("tp"), array(((col("c_custkey") % 9).cast("double") / 2.0).cast("string"))
+        ).as("list_attrs"))
+      val built = GraphBuilder.zipListAttrs(
+        GraphBuilder.pruneEmptyAttrs(GraphBuilder.coerceTrialPhases(raw, Seq("phase"))),
+        specs = Map("tagged" -> Seq("tags", "tag_scores"), "trial" -> Seq("tp")),
+        trialPhaseProps = Set("tp"))
+      built.select(
+        col("edge_id"),
+        coalesce(element_at(col("attrs"), "phase"),
+          element_at(col("num_attrs"), "phase").cast("string")).as("phase"),
+        element_at(col("attrs"), "note").as("note"),
+        concat_ws("|", transform(col("tagged"),
+          x => concat_ws(":", x.getField("tags"), x.getField("tag_scores"))))
+          .as("tagged"),
+        col("trial").getItem(0).getField("tp").as("trial"),
+        concat_ws("|", map_keys(col("list_attrs"))).as("remaining_list_attrs"))
+        .orderBy("edge_id")
+    }),
+
+    // KGX source round-trip: export the fixture graph as gzipped KGX TSV,
+    // re-ingest through KgxSource (typed value parsing, array splitting),
+    // and emit the canonical edge table + re-typed attributes.
+    "g25_kgx_roundtrip" -> ((s, dir) => {
+      import graft.sources.KgxSource
+      val out = s"/root/repo/target/kgx-roundtrip-${dir.replaceAll("[^0-9.]", "")}"
+      val g = Fixture.graph(s, dir)
+      KgxSource.writeTsv(g, out, attrColumns = Seq("mktsegment", "acctbal", "tags"),
+        compress = true)
+      val cfg = KgxSource.KgxConfig(arrayProperties = Set("category", "tags"))
+      val edges = KgxSource.readEdges(s, s"$out/edges", "tsv", cfg)
+      edges.select(
+        col("edge_id"), col("subject"), col("object"), col("predicate"),
+        col("qualified_predicate"), col("object_direction"), col("object_aspect"),
+        col("primary_knowledge_source").as("src"),
+        element_at(col("attrs"), "mktsegment").as("mktsegment"),
+        element_at(col("num_attrs"), "acctbal").as("acctbal_num"),
+        element_at(col("attrs"), "acctbal").as("acctbal_str"),
+        concat_ws(",", element_at(col("list_attrs"), "tags")).as("tags"))
+        .orderBy("edge_id", "subject")
+    }),
+
     // G21 — TRAPI result bindings with is_set grouping
     "g23_result_bindings" -> ((s, dir) => {
       val res = OneHop.answer(s, Fixture.graph(s, dir), ont, QueryGraph.oneHop(
@@ -401,6 +465,41 @@ object SparkEntry {
            ('CUST', 'graft:Customer'), ('SUPP', 'graft:Supplier'),
            ('PART', 'graft:Part'), ('PART', 'graft:Tradeable'),
            ('ORD', 'graft:Order')) AS t(prefix, cat))"""),
+
+    "g24_ingest_transforms" -> {
+      // Enum CASE generated from the same map the builder uses; code 7
+      // (= phase 3.5) is deliberately unmapped and stays numeric.
+      val enumCase = (0 to 8).map { code =>
+        val phase = code / 2.0
+        val v = graft.sources.GraphBuilder.TrialPhasesMap
+          .getOrElse(phase, phase.toString)
+        s"WHEN $code THEN '$v'"
+      }.mkString(" ")
+      s"""SELECT 'E-ZIP:' || c_custkey AS edge_id,
+           CASE (c_custkey % 9) $enumCase END AS phase,
+           CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE 'ok' END AS note,
+           c_mktsegment || ':s' || (c_custkey % 4) || '|tier' || (c_custkey % 3)
+             || CASE WHEN c_custkey % 5 = 0 THEN ''
+                     ELSE ':q' || (c_custkey % 2) END AS tagged,
+           CASE (c_custkey % 9) $enumCase END AS trial,
+           '' AS remaining_list_attrs
+         FROM customer ORDER BY edge_id"""
+    },
+
+    "g25_kgx_roundtrip" -> TpchGraph.oracle(
+      """SELECT e.edge_id, e.subject, e.object, e.predicate,
+           e.qualified_predicate, e.object_direction, e.object_aspect, e.src,
+           c.c_mktsegment AS mktsegment,
+           CASE WHEN coalesce(c.c_acctbal, s.s_acctbal) >= 0
+                THEN coalesce(c.c_acctbal, s.s_acctbal) END AS acctbal_num,
+           CASE WHEN coalesce(c.c_acctbal, s.s_acctbal) < 0
+                THEN coalesce(c.c_acctbal, s.s_acctbal)::VARCHAR END AS acctbal_str,
+           coalesce(CASE WHEN c.c_custkey IS NOT NULL
+                THEN c.c_mktsegment || ',tier' || (c.c_custkey % 3) END, '') AS tags
+         FROM g_edges e
+         LEFT JOIN customer c ON e.edge_id = 'E-CN:' || c.c_custkey
+         LEFT JOIN supplier s ON e.edge_id = 'E-SN:' || s.s_suppkey
+         ORDER BY edge_id, subject"""),
 
     "g23_result_bindings" -> TpchGraph.oracle(
       """SELECT object AS in_key, '*' AS out_key,

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.model.{Ontology, PropertyGraph}
 
@@ -61,6 +61,100 @@ object GraphBuilder {
   def pruneEmptyAttrs(edges: DataFrame): DataFrame =
     edges.withColumn("attrs",
       map_filter(col("attrs"), (_, v) => v.isNotNull && v =!= lit("")))
+
+  /** Clinical-trial-phase code -> Biolink MaxResearchPhaseEnum value
+   * (ref: plover.py:705-712 trial_phases_map). Unmapped codes (e.g. 3.5)
+   * pass through unchanged, like the reference's `.get(v, v)`. */
+  val TrialPhasesMap: Map[Double, String] = Map(
+    0.0 -> "not_provided",
+    0.5 -> "pre_clinical_research_phase",
+    1.0 -> "clinical_trial_phase_1",
+    1.5 -> "clinical_trial_phase_1_to_2",
+    2.0 -> "clinical_trial_phase_2",
+    2.5 -> "clinical_trial_phase_2_to_3",
+    3.0 -> "clinical_trial_phase_3",
+    4.0 -> "clinical_trial_phase_4")
+
+  /** String-rendered twin of TrialPhasesMap for values arriving as text
+   * (the reference parses them with `_load_value` first, plover.py:1742-1747). */
+  val TrialPhasesStrMap: Map[String, String] =
+    TrialPhasesMap.flatMap { case (k, v) =>
+      val renderings =
+        if (k == k.floor) Seq(f"$k%.0f", f"$k%.1f") // "3" and "3.0"
+        else Seq(k.toString) // "0.5"
+      renderings.map(_ -> v)
+    }
+
+  /**
+   * Coerce configured numeric trial-phase properties to their Biolink enum
+   * (ref: plover.py:1055-1059, :1742-1747 `_convert_trial_phase_to_enum`).
+   * A mapped value moves from num_attrs to attrs as the enum string;
+   * unmapped values stay numeric.
+   */
+  def coerceTrialPhases(edges: DataFrame, props: Seq[String]): DataFrame = {
+    if (props.isEmpty) return edges
+    val m = typedLit(TrialPhasesMap)
+    props.foldLeft(edges) { (df, p) =>
+      val enumV = element_at(m, element_at(col("num_attrs"), p))
+      df.withColumn("attrs",
+          when(enumV.isNotNull, map_concat(col("attrs"), map(lit(p), enumV)))
+            .otherwise(col("attrs")))
+        .withColumn("num_attrs",
+          when(enumV.isNotNull, map_filter(col("num_attrs"), (k, _) => k =!= lit(p)))
+            .otherwise(col("num_attrs")))
+    }
+  }
+
+  /**
+   * Zip parallel list attributes into one list-of-structs property
+   * (ref: plover.py:796-810 zip-spec precompute, :1011-1045 per-edge zip).
+   * Semantics preserved, re-expressed columnar:
+   *  - each output element is a struct of the source properties' i-th
+   *    values; empty-string values become null FIELDS (fixed-schema twin
+   *    of the reference deleting dict keys);
+   *  - all-null structs are dropped (reference skips empty dicts);
+   *  - nested trial-phase properties are enum-coerced;
+   *  - length mismatch raises (reference zips strict=True);
+   *  - source properties are removed from list_attrs;
+   *  - a property may belong to at most one zip spec.
+   * The zipped column is appended under `zippedProp` as
+   * array<struct<p1:string, ...>>.
+   */
+  def zipListAttrs(edges: DataFrame, specs: Map[String, Seq[String]],
+                   trialPhaseProps: Set[String] = Set.empty): DataFrame = {
+    val owners = specs.toSeq.flatMap { case (z, ps) => ps.map(_ -> z) }
+    val dup = owners.groupBy(_._1).filter(_._2.size > 1)
+    require(dup.isEmpty,
+      s"zip specs reference the same property: ${dup.keys.mkString(", ")}")
+
+    def clean(p: String, v: Column): Column = {
+      val nonEmpty = when(v.isNotNull && v =!= lit(""), v)
+      if (trialPhaseProps(p))
+        coalesce(element_at(typedLit(TrialPhasesStrMap), nonEmpty), nonEmpty)
+      else nonEmpty
+    }
+
+    specs.foldLeft(edges) { case (df, (zippedProp, props)) =>
+      val arrays = props.map(p => element_at(col("list_attrs"), p))
+      val sameLen = props.tail
+        .map(p => size(element_at(col("list_attrs"), p)) === size(arrays.head))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val zipped = transform(
+        sequence(lit(1), size(arrays.head)),
+        i => struct(props.zip(arrays).map { case (p, arr) =>
+          clean(p, element_at(arr, i)).as(p)
+        }: _*))
+      val pruned = filter(zipped,
+        x => props.map(p => x.getField(p).isNotNull).reduce(_ || _))
+      df.withColumn(zippedProp,
+          when(arrays.map(_.isNotNull).reduce(_ && _),
+            when(sameLen, pruned).otherwise(raise_error(concat(
+              lit(s"zip length mismatch for $zippedProp on edge "), col("edge_id")))))
+            .otherwise(lit(null)))
+        .withColumn("list_attrs",
+          map_filter(col("list_attrs"), (k, _) => !k.isin(props: _*)))
+    }
+  }
 
   /** Full build: raw frames -> canonical PropertyGraph. */
   def build(rawNodes: DataFrame, rawEdges: DataFrame, ont: Ontology): PropertyGraph =

@@ -40,15 +40,16 @@ object EventStream {
       .dropDuplicates("event_id")
 
   /** Tumbling-window per-type aggregation (streaming twin of
-   * Sessionize.tumblingAgg; n_users is approximate in streaming mode
-   * because count_distinct needs full-window state — we carry the exact
-   * count here too since state is bounded by the watermark). */
+   * Sessionize.tumblingAgg). n_users is APPROXIMATE (HLL) — streaming
+   * aggregation state cannot hold per-window distinct sets, and Spark
+   * rejects count_distinct on streaming frames; the batch twin computes
+   * it exactly. */
   def windowedCounts(events: DataFrame, widthMinutes: Int = 60,
                      watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), s"$widthMinutes minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        count_distinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id")).as("n_users"),
         round(sum(col("value")), 4).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("n_users"), col("total_value"))
@@ -64,16 +65,20 @@ object EventStream {
   /**
    * Stateful gap-based sessionizer: emits a session row when the gap to
    * the next event exceeds `gapMinutes` or the state times out (no events
-   * for the gap duration). Processing-time timeout keeps the demo simple;
-   * an event-time timeout + watermark is the production setting.
+   * for the gap duration). Processing-time timeout (the default) keeps
+   * the demo simple; an event-time timeout + watermark is the production
+   * setting. Pass NoTimeout for deterministic tests — idle sessions then
+   * stay in state and only in-batch gaps close sessions.
    */
-  def sessionize(spark: SparkSession, events: DataFrame,
-                 gapMinutes: Int = 30): Dataset[SessionOut] = {
+  def sessionize(spark: SparkSession, events: DataFrame, gapMinutes: Int = 30,
+                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())
+      : Dataset[SessionOut] = {
     import spark.implicits._
     val gapMs = gapMinutes * 60 * 1000L
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout()
     events.select("event_id", "ts", "user_id", "event_type", "value").as[Event]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -100,7 +105,7 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              if (useTimeout) state.setTimeoutDuration(gapMs)
             }
             closed.reverseIterator
           }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.operators.Ann
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.9f, 0.1f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  private lazy val probes = corpus.where(col("vec_id") === 0)
+    .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+
+  test("brute-force top-k ranks by cosine desc, excludes self") {
+    val res = Ann.bruteForceTopK(corpus, probes, k = 3)
+      .orderBy("rank").collect()
+    assert(res.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L)) // by cosine to e0
+    assert(res.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L)) // ranks 1..3
+    assert(!res.exists(_.getLong(2) == 0L))
+  }
+
+  test("cosine values are in [-1, 1] and ordered") {
+    val cs = Ann.bruteForceTopK(corpus, probes, k = 4)
+      .orderBy("rank").select("cosine").as[Double].collect()
+    assert(cs.forall(c => c >= -1.0001 && c <= 1.0001))
+    assert(cs.sameElements(cs.sorted.reverse))
+  }
+
+  test("lsh top-k returns a subset of brute-force candidates, correctly ranked") {
+    val bf = Ann.bruteForceTopK(corpus, probes, k = 4)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    val lsh = Ann.lshTopK(corpus, probes, k = 4, nPlanes = 2, nTables = 2, dim = 4)
+      .orderBy("rank").collect()
+    // every LSH result appears in brute force with the identical cosine
+    for (r <- lsh) assert(bf(r.getLong(2)) == r.getDouble(3))
+    // ranks are dense from 1
+    assert(lsh.map(_.getLong(1)).toSeq == (1L to lsh.length).toSeq)
+  }
+
+  test("hyperplanes are deterministic") {
+    val h1 = VectorFunctions.hyperplane(3, 8)
+    val h2 = VectorFunctions.hyperplane(3, 8)
+    assert(h1 == h2)
+    assert(h1.forall(v => v >= -0.5 && v < 0.5))
+    assert(VectorFunctions.hyperplane(4, 8) != h1)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup operators on a controlled corpus with known duplicate structure. */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 0/1 exact dups; 2/3 near-dups (one token changed); 4 unrelated.
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog today"),
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    (4L, "completely different words about spark catalyst tungsten engines")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts duplicates") {
+    val res = Dedup.exact(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(res.toSeq == Seq((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("jaccard pairs find exact and near dups, not unrelated docs") {
+    val res = Dedup.jaccardPairs(docs, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(res.contains((0L, 1L)))
+    assert(res.contains((2L, 3L)))
+    assert(!res.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccard of exact dup is 1.0") {
+    val j = Dedup.jaccardPairs(docs, n = 3, threshold = 0.5)
+      .where(col("id_a") === 0 && col("id_b") === 1)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("hot-shingle cutoff only lowers jaccard (conservative)") {
+    val base = Dedup.jaccardPairs(docs, n = 1, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val pruned = Dedup.jaccardPairs(docs, n = 1, threshold = 0.0, maxShingleFreq = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for ((k, v) <- pruned) assert(v <= base(k) + 1e-12, s"pair $k grew: $v > ${base(k)}")
+  }
+
+  test("minhash-LSH candidates include true near-dups with full-band agreement") {
+    val res = Dedup.minhashLshPairs(docs, k = 16, bands = 4, shingleN = 2,
+      minAgree = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(res.keySet.contains((0L, 1L)))
+    assert(res((0L, 1L)) == 4L) // identical docs agree on all 4 bands
+    assert(!res.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs hash identically; near-dups within distance") {
+    val sh = Dedup.simhashes(docs, shingleN = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    assert(java.lang.Long.bitCount(sh(2L) ^ sh(3L)) <=
+      java.lang.Long.bitCount(sh(2L) ^ sh(4L)))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3, shingleN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("embedding pairs: exact vs bucketed recall relationship") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)), // near 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingPairs(vecs, threshold = 0.9, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((0L, 1L)))
+    val bucketed = Dedup.embeddingPairs(vecs, threshold = 0.9, bucketed = true,
+      nPlanes = 4, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bucketing can only lose pairs, never invent them
+    assert(bucketed.subsetOf(exact))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.model.{GraftOntology => O}
+import graft.sources.KgxSource
+import graft.sources.KgxSource.KgxConfig
+import org.apache.spark.sql.functions._
+
+/** KGX ingest: typed value parsing, array splitting, TSV + JSONL (+gz),
+ * round-trip (ref: /root/reference/app/app/plover.py:458-551). */
+class KgxSourceSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("TSV: value typing mirrors _load_value") {
+    val dir = tmpDir("kgx-tsv")
+    Files.writeString(java.nio.file.Path.of(dir, "nodes.tsv"),
+      "id\tname\tcategory\tscore\tflag\tmissing\tnote\n" +
+        "n1\tAlpha\tgraft:Part,graft:Tradeable\t42\tTrue\tnull\thello\n" +
+        "n2\tBeta\tgraft:Nation\t3.5\tf\tNone\t\n")
+    val nodes = KgxSource.readNodes(spark, s"$dir/nodes.tsv", "tsv")
+      .orderBy("id").collect()
+    val n1 = nodes(0)
+    assert(n1.getSeq[String](n1.fieldIndex("categories")).toList == List("graft:Part", "graft:Tradeable"))
+    assert(n1.getAs[Map[String, Double]]("num_attrs") == Map("score" -> 42.0))
+    assert(n1.getAs[Map[String, String]]("attrs") ==
+      Map("flag" -> "true", "note" -> "hello")) // 'null' cell pruned
+    val n2 = nodes(1)
+    assert(n2.getAs[Map[String, Double]]("num_attrs") == Map("score" -> 3.5))
+    assert(n2.getAs[Map[String, String]]("attrs") == Map("flag" -> "false"))
+  }
+
+  test("TSV: negative numbers stay strings (reference isdigit semantics)") {
+    val dir = tmpDir("kgx-neg")
+    Files.writeString(java.nio.file.Path.of(dir, "nodes.tsv"),
+      "id\tname\tcategory\tbal\nn1\tX\tgraft:Part\t-5.5\n")
+    val n = KgxSource.readNodes(spark, s"$dir/nodes.tsv", "tsv").collect()(0)
+    assert(n.getAs[Map[String, String]]("attrs") == Map("bal" -> "-5.5"))
+    assert(n.getAs[Map[String, Double]]("num_attrs").isEmpty)
+  }
+
+  test("JSONL: typed columns keep their JSON types") {
+    val dir = tmpDir("kgx-jsonl")
+    Files.writeString(java.nio.file.Path.of(dir, "edges.jsonl"),
+      """{"id":"e1","subject":"a","object":"b","predicate":"graft:located_in","weight":2.5,"tags":["x","y"],"ok":true}""" + "\n" +
+        """{"id":"e2","subject":"b","object":"c","predicate":"graft:part_of","weight":1,"tags":["z"],"ok":false}""" + "\n")
+    val edges = KgxSource.readEdges(spark, s"$dir/edges.jsonl", "jsonl")
+      .orderBy("edge_id").collect()
+    val e1 = edges(0)
+    assert(e1.getAs[String]("predicate") == "graft:located_in")
+    assert(e1.getAs[Map[String, Double]]("num_attrs") == Map("weight" -> 2.5))
+    assert(e1.getMap[String, Any](e1.fieldIndex("list_attrs")).mapValues(_.asInstanceOf[scala.collection.Seq[String]].toList).toMap == Map("tags" -> List("x", "y")))
+    assert(e1.getAs[Map[String, String]]("attrs") == Map("ok" -> "true"))
+    assert(edges(1).getAs[Map[String, String]]("attrs") == Map("ok" -> "false"))
+  }
+
+  test("gzipped TSV reads transparently") {
+    val dir = tmpDir("kgx-gz")
+    val content = "id\tname\tcategory\nn1\tX\tgraft:Part\n"
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/nodes.tsv.gz"))
+    gz.write(content.getBytes("UTF-8")); gz.close()
+    val nodes = KgxSource.readNodes(spark, s"$dir/nodes.tsv.gz", "tsv").collect()
+    assert(nodes.length == 1 && nodes(0).getAs[String]("id") == "n1")
+  }
+
+  test("unknown format is rejected") {
+    intercept[IllegalArgumentException] {
+      KgxSource.readRaw(spark, "/nonexistent", "csv")
+    }
+  }
+
+  test("round-trip: fixture graph -> KGX TSV(gz) -> PropertyGraph preserves core") {
+    val sfDir = "/root/testdata/sf0.001"
+    val g = graft.sources.TpchGraph(spark, sfDir)
+    val out = tmpDir("kgx-rt")
+    KgxSource.writeTsv(g, out, attrColumns = Seq("mktsegment"), compress = true)
+    val cfg = KgxConfig(arrayProperties = Set("category", "tags"))
+    val g2 = graft.model.PropertyGraph(
+      KgxSource.readNodes(spark, s"$out/nodes", "tsv", cfg),
+      KgxSource.readEdges(spark, s"$out/edges", "tsv", cfg))
+    assert(g2.nodes.count() == g.nodes.count())
+    assert(g2.edges.count() == g.edges.count())
+    // categories survive the delimiter round-trip
+    val cats = g2.nodes.where(col("id") === "PART:1")
+      .select("categories").collect()(0).getSeq[String](0).toSet
+    assert(cats == Set(O.Part, O.Tradeable))
+    // edge cores identical as sets
+    val before = g.edges.select("edge_id", "subject", "object", "predicate")
+    val after = g2.edges.select("edge_id", "subject", "object", "predicate")
+    assert(before.exceptAll(after).count() == 0)
+    assert(after.exceptAll(before).count() == 0)
+  }
+}

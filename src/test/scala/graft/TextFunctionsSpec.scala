@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def one(text: String) = Seq((1L, text)).toDF("doc_id", "text")
+
+  test("tokens: lower-cased, whitespace-split, trimmed") {
+    val t = one("  The QUICK  brown\tfox ")
+      .select(TF.tokens(col("text"))).as[Seq[String]].head()
+    assert(t == Seq("the", "quick", "brown", "fox"))
+  }
+
+  test("shingles: n-grams in order; short docs give empty array") {
+    val s = one("a b c d").select(TF.shingles(TF.tokens(col("text")), 3))
+      .as[Seq[String]].head()
+    assert(s == Seq("a b c", "b c d"))
+    val empty = one("a b").select(TF.shingles(TF.tokens(col("text")), 3))
+      .as[Seq[String]].head()
+    assert(empty.isEmpty)
+  }
+
+  test("tokenCode matches the md5-prefix definition") {
+    val c = one("x").select(TF.tokenCode(lit("hello"))).as[Long].head()
+    val expected = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("hello".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, 16)
+    assert(c == expected)
+  }
+
+  test("minhash signature: component-wise <= any single element's hash") {
+    val sig = one("a b c d e f").select(
+      TF.minhashSignature(TF.tokenCodes(TF.tokens(col("text"))), 8))
+      .as[Seq[Long]].head()
+    assert(sig.length == 8)
+    assert(sig.forall(v => v >= 0 && v < TF.HashMod))
+  }
+
+  test("minhash of identical token sets is identical regardless of order") {
+    val a = one("a b c").select(TF.minhashSignature(TF.tokenCodes(TF.tokens(col("text"))), 8))
+      .as[Seq[Long]].head()
+    val b = one("c a b").select(TF.minhashSignature(TF.tokenCodes(TF.tokens(col("text"))), 8))
+      .as[Seq[Long]].head()
+    assert(a == b)
+  }
+
+  test("rolling fingerprint is order-sensitive") {
+    val fa = one("a b").select(TF.rollingFingerprint(TF.tokenCodes(TF.tokens(col("text")))))
+      .as[Long].head()
+    val fb = one("b a").select(TF.rollingFingerprint(TF.tokenCodes(TF.tokens(col("text")))))
+      .as[Long].head()
+    assert(fa != fb)
+  }
+
+  test("language id: predicts by stopword votes with alphabetical tie-break") {
+    val df = Seq(
+      (1L, "the cat of the house is in it"), // en
+      (2L, "el gato de la casa es un gato"), // es
+      (3L, "xyzzy plugh") // no hits -> first lang alphabetically (de)
+    ).toDF("doc_id", "text")
+    val res = TextAnalysis.languageId(df).orderBy("id")
+      .select("predicted_lang").as[String].collect()
+    assert(res.toSeq == Seq("en", "es", "de"))
+  }
+
+  test("quality: ratios computed over chars and tokens") {
+    val r = TextAnalysis.quality(one("the cat!! sat?")).collect()(0)
+    assert(r.getAs[Long]("n_chars") == 14)
+    assert(r.getAs[Long]("n_tokens") == 3)
+    // punct chars: ! ! ? = 3 of 14
+    assert(math.abs(r.getAs[Double]("punct_ratio") - 3.0 / 14) < 1e-6)
+    // stopwords: "the" of 3 tokens
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 1.0 / 3) < 1e-6)
+  }
+
+  test("token counts: bpe-ish regex splits symbols from words") {
+    val r = TextAnalysis.tokenCounts(one("don't stop-me now")).collect()(0)
+    assert(r.getAs[Long]("ws_tokens") == 3)
+    // don ' t stop - me now
+    assert(r.getAs[Long]("bpe_tokens") == 7)
+  }
+}
