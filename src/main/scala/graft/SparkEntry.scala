@@ -6,9 +6,13 @@ import graft.model.{GraftOntology => O, PropertyGraph}
 import graft.operators._
 import graft.sources.TpchGraph
 
-/** Cached fixture state per (session, sf-dir): graph + subclass closure. */
+/** Cached fixture state per (session, sf-dir): graph, subclass closure,
+ * and the meta summary that /meta_knowledge_graph + /sri_test_triples
+ * share (one shuffle, cached — the long-lived-service posture). */
 object Fixture {
   private val closures =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val metaSummaries =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   def graph(spark: SparkSession, sfDir: String): PropertyGraph =
@@ -19,6 +23,13 @@ object Fixture {
       val c = SubclassClosure.fromGraph(graph(spark, sfDir), O.ontology).cache()
       c.count()
       c
+    })
+
+  def metaSummary(spark: SparkSession, sfDir: String): DataFrame =
+    metaSummaries.computeIfAbsent((spark, sfDir), { _ =>
+      val m = GraphOps.metaSummary(graph(spark, sfDir)).cache()
+      m.count()
+      m
     })
 }
 
@@ -192,7 +203,7 @@ object SparkEntry {
 
     // G19 — meta knowledge graph
     "g20_meta_kg" -> ((s, dir) =>
-      GraphOps.metaTriples(Fixture.graph(s, dir))
+      GraphOps.metaTriples(Fixture.metaSummary(s, dir))
         .select(col("subject_category"), col("predicate"), col("object_category"),
           concat_ws("|", col("attribute_names")).as("attribute_names"),
           concat_ws("|", col("qualified_predicates")).as("qualified_predicates"),
@@ -204,10 +215,29 @@ object SparkEntry {
         .select(col("category"), concat_ws("|", col("prefixes")).as("prefixes"))
         .orderBy("category")),
 
-    // G20 — SRI test triples
+    // G20 — SRI test triples (shares the cached meta summary with g20)
     "g22_test_triples" -> ((s, dir) =>
-      GraphOps.testTriples(Fixture.graph(s, dir))
+      GraphOps.testTriples(Fixture.metaSummary(s, dir))
         .orderBy("subject_category", "predicate", "object_category")),
+
+    // TRAPI attribute rendering from the config-driven shell map
+    // (ref: plover.py:1424-1448, :2299-2321).
+    "g26_trapi_attrs" -> ((s, dir) => {
+      import graft.operators.TrapiAttributes._
+      val shells = buildShellMap(Seq(
+        Seq("mktsegment") -> AttributeShell("graft:market_segment",
+          valueTypeId = Some("metatype:String"),
+          attributeSource = Some("{kp_infores_curie}")),
+        Seq("acctbal") -> AttributeShell("graft:account_balance",
+          valueTypeId = Some("metatype:Decimal"),
+          attributeSource = Some("{primary_knowledge_source}")),
+        Seq("tags") -> AttributeShell("graft:tags",
+          valueUrl = Some("https://graft.example/tag/{value}"))))
+      val cn = Fixture.graph(s, dir).edges
+        .where(col("edge_id").startsWith("E-CN:"))
+      TrapiAttributes.render(cn, shells, kpInforesCurie = "infores:graft")
+        .orderBy("edge_id", "name")
+    }),
 
     // G23 — ingest transforms: trial-phase enum coercion, property zip
     // into list-of-structs (with nested coercion + empty pruning), empty
@@ -439,15 +469,36 @@ object SparkEntry {
          FROM customer WHERE c_nationkey <= 4
          ORDER BY input_id, neighbor_id"""),
 
-    "g20_meta_kg" -> metaKgOracle,
+    "g20_meta_kg" -> TpchGraph.oracle(
+      """SELECT subject_category, predicate, object_category,
+           coalesce(string_agg(DISTINCT attr_name, '|' ORDER BY attr_name), '')
+             AS attribute_names,
+           coalesce(string_agg(DISTINCT qualified_predicate, '|'
+             ORDER BY qualified_predicate), '') AS qualified_predicates,
+           coalesce(string_agg(DISTINCT object_direction, '|'
+             ORDER BY object_direction), '') AS object_directions,
+           coalesce(string_agg(DISTINCT object_aspect, '|'
+             ORDER BY object_aspect), '') AS object_aspects
+         FROM (
+           SELECT sc.cat AS subject_category, e.predicate,
+                  oc.cat AS object_category, e.qualified_predicate,
+                  e.object_direction, e.object_aspect,
+                  unnest(CASE WHEN e.attr_names = '' THEN [NULL]
+                         ELSE string_split(e.attr_names, '|') END) AS attr_name
+           FROM g_edges e
+           JOIN gcats sc ON sc.id = e.subject
+           JOIN gcats oc ON oc.id = e.object)
+         GROUP BY 1, 2, 3
+         ORDER BY subject_category, predicate, object_category""",
+      extraCtes = "gcats AS (SELECT id, unnest(string_split(cats, '|')) AS cat FROM g_nodes)"),
 
-    "g21_meta_nodes" ->
-      """SELECT * FROM (VALUES
-           ('graft:Customer', 'CUST'), ('graft:Nation', 'NAT'),
-           ('graft:Order', 'ORD'), ('graft:Part', 'PART'),
-           ('graft:Region', 'REG'), ('graft:Supplier', 'SUPP'),
-           ('graft:Tradeable', 'PART'))
-         AS t(category, prefixes) ORDER BY category""",
+    "g21_meta_nodes" -> TpchGraph.oracle(
+      """SELECT category,
+           string_agg(DISTINCT prefix, '|' ORDER BY prefix) AS prefixes
+         FROM (SELECT unnest(string_split(cats, '|')) AS category,
+                      split_part(id, ':', 1) AS prefix
+               FROM g_nodes)
+         GROUP BY category ORDER BY category"""),
 
     "g22_test_triples" -> TpchGraph.oracle(
       """SELECT pc_s.cat AS subject_category, e.predicate,
@@ -486,6 +537,23 @@ object SparkEntry {
          FROM customer ORDER BY edge_id"""
     },
 
+    "g26_trapi_attrs" ->
+      """SELECT 'E-CN:' || c_custkey AS edge_id, 'acctbal' AS name,
+           'graft:account_balance' AS attribute_type_id,
+           c_acctbal::VARCHAR AS value, 'metatype:Decimal' AS value_type_id,
+           'infores:crm' AS attribute_source, CAST(NULL AS VARCHAR) AS value_url
+         FROM customer
+         UNION ALL
+         SELECT 'E-CN:' || c_custkey, 'mktsegment', 'graft:market_segment',
+           c_mktsegment, 'metatype:String', 'infores:graft', NULL
+         FROM customer
+         UNION ALL
+         SELECT 'E-CN:' || c_custkey, 'tags', 'graft:tags',
+           c_mktsegment || ',tier' || (c_custkey % 3), NULL, NULL,
+           'https://graft.example/tag/' || c_mktsegment || ',tier' || (c_custkey % 3)
+         FROM customer
+         ORDER BY edge_id, name""",
+
     "g25_kgx_roundtrip" -> TpchGraph.oracle(
       """SELECT e.edge_id, e.subject, e.object, e.predicate,
            e.qualified_predicate, e.object_direction, e.object_aspect, e.src,
@@ -512,27 +580,4 @@ object SparkEntry {
          ORDER BY in_key, out_key""")
   )
 
-  /** Static meta-KG oracle: the fixture's meta triples are fully determined
-   * by the graph construction (both lineitem qualifier values are always
-   * present at sf >= 0.01). */
-  private def metaKgOracle: String =
-    """SELECT * FROM (VALUES
-        ('graft:Customer', 'graft:located_in', 'graft:Nation', 'acctbal|mktsegment|tags', '', '', ''),
-        ('graft:Customer', 'graft:placed', 'graft:Order', 'priority|status|totalprice', '', '', ''),
-        ('graft:Customer', 'graft:subclass_of', 'graft:Nation', '', '', '', ''),
-        ('graft:Nation', 'graft:adjacent_to', 'graft:Nation', '', '', '', ''),
-        ('graft:Nation', 'graft:part_of', 'graft:Region', '', '', '', ''),
-        ('graft:Nation', 'graft:subclass_of', 'graft:Region', '', '', '', ''),
-        ('graft:Order', 'graft:contains_item', 'graft:Part',
-         'discount|extendedprice|quantity|shipdate', 'graft:ships',
-         'graft:accepted|graft:returned', 'graft:finished|graft:open'),
-        ('graft:Order', 'graft:contains_item', 'graft:Tradeable',
-         'discount|extendedprice|quantity|shipdate', 'graft:ships',
-         'graft:accepted|graft:returned', 'graft:finished|graft:open'),
-        ('graft:Part', 'graft:supplied_by', 'graft:Supplier', '', '', '', ''),
-        ('graft:Supplier', 'graft:located_in', 'graft:Nation', 'acctbal', '', '', ''),
-        ('graft:Tradeable', 'graft:supplied_by', 'graft:Supplier', '', '', '', ''))
-       AS t(subject_category, predicate, object_category, attribute_names,
-            qualified_predicates, object_directions, object_aspects)
-       ORDER BY subject_category, predicate, object_category"""
 }

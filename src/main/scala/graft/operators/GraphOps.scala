@@ -62,18 +62,26 @@ object GraphOps {
   }
 
   /**
-   * Meta knowledge graph triples (ref: plover.py:1139-1240): one row per
-   * (subject_category, predicate, object_category) over most-specific
-   * categories, with sorted attribute-name list and qualifier value sets.
-   * One shuffle over a narrow projection of the edge table.
+   * The ONE meta aggregation both the meta knowledge graph and the SRI
+   * test triples derive from (ref: plover.py:1139-1240): group the
+   * category-exploded edge table once, collecting attribute names,
+   * qualifier value sets AND the deterministic example edge per
+   * (subject_category, predicate, object_category).
+   *
+   * Scale note: this is the only full shuffle these endpoints need, and
+   * callers (see Fixture) cache its tiny output so /meta_knowledge_graph
+   * and /sri_test_triples never re-shuffle the edge table. At 100 TB the
+   * same effect comes from materializing this summary at build time —
+   * the input is a narrow projection (ids + categories + qualifier
+   * columns), not the full edge payload.
    */
-  def metaTriples(graph: PropertyGraph): DataFrame = {
+  def metaSummary(graph: PropertyGraph): DataFrame = {
     val subjCats = graph.nodes.select(col("id").as("subject"),
       explode(col("categories")).as("subject_category"))
     val objCats = graph.nodes.select(col("id").as("object"),
       explode(col("categories")).as("object_category"))
     graph.edges
-      .select(col("subject"), col("object"), col("predicate"),
+      .select(col("edge_id"), col("subject"), col("object"), col("predicate"),
         col("qualified_predicate"), col("object_direction"), col("object_aspect"),
         array_union(map_keys(col("attrs")),
           array_union(map_keys(col("num_attrs")), map_keys(col("list_attrs"))))
@@ -89,8 +97,19 @@ object GraphOps {
         array_sort(array_compact(collect_set(col("object_direction"))))
           .as("object_directions"),
         array_sort(array_compact(collect_set(col("object_aspect"))))
-          .as("object_aspects"))
+          .as("object_aspects"),
+        min_by(struct(col("subject"), col("object")), col("edge_id")).as("ex"),
+        min(col("edge_id")).as("example_edge_id"))
   }
+
+  /** Meta knowledge graph triples — projection of `metaSummary` (pass a
+   * cached summary to share the shuffle with `testTriples`). */
+  def metaTriples(summary: DataFrame): DataFrame =
+    summary.select("subject_category", "predicate", "object_category",
+      "attribute_names", "qualified_predicates", "object_directions",
+      "object_aspects")
+
+  def metaTriples(graph: PropertyGraph): DataFrame = metaTriples(metaSummary(graph))
 
   /** Meta nodes: category -> sorted distinct CURIE prefixes
    * (ref: plover.py:1219-1227). */
@@ -104,23 +123,14 @@ object GraphOps {
   /**
    * SRI test triples: one deterministic example edge per meta triple
    * (ref: plover.py:1160-1176; the reference keeps the first edge seen —
-   * we keep the min edge_id for determinism).
+   * we keep the min edge_id for determinism). Projection of `metaSummary`.
    */
-  def testTriples(graph: PropertyGraph): DataFrame = {
-    val subjCats = graph.nodes.select(col("id").as("subject"),
-      explode(col("categories")).as("subject_category"))
-    val objCats = graph.nodes.select(col("id").as("object"),
-      explode(col("categories")).as("object_category"))
-    graph.edges.select("edge_id", "subject", "object", "predicate")
-      .join(subjCats, Seq("subject"))
-      .join(objCats, Seq("object"))
-      .groupBy("subject_category", "predicate", "object_category")
-      .agg(min_by(struct(col("subject"), col("object")), col("edge_id")).as("ex"),
-        min(col("edge_id")).as("example_edge_id"))
-      .select(col("subject_category"), col("predicate"), col("object_category"),
-        col("ex.subject").as("subject_id"), col("ex.object").as("object_id"),
-        col("example_edge_id"))
-  }
+  def testTriples(summary: DataFrame): DataFrame =
+    summary.select(col("subject_category"), col("predicate"), col("object_category"),
+      col("ex.subject").as("subject_id"), col("ex.object").as("object_id"),
+      col("example_edge_id"))
+
+  def testTriples(graph: PropertyGraph): DataFrame = testTriples(metaSummary(graph))
 
   /**
    * TRAPI result-row assembly (ref: plover.py:2322-2410 `_get_trapi_results`):

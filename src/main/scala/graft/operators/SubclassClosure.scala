@@ -30,6 +30,16 @@ object SubclassClosure {
 
   val SubclassPredicate = "graft:subclass_of"
 
+  /** Eagerly local-checkpoint a frame and rebuild it from the checkpointed
+   * RDD: materializes the round AND hands back a constraint-free leaf plan
+   * (checkpointed LogicalRDDs can carry constraints referencing
+   * pre-checkpoint attribute ids, which breaks Union's constraint
+   * rewriting when rounds are chained). */
+  private def materialize(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true)
+    df.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   def fromGraph(graph: PropertyGraph, ont: Ontology,
                 maxDepth: Int = 20, hubCutoff: Int = 5000,
                 dropAncestorPrefixes: Seq[String] = Nil): DataFrame = {
@@ -41,7 +51,15 @@ object SubclassClosure {
     compute(direct, maxDepth, hubCutoff, dropAncestorPrefixes)
   }
 
-  /** `direct`: (ancestor, descendant) direct pairs. Returns proper closure. */
+  /** `direct`: (ancestor, descendant) direct pairs. Returns proper closure.
+   *
+   * Each round LOCAL-CHECKPOINTS the new frontier and the merged closure:
+   * the checkpoint both materializes the round (what the old persist+count
+   * did) and truncates lineage, so round N's anti-join plans against a
+   * materialized table instead of a 2N-deep DAG of joins. On a
+   * fault-tolerant cluster job, swap localCheckpoint for reliable
+   * `checkpoint` with a checkpoint dir — localCheckpoint trades
+   * executor-loss recovery for speed. */
   def compute(direct: DataFrame, maxDepth: Int = 20, hubCutoff: Int = 5000,
               dropAncestorPrefixes: Seq[String] = Nil): DataFrame = {
     val d = direct.persist(StorageLevel.MEMORY_AND_DISK)
@@ -50,19 +68,16 @@ object SubclassClosure {
     var depth = 1
     var done = false
     while (!done && depth < maxDepth) {
-      val next = frontier.alias("f")
-        .join(d.alias("d"), col("f.descendant") === col("d.ancestor"))
-        .select(col("f.ancestor").as("ancestor"), col("d.descendant").as("descendant"))
-        .where(col("ancestor") =!= col("descendant"))
-        .distinct()
-        .join(closure, Seq("ancestor", "descendant"), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      if (next.isEmpty) { done = true; next.unpersist() }
+      val next = materialize(
+        frontier.alias("f")
+          .join(d.alias("d"), col("f.descendant") === col("d.ancestor"))
+          .select(col("f.ancestor").as("ancestor"), col("d.descendant").as("descendant"))
+          .where(col("ancestor") =!= col("descendant"))
+          .distinct()
+          .join(closure, Seq("ancestor", "descendant"), "left_anti"))
+      if (next.isEmpty) { done = true }
       else {
-        val merged = closure.unionAll(next).persist(StorageLevel.MEMORY_AND_DISK)
-        merged.count() // materialize before unpersisting parents
-        if (closure ne d) closure.unpersist()
-        closure = merged
+        closure = materialize(closure.unionAll(next))
         frontier = next
         depth += 1
       }

@@ -243,45 +243,45 @@ g_edges AS (
   SELECT 'E-NR:' || n_nationkey AS edge_id, 'NAT:' || n_nationkey AS subject,
          'REG:' || n_regionkey AS object, 'graft:part_of' AS predicate,
          CAST(NULL AS VARCHAR) AS qualified_predicate, CAST(NULL AS VARCHAR) AS object_direction,
-         CAST(NULL AS VARCHAR) AS object_aspect, 'infores:geo' AS src
+         CAST(NULL AS VARCHAR) AS object_aspect, 'infores:geo' AS src, '' AS attr_names
   FROM nation
   UNION ALL
   SELECT 'E-CN:' || c_custkey, 'CUST:' || c_custkey, 'NAT:' || c_nationkey,
-         'graft:located_in', NULL, NULL, NULL, 'infores:crm'
+         'graft:located_in', NULL, NULL, NULL, 'infores:crm', 'acctbal|mktsegment|tags'
   FROM customer
   UNION ALL
   SELECT 'E-SN:' || s_suppkey, 'SUPP:' || s_suppkey, 'NAT:' || s_nationkey,
-         'graft:located_in', NULL, NULL, NULL, 'infores:crm'
+         'graft:located_in', NULL, NULL, NULL, 'infores:crm', 'acctbal'
   FROM supplier
   UNION ALL
   SELECT 'E-OC:' || o_orderkey, 'CUST:' || o_custkey, 'ORD:' || o_orderkey,
-         'graft:placed', NULL, NULL, NULL, 'infores:sales'
+         'graft:placed', NULL, NULL, NULL, 'infores:sales', 'priority|status|totalprice'
   FROM orders
   UNION ALL
   SELECT 'E-LI:' || l_orderkey || ':' || l_linenumber, 'ORD:' || l_orderkey,
          'PART:' || l_partkey, 'graft:contains_item', 'graft:ships',
          CASE l_returnflag WHEN 'R' THEN 'graft:returned' WHEN 'A' THEN 'graft:accepted' END,
          CASE l_linestatus WHEN 'O' THEN 'graft:open' WHEN 'F' THEN 'graft:finished' END,
-         'infores:logistics'
+         'infores:logistics', 'discount|extendedprice|quantity|shipdate'
   FROM lineitem
   UNION ALL
   SELECT 'E-PS:' || l_partkey || ':' || l_suppkey, 'PART:' || l_partkey,
-         'SUPP:' || l_suppkey, 'graft:supplied_by', NULL, NULL, NULL, 'infores:logistics'
+         'SUPP:' || l_suppkey, 'graft:supplied_by', NULL, NULL, NULL, 'infores:logistics', ''
   FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
   UNION ALL
   SELECT 'E-ADJ:' || n_nationkey || ':' || next_key, 'NAT:' || n_nationkey,
-         'NAT:' || next_key, 'graft:adjacent_to', NULL, NULL, NULL, 'infores:geo'
+         'NAT:' || next_key, 'graft:adjacent_to', NULL, NULL, NULL, 'infores:geo', ''
   FROM (SELECT n_nationkey, n_regionkey,
                lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS next_key
         FROM nation)
   WHERE next_key IS NOT NULL
   UNION ALL
   SELECT 'E-SUBNR:' || n_nationkey, 'NAT:' || n_nationkey, 'REG:' || n_regionkey,
-         'graft:subclass_of', NULL, NULL, NULL, 'infores:tax'
+         'graft:subclass_of', NULL, NULL, NULL, 'infores:tax', ''
   FROM nation
   UNION ALL
   SELECT 'E-SUBCN:' || c_custkey, 'CUST:' || c_custkey, 'NAT:' || c_nationkey,
-         'graft:subclass_of', NULL, NULL, NULL, 'infores:tax'
+         'graft:subclass_of', NULL, NULL, NULL, 'infores:tax', ''
   FROM customer
 ),
 g_closure AS (
