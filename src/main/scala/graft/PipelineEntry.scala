@@ -20,10 +20,20 @@ object PipelineEntry {
   private val Sf = "/root/testdata/sf0.01"
   private val HashMod = 2147483647L
 
+  /** The corpus tables ship as ONE parquet file each, which Spark scans
+   * as a single partition — per-doc hashing work would run on one core.
+   * Spread small inputs across the cluster before the compute-heavy
+   * stages; a real 100 TB corpus has thousands of files and needs no
+   * repartition (cores > input splits is a small-input artifact). */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    spread(s.read.parquet(s"$dir/documents.parquet"))
   private def embs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    spread(s.read.parquet(s"$dir/embeddings.parquet"))
   /** The events parquet stores ts as TIMESTAMP(NANOS), which Spark's
    * vectorized reader rejects; read nanos as long and floor to micros
    * (DuckDB's reader does the same truncation). */

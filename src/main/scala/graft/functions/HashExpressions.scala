@@ -1,0 +1,127 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for the content-hashing hot path (SURVEY.md
+ * §2 P3/P4). The composable Column versions in TextFunctions build the
+ * same values out of md5/conv/transform/aggregate primitives — correct
+ * and oracle-portable, but each doc pays ~k array traversals of
+ * interpreted higher-order-function evaluation, and Catalyst's projection
+ * collapse re-inlines (recomputes) them per reference.
+ *
+ * These expressions compute md5 token code + distinct + signature in ONE
+ * pass over the shingle array with primitive arithmetic — the preference
+ * order from the design brief: compose built-ins first, drop to a custom
+ * Expression when the built-ins can't express the computation efficiently.
+ * Results are BIT-IDENTICAL to the TextFunctions versions (same md5
+ * prefix code, same hash family), so the same DuckDB oracles hold; the
+ * specs assert the equivalence.
+ */
+object HashExpressions {
+
+  /** First 8 hex chars of md5 as an unsigned 32-bit value in a long —
+   * identical to conv(substring(md5(s),1,8),16,10). */
+  @inline private def md5Code(md: MessageDigest, bytes: Array[Byte]): Long = {
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** 32-bit SimHash over the DISTINCT md5 codes of a string array
+   * (single pass; twin of TextFunctions.simhash ∘ tokenCodes). */
+  case class ShingleSimHash(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "shingle_simhash"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val md = MessageDigest.getInstance("MD5")
+      val seen = new java.util.HashSet[Long](math.max(16, n * 2))
+      val votes = new Array[Int](32)
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val code = md5Code(md, arr.getUTF8String(i).getBytes)
+          if (seen.add(code)) {
+            var j = 0
+            while (j < 32) {
+              votes(j) += (if (((code >> j) & 1L) == 1L) 1 else -1)
+              j += 1
+            }
+          }
+        }
+        i += 1
+      }
+      var res = 0L
+      var j = 0
+      while (j < 32) {
+        if (votes(j) >= 0) res |= 1L << j
+        j += 1
+      }
+      res
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): ShingleSimHash =
+      copy(child = newChild)
+  }
+
+  /** k-permutation MinHash signature over the DISTINCT md5 codes of a
+   * string array (single pass; twin of TextFunctions.minhashSignature ∘
+   * tokenCodes). Returns null for empty arrays (callers filter empties;
+   * the Column twin yields an array of nulls there). */
+  case class ShingleMinHash(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_minhash"
+
+    private val as: Array[Long] = (0 until k).map(i => 1000003L + 2L * i).toArray
+    private val bs: Array[Long] = (0 until k).map(i => 12345L + 97L * i).toArray
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return null
+      val md = MessageDigest.getInstance("MD5")
+      val seen = new java.util.HashSet[Long](math.max(16, n * 2))
+      val mins = Array.fill[Long](k)(Long.MaxValue)
+      var any = false
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val code = md5Code(md, arr.getUTF8String(i).getBytes)
+          if (seen.add(code)) {
+            any = true
+            var j = 0
+            while (j < k) {
+              val h = (as(j) * code + bs(j)) % TextFunctions.HashMod
+              if (h < mins(j)) mins(j) = h
+              j += 1
+            }
+          }
+        }
+        i += 1
+      }
+      if (!any) null else new GenericArrayData(mins)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): ShingleMinHash =
+      copy(child = newChild)
+  }
+
+  import org.apache.spark.sql.graftglue.Bridge
+
+  def shingleSimhash(shingles: Column): Column =
+    Bridge.column(ShingleSimHash(Bridge.expression(shingles)))
+
+  def shingleMinhash(shingles: Column, k: Int): Column =
+    Bridge.column(ShingleMinHash(Bridge.expression(shingles), k))
+}

@@ -2,7 +2,26 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.{HashExpressions => HE, TextFunctions => TF, VectorFunctions => VF}
+
+/** Shared helper: eagerly materialize a frame that feeds BOTH sides of a
+ * self-join. Without this, Catalyst's projection collapse inlines the
+ * (expensive, deterministic) hash expressions into every downstream
+ * reference, so signatures would be recomputed once per join side and
+ * per band. persist-and-count (rather than checkpoint) is deliberate:
+ * the materialized InMemoryRelation carries accurate size statistics,
+ * so the planner broadcast-joins the candidate table while it is small
+ * and switches to a shuffled join when it isn't — the scale-adaptive
+ * behavior a checkpointed (stats-less) RDD would forfeit. The cache
+ * lives until the session evicts it; a long-running service should
+ * unpersist after consuming the result. */
+private[operators] object SelfJoinMaterialize {
+  def apply(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    df
+  }
+}
 
 /**
  * Deduplication operators for large-scale text/embedding corpora
@@ -71,7 +90,10 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                    maxShingleFreq: Long = 0,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sets = shingleSets(docs, n, textCol, idCol)
+    // Materialize the per-doc shingle arrays: they feed both self-join
+    // sides (and two references below), and the shingling expressions are
+    // the expensive part — the explode itself is cheap to replay.
+    val sets = SelfJoinMaterialize(shingleSets(docs, n, textCol, idCol))
     val exploded = sets
       .select(col("id"), size(col("shingles")).cast("long").as("n_shingles"),
         explode(col("shingles")).as("shingle"))
@@ -80,7 +102,7 @@ object Dedup {
       else {
         val hot = exploded.groupBy("shingle").count()
           .where(col("count") > maxShingleFreq).select("shingle")
-        exploded.join(hot, Seq("shingle"), "left_anti")
+        SelfJoinMaterialize(exploded.join(hot, Seq("shingle"), "left_anti"))
       }
     val a = pruned.select(col("shingle"), col("id").as("id_a"), col("n_shingles").as("na"))
     val b = pruned.select(col("shingle"), col("id").as("id_b"), col("n_shingles").as("nb"))
@@ -108,10 +130,14 @@ object Dedup {
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val r = k / bands
     require(bands * r == k, s"bands ($bands) must divide k ($k)")
-    val sigs = shingleSets(docs, shingleN, textCol, idCol)
-      .where(size(col("shingles")) > 0)
-      .select(col("id"),
-        TF.minhashSignature(TF.tokenCodes(col("shingles")), k).as("sig"))
+    // Materialize the signatures: the minhash expressions would otherwise
+    // be re-inlined (and recomputed) into every band reference and both
+    // self-join sides. Banding itself is a cheap slice+md5 replay.
+    val sigs = SelfJoinMaterialize(
+      shingleSets(docs, shingleN, textCol, idCol)
+        .where(size(col("shingles")) > 0)
+        .select(col("id"),
+          HE.shingleMinhash(col("shingles"), k).as("sig")))
 
     // Banded explode: one row per (doc, band), keyed by the band's hash.
     val banded = sigs.select(col("id"), col("sig"),
@@ -147,7 +173,7 @@ object Dedup {
                 idCol: String = "doc_id"): DataFrame =
     shingleSets(docs, shingleN, textCol, idCol)
       .where(size(col("shingles")) > 0) // docs too short to shingle have no hash
-      .select(col("id"), TF.simhash(TF.tokenCodes(col("shingles"))).as("simhash"))
+      .select(col("id"), HE.shingleSimhash(col("shingles")).as("simhash"))
 
   /**
    * SimHash near-duplicate pairs within `maxHamming` bit flips, via 4-band
@@ -158,7 +184,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, shingleN: Int = 3,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(maxHamming <= 3, "4-band bucketing is only recall-lossless for maxHamming <= 3")
-    val sh = simhashes(docs, shingleN, textCol, idCol)
+    val sh = SelfJoinMaterialize(simhashes(docs, shingleN, textCol, idCol))
     val banded = sh.select(col("id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_byte", expr("shiftright(simhash, band * 8) % 256"))
@@ -191,9 +217,9 @@ object Dedup {
     // pair — at n^2 pairs that's the dominant cost).
     val base = embs.select(col(idCol).as("id"), VF.toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", VF.norm(col("v")))
-    val withKey =
+    val withKey = SelfJoinMaterialize(
       if (bucketed) base.withColumn("bucket", VF.lshBucket(col("v"), nPlanes, dim))
-      else base.withColumn("bucket", lit(0L))
+      else base.withColumn("bucket", lit(0L)))
     val a = withKey.select(col("bucket"), col("id").as("id_a"), col("v").as("va"),
       col("nrm").as("na"))
     val b = withKey.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"),

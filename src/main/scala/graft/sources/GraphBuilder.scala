@@ -156,10 +156,26 @@ object GraphBuilder {
     }
   }
 
+  /**
+   * Denormalize endpoint categories onto the edge table
+   * (subject_categories / object_categories array columns). Build-time
+   * cost: two id-keyed joins — co-partitioned with the edge layout at
+   * scale. Query-time payoff: the meta-KG / test-triple aggregation and
+   * any category-filtered scan never join the node table again.
+   */
+  def denormalizeEndpointCategories(edges: DataFrame, nodes: DataFrame): DataFrame =
+    edges
+      .join(nodes.select(col("id").as("subject"),
+        col("categories").as("subject_categories")), Seq("subject"), "left")
+      .join(nodes.select(col("id").as("object"),
+        col("categories").as("object_categories")), Seq("object"), "left")
+      .select((edges.columns.map(col) ++
+        Seq(col("subject_categories"), col("object_categories"))): _*)
+
   /** Full build: raw frames -> canonical PropertyGraph. */
-  def build(rawNodes: DataFrame, rawEdges: DataFrame, ont: Ontology): PropertyGraph =
-    PropertyGraph(
-      nodes = pruneToMostSpecific(rawNodes, ont),
-      edges = pruneEmptyAttrs(canonicalizeEdges(rawEdges, ont))
-    )
+  def build(rawNodes: DataFrame, rawEdges: DataFrame, ont: Ontology): PropertyGraph = {
+    val nodes = pruneToMostSpecific(rawNodes, ont)
+    val edges = pruneEmptyAttrs(canonicalizeEdges(rawEdges, ont))
+    PropertyGraph(nodes, denormalizeEndpointCategories(edges, nodes))
+  }
 }
