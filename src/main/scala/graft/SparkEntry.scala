@@ -303,6 +303,23 @@ object SparkEntry {
         .orderBy("edge_id", "subject")
     }),
 
+    // G21 — input-side is_set: the input group collapses to one result
+    // row per output (ref: plover.py:2322-2410, test_kg2c.py
+    // test_is_set_handling's input side).
+    "g27_bindings_input_set" -> ((s, dir) => {
+      val res = OneHop.answer(s, Fixture.graph(s, dir), ont, QueryGraph.oneHop(
+        QNode("n_out"),
+        QNode("n_in", ids = natIds(0, 1)),
+        QEdge("n_out", "n_in", predicates = Seq(O.LocatedIn))),
+        closure = None, expandSubclasses = false)
+      GraphOps.resultBindings(res, inputIsSet = true, outputIsSet = false)
+        .select(col("in_key"), col("out_key"),
+          concat_ws("|", col("edge_ids")).as("edge_ids"),
+          concat_ws("|", col("input_ids")).as("input_ids"),
+          concat_ws("|", col("output_ids")).as("output_ids"))
+        .orderBy("in_key", "out_key")
+    }),
+
     // G21 — TRAPI result bindings with is_set grouping
     "g23_result_bindings" -> ((s, dir) => {
       val res = OneHop.answer(s, Fixture.graph(s, dir), ont, QueryGraph.oneHop(
@@ -568,6 +585,16 @@ object SparkEntry {
          LEFT JOIN customer c ON e.edge_id = 'E-CN:' || c.c_custkey
          LEFT JOIN supplier s ON e.edge_id = 'E-SN:' || s.s_suppkey
          ORDER BY edge_id, subject"""),
+
+    "g27_bindings_input_set" -> TpchGraph.oracle(
+      """SELECT '*' AS in_key, subject AS out_key,
+                string_agg(edge_id, '|' ORDER BY edge_id) AS edge_ids,
+                string_agg(DISTINCT object, '|' ORDER BY object) AS input_ids,
+                subject AS output_ids
+         FROM g_edges
+         WHERE predicate = 'graft:located_in' AND object IN ('NAT:0', 'NAT:1')
+         GROUP BY subject
+         ORDER BY in_key, out_key"""),
 
     "g23_result_bindings" -> TpchGraph.oracle(
       """SELECT object AS in_key, '*' AS out_key,
