@@ -112,10 +112,16 @@ object OneHop {
       matched = matched.where(AttributeConstraints.compileAll(qedge.attributeConstraints))
 
     maxEdges.foreach { limit =>
+      // Persist before guarding so the guard's count and the caller's
+      // subsequent action share one evaluation of the matched set (an
+      // unguarded query pays nothing; a guarded one scans once, not twice).
+      matched = matched.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = matched.select("edge_id").distinct().count()
-      if (n > limit)
+      if (n > limit) {
+        matched.unpersist()
         throw new IllegalStateException(
           s"Query would produce $n answer edges, more than the cutoff of $limit")
+      }
     }
 
     Result(matched, inputQ.key, outputQ.key)

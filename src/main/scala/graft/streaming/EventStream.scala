@@ -30,9 +30,21 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-based streaming source over an events parquet directory. */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+  /** Schema as stored when ts is TIMESTAMP(NANOS) parquet (read as long). */
+  private val nanosSchema: StructType = StructType(
+    schema.fields.map(f => if (f.name == "ts") f.copy(dataType = LongType) else f))
+
+  /** File-based streaming source over an events parquet directory.
+   * `tsNanos = true` reads TIMESTAMP(NANOS) files (which Spark's reader
+   * otherwise rejects) by ingesting nanos as long and flooring to micros
+   * — same convention as the batch reader. */
+  def read(spark: SparkSession, dir: String, tsNanos: Boolean = false): DataFrame =
+    if (!tsNanos) spark.readStream.schema(schema).parquet(dir)
+    else {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.readStream.schema(nanosSchema).parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    }
 
   /** Exactly-once event-id dedup within the watermark horizon. */
   def deduped(events: DataFrame, watermark: String = "10 minutes"): DataFrame =

@@ -38,6 +38,37 @@ class StreamingSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("file-source streaming over the real events parquet matches the batch twin") {
+    // The driver-generated events table stores ts as TIMESTAMP(NANOS);
+    // the tsNanos read path must produce the same windows as batch.
+    val dir = "/root/testdata/sf0.001"
+    // file streaming sources need a DIRECTORY; link the single file in
+    val streamDir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Path.of(s"$dir/events.parquet"))
+    val stream = EventStream.windowedCounts(
+      EventStream.read(spark, streamDir.toString, tsNanos = true))
+    val q = stream.writeStream.format("memory").queryName("file_win")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    q.stop()
+    val s = spark.table("file_win")
+      .select("window_start", "event_type", "n_events", "total_value")
+      .orderBy("window_start", "event_type").collect().map(_.toSeq)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchEvents = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val b = graft.operators.Sessionize.tumblingAgg(batchEvents, widthMinutes = 60)
+      .select("window_start", "event_type", "n_events", "total_value")
+      .orderBy("window_start", "event_type").collect().map(_.toSeq)
+    assert(s.nonEmpty)
+    assert(s.toSeq == b.toSeq)
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val out = runStream(EventStream.deduped(_), "append", "dedup_out")
     assert(out.count() == 4)
