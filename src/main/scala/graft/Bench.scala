@@ -51,7 +51,9 @@ object Bench {
       case c => c.toString
     } + "\""
     val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => jstr(k) + ":" + f"$v%.3f" }
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    val ok3 = (v: Double) => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = ok.map { case (k, v, _) => jstr(k) + ":" + ok3(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) =>
       jstr(k) + ":" + jstr(m.take(200))

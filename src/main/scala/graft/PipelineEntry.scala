@@ -366,7 +366,7 @@ FROM documents ORDER BY doc_id""",
 e AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM events),
 f AS (SELECT *, CASE WHEN prev_ts IS NULL
-        OR (epoch_us(ts) // 1000000) - (epoch_us(prev_ts) // 1000000) > 1800
+        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
         THEN 1 ELSE 0 END AS is_new FROM e),
 g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
         ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx FROM f)

@@ -82,6 +82,9 @@ object HashExpressions {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "shingle_minhash"
+    // empty/all-null arrays evaluate to null even when the child is
+    // non-nullable — without this the optimizer could fold IS NOT NULL
+    override def nullable: Boolean = true
 
     private val as: Array[Long] = (0 until k).map(i => 1000003L + 2L * i).toArray
     private val bs: Array[Long] = (0 until k).map(i => 12345L + 97L * i).toArray

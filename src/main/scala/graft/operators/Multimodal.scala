@@ -83,9 +83,11 @@ object Multimodal {
       col("meta.format").as("format")).as[MediaRow]
     ds.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // One "codec init" per batch would go here.
+        // One codec/digest init per BATCH (the point of batching); rows
+        // reuse it via reset.
+        val md = java.security.MessageDigest.getInstance("MD5")
         batch.map { r =>
-          val md = java.security.MessageDigest.getInstance("MD5")
+          md.reset()
           val hash = md.digest(r.payload).map("%02x".format(_)).mkString
           MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong,
             r.width, r.height, r.width.toLong * r.height.toLong,

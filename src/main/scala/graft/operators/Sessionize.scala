@@ -26,11 +26,15 @@ object Sessionize {
    */
   def sessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // gap compares MICROSECOND timestamps (full parquet precision), the
+    // same arithmetic the streaming sessionizer uses — second-floored
+    // casts would disagree with the streaming twin on sub-second data
+    val gapUs = gapMinutes * 60L * 1000000L
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > gapMinutes * 60L, 1L)
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1L)
           .otherwise(0L))
       .withColumn("session_idx", sum(col("is_new")).over(byUser))
       .groupBy("user_id", "session_idx")

@@ -76,11 +76,16 @@ object GraphBuilder {
     4.0 -> "clinical_trial_phase_4")
 
   /** String-rendered twin of TrialPhasesMap for values arriving as text
-   * (the reference parses them with `_load_value` first, plover.py:1742-1747). */
+   * (the reference parses them with `_load_value` first, plover.py:1742-1747).
+   * Locale.ROOT formatting: a default-locale f-interpolator would render
+   * "3,0" on comma-decimal locales and the coercion would silently stop
+   * matching. */
   val TrialPhasesStrMap: Map[String, String] =
     TrialPhasesMap.flatMap { case (k, v) =>
       val renderings =
-        if (k == k.floor) Seq(f"$k%.0f", f"$k%.1f") // "3" and "3.0"
+        if (k == k.floor)
+          Seq(String.format(java.util.Locale.ROOT, "%.0f", Double.box(k)),
+            String.format(java.util.Locale.ROOT, "%.1f", Double.box(k))) // "3", "3.0"
         else Seq(k.toString) // "0.5"
       renderings.map(_ -> v)
     }
@@ -139,10 +144,13 @@ object GraphBuilder {
       val sameLen = props.tail
         .map(p => size(element_at(col("list_attrs"), p)) === size(arrays.head))
         .reduceOption(_ && _).getOrElse(lit(true))
+      // index-lambda transform over the first array (NOT sequence(1, size):
+      // sequence(1, 0) on an empty array yields [1, 0] and element_at(_, 0)
+      // throws unconditionally)
       val zipped = transform(
-        sequence(lit(1), size(arrays.head)),
-        i => struct(props.zip(arrays).map { case (p, arr) =>
-          clean(p, element_at(arr, i)).as(p)
+        arrays.head,
+        (_, i) => struct(props.zip(arrays).map { case (p, arr) =>
+          clean(p, element_at(arr, i + 1)).as(p)
         }: _*))
       val pruned = filter(zipped,
         x => props.map(p => x.getField(p).isNotNull).reduce(_ || _))

@@ -107,7 +107,9 @@ object KgxSource {
         case BooleanType => lit(null).cast("double")
         case _ =>
           val v = normalized(col(c).cast(StringType))
-          when(isNumeric(v), v.cast("double"))
+          // try_cast: ANSI mode throws on pattern-matching-but-malformed
+          // values like "1.2.3"
+          when(isNumeric(v), v.try_cast("double"))
       }
       struct(lit(c).as("key"), value.as("value"))
     }
@@ -117,7 +119,10 @@ object KgxSource {
         case BooleanType => when(col(c), "true").otherwise("false")
         case _ =>
           val v = normalized(col(c).cast(StringType))
-          when(!isNumeric(v), v)
+          // keep as string whenever the numeric branch did NOT take it —
+          // including pattern-matching-but-uncastable values like "1.2.3"
+          // (a plain !isNumeric guard would drop those from BOTH maps)
+          when(when(isNumeric(v), v.try_cast("double")).isNull, v)
       }
       struct(lit(c).as("key"), value.as("value"))
     }

@@ -74,20 +74,34 @@ object EventStream {
                               session_start: Timestamp, session_end: Timestamp,
                               total_value: Double)
 
+  /** Full-precision epoch micros of a Timestamp (getTime alone floors to
+   * millis — gap arithmetic must match the batch twin's unix_micros). */
+  private def micros(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+
+  private def tsFromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
+
   /**
    * Stateful gap-based sessionizer: emits a session row when the gap to
    * the next event exceeds `gapMinutes` or the state times out (no events
-   * for the gap duration). Processing-time timeout (the default) keeps
-   * the demo simple; an event-time timeout + watermark is the production
-   * setting. Pass NoTimeout for deterministic tests — idle sessions then
-   * stay in state and only in-batch gaps close sessions.
+   * for the gap duration). Timeout modes: ProcessingTimeTimeout (default)
+   * closes idle sessions by wall clock; EventTimeTimeout closes them when
+   * the watermark passes last-event + gap (set a watermark on `events`
+   * first — the production setting); NoTimeout for deterministic tests
+   * (only in-batch gaps close sessions). Gap arithmetic is in event-time
+   * MICROSECONDS, matching operators.Sessionize.sessions exactly.
    */
   def sessionize(spark: SparkSession, events: DataFrame, gapMinutes: Int = 30,
                  timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())
       : Dataset[SessionOut] = {
     import spark.implicits._
-    val gapMs = gapMinutes * 60 * 1000L
-    val useTimeout = timeout != GroupStateTimeout.NoTimeout()
+    val gapUs = gapMinutes * 60L * 1000000L
+    val processingTime = timeout == GroupStateTimeout.ProcessingTimeTimeout()
+    val eventTime = timeout == GroupStateTimeout.EventTimeTimeout()
     events.select("event_id", "ts", "user_id", "event_type", "value").as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), timeout) {
@@ -96,20 +110,20 @@ object EventStream {
             val s = state.get
             state.remove()
             Iterator.single(SessionOut(userId, s.sessionIdx, s.nEvents,
-              new Timestamp(s.startTs), new Timestamp(s.lastTs), s.totalValue))
+              tsFromMicros(s.startTs), tsFromMicros(s.lastTs), s.totalValue))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var closed = List.empty[SessionOut]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               cur match {
-                case Some(s) if t - s.lastTs <= gapMs =>
+                case Some(s) if t - s.lastTs <= gapUs =>
                   cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
                     totalValue = s.totalValue + e.value))
                 case Some(s) =>
                   closed ::= SessionOut(userId, s.sessionIdx, s.nEvents,
-                    new Timestamp(s.startTs), new Timestamp(s.lastTs), s.totalValue)
+                    tsFromMicros(s.startTs), tsFromMicros(s.lastTs), s.totalValue)
                   cur = Some(SessionState(s.sessionIdx + 1, t, 1L, t, e.value))
                 case None =>
                   cur = Some(SessionState(1L, t, 1L, t, e.value))
@@ -117,7 +131,8 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              if (useTimeout) state.setTimeoutDuration(gapMs)
+              if (processingTime) state.setTimeoutDuration(gapUs / 1000L)
+              else if (eventTime) state.setTimeoutTimestamp((s.lastTs + gapUs) / 1000L)
             }
             closed.reverseIterator
           }

@@ -77,6 +77,14 @@ class GraphBuilderSpec extends SparkSpec {
       List("clinical_trial_phase_2", "3.5", "pre_clinical_research_phase"))
   }
 
+  test("zipListAttrs handles empty arrays (regression: sequence(1,0) crash)") {
+    val e = edgeDF(O.LocatedIn)
+      .withColumn("list_attrs",
+        typedLit(Map("a" -> Seq.empty[String], "b" -> Seq.empty[String])))
+    val res = GraphBuilder.zipListAttrs(e, Map("z" -> Seq("a", "b"))).head()
+    assert(res.getSeq[Row](res.fieldIndex("z")).isEmpty)
+  }
+
   test("zipListAttrs raises on length mismatch") {
     val e = edgeDF(O.LocatedIn)
       .withColumn("list_attrs", typedLit(Map("a" -> Seq("x"), "b" -> Seq("1", "2"))))

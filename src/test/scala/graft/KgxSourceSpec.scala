@@ -41,6 +41,15 @@ class KgxSourceSpec extends SparkSpec {
     assert(n.getAs[Map[String, Double]]("num_attrs").isEmpty)
   }
 
+  test("TSV: multi-dot values like 1.2.3 stay strings (regression: dropped from both maps)") {
+    val dir = tmpDir("kgx-ver")
+    Files.writeString(java.nio.file.Path.of(dir, "nodes.tsv"),
+      "id\tname\tcategory\tver\nn1\tX\tgraft:Part\t1.2.3\n")
+    val n = KgxSource.readNodes(spark, s"$dir/nodes.tsv", "tsv").collect()(0)
+    assert(n.getAs[Map[String, String]]("attrs") == Map("ver" -> "1.2.3"))
+    assert(n.getAs[Map[String, Double]]("num_attrs").isEmpty)
+  }
+
   test("JSONL: typed columns keep their JSON types") {
     val dir = tmpDir("kgx-jsonl")
     Files.writeString(java.nio.file.Path.of(dir, "edges.jsonl"),
