@@ -82,6 +82,17 @@ object PipelineEntry {
       Dedup.embeddingPairs(embs(s, dir).where(col("vec_id") < 1000),
         threshold = 0.4).orderBy("id_a", "id_b")),
 
+    // P16 — near-dup clusters: connected components over the Jaccard
+    // pair graph, keep-min representative per duplicate group.
+    "p16_dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(Dedup.jaccardPairs(docs(s, dir), n = 3, threshold = 0.8))
+        .orderBy("id")),
+
+    // P17 — IVF-flat ANN (deterministic sampled coarse quantizer).
+    "p17_ann_ivf" -> ((s, dir) =>
+      Ann.ivfTopK(embs(s, dir), probes(s, dir), k = 10, nCenters = 16,
+        nProbe = 4).orderBy("probe_id", "rank")),
+
     // P6 — brute-force cosine top-k for 5 probe vectors.
     "p06_ann_topk" -> ((s, dir) =>
       Ann.bruteForceTopK(embs(s, dir), probes(s, dir), k = 10)
@@ -237,6 +248,60 @@ pairs AS (
     ON a.bd = b.bd AND a.band_byte = b.band_byte AND a.doc_id < b.doc_id)
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
 ORDER BY id_a, id_b""",
+
+    "p16_dedup_clusters" ->
+      s"""WITH RECURSIVE $docCtes,
+ex AS (SELECT doc_id, unnest(s) AS shingle, len(s)::BIGINT AS n FROM sh),
+co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c,
+         any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+prs AS (SELECT id_a, id_b FROM co
+        WHERE c::DOUBLE / (na + nb - c)::DOUBLE >= 0.8),
+verts AS (SELECT DISTINCT id FROM
+          (SELECT id_a AS id FROM prs UNION ALL SELECT id_b FROM prs)),
+adj AS (SELECT id_a AS src, id_b AS dst FROM prs
+        UNION ALL SELECT id_b, id_a FROM prs),
+reach(id, r) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.src, r.r FROM reach r JOIN adj e ON e.dst = r.id)
+SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id ORDER BY id""",
+
+    "p17_ann_ivf" ->
+      s"""WITH $embCte,
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM emb),
+cents AS (SELECT vec_id AS centroid_id, v AS centv, nrm AS centn
+          FROM n WHERE vec_id < 16),
+assigned AS (
+  SELECT centroid_id, neighbor_id, cv, cn FROM (
+    SELECT c.centroid_id, n.vec_id AS neighbor_id, n.v AS cv, n.nrm AS cn,
+      row_number() OVER (PARTITION BY n.vec_id
+        ORDER BY ${dotSql("n.v", "c.centv")} / (n.nrm * c.centn) DESC,
+                 c.centroid_id) AS arank
+    FROM n CROSS JOIN cents c)
+  WHERE arank = 1),
+plists AS (
+  SELECT probe_id, pv, pn, centroid_id FROM (
+    SELECT p.vec_id AS probe_id, p.v AS pv, p.nrm AS pn, c.centroid_id,
+      row_number() OVER (PARTITION BY p.vec_id
+        ORDER BY ${dotSql("p.v", "c.centv")} / (p.nrm * c.centn) DESC,
+                 c.centroid_id) AS prank
+    FROM n p CROSS JOIN cents c WHERE p.vec_id < 5)
+  WHERE prank <= 4),
+scored AS (
+  SELECT pl.probe_id, a.neighbor_id,
+         ${dotSql("pl.pv", "a.cv")} / (pl.pn * a.cn) AS cs
+  FROM assigned a JOIN plists pl ON a.centroid_id = pl.centroid_id
+  WHERE pl.probe_id <> a.neighbor_id),
+ranked AS (
+  SELECT probe_id, neighbor_id, cs,
+         row_number() OVER (PARTITION BY probe_id
+           ORDER BY cs DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT probe_id, rank, neighbor_id, round(cs, 6) AS cosine
+FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
 
     "p05_embed_dup" ->
       s"""WITH $embCte,

@@ -50,6 +50,57 @@ object Ann {
   }
 
   /**
+   * IVF-flat top-k (the inverted-file scale path): a deterministic coarse
+   * quantizer (the first `nCenters` corpus vectors — a real deployment
+   * trains k-means, but sampled centroids keep the operator exactly
+   * reproducible) partitions the corpus into lists by nearest-centroid
+   * cosine; a probe searches only its `nProbe` nearest lists. A probe
+   * touches nProbe/nCenters of the corpus; recall < 1 for points assigned
+   * away from the probe's lists — the standard IVF trade.
+   * Returns (probe_id, rank, neighbor_id, cosine).
+   */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int = 10,
+              nCenters: Int = 16, nProbe: Int = 4,
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              probeIdCol: String = "probe_id", probeVecCol: String = "probe_vec"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), VF.toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", VF.norm(col("cv")))
+    val p = probes.select(col(probeIdCol).as("probe_id"), VF.toDouble(col(probeVecCol)).as("pv"))
+      .withColumn("pn", VF.norm(col("pv")))
+    val cents = corpus.where(col(idCol) < nCenters)
+      .select(col(idCol).as("centroid_id"), VF.toDouble(col(vecCol)).as("centv"))
+      .withColumn("centn", VF.norm(col("centv")))
+
+    // corpus -> nearest centroid (ties to the lower centroid id)
+    val wAssign = Window.partitionBy("neighbor_id")
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("ccos", VF.dot(col("cv"), col("centv")) / (col("cn") * col("centn")))
+      .withColumn("arank", row_number().over(wAssign))
+      .where(col("arank") === 1)
+      .select("centroid_id", "neighbor_id", "cv", "cn")
+
+    // probe -> nProbe nearest lists
+    val wProbe = Window.partitionBy("probe_id")
+      .orderBy(col("pcos").desc, col("centroid_id").asc)
+    val probeLists = p.crossJoin(broadcast(cents))
+      .withColumn("pcos", VF.dot(col("pv"), col("centv")) / (col("pn") * col("centn")))
+      .withColumn("prank", row_number().over(wProbe))
+      .where(col("prank") <= nProbe)
+      .select("probe_id", "pv", "pn", "centroid_id")
+
+    val wRank = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probeLists), Seq("centroid_id"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VF.dot(col("pv"), col("cv")) / (col("pn") * col("cn")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /**
    * Sign-LSH bucketed top-k: probes only score candidates sharing a bucket
    * in at least one of `nTables` independent hyperplane tables.
    * Returns (probe_id, rank, neighbor_id, cosine) ranked within the

@@ -200,6 +200,50 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  // ---------------------------------------------------------------- P16
+  /**
+   * Near-duplicate CLUSTERS from a pair list: connected components via
+   * min-label propagation, so a pipeline can keep one representative per
+   * duplicate group (not just per pair). Returns (id, cluster_rep) for
+   * every id appearing in `pairs`; cluster_rep = the minimum id reachable
+   * through the pair graph.
+   *
+   * Scale shape: label propagation converges in O(component diameter)
+   * rounds — near-dup components are tiny (dup groups), so 2-4 rounds of
+   * a join keyed by id, each round localCheckpointed like the subclass
+   * closure. This is the standard alternative to driver-side union-find,
+   * which cannot scale past driver memory.
+   */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val adj = SelfJoinMaterialize(
+      fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = SelfJoinMaterialize(
+      adj.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = adj
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      val cp = next.localCheckpoint(true)
+      val fresh = cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+      val changed = fresh.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .where(col("n.label") =!= col("o.label"))
+        .limit(1).count() > 0
+      labels = fresh
+      converged = !changed
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_rep"))
+  }
+
   // ---------------------------------------------------------------- P5
   /**
    * Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with

@@ -45,6 +45,25 @@ class AnnSpec extends SparkSpec {
     assert(lsh.map(_.getLong(1)).toSeq == (1L to lsh.length).toSeq)
   }
 
+  test("ivf top-k: full-coverage probe set equals brute force") {
+    // with nCenters = corpus size and nProbe = nCenters, IVF degenerates
+    // to exact search — results must equal brute force
+    val bf = Ann.bruteForceTopK(corpus, probes, k = 4)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val ivf = Ann.ivfTopK(corpus, probes, k = 4, nCenters = 5, nProbe = 5)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(ivf.toSeq == bf.toSeq)
+  }
+
+  test("ivf top-k: restricted probes return a correctly-ranked subset") {
+    val bf = Ann.bruteForceTopK(corpus, probes, k = 4)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    val ivf = Ann.ivfTopK(corpus, probes, k = 4, nCenters = 2, nProbe = 1)
+      .orderBy("rank").collect()
+    for (r <- ivf) assert(bf(r.getLong(2)) == r.getDouble(3))
+    assert(ivf.map(_.getLong(1)).toSeq == (1L to ivf.length).toSeq)
+  }
+
   test("hyperplanes are deterministic") {
     val h1 = VectorFunctions.hyperplane(3, 8)
     val h2 = VectorFunctions.hyperplane(3, 8)

@@ -66,6 +66,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("clusters: connected components with min representative") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L))
+      .toDF("id_a", "id_b")
+    val res = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, // chain 1-2-3
+      5L -> 5L, 6L -> 5L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L)) // 8-9, 7-9 merge via 9
+  }
+
   test("embedding pairs: exact vs bucketed recall relationship") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
