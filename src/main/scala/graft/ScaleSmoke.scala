@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Dedup}
+
+/**
+ * Scale harness: replicates the corpus N-fold (each copy's near-dup
+ * structure preserved, ids offset) and times the pairing operators, to
+ * verify the join topologies scale like their analysis says (linear in
+ * corpus + candidates, never quadratic). Run:
+ *
+ *   SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_SCALE=20 sbt "runMain graft.ScaleSmoke"
+ */
+object ScaleSmoke {
+
+  def replicate(docs: DataFrame, n: Int): DataFrame =
+    docs.select(explode(sequence(lit(0), lit(n - 1))).as("copy"),
+        col("doc_id"), col("text"))
+      // perturb each copy's text with a distinct token so copies don't
+      // collapse into one giant duplicate cluster
+      .select((col("doc_id") * n + col("copy")).as("doc_id"),
+        concat(col("text"), lit(" copytoken"), col("copy").cast("string")).as("text"))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = replicate(
+      spark.read.parquet(s"$sfDir/documents.parquet"), n)
+      .repartition(cpus.toInt).cache()
+    val total = docs.count()
+    println(s"corpus: $total docs (${n}x replication of $sfDir)")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $rows%9d rows")
+    }
+
+    time("exact")(Dedup.exact(docs).count())
+    time("jaccard(df-cutoff)")(
+      Dedup.jaccardPairs(docs, n = 3, threshold = 0.8, maxShingleFreq = 1000).count())
+    time("minhash-lsh")(
+      Dedup.minhashLshPairs(docs, k = 16, bands = 4, minAgree = 8).count())
+    time("simhash")(Dedup.simhashPairs(docs, maxHamming = 3).count())
+    time("clusters") {
+      Dedup.clusters(
+        Dedup.jaccardPairs(docs, n = 3, threshold = 0.8, maxShingleFreq = 1000))
+        .count()
+    }
+
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val bigEmbs = embs.select(explode(sequence(lit(0), lit(n - 1))).as("copy"),
+        col("vec_id"), col("embedding"))
+      .select((col("vec_id") * n + col("copy")).as("vec_id"), col("embedding"))
+      .repartition(cpus.toInt).cache()
+    println(s"embeddings: ${bigEmbs.count()} vectors")
+    val probes = embs.limit(5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    time("ann brute-force")(Ann.bruteForceTopK(bigEmbs, probes, k = 10).count())
+    time("ann lsh")(Ann.lshTopK(bigEmbs, probes, k = 10, nTables = 2).count())
+    time("ann ivf")(Ann.ivfTopK(bigEmbs, probes, k = 10, nCenters = 64,
+      nProbe = 8).count())
+    time("embed pairs bucketed")(
+      Dedup.embeddingPairs(bigEmbs, threshold = 0.4, bucketed = true).count())
+    spark.stop()
+  }
+}
