@@ -153,10 +153,31 @@ object KgxSource {
       listAttrs.as("list_attrs"))
   }
 
+  /**
+   * STREAMING edge source: the same typed parsing over a readStream file
+   * source, for continuous KGX ingest (new edge files land in `path`,
+   * each micro-batch emits canonical edge rows — compose with
+   * GraphBuilder.canonicalizeEdges/pruneEmptyAttrs, which are stateless
+   * projections and therefore streaming-safe). Streaming file sources
+   * need an explicit schema; pass the header's column names (all strings
+   * for TSV).
+   */
+  def readEdgesStream(spark: SparkSession, path: String, columns: Seq[String],
+                      cfg: KgxConfig = KgxConfig()): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      columns.map(c => org.apache.spark.sql.types.StructField(c, StringType)))
+    val raw = spark.readStream.schema(schema)
+      .option("sep", "\t").option("header", "true").option("nullValue", "")
+      .csv(path)
+    shapeEdges(raw, cfg)
+  }
+
   /** Edge file -> PropertyGraph edge frame (canonical columns + attr maps). */
   def readEdges(spark: SparkSession, path: String, format: String,
-                cfg: KgxConfig = KgxConfig()): DataFrame = {
-    val raw = readRaw(spark, path, format)
+                cfg: KgxConfig = KgxConfig()): DataFrame =
+    shapeEdges(readRaw(spark, path, format), cfg)
+
+  private def shapeEdges(raw: DataFrame, cfg: KgxConfig): DataFrame = {
     val (attrs, numAttrs, listAttrs) = attrMaps(raw, CoreEdgeColumns, cfg)
     def opt(c: String): Column =
       if (raw.columns.contains(c)) normalized(col(c).cast(StringType))

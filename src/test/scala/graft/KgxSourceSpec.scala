@@ -81,6 +81,35 @@ class KgxSourceSpec extends SparkSpec {
     }
   }
 
+  test("streaming KGX ingest: canonicalization applies per micro-batch") {
+    val dir = tmpDir("kgx-stream")
+    // placed_by is non-canonical: the builder must flip it mid-stream
+    Files.writeString(java.nio.file.Path.of(dir, "edges1.tsv"),
+      "id\tsubject\tobject\tpredicate\tweight\n" +
+        "e1\tORD:1\tCUST:1\tgraft:placed_by\t2\n" +
+        "e2\tCUST:2\tNAT:1\tgraft:located_in\t3\n")
+    val stream = KgxSource.readEdgesStream(spark, dir,
+      columns = Seq("id", "subject", "object", "predicate", "weight"))
+    val canonical = graft.sources.GraphBuilder.canonicalizeEdges(
+      graft.sources.GraphBuilder.pruneEmptyAttrs(stream), O.ontology)
+    val q = canonical.writeStream.format("memory").queryName("kgx_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("kgx_stream")
+      .select("edge_id", "subject", "object", "predicate")
+      .orderBy("edge_id").collect()
+    assert(rows.length == 2)
+    // e1 flipped to canonical CUST placed ORD
+    assert(rows(0).getString(1) == "CUST:1" && rows(0).getString(2) == "ORD:1")
+    assert(rows(0).getString(3) == graft.model.GraftOntology.Placed)
+    assert(rows(1).getString(3) == graft.model.GraftOntology.LocatedIn)
+    // typed parsing still applies in streaming mode
+    val w = spark.table("kgx_stream").orderBy("edge_id")
+      .select("num_attrs").collect()(0).getAs[Map[String, Double]](0)
+    assert(w == Map("weight" -> 2.0))
+  }
+
   test("round-trip: fixture graph -> KGX TSV(gz) -> PropertyGraph preserves core") {
     val sfDir = "/root/testdata/sf0.001"
     val g = graft.sources.TpchGraph(spark, sfDir)
