@@ -215,7 +215,11 @@ object Dedup {
    * which cannot scale past driver memory.
    */
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // materialize the pair list first: the bidirectional union below
+    // references it twice, and deriving pairs is usually the expensive
+    // part (an LSH/jaccard pipeline)
+    val prs = SelfJoinMaterialize(pairs.select(col("id_a"), col("id_b")))
+    val fwd = prs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val adj = SelfJoinMaterialize(
       fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst"))))
     var labels = SelfJoinMaterialize(
