@@ -4,7 +4,8 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -35,11 +36,20 @@ object HashExpressions {
   }
 
   /** 32-bit SimHash over the DISTINCT md5 codes of a string array
-   * (single pass; twin of TextFunctions.simhash ∘ tokenCodes). */
+   * (single pass; twin of TextFunctions.simhash ∘ tokenCodes).
+   * Implements doGenCode (child-value call into the one-pass evaluator)
+   * so projections using it stay inside whole-stage codegen instead of
+   * taking the CodegenFallback full-row detour. */
   case class ShingleSimHash(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "shingle_simhash"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("shingleSimHash", this, classOf[ShingleSimHash].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = ((java.lang.Long) $ref.nullSafeEval($c)).longValue();")
+    }
 
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -79,12 +89,26 @@ object HashExpressions {
    * tokenCodes). Returns null for empty arrays (callers filter empties;
    * the Column twin yields an array of nulls there). */
   case class ShingleMinHash(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "shingle_minhash"
     // empty/all-null arrays evaluate to null even when the child is
     // non-nullable — without this the optimizer could fold IS NOT NULL
     override def nullable: Boolean = true
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val childGen = child.genCode(ctx)
+      val ref = ctx.addReferenceObj("shingleMinHash", this, classOf[ShingleMinHash].getName)
+      val javaType = CodeGenerator.javaType(dataType)
+      ev.copy(code = code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        $javaType ${ev.value} = null;
+        if (!${childGen.isNull}) {
+          Object r = $ref.nullSafeEval(${childGen.value});
+          if (r != null) { ${ev.isNull} = false; ${ev.value} = ($javaType) r; }
+        }""")
+    }
 
     private val as: Array[Long] = (0 until k).map(i => 1000003L + 2L * i).toArray
     private val bs: Array[Long] = (0 until k).map(i => 12345L + 97L * i).toArray
