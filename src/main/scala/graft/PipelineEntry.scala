@@ -20,6 +20,11 @@ object PipelineEntry {
   private val Sf = "/root/testdata/sf0.01"
   private val HashMod = 2147483647L
 
+  /** Document-frequency cutoff for the registered Jaccard query: a shingle
+   * appearing in more than this many documents is dropped before the
+   * inverted-index self-join (skew guard; mirrored in the oracle CTE). */
+  private val MaxShingleFreq = 50L
+
   /** The corpus tables ship as ONE parquet file each, which Spark scans
    * as a single partition — per-doc hashing work would run on one core.
    * Spread small inputs across the cluster before the compute-heavy
@@ -27,7 +32,9 @@ object PipelineEntry {
    * repartition (cores > input splits is a small-input artifact). */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // inputFiles is driver-side metadata — unlike df.rdd.getNumPartitions
+    // it does not force an RDD conversion per query build.
+    if (df.inputFiles.length >= target) df else df.repartition(target)
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -60,10 +67,15 @@ object PipelineEntry {
     }),
 
     // P2 — n-gram Jaccard near-dup pairs (the generator plants ~5% of
-    // docs as near-duplicates; nothing else scores above 0.3).
+    // docs as near-duplicates; nothing else scores above 0.3). Registered
+    // WITH the document-frequency skew guard (the 100 TB form): a shingle
+    // shared by k docs emits k^2 join rows, so ubiquitous shingles are
+    // dropped before pairing. The guard is conservative (can only lower a
+    // pair's jaccard — see Dedup.jaccardPairs doc) and the oracle mirrors
+    // the cutoff bit-for-bit.
     "p02_ngram_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(docs(s, dir), n = 3, threshold = 0.8)
-        .orderBy("id_a", "id_b")),
+      Dedup.jaccardPairs(docs(s, dir), n = 3, threshold = 0.8,
+        maxShingleFreq = MaxShingleFreq).orderBy("id_a", "id_b")),
 
     // P3 — MinHash + banded LSH candidates scored by signature agreement.
     "p03_minhash_lsh" -> ((s, dir) =>
@@ -75,12 +87,14 @@ object PipelineEntry {
       Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
-    // P5 — embedding-cosine near-dup, exact quadratic mode capped to the
-    // first 1000 vectors (the documented ground-truth baseline; P7 is the
-    // scale path).
+    // P5 — embedding-cosine near-dup, sign-LSH bucketed mode over the FULL
+    // corpus (the 100 TB form: only same-bucket pairs are scored, so the
+    // join is an equi-join on the bucket key, never all-pairs). The exact
+    // quadratic mode remains as the ground-truth baseline in DedupSpec,
+    // which asserts bucketed ⊆ exact on the fixture.
     "p05_embed_dup" -> ((s, dir) =>
-      Dedup.embeddingPairs(embs(s, dir).where(col("vec_id") < 1000),
-        threshold = 0.4).orderBy("id_a", "id_b")),
+      Dedup.embeddingPairs(embs(s, dir), threshold = 0.4, bucketed = true)
+        .orderBy("id_a", "id_b")),
 
     // P16 — near-dup clusters: connected components over the Jaccard
     // pair graph, keep-min representative per duplicate group.
@@ -196,7 +210,9 @@ FROM all_docs GROUP BY md5(text) ORDER BY doc_id""",
 
     "p02_ngram_jaccard" ->
       s"""WITH $docCtes,
-ex AS (SELECT doc_id, unnest(s) AS shingle, len(s)::BIGINT AS n FROM sh),
+ex0 AS (SELECT doc_id, unnest(s) AS shingle, len(s)::BIGINT AS n FROM sh),
+hot AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) > $MaxShingleFreq),
+ex AS (SELECT * FROM ex0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
 co AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c,
          any_value(a.n) AS na, any_value(b.n) AS nb
@@ -305,11 +321,12 @@ FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
 
     "p05_embed_dup" ->
       s"""WITH $embCte,
-sub AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM emb WHERE vec_id < 1000),
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm,
+             ${bucketSql("v", "0")} AS bucket FROM emb),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cs
-  FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, round(cs, 6) AS cosine FROM pairs WHERE cs >= 0.4
 ORDER BY id_a, id_b""",
 

@@ -101,10 +101,28 @@ object OneHop {
         if (outputQ.categories.isEmpty) withNull
         else {
           val cats = expandCategories(outputQ.categories, ont)
-          val catNodes = graph.nodes
-            .where(arrays_overlap(col("categories"), lit(cats.toArray)))
-            .select(col("id").as("output_id"))
-          withNull.join(catNodes, Seq("output_id"), "left_semi")
+          val catsLit = lit(cats.toArray)
+          if (edges.columns.contains("object_categories")) {
+            // Build-time denormalized endpoint categories: the output-side
+            // category filter is a pure column predicate on the matched
+            // edges themselves — no node join, nothing to broadcast, and at
+            // 100 TB no second table is touched. (output_id equals `object`
+            // on the forward branch and `subject` on the backward one; for
+            // self-loops both arrays coincide, so the comparison is safe.)
+            withNull.where(arrays_overlap(
+              when(col("output_id") === col("object"), col("object_categories"))
+                .otherwise(col("subject_categories")), catsLit))
+          } else {
+            // Fallback for graphs built without denormalization: the
+            // category-filtered node list is bounded by the node dimension,
+            // so force the broadcast rather than leaving AQE to guess (an
+            // unforced plan shuffled both union branches — the r2 g07
+            // regression).
+            val catNodes = graph.nodes
+              .where(arrays_overlap(col("categories"), catsLit))
+              .select(col("id").as("output_id"))
+            withNull.join(broadcast(catNodes), Seq("output_id"), "left_semi")
+          }
         }
     }
 
