@@ -93,8 +93,8 @@ object PipelineEntry {
     // quadratic mode remains as the ground-truth baseline in DedupSpec,
     // which asserts bucketed ⊆ exact on the fixture.
     "p05_embed_dup" -> ((s, dir) =>
-      Dedup.embeddingPairs(embs(s, dir), threshold = 0.4, bucketed = true)
-        .orderBy("id_a", "id_b")),
+      Dedup.embeddingPairs(embs(s, dir), threshold = 0.4, bucketed = true,
+        nTables = 4).orderBy("id_a", "id_b")),
 
     // P16 — near-dup clusters: connected components over the Jaccard
     // pair graph, keep-min representative per duplicate group.
@@ -137,6 +137,36 @@ object PipelineEntry {
     "p12_multimodal" -> ((s, dir) =>
       Multimodal.features(Multimodal.fromDocuments(docs(s, dir)))
         .orderBy("doc_id")),
+
+    // P15 — streaming ingest, driver-visible: the file-based streaming
+    // source drained through the stateful gap-sessionizer into a memory
+    // sink (Trigger.AvailableNow). With NoTimeout, exactly the sessions
+    // closed by an IN-BATCH gap emit — i.e. every session except each
+    // user's last — which is what the oracle mirrors (the timeout paths
+    // are exercised e2e in StreamingSpec, where file arrival order is
+    // controlled).
+    "p15_streaming" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
+      import java.nio.file.{Files, Paths}
+      // file streaming sources need a DIRECTORY; symlink the single file
+      val streamDir = Paths.get(s"target/p15-events-${dir.replaceAll("[^0-9.]", "")}")
+      Files.createDirectories(streamDir)
+      val link = streamDir.resolve("events.parquet")
+      if (!Files.exists(link))
+        Files.createSymbolicLink(link, Paths.get(dir, "events.parquet"))
+      val stream = graft.streaming.EventStream.read(s, streamDir.toString, tsNanos = true)
+      val name = "p15_sessions_" + dir.replaceAll("[^0-9]", "")
+      val q = graft.streaming.EventStream
+        .sessionize(s, stream, gapMinutes = 30, timeout = GroupStateTimeout.NoTimeout())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).select(col("user_id"), col("session_idx"), col("n_events"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        round(col("total_value"), 4).as("total_value"))
+        .orderBy("user_id", "session_idx")
+    }),
 
     // P13 — gap-based sessionization (30 min).
     "p13_sessionize" -> ((s, dir) =>
@@ -321,12 +351,16 @@ FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
 
     "p05_embed_dup" ->
       s"""WITH $embCte,
-n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm,
-             ${bucketSql("v", "0")} AS bucket FROM emb),
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM emb),
+cb AS (SELECT vec_id, v, nrm, t, ${bucketSql("v", "t")} AS bucket
+       FROM n, range(0,4) r(t)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cb a JOIN cb b ON a.t = b.t AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id),
 pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cs
-  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+  SELECT c.id_a, c.id_b, ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) AS cs
+  FROM cand c JOIN n x ON x.vec_id = c.id_a JOIN n y ON y.vec_id = c.id_b)
 SELECT id_a, id_b, round(cs, 6) AS cosine FROM pairs WHERE cs >= 0.4
 ORDER BY id_a, id_b""",
 
@@ -442,6 +476,25 @@ SELECT doc_id,
   (n_chars % 640 + 1)::BIGINT * (doc_id % 480 + 1)::BIGINT AS n_pixels,
   md5(text) AS payload_hash
 FROM documents ORDER BY doc_id""",
+
+    "p15_streaming" ->
+      s"""WITH $eventsCte,
+e AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+f AS (SELECT *, CASE WHEN prev_ts IS NULL
+        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        THEN 1 ELSE 0 END AS is_new FROM e),
+g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx FROM f),
+sess AS (
+  SELECT user_id, session_idx, count(*) AS n_events,
+    epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+    round(sum(value), 4) AS total_value
+  FROM g GROUP BY user_id, session_idx)
+SELECT user_id, session_idx, n_events, start_us, end_us, total_value
+FROM (SELECT *, max(session_idx) OVER (PARTITION BY user_id) AS last_idx FROM sess)
+WHERE session_idx < last_idx
+ORDER BY user_id, session_idx""",
 
     "p13_sessionize" ->
       s"""WITH $eventsCte,

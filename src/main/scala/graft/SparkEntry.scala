@@ -48,6 +48,22 @@ object SparkEntry {
 
   private def sortedCats = concat_ws("|", array_sort(col("categories"))).as("cats")
 
+  /** Config-driven attribute shell map shared by g26 (flat rendering) and
+   * g28 (full envelope) — the analog of the reference's kg_config
+   * trapi_attribute_map (plover.py:1424-1448). */
+  private val attrShells: Map[String, TrapiAttributes.AttributeShell] = {
+    import graft.operators.TrapiAttributes._
+    buildShellMap(Seq(
+      Seq("mktsegment") -> AttributeShell("graft:market_segment",
+        valueTypeId = Some("metatype:String"),
+        attributeSource = Some("{kp_infores_curie}")),
+      Seq("acctbal") -> AttributeShell("graft:account_balance",
+        valueTypeId = Some("metatype:Decimal"),
+        attributeSource = Some("{primary_knowledge_source}")),
+      Seq("tags") -> AttributeShell("graft:tags",
+        valueUrl = Some("https://graft.example/tag/{value}"))))
+  }
+
   private def oneHop(spark: SparkSession, sfDir: String, qg: QueryGraph,
                      expand: Boolean = true): DataFrame = {
     val res = OneHop.answer(spark, Fixture.graph(spark, sfDir), ont, qg,
@@ -223,20 +239,27 @@ object SparkEntry {
     // TRAPI attribute rendering from the config-driven shell map
     // (ref: plover.py:1424-1448, :2299-2321).
     "g26_trapi_attrs" -> ((s, dir) => {
-      import graft.operators.TrapiAttributes._
-      val shells = buildShellMap(Seq(
-        Seq("mktsegment") -> AttributeShell("graft:market_segment",
-          valueTypeId = Some("metatype:String"),
-          attributeSource = Some("{kp_infores_curie}")),
-        Seq("acctbal") -> AttributeShell("graft:account_balance",
-          valueTypeId = Some("metatype:Decimal"),
-          attributeSource = Some("{primary_knowledge_source}")),
-        Seq("tags") -> AttributeShell("graft:tags",
-          valueUrl = Some("https://graft.example/tag/{value}"))))
       val cn = Fixture.graph(s, dir).edges
         .where(col("edge_id").startsWith("E-CN:"))
-      TrapiAttributes.render(cn, shells, kpInforesCurie = "infores:graft")
+      TrapiAttributes.render(cn, attrShells, kpInforesCurie = "infores:graft")
         .orderBy("edge_id", "name")
+    }),
+
+    // Full TRAPI response envelope (ref: plover.py:2121-2410): columnar
+    // knowledge_graph nodes/edges + results assembly for a subclass-
+    // expanded located_in query (REG:3 -> its nation descendants), so the
+    // result bindings exercise query_id. One row per envelope part.
+    "g28_trapi_response" -> ((s, dir) => {
+      val g = Fixture.graph(s, dir)
+      val res = OneHop.answer(s, g, ont, QueryGraph.oneHop(
+        QNode("n_out"),
+        QNode("n_in", ids = Seq("REG:3")),
+        QEdge("n_out", "n_in", predicates = Seq(O.LocatedIn))),
+        closure = Some(Fixture.closure(s, dir)), expandSubclasses = true)
+      TrapiResponse.assemble(res, g, attrShells,
+        kpInforesCurie = "infores:graft", edgeKey = "e1",
+        nodeAttrColumns = Seq("equiv_ids"))
+        .orderBy("part", "key")
     }),
 
     // G23 — ingest transforms: trial-phase enum coercion, property zip
@@ -320,6 +343,42 @@ object SparkEntry {
         .orderBy("in_key", "out_key")
     }),
 
+    // G22 — edge-count cutoff guard, driver-visible: the same open query
+    // attempted under a limit it violates (guard throws, query rejected)
+    // and one it satisfies (guard passes, count returned) —
+    // ref: plover.py answer-size cutoff semantics.
+    "g29_cutoff_guard" -> ((s, dir) => {
+      import s.implicits._
+      val qg = QueryGraph.oneHop(
+        QNode("n0", ids = natIds(7)), QNode("n1"), QEdge("n0", "n1"))
+      def attempt(limit: Long): (String, Boolean, Long) =
+        try {
+          val r = OneHop.answer(s, Fixture.graph(s, dir), ont, qg,
+            closure = None, expandSubclasses = false, maxEdges = Some(limit))
+          val n = r.matches.select("edge_id").distinct().count()
+          r.matches.unpersist()
+          (s"limit_$limit", true, n)
+        } catch {
+          case _: IllegalStateException => (s"limit_$limit", false, -1L)
+        }
+      Seq(attempt(10L), attempt(1000000L))
+        .toDF("guard_case", "passed", "n_edges").orderBy("guard_case")
+    }),
+
+    // G26 — ontology loader round-trip, driver-visible: export the live
+    // ontology as a term-table TSV, re-load it through the file loader,
+    // and emit the full term table (must reproduce the original exactly;
+    // the oracle is the original ontology rendered as literal VALUES).
+    "g30_ontology_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val path = "target/ontology-roundtrip.tsv"
+      graft.sources.OntologyLoader.writeTsv(ont, path)
+      val ont2 = graft.sources.OntologyLoader.fromFile(s, path, "tsv")
+      ontologyTermTable(ont2).toDF(
+        "term", "parents", "is_mixin", "mappings", "is_symmetric", "canonical")
+        .orderBy("term")
+    }),
+
     // G21 — TRAPI result bindings with is_set grouping
     "g23_result_bindings" -> ((s, dir) => {
       val res = OneHop.answer(s, Fixture.graph(s, dir), ont, QueryGraph.oneHop(
@@ -337,6 +396,21 @@ object SparkEntry {
   )
 
   private val idList: Seq[String] => String = ids => ids.map("'" + _ + "'").mkString(", ")
+
+  /** Canonical term-table rows for an ontology (shared by the g30 query
+   * and its VALUES oracle so both render identically). */
+  private def ontologyTermTable(o: graft.model.Ontology)
+      : Seq[(String, String, Boolean, String, Boolean, String)] = {
+    val all = (o.terms ++ o.canonicalOf.keySet ++ o.mixins ++ o.symmetric).toSeq.sorted
+    all.map { t =>
+      (t,
+        o.parents.getOrElse(t, Set.empty).toSeq.sorted.mkString("|"),
+        o.mixins(t),
+        o.mixinDirectMap.getOrElse(t, Set.empty).toSeq.sorted.mkString("|"),
+        o.symmetric(t),
+        o.canonicalOf.getOrElse(t, ""))
+    }
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -585,6 +659,75 @@ object SparkEntry {
          LEFT JOIN customer c ON e.edge_id = 'E-CN:' || c.c_custkey
          LEFT JOIN supplier s ON e.edge_id = 'E-SN:' || s.s_suppkey
          ORDER BY edge_id, subject"""),
+
+    "g29_cutoff_guard" -> TpchGraph.oracle(
+      """SELECT * FROM (
+           SELECT 'limit_10' AS guard_case, false AS passed, -1::BIGINT AS n_edges
+           UNION ALL
+           SELECT 'limit_1000000', true, (SELECT count(DISTINCT edge_id) FROM m))
+         ORDER BY guard_case""",
+      extraCtes = """s AS (SELECT 'NAT:7' AS id),
+m AS (SELECT e.edge_id FROM g_edges e JOIN s ON e.subject = s.id
+      UNION ALL
+      SELECT e.edge_id FROM g_edges e JOIN s ON e.object = s.id)"""),
+
+    "g30_ontology_roundtrip" -> {
+      val rows = ontologyTermTable(ont).map { case (t, p, mx, m, sym, c) =>
+        s"('$t', '$p', $mx, '$m', $sym, '$c')"
+      }.mkString(",\n  ")
+      s"""SELECT * FROM (VALUES
+  $rows) AS t(term, parents, is_mixin, mappings, is_symmetric, canonical)
+ORDER BY term"""
+    },
+
+    "g28_trapi_response" -> TpchGraph.oracle(
+      """SELECT part, key, json FROM (
+           SELECT 'node' AS part, nat_id AS key,
+             '{"name":"' || n_name || '","categories":["graft:Nation"],"attributes":[]}' AS json
+           FROM r3 WHERE nat_id IN (SELECT nat_id FROM ce UNION SELECT nat_id FROM se)
+           UNION ALL
+           SELECT 'node', 'CUST:' || c_custkey,
+             '{"name":"' || c_name || '","categories":["graft:Customer"],"attributes":[{"attribute_type_id":"equiv_ids","value":"CUSTNAME:' || c_name || '"}]}'
+           FROM ce
+           UNION ALL
+           SELECT 'node', 'SUPP:' || s_suppkey,
+             '{"name":"' || s_name || '","categories":["graft:Supplier"],"attributes":[]}'
+           FROM se
+           UNION ALL
+           SELECT 'edge', 'E-CN:' || c_custkey,
+             '{"subject":"CUST:' || c_custkey || '","object":"' || nat_id
+             || '","predicate":"graft:located_in","sources":[{"resource_id":"infores:crm","resource_role":"primary_knowledge_source"},{"resource_id":"infores:graft","resource_role":"aggregator_knowledge_source","upstream_resource_ids":["infores:crm"]}],"attributes":[{"attribute_type_id":"graft:account_balance","value":"'
+             || c_acctbal::VARCHAR || '","value_type_id":"metatype:Decimal","attribute_source":"infores:crm"},{"attribute_type_id":"graft:market_segment","value":"'
+             || c_mktsegment || '","value_type_id":"metatype:String","attribute_source":"infores:graft"},{"attribute_type_id":"graft:tags","value":"'
+             || c_mktsegment || ',tier' || (c_custkey % 3) || '","value_url":"https://graft.example/tag/'
+             || c_mktsegment || ',tier' || (c_custkey % 3) || '"}]}'
+           FROM ce
+           UNION ALL
+           SELECT 'edge', 'E-SN:' || s_suppkey,
+             '{"subject":"SUPP:' || s_suppkey || '","object":"' || nat_id
+             || '","predicate":"graft:located_in","sources":[{"resource_id":"infores:crm","resource_role":"primary_knowledge_source"},{"resource_id":"infores:graft","resource_role":"aggregator_knowledge_source","upstream_resource_ids":["infores:crm"]}],"attributes":[{"attribute_type_id":"graft:account_balance","value":"'
+             || s_acctbal::VARCHAR || '","value_type_id":"metatype:Decimal","attribute_source":"infores:crm"}]}'
+           FROM se
+           UNION ALL
+           SELECT 'result', nat_id || '--CUST:' || c_custkey,
+             '{"node_bindings":{"n_in":[{"id":"' || nat_id
+             || '","attributes":[],"query_id":"REG:3"}],"n_out":[{"id":"CUST:' || c_custkey
+             || '","attributes":[]}]},"analyses":[{"edge_bindings":{"e1":[{"id":"E-CN:' || c_custkey
+             || '","attributes":[]}]},"resource_id":"infores:graft"}],"resource_id":"infores:graft"}'
+           FROM ce
+           UNION ALL
+           SELECT 'result', nat_id || '--SUPP:' || s_suppkey,
+             '{"node_bindings":{"n_in":[{"id":"' || nat_id
+             || '","attributes":[],"query_id":"REG:3"}],"n_out":[{"id":"SUPP:' || s_suppkey
+             || '","attributes":[]}]},"analyses":[{"edge_bindings":{"e1":[{"id":"E-SN:' || s_suppkey
+             || '","attributes":[]}]},"resource_id":"infores:graft"}],"resource_id":"infores:graft"}'
+           FROM se)
+         ORDER BY part, key""",
+      extraCtes = """r3 AS (SELECT 'NAT:' || n_nationkey AS nat_id, n_name FROM nation WHERE n_regionkey = 3),
+ce AS (SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal, r.nat_id
+       FROM customer c JOIN r3 r ON 'NAT:' || c.c_nationkey = r.nat_id),
+se AS (SELECT s.s_suppkey, s.s_name, s.s_acctbal, r.nat_id
+       FROM supplier s JOIN r3 r ON 'NAT:' || s.s_nationkey = r.nat_id)"""),
 
     "g27_bindings_input_set" -> TpchGraph.oracle(
       """SELECT '*' AS in_key, subject AS out_key,

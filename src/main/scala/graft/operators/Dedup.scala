@@ -260,20 +260,34 @@ object Dedup {
    */
   def embeddingPairs(embs: DataFrame, threshold: Double = 0.4,
                      bucketed: Boolean = false, nPlanes: Int = 8, dim: Int = 64,
-                     vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+                     vecCol: String = "embedding", idCol: String = "vec_id",
+                     nTables: Int = 1): DataFrame = {
     // Precompute each vector's norm once (N sqrt-dots instead of 2 per
     // pair — at n^2 pairs that's the dominant cost).
     val base = embs.select(col(idCol).as("id"), VF.toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", VF.norm(col("v")))
-    val withKey = SelfJoinMaterialize(
-      if (bucketed) base.withColumn("bucket", VF.lshBucket(col("v"), nPlanes, dim))
-      else base.withColumn("bucket", lit(0L)))
-    val a = withKey.select(col("bucket"), col("id").as("id_a"), col("v").as("va"),
-      col("nrm").as("na"))
-    val b = withKey.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nb"))
-    a.join(b, Seq("bucket"))
+    // Multi-table sign-LSH (nTables independent hyperplane sets): a pair
+    // collides when it shares a bucket in ANY table, recovering recall a
+    // single bucketing loses — same trade as Ann.lshTopK. Cost is linear
+    // in nTables (the corpus is replicated per table before the equi-join)
+    // while the join itself stays bucketed, never all-pairs.
+    val keyed =
+      if (!bucketed) base.withColumn("t", lit(0)).withColumn("bucket", lit(0L))
+      else (0 until nTables).map { t =>
+        base.withColumn("t", lit(t))
+          .withColumn("bucket", VF.lshBucket(col("v"), nPlanes, dim, t * nPlanes))
+      }.reduce(_ unionAll _)
+    val withKey = SelfJoinMaterialize(keyed)
+    val a = withKey.select(col("t"), col("bucket"), col("id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = withKey.select(col("t"), col("bucket"), col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("t", "bucket"))
       .where(col("id_a") < col("id_b"))
+      // a pair colliding in several tables is scored once (the carried
+      // vectors are functionally dependent on the ids, so which surviving
+      // row wins is immaterial)
+      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", VF.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))

@@ -122,4 +122,43 @@ class StreamingSpec extends SparkSpec {
       gapMinutes = 30).where(col("session_idx") === 1).collect()(0)
     assert(b.getAs[Long]("n_events") == 2L && b.getAs[Double]("total_value") == 3.0)
   }
+
+  test("streaming sessionize: EventTimeTimeout closes a session as the watermark advances") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1's events have NO in-batch gap — the session can only close by
+    // event-time timeout, once later batches advance the watermark past
+    // last-event + gap (the production path for idle sessions).
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val src = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withWatermark("ts", "10 minutes")
+    val q = EventStream.sessionize(spark, src, gapMinutes = 30,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())
+      .writeStream.format("memory").queryName("sess_ett").outputMode("append").start()
+    mem.addData((1L, ts(0), 1L, "view", 1.0, "{}"), (2L, ts(10), 1L, "click", 2.0, "{}"))
+    q.processAllAvailable()
+    assert(spark.table("sess_ett").isEmpty) // still open: no gap, watermark behind
+    // batch 2 advances the watermark to ts(80) > ts(10) + 30min gap...
+    mem.addData((3L, ts(90), 2L, "view", 3.0, "{}"))
+    q.processAllAvailable()
+    // ...and batch 3 evicts user 1's timed-out state, emitting the session.
+    mem.addData((4L, ts(95), 2L, "view", 4.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_ett").where(col("user_id") === 1L).collect()
+    assert(out.length == 1)
+    val s = out(0)
+    assert(s.getAs[Long]("session_idx") == 1L)
+    assert(s.getAs[Long]("n_events") == 2L)
+    assert(s.getAs[Double]("total_value") == 3.0)
+    assert(s.getAs[Timestamp]("session_start") == ts(0))
+    assert(s.getAs[Timestamp]("session_end") == ts(10))
+    // parity: the batch twin computes the same session from user 1's events
+    val b = graft.operators.Sessionize.sessions(
+      Seq((1L, ts(0), 1L, "view", 1.0, "{}"), (2L, ts(10), 1L, "click", 2.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      gapMinutes = 30).collect()(0)
+    assert(b.getAs[Long]("n_events") == 2L && b.getAs[Double]("total_value") == 3.0)
+    assert(b.getAs[Timestamp]("session_start") == ts(0))
+    assert(b.getAs[Timestamp]("session_end") == ts(10))
+  }
 }
