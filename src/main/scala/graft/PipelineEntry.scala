@@ -102,10 +102,14 @@ object PipelineEntry {
       Dedup.clusters(Dedup.jaccardPairs(docs(s, dir), n = 3, threshold = 0.8))
         .orderBy("id")),
 
-    // P17 — IVF-flat ANN (deterministic sampled coarse quantizer).
+    // P17 — IVF-flat ANN with a TRAINED coarse quantizer: deterministic
+    // k-means (2 fixed iterations over the first 256 vectors, ordered
+    // folds) — better list balance than raw sampled centroids, still
+    // bit-reproducible by the SQL oracle.
     "p17_ann_ivf" -> ((s, dir) =>
       Ann.ivfTopK(embs(s, dir), probes(s, dir), k = 10, nCenters = 16,
-        nProbe = 4).orderBy("probe_id", "rank")),
+        nProbe = 4, trainIters = 2, trainSample = 256)
+        .orderBy("probe_id", "rank")),
 
     // P6 — brute-force cosine top-k for 5 probe vectors.
     "p06_ann_topk" -> ((s, dir) =>
@@ -315,11 +319,36 @@ reach(id, r) AS (
   SELECT e.src, r.r FROM reach r JOIN adj e ON e.dst = r.id)
 SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id ORDER BY id""",
 
-    "p17_ann_ivf" ->
+    "p17_ann_ivf" -> {
+      // One unrolled k-means iteration: assign sample to prev centroids by
+      // cosine (lowest-cid tie-break), then per-dimension ordered-fold
+      // means; emptied clusters keep their previous centroid. Mirrors
+      // Ann.trainCentroids bit-for-bit.
+      def kmIter(i: Int): String = {
+        val prev = s"c${i - 1}"
+        s"""n${i - 1} AS (SELECT cid, cv, sqrt(${dotSql("cv", "cv")}) AS cn FROM $prev),
+a$i AS (SELECT cid, vec_id, v FROM (
+  SELECT c.cid, s.vec_id, s.v,
+    row_number() OVER (PARTITION BY s.vec_id
+      ORDER BY ${dotSql("s.v", "c.cv")} / (s.nrm * c.cn) DESC, c.cid) AS rk
+  FROM samp s CROSS JOIN n${i - 1} c) WHERE rk = 1),
+m$i AS (SELECT cid, list(m ORDER BY dim) AS cv FROM (
+    SELECT cid, dim,
+      list_reduce([0.0]::DOUBLE[] || list(v[dim] ORDER BY vec_id), (x,y) -> x+y)
+        / count(*) AS m
+    FROM a$i, range(1,65) r(dim) GROUP BY cid, dim)
+  GROUP BY cid),
+c$i AS (SELECT $prev.cid, coalesce(m$i.cv, $prev.cv) AS cv
+        FROM $prev LEFT JOIN m$i ON $prev.cid = m$i.cid)"""
+      }
       s"""WITH $embCte,
 n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM emb),
-cents AS (SELECT vec_id AS centroid_id, v AS centv, nrm AS centn
-          FROM n WHERE vec_id < 16),
+samp AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 256),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM samp WHERE vec_id < 16),
+${kmIter(1)},
+${kmIter(2)},
+cents AS (SELECT cid AS centroid_id, cv AS centv, sqrt(${dotSql("cv", "cv")}) AS centn
+          FROM c2),
 assigned AS (
   SELECT centroid_id, neighbor_id, cv, cn FROM (
     SELECT c.centroid_id, n.vec_id AS neighbor_id, n.v AS cv, n.nrm AS cn,
@@ -347,7 +376,8 @@ ranked AS (
            ORDER BY cs DESC, neighbor_id) AS rank
   FROM scored)
 SELECT probe_id, rank, neighbor_id, round(cs, 6) AS cosine
-FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
+FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank"""
+    },
 
     "p05_embed_dup" ->
       s"""WITH $embCte,

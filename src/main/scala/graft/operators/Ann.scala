@@ -50,26 +50,96 @@ object Ann {
   }
 
   /**
+   * Deterministic k-means training for the IVF coarse quantizer —
+   * FAISS-style nlist/nprobe semantics (public knowledge): the quantizer
+   * is trained on a bounded SAMPLE and the trained centroids are
+   * broadcast, so training cost is independent of corpus size (the
+   * 100 TB posture; the sample collect is O(sampleN * dim) driver bytes).
+   *
+   * Everything is fixed so an external SQL oracle reproduces the exact
+   * doubles: sample = vectors with id < sampleN in id order; init = the
+   * first `nCenters` of them (centroid_id = source vector id); `iters`
+   * fixed iterations of { assign by cosine, lower-centroid-id tie-break;
+   * centroid = element-wise mean folded in id order }; an emptied cluster
+   * keeps its previous centroid. No RNG anywhere.
+   */
+  def trainCentroids(corpus: DataFrame, nCenters: Int, sampleN: Int = 256,
+                     iters: Int = 2, vecCol: String = "embedding",
+                     idCol: String = "vec_id"): Seq[(Long, Seq[Double])] = {
+    val sample: Array[(Long, Array[Double])] = corpus
+      .where(col(idCol) < sampleN)
+      .select(col(idCol).cast("long"), VF.toDouble(col(vecCol)))
+      .orderBy(col(idCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(sample.length >= nCenters, s"sample (${sample.length}) < nCenters ($nCenters)")
+    val dim = sample.head._2.length
+    // left folds seeded at 0.0, index order — bit-identical to the oracle's
+    // [0.0] || list ordered reduces (0.0 + x == x for IEEE doubles)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      (0 until dim).foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+
+    var cents: Array[(Long, Array[Double])] = sample.take(nCenters)
+    for (_ <- 0 until iters) {
+      val withNorms = cents.map { case (cid, cv) => (cid, cv, nrm(cv)) }
+      val assigned = sample.map { case (id, v) =>
+        val vn = nrm(v)
+        // strict > keeps the LOWEST centroid id on exact cosine ties,
+        // mirroring ORDER BY cos DESC, cid ASC
+        var bestCid = -1L; var bestCos = Double.NegativeInfinity
+        withNorms.foreach { case (cid, cv, cn) =>
+          val cos = dot(v, cv) / (vn * cn)
+          if (cos > bestCos) { bestCos = cos; bestCid = cid }
+        }
+        (bestCid, id, v)
+      }
+      val byCent = assigned.groupBy(_._1)
+      cents = cents.map { case (cid, old) =>
+        byCent.get(cid) match {
+          case Some(members) =>
+            val inIdOrder = members.sortBy(_._2)
+            val mean = Array.tabulate(dim) { d =>
+              inIdOrder.foldLeft(0.0)((acc, m) => acc + m._3(d)) / members.length
+            }
+            (cid, mean)
+          case None => (cid, old) // emptied cluster keeps its centroid
+        }
+      }
+    }
+    cents.map { case (cid, v) => (cid, v.toSeq) }.toSeq
+  }
+
+  /**
    * IVF-flat top-k (the inverted-file scale path): a deterministic coarse
-   * quantizer (the first `nCenters` corpus vectors — a real deployment
-   * trains k-means, but sampled centroids keep the operator exactly
-   * reproducible) partitions the corpus into lists by nearest-centroid
+   * quantizer partitions the corpus into lists by nearest-centroid
    * cosine; a probe searches only its `nProbe` nearest lists. A probe
    * touches nProbe/nCenters of the corpus; recall < 1 for points assigned
    * away from the probe's lists — the standard IVF trade.
+   * `trainIters > 0` trains the quantizer with `trainCentroids` (better
+   * list balance); 0 uses the first `nCenters` corpus vectors directly
+   * (the fully scan-free fallback).
    * Returns (probe_id, rank, neighbor_id, cosine).
    */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int = 10,
               nCenters: Int = 16, nProbe: Int = 4,
               vecCol: String = "embedding", idCol: String = "vec_id",
-              probeIdCol: String = "probe_id", probeVecCol: String = "probe_vec"): DataFrame = {
+              probeIdCol: String = "probe_id", probeVecCol: String = "probe_vec",
+              trainIters: Int = 0, trainSample: Int = 256): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), VF.toDouble(col(vecCol)).as("cv"))
       .withColumn("cn", VF.norm(col("cv")))
     val p = probes.select(col(probeIdCol).as("probe_id"), VF.toDouble(col(probeVecCol)).as("pv"))
       .withColumn("pn", VF.norm(col("pv")))
-    val cents = corpus.where(col(idCol) < nCenters)
-      .select(col(idCol).as("centroid_id"), VF.toDouble(col(vecCol)).as("centv"))
-      .withColumn("centn", VF.norm(col("centv")))
+    val cents =
+      if (trainIters > 0) {
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        trainCentroids(corpus, nCenters, trainSample, trainIters, vecCol, idCol)
+          .toDF("centroid_id", "centv")
+          .withColumn("centn", VF.norm(col("centv")))
+      } else corpus.where(col(idCol) < nCenters)
+        .select(col(idCol).as("centroid_id"), VF.toDouble(col(vecCol)).as("centv"))
+        .withColumn("centn", VF.norm(col("centv")))
 
     // corpus -> nearest centroid (ties to the lower centroid id)
     val wAssign = Window.partitionBy("neighbor_id")

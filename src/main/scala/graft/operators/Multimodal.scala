@@ -61,14 +61,68 @@ object Multimodal {
       md5(col("payload")).as("payload_hash"))
 
   /**
-   * STUB decoder — deterministic stand-in for a real media decode
-   * (???: replace with an actual codec when one is available). Produces a
-   * fake "mean brightness" from the payload bytes so the batched plumbing
-   * has a value to carry.
+   * STUB decoder — deterministic stand-in for a real media decode of the
+   * NON-IMAGE modalities (???: audio/video codecs don't ship in this
+   * environment). Produces a fake "mean brightness" from the payload bytes
+   * so the batched plumbing has a value to carry.
    */
   def decodeStub(payload: Array[Byte]): Double =
     if (payload.isEmpty) 0.0
     else payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / payload.length
+
+  /**
+   * REAL image decode via `javax.imageio` (pure-JDK PNG/JPEG readers, no
+   * external codec): returns (width, height, mean RGB brightness) or None
+   * when the payload is not a decodable image (caller falls back to the
+   * stub). This is the honest per-modality split: images decode for real;
+   * audio/video remain stubbed.
+   */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, sum / (w.toLong * h.toLong)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /**
+   * Deterministic PNG generator (for tests/fixtures): pixel (x, y) of
+   * image `seed` is a pure function of (x, y, seed), encoded by the JDK
+   * PNG writer. Lossless format, so decode recovers the exact pixels.
+   */
+  def generatePng(width: Int, height: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = (x * 31 + y * 17 + seed) % 256
+        val g = (x * 7 + y * 13 + seed * 3) % 256
+        val b = (x ^ y) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
 
   /**
    * Batched decode path: groups each partition's rows into `batchSize`
@@ -89,9 +143,20 @@ object Multimodal {
         batch.map { r =>
           md.reset()
           val hash = md.digest(r.payload).map("%02x".format(_)).mkString
-          MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong,
-            r.width, r.height, r.width.toLong * r.height.toLong,
-            hash, decodeStub(r.payload))
+          // images decode for real (javax.imageio); metadata dims are
+          // replaced by the DECODED dims. Non-images (and undecodable
+          // payloads) fall back to the stub + declared metadata.
+          val decoded =
+            if (r.modality == "image") decodeImage(r.payload) else None
+          decoded match {
+            case Some((w, h, brightness)) =>
+              MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong,
+                w, h, w.toLong * h.toLong, hash, brightness)
+            case None =>
+              MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong,
+                r.width, r.height, r.width.toLong * r.height.toLong,
+                hash, decodeStub(r.payload))
+          }
         }
       }
     }

@@ -64,6 +64,43 @@ class AnnSpec extends SparkSpec {
     assert(ivf.map(_.getLong(1)).toSeq == (1L to ivf.length).toSeq)
   }
 
+  test("trained quantizer balances inverted lists better than sampled centroids") {
+    // Two tight clusters; the first-N init lands BOTH seed centroids in
+    // cluster A — the worst case for sampled centroids. Two k-means
+    // iterations must migrate one centroid toward cluster B.
+    val skewed = (
+      (0 until 10).map(i => (i.toLong, Array(1.0f, 0.01f * i, 0.0f, 0.0f))) ++
+      (10 until 20).map(i => (i.toLong, Array(0.01f * (i - 10), 1.0f, 0.0f, 0.0f)))
+    ).toDF("vec_id", "embedding")
+    val vecs = skewed.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def maxListSize(cents: Seq[(Long, Seq[Double])]): Int = {
+      val cn = cents.map { case (cid, cv) =>
+        (cid, cv.toArray, math.sqrt(dot(cv.toArray, cv.toArray))) }
+      vecs.map { case (_, v) =>
+        val vn = math.sqrt(dot(v, v))
+        cn.maxBy { case (cid, cv, n) => (dot(v, cv) / (vn * n), -cid) }._1
+      }.groupBy(identity).values.map(_.length).max
+    }
+    val sampled = vecs.take(2).map { case (id, v) => (id, v.toSeq) }.toSeq
+    val trained = Ann.trainCentroids(skewed, nCenters = 2, sampleN = 20, iters = 2)
+    assert(maxListSize(trained) < maxListSize(sampled))
+    assert(maxListSize(trained) == 10) // perfectly balanced on this fixture
+    // deterministic: retraining yields identical centroids
+    assert(trained == Ann.trainCentroids(skewed, nCenters = 2, sampleN = 20, iters = 2))
+    // full-coverage IVF with a trained quantizer still equals brute force
+    val p = skewed.where(col("vec_id") === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val bf = Ann.bruteForceTopK(skewed, p, k = 5)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
+    val ivf = Ann.ivfTopK(skewed, p, k = 5, nCenters = 2, nProbe = 2,
+        trainIters = 2, trainSample = 20)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(ivf.toSeq == bf.toSeq)
+  }
+
   test("hyperplanes are deterministic") {
     val h1 = VectorFunctions.hyperplane(3, 8)
     val h2 = VectorFunctions.hyperplane(3, 8)

@@ -40,6 +40,41 @@ class MultimodalSpec extends SparkSpec {
     assert(res(0L) == expected.map(_ & 0xff).sum.toDouble / expected.length)
   }
 
+  test("real PNG decode: exact pixel stats from generated images; non-images keep the stub") {
+    // Deterministic generated PNGs: decode must recover the EXACT
+    // dimensions and mean brightness of the generating pixel function.
+    def expectedBrightness(w: Int, h: Int, seed: Int): Double = {
+      var sum = 0.0
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = (x * 31 + y * 17 + seed) % 256
+        val g = (x * 7 + y * 13 + seed * 3) % 256
+        val b = (x ^ y) % 256
+        sum += (r + g + b) / 3.0
+      }
+      sum / (w.toLong * h.toLong)
+    }
+    val rows = Seq(
+      (0L, "image", Multimodal.generatePng(8, 5, 1), 99, 99, "png"),
+      (1L, "image", Multimodal.generatePng(16, 16, 7), 99, 99, "png"),
+      (2L, "audio", "not an image".getBytes("UTF-8"), 3, 4, "wav"))
+      .toDF("doc_id", "modality", "payload", "width", "height", "format")
+      .select(col("doc_id"), col("modality"), col("payload"),
+        struct(col("width"), col("height"), col("format")).as("meta"))
+    val out = Multimodal.decodeBatched(spark, rows, batchSize = 2)
+      .collect().map(f => f.doc_id -> f).toMap
+    // decoded dims override the (wrong) declared metadata dims
+    assert(out(0L).width == 8 && out(0L).height == 5 && out(0L).n_pixels == 40L)
+    assert(out(0L).brightness == expectedBrightness(8, 5, 1))
+    assert(out(1L).width == 16 && out(1L).height == 16)
+    assert(out(1L).brightness == expectedBrightness(16, 16, 7))
+    // the non-image row still goes through the stub + declared metadata
+    val audioBytes = "not an image".getBytes("UTF-8")
+    assert(out(2L).width == 3 && out(2L).n_pixels == 12L)
+    assert(out(2L).brightness == audioBytes.map(_ & 0xff).sum.toDouble / audioBytes.length)
+    // round-trip: generation is deterministic
+    assert(Multimodal.generatePng(8, 5, 1).toSeq == Multimodal.generatePng(8, 5, 1).toSeq)
+  }
+
   test("column pruning: selecting features-only does not read payload") {
     // Write to parquet, read back, select a narrow projection — the
     // optimized scan schema must exclude the payload column.
