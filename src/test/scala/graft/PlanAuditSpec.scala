@@ -90,4 +90,40 @@ class PlanAuditSpec extends SparkSpec {
       minAgree = 1))
     assert(!p2.contains("CartesianProduct"), p2)
   }
+
+  test("one-hop output-category filter is a scan predicate, not a join (r2 g07 regression)") {
+    val res = OneHop.answer(spark, graph, ont, QueryGraph.oneHop(
+      QNode("n_out", categories = Seq(O.Customer, O.Nation)),
+      QNode("n_in", ids = Seq("NAT:0", "NAT:1")),
+      QEdge("n_out", "n_in", predicates = Seq(O.LocatedIn, O.AdjacentTo))),
+      closure = None, expandSubclasses = false)
+    val opt = res.matches.queryExecution.optimizedPlan.toString
+    // denormalized endpoint categories: the filter is arrays_overlap on
+    // the edge row itself — no semi-join against the node table
+    assert(opt.contains("arrays_overlap"), opt)
+    assert(!opt.contains("LeftSemi"), s"category filter became a join again:\n$opt")
+    assert(!plan(res.matches).contains("SortMergeJoin"))
+  }
+
+  test("bucketed embedding dedup joins on the bucket key, never all-pairs") {
+    import spark.implicits._
+    val vecs = (0 until 8).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d).toFloat / 32f)))
+      .toDF("vec_id", "embedding")
+    val p = plan(Dedup.embeddingPairs(vecs, threshold = 0.1, bucketed = true,
+      nPlanes = 4, dim = 4, nTables = 2))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("TRAPI envelope assembly is join-light: no cartesian, no edge-table shuffle join") {
+    val res = OneHop.answer(spark, graph, ont, QueryGraph.oneHop(
+      QNode("n_out"),
+      QNode("n_in", ids = Seq("NAT:0", "NAT:1")),
+      QEdge("n_out", "n_in", predicates = Seq(O.LocatedIn))),
+      closure = None, expandSubclasses = false)
+    val parts = TrapiResponse.assemble(res, graph, Map.empty, "infores:graft")
+    val p = plan(parts)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
