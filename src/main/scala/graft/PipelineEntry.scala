@@ -172,6 +172,33 @@ object PipelineEntry {
         .orderBy("user_id", "session_idx")
     }),
 
+    // P15b — the full streaming pipeline (watermarked event-id dedup →
+    // tumbling windowed agg) in APPEND mode: only windows finalized by the
+    // watermark emit (window_end <= max_event_time - delay), which the
+    // oracle mirrors. n_users is HLL-approximate in streaming state and is
+    // deliberately excluded from the compared columns.
+    "p18_streaming_windows" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import java.nio.file.{Files, Paths}
+      val streamDir = Paths.get(s"target/p18-events-${dir.replaceAll("[^0-9.]", "")}")
+      Files.createDirectories(streamDir)
+      val link = streamDir.resolve("events.parquet")
+      if (!Files.exists(link))
+        Files.createSymbolicLink(link, Paths.get(dir, "events.parquet"))
+      val stream = graft.streaming.EventStream.read(s, streamDir.toString, tsNanos = true)
+      val name = "p18_windows_" + dir.replaceAll("[^0-9]", "")
+      val q = graft.streaming.EventStream
+        .windowedCounts(graft.streaming.EventStream.deduped(stream),
+          widthMinutes = 60, watermark = "")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).select(
+        unix_micros(col("window_start")).as("window_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("window_us", "event_type")
+    }),
+
     // P13 — gap-based sessionization (30 min).
     "p13_sessionize" -> ((s, dir) =>
       Sessionize.sessions(events(s, dir), gapMinutes = 30)
@@ -539,6 +566,15 @@ SELECT user_id, session_idx, count(*) AS n_events,
   epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
   round(sum(value), 4) AS total_value
 FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+
+    "p18_streaming_windows" ->
+      s"""WITH $eventsCte
+SELECT epoch_us(date_trunc('hour', ts)) AS window_us, event_type,
+  count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+HAVING (window_us // 1000 + 3600000)
+  <= (SELECT epoch_us(max(ts)) // 1000 - 600000 FROM events)
+ORDER BY window_us, event_type""",
 
     "p14_window_agg" ->
       s"""WITH $eventsCte

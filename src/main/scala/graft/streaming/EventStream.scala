@@ -55,10 +55,11 @@ object EventStream {
    * Sessionize.tumblingAgg). n_users is APPROXIMATE (HLL) — streaming
    * aggregation state cannot hold per-window distinct sets, and Spark
    * rejects count_distinct on streaming frames; the batch twin computes
-   * it exactly. */
+   * it exactly. Pass `watermark = ""` when the input already carries one
+   * (e.g. downstream of `deduped`) — redefining it is disallowed. */
   def windowedCounts(events: DataFrame, widthMinutes: Int = 60,
                      watermark: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", watermark)
+    (if (watermark.isEmpty) events else events.withWatermark("ts", watermark))
       .groupBy(window(col("ts"), s"$widthMinutes minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         approx_count_distinct(col("user_id")).as("n_users"),
