@@ -97,10 +97,12 @@ object PipelineEntry {
         nTables = 4).orderBy("id_a", "id_b")),
 
     // P16 — near-dup clusters: connected components over the Jaccard
-    // pair graph, keep-min representative per duplicate group.
+    // pair graph, keep-min representative per duplicate group. Pair
+    // derivation uses the same guarded form as p02, so the materialized
+    // shingle stage is shared in-session and the plan stays skew-safe.
     "p16_dedup_clusters" -> ((s, dir) =>
-      Dedup.clusters(Dedup.jaccardPairs(docs(s, dir), n = 3, threshold = 0.8))
-        .orderBy("id")),
+      Dedup.clusters(Dedup.jaccardPairs(docs(s, dir), n = 3, threshold = 0.8,
+        maxShingleFreq = MaxShingleFreq)).orderBy("id")),
 
     // P17 — IVF-flat ANN with a TRAINED coarse quantizer: deterministic
     // k-means (2 fixed iterations over the first 256 vectors, ordered
@@ -328,7 +330,9 @@ ORDER BY id_a, id_b""",
 
     "p16_dedup_clusters" ->
       s"""WITH RECURSIVE $docCtes,
-ex AS (SELECT doc_id, unnest(s) AS shingle, len(s)::BIGINT AS n FROM sh),
+ex0 AS (SELECT doc_id, unnest(s) AS shingle, len(s)::BIGINT AS n FROM sh),
+hot AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) > $MaxShingleFreq),
+ex AS (SELECT * FROM ex0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
 co AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c,
          any_value(a.n) AS na, any_value(b.n) AS nb

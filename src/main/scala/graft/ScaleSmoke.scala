@@ -69,8 +69,13 @@ object ScaleSmoke {
     time("ann lsh")(Ann.lshTopK(bigEmbs, probes, k = 10, nTables = 2).count())
     time("ann ivf")(Ann.ivfTopK(bigEmbs, probes, k = 10, nCenters = 64,
       nProbe = 8).count())
+    time("ann ivf trained")(Ann.ivfTopK(bigEmbs, probes, k = 10, nCenters = 64,
+      nProbe = 8, trainIters = 2, trainSample = 1024).count())
     time("embed pairs bucketed")(
       Dedup.embeddingPairs(bigEmbs, threshold = 0.4, bucketed = true).count())
+    time("embed pairs 4-table")(
+      Dedup.embeddingPairs(bigEmbs, threshold = 0.4, bucketed = true,
+        nTables = 4).count())
     spark.stop()
   }
 }
