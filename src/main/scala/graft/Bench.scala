@@ -76,7 +76,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = ok.map(r => cold(r._2)).sum
     val totalP50 = ok.map(r => p50(r._2)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"queries_p50":${qmap(p50)},"queries_min":${qmap(_.min)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"queries_p50":${qmap(p50)},"queries_min":${qmap(_.min)},"queries_max":${qmap(_.max)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

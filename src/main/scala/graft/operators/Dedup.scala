@@ -264,30 +264,41 @@ object Dedup {
                      nTables: Int = 1): DataFrame = {
     // Precompute each vector's norm once (N sqrt-dots instead of 2 per
     // pair — at n^2 pairs that's the dominant cost).
-    val base = embs.select(col(idCol).as("id"), VF.toDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", VF.norm(col("v")))
-    // Multi-table sign-LSH (nTables independent hyperplane sets): a pair
-    // collides when it shares a bucket in ANY table, recovering recall a
-    // single bucketing loses — same trade as Ann.lshTopK. Cost is linear
-    // in nTables (the corpus is replicated per table before the equi-join)
-    // while the join itself stays bucketed, never all-pairs.
-    val keyed =
-      if (!bucketed) base.withColumn("t", lit(0)).withColumn("bucket", lit(0L))
-      else (0 until nTables).map { t =>
-        base.withColumn("t", lit(t))
-          .withColumn("bucket", VF.lshBucket(col("v"), nPlanes, dim, t * nPlanes))
-      }.reduce(_ unionAll _)
-    val withKey = SelfJoinMaterialize(keyed)
-    val a = withKey.select(col("t"), col("bucket"), col("id").as("id_a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = withKey.select(col("t"), col("bucket"), col("id").as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("t", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      // a pair colliding in several tables is scored once (the carried
-      // vectors are functionally dependent on the ids, so which surviving
-      // row wins is immaterial)
-      .dropDuplicates("id_a", "id_b")
+    val base = SelfJoinMaterialize(
+      embs.select(col(idCol).as("id"), VF.toDouble(col(vecCol)).as("v"))
+        .withColumn("nrm", VF.norm(col("v"))))
+    val scored =
+      if (!bucketed) {
+        // exact quadratic ground truth: carry the vectors straight through
+        val a = base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+        val b = base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+        a.crossJoin(b).where(col("id_a") < col("id_b"))
+      } else {
+        // Multi-table sign-LSH (nTables independent hyperplane sets): a
+        // pair collides when it shares a bucket in ANY table — same recall
+        // recovery as Ann.lshTopK. Candidate generation and cross-table
+        // dedup move ONLY id pairs (the ScaleSmoke lesson: deduping rows
+        // that carry two 64-double vectors made the dedup exchange the
+        // bottleneck, 114s vs 16s at 20x); vectors re-join by id afterward,
+        // and the join is always bucket-equi, never all-pairs.
+        val keyed = SelfJoinMaterialize(
+          (0 until nTables).map { t =>
+            base.select(col("id"),
+              VF.lshBucket(col("v"), nPlanes, dim, t * nPlanes).as("bucket"))
+              .withColumn("t", lit(t))
+          }.reduce(_ unionAll _))
+        val cand = keyed.select(col("t"), col("bucket"), col("id").as("id_a"))
+          .join(keyed.select(col("t"), col("bucket"), col("id").as("id_b")),
+            Seq("t", "bucket"))
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        cand
+          .join(base.select(col("id").as("id_a"), col("v").as("va"),
+            col("nrm").as("na")), Seq("id_a"))
+          .join(base.select(col("id").as("id_b"), col("v").as("vb"),
+            col("nrm").as("nb")), Seq("id_b"))
+      }
+    scored
       .withColumn("cosine", VF.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
