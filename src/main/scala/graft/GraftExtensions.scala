@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.HashExpressions.{ShingleMinHash, ShingleSimHash}
+import graft.functions.VectorExpressions.DotProduct
 
 /**
  * SparkSessionExtensions hook: registers graft's native expressions as
@@ -18,6 +19,7 @@ import graft.functions.HashExpressions.{ShingleMinHash, ShingleSimHash}
  * SQL surface:
  *   shingle_simhash(array<string>)        -> bigint
  *   shingle_minhash(array<string>, k)     -> array<bigint>
+ *   vec_dot(array<double>, array<double>) -> double
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -46,6 +48,12 @@ object GraftExtensions {
               s"shingle_minhash k must be an integer literal, got $other")
           }
           ShingleMinHash(children.head, k)
+        }),
+      (FunctionIdentifier("vec_dot"),
+        new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2, "vec_dot takes exactly 2 arguments")
+          DotProduct(children.head, children(1))
         }))
 
   /** Register on an already-running session (extensions hooks only run

@@ -23,5 +23,10 @@ class GraftExtensionsSpec extends SparkSpec {
       graft.functions.HashExpressions.shingleSimhash(
         typedLit(Seq("a b", "b c"))).as("h")).collect()(0).getLong(0)
     assert(sim == viaColumn)
+    // native dot product from SQL
+    val d = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(d == 11.0)
   }
 }
