@@ -75,6 +75,36 @@ object SparkEntry {
     df.select(col("edge_id"), col("input_id"), col("output_id"))
       .orderBy("edge_id", "input_id")
 
+  /** Synthetic raw edges with zipped list properties + trial-phase enums
+   * run through the full ingest-transform chain (shared by g24 and g31). */
+  private def zippedEdges(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.GraphBuilder
+    val nullS = lit(null).cast("string")
+    val raw = s.read.parquet(s"$dir/customer.parquet").select(
+      concat(lit("E-ZIP:"), col("c_custkey").cast("string")).as("edge_id"),
+      concat(lit("CUST:"), col("c_custkey").cast("string")).as("subject"),
+      concat(lit("NAT:"), col("c_nationkey").cast("string")).as("object"),
+      lit(O.LocatedIn).as("predicate"),
+      nullS.as("qualified_predicate"), nullS.as("object_direction"),
+      nullS.as("object_aspect"), lit("infores:crm").as("primary_knowledge_source"),
+      map(lit("note"),
+        when(col("c_custkey") % 7 === 0, lit("")).otherwise(lit("ok"))).as("attrs"),
+      map(lit("phase"), (col("c_custkey") % 9).cast("double") / 2.0).as("num_attrs"),
+      map(
+        lit("tags"), array(col("c_mktsegment"),
+          concat(lit("tier"), (col("c_custkey") % 3).cast("string"))),
+        lit("tag_scores"), array(
+          concat(lit("s"), (col("c_custkey") % 4).cast("string")),
+          when(col("c_custkey") % 5 === 0, lit(""))
+            .otherwise(concat(lit("q"), (col("c_custkey") % 2).cast("string")))),
+        lit("tp"), array(((col("c_custkey") % 9).cast("double") / 2.0).cast("string"))
+      ).as("list_attrs"))
+    GraphBuilder.zipListAttrs(
+      GraphBuilder.pruneEmptyAttrs(GraphBuilder.coerceTrialPhases(raw, Seq("phase"))),
+      specs = Map("tagged" -> Seq("tags", "tag_scores"), "trial" -> Seq("tp")),
+      trialPhaseProps = Set("tp"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graphQueries ++ PipelineEntry.queries
@@ -266,32 +296,7 @@ object SparkEntry {
     // into list-of-structs (with nested coercion + empty pruning), empty
     // attribute pruning (ref: plover.py:1011-1059, :1742-1747).
     "g24_ingest_transforms" -> ((s, dir) => {
-      import graft.sources.GraphBuilder
-      val nullS = lit(null).cast("string")
-      val raw = s.read.parquet(s"$dir/customer.parquet").select(
-        concat(lit("E-ZIP:"), col("c_custkey").cast("string")).as("edge_id"),
-        concat(lit("CUST:"), col("c_custkey").cast("string")).as("subject"),
-        concat(lit("NAT:"), col("c_nationkey").cast("string")).as("object"),
-        lit(O.LocatedIn).as("predicate"),
-        nullS.as("qualified_predicate"), nullS.as("object_direction"),
-        nullS.as("object_aspect"), lit("infores:crm").as("primary_knowledge_source"),
-        map(lit("note"),
-          when(col("c_custkey") % 7 === 0, lit("")).otherwise(lit("ok"))).as("attrs"),
-        map(lit("phase"), (col("c_custkey") % 9).cast("double") / 2.0).as("num_attrs"),
-        map(
-          lit("tags"), array(col("c_mktsegment"),
-            concat(lit("tier"), (col("c_custkey") % 3).cast("string"))),
-          lit("tag_scores"), array(
-            concat(lit("s"), (col("c_custkey") % 4).cast("string")),
-            when(col("c_custkey") % 5 === 0, lit(""))
-              .otherwise(concat(lit("q"), (col("c_custkey") % 2).cast("string")))),
-          lit("tp"), array(((col("c_custkey") % 9).cast("double") / 2.0).cast("string"))
-        ).as("list_attrs"))
-      val built = GraphBuilder.zipListAttrs(
-        GraphBuilder.pruneEmptyAttrs(GraphBuilder.coerceTrialPhases(raw, Seq("phase"))),
-        specs = Map("tagged" -> Seq("tags", "tag_scores"), "trial" -> Seq("tp")),
-        trialPhaseProps = Set("tp"))
-      built.select(
+      zippedEdges(s, dir).select(
         col("edge_id"),
         coalesce(element_at(col("attrs"), "phase"),
           element_at(col("num_attrs"), "phase").cast("string")).as("phase"),
@@ -302,6 +307,26 @@ object SparkEntry {
         col("trial").getItem(0).getField("tp").as("trial"),
         concat_ws("|", map_keys(col("list_attrs"))).as("remaining_list_attrs"))
         .orderBy("edge_id")
+    }),
+
+    // G15 — attribute constraints on ZIPPED subattributes + trial-phase
+    // reverse mapping (ref: plover.py:2440-2462, :2487-2500): the leader
+    // values fulfill top-level, the tag_scores constraint must hold
+    // within the same zipped element, and the numeric tp constraint
+    // compares enum strings as their phase numbers (unmapped "3.5"
+    // never matches, like the reference's TypeError).
+    "g31_attr_constraint_nested" -> ((s, dir) => {
+      import graft.operators.AttributeConstraints.ZipSpec
+      val zips = Seq(
+        ZipSpec("tagged", "tags", Seq("tags", "tag_scores")),
+        ZipSpec("trial", "tp", Seq("tp")))
+      val cs = Seq(
+        AttributeConstraint("tags", "==", strValues = Seq("tier1")),
+        AttributeConstraint("tag_scores", "==", strValues = Seq("q1")),
+        AttributeConstraint("tp", ">=", numValues = Seq(2.0)))
+      zippedEdges(s, dir)
+        .where(AttributeConstraints.compileAll(cs, zips))
+        .select("edge_id").orderBy("edge_id")
     }),
 
     // KGX source round-trip: export the fixture graph as gzipped KGX TSV,
@@ -659,6 +684,16 @@ object SparkEntry {
          LEFT JOIN customer c ON e.edge_id = 'E-CN:' || c.c_custkey
          LEFT JOIN supplier s ON e.edge_id = 'E-SN:' || s.s_suppkey
          ORDER BY edge_id, subject"""),
+
+    // tier1 => c%3=1; tag_scores q1 present => c%2=1 and c%5<>0 (empty
+    // scores are pruned); tp>=2.0 via reversed enum => c%9 in {4,5,6,8}
+    // (7 -> "3.5" stays unmapped and never matches).
+    "g31_attr_constraint_nested" ->
+      """SELECT 'E-ZIP:' || c_custkey AS edge_id FROM customer
+         WHERE c_custkey % 3 = 1
+           AND c_custkey % 2 = 1 AND c_custkey % 5 <> 0
+           AND (c_custkey % 9) IN (4, 5, 6, 8)
+         ORDER BY edge_id""",
 
     "g29_cutoff_guard" -> TpchGraph.oracle(
       """SELECT * FROM (

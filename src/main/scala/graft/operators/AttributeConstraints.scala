@@ -17,11 +17,20 @@ import org.apache.spark.sql.functions._
  *  - edge "sources" are matched as pseudo-attributes, and a constraint id
  *    of `knowledge_source` is fulfilled by any knowledge-source-role
  *    property (aliasing, plover.py:2474-2479);
+ *  - trial-phase enum strings compare as their NUMBERS against numeric
+ *    constraint values (`trial_phases_map_reversed`, plover.py:2487-2500 —
+ *    an unmapped string vs a number is a TypeError → never matches);
+ *  - zipped properties: a constraint not fulfilled by any top-level
+ *    attribute may be fulfilled by SUBATTRIBUTES, but then all such
+ *    remaining constraints must hold within the SAME zipped element
+ *    (plover.py:2440-2454); the zipped leader value itself counts as a
+ *    top-level attribute;
  *  - an edge must fulfill ALL constraints to survive.
  *
  * The reference walks Python dicts per edge; here each constraint becomes
  * one codegen'd boolean expression over the attrs/num_attrs/list_attrs
- * maps, so filtering is a narrow scan at any scale.
+ * maps (plus `exists` over zipped struct arrays), so filtering is a
+ * narrow scan at any scale.
  */
 object AttributeConstraints {
 
@@ -29,16 +38,73 @@ object AttributeConstraints {
     "primary_knowledge_source", "aggregator_knowledge_source",
     "supporting_data_source")
 
+  /** A zipped property (GraphBuilder.zipListAttrs output): array<struct>
+   * column `zipped`, whose `leader` member renders as the top-level
+   * attribute and whose other members become its subattributes
+   * (ref: plover.py:2274-2297 zip rendering). */
+  final case class ZipSpec(zipped: String, leader: String, members: Seq[String])
+
+  /** enum string -> phase number (the reference's reversed map). */
+  val TrialPhasesReversed: Map[String, Double] =
+    graft.sources.GraphBuilder.TrialPhasesMap.map(_.swap)
+
   /** Boolean Column: does an edge row fulfill all `constraints`? */
   def compileAll(constraints: Seq[AttributeConstraint]): Column =
     constraints.map(compile).reduceOption(_ && _).getOrElse(lit(true))
 
+  /**
+   * Constraint fulfillment with zipped-subattribute semantics: every
+   * constraint holds top-level, OR some single zipped element fulfills
+   * all the constraints that don't (ref: plover.py:2418-2462).
+   */
+  def compileAll(constraints: Seq[AttributeConstraint],
+                 zips: Seq[ZipSpec]): Column = {
+    if (constraints.isEmpty) return lit(true)
+    def top(c: AttributeConstraint): Column = {
+      val leaderTops = zips.filter(_.leader == c.id).map { z =>
+        coalesce(exists(col(z.zipped), e => meetsScalar(c, e.getField(c.id))),
+          lit(false))
+      }
+      (compile(c) +: leaderTops).reduce(_ || _)
+    }
+    val allTop = constraints.map(c => coalesce(top(c), lit(false))).reduce(_ && _)
+    val nested = zips.map { z =>
+      val subMembers = z.members.filterNot(_ == z.leader).toSet
+      coalesce(exists(col(z.zipped), e =>
+        constraints.map { c =>
+          val sub =
+            if (subMembers(c.id)) meetsScalar(c, e.getField(c.id)) else lit(false)
+          coalesce(top(c) || sub, lit(false))
+        }.reduce(_ && _)), lit(false))
+    }
+    (allTop +: nested).reduce(_ || _)
+  }
+
+  /** Present scalar string value (an attribute or zipped member) meets
+   * the constraint — with per-attribute `not` inversion and trial-phase
+   * reverse mapping for numeric constraints. An ABSENT value never
+   * fulfills, negated or not (the reference only builds attributes for
+   * present values). */
+  private def meetsScalar(c: AttributeConstraint, v: Column): Column =
+    v.isNotNull && applyNot(c, scalarStrCond(c, v))
+
+  /** String value vs constraint: direct string compare when the
+   * constraint carries strings; via the reversed trial-phase map when it
+   * carries numbers (unmapped string -> no match, like the TypeError). */
+  private def scalarStrCond(c: AttributeConstraint, v: Column): Column =
+    if (c.strValues.nonEmpty) strCond(c, v)
+    else if (c.numValues.nonEmpty) {
+      val r = element_at(typedLit(TrialPhasesReversed), v)
+      r.isNotNull && numCond(c, r)
+    } else lit(false)
+
   def compile(c: AttributeConstraint): Column = {
     val candidates = scala.collection.mutable.ArrayBuffer.empty[Column]
 
-    // String attribute (scalar)
+    // String attribute (scalar) — numeric constraints compare through the
+    // reversed trial-phase map
     val sVal = element_at(col("attrs"), c.id)
-    candidates += (sVal.isNotNull && applyNot(c, strCond(c, sVal)))
+    candidates += (sVal.isNotNull && applyNot(c, scalarStrCond(c, sVal)))
     // Numeric attribute (scalar)
     val nVal = element_at(col("num_attrs"), c.id)
     candidates += (nVal.isNotNull && applyNot(c, numCond(c, nVal)))
@@ -83,10 +149,23 @@ object AttributeConstraints {
     }
   }
 
-  /** List (array<string>) attribute vs scalar-or-list constraint value. */
+  /** List (array<string>) attribute vs scalar-or-list constraint value.
+   * Numeric constraints compare each element through the reversed
+   * trial-phase map (plover.py:2487-2492 reverses list elements too). */
   private def listCond(c: AttributeConstraint, v: Column): Column = {
     val vals = c.strValues
-    if (vals.isEmpty) return lit(false)
+    if (vals.isEmpty) {
+      if (c.numValues.isEmpty) return lit(false)
+      val rev = (e: Column) => element_at(typedLit(TrialPhasesReversed), e)
+      return c.op match {
+        case "==" =>
+          if (c.scalar) exists(v, e => rev(e) === lit(c.numValues.head))
+          else exists(v, e => rev(e).isin(c.numValues: _*))
+        case "===" => lit(false) // list attribute never strictly equals numbers
+        case op => c.numValues.map(x =>
+          exists(v, e => rev(e).isNotNull && ineq(op, rev(e), lit(x)))).reduce(_ || _)
+      }
+    }
     c.op match {
       case "==" =>
         if (c.scalar) array_contains(v, vals.head)

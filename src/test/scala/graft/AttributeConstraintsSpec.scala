@@ -110,4 +110,50 @@ class AttributeConstraintsSpec extends SparkSpec {
       AttributeConstraint("a", "==", strValues = Seq("1")),
       AttributeConstraint("b", ">", numValues = Seq(5.0))))
   }
+
+  test("trial-phase enum strings compare as numbers against numeric constraints") {
+    val e = edge(attrs = Map("phase" -> "clinical_trial_phase_3"))
+    assert(survives(e, AttributeConstraint("phase", ">=", numValues = Seq(2.0))))
+    assert(!survives(e, AttributeConstraint("phase", ">", numValues = Seq(3.0))))
+    // unmapped string vs number = reference TypeError -> never matches
+    val u = edge(attrs = Map("phase" -> "3.5"))
+    assert(!survives(u, AttributeConstraint("phase", ">=", numValues = Seq(2.0))))
+    // list attribute elements reverse-map too
+    val l = edge(lists = Map("phases" -> Seq("not_provided", "clinical_trial_phase_4")))
+    assert(survives(l, AttributeConstraint("phases", ">=", numValues = Seq(4.0))))
+    assert(!survives(l, AttributeConstraint("phases", "==", numValues = Seq(2.0))))
+  }
+
+  test("zipped subattributes: remaining constraints must hold in the SAME element") {
+    import AttributeConstraints.ZipSpec
+    import org.apache.spark.sql.functions.{array, struct, lit => l}
+    val zips = Seq(ZipSpec("tagged", "tags", Seq("tags", "tag_scores")))
+    // element 1: (tier1, s0); element 2: (tier2, q1)
+    val e = edge().withColumn("tagged", array(
+      struct(l("tier1").as("tags"), l("s0").as("tag_scores")),
+      struct(l("tier2").as("tags"), l("q1").as("tag_scores"))))
+    def passes(cs: AttributeConstraint*) =
+      e.where(AttributeConstraints.compileAll(cs, zips)).count() == 1
+    // leader constraint alone: top-level via any element's leader value
+    assert(passes(AttributeConstraint("tags", "==", strValues = Seq("tier1"))))
+    // subattribute constraint alone: fulfilled in element 2
+    assert(passes(AttributeConstraint("tag_scores", "==", strValues = Seq("q1"))))
+    // leader (top-level, element 1) + subattribute (element 2): the leader
+    // being top-level means it doesn't constrain WHICH element fulfills
+    // the rest (reference: remaining = non-top constraints only)
+    assert(passes(
+      AttributeConstraint("tags", "==", strValues = Seq("tier1")),
+      AttributeConstraint("tag_scores", "==", strValues = Seq("q1"))))
+    // two subattribute constraints that only hold in DIFFERENT elements
+    // must fail (same-attribute rule) — tag_scores s0 and q1 never co-occur
+    assert(!passes(
+      AttributeConstraint("tag_scores", "==", strValues = Seq("s0")),
+      AttributeConstraint("tag_scores", "==", strValues = Seq("q1"))))
+    // absent subattribute never fulfills a negated constraint
+    val withNull = edge().withColumn("tagged", array(
+      struct(l("tier1").as("tags"), l(null).cast("string").as("tag_scores"))))
+    assert(withNull.where(AttributeConstraints.compileAll(Seq(
+      AttributeConstraint("tag_scores", "==", strValues = Seq("q1"),
+        negated = true)), zips)).count() == 0)
+  }
 }
