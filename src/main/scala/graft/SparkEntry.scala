@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{GraftOntology => O, PropertyGraph}
 import graft.operators._
@@ -307,6 +307,38 @@ object SparkEntry {
         col("trial").getItem(0).getField("tp").as("trial"),
         concat_ws("|", map_keys(col("list_attrs"))).as("remaining_list_attrs"))
         .orderBy("edge_id")
+    }),
+
+    // G11 — subclass reasoning from an EXTERNAL subclass-edge file
+    // (ref: plover.py:1521-1619): unknown-endpoint rows are dropped,
+    // equivalent ids remap to preferred ids, a source allowlist filters,
+    // superclass_of flips, and duplicate triples collapse.
+    "g32_subclass_from_file" -> ((s, dir) => {
+      val out = s"target/subclass-file-${dir.replaceAll("[^0-9.]", "")}"
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      def row(idPfx: String, subj: Column, obj: Column, pred: String,
+              src: String)(rows: DataFrame) = rows.select(
+        concat(lit(idPfx), col("c_custkey").cast("string")).as("id"),
+        subj.as("subject"), obj.as("object"),
+        lit(pred).as("predicate"), lit(src).as("primary_knowledge_source"))
+      val equivId = concat(lit("CUSTNAME:"), col("c_name"))
+      val natId = concat(lit("NAT:"), col("c_nationkey").cast("string"))
+      // good rows address customers by EQUIVALENT id (must remap);
+      // flipped rows duplicate some pairs via superclass_of (must dedup);
+      // unknown endpoints and disallowed sources must be dropped.
+      val good = row("SUB-F:", equivId, natId, "graft:subclass_of", "infores:tax")(c)
+      val flipped = row("SUB-R:", natId, equivId, "graft:superclass_of",
+        "infores:tax")(c.where(col("c_custkey") % 10 === 0))
+      val unknown = row("SUB-X:", concat(lit("XXX:"), col("c_custkey").cast("string")),
+        natId, "graft:subclass_of", "infores:tax")(c.where(col("c_custkey") % 11 === 0))
+      val badSource = row("SUB-W:", equivId, lit("REG:0"), "graft:subclass_of",
+        "infores:wiki")(c.where(col("c_custkey") % 13 === 0))
+      good.unionAll(flipped).unionAll(unknown).unionAll(badSource)
+        .coalesce(1).write.mode("overwrite")
+        .option("sep", "\t").option("header", "true").csv(out)
+      SubclassClosure.directFromFile(s, out, "tsv",
+        Fixture.graph(s, dir).nodes, allowedSources = Set("infores:tax"))
+        .orderBy("ancestor", "descendant")
     }),
 
     // G15 — attribute constraints on ZIPPED subattributes + trial-phase
@@ -684,6 +716,10 @@ object SparkEntry {
          LEFT JOIN customer c ON e.edge_id = 'E-CN:' || c.c_custkey
          LEFT JOIN supplier s ON e.edge_id = 'E-SN:' || s.s_suppkey
          ORDER BY edge_id, subject"""),
+
+    "g32_subclass_from_file" ->
+      """SELECT 'NAT:' || c_nationkey AS ancestor, 'CUST:' || c_custkey AS descendant
+         FROM customer ORDER BY ancestor, descendant""",
 
     // tier1 => c%3=1; tag_scores q1 present => c%2=1 and c%5<>0 (empty
     // scores are pruned); tp>=2.0 via reversed enum => c%9 in {4,5,6,8}

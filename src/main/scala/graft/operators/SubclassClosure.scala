@@ -29,6 +29,45 @@ import graft.model.{Ontology, PropertyGraph}
 object SubclassClosure {
 
   val SubclassPredicate = "graft:subclass_of"
+  val SuperclassPredicate = "graft:superclass_of"
+
+  /**
+   * Direct subclass pairs from an EXTERNAL subclass-edge file — the
+   * reference's separate-file path (ref: plover.py:1521-1619
+   * `_get_subclass_edges`): keep only edges whose BOTH endpoints are
+   * known identifiers (node ids or their equivalent ids), remap both to
+   * the preferred ids, optionally filter by a primary-knowledge-source
+   * allowlist (`kg_config["subclass_sources"]`), flip superclass_of to
+   * the canonical direction, and deduplicate triples. The known-id map
+   * is node-table-bounded, so both joins broadcast; the file is scanned
+   * once. Feed the result to `compute`.
+   */
+  def directFromFile(spark: org.apache.spark.sql.SparkSession, path: String,
+                     format: String, nodes: DataFrame,
+                     allowedSources: Set[String] = Set.empty,
+                     cfg: graft.sources.KgxSource.KgxConfig =
+                       graft.sources.KgxSource.KgxConfig()): DataFrame = {
+    val known = Normalizer.preferredIdMap(nodes)
+      .unionByName(nodes.select(col("id").as("equiv_id"), col("id").as("preferred_id")))
+    val edges = graft.sources.KgxSource.readEdges(spark, path, format, cfg)
+      .where(col("predicate").isin(SubclassPredicate, SuperclassPredicate))
+    val sourced =
+      if (allowedSources.isEmpty) edges
+      else edges.where(
+        col("primary_knowledge_source").isin(allowedSources.toSeq: _*))
+    sourced
+      .join(broadcast(known.select(col("equiv_id").as("subject"),
+        col("preferred_id").as("subj_pref"))), Seq("subject"))
+      .join(broadcast(known.select(col("equiv_id").as("object"),
+        col("preferred_id").as("obj_pref"))), Seq("object"))
+      .select(
+        when(col("predicate") === SuperclassPredicate, col("subj_pref"))
+          .otherwise(col("obj_pref")).as("ancestor"),
+        when(col("predicate") === SuperclassPredicate, col("obj_pref"))
+          .otherwise(col("subj_pref")).as("descendant"))
+      .where(col("ancestor") =!= col("descendant"))
+      .distinct()
+  }
 
   /** Eagerly local-checkpoint a frame and rebuild it from the checkpointed
    * RDD: materializes the round AND hands back a constraint-free leaf plan

@@ -47,13 +47,20 @@ object TrapiResponse {
                         value_url: Option[String])
   private val noAttrObjs = typedLit(Seq.empty[Attr])
 
+  /** One entry of a per-predicate sources template
+   * (ref: plover.py:1773-1789 `_load_edge_sources`, :2200-2207 template
+   * path — field names match the TRAPI JSON keys). */
+  final case class TrapiSource(resource_id: String, resource_role: String,
+                               upstream_resource_ids: Option[Seq[String]] = None)
+
   /**
    * Knowledge-graph edge JSON per distinct answer edge:
    * (edge_id, json) with subject/object/predicate/sources/attributes
    * [/qualifiers] keys, attributes sorted by property name.
    */
   def edgeParts(matches: DataFrame, shells: Map[String, AttributeShell],
-                kpInforesCurie: String): DataFrame = {
+                kpInforesCurie: String,
+                sourcesTemplate: Map[String, Seq[TrapiSource]] = Map.empty): DataFrame = {
     val edges = matches.dropDuplicates("edge_id")
     val attrs = TrapiAttributes.render(edges, shells, kpInforesCurie)
       .groupBy("edge_id")
@@ -63,13 +70,20 @@ object TrapiResponse {
       .select(col("edge_id"),
         transform(col("sorted"), x => x.getField("a")).as("attributes"))
 
-    val sources = array(
-      struct(col("primary_knowledge_source").as("resource_id"),
-        lit("primary_knowledge_source").as("resource_role"),
-        lit(null).cast("array<string>").as("upstream_resource_ids")),
-      struct(lit(kpInforesCurie).as("resource_id"),
-        lit("aggregator_knowledge_source").as("resource_role"),
-        array(col("primary_knowledge_source")).as("upstream_resource_ids")))
+    // sources: per-predicate template when configured (with "default"
+    // fallback, plover.py:2200-2207), else crafted from the edge's
+    // primary knowledge source + this KP as aggregator.
+    val sources =
+      if (sourcesTemplate.nonEmpty)
+        coalesce(element_at(typedLit(sourcesTemplate), col("predicate")),
+          typedLit(sourcesTemplate.getOrElse("default", Seq.empty)))
+      else array(
+        struct(col("primary_knowledge_source").as("resource_id"),
+          lit("primary_knowledge_source").as("resource_role"),
+          lit(null).cast("array<string>").as("upstream_resource_ids")),
+        struct(lit(kpInforesCurie).as("resource_id"),
+          lit("aggregator_knowledge_source").as("resource_role"),
+          array(col("primary_knowledge_source")).as("upstream_resource_ids")))
     val qualifiers = filter(array(
       struct(lit("biolink:qualified_predicate").as("qualifier_type_id"),
         col("qualified_predicate").as("qualifier_value")),
@@ -158,11 +172,13 @@ object TrapiResponse {
                shells: Map[String, AttributeShell], kpInforesCurie: String,
                edgeKey: String = "e1", inputIsSet: Boolean = false,
                outputIsSet: Boolean = false,
-               nodeAttrColumns: Seq[String] = Seq.empty): DataFrame = {
+               nodeAttrColumns: Seq[String] = Seq.empty,
+               sourcesTemplate: Map[String, Seq[TrapiSource]] = Map.empty): DataFrame = {
     def tag(part: String, df: DataFrame) =
       df.select(lit(part).as("part"), col("key"), col("json"))
     tag("node", nodeParts(res.matches, graph, nodeAttrColumns))
-      .unionAll(tag("edge", edgeParts(res.matches, shells, kpInforesCurie)))
+      .unionAll(tag("edge",
+        edgeParts(res.matches, shells, kpInforesCurie, sourcesTemplate)))
       .unionAll(tag("result",
         resultParts(res, kpInforesCurie, edgeKey, inputIsSet, outputIsSet)))
   }

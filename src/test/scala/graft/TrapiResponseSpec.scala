@@ -50,6 +50,27 @@ class TrapiResponseSpec extends SparkSpec {
     assert(!e2.contains("qualifiers")) // fully unqualified edge: key omitted
   }
 
+  test("per-predicate sources template overrides crafted sources, with default fallback") {
+    import graft.operators.TrapiResponse.TrapiSource
+    val tmpl = Map(
+      "graft:contains_item" -> Seq(
+        TrapiSource("infores:special", "primary_knowledge_source")),
+      "default" -> Seq(
+        TrapiSource("infores:fallback", "primary_knowledge_source",
+          Some(Seq("infores:up")))))
+    // E1 keeps contains_item (template hit); E2 gets an unmapped predicate
+    // (default fallback)
+    val withPred = matches.withColumn("predicate",
+      when(col("edge_id") === "E1", lit("graft:contains_item"))
+        .otherwise(lit("graft:other")))
+    val parts = TrapiResponse.edgeParts(withPred, Map.empty, "infores:graft", tmpl)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(parts("E1").contains(
+      """"sources":[{"resource_id":"infores:special","resource_role":"primary_knowledge_source"}]"""))
+    assert(parts("E2").contains(
+      """"sources":[{"resource_id":"infores:fallback","resource_role":"primary_knowledge_source","upstream_resource_ids":["infores:up"]}]"""))
+  }
+
   test("result JSON: query_id on expanded bindings, is_set collapse") {
     val one = TrapiResponse.resultParts(res, "infores:graft")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
