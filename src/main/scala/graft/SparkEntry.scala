@@ -75,9 +75,24 @@ object SparkEntry {
     df.select(col("edge_id"), col("input_id"), col("output_id"))
       .orderBy("edge_id", "input_id")
 
+  private val zippedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Synthetic raw edges with zipped list properties + trial-phase enums
-   * run through the full ingest-transform chain (shared by g24 and g31). */
-  private def zippedEdges(s: SparkSession, dir: String): DataFrame = {
+   * run through the full ingest-transform chain, MATERIALIZED once per
+   * session (shared by g24 and g31). Ingest-transform output is a stored
+   * table in a real pipeline; querying it through the un-materialized
+   * transform would re-inline the zip expressions into every constraint
+   * reference (the projection-collapse trap — see SelfJoinMaterialize). */
+  private def zippedEdges(s: SparkSession, dir: String): DataFrame =
+    zippedCache.computeIfAbsent((s, dir), { _ =>
+      val df = buildZippedEdges(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
+
+  private def buildZippedEdges(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.GraphBuilder
     val nullS = lit(null).cast("string")
     val raw = s.read.parquet(s"$dir/customer.parquet").select(
