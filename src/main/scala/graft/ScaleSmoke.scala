@@ -71,6 +71,37 @@ object ScaleSmoke {
       nProbe = 8).count())
     time("ann ivf trained")(Ann.ivfTopK(bigEmbs, probes, k = 10, nCenters = 64,
       nProbe = 8, trainIters = 2, trainSample = 1024).count())
+
+    // Recall@10 of each approximate path vs exact brute force — the
+    // quality side of the speed/recall trade. Measured on the
+    // UN-replicated corpus: on the replicated one every probe's true
+    // top-10 are its exact copies, which any bucketing finds (recall
+    // trivially 1.0).
+    val baseEmbs = embs.cache()
+    val exact = Ann.bruteForceTopK(baseEmbs, probes, k = 10)
+      .select("probe_id", "neighbor_id").cache()
+    val nExact = exact.count().toDouble
+    def recall(df: DataFrame): Double =
+      df.select("probe_id", "neighbor_id").intersect(exact).count() / nExact
+    val rLsh = recall(Ann.lshTopK(baseEmbs, probes, k = 10, nTables = 2))
+    val rLsh4 = recall(Ann.lshTopK(baseEmbs, probes, k = 10, nTables = 4))
+    val rIvf = recall(Ann.ivfTopK(baseEmbs, probes, k = 10, nCenters = 64, nProbe = 8))
+    val rTrained = recall(Ann.ivfTopK(baseEmbs, probes, k = 10, nCenters = 64,
+      nProbe = 8, trainIters = 2, trainSample = 1024))
+    println(f"recall@10 vs exact (unreplicated): lsh2t=$rLsh%.3f lsh4t=$rLsh4%.3f " +
+      f"ivf=$rIvf%.3f ivf-trained=$rTrained%.3f")
+    // List balance explains the ivf-vs-trained recall gap: skewed sampled
+    // lists make a probe scan far more than nProbe/nCenters of the corpus.
+    def balance(trainIters: Int): (Long, Double) = {
+      val sizes = Ann.ivfListSizes(baseEmbs, nCenters = 64,
+        trainIters = trainIters, trainSample = 1024)
+        .agg(max("n"), avg("n")).collect()(0)
+      (sizes.getLong(0), sizes.getDouble(1))
+    }
+    val (maxS, meanS) = balance(0)
+    val (maxT, meanT) = balance(2)
+    println(f"ivf list balance (max/mean): sampled=${maxS / meanS}%.1f " +
+      f"trained=${maxT / meanT}%.1f")
     time("embed pairs bucketed")(
       Dedup.embeddingPairs(bigEmbs, threshold = 0.4, bucketed = true).count())
     time("embed pairs 4-table")(

@@ -110,6 +110,34 @@ object Ann {
     cents.map { case (cid, v) => (cid, v.toSeq) }.toSeq
   }
 
+  /** Inverted-list sizes of the IVF assignment (diagnostic: list balance
+   * decides how much of the corpus a probe of nProbe lists actually
+   * scans — skewed sampled centroids can make "nProbe/nCenters" a big
+   * underestimate). Returns (centroid_id, n). */
+  def ivfListSizes(corpus: DataFrame, nCenters: Int = 16,
+                   vecCol: String = "embedding", idCol: String = "vec_id",
+                   trainIters: Int = 0, trainSample: Int = 256): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), VF.toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", VF.norm(col("cv")))
+    val cents =
+      if (trainIters > 0) {
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        trainCentroids(corpus, nCenters, trainSample, trainIters, vecCol, idCol)
+          .toDF("centroid_id", "centv")
+          .withColumn("centn", VF.norm(col("centv")))
+      } else corpus.where(col(idCol) < nCenters)
+        .select(col(idCol).as("centroid_id"), VF.toDouble(col(vecCol)).as("centv"))
+        .withColumn("centn", VF.norm(col("centv")))
+    val wAssign = Window.partitionBy("neighbor_id")
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    c.crossJoin(broadcast(cents))
+      .withColumn("ccos", VF.dot(col("cv"), col("centv")) / (col("cn") * col("centn")))
+      .withColumn("arank", row_number().over(wAssign))
+      .where(col("arank") === 1)
+      .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+  }
+
   /**
    * IVF-flat top-k (the inverted-file scale path): a deterministic coarse
    * quantizer partitions the corpus into lists by nearest-centroid
