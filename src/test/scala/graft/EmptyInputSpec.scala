@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Library robustness: every pipeline operator must return an EMPTY
+ * result (not crash) on empty input — the behavior a pipeline hits on an
+ * empty partition date or a filter that matched nothing. */
+class EmptyInputSpec extends SparkSpec {
+
+  private val emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  private val emptyEmbs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+
+  private val emptyEvents = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType))))
+
+  test("dedup operators on an empty corpus") {
+    assert(Dedup.exact(emptyDocs).count() == 0)
+    assert(Dedup.jaccardPairs(emptyDocs, maxShingleFreq = 10).count() == 0)
+    assert(Dedup.minhashLshPairs(emptyDocs).count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs).count() == 0)
+    assert(Dedup.clusters(
+      Dedup.jaccardPairs(emptyDocs)).count() == 0)
+    assert(Dedup.embeddingPairs(emptyEmbs).count() == 0)
+    assert(Dedup.embeddingPairs(emptyEmbs, bucketed = true, nTables = 2).count() == 0)
+  }
+
+  test("ANN operators on an empty corpus / empty probe set") {
+    val emptyProbes = emptyEmbs.select(col("vec_id").as("probe_id"),
+      col("embedding").as("probe_vec"))
+    assert(Ann.bruteForceTopK(emptyEmbs, emptyProbes).count() == 0)
+    assert(Ann.lshTopK(emptyEmbs, emptyProbes).count() == 0)
+    assert(Ann.ivfTopK(emptyEmbs, emptyProbes).count() == 0)
+    // trained quantizer on an empty corpus is a caller error (no sample):
+    intercept[IllegalArgumentException] {
+      Ann.trainCentroids(emptyEmbs, nCenters = 4)
+    }
+  }
+
+  test("text analysis and sessionization on empty inputs") {
+    assert(TextAnalysis.languageId(emptyDocs).count() == 0)
+    assert(TextAnalysis.quality(emptyDocs).count() == 0)
+    assert(TextAnalysis.tokenCounts(emptyDocs).count() == 0)
+    assert(TextAnalysis.fingerprints(emptyDocs).count() == 0)
+    assert(Sessionize.sessions(emptyEvents).count() == 0)
+    assert(Sessionize.tumblingAgg(emptyEvents).count() == 0)
+    assert(Multimodal.features(Multimodal.fromDocuments(
+      emptyDocs.withColumn("n_chars", lit(0L)))).count() == 0)
+  }
+}

@@ -123,6 +123,40 @@ class StreamingSpec extends SparkSpec {
     assert(b.getAs[Long]("n_events") == 2L && b.getAs[Double]("total_value") == 3.0)
   }
 
+  test("sessionizer runs identically under the RocksDB state store (production large-state config)") {
+    // RocksDB is the memory-bounded store for BIG state (per-event-id
+    // dedup at corpus scale); it's slower than the in-memory map at test
+    // scale, so the registered queries use the default store and this
+    // case proves the production config yields identical results.
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val data = Seq(
+        (1L, ts(0), 1L, "view", 1.0, "{}"),
+        (2L, ts(10), 1L, "click", 2.0, "{}"),
+        (3L, ts(70), 1L, "view", 3.0, "{}"))
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+      mem.addData(data: _*)
+      val src = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val q = EventStream.sessionize(spark, src, gapMinutes = 30,
+          timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+        .writeStream.format("memory").queryName("sess_rocks").outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("sess_rocks").collect()
+      assert(out.length == 1)
+      assert(out(0).getAs[Long]("n_events") == 2L)
+      assert(out(0).getAs[Double]("total_value") == 3.0)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming sessionize: EventTimeTimeout closes a session as the watermark advances") {
     implicit val sqlCtx = spark.sqlContext
     // user 1's events have NO in-batch gap — the session can only close by
