@@ -56,11 +56,19 @@ object GraphBuilder {
     ))
   }
 
-  /** Drop empty-string/null entries from the string-attribute map
-   * (ref: plover.py:1047-1051 empty pruning). */
+  /** Drop structurally-empty properties from all three attribute maps
+   * (ref: plover.py:1047-1051 empty pruning with :305-315 `_is_empty`
+   * recursion: None, "", [], and lists whose items are ALL empty are
+   * pruned; scalar 0 is non-empty). */
   def pruneEmptyAttrs(edges: DataFrame): DataFrame =
-    edges.withColumn("attrs",
-      map_filter(col("attrs"), (_, v) => v.isNotNull && v =!= lit("")))
+    edges
+      .withColumn("attrs",
+        map_filter(col("attrs"), (_, v) => v.isNotNull && v =!= lit("")))
+      .withColumn("num_attrs",
+        map_filter(col("num_attrs"), (_, v) => v.isNotNull))
+      .withColumn("list_attrs",
+        map_filter(col("list_attrs"), (_, v) =>
+          v.isNotNull && exists(v, e => e.isNotNull && e =!= lit(""))))
 
   /** Clinical-trial-phase code -> Biolink MaxResearchPhaseEnum value
    * (ref: plover.py:705-712 trial_phases_map). Unmapped codes (e.g. 3.5)

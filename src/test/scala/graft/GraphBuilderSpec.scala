@@ -109,4 +109,17 @@ class GraphBuilderSpec extends SparkSpec {
     val res = GraphBuilder.pruneEmptyAttrs(e).head()
     assert(res.getAs[Map[String, String]]("attrs") == Map("keep" -> "v"))
   }
+
+  test("pruneEmptyAttrs drops empty and all-empty lists, keeps partly-filled ones and 0.0") {
+    val e = edgeDF(O.LocatedIn)
+      .withColumn("num_attrs", typedLit(Map("zero" -> 0.0)))
+      .withColumn("list_attrs", typedLit(Map(
+        "empty" -> Seq.empty[String],
+        "all_blank" -> Seq("", ""),
+        "partial" -> Seq("", "x"))))
+    val res = GraphBuilder.pruneEmptyAttrs(e).head()
+    // _is_empty: scalar 0 is NON-empty; [] and ["",""] are empty
+    assert(res.getAs[Map[String, Double]]("num_attrs") == Map("zero" -> 0.0))
+    assert(res.getAs[Map[String, Seq[String]]]("list_attrs").keySet == Set("partial"))
+  }
 }
