@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runs default to sbt's LoggedOutput, which prefixes every program
+// line with "[info] " / "[error] " — that broke machine-parsing of the
+// Bench JSON line for two rounds. StdoutOutput inherits the child's
+// stdout/stderr verbatim; showSuccess drops the trailing
+// "[success] Total time" line so the bench JSON is the last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -76,7 +76,19 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = ok.map(r => cold(r._2)).sum
     val totalP50 = ok.map(r => p50(r._2)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"queries_p50":${qmap(p50)},"queries_min":${qmap(_.min)},"queries_max":${qmap(_.max)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"sf":${jstr(sfDir)}}""")
+    // Two artifacts: a full-detail JSON file (all repeat stats), and ONE
+    // compact JSON line on stdout. The line is printed AFTER spark.stop()
+    // so no executor/shutdown logging can land after it — together with
+    // StdoutOutput + showSuccess:=false in build.sbt it is the final line
+    // of the run, parseable by a naive last-line JSON reader, and short
+    // enough to survive a bounded tail capture.
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"queries_p50":${qmap(p50)},"queries_min":${qmap(_.min)},"queries_max":${qmap(_.max)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"sf":${jstr(sfDir)}}"""
+    val detailPath = java.nio.file.Paths.get("bench_detail.json")
+    java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"detail":${jstr(detailPath.toAbsolutePath.toString)},"sf":${jstr(sfDir)}}"""
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }
