@@ -104,6 +104,34 @@ object PipelineEntry {
       Dedup.clusters(Dedup.jaccardPairs(docs(s, dir), n = 3, threshold = 0.8,
         maxShingleFreq = MaxShingleFreq)).orderBy("id")),
 
+    // P18 — dedup APPLY: the corpus that survives near-dup removal (one
+    // representative per jaccard cluster + every never-paired doc). Same
+    // guarded pair derivation as p02/p16, then a broadcast anti-join —
+    // the corpus itself is never shuffled.
+    "p19_dedup_apply" -> ((s, dir) =>
+      Corpus.dedupApply(
+        docs(s, dir).select("doc_id", "lang", "source", "n_chars"),
+        Dedup.clusters(Dedup.jaccardPairs(docs(s, dir), n = 3, threshold = 0.8,
+          maxShingleFreq = MaxShingleFreq)))
+        .orderBy("doc_id")),
+
+    // P19 — deterministic stratified downsampling: ≤40 docs per language,
+    // chosen by md5-hash order; hash-threshold prefilter scaled per
+    // stratum (broadcast counts) ahead of the exact rank window.
+    "p20_stratified_sample" -> ((s, dir) =>
+      Corpus.stratifiedSample(docs(s, dir).select(col("doc_id"), col("lang")),
+        strataCol = "lang", perStratum = 40, overSample = 4, hashMod = 1 << 20)
+        .select(col("doc_id"), col("lang"), col("n_stratum"), col("sample_rank"))
+        .orderBy("lang", "sample_rank")),
+
+    // P20 — token-budget sequence packing: 512-token packs, 8 shards,
+    // contiguous id-order binning within each shard.
+    "p21_pack" -> ((s, dir) =>
+      Corpus.packSequences(docs(s, dir), maxTokens = 512, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("cum_tokens"), col("pack_id"))
+        .orderBy("doc_id")),
+
     // P17 — IVF-flat ANN with a TRAINED coarse quantizer: deterministic
     // k-means (2 fixed iterations over the first 256 vectors, ordered
     // folds) — better list balance than raw sampled centroids, still
@@ -349,6 +377,59 @@ reach(id, r) AS (
   UNION
   SELECT e.src, r.r FROM reach r JOIN adj e ON e.dst = r.id)
 SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id ORDER BY id""",
+
+    "p19_dedup_apply" ->
+      s"""WITH RECURSIVE $docCtes,
+ex0 AS (SELECT doc_id, unnest(s) AS shingle, len(s)::BIGINT AS n FROM sh),
+hot AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) > $MaxShingleFreq),
+ex AS (SELECT * FROM ex0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c,
+         any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+prs AS (SELECT id_a, id_b FROM co
+        WHERE c::DOUBLE / (na + nb - c)::DOUBLE >= 0.8),
+verts AS (SELECT DISTINCT id FROM
+          (SELECT id_a AS id FROM prs UNION ALL SELECT id_b FROM prs)),
+adj AS (SELECT id_a AS src, id_b AS dst FROM prs
+        UNION ALL SELECT id_b, id_a FROM prs),
+reach(id, r) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.src, r.r FROM reach r JOIN adj e ON e.dst = r.id),
+cl AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id)
+SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       (cl.id IS NOT NULL) AS is_cluster_rep
+FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
+WHERE cl.id IS NULL OR cl.cluster_rep = d.doc_id
+ORDER BY d.doc_id""",
+
+    "p20_stratified_sample" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+cnt AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
+h AS (SELECT d.doc_id, d.lang, c.n_stratum,
+        ('0x' || substring(md5(d.doc_id::VARCHAR),1,8))::BIGINT % 1048576 AS hm
+      FROM documents d JOIN cnt c USING (lang)),
+pf AS (SELECT * FROM h WHERE hm * n_stratum < 1048576::BIGINT * 160),
+r AS (SELECT doc_id, lang, n_stratum,
+        row_number() OVER (PARTITION BY lang ORDER BY hm, doc_id)::BIGINT
+          AS sample_rank
+      FROM pf)
+SELECT doc_id, lang, n_stratum, sample_rank FROM r
+WHERE sample_rank <= 40 ORDER BY lang, sample_rank""",
+
+    "p21_pack" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+t AS (SELECT doc_id, doc_id % 8 AS shard,
+        len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))::BIGINT
+          AS n_tokens
+      FROM documents),
+c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM t)
+SELECT doc_id, shard, n_tokens, cum_tokens,
+       (cum_tokens - n_tokens) // 512 AS pack_id
+FROM c ORDER BY doc_id""",
 
     "p17_ann_ivf" -> {
       // One unrolled k-means iteration: assign sample to prev centroids by

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis.BpeTokenPattern
+
+/**
+ * Corpus-construction operators: the steps that turn per-doc analysis
+ * (dedup pairs/clusters, token counts) into an actual training corpus —
+ * survivor selection after dedup, deterministic stratified downsampling,
+ * and token-budget sequence packing.
+ *
+ * Everything here is deterministic (hash-ordered, never RNG-seeded) so a
+ * 100 TB corpus build is exactly reproducible and every step has a SQL
+ * oracle. Reference scope: these extend the mandated LLM-pipeline surface
+ * beyond PloverDB's graph operators (SURVEY.md §2 P-series).
+ */
+object Corpus {
+
+  /** Portable deterministic per-doc hash: the first 8 md5 hex digits of
+   * the id rendered as decimal — same trick as TextFunctions.tokenCode,
+   * reproducible bit-for-bit in any engine with md5. */
+  private def idHash(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
+  // ---------------------------------------------------------------- P18
+  /**
+   * Dedup APPLY: the surviving corpus after near-duplicate removal.
+   * `clusters` is Dedup.clusters output (id, cluster_rep); every document
+   * that appears in a cluster under a smaller representative id is
+   * dropped, everything else (representatives and never-paired docs)
+   * survives, flagged with whether it represents a duplicate group.
+   *
+   * Scale shape: the cluster table is a tiny fraction of the corpus (only
+   * docs that had a near-dup pair), so the anti/left join on doc_id
+   * broadcasts; the corpus itself is never shuffled.
+   */
+  def dedupApply(docs: DataFrame, clusters: DataFrame,
+                 idCol: String = "doc_id"): DataFrame = {
+    val cl = broadcast(clusters.select(col("id"), col("cluster_rep")))
+    docs.join(cl, docs(idCol) === cl("id"), "left")
+      .where(col("cluster_rep").isNull || col("cluster_rep") === docs(idCol))
+      .select(docs("*"),
+        (col("cluster_rep").isNotNull).as("is_cluster_rep"))
+  }
+
+  // ---------------------------------------------------------------- P19
+  /**
+   * Deterministic stratified downsampling: keep at most `perStratum` docs
+   * per stratum (e.g. per source or language), chosen by md5-hash order —
+   * an unbiased, seedless, reproducible sample.
+   *
+   * Two-phase plan for scale: an exact rank within each stratum is a
+   * shuffle of the FULL corpus partitioned by stratum — skewed and huge
+   * when one stratum dominates. Phase 1 prefilters by hash threshold
+   * scaled to each stratum's count (a broadcast of the tiny per-stratum
+   * count table), passing ~`overSample`x the target through; only that
+   * sliver reaches the exact rank window in phase 2. The sample semantic
+   * is "hash-rank within the hash-prefiltered set", identical in the SQL
+   * oracle. `hashMod` quantizes the threshold (keep-fraction resolution
+   * of 1/hashMod).
+   */
+  def stratifiedSample(docs: DataFrame, strataCol: String, perStratum: Int,
+                       overSample: Int = 4, hashMod: Int = 1 << 20,
+                       idCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("n_stratum"))
+    // keep when (h % hashMod) * n_stratum < hashMod * perStratum * overSample
+    // — the multiply form needs no division rounding convention. The same
+    // modded hash orders the phase-2 rank, so the selected set is a pure
+    // function of (id, stratum count).
+    val prefiltered = docs
+      .join(broadcast(counts), strataCol)
+      .withColumn("hm", pmod(idHash(col(idCol)), lit(hashMod.toLong)))
+      .where(col("hm") * col("n_stratum")
+        < lit(hashMod.toLong) * lit(perStratum.toLong * overSample))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("hm").asc, col(idCol).asc)
+    prefiltered
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= perStratum)
+  }
+
+  // ---------------------------------------------------------------- P20
+  /**
+   * Token-budget sequence packing: assign documents to fixed-budget packs
+   * (context windows) of ~`maxTokens` BPE-ish tokens. Documents are
+   * sharded by `doc_id % nShards` and packed in id order within their
+   * shard: pack boundary = running token count crossing a multiple of the
+   * budget (contiguous binning — each pack holds consecutive docs and
+   * averages the budget; docs larger than the budget get a pack of their
+   * own).
+   *
+   * Scale shape: packing is inherently sequential, so the 100 TB form
+   * runs it per shard — one window partitioned by shard, shards sized to
+   * executor memory, no global ordering anywhere. This mirrors how real
+   * pretraining pipelines pack per input shard.
+   */
+  def packSequences(docs: DataFrame, maxTokens: Long, nShards: Int = 32,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = size(regexp_extract_all(lower(col(textCol)), lit(BpeTokenPattern), lit(0)))
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .select(col(idCol), pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+        toks.as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        ((col("cum_tokens") - col("n_tokens")) / lit(maxTokens)).cast("long"))
+  }
+
+  /** Per-pack fill summary over packSequences output — the shape a
+   * packing-efficiency report reads (docs per pack, fill vs budget). */
+  def packStats(packed: DataFrame): DataFrame =
+    packed.groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+}

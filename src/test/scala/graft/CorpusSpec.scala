@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{Corpus, Dedup}
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators: dedup apply, stratified sampling,
+ * sequence packing. */
+class CorpusSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog today", "en", "a"),
+    (1L, "the quick brown fox jumps over the lazy dog today", "en", "a"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "b"),
+    (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda", "de", "b"),
+    (4L, "completely different words about spark catalyst tungsten engines", "de", "b")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("dedupApply keeps one representative per cluster plus unpaired docs") {
+    val clusters = Seq((0L, 0L), (1L, 0L)).toDF("id", "cluster_rep")
+    val out = Corpus.dedupApply(docs, clusters).orderBy("doc_id")
+      .select("doc_id", "is_cluster_rep")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    // doc 1 dropped (duplicate of 0); 0 flagged as representative
+    assert(out.toSeq == Seq((0L, true), (2L, false), (3L, false), (4L, false)))
+  }
+
+  test("dedupApply end-to-end from jaccard clusters drops the exact dup") {
+    val cl = Dedup.clusters(Dedup.jaccardPairs(docs, n = 3, threshold = 0.8))
+    val survivors = Corpus.dedupApply(docs, cl).select("doc_id")
+      .as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(0L, 2L, 3L, 4L))
+  }
+
+  test("stratifiedSample caps each stratum, is deterministic, unbiased across reruns") {
+    val many = spark.range(1000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 === 0, "rare").otherwise("common").as("lang"))
+    val s1 = Corpus.stratifiedSample(many, "lang", perStratum = 30)
+    val counts = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts("common") == 30L && counts("rare") == 30L)
+    // ranks are 1..perStratum within each stratum
+    val ranks = s1.where(col("lang") === "rare")
+      .select("sample_rank").as[Long].collect().sorted
+    assert(ranks.toSeq == (1L to 30L))
+    // deterministic: same ids on a rerun
+    val ids1 = s1.select("doc_id").as[Long].collect().toSet
+    val ids2 = Corpus.stratifiedSample(many, "lang", perStratum = 30)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
+
+  test("stratifiedSample keeps whole stratum when smaller than the target") {
+    val out = Corpus.stratifiedSample(docs, "lang", perStratum = 10)
+    assert(out.count() == 5)
+  }
+
+  test("packSequences: contiguous in-shard binning, budget-average packs") {
+    val many = spark.range(200).select(col("id").as("doc_id"),
+      lit("one two three four five six seven eight nine ten").as("text"))
+    val packed = Corpus.packSequences(many, maxTokens = 50, nShards = 4)
+    val rows = packed.orderBy("shard", "doc_id")
+      .select("shard", "doc_id", "n_tokens", "cum_tokens", "pack_id")
+      .collect()
+    // every doc is 10 tokens; 5 docs fill a 50-token pack exactly
+    assert(rows.forall(_.getLong(2) == 10L))
+    rows.groupBy(_.getLong(0)).foreach { case (_, shardRows) =>
+      val byDoc = shardRows.sortBy(_.getLong(1))
+      // pack_id nondecreasing in doc order, starting at 0
+      val packs = byDoc.map(_.getLong(4))
+      assert(packs.head == 0L)
+      assert(packs.zip(packs.tail).forall { case (a, b) => b == a || b == a + 1 })
+      // each pack holds exactly 5 docs = exactly the budget
+      byDoc.groupBy(_.getLong(4)).values.foreach(p => assert(p.length == 5))
+    }
+    val stats = Corpus.packStats(packed)
+    assert(stats.where(col("pack_tokens") =!= 50L).count() == 0)
+  }
+
+  test("packSequences gives an oversized doc its own pack boundary") {
+    val two = Seq(
+      (0L, Seq.fill(30)("tok").mkString(" ")),   // 30 tokens
+      (8L, Seq.fill(100)("tok").mkString(" ")),  // 100 tokens, same shard (mod 8)
+      (16L, Seq.fill(5)("tok").mkString(" "))
+    ).toDF("doc_id", "text")
+    val packed = Corpus.packSequences(two, maxTokens = 50, nShards = 8)
+      .orderBy("doc_id").select("doc_id", "pack_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // doc 0 starts pack 0 (cum 30); doc 8 starts at cum 30 -> pack 0, ends 130;
+    // doc 16 starts at cum 130 -> pack 2 (the oversized doc consumed pack 1)
+    assert(packed.toSeq == Seq((0L, 0L), (8L, 0L), (16L, 2L)))
+  }
+}
