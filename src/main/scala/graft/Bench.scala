@@ -12,7 +12,19 @@ import org.apache.spark.sql.SparkSession
  * separate — it never silently counts as a fast success.
  */
 object Bench {
+  /** 1-minute load average before our own JVM ramps up — benchmark runs on
+   * a busy host (other builds, the driver's own tooling) are not comparable
+   * to idle ones (r4 recorded g08 at 4.9s under load vs 0.7s idle), so the
+   * JSON carries the evidence needed to tell load noise from regressions. */
+  private def loadAvg(): Double =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      s.split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val load0 = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -82,10 +94,20 @@ object Bench {
     // StdoutOutput + showSuccess:=false in build.sbt it is the final line
     // of the run, parseable by a naive last-line JSON reader, and short
     // enough to survive a bounded tail capture.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"queries_p50":${qmap(p50)},"queries_min":${qmap(_.min)},"queries_max":${qmap(_.max)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"sf":${jstr(sfDir)}}"""
-    val detailPath = java.nio.file.Paths.get("bench_detail.json")
-    java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"detail":${jstr(detailPath.toAbsolutePath.toString)},"sf":${jstr(sfDir)}}"""
+    val load1 = loadAvg()
+    val loads = s""""load_avg_start":$load0,"load_avg_end":$load1"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"queries_p50":${qmap(p50)},"queries_min":${qmap(_.min)},"queries_max":${qmap(_.max)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,$loads,"sf":${jstr(sfDir)}}"""
+    // Detail file: env-overridable path, and never let an unwritable CWD
+    // abort the run after all queries already completed — the stdout line
+    // is the contract, the file is best-effort.
+    val detailRef =
+      try {
+        val detailPath = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_DETAIL", "bench_detail.json"))
+        java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
+        jstr(detailPath.toAbsolutePath.toString)
+      } catch { case _: Throwable => "null" }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,$loads,"detail":$detailRef,"sf":${jstr(sfDir)}}"""
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(line)

@@ -25,6 +25,28 @@ object PipelineEntry {
    * inverted-index self-join (skew guard; mirrored in the oracle CTE). */
   private val MaxShingleFreq = 50L
 
+  /** Stratified-sample (p20) parameters, shared between the Scala call and
+   * the interpolated oracle SQL so the two can never silently diverge. */
+  private val SamplePerStratum = 40
+  private val SampleOverSample = 4
+  private val SampleHashMod = 1 << 20
+
+  /** Every stateful streaming operator instantiates one state store per
+   * shuffle partition per micro-batch, so a small drain under the session
+   * default (32 here; 200 upstream) is almost all state-store bookkeeping.
+   * Run the streaming drain with shuffles sized to its input — the
+   * streaming analog of `spread` sizing batch inputs — and restore the
+   * session value afterward (queries run sequentially through the
+   * registry, and AvailableNow terminates before the restore). A real
+   * deployment sizes this once per stream in its SparkSession config. */
+  private val StreamShufflePartitions = 8
+  private def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** The corpus tables ship as ONE parquet file each, which Spark scans
    * as a single partition — per-doc hashing work would run on one core.
    * Spread small inputs across the cluster before the compute-heavy
@@ -104,10 +126,11 @@ object PipelineEntry {
       Dedup.clusters(Dedup.jaccardPairs(docs(s, dir), n = 3, threshold = 0.8,
         maxShingleFreq = MaxShingleFreq)).orderBy("id")),
 
-    // P18 — dedup APPLY: the corpus that survives near-dup removal (one
-    // representative per jaccard cluster + every never-paired doc). Same
-    // guarded pair derivation as p02/p16, then a broadcast anti-join —
-    // the corpus itself is never shuffled.
+    // P18, key p19_dedup_apply — dedup APPLY: the corpus that survives
+    // near-dup removal (one representative per jaccard cluster + every
+    // never-paired doc). Same guarded pair derivation as p02/p16, then a
+    // stats-adaptive left join (broadcast while the cluster table is
+    // small) — the corpus itself is never shuffled.
     "p19_dedup_apply" -> ((s, dir) =>
       Corpus.dedupApply(
         docs(s, dir).select("doc_id", "lang", "source", "n_chars"),
@@ -115,17 +138,19 @@ object PipelineEntry {
           maxShingleFreq = MaxShingleFreq)))
         .orderBy("doc_id")),
 
-    // P19 — deterministic stratified downsampling: ≤40 docs per language,
-    // chosen by md5-hash order; hash-threshold prefilter scaled per
-    // stratum (broadcast counts) ahead of the exact rank window.
+    // P19, key p20_stratified_sample — deterministic stratified
+    // downsampling: ≤40 docs per language, chosen by md5-hash order;
+    // hash-threshold prefilter scaled per stratum (broadcast counts)
+    // ahead of the exact rank window.
     "p20_stratified_sample" -> ((s, dir) =>
       Corpus.stratifiedSample(docs(s, dir).select(col("doc_id"), col("lang")),
-        strataCol = "lang", perStratum = 40, overSample = 4, hashMod = 1 << 20)
+        strataCol = "lang", perStratum = SamplePerStratum,
+        overSample = SampleOverSample, hashMod = SampleHashMod)
         .select(col("doc_id"), col("lang"), col("n_stratum"), col("sample_rank"))
         .orderBy("lang", "sample_rank")),
 
-    // P20 — token-budget sequence packing: 512-token packs, 8 shards,
-    // contiguous id-order binning within each shard.
+    // P20, key p21_pack — token-budget sequence packing: 512-token packs,
+    // 8 shards, contiguous id-order binning within each shard.
     "p21_pack" -> ((s, dir) =>
       Corpus.packSequences(docs(s, dir), maxTokens = 512, nShards = 8)
         .select(col("doc_id"), col("shard"), col("n_tokens"),
@@ -190,11 +215,13 @@ object PipelineEntry {
         Files.createSymbolicLink(link, Paths.get(dir, "events.parquet"))
       val stream = graft.streaming.EventStream.read(s, streamDir.toString, tsNanos = true)
       val name = "p15_sessions_" + dir.replaceAll("[^0-9]", "")
-      val q = graft.streaming.EventStream
-        .sessionize(s, stream, gapMinutes = 30, timeout = GroupStateTimeout.NoTimeout())
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamShuffle(s) {
+        val q = graft.streaming.EventStream
+          .sessionize(s, stream, gapMinutes = 30, timeout = GroupStateTimeout.NoTimeout())
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name).select(col("user_id"), col("session_idx"), col("n_events"),
         unix_micros(col("session_start")).as("start_us"),
         unix_micros(col("session_end")).as("end_us"),
@@ -217,12 +244,14 @@ object PipelineEntry {
         Files.createSymbolicLink(link, Paths.get(dir, "events.parquet"))
       val stream = graft.streaming.EventStream.read(s, streamDir.toString, tsNanos = true)
       val name = "p18_windows_" + dir.replaceAll("[^0-9]", "")
-      val q = graft.streaming.EventStream
-        .windowedCounts(graft.streaming.EventStream.deduped(stream),
-          widthMinutes = 60, watermark = "")
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamShuffle(s) {
+        val q = graft.streaming.EventStream
+          .windowedCounts(graft.streaming.EventStream.deduped(stream),
+            widthMinutes = 60, watermark = "")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name).select(
         unix_micros(col("window_start")).as("window_us"),
         col("event_type"), col("n_events"), col("total_value"))
@@ -409,15 +438,16 @@ ORDER BY d.doc_id""",
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
 cnt AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
 h AS (SELECT d.doc_id, d.lang, c.n_stratum,
-        ('0x' || substring(md5(d.doc_id::VARCHAR),1,8))::BIGINT % 1048576 AS hm
+        ('0x' || substring(md5(d.doc_id::VARCHAR),1,8))::BIGINT % $SampleHashMod AS hm
       FROM documents d JOIN cnt c USING (lang)),
-pf AS (SELECT * FROM h WHERE hm * n_stratum < 1048576::BIGINT * 160),
+pf AS (SELECT * FROM h
+       WHERE hm * n_stratum < $SampleHashMod::BIGINT * ${SamplePerStratum * SampleOverSample}),
 r AS (SELECT doc_id, lang, n_stratum,
         row_number() OVER (PARTITION BY lang ORDER BY hm, doc_id)::BIGINT
           AS sample_rank
       FROM pf)
 SELECT doc_id, lang, n_stratum, sample_rank FROM r
-WHERE sample_rank <= 40 ORDER BY lang, sample_rank""",
+WHERE sample_rank <= $SamplePerStratum ORDER BY lang, sample_rank""",
 
     "p21_pack" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),

@@ -23,7 +23,8 @@ object Corpus {
   private def idHash(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
 
-  // ---------------------------------------------------------------- P18
+  // ------------------------- P18 (registered query key: p19_dedup_apply;
+  // the p18 KEY is the streaming windowed-agg entry of operator P15)
   /**
    * Dedup APPLY: the surviving corpus after near-duplicate removal.
    * `clusters` is Dedup.clusters output (id, cluster_rep); every document
@@ -31,20 +32,25 @@ object Corpus {
    * dropped, everything else (representatives and never-paired docs)
    * survives, flagged with whether it represents a duplicate group.
    *
-   * Scale shape: the cluster table is a tiny fraction of the corpus (only
-   * docs that had a near-dup pair), so the anti/left join on doc_id
-   * broadcasts; the corpus itself is never shuffled.
+   * Scale shape: the cluster table holds only docs that had a near-dup
+   * pair. At low duplication that is a tiny broadcastable fraction — but
+   * web-scale pretraining corpora run 30-50% duplicated, where a forced
+   * broadcast would OOM the driver. So the table is materialized
+   * (persist + count) for accurate size statistics and the PLANNER picks:
+   * broadcast while small, shuffle join once it isn't — the same
+   * scale-adaptive persist-with-stats pattern the dedup operators use.
+   * The corpus side is never shuffled by the broadcast form.
    */
   def dedupApply(docs: DataFrame, clusters: DataFrame,
                  idCol: String = "doc_id"): DataFrame = {
-    val cl = broadcast(clusters.select(col("id"), col("cluster_rep")))
+    val cl = SelfJoinMaterialize(clusters.select(col("id"), col("cluster_rep")))
     docs.join(cl, docs(idCol) === cl("id"), "left")
       .where(col("cluster_rep").isNull || col("cluster_rep") === docs(idCol))
       .select(docs("*"),
         (col("cluster_rep").isNotNull).as("is_cluster_rep"))
   }
 
-  // ---------------------------------------------------------------- P19
+  // ------------------- P19 (registered query key: p20_stratified_sample)
   /**
    * Deterministic stratified downsampling: keep at most `perStratum` docs
    * per stratum (e.g. per source or language), chosen by md5-hash order —
@@ -80,7 +86,7 @@ object Corpus {
       .where(col("sample_rank") <= perStratum)
   }
 
-  // ---------------------------------------------------------------- P20
+  // ------------------------------- P20 (registered query key: p21_pack)
   /**
    * Token-budget sequence packing: assign documents to fixed-budget packs
    * (context windows) of ~`maxTokens` BPE-ish tokens. Documents are

@@ -105,6 +105,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan(res.matches).contains("SortMergeJoin"))
   }
 
+  test("category-hierarchy expansion (g08 shape): broadcast-only, category filter at the scan") {
+    // The r4 bench recorded g08 at ~4.9s p50 (vs 0.7s on an idle machine —
+    // external load, not plan structure). This pins the structural
+    // invariants so a REAL plan regression can't hide behind that noise:
+    // subclass-expanded pinned input stays a broadcast, the edge table is
+    // never shuffled, and the output-category filter stays a denormalized
+    // arrays_overlap predicate rather than a node-table join.
+    val closure = SubclassClosure.fromGraph(graph, ont)
+    val res = OneHop.answer(spark, graph, ont, QueryGraph.oneHop(
+      QNode("n_out", categories = Seq(O.Actor)),
+      QNode("n_in", ids = Seq("NAT:3")),
+      QEdge("n_out", "n_in", predicates = Seq(O.AffiliatedWith))),
+      closure = Some(closure), expandSubclasses = true)
+    val p = plan(res.matches)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"edge table got shuffled:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    val opt = res.matches.queryExecution.optimizedPlan.toString
+    assert(opt.contains("arrays_overlap"), opt)
+    assert(!opt.contains("LeftSemi"), s"category filter became a join:\n$opt")
+  }
+
   test("bucketed embedding dedup joins on the bucket key, never all-pairs") {
     import spark.implicits._
     val vecs = (0 until 8).map(i =>
