@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Ann, Dedup}
+import graft.operators.{Ann, Corpus, Dedup}
 
 /**
  * Scale harness: replicates the corpus N-fold (each copy's near-dup
@@ -54,6 +54,26 @@ object ScaleSmoke {
     time("clusters") {
       Dedup.clusters(
         Dedup.jaccardPairs(docs, n = 3, threshold = 0.8, maxShingleFreq = 1000))
+        .count()
+    }
+
+    // Corpus-construction operators at the replicated scale. Worst case
+    // for stratified sampling is ONE dominant stratum (here ~99% of docs):
+    // the hash-threshold prefilter must bound the rank window's input to
+    // ~overSample x perStratum rows per stratum regardless of stratum
+    // size, so the window never sees the full dominant stratum.
+    val skewed = docs.select(col("doc_id"),
+      when(col("doc_id") % 100 === 0,
+        concat(lit("rare"), (col("doc_id") % 7).cast("string")))
+        .otherwise(lit("dominant")).as("lang"))
+    time("stratified skewed")(
+      Corpus.stratifiedSample(skewed, "lang", perStratum = 1000).count())
+    time("pack sequences")(
+      Corpus.packSequences(docs, maxTokens = 2048, nShards = cpus.toInt * 4).count())
+    time("dedup apply") {
+      Corpus.dedupApply(docs,
+        Dedup.clusters(
+          Dedup.jaccardPairs(docs, n = 3, threshold = 0.8, maxShingleFreq = 1000)))
         .count()
     }
 

@@ -33,6 +33,36 @@ class CorpusSpec extends SparkSpec {
     assert(survivors.toSeq == Seq(0L, 2L, 3L, 4L))
   }
 
+  test("dedupApply adapts the join to cluster-table size (no forced broadcast)") {
+    // High-duplication regime: EVERY doc sits in a dup cluster, so the
+    // cluster table is the size of the corpus — at 100 TB a forced
+    // broadcast would OOM the driver. With the broadcast threshold forced
+    // below the table size, the planner must be FREE to pick a
+    // non-broadcast join (it can't be if the operator hints broadcast),
+    // and results must be identical either way.
+    val n = 2000L
+    val docsBig = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("text "), col("id").cast("string")).as("text"))
+    // every even doc is the rep of a 2-doc cluster holding it + the odd one
+    val clusters = spark.range(n).select(col("id"),
+      (col("id") - col("id") % 2).as("cluster_rep"))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1024")
+      val out = Corpus.dedupApply(docsBig, clusters)
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"cluster join still broadcasts under a tiny threshold (forced hint?):\n$p")
+      assert(out.count() == n / 2)
+      assert(out.where(!col("is_cluster_rep")).count() == 0)
+    } finally spark.conf.set(key, prev)
+    // and with the normal threshold the small-table plan broadcasts
+    val p2 = Corpus.dedupApply(docsBig, clusters)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin"), p2)
+  }
+
   test("stratifiedSample caps each stratum, is deterministic, unbiased across reruns") {
     val many = spark.range(1000).select(
       col("id").as("doc_id"),
