@@ -307,6 +307,20 @@ object SparkEntry {
         .orderBy("part", "key")
     }),
 
+    // Legacy Pathfinder slim + ids-only response formats
+    // (ref: plover.py:1877-1901, tuple renderers :1919-1933): the same
+    // subclass-expanded located_in query as g28, rendered as positional
+    // node/edge tuples and bare id lists instead of the full envelope.
+    "g33_slim_response" -> ((s, dir) => {
+      val g = Fixture.graph(s, dir)
+      val res = OneHop.answer(s, g, ont, QueryGraph.oneHop(
+        QNode("n_out"),
+        QNode("n_in", ids = Seq("REG:3")),
+        QEdge("n_out", "n_in", predicates = Seq(O.LocatedIn))),
+        closure = Some(Fixture.closure(s, dir)), expandSubclasses = true)
+      TrapiResponse.slim(res, g, edgeKey = "e1").orderBy("part", "key")
+    }),
+
     // G23 — ingest transforms: trial-phase enum coercion, property zip
     // into list-of-structs (with nested coercion + empty pruning), empty
     // attribute pruning (ref: plover.py:1011-1059, :1742-1747).
@@ -813,6 +827,47 @@ ORDER BY term"""
 ce AS (SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal, r.nat_id
        FROM customer c JOIN r3 r ON 'NAT:' || c.c_nationkey = r.nat_id),
 se AS (SELECT s.s_suppkey, s.s_name, s.s_acctbal, r.nat_id
+       FROM supplier s JOIN r3 r ON 'NAT:' || s.s_nationkey = r.nat_id)"""),
+
+    "g33_slim_response" -> TpchGraph.oracle(
+      """SELECT part, key, json FROM (
+           SELECT 'slim_node:n_in' AS part, nat_id AS key,
+             '["' || n_name || '","graft:Nation",["REG:3"]]' AS json
+           FROM r3 WHERE nat_id IN (SELECT nat_id FROM ce UNION SELECT nat_id FROM se)
+           UNION ALL
+           SELECT 'slim_node:n_out', 'CUST:' || c_custkey,
+             '["' || c_name || '","graft:Customer",[]]'
+           FROM ce
+           UNION ALL
+           SELECT 'slim_node:n_out', 'SUPP:' || s_suppkey,
+             '["' || s_name || '","graft:Supplier",[]]'
+           FROM se
+           UNION ALL
+           SELECT 'slim_edge:e1', 'E-CN:' || c_custkey,
+             '["CUST:' || c_custkey || '","' || nat_id
+             || '","graft:located_in","infores:crm","","","","False"]'
+           FROM ce
+           UNION ALL
+           SELECT 'slim_edge:e1', 'E-SN:' || s_suppkey,
+             '["SUPP:' || s_suppkey || '","' || nat_id
+             || '","graft:located_in","infores:crm","","","","False"]'
+           FROM se
+           UNION ALL
+           SELECT 'ids_node:n_in', nat_id, NULL
+           FROM r3 WHERE nat_id IN (SELECT nat_id FROM ce UNION SELECT nat_id FROM se)
+           UNION ALL
+           SELECT 'ids_node:n_out', 'CUST:' || c_custkey, NULL FROM ce
+           UNION ALL
+           SELECT 'ids_node:n_out', 'SUPP:' || s_suppkey, NULL FROM se
+           UNION ALL
+           SELECT 'ids_edge:e1', 'E-CN:' || c_custkey, NULL FROM ce
+           UNION ALL
+           SELECT 'ids_edge:e1', 'E-SN:' || s_suppkey, NULL FROM se)
+         ORDER BY part, key""",
+      extraCtes = """r3 AS (SELECT 'NAT:' || n_nationkey AS nat_id, n_name FROM nation WHERE n_regionkey = 3),
+ce AS (SELECT c.c_custkey, c.c_name, r.nat_id
+       FROM customer c JOIN r3 r ON 'NAT:' || c.c_nationkey = r.nat_id),
+se AS (SELECT s.s_suppkey, s.s_name, r.nat_id
        FROM supplier s JOIN r3 r ON 'NAT:' || s.s_nationkey = r.nat_id)"""),
 
     "g27_bindings_input_set" -> TpchGraph.oracle(

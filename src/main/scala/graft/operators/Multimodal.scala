@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
  * struct; decode / feature-extraction runs BATCHED per partition so a real
  * decoder (JNI image lib, ONNX runtime, ...) amortizes model/codec init
  * across a batch — the Spark-side contract (schema, partitioning, batch
- * shape, encoder) is real and tested; only the innermost decode call is a
- * deterministic stub, because no media codec ships in this environment.
+ * shape, encoder) is real and tested. Image decode is real (javax.imageio
+ * PNG/JPEG) and WAV audio decode is real (javax.sound.sampled 16-bit PCM);
+ * only VIDEO keeps a deterministic stub, because no pure-JDK video codec
+ * exists and no external media library ships in this environment.
  *
  * Scale design: payloads never pass through a shuffle — feature extraction
  * is a narrow mapPartitions; downstream joins/groupBys should operate on
@@ -24,6 +26,14 @@ object Multimodal {
   /** Typed rows for the Dataset-side batched decode path. */
   final case class MediaRow(doc_id: Long, modality: String, payload: Array[Byte],
                             width: Int, height: Int, format: String)
+
+  /** Decoded features, one schema across modalities. Per-modality meaning
+   * of the generic fields when the payload decodes for real:
+   *  - image: width/height = decoded pixel dims; n_pixels = w*h;
+   *    brightness = mean RGB in [0,255].
+   *  - audio: width = channels, height = sample rate (Hz); n_pixels =
+   *    frame count; brightness = mean |amplitude| normalized to [0,1].
+   *  - video / undecodable: declared metadata dims + the byte-sum stub. */
   final case class MediaFeatures(doc_id: Long, modality: String, byte_len: Long,
                                  width: Int, height: Int, n_pixels: Long,
                                  payload_hash: String, brightness: Double)
@@ -62,9 +72,10 @@ object Multimodal {
 
   /**
    * STUB decoder — deterministic stand-in for a real media decode of the
-   * NON-IMAGE modalities (???: audio/video codecs don't ship in this
-   * environment). Produces a fake "mean brightness" from the payload bytes
-   * so the batched plumbing has a value to carry.
+   * VIDEO modality (???: no pure-JDK video codec exists; images decode via
+   * javax.imageio, WAV audio via javax.sound.sampled). Produces a fake
+   * "mean brightness" from the payload bytes so the batched plumbing has a
+   * value to carry.
    */
   def decodeStub(payload: Array[Byte]): Double =
     if (payload.isEmpty) 0.0
@@ -98,6 +109,74 @@ object Multimodal {
         Some((w, h, sum / (w.toLong * h.toLong)))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /**
+   * REAL audio decode via `javax.sound.sampled` (pure-JDK WAV parsing, no
+   * external codec): returns (channels, sampleRate, nFrames, mean absolute
+   * amplitude normalized to [0,1]) for 16-bit signed PCM WAV payloads, or
+   * None for anything else (caller falls back to the stub). The honest
+   * per-modality split after this: image + WAV audio decode for real;
+   * video remains the one stub.
+   */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Int, Long, Double)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val pcmSigned =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (!pcmSigned || fmt.getSampleSizeInBits != 16 || in.getFrameLength <= 0)
+          None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          var sum = 0.0
+          var i = 0
+          while (i < n) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1)
+            val s: Int =
+              if (fmt.isBigEndian) (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
+              else (hi.toInt << 8) | lo
+            sum += math.abs(s) / 32768.0
+            i += 1
+          }
+          Some((fmt.getChannels, fmt.getSampleRate.toInt, in.getFrameLength,
+            if (n == 0) 0.0 else sum / n))
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /**
+   * Deterministic WAV generator (for tests/fixtures): sample i of stream
+   * `seed` is a pure function of (i, seed), encoded as 16-bit signed
+   * little-endian mono PCM by the JDK WAV writer. Lossless, so decode
+   * recovers the exact samples.
+   */
+  def generateWav(nFrames: Int, sampleRate: Int, seed: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = (((i.toLong * 2654435761L + seed * 97L) % 65536L) - 32768L).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
+      true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** The exact sample function `generateWav` encodes — tests recompute the
+   * expected mean |amplitude| from it rather than trusting the codec. */
+  def wavSample(i: Int, seed: Int): Short =
+    (((i.toLong * 2654435761L + seed * 97L) % 65536L) - 32768L).toShort
 
   /**
    * Deterministic PNG generator (for tests/fixtures): pixel (x, y) of
@@ -143,15 +222,26 @@ object Multimodal {
         batch.map { r =>
           md.reset()
           val hash = md.digest(r.payload).map("%02x".format(_)).mkString
-          // images decode for real (javax.imageio); metadata dims are
-          // replaced by the DECODED dims. Non-images (and undecodable
-          // payloads) fall back to the stub + declared metadata.
-          val decoded =
-            if (r.modality == "image") decodeImage(r.payload) else None
+          // images (javax.imageio) and WAV audio (javax.sound.sampled)
+          // decode for real; declared metadata is replaced by DECODED
+          // values (dims / channels+rate+frames — see MediaFeatures doc).
+          // Video and undecodable payloads fall back to the stub +
+          // declared metadata.
+          val decoded: Option[(Int, Int, Long, Double)] = r.modality match {
+            case "image" =>
+              decodeImage(r.payload).map { case (w, h, b) =>
+                (w, h, w.toLong * h.toLong, b)
+              }
+            case "audio" =>
+              decodeWav(r.payload).map { case (ch, rate, frames, amp) =>
+                (ch, rate, frames, amp)
+              }
+            case _ => None
+          }
           decoded match {
-            case Some((w, h, brightness)) =>
+            case Some((w, h, units, brightness)) =>
               MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong,
-                w, h, w.toLong * h.toLong, hash, brightness)
+                w, h, units, hash, brightness)
             case None =>
               MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong,
                 r.width, r.height, r.width.toLong * r.height.toLong,

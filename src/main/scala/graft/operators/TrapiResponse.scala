@@ -184,6 +184,56 @@ object TrapiResponse {
   }
 
   /**
+   * Legacy Pathfinder response formats (ref: plover.py:1877-1901 —
+   * `include_metadata=true` is the "slim" tuple format,
+   * `include_metadata=false` the ids-only format; tuple renderers
+   * `get_node_as_tuple`/`get_edge_as_tuple` :1919-1933). One row per
+   * entry across BOTH formats, uniform (part, key, json) schema:
+   *   ("slim_node:<qnodeKey>", node_id,
+   *      '["<name>","<categories[0]>",[<query_ids>]]')
+   *   ("slim_edge:<qedgeKey>", edge_id,
+   *      '["<subj>","<obj>","<pred>","<src>","<qp>","<dir>","<asp>","False"]')
+   *   ("ids_node:<qnodeKey>", node_id, null)
+   *   ("ids_edge:<qedgeKey>", edge_id, null)
+   * Tuples render positionally as JSON arrays like the reference's; the
+   * empty strings for absent qualifier fields and the literal string
+   * "False" mirror the legacy wire shape exactly (the reference comments
+   * "silly to have these in strings, but that's the old format").
+   * Columnar like `assemble`: no driver loop; the only shuffle is the
+   * per-node query-id grouping the slim node tuple demands.
+   */
+  def slim(res: OneHop.Result, graph: PropertyGraph,
+           edgeKey: String = "e1"): DataFrame = {
+    val m = res.matches
+    def nodeSide(idCol: String, qidCol: String, qnodeKey: String): DataFrame =
+      m.groupBy(col(idCol).as("id"))
+        .agg(array_sort(collect_set(col(qidCol))).as("query_ids"))
+        .join(graph.nodes.select("id", "name", "categories"), Seq("id"))
+        .select(lit(s"slim_node:$qnodeKey").as("part"), col("id").as("key"),
+          concat(lit("[\""), col("name"), lit("\",\""),
+            element_at(col("categories"), 1), lit("\","),
+            to_json(col("query_ids")), lit("]")).as("json"))
+    val slimEdges = m.dropDuplicates("edge_id")
+      .select(lit(s"slim_edge:$edgeKey").as("part"), col("edge_id").as("key"),
+        to_json(array(col("subject"), col("object"), col("predicate"),
+          col("primary_knowledge_source"),
+          coalesce(col("qualified_predicate"), lit("")),
+          coalesce(col("object_direction"), lit("")),
+          coalesce(col("object_aspect"), lit("")),
+          lit("False"))).as("json"))
+    def idsRows(part: String, idCol: String): DataFrame =
+      m.select(col(idCol).as("key")).distinct()
+        .select(lit(part).as("part"), col("key"),
+          lit(null).cast("string").as("json"))
+    nodeSide("input_id", "input_query_id", res.inputKey)
+      .unionAll(nodeSide("output_id", "output_query_id", res.outputKey))
+      .unionAll(slimEdges)
+      .unionAll(idsRows(s"ids_node:${res.inputKey}", "input_id"))
+      .unionAll(idsRows(s"ids_node:${res.outputKey}", "output_id"))
+      .unionAll(idsRows(s"ids_edge:$edgeKey", "edge_id"))
+  }
+
+  /**
    * Fold the columnar parts into the reference's single nested document
    * (plover.py:2166-2183): {"message":{"query_graph":...,
    * "knowledge_graph":{"nodes":{...},"edges":{...}},"results":[...]}}.

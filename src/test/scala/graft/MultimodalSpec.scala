@@ -75,6 +75,41 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.generatePng(8, 5, 1).toSeq == Multimodal.generatePng(8, 5, 1).toSeq)
   }
 
+  test("real WAV decode: exact sample stats from generated audio; video keeps the stub") {
+    // Deterministic generated WAVs: decode must recover the exact channel
+    // count, sample rate, frame count, and the mean |amplitude| of the
+    // generating sample function (computed here independently of the codec).
+    def expectedAmp(n: Int, seed: Int): Double =
+      (0 until n).map(i => math.abs(Multimodal.wavSample(i, seed).toInt) / 32768.0)
+        .sum / n
+    val rows = Seq(
+      (0L, "audio", Multimodal.generateWav(400, 8000, 1), 99, 99, "wav"),
+      (1L, "audio", Multimodal.generateWav(1000, 16000, 7), 99, 99, "wav"),
+      (2L, "video", "definitely not a wav".getBytes("UTF-8"), 3, 4, "mp4"))
+      .toDF("doc_id", "modality", "payload", "width", "height", "format")
+      .select(col("doc_id"), col("modality"), col("payload"),
+        struct(col("width"), col("height"), col("format")).as("meta"))
+    val out = Multimodal.decodeBatched(spark, rows, batchSize = 2)
+      .collect().map(f => f.doc_id -> f).toMap
+    // decoded channels/rate/frames override the (wrong) declared metadata
+    assert(out(0L).width == 1 && out(0L).height == 8000 && out(0L).n_pixels == 400L)
+    assert(math.abs(out(0L).brightness - expectedAmp(400, 1)) < 1e-12)
+    assert(out(1L).height == 16000 && out(1L).n_pixels == 1000L)
+    assert(math.abs(out(1L).brightness - expectedAmp(1000, 7)) < 1e-12)
+    // the video row still goes through the stub + declared metadata
+    val vidBytes = "definitely not a wav".getBytes("UTF-8")
+    assert(out(2L).width == 3 && out(2L).n_pixels == 12L)
+    assert(out(2L).brightness == vidBytes.map(_ & 0xff).sum.toDouble / vidBytes.length)
+    // generation is deterministic, and decodeWav round-trips it directly
+    assert(Multimodal.generateWav(64, 8000, 3).toSeq ==
+      Multimodal.generateWav(64, 8000, 3).toSeq)
+    val direct = Multimodal.decodeWav(Multimodal.generateWav(64, 8000, 3))
+    assert(direct.exists { case (ch, rate, frames, _) =>
+      ch == 1 && rate == 8000 && frames == 64L })
+    // non-WAV bytes are rejected, not mis-decoded
+    assert(Multimodal.decodeWav("audio but not wav".getBytes("UTF-8")).isEmpty)
+  }
+
   test("column pruning: selecting features-only does not read payload") {
     // Write to parquet, read back, select a narrow projection — the
     // optimized scan schema must exclude the payload column.

@@ -86,6 +86,25 @@ class TrapiResponseSpec extends SparkSpec {
     assert(collapsed.length == 1 && collapsed(0).getString(0) == "*--*")
   }
 
+  test("slim: positional tuples with first category, query-id list, legacy edge shape") {
+    val rows = TrapiResponse.slim(res, graph)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    // node tuple: name, FIRST stored category (not sorted, not all), query ids
+    assert(rows(("slim_node:n_in", "ORD:1")) == """["Order#1","graft:Order",["ORD:0"]]""")
+    // un-expanded node: empty query-id list; Part keeps its first category
+    assert(rows(("slim_node:n_out", "PART:1")) == """["part one","graft:Part",[]]""")
+    // edge tuple: 8 strings, absent qualifiers as "", literal trailing "False"
+    assert(rows(("slim_edge:e1", "E1")) ==
+      """["ORD:1","PART:1","graft:contains_item","infores:logistics","graft:ships","graft:returned","","False"]""")
+    assert(rows(("slim_edge:e1", "E2")) ==
+      """["ORD:1","PART:1","graft:contains_item","infores:logistics","","","","False"]""")
+    // ids-only rows carry null json, one per distinct id
+    assert(rows(("ids_node:n_in", "ORD:1")) == null)
+    assert(rows(("ids_node:n_out", "PART:1")) == null)
+    assert(rows(("ids_edge:e1", "E1")) == null && rows(("ids_edge:e1", "E2")) == null)
+    assert(rows.size == 8)
+  }
+
   test("envelope folds parts into one valid reference-shaped document") {
     val parts = TrapiResponse.assemble(res, graph, Map.empty, "infores:graft")
     // non-empty QG: Spark's JSON schema inference drops empty-object fields
