@@ -104,6 +104,13 @@ object PipelineEntry {
       Dedup.minhashLshPairs(docs(s, dir), k = 16, bands = 4, shingleN = 3,
         minAgree = 8).orderBy("id_a", "id_b")),
 
+    // P21, key p22_lsh_verified — the production dedup ordering: LSH
+    // candidates + exact jaccard verification on candidates only (the
+    // scale path that replaces the raw inverted-index join of p02).
+    "p22_lsh_verified" -> ((s, dir) =>
+      Dedup.lshVerifiedPairs(docs(s, dir), k = 16, bands = 4, shingleN = 3,
+        threshold = 0.8).orderBy("id_a", "id_b")),
+
     // P4 — SimHash near-dup pairs within Hamming distance 3.
     "p04_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
@@ -362,6 +369,30 @@ SELECT id_a, id_b, n_bands,
        len(list_filter(range(1,17), i -> sa[i] = sb[i]))::BIGINT AS n_agree
 FROM cand
 WHERE len(list_filter(range(1,17), i -> sa[i] = sb[i])) >= 8
+ORDER BY id_a, id_b""",
+
+    "p22_lsh_verified" ->
+      s"""WITH $docCtes,
+codes AS (
+  SELECT doc_id,
+         list_distinct(list_transform(s, x -> ('0x' || substring(md5(x),1,8))::BIGINT)) AS d
+  FROM sh WHERE len(s) > 0),
+sigs AS (SELECT doc_id, $sigSql AS sig FROM codes),
+banded AS (
+  SELECT doc_id, bd,
+         md5(array_to_string(list_slice(sig, bd*4+1, bd*4+4), ',')) AS bh
+  FROM sigs, range(0,4) r(bd)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.bd = b.bd AND a.bh = b.bh AND a.doc_id < b.doc_id),
+ver AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(x.s, y.s))::BIGINT AS inter,
+         len(x.s)::BIGINT AS na, len(y.s)::BIGINT AS nb
+  FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b)
+SELECT id_a, id_b,
+       round(inter::DOUBLE / (na + nb - inter)::DOUBLE, 6) AS jaccard
+FROM ver WHERE inter::DOUBLE / (na + nb - inter)::DOUBLE >= 0.8
 ORDER BY id_a, id_b""",
 
     "p04_simhash" ->

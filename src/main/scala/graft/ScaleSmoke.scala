@@ -51,9 +51,21 @@ object ScaleSmoke {
     time("minhash-lsh")(
       Dedup.minhashLshPairs(docs, k = 16, bands = 4, minAgree = 8).count())
     time("simhash")(Dedup.simhashPairs(docs, maxHamming = 3).count())
+    // The production ordering: LSH candidates + exact verification on
+    // candidates only — compare directly against the raw jaccard row above
+    // (same exactness guarantee per returned pair, candidate-bounded cost).
+    time("lsh-verified jaccard")(
+      Dedup.lshVerifiedPairs(docs, k = 16, bands = 4, threshold = 0.8).count())
     time("clusters") {
       Dedup.clusters(
         Dedup.jaccardPairs(docs, n = 3, threshold = 0.8, maxShingleFreq = 1000))
+        .count()
+    }
+    // Same clustering fed by the production pair path: at scale the pair
+    // derivation should be LSH-verified, not the raw inverted-index join.
+    time("clusters(lsh-verified)") {
+      Dedup.clusters(
+        Dedup.lshVerifiedPairs(docs, k = 16, bands = 4, threshold = 0.8))
         .count()
     }
 

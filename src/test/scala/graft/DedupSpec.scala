@@ -55,6 +55,21 @@ class DedupSpec extends SparkSpec {
     assert(!res.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("lsh-verified pairs: exact scores, subset of exact jaccard, finds the dups") {
+    val verified = Dedup.lshVerifiedPairs(docs, k = 16, bands = 4, shingleN = 2,
+      threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = Dedup.jaccardPairs(docs, n = 2, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // precision: every verified pair exists in the exact output with the
+    // SAME jaccard (verification is exact, not the signature estimate)
+    for ((k, v) <- verified) assert(exact.get(k).contains(v), s"pair $k: $v vs ${exact.get(k)}")
+    // the planted duplicates collide in some band and survive verification
+    assert(verified.contains((0L, 1L)) && verified((0L, 1L)) == 1.0)
+    assert(verified.contains((2L, 3L)))
+    assert(!verified.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("simhash: identical docs hash identically; near-dups within distance") {
     val sh = Dedup.simhashes(docs, shingleN = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
