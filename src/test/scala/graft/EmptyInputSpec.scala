@@ -47,6 +47,24 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("corpus-construction operators on empty inputs") {
+    assert(Dedup.lshVerifiedPairs(emptyDocs).count() == 0)
+    val emptyClusters = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType),
+        StructField("cluster_rep", LongType))))
+    // empty corpus AND empty clusters; non-empty corpus with no clusters
+    // passes everything through un-flagged
+    assert(Corpus.dedupApply(emptyDocs, emptyClusters).count() == 0)
+    import spark.implicits._
+    val one = Seq((7L, "some text")).toDF("doc_id", "text")
+    val passed = Corpus.dedupApply(one, emptyClusters).collect()
+    assert(passed.length == 1 && !passed(0).getAs[Boolean]("is_cluster_rep"))
+    val emptyStrata = emptyDocs.withColumn("lang", lit("en"))
+    assert(Corpus.stratifiedSample(emptyStrata, "lang", perStratum = 5).count() == 0)
+    assert(Corpus.packSequences(emptyDocs, maxTokens = 512).count() == 0)
+  }
+
   test("text analysis and sessionization on empty inputs") {
     assert(TextAnalysis.languageId(emptyDocs).count() == 0)
     assert(TextAnalysis.quality(emptyDocs).count() == 0)
