@@ -183,6 +183,35 @@ object PipelineEntry {
       Ann.lshTopK(embs(s, dir), probes(s, dir), k = 10, nPlanes = 8,
         nTables = 2).orderBy("probe_id", "rank")),
 
+    // P22, key p23_clean — text cleaning over deterministically dirtied
+    // input (planted control chars + whitespace runs, mirrored in the
+    // oracle) so the strip/collapse/trim path is actually exercised.
+    "p23_clean" -> ((s, dir) =>
+      TextAnalysis.cleaned(docs(s, dir).withColumn("text",
+        concat(lit("  "), col("text"), lit("\t mid  gap \u0007\u0007 end  "))))
+        .orderBy("id")),
+
+    // P23, key p24_redact — PII redaction over input with planted
+    // emails/phones on every 10th doc (mirrored in the oracle).
+    "p24_redact" -> ((s, dir) =>
+      TextAnalysis.redacted(docs(s, dir).withColumn("text",
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com or 555-123-4567 now")))
+          .otherwise(col("text"))))
+        .orderBy("id")),
+
+    // P24, key p25_repetition — Gopher-style top-n-gram repetition ratio.
+    "p25_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(docs(s, dir), n = 3).orderBy("id")),
+
+    // P25, key p26_contamination — benchmark decontamination: docs with
+    // doc_id < 20 act as the held-out benchmark corpus.
+    "p26_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.contamination(d, d.where(col("doc_id") < 20), n = 3).orderBy("id")
+    }),
+
     // P8 — stopword-vote language ID.
     "p08_langid" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir)).orderBy("id")),
@@ -603,6 +632,70 @@ ranked AS (
   FROM scored)
 SELECT probe_id, rank, neighbor_id, round(cs, 6) AS cosine
 FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
+
+    "p23_clean" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+dirty AS (SELECT doc_id,
+            '  ' || text || chr(9) || ' mid  gap ' || chr(7) || chr(7) || ' end  ' AS text
+          FROM documents),
+cl AS (SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(text,
+           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+           '\\s+', ' ', 'g')) AS clean_text
+       FROM dirty)
+SELECT doc_id AS id, clean_text,
+       (length(text) - length(clean_text))::BIGINT AS n_chars_removed
+FROM cl ORDER BY id""",
+
+    "p24_redact" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+dirty AS (SELECT doc_id,
+            CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact u' || doc_id || '@example.com or 555-123-4567 now'
+              ELSE text END AS text
+          FROM documents)
+SELECT doc_id AS id,
+  regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted_text,
+  len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones
+FROM dirty ORDER BY id""",
+
+    "p25_repetition" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+tokr AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+shr AS (SELECT doc_id, list_transform(range(1, len(t)-1),
+          i -> array_to_string(list_slice(t, i, i+2), ' ')) AS s
+        FROM tokr WHERE len(t) >= 3),
+cnt AS (SELECT doc_id, shingle, count(*) AS c
+        FROM (SELECT doc_id, unnest(s) AS shingle FROM shr)
+        GROUP BY doc_id, shingle)
+SELECT doc_id AS id, sum(c)::BIGINT AS n_shingles, max(c)::BIGINT AS top_count,
+       round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_shingle_ratio
+FROM cnt GROUP BY doc_id ORDER BY id""",
+
+    "p26_contamination" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+tokc AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+shc AS (SELECT doc_id,
+          CASE WHEN len(t) >= 3
+            THEN list_distinct(list_transform(range(1, len(t)-1),
+                   i -> array_to_string(list_slice(t, i, i+2), ' ')))
+            ELSE []::VARCHAR[] END AS s
+        FROM tokc),
+bsh AS (SELECT DISTINCT unnest(s) AS shingle FROM shc WHERE doc_id < 20),
+tot AS (SELECT doc_id, len(s)::BIGINT AS n_shingles FROM shc),
+hits AS (SELECT e.doc_id, count(*) AS n_cont
+         FROM (SELECT doc_id, unnest(s) AS shingle FROM shc) e
+         JOIN bsh USING (shingle) GROUP BY e.doc_id)
+SELECT t.doc_id AS id, t.n_shingles,
+       coalesce(h.n_cont, 0)::BIGINT AS n_contaminated,
+       round(CASE WHEN t.n_shingles > 0
+         THEN coalesce(h.n_cont, 0)::DOUBLE / t.n_shingles::DOUBLE
+         ELSE 0.0 END, 6) AS contamination
+FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id ORDER BY id""",
 
     "p08_langid" -> {
       val langs = Seq("de", "en", "es", "fr")

@@ -116,6 +116,41 @@ object Corpus {
         ((col("cum_tokens") - col("n_tokens")) / lit(maxTokens)).cast("long"))
   }
 
+  // ---------------- P25 (registered query key: p26_contamination)
+  /**
+   * Benchmark decontamination: for every document, the fraction of its
+   * DISTINCT n-gram shingles that appear anywhere in the benchmark
+   * corpus — the standard check that held-out eval data did not leak
+   * into the training set. Callers drop docs above a threshold.
+   *
+   * Scale shape: the benchmark shingle set is small (eval suites are
+   * KBs-to-MBs against a 100 TB corpus) and materialized with stats, so
+   * the hit-join broadcasts it; the corpus side is one explode +
+   * per-doc count, keyed by doc id — no skew, no corpus shuffle beyond
+   * the per-id aggregation. (At extreme benchmark sizes the same shape
+   * works as a bloom-filter semi-join; the equi-join is the exact form.)
+   * Output: (id, n_shingles, n_contaminated, contamination).
+   */
+  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val bench = SelfJoinMaterialize(
+      Dedup.shingleSets(benchmark, n, textCol, idCol)
+        .select(explode(col("shingles")).as("shingle")).distinct())
+    val sets = Dedup.shingleSets(docs, n, textCol, idCol)
+    val totals = sets.select(col("id"),
+      size(col("shingles")).cast("long").as("n_shingles"))
+    val hits = sets.select(col("id"), explode(col("shingles")).as("shingle"))
+      .join(bench, Seq("shingle"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(when(col("n_shingles") > 0,
+          coalesce(col("n_contaminated"), lit(0L)).cast("double")
+            / col("n_shingles").cast("double")).otherwise(lit(0.0)), 6)
+          .as("contamination"))
+  }
+
   /** Per-pack fill summary over packSequences output — the shape a
    * packing-efficiency report reads (docs per pack, fill vs budget). */
   def packStats(packed: DataFrame): DataFrame =

@@ -94,4 +94,76 @@ object TextAnalysis {
       TF.rollingFingerprint(TF.tokenCodes(TF.tokens(col(textCol))))
         .as("fingerprint"),
       md5(col(textCol)).as("content_hash"))
+
+  /** HARD control characters by explicit byte ranges — excludes \t \n \r
+   * (those are whitespace and must COLLAPSE to a space, not vanish and
+   * glue words together). Explicit byte ranges are the one spelling both
+   * Java regex (Spark) and RE2 (DuckDB/engines) read identically, so the
+   * oracle stays portable. */
+  val ControlCharPattern = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+  /**
+   * P22 — Text cleaning: the first stage of every ingest pipeline.
+   * Strips hard control characters, collapses whitespace runs (incl.
+   * tabs/newlines) to single spaces, trims. Pure column expressions, no
+   * shuffle, codegen'd.
+   * Output: (id, clean_text, n_chars_removed).
+   */
+  def cleaned(docs: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val clean = trim(regexp_replace(
+      regexp_replace(col(textCol), ControlCharPattern, ""), "\\s+", " "))
+    docs.select(col(idCol).as("id"), clean.as("clean_text"),
+      (length(col(textCol)) - length(clean)).cast("long").as("n_chars_removed"))
+  }
+
+  /** Deterministic-format PII patterns (portable Java-regex/RE2 subset).
+   * Real pipelines plug locale-specific pattern sets in; the operator
+   * shape (count + replace per pattern, one scan) is what matters. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /**
+   * P23 — PII redaction: replace emails/phone numbers with typed
+   * placeholder tokens and count what was removed (the audit trail a
+   * compliance pipeline keeps). One scan, no shuffle.
+   * Output: (id, redacted_text, n_emails, n_phones).
+   */
+  def redacted(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val text = col(textCol)
+    docs.select(col(idCol).as("id"),
+      regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>").as("redacted_text"),
+      size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long")
+        .as("n_emails"),
+      size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast("long")
+        .as("n_phones"))
+  }
+
+  /**
+   * P24 — Repetition scoring (the Gopher-style quality signal): the
+   * fraction of a document's n-gram occurrences taken by its single most
+   * frequent n-gram. Boilerplate/spam repeats a few n-grams; natural text
+   * spreads mass. Shingles here are NON-distinct (multiplicity is the
+   * signal). Docs with fewer than n tokens are excluded (no shingles to
+   * score — same domain as the dedup operators).
+   *
+   * Scale shape: one groupBy keyed on (id, shingle) with map-side
+   * combine, then a per-id max/sum — no joins, no skew (the key carries
+   * the doc id).
+   * Output: (id, n_shingles, top_count, top_shingle_ratio).
+   */
+  def repetition(docs: DataFrame, n: Int = 3, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      TF.shingles(TF.tokens(col(textCol)), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("id"), explode(col("sh")).as("shingle"))
+      .groupBy("id", "shingle").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(sum(col("c")).as("n_shingles"), max(col("c")).as("top_count"))
+      .select(col("id"), col("n_shingles"), col("top_count"),
+        round(col("top_count").cast("double") / col("n_shingles").cast("double"), 6)
+          .as("top_shingle_ratio"))
 }

@@ -108,6 +108,27 @@ class CorpusSpec extends SparkSpec {
     assert(stats.where(col("pack_tokens") =!= 50L).count() == 0)
   }
 
+  test("contamination: benchmark overlap fraction, zero for disjoint docs") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),   // = benchmark doc
+      (1L, "the quick brown fox sleeps all day long now"),   // partial overlap
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // disjoint
+      (3L, "ab")                                             // too short: no shingles
+    ).toDF("doc_id", "text")
+    val bench = corpus.where(col("doc_id") === 0L)
+    val out = Corpus.contamination(corpus, bench, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // the benchmark doc itself: fully contaminated (7 of its 7 shingles)
+    assert(out(0L) == ((7L, 7L, 1.0)))
+    // doc 1 shares exactly "the quick brown" + "quick brown fox" with it
+    assert(out(1L)._1 == 7L && out(1L)._2 == 2L)
+    assert(math.abs(out(1L)._3 - 2.0 / 7.0) < 1e-6)
+    assert(out(2L) == ((6L, 0L, 0.0)))
+    // shingle-less doc: 0 shingles, contamination defined as 0
+    assert(out(3L) == ((0L, 0L, 0.0)))
+  }
+
   test("packSequences gives an oversized doc its own pack boundary") {
     val two = Seq(
       (0L, Seq.fill(30)("tok").mkString(" ")),   // 30 tokens

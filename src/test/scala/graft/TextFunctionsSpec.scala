@@ -85,4 +85,43 @@ class TextFunctionsSpec extends SparkSpec {
     // don ' t stop - me now
     assert(r.getAs[Long]("bpe_tokens") == 7)
   }
+
+  test("cleaned: strips hard controls, collapses whitespace, trims, counts removals") {
+    val r = TextAnalysis.cleaned(one("  a\u0000b \tc   d  ")).collect()(0)
+    // NUL vanishes (a<NUL>b -> ab), tab+runs collapse to single spaces,
+    // ends trimmed -- whitespace controls do NOT glue words together
+    assert(r.getAs[String]("clean_text") == "ab c d")
+    // original 14 chars -> 6
+    assert(r.getAs[Long]("n_chars_removed") == 8L)
+    // already-clean text is a no-op with zero removals
+    val clean = TextAnalysis.cleaned(one("ab c d")).collect()(0)
+    assert(clean.getAs[String]("clean_text") == "ab c d")
+    assert(clean.getAs[Long]("n_chars_removed") == 0L)
+  }
+
+  test("redacted: typed placeholders + counts; clean text untouched") {
+    val r = TextAnalysis.redacted(
+      one("mail a.b+c@x-mail.org or x@y.io, call 555-123-4567!")).collect()(0)
+    assert(r.getAs[String]("redacted_text") ==
+      "mail <EMAIL> or <EMAIL>, call <PHONE>!")
+    assert(r.getAs[Long]("n_emails") == 2L && r.getAs[Long]("n_phones") == 1L)
+    val c = TextAnalysis.redacted(one("no pii here at all")).collect()(0)
+    assert(c.getAs[String]("redacted_text") == "no pii here at all")
+    assert(c.getAs[Long]("n_emails") == 0L && c.getAs[Long]("n_phones") == 0L)
+  }
+
+  test("repetition: top-shingle ratio separates boilerplate from natural text") {
+    val rep = TextAnalysis.repetition(
+      one("buy now buy now buy now buy now"), n = 3).collect()(0)
+    // 8 tokens -> 6 shingles; "buy now buy"x3 dominates
+    assert(rep.getAs[Long]("n_shingles") == 6L)
+    assert(rep.getAs[Long]("top_count") == 3L)
+    assert(math.abs(rep.getAs[Double]("top_shingle_ratio") - 0.5) < 1e-6)
+    val nat = TextAnalysis.repetition(
+      one("the quick brown fox jumps over the lazy dog"), n = 3).collect()(0)
+    // all 7 shingles distinct
+    assert(nat.getAs[Long]("top_count") == 1L)
+    // a doc too short to shingle yields no row (documented domain)
+    assert(TextAnalysis.repetition(one("ab cd"), n = 3).count() == 0L)
+  }
 }
