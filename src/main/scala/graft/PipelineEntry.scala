@@ -173,6 +173,16 @@ object PipelineEntry {
         nProbe = 4, trainIters = 2, trainSample = 256)
         .orderBy("probe_id", "rank")),
 
+    // P26, key p27_ann_pq — product-quantization ANN: per-subspace
+    // trained codebooks (driver-side deterministic k-means, like p17),
+    // m-byte codes per vector, ADC table-lookup scan.
+    "p27_ann_pq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cb = Ann.trainPqCodebooks(e, m = 8, nCodes = 16, sampleN = 256,
+        iters = 2, dim = 64)
+      Ann.pqTopK(e, probes(s, dir), cb, k = 10).orderBy("probe_id", "rank")
+    }),
+
     // P6 — brute-force cosine top-k for 5 probe vectors.
     "p06_ann_topk" -> ((s, dir) =>
       Ann.bruteForceTopK(embs(s, dir), probes(s, dir), k = 10)
@@ -334,6 +344,40 @@ sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
    * 0.0 + x == x for IEEE doubles). */
   private def dotSql(a: String, b: String, dim: Int = 64): String =
     s"list_reduce(list_transform(range(1,${dim + 1}), i -> $a[i] * $b[i]), (x,y) -> x+y)"
+
+  /** Ordered-fold squared L2 between two 1-indexed `d`-length double
+   * lists — bit-identical to Ann.l2Col (zip_with + seeded fold). */
+  private def l2Sql(a: String, b: String, d: Int = 8): String =
+    s"list_reduce([0.0]::DOUBLE[] || list_transform(range(1,${d + 1}), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x,y) -> x+y)"
+
+  /** One PQ subspace's unrolled deterministic k-means (2 iterations) +
+   * its positional codebook list — mirrors Ann.trainPqCodebooks for
+   * subspace `s` (8 dims, 16 codes, sample = vec_id < 256, init = first
+   * 16 sample subvectors, L2 assignment with lowest-cid ties, id-ordered
+   * mean folds, emptied clusters keep their centroid). */
+  private def pqSubCtes(s: Int): String = {
+    val lo = s * 8 + 1
+    val hi = s * 8 + 8
+    def iter(i: Int): String =
+      s"""a${s}_$i AS (SELECT cid, vec_id, sv FROM (
+  SELECT c.cid, x.vec_id, x.sv,
+    row_number() OVER (PARTITION BY x.vec_id
+      ORDER BY ${l2Sql("x.sv", "c.cv")} ASC, c.cid) AS rk
+  FROM samp$s x CROSS JOIN c${s}_${i - 1} c) WHERE rk = 1),
+m${s}_$i AS (SELECT cid, list(mn ORDER BY dim) AS cv FROM (
+    SELECT cid, dim,
+      list_reduce([0.0]::DOUBLE[] || list(sv[dim] ORDER BY vec_id), (x,y) -> x+y)
+        / count(*) AS mn
+    FROM a${s}_$i, range(1,9) r(dim) GROUP BY cid, dim)
+  GROUP BY cid),
+c${s}_$i AS (SELECT p.cid, coalesce(m.cv, p.cv) AS cv
+             FROM c${s}_${i - 1} p LEFT JOIN m${s}_$i m ON p.cid = m.cid)"""
+    s"""samp$s AS (SELECT vec_id, list_slice(v, $lo, $hi) AS sv FROM emb WHERE vec_id < 256),
+c${s}_0 AS (SELECT vec_id AS cid, sv AS cv FROM samp$s WHERE vec_id < 16),
+${iter(1)},
+${iter(2)},
+cbl$s AS (SELECT list(cv ORDER BY cid) AS l FROM c${s}_2)"""
+  }
 
   /** Sign-LSH bucket over 8 hyperplanes from table `t` (plane index
    * t*8+j), mirroring VectorFunctions.lshBucket/hyperplane. */
@@ -578,6 +622,39 @@ ranked AS (
            ORDER BY cs DESC, neighbor_id) AS rank
   FROM scored)
 SELECT probe_id, rank, neighbor_id, round(cs, 6) AS cosine
+FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank"""
+    },
+
+    "p27_ann_pq" -> {
+      val subspaces = (0 until 8).map(pqSubCtes).mkString(",\n")
+      val cbls = (0 until 8).map(s => s"cbl$s").mkString(", ")
+      def codeExpr(vref: String, s: Int): String = {
+        val sub = s"list_slice($vref, ${s * 8 + 1}, ${s * 8 + 8})"
+        val dl = s"list_transform(cbl$s.l, c -> ${l2Sql(sub, "c")})"
+        s"(list_position($dl, list_min($dl)) - 1)"
+      }
+      val codes = (0 until 8).map(s => codeExpr("e.v", s)).mkString("[\n    ", ",\n    ", "]")
+      val dtables = (0 until 8).map { s =>
+        val sub = s"list_slice(p.v, ${s * 8 + 1}, ${s * 8 + 8})"
+        s"list_transform(cbl$s.l, c -> ${l2Sql(sub, "c")})"
+      }.mkString("[\n    ", ",\n    ", "]")
+      s"""WITH $embCte,
+$subspaces,
+enc AS (SELECT e.vec_id, $codes AS codes FROM emb e, $cbls),
+pdt AS (SELECT p.vec_id AS probe_id, $dtables AS dt
+        FROM emb p, $cbls WHERE p.vec_id < 5),
+scored AS (
+  SELECT pd.probe_id, e.vec_id AS neighbor_id,
+    list_reduce([0.0]::DOUBLE[] ||
+      list_transform(range(1,9), s -> pd.dt[s][e.codes[s] + 1]),
+      (x,y) -> x+y) AS adc
+  FROM enc e CROSS JOIN pdt pd WHERE pd.probe_id <> e.vec_id),
+ranked AS (
+  SELECT probe_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY probe_id
+           ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT probe_id, rank, neighbor_id, round(adc, 6) AS adc_dist
 FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank"""
     },
 

@@ -103,6 +103,9 @@ object ScaleSmoke {
       nProbe = 8).count())
     time("ann ivf trained")(Ann.ivfTopK(bigEmbs, probes, k = 10, nCenters = 64,
       nProbe = 8, trainIters = 2, trainSample = 1024).count())
+    val pqCb = Ann.trainPqCodebooks(bigEmbs, m = 8, nCodes = 16,
+      sampleN = 1024, iters = 2)
+    time("ann pq adc")(Ann.pqTopK(bigEmbs, probes, pqCb, k = 10).count())
 
     // Recall@10 of each approximate path vs exact brute force — the
     // quality side of the speed/recall trade. Measured on the
@@ -122,6 +125,29 @@ object ScaleSmoke {
       nProbe = 8, trainIters = 2, trainSample = 1024))
     println(f"recall@10 vs exact (unreplicated): lsh2t=$rLsh%.3f lsh4t=$rLsh4%.3f " +
       f"ivf=$rIvf%.3f ivf-trained=$rTrained%.3f")
+    // PQ ranks by (squared) L2, so its recall baseline is the exact-L2
+    // top-10, not the cosine one the bucketing paths use.
+    val dbl = (c: String) => transform(col(c), x => x.cast("double"))
+    val pEmb = embs.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), dbl("embedding").as("pv"))
+    val cEmb = baseEmbs.select(col("vec_id").as("neighbor_id"), dbl("embedding").as("cv"))
+    val wL2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("d").asc, col("neighbor_id").asc)
+    val exactL2 = cEmb.crossJoin(broadcast(pEmb))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("d", aggregate(zip_with(col("pv"), col("cv"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+      .withColumn("rk", row_number().over(wL2))
+      .where(col("rk") <= 10).select("probe_id", "neighbor_id").cache()
+    val nL2 = exactL2.count().toDouble
+    val cbBase = Ann.trainPqCodebooks(baseEmbs, m = 8, nCodes = 16,
+      sampleN = 1024, iters = 2)
+    val rPq = Ann.pqTopK(baseEmbs, probes, cbBase, k = 10)
+      .select("probe_id", "neighbor_id").intersect(exactL2).count() / nL2
+    val rPqRr = Ann.pqTopKReranked(baseEmbs, probes, cbBase, k = 10, rerank = 200)
+      .select("probe_id", "neighbor_id").intersect(exactL2).count() / nL2
+    println(f"pq recall@10 vs exact-L2 (unreplicated, 32x compression): " +
+      f"adc=$rPq%.3f adc+rerank200=$rPqRr%.3f")
     // List balance explains the ivf-vs-trained recall gap: skewed sampled
     // lists make a probe scan far more than nProbe/nCenters of the corpus.
     def balance(trainIters: Int): (Long, Double) = {

@@ -199,6 +199,160 @@ object Ann {
   }
 
   /**
+   * Deterministic per-subspace codebook training for product quantization
+   * (PQ — Jégou et al., "Product Quantization for Nearest Neighbor
+   * Search", TPAMI 2011; public knowledge). The vector is split into `m`
+   * subspaces of dim/m dims; each subspace gets an independent k-means
+   * codebook of `nCodes` centroids trained by L2 on the same bounded
+   * id-ordered sample discipline as `trainCentroids` (init = first
+   * `nCodes` sample subvectors, fixed iterations, id-ordered mean folds,
+   * strict-< assignment keeps the lowest centroid id, emptied clusters
+   * keep their centroid — no RNG, bit-reproducible by a SQL oracle).
+   * Returns cb(s)(cid) = centroid subvector, positional by centroid id.
+   */
+  def trainPqCodebooks(corpus: DataFrame, m: Int = 8, nCodes: Int = 16,
+                       sampleN: Int = 256, iters: Int = 2, dim: Int = 64,
+                       vecCol: String = "embedding",
+                       idCol: String = "vec_id"): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val dsub = dim / m
+    val sample: Array[(Long, Array[Double])] = corpus
+      .where(col(idCol) < sampleN)
+      .select(col(idCol).cast("long"), VF.toDouble(col(vecCol)))
+      .orderBy(col(idCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(sample.length >= nCodes, s"sample (${sample.length}) < nCodes ($nCodes)")
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      (0 until dsub).foldLeft(0.0)((acc, i) => acc + (a(i) - b(i)) * (a(i) - b(i)))
+    (0 until m).map { s =>
+      val subs = sample.map { case (id, v) => (id, v.slice(s * dsub, (s + 1) * dsub)) }
+      var cents: Array[(Long, Array[Double])] = subs.take(nCodes)
+      for (_ <- 0 until iters) {
+        val assigned = subs.map { case (id, v) =>
+          var bestCid = -1L; var bestD = Double.PositiveInfinity
+          cents.foreach { case (cid, cv) =>
+            val d = l2(v, cv)
+            if (d < bestD) { bestD = d; bestCid = cid }
+          }
+          (bestCid, id, v)
+        }
+        val byCent = assigned.groupBy(_._1)
+        cents = cents.map { case (cid, old) =>
+          byCent.get(cid) match {
+            case Some(members) =>
+              val inIdOrder = members.sortBy(_._2)
+              val mean = Array.tabulate(dsub) { d =>
+                inIdOrder.foldLeft(0.0)((acc, mm) => acc + mm._3(d)) / members.length
+              }
+              (cid, mean)
+            case None => (cid, old)
+          }
+        }
+      }
+      cents.sortBy(_._1).map(_._2.toSeq).toSeq
+    }
+  }
+
+  /** Ordered-fold squared L2 between two double-array columns —
+   * bit-identical to the oracle's `[0.0] || list` reduce. */
+  private def l2Col(a: org.apache.spark.sql.Column,
+                    b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /**
+   * PQ encode: each vector compresses to `m` small codes (the nearest
+   * codebook centroid per subspace). Pure per-row expressions — ties to
+   * the lowest code via struct-min — so encoding is one narrow scan, no
+   * shuffle, and the code table is m bytes/vector (the 100 TB artifact:
+   * 64-dim float32 -> 8 codes is a 32x working-set reduction).
+   * Returns (vec_id, codes array<int>).
+   */
+  def pqEncode(corpus: DataFrame, cb: Seq[Seq[Seq[Double]]], dim: Int = 64,
+               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val m = cb.length
+    val dsub = dim / m
+    val codeCols = (0 until m).map { s =>
+      val sub = slice(VF.toDouble(col(vecCol)), s * dsub + 1, dsub)
+      val dl = transform(typedLit(cb(s)), c => l2Col(sub, c))
+      // (distance, index) struct-min: lowest distance, ties to lowest code
+      array_min(zip_with(dl, sequence(lit(0), lit(cb(s).length - 1)),
+        (d, i) => struct(d.as("d"), i.as("i")))).getField("i")
+    }
+    corpus.select(col(idCol).as("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /**
+   * PQ top-k via asymmetric distance computation (ADC): the probe builds
+   * one tiny distance table per subspace (probe subvector vs every
+   * centroid), and each corpus vector's approximate distance is an
+   * ORDERED fold of m table lookups over its codes — no per-row vector
+   * math on the corpus side and no cross-partition double summation, so
+   * results are deterministic and oracle-comparable. Corpus scan cost =
+   * the compressed code table; probes (with their tables) broadcast.
+   * Guarantee: a probe identical to a corpus vector always finds it at
+   * the ADC minimum (its codes minimize every per-subspace lookup).
+   * Returns (probe_id, rank, neighbor_id, adc_dist), rank 1..k by
+   * ascending approximate distance.
+   */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, cb: Seq[Seq[Seq[Double]]],
+             k: Int = 10, dim: Int = 64,
+             vecCol: String = "embedding", idCol: String = "vec_id",
+             probeIdCol: String = "probe_id", probeVecCol: String = "probe_vec"): DataFrame = {
+    val m = cb.length
+    val dsub = dim / m
+    val codes = pqEncode(corpus, cb, dim, vecCol, idCol)
+    val dtables = array((0 until m).map { s =>
+      transform(typedLit(cb(s)),
+        c => l2Col(slice(VF.toDouble(col(probeVecCol)), s * dsub + 1, dsub), c))
+    }: _*)
+    val p = probes.select(col(probeIdCol).as("probe_id"), dtables.as("dt"))
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, s) => acc + element_at(element_at(col("dt"), s + 1),
+        element_at(col("codes"), s + 1) + 1))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    codes.withColumnRenamed("vec_id", "neighbor_id")
+      .crossJoin(broadcast(p))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc_dist"))
+  }
+
+  /**
+   * PQ retrieve + exact re-rank — the standard production PQ shape: ADC
+   * over the compressed codes retrieves `rerank` candidates per probe
+   * (the cheap 32x-compressed scan), then ONLY those candidates' full
+   * vectors are fetched and exactly re-ranked by L2. Final quality =
+   * ADC's recall@rerank (≫ its recall@k), at the cost of re-reading
+   * `rerank` full vectors per probe instead of the whole corpus.
+   * Returns (probe_id, rank, neighbor_id, l2_dist), rank 1..k.
+   */
+  def pqTopKReranked(corpus: DataFrame, probes: DataFrame,
+                     cb: Seq[Seq[Seq[Double]]], k: Int = 10, rerank: Int = 100,
+                     dim: Int = 64, vecCol: String = "embedding",
+                     idCol: String = "vec_id", probeIdCol: String = "probe_id",
+                     probeVecCol: String = "probe_vec"): DataFrame = {
+    val cand = pqTopK(corpus, probes, cb, rerank, dim, vecCol, idCol,
+      probeIdCol, probeVecCol).select("probe_id", "neighbor_id")
+    val c = corpus.select(col(idCol).as("neighbor_id"), VF.toDouble(col(vecCol)).as("cv"))
+    val p = probes.select(col(probeIdCol).as("probe_id"),
+      VF.toDouble(col(probeVecCol)).as("pv"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("d").asc, col("neighbor_id").asc)
+    cand.join(c, Seq("neighbor_id"))
+      .join(broadcast(p), Seq("probe_id"))
+      .withColumn("d", l2Col(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("d"), 6).as("l2_dist"))
+  }
+
+  /**
    * Sign-LSH bucketed top-k: probes only score candidates sharing a bucket
    * in at least one of `nTables` independent hyperplane tables.
    * Returns (probe_id, rank, neighbor_id, cosine) ranked within the
