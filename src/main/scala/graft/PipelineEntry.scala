@@ -183,6 +183,18 @@ object PipelineEntry {
       Ann.pqTopK(e, probes(s, dir), cb, k = 10).orderBy("probe_id", "rank")
     }),
 
+    // P27, key p28_ann_ivfpq — IVF lists restrict the scan, PQ codes
+    // compress it: a probe reads ~nProbe/nCenters of the 32x-compressed
+    // code table. Non-residual variant; coarse quantizer = p17's trained
+    // k-means, codebooks = p27's.
+    "p28_ann_ivfpq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cb = Ann.trainPqCodebooks(e, m = 8, nCodes = 16, sampleN = 256,
+        iters = 2, dim = 64)
+      Ann.ivfPqTopK(e, probes(s, dir), cb, k = 10, nCenters = 16, nProbe = 4,
+        trainIters = 2, trainSample = 256).orderBy("probe_id", "rank")
+    }),
+
     // P6 — brute-force cosine top-k for 5 probe vectors.
     "p06_ann_topk" -> ((s, dir) =>
       Ann.bruteForceTopK(embs(s, dir), probes(s, dir), k = 10)
@@ -349,6 +361,54 @@ sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
    * lists — bit-identical to Ann.l2Col (zip_with + seeded fold). */
   private def l2Sql(a: String, b: String, d: Int = 8): String =
     s"list_reduce([0.0]::DOUBLE[] || list_transform(range(1,${d + 1}), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x,y) -> x+y)"
+
+  /** Unrolled cosine k-means coarse-quantizer CTEs shared by the IVF and
+   * IVF+PQ oracles — mirrors Ann.trainCentroids bit-for-bit (assign by
+   * cosine with lowest-cid ties, id-ordered per-dimension mean folds,
+   * emptied clusters keep their previous centroid), then full-corpus
+   * assignment and each probe's nProbe=4 nearest lists. */
+  private lazy val ivfCoarseCtes: String = {
+    def kmIter(i: Int): String = {
+      val prev = s"c${i - 1}"
+      s"""n${i - 1} AS (SELECT cid, cv, sqrt(${dotSql("cv", "cv")}) AS cn FROM $prev),
+a$i AS (SELECT cid, vec_id, v FROM (
+  SELECT c.cid, s.vec_id, s.v,
+    row_number() OVER (PARTITION BY s.vec_id
+      ORDER BY ${dotSql("s.v", "c.cv")} / (s.nrm * c.cn) DESC, c.cid) AS rk
+  FROM samp s CROSS JOIN n${i - 1} c) WHERE rk = 1),
+m$i AS (SELECT cid, list(m ORDER BY dim) AS cv FROM (
+    SELECT cid, dim,
+      list_reduce([0.0]::DOUBLE[] || list(v[dim] ORDER BY vec_id), (x,y) -> x+y)
+        / count(*) AS m
+    FROM a$i, range(1,65) r(dim) GROUP BY cid, dim)
+  GROUP BY cid),
+c$i AS (SELECT $prev.cid, coalesce(m$i.cv, $prev.cv) AS cv
+        FROM $prev LEFT JOIN m$i ON $prev.cid = m$i.cid)"""
+    }
+    s"""n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM emb),
+samp AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 256),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM samp WHERE vec_id < 16),
+${kmIter(1)},
+${kmIter(2)},
+cents AS (SELECT cid AS centroid_id, cv AS centv, sqrt(${dotSql("cv", "cv")}) AS centn
+          FROM c2),
+assigned AS (
+  SELECT centroid_id, neighbor_id, cv, cn FROM (
+    SELECT c.centroid_id, n.vec_id AS neighbor_id, n.v AS cv, n.nrm AS cn,
+      row_number() OVER (PARTITION BY n.vec_id
+        ORDER BY ${dotSql("n.v", "c.centv")} / (n.nrm * c.centn) DESC,
+                 c.centroid_id) AS arank
+    FROM n CROSS JOIN cents c)
+  WHERE arank = 1),
+plists AS (
+  SELECT probe_id, pv, pn, centroid_id FROM (
+    SELECT p.vec_id AS probe_id, p.v AS pv, p.nrm AS pn, c.centroid_id,
+      row_number() OVER (PARTITION BY p.vec_id
+        ORDER BY ${dotSql("p.v", "c.centv")} / (p.nrm * c.centn) DESC,
+                 c.centroid_id) AS prank
+    FROM n p CROSS JOIN cents c WHERE p.vec_id < 5)
+  WHERE prank <= 4)"""
+  }
 
   /** One PQ subspace's unrolled deterministic k-means (2 iterations) +
    * its positional codebook list — mirrors Ann.trainPqCodebooks for
@@ -565,52 +625,9 @@ SELECT doc_id, shard, n_tokens, cum_tokens,
        (cum_tokens - n_tokens) // 512 AS pack_id
 FROM c ORDER BY doc_id""",
 
-    "p17_ann_ivf" -> {
-      // One unrolled k-means iteration: assign sample to prev centroids by
-      // cosine (lowest-cid tie-break), then per-dimension ordered-fold
-      // means; emptied clusters keep their previous centroid. Mirrors
-      // Ann.trainCentroids bit-for-bit.
-      def kmIter(i: Int): String = {
-        val prev = s"c${i - 1}"
-        s"""n${i - 1} AS (SELECT cid, cv, sqrt(${dotSql("cv", "cv")}) AS cn FROM $prev),
-a$i AS (SELECT cid, vec_id, v FROM (
-  SELECT c.cid, s.vec_id, s.v,
-    row_number() OVER (PARTITION BY s.vec_id
-      ORDER BY ${dotSql("s.v", "c.cv")} / (s.nrm * c.cn) DESC, c.cid) AS rk
-  FROM samp s CROSS JOIN n${i - 1} c) WHERE rk = 1),
-m$i AS (SELECT cid, list(m ORDER BY dim) AS cv FROM (
-    SELECT cid, dim,
-      list_reduce([0.0]::DOUBLE[] || list(v[dim] ORDER BY vec_id), (x,y) -> x+y)
-        / count(*) AS m
-    FROM a$i, range(1,65) r(dim) GROUP BY cid, dim)
-  GROUP BY cid),
-c$i AS (SELECT $prev.cid, coalesce(m$i.cv, $prev.cv) AS cv
-        FROM $prev LEFT JOIN m$i ON $prev.cid = m$i.cid)"""
-      }
+    "p17_ann_ivf" ->
       s"""WITH $embCte,
-n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM emb),
-samp AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 256),
-c0 AS (SELECT vec_id AS cid, v AS cv FROM samp WHERE vec_id < 16),
-${kmIter(1)},
-${kmIter(2)},
-cents AS (SELECT cid AS centroid_id, cv AS centv, sqrt(${dotSql("cv", "cv")}) AS centn
-          FROM c2),
-assigned AS (
-  SELECT centroid_id, neighbor_id, cv, cn FROM (
-    SELECT c.centroid_id, n.vec_id AS neighbor_id, n.v AS cv, n.nrm AS cn,
-      row_number() OVER (PARTITION BY n.vec_id
-        ORDER BY ${dotSql("n.v", "c.centv")} / (n.nrm * c.centn) DESC,
-                 c.centroid_id) AS arank
-    FROM n CROSS JOIN cents c)
-  WHERE arank = 1),
-plists AS (
-  SELECT probe_id, pv, pn, centroid_id FROM (
-    SELECT p.vec_id AS probe_id, p.v AS pv, p.nrm AS pn, c.centroid_id,
-      row_number() OVER (PARTITION BY p.vec_id
-        ORDER BY ${dotSql("p.v", "c.centv")} / (p.nrm * c.centn) DESC,
-                 c.centroid_id) AS prank
-    FROM n p CROSS JOIN cents c WHERE p.vec_id < 5)
-  WHERE prank <= 4),
+$ivfCoarseCtes,
 scored AS (
   SELECT pl.probe_id, a.neighbor_id,
          ${dotSql("pl.pv", "a.cv")} / (pl.pn * a.cn) AS cs
@@ -622,6 +639,43 @@ ranked AS (
            ORDER BY cs DESC, neighbor_id) AS rank
   FROM scored)
 SELECT probe_id, rank, neighbor_id, round(cs, 6) AS cosine
+FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
+
+    "p28_ann_ivfpq" -> {
+      val subspaces = (0 until 8).map(pqSubCtes).mkString(",\n")
+      val cbls = (0 until 8).map(s => s"cbl$s").mkString(", ")
+      def codeExpr(vref: String, s: Int): String = {
+        val sub = s"list_slice($vref, ${s * 8 + 1}, ${s * 8 + 8})"
+        val dl = s"list_transform(cbl$s.l, c -> ${l2Sql(sub, "c")})"
+        s"(list_position($dl, list_min($dl)) - 1)"
+      }
+      val codes = (0 until 8).map(s => codeExpr("e.v", s)).mkString("[\n    ", ",\n    ", "]")
+      val dtables = (0 until 8).map { s =>
+        val sub = s"list_slice(p.v, ${s * 8 + 1}, ${s * 8 + 8})"
+        s"list_transform(cbl$s.l, c -> ${l2Sql(sub, "c")})"
+      }.mkString("[\n    ", ",\n    ", "]")
+      s"""WITH $embCte,
+$ivfCoarseCtes,
+$subspaces,
+enc AS (SELECT e.vec_id, $codes AS codes FROM emb e, $cbls),
+pdt AS (SELECT p.vec_id AS probe_id, $dtables AS dt
+        FROM emb p, $cbls WHERE p.vec_id < 5),
+scored AS (
+  SELECT pl.probe_id, e.vec_id AS neighbor_id,
+    list_reduce([0.0]::DOUBLE[] ||
+      list_transform(range(1,9), s -> pd.dt[s][e.codes[s] + 1]),
+      (x,y) -> x+y) AS adc
+  FROM enc e
+  JOIN assigned a ON a.neighbor_id = e.vec_id
+  JOIN plists pl ON a.centroid_id = pl.centroid_id
+  JOIN pdt pd ON pd.probe_id = pl.probe_id
+  WHERE pl.probe_id <> e.vec_id),
+ranked AS (
+  SELECT probe_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY probe_id
+           ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT probe_id, rank, neighbor_id, round(adc, 6) AS adc_dist
 FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank"""
     },
 

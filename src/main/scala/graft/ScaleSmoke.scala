@@ -106,6 +106,8 @@ object ScaleSmoke {
     val pqCb = Ann.trainPqCodebooks(bigEmbs, m = 8, nCodes = 16,
       sampleN = 1024, iters = 2)
     time("ann pq adc")(Ann.pqTopK(bigEmbs, probes, pqCb, k = 10).count())
+    time("ann ivf+pq")(Ann.ivfPqTopK(bigEmbs, probes, pqCb, k = 10,
+      nCenters = 64, nProbe = 8, trainIters = 2, trainSample = 1024).count())
 
     // Recall@10 of each approximate path vs exact brute force — the
     // quality side of the speed/recall trade. Measured on the

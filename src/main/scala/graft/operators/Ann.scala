@@ -323,6 +323,74 @@ object Ann {
   }
 
   /**
+   * IVF + PQ composition — the big-corpus serving shape: the coarse
+   * quantizer's inverted lists restrict WHICH vectors a probe scans
+   * (nProbe/nCenters of the corpus) and PQ codes compress WHAT is
+   * scanned (m bytes each, ADC lookups) — together, a probe reads
+   * ~nProbe/nCenters of an already-32x-compressed table. This is the
+   * non-residual variant (codes quantize raw vectors, not v - centroid):
+   * one codebook serves all lists, keeping the oracle compositional;
+   * residual encoding is the classical refinement and would add a
+   * per-list probe distance table.
+   * Returns (probe_id, rank, neighbor_id, adc_dist).
+   */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, cb: Seq[Seq[Seq[Double]]],
+                k: Int = 10, nCenters: Int = 16, nProbe: Int = 4,
+                trainIters: Int = 2, trainSample: Int = 256, dim: Int = 64,
+                vecCol: String = "embedding", idCol: String = "vec_id",
+                probeIdCol: String = "probe_id", probeVecCol: String = "probe_vec"): DataFrame = {
+    val m = cb.length
+    val dsub = dim / m
+    val c = corpus.select(col(idCol).as("neighbor_id"), VF.toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", VF.norm(col("cv")))
+    val p = probes.select(col(probeIdCol).as("probe_id"), VF.toDouble(col(probeVecCol)).as("pv"))
+      .withColumn("pn", VF.norm(col("pv")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(corpus, nCenters, trainSample, trainIters, vecCol, idCol)
+      .toDF("centroid_id", "centv")
+      .withColumn("centn", VF.norm(col("centv")))
+
+    val wAssign = Window.partitionBy("neighbor_id")
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("ccos", VF.dot(col("cv"), col("centv")) / (col("cn") * col("centn")))
+      .withColumn("arank", row_number().over(wAssign))
+      .where(col("arank") === 1)
+      .select("centroid_id", "neighbor_id")
+
+    val wProbe = Window.partitionBy("probe_id")
+      .orderBy(col("pcos").desc, col("centroid_id").asc)
+    val probeLists = p.crossJoin(broadcast(cents))
+      .withColumn("pcos", VF.dot(col("pv"), col("centv")) / (col("pn") * col("centn")))
+      .withColumn("prank", row_number().over(wProbe))
+      .where(col("prank") <= nProbe)
+      .select("probe_id", "centroid_id")
+
+    val codes = pqEncode(corpus, cb, dim, vecCol, idCol)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val dtables = array((0 until m).map { s =>
+      transform(typedLit(cb(s)),
+        cc => l2Col(slice(VF.toDouble(col(probeVecCol)), s * dsub + 1, dsub), cc))
+    }: _*)
+    val pdt = probes.select(col(probeIdCol).as("probe_id"), dtables.as("dt"))
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, s) => acc + element_at(element_at(col("dt"), s + 1),
+        element_at(col("codes"), s + 1) + 1))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    codes.join(assigned, Seq("neighbor_id"))
+      .join(broadcast(probeLists), Seq("centroid_id"))
+      .join(broadcast(pdt), Seq("probe_id"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc_dist"))
+  }
+
+  /**
    * PQ retrieve + exact re-rank — the standard production PQ shape: ADC
    * over the compressed codes retrieves `rerank` candidates per probe
    * (the cheap 32x-compressed scan), then ONLY those candidates' full

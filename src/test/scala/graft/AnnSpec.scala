@@ -169,6 +169,31 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ivf+pq: same ADC scores as the unrestricted scan, on a restricted pool") {
+    val cb = Ann.trainPqCodebooks(pqCorpus, m = 4, nCodes = 8, sampleN = 64,
+      iters = 2, dim = 8)
+    val ps = pqCorpus.where(col("vec_id") < 2)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val full = Ann.pqTopK(pqCorpus, ps, cb, k = 64, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivfpq = Ann.ivfPqTopK(pqCorpus, ps, cb, k = 10, nCenters = 8,
+      nProbe = 2, trainIters = 2, trainSample = 64, dim = 8)
+      .orderBy("probe_id", "rank").collect()
+    assert(ivfpq.nonEmpty)
+    // IVF restricts WHICH vectors are scanned but never changes a scanned
+    // vector's ADC distance
+    ivfpq.foreach { r =>
+      assert(full((r.getLong(0), r.getLong(2))) == r.getDouble(3))
+    }
+    // per-probe: ranks dense from 1, distances nondecreasing
+    ivfpq.groupBy(_.getLong(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length))
+      val ds = sorted.map(_.getDouble(3))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("pq ADC recall is reasonable on the structured corpus") {
     val cb = Ann.trainPqCodebooks(pqCorpus, m = 4, nCodes = 8, sampleN = 64,
       iters = 2, dim = 8)
