@@ -31,6 +31,12 @@ object PipelineEntry {
   private val SampleOverSample = 4
   private val SampleHashMod = 1 << 20
 
+  /** Token-mixture (p29) parameters — shared between the Scala call and
+   * the interpolated oracle SQL (weights render as a VALUES table). */
+  private val MixWeights = Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1)
+  private val MixTotalTokens = 50000L
+  private val MixOverSample = 4
+
   /** Every stateful streaming operator instantiates one state store per
    * shuffle partition per micro-batch, so a small drain under the session
    * default (32 here; 200 upstream) is almost all state-store bookkeeping.
@@ -226,6 +232,13 @@ object PipelineEntry {
     // P24, key p25_repetition — Gopher-style top-n-gram repetition ratio.
     "p25_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(docs(s, dir), n = 3).orderBy("id")),
+
+    // P28, key p29_token_mixture — token-budget corpus mixing: sample
+    // each language to its weighted share of a 50k-token budget.
+    "p29_token_mixture" -> ((s, dir) =>
+      Corpus.tokenMixture(docs(s, dir), MixWeights, MixTotalTokens,
+        strataCol = "lang", overSample = MixOverSample, hashMod = SampleHashMod)
+        .orderBy("id")),
 
     // P25, key p26_contamination — benchmark decontamination: docs with
     // doc_id < 20 act as the held-out benchmark corpus.
@@ -806,6 +819,30 @@ cnt AS (SELECT doc_id, shingle, count(*) AS c
 SELECT doc_id AS id, sum(c)::BIGINT AS n_shingles, max(c)::BIGINT AS top_count,
        round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_shingle_ratio
 FROM cnt GROUP BY doc_id ORDER BY id""",
+
+    "p29_token_mixture" -> {
+      val wValues = MixWeights.toSeq.sorted
+        .map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+      // pfConst = hashMod.toDouble * overSample, precomputed like the
+      // Spark literal; budget = w * total as ONE multiplication both sides
+      val pfConst = SampleHashMod.toDouble * MixOverSample
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+b AS (SELECT doc_id AS id, lang AS stratum,
+        len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_tokens,
+        ('0x' || substring(md5(doc_id::VARCHAR),1,8))::BIGINT % $SampleHashMod AS hm
+      FROM documents),
+st AS (SELECT stratum, sum(n_tokens)::BIGINT AS tot_tokens FROM b GROUP BY stratum),
+wt AS (SELECT * FROM (VALUES $wValues) AS t(stratum, w)),
+pf AS (SELECT b.id, b.stratum, b.n_tokens, b.hm,
+         wt.w * $MixTotalTokens.0 AS budget
+       FROM b JOIN st USING (stratum) JOIN wt USING (stratum)
+       WHERE (b.hm * st.tot_tokens) < $pfConst * (wt.w * $MixTotalTokens.0)),
+c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY stratum ORDER BY hm, id
+        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM pf)
+SELECT id, stratum, n_tokens, cum_tokens FROM c
+WHERE (cum_tokens - n_tokens) < budget
+ORDER BY id"""
+    },
 
     "p26_contamination" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),

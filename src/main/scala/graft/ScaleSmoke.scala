@@ -80,6 +80,15 @@ object ScaleSmoke {
         .otherwise(lit("dominant")).as("lang"))
     time("stratified skewed")(
       Corpus.stratifiedSample(skewed, "lang", perStratum = 1000).count())
+    // token mixing under the same skew: the dominant stratum's budget is
+    // reached from a hash-prefiltered sliver, never a full-stratum window
+    val skewedText = docs.select(col("doc_id"), col("text"),
+      when(col("doc_id") % 100 === 0, lit("rare")).otherwise(lit("dominant"))
+        .as("lang"))
+    time("token mixture skewed")(
+      Corpus.tokenMixture(skewedText,
+        Map("dominant" -> 0.7, "rare" -> 0.3), totalTokens = 500000L,
+        strataCol = "lang").count())
     time("pack sequences")(
       Corpus.packSequences(docs, maxTokens = 2048, nShards = cpus.toInt * 4).count())
     time("dedup apply") {

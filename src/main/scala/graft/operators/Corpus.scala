@@ -116,6 +116,53 @@ object Corpus {
         ((col("cum_tokens") - col("n_tokens")) / lit(maxTokens)).cast("long"))
   }
 
+  // ---------------- P28 (registered query key: p29_token_mixture)
+  /**
+   * Token-budget corpus mixing: sample each stratum (source/language) to
+   * its weighted share of a total token budget — the data-mixture step a
+   * pretraining build runs after cleaning/dedup ("X% web, Y% code, ..."
+   * by TOKENS, not documents). Deterministic hash order, like
+   * stratifiedSample; a stratum keeps docs (in md5-hash order) while the
+   * PRECEDING cumulative token count is under its budget, so the output
+   * slightly overshoots each budget by at most one document and is a
+   * pure function of (ids, token counts, weights).
+   *
+   * Scale shape, two-phase like stratifiedSample: per-stratum token
+   * totals broadcast; phase 1 keeps a hash prefix sized to
+   * ~overSample × the expected document need (keep iff
+   * hm × tot_tokens < hashMod × overSample × budget — the multiply form,
+   * no division rounding), so the phase-2 cumulative-sum window sees
+   * only that sliver, never a full dominant stratum.
+   * Output: (id, stratum, n_tokens, cum_tokens).
+   */
+  def tokenMixture(docs: DataFrame, weights: Map[String, Double],
+                   totalTokens: Long, strataCol: String = "source",
+                   overSample: Int = 4, hashMod: Int = 1 << 20,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = size(regexp_extract_all(lower(col(textCol)), lit(BpeTokenPattern),
+      lit(0))).cast("long")
+    val base = docs.select(col(idCol).as("id"), col(strataCol).as("stratum"),
+      toks.as("n_tokens"),
+      pmod(idHash(col(idCol)), lit(hashMod.toLong)).as("hm"))
+    val stats = base.groupBy("stratum").agg(sum("n_tokens").as("tot_tokens"))
+    val wMap = typedLit(weights)
+    // budget_s = w_s * totalTokens, computed as ONE multiplication so the
+    // SQL oracle reproduces the exact double
+    val budget = element_at(wMap, col("stratum")) * lit(totalTokens.toDouble)
+    val prefiltered = base
+      .join(broadcast(stats), Seq("stratum"))
+      .where(element_at(wMap, col("stratum")).isNotNull &&
+        (col("hm") * col("tot_tokens")).cast("double") <
+          lit(hashMod.toDouble * overSample) * budget)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy(col("hm").asc, col("id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    prefiltered
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where((col("cum_tokens") - col("n_tokens")).cast("double") < budget)
+      .select(col("id"), col("stratum"), col("n_tokens"), col("cum_tokens"))
+  }
+
   // ---------------- P25 (registered query key: p26_contamination)
   /**
    * Benchmark decontamination: for every document, the fraction of its

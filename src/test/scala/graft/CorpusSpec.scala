@@ -108,6 +108,30 @@ class CorpusSpec extends SparkSpec {
     assert(stats.where(col("pack_tokens") =!= 50L).count() == 0)
   }
 
+  test("tokenMixture: each stratum stops at its token budget, deterministic") {
+    // 100 docs of 10 tokens each per lang -> 1000 tokens per stratum
+    val many = spark.range(200).select(
+      col("id").as("doc_id"),
+      when(col("id") % 2 === 0, "en").otherwise("de").as("lang"),
+      lit("one two three four five six seven eight nine ten").as("text"))
+    val out = Corpus.tokenMixture(many, Map("en" -> 0.8, "de" -> 0.2),
+      totalTokens = 500, strataCol = "lang")
+    val byLang = out.groupBy("stratum")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // en budget 400 -> exactly 40 docs (10 tokens each); de budget 100 -> 10
+    assert(byLang("en") == ((400L, 40L)))
+    assert(byLang("de") == ((100L, 10L)))
+    // a stratum with no weight contributes nothing
+    assert(Corpus.tokenMixture(many, Map("en" -> 1.0), totalTokens = 100,
+      strataCol = "lang").where(col("stratum") === "de").count() == 0)
+    // deterministic across reruns
+    val ids1 = out.select("id").as[Long].collect().toSet
+    val ids2 = Corpus.tokenMixture(many, Map("en" -> 0.8, "de" -> 0.2),
+      totalTokens = 500, strataCol = "lang").select("id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
+
   test("contamination: benchmark overlap fraction, zero for disjoint docs") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),   // = benchmark doc
