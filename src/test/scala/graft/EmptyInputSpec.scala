@@ -63,6 +63,15 @@ class EmptyInputSpec extends SparkSpec {
     val emptyStrata = emptyDocs.withColumn("lang", lit("en"))
     assert(Corpus.stratifiedSample(emptyStrata, "lang", perStratum = 5).count() == 0)
     assert(Corpus.packSequences(emptyDocs, maxTokens = 512).count() == 0)
+    assert(Corpus.tokenMixture(emptyStrata, Map("en" -> 1.0), 1000L,
+      strataCol = "lang").count() == 0)
+    assert(Corpus.contamination(emptyDocs, emptyDocs).count() == 0)
+  }
+
+  test("curation text operators on empty inputs") {
+    assert(TextAnalysis.cleaned(emptyDocs).count() == 0)
+    assert(TextAnalysis.redacted(emptyDocs).count() == 0)
+    assert(TextAnalysis.repetition(emptyDocs).count() == 0)
   }
 
   test("text analysis and sessionization on empty inputs") {
