@@ -441,7 +441,8 @@ object SparkEntry {
         try {
           val r = OneHop.answer(s, Fixture.graph(s, dir), ont, qg,
             closure = None, expandSubclasses = false, maxEdges = Some(limit))
-          val n = r.matches.select("edge_id").distinct().count()
+          // the guard already counted distinct answer edges — reuse it
+          val n = r.guardCount.get
           r.matches.unpersist()
           (s"limit_$limit", true, n)
         } catch {

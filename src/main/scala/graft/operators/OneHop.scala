@@ -36,8 +36,11 @@ object OneHop {
   /** Matched edges with binding columns:
    * input_id/output_id (which endpoint fulfilled which qnode) and
    * input_query_id/output_query_id (non-null when the endpoint was reached
-   * via subclass expansion of a pinned query id). */
-  final case class Result(matches: DataFrame, inputKey: String, outputKey: String)
+   * via subclass expansion of a pinned query id). `guardCount` carries the
+   * distinct answer-edge count the maxEdges guard already computed, so a
+   * caller that just passed the guard never pays a second count job. */
+  final case class Result(matches: DataFrame, inputKey: String, outputKey: String,
+                          guardCount: Option[Long] = None)
 
   def answer(spark: SparkSession, graph: PropertyGraph, ont: Ontology, qg: QueryGraph,
              closure: Option[DataFrame] = None,
@@ -129,6 +132,7 @@ object OneHop {
     if (qedge.attributeConstraints.nonEmpty)
       matched = matched.where(AttributeConstraints.compileAll(qedge.attributeConstraints))
 
+    var guardCount: Option[Long] = None
     maxEdges.foreach { limit =>
       // Persist before guarding so the guard's count and the caller's
       // subsequent action share one evaluation of the matched set (an
@@ -140,9 +144,10 @@ object OneHop {
         throw new IllegalStateException(
           s"Query would produce $n answer edges, more than the cutoff of $limit")
       }
+      guardCount = Some(n)
     }
 
-    Result(matched, inputQ.key, outputQ.key)
+    Result(matched, inputQ.key, outputQ.key, guardCount)
   }
 
   /** Query category list -> expanded literal set
