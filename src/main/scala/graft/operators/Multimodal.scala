@@ -134,11 +134,11 @@ object Multimodal {
           var sum = 0.0
           var i = 0
           while (i < n) {
-            val lo = bytes(2 * i) & 0xff
-            val hi = bytes(2 * i + 1)
+            // 16-bit signed sample; the sign-extending byte is the one the
+            // endianness puts first/second
             val s: Int =
               if (fmt.isBigEndian) (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
-              else (hi.toInt << 8) | lo
+              else (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
             sum += math.abs(s) / 32768.0
             i += 1
           }
