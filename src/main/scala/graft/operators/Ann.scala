@@ -1,13 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{VectorFunctions => VF}
 
 /**
  * Approximate-nearest-neighbor search over an embedding column
- * (SURVEY.md §2 P6-P7).
+ * (SURVEY.md §2 P6-P7, P17, P26-P27).
  *
  * Scale design:
  *  - `bruteForceTopK` broadcasts the (small) probe set against the corpus —
@@ -15,13 +15,14 @@ import graft.functions.{VectorFunctions => VF}
  *    a window over (probe, cosine). This is the exact baseline: at 100 TB
  *    it is one full scan per probe batch, which is the right cost model
  *    when probes are few and recall must be 1.0.
- *  - `lshTopK` is the scale path: both sides hash to sign-LSH buckets
- *    (deterministic hyperplanes, VectorFunctions.lshBucket) and only
- *    same-bucket candidates are scored. The corpus side can be
- *    pre-bucketed/bucketed-by-layout so a probe touches 1/2^nPlanes of the
- *    data. Recall < 1 for borderline neighbors — the classic IVF/LSH
- *    trade — and multi-table probing (`nTables`) recovers recall by
- *    unioning independent hyperplane sets.
+ *  - `ivfTopK`/`ivfPqTopK` are the inverted-file scale paths. The coarse
+ *    quantizer is trained on a bounded sample and embedded as LITERALS, so
+ *    list assignment is a pure per-row argmax projection over the corpus
+ *    scan — NO shuffle, no crossJoin row blow-up (the r5 form shuffled a
+ *    nCenters×corpus intermediate through a window just to pick each
+ *    vector's nearest centroid; at 100 TB that shuffle IS the build cost).
+ *  - `lshTopK` hashes both sides to sign-LSH buckets and only scores
+ *    same-bucket candidates; multi-table probing recovers recall.
  *
  * Ties are broken by candidate id so results are deterministic and
  * oracle-comparable.
@@ -49,50 +50,72 @@ object Ann {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  // ------------------------------------------------------- driver helpers
+
+  /** Seeded index-order fold — bit-identical to VF.dot / the oracle's
+   * list_reduce (0.0 + x == x for IEEE doubles). */
+  private def vdot(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+  private def vnrm(a: Array[Double]): Double = math.sqrt(vdot(a, a))
+
+  /** Bounded deterministic training sample: the first `sampleN` vectors in
+   * id order. `orderBy(id).limit(n)` (TakeOrdered — no full sort) rather
+   * than `id < n` so a corpus with opaque / non-dense ids still yields a
+   * full-size sample instead of a silently empty or skewed one; on dense
+   * 0-based ids the two are identical. Driver cost O(sampleN · dim). */
+  private def collectSample(corpus: DataFrame, sampleN: Int, vecCol: String,
+                            idCol: String): Array[(Long, Array[Double])] =
+    corpus.select(col(idCol).cast("long"), VF.toDouble(col(vecCol)))
+      .orderBy(col(idCol)).limit(sampleN)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** Driver-side nearest-centroid assignment by cosine, iterating cents in
+   * ascending-cid order with strict > so exact ties keep the LOWEST
+   * centroid id — the same ordering the per-row `nearestIdx` expression
+   * and the oracle's `ORDER BY cos DESC, cid ASC` produce. */
+  private def assignDriver(v: Array[Double],
+                           cents: Seq[(Long, Array[Double], Double)]): Int = {
+    val vn = vnrm(v)
+    var bestI = -1; var bestCos = Double.NegativeInfinity; var i = 0
+    cents.foreach { case (_, cv, cn) =>
+      val cos = vdot(v, cv) / (vn * cn)
+      if (cos > bestCos) { bestCos = cos; bestI = i }
+      i += 1
+    }
+    bestI
+  }
+
   /**
    * Deterministic k-means training for the IVF coarse quantizer —
    * FAISS-style nlist/nprobe semantics (public knowledge): the quantizer
-   * is trained on a bounded SAMPLE and the trained centroids are
-   * broadcast, so training cost is independent of corpus size (the
+   * is trained on a bounded SAMPLE and the trained centroids are embedded
+   * as literals, so training cost is independent of corpus size (the
    * 100 TB posture; the sample collect is O(sampleN * dim) driver bytes).
    *
    * Everything is fixed so an external SQL oracle reproduces the exact
-   * doubles: sample = vectors with id < sampleN in id order; init = the
+   * doubles: sample = first sampleN vectors in id order; init = the
    * first `nCenters` of them (centroid_id = source vector id); `iters`
    * fixed iterations of { assign by cosine, lower-centroid-id tie-break;
    * centroid = element-wise mean folded in id order }; an emptied cluster
-   * keeps its previous centroid. No RNG anywhere.
+   * keeps its previous centroid. No RNG anywhere. Returned cents are in
+   * ascending centroid_id order.
    */
   def trainCentroids(corpus: DataFrame, nCenters: Int, sampleN: Int = 256,
                      iters: Int = 2, vecCol: String = "embedding",
                      idCol: String = "vec_id"): Seq[(Long, Seq[Double])] = {
-    val sample: Array[(Long, Array[Double])] = corpus
-      .where(col(idCol) < sampleN)
-      .select(col(idCol).cast("long"), VF.toDouble(col(vecCol)))
-      .orderBy(col(idCol))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val sample = collectSample(corpus, sampleN, vecCol, idCol)
     require(sample.length >= nCenters, s"sample (${sample.length}) < nCenters ($nCenters)")
     val dim = sample.head._2.length
-    // left folds seeded at 0.0, index order — bit-identical to the oracle's
-    // [0.0] || list ordered reduces (0.0 + x == x for IEEE doubles)
-    def dot(a: Array[Double], b: Array[Double]): Double =
-      (0 until dim).foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
-    def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
-
     var cents: Array[(Long, Array[Double])] = sample.take(nCenters)
     for (_ <- 0 until iters) {
-      val withNorms = cents.map { case (cid, cv) => (cid, cv, nrm(cv)) }
+      val withNorms = cents.toSeq.map { case (cid, cv) => (cid, cv, vnrm(cv)) }
       val assigned = sample.map { case (id, v) =>
-        val vn = nrm(v)
-        // strict > keeps the LOWEST centroid id on exact cosine ties,
-        // mirroring ORDER BY cos DESC, cid ASC
-        var bestCid = -1L; var bestCos = Double.NegativeInfinity
-        withNorms.foreach { case (cid, cv, cn) =>
-          val cos = dot(v, cv) / (vn * cn)
-          if (cos > bestCos) { bestCos = cos; bestCid = cid }
-        }
-        (bestCid, id, v)
+        (cents(assignDriver(v, withNorms))._1, id, v)
       }
       val byCent = assigned.groupBy(_._1)
       cents = cents.map { case (cid, old) =>
@@ -110,31 +133,73 @@ object Ann {
     cents.map { case (cid, v) => (cid, v.toSeq) }.toSeq
   }
 
+  // ----------------------------------------- per-row centroid assignment
+
+  /** Trained centroids embedded as literal columns (cid-ascending), plus
+   * driver-precomputed norms — the same seeded index-order fold that
+   * produced the centroids, so both engines compare identical doubles. */
+  private final case class CentLits(ids: Column, vecs: Column, norms: Column, n: Int)
+  private def centLits(cents: Seq[(Long, Seq[Double])]): CentLits = {
+    val sorted = cents.sortBy(_._1)
+    CentLits(
+      typedLit(sorted.map(_._1)),
+      typedLit(sorted.map(_._2)),
+      typedLit(sorted.map(c => vnrm(c._2.toArray))),
+      sorted.length)
+  }
+
+  /** Evaluate `e` ONCE per row and bind the result as a lambda variable
+   * for `f`. Catalyst's projection collapse re-inlines a single-referenced
+   * project column into its consumer — harmless usually, but here the
+   * consumer is a per-centroid lambda, so an inlined norm would be
+   * recomputed nCenters times per row. A 1-element transform is a
+   * collapse-proof binding (the lambda body reads a lambda variable,
+   * which is always a cheap slot read). */
+  private def bindOnce(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
+
+  /** (-cosine, index) structs against every centroid — the per-row
+   * assignment primitive. struct ordering gives cosine DESC with ties to
+   * the lowest index (= lowest centroid id, cents are cid-ascending),
+   * mirroring the oracle's `ORDER BY cos DESC, cid ASC`. */
+  private def negCosIdx(v: Column, vn: Column, cl: CentLits): Column =
+    zip_with(
+      zip_with(cl.vecs, cl.norms, (cv, cn) => -(VF.dot(v, cv) / (vn * cn))),
+      sequence(lit(0), lit(cl.n - 1)),
+      (d, i) => struct(d.as("d"), i.as("i")))
+
+  /** 0-based index of the nearest centroid — a pure projection (argmax as
+   * `array_min` over (-cos, idx) structs, the same pattern `pqCodesExpr`
+   * uses), replacing the r5 crossJoin+window which shuffled an
+   * nCenters×corpus intermediate. Zero shuffle, codegen-friendly. */
+  private def nearestIdx(v: Column, vn: Column, cl: CentLits): Column =
+    array_min(negCosIdx(v, vn, cl)).getField("i")
+
+  /** The `nProbe` nearest centroid indices in rank order (cos DESC, cid
+   * ASC) — the probe-side list selection as a pure projection. */
+  private def nearestIdxs(v: Column, vn: Column, cl: CentLits, nProbe: Int): Column =
+    transform(slice(array_sort(negCosIdx(v, vn, cl)), 1, nProbe),
+      s => s.getField("i"))
+
+  /** `nearestIdx` with the vector norm computed once per row inside a
+   * collapse-proof binding — for projections where the norm has no other
+   * consumer (a bare column would be re-inlined into the lambda). */
+  private def nearestIdxSelfNorm(v: Column, cl: CentLits): Column =
+    bindOnce(VF.norm(v))(vn => nearestIdx(v, vn, cl))
+
   /** Inverted-list sizes of the IVF assignment (diagnostic: list balance
    * decides how much of the corpus a probe of nProbe lists actually
    * scans — skewed sampled centroids can make "nProbe/nCenters" a big
-   * underestimate). Returns (centroid_id, n). */
+   * underestimate). One narrow scan + a 16-key aggregation.
+   * Returns (centroid_id, n). */
   def ivfListSizes(corpus: DataFrame, nCenters: Int = 16,
                    vecCol: String = "embedding", idCol: String = "vec_id",
                    trainIters: Int = 0, trainSample: Int = 256): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), VF.toDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", VF.norm(col("cv")))
-    val cents =
-      if (trainIters > 0) {
-        val spark = corpus.sparkSession
-        import spark.implicits._
-        trainCentroids(corpus, nCenters, trainSample, trainIters, vecCol, idCol)
-          .toDF("centroid_id", "centv")
-          .withColumn("centn", VF.norm(col("centv")))
-      } else corpus.where(col(idCol) < nCenters)
-        .select(col(idCol).as("centroid_id"), VF.toDouble(col(vecCol)).as("centv"))
-        .withColumn("centn", VF.norm(col("centv")))
-    val wAssign = Window.partitionBy("neighbor_id")
-      .orderBy(col("ccos").desc, col("centroid_id").asc)
-    c.crossJoin(broadcast(cents))
-      .withColumn("ccos", VF.dot(col("cv"), col("centv")) / (col("cn") * col("centn")))
-      .withColumn("arank", row_number().over(wAssign))
-      .where(col("arank") === 1)
+    val cl = centLits(trainCentroids(corpus, nCenters,
+      if (trainIters > 0) trainSample else nCenters, trainIters, vecCol, idCol))
+    corpus.select(VF.toDouble(col(vecCol)).as("cv"))
+      .select(element_at(cl.ids, nearestIdxSelfNorm(col("cv"), cl) + 1)
+        .as("centroid_id"))
       .groupBy("centroid_id").agg(count(lit(1)).as("n"))
   }
 
@@ -145,8 +210,13 @@ object Ann {
    * touches nProbe/nCenters of the corpus; recall < 1 for points assigned
    * away from the probe's lists — the standard IVF trade.
    * `trainIters > 0` trains the quantizer with `trainCentroids` (better
-   * list balance); 0 uses the first `nCenters` corpus vectors directly
-   * (the fully scan-free fallback).
+   * list balance); 0 uses the first `nCenters` corpus vectors directly.
+   *
+   * Plan shape: list assignment and probe-list selection are BOTH pure
+   * projections over literal centroids; the only joins are broadcasts of
+   * the tiny probe-list set, and the only Exchange is the per-probe rank
+   * window. The corpus is scanned once and never shuffled (PlanAuditSpec
+   * pins this).
    * Returns (probe_id, rank, neighbor_id, cosine).
    */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int = 10,
@@ -154,38 +224,19 @@ object Ann {
               vecCol: String = "embedding", idCol: String = "vec_id",
               probeIdCol: String = "probe_id", probeVecCol: String = "probe_vec",
               trainIters: Int = 0, trainSample: Int = 256): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), VF.toDouble(col(vecCol)).as("cv"))
+    val cl = centLits(trainCentroids(corpus, nCenters,
+      if (trainIters > 0) trainSample else nCenters, trainIters, vecCol, idCol))
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), VF.toDouble(col(vecCol)).as("cv"))
       .withColumn("cn", VF.norm(col("cv")))
-    val p = probes.select(col(probeIdCol).as("probe_id"), VF.toDouble(col(probeVecCol)).as("pv"))
+      .withColumn("centroid_id",
+        element_at(cl.ids, nearestIdx(col("cv"), col("cn"), cl) + 1))
+    val probeLists = probes
+      .select(col(probeIdCol).as("probe_id"), VF.toDouble(col(probeVecCol)).as("pv"))
       .withColumn("pn", VF.norm(col("pv")))
-    val cents =
-      if (trainIters > 0) {
-        val spark = corpus.sparkSession
-        import spark.implicits._
-        trainCentroids(corpus, nCenters, trainSample, trainIters, vecCol, idCol)
-          .toDF("centroid_id", "centv")
-          .withColumn("centn", VF.norm(col("centv")))
-      } else corpus.where(col(idCol) < nCenters)
-        .select(col(idCol).as("centroid_id"), VF.toDouble(col(vecCol)).as("centv"))
-        .withColumn("centn", VF.norm(col("centv")))
-
-    // corpus -> nearest centroid (ties to the lower centroid id)
-    val wAssign = Window.partitionBy("neighbor_id")
-      .orderBy(col("ccos").desc, col("centroid_id").asc)
-    val assigned = c.crossJoin(broadcast(cents))
-      .withColumn("ccos", VF.dot(col("cv"), col("centv")) / (col("cn") * col("centn")))
-      .withColumn("arank", row_number().over(wAssign))
-      .where(col("arank") === 1)
-      .select("centroid_id", "neighbor_id", "cv", "cn")
-
-    // probe -> nProbe nearest lists
-    val wProbe = Window.partitionBy("probe_id")
-      .orderBy(col("pcos").desc, col("centroid_id").asc)
-    val probeLists = p.crossJoin(broadcast(cents))
-      .withColumn("pcos", VF.dot(col("pv"), col("centv")) / (col("pn") * col("centn")))
-      .withColumn("prank", row_number().over(wProbe))
-      .where(col("prank") <= nProbe)
-      .select("probe_id", "pv", "pn", "centroid_id")
+      .select(col("probe_id"), col("pv"), col("pn"),
+        explode(transform(nearestIdxs(col("pv"), col("pn"), cl, nProbe),
+          i => element_at(cl.ids, i + 1))).as("centroid_id"))
 
     val wRank = Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -198,30 +249,17 @@ object Ann {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /**
-   * Deterministic per-subspace codebook training for product quantization
-   * (PQ — Jégou et al., "Product Quantization for Nearest Neighbor
-   * Search", TPAMI 2011; public knowledge). The vector is split into `m`
-   * subspaces of dim/m dims; each subspace gets an independent k-means
-   * codebook of `nCodes` centroids trained by L2 on the same bounded
-   * id-ordered sample discipline as `trainCentroids` (init = first
-   * `nCodes` sample subvectors, fixed iterations, id-ordered mean folds,
-   * strict-< assignment keeps the lowest centroid id, emptied clusters
-   * keep their centroid — no RNG, bit-reproducible by a SQL oracle).
-   * Returns cb(s)(cid) = centroid subvector, positional by centroid id.
-   */
-  def trainPqCodebooks(corpus: DataFrame, m: Int = 8, nCodes: Int = 16,
-                       sampleN: Int = 256, iters: Int = 2, dim: Int = 64,
-                       vecCol: String = "embedding",
-                       idCol: String = "vec_id"): Seq[Seq[Seq[Double]]] = {
+  // ------------------------------------------------- product quantization
+
+  /** Shared per-subspace k-means loop (used for both raw and residual
+   * codebooks): init = first `nCodes` sample subvectors, fixed `iters`
+   * iterations, L2 assignment with lowest-cid ties, id-ordered mean
+   * folds, emptied clusters keep their centroid — no RNG,
+   * bit-reproducible by a SQL oracle. */
+  private def subspaceKMeans(sample: Array[(Long, Array[Double])], m: Int,
+                             nCodes: Int, iters: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
     require(dim % m == 0, s"m ($m) must divide dim ($dim)")
     val dsub = dim / m
-    val sample: Array[(Long, Array[Double])] = corpus
-      .where(col(idCol) < sampleN)
-      .select(col(idCol).cast("long"), VF.toDouble(col(vecCol)))
-      .orderBy(col(idCol))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(sample.length >= nCodes, s"sample (${sample.length}) < nCodes ($nCodes)")
     def l2(a: Array[Double], b: Array[Double]): Double =
       (0 until dsub).foldLeft(0.0)((acc, i) => acc + (a(i) - b(i)) * (a(i) - b(i)))
@@ -254,33 +292,92 @@ object Ann {
     }
   }
 
+  /**
+   * Deterministic per-subspace codebook training for product quantization
+   * (PQ — Jégou et al., "Product Quantization for Nearest Neighbor
+   * Search", TPAMI 2011; public knowledge). The vector is split into `m`
+   * subspaces of dim/m dims; each subspace gets an independent k-means
+   * codebook of `nCodes` centroids trained by L2 on the same bounded
+   * id-ordered sample discipline as `trainCentroids`.
+   * Returns cb(s)(cid) = centroid subvector, positional by centroid id.
+   */
+  def trainPqCodebooks(corpus: DataFrame, m: Int = 8, nCodes: Int = 16,
+                       sampleN: Int = 256, iters: Int = 2, dim: Int = 64,
+                       vecCol: String = "embedding",
+                       idCol: String = "vec_id"): Seq[Seq[Seq[Double]]] =
+    subspaceKMeans(collectSample(corpus, sampleN, vecCol, idCol), m, nCodes,
+      iters, dim)
+
+  /**
+   * Residual codebook training for IVF+PQ (classical FAISS IVFPQ
+   * semantics, public knowledge): codebooks quantize the RESIDUAL
+   * `v − centroid(v)` of each sample vector w.r.t. its nearest coarse
+   * centroid (cosine assignment, lowest-cid ties — identical to the
+   * per-row assignment expression), so codes spend their bits on the
+   * within-list geometry instead of re-encoding the coarse position —
+   * the standard-quality variant at scale.
+   */
+  def trainPqCodebooksResidual(corpus: DataFrame, cents: Seq[(Long, Seq[Double])],
+                               m: Int = 8, nCodes: Int = 16, sampleN: Int = 256,
+                               iters: Int = 2, dim: Int = 64,
+                               vecCol: String = "embedding",
+                               idCol: String = "vec_id"): Seq[Seq[Seq[Double]]] = {
+    val sorted = cents.sortBy(_._1).map { case (cid, cv) =>
+      (cid, cv.toArray, vnrm(cv.toArray)) }
+    val residuals = collectSample(corpus, sampleN, vecCol, idCol).map {
+      case (id, v) =>
+        val cv = sorted(assignDriver(v, sorted))._2
+        (id, Array.tabulate(v.length)(i => v(i) - cv(i)))
+    }
+    subspaceKMeans(residuals, m, nCodes, iters, dim)
+  }
+
   /** Ordered-fold squared L2 between two double-array columns —
    * bit-identical to the oracle's `[0.0] || list` reduce. */
-  private def l2Col(a: org.apache.spark.sql.Column,
-                    b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private def l2Col(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** The m PQ codes of vector column `v` as one array — per-subspace
+   * (distance, index) struct-min: lowest distance, ties to the lowest
+   * code. A pure projection; encoding is one narrow scan, no shuffle. */
+  private def pqCodesExpr(cb: Seq[Seq[Seq[Double]]], dim: Int, v: Column): Column = {
+    val m = cb.length
+    val dsub = dim / m
+    array((0 until m).map { s =>
+      val sub = slice(v, s * dsub + 1, dsub)
+      val dl = transform(typedLit(cb(s)), c => l2Col(sub, c))
+      array_min(zip_with(dl, sequence(lit(0), lit(cb(s).length - 1)),
+        (d, i) => struct(d.as("d"), i.as("i")))).getField("i")
+    }: _*)
+  }
+
+  /** Per-subspace ADC distance tables for probe vector column `v` (the
+   * probe's subvector L2 against every codebook centroid). */
+  private def adcTables(cb: Seq[Seq[Seq[Double]]], dim: Int, v: Column): Column = {
+    val m = cb.length
+    val dsub = dim / m
+    array((0 until m).map { s =>
+      transform(typedLit(cb(s)), c => l2Col(slice(v, s * dsub + 1, dsub), c))
+    }: _*)
+  }
+
+  /** ADC distance = ORDERED fold of m table lookups over the row's codes
+   * (never a multi-row SUM — FP order must match the oracle). */
+  private def adcCol(m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, s) => acc + element_at(element_at(col("dt"), s + 1),
+        element_at(col("codes"), s + 1) + 1))
 
   /**
    * PQ encode: each vector compresses to `m` small codes (the nearest
-   * codebook centroid per subspace). Pure per-row expressions — ties to
-   * the lowest code via struct-min — so encoding is one narrow scan, no
-   * shuffle, and the code table is m bytes/vector (the 100 TB artifact:
-   * 64-dim float32 -> 8 codes is a 32x working-set reduction).
-   * Returns (vec_id, codes array<int>).
+   * codebook centroid per subspace). The code table is m bytes/vector
+   * (the 100 TB artifact: 64-dim float32 -> 8 codes is a 32x working-set
+   * reduction). Returns (vec_id, codes array<int>).
    */
   def pqEncode(corpus: DataFrame, cb: Seq[Seq[Seq[Double]]], dim: Int = 64,
-               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val m = cb.length
-    val dsub = dim / m
-    val codeCols = (0 until m).map { s =>
-      val sub = slice(VF.toDouble(col(vecCol)), s * dsub + 1, dsub)
-      val dl = transform(typedLit(cb(s)), c => l2Col(sub, c))
-      // (distance, index) struct-min: lowest distance, ties to lowest code
-      array_min(zip_with(dl, sequence(lit(0), lit(cb(s).length - 1)),
-        (d, i) => struct(d.as("d"), i.as("i")))).getField("i")
-    }
-    corpus.select(col(idCol).as("vec_id"), array(codeCols: _*).as("codes"))
-  }
+               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    corpus.select(col(idCol).as("vec_id"),
+      pqCodesExpr(cb, dim, VF.toDouble(col(vecCol))).as("codes"))
 
   /**
    * PQ top-k via asymmetric distance computation (ADC): the probe builds
@@ -300,22 +397,15 @@ object Ann {
              vecCol: String = "embedding", idCol: String = "vec_id",
              probeIdCol: String = "probe_id", probeVecCol: String = "probe_vec"): DataFrame = {
     val m = cb.length
-    val dsub = dim / m
     val codes = pqEncode(corpus, cb, dim, vecCol, idCol)
-    val dtables = array((0 until m).map { s =>
-      transform(typedLit(cb(s)),
-        c => l2Col(slice(VF.toDouble(col(probeVecCol)), s * dsub + 1, dsub), c))
-    }: _*)
-    val p = probes.select(col(probeIdCol).as("probe_id"), dtables.as("dt"))
-    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, s) => acc + element_at(element_at(col("dt"), s + 1),
-        element_at(col("codes"), s + 1) + 1))
+    val p = probes.select(col(probeIdCol).as("probe_id"),
+      adcTables(cb, dim, VF.toDouble(col(probeVecCol))).as("dt"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("adc").asc, col("neighbor_id").asc)
     codes.withColumnRenamed("vec_id", "neighbor_id")
       .crossJoin(broadcast(p))
       .where(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("adc", adc)
+      .withColumn("adc", adcCol(m))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"),
@@ -329,9 +419,14 @@ object Ann {
    * scanned (m bytes each, ADC lookups) — together, a probe reads
    * ~nProbe/nCenters of an already-32x-compressed table. This is the
    * non-residual variant (codes quantize raw vectors, not v - centroid):
-   * one codebook serves all lists, keeping the oracle compositional;
-   * residual encoding is the classical refinement and would add a
-   * per-list probe distance table.
+   * one probe distance-table set serves all lists, keeping the oracle
+   * compositional; `ivfPqResidualTopK` is the classical refinement.
+   *
+   * Plan shape (r6): list id and codes are computed in ONE projection
+   * over the corpus scan (the r5 form computed them as two corpus scans
+   * joined on id — a corpus×corpus shuffle join), and the probe side
+   * (lists + ADC tables) is a single broadcast. The only Exchange is the
+   * per-probe rank window.
    * Returns (probe_id, rank, neighbor_id, adc_dist).
    */
   def ivfPqTopK(corpus: DataFrame, probes: DataFrame, cb: Seq[Seq[Seq[Double]]],
@@ -340,50 +435,83 @@ object Ann {
                 vecCol: String = "embedding", idCol: String = "vec_id",
                 probeIdCol: String = "probe_id", probeVecCol: String = "probe_vec"): DataFrame = {
     val m = cb.length
-    val dsub = dim / m
-    val c = corpus.select(col(idCol).as("neighbor_id"), VF.toDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", VF.norm(col("cv")))
-    val p = probes.select(col(probeIdCol).as("probe_id"), VF.toDouble(col(probeVecCol)).as("pv"))
+    val cl = centLits(trainCentroids(corpus, nCenters, trainSample, trainIters,
+      vecCol, idCol))
+    val enc = corpus
+      .select(col(idCol).as("neighbor_id"), VF.toDouble(col(vecCol)).as("cv"))
+      .select(col("neighbor_id"),
+        element_at(cl.ids, nearestIdxSelfNorm(col("cv"), cl) + 1)
+          .as("centroid_id"),
+        pqCodesExpr(cb, dim, col("cv")).as("codes"))
+    val probeLists = probes
+      .select(col(probeIdCol).as("probe_id"), VF.toDouble(col(probeVecCol)).as("pv"))
       .withColumn("pn", VF.norm(col("pv")))
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val cents = trainCentroids(corpus, nCenters, trainSample, trainIters, vecCol, idCol)
-      .toDF("centroid_id", "centv")
-      .withColumn("centn", VF.norm(col("centv")))
-
-    val wAssign = Window.partitionBy("neighbor_id")
-      .orderBy(col("ccos").desc, col("centroid_id").asc)
-    val assigned = c.crossJoin(broadcast(cents))
-      .withColumn("ccos", VF.dot(col("cv"), col("centv")) / (col("cn") * col("centn")))
-      .withColumn("arank", row_number().over(wAssign))
-      .where(col("arank") === 1)
-      .select("centroid_id", "neighbor_id")
-
-    val wProbe = Window.partitionBy("probe_id")
-      .orderBy(col("pcos").desc, col("centroid_id").asc)
-    val probeLists = p.crossJoin(broadcast(cents))
-      .withColumn("pcos", VF.dot(col("pv"), col("centv")) / (col("pn") * col("centn")))
-      .withColumn("prank", row_number().over(wProbe))
-      .where(col("prank") <= nProbe)
-      .select("probe_id", "centroid_id")
-
-    val codes = pqEncode(corpus, cb, dim, vecCol, idCol)
-      .withColumnRenamed("vec_id", "neighbor_id")
-    val dtables = array((0 until m).map { s =>
-      transform(typedLit(cb(s)),
-        cc => l2Col(slice(VF.toDouble(col(probeVecCol)), s * dsub + 1, dsub), cc))
-    }: _*)
-    val pdt = probes.select(col(probeIdCol).as("probe_id"), dtables.as("dt"))
-    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, s) => acc + element_at(element_at(col("dt"), s + 1),
-        element_at(col("codes"), s + 1) + 1))
+      .select(col("probe_id"), adcTables(cb, dim, col("pv")).as("dt"),
+        explode(transform(nearestIdxs(col("pv"), col("pn"), cl, nProbe),
+          i => element_at(cl.ids, i + 1))).as("centroid_id"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("adc").asc, col("neighbor_id").asc)
-    codes.join(assigned, Seq("neighbor_id"))
-      .join(broadcast(probeLists), Seq("centroid_id"))
-      .join(broadcast(pdt), Seq("probe_id"))
+    enc.join(broadcast(probeLists), Seq("centroid_id"))
       .where(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("adc", adc)
+      .withColumn("adc", adcCol(m))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc_dist"))
+  }
+
+  /**
+   * Residual IVF+PQ (classical FAISS IVFPQ, public semantics): corpus
+   * codes quantize `v − centroid(v)` with residual-trained codebooks
+   * (`trainPqCodebooksResidual`), and each (probe, probed list) gets its
+   * OWN ADC table set computed from the probe's residual against that
+   * list's centroid — ADC then approximates
+   * ||p − (c + q(v−c))||² = l2(p−c, q(v−c)). Codes spend their bits on
+   * within-list geometry, the standard quality win over the non-residual
+   * variant at the same m.
+   *
+   * Plan shape: identical to `ivfPqTopK` — centroid id, residual and
+   * codes are ONE projection over the corpus scan, with the argmax index
+   * lambda-bound so it is evaluated once per row (see `bindOnce`); the
+   * broadcast probe side carries nProbe table-sets per probe.
+   * Returns (probe_id, rank, neighbor_id, adc_dist).
+   */
+  def ivfPqResidualTopK(corpus: DataFrame, probes: DataFrame,
+                        cents: Seq[(Long, Seq[Double])], cb: Seq[Seq[Seq[Double]]],
+                        k: Int = 10, nProbe: Int = 4, dim: Int = 64,
+                        vecCol: String = "embedding", idCol: String = "vec_id",
+                        probeIdCol: String = "probe_id", probeVecCol: String = "probe_vec"): DataFrame = {
+    val m = cb.length
+    val cl = centLits(cents)
+    // Bind the argmax index once per row: centroid id AND residual both
+    // derive from it, and projection collapse would otherwise re-inline
+    // (and re-evaluate) the full nCenters-way argmax into each reference.
+    val encRow = bindOnce(nearestIdxSelfNorm(col("cv"), cl))(idx =>
+      struct(
+        element_at(cl.ids, idx + 1).as("centroid_id"),
+        pqCodesExpr(cb, dim,
+          zip_with(col("cv"), element_at(cl.vecs, idx + 1), (x, c) => x - c))
+          .as("codes")))
+    val enc = corpus
+      .select(col(idCol).as("neighbor_id"), VF.toDouble(col(vecCol)).as("cv"))
+      .select(col("neighbor_id"), encRow.as("er"))
+      .select(col("neighbor_id"), col("er.centroid_id").as("centroid_id"),
+        col("er.codes").as("codes"))
+    val probeLists = probes
+      .select(col(probeIdCol).as("probe_id"), VF.toDouble(col(probeVecCol)).as("pv"))
+      .withColumn("pn", VF.norm(col("pv")))
+      .select(col("probe_id"), col("pv"),
+        explode(nearestIdxs(col("pv"), col("pn"), cl, nProbe)).as("cidx"))
+      .select(col("probe_id"),
+        element_at(cl.ids, col("cidx") + 1).as("centroid_id"),
+        adcTables(cb, dim,
+          zip_with(col("pv"), element_at(cl.vecs, col("cidx") + 1),
+            (x, c) => x - c)).as("dt"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    enc.join(broadcast(probeLists), Seq("centroid_id"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("adc", adcCol(m))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"),
@@ -437,7 +565,7 @@ object Ann {
 
     // Plane index offset per table makes the tables independent while
     // keeping every hyperplane deterministic.
-    def buckets(v: org.apache.spark.sql.Column) = array((0 until nTables).map { t =>
+    def buckets(v: Column) = array((0 until nTables).map { t =>
       struct(lit(t).as("table"),
         VF.lshBucket(v, nPlanes, dim, planeOffset = t * nPlanes).as("bucket"))
     }: _*)
