@@ -201,6 +201,35 @@ object PipelineEntry {
         trainIters = 2, trainSample = 256).orderBy("probe_id", "rank")
     }),
 
+    // P26, key p30_ann_pq_rerank — the production PQ serving shape
+    // (SURVEY §5): ADC over the 32x-compressed codes retrieves 100
+    // candidates per probe, then ONLY those candidates' full vectors are
+    // fetched and exactly re-ranked by L2. Quality = ADC recall@100
+    // (≈0.84 in ScaleSmoke vs 0.26 raw ADC@10) at the cost of re-reading
+    // 100 full vectors per probe instead of the corpus.
+    "p30_ann_pq_rerank" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cb = Ann.trainPqCodebooks(e, m = 8, nCodes = 16, sampleN = 256,
+        iters = 2, dim = 64)
+      Ann.pqTopKReranked(e, probes(s, dir), cb, k = 10, rerank = 100)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // P27, key p31_ann_ivfpq_residual — classical FAISS IVFPQ (Jégou et
+    // al. 2011): codes quantize the RESIDUAL v − centroid(v) with
+    // residual-trained codebooks, and each (probe, probed list) gets its
+    // own ADC tables from the probe's residual against that list's
+    // centroid — bits go to within-list geometry, the standard quality
+    // win over p28's non-residual variant at the same m.
+    "p31_ann_ivfpq_residual" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Ann.trainCentroids(e, nCenters = 16, sampleN = 256, iters = 2)
+      val cb = Ann.trainPqCodebooksResidual(e, cents, m = 8, nCodes = 16,
+        sampleN = 256, iters = 2, dim = 64)
+      Ann.ivfPqResidualTopK(e, probes(s, dir), cents, cb, k = 10, nProbe = 4)
+        .orderBy("probe_id", "rank")
+    }),
+
     // P6 — brute-force cosine top-k for 5 probe vectors.
     "p06_ann_topk" -> ((s, dir) =>
       Ann.bruteForceTopK(embs(s, dir), probes(s, dir), k = 10)
@@ -399,8 +428,8 @@ c$i AS (SELECT $prev.cid, coalesce(m$i.cv, $prev.cv) AS cv
         FROM $prev LEFT JOIN m$i ON $prev.cid = m$i.cid)"""
     }
     s"""n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM emb),
-samp AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 256),
-c0 AS (SELECT vec_id AS cid, v AS cv FROM samp WHERE vec_id < 16),
+samp AS (SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT 256),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM samp ORDER BY vec_id LIMIT 16),
 ${kmIter(1)},
 ${kmIter(2)},
 cents AS (SELECT cid AS centroid_id, cv AS centv, sqrt(${dotSql("cv", "cv")}) AS centn
@@ -425,10 +454,13 @@ plists AS (
 
   /** One PQ subspace's unrolled deterministic k-means (2 iterations) +
    * its positional codebook list — mirrors Ann.trainPqCodebooks for
-   * subspace `s` (8 dims, 16 codes, sample = vec_id < 256, init = first
+   * subspace `s` (8 dims, 16 codes, sample = first 256 vectors in id
+   * order, init = first
    * 16 sample subvectors, L2 assignment with lowest-cid ties, id-ordered
-   * mean folds, emptied clusters keep their centroid). */
-  private def pqSubCtes(s: Int): String = {
+   * mean folds, emptied clusters keep their centroid). `src` is the
+   * (vec_id, v) relation the sample is drawn from — `emb` for raw-vector
+   * codebooks, a residual CTE for the IVFPQ residual variant. */
+  private def pqSubCtes(s: Int, src: String = "emb"): String = {
     val lo = s * 8 + 1
     val hi = s * 8 + 8
     def iter(i: Int): String =
@@ -445,8 +477,8 @@ m${s}_$i AS (SELECT cid, list(mn ORDER BY dim) AS cv FROM (
   GROUP BY cid),
 c${s}_$i AS (SELECT p.cid, coalesce(m.cv, p.cv) AS cv
              FROM c${s}_${i - 1} p LEFT JOIN m${s}_$i m ON p.cid = m.cid)"""
-    s"""samp$s AS (SELECT vec_id, list_slice(v, $lo, $hi) AS sv FROM emb WHERE vec_id < 256),
-c${s}_0 AS (SELECT vec_id AS cid, sv AS cv FROM samp$s WHERE vec_id < 16),
+    s"""samp$s AS (SELECT vec_id, list_slice(v, $lo, $hi) AS sv FROM $src ORDER BY vec_id LIMIT 256),
+c${s}_0 AS (SELECT vec_id AS cid, sv AS cv FROM samp$s ORDER BY vec_id LIMIT 16),
 ${iter(1)},
 ${iter(2)},
 cbl$s AS (SELECT list(cv ORDER BY cid) AS l FROM c${s}_2)"""
@@ -655,7 +687,7 @@ SELECT probe_id, rank, neighbor_id, round(cs, 6) AS cosine
 FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
 
     "p28_ann_ivfpq" -> {
-      val subspaces = (0 until 8).map(pqSubCtes).mkString(",\n")
+      val subspaces = (0 until 8).map(s => pqSubCtes(s)).mkString(",\n")
       val cbls = (0 until 8).map(s => s"cbl$s").mkString(", ")
       def codeExpr(vref: String, s: Int): String = {
         val sub = s"list_slice($vref, ${s * 8 + 1}, ${s * 8 + 8})"
@@ -693,7 +725,7 @@ FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank"""
     },
 
     "p27_ann_pq" -> {
-      val subspaces = (0 until 8).map(pqSubCtes).mkString(",\n")
+      val subspaces = (0 until 8).map(s => pqSubCtes(s)).mkString(",\n")
       val cbls = (0 until 8).map(s => s"cbl$s").mkString(", ")
       def codeExpr(vref: String, s: Int): String = {
         val sub = s"list_slice($vref, ${s * 8 + 1}, ${s * 8 + 8})"
@@ -716,6 +748,97 @@ scored AS (
       list_transform(range(1,9), s -> pd.dt[s][e.codes[s] + 1]),
       (x,y) -> x+y) AS adc
   FROM enc e CROSS JOIN pdt pd WHERE pd.probe_id <> e.vec_id),
+ranked AS (
+  SELECT probe_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY probe_id
+           ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT probe_id, rank, neighbor_id, round(adc, 6) AS adc_dist
+FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank"""
+    },
+
+    "p30_ann_pq_rerank" -> {
+      val subspaces = (0 until 8).map(s => pqSubCtes(s)).mkString(",\n")
+      val cbls = (0 until 8).map(s => s"cbl$s").mkString(", ")
+      def codeExpr(vref: String, s: Int): String = {
+        val sub = s"list_slice($vref, ${s * 8 + 1}, ${s * 8 + 8})"
+        val dl = s"list_transform(cbl$s.l, c -> ${l2Sql(sub, "c")})"
+        s"(list_position($dl, list_min($dl)) - 1)"
+      }
+      val codes = (0 until 8).map(s => codeExpr("e.v", s)).mkString("[\n    ", ",\n    ", "]")
+      val dtables = (0 until 8).map { s =>
+        val sub = s"list_slice(p.v, ${s * 8 + 1}, ${s * 8 + 8})"
+        s"list_transform(cbl$s.l, c -> ${l2Sql(sub, "c")})"
+      }.mkString("[\n    ", ",\n    ", "]")
+      s"""WITH $embCte,
+$subspaces,
+enc AS (SELECT e.vec_id, $codes AS codes FROM emb e, $cbls),
+pdt AS (SELECT p.vec_id AS probe_id, $dtables AS dt
+        FROM emb p, $cbls WHERE p.vec_id < 5),
+scored AS (
+  SELECT pd.probe_id, e.vec_id AS neighbor_id,
+    list_reduce([0.0]::DOUBLE[] ||
+      list_transform(range(1,9), s -> pd.dt[s][e.codes[s] + 1]),
+      (x,y) -> x+y) AS adc
+  FROM enc e CROSS JOIN pdt pd WHERE pd.probe_id <> e.vec_id),
+cand AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT probe_id, neighbor_id,
+           row_number() OVER (PARTITION BY probe_id
+             ORDER BY adc ASC, neighbor_id ASC) AS rank
+    FROM scored) WHERE rank <= 100),
+ex AS (
+  SELECT c.probe_id, c.neighbor_id, ${l2Sql("p.v", "e.v", 64)} AS d
+  FROM cand c
+  JOIN emb e ON e.vec_id = c.neighbor_id
+  JOIN emb p ON p.vec_id = c.probe_id),
+rr AS (
+  SELECT probe_id, neighbor_id, d,
+         row_number() OVER (PARTITION BY probe_id
+           ORDER BY d ASC, neighbor_id ASC) AS rank
+  FROM ex)
+SELECT probe_id, rank, neighbor_id, round(d, 6) AS l2_dist
+FROM rr WHERE rank <= 10 ORDER BY probe_id, rank"""
+    },
+
+    "p31_ann_ivfpq_residual" -> {
+      val subspaces = (0 until 8).map(s => pqSubCtes(s, "rsamp")).mkString(",\n")
+      val cbls = (0 until 8).map(s => s"cbl$s").mkString(", ")
+      def codeExpr(vref: String, s: Int): String = {
+        val sub = s"list_slice($vref, ${s * 8 + 1}, ${s * 8 + 8})"
+        val dl = s"list_transform(cbl$s.l, c -> ${l2Sql(sub, "c")})"
+        s"(list_position($dl, list_min($dl)) - 1)"
+      }
+      val codes = (0 until 8).map(s => codeExpr("r.v", s)).mkString("[\n    ", ",\n    ", "]")
+      val dtables = (0 until 8).map { s =>
+        val sub = s"list_slice(p.v, ${s * 8 + 1}, ${s * 8 + 8})"
+        s"list_transform(cbl$s.l, c -> ${l2Sql(sub, "c")})"
+      }.mkString("[\n    ", ",\n    ", "]")
+      s"""WITH $embCte,
+$ivfCoarseCtes,
+rsamp AS (
+  SELECT s.vec_id, list_transform(range(1,65), i -> s.v[i] - c.centv[i]) AS v
+  FROM samp s
+  JOIN assigned a ON a.neighbor_id = s.vec_id
+  JOIN cents c ON c.centroid_id = a.centroid_id),
+$subspaces,
+rcorp AS (
+  SELECT a.neighbor_id AS vec_id, a.centroid_id,
+         list_transform(range(1,65), i -> a.cv[i] - c.centv[i]) AS v
+  FROM assigned a JOIN cents c ON c.centroid_id = a.centroid_id),
+enc AS (SELECT r.vec_id, r.centroid_id, $codes AS codes FROM rcorp r, $cbls),
+pres AS (
+  SELECT pl.probe_id, pl.centroid_id,
+         list_transform(range(1,65), i -> pl.pv[i] - c.centv[i]) AS v
+  FROM plists pl JOIN cents c ON c.centroid_id = pl.centroid_id),
+pdt AS (SELECT p.probe_id, p.centroid_id, $dtables AS dt FROM pres p, $cbls),
+scored AS (
+  SELECT pd.probe_id, e.vec_id AS neighbor_id,
+    list_reduce([0.0]::DOUBLE[] ||
+      list_transform(range(1,9), s -> pd.dt[s][e.codes[s] + 1]),
+      (x,y) -> x+y) AS adc
+  FROM enc e JOIN pdt pd ON pd.centroid_id = e.centroid_id
+  WHERE pd.probe_id <> e.vec_id),
 ranked AS (
   SELECT probe_id, neighbor_id, adc,
          row_number() OVER (PARTITION BY probe_id

@@ -77,7 +77,10 @@ object Ann {
   /** Driver-side nearest-centroid assignment by cosine, iterating cents in
    * ascending-cid order with strict > so exact ties keep the LOWEST
    * centroid id — the same ordering the per-row `nearestIdx` expression
-   * and the oracle's `ORDER BY cos DESC, cid ASC` produce. */
+   * and the oracle's `ORDER BY cos DESC, cid ASC` produce. A degenerate
+   * vector (zero norm — every cosine NaN) assigns to index 0, matching
+   * the expression's all-NaN struct-min tie-break, so driver and SQL
+   * semantics agree and training can't crash on a zero vector. */
   private def assignDriver(v: Array[Double],
                            cents: Seq[(Long, Array[Double], Double)]): Int = {
     val vn = vnrm(v)
@@ -87,7 +90,7 @@ object Ann {
       if (cos > bestCos) { bestCos = cos; bestI = i }
       i += 1
     }
-    bestI
+    if (bestI < 0) 0 else bestI
   }
 
   /**
@@ -110,6 +113,13 @@ object Ann {
                      idCol: String = "vec_id"): Seq[(Long, Seq[Double])] = {
     val sample = collectSample(corpus, sampleN, vecCol, idCol)
     require(sample.length >= nCenters, s"sample (${sample.length}) < nCenters ($nCenters)")
+    trainFromSample(sample, nCenters, iters)
+  }
+
+  /** The k-means loop over an already-collected sample (callers guarantee
+   * 0 < nCenters <= sample.length). */
+  private def trainFromSample(sample: Array[(Long, Array[Double])], nCenters: Int,
+                              iters: Int): Seq[(Long, Seq[Double])] = {
     val dim = sample.head._2.length
     var cents: Array[(Long, Array[Double])] = sample.take(nCenters)
     for (_ <- 0 until iters) {
@@ -147,6 +157,32 @@ object Ann {
       typedLit(sorted.map(c => vnrm(c._2.toArray))),
       sorted.length)
   }
+
+  /** Sample-once quantizer for the IVF entry points. `None` when the
+   * corpus is empty (callers return an empty result — the library's
+   * return-empty-not-crash contract); `nCenters` is clamped to the
+   * sample size so a corpus smaller than nCenters gets a degenerate but
+   * working quantizer instead of a crash. The strict `require` lives
+   * only on the explicit `trainCentroids` API. */
+  private def centLitsOpt(corpus: DataFrame, nCenters: Int, trainIters: Int,
+                          trainSample: Int, vecCol: String,
+                          idCol: String): Option[CentLits] = {
+    val sampleN = if (trainIters > 0) trainSample else nCenters
+    val sample = collectSample(corpus, sampleN, vecCol, idCol)
+    if (sample.isEmpty) None
+    else Some(centLits(trainFromSample(sample,
+      math.min(nCenters, sample.length), trainIters)))
+  }
+
+  /** Empty (probe_id, rank, neighbor_id, score) frame preserving the
+   * input id types — what the top-k entry points return when the corpus
+   * is empty. */
+  private def emptyTopK(corpus: DataFrame, probes: DataFrame, scoreName: String,
+                        idCol: String, probeIdCol: String): DataFrame =
+    probes.select(col(probeIdCol).as("probe_id")).limit(0)
+      .crossJoin(corpus.select(col(idCol).as("neighbor_id")).limit(0))
+      .select(col("probe_id"), lit(0L).as("rank"), col("neighbor_id"),
+        lit(0.0).as(scoreName))
 
   /** Evaluate `e` ONCE per row and bind the result as a lambda variable
    * for `f`. Catalyst's projection collapse re-inlines a single-referenced
@@ -194,14 +230,16 @@ object Ann {
    * Returns (centroid_id, n). */
   def ivfListSizes(corpus: DataFrame, nCenters: Int = 16,
                    vecCol: String = "embedding", idCol: String = "vec_id",
-                   trainIters: Int = 0, trainSample: Int = 256): DataFrame = {
-    val cl = centLits(trainCentroids(corpus, nCenters,
-      if (trainIters > 0) trainSample else nCenters, trainIters, vecCol, idCol))
-    corpus.select(VF.toDouble(col(vecCol)).as("cv"))
-      .select(element_at(cl.ids, nearestIdxSelfNorm(col("cv"), cl) + 1)
-        .as("centroid_id"))
-      .groupBy("centroid_id").agg(count(lit(1)).as("n"))
-  }
+                   trainIters: Int = 0, trainSample: Int = 256): DataFrame =
+    centLitsOpt(corpus, nCenters, trainIters, trainSample, vecCol, idCol) match {
+      case None =>
+        corpus.select(col(idCol).as("centroid_id"), lit(0L).as("n")).limit(0)
+      case Some(cl) =>
+        corpus.select(VF.toDouble(col(vecCol)).as("cv"))
+          .select(element_at(cl.ids, nearestIdxSelfNorm(col("cv"), cl) + 1)
+            .as("centroid_id"))
+          .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+    }
 
   /**
    * IVF-flat top-k (the inverted-file scale path): a deterministic coarse
@@ -224,8 +262,10 @@ object Ann {
               vecCol: String = "embedding", idCol: String = "vec_id",
               probeIdCol: String = "probe_id", probeVecCol: String = "probe_vec",
               trainIters: Int = 0, trainSample: Int = 256): DataFrame = {
-    val cl = centLits(trainCentroids(corpus, nCenters,
-      if (trainIters > 0) trainSample else nCenters, trainIters, vecCol, idCol))
+    val clOpt = centLitsOpt(corpus, nCenters, trainIters, trainSample, vecCol, idCol)
+    if (clOpt.isEmpty)
+      return emptyTopK(corpus, probes, "cosine", idCol, probeIdCol)
+    val cl = clOpt.get
     val assigned = corpus
       .select(col(idCol).as("neighbor_id"), VF.toDouble(col(vecCol)).as("cv"))
       .withColumn("cn", VF.norm(col("cv")))
@@ -435,8 +475,10 @@ object Ann {
                 vecCol: String = "embedding", idCol: String = "vec_id",
                 probeIdCol: String = "probe_id", probeVecCol: String = "probe_vec"): DataFrame = {
     val m = cb.length
-    val cl = centLits(trainCentroids(corpus, nCenters, trainSample, trainIters,
-      vecCol, idCol))
+    val clOpt = centLitsOpt(corpus, nCenters, trainIters, trainSample, vecCol, idCol)
+    if (clOpt.isEmpty)
+      return emptyTopK(corpus, probes, "adc_dist", idCol, probeIdCol)
+    val cl = clOpt.get
     val enc = corpus
       .select(col(idCol).as("neighbor_id"), VF.toDouble(col(vecCol)).as("cv"))
       .select(col("neighbor_id"),

@@ -194,6 +194,50 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("residual ivf+pq: deterministic, duplicate probe at the ADC minimum") {
+    val cents = Ann.trainCentroids(pqCorpus, nCenters = 8, sampleN = 64, iters = 2)
+    val cb = Ann.trainPqCodebooksResidual(pqCorpus, cents, m = 4, nCodes = 8,
+      sampleN = 64, iters = 2, dim = 8)
+    // deterministic: retraining yields identical residual codebooks
+    assert(cb == Ann.trainPqCodebooksResidual(pqCorpus, cents, m = 4, nCodes = 8,
+      sampleN = 64, iters = 2, dim = 8))
+    assert(cb.length == 4 && cb.forall(_.length == 8) && cb.forall(_.forall(_.length == 2)))
+    // nProbe = 1: the probe scans exactly its own list. A probe identical
+    // to corpus vector 17 shares its residual, so 17's codes minimize
+    // every per-subspace lookup and 17 sits at the ADC minimum.
+    val dupProbes = pqCorpus.where(col("vec_id") === 17L)
+      .select(lit(999L).as("probe_id"), col("embedding").as("probe_vec"))
+    val res = Ann.ivfPqResidualTopK(pqCorpus, dupProbes, cents, cb, k = 64,
+      nProbe = 1, dim = 8).orderBy("rank").collect()
+    assert(res.nonEmpty)
+    val byId = res.map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(byId.contains(17L) && byId(17L) == res.map(_.getDouble(3)).min)
+    // ranks dense from 1, distances nondecreasing
+    assert(res.map(_.getLong(1)).toSeq == (1L to res.length))
+    val ds = res.map(_.getDouble(3))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("residual ivf+pq: candidate pool is the probed coarse lists") {
+    // The residual variant must scan exactly the same candidate set as the
+    // non-residual IVF with the same coarse quantizer — residual encoding
+    // changes distances, never WHICH vectors a probe reads.
+    val cents = Ann.trainCentroids(pqCorpus, nCenters = 8, sampleN = 64, iters = 2)
+    val cb = Ann.trainPqCodebooksResidual(pqCorpus, cents, m = 4, nCodes = 8,
+      sampleN = 64, iters = 2, dim = 8)
+    val ps = pqCorpus.where(col("vec_id") < 2)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val resPool = Ann.ivfPqResidualTopK(pqCorpus, ps, cents, cb, k = 64,
+      nProbe = 2, dim = 8)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfPool = Ann.ivfTopK(pqCorpus, ps, k = 64, nCenters = 8, nProbe = 2,
+      trainIters = 2, trainSample = 64)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(resPool == ivfPool)
+  }
+
   test("pq ADC recall is reasonable on the structured corpus") {
     val cb = Ann.trainPqCodebooks(pqCorpus, m = 4, nCodes = 8, sampleN = 64,
       iters = 2, dim = 8)

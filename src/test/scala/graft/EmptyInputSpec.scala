@@ -41,6 +41,21 @@ class EmptyInputSpec extends SparkSpec {
     assert(Ann.bruteForceTopK(emptyEmbs, emptyProbes).count() == 0)
     assert(Ann.lshTopK(emptyEmbs, emptyProbes).count() == 0)
     assert(Ann.ivfTopK(emptyEmbs, emptyProbes).count() == 0)
+    assert(Ann.ivfTopK(emptyEmbs, emptyProbes, trainIters = 2).count() == 0)
+    assert(Ann.ivfListSizes(emptyEmbs).count() == 0)
+    // a codebook trained elsewhere applied to an empty corpus:
+    import spark.implicits._
+    val tiny = (0 until 4).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (i + d).toFloat))).toDF("vec_id", "embedding")
+    val cb = Ann.trainPqCodebooks(tiny, m = 2, nCodes = 2, sampleN = 4,
+      iters = 1, dim = 8)
+    assert(Ann.ivfPqTopK(emptyEmbs, emptyProbes, cb, dim = 8).count() == 0)
+    // a corpus SMALLER than nCenters clamps the quantizer instead of
+    // crashing, and with full probing still returns exact results
+    val tinyProbes = tiny.where(col("vec_id") === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val clamped = Ann.ivfTopK(tiny, tinyProbes, k = 4, nCenters = 16, nProbe = 16)
+    assert(clamped.count() == 3) // all non-self neighbors reachable
     // trained quantizer on an empty corpus is a caller error (no sample):
     intercept[IllegalArgumentException] {
       Ann.trainCentroids(emptyEmbs, nCenters = 4)
