@@ -47,26 +47,35 @@ object Bench {
     Fixture.metaSummary(spark, sfDir).count()
     val warmSec = (System.nanoTime() - tWarm0) / 1e9
 
-    // Each query runs `repeats` times back-to-back: run 1 is the COLD time
-    // (comparable to earlier rounds — plan + execute, caches empty beyond
-    // the shared fixture); later runs re-hit Spark's logical-plan cache
-    // lookup, so their floor is the fixed planning/AQE overhead. p50 and
-    // min across runs separate real regressions from run-to-run noise.
+    // Each query runs `repeats` times, INTERLEAVED round-robin: round 1
+    // runs every query once in sorted order (the COLD time — plan +
+    // execute, caches empty beyond the shared fixture, comparable to
+    // earlier rounds), then round 2 re-runs them all, then round 3.
+    // Later runs re-hit Spark's logical-plan cache lookup, so their
+    // floor is the fixed planning/AQE overhead. Interleaving spreads a
+    // query's repeats across the whole run, so one sustained external
+    // load window inflates ONE round of many queries instead of every
+    // repeat of one adjacent block — the r5 bench's g09/g10/g11
+    // "regression" (3-6x mins, zero code change) was exactly that
+    // failure mode, unprovable from back-to-back repeats. p50 and min
+    // across temporally-separated runs tell load noise from plan
+    // regressions. A query that errors is skipped in later rounds.
     val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var err: Option[String] = None
-      var i = 0
-      while (i < repeats && err.isEmpty) {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          err = Some(Option(e.getMessage).getOrElse(e.toString)) }
-        if (err.isEmpty) times += (System.nanoTime() - t0) / 1e9
-        i += 1
-      }
-      (name, times.toList, err)
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val times = scala.collection.mutable.LinkedHashMap(
+      named.map { case (n, _) =>
+        n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (_ <- 0 until repeats; (name, fn) <- named if !failed.contains(name)) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        times(name) += (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        failed(name) = Option(e.getMessage).getOrElse(e.toString) }
     }
+    val results = named.map { case (name, _) =>
+      (name, times(name).toList, failed.get(name)) }
 
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""

@@ -138,6 +138,90 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("g09/g10/g11 shapes: broadcast-only one-hops, edge table never shuffled") {
+    // The r5/r6 benches recorded these three keys (registry-adjacent in
+    // run order) at 3-6x their r4 mins with no code change to their
+    // paths — consistent with an external load window. Pin the plan
+    // structure so a REAL regression can't hide behind bench noise,
+    // exactly as the g08 case above does.
+    val shapes = Seq(
+      "g09" -> QueryGraph.oneHop(
+        QNode("n0", ids = (1 to 10).map("PART:" + _)),
+        QNode("n1"),
+        QEdge("n0", "n1", predicates = Seq(O.Transacts))),
+      "g10" -> QueryGraph.oneHop(
+        QNode("n0", ids = Seq("NAT:4")),
+        QNode("n1"),
+        QEdge("n0", "n1", predicates = Seq(O.AdjacentTo))),
+      "g11" -> QueryGraph.oneHop(
+        QNode("nb"),
+        QNode("na", ids = (1 to 6).map("CUST:" + _)),
+        QEdge("nb", "na", predicates = Seq(O.PlacedBy))))
+    for ((name, qg) <- shapes) {
+      val res = OneHop.answer(spark, graph, ont, qg,
+        closure = None, expandSubclasses = false)
+      val p = plan(res.matches)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$name lost its broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name edge table got shuffled:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
+  test("qualified-predicate match (g15 shape): literal qualifier filter, no extra join") {
+    val res = OneHop.answer(spark, graph, ont, QueryGraph.oneHop(
+      QNode("nOrd"),
+      QNode("nPart", ids = (1 to 40).map("PART:" + _)),
+      QEdge("nOrd", "nPart", qualifierConstraints = Seq(
+        QualifierConstraint(qualifiedPredicate = Some(O.Ships),
+          objectDirection = Some(O.Flagged))))),
+      closure = None, expandSubclasses = false)
+    // qualifier hierarchy expands driver-side to literal filters on the
+    // denormalized edge columns — never a join against a qualifier table
+    val opt = res.matches.queryExecution.optimizedPlan.toString
+    assert(opt.contains(O.Ships), s"qualified predicate not a literal filter:\n$opt")
+    val p = plan(res.matches)
+    assert(!p.contains("SortMergeJoin"), s"edge table got shuffled:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("IVF assignment is a projection: the rank window is the only shuffle") {
+    // The r5 form computed each vector's nearest centroid via
+    // crossJoin(centroids) + row_number() — a full shuffle of an
+    // nCenters x corpus intermediate. The r6 rewrite makes assignment a
+    // per-row argmax over literal centroids; this pins it: exactly ONE
+    // hash-partitioning exchange (the per-probe rank window) in the
+    // whole plan, for all three IVF variants.
+    import spark.implicits._
+    val corpus = (0 until 32).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    val probes = corpus.where(col("vec_id") < 2)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    def shuffles(df: DataFrame): Int =
+      "Exchange hashpartitioning".r.findAllIn(plan(df)).size
+
+    val ivf = Ann.ivfTopK(corpus, probes, k = 5, nCenters = 4, nProbe = 2,
+      trainIters = 2, trainSample = 32)
+    assert(shuffles(ivf) == 1, s"IVF corpus got shuffled:\n${plan(ivf)}")
+    assert(!plan(ivf).contains("SortMergeJoin") && !plan(ivf).contains("CartesianProduct"))
+
+    val cb = Ann.trainPqCodebooks(corpus, m = 2, nCodes = 4, sampleN = 32,
+      iters = 2, dim = 8)
+    val ivfpq = Ann.ivfPqTopK(corpus, probes, cb, k = 5, nCenters = 4,
+      nProbe = 2, trainIters = 2, trainSample = 32, dim = 8)
+    assert(shuffles(ivfpq) == 1, s"IVF+PQ corpus got shuffled:\n${plan(ivfpq)}")
+    assert(!plan(ivfpq).contains("SortMergeJoin"))
+
+    val cents = Ann.trainCentroids(corpus, nCenters = 4, sampleN = 32, iters = 2)
+    val cbr = Ann.trainPqCodebooksResidual(corpus, cents, m = 2, nCodes = 4,
+      sampleN = 32, iters = 2, dim = 8)
+    val res = Ann.ivfPqResidualTopK(corpus, probes, cents, cbr, k = 5,
+      nProbe = 2, dim = 8)
+    assert(shuffles(res) == 1, s"residual IVF+PQ corpus got shuffled:\n${plan(res)}")
+    assert(!plan(res).contains("SortMergeJoin"))
+  }
+
   test("TRAPI envelope assembly is join-light: no cartesian, no edge-table shuffle join") {
     val res = OneHop.answer(spark, graph, ont, QueryGraph.oneHop(
       QNode("n_out"),
