@@ -33,17 +33,23 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = replicate(
-      spark.read.parquet(s"$sfDir/documents.parquet"), n)
-      .repartition(cpus.toInt).cache()
-    val total = docs.count()
-    println(s"corpus: $total docs (${n}x replication of $sfDir)")
+    // SPARK_GRAFT_SECTIONS=docs,ann (default both) — re-measuring one
+    // side after a change shouldn't pay the other's minutes.
+    val sections = sys.env.getOrElse("SPARK_GRAFT_SECTIONS", "docs,ann")
+      .split(",").map(_.trim).toSet
 
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = f
       println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $rows%9d rows")
     }
+
+    if (sections.contains("docs")) {
+    val docs = replicate(
+      spark.read.parquet(s"$sfDir/documents.parquet"), n)
+      .repartition(cpus.toInt).cache()
+    val total = docs.count()
+    println(s"corpus: $total docs (${n}x replication of $sfDir)")
 
     time("exact")(Dedup.exact(docs).count())
     time("jaccard(df-cutoff)")(
@@ -97,7 +103,9 @@ object ScaleSmoke {
           Dedup.jaccardPairs(docs, n = 3, threshold = 0.8, maxShingleFreq = 1000)))
         .count()
     }
+    }
 
+    if (sections.contains("ann")) {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val bigEmbs = embs.select(explode(sequence(lit(0), lit(n - 1))).as("copy"),
         col("vec_id"), col("embedding"))
@@ -117,6 +125,12 @@ object ScaleSmoke {
     time("ann pq adc")(Ann.pqTopK(bigEmbs, probes, pqCb, k = 10).count())
     time("ann ivf+pq")(Ann.ivfPqTopK(bigEmbs, probes, pqCb, k = 10,
       nCenters = 64, nProbe = 8, trainIters = 2, trainSample = 1024).count())
+    val coarseBig = Ann.trainCentroids(bigEmbs, nCenters = 64, sampleN = 1024,
+      iters = 2)
+    val pqCbRes = Ann.trainPqCodebooksResidual(bigEmbs, coarseBig, m = 8,
+      nCodes = 16, sampleN = 1024, iters = 2)
+    time("ann ivf+pq residual")(Ann.ivfPqResidualTopK(bigEmbs, probes,
+      coarseBig, pqCbRes, k = 10, nProbe = 8).count())
 
     // Recall@10 of each approximate path vs exact brute force — the
     // quality side of the speed/recall trade. Measured on the
@@ -159,6 +173,22 @@ object ScaleSmoke {
       .select("probe_id", "neighbor_id").intersect(exactL2).count() / nL2
     println(f"pq recall@10 vs exact-L2 (unreplicated, 32x compression): " +
       f"adc=$rPq%.3f adc+rerank200=$rPqRr%.3f")
+    // Residual vs non-residual IVFPQ at identical settings (same coarse
+    // quantizer, same m/nCodes, same nProbe): both scan the same lists,
+    // so the recall difference isolates what residual encoding buys —
+    // codes spending their bits on within-list geometry.
+    val coarseBase = Ann.trainCentroids(baseEmbs, nCenters = 64,
+      sampleN = 1024, iters = 2)
+    val cbResBase = Ann.trainPqCodebooksResidual(baseEmbs, coarseBase, m = 8,
+      nCodes = 16, sampleN = 1024, iters = 2)
+    val rIvfPq = Ann.ivfPqTopK(baseEmbs, probes, cbBase, k = 10, nCenters = 64,
+      nProbe = 8, trainIters = 2, trainSample = 1024)
+      .select("probe_id", "neighbor_id").intersect(exactL2).count() / nL2
+    val rIvfPqRes = Ann.ivfPqResidualTopK(baseEmbs, probes, coarseBase,
+      cbResBase, k = 10, nProbe = 8)
+      .select("probe_id", "neighbor_id").intersect(exactL2).count() / nL2
+    println(f"ivfpq recall@10 vs exact-L2 (unreplicated): " +
+      f"nonres=$rIvfPq%.3f residual=$rIvfPqRes%.3f")
     // List balance explains the ivf-vs-trained recall gap: skewed sampled
     // lists make a probe scan far more than nProbe/nCenters of the corpus.
     def balance(trainIters: Int): (Long, Double) = {
@@ -176,6 +206,7 @@ object ScaleSmoke {
     time("embed pairs 4-table")(
       Dedup.embeddingPairs(bigEmbs, threshold = 0.4, bucketed = true,
         nTables = 4).count())
+    }
     spark.stop()
   }
 }

@@ -223,6 +223,16 @@ object Ann {
   private def nearestIdxSelfNorm(v: Column, cl: CentLits): Column =
     bindOnce(VF.norm(v))(vn => nearestIdx(v, vn, cl))
 
+  /** Mark a corpus-side join-key expression non-nullable. The list join
+   * infers `isnotnull(centroid_id)` on its keys and pushes it BELOW the
+   * encode projection, re-inlining the whole argmax(+codes) expression
+   * into a Filter — every corpus row then pays the encode twice
+   * (measured ~2x on the residual path). A coalesce against a literal is
+   * nullable=false, so no null-check is inferred and the encode runs
+   * once. The argmax can't actually be null (literal centroid table,
+   * in-range index); the sentinel matches no probe list. */
+  private def nonNullKey(e: Column): Column = coalesce(e, lit(-1L))
+
   /** Inverted-list sizes of the IVF assignment (diagnostic: list balance
    * decides how much of the corpus a probe of nProbe lists actually
    * scans — skewed sampled centroids can make "nProbe/nCenters" a big
@@ -270,7 +280,7 @@ object Ann {
       .select(col(idCol).as("neighbor_id"), VF.toDouble(col(vecCol)).as("cv"))
       .withColumn("cn", VF.norm(col("cv")))
       .withColumn("centroid_id",
-        element_at(cl.ids, nearestIdx(col("cv"), col("cn"), cl) + 1))
+        nonNullKey(element_at(cl.ids, nearestIdx(col("cv"), col("cn"), cl) + 1)))
     val probeLists = probes
       .select(col(probeIdCol).as("probe_id"), VF.toDouble(col(probeVecCol)).as("pv"))
       .withColumn("pn", VF.norm(col("pv")))
@@ -482,7 +492,7 @@ object Ann {
     val enc = corpus
       .select(col(idCol).as("neighbor_id"), VF.toDouble(col(vecCol)).as("cv"))
       .select(col("neighbor_id"),
-        element_at(cl.ids, nearestIdxSelfNorm(col("cv"), cl) + 1)
+        nonNullKey(element_at(cl.ids, nearestIdxSelfNorm(col("cv"), cl) + 1))
           .as("centroid_id"),
         pqCodesExpr(cb, dim, col("cv")).as("codes"))
     val probeLists = probes
@@ -525,19 +535,23 @@ object Ann {
                         probeIdCol: String = "probe_id", probeVecCol: String = "probe_vec"): DataFrame = {
     val m = cb.length
     val cl = centLits(cents)
-    // Bind the argmax index once per row: centroid id AND residual both
-    // derive from it, and projection collapse would otherwise re-inline
-    // (and re-evaluate) the full nCenters-way argmax into each reference.
+    // Bind the argmax index once per row (centroid id AND residual both
+    // derive from it), then bind the RESIDUAL once too: pqCodesExpr
+    // slices its input per subspace and compares each slice against
+    // every codebook entry, so an unbound residual expression would be
+    // re-inlined and recomputed m x nCodes times per row (measured 2.7x
+    // slower in ScaleSmoke before the binding).
     val encRow = bindOnce(nearestIdxSelfNorm(col("cv"), cl))(idx =>
       struct(
         element_at(cl.ids, idx + 1).as("centroid_id"),
-        pqCodesExpr(cb, dim,
-          zip_with(col("cv"), element_at(cl.vecs, idx + 1), (x, c) => x - c))
+        bindOnce(zip_with(col("cv"), element_at(cl.vecs, idx + 1),
+          (x, c) => x - c))(res => pqCodesExpr(cb, dim, res))
           .as("codes")))
     val enc = corpus
       .select(col(idCol).as("neighbor_id"), VF.toDouble(col(vecCol)).as("cv"))
       .select(col("neighbor_id"), encRow.as("er"))
-      .select(col("neighbor_id"), col("er.centroid_id").as("centroid_id"),
+      .select(col("neighbor_id"),
+        nonNullKey(col("er.centroid_id")).as("centroid_id"),
         col("er.codes").as("codes"))
     val probeLists = probes
       .select(col(probeIdCol).as("probe_id"), VF.toDouble(col(probeVecCol)).as("pv"))

@@ -17,7 +17,10 @@ import graft.functions.{HashExpressions => HE, TextFunctions => TF, VectorFuncti
  * unpersist after consuming the result. */
 private[operators] object SelfJoinMaterialize {
   def apply(df: DataFrame): DataFrame = {
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // idempotent: a frame the caller already persisted (e.g. a guarded
+    // one-hop result) keeps its level; the count still materializes it.
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df.count()
     df
   }

@@ -176,11 +176,15 @@ object TrapiResponse {
                sourcesTemplate: Map[String, Seq[TrapiSource]] = Map.empty): DataFrame = {
     def tag(part: String, df: DataFrame) =
       df.select(lit(part).as("part"), col("key"), col("json"))
-    tag("node", nodeParts(res.matches, graph, nodeAttrColumns))
+    // The three part builders each re-read the matches frame; materialize
+    // it once (stats-carrying persist) so the one-hop join executes once,
+    // not three times. A long-running service unpersists after serving.
+    val shared = res.copy(matches = SelfJoinMaterialize(res.matches))
+    tag("node", nodeParts(shared.matches, graph, nodeAttrColumns))
       .unionAll(tag("edge",
-        edgeParts(res.matches, shells, kpInforesCurie, sourcesTemplate)))
+        edgeParts(shared.matches, shells, kpInforesCurie, sourcesTemplate)))
       .unionAll(tag("result",
-        resultParts(res, kpInforesCurie, edgeKey, inputIsSet, outputIsSet)))
+        resultParts(shared, kpInforesCurie, edgeKey, inputIsSet, outputIsSet)))
   }
 
   /**
@@ -204,7 +208,10 @@ object TrapiResponse {
    */
   def slim(res: OneHop.Result, graph: PropertyGraph,
            edgeKey: String = "e1"): DataFrame = {
-    val m = res.matches
+    // Six part builders fan out from the matches frame (two query-id
+    // groupings, an edge dedup, three id-list distincts); materialize it
+    // once so the one-hop join executes once, not six times.
+    val m = SelfJoinMaterialize(res.matches)
     def nodeSide(idCol: String, qidCol: String, qnodeKey: String): DataFrame =
       m.groupBy(col(idCol).as("id"))
         .agg(array_sort(collect_set(col(qidCol))).as("query_ids"))
