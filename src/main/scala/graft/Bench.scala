@@ -24,6 +24,20 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
+    // Load gate: r4/r5/r6 all recorded 3-6x per-query inflation from
+    // external host load during the bench window. Before starting, wait
+    // (bounded) for the 1-minute load to drop below the gate so the run
+    // is comparable; if the host never settles, run anyway — load_avg_*
+    // in the JSON still carries the evidence. Tunables:
+    //   SPARK_GRAFT_LOAD_GATE (default 1.5, <=0 disables)
+    //   SPARK_GRAFT_MAX_WAIT_SEC (default 120)
+    val gate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.5").toDouble
+    val maxWait = sys.env.getOrElse("SPARK_GRAFT_MAX_WAIT_SEC", "120").toInt
+    val tGate = System.nanoTime()
+    while (gate > 0 && loadAvg() > gate &&
+           (System.nanoTime() - tGate) / 1e9 < maxWait)
+      Thread.sleep(5000)
+    val waitSec = (System.nanoTime() - tGate) / 1e9
     val load0 = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -104,7 +118,8 @@ object Bench {
     // of the run, parseable by a naive last-line JSON reader, and short
     // enough to survive a bounded tail capture.
     val load1 = loadAvg()
-    val loads = s""""load_avg_start":$load0,"load_avg_end":$load1"""
+    val loads =
+      s""""load_avg_start":$load0,"load_avg_end":$load1,"load_wait_sec":${ok3(waitSec)}"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"queries_p50":${qmap(p50)},"queries_min":${qmap(_.min)},"queries_max":${qmap(_.max)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,$loads,"sf":${jstr(sfDir)}}"""
     // Detail file: env-overridable path, and never let an unwritable CWD
     // abort the run after all queries already completed — the stdout line

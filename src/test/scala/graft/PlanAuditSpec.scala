@@ -222,6 +222,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan(res).contains("SortMergeJoin"))
   }
 
+  test("residual IVFPQ encode runs ONCE per corpus row (no inferred-filter re-inline)") {
+    // The probe-list join infers isnotnull on the corpus-side centroid_id
+    // and would push it below the encode projection, re-inlining the full
+    // argmax+codes machinery into a Filter (every row pays the encode
+    // twice — measured 2x before nonNullKey). Pin: the optimized plan
+    // contains the argmax/codes struct-min exactly once per use —
+    // 1 (coarse argmax) + m (per-subspace code argmins) on the corpus
+    // side, and nothing in any Filter.
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val probes = corpus.where(col("vec_id") < 2)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val cents = Ann.trainCentroids(corpus, nCenters = 4, sampleN = 32, iters = 1)
+    val m = 2
+    val cbr = Ann.trainPqCodebooksResidual(corpus, cents, m = m, nCodes = 4,
+      sampleN = 32, iters = 1, dim = 64)
+    val opt = Ann.ivfPqResidualTopK(corpus, probes, cents, cbr, k = 5,
+      nProbe = 2, dim = 64).queryExecution.optimizedPlan
+    val planStr = opt.toString
+    val argmins = "array_min".r.findAllIn(planStr).size
+    assert(argmins == 1 + m,
+      s"encode machinery appears $argmins times, expected ${1 + m} (once):\n$planStr")
+    val filterLines = planStr.split("\n").filter(_.contains("Filter"))
+    assert(filterLines.forall(l => !l.contains("array_min")),
+      s"encode re-inlined into a Filter:\n${filterLines.mkString("\n")}")
+  }
+
   test("TRAPI envelope assembly is join-light: no cartesian, no edge-table shuffle join") {
     val res = OneHop.answer(spark, graph, ont, QueryGraph.oneHop(
       QNode("n_out"),
