@@ -75,7 +75,11 @@ object Bench {
     // across temporally-separated runs tell load noise from plan
     // regressions. A query that errors is skipped in later rounds.
     val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt)
+    // SPARK_GRAFT_ONLY=<substring[,substring...]>: time a subset while
+    // iterating on one operator (official runs leave it unset).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSeq)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
     val times = scala.collection.mutable.LinkedHashMap(
       named.map { case (n, _) =>
         n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)

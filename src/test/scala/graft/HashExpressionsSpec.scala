@@ -41,7 +41,33 @@ class HashExpressionsSpec extends SparkSpec {
   test("native expressions handle null input") {
     val df = Seq(Tuple1(Option.empty[Seq[String]])).toDF("shingles")
     val r = df.select(HE.shingleSimhash(col("shingles")),
-      HE.shingleMinhash(col("shingles"), 4)).collect()(0)
-    assert(r.isNullAt(0) && r.isNullAt(1))
+      HE.shingleMinhash(col("shingles"), 4),
+      HE.maxMultiplicity(col("shingles"))).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("native max-multiplicity == sorted longest-equal-run fold") {
+    // the Column form TextAnalysis.repetition used before the native
+    // expression: longest equal run of the sorted array
+    def topRun(sorted: org.apache.spark.sql.Column) = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val arrs = Seq(
+      Seq("a b c", "a b c", "a b c", "x y z"),
+      Seq("q w e"),
+      Seq("t1", "t2", "t1", "t2", "t2", "t3"),
+      Seq("same", "same", "same"),
+      Seq.empty[String]
+    ).map(Tuple1(_)).toDF("sh")
+    val both = arrs.select(HE.maxMultiplicity(col("sh")).as("native"),
+      topRun(sort_array(col("sh"))).as("fold")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    assert(both.last.getLong(0) == 0L) // empty array -> 0
   }
 }
