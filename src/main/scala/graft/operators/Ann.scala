@@ -59,7 +59,11 @@ object Ann {
     while (i < a.length) { acc += a(i) * b(i); i += 1 }
     acc
   }
-  private def vnrm(a: Array[Double]): Double = math.sqrt(vdot(a, a))
+  /** Floored like VF.norm (cosine-denominator twin, same `NormFloor`): a
+   * zero vector gets cosine 0.0 on both engines instead of NaN
+   * driver-side and an ANSI divide-by-zero error SQL-side. */
+  private def vnrm(a: Array[Double]): Double =
+    math.max(math.sqrt(vdot(a, a)), VF.NormFloor)
 
   /** Bounded deterministic training sample: the first `sampleN` vectors in
    * id order. `orderBy(id).limit(n)` (TakeOrdered — no full sort) rather
@@ -78,9 +82,10 @@ object Ann {
    * ascending-cid order with strict > so exact ties keep the LOWEST
    * centroid id — the same ordering the per-row `nearestIdx` expression
    * and the oracle's `ORDER BY cos DESC, cid ASC` produce. A degenerate
-   * vector (zero norm — every cosine NaN) assigns to index 0, matching
-   * the expression's all-NaN struct-min tie-break, so driver and SQL
-   * semantics agree and training can't crash on a zero vector. */
+   * (zero-norm) vector scores cosine 0.0 against every centroid — the
+   * floored `vnrm` mirrors the expression's floored `VF.norm` — so both
+   * engines tie-break it to index 0 and training can't crash. The -1
+   * guard is belt-and-braces for an empty centroid list upstream. */
   private def assignDriver(v: Array[Double],
                            cents: Seq[(Long, Array[Double], Double)]): Int = {
     val vn = vnrm(v)

@@ -238,6 +238,32 @@ class AnnSpec extends SparkSpec {
     assert(resPool == ivfPool)
   }
 
+  test("zero-norm vectors train and assign without crashing (index-0 tie-break)") {
+    // A zero vector yields NaN cosines against every centroid; the driver
+    // assignment and the SQL expression both resolve it to index 0, so
+    // training can't crash and both engines agree on the degenerate edge.
+    import spark.implicits._
+    val withZero = (
+      Seq((0L, Array.fill(4)(0.0f))) ++
+      (1 until 12).map(i => (i.toLong, Array.tabulate(4)(d => (i + d).toFloat)))
+    ).toDF("vec_id", "embedding")
+    val cents = Ann.trainCentroids(withZero, nCenters = 3, sampleN = 12, iters = 2)
+    assert(cents.length == 3)
+    // retraining is still deterministic with the degenerate vector present
+    assert(cents == Ann.trainCentroids(withZero, nCenters = 3, sampleN = 12, iters = 2))
+    val cbr = Ann.trainPqCodebooksResidual(withZero, cents, m = 2, nCodes = 4,
+      sampleN = 12, iters = 2, dim = 4)
+    assert(cbr.length == 2)
+    // the full IVF path still answers (zero vector lands in SOME list)
+    val p = withZero.where(col("vec_id") === 1L)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val lists = Ann.ivfListSizes(withZero, nCenters = 3, trainIters = 2,
+      trainSample = 12)
+    assert(lists.agg(sum("n")).collect()(0).getLong(0) == 12L)
+    assert(Ann.ivfTopK(withZero, p, k = 5, nCenters = 3, nProbe = 3,
+      trainIters = 2, trainSample = 12).count() > 0)
+  }
+
   test("pq ADC recall is reasonable on the structured corpus") {
     val cb = Ann.trainPqCodebooks(pqCorpus, m = 4, nCodes = 8, sampleN = 64,
       iters = 2, dim = 8)

@@ -50,6 +50,11 @@ class EmptyInputSpec extends SparkSpec {
     val cb = Ann.trainPqCodebooks(tiny, m = 2, nCodes = 2, sampleN = 4,
       iters = 1, dim = 8)
     assert(Ann.ivfPqTopK(emptyEmbs, emptyProbes, cb, dim = 8).count() == 0)
+    assert(Ann.pqTopK(emptyEmbs, emptyProbes, cb, dim = 8).count() == 0)
+    assert(Ann.pqTopKReranked(emptyEmbs, emptyProbes, cb, dim = 8).count() == 0)
+    val cents = Ann.trainCentroids(tiny, nCenters = 2, sampleN = 4, iters = 1)
+    assert(Ann.ivfPqResidualTopK(emptyEmbs, emptyProbes, cents, cb,
+      dim = 8).count() == 0)
     // a corpus SMALLER than nCenters clamps the quantizer instead of
     // crashing, and with full probing still returns exact results
     val tinyProbes = tiny.where(col("vec_id") === 0)
