@@ -222,6 +222,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan(res).contains("SortMergeJoin"))
   }
 
+  test("repetition scoring is a pure narrow scan: no shuffle, native mode count") {
+    // Third shape of this operator (explode+groupBy 6.1 s -> HOF fold
+    // 2.9 s -> native expression 0.26 s at sf0.1); pin the final one:
+    // zero exchanges, the native max_multiplicity expression present,
+    // and no interpreted aggregate fold left in the plan.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(TextAnalysis.repetition(docs, n = 2))
+    assert(!p.contains("Exchange"), s"repetition gained a shuffle:\n$p")
+    assert(p.contains("max_multiplicity"), s"native mode count missing:\n$p")
+  }
+
   test("residual IVFPQ encode runs ONCE per corpus row (no inferred-filter re-inline)") {
     // The probe-list join infers isnotnull on the corpus-side centroid_id
     // and would push it below the encode projection, re-inlining the full
