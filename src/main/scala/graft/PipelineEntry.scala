@@ -262,6 +262,20 @@ object PipelineEntry {
     "p25_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(docs(s, dir), n = 3).orderBy("id")),
 
+    // P29, key p32_c4_filter — C4-style line filtering over input with
+    // planted line structure (a too-short line + a passing prose line on
+    // every doc, placeholder text every 10th, a code line every 7th —
+    // mirrored in the oracle) so every rule actually fires.
+    "p32_c4_filter" -> ((s, dir) =>
+      TextAnalysis.lineFilter(docs(s, dir).withColumn("text",
+        concat(col("text"),
+          lit("\nshort line\nThis line has exactly enough words to pass."),
+          when(col("doc_id") % 10 === 0,
+            lit("\nlorem ipsum dolor sit amet consectetur.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nfunction() { var x = 1; }")).otherwise(lit("")))))
+        .orderBy("id")),
+
     // P28, key p29_token_mixture — token-budget corpus mixing: sample
     // each language to its weighted share of a 50k-token budget.
     "p29_token_mixture" -> ((s, dir) =>
@@ -942,6 +956,27 @@ cnt AS (SELECT doc_id, shingle, count(*) AS c
 SELECT doc_id AS id, sum(c)::BIGINT AS n_shingles, max(c)::BIGINT AS top_count,
        round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_shingle_ratio
 FROM cnt GROUP BY doc_id ORDER BY id""",
+
+    "p32_c4_filter" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+planted AS (SELECT doc_id,
+    text || chr(10) || 'short line' || chr(10) ||
+    'This line has exactly enough words to pass.'
+    || CASE WHEN doc_id % 10 = 0
+         THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+         THEN chr(10) || 'function() { var x = 1; }' ELSE '' END AS text
+  FROM documents),
+lx AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM planted),
+kx AS (SELECT doc_id, text, ls,
+  list_filter(ls, l -> len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+    AND substring(trim(l), length(trim(l)), 1) IN ('.', '!', '?', '"')) AS ks
+  FROM lx)
+SELECT doc_id AS id, len(ls)::BIGINT AS n_lines, len(ks)::BIGINT AS n_kept,
+  contains(lower(text), 'lorem ipsum') AS has_lorem,
+  contains(text, '{') AS has_braces,
+  array_to_string(ks, chr(10)) AS filtered_text
+FROM kx ORDER BY id""",
 
     "p29_token_mixture" -> {
       val wValues = MixWeights.toSeq.sorted

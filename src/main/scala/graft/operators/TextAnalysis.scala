@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{HashExpressions => HE, TextFunctions => TF}
 
@@ -139,6 +139,44 @@ object TextAnalysis {
         .as("n_emails"),
       size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast("long")
         .as("n_phones"))
+  }
+
+  /**
+   * P29 — C4-style LINE filtering (Raffel et al. 2020, "Exploring the
+   * Limits of Transfer Learning with a Unified Text-to-Text
+   * Transformer" §2.2 — public heuristics): web text is cleaned at the
+   * LINE level before any document-level curation. A line is kept iff
+   * it looks like prose — at least `minWords` whitespace words AND
+   * ending in terminal punctuation (. ! ? ") — which drops menus,
+   * button labels, code fragments and truncated boilerplate. The two
+   * doc-level C4 drop signals are surfaced as flags rather than
+   * applied ("lorem ipsum" placeholder text, curly braces = leaked
+   * code) so the caller chooses the drop policy.
+   *
+   * Scale shape: one narrow per-row scan (split / filter / join on the
+   * line array) — no explode, no shuffle; composes before p23's
+   * character-level cleaning in a real pipeline.
+   * Output: (id, n_lines, n_kept, has_lorem, has_braces,
+   * filtered_text).
+   */
+  def lineFilter(docs: DataFrame, minWords: Int = 5, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    def keepRule(l: Column): Column = {
+      val t = trim(l)
+      (size(split(t, "\\s+")) >= minWords) &&
+        t.substr(length(t), lit(1)).isin(".", "!", "?", "\"")
+    }
+    docs
+      .select(col(idCol).as("id"), col(textCol).as("text"),
+        split(col(textCol), "\n").as("ls"))
+      .select(col("id"), col("text"), col("ls"),
+        filter(col("ls"), keepRule(_)).as("ks"))
+      .select(col("id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(col("ks")).cast("long").as("n_kept"),
+        lower(col("text")).contains("lorem ipsum").as("has_lorem"),
+        col("text").contains("{").as("has_braces"),
+        array_join(col("ks"), "\n").as("filtered_text"))
   }
 
   /**

@@ -110,6 +110,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(c.getAs[Long]("n_emails") == 0L && c.getAs[Long]("n_phones") == 0L)
   }
 
+  test("c4 line filter: keeps prose lines, drops short/unterminated ones, flags leak signals") {
+    val doc = "Welcome to the home page\n" +          // 5 words, no terminal punct -> drop
+      "This is a proper prose sentence right here.\n" + // kept
+      "Click here\n" +                                 // too short -> drop
+      "  Is this trimmed line with enough words kept?  \n" + // trimmed, kept (ends ?)
+      "function() { var x = 1; }"                      // code -> drop, sets has_braces
+    val r = TextAnalysis.lineFilter(one(doc)).collect()(0)
+    assert(r.getAs[Long]("n_lines") == 5L)
+    assert(r.getAs[Long]("n_kept") == 2L)
+    assert(!r.getAs[Boolean]("has_lorem") && r.getAs[Boolean]("has_braces"))
+    assert(r.getAs[String]("filtered_text") ==
+      "This is a proper prose sentence right here.\n" +
+      "  Is this trimmed line with enough words kept?  ")
+    val lorem = TextAnalysis.lineFilter(one("Lorem Ipsum dolor sit amet today.")).collect()(0)
+    assert(lorem.getAs[Boolean]("has_lorem") && lorem.getAs[Long]("n_kept") == 1L)
+  }
+
   test("repetition: top-shingle ratio separates boilerplate from natural text") {
     val rep = TextAnalysis.repetition(
       one("buy now buy now buy now buy now"), n = 3).collect()(0)
