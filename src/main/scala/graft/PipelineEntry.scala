@@ -262,6 +262,18 @@ object PipelineEntry {
     "p25_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(docs(s, dir), n = 3).orderBy("id")),
 
+    // P1+, key p33_paragraph_dedup — cross-document paragraph dedup over
+    // input with a planted shared boilerplate paragraph on every doc and
+    // a second one on every 5th doc (mirrored in the oracle): only the
+    // first occurrence of each survives, everything else is stripped.
+    "p33_paragraph_dedup" -> ((s, dir) =>
+      Dedup.paragraphDedup(docs(s, dir).withColumn("text",
+        concat(col("text"),
+          lit("\nSubscribe to our newsletter for updates."),
+          when(col("doc_id") % 5 === 0,
+            lit("\nAll rights reserved worldwide.")).otherwise(lit("")))))
+        .orderBy("id")),
+
     // P29, key p32_c4_filter — C4-style line filtering over input with
     // planted line structure (a too-short line + a passing prose line on
     // every doc, placeholder text every 10th, a code line every 7th —
@@ -956,6 +968,27 @@ cnt AS (SELECT doc_id, shingle, count(*) AS c
 SELECT doc_id AS id, sum(c)::BIGINT AS n_shingles, max(c)::BIGINT AS top_count,
        round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_shingle_ratio
 FROM cnt GROUP BY doc_id ORDER BY id""",
+
+    "p33_paragraph_dedup" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+planted AS (SELECT doc_id,
+    text || chr(10) || 'Subscribe to our newsletter for updates.'
+    || CASE WHEN doc_id % 5 = 0
+         THEN chr(10) || 'All rights reserved worldwide.' ELSE '' END AS text
+  FROM documents),
+lx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+px AS (SELECT doc_id, z[2]::BIGINT - 1 AS idx, z[1] AS p
+       FROM (SELECT doc_id, unnest(list_zip(ls, range(1, len(ls) + 1))) AS z
+             FROM lx)),
+rx AS (SELECT doc_id, idx, p,
+         row_number() OVER (PARTITION BY md5(p)
+           ORDER BY doc_id, idx) AS rn
+       FROM px)
+SELECT doc_id AS id, count(*)::BIGINT AS n_paragraphs,
+  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+  coalesce(array_to_string(list(p ORDER BY idx) FILTER (WHERE rn = 1), chr(10)), '')
+    AS text_deduped
+FROM rx GROUP BY doc_id ORDER BY id""",
 
     "p32_c4_filter" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{HashExpressions => HE, TextFunctions => TF, VectorFunctions => VF}
 
@@ -76,6 +77,44 @@ object Dedup {
   def shingleSets(docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
       array_distinct(TF.shingles(TF.tokens(col(textCol)), n)).as("shingles"))
+
+  /**
+   * Cross-document PARAGRAPH dedup (the MassiveText/RefinedWeb-style
+   * sub-document stage, public heuristics): a paragraph (newline-split
+   * span) occurring in several documents is kept only at its FIRST
+   * occurrence — ordered by (doc id, position) — and removed everywhere
+   * else; documents are reassembled from their surviving paragraphs in
+   * original order. Complements `exact` (whole-doc granularity) and the
+   * near-dup family: boilerplate shared across distinct pages (footers,
+   * nav text, disclaimers) survives doc-level dedup but not this.
+   *
+   * Scale shape: posexplode, ONE shuffle keyed on the paragraph hash
+   * (uniform — the window ranks inside each hash group only), then the
+   * per-doc reassembly grouping. No self-join, no quadratic term;
+   * paragraphs move as (hash, id, idx) triples plus one text payload.
+   * Returns (id, n_paragraphs, n_kept, text_deduped) for every doc —
+   * a doc whose every paragraph was seen earlier keeps an empty text.
+   */
+  def paragraphDedup(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val paras = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "para")))
+    val w = Window.partitionBy(md5(col("para")))
+      .orderBy(col("id").asc, col("idx").asc)
+    paras
+      .withColumn("rn", row_number().over(w))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_paragraphs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("idx"), col("para"))))),
+            _.getField("para")),
+          "\n").as("text_deduped"))
+  }
 
   // ---------------------------------------------------------------- P2
   /**

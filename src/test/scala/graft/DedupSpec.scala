@@ -91,6 +91,27 @@ class DedupSpec extends SparkSpec {
       7L -> 7L, 8L -> 7L, 9L -> 7L)) // 8-9, 7-9 merge via 9
   }
 
+  test("paragraph dedup: first occurrence survives, docs reassemble in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique one.\nshared footer text.\nunique two."),
+      (2L, "different body here.\nshared footer text."),
+      (3L, "shared footer text.")  // every paragraph seen earlier
+    ).toDF("doc_id", "text")
+    val r = Dedup.paragraphDedup(docs).orderBy("id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // doc 1 holds the first occurrence of the footer: keeps everything
+    assert(r(0).getAs[Long]("n_paragraphs") == 3L && r(0).getAs[Long]("n_kept") == 3L)
+    assert(r(0).getAs[String]("text_deduped") ==
+      "unique one.\nshared footer text.\nunique two.")
+    // doc 2 loses only the footer, order preserved
+    assert(r(1).getAs[Long]("n_kept") == 1L)
+    assert(r(1).getAs[String]("text_deduped") == "different body here.")
+    // doc 3 is fully deduplicated away but still present
+    assert(r(2).getAs[Long]("n_kept") == 0L)
+    assert(r(2).getAs[String]("text_deduped") == "")
+  }
+
   test("embedding pairs: exact vs bucketed recall relationship") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
