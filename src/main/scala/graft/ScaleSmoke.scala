@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Ann, Corpus, Dedup}
+import graft.operators.{Ann, Corpus, Dedup, TextAnalysis}
 
 /**
  * Scale harness: replicates the corpus N-fold (each copy's near-dup
@@ -103,6 +103,14 @@ object ScaleSmoke {
           Dedup.jaccardPairs(docs, n = 3, threshold = 0.8, maxShingleFreq = 1000)))
         .count()
     }
+    // Sub-document curation at the replicated scale. Paragraph dedup's
+    // worst case is exactly this corpus: replication makes every
+    // paragraph ~n-fold duplicated, so nearly the whole exploded set
+    // collapses into rank>1 rows of a few hash groups.
+    time("c4 line filter")(
+      TextAnalysis.lineFilter(docs).count())
+    time("paragraph dedup")(
+      Dedup.paragraphDedup(docs).count())
     }
 
     if (sections.contains("ann")) {
