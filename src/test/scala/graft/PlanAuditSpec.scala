@@ -233,6 +233,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("max_multiplicity"), s"native mode count missing:\n$p")
   }
 
+  test("curation stages: line filter is shuffle-free; paragraph dedup shuffles exactly twice") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val lf = plan(TextAnalysis.lineFilter(docs))
+    assert(!lf.contains("Exchange"), s"line filter gained a shuffle:\n$lf")
+    // paragraph dedup's two shuffles are inherent: the corpus-wide
+    // paragraph-hash rank window, then the per-doc reassembly grouping.
+    // Anything beyond that (a self-join, a third exchange) is a
+    // regression.
+    val pd = plan(Dedup.paragraphDedup(docs))
+    assert("Exchange hashpartitioning".r.findAllIn(pd).size == 2,
+      s"paragraph dedup shuffle count changed:\n$pd")
+    assert(!pd.contains("SortMergeJoin") && !pd.contains("CartesianProduct"))
+  }
+
   test("residual IVFPQ encode runs ONCE per corpus row (no inferred-filter re-inline)") {
     // The probe-list join infers isnotnull on the corpus-side centroid_id
     // and would push it below the encode projection, re-inlining the full
