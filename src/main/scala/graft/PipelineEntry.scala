@@ -230,6 +230,15 @@ object PipelineEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // P5+, key p34_semdedup — SemDeDup (Abbas et al. 2023): a bounded-
+    // sample k-means quantizer buckets the embedding space and near-dup
+    // search runs ONLY within clusters (the quadratic is per-cluster,
+    // never global — k is the scale lever). Same quantizer parameters as
+    // p17 so the oracle reuses the coarse k-means CTEs bit-for-bit.
+    "p34_semdedup" -> ((s, dir) =>
+      Dedup.semDedup(embs(s, dir), threshold = 0.4, nCenters = 16,
+        trainIters = 2, trainSample = 256).orderBy("id")),
+
     // P6 — brute-force cosine top-k for 5 probe vectors.
     "p06_ann_topk" -> ((s, dir) =>
       Ann.bruteForceTopK(embs(s, dir), probes(s, dir), k = 10)
@@ -711,6 +720,19 @@ ranked AS (
   FROM scored)
 SELECT probe_id, rank, neighbor_id, round(cs, 6) AS cosine
 FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
+
+    "p34_semdedup" ->
+      s"""WITH $embCte,
+$ivfCoarseCtes,
+prs AS (
+  SELECT a.neighbor_id AS ia, b.neighbor_id AS ib
+  FROM assigned a JOIN assigned b ON a.centroid_id = b.centroid_id
+  WHERE a.neighbor_id < b.neighbor_id
+    AND ${dotSql("a.cv", "b.cv")} / (a.cn * b.cn) >= 0.4),
+dr AS (SELECT ib AS id, min(ia) AS dup_of FROM prs GROUP BY ib)
+SELECT a.neighbor_id AS id, a.centroid_id, dr.id IS NULL AS kept, dr.dup_of
+FROM assigned a LEFT JOIN dr ON a.neighbor_id = dr.id
+ORDER BY id""",
 
     "p28_ann_ivfpq" -> {
       val subspaces = (0 until 8).map(s => pqSubCtes(s)).mkString(",\n")

@@ -238,6 +238,26 @@ object Ann {
    * in-range index); the sentinel matches no probe list. */
   private def nonNullKey(e: Column): Column = coalesce(e, lit(-1L))
 
+  /** Corpus rows with their nearest-centroid cluster id — the shared
+   * "fit a bounded-sample k-means quantizer, assign every row by a pure
+   * per-row argmax projection" primitive behind IVF list assignment and
+   * semantic dedup (Dedup.semDedup). Returns (id, v, vn, centroid_id)
+   * where v/vn are the double vector and its floored norm (so callers
+   * scoring within-cluster cosines don't recompute them), or None when
+   * the corpus is empty (callers return an empty frame — the library's
+   * return-empty-not-crash contract). One narrow scan, zero shuffle. */
+  private[operators] def encodedAssignOpt(corpus: DataFrame, nCenters: Int,
+                                          trainIters: Int, trainSample: Int,
+                                          vecCol: String, idCol: String): Option[DataFrame] =
+    centLitsOpt(corpus, nCenters, trainIters, trainSample, vecCol, idCol)
+      .map { cl =>
+        corpus
+          .select(col(idCol).cast("long").as("id"), VF.toDouble(col(vecCol)).as("v"))
+          .withColumn("vn", VF.norm(col("v")))
+          .withColumn("centroid_id",
+            nonNullKey(element_at(cl.ids, nearestIdx(col("v"), col("vn"), cl) + 1)))
+      }
+
   /** Inverted-list sizes of the IVF assignment (diagnostic: list balance
    * decides how much of the corpus a probe of nProbe lists actually
    * scans — skewed sampled centroids can make "nProbe/nCenters" a big

@@ -391,4 +391,52 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  // --------------------------------------------------------------- P5+
+  /**
+   * SemDeDup — semantic deduplication (Abbas et al. 2023, "SemDeDup:
+   * Data-efficient learning at web-scale through semantic
+   * deduplication", public algorithm): cluster the embedding space with
+   * a bounded-sample k-means quantizer, then search for near-duplicates
+   * ONLY within each cluster. The cluster count is the scale lever — the
+   * paper runs k ≈ N/2000 so per-cluster pair work stays constant as the
+   * corpus grows; the quadratic is per-cluster, never global.
+   *
+   * Survivor rule: within a cluster, a vector is dropped iff some
+   * LOWER-id vector in the same cluster has cosine >= threshold to it
+   * (keep-first — the engine's deterministic convention shared with
+   * `exact`/`dedupApply`; the paper's keep-farthest-from-centroid is a
+   * one-line ORDER BY change). `dup_of` records the smallest such
+   * lower id as the audit trail.
+   *
+   * Plan shape: assignment is a pure per-row argmax projection over
+   * literal centroids (zero shuffle — Ann's IVF primitive); the only
+   * shuffles are the within-cluster pair join keyed on centroid_id and
+   * the per-id dropped-set aggregation. The assigned frame feeds both
+   * join sides, so it is materialized once with stats.
+   *
+   * Returns one row per input vector: (id, centroid_id, kept, dup_of).
+   */
+  def semDedup(embs: DataFrame, threshold: Double = 0.4, nCenters: Int = 16,
+               trainIters: Int = 2, trainSample: Int = 256,
+               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    Ann.encodedAssignOpt(embs, nCenters, trainIters, trainSample, vecCol, idCol) match {
+      case None =>
+        embs.select(col(idCol).cast("long").as("id"),
+          lit(0L).as("centroid_id"), lit(true).as("kept"),
+          lit(null).cast("long").as("dup_of")).limit(0)
+      case Some(enc0) =>
+        val enc = SelfJoinMaterialize(enc0)
+        val a = enc.select(col("centroid_id"), col("id").as("id_a"),
+          col("v").as("va"), col("vn").as("na"))
+        val b = enc.select(col("centroid_id"), col("id").as("id_b"),
+          col("v").as("vb"), col("vn").as("nb"))
+        val dropped = a.join(b, Seq("centroid_id"))
+          .where(col("id_a") < col("id_b") &&
+            VF.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+          .groupBy(col("id_b").as("id")).agg(min(col("id_a")).as("dup_of"))
+        enc.join(dropped, Seq("id"), "left")
+          .select(col("id"), col("centroid_id"),
+            col("dup_of").isNull.as("kept"), col("dup_of"))
+    }
 }

@@ -112,6 +112,51 @@ class DedupSpec extends SparkSpec {
     assert(r(2).getAs[String]("text_deduped") == "")
   }
 
+  test("semDedup drops within-cluster near-dups keep-first, across-cluster dups survive") {
+    // 0/1 near-identical (same cluster whatever the quantizer does);
+    // 2 orthogonal to both; 3 the negation of 0 (cosine -1, same or
+    // different cluster — never above threshold either way).
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Dedup.semDedup(vecs, threshold = 0.9, nCenters = 2,
+      trainIters = 1, trainSample = 4)
+      .orderBy("id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    // keep-first: 0 survives, 1 is dropped with dup_of = 0
+    assert(r(0).getAs[Boolean]("kept"))
+    assert(!r(1).getAs[Boolean]("kept") && r(1).getAs[Long]("dup_of") == 0L)
+    assert(r(2).getAs[Boolean]("kept") && r(3).getAs[Boolean]("kept"))
+    // every vector appears exactly once with a cluster assignment
+    assert(r.forall(row => !row.isNullAt(1)))
+  }
+
+  test("semDedup misses near-dups split across clusters (the documented trade)") {
+    // trainIters = 0 pins the centroids to vectors 0 and 1. Vectors 2
+    // and 3 are a near-dup pair (cosine ~0.98) but sit on opposite sides
+    // of the 0/1 bisector, so the quantizer separates them and the
+    // within-cluster search can never compare them — both survive even
+    // though the global exact search (embeddingPairs) finds the pair.
+    // Verifies the search really is within-cluster only (the paper's
+    // cost model) rather than a hidden global quadratic.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.55f, 0.65f, 0.0f, 0.0f)), // nearer 1 (cos .76 vs .65)
+      (3L, Array(0.70f, 0.55f, 0.0f, 0.0f))  // nearer 0 (cos .79 vs .62)
+    ).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingPairs(vecs, threshold = 0.8, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((2L, 3L)))
+    val r = Dedup.semDedup(vecs, threshold = 0.8, nCenters = 2,
+      trainIters = 0, trainSample = 4).orderBy("id").collect()
+    assert(r.forall(_.getAs[Boolean]("kept")))
+    assert(r(2).getAs[Long]("centroid_id") != r(3).getAs[Long]("centroid_id"))
+  }
+
   test("embedding pairs: exact vs bucketed recall relationship") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

@@ -33,6 +33,7 @@ class EmptyInputSpec extends SparkSpec {
       Dedup.jaccardPairs(emptyDocs)).count() == 0)
     assert(Dedup.embeddingPairs(emptyEmbs).count() == 0)
     assert(Dedup.embeddingPairs(emptyEmbs, bucketed = true, nTables = 2).count() == 0)
+    assert(Dedup.semDedup(emptyEmbs).count() == 0)
   }
 
   test("ANN operators on an empty corpus / empty probe set") {
