@@ -297,6 +297,27 @@ object PipelineEntry {
             lit("\nfunction() { var x = 1; }")).otherwise(lit("")))))
         .orderBy("id")),
 
+    // P30, key p35_gopher — Gopher document-quality rules over input
+    // with planted rule-triggers (bullet lists every 8th doc, ellipsis
+    // lines every 9th, symbol spam every 10th — mirrored in the oracle);
+    // the multilingual fixture exercises the stopword/alpha/word-length
+    // rules naturally (zh docs tokenize as unsegmented runs). The
+    // required-stopword list is fixture-adapted ("the"/"a" — the only
+    // function words in the generator's vocabulary; the default
+    // GopherStopwords list would fail every doc), which is exactly what
+    // the parameter is for on a real non-English corpus.
+    "p35_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherRules(docs(s, dir).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 8 === 0,
+            lit("\n- alpha\n- beta\n- gamma\n- delta")).otherwise(lit("")),
+          when(col("doc_id") % 9 === 0,
+            lit("\nto be continued...\nmore soon...")).otherwise(lit("")),
+          when(col("doc_id") % 10 === 0,
+            lit("\n# # # # # # # # # #")).otherwise(lit("")))),
+        stopwords = Seq("the", "a"))
+        .orderBy("id")),
+
     // P28, key p29_token_mixture — token-budget corpus mixing: sample
     // each language to its weighted share of a 50k-token budget.
     "p29_token_mixture" -> ((s, dir) =>
@@ -1032,6 +1053,37 @@ SELECT doc_id AS id, len(ls)::BIGINT AS n_lines, len(ks)::BIGINT AS n_kept,
   contains(text, '{') AS has_braces,
   array_to_string(ks, chr(10)) AS filtered_text
 FROM kx ORDER BY id""",
+
+    "p35_gopher" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+planted AS (SELECT doc_id, text
+  || CASE WHEN doc_id % 8 = 0 THEN chr(10) || '- alpha' || chr(10) || '- beta'
+       || chr(10) || '- gamma' || chr(10) || '- delta' ELSE '' END
+  || CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'to be continued...'
+       || chr(10) || 'more soon...' ELSE '' END
+  || CASE WHEN doc_id % 10 = 0 THEN chr(10) || '# # # # # # # # # #'
+       ELSE '' END AS text
+  FROM documents),
+b AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS t,
+        string_split(text, chr(10)) AS ls FROM planted),
+m AS (SELECT doc_id, len(t)::BIGINT AS n_words,
+  list_reduce(list_transform(t, w -> len(w)), (a,b) -> a+b)::DOUBLE / len(t) AS mwl,
+  len(regexp_extract_all(text, '#|\\.\\.\\.|…'))::DOUBLE / len(t) AS sym,
+  len(list_filter(ls, l -> substring(trim(l),1,1) IN ('•','-','*')))::DOUBLE
+    / len(ls) AS bf,
+  len(list_filter(ls, l -> trim(l) LIKE '%...' OR trim(l) LIKE '%…'))::DOUBLE
+    / len(ls) AS ef,
+  len(list_filter(t, w -> regexp_matches(w, '[a-z]')))::DOUBLE / len(t) AS af,
+  len(list_filter(['the','a'], w -> list_contains(t, w)))::BIGINT AS sh
+  FROM b)
+SELECT doc_id AS id, n_words, round(mwl, 6) AS mean_word_len,
+  round(sym, 6) AS symbol_ratio, round(bf, 6) AS bullet_frac,
+  round(ef, 6) AS ellipsis_frac, round(af, 6) AS alpha_frac,
+  sh AS stop_hits,
+  (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+   AND sym <= 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8 AND sh >= 2)
+    AS passes
+FROM m ORDER BY id""",
 
     "p29_token_mixture" -> {
       val wValues = MixWeights.toSeq.sorted

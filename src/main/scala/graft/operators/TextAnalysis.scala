@@ -179,6 +179,74 @@ object TextAnalysis {
         array_join(col("ks"), "\n").as("filtered_text"))
   }
 
+  /** The required-stopword list from Gopher's quality rules (Rae et al.
+   * 2021 Appendix A1.1 — public heuristics). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * P30 — Gopher document-quality rules (Rae et al. 2021, "Scaling
+   * Language Models: Methods, Analysis & Insights from Training
+   * Gopher", Appendix A1.1 — the public rule set): a document passes iff
+   *  - word count in [minWords, maxWords]
+   *  - mean word length in [minMeanWordLen, maxMeanWordLen]
+   *  - symbol-to-word ratio ("#" or ellipsis) <= maxSymbolRatio
+   *  - fraction of lines starting with a bullet <= maxBulletFrac
+   *  - fraction of lines ending with an ellipsis <= maxEllipsisFrac
+   *  - fraction of words with an alphabetic character >= minAlphaFrac
+   *  - at least minStopHits distinct required stopwords present
+   * Every signal is emitted alongside the verdict so callers can tune
+   * thresholds without recomputing (the doc-level complement of p32's
+   * line-level C4 stage).
+   *
+   * Scale shape: one narrow per-row scan — split/filter/aggregate over
+   * the token and line arrays, no explode, no shuffle, codegen'd.
+   * Output: (id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+   * ellipsis_frac, alpha_frac, stop_hits, passes).
+   */
+  def gopherRules(docs: DataFrame, minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+                  maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+                  minStopHits: Int = 2, stopwords: Seq[String] = GopherStopwords,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val text = col(textCol)
+    val nW = col("n_words").cast("double")
+    val nL = size(col("ls")).cast("double")
+    docs
+      .select(col(idCol).as("id"), text.as("text"),
+        TF.tokens(text).as("toks"), split(text, "\n").as("ls"))
+      .select(col("id"), col("text"), col("toks"), col("ls"),
+        size(col("toks")).cast("long").as("n_words"))
+      .select(col("id"), col("n_words"),
+        (aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / nW).as("mean_word_len"),
+        (size(regexp_extract_all(col("text"), lit("#|\\.\\.\\.|…"), lit(0)))
+          .cast("double") / nW).as("symbol_ratio"),
+        (size(filter(col("ls"), l => trim(l).substr(1, 1).isin("•", "-", "*")))
+          .cast("double") / nL).as("bullet_frac"),
+        (size(filter(col("ls"), l => trim(l).endsWith("...") || trim(l).endsWith("…")))
+          .cast("double") / nL).as("ellipsis_frac"),
+        (size(filter(col("toks"), t => t.rlike("[a-z]")))
+          .cast("double") / nW).as("alpha_frac"),
+        size(filter(typedLit(stopwords), w => array_contains(col("toks"), w)))
+          .cast("long").as("stop_hits"))
+      .select(col("id"), col("n_words"),
+        round(col("mean_word_len"), 6).as("mean_word_len"),
+        round(col("symbol_ratio"), 6).as("symbol_ratio"),
+        round(col("bullet_frac"), 6).as("bullet_frac"),
+        round(col("ellipsis_frac"), 6).as("ellipsis_frac"),
+        round(col("alpha_frac"), 6).as("alpha_frac"),
+        col("stop_hits"),
+        (col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("bullet_frac") <= maxBulletFrac &&
+          col("ellipsis_frac") <= maxEllipsisFrac &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("stop_hits") >= minStopHits).as("passes"))
+  }
+
   /**
    * P24 — Repetition scoring (the Gopher-style quality signal): the
    * fraction of a document's n-gram occurrences taken by its single most

@@ -94,6 +94,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.redacted(emptyDocs).count() == 0)
     assert(TextAnalysis.repetition(emptyDocs).count() == 0)
     assert(TextAnalysis.lineFilter(emptyDocs).count() == 0)
+    assert(TextAnalysis.gopherRules(emptyDocs).count() == 0)
     assert(Dedup.paragraphDedup(emptyDocs).count() == 0)
   }
 

@@ -237,6 +237,9 @@ class PlanAuditSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val lf = plan(TextAnalysis.lineFilter(docs))
     assert(!lf.contains("Exchange"), s"line filter gained a shuffle:\n$lf")
+    // gopher rules are the same class of stage: one narrow scan
+    val gr = plan(TextAnalysis.gopherRules(docs))
+    assert(!gr.contains("Exchange"), s"gopher rules gained a shuffle:\n$gr")
     // paragraph dedup's two shuffles are inherent: the corpus-wide
     // paragraph-hash rank window, then the per-doc reassembly grouping.
     // Anything beyond that (a self-join, a third exchange) is a

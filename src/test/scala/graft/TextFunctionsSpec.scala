@@ -127,6 +127,40 @@ class TextFunctionsSpec extends SparkSpec {
     assert(lorem.getAs[Boolean]("has_lorem") && lorem.getAs[Long]("n_kept") == 1L)
   }
 
+  test("gopher rules: each signal fires on its planted violation, prose passes") {
+    // 60 words of prose-like text with both required stopwords ("the",
+    // "be" from the default list), ends clean: passes every rule.
+    val prose = ("the quick brown fox jumps over lazy dogs and it must be " +
+      "said that words keep flowing here ").trim + " more filler" * 18
+    val ok = TextAnalysis.gopherRules(one(prose), minWords = 20).collect()(0)
+    assert(ok.getAs[Boolean]("passes"),
+      s"prose failed: ${ok.mkString(", ")}")
+    // symbol spam trips ONLY the symbol rule
+    val sym = TextAnalysis.gopherRules(
+      one(prose + " # # # # # # # # # #"), minWords = 20).collect()(0)
+    assert(!sym.getAs[Boolean]("passes") &&
+      sym.getAs[Double]("symbol_ratio") > 0.1)
+    // a bullet-list document trips the bullet-fraction rule
+    val bullets = (1 to 20).map(i => s"- item $i").mkString("\n")
+    val bl = TextAnalysis.gopherRules(one(bullets), minWords = 20).collect()(0)
+    assert(!bl.getAs[Boolean]("passes") &&
+      bl.getAs[Double]("bullet_frac") > 0.9)
+    // ellipsis-heavy lines trip the ellipsis-fraction rule
+    val ell = (1 to 10).map(i => s"teaser number $i continues...").mkString("\n")
+    val el = TextAnalysis.gopherRules(one(ell), minWords = 20).collect()(0)
+    assert(!el.getAs[Boolean]("passes") &&
+      el.getAs[Double]("ellipsis_frac") > 0.3)
+    // numeric salad trips the alphabetic-word rule
+    val nums = (1 to 30).map(_.toString).mkString("the be ", " ", "")
+    val nm = TextAnalysis.gopherRules(one(nums), minWords = 20).collect()(0)
+    assert(!nm.getAs[Boolean]("passes") &&
+      nm.getAs[Double]("alpha_frac") < 0.8)
+    // missing required stopwords trips the stopword rule
+    val nostop = ("alpha beta gamma delta epsilon " * 12).trim
+    val ns = TextAnalysis.gopherRules(one(nostop), minWords = 20).collect()(0)
+    assert(!ns.getAs[Boolean]("passes") && ns.getAs[Long]("stop_hits") == 0L)
+  }
+
   test("repetition: top-shingle ratio separates boilerplate from natural text") {
     val rep = TextAnalysis.repetition(
       one("buy now buy now buy now buy now"), n = 3).collect()(0)
