@@ -25,6 +25,15 @@ object PipelineEntry {
    * inverted-index self-join (skew guard; mirrored in the oracle CTE). */
   private val MaxShingleFreq = 50L
 
+  /** Duplicated-span window width (p36) and the planted shared run — a
+   * 25-token sentence appended to every 3rd doc, long enough that its
+   * interior holds 25−20+1 = 6 full windows per planted doc. Shared
+   * between the Scala call and the oracle SQL. */
+  private val DupSpanW = 20
+  private val DupSpanPlant = "seventeen curious penguins watch from a " +
+    "distant icy hill while ships sail slowly past the quiet harbor " +
+    "under pale morning light carrying spices and silk"
+
   /** Stratified-sample (p20) parameters, shared between the Scala call and
    * the interpolated oracle SQL so the two can never silently diverge. */
   private val SamplePerStratum = 40
@@ -295,6 +304,16 @@ object PipelineEntry {
             lit("\nlorem ipsum dolor sit amet consectetur.")).otherwise(lit("")),
           when(col("doc_id") % 7 === 0,
             lit("\nfunction() { var x = 1; }")).otherwise(lit("")))))
+        .orderBy("id")),
+
+    // P1++, key p36_dup_spans — alignment-free duplicated-substring
+    // detection: every 3rd doc carries the same planted 25-token run
+    // (mirrored in the oracle), so its 6 interior windows are duplicated
+    // corpus-wide; the generator's own ~5% near-dup docs contribute too.
+    "p36_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(docs(s, dir).withColumn("text",
+        concat(col("text"), when(col("doc_id") % 3 === 0,
+          lit(" " + DupSpanPlant)).otherwise(lit("")))), w = DupSpanW)
         .orderBy("id")),
 
     // P30, key p35_gopher — Gopher document-quality rules over input
@@ -1053,6 +1072,30 @@ SELECT doc_id AS id, len(ls)::BIGINT AS n_lines, len(ks)::BIGINT AS n_kept,
   contains(text, '{') AS has_braces,
   array_to_string(ks, chr(10)) AS filtered_text
 FROM kx ORDER BY id""",
+
+    "p36_dup_spans" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+planted AS (SELECT doc_id, text || CASE WHEN doc_id % 3 = 0
+    THEN ' $DupSpanPlant' ELSE '' END AS text FROM documents),
+cod AS (SELECT doc_id,
+    list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+      x -> ('0x' || substring(md5(x),1,8))::BIGINT) AS c
+  FROM planted),
+wx AS (SELECT doc_id, unnest(list_transform(range(1, len(c) - $DupSpanW + 2),
+    i -> list_reduce([0]::BIGINT[] || list_slice(c, i, i + ${DupSpanW - 1}),
+      (a,b) -> (a*131 + b % $HashMod) % $HashMod))) AS h
+  FROM cod WHERE len(c) >= $DupSpanW),
+nw AS (SELECT doc_id, greatest(len(c) - ${DupSpanW - 1}, 0)::BIGINT AS n_windows
+       FROM cod),
+df AS (SELECT h FROM wx GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+per AS (SELECT wx.doc_id, count(*)::BIGINT AS n_dup
+        FROM wx JOIN df USING (h) GROUP BY wx.doc_id)
+SELECT nw.doc_id AS id, nw.n_windows,
+  coalesce(per.n_dup, 0)::BIGINT AS n_dup_windows,
+  round(CASE WHEN nw.n_windows > 0
+    THEN coalesce(per.n_dup, 0)::DOUBLE / nw.n_windows ELSE 0.0 END, 6)
+    AS dup_window_frac
+FROM nw LEFT JOIN per USING (doc_id) ORDER BY id""",
 
     "p35_gopher" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),

@@ -187,6 +187,77 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** Polynomial rolling hash of EVERY `w`-token window (stride 1) of a
+   * string array, in ONE pass: each token's md5 code is computed once,
+   * then each next window hash is an O(1) rolling update
+   * (h·131 − c_out·131^(w−1) + c_in, all mod 2^31−1) — O(n) total versus
+   * the O(n·w) per-window refold of the Column twin
+   * (TextFunctions.windowHashes; bit-identical, specs assert it). Stride
+   * 1 is semantic, not a cost choice: only an every-position grid
+   * guarantees two unaligned copies of a shared token run >= w hash the
+   * same window. Hash family = the P11 fingerprint fold, so values stay
+   * DuckDB-reproducible; the 31-bit range means cross-doc collisions are
+   * possible (deterministic and mirrored by the oracle) — a production
+   * deployment at 100 TB would widen to a 61-bit modulus via 128-bit
+   * intermediate multiplication, which Spark and DuckDB cannot both
+   * express portably. Empty result when the array has fewer than `w`
+   * elements; null elements hash as code 0 (whitespace tokenizers never
+   * produce them). */
+  case class RollingWindowHashes(child: Expression, w: Int)
+      extends UnaryExpression {
+    require(w >= 1, s"window width ($w) must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "rolling_window_hashes"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("rollingWindowHashes", this,
+        classOf[RollingWindowHashes].getName)
+      val javaType = CodeGenerator.javaType(dataType)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = ($javaType) $ref.nullSafeEval($c);")
+    }
+
+    private val M = TextFunctions.HashMod
+    // 131^(w-1) mod M — the coefficient of the outgoing token
+    private val pow: Long = {
+      var p = 1L; var i = 1
+      while (i < w) { p = (p * 131L) % M; i += 1 }
+      p
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n < w) return new GenericArrayData(Array.emptyLongArray)
+      val md = MessageDigest.getInstance("MD5")
+      val codes = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        codes(i) =
+          if (arr.isNullAt(i)) 0L
+          else md5Code(md, arr.getUTF8String(i).getBytes) % M
+        i += 1
+      }
+      val out = new Array[Long](n - w + 1)
+      var h = 0L
+      i = 0
+      while (i < w) { h = (h * 131L + codes(i)) % M; i += 1 }
+      out(0) = h
+      i = 1
+      while (i <= n - w) {
+        var t = (h - (codes(i - 1) * pow) % M) % M
+        if (t < 0) t += M
+        h = (t * 131L + codes(i + w - 1)) % M
+        out(i) = h
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): RollingWindowHashes =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftglue.Bridge
 
   def shingleSimhash(shingles: Column): Column =
@@ -197,4 +268,7 @@ object HashExpressions {
 
   def maxMultiplicity(arr: Column): Column =
     Bridge.column(MaxMultiplicity(Bridge.expression(arr)))
+
+  def windowHashes(toks: Column, w: Int): Column =
+    Bridge.column(RollingWindowHashes(Bridge.expression(toks), w))
 }

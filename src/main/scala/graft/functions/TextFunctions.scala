@@ -70,6 +70,18 @@ object TextFunctions {
     aggregate(codes, lit(0L),
       (acc, c) => (acc * 131L + (c % lit(HashMod))) % lit(HashMod))
 
+  /** The P11 fingerprint fold applied to every `w`-token window (stride
+   * 1): one hash per window start, empty array when fewer than `w`
+   * tokens. Composable twin of HashExpressions.windowHashes (which
+   * computes the same values in one O(n) rolling pass — this refolds
+   * O(n·w) with interpreted lambdas and exists for oracle-portability
+   * and equivalence specs). */
+  def windowHashes(toks: Column, w: Int): Column =
+    when(size(toks) >= w,
+      transform(sequence(lit(0), size(toks) - w),
+        i => rollingFingerprint(tokenCodes(slice(toks, i + 1, lit(w))))))
+      .otherwise(typedLit(Seq.empty[Long]))
+
   /** Per-language stopword hit counts + argmax prediction (alphabetical
    * tie-break). `stopwords` maps language -> word list. */
   def languageScores(toks: Column, stopwords: Map[String, Seq[String]]): Seq[(String, Column)] =

@@ -392,6 +392,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  // --------------------------------------------------------------- P1++
+  /**
+   * Cross-document duplicated-span detection — the window-hash
+   * approximation of suffix-array exact-substring dedup (Lee et al.
+   * 2021, "Deduplicating Training Data Makes Language Models Better",
+   * public algorithm): hash every `w`-token window (stride 1 — the
+   * every-position grid is what makes detection alignment-free), mark a
+   * window duplicated when its hash occurs in >= 2 distinct documents,
+   * and report each document's duplicated-window load. Any token run of
+   * length >= w shared verbatim between two documents is caught
+   * regardless of where it sits in either; the per-doc fraction is the
+   * "how much of this doc is copied from elsewhere" curation signal
+   * (sub-document, finer than p33's paragraph granularity because it
+   * needs no structural boundary).
+   *
+   * Scale shape: window hashing is ONE O(n) rolling-hash pass per row
+   * (native expression, whole-stage codegen); the explode emits (id,
+   * hash) longs only — never window text. The duplicated-hash set is a
+   * groupBy on the uniform hash key, and the join back is hash-equi —
+   * a shingle shared by k docs costs k join rows (linear), never the
+   * k^2 of pair-joins, so no frequency guard is needed.
+   *
+   * Returns one row per input document:
+   * (id, n_windows, n_dup_windows, dup_window_frac).
+   */
+  def dupSpans(docs: DataFrame, w: Int = 20, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      HE.windowHashes(TF.tokens(col(textCol)), w).as("hs"))
+    val ex = SelfJoinMaterialize(
+      base.select(col("id"), explode(col("hs")).as("h")))
+    val dup = ex.groupBy("h").agg(count_distinct(col("id")).as("ndocs"))
+      .where(col("ndocs") >= 2).select("h")
+    val per = ex.join(dup, Seq("h"))
+      .groupBy("id").agg(count(lit(1)).as("n_dup_windows"))
+    base.select(col("id"), size(col("hs")).cast("long").as("n_windows"))
+      .join(per, Seq("id"), "left")
+      .select(col("id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(when(col("n_windows") > 0,
+          coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
+            col("n_windows").cast("double")).otherwise(lit(0.0)), 6)
+          .as("dup_window_frac"))
+  }
+
   // --------------------------------------------------------------- P5+
   /**
    * SemDeDup — semantic deduplication (Abbas et al. 2023, "SemDeDup:

@@ -112,6 +112,28 @@ class DedupSpec extends SparkSpec {
     assert(r(2).getAs[String]("text_deduped") == "")
   }
 
+  test("dupSpans finds an unaligned shared run and ignores shorter overlaps") {
+    // docs 1 and 2 share a verbatim 6-token run at DIFFERENT offsets
+    // (stride-1 windows make detection alignment-free); doc 3 shares
+    // only a 3-token prefix of it, which can never fill a 5-token window.
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens
+    val docs = Seq(
+      (1L, s"intro words here $shared tail"),                           // 10 toks
+      (2L, s"$shared completely different ending follows now"),         // 11 toks
+      (3L, "alpha beta gamma unrelated continuation of words here today"), // 9
+      (4L, "nothing in common with anybody else at all")                // 8
+    ).toDF("doc_id", "text")
+    val r = Dedup.dupSpans(docs, w = 5).orderBy("id").collect()
+    // a 6-token shared run holds 6-5+1 = 2 windows in each carrier
+    assert(r(0).getAs[Long]("n_dup_windows") == 2L)
+    assert(r(1).getAs[Long]("n_dup_windows") == 2L)
+    assert(r(2).getAs[Long]("n_dup_windows") == 0L)
+    assert(r(3).getAs[Long]("n_dup_windows") == 0L)
+    // window counts are n_tokens - w + 1
+    assert(r.map(_.getAs[Long]("n_windows")).toSeq == Seq(6L, 7L, 5L, 4L))
+    assert(math.abs(r(0).getAs[Double]("dup_window_frac") - 2.0 / 6.0) < 1e-6)
+  }
+
   test("semDedup drops within-cluster near-dups keep-first, across-cluster dups survive") {
     // 0/1 near-identical (same cluster whatever the quantizer does);
     // 2 orthogonal to both; 3 the negation of 0 (cosine -1, same or

@@ -96,6 +96,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.lineFilter(emptyDocs).count() == 0)
     assert(TextAnalysis.gopherRules(emptyDocs).count() == 0)
     assert(Dedup.paragraphDedup(emptyDocs).count() == 0)
+    assert(Dedup.dupSpans(emptyDocs).count() == 0)
   }
 
   test("text analysis and sessionization on empty inputs") {

@@ -42,8 +42,35 @@ class HashExpressionsSpec extends SparkSpec {
     val df = Seq(Tuple1(Option.empty[Seq[String]])).toDF("shingles")
     val r = df.select(HE.shingleSimhash(col("shingles")),
       HE.shingleMinhash(col("shingles"), 4),
-      HE.maxMultiplicity(col("shingles"))).collect()(0)
-    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+      HE.maxMultiplicity(col("shingles")),
+      HE.windowHashes(col("shingles"), 3)).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("native rolling window hashes == per-window refold, incl. edges") {
+    // real fixture text exercises the rolling update over many windows;
+    // the short rows hit the n == w and n < w edges.
+    val texts = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and then naps"),
+      (1L, "one two three"), // n == w
+      (2L, "too short"),     // n < w -> empty
+      (3L, "a b a b a b a b a b")
+    ).toDF("doc_id", "text").select(col("doc_id"), TF.tokens(col("text")).as("t"))
+    Seq(1, 3, 5).foreach { w =>
+      val both = texts.select(col("doc_id"),
+        HE.windowHashes(col("t"), w).as("native"),
+        TF.windowHashes(col("t"), w).as("composed")).collect()
+      both.foreach { r =>
+        assert(r.getSeq[Long](1).toList == r.getSeq[Long](2).toList,
+          s"doc ${r.getLong(0)} w=$w")
+      }
+    }
+    // window count contract: n - w + 1, or 0 below w
+    val counts = texts.select(col("doc_id"), size(col("t")).as("n"),
+      size(HE.windowHashes(col("t"), 5)).as("c")).collect()
+    counts.foreach { r =>
+      assert(r.getInt(2) == math.max(r.getInt(1) - 5 + 1, 0), s"doc ${r.getLong(0)}")
+    }
   }
 
   test("native max-multiplicity == sorted longest-equal-run fold") {
