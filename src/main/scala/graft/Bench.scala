@@ -44,6 +44,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Deployment sizing, mirrored by every graft main: executors of
+      // this memory class (tens of GiB) can hash-broadcast dimensions
+      // well past Spark's conservative 10 MB default; 32 MB keeps the
+      // sf0.1 node-category dimension (~15 MB cached) on the broadcast
+      // side of the build-time denorm joins instead of shuffling the
+      // 1.3 M-row edge table twice. Operators stay stats-adaptive —
+      // genuinely large sides still shuffle.
+      .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -29,6 +29,8 @@ object ScaleSmoke {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // deployment sizing shared with Bench (see comment there)
+      .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -111,6 +113,13 @@ object ScaleSmoke {
       TextAnalysis.lineFilter(docs).count())
     time("paragraph dedup")(
       Dedup.paragraphDedup(docs).count())
+    time("gopher rules")(
+      TextAnalysis.gopherRules(docs, stopwords = Seq("the", "a")).count())
+    // Worst case by construction: replication makes EVERY window of
+    // every doc corpus-duplicated, so the join-back carries the full
+    // exploded set (n_tokens x corpus rows of (id, hash) longs).
+    time("dup spans")(
+      Dedup.dupSpans(docs, w = 20).count())
     }
 
     if (sections.contains("ann")) {
@@ -139,6 +148,12 @@ object ScaleSmoke {
       nCodes = 16, sampleN = 1024, iters = 2)
     time("ann ivf+pq residual")(Ann.ivfPqResidualTopK(bigEmbs, probes,
       coarseBig, pqCbRes, k = 10, nProbe = 8).count())
+    // Replication worst case for SemDeDup: every vector has n-1 exact
+    // copies in its cluster, so the within-cluster pair join carries
+    // maximal above-threshold pairs. k scales with the corpus (the
+    // paper's N/2000 rule) to bound per-cluster membership.
+    time("semdedup")(Dedup.semDedup(bigEmbs, threshold = 0.4,
+      nCenters = 64, trainIters = 2, trainSample = 1024).count())
 
     // Recall@10 of each approximate path vs exact brute force — the
     // quality side of the speed/recall trade. Measured on the

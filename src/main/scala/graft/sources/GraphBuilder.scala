@@ -178,15 +178,31 @@ object GraphBuilder {
    * cost: two id-keyed joins — co-partitioned with the edge layout at
    * scale. Query-time payoff: the meta-KG / test-triple aggregation and
    * any category-filtered scan never join the node table again.
+   *
+   * The narrow (id, categories) dimension feeds BOTH endpoint joins, so
+   * it is materialized once with stats (persist + count). Without it the
+   * planner estimates the dimension from the raw node sources — the full
+   * wide row, pre-pruning — and falls back to two sort-merge joins over
+   * the whole edge table; that was most of the measured ~21 s sf0.1
+   * graph-build warm-up. With accurate (small) stats both joins
+   * broadcast at fixture scale, and a dimension that genuinely outgrows
+   * the threshold at 100 TB degrades to the co-partitioned shuffle join
+   * this comment started with. The cached dimension is a few bytes per
+   * node and lives with the graph cache built on top of it.
    */
-  def denormalizeEndpointCategories(edges: DataFrame, nodes: DataFrame): DataFrame =
+  def denormalizeEndpointCategories(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val dim = nodes.select(col("id"), col("categories"))
+    if (dim.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      dim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dim.count()
     edges
-      .join(nodes.select(col("id").as("subject"),
+      .join(dim.select(col("id").as("subject"),
         col("categories").as("subject_categories")), Seq("subject"), "left")
-      .join(nodes.select(col("id").as("object"),
+      .join(dim.select(col("id").as("object"),
         col("categories").as("object_categories")), Seq("object"), "left")
       .select((edges.columns.map(col) ++
         Seq(col("subject_categories"), col("object_categories"))): _*)
+  }
 
   /** Full build: raw frames -> canonical PropertyGraph. */
   def build(rawNodes: DataFrame, rawEdges: DataFrame, ont: Ontology): PropertyGraph = {

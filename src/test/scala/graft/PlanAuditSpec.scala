@@ -36,6 +36,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("graph build: endpoint-category denormalization broadcasts the node dimension") {
+    // The build-time category denorm is the dominant warm-up cost; the
+    // stats-materialized narrow dimension must keep BOTH endpoint joins
+    // broadcast at fixture scale (a raw-source estimate would fall to
+    // two sort-merge joins over the full edge table — the ~21 s sf0.1
+    // warm-up this pin guards against).
+    val g = graft.sources.GraphBuilder.build(
+      TpchGraph.rawNodes(spark, sfDir), TpchGraph.rawEdges(spark, sfDir), ont)
+    val p = plan(g.edges)
+    assert(!p.contains("SortMergeJoin"), s"node dimension got shuffled:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected two broadcast endpoint joins:\n$p")
+  }
+
   test("one-hop: predicate filter is a literal pushed to the scan") {
     val res = OneHop.answer(spark, graph, ont, QueryGraph.oneHop(
       QNode("n0", ids = Seq("NAT:1")),
