@@ -316,6 +316,13 @@ object PipelineEntry {
           lit(" " + DupSpanPlant)).otherwise(lit("")))), w = DupSpanW)
         .orderBy("id")),
 
+    // P31, key p37_unigram — unigram-frequency quality scoring with a
+    // 24-entry vocabulary (the fixture generator draws from only 31
+    // distinct tokens; top-24 covers ~81% of token mass, so OOV is
+    // genuinely exercised on the rest).
+    "p37_unigram" -> ((s, dir) =>
+      TextAnalysis.unigramScore(docs(s, dir), vocabSize = 24).orderBy("id")),
+
     // P30, key p35_gopher — Gopher document-quality rules over input
     // with planted rule-triggers (bullet lists every 8th doc, ellipsis
     // lines every 9th, symbol spam every 10th — mirrored in the oracle);
@@ -1096,6 +1103,26 @@ SELECT nw.doc_id AS id, nw.n_windows,
     THEN coalesce(per.n_dup, 0)::DOUBLE / nw.n_windows ELSE 0.0 END, 6)
     AS dup_window_frac
 FROM nw LEFT JOIN per USING (doc_id) ORDER BY id""",
+
+    "p37_unigram" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+cnt AS (SELECT tok, count(*)::BIGINT AS c
+        FROM (SELECT unnest(t) AS tok FROM tok) GROUP BY tok),
+tot AS (SELECT sum(c)::BIGINT AS total FROM cnt),
+topv AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 24),
+vm AS (SELECT map(list(tok ORDER BY c DESC, tok),
+         list(c::DOUBLE / (SELECT total FROM tot) ORDER BY c DESC, tok)) AS m
+       FROM topv)
+SELECT doc_id AS id, len(t)::BIGINT AS n_tokens,
+  len(list_filter(t, x -> m[x][1] IS NULL))::BIGINT AS n_oov,
+  round(len(list_filter(t, x -> m[x][1] IS NULL))::DOUBLE / len(t), 6)
+    AS oov_frac,
+  round(list_reduce([0.0]::DOUBLE[] ||
+      list_transform(t, x -> coalesce(m[x][1], 0.0)), (a,b) -> a+b)
+    / len(t), 9) AS avg_freq
+FROM tok, vm ORDER BY id""",
 
     "p35_gopher" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),

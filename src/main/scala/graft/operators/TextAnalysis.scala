@@ -248,6 +248,51 @@ object TextAnalysis {
   }
 
   /**
+   * P31 — Unigram-frequency quality scoring (the deterministic twin of
+   * CCNet-style LM filtering, Wenzek et al. 2020: score each document by
+   * how "expected" its tokens are under a model trained on a reference
+   * corpus, then filter/bucket on the score). The model here is the
+   * simplest one with the same pipeline shape: a bounded top-`vocabSize`
+   * unigram frequency table trained on the corpus itself. A true LM
+   * perplexity needs log-probabilities, and transcendental functions are
+   * not bit-portable across engines (Java Math.log and libm may differ
+   * in the last ulp) — mean token frequency is monotonic in the same
+   * signal and IEEE-exact, so the oracle holds bit-for-bit.
+   *
+   * Scale shape: training is ONE uniform hash-keyed groupBy over the
+   * exploded tokens (map-side partial aggregation absorbs hot stopword
+   * keys) + a TakeOrdered top-V + a scalar total — the collected
+   * artifact is O(vocabSize), independent of corpus size, embedded as a
+   * literal map (the ANN-quantizer pattern). Scoring is one narrow
+   * codegen scan with per-token map lookups and an ordered in-doc fold;
+   * OOV tokens score frequency 0 and are counted separately.
+   * Output: (id, n_tokens, n_oov, oov_frac, avg_freq).
+   */
+  def unigramScore(docs: DataFrame, vocabSize: Int = 4096,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cnt = SelfJoinMaterialize(
+      docs.select(explode(TF.tokens(col(textCol))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c")))
+    val top = cnt.orderBy(col("c").desc, col("tok").asc).limit(vocabSize).collect()
+    val totalRow = cnt.agg(sum(col("c"))).collect()(0)
+    val total = if (totalRow.isNullAt(0)) 1L else math.max(1L, totalRow.getLong(0))
+    val vmMap: Map[String, Double] =
+      top.iterator.map(r => r.getString(0) -> r.getLong(1).toDouble / total).toMap
+    val vm = typedLit(vmMap)
+    docs
+      .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("t"))
+      .select(col("id"), size(col("t")).cast("long").as("n_tokens"),
+        size(filter(col("t"), x => element_at(vm, x).isNull)).cast("long")
+          .as("n_oov"),
+        aggregate(col("t"), lit(0.0),
+          (acc, x) => acc + coalesce(element_at(vm, x), lit(0.0))).as("sumf"))
+      .select(col("id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("oov_frac"),
+        round(col("sumf") / col("n_tokens").cast("double"), 9).as("avg_freq"))
+  }
+
+  /**
    * P24 — Repetition scoring (the Gopher-style quality signal): the
    * fraction of a document's n-gram occurrences taken by its single most
    * frequent n-gram. Boilerplate/spam repeats a few n-grams; natural text

@@ -95,6 +95,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.repetition(emptyDocs).count() == 0)
     assert(TextAnalysis.lineFilter(emptyDocs).count() == 0)
     assert(TextAnalysis.gopherRules(emptyDocs).count() == 0)
+    assert(TextAnalysis.unigramScore(emptyDocs).count() == 0)
     assert(Dedup.paragraphDedup(emptyDocs).count() == 0)
     assert(Dedup.dupSpans(emptyDocs).count() == 0)
   }

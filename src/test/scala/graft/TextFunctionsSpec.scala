@@ -127,6 +127,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(lorem.getAs[Boolean]("has_lorem") && lorem.getAs[Long]("n_kept") == 1L)
   }
 
+  test("unigram score: hand-computed vocab, frequencies, and OOV accounting") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), // 6 tokens, 'the' twice
+      (2L, "the dog ran"),
+      (3L, "zz qq xx")                // fully out-of-vocabulary
+    ).toDF("doc_id", "text")
+    // counts: the=3, everything else 1 (total 12); top-3 by (count desc,
+    // token asc) = the, cat, dog
+    val r = TextAnalysis.unigramScore(docs, vocabSize = 3).orderBy("id").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(6L, 3L, 3L)) // n_tokens
+    assert(r.map(_.getLong(2)).toSeq == Seq(3L, 1L, 3L)) // n_oov
+    assert(math.abs(r(0).getAs[Double]("oov_frac") - 0.5) < 1e-9)
+    assert(math.abs(r(2).getAs[Double]("oov_frac") - 1.0) < 1e-9)
+    // doc1: (3/12 + 1/12 + 0 + 0 + 3/12 + 0) / 6
+    assert(math.abs(r(0).getAs[Double]("avg_freq") - (7.0 / 12.0) / 6.0) < 1e-8)
+    // doc2: (3/12 + 1/12 + 0) / 3
+    assert(math.abs(r(1).getAs[Double]("avg_freq") - (4.0 / 12.0) / 3.0) < 1e-8)
+    assert(r(2).getAs[Double]("avg_freq") == 0.0)
+  }
+
   test("gopher rules: each signal fires on its planted violation, prose passes") {
     // 60 words of prose-like text with both required stopwords ("the",
     // "be" from the default list), ends clean: passes every rule.
