@@ -248,6 +248,15 @@ object PipelineEntry {
       Dedup.semDedup(embs(s, dir), threshold = 0.4, nCenters = 16,
         trainIters = 2, trainSample = 256).orderBy("id")),
 
+    // P26+, key p38_ann_sq8 — scalar quantization (FAISS QT_8bit
+    // semantics): per-dim trained [min,max] ranges, byte codes = 4x
+    // compression, asymmetric L2 against full-precision probes.
+    "p38_ann_sq8" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val rng = Ann.trainSqRanges(e, sampleN = 256, dim = 64)
+      Ann.sqTopK(e, probes(s, dir), rng, k = 10).orderBy("probe_id", "rank")
+    }),
+
     // P6 — brute-force cosine top-k for 5 probe vectors.
     "p06_ann_topk" -> ((s, dir) =>
       Ann.bruteForceTopK(embs(s, dir), probes(s, dir), k = 10)
@@ -780,6 +789,34 @@ dr AS (SELECT ib AS id, min(ia) AS dup_of FROM prs GROUP BY ib)
 SELECT a.neighbor_id AS id, a.centroid_id, dr.id IS NULL AS kept, dr.dup_of
 FROM assigned a LEFT JOIN dr ON a.neighbor_id = dr.id
 ORDER BY id""",
+
+    "p38_ann_sq8" ->
+      s"""WITH $embCte,
+samp AS (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 256),
+rng AS (SELECT d, min(v[d]) AS lo, max(v[d]) AS hi
+        FROM samp, range(1,65) r(d) GROUP BY d),
+rl AS (SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his FROM rng),
+enc AS (SELECT e.vec_id, list_transform(range(1,65), d ->
+          CASE WHEN rl.his[d] > rl.los[d]
+            THEN least(greatest(floor((e.v[d] - rl.los[d]) * 255.0
+                   / (rl.his[d] - rl.los[d])), 0.0), 255.0)::BIGINT
+            ELSE 0 END) AS codes
+        FROM emb e, rl),
+deq AS (SELECT vec_id, list_transform(range(1,65), d ->
+          CASE WHEN rl.his[d] > rl.los[d]
+            THEN rl.los[d] + (codes[d]::DOUBLE + 0.5)
+                   * (rl.his[d] - rl.los[d]) / 255.0
+            ELSE rl.los[d] END) AS dv
+        FROM enc, rl),
+scored AS (SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+    ${l2Sql("p.v", "e.dv", 64)} AS sq
+  FROM deq e, emb p WHERE p.vec_id < 5 AND p.vec_id <> e.vec_id),
+ranked AS (SELECT probe_id, neighbor_id, sq,
+    row_number() OVER (PARTITION BY probe_id
+      ORDER BY sq ASC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT probe_id, rank, neighbor_id, round(sq, 6) AS sq_dist
+FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
 
     "p28_ann_ivfpq" -> {
       val subspaces = (0 until 8).map(s => pqSubCtes(s)).mkString(",\n")

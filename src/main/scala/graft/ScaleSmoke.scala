@@ -196,6 +196,11 @@ object ScaleSmoke {
       .select("probe_id", "neighbor_id").intersect(exactL2).count() / nL2
     println(f"pq recall@10 vs exact-L2 (unreplicated, 32x compression): " +
       f"adc=$rPq%.3f adc+rerank200=$rPqRr%.3f")
+    val sqRng = Ann.trainSqRanges(bigEmbs, sampleN = 1024)
+    time("ann sq8")(Ann.sqTopK(bigEmbs, probes, sqRng, k = 10).count())
+    val rSq = Ann.sqTopK(baseEmbs, probes, sqRng, k = 10)
+      .select("probe_id", "neighbor_id").intersect(exactL2).count() / nL2
+    println(f"sq8 recall@10 vs exact-L2 (unreplicated, 4x compression): $rSq%.3f")
     // Residual vs non-residual IVFPQ at identical settings (same coarse
     // quantizer, same m/nCodes, same nProbe): both scan the same lists,
     // so the recall difference isolates what residual encoding buys —

@@ -487,6 +487,89 @@ object Ann {
         round(col("adc"), 6).as("adc_dist"))
   }
 
+  // ---------------------------------------------------- scalar quantization
+
+  /**
+   * SQ8 range training (FAISS ScalarQuantizer QT_8bit semantics, public
+   * knowledge): per-dimension [min, max] over the bounded deterministic
+   * sample. Min/max are exact comparisons — no FP arithmetic at all — so
+   * an external oracle recomputes identical ranges from the same sample
+   * rule. Returns (mins, maxs), each of length `dim`.
+   */
+  def trainSqRanges(corpus: DataFrame, sampleN: Int = 256, dim: Int = 64,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id"): (Seq[Double], Seq[Double]) = {
+    val sample = collectSample(corpus, sampleN, vecCol, idCol)
+    require(sample.nonEmpty, "empty SQ training sample")
+    (Seq.tabulate(dim)(d => sample.iterator.map(_._2(d)).min),
+      Seq.tabulate(dim)(d => sample.iterator.map(_._2(d)).max))
+  }
+
+  /** 8-bit SQ codes of vector column `v`: per-dimension affine
+   * quantization floor((x − min_d)·255/(max_d − min_d)) clamped to
+   * [0, 255]; a degenerate dimension (max == min) codes 0. Pure
+   * projection over literal ranges — one narrow scan, no shuffle. */
+  private def sqCodesExpr(mins: Seq[Double], maxs: Seq[Double], v: Column): Column = {
+    val mn = typedLit(mins)
+    val mx = typedLit(maxs)
+    transform(v, (x, i) => {
+      val lo = element_at(mn, i + 1)
+      val hi = element_at(mx, i + 1)
+      when(hi > lo,
+        least(greatest(floor((x - lo) * 255.0 / (hi - lo)), lit(0.0)), lit(255.0))
+          .cast("long"))
+        .otherwise(lit(0L))
+    })
+  }
+
+  /** Dequantized vector from SQ codes: each code maps to its cell
+   * center min_d + (c + 0.5)·(max_d − min_d)/255 (degenerate dimension
+   * → min_d) — the asymmetric-distance convention: the probe stays
+   * full-precision, only the corpus side pays quantization error. */
+  private def sqDequantExpr(mins: Seq[Double], maxs: Seq[Double], codes: Column): Column = {
+    val mn = typedLit(mins)
+    val mx = typedLit(maxs)
+    transform(codes, (c, i) => {
+      val lo = element_at(mn, i + 1)
+      val hi = element_at(mx, i + 1)
+      when(hi > lo, lo + (c.cast("double") + 0.5) * (hi - lo) / 255.0)
+        .otherwise(lo)
+    })
+  }
+
+  /**
+   * SQ8 top-k — the 4x-compression member of the quantized-ANN family
+   * (PQ is 32x but loses per-dimension fidelity; SQ8 keeps every
+   * dimension at byte precision, the standard first step before PQ at
+   * scale). Codes are a pure projection over literal trained ranges;
+   * scoring dequantizes on the fly and L2-ranks against the
+   * full-precision probe (asymmetric distance). Plan shape = brute
+   * force over a 4x-smaller working set: one corpus scan, broadcast
+   * probes, the per-probe rank window is the only Exchange.
+   * Returns (probe_id, rank, neighbor_id, sq_dist).
+   */
+  def sqTopK(corpus: DataFrame, probes: DataFrame,
+             ranges: (Seq[Double], Seq[Double]), k: Int = 10,
+             vecCol: String = "embedding", idCol: String = "vec_id",
+             probeIdCol: String = "probe_id", probeVecCol: String = "probe_vec"): DataFrame = {
+    val (mins, maxs) = ranges
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      sqCodesExpr(mins, maxs, VF.toDouble(col(vecCol))).as("codes"))
+    val p = probes.select(col(probeIdCol).as("probe_id"),
+      VF.toDouble(col(probeVecCol)).as("pv"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sq").asc, col("neighbor_id").asc)
+    codes
+      .withColumn("dq", sqDequantExpr(mins, maxs, col("codes")))
+      .crossJoin(broadcast(p))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("sq", l2Col(col("pv"), col("dq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("sq"), 6).as("sq_dist"))
+  }
+
   /**
    * IVF + PQ composition — the big-corpus serving shape: the coarse
    * quantizer's inverted lists restrict WHICH vectors a probe scans
