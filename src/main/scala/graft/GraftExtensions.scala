@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.HashExpressions.{ShingleMinHash, ShingleSimHash}
+import graft.functions.HashExpressions.{MaxMultiplicity, RollingWindowHashes, ShingleMinHash, ShingleSimHash}
 import graft.functions.VectorExpressions.DotProduct
 
 /**
@@ -17,9 +17,11 @@ import graft.functions.VectorExpressions.DotProduct
  *   // or spark.sql.extensions=graft.GraftExtensions (config)
  *
  * SQL surface:
- *   shingle_simhash(array<string>)        -> bigint
- *   shingle_minhash(array<string>, k)     -> array<bigint>
- *   vec_dot(array<double>, array<double>) -> double
+ *   shingle_simhash(array<string>)          -> bigint
+ *   shingle_minhash(array<string>, k)       -> array<bigint>
+ *   max_multiplicity(array<string>)         -> bigint
+ *   rolling_window_hashes(array<string>, w) -> array<bigint>
+ *   vec_dot(array<double>, array<double>)   -> double
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -48,6 +50,23 @@ object GraftExtensions {
               s"shingle_minhash k must be an integer literal, got $other")
           }
           ShingleMinHash(children.head, k)
+        }),
+      (FunctionIdentifier("max_multiplicity"),
+        new ExpressionInfo(classOf[MaxMultiplicity].getName, "max_multiplicity"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, "max_multiplicity takes exactly 1 argument")
+          MaxMultiplicity(children.head)
+        }),
+      (FunctionIdentifier("rolling_window_hashes"),
+        new ExpressionInfo(classOf[RollingWindowHashes].getName, "rolling_window_hashes"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2, "rolling_window_hashes takes (tokens, w)")
+          val w = children(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"rolling_window_hashes w must be an integer literal, got $other")
+          }
+          RollingWindowHashes(children.head, w)
         }),
       (FunctionIdentifier("vec_dot"),
         new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),

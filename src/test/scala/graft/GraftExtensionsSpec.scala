@@ -28,5 +28,16 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .collect()(0).getDouble(0)
     assert(d == 11.0)
+    // mode count and rolling window hashes from SQL
+    val mm = spark.sql(
+      "SELECT max_multiplicity(array('a', 'b', 'a')) AS m").collect()(0).getLong(0)
+    assert(mm == 2L)
+    val wh = spark.sql(
+      "SELECT rolling_window_hashes(array('a', 'b', 'c'), 2) AS h")
+      .collect()(0).getSeq[Long](0)
+    val whColumn = spark.range(1).select(
+      graft.functions.TextFunctions.windowHashes(
+        typedLit(Seq("a", "b", "c")), 2).as("h")).collect()(0).getSeq[Long](0)
+    assert(wh.length == 2 && wh == whColumn)
   }
 }
