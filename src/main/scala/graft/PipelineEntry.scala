@@ -367,6 +367,18 @@ object PipelineEntry {
       Corpus.contamination(d, d.where(col("doc_id") < 20), n = 3).orderBy("id")
     }),
 
+    // P25+, key p39_contamination_bloom — the extreme-scale variant of
+    // p26: the benchmark shingle set rides as an O(numBits/8) Bloom
+    // filter instead of an exact broadcast set. NO SQL oracle (bloom bit
+    // layout is engine-specific) — the driver records a rows-only check;
+    // semantics are pinned by CorpusSpec's equivalence to the exact
+    // operator (no false negatives; fp-bounded overcount).
+    "p39_contamination_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.contaminationBloom(d, d.where(col("doc_id") < 20), n = 3)
+        .orderBy("id")
+    }),
+
     // P8 — stopword-vote language ID.
     "p08_langid" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir)).orderBy("id")),

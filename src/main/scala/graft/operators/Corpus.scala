@@ -198,6 +198,63 @@ object Corpus {
           .as("contamination"))
   }
 
+  /**
+   * P25 at extreme scale — the Bloom-filter variant of `contamination`:
+   * when the held-out benchmark's exact shingle set is too large to
+   * broadcast, fold it into an m-bit Bloom filter (ONE aggregation over
+   * the benchmark; the artifact is O(numBits/8) bytes regardless of
+   * benchmark size) and test corpus shingles against that. Bloom
+   * filters have no false negatives, so every exactly-contaminated
+   * shingle is flagged — `n_flagged >= n_contaminated` row-wise (spec
+   * pins it against the exact operator); false positives inflate
+   * counts by ~the filter's fpp, the right direction for a
+   * drop-if-contaminated policy and tunable via `numBits`.
+   *
+   * Implementation: Spark's native `BloomFilterAggregate` /
+   * `BloomFilterMightContain` expressions (the machinery behind runtime
+   * join row-filtering), reached through the graftglue Bridge — both
+   * codegen-capable. The built filter is collected and re-embedded as a
+   * binary literal (`might_contain` requires a constant or scalar
+   * subquery; the collect is the bounded-artifact pattern the ANN
+   * quantizers use — driver cost is numBits/8 bytes, ~1 MB at the
+   * default). No SQL oracle: the bit layout is engine-specific, so the
+   * key registers rows-only and correctness is pinned by the spec
+   * equivalence to `contamination` instead.
+   * Output: (id, n_shingles, n_flagged, contamination_ub).
+   */
+  def contaminationBloom(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
+                         expectedItems: Long = 1000000L, numBits: Long = 1L << 23,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.graftglue.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val benchShingle = Dedup.shingleSets(benchmark, n, textCol, idCol)
+      .select(explode(col("shingles")).as("shingle")).distinct()
+    val bloomAgg = Bridge.column(
+      new BloomFilterAggregate(Bridge.expression(xxhash64(col("shingle"))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bfRow = benchShingle.agg(bloomAgg.as("bf")).collect()(0)
+    val bf = if (bfRow.isNullAt(0)) null else bfRow.getAs[Array[Byte]](0)
+    val sets = Dedup.shingleSets(docs, n, textCol, idCol)
+    val totals = sets.select(col("id"),
+      size(col("shingles")).cast("long").as("n_shingles"))
+    val mightContain =
+      if (bf == null) lit(false) // empty benchmark: nothing can be flagged
+      else Bridge.column(BloomFilterMightContain(Literal(bf, BinaryType),
+        Bridge.expression(xxhash64(col("shingle")))))
+    val flagged = sets.select(col("id"), explode(col("shingles")).as("shingle"))
+      .where(mightContain)
+      .groupBy("id").agg(count(lit(1)).as("n_flagged"))
+    totals.join(flagged, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        round(when(col("n_shingles") > 0,
+          coalesce(col("n_flagged"), lit(0L)).cast("double")
+            / col("n_shingles").cast("double")).otherwise(lit(0.0)), 6)
+          .as("contamination_ub"))
+  }
+
   /** Per-pack fill summary over packSequences output — the shape a
    * packing-efficiency report reads (docs per pack, fill vs budget). */
   def packStats(packed: DataFrame): DataFrame =

@@ -153,6 +153,29 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, 0.0)))
   }
 
+  test("contaminationBloom: no false negatives vs exact; fixture counts identical") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox sleeps all day long now"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "ab")
+    ).toDF("doc_id", "text")
+    val bench = corpus.where(col("doc_id") === 0L)
+    val exact = Corpus.contamination(corpus, bench, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bloom = Corpus.contaminationBloom(corpus, bench, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // Bloom filters never miss a real hit (the spec-level invariant);
+    // at this filter size / universe the fp probability is ~0 and the
+    // filter is deterministic, so counts are exactly the exact ones.
+    exact.foreach { case (id, n) => assert(bloom(id) >= n, s"doc $id") }
+    assert(bloom == exact)
+    // an empty benchmark flags nothing (and must not crash)
+    val none = Corpus.contaminationBloom(corpus, corpus.limit(0), n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(none.values.forall(_ == 0L))
+  }
+
   test("packSequences gives an oversized doc its own pack boundary") {
     val two = Seq(
       (0L, Seq.fill(30)("tok").mkString(" ")),   // 30 tokens

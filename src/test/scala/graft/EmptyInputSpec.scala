@@ -89,6 +89,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Corpus.tokenMixture(emptyStrata, Map("en" -> 1.0), 1000L,
       strataCol = "lang").count() == 0)
     assert(Corpus.contamination(emptyDocs, emptyDocs).count() == 0)
+    assert(Corpus.contaminationBloom(emptyDocs, emptyDocs).count() == 0)
   }
 
   test("curation text operators on empty inputs") {
