@@ -41,7 +41,10 @@ object PipelineEntry {
   private val SampleHashMod = 1 << 20
 
   /** Token-mixture (p29) parameters — shared between the Scala call and
-   * the interpolated oracle SQL (weights render as a VALUES table). */
+   * the interpolated oracle SQL (weights render as a VALUES table).
+   * The temperature variant (p40) uses a budget below the corpus's
+   * total token mass so every stratum genuinely gets cut. */
+  private val MixTempTotalTokens = 15000L
   private val MixWeights = Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1)
   private val MixTotalTokens = 50000L
   private val MixOverSample = 4
@@ -357,6 +360,15 @@ object PipelineEntry {
     // each language to its weighted share of a 50k-token budget.
     "p29_token_mixture" -> ((s, dir) =>
       Corpus.tokenMixture(docs(s, dir), MixWeights, MixTotalTokens,
+        strataCol = "lang", overSample = MixOverSample, hashMod = SampleHashMod)
+        .orderBy("id")),
+
+    // P28+, key p40_mixture_temp — α=0.5 temperature-rebalanced token
+    // mixture over the language strata (sqrt is the one IEEE-exact
+    // exponent, so shares derive in-plan and the oracle reproduces
+    // them bit-for-bit).
+    "p40_mixture_temp" -> ((s, dir) =>
+      Corpus.tokenMixtureTemperature(docs(s, dir), MixTempTotalTokens,
         strataCol = "lang", overSample = MixOverSample, hashMod = SampleHashMod)
         .orderBy("id")),
 
@@ -1203,6 +1215,29 @@ SELECT doc_id AS id, n_words, round(mwl, 6) AS mean_word_len,
    AND sym <= 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8 AND sh >= 2)
     AS passes
 FROM m ORDER BY id""",
+
+    "p40_mixture_temp" -> {
+      val pfConst = SampleHashMod.toDouble * MixOverSample
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+b AS (SELECT doc_id AS id, lang AS stratum,
+        len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_tokens,
+        ('0x' || substring(md5(doc_id::VARCHAR),1,8))::BIGINT % $SampleHashMod AS hm
+      FROM documents),
+st AS (SELECT stratum, sum(n_tokens)::BIGINT AS tot_tokens FROM b GROUP BY stratum),
+sq AS (SELECT stratum, tot_tokens, sqrt(tot_tokens::DOUBLE) AS sq FROM st),
+dn AS (SELECT list_reduce([0.0]::DOUBLE[] || list(sq ORDER BY stratum),
+         (a,b) -> a+b) AS denom FROM sq),
+bu AS (SELECT stratum, tot_tokens, $MixTempTotalTokens.0 * sq / dn.denom AS budget
+       FROM sq, dn),
+pf AS (SELECT b.id, b.stratum, b.n_tokens, b.hm, bu.budget
+       FROM b JOIN bu USING (stratum)
+       WHERE (b.hm * bu.tot_tokens) < $pfConst * bu.budget),
+c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY stratum ORDER BY hm, id
+        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM pf)
+SELECT id, stratum, n_tokens, cum_tokens FROM c
+WHERE (cum_tokens - n_tokens) < budget
+ORDER BY id"""
+    },
 
     "p29_token_mixture" -> {
       val wValues = MixWeights.toSeq.sorted

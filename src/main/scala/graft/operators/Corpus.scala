@@ -163,6 +163,52 @@ object Corpus {
       .select(col("id"), col("stratum"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /**
+   * P28+ — temperature-rebalanced token mixture (the α-sampling of
+   * multilingual pretraining — Conneau & Lample 2019, XLM-R, mT5):
+   * instead of caller-provided weights, each stratum's share of the
+   * token budget is proportional to its token mass raised to α = 0.5.
+   * Square root is the one exponent IEEE 754 requires to be correctly
+   * rounded, so the whole computation stays bit-portable to the SQL
+   * oracle — a deployment wanting other α precomputes weights
+   * driver-side (exp/log are not bit-portable) and calls `tokenMixture`.
+   *
+   * The stratum-share denominator Σ_s sqrt(T_s) is folded in stratum
+   * order over a sorted collect (a tiny per-stratum list), because a
+   * plain SUM over doubles has partition-dependent order — the one
+   * nondeterminism that would break the oracle. Everything else is the
+   * p29 shape: hash-threshold prefilter, per-stratum cumsum window.
+   * Output: (id, stratum, n_tokens, cum_tokens).
+   */
+  def tokenMixtureTemperature(docs: DataFrame, totalTokens: Long,
+                              strataCol: String = "source", overSample: Int = 4,
+                              hashMod: Int = 1 << 20, textCol: String = "text",
+                              idCol: String = "doc_id"): DataFrame = {
+    val toks = size(regexp_extract_all(lower(col(textCol)), lit(BpeTokenPattern),
+      lit(0))).cast("long")
+    val base = docs.select(col(idCol).as("id"), col(strataCol).as("stratum"),
+      toks.as("n_tokens"),
+      pmod(idHash(col(idCol)), lit(hashMod.toLong)).as("hm"))
+    val stats = base.groupBy("stratum").agg(sum("n_tokens").as("tot_tokens"))
+      .withColumn("sq", sqrt(col("tot_tokens").cast("double")))
+    val denom = stats.agg(
+      aggregate(array_sort(collect_list(struct(col("stratum"), col("sq")))),
+        lit(0.0), (acc, x) => acc + x.getField("sq")).as("denom"))
+    val budgets = stats.crossJoin(denom)
+      .select(col("stratum"), col("tot_tokens"),
+        (lit(totalTokens.toDouble) * col("sq") / col("denom")).as("budget"))
+    val prefiltered = base.join(broadcast(budgets), Seq("stratum"))
+      .where((col("hm") * col("tot_tokens")).cast("double") <
+        lit(hashMod.toDouble * overSample) * col("budget"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy(col("hm").asc, col("id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    prefiltered
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where((col("cum_tokens") - col("n_tokens")).cast("double") < col("budget"))
+      .select(col("id"), col("stratum"), col("n_tokens"), col("cum_tokens"))
+  }
+
   // ---------------- P25 (registered query key: p26_contamination)
   /**
    * Benchmark decontamination: for every document, the fraction of its

@@ -132,6 +132,29 @@ class CorpusSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("tokenMixtureTemperature: sqrt shares upweight the small stratum") {
+    // en: 160 docs x 10 tokens = 1600; de: 40 docs x 10 = 400 (4:1 mass).
+    // sqrt shares: 40 / (40 + 20) = 2/3 vs 1/3 — the small stratum's
+    // share doubles relative to proportional sampling (4/5 vs 1/5).
+    val many = spark.range(200).select(
+      col("id").as("doc_id"),
+      when(col("id") % 5 < 4, "en").otherwise("de").as("lang"),
+      lit("one two three four five six seven eight nine ten").as("text"))
+    val out = Corpus.tokenMixtureTemperature(many, totalTokens = 300,
+      strataCol = "lang")
+    val byLang = out.groupBy("stratum")
+      .agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // budgets: en 200, de 100 -> selected token mass stops at the budget
+    assert(byLang("en") == 200L, s"en got ${byLang("en")}")
+    assert(byLang("de") == 100L, s"de got ${byLang("de")}")
+    // deterministic across reruns
+    val ids1 = out.select("id").as[Long].collect().toSet
+    val ids2 = Corpus.tokenMixtureTemperature(many, totalTokens = 300,
+      strataCol = "lang").select("id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
+
   test("contamination: benchmark overlap fraction, zero for disjoint docs") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),   // = benchmark doc

@@ -88,6 +88,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Corpus.packSequences(emptyDocs, maxTokens = 512).count() == 0)
     assert(Corpus.tokenMixture(emptyStrata, Map("en" -> 1.0), 1000L,
       strataCol = "lang").count() == 0)
+    assert(Corpus.tokenMixtureTemperature(emptyStrata, 100L,
+      strataCol = "lang").count() == 0)
     assert(Corpus.contamination(emptyDocs, emptyDocs).count() == 0)
     assert(Corpus.contaminationBloom(emptyDocs, emptyDocs).count() == 0)
   }
