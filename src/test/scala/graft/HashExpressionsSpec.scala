@@ -47,6 +47,54 @@ class HashExpressionsSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
   }
 
+  test("randomized equivalence sweep: native == composed on 500 random docs") {
+    // Broad-input insurance for the oracle-validity keystone (the DuckDB
+    // oracles mirror the Column forms; the native expressions must stay
+    // bit-identical). One seeded corpus, all comparisons batched into a
+    // handful of Spark jobs — a per-sample forAll would pay a job per
+    // case. Token alphabet is small so duplicates, runs, and shared
+    // windows occur constantly; lengths sweep 0..40 so every n<w / n==w
+    // boundary is hit for every w.
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "b", "c", "ab", "ba", "x1", "§", "longertoken")
+    val rows = (0 until 500).map { i =>
+      val n = rnd.nextInt(41)
+      (i.toLong, Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))))
+    }
+    val df = rows.toDF("doc_id", "toks").cache()
+    // simhash + minhash + max multiplicity in one pass
+    val h = df.select(col("doc_id"),
+      HE.shingleSimhash(col("toks")).as("ns"),
+      TF.simhash(TF.tokenCodes(col("toks"))).as("cs"),
+      HE.shingleMinhash(col("toks"), 8).as("nm"),
+      TF.minhashSignature(TF.tokenCodes(col("toks")), 8).as("cm"),
+      HE.maxMultiplicity(col("toks")).as("mx"),
+      size(col("toks")).as("n")).collect()
+    val byId = rows.toMap
+    h.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"simhash doc ${r.getLong(0)}")
+      if (r.getInt(6) == 0) assert(r.isNullAt(3))
+      else assert(r.getSeq[Long](3) == r.getSeq[Long](4),
+        s"minhash doc ${r.getLong(0)}")
+      val toks = byId(r.getLong(0))
+      val exactMode =
+        if (toks.isEmpty) 0L else toks.groupBy(identity).values.map(_.size).max.toLong
+      assert(r.getLong(5) == exactMode, s"mode count doc ${r.getLong(0)}")
+    }
+    Seq(1, 2, 5, 20).foreach { w =>
+      val wh = df.select(col("doc_id"),
+        HE.windowHashes(col("toks"), w).as("nw"),
+        TF.windowHashes(col("toks"), w).as("cw"),
+        size(col("toks")).as("n")).collect()
+      wh.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"window hashes doc ${r.getLong(0)} w=$w")
+        assert(r.getSeq[Long](1).length == math.max(r.getInt(3) - w + 1, 0))
+      }
+    }
+    df.unpersist()
+  }
+
   test("native rolling window hashes == per-window refold, incl. edges") {
     // real fixture text exercises the rolling update over many windows;
     // the short rows hit the n == w and n < w edges.
