@@ -34,6 +34,11 @@ object PipelineEntry {
     "distant icy hill while ships sail slowly past the quiet harbor " +
     "under pale morning light carrying spices and silk"
 
+  /** BPE (p41) parameters, shared between the Scala call and the
+   * oracle's generated merge-derivation CTE chain. */
+  private val BpeMerges = 12
+  private val BpeSampleN = 32
+
   /** Stratified-sample (p20) parameters, shared between the Scala call and
    * the interpolated oracle SQL so the two can never silently diverge. */
   private val SamplePerStratum = 40
@@ -327,6 +332,17 @@ object PipelineEntry {
         concat(col("text"), when(col("doc_id") % 3 === 0,
           lit(" " + DupSpanPlant)).otherwise(lit("")))), w = DupSpanW)
         .orderBy("id")),
+
+    // P10+, key p41_bpe — real BPE subword tokenization: merges trained
+    // on the first 32 docs, corpus segmented by the native bpe_encode
+    // expression in one scan. The oracle re-derives the SAME merges as a
+    // 12-stage CTE chain (pair counting + left-greedy replace per
+    // stage), so both engines train AND encode identically.
+    "p41_bpe" -> ((s, dir) => {
+      val merges = Bpe.trainMerges(docs(s, dir), numMerges = BpeMerges,
+        sampleN = BpeSampleN)
+      Bpe.stats(docs(s, dir), merges).orderBy("id")
+    }),
 
     // P31, key p37_unigram — unigram-frequency quality scoring with a
     // 24-entry vocabulary (the fixture generator draws from only 31
@@ -1164,6 +1180,58 @@ SELECT nw.doc_id AS id, nw.n_windows,
     THEN coalesce(per.n_dup, 0)::DOUBLE / nw.n_windows ELSE 0.0 END, 6)
     AS dup_window_frac
 FROM nw LEFT JOIN per USING (doc_id) ORDER BY id""",
+
+    "p41_bpe" -> {
+      // One stage per merge: count adjacent symbol pairs over the
+      // current sample encoding, pick (count desc, a, b) — then re-encode
+      // the sample with a left-greedy replace over the chr(31)-joined
+      // representation (replace's resume-after-replacement scan IS the
+      // BPE fold; see operators.Bpe).
+      def stage(k: Int): String = {
+        val prev = if (k == 1) "s0" else s"s${k - 1}"
+        s"""p$k AS MATERIALIZED (SELECT (z).a AS a, (z).b AS b FROM (
+    SELECT unnest(list_transform(range(1, len(l)), i ->
+      struct_pack(a := l[i], b := l[i+1]))) AS z, f FROM $prev)
+  GROUP BY 1, 2 ORDER BY sum(f) DESC, a, b LIMIT 1),
+s$k AS MATERIALIZED (SELECT j, f,
+    string_split(trim(j, chr(31)), chr(31) || chr(31)) AS l FROM (
+    SELECT replace($prev.j,
+        chr(31) || p$k.a || chr(31) || chr(31) || p$k.b || chr(31),
+        chr(31) || p$k.a || p$k.b || chr(31)) AS j, f
+    FROM $prev, p$k))"""
+      }
+      val stages = (1 to BpeMerges).map(stage).mkString(",\n")
+      val baseJ = "chr(31) || array_to_string(list_transform(" +
+        "range(1, length(w)+1), i -> w[i]), chr(31) || chr(31)) || chr(31)"
+      val encJ = (1 to BpeMerges).foldLeft(baseJ)((acc, k) =>
+        s"replace($acc, chr(31) || p$k.a || chr(31) || chr(31) || p$k.b || chr(31), " +
+          s"chr(31) || p$k.a || p$k.b || chr(31))")
+      val pList = (1 to BpeMerges).map(k => s"p$k").mkString(", ")
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+w0 AS (SELECT w, count(*)::BIGINT AS f FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM (SELECT text FROM documents ORDER BY doc_id LIMIT $BpeSampleN))
+  WHERE w <> '' GROUP BY w),
+s0 AS MATERIALIZED (SELECT chr(31) || array_to_string(
+         list_transform(range(1, length(w)+1), i -> w[i]),
+         chr(31) || chr(31)) || chr(31) AS j, f,
+       list_transform(range(1, length(w)+1), i -> w[i]) AS l FROM w0),
+$stages,
+tok AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+          x -> x <> '') AS ws FROM documents),
+encw AS (SELECT doc_id, unnest(ws) AS w FROM tok),
+encj AS (SELECT doc_id, $encJ AS j FROM encw, $pList),
+per AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+          sum(len(string_split(trim(j, chr(31)), chr(31) || chr(31))))::BIGINT
+            AS n_subwords
+        FROM encj GROUP BY doc_id)
+SELECT t.doc_id AS id, coalesce(per.n_words, 0)::BIGINT AS n_words,
+  coalesce(per.n_subwords, 0)::BIGINT AS n_subwords,
+  round(CASE WHEN coalesce(per.n_words, 0) > 0
+    THEN per.n_subwords::DOUBLE / per.n_words ELSE 0.0 END, 6)
+    AS subwords_per_word
+FROM tok t LEFT JOIN per USING (doc_id) ORDER BY id"""
+    },
 
     "p37_unigram" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),

@@ -258,6 +258,60 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** BPE subword segmentation of a word array with a trained merge
+   * list (operators.Bpe documents the shared semantics): each word's
+   * UTF-16 units are joined with U+001F, every merge is applied in
+   * training order as a left-greedy literal replacement, and the final
+   * segments of all words are emitted as one flattened array. Empty
+   * and null words are skipped (the whitespace tokenizer yields [""]
+   * for empty text). One pass per row, whole-stage codegen via the
+   * reference-object call. */
+  case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "bpe_encode"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeEncode", this, classOf[BpeEncode].getName)
+      val javaType = CodeGenerator.javaType(dataType)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = ($javaType) $ref.nullSafeEval($c);")
+    }
+
+    private val Sep = "\u001f"
+    private val Bnd = Sep + Sep
+    private val pats: Array[(String, String)] =
+      merges.map { case (a, b) =>
+        (Sep + a + Bnd + b + Sep, Sep + a + b + Sep) }.toArray
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.unsafe.types.UTF8String]
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) {
+          val w = arr.getUTF8String(i).toString
+          if (w.nonEmpty) {
+            var j = Sep + w.toCharArray.mkString(Bnd) + Sep
+            var k = 0
+            while (k < pats.length) {
+              j = j.replace(pats(k)._1, pats(k)._2)
+              k += 1
+            }
+            j.substring(1, j.length - 1).split(Bnd).foreach(s =>
+              out += org.apache.spark.unsafe.types.UTF8String.fromString(s))
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftglue.Bridge
 
   def shingleSimhash(shingles: Column): Column =
@@ -271,4 +325,7 @@ object HashExpressions {
 
   def windowHashes(toks: Column, w: Int): Column =
     Bridge.column(RollingWindowHashes(Bridge.expression(toks), w))
+
+  def bpeEncode(words: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeEncode(Bridge.expression(words), merges))
 }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{HashExpressions => HE, TextFunctions => TF}
+
+/**
+ * Byte-pair encoding (Sennrich et al. 2016, "Neural Machine Translation
+ * of Rare Words with Subword Units" — the public algorithm): learn a
+ * merge list from a bounded sample, then segment every corpus word into
+ * subwords by replaying the merges in order. This upgrades the
+ * "BPE-ish regex" token counter (P10) to a real trained subword
+ * tokenizer while keeping the engine's two scale rules: the trained
+ * artifact is O(numMerges) and rides as expression literals, and
+ * corpus encoding is ONE narrow scan through a native expression.
+ *
+ * Determinism (what makes the SQL oracle possible):
+ *  - sample = first `sampleN` docs in id order, words from the same
+ *    lower/trim/whitespace tokenizer every other operator uses;
+ *  - pair counts include overlapping occurrences (the classic
+ *    reference implementation's counting);
+ *  - best pair = highest count, ties to the lexicographically smallest
+ *    (a, b) — identical String ordering on both engines for BMP text;
+ *  - one merge application = left-greedy non-overlapping replacement,
+ *    realized as literal `replace` over a boundary-delimited symbol
+ *    string: `·a··b·` (· = U+001F; every symbol wrapped in single
+ *    separators, so boundaries between symbols are doubled). The
+ *    delimiters make a match possible ONLY at whole-symbol positions —
+ *    a bare-separator join would let merge (a,b) fire across the
+ *    suffix of a longer symbol like "aa" — while the shared boundary
+ *    still lets back-to-back merges chain ("·a··a··a··a·" with merge
+ *    (a,a) → "·aa··aa·", exactly the fold). String.replace and SQL
+ *    replace both scan left to right and resume after each
+ *    replacement, which IS the BPE fold — so Scala training, the
+ *    native encode expression, and the oracle's CTE chain all share
+ *    one semantics by construction.
+ * Symbols are UTF-16 code units on the JVM and code points in SQL —
+ * identical for BMP text (all fixture languages); supplementary-plane
+ * input would diverge and is out of contract. Tokens must not contain
+ * U+001F (no whitespace tokenizer produces it).
+ */
+object Bpe {
+
+  private val Sep = "\u001f"
+  private val Bnd = Sep + Sep
+
+  /** ·c1··c2··c3· — every symbol wrapped in single separators. */
+  private def joinChars(w: String): String =
+    Sep + w.toCharArray.mkString(Bnd) + Sep
+
+  private def splitSyms(joined: String): Array[String] =
+    joined.substring(1, joined.length - 1).split(Bnd)
+
+  private def applyMerge(joined: String, a: String, b: String): String =
+    joined.replace(Sep + a + Bnd + b + Sep, Sep + a + b + Sep)
+
+  /**
+   * Deterministic BPE training on the first `sampleN` docs (id order).
+   * Returns the merge list in application order; stops early when no
+   * adjacent pair remains. Driver cost is O(sample text · numMerges).
+   */
+  def trainMerges(docs: DataFrame, numMerges: Int, sampleN: Int = 32,
+                  textCol: String = "text", idCol: String = "doc_id"): Seq[(String, String)] = {
+    val words: Seq[(String, Long)] = docs
+      .select(col(idCol), TF.tokens(col(textCol)).as("t"))
+      .orderBy(col(idCol)).limit(sampleN)
+      .collect()
+      .iterator.flatMap(_.getSeq[String](1))
+      .filter(_.nonEmpty)
+      .toSeq.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      .toSeq
+    // Seq, not Map: merge application could in principle collide two
+    // representations, and the oracle's CTE rows don't re-aggregate —
+    // keeping rows keeps pair counts identical by construction.
+    var enc: Seq[(String, Long)] = words.map { case (w, f) => joinChars(w) -> f }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      enc.foreach { case (j, f) =>
+        val syms = splitSyms(j)
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pc(p) = pc.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        val (a, b) = pc.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+        merges += ((a, b))
+        enc = enc.map { case (j, f) => applyMerge(j, a, b) -> f }
+        k += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Corpus encoding: one narrow scan, each doc's words segmented into
+   * subwords by the native expression. Returns (id, subwords). */
+  def encode(docs: DataFrame, merges: Seq[(String, String)],
+             textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      HE.bpeEncode(TF.tokens(col(textCol)), merges).as("subwords"))
+
+  /** Per-doc tokenizer statistics — the shape a mixture/packing stage
+   * consumes. Output: (id, n_words, n_subwords, subwords_per_word). */
+  def stats(docs: DataFrame, merges: Seq[(String, String)],
+            textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        size(filter(TF.tokens(col(textCol)), w => w =!= lit("")))
+          .cast("long").as("n_words"),
+        size(HE.bpeEncode(TF.tokens(col(textCol)), merges))
+          .cast("long").as("n_subwords"))
+      .select(col("id"), col("n_words"), col("n_subwords"),
+        round(when(col("n_words") > 0,
+          col("n_subwords").cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(0.0)), 6).as("subwords_per_word"))
+}

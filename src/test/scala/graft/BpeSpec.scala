@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE training + native encoding on hand-computable corpora. */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("training: pair counts, tie-breaks, early stop") {
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    // words: aa x2, ab x1. Round 1 pairs: (a,a)=2, (a,b)=1 -> merge (a,a).
+    // Round 2: aa is one symbol, only [a,b] has a pair -> merge (a,b).
+    // Round 3: no pairs anywhere -> early stop despite numMerges = 5.
+    val merges = Bpe.trainMerges(docs, numMerges = 5, sampleN = 4)
+    assert(merges == Seq(("a", "a"), ("a", "b")))
+  }
+
+  test("training tie-break picks the lexicographically smallest pair") {
+    // "ba" and "ab" each contribute one pair: (a,b)=1 and (b,a)=1 tie;
+    // (a,b) < (b,a) must win.
+    val docs = Seq((1L, "ba ab")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, numMerges = 1, sampleN = 4)
+    assert(merges == Seq(("a", "b")))
+  }
+
+  test("encoding is boundary-safe and left-greedy") {
+    val merges = Seq(("a", "a"), ("a", "b"))
+    val docs = Seq((1L, "aab aaa b")).toDF("doc_id", "text")
+    val sub = Bpe.encode(docs, merges).collect()(0).getSeq[String](1)
+    // "aab": (a,a) -> [aa, b]; then (a,b) must NOT fire across the
+    // suffix of symbol "aa" (the boundary-delimiter guarantee).
+    // "aaa": left-greedy (a,a) -> [aa, a].
+    assert(sub == Seq("aa", "b", "aa", "a", "b"))
+    val st = Bpe.stats(docs, merges).collect()(0)
+    assert(st.getLong(1) == 3L && st.getLong(2) == 5L)
+    assert(math.abs(st.getDouble(3) - 5.0 / 3.0) < 1e-6)
+  }
+
+  test("zero merges degrade to character segmentation; empty inputs are empty") {
+    val docs = Seq((1L, "ab c")).toDF("doc_id", "text")
+    val sub = Bpe.encode(docs, Seq.empty).collect()(0).getSeq[String](1)
+    assert(sub == Seq("a", "b", "c"))
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Bpe.trainMerges(emptyDocs, numMerges = 3) == Seq.empty)
+    assert(Bpe.stats(emptyDocs, Seq.empty).count() == 0)
+    // empty text tokenizes to [""], which encodes to no subwords
+    val blank = Seq((1L, "")).toDF("doc_id", "text")
+    val r = Bpe.stats(blank, Seq.empty).collect()(0)
+    assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getDouble(3) == 0.0)
+  }
+
+  test("single-character words survive merges that don't apply") {
+    val merges = Seq(("x", "y"))
+    val docs = Seq((1L, "a b 罗")).toDF("doc_id", "text")
+    val sub = Bpe.encode(docs, merges).collect()(0).getSeq[String](1)
+    assert(sub == Seq("a", "b", "罗"))
+  }
+}
