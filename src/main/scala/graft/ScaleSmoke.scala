@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Ann, Corpus, Dedup, TextAnalysis}
+import graft.operators.{Ann, Bpe, Corpus, Dedup, TextAnalysis}
 
 /**
  * Scale harness: replicates the corpus N-fold (each copy's near-dup
@@ -115,6 +115,9 @@ object ScaleSmoke {
       Dedup.paragraphDedup(docs).count())
     time("gopher rules")(
       TextAnalysis.gopherRules(docs, stopwords = Seq("the", "a")).count())
+    // Trained on a bounded sample once; encoding is the corpus-scan cost.
+    val bpeMerges = Bpe.trainMerges(docs, numMerges = 64, sampleN = 64)
+    time("bpe encode")(Bpe.stats(docs, bpeMerges).count())
     // Worst case by construction: replication makes EVERY window of
     // every doc corpus-duplicated, so the join-back carries the full
     // exploded set (n_tokens x corpus rows of (id, hash) longs).
