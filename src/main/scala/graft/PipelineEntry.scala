@@ -297,6 +297,38 @@ object PipelineEntry {
     "p25_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(docs(s, dir), n = 3).orderBy("id")),
 
+    // P15c/P22+, key p42_streaming_curation — the curation pre-pass as a
+    // STREAM: clean → redact are stateless projections, so the exact
+    // operator code runs under Structured Streaming unchanged. The key
+    // drains the documents table (p23's dirt + p24's PII planted)
+    // through a file readStream into a memory sink with AvailableNow,
+    // and must hash-match a BATCH-derived oracle — the strongest
+    // statement that batch and streaming curation agree.
+    "p42_streaming_curation" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import java.nio.file.{Files, Paths}
+      val streamDir = Paths.get(s"target/p42-docs-${dir.replaceAll("[^0-9.]", "")}")
+      Files.createDirectories(streamDir)
+      val link = streamDir.resolve("documents.parquet")
+      if (!Files.exists(link))
+        Files.createSymbolicLink(link, Paths.get(dir, "documents.parquet"))
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+      val dirty = stream.withColumn("text",
+        concat(lit("  "), col("text"),
+          when(col("doc_id") % 10 === 0,
+            concat(lit(" contact u"), col("doc_id").cast("string"),
+              lit("@example.com or 555-123-4567 now"))).otherwise(lit("")),
+          lit("\t mid  gap \u0007\u0007 end  ")))
+      val out = TextAnalysis.redacted(
+        TextAnalysis.cleaned(dirty), textCol = "clean_text", idCol = "id")
+      val name = "p42_curation_" + dir.replaceAll("[^0-9]", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("id")
+    }),
+
     // P1+, key p33_paragraph_dedup — cross-document paragraph dedup over
     // input with a planted shared boilerplate paragraph on every doc and
     // a second one on every 5th doc (mirrored in the oracle): only the
@@ -1084,6 +1116,29 @@ cl AS (SELECT doc_id, text,
        FROM dirty)
 SELECT doc_id AS id, clean_text,
        (length(text) - length(clean_text))::BIGINT AS n_chars_removed
+FROM cl ORDER BY id""",
+
+    "p42_streaming_curation" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+dirty AS (SELECT doc_id,
+    '  ' || text
+    || CASE WHEN doc_id % 10 = 0
+         THEN ' contact u' || doc_id || '@example.com or 555-123-4567 now'
+         ELSE '' END
+    || chr(9) || ' mid  gap ' || chr(7) || chr(7) || ' end  ' AS text
+  FROM documents),
+cl AS (SELECT doc_id, trim(regexp_replace(regexp_replace(text,
+    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+    '\\s+', ' ', 'g')) AS ct
+  FROM dirty)
+SELECT doc_id AS id,
+  regexp_replace(regexp_replace(ct,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted_text,
+  len(regexp_extract_all(ct,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(ct,
+    '[0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones
 FROM cl ORDER BY id""",
 
     "p24_redact" ->
