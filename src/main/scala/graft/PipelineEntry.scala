@@ -411,6 +411,26 @@ object PipelineEntry {
         strataCol = "lang", overSample = MixOverSample, hashMod = SampleHashMod)
         .orderBy("id")),
 
+    // P29+P30 composed, key p43_curation_chain — the line-level C4
+    // filter feeding the Gopher document verdict as ONE chained
+    // operator: quality rules run on the prose-only content that
+    // survives line filtering (the real pipeline ordering). Both
+    // stages are narrow projections, so the whole chain fuses into a
+    // single scan — PlanAuditSpec pins zero exchanges.
+    "p43_curation_chain" -> ((s, dir) => {
+      // the base line gets terminal punctuation so the document's real
+      // content survives the line filter (word salads end mid-air)
+      val lf = TextAnalysis.lineFilter(docs(s, dir).withColumn("text",
+        concat(col("text"), lit("."),
+          lit("\nshort line\nThis line has exactly enough words to pass."),
+          when(col("doc_id") % 10 === 0,
+            lit("\nlorem ipsum dolor sit amet consectetur.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nfunction() { var x = 1; }")).otherwise(lit("")))))
+      TextAnalysis.gopherRules(lf, textCol = "filtered_text", idCol = "id",
+        stopwords = Seq("the", "a")).orderBy("id")
+    }),
+
     // P28+, key p40_mixture_temp — α=0.5 temperature-rebalanced token
     // mixture over the language strata (sqrt is the one IEEE-exact
     // exponent, so shares derive in-plan and the oracle reproduces
@@ -1307,6 +1327,43 @@ SELECT doc_id AS id, len(t)::BIGINT AS n_tokens,
       list_transform(t, x -> coalesce(m[x][1], 0.0)), (a,b) -> a+b)
     / len(t), 9) AS avg_freq
 FROM tok, vm ORDER BY id""",
+
+    "p43_curation_chain" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+planted AS (SELECT doc_id,
+    text || '.' || chr(10) || 'short line' || chr(10) ||
+    'This line has exactly enough words to pass.'
+    || CASE WHEN doc_id % 10 = 0
+         THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+         THEN chr(10) || 'function() { var x = 1; }' ELSE '' END AS text
+  FROM documents),
+lx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+ft AS (SELECT doc_id, array_to_string(
+    list_filter(ls, l -> len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+      AND substring(trim(l), length(trim(l)), 1) IN ('.', '!', '?', '"')),
+    chr(10)) AS text
+  FROM lx),
+b AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS t,
+        string_split(text, chr(10)) AS ls FROM ft),
+m AS (SELECT doc_id, len(t)::BIGINT AS n_words,
+  list_reduce(list_transform(t, w -> len(w)), (a,b) -> a+b)::DOUBLE / len(t) AS mwl,
+  len(regexp_extract_all(text, '#|\\.\\.\\.|…'))::DOUBLE / len(t) AS sym,
+  len(list_filter(ls, l -> substring(trim(l),1,1) IN ('•','-','*')))::DOUBLE
+    / len(ls) AS bf,
+  len(list_filter(ls, l -> trim(l) LIKE '%...' OR trim(l) LIKE '%…'))::DOUBLE
+    / len(ls) AS ef,
+  len(list_filter(t, w -> regexp_matches(w, '[a-z]')))::DOUBLE / len(t) AS af,
+  len(list_filter(['the','a'], w -> list_contains(t, w)))::BIGINT AS sh
+  FROM b)
+SELECT doc_id AS id, n_words, round(mwl, 6) AS mean_word_len,
+  round(sym, 6) AS symbol_ratio, round(bf, 6) AS bullet_frac,
+  round(ef, 6) AS ellipsis_frac, round(af, 6) AS alpha_frac,
+  sh AS stop_hits,
+  (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+   AND sym <= 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8 AND sh >= 2)
+    AS passes
+FROM m ORDER BY id""",
 
     "p35_gopher" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),

@@ -254,6 +254,11 @@ class PlanAuditSpec extends SparkSpec {
     // gopher rules are the same class of stage: one narrow scan
     val gr = plan(TextAnalysis.gopherRules(docs))
     assert(!gr.contains("Exchange"), s"gopher rules gained a shuffle:\n$gr")
+    // the chained form (line filter feeding the gopher verdict) must
+    // fuse into the same single scan — stage composition is free
+    val chain = plan(TextAnalysis.gopherRules(
+      TextAnalysis.lineFilter(docs), textCol = "filtered_text", idCol = "id"))
+    assert(!chain.contains("Exchange"), s"curation chain gained a shuffle:\n$chain")
     // paragraph dedup's two shuffles are inherent: the corpus-wide
     // paragraph-hash rank window, then the per-doc reassembly grouping.
     // Anything beyond that (a self-join, a third exchange) is a
