@@ -265,6 +265,18 @@ object PipelineEntry {
       Ann.sqTopK(e, probes(s, dir), rng, k = 10).orderBy("probe_id", "rank")
     }),
 
+    // P26++, key p44_ann_ivfsq — IVF x SQ8 composition: coarse lists
+    // restrict WHICH vectors a probe scans, SQ8 codes compress WHAT is
+    // scanned (4x at byte per-dim fidelity — the middle point between
+    // IVF-flat and IVF+PQ). List id and codes in ONE encode projection.
+    "p44_ann_ivfsq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val rng = Ann.trainSqRanges(e, sampleN = 256, dim = 64)
+      Ann.ivfSqTopK(e, probes(s, dir), rng, k = 10, nCenters = 16,
+        nProbe = 4, trainIters = 2, trainSample = 256)
+        .orderBy("probe_id", "rank")
+    }),
+
     // P6 — brute-force cosine top-k for 5 probe vectors.
     "p06_ann_topk" -> ((s, dir) =>
       Ann.bruteForceTopK(embs(s, dir), probes(s, dir), k = 10)
@@ -587,6 +599,27 @@ sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
   private def l2Sql(a: String, b: String, d: Int = 8): String =
     s"list_reduce([0.0]::DOUBLE[] || list_transform(range(1,${d + 1}), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x,y) -> x+y)"
 
+  /** SQ8 range-training + encode + dequantize CTEs over `emb`, shared
+   * by the p38 flat-scan and p44 IVF-composed oracles (CTE names are
+   * sq-prefixed so they compose with the coarse-quantizer CTEs). */
+  private lazy val sqCtes: String =
+    s"""sqsamp AS (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 256),
+sqrng AS (SELECT d, min(v[d]) AS lo, max(v[d]) AS hi
+        FROM sqsamp, range(1,65) r(d) GROUP BY d),
+sqrl AS (SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his FROM sqrng),
+sqenc AS (SELECT e.vec_id, list_transform(range(1,65), d ->
+          CASE WHEN sqrl.his[d] > sqrl.los[d]
+            THEN least(greatest(floor((e.v[d] - sqrl.los[d]) * 255.0
+                   / (sqrl.his[d] - sqrl.los[d])), 0.0), 255.0)::BIGINT
+            ELSE 0 END) AS codes
+        FROM emb e, sqrl),
+sqdeq AS (SELECT vec_id, list_transform(range(1,65), d ->
+          CASE WHEN sqrl.his[d] > sqrl.los[d]
+            THEN sqrl.los[d] + (codes[d]::DOUBLE + 0.5)
+                   * (sqrl.his[d] - sqrl.los[d]) / 255.0
+            ELSE sqrl.los[d] END) AS dv
+        FROM sqenc, sqrl)"""
+
   /** Unrolled cosine k-means coarse-quantizer CTEs shared by the IVF and
    * IVF+PQ oracles — mirrors Ann.trainCentroids bit-for-bit (assign by
    * cosine with lowest-cid ties, id-ordered per-dimension mean folds,
@@ -884,25 +917,27 @@ ORDER BY id""",
 
     "p38_ann_sq8" ->
       s"""WITH $embCte,
-samp AS (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 256),
-rng AS (SELECT d, min(v[d]) AS lo, max(v[d]) AS hi
-        FROM samp, range(1,65) r(d) GROUP BY d),
-rl AS (SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his FROM rng),
-enc AS (SELECT e.vec_id, list_transform(range(1,65), d ->
-          CASE WHEN rl.his[d] > rl.los[d]
-            THEN least(greatest(floor((e.v[d] - rl.los[d]) * 255.0
-                   / (rl.his[d] - rl.los[d])), 0.0), 255.0)::BIGINT
-            ELSE 0 END) AS codes
-        FROM emb e, rl),
-deq AS (SELECT vec_id, list_transform(range(1,65), d ->
-          CASE WHEN rl.his[d] > rl.los[d]
-            THEN rl.los[d] + (codes[d]::DOUBLE + 0.5)
-                   * (rl.his[d] - rl.los[d]) / 255.0
-            ELSE rl.los[d] END) AS dv
-        FROM enc, rl),
+$sqCtes,
 scored AS (SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
     ${l2Sql("p.v", "e.dv", 64)} AS sq
-  FROM deq e, emb p WHERE p.vec_id < 5 AND p.vec_id <> e.vec_id),
+  FROM sqdeq e, emb p WHERE p.vec_id < 5 AND p.vec_id <> e.vec_id),
+ranked AS (SELECT probe_id, neighbor_id, sq,
+    row_number() OVER (PARTITION BY probe_id
+      ORDER BY sq ASC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT probe_id, rank, neighbor_id, round(sq, 6) AS sq_dist
+FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
+
+    "p44_ann_ivfsq" ->
+      s"""WITH $embCte,
+$ivfCoarseCtes,
+$sqCtes,
+scored AS (SELECT pl.probe_id, e.vec_id AS neighbor_id,
+    ${l2Sql("pl.pv", "e.dv", 64)} AS sq
+  FROM sqdeq e
+  JOIN assigned a ON a.neighbor_id = e.vec_id
+  JOIN plists pl ON a.centroid_id = pl.centroid_id
+  WHERE pl.probe_id <> e.vec_id),
 ranked AS (SELECT probe_id, neighbor_id, sq,
     row_number() OVER (PARTITION BY probe_id
       ORDER BY sq ASC, neighbor_id ASC) AS rank

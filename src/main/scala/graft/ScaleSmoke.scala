@@ -204,6 +204,8 @@ object ScaleSmoke {
     val rSq = Ann.sqTopK(baseEmbs, probes, sqRng, k = 10)
       .select("probe_id", "neighbor_id").intersect(exactL2).count() / nL2
     println(f"sq8 recall@10 vs exact-L2 (unreplicated, 4x compression): $rSq%.3f")
+    time("ann ivf+sq")(Ann.ivfSqTopK(bigEmbs, probes, sqRng, k = 10,
+      nCenters = 64, nProbe = 8, trainIters = 2, trainSample = 1024).count())
     // Residual vs non-residual IVFPQ at identical settings (same coarse
     // quantizer, same m/nCodes, same nProbe): both scan the same lists,
     // so the recall difference isolates what residual encoding buys —

@@ -571,6 +571,53 @@ object Ann {
   }
 
   /**
+   * IVF + SQ8 composition: the coarse quantizer's inverted lists
+   * restrict WHICH vectors a probe scans (nProbe/nCenters of the
+   * corpus), SQ8 codes compress WHAT is scanned (4x, per-dimension
+   * byte fidelity) — the middle point between IVF-flat (full-precision
+   * scan) and IVF+PQ (32x but coarser). List id and codes are computed
+   * in ONE projection over the corpus scan (the r6 IVF+PQ discipline —
+   * never two corpus scans joined on id); probe lists broadcast; the
+   * per-probe rank window is the only Exchange.
+   * Returns (probe_id, rank, neighbor_id, sq_dist).
+   */
+  def ivfSqTopK(corpus: DataFrame, probes: DataFrame,
+                ranges: (Seq[Double], Seq[Double]), k: Int = 10,
+                nCenters: Int = 16, nProbe: Int = 4,
+                trainIters: Int = 2, trainSample: Int = 256,
+                vecCol: String = "embedding", idCol: String = "vec_id",
+                probeIdCol: String = "probe_id", probeVecCol: String = "probe_vec"): DataFrame = {
+    val (mins, maxs) = ranges
+    val clOpt = centLitsOpt(corpus, nCenters, trainIters, trainSample, vecCol, idCol)
+    if (clOpt.isEmpty)
+      return emptyTopK(corpus, probes, "sq_dist", idCol, probeIdCol)
+    val cl = clOpt.get
+    val enc = corpus
+      .select(col(idCol).as("neighbor_id"), VF.toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", VF.norm(col("cv")))
+      .select(col("neighbor_id"),
+        nonNullKey(element_at(cl.ids, nearestIdx(col("cv"), col("cn"), cl) + 1))
+          .as("centroid_id"),
+        sqCodesExpr(mins, maxs, col("cv")).as("codes"))
+    val probeLists = probes
+      .select(col(probeIdCol).as("probe_id"), VF.toDouble(col(probeVecCol)).as("pv"))
+      .withColumn("pn", VF.norm(col("pv")))
+      .select(col("probe_id"), col("pv"),
+        explode(transform(nearestIdxs(col("pv"), col("pn"), cl, nProbe),
+          i => element_at(cl.ids, i + 1))).as("centroid_id"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sq").asc, col("neighbor_id").asc)
+    enc.join(broadcast(probeLists), Seq("centroid_id"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("dq", sqDequantExpr(mins, maxs, col("codes")))
+      .withColumn("sq", l2Col(col("pv"), col("dq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("sq"), 6).as("sq_dist"))
+  }
+
+  /**
    * IVF + PQ composition — the big-corpus serving shape: the coarse
    * quantizer's inverted lists restrict WHICH vectors a probe scans
    * (nProbe/nCenters of the corpus) and PQ codes compress WHAT is

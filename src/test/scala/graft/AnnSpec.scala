@@ -284,6 +284,23 @@ class AnnSpec extends SparkSpec {
     assert(overlap >= 0.8, s"sq8 top-10 overlap with exact L2 only $overlap")
   }
 
+  test("ivf+sq: same SQ distances as the unrestricted scan, on a restricted pool") {
+    val rng = Ann.trainSqRanges(pqCorpus, sampleN = 64, dim = 8)
+    val ps = pqCorpus.where(col("vec_id") < 2)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val full = Ann.sqTopK(pqCorpus, ps, rng, k = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = Ann.ivfSqTopK(pqCorpus, ps, rng, k = 64, nCenters = 4,
+      nProbe = 2, trainIters = 1, trainSample = 64).collect()
+    assert(ivf.nonEmpty)
+    // composition changes WHICH vectors are scanned, never their score
+    ivf.foreach { r =>
+      assert(math.abs(full((r.getLong(0), r.getLong(2))) - r.getDouble(3)) < 1e-9,
+        s"probe ${r.getLong(0)} neighbor ${r.getLong(2)}")
+    }
+    assert(ivf.length <= full.size)
+  }
+
   test("zero-norm vectors train and assign without crashing (index-0 tie-break)") {
     // A zero vector yields NaN cosines against every centroid; the driver
     // assignment and the SQL expression both resolve it to index 0, so

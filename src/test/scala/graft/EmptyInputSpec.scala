@@ -54,6 +54,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Ann.pqTopK(emptyEmbs, emptyProbes, cb, dim = 8).count() == 0)
     val rng = Ann.trainSqRanges(tiny, sampleN = 4, dim = 8)
     assert(Ann.sqTopK(emptyEmbs, emptyProbes, rng).count() == 0)
+    assert(Ann.ivfSqTopK(emptyEmbs, emptyProbes, rng).count() == 0)
     assert(Ann.pqTopKReranked(emptyEmbs, emptyProbes, cb, dim = 8).count() == 0)
     val cents = Ann.trainCentroids(tiny, nCenters = 2, sampleN = 4, iters = 1)
     assert(Ann.ivfPqResidualTopK(emptyEmbs, emptyProbes, cents, cb,
