@@ -419,10 +419,14 @@ object Dedup {
    */
   def dupSpans(docs: DataFrame, w: Int = 20, textCol: String = "text",
                idCol: String = "doc_id"): DataFrame = {
-    val base = docs.select(col(idCol).as("id"),
-      HE.windowHashes(TF.tokens(col(textCol)), w).as("hs"))
-    val ex = SelfJoinMaterialize(
-      base.select(col("id"), explode(col("hs")).as("h")))
+    // The hashed frame feeds THREE consumers (the duplicated-hash
+    // aggregation, the join-back, and the per-doc window counts), so the
+    // materialization boundary sits at `base` — persisting only the
+    // exploded side would re-run the O(n) rolling-hash scan for the
+    // window-count branch (measured as a second full corpus pass).
+    val base = SelfJoinMaterialize(docs.select(col(idCol).as("id"),
+      HE.windowHashes(TF.tokens(col(textCol)), w).as("hs")))
+    val ex = base.select(col("id"), explode(col("hs")).as("h"))
     val dup = ex.groupBy("h").agg(count_distinct(col("id")).as("ndocs"))
       .where(col("ndocs") >= 2).select("h")
     val per = ex.join(dup, Seq("h"))
