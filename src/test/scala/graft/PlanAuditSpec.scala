@@ -234,6 +234,17 @@ class PlanAuditSpec extends SparkSpec {
       nProbe = 2, dim = 8)
     assert(shuffles(res) == 1, s"residual IVF+PQ corpus got shuffled:\n${plan(res)}")
     assert(!plan(res).contains("SortMergeJoin"))
+
+    // SQ8 flat and IVF-composed: same invariant — the rank window is
+    // the only exchange, encode/dequantize stay projections
+    val rng = Ann.trainSqRanges(corpus, sampleN = 32, dim = 8)
+    val sq = Ann.sqTopK(corpus, probes, rng, k = 5)
+    assert(shuffles(sq) == 1, s"SQ8 corpus got shuffled:\n${plan(sq)}")
+    assert(!plan(sq).contains("SortMergeJoin"))
+    val ivfsq = Ann.ivfSqTopK(corpus, probes, rng, k = 5, nCenters = 4,
+      nProbe = 2, trainIters = 2, trainSample = 32)
+    assert(shuffles(ivfsq) == 1, s"IVF+SQ corpus got shuffled:\n${plan(ivfsq)}")
+    assert(!plan(ivfsq).contains("SortMergeJoin"))
   }
 
   test("repetition scoring is a pure narrow scan: no shuffle, native mode count") {
