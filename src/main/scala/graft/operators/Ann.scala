@@ -241,10 +241,13 @@ object Ann {
   /** Corpus rows with their nearest-centroid cluster id — the shared
    * "fit a bounded-sample k-means quantizer, assign every row by a pure
    * per-row argmax projection" primitive behind IVF list assignment and
-   * semantic dedup (Dedup.semDedup). Returns (id, v, vn, centroid_id)
-   * where v/vn are the double vector and its floored norm (so callers
-   * scoring within-cluster cosines don't recompute them), or None when
-   * the corpus is empty (callers return an empty frame — the library's
+   * semantic dedup (Dedup.semDedup). Returns (id, v, vn, centroid_id,
+   * ccos) where v/vn are the double vector and its floored norm (so
+   * callers scoring within-cluster cosines don't recompute them) and
+   * ccos is the cosine to the assigned centroid (SemDeDup's
+   * keep-farthest survivor rule orders on it) — both derived from ONE
+   * argmin over the centroid table. None when the corpus is empty
+   * (callers return an empty frame — the library's
    * return-empty-not-crash contract). One narrow scan, zero shuffle. */
   private[operators] def encodedAssignOpt(corpus: DataFrame, nCenters: Int,
                                           trainIters: Int, trainSample: Int,
@@ -254,8 +257,11 @@ object Ann {
         corpus
           .select(col(idCol).cast("long").as("id"), VF.toDouble(col(vecCol)).as("v"))
           .withColumn("vn", VF.norm(col("v")))
-          .withColumn("centroid_id",
-            nonNullKey(element_at(cl.ids, nearestIdx(col("v"), col("vn"), cl) + 1)))
+          .withColumn("best", array_min(negCosIdx(col("v"), col("vn"), cl)))
+          .select(col("id"), col("v"), col("vn"),
+            nonNullKey(element_at(cl.ids, col("best").getField("i") + 1))
+              .as("centroid_id"),
+            (-col("best").getField("d")).as("ccos"))
       }
 
   /** Inverted-list sizes of the IVF assignment (diagnostic: list balance

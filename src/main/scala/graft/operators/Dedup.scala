@@ -452,11 +452,14 @@ object Dedup {
    * corpus grows; the quadratic is per-cluster, never global.
    *
    * Survivor rule: within a cluster, a vector is dropped iff some
-   * LOWER-id vector in the same cluster has cosine >= threshold to it
-   * (keep-first — the engine's deterministic convention shared with
-   * `exact`/`dedupApply`; the paper's keep-farthest-from-centroid is a
-   * one-line ORDER BY change). `dup_of` records the smallest such
-   * lower id as the audit trail.
+   * PRECEDING vector in the same cluster has cosine >= threshold to it,
+   * where precedence is keep-first (lower id — the engine's
+   * deterministic convention shared with `exact`/`dedupApply`; the
+   * registered key's rule) or, with `keepFarthest = true`, the paper's
+   * own rule: the example with the LOWEST cosine to the cluster
+   * centroid survives (ties to the lower id) — SemDeDup keeps the
+   * outlier of each duplicate neighborhood to preserve diversity.
+   * `dup_of` records the smallest preceding id as the audit trail.
    *
    * Plan shape: assignment is a pure per-row argmax projection over
    * literal centroids (zero shuffle — Ann's IVF primitive); the only
@@ -468,6 +471,7 @@ object Dedup {
    */
   def semDedup(embs: DataFrame, threshold: Double = 0.4, nCenters: Int = 16,
                trainIters: Int = 2, trainSample: Int = 256,
+               keepFarthest: Boolean = false,
                vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
     Ann.encodedAssignOpt(embs, nCenters, trainIters, trainSample, vecCol, idCol) match {
       case None =>
@@ -477,11 +481,16 @@ object Dedup {
       case Some(enc0) =>
         val enc = SelfJoinMaterialize(enc0)
         val a = enc.select(col("centroid_id"), col("id").as("id_a"),
-          col("v").as("va"), col("vn").as("na"))
+          col("v").as("va"), col("vn").as("na"), col("ccos").as("ca"))
         val b = enc.select(col("centroid_id"), col("id").as("id_b"),
-          col("v").as("vb"), col("vn").as("nb"))
+          col("v").as("vb"), col("vn").as("nb"), col("ccos").as("cb"))
+        val precedes =
+          if (keepFarthest)
+            col("ca") < col("cb") ||
+              (col("ca") === col("cb") && col("id_a") < col("id_b"))
+          else col("id_a") < col("id_b")
         val dropped = a.join(b, Seq("centroid_id"))
-          .where(col("id_a") < col("id_b") &&
+          .where(precedes &&
             VF.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
           .groupBy(col("id_b").as("id")).agg(min(col("id_a")).as("dup_of"))
         enc.join(dropped, Seq("id"), "left")

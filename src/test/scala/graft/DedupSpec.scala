@@ -156,6 +156,27 @@ class DedupSpec extends SparkSpec {
     assert(r.forall(row => !row.isNullAt(1)))
   }
 
+  test("semDedup keep-farthest keeps the cluster outlier (the paper's rule)") {
+    // trainIters = 0, nCenters = 1: the centroid IS vector 0, so vector
+    // 0 has centroid-cosine 1.0 and vector 1 (cos 0.8 to it) is the
+    // outlier. Keep-first drops 1; keep-farthest drops 0 instead —
+    // SemDeDup preserves the diverse edge of each duplicate
+    // neighborhood, not the redundant center.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.8f, 0.6f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val first = Dedup.semDedup(vecs, threshold = 0.75, nCenters = 1,
+      trainIters = 0, trainSample = 2).orderBy("id").collect()
+    assert(first(0).getAs[Boolean]("kept") && !first(1).getAs[Boolean]("kept"))
+    val farthest = Dedup.semDedup(vecs, threshold = 0.75, nCenters = 1,
+      trainIters = 0, trainSample = 2, keepFarthest = true)
+      .orderBy("id").collect()
+    assert(!farthest(0).getAs[Boolean]("kept") &&
+      farthest(1).getAs[Boolean]("kept"))
+    assert(farthest(0).getAs[Long]("dup_of") == 1L)
+  }
+
   test("semDedup misses near-dups split across clusters (the documented trade)") {
     // trainIters = 0 pins the centroids to vectors 0 and 1. Vectors 2
     // and 3 are a near-dup pair (cosine ~0.98) but sit on opposite sides
