@@ -82,6 +82,27 @@ object PipelineEntry {
     if (df.inputFiles.length >= target) df else df.repartition(target)
   }
 
+  /** Per-corpus directory for file-source streaming keys: a stable dir
+   * under target/ holding a symlink to the corpus's documents.parquet.
+   * Keyed by an md5 of the FULL dir path (two corpora whose paths share
+   * a digit/dot pattern — .../a/sf0.1 vs .../b/sf0.1 — must not collide),
+   * and the symlink is re-created if it does not resolve to the requested
+   * file (a stale key would silently stream the wrong dataset). Returns
+   * (stream dir, tag for memory-sink query names). */
+  private def streamingDocsDir(dir: String): (String, String) = {
+    import java.nio.file.{Files, Paths}
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val streamDir = Paths.get(s"target/stream-docs-$tag")
+    Files.createDirectories(streamDir)
+    val target = Paths.get(dir, "documents.parquet").toAbsolutePath
+    val link = streamDir.resolve("documents.parquet")
+    if (Files.isSymbolicLink(link) && Files.readSymbolicLink(link) != target)
+      Files.delete(link)
+    if (!Files.exists(link)) Files.createSymbolicLink(link, target)
+    (streamDir.toString, tag)
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     spread(s.read.parquet(s"$dir/documents.parquet"))
   private def embs(s: SparkSession, dir: String): DataFrame =
@@ -318,14 +339,9 @@ object PipelineEntry {
     // statement that batch and streaming curation agree.
     "p42_streaming_curation" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      import java.nio.file.{Files, Paths}
-      val streamDir = Paths.get(s"target/p42-docs-${dir.replaceAll("[^0-9.]", "")}")
-      Files.createDirectories(streamDir)
-      val link = streamDir.resolve("documents.parquet")
-      if (!Files.exists(link))
-        Files.createSymbolicLink(link, Paths.get(dir, "documents.parquet"))
+      val (streamDir, tag) = streamingDocsDir(dir)
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+      val stream = s.readStream.schema(schema).parquet(streamDir)
       val dirty = stream.withColumn("text",
         concat(lit("  "), col("text"),
           when(col("doc_id") % 10 === 0,
@@ -334,7 +350,7 @@ object PipelineEntry {
           lit("\t mid  gap \u0007\u0007 end  ")))
       val out = TextAnalysis.redacted(
         TextAnalysis.cleaned(dirty), textCol = "clean_text", idCol = "id")
-      val name = "p42_curation_" + dir.replaceAll("[^0-9]", "")
+      val name = "p42_curation_" + tag
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -1446,7 +1462,7 @@ bu AS (SELECT stratum, tot_tokens, $MixTempTotalTokens.0 * sq / dn.denom AS budg
        FROM sq, dn),
 pf AS (SELECT b.id, b.stratum, b.n_tokens, b.hm, bu.budget
        FROM b JOIN bu USING (stratum)
-       WHERE (b.hm * bu.tot_tokens) < $pfConst * bu.budget),
+       WHERE (b.hm::DOUBLE * bu.tot_tokens::DOUBLE) < $pfConst * bu.budget),
 c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY stratum ORDER BY hm, id
         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM pf)
 SELECT id, stratum, n_tokens, cum_tokens FROM c
@@ -1470,7 +1486,7 @@ wt AS (SELECT * FROM (VALUES $wValues) AS t(stratum, w)),
 pf AS (SELECT b.id, b.stratum, b.n_tokens, b.hm,
          wt.w * $MixTotalTokens.0 AS budget
        FROM b JOIN st USING (stratum) JOIN wt USING (stratum)
-       WHERE (b.hm * st.tot_tokens) < $pfConst * (wt.w * $MixTotalTokens.0)),
+       WHERE (b.hm::DOUBLE * st.tot_tokens::DOUBLE) < $pfConst * (wt.w * $MixTotalTokens.0)),
 c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY stratum ORDER BY hm, id
         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM pf)
 SELECT id, stratum, n_tokens, cum_tokens FROM c

@@ -201,8 +201,14 @@ object HashExpressions {
    * deployment at 100 TB would widen to a 61-bit modulus via 128-bit
    * intermediate multiplication, which Spark and DuckDB cannot both
    * express portably. Empty result when the array has fewer than `w`
-   * elements; null elements hash as code 0 (whitespace tokenizers never
-   * produce them). */
+   * elements. Null handling (the SQL surface accepts arbitrary arrays,
+   * so this is pinned, not assumed): a null ARRAY returns null (standard
+   * SQL null-intolerance — the Column twin instead yields an empty
+   * array, the one documented divergence); a null ELEMENT is rejected
+   * with an error rather than silently hashed, because the twin
+   * propagates null window hashes and any silent choice here would break
+   * the bit-identical claim (whitespace tokenizers never produce null
+   * tokens, so real pipelines never hit the guard). */
   case class RollingWindowHashes(child: Expression, w: Int)
       extends UnaryExpression {
     require(w >= 1, s"window width ($w) must be >= 1")
@@ -233,9 +239,13 @@ object HashExpressions {
       val codes = new Array[Long](n)
       var i = 0
       while (i < n) {
-        codes(i) =
-          if (arr.isNullAt(i)) 0L
-          else md5Code(md, arr.getUTF8String(i).getBytes) % M
+        if (arr.isNullAt(i)) {
+          throw new IllegalArgumentException(
+            s"rolling_window_hashes: null token at position $i — tokens " +
+              "must be non-null (the Column twin propagates null window " +
+              "hashes; no silent convention can match both)")
+        }
+        codes(i) = md5Code(md, arr.getUTF8String(i).getBytes) % M
         i += 1
       }
       val out = new Array[Long](n - w + 1)
@@ -260,12 +270,14 @@ object HashExpressions {
 
   /** BPE subword segmentation of a word array with a trained merge
    * list (operators.Bpe documents the shared semantics): each word's
-   * UTF-16 units are joined with U+001F, every merge is applied in
-   * training order as a left-greedy literal replacement, and the final
-   * segments of all words are emitted as one flattened array. Empty
-   * and null words are skipped (the whitespace tokenizer yields [""]
-   * for empty text). One pass per row, whole-stage codegen via the
-   * reference-object call. */
+   * code points (surrogate pairs kept whole — UTF-16-unit splitting
+   * would strand lone surrogates, which UTF8String.fromString mangles
+   * into replacement bytes) are joined with U+001F, every merge is
+   * applied in training order as a left-greedy literal replacement,
+   * and the final segments of all words are emitted as one flattened
+   * array. Empty and null words are skipped (the whitespace tokenizer
+   * yields [""] for empty text). One pass per row, whole-stage codegen
+   * via the reference-object call. */
   case class BpeEncode(child: Expression, merges: Seq[(String, String)])
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -293,7 +305,8 @@ object HashExpressions {
         if (!arr.isNullAt(i)) {
           val w = arr.getUTF8String(i).toString
           if (w.nonEmpty) {
-            var j = Sep + w.toCharArray.mkString(Bnd) + Sep
+            var j = Sep + w.codePoints().toArray
+              .map(cp => new String(Character.toChars(cp))).mkString(Bnd) + Sep
             var k = 0
             while (k < pats.length) {
               j = j.replace(pats(k)._1, pats(k)._2)

@@ -48,4 +48,23 @@ object PropertyGraph {
     "edge_id", "subject", "object", "predicate", "qualified_predicate",
     "object_direction", "object_aspect", "primary_knowledge_source",
     "attrs", "num_attrs", "list_attrs")
+
+  // Build-stage side caches (e.g. the endpoint-category dimension the
+  // builder persists for its two joins). They are keyed by plan, so
+  // rebuilding from the same sources reuses one entry — but a long-lived
+  // session cycling DIFFERENT graphs accumulates one InMemoryRelation per
+  // distinct source. Builders register here; sessions drop them when the
+  // graphs built from them are no longer queried.
+  private val buildCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+  private[graft] def registerBuildCache(df: DataFrame): Unit =
+    buildCaches.add(df)
+
+  /** Unpersist every registered build-stage cache (idempotent; safe while
+   * no query over a registered graph is mid-flight — Spark recomputes
+   * lazily if one is). */
+  def unpersistBuildCaches(): Unit = {
+    var df = buildCaches.poll()
+    while (df != null) { df.unpersist(); df = buildCaches.poll() }
+  }
 }

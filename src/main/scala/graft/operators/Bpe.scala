@@ -34,19 +34,24 @@ import graft.functions.{HashExpressions => HE, TextFunctions => TF}
  *    replacement, which IS the BPE fold — so Scala training, the
  *    native encode expression, and the oracle's CTE chain all share
  *    one semantics by construction.
- * Symbols are UTF-16 code units on the JVM and code points in SQL —
- * identical for BMP text (all fixture languages); supplementary-plane
- * input would diverge and is out of contract. Tokens must not contain
- * U+001F (no whitespace tokenizer produces it).
+ * Symbols are Unicode code points on BOTH engines: the JVM side
+ * segments with codePoints() so a surrogate pair stays one symbol
+ * (splitting to UTF-16 units would strand lone surrogates, which
+ * UTF8String then mangles into replacement bytes) and SQL string
+ * functions are code-point/byte-substring based — so BMP and
+ * supplementary-plane text segment identically everywhere. Tokens must
+ * not contain U+001F (no whitespace tokenizer produces it).
  */
 object Bpe {
 
   private val Sep = "\u001f"
   private val Bnd = Sep + Sep
 
-  /** ·c1··c2··c3· — every symbol wrapped in single separators. */
+  /** ·c1··c2··c3· — every symbol (one code point, surrogate pairs kept
+   * whole) wrapped in single separators. */
   private def joinChars(w: String): String =
-    Sep + w.toCharArray.mkString(Bnd) + Sep
+    Sep + w.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).mkString(Bnd) + Sep
 
   private def splitSyms(joined: String): Array[String] =
     joined.substring(1, joined.length - 1).split(Bnd)

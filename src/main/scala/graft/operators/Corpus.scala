@@ -149,10 +149,15 @@ object Corpus {
     // budget_s = w_s * totalTokens, computed as ONE multiplication so the
     // SQL oracle reproduces the exact double
     val budget = element_at(wMap, col("stratum")) * lit(totalTokens.toDouble)
+    // hm and tot_tokens are cast to double BEFORE the multiply: the Long
+    // product hm * tot_tokens overflows at ~10^13 tokens/stratum (hashMod
+    // 2^20 x a 100 TB-corpus stratum), which under ANSI mode is a job
+    // failure. Both factors are < 2^53 so the double product is exact at
+    // test scale and merely rounds (never overflows) at extreme scale.
     val prefiltered = base
       .join(broadcast(stats), Seq("stratum"))
       .where(element_at(wMap, col("stratum")).isNotNull &&
-        (col("hm") * col("tot_tokens")).cast("double") <
+        col("hm").cast("double") * col("tot_tokens").cast("double") <
           lit(hashMod.toDouble * overSample) * budget)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("stratum").orderBy(col("hm").asc, col("id").asc)
@@ -197,8 +202,10 @@ object Corpus {
     val budgets = stats.crossJoin(denom)
       .select(col("stratum"), col("tot_tokens"),
         (lit(totalTokens.toDouble) * col("sq") / col("denom")).as("budget"))
+    // double-first multiply: see tokenMixture — Long hm * tot_tokens
+    // overflows at ~10^13 tokens/stratum under ANSI mode.
     val prefiltered = base.join(broadcast(budgets), Seq("stratum"))
-      .where((col("hm") * col("tot_tokens")).cast("double") <
+      .where(col("hm").cast("double") * col("tot_tokens").cast("double") <
         lit(hashMod.toDouble * overSample) * col("budget"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("stratum").orderBy(col("hm").asc, col("id").asc)

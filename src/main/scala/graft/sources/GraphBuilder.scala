@@ -189,11 +189,20 @@ object GraphBuilder {
    * the threshold at 100 TB degrades to the co-partitioned shuffle join
    * this comment started with. The cached dimension is a few bytes per
    * node and lives with the graph cache built on top of it.
+   *
+   * Cache lifetime: the persist is keyed by the node frame's plan, so
+   * REBUILDING from the same sources reuses one entry, but each build
+   * from distinct sources leaves its own InMemoryRelation behind (same
+   * caveat as SelfJoinMaterialize). Long-lived sessions cycling many
+   * graphs should drop it via PropertyGraph.unpersistBuildCaches() when
+   * done with the graph.
    */
   def denormalizeEndpointCategories(edges: DataFrame, nodes: DataFrame): DataFrame = {
     val dim = nodes.select(col("id"), col("categories"))
-    if (dim.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    if (dim.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
       dim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.model.PropertyGraph.registerBuildCache(dim)
+    }
     dim.count()
     edges
       .join(dim.select(col("id").as("subject"),

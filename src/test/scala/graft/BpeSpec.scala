@@ -57,4 +57,18 @@ class BpeSpec extends SparkSpec {
     val sub = Bpe.encode(docs, merges).collect()(0).getSeq[String](1)
     assert(sub == Seq("a", "b", "罗"))
   }
+
+  test("supplementary-plane code points segment whole, never as surrogates") {
+    // U+10348 (𐍈) and an emoji are outside the BMP: code-point
+    // segmentation must keep each as ONE symbol — UTF-16-unit splitting
+    // would emit lone surrogates, which UTF8String mangles into
+    // replacement bytes ('?' / U+FFFD).
+    val docs = Seq((1L, "a𐍈b 😀")).toDF("doc_id", "text")
+    val sub = Bpe.encode(docs, Seq.empty).collect()(0).getSeq[String](1)
+    assert(sub == Seq("a", "𐍈", "b", "😀"))
+    // and merges still chain across them
+    val merged = Bpe.encode(docs, Seq(("a", "𐍈")))
+      .collect()(0).getSeq[String](1)
+    assert(merged == Seq("a𐍈", "b", "😀"))
+  }
 }

@@ -121,6 +121,24 @@ class HashExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("rolling window hashes: null array -> null, null element -> error") {
+    // the SQL surface accepts arbitrary arrays; pinned semantics are
+    // null-intolerant input (standard SQL) and a loud guard on null
+    // elements (silent 0-hashing would break the Column-twin equivalence)
+    val nullArr = Seq(Tuple1(null.asInstanceOf[Seq[String]]))
+      .toDF("t").select(HE.windowHashes(col("t"), 2).as("h")).collect()
+    assert(nullArr(0).isNullAt(0))
+    val ex = intercept[Exception] {
+      Seq(Tuple1(Seq("a", null, "b"))).toDF("t")
+        .select(HE.windowHashes(col("t"), 2)).collect()
+    }
+    def causes(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("null token")))
+  }
+
   test("native max-multiplicity == sorted longest-equal-run fold") {
     // the Column form TextAnalysis.repetition used before the native
     // expression: longest equal run of the sorted array
