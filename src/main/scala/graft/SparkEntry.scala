@@ -4,30 +4,74 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{GraftOntology => O, PropertyGraph}
 import graft.operators._
-import graft.sources.TpchGraph
+import graft.sources.{GraphStore, TpchGraph}
 
 /** Cached fixture state per (session, sf-dir): graph, subclass closure,
  * and the meta summary that /meta_knowledge_graph + /sri_test_triples
- * share (one shuffle, cached — the long-lived-service posture). */
+ * share (one shuffle, cached — the long-lived-service posture).
+ *
+ * All four artifacts load through GraphStore: the build pipeline runs at
+ * most ONCE per corpus drop (a batch ingest job writing parquet), and
+ * every session after it — including this JVM after a driver restart —
+ * warms by scanning columnar data. That split is what keeps service
+ * startup flat as the data grows 100x (re-deriving the edge cache was
+ * 20-30 s at sf0.1 and scales with the corpus; scanning it does not). */
 object Fixture {
   private val closures =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val metaSummaries =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val graphs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), PropertyGraph]()
+
+  /** Store-backed nodes/edges, UNCACHED — the shared loader for graph()
+   * and for store-side derivations (closure, meta), so populating the
+   * store never touches session caches and build-vs-warm timing stays
+   * honest. The lazy build plan is constructed only when a table is
+   * stale. */
+  private def storeFrames(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    lazy val built = graft.sources.TpchGraph.build(spark, sfDir)
+    val nodes = GraphStore.table(spark, sfDir, "nodes")(built.nodes)
+    val edges = GraphStore.table(spark, sfDir, "edges")(built.edges)
+    // the endpoint-category dimension persisted inside the build is dead
+    // once the denormalized table is on disk
+    PropertyGraph.unpersistBuildCaches()
+    (nodes, edges)
+  }
+
+  /** Populate every store table for `sfDir` without warming this session's
+   * caches (the ingest job's entry point). Returns seconds spent building
+   * — 0.0 when the store was already fresh. */
+  def ensureStore(spark: SparkSession, sfDir: String): Double = {
+    val before = GraphStore.buildSeconds
+    val (nodes, edges) = storeFrames(spark, sfDir)
+    val g = PropertyGraph(nodes, edges)
+    GraphStore.table(spark, sfDir, "closure")(
+      SubclassClosure.fromGraph(g, O.ontology))
+    GraphStore.table(spark, sfDir, "meta_summary")(GraphOps.metaSummary(g))
+    GraphStore.buildSeconds - before
+  }
 
   def graph(spark: SparkSession, sfDir: String): PropertyGraph =
-    TpchGraph(spark, sfDir)
+    graphs.computeIfAbsent((spark, sfDir), { _ =>
+      val (nodes, edges) = storeFrames(spark, sfDir)
+      PropertyGraph(nodes.cache(), edges.cache())
+    })
 
   def closure(spark: SparkSession, sfDir: String): DataFrame =
     closures.computeIfAbsent((spark, sfDir), { _ =>
-      val c = SubclassClosure.fromGraph(graph(spark, sfDir), O.ontology).cache()
+      val (nodes, edges) = storeFrames(spark, sfDir)
+      val c = GraphStore.table(spark, sfDir, "closure")(
+        SubclassClosure.fromGraph(PropertyGraph(nodes, edges), O.ontology)).cache()
       c.count()
       c
     })
 
   def metaSummary(spark: SparkSession, sfDir: String): DataFrame =
     metaSummaries.computeIfAbsent((spark, sfDir), { _ =>
-      val m = GraphOps.metaSummary(graph(spark, sfDir)).cache()
+      val (nodes, edges) = storeFrames(spark, sfDir)
+      val m = GraphStore.table(spark, sfDir, "meta_summary")(
+        GraphOps.metaSummary(PropertyGraph(nodes, edges))).cache()
       m.count()
       m
     })

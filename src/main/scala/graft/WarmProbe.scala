@@ -26,8 +26,10 @@ object WarmProbe {
       println(f"[warmprobe] $name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       r
     }
+    val buildSec = t("store ingest")(Fixture.ensureStore(spark, sfDir))
+    println(f"[warmprobe] (build_sec reported by store: $buildSec%7.2f s)")
     val total0 = System.nanoTime()
-    val g = t("graph build")(Fixture.graph(spark, sfDir))
+    val g = t("graph load")(Fixture.graph(spark, sfDir))
     if (args.length > 1 && args(1) == "explain")
       println(g.edges.queryExecution.executedPlan.toString
         .linesIterator.filter(l => l.contains("Join") || l.contains("Exchange"))

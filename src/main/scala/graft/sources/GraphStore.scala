@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.security.MessageDigest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Build-time materialization of derived graph artifacts (the denormalized
+ * edge table, the node table, the subclass closure, the meta summary) as
+ * parquet, so a query session's startup is a columnar SCAN instead of a
+ * re-run of the build pipeline.
+ *
+ * Why this exists: the reference engine rebuilds its in-memory indexes on
+ * every boot (/root/reference/app/app/plover.py:725 build_indexes — minutes
+ * at its data scale, re-paid per process). Re-deriving the denormalized
+ * edge cache cost this engine ~20-30 s at sf0.1 — the one startup cost that
+ * scales WITH the data, i.e. hours at 100 TB. The Spark-native posture is
+ * the classic lakehouse split: ingest is a one-time batch job that WRITES
+ * columnar tables; services READ them. At cluster scale the store path is a
+ * shared filesystem/object store and the build job runs once per KG
+ * release, exactly like the reference's offline KG builds.
+ *
+ * Freshness: each table carries a manifest recording a digest of the
+ * corpus inputs (file name + size + mtime for every file in the corpus
+ * dir) plus a format version; a mismatch (new corpus drop, changed build
+ * semantics) rebuilds. The check costs one directory listing — no data is
+ * read to validate.
+ *
+ * Concurrency: writes are guarded per-JVM (the library's mains are
+ * single-process); a multi-writer deployment would stage to a temp dir and
+ * rename, which object stores expose as atomic publish.
+ */
+object GraphStore {
+
+  /** Bump to invalidate all stored tables when build semantics change. */
+  private val FormatVersion = 1
+
+  @volatile private var buildNanosAcc = 0L
+
+  /** Seconds this session spent BUILDING store tables (0.0 when every
+   * table was fresh) — Bench reports it beside warm_sec so the one-time
+   * ingest cost and the per-session startup cost are never conflated. */
+  def buildSeconds: Double = buildNanosAcc / 1e9
+
+  private def root: Path =
+    Paths.get(sys.env.getOrElse("SPARK_GRAFT_STORE", "target/graph-store"))
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  private def md5(s: String): String =
+    hex(MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")))
+
+  /** Digest of the corpus inputs + format version. Name/size/mtime of the
+   * dir's regular files — the parquet-level identity of the corpus drop. */
+  private def fingerprint(sfDir: String): String = {
+    val dir = Paths.get(sfDir)
+    val entries =
+      if (!Files.isDirectory(dir)) Seq.empty
+      else {
+        val s = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(Files.isRegularFile(_)).map { p =>
+            s"${p.getFileName}|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}"
+          }.toSeq.sorted
+        } finally s.close()
+      }
+    md5((s"v$FormatVersion" +: entries).mkString("\n"))
+  }
+
+  /** Read table `name` for corpus `sfDir` from the store, building and
+   * writing it first when absent or stale. `build` is by-name: a fresh
+   * store never constructs the build plan at all. */
+  def table(spark: SparkSession, sfDir: String, name: String)
+           (build: => DataFrame): DataFrame = synchronized {
+    val dir = root.resolve(md5(sfDir))
+    val data = dir.resolve(s"$name.parquet")
+    val manifest = dir.resolve(s"$name.manifest")
+    val fp = fingerprint(sfDir)
+    val fresh = Files.exists(manifest) &&
+      new String(Files.readAllBytes(manifest), "UTF-8") == fp &&
+      Files.exists(data.resolve("_SUCCESS"))
+    if (!fresh) {
+      val t0 = System.nanoTime()
+      Files.createDirectories(dir)
+      build.write.mode("overwrite").parquet(data.toString)
+      Files.write(manifest, fp.getBytes("UTF-8"))
+      buildNanosAcc += System.nanoTime() - t0
+    }
+    val df = spark.read.parquet(data.toString)
+    // Fixture-scale read parallelism: a store table here is a few tens of
+    // MB, which file-packing (maxPartitionBytes + openCostInBytes) plans
+    // as ~2 scan partitions — so the downstream cache encode would run on
+    // 2 of 32 cores. Spread it; a real corpus's store has thousands of
+    // full-size files and takes the no-op branch. (Filters/projections
+    // still push through a round-robin repartition.)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.inputFiles.length >= target) df else df.repartition(target)
+  }
+}
