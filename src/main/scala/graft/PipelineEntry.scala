@@ -357,6 +357,35 @@ object PipelineEntry {
       s.table(name).orderBy("id")
     }),
 
+    // P29+P30 under Structured Streaming, key p45_streaming_gopher —
+    // p42 proved clean→redact runs unchanged as a stream; this does the
+    // same for the OTHER curation chain: the fused line-filter→Gopher
+    // scan (p43's exact operator composition and planting) drains the
+    // documents table through a file readStream and must hash-match the
+    // batch-derived oracle. Both stages are stateless projections, so
+    // the micro-batch plan is the same single fused scan as batch.
+    "p45_streaming_gopher" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val (streamDir, tag) = streamingDocsDir(dir)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(streamDir)
+      val planted = stream.withColumn("text",
+        concat(col("text"), lit("."),
+          lit("\nshort line\nThis line has exactly enough words to pass."),
+          when(col("doc_id") % 10 === 0,
+            lit("\nlorem ipsum dolor sit amet consectetur.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nfunction() { var x = 1; }")).otherwise(lit(""))))
+      val out = TextAnalysis.gopherRules(
+        TextAnalysis.lineFilter(planted),
+        textCol = "filtered_text", idCol = "id", stopwords = Seq("the", "a"))
+      val name = "p45_gopher_" + tag
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("id")
+    }),
+
     // P1+, key p33_paragraph_dedup — cross-document paragraph dedup over
     // input with a planted shared boilerplate paragraph on every doc and
     // a second one on every 5th doc (mirrored in the oracle): only the
@@ -735,6 +764,45 @@ cbl$s AS (SELECT list(cv ORDER BY cid) AS l FROM c${s}_2)"""
     }
     s"[${entries.mkString(",\n  ")}]"
   }
+
+  /** Shared by p43 (batch) and p45 (streaming drain of the same
+   * fused line-filter->Gopher chain). */
+  private lazy val CurationChainOracle: String =
+    s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+planted AS (SELECT doc_id,
+    text || '.' || chr(10) || 'short line' || chr(10) ||
+    'This line has exactly enough words to pass.'
+    || CASE WHEN doc_id % 10 = 0
+         THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+         THEN chr(10) || 'function() { var x = 1; }' ELSE '' END AS text
+  FROM documents),
+lx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+ft AS (SELECT doc_id, array_to_string(
+    list_filter(ls, l -> len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+      AND substring(trim(l), length(trim(l)), 1) IN ('.', '!', '?', '"')),
+    chr(10)) AS text
+  FROM lx),
+b AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS t,
+        string_split(text, chr(10)) AS ls FROM ft),
+m AS (SELECT doc_id, len(t)::BIGINT AS n_words,
+  list_reduce(list_transform(t, w -> len(w)), (a,b) -> a+b)::DOUBLE / len(t) AS mwl,
+  len(regexp_extract_all(text, '#|\\.\\.\\.|…'))::DOUBLE / len(t) AS sym,
+  len(list_filter(ls, l -> substring(trim(l),1,1) IN ('•','-','*')))::DOUBLE
+    / len(ls) AS bf,
+  len(list_filter(ls, l -> trim(l) LIKE '%...' OR trim(l) LIKE '%…'))::DOUBLE
+    / len(ls) AS ef,
+  len(list_filter(t, w -> regexp_matches(w, '[a-z]')))::DOUBLE / len(t) AS af,
+  len(list_filter(['the','a'], w -> list_contains(t, w)))::BIGINT AS sh
+  FROM b)
+SELECT doc_id AS id, n_words, round(mwl, 6) AS mean_word_len,
+  round(sym, 6) AS symbol_ratio, round(bf, 6) AS bullet_frac,
+  round(ef, 6) AS ellipsis_frac, round(af, 6) AS alpha_frac,
+  sh AS stop_hits,
+  (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+   AND sym <= 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8 AND sh >= 2)
+    AS passes
+FROM m ORDER BY id"""
 
   def oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" ->
@@ -1379,42 +1447,10 @@ SELECT doc_id AS id, len(t)::BIGINT AS n_tokens,
     / len(t), 9) AS avg_freq
 FROM tok, vm ORDER BY id""",
 
-    "p43_curation_chain" ->
-      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
-planted AS (SELECT doc_id,
-    text || '.' || chr(10) || 'short line' || chr(10) ||
-    'This line has exactly enough words to pass.'
-    || CASE WHEN doc_id % 10 = 0
-         THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.' ELSE '' END
-    || CASE WHEN doc_id % 7 = 0
-         THEN chr(10) || 'function() { var x = 1; }' ELSE '' END AS text
-  FROM documents),
-lx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
-ft AS (SELECT doc_id, array_to_string(
-    list_filter(ls, l -> len(regexp_split_to_array(trim(l), '\\s+')) >= 5
-      AND substring(trim(l), length(trim(l)), 1) IN ('.', '!', '?', '"')),
-    chr(10)) AS text
-  FROM lx),
-b AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS t,
-        string_split(text, chr(10)) AS ls FROM ft),
-m AS (SELECT doc_id, len(t)::BIGINT AS n_words,
-  list_reduce(list_transform(t, w -> len(w)), (a,b) -> a+b)::DOUBLE / len(t) AS mwl,
-  len(regexp_extract_all(text, '#|\\.\\.\\.|…'))::DOUBLE / len(t) AS sym,
-  len(list_filter(ls, l -> substring(trim(l),1,1) IN ('•','-','*')))::DOUBLE
-    / len(ls) AS bf,
-  len(list_filter(ls, l -> trim(l) LIKE '%...' OR trim(l) LIKE '%…'))::DOUBLE
-    / len(ls) AS ef,
-  len(list_filter(t, w -> regexp_matches(w, '[a-z]')))::DOUBLE / len(t) AS af,
-  len(list_filter(['the','a'], w -> list_contains(t, w)))::BIGINT AS sh
-  FROM b)
-SELECT doc_id AS id, n_words, round(mwl, 6) AS mean_word_len,
-  round(sym, 6) AS symbol_ratio, round(bf, 6) AS bullet_frac,
-  round(ef, 6) AS ellipsis_frac, round(af, 6) AS alpha_frac,
-  sh AS stop_hits,
-  (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
-   AND sym <= 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8 AND sh >= 2)
-    AS passes
-FROM m ORDER BY id""",
+    // p45 is the SAME chain drained through Structured Streaming — one
+    // oracle, two keys: matching hashes prove batch and streaming agree.
+    "p43_curation_chain" -> CurationChainOracle,
+    "p45_streaming_gopher" -> CurationChainOracle,
 
     "p35_gopher" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),

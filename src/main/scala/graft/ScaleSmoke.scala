@@ -118,6 +118,14 @@ object ScaleSmoke {
     // Trained on a bounded sample once; encoding is the corpus-scan cost.
     val bpeMerges = Bpe.trainMerges(docs, numMerges = 64, sampleN = 64)
     time("bpe encode")(Bpe.stats(docs, bpeMerges).count())
+    // Production merge-list scale: encode cost must be ~flat in the
+    // merge count (the rank-heap path's lookup is O(1) per pair; the
+    // replay twin would pay one pass per merge). The fixture vocabulary
+    // exhausts real merges early, so the list is padded to 8k entries
+    // with synthetic pairs — rank-map size is what's being stressed.
+    val bigMerges = bpeMerges ++ (bpeMerges.size until 8192).map(i =>
+      (s"pad$i", s"pad$i"))
+    time("bpe encode 8k merges")(Bpe.stats(docs, bigMerges).count())
     // Worst case by construction: replication makes EVERY window of
     // every doc corpus-duplicated, so the join-back carries the full
     // exploded set (n_tokens x corpus rows of (id, hash) longs).

@@ -325,6 +325,130 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** Single-pass BPE segmentation for production-size merge lists.
+   *
+   * `BpeEncode` replays the merge list literally — one string-replace
+   * pass PER MERGE per word, the exact fold the SQL oracle can mirror,
+   * but O(numMerges) passes: fine at the fixture's 64 merges, ~500x too
+   * many passes at a production tokenizer's 32k-50k. This expression
+   * computes the same segmentation in ONE pass per word with the
+   * classic rank-heap algorithm (how production BPE tokenizers apply
+   * merges): seed a min-heap with every adjacent symbol pair that has a
+   * merge rank, repeatedly pop the (lowest-rank, leftmost) pair, merge
+   * it in a doubly-linked symbol list, and push the two newly-adjacent
+   * pairs. Stale heap entries are skipped by re-validating rank at pop.
+   *
+   * Equivalence: replay applies merge k everywhere (left-greedy) before
+   * merge k+1; since later merges never create opportunities for
+   * earlier ones that the heap would miss — a popped pair's rank is
+   * re-validated against the CURRENT symbols — processing pairs in
+   * global (rank, position) order performs the identical sequence of
+   * merge events. BpeEquivalenceSpec asserts bit-identical output
+   * against the replay expression across merge counts; p41's oracle
+   * hash does the same end-to-end on the corpus. Cost: O(n log n) per
+   * word, INDEPENDENT of merge-list size (the list becomes an O(1)
+   * hash lookup), which is what survives 32k merges x 100 TB.
+   */
+  case class BpeEncodeFast(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "bpe_encode_fast"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeEncodeFast", this, classOf[BpeEncodeFast].getName)
+      val javaType = CodeGenerator.javaType(dataType)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = ($javaType) $ref.nullSafeEval($c);")
+    }
+
+    private val rank: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](merges.size * 2)
+      var i = 0
+      merges.foreach { case (a, b) =>
+        // first occurrence wins, like replay order
+        m.putIfAbsent(a + " " + b, Integer.valueOf(i)); i += 1
+      }
+      m
+    }
+
+    private def segmentWord(w: String,
+                            out: scala.collection.mutable.ArrayBuffer[org.apache.spark.unsafe.types.UTF8String]): Unit = {
+      // code-point symbols (surrogate pairs whole), linked list + heap
+      val cps = w.codePoints().toArray
+      val n = cps.length
+      val sym = new Array[String](n)
+      var i = 0
+      while (i < n) { sym(i) = new String(Character.toChars(cps(i))); i += 1 }
+      if (n == 0) return
+      if (n > 1) {
+        val next = new Array[Int](n)
+        val prev = new Array[Int](n)
+        i = 0
+        while (i < n) { next(i) = i + 1; prev(i) = i - 1; i += 1 }
+        val alive = new Array[Boolean](n)
+        java.util.Arrays.fill(alive, true)
+        // heap entries packed (rank << 32 | pos): natural Long order =
+        // rank-major, leftmost-first tie-break — the replay order.
+        val heap = new java.util.PriorityQueue[java.lang.Long](n)
+        def rankOf(a: Int, b: Int): Integer = rank.get(sym(a) + " " + sym(b))
+        def push(a: Int): Unit = {
+          val b = next(a)
+          if (b < n) {
+            val r = rankOf(a, b)
+            if (r != null) heap.add((r.longValue << 32) | a.toLong)
+          }
+        }
+        i = 0
+        while (i < n - 1) { push(i); i += 1 }
+        while (!heap.isEmpty) {
+          val packed = heap.poll().longValue
+          val r = (packed >> 32).toInt
+          val a = (packed & 0xffffffffL).toInt
+          val b = if (a < n) next(a) else n
+          // stale-entry check: both ends alive, still adjacent, and the
+          // pair still maps to the popped rank
+          if (a < n && b < n && alive(a) && alive(b)) {
+            val cur = rankOf(a, b)
+            if (cur != null && cur.intValue == r) {
+              sym(a) = sym(a) + sym(b)
+              alive(b) = false
+              next(a) = next(b)
+              if (next(b) < n) prev(next(b)) = a
+              if (prev(a) >= 0) push(prev(a))
+              push(a)
+            }
+          }
+        }
+        i = 0
+        while (i < n) {
+          if (alive(i))
+            out += org.apache.spark.unsafe.types.UTF8String.fromString(sym(i))
+          i += 1
+        }
+      } else {
+        out += org.apache.spark.unsafe.types.UTF8String.fromString(sym(0))
+      }
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.unsafe.types.UTF8String]
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) {
+          val w = arr.getUTF8String(i).toString
+          if (w.nonEmpty) segmentWord(w, out)
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BpeEncodeFast =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftglue.Bridge
 
   def shingleSimhash(shingles: Column): Column =
@@ -341,4 +465,7 @@ object HashExpressions {
 
   def bpeEncode(words: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeEncode(Bridge.expression(words), merges))
+
+  def bpeEncodeFast(words: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeEncodeFast(Bridge.expression(words), merges))
 }

@@ -104,9 +104,21 @@ object Bpe {
   }
 
   /** Corpus encoding: one narrow scan, each doc's words segmented into
-   * subwords by the native expression. Returns (id, subwords). */
+   * subwords by the native single-pass rank-heap expression — per-word
+   * cost independent of merge-list size, so this is the path that holds
+   * at a production tokenizer's 32k-50k merges. The literal replay twin
+   * (`encodeReplay`) computes the identical segmentation O(numMerges)x
+   * slower and exists because the SQL oracle can only mirror the replay
+   * fold; p41's oracle hash plus BpeSpec's equivalence sweep pin the two
+   * together. Returns (id, subwords). */
   def encode(docs: DataFrame, merges: Seq[(String, String)],
              textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      HE.bpeEncodeFast(TF.tokens(col(textCol)), merges).as("subwords"))
+
+  /** Oracle-twin encoding via literal merge replay (see `encode`). */
+  def encodeReplay(docs: DataFrame, merges: Seq[(String, String)],
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol).as("id"),
       HE.bpeEncode(TF.tokens(col(textCol)), merges).as("subwords"))
 
@@ -118,7 +130,7 @@ object Bpe {
       .select(col(idCol).as("id"),
         size(filter(TF.tokens(col(textCol)), w => w =!= lit("")))
           .cast("long").as("n_words"),
-        size(HE.bpeEncode(TF.tokens(col(textCol)), merges))
+        size(HE.bpeEncodeFast(TF.tokens(col(textCol)), merges))
           .cast("long").as("n_subwords"))
       .select(col("id"), col("n_words"), col("n_subwords"),
         round(when(col("n_words") > 0,

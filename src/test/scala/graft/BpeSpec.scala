@@ -58,6 +58,34 @@ class BpeSpec extends SparkSpec {
     assert(sub == Seq("a", "b", "罗"))
   }
 
+  test("rank-heap encode is bit-identical to merge replay, merges small to large") {
+    // The production encode path (single-pass rank heap, cost independent
+    // of merge count) must equal the oracle-twin replay (one pass per
+    // merge) EXACTLY — p41's oracle hash depends on it. Sweep real
+    // fixture text with trained merge lists of several sizes, plus the
+    // adversarial overlap/chaining corpus.
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    val adversarial = Seq(
+      (9001L, "aaaa aab abab banana bananas abracadabra"),
+      (9002L, "xaxa axax aaxx xxaa"),
+      (9003L, "𐍈𐍈a a𐍈𐍈 mixed𐍈text")
+    ).toDF("doc_id", "text")
+    for (m <- Seq(0, 8, 64, 256)) {
+      val merges = Bpe.trainMerges(fixture, numMerges = m, sampleN = 64)
+      val docs = fixture.select("doc_id", "text").unionAll(adversarial)
+      val both = Bpe.encode(docs, merges).withColumnRenamed("subwords", "fast")
+        .join(Bpe.encodeReplay(docs, merges)
+          .withColumnRenamed("subwords", "replay"), "id")
+        .collect()
+      assert(both.nonEmpty)
+      both.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"fast != replay for doc ${r.get(0)} at $m merges")
+      }
+    }
+  }
+
   test("supplementary-plane code points segment whole, never as surrogates") {
     // U+10348 (𐍈) and an emoji are outside the BMP: code-point
     // segmentation must keep each as ONE symbol — UTF-16-unit splitting
