@@ -277,6 +277,18 @@ object PipelineEntry {
       Dedup.semDedup(embs(s, dir), threshold = 0.4, nCenters = 16,
         trainIters = 2, trainSample = 256).orderBy("id")),
 
+    // P5+, key p46_semdedup_capped — SemDeDup with the per-cluster
+    // pair-cap skew guard: members ranked by centroid cosine, only
+    // pairs within `w` ranks compared (near-dups sort adjacently, so
+    // the cap costs only the far-in-rank tail; join work O(m·w), never
+    // O(m^2) — one giant cluster can't own the job). Same quantizer as
+    // p34 so the oracle shares its coarse CTEs; w chosen small enough
+    // that banding is actually exercised at fixture scale.
+    "p46_semdedup_capped" -> ((s, dir) =>
+      Dedup.semDedup(embs(s, dir), threshold = 0.4, nCenters = 16,
+        trainIters = 2, trainSample = 256,
+        pairRankWindow = Some(16)).orderBy("id")),
+
     // P26+, key p38_ann_sq8 — scalar quantization (FAISS QT_8bit
     // semantics): per-dim trained [min,max] ranges, byte codes = 4x
     // compression, asymmetric L2 against full-precision probes.
@@ -696,8 +708,9 @@ ${kmIter(2)},
 cents AS (SELECT cid AS centroid_id, cv AS centv, sqrt(${dotSql("cv", "cv")}) AS centn
           FROM c2),
 assigned AS (
-  SELECT centroid_id, neighbor_id, cv, cn FROM (
+  SELECT centroid_id, neighbor_id, cv, cn, ccos FROM (
     SELECT c.centroid_id, n.vec_id AS neighbor_id, n.v AS cv, n.nrm AS cn,
+      ${dotSql("n.v", "c.centv")} / (n.nrm * c.centn) AS ccos,
       row_number() OVER (PARTITION BY n.vec_id
         ORDER BY ${dotSql("n.v", "c.centv")} / (n.nrm * c.centn) DESC,
                  c.centroid_id) AS arank
@@ -993,6 +1006,25 @@ prs AS (
   SELECT a.neighbor_id AS ia, b.neighbor_id AS ib
   FROM assigned a JOIN assigned b ON a.centroid_id = b.centroid_id
   WHERE a.neighbor_id < b.neighbor_id
+    AND ${dotSql("a.cv", "b.cv")} / (a.cn * b.cn) >= 0.4),
+dr AS (SELECT ib AS id, min(ia) AS dup_of FROM prs GROUP BY ib)
+SELECT a.neighbor_id AS id, a.centroid_id, dr.id IS NULL AS kept, dr.dup_of
+FROM assigned a LEFT JOIN dr ON a.neighbor_id = dr.id
+ORDER BY id""",
+
+    "p46_semdedup_capped" ->
+      s"""WITH $embCte,
+$ivfCoarseCtes,
+rnk AS (SELECT *, row_number() OVER (PARTITION BY centroid_id
+    ORDER BY ccos DESC, neighbor_id ASC)::BIGINT AS rk FROM assigned),
+ba AS (SELECT centroid_id, neighbor_id, cv, cn, rk, band
+       FROM rnk, unnest([(rk // 16), (rk // 16) + 1]) AS u(band)),
+bb AS (SELECT centroid_id, neighbor_id, cv, cn, rk, band
+       FROM rnk, unnest([(rk // 16), (rk // 16) + 1]) AS u(band)),
+prs AS (
+  SELECT a.neighbor_id AS ia, b.neighbor_id AS ib
+  FROM ba a JOIN bb b ON a.centroid_id = b.centroid_id AND a.band = b.band
+  WHERE abs(a.rk - b.rk) <= 16 AND a.neighbor_id < b.neighbor_id
     AND ${dotSql("a.cv", "b.cv")} / (a.cn * b.cn) >= 0.4),
 dr AS (SELECT ib AS id, min(ia) AS dup_of FROM prs GROUP BY ib)
 SELECT a.neighbor_id AS id, a.centroid_id, dr.id IS NULL AS kept, dr.dup_of

@@ -165,6 +165,15 @@ object ScaleSmoke {
     // paper's N/2000 rule) to bound per-cluster membership.
     time("semdedup")(Dedup.semDedup(bigEmbs, threshold = 0.4,
       nCenters = 64, trainIters = 2, trainSample = 1024).count())
+    // The paper's own operating point: k = N/2000, so mean cluster size
+    // stays ~2000 as the corpus grows — plus the rank-window pair cap
+    // that bounds the worst CLUSTER (a dense mode) at O(m·w): the
+    // quantizer shapes sizes, the cap bounds them.
+    val paperK = math.max(16, (bigEmbs.count() / 2000L).toInt)
+    time(s"semdedup paper-k=$paperK capped")(
+      Dedup.semDedup(bigEmbs, threshold = 0.4, nCenters = paperK,
+        trainIters = 2, trainSample = math.max(1024, paperK * 8),
+        pairRankWindow = Some(64)).count())
 
     // Recall@10 of each approximate path vs exact brute force — the
     // quality side of the speed/recall trade. Measured on the

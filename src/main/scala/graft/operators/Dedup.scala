@@ -467,11 +467,28 @@ object Dedup {
    * the per-id dropped-set aggregation. The assigned frame feeds both
    * join sides, so it is materialized once with stats.
    *
+   * Skew guard (`pairRankWindow = Some(w)`): the trained quantizer
+   * SHAPES cluster sizes but does not BOUND them — one giant cluster
+   * (a dense mode of the embedding space) makes the per-cluster
+   * quadratic the whole job. With the cap, members of each cluster are
+   * ranked by their cosine to the centroid (descending; ties by id) and
+   * only pairs within `w` ranks of each other are compared. Locality
+   * argument: near-duplicate vectors have near-identical centroid
+   * cosines, so they sort adjacently — what the cap forfeits is pairs
+   * whose centroid cosines differ by more than w member positions,
+   * which at `threshold`-level similarity is the rare tail (the spec
+   * pins both the hit and the documented miss). Join work drops from
+   * O(m^2) to O(m·w) per cluster: both sides band on floor(rank/w) and
+   * a pair within w ranks shares a band edge, so each row joins at most
+   * ~4w others (the duplicate band matches collapse in the min()
+   * aggregation).
+   *
    * Returns one row per input vector: (id, centroid_id, kept, dup_of).
    */
   def semDedup(embs: DataFrame, threshold: Double = 0.4, nCenters: Int = 16,
                trainIters: Int = 2, trainSample: Int = 256,
                keepFarthest: Boolean = false,
+               pairRankWindow: Option[Int] = None,
                vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
     Ann.encodedAssignOpt(embs, nCenters, trainIters, trainSample, vecCol, idCol) match {
       case None =>
@@ -479,18 +496,40 @@ object Dedup {
           lit(0L).as("centroid_id"), lit(true).as("kept"),
           lit(null).cast("long").as("dup_of")).limit(0)
       case Some(enc0) =>
-        val enc = SelfJoinMaterialize(enc0)
-        val a = enc.select(col("centroid_id"), col("id").as("id_a"),
-          col("v").as("va"), col("vn").as("na"), col("ccos").as("ca"))
-        val b = enc.select(col("centroid_id"), col("id").as("id_b"),
-          col("v").as("vb"), col("vn").as("nb"), col("ccos").as("cb"))
+        val ranked = pairRankWindow match {
+          case Some(w) =>
+            require(w >= 1, s"pairRankWindow ($w) must be >= 1")
+            val win = Window.partitionBy("centroid_id")
+              .orderBy(col("ccos").desc, col("id").asc)
+            enc0.withColumn("rk", row_number().over(win).cast("long"))
+          case None => enc0.withColumn("rk", lit(0L))
+        }
+        val enc = SelfJoinMaterialize(ranked)
+        def side(suffix: String): DataFrame = {
+          val base = enc.select(col("centroid_id"), col("rk"),
+            col("id").as(s"id_$suffix"), col("v").as(s"v$suffix"),
+            col("vn").as(s"n$suffix"), col("ccos").as(s"c$suffix"))
+          pairRankWindow match {
+            case Some(w) => base
+              .withColumn("band",
+                explode(array(floor(col("rk") / w), floor(col("rk") / w) + 1)))
+              .withColumnRenamed("rk", s"rk_$suffix")
+            case None => base.withColumn("band", lit(0L)).drop("rk")
+          }
+        }
+        val a = side("a")
+        val b = side("b")
         val precedes =
           if (keepFarthest)
             col("ca") < col("cb") ||
               (col("ca") === col("cb") && col("id_a") < col("id_b"))
           else col("id_a") < col("id_b")
-        val dropped = a.join(b, Seq("centroid_id"))
-          .where(precedes &&
+        val windowCond = pairRankWindow match {
+          case Some(w) => abs(col("rk_a") - col("rk_b")) <= w
+          case None => lit(true)
+        }
+        val dropped = a.join(b, Seq("centroid_id", "band"))
+          .where(windowCond && precedes &&
             VF.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
           .groupBy(col("id_b").as("id")).agg(min(col("id_a")).as("dup_of"))
         enc.join(dropped, Seq("id"), "left")

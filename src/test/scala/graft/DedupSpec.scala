@@ -200,6 +200,41 @@ class DedupSpec extends SparkSpec {
     assert(r(2).getAs[Long]("centroid_id") != r(3).getAs[Long]("centroid_id"))
   }
 
+  test("semDedup pair-rank cap: window covers = same answer, window misses = documented cost") {
+    // One cluster (trainIters = 0, nCenters = 1 pins the centroid to
+    // vector 0). Members sort by centroid cosine: 0 (1.0), 1 (cos30),
+    // 2 (cos33), 3 (cos36), 4 (cos40) -> ranks 1..5. The only pair
+    // above threshold 0.9 is (1,4): both lie at angle 10 deg of each
+    // other in the SAME plane (cos10 = .985), while the two fillers
+    // between them in rank point into orthogonal dims (all other
+    // cosines <= .87). Rank distance of the dup pair = 3.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)),
+      (1L, Array(0.8660254f, 0.5f, 0f, 0f)),        // C, rank 2
+      (2L, Array(0.8386706f, 0f, 0.5446390f, 0f)),  // filler, rank 3
+      (3L, Array(0.8090170f, 0f, 0f, 0.5877853f)),  // filler, rank 4
+      (4L, Array(0.7660444f, 0.6427876f, 0f, 0f))   // D ~ C, rank 5
+    ).toDF("vec_id", "embedding")
+    def run(w: Option[Int]) =
+      Dedup.semDedup(vecs, threshold = 0.9, nCenters = 1,
+        trainIters = 0, trainSample = 8, pairRankWindow = w)
+        .orderBy("id").collect()
+    val uncapped = run(None)
+    assert(!uncapped(4).getAs[Boolean]("kept") &&
+      uncapped(4).getAs[Long]("dup_of") == 1L)
+    assert(uncapped.take(4).forall(_.getAs[Boolean]("kept")))
+    // w >= cluster size: bit-identical to uncapped
+    val wide = run(Some(8))
+    assert(wide.map(_.toSeq).toSeq == uncapped.map(_.toSeq).toSeq)
+    // w = 3 covers the pair's rank distance: still dropped
+    val covering = run(Some(3))
+    assert(!covering(4).getAs[Boolean]("kept"))
+    // w = 2 < rank distance 3: the pair is forfeited — the documented
+    // cost that buys the O(m*w) bound on a giant cluster
+    val missing = run(Some(2))
+    assert(missing.forall(_.getAs[Boolean]("kept")))
+  }
+
   test("embedding pairs: exact vs bucketed recall relationship") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
