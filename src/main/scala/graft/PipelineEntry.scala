@@ -549,6 +549,33 @@ object PipelineEntry {
       Multimodal.features(Multimodal.fromDocuments(docs(s, dir)))
         .orderBy("doc_id")),
 
+    // P12+, key p47_video_mjpeg — REAL video decode: deterministic
+    // MJPEG-in-AVI payloads (dims/frames are formulas of doc_id) are
+    // written by the container generator and decoded back by the RIFF
+    // walk + per-frame javax.imageio path. The oracle recomputes the
+    // formulas — a broken writer/parser/JPEG step would fall back to
+    // the stub's declared 0-dims and hash-mismatch. Brightness is
+    // codec-implementation-dependent (lossy JPEG), so it stays out of
+    // the key; the spec bounds it with a tolerance instead.
+    "p47_video_mjpeg" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).where(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val w = (id % 16 + 8).toInt
+        val h = (id % 12 + 8).toInt
+        val nf = (id % 3 + 1).toInt
+        (id, "video", Multimodal.generateAvi(w, h, nf, seed = id.toInt),
+          0, 0, "avi")
+      }).toDF("doc_id", "modality", "payload", "width", "height", "format")
+        .select(col("doc_id"), col("modality"), col("payload"),
+          struct(col("width"), col("height"), col("format")).as("meta"))
+      Multimodal.decodeBatched(s, media).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_pixels").as("n_frames"))
+        .orderBy("doc_id")
+    }),
+
     // P15 — streaming ingest, driver-visible: the file-based streaming
     // source drained through the stateful gap-sessionizer into a memory
     // sink (Trigger.AvailableNow). With NoTimeout, exactly the sessions
@@ -1658,6 +1685,14 @@ SELECT doc_id,
   (n_chars % 640 + 1)::BIGINT * (doc_id % 480 + 1)::BIGINT AS n_pixels,
   md5(text) AS payload_hash
 FROM documents ORDER BY doc_id""",
+
+    "p47_video_mjpeg" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT doc_id,
+  (doc_id % 16 + 8)::INTEGER AS width,
+  (doc_id % 12 + 8)::INTEGER AS height,
+  (doc_id % 3 + 1)::BIGINT AS n_frames
+FROM documents WHERE doc_id < 60 ORDER BY doc_id""",
 
     "p15_streaming" ->
       s"""WITH $eventsCte,

@@ -33,7 +33,9 @@ object Multimodal {
    *    brightness = mean RGB in [0,255].
    *  - audio: width = channels, height = sample rate (Hz); n_pixels =
    *    frame count; brightness = mean |amplitude| normalized to [0,1].
-   *  - video / undecodable: declared metadata dims + the byte-sum stub. */
+   *  - video (MJPEG-in-AVI): width/height = frame dims; n_pixels = frame
+   *    COUNT; brightness = mean over frames of per-frame mean RGB.
+   *  - undecodable: declared metadata dims + the byte-sum stub. */
   final case class MediaFeatures(doc_id: Long, modality: String, byte_len: Long,
                                  width: Int, height: Int, n_pixels: Long,
                                  payload_hash: String, brightness: Double)
@@ -71,11 +73,13 @@ object Multimodal {
       md5(col("payload")).as("payload_hash"))
 
   /**
-   * STUB decoder — deterministic stand-in for a real media decode of the
-   * VIDEO modality (???: no pure-JDK video codec exists; images decode via
-   * javax.imageio, WAV audio via javax.sound.sampled). Produces a fake
-   * "mean brightness" from the payload bytes so the batched plumbing has a
-   * value to carry.
+   * STUB decoder — deterministic stand-in for UNDECODABLE payloads: every
+   * real modality now has a pure-JDK decode (images via javax.imageio,
+   * WAV audio via javax.sound.sampled, MJPEG-in-AVI video via per-frame
+   * javax.imageio); this fallback covers formats outside those codecs
+   * (e.g. mp4 — inter-frame codecs need a native decoder). Produces a
+   * fake "mean brightness" from the payload bytes so the batched
+   * plumbing has a value to carry.
    */
   def decodeStub(payload: Array[Byte]): Double =
     if (payload.isEmpty) 0.0
@@ -203,6 +207,132 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ------------------------------------------------------- video (MJPEG)
+
+  /**
+   * REAL video decode for MJPEG-in-AVI payloads — the one video format a
+   * pure JDK can handle, because every frame is a complete JPEG that
+   * `javax.imageio` decodes (no inter-frame codec state). Walks the RIFF
+   * chunk tree: `avih` carries the declared dims, every `..dc`/`..db`
+   * chunk under `movi` is one frame. Returns (width, height, nFrames,
+   * mean of per-frame mean-RGB brightness over the DECODED frames) or
+   * None when the payload is not an AVI (caller falls back to the stub).
+   *
+   * `frameStep` decodes every k-th frame (frame sampling — the feature-
+   * extraction shape for long videos; metadata still counts ALL frames).
+   */
+  def decodeAvi(payload: Array[Byte], frameStep: Int = 1): Option[(Int, Int, Long, Double)] =
+    try {
+      require(frameStep >= 1)
+      def le32(off: Int): Int =
+        (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
+          ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
+      def fourcc(off: Int): String =
+        new String(payload, off, 4, "US-ASCII")
+      if (payload.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+        return None
+      var width = 0
+      var height = 0
+      var nFrames = 0L
+      var brightSum = 0.0
+      var brightN = 0L
+      // iterative chunk walk: (start, end) ranges of chunk sequences
+      var stack = List((12, math.min(payload.length, 8 + le32(4))))
+      while (stack.nonEmpty) {
+        var (pos, end) = stack.head
+        stack = stack.tail
+        while (pos + 8 <= end) {
+          val cc = fourcc(pos)
+          val size = le32(pos + 4)
+          if (size < 0 || pos + 8 + size > end) { pos = end } // malformed: stop
+          else {
+            if (cc == "LIST" && size >= 4) {
+              stack = (pos + 12, pos + 8 + size) :: stack
+            } else if (cc == "avih" && size >= 40) {
+              nFrames = le32(pos + 8 + 16).toLong // dwTotalFrames
+              width = le32(pos + 8 + 32)
+              height = le32(pos + 8 + 36)
+            } else if (cc.endsWith("dc") || cc.endsWith("db")) {
+              if (brightN % frameStep == 0) {
+                decodeImage(java.util.Arrays.copyOfRange(payload, pos + 8,
+                  pos + 8 + size)) match {
+                  case Some((w, h, b)) =>
+                    brightSum += b
+                    if (width == 0) { width = w; height = h }
+                  case None => return None // a frame that isn't an image
+                }
+              }
+              brightN += 1
+            }
+            pos += 8 + size + (size & 1) // chunks are word-aligned
+          }
+        }
+      }
+      if (brightN == 0) None
+      else {
+        val sampled = (brightN + frameStep - 1) / frameStep
+        Some((width, height, if (nFrames > 0) nFrames else brightN,
+          brightSum / sampled))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /**
+   * Deterministic MJPEG-in-AVI generator (for tests/fixtures): frame f of
+   * stream `seed` uses the `generatePng` pixel function with seed
+   * `seed + f`, JPEG-encoded (lossy — tests compare brightness with a
+   * tolerance, dims/frame-count exactly). Writes the minimal spec-valid
+   * container: RIFF(AVI ) / LIST(hdrl avih LIST(strl strh strf)) /
+   * LIST(movi 00dc...).
+   */
+  def generateAvi(width: Int, height: Int, nFrames: Int, seed: Int): Array[Byte] = {
+    def jpegFrame(f: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val r = (x * 31 + y * 17 + seed + f) % 256
+          val g = (x * 7 + y * 13 + (seed + f) * 3) % 256
+          val b = (x ^ y) % 256
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val bb = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc(id) ++ le32(body.length) ++ body ++ pad
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(listType) ++ body)
+    val avih = le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(width) ++ le32(height) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = cc("vids") ++ cc("MJPG") ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(1) ++ le32(25) ++ le32(0) ++ le32(nFrames) ++ le32(0) ++
+      le32(-1) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strf = le32(40) ++ le32(width) ++ le32(height) ++
+      Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++ cc("MJPG") ++
+      le32(width * height * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      (0 until nFrames).toArray.flatMap(f => chunk("00dc", jpegFrame(f))))
+    val riffBody = cc("AVI ") ++ hdrl ++ movi
+    bb.write(cc("RIFF")); bb.write(le32(riffBody.length)); bb.write(riffBody)
+    bb.toByteArray
+  }
+
   /**
    * Batched decode path: groups each partition's rows into `batchSize`
    * slices and runs the decoder once per batch (the shape a real codec /
@@ -235,6 +365,12 @@ object Multimodal {
             case "audio" =>
               decodeWav(r.payload).map { case (ch, rate, frames, amp) =>
                 (ch, rate, frames, amp)
+              }
+            case "video" =>
+              // MJPEG-in-AVI decodes for real (per-frame javax.imageio);
+              // other containers fall through to the stub
+              decodeAvi(r.payload).map { case (w, h, frames, b) =>
+                (w, h, frames, b)
               }
             case _ => None
           }

@@ -110,6 +110,55 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav("audio but not wav".getBytes("UTF-8")).isEmpty)
   }
 
+  test("real MJPEG-AVI decode: exact dims/frames, brightness within JPEG tolerance") {
+    // Per-frame mean brightness of the generating pixel function,
+    // averaged over frames — JPEG is lossy so the decoded value gets a
+    // tolerance, but dims and frame count must be exact (they come from
+    // the container walk + real per-frame decodes).
+    def expectedBrightness(w: Int, h: Int, nf: Int, seed: Int): Double = {
+      var total = 0.0
+      for (f <- 0 until nf) {
+        var sum = 0.0
+        for (y <- 0 until h; x <- 0 until w) {
+          val r = (x * 31 + y * 17 + seed + f) % 256
+          val g = (x * 7 + y * 13 + (seed + f) * 3) % 256
+          val b = (x ^ y) % 256
+          sum += (r + g + b) / 3.0
+        }
+        total += sum / (w * h)
+      }
+      total / nf
+    }
+    val rows = Seq(
+      (0L, "video", Multimodal.generateAvi(32, 24, 3, seed = 5), 9, 9, "avi"),
+      (1L, "video", Multimodal.generateAvi(16, 16, 5, seed = 11), 9, 9, "avi"),
+      (2L, "video", "mp4 needs a native codec".getBytes("UTF-8"), 3, 4, "mp4"))
+      .toDF("doc_id", "modality", "payload", "width", "height", "format")
+      .select(col("doc_id"), col("modality"), col("payload"),
+        struct(col("width"), col("height"), col("format")).as("meta"))
+    val out = Multimodal.decodeBatched(spark, rows, batchSize = 2)
+      .collect().map(f => f.doc_id -> f).toMap
+    // decoded dims + frame count override the (wrong) declared metadata
+    assert(out(0L).width == 32 && out(0L).height == 24 && out(0L).n_pixels == 3L)
+    assert(math.abs(out(0L).brightness - expectedBrightness(32, 24, 3, 5)) < 3.0)
+    assert(out(1L).width == 16 && out(1L).height == 16 && out(1L).n_pixels == 5L)
+    assert(math.abs(out(1L).brightness - expectedBrightness(16, 16, 5, 11)) < 3.0)
+    // non-AVI video still goes through the stub + declared metadata
+    val mp4Bytes = "mp4 needs a native codec".getBytes("UTF-8")
+    assert(out(2L).width == 3 && out(2L).n_pixels == 12L)
+    assert(out(2L).brightness == mp4Bytes.map(_ & 0xff).sum.toDouble / mp4Bytes.length)
+    // frame sampling: every 2nd frame decoded, metadata still all frames
+    val sampled = Multimodal.decodeAvi(Multimodal.generateAvi(16, 16, 5, 11),
+      frameStep = 2)
+    assert(sampled.exists { case (w, h, nf, b) =>
+      w == 16 && h == 16 && nf == 5L &&
+        math.abs(b - expectedBrightness(16, 16, 5, 11)) < 6.0 })
+    // truncated/garbage containers are rejected, not mis-decoded
+    assert(Multimodal.decodeAvi("RIFFxxxxAVI corrupted".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAvi(
+      Multimodal.generateAvi(16, 16, 2, 1).take(40)).isEmpty)
+  }
+
   test("column pruning: selecting features-only does not read payload") {
     // Write to parquet, read back, select a narrow projection — the
     // optimized scan schema must exclude the payload column.
