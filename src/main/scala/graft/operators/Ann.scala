@@ -380,6 +380,17 @@ object Ann {
    * subspaces of dim/m dims; each subspace gets an independent k-means
    * codebook of `nCodes` centroids trained by L2 on the same bounded
    * id-ordered sample discipline as `trainCentroids`.
+   *
+   * Choosing (m, nCodes) — the measured 64-dim-fixture frontier
+   * (ScaleSmoke, raw ADC recall@10 at fixed bit budget m·log2(nCodes)):
+   * 32 bits 0.18, 64 bits 0.38 (best geometry = the FAISS-standard
+   * 8×256 — fewer, better-trained subspaces beat finer splits at equal
+   * bits), 96 bits 0.48, 128 bits 0.57. An OPQ-style rotation (Ge et
+   * al. 2013) is deliberately NOT layered in: it raises recall only by
+   * exploiting covariance structure, and the uniform fixture is
+   * rotation-invariant, so the honest levers here are bits and
+   * `pqTopKReranked` (0.26 → 0.84 at 0.5% re-read). Train with
+   * sampleN ≥ ~16·nCodes so every centroid sees enough sample mass.
    * Returns cb(s)(cid) = centroid subvector, positional by centroid id.
    */
   def trainPqCodebooks(corpus: DataFrame, m: Int = 8, nCodes: Int = 16,
