@@ -27,6 +27,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per-key cache hygiene: once the dump is on disk, this key's
+      // operator-materialized frames are dead weight (keys never share
+      // them — the shared fixture graph/closure caches live elsewhere
+      // and are NOT touched here)
+      graft.operators.OperatorCaches.drainMaterialized()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -13,17 +13,46 @@ import graft.functions.{HashExpressions => HE, TextFunctions => TF, VectorFuncti
  * the materialized InMemoryRelation carries accurate size statistics,
  * so the planner broadcast-joins the candidate table while it is small
  * and switches to a shuffled join when it isn't — the scale-adaptive
- * behavior a checkpointed (stats-less) RDD would forfeit. The cache
- * lives until the session evicts it; a long-running service should
- * unpersist after consuming the result. */
+ * behavior a checkpointed (stats-less) RDD would forfeit.
+ *
+ * Lifecycle: each persist registers in `OperatorCaches`; the cache is
+ * plan-keyed, so repeating the SAME query reuses one entry, but a
+ * long-lived session running many DIFFERENT queries accumulates one
+ * InMemoryRelation per distinct plan. Entry points that are done with a
+ * result call `OperatorCaches.drainMaterialized()` (Verify does per
+ * key; Bench at end of run, asserting the cache manager empties) —
+ * unpersist is always safe, Spark lazily recomputes if a frame is
+ * somehow still referenced. */
 private[operators] object SelfJoinMaterialize {
   def apply(df: DataFrame): DataFrame = {
     // idempotent: a frame the caller already persisted (e.g. a guarded
     // one-hop result) keeps its level; the count still materializes it.
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      OperatorCaches.register(df)
+    }
     df.count()
     df
+  }
+}
+
+/** Session-level registry of operator-materialized frames (see
+ * SelfJoinMaterialize) with an explicit drop point for long-running
+ * processes. */
+object OperatorCaches {
+  private val frames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private[operators] def register(df: DataFrame): Unit = frames.add(df)
+
+  /** Unpersist every registered frame; returns how many were dropped.
+   * Safe while queries are mid-flight (lazy recompute), intended after
+   * results are consumed. */
+  def drainMaterialized(): Int = {
+    var n = 0
+    var df = frames.poll()
+    while (df != null) { df.unpersist(); n += 1; df = frames.poll() }
+    n
   }
 }
 

@@ -12,6 +12,15 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Whether a dataframe's analyzed plan currently has a cache-manager
+   * entry (lookupCachedData is private[sql]; cache-lifecycle specs need
+   * to observe entries appear and disappear). */
+  def isCached(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+      .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .isDefined
+
   /** Register a catalyst function builder on a LIVE session (extensions
    * hooks only run at session build; sessionState is private[sql]). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession,

@@ -235,6 +235,34 @@ class DedupSpec extends SparkSpec {
     assert(missing.forall(_.getAs[Boolean]("kept")))
   }
 
+  test("OperatorCaches.drainMaterialized drops every operator-materialized frame") {
+    // Long-running-service lifecycle: distinct queries each leave
+    // plan-keyed cached frames behind; the drain must return the
+    // persistent-RDD count to its pre-query level (other suites' shared
+    // fixture caches are constant background, asserted by DELTA so this
+    // test never touches caches it does not own).
+    import org.apache.spark.sql.graftglue.Bridge
+    graft.operators.OperatorCaches.drainMaterialized()
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "unrelated words entirely different content here")
+    ).toDF("doc_id", "text")
+    // the frame jaccardPairs materializes for its self-join — observe
+    // its cache-manager entry appear with the query and die with drain
+    val probe = Dedup.shingleSets(docs, n = 2, "text", "doc_id")
+    assert(!Bridge.isCached(probe))
+    Dedup.jaccardPairs(docs, n = 2, threshold = 0.5).count()
+    Dedup.minhashLshPairs(docs, shingleN = 2).count()
+    assert(Bridge.isCached(probe), "operators should have materialized frames")
+    val n = graft.operators.OperatorCaches.drainMaterialized()
+    assert(n >= 2, s"expected at least 2 registered frames, drained $n")
+    assert(!Bridge.isCached(probe),
+      "session-lifetime cache growth survived the drain")
+    // a second drain is a no-op
+    assert(graft.operators.OperatorCaches.drainMaterialized() == 0)
+  }
+
   test("embedding pairs: exact vs bucketed recall relationship") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
