@@ -83,25 +83,28 @@ object PipelineEntry {
   }
 
   /** Per-corpus directory for file-source streaming keys: a stable dir
-   * under target/ holding a symlink to the corpus's documents.parquet.
-   * Keyed by an md5 of the FULL dir path (two corpora whose paths share
-   * a digit/dot pattern — .../a/sf0.1 vs .../b/sf0.1 — must not collide),
-   * and the symlink is re-created if it does not resolve to the requested
-   * file (a stale key would silently stream the wrong dataset). Returns
+   * under target/ holding a symlink to the corpus's `file`. Keyed by an
+   * md5 of the FULL dir path (two corpora whose paths share a digit/dot
+   * pattern — .../a/sf0.1 vs .../b/sf0.1 — must not collide), and the
+   * symlink is re-created if it does not resolve to the requested file
+   * (a stale key would silently stream the wrong dataset). Returns
    * (stream dir, tag for memory-sink query names). */
-  private def streamingDocsDir(dir: String): (String, String) = {
+  private def streamingSourceDir(dir: String, file: String): (String, String) = {
     import java.nio.file.{Files, Paths}
+    val stem = file.takeWhile(_ != '.')
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    val streamDir = Paths.get(s"target/stream-docs-$tag")
+    val streamDir = Paths.get(s"target/stream-$stem-$tag")
     Files.createDirectories(streamDir)
-    val target = Paths.get(dir, "documents.parquet").toAbsolutePath
-    val link = streamDir.resolve("documents.parquet")
+    val target = Paths.get(dir, file).toAbsolutePath
+    val link = streamDir.resolve(file)
     if (Files.isSymbolicLink(link) && Files.readSymbolicLink(link) != target)
       Files.delete(link)
     if (!Files.exists(link)) Files.createSymbolicLink(link, target)
     (streamDir.toString, tag)
   }
+  private def streamingDocsDir(dir: String): (String, String) =
+    streamingSourceDir(dir, "documents.parquet")
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     spread(s.read.parquet(s"$dir/documents.parquet"))
@@ -585,15 +588,10 @@ object PipelineEntry {
     // controlled).
     "p15_streaming" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
-      import java.nio.file.{Files, Paths}
       // file streaming sources need a DIRECTORY; symlink the single file
-      val streamDir = Paths.get(s"target/p15-events-${dir.replaceAll("[^0-9.]", "")}")
-      Files.createDirectories(streamDir)
-      val link = streamDir.resolve("events.parquet")
-      if (!Files.exists(link))
-        Files.createSymbolicLink(link, Paths.get(dir, "events.parquet"))
-      val stream = graft.streaming.EventStream.read(s, streamDir.toString, tsNanos = true)
-      val name = "p15_sessions_" + dir.replaceAll("[^0-9]", "")
+      val (streamDir, tag) = streamingSourceDir(dir, "events.parquet")
+      val stream = graft.streaming.EventStream.read(s, streamDir, tsNanos = true)
+      val name = "p15_sessions_" + tag
       withStreamShuffle(s) {
         val q = graft.streaming.EventStream
           .sessionize(s, stream, gapMinutes = 30, timeout = GroupStateTimeout.NoTimeout())
@@ -615,14 +613,9 @@ object PipelineEntry {
     // deliberately excluded from the compared columns.
     "p18_streaming_windows" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      import java.nio.file.{Files, Paths}
-      val streamDir = Paths.get(s"target/p18-events-${dir.replaceAll("[^0-9.]", "")}")
-      Files.createDirectories(streamDir)
-      val link = streamDir.resolve("events.parquet")
-      if (!Files.exists(link))
-        Files.createSymbolicLink(link, Paths.get(dir, "events.parquet"))
-      val stream = graft.streaming.EventStream.read(s, streamDir.toString, tsNanos = true)
-      val name = "p18_windows_" + dir.replaceAll("[^0-9]", "")
+      val (streamDir, tag) = streamingSourceDir(dir, "events.parquet")
+      val stream = graft.streaming.EventStream.read(s, streamDir, tsNanos = true)
+      val name = "p18_windows_" + tag
       withStreamShuffle(s) {
         val q = graft.streaming.EventStream
           .windowedCounts(graft.streaming.EventStream.deduped(stream),
