@@ -423,6 +423,10 @@ def main() -> None:
     ensure_inputs()
     make_sandbox()
     export_tsvs()
+    # plover writes diagnostic files (subclass_report.json) into the
+    # process CWD — keep them in the sandbox, not the repo (all harness
+    # outputs below use absolute REPO paths).
+    os.chdir(SANDBOX)
 
     os.environ["GRAFT_ONTOLOGY_JSON"] = str(ONTOLOGY_JSON)
     sys.path.insert(0, str(SANDBOX / "stubs"))
@@ -482,6 +486,17 @@ def main() -> None:
     print("[refbaseline] wrote baseline_ref.json + BASELINE_REF.md")
 
 
+def graft_bench_p50s() -> dict:
+    """Per-key p50 seconds from the most recent committed idle bench
+    detail (if present) for the side-by-side column."""
+    import glob
+    files = sorted(glob.glob(str(REPO / "BENCH_idle_r*_detail.json")))
+    if not files:
+        return {}
+    with open(files[-1], encoding="utf-8") as f:
+        return json.load(f).get("queries_p50", {})
+
+
 def write_md(result: dict) -> None:
     lines = [
         "# BASELINE_REF — the reference engine on the fixture graph",
@@ -503,12 +518,14 @@ def write_md(result: dict) -> None:
         " (the reference's warm-start; graft twin is `warm_sec` in BENCH)",
         f"- repeats per query: {result['repeats']} (p50 reported)",
         "",
-        "| query key | reference p50 (ms) | min (ms) | answer size | graft size | sizes match |",
-        "|---|---|---|---|---|---|",
+        "| query key | reference p50 (ms) | min (ms) | graft p50 (ms) | answer size | graft size | sizes match |",
+        "|---|---|---|---|---|---|---|",
     ]
+    bench = graft_bench_p50s()
     for k, v in sorted(result["queries"].items()):
+        g = f"{bench[k]*1e3:.0f}" if k in bench else "—"
         lines.append(
-            f"| {k} | {v['p50_sec']*1e3:.2f} | {v['min_sec']*1e3:.2f} "
+            f"| {k} | {v['p50_sec']*1e3:.2f} | {v['min_sec']*1e3:.2f} | {g} "
             f"| {v['answer_size']} | {v['graft_size']} "
             f"| {'yes' if v['size_match'] else 'NO'} |")
     lines += [
@@ -518,11 +535,23 @@ def write_md(result: dict) -> None:
         "  g18; input-neighbor pairs for g19) cross-checked against the",
         "  Spark engine's Verify dumps at the same scale factor — a match",
         "  means both engines computed the same answer set.",
-        "- the reference is a single-threaded in-memory Python engine: its",
-        "  per-query latencies exclude any startup, while every graft BENCH",
-        "  query time includes Spark planning. The honest comparison is",
-        "  (build+load vs build_sec+warm_sec) for startup and p50-vs-p50",
-        "  per query key for throughput.",
+        "- the graft column is the committed idle-bench p50 at the same sf",
+        "  (Spark local[32]); blank where the bench has no such key.",
+        "- read the per-query columns with the engines' cost models in",
+        "  mind. The reference is a single-threaded in-memory hashmap: its",
+        "  point-lookup latency is microseconds-to-milliseconds and grows",
+        "  with ANSWER size, but it pays its full build on EVERY boot",
+        "  (build+load above) and its whole graph must fit one process's",
+        "  RAM — the architecture does not reach 100 TB at all. Every",
+        "  graft query pays a roughly constant ~0.3-1 s of Spark planning",
+        "  + scheduling regardless of data size, then scan cost that",
+        "  parallelizes; startup is a columnar scan of the pre-built",
+        "  store (build_sec 0 steady-state, warm_sec ~5 s at sf0.1). So",
+        "  at fixture scale the reference wins small point lookups by",
+        "  its fixed-overhead advantage, the gap narrows to ~3x on",
+        "  scan-heavy queries (g05, g16) and already flips on the",
+        "  subclass-expansion scan (g13), and past single-node RAM only",
+        "  the scan-based engine exists.",
     ]
     (REPO / "BASELINE_REF.md").write_text("\n".join(lines) + "\n",
                                           encoding="utf-8")
