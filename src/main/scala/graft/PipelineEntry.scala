@@ -437,6 +437,15 @@ object PipelineEntry {
           lit(" " + DupSpanPlant)).otherwise(lit("")))), w = DupSpanW)
         .orderBy("id")),
 
+    // P1++, key p48_span_dedup_apply — the excision half of Lee et
+    // al.'s substring dedup: same plant as p36, but the output is the
+    // CLEANED corpus (covered tokens removed, survivors re-joined).
+    "p48_span_dedup_apply" -> ((s, dir) =>
+      Dedup.spanDedupApply(docs(s, dir).withColumn("text",
+        concat(col("text"), when(col("doc_id") % 3 === 0,
+          lit(" " + DupSpanPlant)).otherwise(lit("")))), w = DupSpanW)
+        .orderBy("id")),
+
     // P10+, key p41_bpe — real BPE subword tokenization: merges trained
     // on the first 32 docs, corpus segmented by the native bpe_encode
     // expression in one scan. The oracle re-derives the SAME merges as a
@@ -1426,6 +1435,35 @@ SELECT nw.doc_id AS id, nw.n_windows,
     THEN coalesce(per.n_dup, 0)::DOUBLE / nw.n_windows ELSE 0.0 END, 6)
     AS dup_window_frac
 FROM nw LEFT JOIN per USING (doc_id) ORDER BY id""",
+
+    // Same hash grid as p36; coverage = union of [s, s+w) over
+    // duplicated starts (1-based here, 0-based on the Spark side —
+    // both self-consistent, so kept tokens agree).
+    "p48_span_dedup_apply" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+planted AS (SELECT doc_id, text || CASE WHEN doc_id % 3 = 0
+    THEN ' $DupSpanPlant' ELSE '' END AS text FROM documents),
+tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM planted),
+cod AS (SELECT doc_id, tk,
+    list_transform(tk, x -> ('0x' || substring(md5(x),1,8))::BIGINT) AS c
+  FROM tok),
+wx AS (SELECT doc_id, unnest(list_transform(range(1, len(c) - $DupSpanW + 2),
+    i -> list_reduce([0]::BIGINT[] || list_slice(c, i, i + ${DupSpanW - 1}),
+      (a,b) -> (a*131 + b % $HashMod) % $HashMod))) AS h,
+    unnest(range(1, len(c) - $DupSpanW + 2)) AS s
+  FROM cod WHERE len(c) >= $DupSpanW),
+df AS (SELECT h FROM wx GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+st AS (SELECT doc_id, list_distinct(flatten(list_transform(list(s),
+      st2 -> range(st2, st2 + $DupSpanW)))) AS cov
+  FROM wx JOIN df USING (h) GROUP BY doc_id),
+fx AS (SELECT tok.doc_id, tk,
+    list_filter(tk, (x, i) -> NOT list_contains(coalesce(cov, []), i)) AS kept
+  FROM tok LEFT JOIN st ON tok.doc_id = st.doc_id)
+SELECT doc_id AS id, len(tk)::BIGINT AS n_tokens,
+  (len(tk) - len(kept))::BIGINT AS n_removed,
+  coalesce(array_to_string(kept, ' '), '') AS clean_text
+FROM fx ORDER BY id""",
 
     "p41_bpe" -> {
       // One stage per merge: count adjacent symbol pairs over the

@@ -470,6 +470,70 @@ object Dedup {
           .as("dup_window_frac"))
   }
 
+  /**
+   * Span-level dedup APPLY — the excision half of Lee et al. 2021's
+   * exact-substring dedup (public algorithm; `dupSpans` is the
+   * detection half): every token covered by a duplicated `w`-window is
+   * REMOVED from the document, and the surviving tokens (space-joined)
+   * are the cleaned corpus. The policy is drop-all-occurrences — more
+   * conservative than the paper's keep-one, but deterministic with no
+   * occurrence-ordering tie-break, which is what makes it expressible
+   * as one declarative plan on both engines (the registered key's
+   * oracle reproduces it row-for-row).
+   *
+   * Plan shape: the hashed frame is materialized once (it feeds the
+   * duplicated-hash aggregation, the start-collection join, and the
+   * final projection); the explode ships (id, start, hash) ints/longs
+   * only — never window text. Per-doc duplicated starts are SORTED and
+   * folded into disjoint [lo, hi) intervals before the token filter,
+   * so the per-token coverage test is O(#disjoint dup spans), not
+   * O(#dup windows): a fully-duplicated document (the 20x-duplication
+   * worst case) collapses to ONE interval and filters in O(n).
+   *
+   * Returns one row per input document:
+   * (id, n_tokens, n_removed, clean_text).
+   */
+  def spanDedupApply(docs: DataFrame, w: Int = 20, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val base = SelfJoinMaterialize(docs.select(col(idCol).as("id"),
+      TF.tokens(col(textCol)).as("toks"))
+      .withColumn("hs", HE.windowHashes(col("toks"), w)))
+    val ex = base.select(col("id"), posexplode(col("hs")).as(Seq("s", "h")))
+    val dup = ex.groupBy("h").agg(count_distinct(col("id")).as("ndocs"))
+      .where(col("ndocs") >= 2).select("h")
+    // 0-based duplicated window starts per doc, sorted for the interval
+    // fold below (collect_set: the same start can reach here once per
+    // duplicated hash only, but sets are cheap insurance).
+    val starts = ex.join(dup, Seq("h"))
+      .groupBy("id").agg(sort_array(collect_set(col("s"))).as("ss"))
+    // Fold sorted starts into disjoint merged intervals [lo, hi): a new
+    // start s extends the open interval when s <= hi (s strictly
+    // increases, so the extended hi is always s + w).
+    val zero = array().cast("array<struct<lo:long,hi:long>>")
+    val iv = aggregate(col("ss"), zero, (acc, s) => {
+      val sl = s.cast("long")
+      val last = element_at(acc, -1)
+      when(size(acc) > 0 && last.getField("hi") >= sl,
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(last.getField("lo").as("lo"),
+            (sl + w).as("hi")))))
+        .otherwise(concat(acc,
+          array(struct(sl.as("lo"), (sl + w).as("hi")))))
+    })
+    val withIv = base.join(starts, Seq("id"), "left")
+      .withColumn("ss", coalesce(col("ss"), array().cast("array<int>")))
+      .withColumn("iv", iv)
+    val kept = filter(col("toks"), (t, i) =>
+      !exists(col("iv"), v =>
+        v.getField("lo") <= i && i < v.getField("hi")))
+    withIv
+      .withColumn("kept", kept)
+      .select(col("id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
   // --------------------------------------------------------------- P5+
   /**
    * SemDeDup — semantic deduplication (Abbas et al. 2023, "SemDeDup:

@@ -134,6 +134,39 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(r(0).getAs[Double]("dup_window_frac") - 2.0 / 6.0) < 1e-6)
   }
 
+  test("spanDedupApply excises covered tokens and leaves the rest in order") {
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens
+    val docs = Seq(
+      (1L, s"intro words here $shared tail"),
+      (2L, s"$shared completely different ending follows now"),
+      (3L, "alpha beta gamma unrelated continuation of words here today"),
+      (4L, "nothing in common with anybody else at all")
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanDedupApply(docs, w = 5).orderBy("id").collect()
+    // the shared run's 2 dup windows each cover [s, s+5) and merge into
+    // one 6-token interval; everything outside survives in order
+    assert(r(0).getAs[String]("clean_text") == "intro words here tail")
+    assert(r(0).getAs[Long]("n_removed") == 6L)
+    assert(r(1).getAs[String]("clean_text") ==
+      "completely different ending follows now")
+    assert(r(2).getAs[Long]("n_removed") == 0L)
+    assert(r(3).getAs[String]("clean_text") ==
+      "nothing in common with anybody else at all")
+  }
+
+  test("spanDedupApply removes a fully-duplicated doc to empty text") {
+    val t = "one two three four five six seven eight nine ten"
+    val docs = Seq((1L, t), (2L, t), (3L, "unique standalone content here today"))
+      .toDF("doc_id", "text")
+    val r = Dedup.spanDedupApply(docs, w = 5).orderBy("id").collect()
+    // every window of docs 1/2 is duplicated -> ONE merged interval
+    // covering all 10 tokens; doc 3 is untouched
+    assert(r(0).getAs[String]("clean_text") == "")
+    assert(r(0).getAs[Long]("n_removed") == 10L)
+    assert(r(1).getAs[String]("clean_text") == "")
+    assert(r(2).getAs[Long]("n_removed") == 0L)
+  }
+
   test("semDedup drops within-cluster near-dups keep-first, across-cluster dups survive") {
     // 0/1 near-identical (same cluster whatever the quantizer does);
     // 2 orthogonal to both; 3 the negation of 0 (cosine -1, same or

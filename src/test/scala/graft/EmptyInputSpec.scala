@@ -104,6 +104,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.unigramScore(emptyDocs).count() == 0)
     assert(Dedup.paragraphDedup(emptyDocs).count() == 0)
     assert(Dedup.dupSpans(emptyDocs).count() == 0)
+    assert(Dedup.spanDedupApply(emptyDocs).count() == 0)
   }
 
   test("text analysis and sessionization on empty inputs") {
