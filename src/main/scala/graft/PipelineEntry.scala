@@ -446,6 +446,25 @@ object PipelineEntry {
           lit(" " + DupSpanPlant)).otherwise(lit("")))), w = DupSpanW)
         .orderBy("id")),
 
+    // P1+++, key p49_incremental_dedup — continual-refresh exact dedup:
+    // corpus = doc_id % 3 != 0; batch = the rest, with every 6th doc's
+    // text replaced by its corpus neighbor (planted cross-corpus dup)
+    // and every 30th re-appended under a shifted id (within-batch dup).
+    "p49_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d.where(col("doc_id") % 3 =!= 0)
+      val planted = d.where(col("doc_id") % 3 === 0).as("b")
+        .join(d.select(col("doc_id").as("nid"), col("text").as("ntext")),
+          col("nid") === col("b.doc_id") + 1, "left")
+        .select(col("b.doc_id").as("doc_id"),
+          when(col("b.doc_id") % 6 === 0,
+            coalesce(col("ntext"), col("b.text")))
+            .otherwise(col("b.text")).as("text"))
+      val batch = planted.unionAll(planted.where(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.incrementalExact(corpus, batch).orderBy("id")
+    }),
+
     // P10+, key p41_bpe — real BPE subword tokenization: merges trained
     // on the first 32 docs, corpus segmented by the native bpe_encode
     // expression in one scan. The oracle re-derives the SAME merges as a
@@ -1463,6 +1482,25 @@ fx AS (SELECT tok.doc_id, tk,
 SELECT doc_id AS id, len(tk)::BIGINT AS n_tokens,
   (len(tk) - len(kept))::BIGINT AS n_removed,
   coalesce(array_to_string(kept, ' '), '') AS clean_text
+FROM fx ORDER BY id""",
+
+    "p49_incremental_dedup" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0),
+planted AS (SELECT b.doc_id,
+    CASE WHEN b.doc_id % 6 = 0 THEN coalesce(n.text, b.text)
+         ELSE b.text END AS text
+  FROM documents b LEFT JOIN documents n ON n.doc_id = b.doc_id + 1
+  WHERE b.doc_id % 3 = 0),
+batch AS (SELECT * FROM planted
+  UNION ALL SELECT doc_id + 1000000, text FROM planted WHERE doc_id % 30 = 0),
+ch AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+bh AS (SELECT doc_id AS id, md5(text) AS h FROM batch),
+fx AS (SELECT id, h IN (SELECT h FROM ch) AS in_corpus,
+    row_number() OVER (PARTITION BY h ORDER BY id) > 1 AS batch_dup
+  FROM bh)
+SELECT id, in_corpus, batch_dup,
+  (NOT in_corpus AND NOT batch_dup) AS kept
 FROM fx ORDER BY id""",
 
     "p41_bpe" -> {

@@ -101,6 +101,40 @@ object Dedup {
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id").as(idCol), col("content_hash"), col("n_dups"))
 
+  /**
+   * Incremental (cross-corpus) exact dedup — the production
+   * continual-refresh shape: a NEW batch arrives and must be deduped
+   * against the already-curated corpus AND against itself, without ever
+   * re-deduping the corpus. A batch document survives iff its content
+   * hash (a) does not occur anywhere in the corpus and (b) it is the
+   * minimum-id holder of that hash within the batch.
+   *
+   * Scale shape: the corpus contributes ONLY its distinct 16-byte
+   * hashes (uniform-key aggregation with map-side partials — the
+   * corpus text is never shuffled and never broadcast); the join is
+   * hash-equi on that uniform key, and the within-batch tie-break is a
+   * window partitioned by the same hash, so batch skew equals hash
+   * collision rate (none). At 100 TB the corpus-hash side is the big
+   * relation and Catalyst/AQE picks the join build side from stats —
+   * nothing here assumes the batch fits in memory either.
+   *
+   * Returns one row per batch document:
+   * (id, in_corpus, batch_dup, kept).
+   */
+  def incrementalExact(corpus: DataFrame, batch: DataFrame,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val ch = corpus.select(md5(col(textCol)).as("h")).distinct()
+      .withColumn("hit", lit(true))
+    val bh = batch.select(col(idCol).as("id"), md5(col(textCol)).as("h"))
+    val perHash = Window.partitionBy("h").orderBy("id")
+    bh.withColumn("batch_dup", row_number().over(perHash) > 1)
+      .join(ch, Seq("h"), "left")
+      .withColumn("in_corpus", coalesce(col("hit"), lit(false)))
+      .select(col("id"), col("in_corpus"), col("batch_dup"),
+        (!col("in_corpus") && !col("batch_dup")).as("kept"))
+  }
+
   /** (id, shingles) with DISTINCT n-gram shingles of the lower-cased
    * whitespace tokens. */
   def shingleSets(docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame =

@@ -134,6 +134,24 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(r(0).getAs[Double]("dup_window_frac") - 2.0 / 6.0) < 1e-6)
   }
 
+  test("incrementalExact drops corpus hits and within-batch dups, keeps the rest") {
+    val corpus = Seq((10L, "existing doc alpha"), (11L, "existing doc beta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "existing doc alpha"),  // corpus hit -> dropped
+      (2L, "fresh content one"),   // first holder -> kept
+      (3L, "fresh content one"),   // within-batch dup -> dropped
+      (4L, "fresh content two")    // unique -> kept
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalExact(corpus, batch).orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getBoolean(1), x.getBoolean(2), x.getBoolean(3)))
+    assert(r.toSeq == Seq(
+      (1L, true, false, false),
+      (2L, false, false, true),
+      (3L, false, true, false),
+      (4L, false, false, true)))
+  }
+
   test("spanDedupApply excises covered tokens and leaves the rest in order") {
     val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens
     val docs = Seq(
