@@ -34,6 +34,16 @@ object PipelineEntry {
     "distant icy hill while ships sail slowly past the quiet harbor " +
     "under pale morning light carrying spices and silk"
 
+  /** p50's planted duplicate paragraph: one 56-word prose line ending in
+   * terminal punctuation, so it passes the line filter AND the Gopher
+   * thresholds (stop hits 'the'/'a', mean word len ~3.9, all-alpha) —
+   * every 25th doc becomes this text and the final dedup stage collapses
+   * the survivors to one keep-min-id row. */
+  private val PipeDupPlantRep = "the quick brown fox jumps over a lazy " +
+    "dog near the river bank today"
+  private val PipeDupPlant =
+    s"$PipeDupPlantRep $PipeDupPlantRep $PipeDupPlantRep $PipeDupPlantRep."
+
   /** BPE (p41) parameters, shared between the Scala call and the
    * oracle's generated merge-derivation CTE chain. */
   private val BpeMerges = 12
@@ -464,6 +474,28 @@ object PipelineEntry {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Dedup.incrementalExact(corpus, batch).orderBy("id")
     }),
+
+    // Flagship end-to-end key p50_curation_pipeline — the WHOLE curation
+    // chain as one composed operator in production order: line filter
+    // (+C4 doc drops) → clean → redact → Gopher keep → exact dedup.
+    // Plants exercise every stage: dup paragraph (%25, collapses in the
+    // final dedup), lorem/braces drops (%10/%7), a PII line that
+    // SURVIVES the line filter (%4), and the p43 line-filter fodder.
+    "p50_curation_pipeline" -> ((s, dir) =>
+      Corpus.curationPipeline(docs(s, dir).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 25 === 0, lit(PipeDupPlant))
+            .otherwise(concat(col("text"), lit("."))),
+          lit("\nshort line\nThis line has exactly enough words to pass."),
+          when(col("doc_id") % 10 === 0,
+            lit("\nlorem ipsum dolor sit amet consectetur.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nfunction() { var x = 1; }")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("\nReach me at u"), col("doc_id").cast("string"),
+              lit("@example.com or 555-123-4567 today please.")))
+            .otherwise(lit(""))).as("text")),
+        stopwords = Seq("the", "a")).orderBy("id")),
 
     // P10+, key p41_bpe — real BPE subword tokenization: merges trained
     // on the first 32 docs, corpus segmented by the native bpe_encode
@@ -1502,6 +1534,60 @@ fx AS (SELECT id, h IN (SELECT h FROM ch) AS in_corpus,
 SELECT id, in_corpus, batch_dup,
   (NOT in_corpus AND NOT batch_dup) AS kept
 FROM fx ORDER BY id""",
+
+    // CTE chain assembled from the verified stage twins (p32 line
+    // filter, p23 clean, p24 redact, p35 gopher, p01 dedup) in the same
+    // production order as Corpus.curationPipeline.
+    "p50_curation_pipeline" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+planted AS (SELECT doc_id,
+    CASE WHEN doc_id % 25 = 0 THEN '$PipeDupPlant' ELSE text || '.' END
+    || chr(10) || 'short line' || chr(10)
+    || 'This line has exactly enough words to pass.'
+    || CASE WHEN doc_id % 10 = 0
+         THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+         THEN chr(10) || 'function() { var x = 1; }' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+         THEN chr(10) || 'Reach me at u' || doc_id
+           || '@example.com or 555-123-4567 today please.' ELSE '' END AS text
+  FROM documents),
+kx AS (SELECT doc_id, text,
+    list_filter(string_split(text, chr(10)),
+      l -> len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+        AND substring(trim(l), length(trim(l)), 1) IN ('.', '!', '?', '"')) AS ks
+  FROM planted),
+fx AS (SELECT doc_id, array_to_string(ks, chr(10)) AS ft FROM kx
+  WHERE NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+    AND len(ks) > 0),
+cl AS (SELECT doc_id, trim(regexp_replace(regexp_replace(ft,
+    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+    '\\s+', ' ', 'g')) AS ct FROM fx),
+rd AS (SELECT doc_id, regexp_replace(regexp_replace(ct,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS rt FROM cl),
+b AS (SELECT doc_id, rt, string_split_regex(lower(trim(rt)), '\\s+') AS t,
+    string_split(rt, chr(10)) AS ls FROM rd),
+m AS (SELECT doc_id, rt, len(t)::BIGINT AS n_words,
+  list_reduce(list_transform(t, w -> len(w)), (a,b) -> a+b)::DOUBLE / len(t) AS mwl,
+  len(regexp_extract_all(rt, '#|\\.\\.\\.|…'))::DOUBLE / len(t) AS sym,
+  len(list_filter(ls, l -> substring(trim(l),1,1) IN ('•','-','*')))::DOUBLE
+    / len(ls) AS bf,
+  len(list_filter(ls, l -> trim(l) LIKE '%...' OR trim(l) LIKE '%…'))::DOUBLE
+    / len(ls) AS ef,
+  len(list_filter(t, w -> regexp_matches(w, '[a-z]')))::DOUBLE / len(t) AS af,
+  len(list_filter(['the','a'], w -> list_contains(t, w)))::BIGINT AS sh
+  FROM b),
+p AS (SELECT doc_id, rt, n_words FROM m
+  WHERE n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+    AND sym <= 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8 AND sh >= 2),
+d AS (SELECT doc_id, md5(rt) AS h, rt, n_words,
+    row_number() OVER (PARTITION BY md5(rt) ORDER BY doc_id) AS rn,
+    count(*) OVER (PARTITION BY md5(rt)) AS nd
+  FROM p)
+SELECT doc_id AS id, h AS content_hash, n_words AS n_tokens,
+  nd::BIGINT AS n_dups, rt AS final_text
+FROM d WHERE rn = 1 ORDER BY id""",
 
     "p41_bpe" -> {
       // One stage per merge: count adjacent symbol pairs over the

@@ -308,6 +308,55 @@ object Corpus {
           .as("contamination_ub"))
   }
 
+  /**
+   * The full curation pipeline as ONE composed operator — the flagship
+   * end-to-end shape a training-data build actually runs, in the real
+   * production order:
+   *
+   *   1. C4 line filter (line-level prose heuristics; needs the raw
+   *      line structure, so it runs FIRST), dropping documents the C4
+   *      doc-level signals flag (lorem-ipsum placeholder, leaked code
+   *      braces) or that lose every line;
+   *   2. character cleaning (control chars, whitespace collapse);
+   *   3. PII redaction (emails/phones to typed placeholders);
+   *   4. Gopher document-quality rules on the redacted text, keeping
+   *      passing docs — `passthrough` carries the text so no re-join;
+   *   5. exact dedup of the final text, keep-min-id.
+   *
+   * Stages 1-4 are narrow projections that fuse into a SINGLE scan
+   * (gopherRules' passthrough is what avoids a metrics-to-text re-join
+   * on id); stage 5 is the pipeline's ONLY exchange — one window over
+   * the uniform 16-byte content hash (keep-min-id + group size in the
+   * same partitioning). Whole pipeline at 100 TB: one pass over the
+   * corpus plus one hash-keyed shuffle of the survivors.
+   *
+   * Returns one row per surviving document:
+   * (id, content_hash, n_tokens, n_dups, final_text).
+   */
+  def curationPipeline(docs: DataFrame, minWords: Int = 50,
+                       stopwords: Seq[String] = TextAnalysis.GopherStopwords,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val lf = TextAnalysis.lineFilter(docs, textCol = textCol, idCol = idCol)
+      .where(!col("has_lorem") && !col("has_braces") && col("n_kept") > 0)
+    val cl = TextAnalysis.cleaned(lf, textCol = "filtered_text", idCol = "id")
+    val rd = TextAnalysis.redacted(cl, textCol = "clean_text", idCol = "id")
+    val gp = TextAnalysis.gopherRules(rd, minWords = minWords,
+      stopwords = stopwords, textCol = "redacted_text", idCol = "id",
+      passthrough = Seq("redacted_text"))
+    val q = gp.where(col("passes"))
+      .select(col("id"), col("redacted_text").as("final_text"),
+        col("n_words").as("n_tokens"))
+      .withColumn("content_hash", md5(col("final_text")))
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash")
+    q.withColumn("rn", row_number().over(byHash.orderBy("id")))
+      .withColumn("n_dups", count(lit(1)).over(byHash))
+      .where(col("rn") === 1)
+      .select(col("id"), col("content_hash"), col("n_tokens"),
+        col("n_dups"), col("final_text"))
+  }
+
   /** Per-pack fill summary over packSequences output — the shape a
    * packing-efficiency report reads (docs per pack, fill vs budget). */
   def packStats(packed: DataFrame): DataFrame =

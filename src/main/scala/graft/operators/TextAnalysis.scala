@@ -202,23 +202,30 @@ object TextAnalysis {
    * Scale shape: one narrow per-row scan — split/filter/aggregate over
    * the token and line arrays, no explode, no shuffle, codegen'd.
    * Output: (id, n_words, mean_word_len, symbol_ratio, bullet_frac,
-   * ellipsis_frac, alpha_frac, stop_hits, passes).
+   * ellipsis_frac, alpha_frac, stop_hits, passes[, passthrough...]).
+   *
+   * `passthrough` names input columns carried unchanged into the
+   * output — what lets a composed pipeline (Corpus.curationPipeline)
+   * keep the verdict AND the text in ONE fused scan instead of
+   * re-joining the metrics frame back to its own input on id.
    */
   def gopherRules(docs: DataFrame, minWords: Int = 50, maxWords: Int = 100000,
                   minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
                   maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
                   maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
                   minStopHits: Int = 2, stopwords: Seq[String] = GopherStopwords,
-                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                  textCol: String = "text", idCol: String = "doc_id",
+                  passthrough: Seq[String] = Nil): DataFrame = {
     val text = col(textCol)
     val nW = col("n_words").cast("double")
     val nL = size(col("ls")).cast("double")
+    val pt = passthrough.map(col)
     docs
-      .select(col(idCol).as("id"), text.as("text"),
-        TF.tokens(text).as("toks"), split(text, "\n").as("ls"))
-      .select(col("id"), col("text"), col("toks"), col("ls"),
-        size(col("toks")).cast("long").as("n_words"))
-      .select(col("id"), col("n_words"),
+      .select(Seq(col(idCol).as("id"), text.as("text"),
+        TF.tokens(text).as("toks"), split(text, "\n").as("ls")) ++ pt: _*)
+      .select(Seq(col("id"), col("text"), col("toks"), col("ls"),
+        size(col("toks")).cast("long").as("n_words")) ++ pt: _*)
+      .select(Seq(col("id"), col("n_words"),
         (aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
           .cast("double") / nW).as("mean_word_len"),
         (size(regexp_extract_all(col("text"), lit("#|\\.\\.\\.|…"), lit(0)))
@@ -230,8 +237,8 @@ object TextAnalysis {
         (size(filter(col("toks"), t => t.rlike("[a-z]")))
           .cast("double") / nW).as("alpha_frac"),
         size(filter(typedLit(stopwords), w => array_contains(col("toks"), w)))
-          .cast("long").as("stop_hits"))
-      .select(col("id"), col("n_words"),
+          .cast("long").as("stop_hits")) ++ pt: _*)
+      .select(Seq(col("id"), col("n_words"),
         round(col("mean_word_len"), 6).as("mean_word_len"),
         round(col("symbol_ratio"), 6).as("symbol_ratio"),
         round(col("bullet_frac"), 6).as("bullet_frac"),
@@ -244,7 +251,7 @@ object TextAnalysis {
           col("bullet_frac") <= maxBulletFrac &&
           col("ellipsis_frac") <= maxEllipsisFrac &&
           col("alpha_frac") >= minAlphaFrac &&
-          col("stop_hits") >= minStopHits).as("passes"))
+          col("stop_hits") >= minStopHits).as("passes")) ++ pt: _*)
   }
 
   /**

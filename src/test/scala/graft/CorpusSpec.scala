@@ -212,4 +212,25 @@ class CorpusSpec extends SparkSpec {
     // doc 16 starts at cum 130 -> pack 2 (the oversized doc consumed pack 1)
     assert(packed.toSeq == Seq((0L, 0L), (8L, 0L), (16L, 2L)))
   }
+
+  test("curationPipeline: drops, redacts, and dedups across the full chain") {
+    // a 56-word prose line that clears every Gopher threshold
+    val rep = "the quick brown fox jumps over a lazy dog near the river bank today"
+    val base = s"$rep $rep $rep $rep."
+    val pipeDocs = Seq(
+      (1L, base + "\ntiny"),                                      // survives; dup group rep
+      (2L, base),                                                 // identical final text -> dropped
+      (3L, base + "\nlorem ipsum dolor sit amet consectetur."),   // C4 doc drop
+      (4L, "too short a line here today."),                       // fails Gopher minWords
+      (5L, base.dropRight(1) +
+        " contact bob@example.com or 555-123-4567 today please.") // PII redacted
+    ).toDF("doc_id", "text")
+    val r = Corpus.curationPipeline(pipeDocs, stopwords = Seq("the", "a"))
+      .orderBy("id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 5L))
+    assert(r(0).getAs[Long]("n_dups") == 2L) // docs 1 and 2 collapsed
+    val t5 = r(1).getAs[String]("final_text")
+    assert(t5.contains("<EMAIL>") && t5.contains("<PHONE>"))
+    assert(!t5.contains("bob@") && !t5.contains("555-123-4567"))
+  }
 }

@@ -280,6 +280,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pd.contains("SortMergeJoin") && !pd.contains("CartesianProduct"))
   }
 
+  test("full curation pipeline: stages 1-4 fuse, the dedup window is the only exchange") {
+    // line filter -> clean -> redact -> gopher(passthrough) are narrow
+    // projections over ONE scan; gopherRules' passthrough is what keeps
+    // the text in-plan (a metrics-to-text re-join on id would show up
+    // here as a second exchange + join). The keep-min-id window over the
+    // content hash is the pipeline's single shuffle.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(graft.operators.Corpus.curationPipeline(docs))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"curation pipeline shuffle count changed:\n$p")
+    assert(!p.contains("Join"), s"curation pipeline gained a join:\n$p")
+  }
+
   test("residual IVFPQ encode runs ONCE per corpus row (no inferred-filter re-inline)") {
     // The probe-list join infers isnotnull on the corpus-side centroid_id
     // and would push it below the encode projection, re-inlining the full
