@@ -120,6 +120,26 @@ object PipelineEntry {
     spread(s.read.parquet(s"$dir/documents.parquet"))
   private def embs(s: SparkSession, dir: String): DataFrame =
     spread(s.read.parquet(s"$dir/embeddings.parquet"))
+
+  /** Shared corpus/batch split for the incremental-dedup keys (p49,
+   * p51): corpus = doc_id % 3 != 0; batch = the rest, with every 6th
+   * doc's text replaced by its corpus neighbor (planted cross-corpus
+   * dup) and every 30th re-appended under a shifted id (within-batch
+   * dup). Mirrored verbatim in `IncrementalFixtureSql`. */
+  private def incrementalFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val corpus = d.where(col("doc_id") % 3 =!= 0)
+    val planted = d.where(col("doc_id") % 3 === 0).as("b")
+      .join(d.select(col("doc_id").as("nid"), col("text").as("ntext")),
+        col("nid") === col("b.doc_id") + 1, "left")
+      .select(col("b.doc_id").as("doc_id"),
+        when(col("b.doc_id") % 6 === 0,
+          coalesce(col("ntext"), col("b.text")))
+          .otherwise(col("b.text")).as("text"))
+    val batch = planted.unionAll(planted.where(col("doc_id") % 30 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    (corpus, batch)
+  }
   /** The events parquet stores ts as TIMESTAMP(NANOS), which Spark's
    * vectorized reader rejects; read nanos as long and floor to micros
    * (DuckDB's reader does the same truncation). */
@@ -461,18 +481,17 @@ object PipelineEntry {
     // text replaced by its corpus neighbor (planted cross-corpus dup)
     // and every 30th re-appended under a shifted id (within-batch dup).
     "p49_incremental_dedup" -> ((s, dir) => {
-      val d = docs(s, dir).select("doc_id", "text")
-      val corpus = d.where(col("doc_id") % 3 =!= 0)
-      val planted = d.where(col("doc_id") % 3 === 0).as("b")
-        .join(d.select(col("doc_id").as("nid"), col("text").as("ntext")),
-          col("nid") === col("b.doc_id") + 1, "left")
-        .select(col("b.doc_id").as("doc_id"),
-          when(col("b.doc_id") % 6 === 0,
-            coalesce(col("ntext"), col("b.text")))
-            .otherwise(col("b.text")).as("text"))
-      val batch = planted.unionAll(planted.where(col("doc_id") % 30 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val (corpus, batch) = incrementalFixture(s, dir)
       Dedup.incrementalExact(corpus, batch).orderBy("id")
+    }),
+
+    // P3+, key p51_incremental_neardup — the same continual-refresh
+    // split under MinHash+LSH similarity: exact copies hit all 4 bands;
+    // the generator's ~5% near-dup docs exercise partial-band matches
+    // across the corpus/batch frontier.
+    "p51_incremental_neardup" -> ((s, dir) => {
+      val (corpus, batch) = incrementalFixture(s, dir)
+      Dedup.incrementalNearDup(corpus, batch).orderBy("id")
     }),
 
     // Flagship end-to-end key p50_curation_pipeline — the WHOLE curation
@@ -717,6 +736,19 @@ toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM 
 sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
          i -> array_to_string(list_slice(t, i, i+2), ' '))) AS s
        FROM toks WHERE len(t) >= 3)"""
+
+  /** Oracle twin of `incrementalFixture` (corpus/batch CTEs for p49 and
+   * p51). */
+  private val IncrementalFixtureSql =
+    s"""documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0),
+planted AS (SELECT b.doc_id,
+    CASE WHEN b.doc_id % 6 = 0 THEN coalesce(n.text, b.text)
+         ELSE b.text END AS text
+  FROM documents b LEFT JOIN documents n ON n.doc_id = b.doc_id + 1
+  WHERE b.doc_id % 3 = 0),
+batch AS (SELECT * FROM planted
+  UNION ALL SELECT doc_id + 1000000, text FROM planted WHERE doc_id % 30 = 0)"""
 
   private val embCte =
     s"""emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -1517,15 +1549,7 @@ SELECT doc_id AS id, len(tk)::BIGINT AS n_tokens,
 FROM fx ORDER BY id""",
 
     "p49_incremental_dedup" ->
-      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
-corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0),
-planted AS (SELECT b.doc_id,
-    CASE WHEN b.doc_id % 6 = 0 THEN coalesce(n.text, b.text)
-         ELSE b.text END AS text
-  FROM documents b LEFT JOIN documents n ON n.doc_id = b.doc_id + 1
-  WHERE b.doc_id % 3 = 0),
-batch AS (SELECT * FROM planted
-  UNION ALL SELECT doc_id + 1000000, text FROM planted WHERE doc_id % 30 = 0),
+      s"""WITH $IncrementalFixtureSql,
 ch AS (SELECT DISTINCT md5(text) AS h FROM corpus),
 bh AS (SELECT doc_id AS id, md5(text) AS h FROM batch),
 fx AS (SELECT id, h IN (SELECT h FROM ch) AS in_corpus,
@@ -1534,6 +1558,39 @@ fx AS (SELECT id, h IN (SELECT h FROM ch) AS in_corpus,
 SELECT id, in_corpus, batch_dup,
   (NOT in_corpus AND NOT batch_dup) AS kept
 FROM fx ORDER BY id""",
+
+    // MinHash/banding CTEs are the p03 oracle's, instantiated per side
+    // of the corpus/batch frontier.
+    "p51_incremental_neardup" -> {
+      def side(src: String, p: String): String =
+        s"""${p}t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM $src),
+${p}sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+    i -> array_to_string(list_slice(t, i, i+2), ' '))) AS s
+  FROM ${p}t WHERE len(t) >= 3),
+${p}codes AS (SELECT doc_id,
+    list_distinct(list_transform(s, x -> ('0x' || substring(md5(x),1,8))::BIGINT)) AS d
+  FROM ${p}sh WHERE len(s) > 0),
+${p}sigs AS (SELECT doc_id, $sigSql AS sig FROM ${p}codes),
+${p}band AS (SELECT doc_id, sig, bd,
+    md5(array_to_string(list_slice(sig, bd*4+1, bd*4+4), ',')) AS bh
+  FROM ${p}sigs, range(0,4) r(bd))"""
+      s"""WITH $IncrementalFixtureSql,
+${side("corpus", "c")},
+${side("batch", "b")},
+chit AS (SELECT DISTINCT b.doc_id AS id
+  FROM bband b JOIN cband c ON b.bd = c.bd AND b.bh = c.bh
+  WHERE len(list_filter(range(1,17), i -> b.sig[i] = c.sig[i])) >= 8),
+bhit AS (SELECT DISTINCT b.doc_id AS id
+  FROM bband b JOIN bband a ON b.bd = a.bd AND b.bh = a.bh
+    AND a.doc_id < b.doc_id
+  WHERE len(list_filter(range(1,17), i -> a.sig[i] = b.sig[i])) >= 8)
+SELECT batch.doc_id AS id,
+  batch.doc_id IN (SELECT id FROM chit) AS corpus_dup,
+  batch.doc_id IN (SELECT id FROM bhit) AS batch_dup,
+  (batch.doc_id NOT IN (SELECT id FROM chit)
+    AND batch.doc_id NOT IN (SELECT id FROM bhit)) AS kept
+FROM batch ORDER BY id"""
+    },
 
     // CTE chain assembled from the verified stage twins (p32 line
     // filter, p23 clean, p24 redact, p35 gopher, p01 dedup) in the same

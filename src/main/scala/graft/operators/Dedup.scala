@@ -135,6 +135,75 @@ object Dedup {
         (!col("in_corpus") && !col("batch_dup")).as("kept"))
   }
 
+  /**
+   * Incremental (cross-corpus) NEAR-duplicate dedup — `incrementalExact`
+   * upgraded to MinHash+LSH similarity: a batch document is dropped when
+   * some CORPUS document shares an LSH band and agrees on >= `minAgree`
+   * of the k signature components (the unbiased Jaccard estimate), or
+   * when a SMALLER-ID batch document does. The corpus is never
+   * re-deduped and never self-joined.
+   *
+   * Scale shape: the corpus contributes one (band, band_hash, sig) row
+   * per band — k longs and a hash per document, never text — and the
+   * batch-vs-corpus join is band-hash-equi exactly like the in-corpus
+   * LSH (`minhashLshPairs`): cost is O(collisions), not |corpus|×|batch|.
+   * Batch signatures are materialized once (they feed the corpus join
+   * AND the within-batch self-join). Documents with no shingles (< n
+   * tokens) have no signature and are kept — too short to near-match.
+   *
+   * Drop rule note: a batch doc duplicating an already-dropped batch doc
+   * is still dropped (the rule is "near-dup of ANY smaller-id batch
+   * doc", not "of a surviving one") — deterministic and
+   * transitive-closure-free, the same convention as `minhashLshPairs`
+   * consumers.
+   *
+   * Returns one row per batch document:
+   * (id, corpus_dup, batch_dup, kept).
+   */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame, k: Int = 16,
+                         bands: Int = 4, shingleN: Int = 3, minAgree: Int = 8,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val r = k / bands
+    require(bands * r == k, s"bands ($bands) must divide k ($k)")
+    def sigsOf(df: DataFrame): DataFrame =
+      shingleSets(df, shingleN, textCol, idCol)
+        .where(size(col("shingles")) > 0)
+        .select(col("id"), HE.shingleMinhash(col("shingles"), k).as("sig"))
+    def bandedOf(sigs: DataFrame): DataFrame =
+      sigs.select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+        .withColumn("band_hash", md5(concat_ws(",",
+          transform(slice(col("sig"), col("band") * r + 1, lit(r)),
+            _.cast("string")))))
+    def agree(a: Column, b: Column): Column =
+      size(filter(sequence(lit(0), lit(k - 1)),
+        i => element_at(a, i + 1) === element_at(b, i + 1)))
+    // corpus side has ONE consumer — no materialization needed; the
+    // batch side feeds two joins, so its signatures persist with stats.
+    val cb = bandedOf(sigsOf(corpus))
+    val bb = bandedOf(SelfJoinMaterialize(sigsOf(batch)))
+    val corpusHit = bb
+      .join(cb.select(col("band"), col("band_hash"), col("sig").as("csig")),
+        Seq("band", "band_hash"))
+      .where(agree(col("sig"), col("csig")) >= minAgree)
+      .select("id").distinct().withColumn("chit", lit(true))
+    val batchHit = bb.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+      .join(bb.select(col("band"), col("band_hash"),
+        col("id").as("id_a"), col("sig").as("sig_a")), Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b") &&
+        agree(col("sig_a"), col("sig_b")) >= minAgree)
+      .select(col("id_b").as("id")).distinct().withColumn("bhit", lit(true))
+    batch.select(col(idCol).as("id"))
+      .join(corpusHit, Seq("id"), "left")
+      .join(batchHit, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("chit"), lit(false)).as("corpus_dup"),
+        coalesce(col("bhit"), lit(false)).as("batch_dup"))
+      .withColumn("kept", !col("corpus_dup") && !col("batch_dup"))
+  }
+
   /** (id, shingles) with DISTINCT n-gram shingles of the lower-cased
    * whitespace tokens. */
   def shingleSets(docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame =

@@ -152,6 +152,30 @@ class DedupSpec extends SparkSpec {
       (4L, false, false, true)))
   }
 
+  test("incrementalNearDup flags near matches across the corpus frontier, not unrelated docs") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "totally separate corpus content about query engines and planners")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup of corpus 10
+      // 2/3 differ only in the final token of a 14-token sentence
+      // (jaccard 11/13): high enough that the fixed hash family bands
+      // them together — LSH recall is probabilistic in general, so the
+      // fixture leans far inside the collision curve
+      (2L, "fresh unrelated words describing storage formats and codecs used by modern analytics engines today"),
+      (3L, "fresh unrelated words describing storage formats and codecs used by modern analytics engines now"), // near-dup of batch 2
+      (4L, "nothing like anything else in either collection at all")
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalNearDup(corpus, batch).orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getBoolean(1), x.getBoolean(2), x.getBoolean(3)))
+    assert(r.toSeq == Seq(
+      (1L, true, false, false),
+      (2L, false, false, true),
+      (3L, false, true, false),
+      (4L, false, false, true)))
+  }
+
   test("spanDedupApply excises covered tokens and leaves the rest in order") {
     val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens
     val docs = Seq(
