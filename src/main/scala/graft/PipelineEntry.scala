@@ -241,6 +241,13 @@ object PipelineEntry {
           col("cum_tokens"), col("pack_id"))
         .orderBy("doc_id")),
 
+    // P20+, key p52_pack_stats — the packing-efficiency report over
+    // p21's packed corpus: docs per pack, fill vs the token budget.
+    "p52_pack_stats" -> ((s, dir) =>
+      Corpus.packStats(
+        Corpus.packSequences(docs(s, dir), maxTokens = 512, nShards = 8))
+        .orderBy("shard", "pack_id")),
+
     // P17 — IVF-flat ANN with a TRAINED coarse quantizer: deterministic
     // k-means (2 fixed iterations over the first 256 vectors, ordered
     // folds) — better list balance than raw sampled centroids, still
@@ -1094,6 +1101,21 @@ c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
 SELECT doc_id, shard, n_tokens, cum_tokens,
        (cum_tokens - n_tokens) // 512 AS pack_id
 FROM c ORDER BY doc_id""",
+
+    "p52_pack_stats" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+t AS (SELECT doc_id, doc_id % 8 AS shard,
+        len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))::BIGINT
+          AS n_tokens
+      FROM documents),
+c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM t),
+p AS (SELECT shard, (cum_tokens - n_tokens) // 512 AS pack_id,
+        doc_id, n_tokens FROM c)
+SELECT shard, pack_id, count(*)::BIGINT AS n_docs,
+  sum(n_tokens)::BIGINT AS pack_tokens,
+  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id""",
 
     "p17_ann_ivf" ->
       s"""WITH $embCte,
