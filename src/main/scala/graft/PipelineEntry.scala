@@ -483,6 +483,44 @@ object PipelineEntry {
           lit(" " + DupSpanPlant)).otherwise(lit("")))), w = DupSpanW)
         .orderBy("id")),
 
+    // P15+/P1+++, key p53_streaming_incremental — the continual-refresh
+    // frontier AS A STREAM: new documents arrive continuously and are
+    // checked against the static curated corpus by a stream-static
+    // hash-equi join (the production continuous-ingestion filter; the
+    // corpus side again contributes only distinct hashes). Within-batch
+    // dedup is omitted by design — it is arrival-order-dependent under
+    // streaming, while corpus membership is order-free, so THIS is the
+    // exactly-reproducible projection of p49 (same fixture, same
+    // in_corpus values, hash-matched to a batch-derived oracle).
+    "p53_streaming_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val (streamDir, tag) = streamingDocsDir(dir)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(streamDir)
+        .select("doc_id", "text")
+      val staticD = docs(s, dir)
+        .select(col("doc_id").as("nid"), col("text").as("ntext"))
+      val corpusHashes = docs(s, dir).where(col("doc_id") % 3 =!= 0)
+        .select(md5(col("text")).as("h")).distinct()
+        .withColumn("hit", lit(true))
+      val planted = stream.where(col("doc_id") % 3 === 0).as("b")
+        .join(staticD, col("nid") === col("b.doc_id") + 1, "left")
+        .select(col("b.doc_id").as("doc_id"),
+          when(col("b.doc_id") % 6 === 0,
+            coalesce(col("ntext"), col("b.text")))
+            .otherwise(col("b.text")).as("text"))
+      val batch = planted.unionAll(planted.where(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val out = batch.select(col("doc_id").as("id"), md5(col("text")).as("h"))
+        .join(corpusHashes, Seq("h"), "left")
+        .select(col("id"), coalesce(col("hit"), lit(false)).as("in_corpus"))
+      val name = "p53_incr_" + tag
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("id")
+    }),
+
     // P1+++, key p49_incremental_dedup — continual-refresh exact dedup:
     // corpus = doc_id % 3 != 0; batch = the rest, with every 6th doc's
     // text replaced by its corpus neighbor (planted cross-corpus dup)
@@ -1580,6 +1618,12 @@ fx AS (SELECT id, h IN (SELECT h FROM ch) AS in_corpus,
 SELECT id, in_corpus, batch_dup,
   (NOT in_corpus AND NOT batch_dup) AS kept
 FROM fx ORDER BY id""",
+
+    "p53_streaming_incremental" ->
+      s"""WITH $IncrementalFixtureSql,
+ch AS (SELECT DISTINCT md5(text) AS h FROM corpus)
+SELECT doc_id AS id, md5(text) IN (SELECT h FROM ch) AS in_corpus
+FROM batch ORDER BY id""",
 
     // MinHash/banding CTEs are the p03 oracle's, instantiated per side
     // of the corpus/batch frontier.
