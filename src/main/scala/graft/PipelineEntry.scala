@@ -579,6 +579,19 @@ object PipelineEntry {
     "p37_unigram" -> ((s, dir) =>
       TextAnalysis.unigramScore(docs(s, dir), vocabSize = 24).orderBy("id")),
 
+    // P31+, key p55_bigram — the bigram rung of the LM-quality ladder;
+    // small V (like p37) keeps the literal map tight and exercises OOV.
+    "p55_bigram" -> ((s, dir) =>
+      TextAnalysis.bigramScore(docs(s, dir), vocabSize = 24).orderBy("id")),
+
+    // P19+, key p54_weighted_sample — deterministic importance sampling:
+    // acceptance probability = the doc's own p09 quality score, decided
+    // by the portable id-hash (no RNG; every decision reproducible and
+    // stable under corpus growth).
+    "p54_weighted_sample" -> ((s, dir) =>
+      Corpus.qualityWeightedSample(TextAnalysis.quality(docs(s, dir)),
+        weightCol = "quality_score", idCol = "id").orderBy("id")),
+
     // P30, key p35_gopher — Gopher document-quality rules over input
     // with planted rule-triggers (bullet lists every 8th doc, ellipsis
     // lines every 9th, symbol spam every 10th — mirrored in the oracle);
@@ -1783,6 +1796,56 @@ SELECT doc_id AS id, len(t)::BIGINT AS n_tokens,
       list_transform(t, x -> coalesce(m[x][1], 0.0)), (a,b) -> a+b)
     / len(t), 9) AS avg_freq
 FROM tok, vm ORDER BY id""",
+
+    "p55_bigram" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+bg AS (SELECT doc_id, list_transform(range(1, len(t)),
+         i -> array_to_string(list_slice(t, i, i+1), ' ')) AS gs
+       FROM tok WHERE len(t) >= 2),
+cnt AS (SELECT g, count(*)::BIGINT AS c
+        FROM (SELECT unnest(gs) AS g FROM bg) GROUP BY g),
+tot AS (SELECT sum(c)::BIGINT AS total FROM cnt),
+topv AS (SELECT g, c FROM cnt ORDER BY c DESC, g LIMIT 24),
+vm AS (SELECT map(list(g ORDER BY c DESC, g),
+         list(c::DOUBLE / (SELECT total FROM tot) ORDER BY c DESC, g)) AS m
+       FROM topv)
+SELECT doc_id AS id, len(gs)::BIGINT AS n_bigrams,
+  len(list_filter(gs, x -> m[x][1] IS NULL))::BIGINT AS n_oov,
+  round(len(list_filter(gs, x -> m[x][1] IS NULL))::DOUBLE / len(gs), 6)
+    AS oov_frac,
+  round(list_reduce([0.0]::DOUBLE[] ||
+      list_transform(gs, x -> coalesce(m[x][1], 0.0)), (a,b) -> a+b)
+    / len(gs), 9) AS avg_freq
+FROM bg, vm ORDER BY id""",
+
+    "p54_weighted_sample" -> {
+      val stop = graft.functions.TextFunctions.DefaultStopwords("en")
+        .map("'" + _ + "'").mkString(", ")
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+base AS (
+  SELECT doc_id AS id, length(text)::BIGINT AS n_chars,
+         string_split_regex(lower(trim(text)), '\\s+') AS t,
+         length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::BIGINT AS punct
+  FROM documents),
+m AS (
+  SELECT id,
+    list_reduce([0]::BIGINT[] || list_transform(t, x -> length(x)::BIGINT),
+      (a,b) -> a+b)::DOUBLE / len(t)::DOUBLE AS mean_len,
+    punct::DOUBLE / n_chars::DOUBLE AS punct_ratio,
+    len(list_filter(t, x -> list_contains([$stop], x)))::DOUBLE / len(t)::DOUBLE
+      AS stop_ratio
+  FROM base),
+w AS (SELECT id,
+    round(least(1.0, greatest(0.0,
+      round(GREATEST(0.0, 1.0 - abs(mean_len - 5.0) / 10.0
+        - punct_ratio * 2.0 + stop_ratio * 0.5), 6))), 6) AS weight,
+    ('0x' || substring(md5(id::VARCHAR), 1, 8))::BIGINT % 1000003 AS hm
+  FROM m)
+SELECT id, weight FROM w
+WHERE hm::DOUBLE < weight * 1000003 ORDER BY id"""
+    },
 
     // p45 is the SAME chain drained through Structured Streaming — one
     // oracle, two keys: matching hashes prove batch and streaming agree.

@@ -309,6 +309,34 @@ object Corpus {
   }
 
   /**
+   * Quality-WEIGHTED deterministic sampling — the importance-sampling
+   * complement of `stratifiedSample`: each document's acceptance
+   * probability is its own quality weight (clamped to [0, 1]), decided
+   * by the same portable id-hash used everywhere else, so the sample is
+   * exactly reproducible at any scale and in any engine — no RNG, no
+   * seed plumbing, and re-running on a grown corpus keeps every
+   * previous decision (documents are accepted/rejected independently).
+   * This is the CCNet-style "keep good text with high probability,
+   * tail-sample the rest" curation step as a pure filter.
+   *
+   * Scale shape: one narrow scan — the weight expression and the hash
+   * threshold fuse into the input's projection; no shuffle, no state.
+   *
+   * Returns surviving rows: (id, weight).
+   */
+  def qualityWeightedSample(docs: DataFrame,
+                            weightCol: String = "quality_score",
+                            hashMod: Long = 1000003L,
+                            idCol: String = "doc_id"): DataFrame = {
+    val w = round(least(lit(1.0), greatest(lit(0.0), col(weightCol))), 6)
+    docs
+      .select(col(idCol).as("id"), w.as("weight"),
+        (idHash(col(idCol)) % hashMod).as("hm"))
+      .where(col("hm").cast("double") < col("weight") * hashMod)
+      .select("id", "weight")
+  }
+
+  /**
    * The full curation pipeline as ONE composed operator — the flagship
    * end-to-end shape a training-data build actually runs, in the real
    * production order:

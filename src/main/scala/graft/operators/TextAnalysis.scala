@@ -300,6 +300,50 @@ object TextAnalysis {
   }
 
   /**
+   * P31+ — BIGRAM-frequency quality scoring: one rung up the LM-quality
+   * ladder from `unigramScore` toward CCNet's 5-gram KenLM (Wenzek et
+   * al. 2020). A document whose adjacent-token PAIRS are common in the
+   * reference corpus reads like fluent text even when its unigrams are
+   * unremarkable — bigrams catch word-salad that unigram frequency
+   * can't (shuffled common words keep their unigram score but lose
+   * their bigram mass). Same deterministic design: top-`vocabSize`
+   * bigram table as a literal map, mean in-vocabulary frequency instead
+   * of non-portable log-probs, OOV counted separately.
+   *
+   * Scale shape: identical to unigramScore — training is one uniform
+   * groupBy over exploded bigram shingles + TakeOrdered top-V + scalar
+   * total (O(vocabSize) artifact, corpus-size-independent); scoring is
+   * one narrow scan with an ordered fold. Docs with < 2 tokens have no
+   * bigrams and are excluded (the dedup operators' domain convention).
+   * Output: (id, n_bigrams, n_oov, oov_frac, avg_freq).
+   */
+  def bigramScore(docs: DataFrame, vocabSize: Int = 4096,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = TF.shingles(TF.tokens(col(textCol)), 2)
+    val cnt = SelfJoinMaterialize(
+      docs.select(explode(grams).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c")))
+    val top = cnt.orderBy(col("c").desc, col("g").asc).limit(vocabSize).collect()
+    val totalRow = cnt.agg(sum(col("c"))).collect()(0)
+    val total = if (totalRow.isNullAt(0)) 1L else math.max(1L, totalRow.getLong(0))
+    val vmMap: Map[String, Double] =
+      top.iterator.map(r => r.getString(0) -> r.getLong(1).toDouble / total).toMap
+    val vm = typedLit(vmMap)
+    docs
+      .where(size(TF.tokens(col(textCol))) >= 2)
+      .select(col(idCol).as("id"), grams.as("gs"))
+      .select(col("id"), size(col("gs")).cast("long").as("n_bigrams"),
+        size(filter(col("gs"), x => element_at(vm, x).isNull)).cast("long")
+          .as("n_oov"),
+        aggregate(col("gs"), lit(0.0),
+          (acc, x) => acc + coalesce(element_at(vm, x), lit(0.0))).as("sumf"))
+      .select(col("id"), col("n_bigrams"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("oov_frac"),
+        round(col("sumf") / col("n_bigrams").cast("double"), 9).as("avg_freq"))
+  }
+
+  /**
    * P24 — Repetition scoring (the Gopher-style quality signal): the
    * fraction of a document's n-gram occurrences taken by its single most
    * frequent n-gram. Boilerplate/spam repeats a few n-grams; natural text

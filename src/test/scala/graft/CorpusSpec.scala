@@ -213,6 +213,16 @@ class CorpusSpec extends SparkSpec {
     assert(packed.toSeq == Seq((0L, 0L), (8L, 0L), (16L, 2L)))
   }
 
+  test("qualityWeightedSample: weight 1 always kept, weight 0 never, clamped") {
+    val weighted = Seq(
+      (1L, 1.0), (2L, 1.0), (3L, 0.0), (4L, 0.0), (5L, 2.5), (6L, -0.3)
+    ).toDF("doc_id", "quality_score")
+    val r = Corpus.qualityWeightedSample(weighted).orderBy("id").collect()
+    // 2.5 clamps to weight 1 (kept), -0.3 clamps to 0 (dropped)
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L))
+    assert(r.map(_.getDouble(1)).toSeq == Seq(1.0, 1.0, 1.0))
+  }
+
   test("curationPipeline: drops, redacts, and dedups across the full chain") {
     // a 56-word prose line that clears every Gopher threshold
     val rep = "the quick brown fox jumps over a lazy dog near the river bank today"

@@ -148,6 +148,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(2).getAs[Double]("avg_freq") == 0.0)
   }
 
+  test("bigram score: hand-computed vocab, frequencies, and OOV accounting") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: "a b", "b a", "a b"
+      (2L, "c d"),     // bigram: "c d"
+      (3L, "solo")     // < 2 tokens -> excluded from scoring
+    ).toDF("doc_id", "text")
+    // counts: "a b"=2, "b a"=1, "c d"=1 (total 4); top-2 by (count desc,
+    // gram asc) = "a b" (0.5), "b a" (0.25) — "c d" loses the tie and
+    // goes OOV
+    val r = TextAnalysis.bigramScore(docs, vocabSize = 2).orderBy("id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(r.map(_.getLong(1)).toSeq == Seq(3L, 1L)) // n_bigrams
+    assert(r.map(_.getLong(2)).toSeq == Seq(0L, 1L)) // n_oov
+    assert(math.abs(r(0).getAs[Double]("avg_freq") - (0.5 + 0.25 + 0.5) / 3.0) < 1e-8)
+    assert(r(1).getAs[Double]("avg_freq") == 0.0)
+    assert(math.abs(r(1).getAs[Double]("oov_frac") - 1.0) < 1e-9)
+  }
+
   test("gopher rules: each signal fires on its planted violation, prose passes") {
     // 60 words of prose-like text with both required stopwords ("the",
     // "be" from the default list), ends clean: passes every rule.
