@@ -40,7 +40,13 @@ object ScaleSmoke {
     val sections = sys.env.getOrElse("SPARK_GRAFT_SECTIONS", "docs,ann")
       .split(",").map(_.trim).toSet
 
+    // SPARK_GRAFT_OPS=<substring[,substring...]>: re-measure one row
+    // after a change without paying the quadratic ground-truth twins
+    // (same loop-tightener as Bench's SPARK_GRAFT_ONLY).
+    val onlyOps = sys.env.get("SPARK_GRAFT_OPS")
+      .map(_.split(",").map(_.trim).toSet)
     def time(name: String)(f: => Long): Unit = {
+      if (!onlyOps.forall(_.exists(name.contains))) return
       val t0 = System.nanoTime()
       val rows = f
       println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $rows%9d rows")
@@ -131,6 +137,36 @@ object ScaleSmoke {
     // exploded set (n_tokens x corpus rows of (id, hash) longs).
     time("dup spans")(
       Dedup.dupSpans(docs, w = 20).count())
+    // Excision at the same worst case: with every window duplicated,
+    // each doc's covered starts fold into ONE merged interval, so the
+    // token filter is O(n) per doc — the merged-interval guarantee is
+    // exactly what this corpus stresses.
+    time("span dedup apply")(
+      Dedup.spanDedupApply(docs, w = 20).count())
+    // Continual refresh at scale: the batch is one replica (1/n of the
+    // corpus), the curated corpus is the rest — the realistic shape
+    // (big corpus, small increment). ids are doc_id*n+copy, so copy 0
+    // is a full original corpus.
+    val corpusPart = docs.where(col("doc_id") % n =!= 0)
+    val batchPart = docs.where(col("doc_id") % n === 0)
+    time("incremental exact")(
+      Dedup.incrementalExact(corpusPart, batchPart).count())
+    time("incremental near-dup")(
+      Dedup.incrementalNearDup(corpusPart, batchPart).count())
+    // The fused end-to-end chain: one scan + one dedup window at any
+    // scale. The replicated corpus needs terminal punctuation to get
+    // past the line filter (the raw generator text ends mid-air, so
+    // every doc would be dropped at stage 1 and the downstream window
+    // would go unmeasured); with it, replication still exercises the
+    // dedup stage via the generator's own exact-dup docs.
+    time("curation pipeline")(
+      Corpus.curationPipeline(docs.withColumn("text",
+        concat(col("text"), lit("."))), stopwords = Seq("the", "a")).count())
+    time("bigram score")(
+      TextAnalysis.bigramScore(docs).count())
+    time("weighted sample")(
+      Corpus.qualityWeightedSample(TextAnalysis.quality(docs), idCol = "id")
+        .count())
     }
 
     if (sections.contains("ann")) {
