@@ -580,9 +580,15 @@ object PipelineEntry {
       TextAnalysis.unigramScore(docs(s, dir), vocabSize = 24).orderBy("id")),
 
     // P31+, key p55_bigram — the bigram rung of the LM-quality ladder;
-    // small V (like p37) keeps the literal map tight and exercises OOV.
+    // small V (like p37) keeps the trained table tight and exercises OOV.
     "p55_bigram" -> ((s, dir) =>
       TextAnalysis.bigramScore(docs(s, dir), vocabSize = 24).orderBy("id")),
+
+    // P31++, key p56_trigram — the trigram rung (same ladder, same
+    // trained-artifact shape; docs need >= 3 tokens so the domain
+    // filter is exercised too).
+    "p56_trigram" -> ((s, dir) =>
+      TextAnalysis.trigramScore(docs(s, dir), vocabSize = 24).orderBy("id")),
 
     // P19+, key p54_weighted_sample — deterministic importance sampling:
     // acceptance probability = the doc's own p09 quality score, decided
@@ -1819,6 +1825,29 @@ SELECT doc_id AS id, len(gs)::BIGINT AS n_bigrams,
       list_transform(gs, x -> coalesce(m[x][1], 0.0)), (a,b) -> a+b)
     / len(gs), 9) AS avg_freq
 FROM bg, vm ORDER BY id""",
+
+    "p56_trigram" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+tg AS (SELECT doc_id, list_transform(range(1, len(t) - 1),
+         i -> array_to_string(list_slice(t, i, i+2), ' ')) AS gs
+       FROM tok WHERE len(t) >= 3),
+cnt AS (SELECT g, count(*)::BIGINT AS c
+        FROM (SELECT unnest(gs) AS g FROM tg) GROUP BY g),
+tot AS (SELECT sum(c)::BIGINT AS total FROM cnt),
+topv AS (SELECT g, c FROM cnt ORDER BY c DESC, g LIMIT 24),
+vm AS (SELECT map(list(g ORDER BY c DESC, g),
+         list(c::DOUBLE / (SELECT total FROM tot) ORDER BY c DESC, g)) AS m
+       FROM topv)
+SELECT doc_id AS id, len(gs)::BIGINT AS n_trigrams,
+  len(list_filter(gs, x -> m[x][1] IS NULL))::BIGINT AS n_oov,
+  round(len(list_filter(gs, x -> m[x][1] IS NULL))::DOUBLE / len(gs), 6)
+    AS oov_frac,
+  round(list_reduce([0.0]::DOUBLE[] ||
+      list_transform(gs, x -> coalesce(m[x][1], 0.0)), (a,b) -> a+b)
+    / len(gs), 9) AS avg_freq
+FROM tg, vm ORDER BY id""",
 
     "p54_weighted_sample" -> {
       val stop = graft.functions.TextFunctions.DefaultStopwords("en")

@@ -164,6 +164,13 @@ object ScaleSmoke {
         concat(col("text"), lit("."))), stopwords = Seq("the", "a")).count())
     time("bigram score")(
       TextAnalysis.bigramScore(docs).count())
+    time("trigram score")(
+      TextAnalysis.trigramScore(docs).count())
+    // production-vocab point: the native hash-probe scorer's cost must
+    // stay flat as V grows (the element_at literal-map twin is O(V) per
+    // gram and was measured at 30 s for bigrams even at V=4096)
+    time("bigram score 64k V")(
+      TextAnalysis.bigramScore(docs, vocabSize = 65536).count())
     time("weighted sample")(
       Corpus.qualityWeightedSample(TextAnalysis.quality(docs), idCol = "id")
         .count())

@@ -449,6 +449,69 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** One-pass in-vocabulary frequency scoring of a string array against
+   * a trained frequency table (TextAnalysis.unigramScore/bigramScore —
+   * the CCNet-style LM-quality ladder): counts elements, counts
+   * out-of-vocabulary elements, and sums the in-vocabulary frequencies,
+   * all in a single traversal with O(1) hash lookups.
+   *
+   * Value-identical to the Column twin
+   * `size(t) / size(filter(t, x => element_at(vm, x).isNull)) /
+   * aggregate(t, 0.0, (acc, x) => acc + coalesce(element_at(vm, x), 0.0))`
+   * — the sum runs in array order (same IEEE addition order as the
+   * left fold; OOV adds 0.0 there, a no-op on the non-negative partial
+   * sums here, so skipping it is bit-exact) and a null element looks up
+   * to null (OOV), matching element_at's null-in/null-out. The twin's
+   * cost is the wall: `element_at` on a LITERAL map is a linear key
+   * scan, O(|vocab|) per element — at a production vocab (50k+ grams)
+   * that is 4 orders of magnitude more comparisons per document than
+   * this expression's hash probe (ScaleSmoke: bigram scoring at 20×
+   * went 30 s → see row — the gap widens linearly with vocab size). */
+  case class VocabScore(child: Expression, vocab: Map[String, Double])
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("n_oov", LongType, nullable = false),
+      StructField("sumf", DoubleType, nullable = false)))
+    override def prettyName: String = "vocab_score"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("vocabScore", this, classOf[VocabScore].getName)
+      val javaType = CodeGenerator.javaType(dataType)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = ($javaType) $ref.nullSafeEval($c);")
+    }
+
+    // rebuilt once per deserialized instance (per executor), not per row
+    @transient private lazy val table: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double] = {
+      val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double](
+        math.max(16, vocab.size * 2))
+      vocab.foreach { case (k, v) =>
+        m.put(org.apache.spark.unsafe.types.UTF8String.fromString(k),
+          java.lang.Double.valueOf(v))
+      }
+      m
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var oov = 0L
+      var sum = 0.0
+      var i = 0
+      while (i < n) {
+        val v = if (arr.isNullAt(i)) null else table.get(arr.getUTF8String(i))
+        if (v == null) oov += 1 else sum += v.doubleValue()
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n.toLong, oov, sum))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): VocabScore =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftglue.Bridge
 
   def shingleSimhash(shingles: Column): Column =
@@ -468,4 +531,7 @@ object HashExpressions {
 
   def bpeEncodeFast(words: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeEncodeFast(Bridge.expression(words), merges))
+
+  def vocabScore(grams: Column, vocab: Map[String, Double]): Column =
+    Bridge.column(VocabScore(Bridge.expression(grams), vocab))
 }

@@ -285,18 +285,13 @@ object TextAnalysis {
     val total = if (totalRow.isNullAt(0)) 1L else math.max(1L, totalRow.getLong(0))
     val vmMap: Map[String, Double] =
       top.iterator.map(r => r.getString(0) -> r.getLong(1).toDouble / total).toMap
-    val vm = typedLit(vmMap)
     docs
-      .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("t"))
-      .select(col("id"), size(col("t")).cast("long").as("n_tokens"),
-        size(filter(col("t"), x => element_at(vm, x).isNull)).cast("long")
-          .as("n_oov"),
-        aggregate(col("t"), lit(0.0),
-          (acc, x) => acc + coalesce(element_at(vm, x), lit(0.0))).as("sumf"))
-      .select(col("id"), col("n_tokens"), col("n_oov"),
-        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+      .select(col(idCol).as("id"),
+        HE.vocabScore(TF.tokens(col(textCol)), vmMap).as("s"))
+      .select(col("id"), col("s.n").as("n_tokens"), col("s.n_oov").as("n_oov"),
+        round(col("s.n_oov").cast("double") / col("s.n").cast("double"), 6)
           .as("oov_frac"),
-        round(col("sumf") / col("n_tokens").cast("double"), 9).as("avg_freq"))
+        round(col("s.sumf") / col("s.n").cast("double"), 9).as("avg_freq"))
   }
 
   /**
@@ -318,8 +313,39 @@ object TextAnalysis {
    * Output: (id, n_bigrams, n_oov, oov_frac, avg_freq).
    */
   def bigramScore(docs: DataFrame, vocabSize: Int = 4096,
-                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val grams = TF.shingles(TF.tokens(col(textCol)), 2)
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    gramScore(docs, 2, vocabSize, textCol, idCol, countName = "n_bigrams")
+
+  /**
+   * P31++ — TRIGRAM-frequency quality scoring: the next rung toward
+   * CCNet's 5-gram KenLM. Trigram mass separates locally-fluent
+   * word-salad (common pairs, incoherent triples) from real prose; the
+   * trained table is still O(vocabSize) and corpus-size-independent, so
+   * the ladder climbs without changing the scale shape. Same operator
+   * skeleton as bigramScore via `gramScore`; docs need >= 3 tokens.
+   * Output: (id, n_trigrams, n_oov, oov_frac, avg_freq).
+   */
+  def trigramScore(docs: DataFrame, vocabSize: Int = 4096,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    gramScore(docs, 3, vocabSize, textCol, idCol, countName = "n_trigrams")
+
+  /** Shared n-gram (n >= 2) scorer behind bigramScore/trigramScore:
+   * train one top-`vocabSize` frequency table (uniform hash-keyed
+   * groupBy over exploded shingles, map-side combine absorbs hot grams;
+   * TakeOrdered top-V + scalar total = O(vocabSize) collected artifact),
+   * then score every doc in ONE narrow scan through the native
+   * `vocab_score` expression — a hash probe per gram. The previous
+   * shape folded `element_at` over a literal map, which Catalyst
+   * evaluates as a LINEAR key scan per gram: O(|vocab|) per lookup,
+   * measured at 30 s for bigrams at the 20× ScaleSmoke point and
+   * growing linearly with vocab size — the native expression holds the
+   * same scan at production vocabs (50k+). Values are bit-identical
+   * (same IEEE sum order; spec-pinned) so the DuckDB oracles are
+   * unchanged. */
+  private def gramScore(docs: DataFrame, n: Int, vocabSize: Int,
+                        textCol: String, idCol: String,
+                        countName: String): DataFrame = {
+    val grams = TF.shingles(TF.tokens(col(textCol)), n)
     val cnt = SelfJoinMaterialize(
       docs.select(explode(grams).as("g"))
         .groupBy("g").agg(count(lit(1)).as("c")))
@@ -328,19 +354,13 @@ object TextAnalysis {
     val total = if (totalRow.isNullAt(0)) 1L else math.max(1L, totalRow.getLong(0))
     val vmMap: Map[String, Double] =
       top.iterator.map(r => r.getString(0) -> r.getLong(1).toDouble / total).toMap
-    val vm = typedLit(vmMap)
     docs
-      .where(size(TF.tokens(col(textCol))) >= 2)
-      .select(col(idCol).as("id"), grams.as("gs"))
-      .select(col("id"), size(col("gs")).cast("long").as("n_bigrams"),
-        size(filter(col("gs"), x => element_at(vm, x).isNull)).cast("long")
-          .as("n_oov"),
-        aggregate(col("gs"), lit(0.0),
-          (acc, x) => acc + coalesce(element_at(vm, x), lit(0.0))).as("sumf"))
-      .select(col("id"), col("n_bigrams"), col("n_oov"),
-        round(col("n_oov").cast("double") / col("n_bigrams").cast("double"), 6)
+      .where(size(TF.tokens(col(textCol))) >= n)
+      .select(col(idCol).as("id"), HE.vocabScore(grams, vmMap).as("s"))
+      .select(col("id"), col("s.n").as(countName), col("s.n_oov").as("n_oov"),
+        round(col("s.n_oov").cast("double") / col("s.n").cast("double"), 6)
           .as("oov_frac"),
-        round(col("sumf") / col("n_bigrams").cast("double"), 9).as("avg_freq"))
+        round(col("s.sumf") / col("s.n").cast("double"), 9).as("avg_freq"))
   }
 
   /**

@@ -102,6 +102,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.lineFilter(emptyDocs).count() == 0)
     assert(TextAnalysis.gopherRules(emptyDocs).count() == 0)
     assert(TextAnalysis.unigramScore(emptyDocs).count() == 0)
+    assert(TextAnalysis.bigramScore(emptyDocs).count() == 0)
+    assert(TextAnalysis.trigramScore(emptyDocs).count() == 0)
     assert(Dedup.paragraphDedup(emptyDocs).count() == 0)
     assert(Dedup.dupSpans(emptyDocs).count() == 0)
     assert(Dedup.spanDedupApply(emptyDocs).count() == 0)

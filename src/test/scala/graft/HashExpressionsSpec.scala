@@ -163,4 +163,45 @@ class HashExpressionsSpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
     assert(both.last.getLong(0) == 0L) // empty array -> 0
   }
+
+  test("native vocab_score == element_at/aggregate fold, incl. null/OOV") {
+    // the LM-quality scorers' oracle mirrors the element_at-over-literal-
+    // map fold; the native hash-probe expression must match it bit-for-
+    // bit (sum in array order, null element -> OOV, empty array -> zeros)
+    val vocab = Map("a" -> 0.25, "b" -> 1.0 / 3.0, "a b" -> 0.125,
+      "§" -> 1.0 / 7.0)
+    val vm = typedLit(vocab)
+    val rnd = new scala.util.Random(7)
+    val alphabet = Vector("a", "b", "c", "a b", "§", "zz")
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.length))))
+    } :+ (200L, Seq.empty[String])
+    val df = rows.toDF("doc_id", "t")
+    val both = df.select(col("doc_id"),
+      HE.vocabScore(col("t"), vocab).as("s"),
+      size(col("t")).cast("long").as("fn"),
+      size(filter(col("t"), x => element_at(vm, x).isNull)).cast("long")
+        .as("foov"),
+      aggregate(col("t"), lit(0.0),
+        (acc, x) => acc + coalesce(element_at(vm, x), lit(0.0))).as("fsum"))
+      .select(col("doc_id"), col("s.n"), col("s.n_oov"), col("s.sumf"),
+        col("fn"), col("foov"), col("fsum")).collect()
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(4), s"n doc ${r.getLong(0)}")
+      assert(r.getLong(2) == r.getLong(5), s"oov doc ${r.getLong(0)}")
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(3)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(6)),
+        s"sum doc ${r.getLong(0)}: ${r.getDouble(3)} vs ${r.getDouble(6)}")
+    }
+    // null element counts OOV (element_at(m, null) is null in the twin)
+    val withNull = Seq((0L, Seq("a", null, "zz"))).toDF("doc_id", "t")
+      .select(HE.vocabScore(col("t"), vocab).as("s"))
+      .select(col("s.n"), col("s.n_oov"), col("s.sumf")).collect()(0)
+    assert(withNull.getLong(0) == 3L && withNull.getLong(1) == 2L &&
+      withNull.getDouble(2) == 0.25)
+    // null array -> null struct (standard unary null-intolerance)
+    val nullArr = Seq(Tuple1(null.asInstanceOf[Seq[String]])).toDF("t")
+      .select(HE.vocabScore(col("t"), vocab)).collect()(0)
+    assert(nullArr.isNullAt(0))
+  }
 }

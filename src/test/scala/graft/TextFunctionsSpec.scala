@@ -167,6 +167,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(math.abs(r(1).getAs[Double]("oov_frac") - 1.0) < 1e-9)
   }
 
+  test("trigram score: hand-computed vocab and the >=3-token domain filter") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c"), // trigrams: "a b c","b c a","c a b","a b c"
+      (2L, "x y z"),       // trigram: "x y z"
+      (3L, "two words")    // < 3 tokens -> excluded from scoring
+    ).toDF("doc_id", "text")
+    // counts: "a b c"=2, others 1 each (total 5); top-2 by (count desc,
+    // gram asc) = "a b c" (0.4), "b c a" (0.2) — doc1's only OOV gram
+    // is "c a b"
+    val r = TextAnalysis.trigramScore(docs, vocabSize = 2).orderBy("id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(r.map(_.getLong(1)).toSeq == Seq(4L, 1L)) // n_trigrams
+    assert(r.map(_.getLong(2)).toSeq == Seq(1L, 1L)) // n_oov
+    assert(math.abs(r(0).getAs[Double]("avg_freq") - (0.4 + 0.2 + 0.0 + 0.4) / 4.0) < 1e-8)
+    assert(math.abs(r(1).getAs[Double]("oov_frac") - 1.0) < 1e-9)
+  }
+
   test("gopher rules: each signal fires on its planted violation, prose passes") {
     // 60 words of prose-like text with both required stopwords ("the",
     // "be" from the default list), ends clean: passes every rule.
