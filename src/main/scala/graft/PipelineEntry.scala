@@ -590,6 +590,12 @@ object PipelineEntry {
     "p56_trigram" -> ((s, dir) =>
       TextAnalysis.trigramScore(docs(s, dir), vocabSize = 24).orderBy("id")),
 
+    // P31+++, key p57_backoff — KenLM-style stupid backoff (Brants et
+    // al. 2007): each trigram window scored by the longest trained
+    // context, alpha-discounted on fallback. The top LM-ladder rung.
+    "p57_backoff" -> ((s, dir) =>
+      TextAnalysis.backoffScore(docs(s, dir), vocabSize = 24).orderBy("id")),
+
     // P19+, key p54_weighted_sample — deterministic importance sampling:
     // acceptance probability = the doc's own p09 quality score, decided
     // by the portable id-hash (no RNG; every decision reproducible and
@@ -1848,6 +1854,63 @@ SELECT doc_id AS id, len(gs)::BIGINT AS n_trigrams,
       list_transform(gs, x -> coalesce(m[x][1], 0.0)), (a,b) -> a+b)
     / len(gs), 9) AS avg_freq
 FROM tg, vm ORDER BY id""",
+
+    // Stupid backoff: three vocab CTEs re-derive the trained tables with
+    // the engine's exact tie-break (count desc, gram asc, limit V); per
+    // window the CASE prefers trigram, then 0.5*bigram, then
+    // 0.25*unigram — 0.5/0.25 are exact doubles, so the products match
+    // the native expression bit-for-bit; the left fold adds 0.0 for OOV
+    // windows (no-op on the non-negative partial sums).
+    "p57_backoff" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+c1 AS (SELECT g, count(*)::BIGINT AS c
+       FROM (SELECT unnest(t) AS g FROM tok) GROUP BY g),
+t1t AS (SELECT sum(c)::BIGINT AS total FROM c1),
+v1 AS (SELECT map(list(g ORDER BY c DESC, g),
+         list(c::DOUBLE / (SELECT total FROM t1t) ORDER BY c DESC, g)) AS m1
+       FROM (SELECT g, c FROM c1 ORDER BY c DESC, g LIMIT 24)),
+bg AS (SELECT doc_id, list_transform(range(1, len(t)),
+         i -> array_to_string(list_slice(t, i, i+1), ' ')) AS gs
+       FROM tok WHERE len(t) >= 2),
+c2 AS (SELECT g, count(*)::BIGINT AS c
+       FROM (SELECT unnest(gs) AS g FROM bg) GROUP BY g),
+t2t AS (SELECT sum(c)::BIGINT AS total FROM c2),
+v2 AS (SELECT map(list(g ORDER BY c DESC, g),
+         list(c::DOUBLE / (SELECT total FROM t2t) ORDER BY c DESC, g)) AS m2
+       FROM (SELECT g, c FROM c2 ORDER BY c DESC, g LIMIT 24)),
+tg AS (SELECT doc_id, list_transform(range(1, len(t) - 1),
+         i -> array_to_string(list_slice(t, i, i+2), ' ')) AS gs
+       FROM tok WHERE len(t) >= 3),
+c3 AS (SELECT g, count(*)::BIGINT AS c
+       FROM (SELECT unnest(gs) AS g FROM tg) GROUP BY g),
+t3t AS (SELECT sum(c)::BIGINT AS total FROM c3),
+v3 AS (SELECT map(list(g ORDER BY c DESC, g),
+         list(c::DOUBLE / (SELECT total FROM t3t) ORDER BY c DESC, g)) AS m3
+       FROM (SELECT g, c FROM c3 ORDER BY c DESC, g LIMIT 24)),
+sc AS (SELECT doc_id, t,
+         list_transform(range(1, len(t) - 1), i ->
+           CASE WHEN m3[array_to_string(list_slice(t, i, i+2), ' ')][1] IS NOT NULL
+                  THEN m3[array_to_string(list_slice(t, i, i+2), ' ')][1]
+                WHEN m2[array_to_string(list_slice(t, i+1, i+2), ' ')][1] IS NOT NULL
+                  THEN 0.5 * m2[array_to_string(list_slice(t, i+1, i+2), ' ')][1]
+                WHEN m1[t[i+2]][1] IS NOT NULL THEN 0.25 * m1[t[i+2]][1]
+                ELSE 0.0 END) AS fs,
+         list_transform(range(1, len(t) - 1), i ->
+           CASE WHEN m3[array_to_string(list_slice(t, i, i+2), ' ')][1] IS NOT NULL THEN 3
+                WHEN m2[array_to_string(list_slice(t, i+1, i+2), ' ')][1] IS NOT NULL THEN 2
+                WHEN m1[t[i+2]][1] IS NOT NULL THEN 1
+                ELSE 0 END) AS tier
+       FROM tok, v1, v2, v3 WHERE len(t) >= 3)
+SELECT doc_id AS id, (len(t) - 2)::BIGINT AS n_windows,
+  len(list_filter(tier, x -> x = 3))::BIGINT AS n_tri,
+  len(list_filter(tier, x -> x = 2))::BIGINT AS n_bi,
+  len(list_filter(tier, x -> x = 1))::BIGINT AS n_uni,
+  len(list_filter(tier, x -> x = 0))::BIGINT AS n_oov,
+  round(list_reduce([0.0]::DOUBLE[] || fs, (a,b) -> a+b)
+    / (len(t) - 2), 9) AS avg_score
+FROM sc ORDER BY id""",
 
     "p54_weighted_sample" -> {
       val stop = graft.functions.TextFunctions.DefaultStopwords("en")

@@ -512,6 +512,100 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** KenLM-style STUPID-BACKOFF scoring (Brants et al. 2007, "Large
+   * Language Models in Machine Translation", §4) of a token array
+   * against three trained frequency tables — the top rung of the
+   * LM-quality ladder (p37 unigram → p55 bigram → p56 trigram → this).
+   * Each trigram window scores by the FIRST table that knows it:
+   *   trigram in V3          →           f3(w_{i-2} w_{i-1} w_i)
+   *   else suffix bigram V2  →   alpha · f2(w_{i-1} w_i)
+   *   else last unigram V1   →  alpha² · f1(w_i)
+   *   else                   →  0 (counted OOV)
+   * Frequencies replace log-probs for the same reason as VocabScore
+   * (transcendentals are not bit-portable across engines); `alpha`
+   * defaults to 0.5 — Brants' 0.4 works too, but 0.5 and 0.25 are
+   * exactly representable doubles, so the oracle's `0.5 * f` / `0.25 *
+   * f` literals reproduce the backoff products bit-for-bit with ZERO
+   * rounding anywhere in the pipeline (alpha² is pre-multiplied once
+   * here, `0.25` literal there — identical by exactness, not by luck).
+   *
+   * One pass, O(1) hash probes per window, sum accumulated in array
+   * order (the oracle's left fold adds 0.0 for OOV windows — a no-op on
+   * the non-negative partial sums, so skipping it here is bit-exact).
+   * A null token makes every window containing it miss its lookup
+   * (null-in → table-miss), mirroring element_at's null-in/null-out.
+   * Output struct: (n windows, per-tier hit counts, OOV count, sum). */
+  case class BackoffScore(child: Expression,
+                          tri: Map[String, Double],
+                          bi: Map[String, Double],
+                          uni: Map[String, Double],
+                          alpha: Double)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("n_tri", LongType, nullable = false),
+      StructField("n_bi", LongType, nullable = false),
+      StructField("n_uni", LongType, nullable = false),
+      StructField("n_oov", LongType, nullable = false),
+      StructField("sumf", DoubleType, nullable = false)))
+    override def prettyName: String = "backoff_score"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("backoffScore", this, classOf[BackoffScore].getName)
+      val javaType = CodeGenerator.javaType(dataType)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = ($javaType) $ref.nullSafeEval($c);")
+    }
+
+    @transient private lazy val alpha2: Double = alpha * alpha
+    // rebuilt once per deserialized instance (per executor), not per row
+    @transient private lazy val (t3, t2, t1) = {
+      def mk(m: Map[String, Double]) = {
+        val h = new java.util.HashMap[String, java.lang.Double](math.max(16, m.size * 2))
+        m.foreach { case (k, v) => h.put(k, java.lang.Double.valueOf(v)) }
+        h
+      }
+      (mk(tri), mk(bi), mk(uni))
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val toks = new Array[String](n)
+      var i = 0
+      while (i < n) {
+        toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString
+        i += 1
+      }
+      var nTri = 0L; var nBi = 0L; var nUni = 0L; var nOov = 0L
+      var sum = 0.0
+      var p = 0
+      while (p < n - 2) {
+        val a = toks(p); val b = toks(p + 1); val c = toks(p + 2)
+        var scored = false
+        if (a != null && b != null && c != null) {
+          val f3 = t3.get(a + " " + b + " " + c)
+          if (f3 != null) { sum += f3.doubleValue(); nTri += 1; scored = true }
+        }
+        if (!scored && b != null && c != null) {
+          val f2 = t2.get(b + " " + c)
+          if (f2 != null) { sum += alpha * f2.doubleValue(); nBi += 1; scored = true }
+        }
+        if (!scored && c != null) {
+          val f1 = t1.get(c)
+          if (f1 != null) { sum += alpha2 * f1.doubleValue(); nUni += 1; scored = true }
+        }
+        if (!scored) nOov += 1
+        p += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](math.max(0, n - 2).toLong, nTri, nBi, nUni, nOov, sum))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BackoffScore =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftglue.Bridge
 
   def shingleSimhash(shingles: Column): Column =
@@ -534,4 +628,8 @@ object HashExpressions {
 
   def vocabScore(grams: Column, vocab: Map[String, Double]): Column =
     Bridge.column(VocabScore(Bridge.expression(grams), vocab))
+
+  def backoffScore(toks: Column, tri: Map[String, Double], bi: Map[String, Double],
+                   uni: Map[String, Double], alpha: Double): Column =
+    Bridge.column(BackoffScore(Bridge.expression(toks), tri, bi, uni, alpha))
 }

@@ -329,6 +329,57 @@ object TextAnalysis {
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     gramScore(docs, 3, vocabSize, textCol, idCol, countName = "n_trigrams")
 
+  /**
+   * P31+++ — KenLM-style STUPID-BACKOFF scoring (Brants et al. 2007 §4):
+   * the top rung of the LM-quality ladder, and the closest deterministic
+   * analogue of CCNet's KenLM perplexity filter this engine carries.
+   * Where p55/p56 score each n-gram order in isolation (a trigram the
+   * corpus has never seen scores 0 even when its suffix bigram is
+   * common), backoff scores every trigram window by the LONGEST context
+   * the trained tables know, discounting each fallback by `alpha`:
+   * f3(abc), else alpha*f2(bc), else alpha^2*f1(c), else OOV. That is
+   * exactly the "stupid backoff" scheme Brants et al. showed matches
+   * Kneser-Ney quality at web scale while needing only raw counts — no
+   * smoothing pass, so the trained artifact stays three bounded top-V
+   * frequency tables (the same O(vocabSize) collect-and-embed pattern
+   * as the other rungs; corpus-size-independent).
+   *
+   * alpha defaults to 0.5 (not Brants' 0.4) so alpha and alpha^2 are
+   * EXACT doubles — the oracle's `0.5 *` / `0.25 *` literals then
+   * reproduce the backoff products bit-for-bit, keeping the hash gate
+   * meaningful.
+   *
+   * Scale shape: training is three uniform hash-keyed groupBys over
+   * exploded grams (map-side combine absorbs hot keys) + TakeOrdered
+   * top-V each; scoring is ONE narrow codegen scan through the native
+   * `backoff_score` expression — O(1) hash probes per window, no
+   * explode, no shuffle. Docs need >= 3 tokens (one full trigram
+   * window), the dedup operators' domain convention.
+   * Output: (id, n_windows, n_tri, n_bi, n_uni, n_oov, avg_score).
+   */
+  def backoffScore(docs: DataFrame, vocabSize: Int = 4096, alpha: Double = 0.5,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = TF.tokens(col(textCol))
+    def table(n: Int): Map[String, Double] = {
+      val grams = if (n == 1) toks else TF.shingles(toks, n)
+      val cnt = SelfJoinMaterialize(
+        docs.select(explode(grams).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("c")))
+      val top = cnt.orderBy(col("c").desc, col("g").asc).limit(vocabSize).collect()
+      val totalRow = cnt.agg(sum(col("c"))).collect()(0)
+      val total = if (totalRow.isNullAt(0)) 1L else math.max(1L, totalRow.getLong(0))
+      top.iterator.map(r => r.getString(0) -> r.getLong(1).toDouble / total).toMap
+    }
+    val v3 = table(3); val v2 = table(2); val v1 = table(1)
+    docs
+      .where(size(toks) >= 3)
+      .select(col(idCol).as("id"), HE.backoffScore(toks, v3, v2, v1, alpha).as("s"))
+      .select(col("id"), col("s.n").as("n_windows"), col("s.n_tri").as("n_tri"),
+        col("s.n_bi").as("n_bi"), col("s.n_uni").as("n_uni"),
+        col("s.n_oov").as("n_oov"),
+        round(col("s.sumf") / col("s.n").cast("double"), 9).as("avg_score"))
+  }
+
   /** Shared n-gram (n >= 2) scorer behind bigramScore/trigramScore:
    * train one top-`vocabSize` frequency table (uniform hash-keyed
    * groupBy over exploded shingles, map-side combine absorbs hot grams;

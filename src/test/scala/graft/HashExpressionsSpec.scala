@@ -204,4 +204,55 @@ class HashExpressionsSpec extends SparkSpec {
       .select(HE.vocabScore(col("t"), vocab)).collect()(0)
     assert(nullArr.isNullAt(0))
   }
+
+  test("native backoff_score: tier preference, exact discounts, null/edge") {
+    // hand-computed stupid-backoff fixture: each window must score by the
+    // LONGEST known context with exact 0.5 / 0.25 discounts — the same
+    // values the oracle's CASE produces
+    val v3 = Map("the cat sat" -> 0.1)
+    val v2 = Map("on the" -> 0.2, "sat on" -> 0.3)
+    val v1 = Map("mat" -> 0.4, "on" -> 0.5)
+    def score(toks: Seq[String]) =
+      Seq(Tuple1(toks)).toDF("t")
+        .select(HE.backoffScore(col("t"), v3, v2, v1, 0.5).as("s"))
+        .select(col("s.n"), col("s.n_tri"), col("s.n_bi"), col("s.n_uni"),
+          col("s.n_oov"), col("s.sumf")).collect()(0)
+
+    // windows: "the cat sat"->tri 0.1; "cat sat on"->bi 0.5*0.3;
+    // "sat on the"->bi 0.5*0.2; "on the mat"->uni 0.25*0.4
+    val r = score(Seq("the", "cat", "sat", "on", "the", "mat"))
+    assert(r.getLong(0) == 4L && r.getLong(1) == 1L && r.getLong(2) == 2L &&
+      r.getLong(3) == 1L && r.getLong(4) == 0L)
+    assert(java.lang.Double.doubleToRawLongBits(r.getDouble(5)) ==
+      java.lang.Double.doubleToRawLongBits(0.1 + 0.5 * 0.3 + 0.5 * 0.2 + 0.25 * 0.4))
+
+    // all-OOV window
+    val oov = score(Seq("x", "y", "z"))
+    assert(oov.getLong(0) == 1L && oov.getLong(4) == 1L && oov.getDouble(5) == 0.0)
+
+    // too short for any window -> zeros
+    val short = score(Seq("the", "cat"))
+    assert(short.getLong(0) == 0L && short.getDouble(5) == 0.0)
+
+    // null token: trigram+bigram containing it miss, unigram on the last
+    // token still fires; a null LAST token is a full miss (OOV)
+    val nulled = score(Seq("the", null, "mat"))
+    assert(nulled.getLong(0) == 1L && nulled.getLong(3) == 1L &&
+      nulled.getDouble(5) == 0.25 * 0.4)
+    val nullLast = score(Seq("the", "cat", null))
+    assert(nullLast.getLong(0) == 1L && nullLast.getLong(4) == 1L)
+
+    // operator end-to-end: heavy-repetition text hits trigrams, shuffled
+    // word-salad of the same unigrams falls down the ladder — the signal
+    // p55/p56 motivated, now in one score
+    val docs = Seq(
+      (0L, "the cat sat on the mat the cat sat on the mat the cat sat on the mat"),
+      (1L, "mat the sat cat on the mat sat the on cat mat")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.backoffScore(docs, vocabSize = 16)
+      .orderBy("id").collect()
+    assert(out.length == 2)
+    val fluent = out(0); val salad = out(1)
+    assert(fluent.getLong(2) > salad.getLong(2)) // n_tri
+    assert(fluent.getDouble(6) > salad.getDouble(6)) // avg_score
+  }
 }
