@@ -121,6 +121,26 @@ object PipelineEntry {
   private def embs(s: SparkSession, dir: String): DataFrame =
     spread(s.read.parquet(s"$dir/embeddings.parquet"))
 
+  /** Shared planting for the curation-pipeline keys (p50 batch, p58
+   * streaming — SAME oracle): dup paragraph (%25, collapses in the
+   * final dedup), lorem/braces drops (%10/%7), a PII line that survives
+   * the line filter (%4), and the p43 line-filter fodder. Works on both
+   * batch and streaming frames (pure projection). */
+  private def pipelinePlanted(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 25 === 0, lit(PipeDupPlant))
+          .otherwise(concat(col("text"), lit("."))),
+        lit("\nshort line\nThis line has exactly enough words to pass."),
+        when(col("doc_id") % 10 === 0,
+          lit("\nlorem ipsum dolor sit amet consectetur.")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("\nfunction() { var x = 1; }")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("\nReach me at u"), col("doc_id").cast("string"),
+            lit("@example.com or 555-123-4567 today please.")))
+          .otherwise(lit(""))).as("text"))
+
   /** Shared corpus/batch split for the incremental-dedup keys (p49,
    * p51): corpus = doc_id % 3 != 0; batch = the rest, with every 6th
    * doc's text replaced by its corpus neighbor (planted cross-corpus
@@ -546,20 +566,31 @@ object PipelineEntry {
     // final dedup), lorem/braces drops (%10/%7), a PII line that
     // SURVIVES the line filter (%4), and the p43 line-filter fodder.
     "p50_curation_pipeline" -> ((s, dir) =>
-      Corpus.curationPipeline(docs(s, dir).select(col("doc_id"),
-        concat(
-          when(col("doc_id") % 25 === 0, lit(PipeDupPlant))
-            .otherwise(concat(col("text"), lit("."))),
-          lit("\nshort line\nThis line has exactly enough words to pass."),
-          when(col("doc_id") % 10 === 0,
-            lit("\nlorem ipsum dolor sit amet consectetur.")).otherwise(lit("")),
-          when(col("doc_id") % 7 === 0,
-            lit("\nfunction() { var x = 1; }")).otherwise(lit("")),
-          when(col("doc_id") % 4 === 0,
-            concat(lit("\nReach me at u"), col("doc_id").cast("string"),
-              lit("@example.com or 555-123-4567 today please.")))
-            .otherwise(lit(""))).as("text")),
+      Corpus.curationPipeline(pipelinePlanted(docs(s, dir)),
         stopwords = Seq("the", "a")).orderBy("id")),
+
+    // P15++/P22+++, key p58_streaming_pipeline — the WHOLE p50 curation
+    // pipeline as a STREAM, closing the one stage p42/p45 couldn't
+    // cover: stages 1-4 are the same stateless fused scan, and the
+    // final exact dedup becomes a hash-keyed streaming AGGREGATION
+    // (running min-id/count per content hash — the production
+    // continuous-curation shape, update-mode state O(distinct hashes)).
+    // Same planting, same batch oracle as p50: batch ≡ streaming for
+    // the full five-stage pipeline, dedup included.
+    "p58_streaming_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val (streamDir, tag) = streamingDocsDir(dir)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(streamDir)
+      val out = Corpus.curationDedupAgg(
+        Corpus.curationStages(pipelinePlanted(stream),
+          stopwords = Seq("the", "a")))
+      val name = "p58_pipe_" + tag
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("id")
+    }),
 
     // P10+, key p41_bpe — real BPE subword tokenization: merges trained
     // on the first 32 docs, corpus segmented by the native bpe_encode
@@ -959,6 +990,61 @@ cbl$s AS (SELECT list(cv ORDER BY cid) AS l FROM c${s}_2)"""
     }
     s"[${entries.mkString(",\n  ")}]"
   }
+
+  /** Shared batch oracle for the curation-pipeline keys: p50 (batch
+   * window dedup) and p58 (streaming aggregation dedup) both
+   * hash-match this CTE chain (p32 line filter, p23 clean, p24
+   * redact, p35 gopher, p01 dedup in production order). */
+  private lazy val CurationPipelineOracle: String =
+    s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+planted AS (SELECT doc_id,
+    CASE WHEN doc_id % 25 = 0 THEN '$PipeDupPlant' ELSE text || '.' END
+    || chr(10) || 'short line' || chr(10)
+    || 'This line has exactly enough words to pass.'
+    || CASE WHEN doc_id % 10 = 0
+         THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+         THEN chr(10) || 'function() { var x = 1; }' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+         THEN chr(10) || 'Reach me at u' || doc_id
+           || '@example.com or 555-123-4567 today please.' ELSE '' END AS text
+  FROM documents),
+kx AS (SELECT doc_id, text,
+    list_filter(string_split(text, chr(10)),
+      l -> len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+        AND substring(trim(l), length(trim(l)), 1) IN ('.', '!', '?', '"')) AS ks
+  FROM planted),
+fx AS (SELECT doc_id, array_to_string(ks, chr(10)) AS ft FROM kx
+  WHERE NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+    AND len(ks) > 0),
+cl AS (SELECT doc_id, trim(regexp_replace(regexp_replace(ft,
+    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+    '\\s+', ' ', 'g')) AS ct FROM fx),
+rd AS (SELECT doc_id, regexp_replace(regexp_replace(ct,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS rt FROM cl),
+b AS (SELECT doc_id, rt, string_split_regex(lower(trim(rt)), '\\s+') AS t,
+    string_split(rt, chr(10)) AS ls FROM rd),
+m AS (SELECT doc_id, rt, len(t)::BIGINT AS n_words,
+  list_reduce(list_transform(t, w -> len(w)), (a,b) -> a+b)::DOUBLE / len(t) AS mwl,
+  len(regexp_extract_all(rt, '#|\\.\\.\\.|…'))::DOUBLE / len(t) AS sym,
+  len(list_filter(ls, l -> substring(trim(l),1,1) IN ('•','-','*')))::DOUBLE
+    / len(ls) AS bf,
+  len(list_filter(ls, l -> trim(l) LIKE '%...' OR trim(l) LIKE '%…'))::DOUBLE
+    / len(ls) AS ef,
+  len(list_filter(t, w -> regexp_matches(w, '[a-z]')))::DOUBLE / len(t) AS af,
+  len(list_filter(['the','a'], w -> list_contains(t, w)))::BIGINT AS sh
+  FROM b),
+p AS (SELECT doc_id, rt, n_words FROM m
+  WHERE n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+    AND sym <= 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8 AND sh >= 2),
+d AS (SELECT doc_id, md5(rt) AS h, rt, n_words,
+    row_number() OVER (PARTITION BY md5(rt) ORDER BY doc_id) AS rn,
+    count(*) OVER (PARTITION BY md5(rt)) AS nd
+  FROM p)
+SELECT doc_id AS id, h AS content_hash, n_words AS n_tokens,
+  nd::BIGINT AS n_dups, rt AS final_text
+FROM d WHERE rn = 1 ORDER BY id"""
 
   /** Shared by p43 (batch) and p45 (streaming drain of the same
    * fused line-filter->Gopher chain). */
@@ -1686,56 +1772,9 @@ FROM batch ORDER BY id"""
     // CTE chain assembled from the verified stage twins (p32 line
     // filter, p23 clean, p24 redact, p35 gopher, p01 dedup) in the same
     // production order as Corpus.curationPipeline.
-    "p50_curation_pipeline" ->
-      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
-planted AS (SELECT doc_id,
-    CASE WHEN doc_id % 25 = 0 THEN '$PipeDupPlant' ELSE text || '.' END
-    || chr(10) || 'short line' || chr(10)
-    || 'This line has exactly enough words to pass.'
-    || CASE WHEN doc_id % 10 = 0
-         THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.' ELSE '' END
-    || CASE WHEN doc_id % 7 = 0
-         THEN chr(10) || 'function() { var x = 1; }' ELSE '' END
-    || CASE WHEN doc_id % 4 = 0
-         THEN chr(10) || 'Reach me at u' || doc_id
-           || '@example.com or 555-123-4567 today please.' ELSE '' END AS text
-  FROM documents),
-kx AS (SELECT doc_id, text,
-    list_filter(string_split(text, chr(10)),
-      l -> len(regexp_split_to_array(trim(l), '\\s+')) >= 5
-        AND substring(trim(l), length(trim(l)), 1) IN ('.', '!', '?', '"')) AS ks
-  FROM planted),
-fx AS (SELECT doc_id, array_to_string(ks, chr(10)) AS ft FROM kx
-  WHERE NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
-    AND len(ks) > 0),
-cl AS (SELECT doc_id, trim(regexp_replace(regexp_replace(ft,
-    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
-    '\\s+', ' ', 'g')) AS ct FROM fx),
-rd AS (SELECT doc_id, regexp_replace(regexp_replace(ct,
-    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS rt FROM cl),
-b AS (SELECT doc_id, rt, string_split_regex(lower(trim(rt)), '\\s+') AS t,
-    string_split(rt, chr(10)) AS ls FROM rd),
-m AS (SELECT doc_id, rt, len(t)::BIGINT AS n_words,
-  list_reduce(list_transform(t, w -> len(w)), (a,b) -> a+b)::DOUBLE / len(t) AS mwl,
-  len(regexp_extract_all(rt, '#|\\.\\.\\.|…'))::DOUBLE / len(t) AS sym,
-  len(list_filter(ls, l -> substring(trim(l),1,1) IN ('•','-','*')))::DOUBLE
-    / len(ls) AS bf,
-  len(list_filter(ls, l -> trim(l) LIKE '%...' OR trim(l) LIKE '%…'))::DOUBLE
-    / len(ls) AS ef,
-  len(list_filter(t, w -> regexp_matches(w, '[a-z]')))::DOUBLE / len(t) AS af,
-  len(list_filter(['the','a'], w -> list_contains(t, w)))::BIGINT AS sh
-  FROM b),
-p AS (SELECT doc_id, rt, n_words FROM m
-  WHERE n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
-    AND sym <= 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8 AND sh >= 2),
-d AS (SELECT doc_id, md5(rt) AS h, rt, n_words,
-    row_number() OVER (PARTITION BY md5(rt) ORDER BY doc_id) AS rn,
-    count(*) OVER (PARTITION BY md5(rt)) AS nd
-  FROM p)
-SELECT doc_id AS id, h AS content_hash, n_words AS n_tokens,
-  nd::BIGINT AS n_dups, rt AS final_text
-FROM d WHERE rn = 1 ORDER BY id""",
+    "p50_curation_pipeline" -> CurationPipelineOracle,
+    "p58_streaming_pipeline" -> CurationPipelineOracle,
+
 
     "p41_bpe" -> {
       // One stage per merge: count adjacent symbol pairs over the

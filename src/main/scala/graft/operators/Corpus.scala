@@ -365,17 +365,7 @@ object Corpus {
                        stopwords: Seq[String] = TextAnalysis.GopherStopwords,
                        textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
-    val lf = TextAnalysis.lineFilter(docs, textCol = textCol, idCol = idCol)
-      .where(!col("has_lorem") && !col("has_braces") && col("n_kept") > 0)
-    val cl = TextAnalysis.cleaned(lf, textCol = "filtered_text", idCol = "id")
-    val rd = TextAnalysis.redacted(cl, textCol = "clean_text", idCol = "id")
-    val gp = TextAnalysis.gopherRules(rd, minWords = minWords,
-      stopwords = stopwords, textCol = "redacted_text", idCol = "id",
-      passthrough = Seq("redacted_text"))
-    val q = gp.where(col("passes"))
-      .select(col("id"), col("redacted_text").as("final_text"),
-        col("n_words").as("n_tokens"))
-      .withColumn("content_hash", md5(col("final_text")))
+    val q = curationStages(docs, minWords, stopwords, textCol, idCol)
     val byHash = org.apache.spark.sql.expressions.Window
       .partitionBy("content_hash")
     q.withColumn("rn", row_number().over(byHash.orderBy("id")))
@@ -384,6 +374,48 @@ object Corpus {
       .select(col("id"), col("content_hash"), col("n_tokens"),
         col("n_dups"), col("final_text"))
   }
+
+  /** Stages 1-4 of `curationPipeline` (everything BEFORE the dedup
+   * exchange): line filter + C4 doc drops → clean → redact → Gopher
+   * keep, plus the content hash. All narrow projections fusing to one
+   * scan, and STATELESS — so this exact composition also runs under
+   * Structured Streaming unchanged (the streaming pipeline key), where
+   * the dedup becomes a hash-keyed streaming aggregation instead of a
+   * window. Returns (id, final_text, n_tokens, content_hash). */
+  def curationStages(docs: DataFrame, minWords: Int = 50,
+                     stopwords: Seq[String] = TextAnalysis.GopherStopwords,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val lf = TextAnalysis.lineFilter(docs, textCol = textCol, idCol = idCol)
+      .where(!col("has_lorem") && !col("has_braces") && col("n_kept") > 0)
+    val cl = TextAnalysis.cleaned(lf, textCol = "filtered_text", idCol = "id")
+    val rd = TextAnalysis.redacted(cl, textCol = "clean_text", idCol = "id")
+    val gp = TextAnalysis.gopherRules(rd, minWords = minWords,
+      stopwords = stopwords, textCol = "redacted_text", idCol = "id",
+      passthrough = Seq("redacted_text"))
+    gp.where(col("passes"))
+      .select(col("id"), col("redacted_text").as("final_text"),
+        col("n_words").as("n_tokens"))
+      .withColumn("content_hash", md5(col("final_text")))
+  }
+
+  /** The dedup stage of the curation pipeline as a STREAMING-legal
+   * aggregation: a running (min-id, count, text) per content hash.
+   * Value-identical to the batch window once all input is consumed —
+   * every text in a hash group is byte-identical (the hash IS md5 of
+   * the text), so min(text)/min(n_tokens) are THE text and token count,
+   * and min(id)/count are exactly the window's keep-min-id + group
+   * size. In production this runs in update mode into an upsert sink
+   * (the running min/count per key is the whole state — O(distinct
+   * hashes), the same state a batch shuffle would materialize); the
+   * registered key drains with Complete mode into a memory sink, which
+   * is the same aggregate at bounded fixture scale. */
+  def curationDedupAgg(staged: DataFrame): DataFrame =
+    staged.groupBy(col("content_hash"))
+      .agg(min(col("id")).as("id"), min(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_dups"), min(col("final_text")).as("final_text"))
+      .select(col("id"), col("content_hash"), col("n_tokens"),
+        col("n_dups"), col("final_text"))
 
   /** Per-pack fill summary over packSequences output — the shape a
    * packing-efficiency report reads (docs per pack, fill vs budget). */
