@@ -541,6 +541,17 @@ object PipelineEntry {
       s.table(name).orderBy("id")
     }),
 
+    // P1++++, key p59_incremental_bloom — the continual-refresh frontier
+    // at cross-datacenter scale: the corpus-membership side is a Bloom
+    // filter built with ZERO corpus shuffle (partial-aggregated
+    // reduction), the batch tests membership in its own projection.
+    // Rows-only like p39 (bit layout is engine-specific); the spec pins
+    // no-false-negatives against p49's exact frontier.
+    "p59_incremental_bloom" -> ((s, dir) => {
+      val (corpus, batch) = incrementalFixture(s, dir)
+      Dedup.incrementalExactBloom(corpus, batch).orderBy("id")
+    }),
+
     // P1+++, key p49_incremental_dedup — continual-refresh exact dedup:
     // corpus = doc_id % 3 != 0; batch = the rest, with every 6th doc's
     // text replaced by its corpus neighbor (planted cross-corpus dup)

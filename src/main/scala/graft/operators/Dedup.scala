@@ -136,6 +136,61 @@ object Dedup {
   }
 
   /**
+   * Extreme-scale variant of `incrementalExact` — the corpus-membership
+   * side compressed to a BLOOM FILTER (the cross-datacenter shape: the
+   * curated corpus lives elsewhere, and shipping a ~100 MB bit array
+   * beats shipping billions of 16-byte hashes through a join). A batch
+   * document is flagged `in_corpus_maybe` when the filter might contain
+   * its content hash — no false negatives (every true corpus dup IS
+   * flagged; dropping on `maybe` can only over-drop by the filter's FP
+   * rate, the safe direction for dedup), and the within-batch tie-break
+   * stays exact.
+   *
+   * Scale shape: the Bloom build is a partial-aggregated reduction —
+   * each corpus partition folds its hashes into a local filter and the
+   * filters OR-merge — so unlike `incrementalExact`'s distinct(), the
+   * corpus side needs NO shuffle at all: one scan, one O(numBits)
+   * artifact (the bounded-collect pattern; ~1 MB at the defaults,
+   * sized by expectedItems/numBits for the target corpus). The batch
+   * side tests membership in its own projection — the join disappears
+   * entirely; only the within-batch window shuffles (batch-sized, not
+   * corpus-sized).
+   *
+   * No SQL oracle: the filter's bit layout is engine-specific (same as
+   * `contaminationBloom`), so the key registers rows-only and
+   * correctness is spec-pinned against `incrementalExact`: flagged ⊇
+   * exact in_corpus, kept ⊆ exact kept, batch_dup identical.
+   * Returns one row per batch document:
+   * (id, in_corpus_maybe, batch_dup, kept).
+   */
+  def incrementalExactBloom(corpus: DataFrame, batch: DataFrame,
+                            expectedItems: Long = 1000000L,
+                            numBits: Long = 1L << 23,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.graftglue.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val bloomAgg = Bridge.column(
+      new BloomFilterAggregate(
+        Bridge.expression(xxhash64(md5(col(textCol)))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bfRow = corpus.agg(bloomAgg.as("bf")).collect()(0)
+    val bf = if (bfRow.isNullAt(0)) null else bfRow.getAs[Array[Byte]](0)
+    val mightContain =
+      if (bf == null) lit(false) // empty corpus: nothing can match
+      else Bridge.column(BloomFilterMightContain(Literal(bf, BinaryType),
+        Bridge.expression(xxhash64(col("h")))))
+    val bh = batch.select(col(idCol).as("id"), md5(col(textCol)).as("h"))
+    val perHash = Window.partitionBy("h").orderBy("id")
+    bh.withColumn("batch_dup", row_number().over(perHash) > 1)
+      .withColumn("in_corpus_maybe", mightContain)
+      .select(col("id"), col("in_corpus_maybe"), col("batch_dup"),
+        (!col("in_corpus_maybe") && !col("batch_dup")).as("kept"))
+  }
+
+  /**
    * Incremental (cross-corpus) NEAR-duplicate dedup — `incrementalExact`
    * upgraded to MinHash+LSH similarity: a batch document is dropped when
    * some CORPUS document shares an LSH band and agrees on >= `minAgree`

@@ -152,6 +152,37 @@ class DedupSpec extends SparkSpec {
       (4L, false, false, true)))
   }
 
+  test("incrementalExactBloom: no false negatives vs exact, batch_dup identical, empty corpus") {
+    val corpus = Seq((10L, "existing doc alpha"), (11L, "existing doc beta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "existing doc alpha"),
+      (2L, "fresh content one"),
+      (3L, "fresh content one"),
+      (4L, "fresh content two")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.incrementalExact(corpus, batch).orderBy("id").collect()
+    val bloom = Dedup.incrementalExactBloom(corpus, batch).orderBy("id").collect()
+    assert(exact.length == bloom.length)
+    exact.zip(bloom).foreach { case (e, b) =>
+      assert(e.getLong(0) == b.getLong(0))
+      // flagged is a SUPERSET of true corpus membership (no false negatives)
+      if (e.getBoolean(1)) assert(b.getBoolean(1), s"false negative id ${e.getLong(0)}")
+      // the within-batch tie-break is exact in both
+      assert(e.getBoolean(2) == b.getBoolean(2), s"batch_dup id ${e.getLong(0)}")
+      // kept can only shrink (over-drop by FP), never grow
+      if (b.getBoolean(3)) assert(e.getBoolean(3), s"kept not subset id ${e.getLong(0)}")
+    }
+    // at this scale/bit budget the FP rate is ~0: results match exactly
+    assert(bloom.map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(3))).toSeq ==
+      exact.map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(3))).toSeq)
+    // empty corpus -> null Bloom aggregate -> nothing flagged, dedup still exact
+    val none = Dedup.incrementalExactBloom(corpus.limit(0), batch).orderBy("id")
+      .collect().map(x => (x.getLong(0), x.getBoolean(1), x.getBoolean(3)))
+    assert(none.toSeq == Seq((1L, false, true), (2L, false, true),
+      (3L, false, false), (4L, false, true)))
+  }
+
   test("incrementalNearDup flags near matches across the corpus frontier, not unrelated docs") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
