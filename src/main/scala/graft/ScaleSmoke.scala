@@ -174,6 +174,14 @@ object ScaleSmoke {
     time("weighted sample")(
       Corpus.qualityWeightedSample(TextAnalysis.quality(docs), idCol = "id")
         .count())
+    // stupid backoff at a production vocab: three trained tables + one
+    // hash-probe scan — cost should track the trigram row, not 3×
+    time("backoff score 64k V")(
+      TextAnalysis.backoffScore(docs, vocabSize = 65536).count())
+    // Bloom frontier vs the exact join: same split, corpus never
+    // shuffled at all (the distinct() exchange disappears)
+    time("incremental bloom")(
+      Dedup.incrementalExactBloom(corpusPart, batchPart).count())
     }
 
     if (sections.contains("ann")) {

@@ -360,13 +360,22 @@ object TextAnalysis {
   def backoffScore(docs: DataFrame, vocabSize: Int = 4096, alpha: Double = 0.5,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = TF.tokens(col(textCol))
+    // All three tables train from ONE corpus scan + ONE uniform groupBy:
+    // unigrams, bigrams, and trigrams explode together, and a gram's
+    // space count recovers its order afterwards (tokens are split on
+    // whitespace, so a token can never contain a space). Counts are
+    // identical to three per-order trainings — this only removes two
+    // corpus scans and two shuffles from the artifact build.
+    val cnt = SelfJoinMaterialize(
+      docs.select(explode(concat(toks, TF.shingles(toks, 2),
+          TF.shingles(toks, 3))).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .withColumn("ord",
+          (length(col("g")) - length(replace(col("g"), lit(" "), lit("")))) + 1))
     def table(n: Int): Map[String, Double] = {
-      val grams = if (n == 1) toks else TF.shingles(toks, n)
-      val cnt = SelfJoinMaterialize(
-        docs.select(explode(grams).as("g"))
-          .groupBy("g").agg(count(lit(1)).as("c")))
-      val top = cnt.orderBy(col("c").desc, col("g").asc).limit(vocabSize).collect()
-      val totalRow = cnt.agg(sum(col("c"))).collect()(0)
+      val sub = cnt.where(col("ord") === n)
+      val top = sub.orderBy(col("c").desc, col("g").asc).limit(vocabSize).collect()
+      val totalRow = sub.agg(sum(col("c"))).collect()(0)
       val total = if (totalRow.isNullAt(0)) 1L else math.max(1L, totalRow.getLong(0))
       top.iterator.map(r => r.getString(0) -> r.getLong(1).toDouble / total).toMap
     }
