@@ -64,6 +64,14 @@ object PipelineEntry {
   private val MixTotalTokens = 50000L
   private val MixOverSample = 4
 
+  /** Epoch-capped mixture (p60) fixture: at sf0.01 token masses (en
+   * ~11.8k, de ~3.5k, fr ~3.8k) these weights exercise every branch —
+   * en: budget 10k < mass → 0 full epochs + partial cut; de: budget 10k
+   * ≈ 2.8 epochs → 2 full + partial; fr: budget 30k ≈ 8 epochs → capped
+   * at maxEpochs=4, no partial; es/zh: no weight → excluded. */
+  private val CapWeights = Map("en" -> 0.2, "de" -> 0.2, "fr" -> 0.6)
+  private val CapMaxEpochs = 4
+
   /** Every stateful streaming operator instantiates one state store per
    * shuffle partition per micro-batch, so a small drain under the session
    * default (32 here; 200 upstream) is almost all state-store bookkeeping.
@@ -673,6 +681,16 @@ object PipelineEntry {
       Corpus.tokenMixture(docs(s, dir), MixWeights, MixTotalTokens,
         strataCol = "lang", overSample = MixOverSample, hashMod = SampleHashMod)
         .orderBy("id")),
+
+    // P28++, key p60_mixture_capped — the data-constrained mixing regime
+    // (Muennighoff et al. 2023): strata whose budget exceeds their mass
+    // REPEAT, epoch-stamped, capped at maxEpochs; the last partial epoch
+    // is the usual hash-order prefix cut against the remaining budget.
+    "p60_mixture_capped" -> ((s, dir) =>
+      Corpus.tokenMixtureCapped(docs(s, dir), CapWeights, MixTotalTokens,
+        maxEpochs = CapMaxEpochs, strataCol = "lang",
+        overSample = MixOverSample, hashMod = SampleHashMod)
+        .orderBy("id", "epoch")),
 
     // P29+P30 composed, key p43_curation_chain — the line-level C4
     // filter feeding the Gopher document verdict as ONE chained
@@ -2070,6 +2088,45 @@ c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY stratum ORDER BY hm, id
 SELECT id, stratum, n_tokens, cum_tokens FROM c
 WHERE (cum_tokens - n_tokens) < budget
 ORDER BY id"""
+    },
+
+    "p60_mixture_capped" -> {
+      val wValues = CapWeights.toSeq.sorted
+        .map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+      val pfConst = SampleHashMod.toDouble * MixOverSample
+      // every arithmetic step mirrors the Spark expressions one-for-one:
+      // budget = w * total (one multiply), full_epochs = LEAST(maxEpochs,
+      // floor(budget / T)) (floor of one double division), remainder =
+      // budget - f * T (one multiply-subtract) — all single IEEE ops
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+b AS (SELECT doc_id AS id, lang AS stratum,
+        len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_tokens,
+        ('0x' || substring(md5(doc_id::VARCHAR),1,8))::BIGINT % $SampleHashMod AS hm
+      FROM documents),
+st0 AS (SELECT stratum, sum(n_tokens)::BIGINT AS tot_tokens FROM b GROUP BY stratum),
+wt AS (SELECT * FROM (VALUES $wValues) AS t(stratum, w)),
+st AS (SELECT stratum, tot_tokens, wt.w * $MixTotalTokens.0 AS budget,
+         LEAST($CapMaxEpochs.0,
+           floor((wt.w * $MixTotalTokens.0) / tot_tokens::DOUBLE))::BIGINT AS full_epochs
+       FROM st0 JOIN wt USING (stratum) WHERE tot_tokens > 0),
+st2 AS (SELECT *, CASE WHEN full_epochs < $CapMaxEpochs
+          THEN budget - full_epochs::DOUBLE * tot_tokens::DOUBLE
+          ELSE 0.0 END AS partial_budget FROM st),
+fe AS (SELECT b.id, unnest(range(0, st2.full_epochs))::BIGINT AS epoch,
+         b.stratum, b.n_tokens
+       FROM b JOIN st2 USING (stratum) WHERE st2.full_epochs > 0),
+pf AS (SELECT b.id, b.stratum, b.n_tokens, b.hm, st2.full_epochs,
+         st2.partial_budget
+       FROM b JOIN st2 USING (stratum)
+       WHERE st2.partial_budget > 0.0
+         AND (b.hm::DOUBLE * st2.tot_tokens::DOUBLE) < $pfConst * st2.partial_budget),
+c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY stratum ORDER BY hm, id
+        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM pf)
+SELECT id, epoch, stratum, n_tokens FROM fe
+UNION ALL
+SELECT id, full_epochs AS epoch, stratum, n_tokens FROM c
+WHERE (cum - n_tokens) < partial_budget
+ORDER BY id, epoch"""
     },
 
     "p26_contamination" ->

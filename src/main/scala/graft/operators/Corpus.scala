@@ -216,6 +216,79 @@ object Corpus {
       .select(col("id"), col("stratum"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /**
+   * P28++ — EPOCH-CAPPED token mixture (the data-constrained regime of
+   * Muennighoff et al. 2023, "Scaling Data-Constrained Language
+   * Models"): when a stratum's token budget w_s·B exceeds its actual
+   * mass T_s, the plain mixture silently under-delivers (selection
+   * without replacement can't exceed one epoch); the production answer
+   * is to REPEAT the stratum — but only up to `maxEpochs` passes,
+   * because repeated data decays in value (the paper's ~4-epoch rule).
+   * Each stratum therefore emits:
+   *   full epochs  f_s = min(maxEpochs, floor(budget_s / T_s))  — every
+   *     document, epoch-stamped 0..f_s-1 (no ordering, no window);
+   *   one partial epoch (epoch = f_s, only if f_s < maxEpochs and
+   *     budget remains): the tokenMixture hash-order prefix cut against
+   *     the REMAINING budget budget_s − f_s·T_s.
+   * Delivered tokens per stratum = min(budget_s, maxEpochs·T_s), and
+   * every arithmetic step (one multiply for the budget, floor of a
+   * double division for f_s, one multiply-subtract for the remainder)
+   * is a single IEEE operation the SQL oracle reproduces exactly.
+   *
+   * Scale shape: the per-stratum stats join is a broadcast (strata are
+   * few); full epochs are a pure explode projection — NO window touches
+   * them, so a 4-epoch stratum costs 4 narrow output rows per doc, not
+   * a 4× window sort; only the partial epoch pays the per-stratum
+   * cumsum window, and the same hash-threshold prefilter as
+   * tokenMixture bounds what that window sees.
+   * Output: (id, epoch, stratum, n_tokens).
+   */
+  def tokenMixtureCapped(docs: DataFrame, weights: Map[String, Double],
+                         totalTokens: Long, maxEpochs: Int = 4,
+                         strataCol: String = "source", overSample: Int = 4,
+                         hashMod: Int = 1 << 20, textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val toks = size(regexp_extract_all(lower(col(textCol)), lit(BpeTokenPattern),
+      lit(0))).cast("long")
+    val base = docs.select(col(idCol).as("id"), col(strataCol).as("stratum"),
+      toks.as("n_tokens"),
+      pmod(idHash(col(idCol)), lit(hashMod.toLong)).as("hm"))
+    val wMap = typedLit(weights)
+    val budget = element_at(wMap, col("stratum")) * lit(totalTokens.toDouble)
+    val stats = base.groupBy("stratum").agg(sum("n_tokens").as("tot_tokens"))
+      .where(col("tot_tokens") > 0 &&
+        element_at(wMap, col("stratum")).isNotNull)
+      .select(col("stratum"), col("tot_tokens"), budget.as("budget"),
+        least(lit(maxEpochs.toDouble),
+          floor(budget / col("tot_tokens").cast("double"))).cast("long")
+          .as("full_epochs"))
+      .withColumn("partial_budget",
+        when(col("full_epochs") < maxEpochs,
+          col("budget") -
+            col("full_epochs").cast("double") * col("tot_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+    val joined = base.join(broadcast(stats), Seq("stratum"))
+    val fullRows = joined.where(col("full_epochs") > 0)
+      .select(col("id"),
+        explode(sequence(lit(0L), col("full_epochs") - 1)).as("epoch"),
+        col("stratum"), col("n_tokens"))
+    // double-first multiply: see tokenMixture — Long hm * tot_tokens
+    // overflows at ~10^13 tokens/stratum under ANSI mode.
+    val partial = joined.where(col("partial_budget") > 0.0 &&
+      col("hm").cast("double") * col("tot_tokens").cast("double") <
+        lit(hashMod.toDouble * overSample) * col("partial_budget"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy(col("hm").asc, col("id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val partialRows = partial
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where((col("cum_tokens") - col("n_tokens")).cast("double") <
+        col("partial_budget"))
+      .select(col("id"), col("full_epochs").as("epoch"),
+        col("stratum"), col("n_tokens"))
+    fullRows.unionAll(partialRows)
+  }
+
   // ---------------- P25 (registered query key: p26_contamination)
   /**
    * Benchmark decontamination: for every document, the fraction of its

@@ -132,6 +132,43 @@ class CorpusSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("tokenMixtureCapped: full epochs repeat, cap binds, partial cuts by budget") {
+    // 100 docs of 10 tokens each per lang -> 1000 tokens per stratum
+    val many = spark.range(200).select(
+      col("id").as("doc_id"),
+      when(col("id") % 2 === 0, "en").otherwise("de").as("lang"),
+      lit("one two three four five six seven eight nine ten").as("text"))
+    // en budget 2500 = 2 full epochs + 500-token partial;
+    // de budget 7500 = 7.5 epochs -> capped at 3 full, no partial
+    val out = Corpus.tokenMixtureCapped(many,
+      Map("en" -> 0.25, "de" -> 0.75), totalTokens = 10000, maxEpochs = 3,
+      strataCol = "lang")
+    val byLang = out.groupBy("stratum")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("n"),
+        max("epoch").as("maxe"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // en: 2 full epochs (2000 tokens, 200 rows) + 50-doc partial at epoch 2
+    assert(byLang("en") == ((2500L, 250L, 2L)))
+    // de: capped at 3 complete epochs — 3000 tokens delivered, not 7500
+    assert(byLang("de") == ((3000L, 300L, 2L)))
+    // every full epoch contains every doc exactly once
+    val enEpoch0 = out.where(col("stratum") === "en" && col("epoch") === 0)
+    assert(enEpoch0.count() == 100L)
+    assert(enEpoch0.select("id").distinct().count() == 100L)
+    // the partial epoch is a strict prefix, not a full pass
+    assert(out.where(col("stratum") === "en" && col("epoch") === 2)
+      .count() == 50L)
+    // deterministic across reruns
+    val k1 = out.select(col("id"), col("epoch")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val k2 = Corpus.tokenMixtureCapped(many,
+      Map("en" -> 0.25, "de" -> 0.75), totalTokens = 10000, maxEpochs = 3,
+      strataCol = "lang").select(col("id"), col("epoch")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k1 == k2)
+  }
+
   test("tokenMixtureTemperature: sqrt shares upweight the small stratum") {
     // en: 160 docs x 10 tokens = 1600; de: 40 docs x 10 = 400 (4:1 mass).
     // sqrt shares: 40 / (40 + 20) = 2/3 vs 1/3 — the small stratum's
