@@ -682,6 +682,13 @@ object PipelineEntry {
         strataCol = "lang", overSample = MixOverSample, hashMod = SampleHashMod)
         .orderBy("id")),
 
+    // P20+, key p61_shuffle_shards — deterministic shuffle-shard: the
+    // training-order decorrelation between curation and packing, as a
+    // pure function of the id set (md5 hash order; per-shard rank
+    // windows, no global sort).
+    "p61_shuffle_shards" -> ((s, dir) =>
+      Corpus.shuffleShards(docs(s, dir), nShards = 8).orderBy("id")),
+
     // P28++, key p60_mixture_capped — the data-constrained mixing regime
     // (Muennighoff et al. 2023): strata whose budget exceeds their mass
     // REPEAT, epoch-stamped, capped at maxEpochs; the last partial epoch
@@ -2089,6 +2096,18 @@ SELECT id, stratum, n_tokens, cum_tokens FROM c
 WHERE (cum_tokens - n_tokens) < budget
 ORDER BY id"""
     },
+
+    // shard = hash % n; within-shard order = (hash quotient, id) — the
+    // quotient carries the remaining hash entropy past the shard bits
+    "p61_shuffle_shards" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+b AS (SELECT doc_id AS id,
+        ('0x' || substring(md5(doc_id::VARCHAR),1,8))::BIGINT AS h
+      FROM documents),
+s AS (SELECT id, h % 8 AS shard, floor(h / 8.0)::BIGINT AS hq FROM b)
+SELECT id, shard,
+  row_number() OVER (PARTITION BY shard ORDER BY hq, id)::BIGINT AS pos
+FROM s ORDER BY id""",
 
     "p60_mixture_capped" -> {
       val wValues = CapWeights.toSeq.sorted

@@ -116,6 +116,46 @@ object Corpus {
         ((col("cum_tokens") - col("n_tokens")) / lit(maxTokens)).cast("long"))
   }
 
+  /**
+   * P20+ — deterministic SHUFFLE-SHARD: the training-order
+   * decorrelation step that runs between curation and `packSequences`.
+   * Adjacent document ids are correlated (same crawl, same site, same
+   * day), and packing in id order would hand the model long runs of
+   * near-identical context; production pipelines therefore shuffle
+   * before packing — but a real global RNG shuffle is neither
+   * reproducible nor restartable. This is the standard deterministic
+   * substitute: order = the portable md5 id-hash. Each document gets
+   *   shard = hash % nShards  (which output file it lands in)
+   *   pos   = its rank within the shard by (hash / nShards, id)
+   * so the (shard, pos) order is a pure function of the id set —
+   * re-running on the same corpus reproduces it bit-for-bit, and
+   * growing the corpus only interleaves new docs without reordering
+   * old ones relative to each other.
+   *
+   * The quotient hash/nShards (not the full hash) breaks the ordering
+   * tie inside a shard: every doc in a shard shares hash % nShards, so
+   * the quotient carries all remaining hash entropy and the id is only
+   * reached on true quotient collisions.
+   *
+   * Scale shape: one narrow scan for the hash projection + nShards
+   * per-shard rank windows (the packSequences topology — shards sized
+   * to executor memory, no global sort anywhere). Feeding `pos` in as
+   * the packing order turns id-order packing into shuffled packing with
+   * zero extra passes.
+   * Output: (id, shard, pos).
+   */
+  def shuffleShards(docs: DataFrame, nShards: Int = 32,
+                    idCol: String = "doc_id"): DataFrame = {
+    val h = idHash(col(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("hq").asc, col("id").asc)
+    docs
+      .select(col(idCol).as("id"), pmod(h, lit(nShards.toLong)).as("shard"),
+        floor(h / lit(nShards.toLong)).as("hq"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("id"), col("shard"), col("pos"))
+  }
+
   // ---------------- P28 (registered query key: p29_token_mixture)
   /**
    * Token-budget corpus mixing: sample each stratum (source/language) to

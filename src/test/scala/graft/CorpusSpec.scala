@@ -132,6 +132,42 @@ class CorpusSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("shuffleShards: contiguous per-shard ranks, deterministic, growth-stable") {
+    val docs = spark.range(300).select(col("id").as("doc_id"))
+    val out = Corpus.shuffleShards(docs, nShards = 4).cache()
+    // every doc lands in exactly one shard with contiguous ranks 1..count
+    assert(out.count() == 300L)
+    out.groupBy("shard").agg(count(lit(1)).as("n"), max("pos").as("mx"),
+        min("pos").as("mn"), countDistinct("pos").as("d"))
+      .collect().foreach { r =>
+        assert(r.getLong(4) == r.getLong(1)) // distinct ranks
+        assert(r.getLong(2) == r.getLong(1) && r.getLong(3) == 1L) // 1..n
+      }
+    // the order is NOT id order (it actually shuffles)
+    val shard0 = out.where(col("shard") === out.select("shard").first().getLong(0))
+      .orderBy("pos").select("id").as[Long].collect()
+    assert(shard0.toSeq != shard0.sorted.toSeq)
+    // deterministic across reruns
+    val k1 = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val k2 = Corpus.shuffleShards(docs, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(k1 == k2)
+    // growing the corpus preserves the relative order of old docs
+    val grown = Corpus.shuffleShards(
+      spark.range(400).select(col("id").as("doc_id")), nShards = 4)
+    val oldOrder = out.orderBy("shard", "pos").select("id").as[Long].collect()
+      .filter(_ < 300)
+    val grownOrder = grown.orderBy("shard", "pos").select("id").as[Long]
+      .collect().filter(_ < 300)
+    // per shard, old docs keep their relative sequence
+    val oldByShard = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val grownByShard = grown.collect().filter(_.getLong(0) < 300)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oldByShard == grownByShard) // shard assignment is pure in id
+    assert(oldOrder.toSeq == grownOrder.toSeq)
+    out.unpersist()
+  }
+
   test("tokenMixtureCapped: full epochs repeat, cap binds, partial cuts by budget") {
     // 100 docs of 10 tokens each per lang -> 1000 tokens per stratum
     val many = spark.range(200).select(
