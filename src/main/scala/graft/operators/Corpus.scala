@@ -295,18 +295,23 @@ object Corpus {
       pmod(idHash(col(idCol)), lit(hashMod.toLong)).as("hm"))
     val wMap = typedLit(weights)
     val budget = element_at(wMap, col("stratum")) * lit(totalTokens.toDouble)
-    val stats = base.groupBy("stratum").agg(sum("n_tokens").as("tot_tokens"))
-      .where(col("tot_tokens") > 0 &&
-        element_at(wMap, col("stratum")).isNotNull)
-      .select(col("stratum"), col("tot_tokens"), budget.as("budget"),
-        least(lit(maxEpochs.toDouble),
-          floor(budget / col("tot_tokens").cast("double"))).cast("long")
-          .as("full_epochs"))
-      .withColumn("partial_budget",
-        when(col("full_epochs") < maxEpochs,
-          col("budget") -
-            col("full_epochs").cast("double") * col("tot_tokens").cast("double"))
-          .otherwise(lit(0.0)))
+    // materialized (tiny: one row per stratum): both union branches — the
+    // full-epoch explode and the partial-epoch window — consume it, and
+    // without the cache each branch would re-run the corpus-wide stats
+    // aggregation (a second full scan + shuffle at 100 TB)
+    val stats = SelfJoinMaterialize(
+      base.groupBy("stratum").agg(sum("n_tokens").as("tot_tokens"))
+        .where(col("tot_tokens") > 0 &&
+          element_at(wMap, col("stratum")).isNotNull)
+        .select(col("stratum"), col("tot_tokens"), budget.as("budget"),
+          least(lit(maxEpochs.toDouble),
+            floor(budget / col("tot_tokens").cast("double"))).cast("long")
+            .as("full_epochs"))
+        .withColumn("partial_budget",
+          when(col("full_epochs") < maxEpochs,
+            col("budget") -
+              col("full_epochs").cast("double") * col("tot_tokens").cast("double"))
+            .otherwise(lit(0.0))))
     val joined = base.join(broadcast(stats), Seq("stratum"))
     val fullRows = joined.where(col("full_epochs") > 0)
       .select(col("id"),

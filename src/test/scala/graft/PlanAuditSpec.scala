@@ -293,6 +293,60 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"curation pipeline gained a join:\n$p")
   }
 
+  test("backoff scoring is one narrow scan through the native expression") {
+    // three trained tables ride along as literals; the corpus pays one
+    // codegen scan with hash probes — no explode, no shuffle, no join
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(TextAnalysis.backoffScore(docs, vocabSize = 8))
+    assert(!p.contains("Exchange"), s"backoff scoring gained a shuffle:\n$p")
+    assert(!p.contains("Join"), s"backoff scoring gained a join:\n$p")
+    assert(p.contains("backoff_score"), s"native expression missing:\n$p")
+  }
+
+  test("Bloom incremental frontier: membership is a projection, no corpus join") {
+    // the corpus folds into the filter artifact before this plan exists;
+    // the batch plan must contain the might_contain probe, exactly the
+    // within-batch window exchange, and no join at all
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = docs.where(col("doc_id") % 3 =!= 0)
+    val batch = docs.where(col("doc_id") % 3 === 0)
+    val p = plan(Dedup.incrementalExactBloom(corpus, batch))
+    assert(!p.contains("Join"), s"Bloom frontier gained a join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected only the within-batch window exchange:\n$p")
+    assert(p.contains("might_contain"), s"Bloom probe missing:\n$p")
+  }
+
+  test("epoch-capped mixture: full epochs are window-free, stats computed once") {
+    // the full-epoch path is an explode-over-broadcast-join projection —
+    // only the partial-epoch branch pays a window; the per-stratum stats
+    // frame is materialized so the two union branches don't re-run the
+    // corpus-wide aggregation (textual exchange counts are inflated by
+    // the InMemoryRelation printout, so pin the Window count + the cache
+    // + the join strategy instead)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(graft.operators.Corpus.tokenMixtureCapped(docs,
+      Map("en" -> 0.5, "de" -> 0.5), totalTokens = 10000,
+      strataCol = "lang"))
+    assert(!p.contains("SortMergeJoin"), s"stats join got shuffled:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"stats not materialized — both branches re-aggregate the corpus:\n$p")
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1,
+      s"expected the partial-epoch window only:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"stats join not broadcast:\n$p")
+    graft.operators.OperatorCaches.drainMaterialized()
+  }
+
+  test("shuffle-shard: per-shard rank window is the only exchange, no global sort") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(graft.operators.Corpus.shuffleShards(docs, nShards = 8))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"shuffle-shard exchange count changed:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"shuffle-shard gained a global sort:\n$p")
+    assert(!p.contains("Join"))
+  }
+
   test("residual IVFPQ encode runs ONCE per corpus row (no inferred-filter re-inline)") {
     // The probe-list join infers isnotnull on the corpus-side centroid_id
     // and would push it below the encode projection, re-inlining the full
