@@ -682,6 +682,16 @@ object PipelineEntry {
         strataCol = "lang", overSample = MixOverSample, hashMod = SampleHashMod)
         .orderBy("id")),
 
+    // P30+, key p62_source_filter — source-level quality filtering (the
+    // C4/RefinedWeb domain-blocklist step from the corpus's own
+    // signals): sources whose Gopher pass-fraction falls below minFrac
+    // drop wholesale. At sf0.01 the natural per-source pass rates span
+    // 0.28-0.60, so minFrac=0.48 keeps some sources and drops others
+    // with no planting.
+    "p62_source_filter" -> ((s, dir) =>
+      TextAnalysis.sourceQualityFilter(docs(s, dir), minFrac = 0.48,
+        minDocs = 10L, stopwords = Seq("the", "a")).orderBy("id")),
+
     // P20+, key p61_shuffle_shards — deterministic shuffle-shard: the
     // training-order decorrelation between curation and packing, as a
     // pure function of the id set (md5 hash order; per-shard rank
@@ -2096,6 +2106,40 @@ SELECT id, stratum, n_tokens, cum_tokens FROM c
 WHERE (cum_tokens - n_tokens) < budget
 ORDER BY id"""
     },
+
+    // the p35 gopher CTE chain (unplanted) + a per-source integer
+    // aggregate: counts and one exact division, no double summation
+    "p62_source_filter" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+b AS (SELECT doc_id, source, text,
+        string_split_regex(lower(trim(text)), '\\s+') AS t,
+        string_split(text, chr(10)) AS ls FROM documents),
+m AS (SELECT doc_id, source, len(t)::BIGINT AS n_words,
+  list_reduce(list_transform(t, w -> len(w)), (a,b) -> a+b)::DOUBLE / len(t) AS mwl,
+  len(regexp_extract_all(text, '#|\\.\\.\\.|…'))::DOUBLE / len(t) AS sym,
+  len(list_filter(ls, l -> substring(trim(l),1,1) IN ('•','-','*')))::DOUBLE
+    / len(ls) AS bf,
+  len(list_filter(ls, l -> trim(l) LIKE '%...' OR trim(l) LIKE '%…'))::DOUBLE
+    / len(ls) AS ef,
+  len(list_filter(t, w -> regexp_matches(w, '[a-z]')))::DOUBLE / len(t) AS af,
+  len(list_filter(['the','a'], w -> list_contains(t, w)))::BIGINT AS sh
+  FROM b),
+v AS (SELECT doc_id, source,
+  (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+   AND sym <= 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8 AND sh >= 2)
+    AS doc_passes
+  FROM m),
+per AS (SELECT source, count(*)::BIGINT AS n_docs_source,
+    sum(CASE WHEN doc_passes THEN 1 ELSE 0 END)::BIGINT AS n_passing
+  FROM v GROUP BY source),
+pv AS (SELECT source, n_docs_source,
+    n_passing::DOUBLE / n_docs_source::DOUBLE AS frac,
+    (n_passing::DOUBLE / n_docs_source::DOUBLE >= 0.48
+     AND n_docs_source >= 10) AS source_kept
+  FROM per)
+SELECT v.doc_id AS id, v.source, v.doc_passes, pv.n_docs_source,
+  round(pv.frac, 6) AS frac_passing, pv.source_kept
+FROM v JOIN pv USING (source) ORDER BY id""",
 
     // shard = hash % n; within-shard order = (hash quotient, id) — the
     // quotient carries the remaining hash entropy past the shard bits

@@ -330,6 +330,52 @@ object TextAnalysis {
     gramScore(docs, 3, vocabSize, textCol, idCol, countName = "n_trigrams")
 
   /**
+   * P30+ — SOURCE-level quality filtering (the domain-blocklist step of
+   * C4/RefinedWeb curation, lifted from hand-maintained lists to the
+   * corpus's own signals): a source whose documents chronically fail
+   * the Gopher rules is dropped WHOLESALE — low-quality domains produce
+   * low-quality pages faster than per-document filters can reject
+   * them, and dropping the source also removes the pages that
+   * individually squeak past. The verdict is two INTEGER aggregates
+   * per source (doc count, passing count) — deliberately not a mean of
+   * per-doc double scores, whose cross-partition summation order is
+   * nondeterministic; the passing FRACTION is one exact division, so
+   * the whole operator is bit-portable to the oracle.
+   *
+   * Scale shape: one fused Gopher scan (the p35 projection with
+   * `passthrough` carrying the source column), one uniform source-keyed
+   * integer aggregation (sources number thousands, not billions —
+   * map-side combine absorbs the hot ones), and the tiny per-source
+   * verdict broadcasts back onto the doc stream. No corpus shuffle
+   * anywhere.
+   * Output per document: (id, source, doc_passes, n_docs_source,
+   * frac_passing, source_kept).
+   */
+  def sourceQualityFilter(docs: DataFrame, minFrac: Double = 0.5,
+                          minDocs: Long = 1L,
+                          stopwords: Seq[String] = GopherStopwords,
+                          sourceCol: String = "source",
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val gp = gopherRules(docs, stopwords = stopwords, textCol = textCol,
+      idCol = idCol, passthrough = Seq(sourceCol))
+    val per = gp.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs_source"),
+        sum(when(col("passes"), 1L).otherwise(0L)).as("n_passing"))
+      .withColumn("frac_passing",
+        col("n_passing").cast("double") / col("n_docs_source").cast("double"))
+      .select(col(sourceCol), col("n_docs_source"),
+        col("frac_passing"),
+        (col("frac_passing") >= minFrac &&
+          col("n_docs_source") >= minDocs).as("source_kept"))
+    gp.select(col("id"), col(sourceCol), col("passes").as("doc_passes"))
+      .join(broadcast(per), Seq(sourceCol))
+      .select(col("id"), col(sourceCol).as("source"), col("doc_passes"),
+        col("n_docs_source"), round(col("frac_passing"), 6).as("frac_passing"),
+        col("source_kept"))
+  }
+
+  /**
    * P31+++ — KenLM-style STUPID-BACKOFF scoring (Brants et al. 2007 §4):
    * the top rung of the LM-quality ladder, and the closest deterministic
    * analogue of CCNet's KenLM perplexity filter this engine carries.

@@ -219,6 +219,37 @@ class TextFunctionsSpec extends SparkSpec {
     assert(!ns.getAs[Boolean]("passes") && ns.getAs[Long]("stop_hits") == 0L)
   }
 
+  test("sourceQualityFilter: chronically-failing sources drop wholesale, incl. passing docs") {
+    import spark.implicits._
+    // goodSrc: 3/4 docs pass; badSrc: 1/4 pass — with minFrac 0.5 the
+    // bad source drops WHOLE, including its one passing doc
+    val prose = ("the quick brown fox jumps over lazy dogs and it must be " +
+      "said that words keep flowing here ").trim + " more filler" * 18
+    val junk = (1 to 30).map(_.toString).mkString("x ", " ", "")
+    val docs = Seq(
+      (0L, "goodSrc", prose), (1L, "goodSrc", prose),
+      (2L, "goodSrc", prose), (3L, "goodSrc", junk),
+      (4L, "badSrc", prose), (5L, "badSrc", junk),
+      (6L, "badSrc", junk), (7L, "badSrc", junk)
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceQualityFilter(docs, minFrac = 0.5,
+      minDocs = 2L).orderBy("id").collect()
+    assert(out.length == 8)
+    out.foreach { r =>
+      val kept = r.getAs[Boolean]("source_kept")
+      assert(kept == (r.getAs[String]("source") == "goodSrc"),
+        s"doc ${r.getLong(0)}: $r")
+    }
+    // the bad source's passing doc (id 4) is dropped with its source
+    val d4 = out.find(_.getLong(0) == 4L).get
+    assert(d4.getAs[Boolean]("doc_passes") && !d4.getAs[Boolean]("source_kept"))
+    // minDocs guards tiny sources from a verdict on no evidence
+    val tiny = Seq((0L, "s", prose)).toDF("doc_id", "source", "text")
+    val t = TextAnalysis.sourceQualityFilter(tiny, minFrac = 0.5,
+      minDocs = 2L).collect()(0)
+    assert(!t.getAs[Boolean]("source_kept"))
+  }
+
   test("repetition: top-shingle ratio separates boilerplate from natural text") {
     val rep = TextAnalysis.repetition(
       one("buy now buy now buy now buy now"), n = 3).collect()(0)
