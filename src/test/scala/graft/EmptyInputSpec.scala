@@ -93,6 +93,15 @@ class EmptyInputSpec extends SparkSpec {
       strataCol = "lang").count() == 0)
     assert(Corpus.contamination(emptyDocs, emptyDocs).count() == 0)
     assert(Corpus.contaminationBloom(emptyDocs, emptyDocs).count() == 0)
+    assert(Corpus.tokenMixtureCapped(emptyStrata, Map("en" -> 1.0), 1000L,
+      strataCol = "lang").count() == 0)
+    assert(Corpus.shuffleShards(emptyDocs).count() == 0)
+    assert(Corpus.curationPipeline(emptyDocs).count() == 0)
+    assert(Corpus.curationDedupAgg(
+      Corpus.curationStages(emptyDocs)).count() == 0)
+    assert(Dedup.incrementalExact(emptyDocs, emptyDocs).count() == 0)
+    assert(Dedup.incrementalExactBloom(emptyDocs, emptyDocs).count() == 0)
+    assert(Dedup.incrementalNearDup(emptyDocs, emptyDocs).count() == 0)
   }
 
   test("curation text operators on empty inputs") {
@@ -104,6 +113,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.unigramScore(emptyDocs).count() == 0)
     assert(TextAnalysis.bigramScore(emptyDocs).count() == 0)
     assert(TextAnalysis.trigramScore(emptyDocs).count() == 0)
+    assert(TextAnalysis.backoffScore(emptyDocs).count() == 0)
+    assert(TextAnalysis.sourceQualityFilter(
+      emptyDocs.withColumn("source", lit("s"))).count() == 0)
     assert(Dedup.paragraphDedup(emptyDocs).count() == 0)
     assert(Dedup.dupSpans(emptyDocs).count() == 0)
     assert(Dedup.spanDedupApply(emptyDocs).count() == 0)
