@@ -168,14 +168,11 @@ object PipelineEntry {
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
     (corpus, batch)
   }
-  /** The events parquet stores ts as TIMESTAMP(NANOS), which Spark's
-   * vectorized reader rejects; read nanos as long and floor to micros
-   * (DuckDB's reader does the same truncation). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  /** Events reader with ts-unit auto-detection (the generator has
+   * shipped both TIMESTAMP(NANOS) and TIMESTAMP_NTZ-micros across
+   * rounds — see EventStream.normalizeTs). */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.readBatch(s, s"$dir/events.parquet")
 
   private def probes(s: SparkSession, dir: String): DataFrame =
     embs(s, dir).where(col("vec_id") < 5)
@@ -816,7 +813,7 @@ object PipelineEntry {
       import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
       // file streaming sources need a DIRECTORY; symlink the single file
       val (streamDir, tag) = streamingSourceDir(dir, "events.parquet")
-      val stream = graft.streaming.EventStream.read(s, streamDir, tsNanos = true)
+      val stream = graft.streaming.EventStream.read(s, streamDir)
       val name = "p15_sessions_" + tag
       withStreamShuffle(s) {
         val q = graft.streaming.EventStream
@@ -840,7 +837,7 @@ object PipelineEntry {
     "p18_streaming_windows" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val (streamDir, tag) = streamingSourceDir(dir, "events.parquet")
-      val stream = graft.streaming.EventStream.read(s, streamDir, tsNanos = true)
+      val stream = graft.streaming.EventStream.read(s, streamDir)
       val name = "p18_windows_" + tag
       withStreamShuffle(s) {
         val q = graft.streaming.EventStream

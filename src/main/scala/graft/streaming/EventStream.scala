@@ -30,21 +30,38 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Schema as stored when ts is TIMESTAMP(NANOS) parquet (read as long). */
-  private val nanosSchema: StructType = StructType(
-    schema.fields.map(f => if (f.name == "ts") f.copy(dataType = LongType) else f))
+  /** Normalize `ts` to TimestampType whatever the parquet stored:
+   * TIMESTAMP(NANOS) arrives as long (via the legacy nanosAsLong conf)
+   * and is floored to micros — the same truncation DuckDB's reader
+   * applies — while TIMESTAMP_NTZ (micros) is cast under the UTC
+   * session timezone, which is value-preserving. The generator has
+   * shipped both encodings across rounds, so the readers detect the
+   * unit from the file footer instead of hard-coding it. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+
+  /** Batch read of an events parquet with ts-unit auto-detection — the
+   * single reader every batch twin and oracle-checked key goes through. */
+  def readBatch(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(spark.read.parquet(path))
+  }
 
   /** File-based streaming source over an events parquet directory.
-   * `tsNanos = true` reads TIMESTAMP(NANOS) files (which Spark's reader
-   * otherwise rejects) by ingesting nanos as long and flooring to micros
-   * — same convention as the batch reader. */
-  def read(spark: SparkSession, dir: String, tsNanos: Boolean = false): DataFrame =
-    if (!tsNanos) spark.readStream.schema(schema).parquet(dir)
-    else {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.readStream.schema(nanosSchema).parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    }
+   * Streaming sources need an explicit schema, so the stored ts type is
+   * probed from the footer with a batch schema read (metadata-only —
+   * no data scan), then normalized identically to `readBatch`. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val storedTs = spark.read.parquet(dir).schema("ts").dataType
+    val srcSchema = StructType(schema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = storedTs) else f))
+    normalizeTs(spark.readStream.schema(srcSchema).parquet(dir))
+  }
 
   /** Exactly-once event-id dedup within the watermark horizon. */
   def deduped(events: DataFrame, watermark: String = "10 minutes"): DataFrame =

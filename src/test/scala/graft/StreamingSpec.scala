@@ -39,8 +39,9 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("file-source streaming over the real events parquet matches the batch twin") {
-    // The driver-generated events table stores ts as TIMESTAMP(NANOS);
-    // the tsNanos read path must produce the same windows as batch.
+    // The driver-generated events table has shipped ts as both
+    // TIMESTAMP(NANOS) and TIMESTAMP_NTZ-micros across rounds; the
+    // auto-detecting read path must produce the same windows as batch.
     val dir = "/root/testdata/sf0.001"
     // file streaming sources need a DIRECTORY; link the single file in
     val streamDir = java.nio.file.Files.createTempDirectory("events-stream")
@@ -48,7 +49,7 @@ class StreamingSpec extends SparkSpec {
       streamDir.resolve("events.parquet"),
       java.nio.file.Path.of(s"$dir/events.parquet"))
     val stream = EventStream.windowedCounts(
-      EventStream.read(spark, streamDir.toString, tsNanos = true))
+      EventStream.read(spark, streamDir.toString))
     val q = stream.writeStream.format("memory").queryName("file_win")
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -59,9 +60,7 @@ class StreamingSpec extends SparkSpec {
       .select("window_start", "event_type", "n_events", "total_value")
       .orderBy("window_start", "event_type").collect().map(_.toSeq)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchEvents = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batchEvents = EventStream.readBatch(spark, s"$dir/events.parquet")
     val b = graft.operators.Sessionize.tumblingAgg(batchEvents, widthMinutes = 60)
       .select("window_start", "event_type", "n_events", "total_value")
       .orderBy("window_start", "event_type").collect().map(_.toSeq)
