@@ -54,6 +54,7 @@ object PipelineEntry {
   private val SamplePerStratum = 40
   private val SampleOverSample = 4
   private val SampleHashMod = 1 << 20
+  private val DsirBuckets = 4096
 
   /** Token-mixture (p29) parameters — shared between the Scala call and
    * the interpolated oracle SQL (weights render as a VALUES table).
@@ -688,6 +689,28 @@ object PipelineEntry {
     "p62_source_filter" -> ((s, dir) =>
       TextAnalysis.sourceQualityFilter(docs(s, dir), minFrac = 0.48,
         minDocs = 10L, stopwords = Seq("the", "a")).orderBy("id")),
+
+    // P19++, key p63_dsir — DSIR importance resampling (Xie et al.
+    // 2023): hashed-bigram bucket models for target (lang='en') vs the
+    // raw corpus; acceptance ∝ the mean probability ratio, decided by
+    // the portable id-hash. English-looking docs weigh ~Tr/Tt and are
+    // kept; off-target docs weigh near 0 and drop — with mixed docs
+    // graded in between, which is the operator's whole point.
+    "p63_dsir" -> ((s, dir) =>
+      Corpus.dsirSample(docs(s, dir), isTarget = col("lang") === "en",
+        buckets = DsirBuckets, hashMod = 1000003L, acceptScale = 0.25)
+        .orderBy("id")),
+
+    // P19+++, key p64_cluster_mix — cluster-balanced sampling: k-means
+    // domain discovery over embeddings (the ANN stack's deterministic
+    // trained quantizer, zero-shuffle argmax assignment) + per-cluster
+    // deterministic downsampling — stratifiedSample with a LEARNED
+    // stratum.
+    "p64_cluster_mix" -> ((s, dir) =>
+      Corpus.clusterBalancedSample(embs(s, dir), perCluster = 25,
+        nClusters = 16, overSample = SampleOverSample,
+        hashMod = SampleHashMod, trainIters = 2, trainSample = 256)
+        .orderBy("centroid_id", "sample_rank")),
 
     // P20+, key p61_shuffle_shards — deterministic shuffle-shard: the
     // training-order decorrelation between curation and packing, as a
@@ -2106,6 +2129,62 @@ ORDER BY id"""
 
     // the p35 gopher CTE chain (unplanted) + a per-source integer
     // aggregate: counts and one exact division, no double summation
+    // p63 mirror notes: every scored bigram also occurred in the count
+    // pass (scored docs ⊆ counted docs), so the LEFT JOIN's coalesce-0
+    // buckets are never hit with a non-matching cr — the join is
+    // value-identical to Spark's zero-filled literal arrays. The ordered
+    // ratio sum is list(ratio ORDER BY ord) folded left from 0.0, the
+    // exact fold order of the Spark struct aggregate.
+    "p63_dsir" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+tok AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+bg AS (SELECT doc_id, lang, list_transform(range(1, len(t)),
+         i -> array_to_string(list_slice(t, i, i+1), ' ')) AS gs
+       FROM tok WHERE len(t) >= 2),
+feat AS (SELECT (lang = 'en') AS tgt,
+    ('0x' || substring(md5(g),1,8))::BIGINT % $DsirBuckets AS b
+  FROM bg, unnest(gs) AS u(g)),
+cnt AS (SELECT b, count(*)::BIGINT AS cr,
+    count(*) FILTER (WHERE tgt)::BIGINT AS ct FROM feat GROUP BY b),
+tot AS (SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt FROM cnt),
+exp AS (SELECT doc_id, unnest(list_transform(range(1, len(gs)+1),
+    i -> {'ord': i,
+          'b': ('0x' || substring(md5(gs[i]),1,8))::BIGINT % $DsirBuckets})) AS r
+  FROM bg),
+ex AS (SELECT doc_id, r.ord AS ord, r.b AS b FROM exp),
+jr AS (SELECT e.doc_id, e.ord,
+    ((coalesce(c.ct, 0)+1)::DOUBLE * (t.tr+$DsirBuckets)::DOUBLE)
+    / ((coalesce(c.cr, 0)+1)::DOUBLE * (t.tt+$DsirBuckets)::DOUBLE) AS ratio
+  FROM ex e LEFT JOIN cnt c ON e.b = c.b CROSS JOIN tot t),
+sums AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+    list_reduce([0.0]::DOUBLE[] || list(ratio ORDER BY ord), (a,b) -> a+b) AS s
+  FROM jr GROUP BY doc_id),
+sel AS (SELECT doc_id, n_grams, s / n_grams::DOUBLE AS w,
+    ('0x' || substring(md5(doc_id::VARCHAR),1,8))::BIGINT % 1000003 AS hm
+  FROM sums)
+SELECT doc_id AS id, n_grams, round(w, 6) AS dsir_weight
+FROM sel WHERE hm::DOUBLE < least(1.0, w * 0.25) * 1000003
+ORDER BY id""",
+
+    "p64_cluster_mix" ->
+      s"""WITH $embCte,
+$ivfCoarseCtes,
+cnt AS (SELECT centroid_id, count(*)::BIGINT AS n_stratum
+        FROM assigned GROUP BY centroid_id),
+h AS (SELECT a.neighbor_id AS id, a.centroid_id, c.n_stratum,
+        ('0x' || substring(md5(a.neighbor_id::VARCHAR),1,8))::BIGINT
+          % $SampleHashMod AS hm
+      FROM assigned a JOIN cnt c USING (centroid_id)),
+pf AS (SELECT * FROM h
+       WHERE hm * n_stratum < $SampleHashMod::BIGINT * ${25 * SampleOverSample}),
+r AS (SELECT id, centroid_id, n_stratum,
+        row_number() OVER (PARTITION BY centroid_id ORDER BY hm, id)::BIGINT
+          AS sample_rank
+      FROM pf)
+SELECT id, centroid_id, n_stratum, sample_rank FROM r
+WHERE sample_rank <= 25 ORDER BY centroid_id, sample_rank""",
+
     "p62_source_filter" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
 b AS (SELECT doc_id, source, text,

@@ -182,6 +182,12 @@ object ScaleSmoke {
     // shuffled at all (the distinct() exchange disappears)
     time("incremental bloom")(
       Dedup.incrementalExactBloom(corpusPart, batchPart).count())
+    // DSIR: training pass (bounded bucket groupBy) + shuffle-free
+    // scoring scan — linear in the corpus whatever the replication
+    time("dsir sample")(
+      Corpus.dsirSample(docs.withColumn("lang",
+          when(col("doc_id") % 3 === 0, lit("en")).otherwise(lit("zz"))),
+        isTarget = col("lang") === "en").count())
     }
 
     if (sections.contains("ann")) {
@@ -225,6 +231,13 @@ object ScaleSmoke {
       Dedup.semDedup(bigEmbs, threshold = 0.4, nCenters = paperK,
         trainIters = 2, trainSample = math.max(1024, paperK * 8),
         pairRankWindow = Some(64)).count())
+    // Cluster-balanced sampling at the same paper-k: assignment is the
+    // zero-shuffle argmax; the rank window only sees the prefiltered
+    // ~overSample*perCluster sliver per cluster
+    time(s"cluster-balanced k=$paperK")(
+      Corpus.clusterBalancedSample(bigEmbs, perCluster = 100,
+        nClusters = paperK, trainIters = 2,
+        trainSample = math.max(1024, paperK * 8)).count())
 
     // Recall@10 of each approximate path vs exact brute force — the
     // quality side of the speed/recall trade. Measured on the

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
 import graft.operators.TextAnalysis.BpeTokenPattern
 
 /**
@@ -453,6 +454,124 @@ object Corpus {
       .where(col("hm").cast("double") < col("weight") * hashMod)
       .select("id", "weight")
   }
+
+  /**
+   * DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+   * arXiv:2302.03169): keep raw-corpus documents whose hashed-n-gram
+   * feature distribution looks like a TARGET domain. Importance weight
+   * w(x) = p_target(x) / p_raw(x) under bag-of-hashed-bigrams models;
+   * selection is deterministic hash-Bernoulli thinning with acceptance
+   * probability min(1, w * acceptScale) — the paper's Gumbel top-k
+   * replaced by the portable id-hash so the decision is shuffle-free,
+   * reproducible, and stable under corpus growth (the same substitution
+   * `qualityWeightedSample` makes). `isTarget` is a row PREDICATE over
+   * the input (e.g. a language or quality flag), not a second corpus:
+   * target counts ride the raw-count pass as a conditional aggregate.
+   *
+   * Determinism/portability: the paper scores sum-of-log ratios; logs
+   * are not bit-portable across engines, so the weight here is the MEAN
+   * per-feature probability ratio — the same signal, IEEE-exact (the
+   * `unigramScore` dodge). Add-1 smoothing over `buckets` hash buckets:
+   * ratio(b) = ((ct_b+1)*(Tr+B)) / ((cr_b+1)*(Tt+B)) — integer-valued
+   * double products below 2^53 (exact) and ONE correctly-rounded
+   * division, identical in any IEEE engine; the in-doc sum is an
+   * ordered left fold.
+   *
+   * Scale shape (the paper's own pitch — hashing keeps selection
+   * linear): training is ONE uniform groupBy over at most `buckets`
+   * keys (map-side combine absorbs hot buckets); the artifact is O(B)
+   * integers independent of corpus size, embedded as literals; scoring
+   * + selection is one narrow scan, zero shuffle, no RNG. Docs with
+   * < 2 tokens have no features and are excluded (the dedup operators'
+   * domain convention).
+   *
+   * Returns accepted rows: (id, n_grams, dsir_weight).
+   */
+  def dsirSample(docs: DataFrame, isTarget: Column, buckets: Int = 4096,
+                 hashMod: Long = 1000003L, acceptScale: Double = 0.25,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = TF.shingles(TF.tokens(col(textCol)), 2)
+    val counts = docs
+      .select(isTarget.cast("boolean").as("tgt"), explode(grams).as("g"))
+      .select(col("tgt"), pmod(TF.tokenCode(col("g")), lit(buckets.toLong)).as("b"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("tgt"), lit(1L)).otherwise(lit(0L))).as("ct"))
+      .collect()
+    val cr = Array.fill(buckets)(0L)
+    val ct = Array.fill(buckets)(0L)
+    counts.foreach { r =>
+      val b = r.getLong(0).toInt; cr(b) = r.getLong(1); ct(b) = r.getLong(2)
+    }
+    val tr = cr.sum
+    val tt = ct.sum
+    val crLit = typedLit(cr.toSeq)
+    val ctLit = typedLit(ct.toSeq)
+    // exact-integer doubles: counts and totals are bounded by the corpus
+    // gram count (~1e7 at sf0.1), so (c+1)*(T+B) < 2^53 stays exact and
+    // the single division is correctly rounded — bit-portable.
+    def ratio(gr: Column): Column = {
+      val b = pmod(TF.tokenCode(gr), lit(buckets.toLong)).cast("int")
+      ((element_at(ctLit, b + 1) + lit(1L)).cast("double")
+        * lit((tr + buckets).toDouble)) /
+        ((element_at(crLit, b + 1) + lit(1L)).cast("double")
+          * lit((tt + buckets).toDouble))
+    }
+    // one pass over the gram array: (count, ordered ratio sum) together,
+    // so the shingle array is built once per row (the vocabScore shape)
+    val scored = aggregate(grams,
+      struct(lit(0L).as("n"), lit(0.0).as("s")),
+      (acc, gr) => struct((acc.getField("n") + lit(1L)).as("n"),
+        (acc.getField("s") + ratio(gr)).as("s")))
+    docs
+      .where(size(TF.tokens(col(textCol))) >= 2)
+      .select(col(idCol).as("id"), scored.as("sc"),
+        pmod(idHash(col(idCol)), lit(hashMod)).as("hm"))
+      .withColumn("w", col("sc.s") / col("sc.n").cast("double"))
+      .where(col("hm").cast("double")
+        < least(lit(1.0), col("w") * acceptScale) * hashMod)
+      .select(col("id"), col("sc.n").as("n_grams"),
+        round(col("w"), 6).as("dsir_weight"))
+  }
+
+  /**
+   * Cluster-balanced sampling — k-means domain DISCOVERY over the
+   * embedding column plus per-cluster deterministic downsampling: the
+   * `stratifiedSample` semantics with a LEARNED stratum (nearest
+   * trained centroid) instead of a given column. This is the standard
+   * pretraining-mixture move when no domain labels exist (cluster the
+   * corpus, then balance the clusters so no single mode dominates the
+   * mixture — the cluster framing SemDeDup/D4 build on).
+   *
+   * Scale shape: the quantizer is the ANN stack's bounded-sample
+   * deterministic k-means (O(sampleN*dim) driver artifact, centroids as
+   * literals); assignment is the zero-shuffle per-row argmax
+   * projection; balancing reuses the two-phase stratified plan — hash
+   * prefilter scaled by broadcast per-cluster counts, exact rank window
+   * only over the ~overSample*perCluster sliver. The corpus is scanned
+   * once and only the prefiltered sliver is shuffled.
+   *
+   * Returns (id, centroid_id, n_stratum, sample_rank).
+   */
+  def clusterBalancedSample(embs: DataFrame, perCluster: Int,
+                            nClusters: Int = 16, overSample: Int = 4,
+                            hashMod: Int = 1 << 20,
+                            trainIters: Int = 2, trainSample: Int = 256,
+                            vecCol: String = "embedding",
+                            idCol: String = "vec_id"): DataFrame =
+    Ann.encodedAssignOpt(embs, nClusters, trainIters, trainSample,
+      vecCol, idCol) match {
+      case None =>
+        embs.select(col(idCol).cast("long").as("id"),
+          lit(0L).as("centroid_id"), lit(0L).as("n_stratum"),
+          lit(0L).as("sample_rank")).limit(0)
+      case Some(assigned) =>
+        stratifiedSample(assigned.select(col("id"), col("centroid_id")),
+          strataCol = "centroid_id", perStratum = perCluster,
+          overSample = overSample, hashMod = hashMod, idCol = "id")
+          .select(col("id"), col("centroid_id"), col("n_stratum"),
+            col("sample_rank"))
+    }
 
   /**
    * The full curation pipeline as ONE composed operator — the flagship

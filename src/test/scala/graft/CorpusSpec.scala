@@ -81,6 +81,73 @@ class CorpusSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("dsirSample weights target-looking docs above off-target docs") {
+    // 6 en docs sharing a bigram vocabulary, 6 de docs sharing another;
+    // target = en. With acceptance forced to 1 (huge acceptScale) every
+    // doc survives and the weights are directly comparable: every en
+    // doc must outweigh every de doc (its bigrams dominate the target
+    // counts), and a doc mixing both vocabularies must land in between.
+    val fixture = ((0L until 6L).map(i =>
+      (i, s"the quick brown fox number $i jumps high", "en")) ++
+      (6L until 12L).map(i =>
+        (i, s"der schnelle braune fuchs nummer $i springt hoch", "de")) :+
+      ((12L, "the quick brown fox springt hoch heute ja", "mix")))
+      .toDF("doc_id", "text", "lang")
+    val out = Corpus.dsirSample(fixture, isTarget = col("lang") === "en",
+      buckets = 512, acceptScale = 1e9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.size == 13) // acceptance forced to 1: nobody drops
+    val en = (0L until 6L).map(out); val de = (6L until 12L).map(out)
+    assert(en.min > de.max, s"en=$en de=$de")
+    assert(out(12L) < en.min && out(12L) > de.max, s"mix=${out(12L)}")
+    // deterministic: same weights on rerun
+    val again = Corpus.dsirSample(fixture, isTarget = col("lang") === "en",
+      buckets = 512, acceptScale = 1e9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again == out)
+  }
+
+  test("dsirSample acceptance thins by weight and excludes sub-bigram docs") {
+    val fixture = ((0L until 200L).map(i =>
+      (i, s"common shared text body number ${i % 7} here", "en")) ++
+      (200L until 400L).map(i =>
+        (i, s"voellig anderes vokabular nummer ${i % 7} hier ja", "de")) :+
+      ((400L, "single", "en"))).toDF("doc_id", "text", "lang")
+    val out = Corpus.dsirSample(fixture, isTarget = col("lang") === "en",
+      buckets = 512, acceptScale = 0.25)
+    val ids = out.select("id").as[Long].collect().toSet
+    assert(!ids.contains(400L)) // one token -> no bigrams -> excluded
+    val enKept = ids.count(_ < 200L); val deKept = ids.count(i => i >= 200L && i < 400L)
+    // en weight ~ Tr/Tt (~2) -> acceptance ~0.5; de weight near 0
+    assert(enKept > 50, s"enKept=$enKept")
+    assert(deKept < enKept / 4, s"deKept=$deKept enKept=$enKept")
+  }
+
+  test("clusterBalancedSample caps every learned cluster and is deterministic") {
+    // two well-separated directions -> the trained quantizer splits them;
+    // each cluster contributes at most perCluster rows with contiguous
+    // hash-ordered ranks
+    val vecs = (0L until 60L).map { i =>
+      val base = if (i % 2 == 0) Array(10.0f, 0f, 0f, 1f) else Array(0f, 10.0f, 1f, 0f)
+      (i, base.zipWithIndex.map { case (x, d) => x + 0.01f * ((i + d) % 5) })
+    }.toDF("vec_id", "embedding")
+    val out = Corpus.clusterBalancedSample(vecs, perCluster = 7, nClusters = 4,
+      trainSample = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (cid, rows) =>
+      assert(rows.length <= 7, s"cluster $cid over cap: ${rows.length}")
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq,
+        s"cluster $cid ranks not contiguous")
+      // n_stratum is the FULL cluster size, never below the kept count
+      assert(rows.forall(r => r._3 >= rows.length))
+    }
+    val again = Corpus.clusterBalancedSample(vecs, perCluster = 7, nClusters = 4,
+      trainSample = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+  }
+
   test("stratifiedSample keeps whole stratum when smaller than the target") {
     val out = Corpus.stratifiedSample(docs, "lang", perStratum = 10)
     assert(out.count() == 5)

@@ -96,6 +96,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Corpus.tokenMixtureCapped(emptyStrata, Map("en" -> 1.0), 1000L,
       strataCol = "lang").count() == 0)
     assert(Corpus.shuffleShards(emptyDocs).count() == 0)
+    assert(Corpus.dsirSample(emptyStrata, lit(true)).count() == 0)
+    assert(Corpus.clusterBalancedSample(emptyEmbs, perCluster = 5).count() == 0)
     assert(Corpus.curationPipeline(emptyDocs).count() == 0)
     assert(Corpus.curationDedupAgg(
       Corpus.curationStages(emptyDocs)).count() == 0)

@@ -247,6 +247,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan(ivfsq).contains("SortMergeJoin"))
   }
 
+  test("DSIR scoring/selection is shuffle-free; training is one bucket groupBy") {
+    // Selection: the literal count arrays make scoring + acceptance a
+    // pure projection over the corpus scan — zero exchanges, no joins.
+    // (Training inside dsirSample is a separate bounded job: one
+    // hash-keyed groupBy over at most `buckets` keys.)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(Corpus.dsirSample(docs, isTarget = col("lang") === "en",
+      buckets = 256))
+    assert(!p.contains("Exchange"), s"DSIR selection gained a shuffle:\n$p")
+    assert(!p.contains("Join"), s"DSIR selection gained a join:\n$p")
+  }
+
+  test("cluster-balanced sample: argmax assignment, counts broadcast, one rank window") {
+    // Assignment must stay the zero-shuffle argmax projection; the only
+    // hash exchanges are the per-cluster count aggregation and the
+    // prefiltered rank window, and the count table joins by BROADCAST
+    // (never a shuffle of the corpus against a 16-row dimension).
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = plan(Corpus.clusterBalancedSample(embs, perCluster = 5,
+      nClusters = 4, trainSample = 64))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"cluster sample shuffles more than counts+window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"count join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("repetition scoring is a pure narrow scan: no shuffle, native mode count") {
     // Third shape of this operator (explode+groupBy 6.1 s -> HOF fold
     // 2.9 s -> native expression 0.26 s at sf0.1); pin the final one:
