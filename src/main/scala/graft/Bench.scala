@@ -39,6 +39,18 @@ object Bench {
       Thread.sleep(5000)
     val waitSec = (System.nanoTime() - tGate) / 1e9
     val load0 = loadAvg()
+    // Host-speed calibration: a fixed single-thread integer workload,
+    // timed. Cross-round p50 comparisons divide by this to separate
+    // "the code got slower" from "the host got slower" — the r5/r6/r10
+    // bench postmortems all needed exactly this number.
+    val calibSec = {
+      var s = 0L; var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 400000000L) { s += i * i; i += 1 }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (s == 42) println(s) // defeat dead-code elimination
+      dt
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -152,7 +164,7 @@ object Bench {
     val load1 = loadAvg()
     val loads =
       s""""load_avg_start":$load0,"load_avg_end":$load1,"load_wait_sec":${ok3(waitSec)}"""
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"queries_p50":${qmap(p50)},"queries_min":${qmap(_.min)},"queries_max":${qmap(_.max)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"build_sec":${ok3(buildSec)},"caches_drained":$cachesDrained,$loads,"sf":${jstr(sfDir)}}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"queries_p50":${qmap(p50)},"queries_min":${qmap(_.min)},"queries_max":${qmap(_.max)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"calib_sec":${ok3(calibSec)},"build_sec":${ok3(buildSec)},"caches_drained":$cachesDrained,$loads,"sf":${jstr(sfDir)}}"""
     // Detail file: env-overridable path, and never let an unwritable CWD
     // abort the run after all queries already completed — the stdout line
     // is the contract, the file is best-effort.
@@ -163,7 +175,7 @@ object Bench {
         java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
         jstr(detailPath.toAbsolutePath.toString)
       } catch { case _: Throwable => "null" }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"build_sec":${ok3(buildSec)},"caches_drained":$cachesDrained,$loads,"detail":$detailRef,"sf":${jstr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"calib_sec":${ok3(calibSec)},"build_sec":${ok3(buildSec)},"caches_drained":$cachesDrained,$loads,"detail":$detailRef,"sf":${jstr(sfDir)}}"""
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(line)

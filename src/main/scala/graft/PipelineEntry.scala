@@ -712,6 +712,19 @@ object PipelineEntry {
         hashMod = SampleHashMod, trainIters = 2, trainSample = 256)
         .orderBy("centroid_id", "sample_rank")),
 
+    // P11+, key p65_tfidf — per-document tf-idf keyword extraction
+    // (idf as the raw rarity ratio N/df — ranking-equivalent to the
+    // log form and bit-portable; top-5 terms per doc, term-asc ties).
+    "p65_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfKeywords(docs(s, dir), k = 5).orderBy("id", "rank")),
+
+    // P19++++, key p66_quality_cut — percentile thresholding over the
+    // p09 quality score: keep the top half of the corpus by score,
+    // threshold from a 1000-cell histogram (no global sort).
+    "p66_quality_cut" -> ((s, dir) =>
+      Corpus.qualityPercentileFilter(TextAnalysis.quality(docs(s, dir)),
+        keepFrac = 0.5, buckets = 1000).orderBy("id")),
+
     // P20+, key p61_shuffle_shards — deterministic shuffle-shard: the
     // training-order decorrelation between curation and packing, as a
     // pure function of the id set (md5 hash order; per-shard rank
@@ -2166,6 +2179,56 @@ sel AS (SELECT doc_id, n_grams, s / n_grams::DOUBLE AS w,
 SELECT doc_id AS id, n_grams, round(w, 6) AS dsir_weight
 FROM sel WHERE hm::DOUBLE < least(1.0, w * 0.25) * 1000003
 ORDER BY id""",
+
+    "p65_tfidf" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+tok AS (SELECT doc_id AS id,
+    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT id, term, count(*)::BIGINT AS tf FROM tok
+       WHERE term <> '' GROUP BY id, term),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+sc AS (SELECT tf.id, tf.term, tf.tf, df.df,
+    tf.tf::DOUBLE * (nn.n::DOUBLE / df.df::DOUBLE) AS raw
+  FROM tf JOIN df USING (term) CROSS JOIN nn),
+r AS (SELECT id, term, tf, df, raw,
+    row_number() OVER (PARTITION BY id ORDER BY raw DESC, term ASC)::BIGINT
+      AS rank
+  FROM sc)
+SELECT id, rank, term, tf, df, round(raw, 6) AS tfidf
+FROM r WHERE rank <= 5 ORDER BY id, rank""",
+
+    "p66_quality_cut" -> {
+      val stop = graft.functions.TextFunctions.DefaultStopwords("en")
+        .map("'" + _ + "'").mkString(", ")
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+base AS (
+  SELECT doc_id AS id, length(text)::BIGINT AS n_chars,
+         string_split_regex(lower(trim(text)), '\\s+') AS t,
+         length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::BIGINT AS punct
+  FROM documents),
+m AS (
+  SELECT id,
+    list_reduce([0]::BIGINT[] || list_transform(t, x -> length(x)::BIGINT),
+      (a,b) -> a+b)::DOUBLE / len(t)::DOUBLE AS mean_len,
+    punct::DOUBLE / n_chars::DOUBLE AS punct_ratio,
+    len(list_filter(t, x -> list_contains([$stop], x)))::DOUBLE / len(t)::DOUBLE
+      AS stop_ratio
+  FROM base),
+q AS (SELECT id, round(GREATEST(0.0, 1.0 - abs(mean_len - 5.0) / 10.0
+    - punct_ratio * 2.0 + stop_ratio * 0.5), 6) AS score FROM m),
+b AS (SELECT id, score,
+    least(greatest(floor(score * 1000)::BIGINT, 0), 1000) AS qbucket FROM q),
+hist AS (SELECT qbucket, count(*)::BIGINT AS c FROM b GROUP BY qbucket),
+tot AS (SELECT ceil(sum(c) * 0.5)::BIGINT AS target FROM hist),
+cum AS (SELECT qbucket,
+    sum(c) OVER (ORDER BY qbucket DESC)::BIGINT AS suffix FROM hist),
+cut AS (SELECT coalesce(max(qbucket), 0) AS cutoff
+        FROM cum, tot WHERE suffix >= target)
+SELECT b.id, b.score, b.qbucket FROM b, cut
+WHERE b.qbucket >= cut.cutoff ORDER BY id"""
+    },
 
     "p64_cluster_mix" ->
       s"""WITH $embCte,

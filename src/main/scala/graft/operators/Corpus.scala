@@ -456,6 +456,51 @@ object Corpus {
   }
 
   /**
+   * Quality-percentile thresholding — "keep the top keepFrac of the
+   * corpus by quality score" (the FineWeb/DCLM-style classifier-score
+   * cut, expressed against any per-doc score column). An exact global
+   * percentile is a full sort — non-viable at corpus scale — so the
+   * threshold comes from a BUCKETED histogram: scores quantize to
+   * `buckets` fixed cells, the per-cell counts (an O(buckets) driver
+   * artifact, corpus-size-independent) pick the HIGHEST cell whose
+   * suffix count still covers ceil(keepFrac * N), and the corpus keeps
+   * every doc at or above that cell. Kept fraction therefore lands
+   * within one cell width of the target (over, never under) — the
+   * documented quantization trade, like stratifiedSample's hashMod.
+   *
+   * Portability: cells are floor(score * buckets) clamped to
+   * [0, buckets] — one correctly-rounded multiply + floor, identical
+   * in any IEEE engine; the target is ceil(N * keepFrac) on exact
+   * integer-valued doubles.
+   *
+   * Scale shape: one narrow scan + a ≤(buckets+1)-key aggregation for
+   * the histogram; the cutoff filter fuses into a second scan's
+   * projection. No sort, no window, no shuffle of the corpus.
+   * Returns kept rows: (id, score, qbucket).
+   */
+  def qualityPercentileFilter(docs: DataFrame, keepFrac: Double = 0.5,
+                              buckets: Int = 1000,
+                              scoreCol: String = "quality_score",
+                              idCol: String = "id"): DataFrame = {
+    val qb = least(greatest(
+      floor(col(scoreCol) * buckets).cast("long"), lit(0L)), lit(buckets.toLong))
+    val hist = docs.select(qb.as("qb"))
+      .groupBy("qb").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = hist.valuesIterator.sum
+    val target = math.ceil(n * keepFrac).toLong
+    // highest cell whose suffix count (docs scoring >= cell) covers the
+    // target; an empty corpus keeps everything (cutoff 0)
+    val cutoff = (buckets.to(0, -1)).foldLeft((0L, Option.empty[Long])) {
+      case ((acc, found), b) =>
+        val acc2 = acc + hist.getOrElse(b.toLong, 0L)
+        (acc2, found.orElse(if (acc2 >= target) Some(b.toLong) else None))
+    }._2.getOrElse(0L)
+    docs.select(col(idCol).as("id"), col(scoreCol).as("score"), qb.as("qbucket"))
+      .where(col("qbucket") >= cutoff)
+  }
+
+  /**
    * DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
    * arXiv:2302.03169): keep raw-corpus documents whose hashed-n-gram
    * feature distribution looks like a TARGET domain. Importance weight

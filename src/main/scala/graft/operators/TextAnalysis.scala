@@ -376,6 +376,52 @@ object TextAnalysis {
   }
 
   /**
+   * TF-IDF keyword extraction — the classic corpus-contrastive term
+   * salience score (Sparck Jones 1972), the pipeline's
+   * per-document topical summary (tag clouds, retrieval features, or a
+   * dedup-explainability aid: which terms make this doc distinctive).
+   * idf here is the RAW rarity ratio N/df rather than log(N/df) — log
+   * is not bit-portable across engines, and per-document RANKING is
+   * invariant under any monotone transform of idf, so the top-k set
+   * and order are exactly the textbook ones (the unigramScore dodge).
+   * Ties break by term ascending; empty-string tokens (blank docs) are
+   * excluded.
+   *
+   * Scale shape: term frequencies are one uniform (id, term)-keyed
+   * groupBy; document frequencies aggregate FROM the materialized tf
+   * frame (second uniform groupBy, map-side combine absorbs stopword
+   * keys); the tf-df join is stats-adaptive on the term key (AQE
+   * handles the zipfian head via skew-join splitting — the df side of
+   * a hot key is ONE row, so splitting is cheap); the per-doc top-k is
+   * a rank window over (id) — WindowGroupLimit prunes to k per
+   * partition before the exchange. No literal artifact: vocabulary at
+   * corpus scale is unbounded, so df rides as data, never as driver
+   * state.
+   * Output: (id, rank, term, tf, df, tfidf).
+   */
+  def tfidfKeywords(docs: DataFrame, k: Int = 5,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val n = docs.count()
+    val tf = SelfJoinMaterialize(
+      docs.select(col(idCol).as("id"), explode(TF.tokens(col(textCol))).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("id", "term").agg(count(lit(1)).as("tf")))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id")
+      .orderBy(col("tfidf_raw").desc, col("term").asc)
+    tf.join(df_, "term")
+      // tf * (N / df): one correctly-rounded division then one multiply,
+      // mirrored operation-for-operation in the oracle
+      .withColumn("tfidf_raw",
+        col("tf").cast("double") * (lit(n.toDouble) / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("tfidf_raw"), 6).as("tfidf"))
+  }
+
+  /**
    * P31+++ — KenLM-style STUPID-BACKOFF scoring (Brants et al. 2007 §4):
    * the top rung of the LM-quality ladder, and the closest deterministic
    * analogue of CCNet's KenLM perplexity filter this engine carries.

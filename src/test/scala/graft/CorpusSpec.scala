@@ -148,6 +148,26 @@ class CorpusSpec extends SparkSpec {
     assert(again.sorted.toSeq == out.sorted.toSeq)
   }
 
+  test("qualityPercentileFilter keeps the top fraction via histogram cutoff") {
+    val scored = (1L to 10L).map(i => (i, i * 0.1 - 0.05))
+      .toDF("doc_id", "quality_score")
+    // keepFrac 0.3 -> target 3 -> cutoff at bucket(0.75): ids 8,9,10
+    val top3 = Corpus.qualityPercentileFilter(scored, keepFrac = 0.3,
+      idCol = "doc_id").select("id").as[Long].collect().sorted
+    assert(top3.toSeq == Seq(8L, 9L, 10L))
+    // fractional target rounds UP: ceil(10*0.25)=3 -> same cut
+    val top25 = Corpus.qualityPercentileFilter(scored, keepFrac = 0.25,
+      idCol = "doc_id").count()
+    assert(top25 == 3L)
+    // keepFrac 1.0 keeps everything
+    assert(Corpus.qualityPercentileFilter(scored, keepFrac = 1.0,
+      idCol = "doc_id").count() == 10L)
+    // a fully-tied corpus keeps everything at any fraction (one cell)
+    val tied = (1L to 6L).map(i => (i, 0.42)).toDF("doc_id", "quality_score")
+    assert(Corpus.qualityPercentileFilter(tied, keepFrac = 0.5,
+      idCol = "doc_id").count() == 6L)
+  }
+
   test("stratifiedSample keeps whole stratum when smaller than the target") {
     val out = Corpus.stratifiedSample(docs, "lang", perStratum = 10)
     assert(out.count() == 5)

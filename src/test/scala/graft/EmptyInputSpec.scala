@@ -98,6 +98,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(Corpus.shuffleShards(emptyDocs).count() == 0)
     assert(Corpus.dsirSample(emptyStrata, lit(true)).count() == 0)
     assert(Corpus.clusterBalancedSample(emptyEmbs, perCluster = 5).count() == 0)
+    assert(Corpus.qualityPercentileFilter(
+      emptyDocs.withColumn("quality_score", lit(0.5)),
+      idCol = "doc_id").count() == 0)
+    assert(TextAnalysis.tfidfKeywords(emptyDocs).count() == 0)
     assert(Corpus.curationPipeline(emptyDocs).count() == 0)
     assert(Corpus.curationDedupAgg(
       Corpus.curationStages(emptyDocs)).count() == 0)

@@ -273,6 +273,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("tfidf: top-k prunes before the window exchange, no cartesian") {
+    // df rides as DATA (no literal artifact — vocabulary is unbounded at
+    // corpus scale); the per-doc top-k must go through WindowGroupLimit
+    // so only ~k rows per doc reach the rank exchange.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(TextAnalysis.tfidfKeywords(docs, k = 5))
+    assert(p.contains("WindowGroupLimit"), s"top-k not pruned pre-exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quality-percentile selection is a pure scan (histogram is a separate bounded job)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(Corpus.qualityPercentileFilter(
+      TextAnalysis.quality(docs), keepFrac = 0.5))
+    assert(!p.contains("Exchange"), s"percentile filter gained a shuffle:\n$p")
+    assert(!p.contains("Join"), s"percentile filter gained a join:\n$p")
+  }
+
   test("repetition scoring is a pure narrow scan: no shuffle, native mode count") {
     // Third shape of this operator (explode+groupBy 6.1 s -> HOF fold
     // 2.9 s -> native expression 0.26 s at sf0.1); pin the final one:

@@ -250,6 +250,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(!t.getAs[Boolean]("source_kept"))
   }
 
+  test("tfidfKeywords: hand-computed scores, rarity ranking, term-asc ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple cherry date")
+    ).toDF("doc_id", "text")
+    // N=3; df: apple 2, banana 2, cherry 2, date 1
+    val r = TextAnalysis.tfidfKeywords(docs, k = 2).orderBy("id", "rank")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        x.getAs[Double]("tfidf")))
+    // doc1: apple 2*(3/2)=3.0 then banana 1*(3/2)=1.5
+    assert(r(0) == ((1L, 1L, "apple", 3.0)) && r(1) == ((1L, 2L, "banana", 1.5)))
+    // doc3: date 1*(3/1)=3.0 first; apple/cherry tie at 1.5 -> term asc
+    val d3 = r.filter(_._1 == 3L)
+    assert(d3(0)._3 == "date" && d3(0)._4 == 3.0)
+    assert(d3(1)._3 == "apple" && d3(1)._4 == 1.5)
+  }
+
   test("repetition: top-shingle ratio separates boilerplate from natural text") {
     val rep = TextAnalysis.repetition(
       one("buy now buy now buy now buy now"), n = 3).collect()(0)
