@@ -712,6 +712,28 @@ object PipelineEntry {
         hashMod = SampleHashMod, trainIters = 2, trainSample = 256)
         .orderBy("centroid_id", "sample_rank")),
 
+    // P15+P19++ composition, key p67_streaming_dsir — DSIR under
+    // Structured Streaming: the bucket models train BATCH-side (the
+    // train-once half of continual curation), then the scoring/selection
+    // projection — stateless, literal artifacts — filters the document
+    // STREAM unchanged. Hash-matches p63's batch oracle, like p42/p45
+    // proved for the curation chains.
+    "p67_streaming_dsir" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val (streamDir, tag) = streamingDocsDir(dir)
+      val batch = s.read.parquet(s"$dir/documents.parquet")
+      val model = Corpus.dsirTrain(batch, isTarget = col("lang") === "en",
+        buckets = DsirBuckets)
+      val stream = s.readStream.schema(batch.schema).parquet(streamDir)
+      val out = Corpus.dsirApply(stream, model, hashMod = 1000003L,
+        acceptScale = 0.25)
+      val name = "p67_dsir_" + tag
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("id")
+    }),
+
     // P11+, key p65_tfidf — per-document tf-idf keyword extraction
     // (idf as the raw rarity ratio N/df — ranking-equivalent to the
     // log form and bit-portable; top-5 terms per doc, term-asc ties).
@@ -910,6 +932,40 @@ object PipelineEntry {
 
   /** Shared corpus CTEs (tokens / distinct 3-gram shingles / shingle codes),
    * mirroring TextFunctions bit-for-bit. */
+  /** Oracle twin of the DSIR selection (shared by p63 batch and p67
+   * streaming — matching hashes prove batch and streaming agree). */
+  private val DsirOracle =
+    s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+tok AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+bg AS (SELECT doc_id, lang, list_transform(range(1, len(t)),
+         i -> array_to_string(list_slice(t, i, i+1), ' ')) AS gs
+       FROM tok WHERE len(t) >= 2),
+feat AS (SELECT (lang = 'en') AS tgt,
+    ('0x' || substring(md5(g),1,8))::BIGINT % $DsirBuckets AS b
+  FROM bg, unnest(gs) AS u(g)),
+cnt AS (SELECT b, count(*)::BIGINT AS cr,
+    count(*) FILTER (WHERE tgt)::BIGINT AS ct FROM feat GROUP BY b),
+tot AS (SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt FROM cnt),
+exp AS (SELECT doc_id, unnest(list_transform(range(1, len(gs)+1),
+    i -> {'ord': i,
+          'b': ('0x' || substring(md5(gs[i]),1,8))::BIGINT % $DsirBuckets})) AS r
+  FROM bg),
+ex AS (SELECT doc_id, r.ord AS ord, r.b AS b FROM exp),
+jr AS (SELECT e.doc_id, e.ord,
+    ((coalesce(c.ct, 0)+1)::DOUBLE * (t.tr+$DsirBuckets)::DOUBLE)
+    / ((coalesce(c.cr, 0)+1)::DOUBLE * (t.tt+$DsirBuckets)::DOUBLE) AS ratio
+  FROM ex e LEFT JOIN cnt c ON e.b = c.b CROSS JOIN tot t),
+sums AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+    list_reduce([0.0]::DOUBLE[] || list(ratio ORDER BY ord), (a,b) -> a+b) AS s
+  FROM jr GROUP BY doc_id),
+sel AS (SELECT doc_id, n_grams, s / n_grams::DOUBLE AS w,
+    ('0x' || substring(md5(doc_id::VARCHAR),1,8))::BIGINT % 1000003 AS hm
+  FROM sums)
+SELECT doc_id AS id, n_grams, round(w, 6) AS dsir_weight
+FROM sel WHERE hm::DOUBLE < least(1.0, w * 0.25) * 1000003
+ORDER BY id"""
+
   private val docCtes =
     s"""documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
 toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
@@ -2147,38 +2203,11 @@ ORDER BY id"""
     // buckets are never hit with a non-matching cr — the join is
     // value-identical to Spark's zero-filled literal arrays. The ordered
     // ratio sum is list(ratio ORDER BY ord) folded left from 0.0, the
-    // exact fold order of the Spark struct aggregate.
-    "p63_dsir" ->
-      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
-tok AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t
-        FROM documents),
-bg AS (SELECT doc_id, lang, list_transform(range(1, len(t)),
-         i -> array_to_string(list_slice(t, i, i+1), ' ')) AS gs
-       FROM tok WHERE len(t) >= 2),
-feat AS (SELECT (lang = 'en') AS tgt,
-    ('0x' || substring(md5(g),1,8))::BIGINT % $DsirBuckets AS b
-  FROM bg, unnest(gs) AS u(g)),
-cnt AS (SELECT b, count(*)::BIGINT AS cr,
-    count(*) FILTER (WHERE tgt)::BIGINT AS ct FROM feat GROUP BY b),
-tot AS (SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt FROM cnt),
-exp AS (SELECT doc_id, unnest(list_transform(range(1, len(gs)+1),
-    i -> {'ord': i,
-          'b': ('0x' || substring(md5(gs[i]),1,8))::BIGINT % $DsirBuckets})) AS r
-  FROM bg),
-ex AS (SELECT doc_id, r.ord AS ord, r.b AS b FROM exp),
-jr AS (SELECT e.doc_id, e.ord,
-    ((coalesce(c.ct, 0)+1)::DOUBLE * (t.tr+$DsirBuckets)::DOUBLE)
-    / ((coalesce(c.cr, 0)+1)::DOUBLE * (t.tt+$DsirBuckets)::DOUBLE) AS ratio
-  FROM ex e LEFT JOIN cnt c ON e.b = c.b CROSS JOIN tot t),
-sums AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
-    list_reduce([0.0]::DOUBLE[] || list(ratio ORDER BY ord), (a,b) -> a+b) AS s
-  FROM jr GROUP BY doc_id),
-sel AS (SELECT doc_id, n_grams, s / n_grams::DOUBLE AS w,
-    ('0x' || substring(md5(doc_id::VARCHAR),1,8))::BIGINT % 1000003 AS hm
-  FROM sums)
-SELECT doc_id AS id, n_grams, round(w, 6) AS dsir_weight
-FROM sel WHERE hm::DOUBLE < least(1.0, w * 0.25) * 1000003
-ORDER BY id""",
+    // exact fold order of the Spark struct aggregate. p67 is the SAME
+    // selection drained through Structured Streaming — one oracle, two
+    // keys: matching hashes prove batch and streaming agree.
+    "p63_dsir" -> DsirOracle,
+    "p67_streaming_dsir" -> DsirOracle,
 
     "p65_tfidf" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),

@@ -188,6 +188,14 @@ object ScaleSmoke {
       Corpus.dsirSample(docs.withColumn("lang",
           when(col("doc_id") % 3 === 0, lit("en")).otherwise(lit("zz"))),
         isTarget = col("lang") === "en").count())
+    // tf-idf: two uniform groupBys + the term join + per-doc top-k; the
+    // zipfian term head is the stress (every copy shares the vocabulary)
+    time("tfidf keywords")(
+      TextAnalysis.tfidfKeywords(docs, k = 5).count())
+    // percentile cut: histogram job + a fused filter scan
+    time("quality percentile")(
+      Corpus.qualityPercentileFilter(TextAnalysis.quality(docs),
+        keepFrac = 0.5).count())
     }
 
     if (sections.contains("ann")) {

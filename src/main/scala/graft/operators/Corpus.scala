@@ -534,7 +534,21 @@ object Corpus {
    */
   def dsirSample(docs: DataFrame, isTarget: Column, buckets: Int = 4096,
                  hashMod: Long = 1000003L, acceptScale: Double = 0.25,
-                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    dsirApply(docs, dsirTrain(docs, isTarget, buckets, textCol),
+      hashMod, acceptScale, textCol, idCol)
+
+  /** The DSIR bucket models: raw and target hashed-bigram counts plus
+   * their totals — the O(buckets) trained artifact. */
+  final case class DsirModel(cr: Seq[Long], ct: Seq[Long], tr: Long, tt: Long) {
+    def buckets: Int = cr.length
+  }
+
+  /** Train the DSIR bucket models in ONE pass: raw counts and target
+   * counts (a conditional aggregate over the same rows) from a single
+   * uniform groupBy over at most `buckets` keys. */
+  def dsirTrain(docs: DataFrame, isTarget: Column, buckets: Int = 4096,
+                textCol: String = "text"): DsirModel = {
     val grams = TF.shingles(TF.tokens(col(textCol)), 2)
     val counts = docs
       .select(isTarget.cast("boolean").as("tgt"), explode(grams).as("g"))
@@ -548,19 +562,29 @@ object Corpus {
     counts.foreach { r =>
       val b = r.getLong(0).toInt; cr(b) = r.getLong(1); ct(b) = r.getLong(2)
     }
-    val tr = cr.sum
-    val tt = ct.sum
-    val crLit = typedLit(cr.toSeq)
-    val ctLit = typedLit(ct.toSeq)
+    DsirModel(cr.toSeq, ct.toSeq, cr.sum, ct.sum)
+  }
+
+  /** Score + select against a trained model — a STATELESS projection
+   * (literal count arrays, no joins, no shuffle), so it runs unchanged
+   * over a batch frame or a Structured Streaming frame: the production
+   * continual-curation shape is train-once, filter-forever. */
+  def dsirApply(docs: DataFrame, model: DsirModel,
+                hashMod: Long = 1000003L, acceptScale: Double = 0.25,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val buckets = model.buckets
+    val grams = TF.shingles(TF.tokens(col(textCol)), 2)
+    val crLit = typedLit(model.cr)
+    val ctLit = typedLit(model.ct)
     // exact-integer doubles: counts and totals are bounded by the corpus
     // gram count (~1e7 at sf0.1), so (c+1)*(T+B) < 2^53 stays exact and
     // the single division is correctly rounded — bit-portable.
     def ratio(gr: Column): Column = {
       val b = pmod(TF.tokenCode(gr), lit(buckets.toLong)).cast("int")
       ((element_at(ctLit, b + 1) + lit(1L)).cast("double")
-        * lit((tr + buckets).toDouble)) /
+        * lit((model.tr + buckets).toDouble)) /
         ((element_at(crLit, b + 1) + lit(1L)).cast("double")
-          * lit((tt + buckets).toDouble))
+          * lit((model.tt + buckets).toDouble))
     }
     // one pass over the gram array: (count, ordered ratio sum) together,
     // so the shingle array is built once per row (the vocabScore shape)

@@ -148,6 +148,21 @@ class CorpusSpec extends SparkSpec {
     assert(again.sorted.toSeq == out.sorted.toSeq)
   }
 
+  test("dsirApply is train/apply-split and batch-parity with dsirSample") {
+    // the one-shot operator must equal train-then-apply (the streaming
+    // key relies on dsirApply being the same stateless projection)
+    val fixture = ((0L until 20L).map(i =>
+      (i, s"shared common text number ${i % 5} here", if (i % 2 == 0) "en" else "de")))
+      .toDF("doc_id", "text", "lang")
+    val direct = Corpus.dsirSample(fixture, col("lang") === "en", buckets = 256)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val model = Corpus.dsirTrain(fixture, col("lang") === "en", buckets = 256)
+    val split = Corpus.dsirApply(fixture, model)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(direct.toSeq == split.toSeq)
+    assert(model.cr.sum == model.tr && model.ct.sum == model.tt)
+  }
+
   test("qualityPercentileFilter keeps the top fraction via histogram cutoff") {
     val scored = (1L to 10L).map(i => (i, i * 0.1 - 0.05))
       .toDF("doc_id", "quality_score")
