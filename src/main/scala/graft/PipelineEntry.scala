@@ -644,6 +644,14 @@ object PipelineEntry {
     "p57_backoff" -> ((s, dir) =>
       TextAnalysis.backoffScore(docs(s, dir), vocabSize = 24).orderBy("id")),
 
+    // P31++++, key p69_interp — Jelinek-Mercer interpolated trigram
+    // scoring with deleted-interpolation LEARNED lambdas (the final
+    // LM-ladder rung; lambdas ride in the output so the oracle's
+    // re-derivation is hash-checked).
+    "p69_interp" -> ((s, dir) =>
+      TextAnalysis.interpolatedScore(docs(s, dir), vocabSize = 512)
+        .orderBy("id")),
+
     // P19+, key p54_weighted_sample — deterministic importance sampling:
     // acceptance probability = the doc's own p09 quality score, decided
     // by the portable id-hash (no RNG; every decision reproducible and
@@ -753,6 +761,13 @@ object PipelineEntry {
     // windows, no global sort).
     "p61_shuffle_shards" -> ((s, dir) =>
       Corpus.shuffleShards(docs(s, dir), nShards = 8).orderBy("id")),
+
+    // P20++, key p68_curriculum — quality-banded curriculum ordering:
+    // p61's shuffled order with a quality-band prefix (high-quality
+    // bands first, hash-decorrelated within a band).
+    "p68_curriculum" -> ((s, dir) =>
+      Corpus.curriculumOrder(TextAnalysis.quality(docs(s, dir)),
+        bands = 10, nShards = 8).orderBy("band", "shard", "pos")),
 
     // P28++, key p60_mixture_capped — the data-constrained mixing regime
     // (Muennighoff et al. 2023): strata whose budget exceeds their mass
@@ -2086,6 +2101,96 @@ SELECT doc_id AS id, (len(t) - 2)::BIGINT AS n_windows,
     / (len(t) - 2), 9) AS avg_score
 FROM sc ORDER BY id""",
 
+    "p69_interp" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+c1 AS (SELECT g, count(*)::BIGINT AS c
+       FROM (SELECT unnest(t) AS g FROM tok) GROUP BY g),
+n1t AS (SELECT sum(c)::BIGINT AS n1 FROM c1),
+bg AS (SELECT doc_id, list_transform(range(1, len(t)),
+         i -> array_to_string(list_slice(t, i, i+1), ' ')) AS gs
+       FROM tok WHERE len(t) >= 2),
+c2 AS (SELECT g, count(*)::BIGINT AS c
+       FROM (SELECT unnest(gs) AS g FROM bg) GROUP BY g),
+tg AS (SELECT doc_id, list_transform(range(1, len(t) - 1),
+         i -> array_to_string(list_slice(t, i, i+2), ' ')) AS gs
+       FROM tok WHERE len(t) >= 3),
+c3 AS (SELECT g, count(*)::BIGINT AS c
+       FROM (SELECT unnest(gs) AS g FROM tg) GROUP BY g),
+top3 AS (SELECT g, c FROM c3 ORDER BY c DESC, g LIMIT 512),
+top2 AS (SELECT g, c FROM c2 ORDER BY c DESC, g LIMIT 512),
+top1 AS (SELECT g, c FROM c1 ORDER BY c DESC, g LIMIT 512),
+parts AS (SELECT g, c AS ct, string_split(g, ' ') AS w FROM top3),
+lamraw AS (SELECT p.ct,
+    CASE WHEN coalesce(pc.c,0)-1 > 0 THEN p.ct-1 ELSE 0 END AS n3,
+    CASE WHEN coalesce(pc.c,0)-1 > 0 THEN coalesce(pc.c,0)-1 ELSE 1 END AS d3,
+    CASE WHEN coalesce(u2.c,0)-1 > 0 THEN coalesce(sc.c,0)-1 ELSE 0 END AS n2,
+    CASE WHEN coalesce(u2.c,0)-1 > 0 THEN coalesce(u2.c,0)-1 ELSE 1 END AS d2,
+    CASE WHEN n1t.n1-1 > 0 THEN coalesce(u3.c,0)-1 ELSE 0 END AS nu,
+    CASE WHEN n1t.n1-1 > 0 THEN n1t.n1-1 ELSE 1 END AS du
+  FROM parts p CROSS JOIN n1t
+  LEFT JOIN c2 pc ON pc.g = array_to_string(list_slice(p.w, 1, 2), ' ')
+  LEFT JOIN c2 sc ON sc.g = array_to_string(list_slice(p.w, 2, 3), ' ')
+  LEFT JOIN c1 u2 ON u2.g = p.w[2]
+  LEFT JOIN c1 u3 ON u3.g = p.w[3]),
+win AS (SELECT ct,
+    CASE WHEN n3*d2 >= n2*d3 AND n3*du >= nu*d3 THEN 3
+         WHEN n2*du >= nu*d2 THEN 2 ELSE 1 END AS w
+  FROM lamraw),
+lamb AS (SELECT
+    coalesce(sum(CASE WHEN w=3 THEN ct END),0)::BIGINT AS b3,
+    coalesce(sum(CASE WHEN w=2 THEN ct END),0)::BIGINT AS b2,
+    coalesce(sum(CASE WHEN w=1 THEN ct END),0)::BIGINT AS b1 FROM win),
+lam AS (SELECT
+    CASE WHEN b3+b2+b1 = 0 THEN 0.0 ELSE b3::DOUBLE/(b3+b2+b1)::DOUBLE END AS l3,
+    CASE WHEN b3+b2+b1 = 0 THEN 0.0 ELSE b2::DOUBLE/(b3+b2+b1)::DOUBLE END AS l2,
+    CASE WHEN b3+b2+b1 = 0 THEN 0.0 ELSE b1::DOUBLE/(b3+b2+b1)::DOUBLE END AS l1
+  FROM lamb),
+m3 AS (SELECT map(list(g), list(c)) AS m FROM top3),
+m2 AS (SELECT map(list(g), list(c)) AS m FROM top2),
+m1 AS (SELECT map(list(g), list(c)) AS m FROM top1),
+mc2 AS (SELECT map(list(g), list(c)) AS m FROM c2),
+mc1 AS (SELECT map(list(g), list(c)) AS m FROM c1),
+sc2 AS (SELECT doc_id, t,
+    list_transform(range(1, len(t) - 1), i ->
+      lam.l3 * (CASE WHEN m3.m[array_to_string(list_slice(t, i, i+2), ' ')][1]
+                       IS NOT NULL
+                     AND coalesce(mc2.m[array_to_string(list_slice(t, i, i+1), ' ')][1], 0) > 0
+          THEN m3.m[array_to_string(list_slice(t, i, i+2), ' ')][1]::DOUBLE
+               / mc2.m[array_to_string(list_slice(t, i, i+1), ' ')][1]::DOUBLE
+          ELSE 0.0 END)
+      + lam.l2 * (CASE WHEN m2.m[array_to_string(list_slice(t, i+1, i+2), ' ')][1]
+                         IS NOT NULL
+                       AND coalesce(mc1.m[t[i+1]][1], 0) > 0
+          THEN m2.m[array_to_string(list_slice(t, i+1, i+2), ' ')][1]::DOUBLE
+               / mc1.m[t[i+1]][1]::DOUBLE
+          ELSE 0.0 END)
+      + lam.l1 * (CASE WHEN m1.m[t[i+2]][1] IS NOT NULL AND n1t.n1 > 0
+          THEN m1.m[t[i+2]][1]::DOUBLE / n1t.n1::DOUBLE
+          ELSE 0.0 END)) AS fs,
+    list_transform(range(1, len(t) - 1), i ->
+      CASE WHEN m3.m[array_to_string(list_slice(t, i, i+2), ' ')][1] IS NOT NULL
+           THEN 1 ELSE 0 END) AS h3,
+    list_transform(range(1, len(t) - 1), i ->
+      CASE WHEN m2.m[array_to_string(list_slice(t, i+1, i+2), ' ')][1] IS NOT NULL
+           THEN 1 ELSE 0 END) AS h2,
+    list_transform(range(1, len(t) - 1), i ->
+      CASE WHEN m1.m[t[i+2]][1] IS NOT NULL THEN 1 ELSE 0 END) AS h1
+  FROM tok, lam, m3, m2, m1, mc2, mc1, n1t WHERE len(t) >= 3)
+SELECT doc_id AS id, (len(t) - 2)::BIGINT AS n_windows,
+  list_reduce([0]::BIGINT[] || h3, (a,b) -> a+b)::BIGINT AS n_tri,
+  list_reduce([0]::BIGINT[] || h2, (a,b) -> a+b)::BIGINT AS n_bi,
+  list_reduce([0]::BIGINT[] || h1, (a,b) -> a+b)::BIGINT AS n_uni,
+  len(list_filter(range(1, len(t) - 1),
+    i -> h3[i] = 0 AND h2[i] = 0 AND h1[i] = 0))::BIGINT AS n_oov,
+  round(list_reduce([0.0]::DOUBLE[] || fs, (a,b) -> a+b) / (len(t) - 2), 9)
+    AS avg_score,
+  round((SELECT l3 FROM lam), 6) AS lam3,
+  round((SELECT l2 FROM lam), 6) AS lam2,
+  round((SELECT l1 FROM lam), 6) AS lam1
+FROM sc2 ORDER BY id""",
+
     "p54_weighted_sample" -> {
       val stop = graft.functions.TextFunctions.DefaultStopwords("en")
         .map("'" + _ + "'").mkString(", ")
@@ -2320,6 +2425,35 @@ s AS (SELECT id, h % 8 AS shard, floor(h / 8.0)::BIGINT AS hq FROM b)
 SELECT id, shard,
   row_number() OVER (PARTITION BY shard ORDER BY hq, id)::BIGINT AS pos
 FROM s ORDER BY id""",
+
+    "p68_curriculum" -> {
+      val stop = graft.functions.TextFunctions.DefaultStopwords("en")
+        .map("'" + _ + "'").mkString(", ")
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+base AS (
+  SELECT doc_id AS id, length(text)::BIGINT AS n_chars,
+         string_split_regex(lower(trim(text)), '\\s+') AS t,
+         length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::BIGINT AS punct
+  FROM documents),
+m AS (
+  SELECT id,
+    list_reduce([0]::BIGINT[] || list_transform(t, x -> length(x)::BIGINT),
+      (a,b) -> a+b)::DOUBLE / len(t)::DOUBLE AS mean_len,
+    punct::DOUBLE / n_chars::DOUBLE AS punct_ratio,
+    len(list_filter(t, x -> list_contains([$stop], x)))::DOUBLE / len(t)::DOUBLE
+      AS stop_ratio
+  FROM base),
+q AS (SELECT id, round(GREATEST(0.0, 1.0 - abs(mean_len - 5.0) / 10.0
+    - punct_ratio * 2.0 + stop_ratio * 0.5), 6) AS score FROM m),
+b AS (SELECT id,
+    least(greatest(floor(score * 10)::BIGINT, 0), 10) AS band,
+    ('0x' || substring(md5(id::VARCHAR),1,8))::BIGINT AS h
+  FROM q),
+s AS (SELECT id, band, h % 8 AS shard, floor(h / 8.0)::BIGINT AS hq FROM b)
+SELECT id, band, shard,
+  row_number() OVER (PARTITION BY band, shard ORDER BY hq, id)::BIGINT AS pos
+FROM s ORDER BY band, shard, pos"""
+    },
 
     "p60_mixture_capped" -> {
       val wValues = CapWeights.toSeq.sorted

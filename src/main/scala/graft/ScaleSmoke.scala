@@ -178,6 +178,10 @@ object ScaleSmoke {
     // hash-probe scan — cost should track the trigram row, not 3×
     time("backoff score 64k V")(
       TextAnalysis.backoffScore(docs, vocabSize = 65536).count())
+    // interpolated rung: same artifact bound; adds the bounded context
+    // probes and the exact-rational lambda pass (driver-side, O(V))
+    time("interp score 64k V")(
+      TextAnalysis.interpolatedScore(docs, vocabSize = 65536).count())
     // Bloom frontier vs the exact join: same split, corpus never
     // shuffled at all (the distinct() exchange disappears)
     time("incremental bloom")(

@@ -606,6 +606,107 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** Jelinek-Mercer INTERPOLATED trigram scoring (the smoothing family
+   * KenLM/SRILM interpolate with; weights learned by deleted
+   * interpolation driver-side): every window mixes ALL three tiers —
+   *   s = lam3·p(w3|w1w2) + lam2·p(w3|w2) + lam1·p(w3)
+   * with conditional probabilities from raw counts: p3 = c3/ctx3(w1w2),
+   * p2 = c2/ctx2(w2), p1 = c1/N1. A tier contributes 0 when its gram is
+   * outside its trained top-V table (context counts for every trained
+   * gram ship in the ctx maps by construction, so a present gram never
+   * misses its denominator). Unlike BackoffScore the tier counts are
+   * NON-exclusive — a window can hit all three.
+   *
+   * Portability: counts are exact integers; each probability is ONE
+   * correctly-rounded division; the mix is evaluated in the fixed order
+   * ((lam3·p3 + lam2·p2) + lam1·p1) and summed in array order — all
+   * reproducible operation-for-operation in SQL. One pass, O(1) probes
+   * per window. Output struct: (n, n_tri, n_bi, n_uni, n_oov, sumf). */
+  case class InterpScore(child: Expression,
+                         tri: Map[String, Long], triCtx: Map[String, Long],
+                         bi: Map[String, Long], biCtx: Map[String, Long],
+                         uni: Map[String, Long], n1: Long,
+                         lam3: Double, lam2: Double, lam1: Double)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("n_tri", LongType, nullable = false),
+      StructField("n_bi", LongType, nullable = false),
+      StructField("n_uni", LongType, nullable = false),
+      StructField("n_oov", LongType, nullable = false),
+      StructField("sumf", DoubleType, nullable = false)))
+    override def prettyName: String = "interp_score"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("interpScore", this, classOf[InterpScore].getName)
+      val javaType = CodeGenerator.javaType(dataType)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = ($javaType) $ref.nullSafeEval($c);")
+    }
+
+    @transient private lazy val (t3, t3c, t2, t2c, t1) = {
+      def mk(m: Map[String, Long]) = {
+        val h = new java.util.HashMap[String, java.lang.Long](math.max(16, m.size * 2))
+        m.foreach { case (k, v) => h.put(k, java.lang.Long.valueOf(v)) }
+        h
+      }
+      (mk(tri), mk(triCtx), mk(bi), mk(biCtx), mk(uni))
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val toks = new Array[String](n)
+      var i = 0
+      while (i < n) {
+        toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString
+        i += 1
+      }
+      var nTri = 0L; var nBi = 0L; var nUni = 0L; var nOov = 0L
+      var sum = 0.0
+      var p = 0
+      while (p < n - 2) {
+        val a = toks(p); val b = toks(p + 1); val c = toks(p + 2)
+        var p3 = 0.0; var p2 = 0.0; var p1 = 0.0
+        if (a != null && b != null && c != null) {
+          val c3 = t3.get(a + " " + b + " " + c)
+          if (c3 != null) {
+            val ctx = t3c.get(a + " " + b)
+            if (ctx != null && ctx.longValue() > 0) {
+              p3 = c3.longValue().toDouble / ctx.longValue().toDouble
+              nTri += 1
+            }
+          }
+        }
+        if (b != null && c != null) {
+          val c2 = t2.get(b + " " + c)
+          if (c2 != null) {
+            val ctx = t2c.get(b)
+            if (ctx != null && ctx.longValue() > 0) {
+              p2 = c2.longValue().toDouble / ctx.longValue().toDouble
+              nBi += 1
+            }
+          }
+        }
+        if (c != null) {
+          val c1 = t1.get(c)
+          if (c1 != null && n1 > 0) {
+            p1 = c1.longValue().toDouble / n1.toDouble
+            nUni += 1
+          }
+        }
+        if (p3 == 0.0 && p2 == 0.0 && p1 == 0.0) nOov += 1
+        sum += lam3 * p3 + lam2 * p2 + lam1 * p1
+        p += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](math.max(0, n - 2).toLong, nTri, nBi, nUni, nOov, sum))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): InterpScore =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftglue.Bridge
 
   def shingleSimhash(shingles: Column): Column =
@@ -632,4 +733,11 @@ object HashExpressions {
   def backoffScore(toks: Column, tri: Map[String, Double], bi: Map[String, Double],
                    uni: Map[String, Double], alpha: Double): Column =
     Bridge.column(BackoffScore(Bridge.expression(toks), tri, bi, uni, alpha))
+
+  def interpScore(toks: Column, tri: Map[String, Long], triCtx: Map[String, Long],
+                  bi: Map[String, Long], biCtx: Map[String, Long],
+                  uni: Map[String, Long], n1: Long,
+                  lam3: Double, lam2: Double, lam1: Double): Column =
+    Bridge.column(InterpScore(Bridge.expression(toks), tri, triCtx, bi, biCtx,
+      uni, n1, lam3, lam2, lam1))
 }

@@ -157,6 +157,40 @@ object Corpus {
       .select(col("id"), col("shard"), col("pos"))
   }
 
+  /**
+   * Curriculum ordering — quality-banded shuffle: the training-order
+   * policy that reads high-quality data first (or last, by reversing
+   * band order downstream) while staying decorrelated WITHIN a band.
+   * Band = fixed-width score cell (floor(score·bands), clamped — the
+   * qualityPercentileFilter quantization); within a band the order is
+   * the shuffleShards hash order, so the curriculum is a pure function
+   * of (id set, scores): reproducible, restartable, and growth-stable
+   * inside each band. Training consumes bands descending, shards of a
+   * band in parallel.
+   *
+   * Scale shape: one narrow projection (band + hash) + per-(band,
+   * shard) rank windows — the shuffleShards/packSequences topology
+   * with a band prefix; no global sort, no skew (bands×shards bounded
+   * key space, hash-uniform within).
+   * Output: (id, band, shard, pos).
+   */
+  def curriculumOrder(docs: DataFrame, bands: Int = 10, nShards: Int = 32,
+                      scoreCol: String = "quality_score",
+                      idCol: String = "id"): DataFrame = {
+    val h = idHash(col(idCol))
+    val band = least(greatest(
+      floor(col(scoreCol) * bands).cast("long"), lit(0L)), lit(bands.toLong))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("shard"))
+      .orderBy(col("hq").asc, col("id").asc)
+    docs
+      .select(col(idCol).as("id"), band.as("band"),
+        pmod(h, lit(nShards.toLong)).as("shard"),
+        floor(h / lit(nShards.toLong)).as("hq"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("id"), col("band"), col("shard"), col("pos"))
+  }
+
   // ---------------- P28 (registered query key: p29_token_mixture)
   /**
    * Token-budget corpus mixing: sample each stratum (source/language) to

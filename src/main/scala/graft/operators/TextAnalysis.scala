@@ -481,6 +481,100 @@ object TextAnalysis {
         round(col("s.sumf") / col("s.n").cast("double"), 9).as("avg_score"))
   }
 
+  /**
+   * Jelinek-Mercer INTERPOLATED trigram scoring with weights LEARNED by
+   * deleted interpolation (Jelinek & Mercer 1980; Chen & Goodman 1999)
+   * — the final LM-ladder rung: where stupid backoff (p57) scores each
+   * window by its longest KNOWN context only, interpolation mixes all
+   * three tiers with corpus-TUNED weights, s = lam3·p(w3|w1w2) +
+   * lam2·p(w3|w2) + lam1·p(w3). The lambdas come from the standard
+   * held-one-out recipe: for each trained trigram type (occurrence-
+   * weighted), delete one occurrence, ask which tier's estimate ranks
+   * it highest — (c3-1)/(ctx-1) vs (c2-1)/(c1-1) vs (c1-1)/(N-1) —
+   * and credit that tier; lambdas are the normalized credits. Longest
+   * context wins ties (the standard convention).
+   *
+   * Determinism/portability: the tier comparison is EXACT — rationals
+   * compared by cross-multiplication on integer counts (products below
+   * 2^63 at any realistic vocab), so no float enters the argmax; a
+   * 0-denominator estimate is (0,1). Lambdas are one division each;
+   * conditional probabilities are one division each; the per-window
+   * mix is evaluated in fixed order — all mirrored in the oracle,
+   * which RE-DERIVES the lambdas from its own counts (they ride in
+   * the output columns, so the hash gate checks the learning too).
+   *
+   * Scale shape: same as backoffScore — ONE fused gram groupBy trains
+   * all tables; context counts for the trained grams are a second
+   * bounded probe into the same materialized counts (O(V) keys); the
+   * artifact is O(V) integers; scoring is one narrow codegen scan via
+   * the native `interp_score` expression, O(1) probes per window.
+   * Output: (id, n_windows, n_tri, n_bi, n_uni, n_oov, avg_score,
+   * lam3, lam2, lam1).
+   */
+  def interpolatedScore(docs: DataFrame, vocabSize: Int = 4096,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = TF.tokens(col(textCol))
+    val cnt = SelfJoinMaterialize(
+      docs.select(explode(concat(toks, TF.shingles(toks, 2),
+          TF.shingles(toks, 3))).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .withColumn("ord",
+          (length(col("g")) - length(replace(col("g"), lit(" "), lit("")))) + 1))
+    def top(ord: Int): Array[(String, Long)] =
+      cnt.where(col("ord") === ord).orderBy(col("c").desc, col("g").asc)
+        .limit(vocabSize).collect().map(r => r.getString(0) -> r.getLong(1))
+    val t3 = top(3); val t2 = top(2); val t1 = top(1)
+    val n1Row = cnt.where(col("ord") === 1).agg(sum(col("c"))).collect()(0)
+    val n1 = if (n1Row.isNullAt(0)) 0L else n1Row.getLong(0)
+    // bounded probes for the CONTEXT counts of the trained grams — full
+    // corpus counts (not top-V-truncated), O(V) keys each
+    def counts(ord: Int, keys: Seq[String]): Map[String, Long] =
+      if (keys.isEmpty) Map.empty
+      else cnt.where(col("ord") === ord && col("g").isin(keys: _*))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def w(g: String): Array[String] = g.split(' ')
+    val triCtx = counts(2, t3.map(x => { val a = w(x._1); a(0) + " " + a(1) })
+      .distinct.toSeq)
+    val sufCnt = counts(2, t3.map(x => { val a = w(x._1); a(1) + " " + a(2) })
+      .distinct.toSeq)
+    val uniCnt = counts(1,
+      (t3.flatMap(x => { val a = w(x._1); Seq(a(1), a(2)) }) ++
+        t2.map(x => w(x._1)(0))).distinct.toSeq)
+    val biCtx = t2.map(x => w(x._1)(0)).distinct
+      .map(k => k -> uniCnt.getOrElse(k, 0L)).toMap
+    // deleted-interpolation credit assignment (exact rational argmax)
+    var b3 = 0L; var b2 = 0L; var b1 = 0L
+    t3.foreach { case (g, c3) =>
+      val a = w(g)
+      def nd(num: Long, den: Long): (Long, Long) =
+        if (den > 0) (num, den) else (0L, 1L)
+      val e3 = nd(c3 - 1, triCtx.getOrElse(a(0) + " " + a(1), 0L) - 1)
+      val e2 = nd(sufCnt.getOrElse(a(1) + " " + a(2), 0L) - 1,
+        uniCnt.getOrElse(a(1), 0L) - 1)
+      val e1 = nd(uniCnt.getOrElse(a(2), 0L) - 1, n1 - 1)
+      def ge(x: (Long, Long), y: (Long, Long)): Boolean = x._1 * y._2 >= y._1 * x._2
+      if (ge(e3, e2) && ge(e3, e1)) b3 += c3
+      else if (ge(e2, e1)) b2 += c3
+      else b1 += c3
+    }
+    val tot = b3 + b2 + b1
+    val (lam3, lam2, lam1) =
+      if (tot == 0L) (0.0, 0.0, 0.0)
+      else (b3.toDouble / tot.toDouble, b2.toDouble / tot.toDouble,
+        b1.toDouble / tot.toDouble)
+    docs
+      .where(size(toks) >= 3)
+      .select(col(idCol).as("id"),
+        HE.interpScore(toks, t3.toMap, triCtx, t2.toMap, biCtx, t1.toMap, n1,
+          lam3, lam2, lam1).as("s"))
+      .select(col("id"), col("s.n").as("n_windows"), col("s.n_tri").as("n_tri"),
+        col("s.n_bi").as("n_bi"), col("s.n_uni").as("n_uni"),
+        col("s.n_oov").as("n_oov"),
+        round(col("s.sumf") / col("s.n").cast("double"), 9).as("avg_score"),
+        round(lit(lam3), 6).as("lam3"), round(lit(lam2), 6).as("lam2"),
+        round(lit(lam1), 6).as("lam1"))
+  }
+
   /** Shared n-gram (n >= 2) scorer behind bigramScore/trigramScore:
    * train one top-`vocabSize` frequency table (uniform hash-keyed
    * groupBy over exploded shingles, map-side combine absorbs hot grams;

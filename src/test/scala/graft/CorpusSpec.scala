@@ -163,6 +163,31 @@ class CorpusSpec extends SparkSpec {
     assert(model.cr.sum == model.tr && model.ct.sum == model.tt)
   }
 
+  test("curriculumOrder: band prefix over the shuffled shard order, growth-stable") {
+    val scored = (1L to 40L).map(i => (i, if (i <= 20) 0.9 else 0.1))
+      .toDF("id", "quality_score")
+    val out = Corpus.curriculumOrder(scored, bands = 10, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 40)
+    // high-quality docs land in band 9, low in band 1
+    assert(out.filter(_._1 <= 20).forall(_._2 == 9L))
+    assert(out.filter(_._1 > 20).forall(_._2 == 1L))
+    // contiguous ranks within every (band, shard)
+    out.groupBy(t => (t._2, t._3)).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // within a band, order matches shuffleShards (the same hash order)
+    val shuf = Corpus.shuffleShards(scored.select("id"), nShards = 4, idCol = "id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val hi = out.filter(_._2 == 9L)
+    hi.groupBy(_._3).foreach { case (shard, rows) =>
+      val byPos = rows.sortBy(_._4).map(_._1).toSeq
+      val expected = (1L to 20L).filter(id => shuf(id)._1 == shard)
+        .sortBy(id => shuf(id)._2)
+      assert(byPos == expected, s"shard $shard band order diverged")
+    }
+  }
+
   test("qualityPercentileFilter keeps the top fraction via histogram cutoff") {
     val scored = (1L to 10L).map(i => (i, i * 0.1 - 0.05))
       .toDF("doc_id", "quality_score")

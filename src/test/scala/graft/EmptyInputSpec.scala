@@ -101,6 +101,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(Corpus.qualityPercentileFilter(
       emptyDocs.withColumn("quality_score", lit(0.5)),
       idCol = "doc_id").count() == 0)
+    assert(Corpus.curriculumOrder(
+      emptyDocs.withColumn("quality_score", lit(0.5)),
+      idCol = "doc_id").count() == 0)
     assert(TextAnalysis.tfidfKeywords(emptyDocs).count() == 0)
     assert(Corpus.curationPipeline(emptyDocs).count() == 0)
     assert(Corpus.curationDedupAgg(
@@ -120,6 +123,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.bigramScore(emptyDocs).count() == 0)
     assert(TextAnalysis.trigramScore(emptyDocs).count() == 0)
     assert(TextAnalysis.backoffScore(emptyDocs).count() == 0)
+    assert(TextAnalysis.interpolatedScore(emptyDocs).count() == 0)
     assert(TextAnalysis.sourceQualityFilter(
       emptyDocs.withColumn("source", lit("s"))).count() == 0)
     assert(Dedup.paragraphDedup(emptyDocs).count() == 0)

@@ -291,6 +291,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"percentile filter gained a join:\n$p")
   }
 
+  test("interpolated scoring is one narrow scan through the native expression") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(TextAnalysis.interpolatedScore(docs, vocabSize = 8))
+    assert(!p.contains("Exchange"), s"interp scoring gained a shuffle:\n$p")
+    assert(p.contains("interp_score"), s"native interp probe missing:\n$p")
+  }
+
   test("repetition scoring is a pure narrow scan: no shuffle, native mode count") {
     // Third shape of this operator (explode+groupBy 6.1 s -> HOF fold
     // 2.9 s -> native expression 0.26 s at sf0.1); pin the final one:

@@ -250,6 +250,37 @@ class TextFunctionsSpec extends SparkSpec {
     assert(!t.getAs[Boolean]("source_kept"))
   }
 
+  test("interpolatedScore: hand-computed lambdas, tier mixing, and OOV") {
+    import spark.implicits._
+    // counts: c3 abc=4 abd=2 xbd=2 efg=1 qrs=1; c2 ab=6 bc=4 bd=4 xb=2;
+    // c1 b=8 a=6 c=4 d=4; N=30. V=4 keeps qrs OUT of every table.
+    // Deleted interpolation: abc d3=3/5 wins (b3+=4); abd d2=3/7 beats
+    // d3=1/5 (b2+=2); xbd d3=1/1 wins (b3+=2); efg all-(0,1) ties to the
+    // longest context (b3+=1) -> lam3=7/9, lam2=2/9, lam1=0.
+    val docs = ((1L to 4L).map(i => (i, "a b c")) ++
+      Seq((5L, "a b d"), (6L, "a b d"), (7L, "x b d"), (8L, "x b d"),
+        (9L, "e f g"), (10L, "q r s"))).toDF("doc_id", "text")
+    val r = TextAnalysis.interpolatedScore(docs, vocabSize = 4).orderBy("id")
+      .collect()
+    assert(r.length == 10)
+    val row1 = r(0)
+    assert(row1.getAs[Double]("lam3") == 0.777778)
+    assert(row1.getAs[Double]("lam2") == 0.222222)
+    assert(row1.getAs[Double]("lam1") == 0.0)
+    // abc: (7/9)(4/6) + (2/9)(4/8) + 0*(4/30) = 17/27
+    assert(math.abs(row1.getAs[Double]("avg_score") - 17.0 / 27.0) < 1e-8)
+    assert(row1.getAs[Long]("n_tri") == 1 && row1.getAs[Long]("n_bi") == 1 &&
+      row1.getAs[Long]("n_uni") == 1 && row1.getAs[Long]("n_oov") == 0)
+    // abd: (7/9)(2/6) + (2/9)(4/8) = 10/27
+    assert(math.abs(r(4).getAs[Double]("avg_score") - 10.0 / 27.0) < 1e-8)
+    // efg: trigram hit with ctx 1 -> (7/9)(1/1); bigram/unigram OOV
+    assert(math.abs(r(8).getAs[Double]("avg_score") - 7.0 / 9.0) < 1e-8)
+    assert(r(8).getAs[Long]("n_bi") == 0 && r(8).getAs[Long]("n_uni") == 0)
+    // qrs: outside every table -> fully OOV, score 0
+    assert(r(9).getAs[Double]("avg_score") == 0.0)
+    assert(r(9).getAs[Long]("n_oov") == 1)
+  }
+
   test("tfidfKeywords: hand-computed scores, rarity ranking, term-asc ties") {
     import spark.implicits._
     val docs = Seq(
