@@ -647,7 +647,11 @@ object PipelineEntry {
     // P31++++, key p69_interp — Jelinek-Mercer interpolated trigram
     // scoring with deleted-interpolation LEARNED lambdas (the final
     // LM-ladder rung; lambdas ride in the output so the oracle's
-    // re-derivation is hash-checked).
+    // re-derivation is hash-checked). On this fixture's templated text
+    // every top trigram's prefix is trigram-unique, so the held-out
+    // trigram estimate is 1.0 and the learning lands on the boundary
+    // lam3=1.0 — correct, and exactly what the learning should do
+    // here; the spec pins a mixed-lambda corpus (7/9, 2/9, 0).
     "p69_interp" -> ((s, dir) =>
       TextAnalysis.interpolatedScore(docs(s, dir), vocabSize = 512)
         .orderBy("id")),
