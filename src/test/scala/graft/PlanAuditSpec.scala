@@ -291,6 +291,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"percentile filter gained a join:\n$p")
   }
 
+  test("curriculum order: per-(band,shard) windows are the only exchange, no global sort") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(Corpus.curriculumOrder(TextAnalysis.quality(docs)))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"curriculum gained exchanges beyond the banded window:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"curriculum sorts globally:\n$p")
+  }
+
   test("interpolated scoring is one narrow scan through the native expression") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val p = plan(TextAnalysis.interpolatedScore(docs, vocabSize = 8))
