@@ -707,6 +707,66 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** DSIR per-doc scoring: for each bigram, hash to a bucket (the md5
+   * tokenCode convention — first 4 md5 bytes as an unsigned 32-bit int,
+   * identical to conv(substring(md5(g),1,8),16,10)) and accumulate the
+   * add-1-smoothed target/raw probability ratio
+   *   ((ct[b]+1)·(tr+B)) / ((cr[b]+1)·(tt+B))
+   * in array order. Bit-identical to the Column-composed twin (same
+   * integer products, same single division per gram, same fold order) —
+   * the native expression exists because the HOF path evaluates an
+   * interpreted lambda with two literal-array probes AND an md5 per
+   * gram per row; this runs the same math in one tight loop. Output
+   * struct: (n grams, ratio sum). */
+  case class DsirScore(child: Expression, ct: Array[Long], cr: Array[Long],
+                       tr: Long, tt: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("s", DoubleType, nullable = false)))
+    override def prettyName: String = "dsir_score"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("dsirScore", this, classOf[DsirScore].getName)
+      val javaType = CodeGenerator.javaType(dataType)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = ($javaType) $ref.nullSafeEval($c);")
+    }
+
+    @transient private lazy val buckets: Int = cr.length
+    @transient private lazy val trB: Double = (tr + buckets).toDouble
+    @transient private lazy val ttB: Double = (tt + buckets).toDouble
+    @transient private lazy val md5 =
+      new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
+      }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var sum = 0.0
+      var i = 0
+      val digest = md5.get()
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          digest.reset()
+          val h = digest.digest(arr.getUTF8String(i).getBytes)
+          val code = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+            ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+          val b = (code % buckets).toInt
+          sum += ((ct(b) + 1L).toDouble * trB) / ((cr(b) + 1L).toDouble * ttB)
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n.toLong, sum))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): DsirScore =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftglue.Bridge
 
   def shingleSimhash(shingles: Column): Column =
@@ -740,4 +800,8 @@ object HashExpressions {
                   lam3: Double, lam2: Double, lam1: Double): Column =
     Bridge.column(InterpScore(Bridge.expression(toks), tri, triCtx, bi, biCtx,
       uni, n1, lam3, lam2, lam1))
+
+  def dsirScore(grams: Column, ct: Array[Long], cr: Array[Long],
+                tr: Long, tt: Long): Column =
+    Bridge.column(DsirScore(Bridge.expression(grams), ct, cr, tr, tt))
 }

@@ -602,30 +602,16 @@ object Corpus {
   /** Score + select against a trained model — a STATELESS projection
    * (literal count arrays, no joins, no shuffle), so it runs unchanged
    * over a batch frame or a Structured Streaming frame: the production
-   * continual-curation shape is train-once, filter-forever. */
+   * continual-curation shape is train-once, filter-forever. Scoring
+   * runs through the native `dsir_score` expression (one tight loop
+   * per row); `dsirScoreHof` below is the bit-identical Column-composed
+   * twin the equivalence spec checks. */
   def dsirApply(docs: DataFrame, model: DsirModel,
                 hashMod: Long = 1000003L, acceptScale: Double = 0.25,
                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val buckets = model.buckets
     val grams = TF.shingles(TF.tokens(col(textCol)), 2)
-    val crLit = typedLit(model.cr)
-    val ctLit = typedLit(model.ct)
-    // exact-integer doubles: counts and totals are bounded by the corpus
-    // gram count (~1e7 at sf0.1), so (c+1)*(T+B) < 2^53 stays exact and
-    // the single division is correctly rounded — bit-portable.
-    def ratio(gr: Column): Column = {
-      val b = pmod(TF.tokenCode(gr), lit(buckets.toLong)).cast("int")
-      ((element_at(ctLit, b + 1) + lit(1L)).cast("double")
-        * lit((model.tr + buckets).toDouble)) /
-        ((element_at(crLit, b + 1) + lit(1L)).cast("double")
-          * lit((model.tt + buckets).toDouble))
-    }
-    // one pass over the gram array: (count, ordered ratio sum) together,
-    // so the shingle array is built once per row (the vocabScore shape)
-    val scored = aggregate(grams,
-      struct(lit(0L).as("n"), lit(0.0).as("s")),
-      (acc, gr) => struct((acc.getField("n") + lit(1L)).as("n"),
-        (acc.getField("s") + ratio(gr)).as("s")))
+    val scored = graft.functions.HashExpressions.dsirScore(grams,
+      model.ct.toArray, model.cr.toArray, model.tr, model.tt)
     docs
       .where(size(TF.tokens(col(textCol))) >= 2)
       .select(col(idCol).as("id"), scored.as("sc"),
@@ -635,6 +621,32 @@ object Corpus {
         < least(lit(1.0), col("w") * acceptScale) * hashMod)
       .select(col("id"), col("sc.n").as("n_grams"),
         round(col("w"), 6).as("dsir_weight"))
+  }
+
+  /** The Column-composed scoring twin of the native `dsir_score`
+   * expression — same integer products, same single division per gram,
+   * same ordered fold, so the two are bit-identical (spec-pinned).
+   * Kept as the readable reference semantics; the native expression is
+   * the production path (the HOF evaluates an interpreted lambda with
+   * an md5 + two literal-array probes per gram).
+   * Exact-integer doubles: counts and totals are bounded by the corpus
+   * gram count (~1e7 at sf0.1), so (c+1)*(T+B) < 2^53 stays exact and
+   * the single division is correctly rounded — bit-portable. */
+  private[graft] def dsirScoreHof(grams: Column, model: DsirModel): Column = {
+    val buckets = model.buckets
+    val crLit = typedLit(model.cr)
+    val ctLit = typedLit(model.ct)
+    def ratio(gr: Column): Column = {
+      val b = pmod(TF.tokenCode(gr), lit(buckets.toLong)).cast("int")
+      ((element_at(ctLit, b + 1) + lit(1L)).cast("double")
+        * lit((model.tr + buckets).toDouble)) /
+        ((element_at(crLit, b + 1) + lit(1L)).cast("double")
+          * lit((model.tt + buckets).toDouble))
+    }
+    aggregate(grams,
+      struct(lit(0L).as("n"), lit(0.0).as("s")),
+      (acc, gr) => struct((acc.getField("n") + lit(1L)).as("n"),
+        (acc.getField("s") + ratio(gr)).as("s")))
   }
 
   /**

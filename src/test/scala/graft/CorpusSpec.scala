@@ -148,6 +148,24 @@ class CorpusSpec extends SparkSpec {
     assert(again.sorted.toSeq == out.sorted.toSeq)
   }
 
+  test("native dsir_score is bit-identical to the Column-composed twin") {
+    val fixture = (0L until 100L).map(i =>
+      (i, s"assorted text body number ${i % 13} with words ${i % 7} here"))
+      .toDF("doc_id", "text")
+    val model = Corpus.dsirTrain(fixture, col("doc_id") % 2 === 0, buckets = 256)
+    val grams = graft.functions.TextFunctions.shingles(
+      graft.functions.TextFunctions.tokens(col("text")), 2)
+    val native = fixture.select(col("doc_id"),
+      graft.functions.HashExpressions.dsirScore(grams,
+        model.ct.toArray, model.cr.toArray, model.tr, model.tt).as("sc"))
+      .select(col("doc_id"), col("sc.n"), col("sc.s")).collect().map(_.toSeq)
+    val hof = fixture.select(col("doc_id"),
+      Corpus.dsirScoreHof(grams, model).as("sc"))
+      .select(col("doc_id"), col("sc.n"), col("sc.s")).collect().map(_.toSeq)
+    // EXACT double equality — same products, same division, same fold
+    assert(native.toSeq == hof.toSeq)
+  }
+
   test("dsirApply is train/apply-split and batch-parity with dsirSample") {
     // the one-shot operator must equal train-then-apply (the streaming
     // key relies on dsirApply being the same stateless projection)
