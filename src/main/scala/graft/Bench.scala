@@ -43,13 +43,27 @@ object Bench {
     // timed. Cross-round p50 comparisons divide by this to separate
     // "the code got slower" from "the host got slower" — the r5/r6/r10
     // bench postmortems all needed exactly this number.
-    val calibSec = {
+    def calibOnce(): Double = {
       var s = 0L; var i = 0L
       val t0 = System.nanoTime()
       while (i < 400000000L) { s += i * i; i += 1 }
       val dt = (System.nanoTime() - t0) / 1e9
       if (s == 42) println(s) // defeat dead-code elimination
       dt
+    }
+    val calibSec = calibOnce()
+    // Parallel calibration probe: the SAME fixed workload run on every
+    // core at once. On an idle host this matches calib_sec per thread; on
+    // a contended host it inflates in proportion to how much multi-core
+    // bandwidth the bench actually has. calib_sec alone can't arbitrate
+    // contention (r10: p19/p20/p21 ran 4-8x slower in the driver window
+    // than idle with IDENTICAL calib_sec) — this number can.
+    val calibParSec = {
+      val n = Runtime.getRuntime.availableProcessors()
+      val t0 = System.nanoTime()
+      val threads = (1 to n).map(_ => new Thread(() => calibOnce()))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -92,6 +106,21 @@ object Bench {
         Future(Fixture.metaSummary(spark, sfDir).count()))), 30.minutes)
     }
     val warmSec = (System.nanoTime() - tWarm0) / 1e9
+
+    // Irreducible per-query floor: plan + schedule + scan a cached-edge
+    // count that matches nothing. Every interactive query pays at least
+    // this much regardless of plan quality — reported so a "g03 is 150 ms"
+    // reading can be decomposed into floor + work (r10 advice #1).
+    val floorSec = {
+      import org.apache.spark.sql.functions.col
+      val g = Fixture.graph(spark, sfDir)
+      val runs = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        g.edges.where(col("subject") === "__floor__").count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runs.sorted.apply(runs.length / 2)
+    }
 
     // Each query runs `repeats` times, INTERLEAVED round-robin: round 1
     // runs every query once in sorted order (the COLD time — plan +
@@ -164,7 +193,9 @@ object Bench {
     val load1 = loadAvg()
     val loads =
       s""""load_avg_start":$load0,"load_avg_end":$load1,"load_wait_sec":${ok3(waitSec)}"""
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"queries_p50":${qmap(p50)},"queries_min":${qmap(_.min)},"queries_max":${qmap(_.max)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"calib_sec":${ok3(calibSec)},"build_sec":${ok3(buildSec)},"caches_drained":$cachesDrained,$loads,"sf":${jstr(sfDir)}}"""
+    val probes =
+      s""""calib_sec":${ok3(calibSec)},"calib_par_sec":${ok3(calibParSec)},"floor_sec":${ok3(floorSec)}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"queries_p50":${qmap(p50)},"queries_min":${qmap(_.min)},"queries_max":${qmap(_.max)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,$probes,"build_sec":${ok3(buildSec)},"caches_drained":$cachesDrained,$loads,"sf":${jstr(sfDir)}}"""
     // Detail file: env-overridable path, and never let an unwritable CWD
     // abort the run after all queries already completed — the stdout line
     // is the contract, the file is best-effort.
@@ -175,7 +206,11 @@ object Bench {
         java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
         jstr(detailPath.toAbsolutePath.toString)
       } catch { case _: Throwable => "null" }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"calib_sec":${ok3(calibSec)},"build_sec":${ok3(buildSec)},"caches_drained":$cachesDrained,$loads,"detail":$detailRef,"sf":${jstr(sfDir)}}"""
+    // The stdout line is COMPACT (r10 advice #4): totals + errors + host
+    // probes only, no per-query map — the driver's tail capture truncates
+    // long lines and then records parsed:null. Per-query numbers live in
+    // the detail file (path carried in "detail").
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,$probes,"build_sec":${ok3(buildSec)},"caches_drained":$cachesDrained,$loads,"detail":$detailRef,"sf":${jstr(sfDir)}}"""
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(line)

@@ -19,6 +19,9 @@ import graft.sources.{GraphStore, TpchGraph}
 object Fixture {
   private val closures =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val closureIdxs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      Option[graft.operators.ClosureIndex]]()
   private val metaSummaries =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val graphs =
@@ -67,6 +70,14 @@ object Fixture {
       c
     })
 
+  /** Driver-side closure index for the point-lookup fast path (built once
+   * per session from the cached closure; None when the closure exceeds
+   * the driver-size guard — lookups then use the broadcast-join path). */
+  def closureIndex(spark: SparkSession, sfDir: String): Option[graft.operators.ClosureIndex] =
+    closureIdxs.computeIfAbsent((spark, sfDir), { _ =>
+      graft.operators.ClosureIndex.fromClosure(closure(spark, sfDir))
+    })
+
   def metaSummary(spark: SparkSession, sfDir: String): DataFrame =
     metaSummaries.computeIfAbsent((spark, sfDir), { _ =>
       val (nodes, edges) = storeFrames(spark, sfDir)
@@ -111,7 +122,8 @@ object SparkEntry {
   private def oneHop(spark: SparkSession, sfDir: String, qg: QueryGraph,
                      expand: Boolean = true): DataFrame = {
     val res = OneHop.answer(spark, Fixture.graph(spark, sfDir), ont, qg,
-      closure = Some(Fixture.closure(spark, sfDir)), expandSubclasses = expand)
+      closure = Some(Fixture.closure(spark, sfDir)), expandSubclasses = expand,
+      index = Fixture.closureIndex(spark, sfDir))
     res.matches
   }
 
@@ -250,7 +262,8 @@ object SparkEntry {
     // G13 — edgeless single-node query
     "g14_single_node" -> ((s, dir) =>
       GraphOps.singleNode(s, Fixture.graph(s, dir),
-        Seq("REG:1", "NAT:20", "CUST:3"), Some(Fixture.closure(s, dir)))
+        Seq("REG:1", "NAT:20", "CUST:3"), Some(Fixture.closure(s, dir)),
+        index = Fixture.closureIndex(s, dir))
         .orderBy("node_id")),
 
     // G14 — qualified predicates with qualifier-value hierarchy
@@ -276,20 +289,21 @@ object SparkEntry {
     // G16 — preferred-id normalization + edge merge
     "g17_normalize_merge" -> ((s, dir) => {
       val g = Fixture.graph(s, dir)
-      val cn = g.edges.where(col("edge_id").startsWith("E-CN:"))
-      // Duplicate CUST->NAT edges under the alias id, then normalize+merge.
-      val aliased = cn
-        .join(g.nodes.select(col("id").as("subject"), col("equiv_ids")), Seq("subject"))
-        .withColumn("subject", element_at(col("equiv_ids"), 1))
-        .drop("equiv_ids")
-        .withColumn("edge_id", concat(lit("ALIAS-"), col("edge_id")))
-        .select(cn.columns.map(col): _*)
-      val merged = Normalizer.normalize(cn.unionAll(aliased),
-        Normalizer.preferredIdMap(g.nodes))
-      merged.select(col("edge_id"), col("subject"), col("object"),
-        col("n_merged").cast("long").as("n_merged"),
-        concat_ws("|", col("list_attrs")("tags")).as("tags"))
-        .orderBy("edge_id")
+      normalizeMerge(g, Normalizer.preferredIdMap(g.nodes))
+    }),
+
+    // G16 twin through the AIR-GAPPED equiv-map builder: the
+    // (equiv -> preferred) map is derived from a node-normalization DUMP
+    // file (ref: plover.py:429 _get_equiv_id_map_from_sri — here the
+    // batch-file twin), then drives the same normalize+merge as g17, so
+    // the oracle is shared: the map acquisition path is what's under
+    // test.
+    "g35_equiv_map_dump" -> ((s, dir) => {
+      val g = Fixture.graph(s, dir)
+      val dump = s"target/nodenorm-dump-${dir.replaceAll("[^0-9.]", "")}"
+      g.nodes.select(col("id"), col("equiv_ids").as("equivalent_identifiers"))
+        .coalesce(1).write.mode("overwrite").json(dump)
+      normalizeMerge(g, Normalizer.equivMapFromDump(s, dump, "jsonl"))
     }),
 
     // G17 — batch pair edge lookup
@@ -344,7 +358,8 @@ object SparkEntry {
         QNode("n_out"),
         QNode("n_in", ids = Seq("REG:3")),
         QEdge("n_out", "n_in", predicates = Seq(O.LocatedIn))),
-        closure = Some(Fixture.closure(s, dir)), expandSubclasses = true)
+        closure = Some(Fixture.closure(s, dir)), expandSubclasses = true,
+        index = Fixture.closureIndex(s, dir))
       TrapiResponse.assemble(res, g, attrShells,
         kpInforesCurie = "infores:graft", edgeKey = "e1",
         nodeAttrColumns = Seq("equiv_ids"))
@@ -361,7 +376,8 @@ object SparkEntry {
         QNode("n_out"),
         QNode("n_in", ids = Seq("REG:3")),
         QEdge("n_out", "n_in", predicates = Seq(O.LocatedIn))),
-        closure = Some(Fixture.closure(s, dir)), expandSubclasses = true)
+        closure = Some(Fixture.closure(s, dir)), expandSubclasses = true,
+        index = Fixture.closureIndex(s, dir))
       TrapiResponse.slim(res, g, edgeKey = "e1").orderBy("part", "key")
     }),
 
@@ -456,6 +472,35 @@ object SparkEntry {
         .orderBy("edge_id", "subject")
     }),
 
+    // KGX ingest through the URL adapter (ref: plover.py:368
+    // _download_remote_file): the exported edge TSVs are fetched as
+    // file:// URLs through fetchToSpool (atomic rename + md5 sidecar +
+    // idempotent re-fetch), then re-ingested from the SPOOL — the remote-
+    // drop twin of g25, sharing its oracle.
+    "g34_kgx_url_spool" -> ((s, dir) => {
+      import graft.sources.KgxSource
+      val sfx = dir.replaceAll("[^0-9.]", "")
+      val out = s"/root/repo/target/kgx-url-src-$sfx"
+      val g = Fixture.graph(s, dir)
+      KgxSource.writeTsv(g, out, attrColumns = Seq("mktsegment", "acctbal", "tags"),
+        compress = true)
+      val spool = s"/root/repo/target/kgx-url-spool-$sfx"
+      val parts = new java.io.File(s"$out/edges").listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.foreach(f => KgxSource.fetchToSpool(f.toURI.toString, spool))
+      val cfg = KgxSource.KgxConfig(arrayProperties = Set("category", "tags"))
+      val edges = KgxSource.readEdges(s, spool, "tsv", cfg)
+      edges.select(
+        col("edge_id"), col("subject"), col("object"), col("predicate"),
+        col("qualified_predicate"), col("object_direction"), col("object_aspect"),
+        col("primary_knowledge_source").as("src"),
+        element_at(col("attrs"), "mktsegment").as("mktsegment"),
+        element_at(col("num_attrs"), "acctbal").as("acctbal_num"),
+        element_at(col("attrs"), "acctbal").as("acctbal_str"),
+        concat_ws(",", element_at(col("list_attrs"), "tags")).as("tags"))
+        .orderBy("edge_id", "subject")
+    }),
+
     // G21 — input-side is_set: the input group collapses to one result
     // row per output (ref: plover.py:2322-2410, test_kg2c.py
     // test_is_set_handling's input side).
@@ -526,6 +571,25 @@ object SparkEntry {
     })
   )
 
+  /** The g17/g35 normalize+merge body: duplicate CUST->NAT edges under
+   * their alias id, then remap through `prefMap` and merge — shared so
+   * the two keys differ ONLY in how the preferred-id map was acquired. */
+  private def normalizeMerge(g: PropertyGraph,
+                             prefMap: DataFrame): DataFrame = {
+    val cn = g.edges.where(col("edge_id").startsWith("E-CN:"))
+    val aliased = cn
+      .join(g.nodes.select(col("id").as("subject"), col("equiv_ids")), Seq("subject"))
+      .withColumn("subject", element_at(col("equiv_ids"), 1))
+      .drop("equiv_ids")
+      .withColumn("edge_id", concat(lit("ALIAS-"), col("edge_id")))
+      .select(cn.columns.map(col): _*)
+    Normalizer.normalize(cn.unionAll(aliased), prefMap)
+      .select(col("edge_id"), col("subject"), col("object"),
+        col("n_merged").cast("long").as("n_merged"),
+        concat_ws("|", col("list_attrs")("tags")).as("tags"))
+      .orderBy("edge_id")
+  }
+
   private val idList: Seq[String] => String = ids => ids.map("'" + _ + "'").mkString(", ")
 
   /** Canonical term-table rows for an ontology (shared by the g30 query
@@ -548,7 +612,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graphOracleSql ++ PipelineEntry.oracleSql
 
-  private def graphOracleSql: Map[String, String] = Map(
+  private def graphOracleSql: Map[String, String] = {
+    val m = graphOracleBase
+    // Shared oracles: g34 differs from g25 (and g35 from g17) only in the
+    // acquisition path (URL spool / node-norm dump), not the result.
+    m + ("g34_kgx_url_spool" -> m("g25_kgx_roundtrip")) +
+      ("g35_equiv_map_dump" -> m("g17_normalize_merge"))
+  }
+
+  private def graphOracleBase: Map[String, String] = Map(
     "g01_graph_nodes" -> TpchGraph.oracle(
       "SELECT id, name, cats FROM g_nodes ORDER BY id"),
 

@@ -366,7 +366,7 @@ object HashExpressions {
       var i = 0
       merges.foreach { case (a, b) =>
         // first occurrence wins, like replay order
-        m.putIfAbsent(a + " " + b, Integer.valueOf(i)); i += 1
+        m.putIfAbsent(a + "\u0000" + b, Integer.valueOf(i)); i += 1
       }
       m
     }
@@ -390,7 +390,7 @@ object HashExpressions {
         // heap entries packed (rank << 32 | pos): natural Long order =
         // rank-major, leftmost-first tie-break — the replay order.
         val heap = new java.util.PriorityQueue[java.lang.Long](n)
-        def rankOf(a: Int, b: Int): Integer = rank.get(sym(a) + " " + sym(b))
+        def rankOf(a: Int, b: Int): Integer = rank.get(sym(a) + "\u0000" + sym(b))
         def push(a: Int): Unit = {
           val b = next(a)
           if (b < n) {
@@ -742,13 +742,21 @@ object HashExpressions {
           java.security.MessageDigest.getInstance("MD5")
       }
 
+    // Null-gram contract: null elements are SKIPPED — excluded from both
+    // the ratio sum and the gram count n. (The Column-composed twin
+    // dsirScoreHof would instead null-poison the whole struct; null gram
+    // elements are OUT OF CONTRACT — TF.shingles never emits them — and
+    // the bit-identity pin only covers null-free arrays. r10 advice: the
+    // old code counted nulls in n but not s, a third, undocumented
+    // behavior.)
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
+      val total = arr.numElements()
+      var n = 0L
       var sum = 0.0
       var i = 0
       val digest = md5.get()
-      while (i < n) {
+      while (i < total) {
         if (!arr.isNullAt(i)) {
           digest.reset()
           val h = digest.digest(arr.getUTF8String(i).getBytes)
@@ -756,11 +764,12 @@ object HashExpressions {
             ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
           val b = (code % buckets).toInt
           sum += ((ct(b) + 1L).toDouble * trB) / ((cr(b) + 1L).toDouble * ttB)
+          n += 1L
         }
         i += 1
       }
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](n.toLong, sum))
+        Array[Any](n, sum))
     }
 
     override protected def withNewChildInternal(newChild: Expression): DsirScore =
@@ -804,4 +813,88 @@ object HashExpressions {
   def dsirScore(grams: Column, ct: Array[Long], cr: Array[Long],
                 tr: Long, tt: Long): Column =
     Bridge.column(DsirScore(Bridge.expression(grams), ct, cr, tr, tt))
+
+  /**
+   * O(1) driver-built hash probe over a literal string->string map — the
+   * query-id lookup on the point-lookup fast path (OneHop/GraphOps). A
+   * `typedLit(Map)` probes through GetMapValue, which LINEARLY scans the
+   * keys per row; subclass expansions reach tens of thousands of entries,
+   * so map literals need the same treatment isin gets from InSet: a hash
+   * table built once per executor, referenced from codegen. Returns null
+   * for keys not in the map (and for null keys).
+   */
+  case class MapProbe(child: Expression, entries: Map[String, String])
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "map_probe"
+
+    // rebuilt once per deserialized instance (per executor), not per row
+    @transient private lazy val table: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, org.apache.spark.unsafe.types.UTF8String] = {
+      val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, org.apache.spark.unsafe.types.UTF8String](
+        math.max(16, entries.size * 2))
+      entries.foreach { case (k, v) =>
+        m.put(org.apache.spark.unsafe.types.UTF8String.fromString(k),
+          org.apache.spark.unsafe.types.UTF8String.fromString(v))
+      }
+      m
+    }
+
+    def lookup(key: Any): Any =
+      table.get(key.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override def nullSafeEval(input: Any): Any = lookup(input)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("mapProbe", this, classOf[MapProbe].getName)
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.lookup($c);
+        ${ev.isNull} = ${ev.value} == null;""")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MapProbe =
+      copy(child = newChild)
+  }
+
+  def mapProbe(key: Column, entries: Map[String, String]): Column =
+    Bridge.column(MapProbe(Bridge.expression(key), entries))
+
+  /**
+   * O(1) driver-built hash-set membership over a literal string set — the
+   * large-id-set twin of `isin` on the point-lookup fast path. `isin`
+   * builds one Literal NODE per value and the fast path references the
+   * same set several times (scan filter + both direction branches), so a
+   * 7k-id subclass expansion put ~30k literal nodes in front of the
+   * analyzer — seconds of driver time per query. This expression carries
+   * the set as ONE object (like InSet's hash set, but shared across all
+   * plan references). Null key -> null, like isin.
+   */
+  case class SetProbe(child: Expression, values: Set[String])
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "set_probe"
+
+    // rebuilt once per deserialized instance (per executor), not per row
+    @transient private lazy val table: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+      val m = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+        math.max(16, values.size * 2))
+      values.foreach(v => m.add(org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+      m
+    }
+
+    def contains(key: Any): Boolean = table.contains(key)
+
+    override def nullSafeEval(input: Any): Any = contains(input)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("setProbe", this, classOf[SetProbe].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.contains($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SetProbe =
+      copy(child = newChild)
+  }
+
+  def setProbe(key: Column, values: Set[String]): Column =
+    Bridge.column(SetProbe(Bridge.expression(key), values))
 }

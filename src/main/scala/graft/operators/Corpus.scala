@@ -523,8 +523,15 @@ object Corpus {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val n = hist.valuesIterator.sum
     val target = math.ceil(n * keepFrac).toLong
+    // target == 0 (keepFrac = 0.0, or an empty corpus) keeps NOTHING:
+    // without this guard the suffix fold fires at the very first cell and
+    // returns cutoff = buckets, silently keeping score >= 1.0 docs and
+    // diverging from the oracle's coalesce(max, 0) = 0 cutoff (r10 advice).
+    if (target == 0L)
+      return docs.select(col(idCol).as("id"), col(scoreCol).as("score"),
+        qb.as("qbucket")).where(lit(false))
     // highest cell whose suffix count (docs scoring >= cell) covers the
-    // target; an empty corpus keeps everything (cutoff 0)
+    // target
     val cutoff = (buckets.to(0, -1)).foldLeft((0L, Option.empty[Long])) {
       case ((acc, found), b) =>
         val acc2 = acc + hist.getOrElse(b.toLong, 0L)
@@ -596,6 +603,16 @@ object Corpus {
     counts.foreach { r =>
       val b = r.getLong(0).toInt; cr(b) = r.getLong(1); ct(b) = r.getLong(2)
     }
+    // Bit-portability contract (r10 advice): the ratio's integer-valued
+    // double products (c+1)*(T+B) are EXACT only below 2^53. That holds
+    // to ~10^8x the sf0.1 gram count, but a corpus past it would quietly
+    // degrade Spark/oracle hash parity — so assert the bound instead.
+    val maxC = math.max(cr.max, ct.max)
+    val maxT = math.max(cr.sum, ct.sum)
+    require(BigInt(maxC + 1) * BigInt(maxT + buckets) < (BigInt(1) << 53),
+      s"DSIR exact-arithmetic bound exceeded: (maxCount+1)*(total+buckets) = " +
+        s"${BigInt(maxC + 1) * BigInt(maxT + buckets)} >= 2^53; shard the " +
+        "training corpus or raise `buckets` to keep scores bit-portable")
     DsirModel(cr.toSeq, ct.toSeq, cr.sum, ct.sum)
   }
 
@@ -614,8 +631,16 @@ object Corpus {
       model.ct.toArray, model.cr.toArray, model.tr, model.tt)
     docs
       .where(size(TF.tokens(col(textCol))) >= 2)
-      .select(col(idCol).as("id"), scored.as("sc"),
-        pmod(idHash(col(idCol)), lit(hashMod)).as("hm"))
+      // The score rides through a one-element explode: a Generate is a
+      // predicate-pushdown barrier, so the acceptance filter below CANNOT
+      // be substituted-and-pushed beneath this projection (which would
+      // re-evaluate dsir_score 2-3x per row and drag the expensive filter
+      // under the source's parallelism spread — the r10 p63/p67 plan
+      // defect). dsir_score now runs exactly once per row, post-spread;
+      // PlanAuditSpec pins the single occurrence.
+      .select(col(idCol).as("id"),
+        pmod(idHash(col(idCol)), lit(hashMod)).as("hm"),
+        explode(array(scored)).as("sc"))
       .withColumn("w", col("sc.s") / col("sc.n").cast("double"))
       .where(col("hm").cast("double")
         < least(lit(1.0), col("w") * acceptScale) * hashMod)

@@ -17,9 +17,29 @@ object GraphOps {
    * Returns (node_id, query_id) — query_id null for directly-listed ids.
    */
   def singleNode(spark: SparkSession, graph: PropertyGraph, ids: Seq[String],
-                 closure: Option[DataFrame]): DataFrame = {
-    val expanded = OneHop.expandIds(spark, ids, closure, expand = true)
-    expanded.join(graph.nodes.select(col("id").as("node_id")), Seq("node_id"), "left_semi")
+                 closure: Option[DataFrame],
+                 index: Option[ClosureIndex] = None): DataFrame = {
+    // Literal fast path: expansion resolved driver-side (bounded, see
+    // ClosureIndex), the lookup is one isin filter over the node table.
+    val localOpt = index
+      .filter(_ => closure.isDefined)
+      .map(_.expand(ids))
+      .orElse(if (closure.isEmpty) Some((ids.distinct, Map.empty[String, String])) else None)
+      .filter(_._1.size <= OneHop.DefaultMaxLiteralIds)
+    localOpt match {
+      case Some((all, qid)) =>
+        val qidCol =
+          if (qid.isEmpty) lit(null).cast("string")
+          else graft.functions.HashExpressions.mapProbe(col("id"), qid)
+        graph.nodes.where(
+          if (all.size <= 16) col("id").isin(all: _*)
+          else graft.functions.HashExpressions.setProbe(col("id"), all.toSet))
+          .select(col("id").as("node_id"), qidCol.as("query_id"))
+      case None =>
+        val expanded = OneHop.expandIds(spark, ids, closure, expand = true)
+        expanded.join(graph.nodes.select(col("id").as("node_id")), Seq("node_id"),
+          "left_semi")
+    }
   }
 
   /**
@@ -31,17 +51,38 @@ object GraphOps {
    */
   def getEdges(spark: SparkSession, graph: PropertyGraph,
                pairs: Seq[(String, String)]): DataFrame = {
-    import spark.implicits._
-    val pairsDF = pairs.toDF("na", "nb")
-      .withColumn("pair_key", concat_ws("--", col("na"), col("nb")))
-      .withColumn("lo", least(col("na"), col("nb")))
-      .withColumn("hi", greatest(col("na"), col("nb")))
-      .select("pair_key", "lo", "hi")
-    graph.edges
-      .withColumn("lo", least(col("subject"), col("object")))
-      .withColumn("hi", greatest(col("subject"), col("object")))
-      .join(broadcast(pairsDF), Seq("lo", "hi"))
-      .select("pair_key", "edge_id", "subject", "object", "predicate")
+    // Driver-side unordered-pair keys: a U+0001 separator never occurs
+    // in CURIEs, so keys are collision-free.
+    val keyed = pairs.map { case (na, nb) =>
+      val (lo, hi) = if (na <= nb) (na, nb) else (nb, na)
+      (s"$lo\u0001$hi", s"$na--$nb")
+    }
+    val keyMap = keyed.toMap
+    val edgeKey = concat_ws("\u0001",
+      least(col("subject"), col("object")), greatest(col("subject"), col("object")))
+    if (keyed.size <= OneHop.DefaultMaxLiteralIds && keyMap.size == keyed.size) {
+      // Literal fast path: the whole batch is one isin scan filter plus a
+      // map-literal probe for the pair key — no broadcast build job.
+      graph.edges
+        .where(edgeKey.isin(keyMap.keys.toSeq: _*))
+        .withColumn("pair_key",
+          graft.functions.HashExpressions.mapProbe(edgeKey, keyMap))
+        .select("pair_key", "edge_id", "subject", "object", "predicate")
+    } else {
+      // Data-sized batches (or several pair_keys sharing one unordered
+      // pair): ONE equi-join on the unordered endpoint pair, so 10^6
+      // pairs cost the same plan as 10.
+      import spark.implicits._
+      val pairsDF = pairs.toDF("na", "nb")
+        .withColumn("pair_key", concat_ws("--", col("na"), col("nb")))
+        .withColumn("k", concat_ws("\u0001",
+          least(col("na"), col("nb")), greatest(col("na"), col("nb"))))
+        .select("pair_key", "k")
+      graph.edges
+        .withColumn("k", edgeKey)
+        .join(broadcast(pairsDF), Seq("k"))
+        .select("pair_key", "edge_id", "subject", "object", "predicate")
+    }
   }
 
   /**

@@ -29,6 +29,43 @@ object Normalizer {
     nodes.select(explode(col("equiv_ids")).as("equiv_id"),
       col("id").as("preferred_id"))
 
+  /**
+   * Air-gapped twin of the SRI node-normalization lookup (ref:
+   * plover.py:429 `_get_equiv_id_map_from_sri`): build the same
+   * (equiv_id, preferred_id) map from a node-normalization DUMP file
+   * instead of the live service — real deployments batch-download the
+   * dump with the KG drop. Formats: "jsonl" (one
+   * `{"id": ..., "equivalent_identifiers": [...]}` object per line) or
+   * "tsv" (header `id<TAB>equivalent_identifiers`, equivalents
+   * pipe-joined). Like the reference, every preferred id also maps to
+   * itself; unlike the reference's last-response-wins dict overlay, an
+   * equiv id claimed by several clusters resolves to the MIN preferred
+   * id, so the map is deterministic under any read order. The output
+   * feeds `normalize` directly (same shape as `preferredIdMap`), and at
+   * scale it is a distributed read + one bounded groupBy — never a
+   * driver-side dict.
+   */
+  def equivMapFromDump(spark: org.apache.spark.sql.SparkSession, path: String,
+                       format: String): DataFrame = {
+    val raw = format match {
+      case "jsonl" =>
+        spark.read.json(path)
+          .select(col("id"), col("equivalent_identifiers").as("equivs"))
+      case "tsv" =>
+        spark.read.option("sep", "\t").option("header", "true").csv(path)
+          .select(col("id"),
+            split(col("equivalent_identifiers"), "\\|").as("equivs"))
+      case other => throw new IllegalArgumentException(
+        s"unsupported node-norm dump format: $other (expected jsonl or tsv)")
+    }
+    raw
+      .select(col("id").as("preferred_id"),
+        explode(array_union(array(col("id")),
+          coalesce(col("equivs"), array()))).as("equiv_id"))
+      .where(col("equiv_id").isNotNull && col("equiv_id") =!= "")
+      .groupBy("equiv_id").agg(min(col("preferred_id")).as("preferred_id"))
+  }
+
   def normalize(edges: DataFrame, prefMap: DataFrame): DataFrame = {
     val bySubj = prefMap.select(col("equiv_id").as("subject"),
       col("preferred_id").as("subj_pref"))

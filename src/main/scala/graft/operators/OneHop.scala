@@ -33,6 +33,18 @@ import graft.model.{Ontology, PropertyGraph}
  */
 object OneHop {
 
+  /** Pinned-id sets at or below this size answer through the literal fast
+   * path: ids (and their driver-side subclass expansion, see ClosureIndex)
+   * are embedded as `isin` literals and the whole lookup is ONE pass over
+   * the edge table — no joins, no broadcast builds, no shuffles, so the
+   * per-query cost is a single scan-stage job. Larger id sets keep the
+   * broadcast-join path, which is the right plan when the pinned side is
+   * itself data-sized. 64k strings stay cheap plan-side because both
+   * probes are hash tables, not unrolled literals: isin compiles to an
+   * InSet set probe, and the query-id map goes through the native
+   * MapProbe expression (a typedLit map would LINEAR-scan per row). */
+  val DefaultMaxLiteralIds = 65536
+
   /** Matched edges with binding columns:
    * input_id/output_id (which endpoint fulfilled which qnode) and
    * input_query_id/output_query_id (non-null when the endpoint was reached
@@ -42,10 +54,16 @@ object OneHop {
   final case class Result(matches: DataFrame, inputKey: String, outputKey: String,
                           guardCount: Option[Long] = None)
 
+  /** A pinned id set resolved driver-side: expanded ids + the
+   * descendant -> query-id map (empty when no subclass expansion). */
+  private final case class LocalIds(ids: Seq[String], queryIds: Map[String, String])
+
   def answer(spark: SparkSession, graph: PropertyGraph, ont: Ontology, qg: QueryGraph,
              closure: Option[DataFrame] = None,
              expandSubclasses: Boolean = true,
-             maxEdges: Option[Long] = None): Result = {
+             maxEdges: Option[Long] = None,
+             index: Option[ClosureIndex] = None,
+             maxLiteralIds: Int = DefaultMaxLiteralIds): Result = {
     val qedge = QueryGraph.forceCanonical(qg.edge.get, ont)
     val subjQ = qg.node(qedge.subjectKey)
     val objQ = qg.node(qedge.objectKey)
@@ -60,10 +78,20 @@ object OneHop {
     val outputQ = if (inputQ.key == subjQ.key) objQ else subjQ
     val inputIsSubject = inputQ.key == qedge.subjectKey
 
-    val inputExp = expandIds(spark, inputQ.ids, closure, expandSubclasses)
-    val outputExpOpt =
-      if (outputQ.ids.nonEmpty) Some(expandIds(spark, outputQ.ids, closure, expandSubclasses))
-      else None
+    // Driver-side expansion of a pinned id set, when resolvable without a
+    // Spark job: trivially when no subclass expansion applies, via the
+    // ClosureIndex when one is provided. None -> the distributed
+    // expandIds/broadcast-join path must be used for that side.
+    def local(ids: Seq[String]): Option[LocalIds] = {
+      val resolved =
+        if (!expandSubclasses || closure.isEmpty) Some(LocalIds(ids.distinct, Map.empty))
+        else index.map { ix =>
+          val (all, qid) = ix.expand(ids); LocalIds(all, qid)
+        }
+      resolved.filter(_.ids.size <= maxLiteralIds)
+    }
+    val inLocalOpt = local(inputQ.ids)
+    val outLocalOpt = if (outputQ.ids.nonEmpty) local(outputQ.ids) else None
 
     // ---- predicate + direction conditions (literal, driver-computed) ----
     val (matchCond, bidirCond) =
@@ -74,32 +102,71 @@ object OneHop {
     val bwdCond = matchCond && (bidirCond || lit(!inputIsSubject))
 
     val edges = graph.edges
-    val inFwd = inputExp
-      .withColumnRenamed("node_id", "subject")
-      .withColumnRenamed("query_id", "input_query_id")
-    val fwd = edges.where(fwdCond)
-      .join(broadcast(inFwd), Seq("subject"))
-      .withColumn("input_id", col("subject"))
-      .withColumn("output_id", col("object"))
-    val inBwd = inputExp
-      .withColumnRenamed("node_id", "object")
-      .withColumnRenamed("query_id", "input_query_id")
-    val bwd = edges.where(bwdCond)
-      .join(broadcast(inBwd), Seq("object"))
-      .withColumn("input_id", col("object"))
-      .withColumn("output_id", col("subject"))
-    var matched = fwd.unionByName(bwd)
+
+    def queryIdCol(m: Map[String, String], id: Column): Column =
+      if (m.isEmpty) lit(null).cast("string")
+      else graft.functions.HashExpressions.mapProbe(id, m)
+
+    // Small sets keep isin (literal InSet: trivial plan cost, and cached-
+    // batch stats pruning can use it); large expansions go through the
+    // native SetProbe so the id set is ONE plan object however many times
+    // the condition is referenced.
+    def memberOf(c: Column, ids: Seq[String]): Column =
+      if (ids.size <= 16) c.isin(ids: _*)
+      else graft.functions.HashExpressions.setProbe(c, ids.toSet)
+
+    // ---- input-side matching ----
+    // Literal fast path (pinned sets small, expansion driver-resolvable):
+    // ONE pass over the edge table — the fwd/bwd union becomes a
+    // conditional two-element explode so an edge matching both directions
+    // still yields both binding rows, with zero joins and zero shuffles.
+    // Fallback: the broadcast-join shape (two filtered scans joined to the
+    // broadcast expansion frame), the right plan for data-sized id sets.
+    var matched = inLocalOpt match {
+      case Some(in) if outputQ.ids.isEmpty || outLocalOpt.isDefined =>
+        val fwdHit = fwdCond && memberOf(col("subject"), in.ids)
+        val bwdHit = bwdCond && memberOf(col("object"), in.ids)
+        edges.where(fwdHit || bwdHit)
+          .withColumn("io", explode(array_compact(array(
+            when(fwdHit, struct(col("subject").as("i"), col("object").as("o"))),
+            when(bwdHit, struct(col("object").as("i"), col("subject").as("o")))))))
+          .withColumn("input_id", col("io.i"))
+          .withColumn("output_id", col("io.o"))
+          .withColumn("input_query_id", queryIdCol(in.queryIds, col("input_id")))
+          .drop("io")
+      case _ =>
+        val inputExp = expandIds(spark, inputQ.ids, closure, expandSubclasses)
+        val inFwd = inputExp
+          .withColumnRenamed("node_id", "subject")
+          .withColumnRenamed("query_id", "input_query_id")
+        val fwd = edges.where(fwdCond)
+          .join(broadcast(inFwd), Seq("subject"))
+          .withColumn("input_id", col("subject"))
+          .withColumn("output_id", col("object"))
+        val inBwd = inputExp
+          .withColumnRenamed("node_id", "object")
+          .withColumnRenamed("query_id", "input_query_id")
+        val bwd = edges.where(bwdCond)
+          .join(broadcast(inBwd), Seq("object"))
+          .withColumn("input_id", col("object"))
+          .withColumn("output_id", col("subject"))
+        fwd.unionByName(bwd)
+    }
 
     // ---- output-side filtering ----
-    matched = outputExpOpt match {
-      case Some(outExp) =>
-        // Pinned output ids: intersect (categories are ignored in this case,
-        // plover.py:2045-2049)
-        val out = outExp
-          .withColumnRenamed("node_id", "output_id")
-          .withColumnRenamed("query_id", "output_query_id")
-        matched.join(broadcast(out), Seq("output_id"))
-      case None =>
+    matched =
+      if (outputQ.ids.nonEmpty) outLocalOpt match {
+        case Some(out) if inLocalOpt.isDefined =>
+          // Pinned output ids, literal (categories are ignored in this
+          // case, plover.py:2045-2049)
+          matched.where(memberOf(col("output_id"), out.ids))
+            .withColumn("output_query_id", queryIdCol(out.queryIds, col("output_id")))
+        case _ =>
+          val outExp = expandIds(spark, outputQ.ids, closure, expandSubclasses)
+            .withColumnRenamed("node_id", "output_id")
+            .withColumnRenamed("query_id", "output_query_id")
+          matched.join(broadcast(outExp), Seq("output_id"))
+      } else {
         val withNull = matched.withColumn("output_query_id", lit(null).cast("string"))
         if (outputQ.categories.isEmpty) withNull
         else {
@@ -127,7 +194,7 @@ object OneHop {
             withNull.join(broadcast(catNodes), Seq("output_id"), "left_semi")
           }
         }
-    }
+      }
 
     if (qedge.attributeConstraints.nonEmpty)
       matched = matched.where(AttributeConstraints.compileAll(qedge.attributeConstraints))

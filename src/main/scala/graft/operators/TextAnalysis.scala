@@ -527,11 +527,20 @@ object TextAnalysis {
     val n1Row = cnt.where(col("ord") === 1).agg(sum(col("c"))).collect()(0)
     val n1 = if (n1Row.isNullAt(0)) 0L else n1Row.getLong(0)
     // bounded probes for the CONTEXT counts of the trained grams — full
-    // corpus counts (not top-V-truncated), O(V) keys each
+    // corpus counts (not top-V-truncated), O(V) keys each. The key set is
+    // joined as a broadcast frame: an isin here would put ~2*vocabSize
+    // literal nodes in the plan per probe (65536-key In lists at the
+    // ScaleSmoke bound — r10 advice), where the broadcast join costs one
+    // hashed-relation build of the same keys.
     def counts(ord: Int, keys: Seq[String]): Map[String, Long] =
       if (keys.isEmpty) Map.empty
-      else cnt.where(col("ord") === ord && col("g").isin(keys: _*))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      else {
+        import docs.sparkSession.implicits._
+        cnt.where(col("ord") === ord)
+          .join(broadcast(keys.toDF("g")), Seq("g"))
+          .select("g", "c")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
     def w(g: String): Array[String] = g.split(' ')
     val triCtx = counts(2, t3.map(x => { val a = w(x._1); a(0) + " " + a(1) })
       .distinct.toSeq)

@@ -228,4 +228,83 @@ object KgxSource {
         col("primary_knowledge_source")) ++ attrCols): _*)
     edges.write.mode("overwrite").options(writerOpts).csv(s"$dir/edges")
   }
+
+  /** Basename of a URL: final path segment with query/fragment stripped
+   * (ref: plover.py:316 `_url_basename`). */
+  def urlBasename(url: String): String = {
+    val noFrag = url.split('#').head.split('?').head
+    val seg = noFrag.substring(noFrag.lastIndexOf('/') + 1)
+    require(seg.nonEmpty, s"URL has no file basename: $url")
+    java.net.URLDecoder.decode(seg, "UTF-8")
+  }
+
+  private def md5Hex(p: java.nio.file.Path): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = java.nio.file.Files.newInputStream(p)
+    try {
+      val buf = new Array[Byte](1 << 20)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /**
+   * Fetch a remote KGX file into a local spool directory, returning the
+   * spooled path — the ingest adapter for KG drops that arrive as URLs
+   * (ref: plover.py:368 `_download_remote_file`). Mirrors the reference's
+   * contract: bytes are stored AS SERVED (a .gz stays gzipped — the
+   * readers decompress), the stream lands in a `.tmp` sibling and is
+   * atomically renamed so readers never observe a partial file, and
+   * failures retry with linear backoff. Beyond the reference: an `.md5`
+   * sidecar records the spooled digest, and a re-fetch whose existing
+   * spool file still matches its sidecar is skipped — idempotent
+   * re-ingest of the same drop costs a checksum, not a transfer.
+   * Works for any URL scheme the JDK resolves (https, file — the latter
+   * is what the air-gapped tests use).
+   */
+  def fetchToSpool(url: String, spoolDir: String, retries: Int = 3,
+                   backoffMillis: Long = 1000L): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dest = Paths.get(spoolDir, urlBasename(url))
+    // leading dot: Spark's file listing skips hidden files, so the spool
+    // dir stays directly readable as a table directory
+    val sidecar = dest.resolveSibling("." + dest.getFileName.toString + ".md5")
+    Files.createDirectories(dest.getParent)
+    if (Files.exists(dest) && Files.exists(sidecar) &&
+        new String(Files.readAllBytes(sidecar), "UTF-8") == md5Hex(dest))
+      return dest
+    val tmp = dest.resolveSibling(dest.getFileName.toString + ".tmp")
+    var lastErr: Throwable = null
+    var attempt = 1
+    var done = false
+    while (!done && attempt <= retries) {
+      try {
+        // file: URLs have no query/fragment semantics — strip them (an
+        // http(s) URL keeps its query; only the spooled NAME drops it)
+        val uri = new java.net.URI(
+          if (new java.net.URI(url).getScheme == "file")
+            url.split('#').head.split('?').head
+          else url)
+        val conn = uri.toURL.openConnection()
+        conn.setRequestProperty("Accept-Encoding", "identity")
+        val in = conn.getInputStream
+        try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+        finally in.close()
+        Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        Files.write(sidecar, md5Hex(dest).getBytes("UTF-8"))
+        done = true
+      } catch {
+        case e: Throwable =>
+          lastErr = e
+          Files.deleteIfExists(tmp)
+          if (attempt < retries) Thread.sleep(backoffMillis * attempt)
+          attempt += 1
+      }
+    }
+    if (!done)
+      throw new RuntimeException(s"Failed to download $url -> $dest", lastErr)
+    dest
+  }
 }

@@ -57,7 +57,12 @@ object EventStream {
    * no data scan), then normalized identically to `readBatch`. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val storedTs = spark.read.parquet(dir).schema("ts").dataType
+    // A stream may start against a directory populated only later; the
+    // footer probe then has nothing to read, so fall back to the default
+    // TimestampType schema rather than failing startup (r10 advice).
+    val storedTs =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => TimestampType }
     val srcSchema = StructType(schema.fields.map(f =>
       if (f.name == "ts") f.copy(dataType = storedTs) else f))
     normalizeTs(spark.readStream.schema(srcSchema).parquet(dir))

@@ -110,6 +110,58 @@ class KgxSourceSpec extends SparkSpec {
     assert(w == Map("weight" -> 2.0))
   }
 
+  test("fetchToSpool: url basename, as-served bytes, md5 sidecar, idempotent re-fetch") {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(tmpDir("kgx-url-src"), "drop.tsv.gz")
+    Files.createDirectories(src.getParent)
+    val payload = Array.tabulate[Byte](4096)(i => (i % 251).toByte)
+    Files.write(src, payload)
+    val spool = tmpDir("kgx-url-spool")
+    // query/fragment are stripped from the spooled name (plover.py:316)
+    val url = src.toUri.toString + "?version=3#frag"
+    val dest = KgxSource.fetchToSpool(url, spool)
+    assert(dest.getFileName.toString == "drop.tsv.gz")
+    // bytes land AS SERVED (no decompress/transform)
+    assert(Files.readAllBytes(dest).sameElements(payload))
+    val sidecar = dest.resolveSibling(".drop.tsv.gz.md5")
+    assert(Files.exists(sidecar))
+    // idempotent re-fetch: matching sidecar short-circuits (unchanged mtime)
+    val t0 = Files.getLastModifiedTime(dest)
+    KgxSource.fetchToSpool(url, spool)
+    assert(Files.getLastModifiedTime(dest) == t0)
+    // corrupted spool file no longer matches its sidecar -> re-fetched
+    Files.write(dest, Array[Byte](1, 2, 3))
+    KgxSource.fetchToSpool(url, spool)
+    assert(Files.readAllBytes(dest).sameElements(payload))
+    // unreachable URL fails after bounded retries
+    intercept[RuntimeException] {
+      KgxSource.fetchToSpool(src.toUri.toString + ".missing", spool,
+        retries = 2, backoffMillis = 1L)
+    }
+  }
+
+  test("equivMapFromDump: jsonl and tsv dumps, identity rows, min-preferred tie-break") {
+    import graft.operators.Normalizer
+    import java.nio.file.{Files, Paths}
+    val dir = tmpDir("nodenorm")
+    Files.createDirectories(Paths.get(dir))
+    // B:1 is claimed by two clusters -> min preferred id (NAT:1) wins
+    Files.write(Paths.get(dir, "dump.jsonl"),
+      ("""{"id":"NAT:1","equivalent_identifiers":["A:1","B:1"]}""" + "\n" +
+       """{"id":"NAT:2","equivalent_identifiers":["B:1"]}""" + "\n" +
+       """{"id":"REG:9","equivalent_identifiers":[]}""" + "\n").getBytes("UTF-8"))
+    val m = Normalizer.equivMapFromDump(spark, s"$dir/dump.jsonl", "jsonl")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("A:1" -> "NAT:1", "B:1" -> "NAT:1",
+      "NAT:1" -> "NAT:1", "NAT:2" -> "NAT:2", "REG:9" -> "REG:9"))
+    Files.write(Paths.get(dir, "dump.tsv"),
+      ("id\tequivalent_identifiers\nNAT:1\tA:1|B:1\nNAT:2\tB:1\nREG:9\t\n")
+        .getBytes("UTF-8"))
+    val mt = Normalizer.equivMapFromDump(spark, s"$dir/dump.tsv", "tsv")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mt == m)
+  }
+
   test("round-trip: fixture graph -> KGX TSV(gz) -> PropertyGraph preserves core") {
     val sfDir = "/root/testdata/sf0.001"
     val g = graft.sources.TpchGraph(spark, sfDir)

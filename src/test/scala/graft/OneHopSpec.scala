@@ -52,6 +52,48 @@ class OneHopSpec extends SparkSpec {
     assert(neither.count() == pairsN)
   }
 
+  test("literal fast path == broadcast-join path, row for row") {
+    // The serving fast path (ids as literal set probes, fwd/bwd explode)
+    // must reproduce the join path EXACTLY — including the two rows an
+    // edge contributes when it matches both directions of a symmetric
+    // predicate, and the subclass-expansion query_id mapping.
+    val closure = SubclassClosure.fromGraph(graph, ont).cache()
+    val ix = ClosureIndex.fromClosure(closure)
+    assert(ix.isDefined)
+    // Pick a real adjacency from the data so the doubly-pinned symmetric
+    // shape (both endpoints in both id sets -> an edge matches BOTH
+    // directions and must contribute two rows) is non-vacuous.
+    val adj = graph.edges
+      .where(org.apache.spark.sql.functions.col("predicate") === O.AdjacentTo)
+      .select("subject", "object").head()
+    val (a, b) = (adj.getString(0), adj.getString(1))
+    val shapes = Seq(
+      // subclass-expanded pinned object (g13 shape)
+      QueryGraph.oneHop(QNode("n_out"), QNode("n_in", ids = Seq("REG:3")),
+        QEdge("n_out", "n_in", predicates = Seq(O.LocatedIn))),
+      // symmetric predicate, open output (g10 shape)
+      QueryGraph.oneHop(QNode("n0", ids = Seq(a)), QNode("n1"),
+        QEdge("n0", "n1", predicates = Seq(O.AdjacentTo))),
+      // doubly-pinned symmetric: both endpoints in both id sets
+      QueryGraph.oneHop(
+        QNode("n0", ids = Seq(a, b, "NAT:99999")),
+        QNode("n1", ids = Seq(a, b)),
+        QEdge("n0", "n1", predicates = Seq(O.AdjacentTo))))
+    for (qg <- shapes) {
+      def rows(maxLit: Int) = OneHop.answer(spark, graph, ont, qg,
+          closure = Some(closure), expandSubclasses = true, index = ix,
+          maxLiteralIds = maxLit)
+        .matches
+        .select("edge_id", "input_id", "input_query_id", "output_id",
+          "output_query_id")
+        .collect().map(_.toString).sorted.toSeq
+      val fast = rows(OneHop.DefaultMaxLiteralIds)
+      val join = rows(0)
+      assert(fast.nonEmpty, s"empty result for $qg")
+      assert(fast == join, s"path divergence for $qg")
+    }
+  }
+
   test("requires at least one pinned qnode") {
     val e = intercept[IllegalArgumentException] {
       OneHop.answer(spark, graph, ont,

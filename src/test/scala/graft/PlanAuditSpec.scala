@@ -24,12 +24,33 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
-  test("one-hop: broadcast joins only, no shuffle of the edge table") {
+  test("one-hop literal fast path: single scan, zero joins, zero exchanges") {
+    // The serving path for pinned-id lookups: ids resolve to literal
+    // set probes, the fwd/bwd union is a conditional explode — ONE pass
+    // over the edge table with no join, no broadcast build job, and no
+    // shuffle. This is what holds the per-query floor near the Spark
+    // scheduling constant (r10 advice #1).
     val res = OneHop.answer(spark, graph, ont, QueryGraph.oneHop(
       QNode("n0", ids = Seq("NAT:1", "NAT:2")),
       QNode("n1", categories = Seq(O.Customer)),
       QEdge("n0", "n1", predicates = Seq(O.LocatedIn))),
       closure = None, expandSubclasses = false)
+    // Audit the query part only — the cached edge table's BUILD plan
+    // (with its denorm broadcast joins) renders inside InMemoryRelation.
+    val p = plan(res.matches).split("InMemoryTableScan").head
+    assert(!p.contains("Join"), s"fast path gained a join:\n$p")
+    assert(!p.contains("Exchange"), s"fast path gained a shuffle:\n$p")
+    assert(p.contains("Generate"), s"fwd/bwd explode missing:\n$p")
+  }
+
+  test("one-hop large-id fallback: broadcast joins only, no shuffle of the edge table") {
+    // Data-sized pinned sets (forced here with maxLiteralIds = 0) keep
+    // the broadcast-join shape: the edge table is never shuffled.
+    val res = OneHop.answer(spark, graph, ont, QueryGraph.oneHop(
+      QNode("n0", ids = Seq("NAT:1", "NAT:2")),
+      QNode("n1", categories = Seq(O.Customer)),
+      QEdge("n0", "n1", predicates = Seq(O.LocatedIn))),
+      closure = None, expandSubclasses = false, maxLiteralIds = 0)
     val p = plan(res.matches)
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("SortMergeJoin"), s"edge table got shuffled:\n$p")
@@ -257,6 +278,11 @@ class PlanAuditSpec extends SparkSpec {
       buckets = 256))
     assert(!p.contains("Exchange"), s"DSIR selection gained a shuffle:\n$p")
     assert(!p.contains("Join"), s"DSIR selection gained a join:\n$p")
+    // The r10 plan defect: the acceptance filter was substituted below the
+    // scoring projection, re-evaluating dsir_score 2-3x per row. The
+    // one-element explode barrier keeps it to exactly ONE evaluation.
+    assert("dsir_score".r.findAllIn(p).size == 1,
+      s"dsir_score must appear exactly once in the plan:\n$p")
   }
 
   test("cluster-balanced sample: argmax assignment, counts broadcast, one rank window") {
