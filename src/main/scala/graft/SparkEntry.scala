@@ -78,6 +78,28 @@ object Fixture {
       graft.operators.ClosureIndex.fromClosure(closure(spark, sfDir))
     })
 
+  private val servingSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  /** The SERVING session for interactive graph lookups: a `newSession()`
+   * of the caller's (shared SparkContext + CacheManager — the cached
+   * graph frames are reused, nothing is re-encoded) with its own SQLConf
+   * tuned for answer-sized work: AQE off (its stage-by-stage re-planning
+   * is pure latency when every post-match shuffle is answer-sized) and
+   * ONE shuffle partition. That is the honest 100 TB shape too: in a
+   * lookup the corpus-sized work is the SCAN, whose parallelism comes
+   * from the cached table's partitioning; everything after the match is
+   * bounded by the answer-size cutoff guard (G22), so distinct/groupBy/
+   * sort on it wants answer-scale, not corpus-scale, partitioning.
+   * Batch/pipeline operators keep the caller's session untouched. */
+  def serving(spark: SparkSession): SparkSession =
+    servingSessions.computeIfAbsent(spark, { s =>
+      val sv = s.newSession()
+      sv.conf.set("spark.sql.adaptive.enabled", "false")
+      sv.conf.set("spark.sql.shuffle.partitions", "1")
+      sv
+    })
+
   def metaSummary(spark: SparkSession, sfDir: String): DataFrame =
     metaSummaries.computeIfAbsent((spark, sfDir), { _ =>
       val (nodes, edges) = storeFrames(spark, sfDir)
@@ -176,9 +198,14 @@ object SparkEntry {
       trialPhaseProps = Set("tp"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Graph lookups
+   * route through the serving session (Fixture.serving — answer-scale
+   * shuffle config, shared cache); pipeline operators stay on the
+   * caller's batch session. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graphQueries ++ PipelineEntry.queries
+    graphQueries.map { case (k, f) =>
+      k -> ((s: SparkSession, d: String) => f(Fixture.serving(s), d))
+    } ++ PipelineEntry.queries
 
   private def graphQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // G1 — graph construction
@@ -484,7 +511,11 @@ object SparkEntry {
       val g = Fixture.graph(s, dir)
       KgxSource.writeTsv(g, out, attrColumns = Seq("mktsegment", "acctbal", "tags"),
         compress = true)
+      // fresh spool per drop: writeTsv emits new UUID part names each run,
+      // and a spool that accumulates across drops would double-read
       val spool = s"/root/repo/target/kgx-url-spool-$sfx"
+      val old = new java.io.File(spool).listFiles()
+      if (old != null) old.foreach(_.delete())
       val parts = new java.io.File(s"$out/edges").listFiles()
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
       parts.foreach(f => KgxSource.fetchToSpool(f.toURI.toString, spool))
