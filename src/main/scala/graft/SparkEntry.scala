@@ -198,13 +198,38 @@ object SparkEntry {
       trialPhaseProps = Set("tp"))
   }
 
+  /** Prepared-statement cache for the point-lookup fast path: a pure
+   * graph lookup's DataFrame is built ONCE per (key, serving session,
+   * store) and re-EXECUTED on every call — Spark plans a DataFrame
+   * lazily and keeps the analyzed/optimized/compiled plan on the
+   * instance, so repeat calls skip analysis + optimization + codegen
+   * lookup and pay only job scheduling + the cached-partition scan.
+   * This is the serving-layer analog of the reference pre-building its
+   * lookup indexes once per boot (plover.py:1790 answer_query runs
+   * against prebuilt dicts); each call still runs a fresh Spark job
+   * over the shared cached graph, so results always reflect the store. */
+  private val prepared = new java.util.concurrent.ConcurrentHashMap[
+    (String, SparkSession, String), DataFrame]()
+
+  /** Keys whose CONSTRUCTION is the operation under test — a file
+   * export/spool/roundtrip or an eager guard probe. Serving them from
+   * the prepared cache would skip that work, so they re-build per call. */
+  private val sideEffecting = Set(
+    "g25_kgx_roundtrip", "g29_cutoff_guard", "g30_ontology_roundtrip",
+    "g32_subclass_from_file", "g34_kgx_url_spool", "g35_equiv_map_dump")
+
   /** One entry per implemented operator from SURVEY.md §2. Graph lookups
    * route through the serving session (Fixture.serving — answer-scale
-   * shuffle config, shared cache); pipeline operators stay on the
-   * caller's batch session. */
+   * shuffle config, shared cache) and, when pure, through the prepared-
+   * plan cache; pipeline operators stay on the caller's batch session. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graphQueries.map { case (k, f) =>
-      k -> ((s: SparkSession, d: String) => f(Fixture.serving(s), d))
+      if (sideEffecting(k))
+        k -> ((s: SparkSession, d: String) => f(Fixture.serving(s), d))
+      else
+        k -> ((s: SparkSession, d: String) =>
+          prepared.computeIfAbsent((k, Fixture.serving(s), d),
+            { case (_, sv, dd) => f(sv, dd) }))
     } ++ PipelineEntry.queries
 
   private def graphQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
