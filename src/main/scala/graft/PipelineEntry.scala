@@ -944,7 +944,32 @@ object PipelineEntry {
       Sessionize.tumblingAgg(events(s, dir), widthMinutes = 60)
         .select(unix_micros(col("window_start")).as("window_us"),
           col("event_type"), col("n_events"), col("n_users"), col("total_value"))
-        .orderBy("window_us", "event_type"))
+        .orderBy("window_us", "event_type")),
+
+    // P19+++++, key p70_quality_classifier — the DCLM/FineWeb-Edu
+    // supervised classifier step: a 20% seed slice (doc_id % 5 == 0) is
+    // LABELED by the Gopher verdict (the expensive judgment being
+    // distilled), a binary NB over hashed bigrams trains on it in one
+    // pass, and the FULL corpus is threshold-filtered by the trained
+    // model — train/apply generalization across different frames, which
+    // is what separates this from p63's self-referential resampling.
+    "p70_quality_classifier" -> ((s, dir) => {
+      val seed = docs(s, dir).where(col("doc_id") % 5 === 0)
+      val labeled = TextAnalysis.gopherRules(seed, stopwords = Seq("the", "a"),
+        passthrough = Seq("text"))
+      val model = Corpus.classifierTrain(labeled, isPositive = col("passes"),
+        buckets = DsirBuckets)
+      Corpus.classifierFilter(docs(s, dir), model, threshold = 1.0)
+        .orderBy("id")
+    }),
+
+    // P20+++, key p71_token_chunks — fixed-size token-window chunking
+    // with stride (the HF return_overflowing_tokens semantics): 64-token
+    // windows every 48 tokens, 16-token overlap carrying context across
+    // boundaries; one narrow scan + explode, no shuffle.
+    "p71_token_chunks" -> ((s, dir) =>
+      Corpus.tokenChunks(docs(s, dir), chunkSize = 64, stride = 48)
+        .orderBy("id", "chunk_id"))
   )
 
   // ------------------------------------------------------------ oracles
@@ -2317,6 +2342,77 @@ ORDER BY id"""
     // keys: matching hashes prove batch and streaming agree.
     "p63_dsir" -> DsirOracle,
     "p67_streaming_dsir" -> DsirOracle,
+
+    // p70 mirror notes: the seed labels re-derive the p35 gopher verdict
+    // (unplanted, the p62 CTE pattern) on the doc_id % 5 slice; the
+    // count CTE contrasts positive vs NEGATIVE (cn = count - cp, the
+    // classifierTrain re-basing), and the ratio is the NB likelihood
+    // ratio ((cp+1)*(tn+B)) / ((cn+1)*(tp+B)) — same exact-integer
+    // products and single division as DSIR, same ordered fold; the
+    // threshold compares the UNROUNDED mean, like the Scala filter.
+    "p70_quality_classifier" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+seed AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+sb AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS t,
+        string_split(text, chr(10)) AS ls FROM seed),
+sm AS (SELECT doc_id, t, len(t)::BIGINT AS n_words,
+  list_reduce(list_transform(t, w -> len(w)), (a,b) -> a+b)::DOUBLE / len(t) AS mwl,
+  len(regexp_extract_all(text, '#|\\.\\.\\.|…'))::DOUBLE / len(t) AS sym,
+  len(list_filter(ls, l -> substring(trim(l),1,1) IN ('•','-','*')))::DOUBLE
+    / len(ls) AS bf,
+  len(list_filter(ls, l -> trim(l) LIKE '%...' OR trim(l) LIKE '%…'))::DOUBLE
+    / len(ls) AS ef,
+  len(list_filter(t, w -> regexp_matches(w, '[a-z]')))::DOUBLE / len(t) AS af,
+  len(list_filter(['the','a'], w -> list_contains(t, w)))::BIGINT AS sh
+  FROM sb),
+lab AS (SELECT doc_id, t,
+  (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+   AND sym <= 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8 AND sh >= 2) AS pos
+  FROM sm),
+bg AS (SELECT doc_id, pos, list_transform(range(1, len(t)),
+         i -> array_to_string(list_slice(t, i, i+1), ' ')) AS gs
+       FROM lab WHERE len(t) >= 2),
+feat AS (SELECT pos, ('0x' || substring(md5(g),1,8))::BIGINT % $DsirBuckets AS b
+  FROM bg, unnest(gs) AS u(g)),
+cnt AS (SELECT b, count(*) FILTER (WHERE NOT pos)::BIGINT AS cn,
+    count(*) FILTER (WHERE pos)::BIGINT AS cp FROM feat GROUP BY b),
+tot AS (SELECT sum(cn)::BIGINT AS tn, sum(cp)::BIGINT AS tp FROM cnt),
+tok2 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         FROM documents),
+bg2 AS (SELECT doc_id, list_transform(range(1, len(t)),
+         i -> array_to_string(list_slice(t, i, i+1), ' ')) AS gs
+       FROM tok2 WHERE len(t) >= 2),
+exp AS (SELECT doc_id, unnest(list_transform(range(1, len(gs)+1),
+    i -> {'ord': i,
+          'b': ('0x' || substring(md5(gs[i]),1,8))::BIGINT % $DsirBuckets})) AS r
+  FROM bg2),
+ex AS (SELECT doc_id, r.ord AS ord, r.b AS b FROM exp),
+jr AS (SELECT e.doc_id, e.ord,
+    ((coalesce(c.cp, 0)+1)::DOUBLE * (t.tn+$DsirBuckets)::DOUBLE)
+    / ((coalesce(c.cn, 0)+1)::DOUBLE * (t.tp+$DsirBuckets)::DOUBLE) AS ratio
+  FROM ex e LEFT JOIN cnt c ON e.b = c.b CROSS JOIN tot t),
+sums AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+    list_reduce([0.0]::DOUBLE[] || list(ratio ORDER BY ord), (a,b) -> a+b) AS s
+  FROM jr GROUP BY doc_id)
+SELECT doc_id AS id, n_grams, round(s / n_grams::DOUBLE, 6) AS quality_score
+FROM sums WHERE s / n_grams::DOUBLE >= 1.0
+ORDER BY id""",
+
+    // p71 mirror notes: kmax = ceil((n-64)/48) over exact small-int
+    // doubles; DuckDB list_slice's inclusive 1-based [a,b] equals
+    // Spark slice(t, a, 64) with b = a+63 (both clamp at the end).
+    "p71_token_chunks" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+ks AS (SELECT doc_id, t,
+  CASE WHEN len(t) > 64 THEN ceil((len(t) - 64)::DOUBLE / 48)::INT
+       ELSE 0 END AS kmax FROM tok),
+ch AS (SELECT doc_id, t, unnest(generate_series(0, kmax)) AS k FROM ks)
+SELECT doc_id AS id, k::BIGINT AS chunk_id, (k*48)::BIGINT AS start_token,
+  len(list_slice(t, k*48+1, k*48+64))::BIGINT AS n_tokens,
+  array_to_string(list_slice(t, k*48+1, k*48+64), ' ') AS chunk_text
+FROM ch ORDER BY id, chunk_id""",
 
     "p65_tfidf" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),

@@ -802,4 +802,104 @@ object Corpus {
         sum(col("n_tokens")).as("pack_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
+
+  /**
+   * Supervised quality-classifier training — the DCLM/FineWeb-Edu
+   * "fastText classifier" step: a cheap model distills an expensive
+   * per-document judgment (rule verdict, LLM grade, curated-seed
+   * membership) from a LABELED seed set, then filters the full corpus.
+   * The model is a binary Naive Bayes over hashed-bigram features,
+   * reusing the DSIR bucket machinery (Xie et al. 2023 use the same
+   * feature space); the contrast is POSITIVE vs NEGATIVE seed docs,
+   * where DSIR contrasts target vs the whole raw corpus.
+   *
+   * Trained in ONE pass (dsirTrain's single uniform groupBy over ≤
+   * `buckets` keys, map-side combine); the (all, positive) counts it
+   * returns are re-based to (negative, positive) by subtraction, so the
+   * scoring ratio below is the per-feature NB likelihood ratio
+   * P(b|pos)/P(b|neg) with add-1 smoothing — same exact-integer
+   * arithmetic, same 2^53 bit-portability bound (asserted in dsirTrain).
+   */
+  def classifierTrain(labeled: DataFrame, isPositive: Column,
+                      buckets: Int = 4096,
+                      textCol: String = "text"): DsirModel = {
+    val m = dsirTrain(labeled, isPositive, buckets, textCol)
+    DsirModel(m.cr.zip(m.ct).map { case (all, pos) => all - pos }, m.ct,
+      m.tr - m.tt, m.tt)
+  }
+
+  /**
+   * Classifier APPLY: score every document by the mean per-feature
+   * likelihood ratio (the bit-portable surrogate of NB log-odds — the
+   * dsirScore dodge: mean of ratios instead of sum of logs) and keep
+   * docs at or above `threshold`. 1.0 means "looks more like the
+   * positive seed than the negative seed on average".
+   *
+   * A STATELESS projection over literal count arrays — no joins, no
+   * shuffle, one narrow scan through the native `dsir_score`
+   * expression — so like dsirApply it runs unchanged over a batch or
+   * streaming frame: train-once, filter-forever. The seed and the
+   * scored corpus are DIFFERENT frames (train/apply generalization),
+   * which is what separates this from DSIR's self-referential
+   * target-vs-raw resampling; the decision is a plain threshold, not
+   * hash-Bernoulli acceptance.
+   *
+   * Returns kept rows: (id, n_grams, quality_score).
+   */
+  def classifierFilter(docs: DataFrame, model: DsirModel,
+                       threshold: Double = 1.0, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val grams = TF.shingles(TF.tokens(col(textCol)), 2)
+    val scored = graft.functions.HashExpressions.dsirScore(grams,
+      model.ct.toArray, model.cr.toArray, model.tr, model.tt)
+    docs
+      .where(size(TF.tokens(col(textCol))) >= 2)
+      // one-element explode = Generate barrier, exactly as in dsirApply:
+      // keeps the threshold filter from being substituted-and-pushed
+      // below the score projection (the r10 double-eval defect).
+      .select(col(idCol).as("id"), explode(array(scored)).as("sc"))
+      .withColumn("w", col("sc.s") / col("sc.n").cast("double"))
+      .where(col("w") >= threshold)
+      .select(col("id"), col("sc.n").as("n_grams"),
+        round(col("w"), 6).as("quality_score"))
+  }
+
+  /**
+   * Fixed-size token-window chunking with stride — the long-document
+   * splitting step a pretraining/RAG pipeline runs between curation and
+   * packing: each document's token sequence becomes windows of
+   * `chunkSize` tokens starting every `stride` tokens (overlap =
+   * chunkSize − stride preserves context across boundaries, the
+   * HuggingFace `return_overflowing_tokens` semantics). The last window
+   * may be shorter but always contains at least one token no earlier
+   * window covers (last start = ceil((n − chunkSize)/stride) · stride),
+   * so no emitted chunk is redundant and no token is dropped.
+   *
+   * Scale shape: one narrow codegen scan + one explode — stateless, no
+   * shuffle, no joins; output size is input tokens × (1 + overlap
+   * fraction), linear at any corpus size.
+   *
+   * Returns (id, chunk_id, start_token, n_tokens, chunk_text).
+   */
+  def tokenChunks(docs: DataFrame, chunkSize: Int = 64, stride: Int = 48,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val n = size(col("t"))
+    // ceil over exact small-int doubles — bit-portable (every intermediate
+    // is an integer-valued double far below 2^53)
+    val kMax = when(n > chunkSize,
+      ceil((n - lit(chunkSize)).cast("double") / lit(stride.toDouble))
+        .cast("int")).otherwise(lit(0))
+    docs
+      .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("t"))
+      .select(col("id"), col("t"), explode(sequence(lit(0), kMax)).as("k"))
+      .select(col("id"), col("k").cast("long").as("chunk_id"),
+        (col("k") * stride).cast("long").as("start_token"),
+        slice(col("t"), col("k") * stride + 1, lit(chunkSize)).as("c"))
+      .select(col("id"), col("chunk_id"), col("start_token"),
+        size(col("c")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("c")).as("chunk_text"))
+  }
 }
