@@ -216,27 +216,36 @@ object TextAnalysis {
                   minStopHits: Int = 2, stopwords: Seq[String] = GopherStopwords,
                   textCol: String = "text", idCol: String = "doc_id",
                   passthrough: Seq[String] = Nil): DataFrame = {
+    // Internal working columns use reserved __gopher_* names so a
+    // passthrough of the raw text column (p70's classifier seed needs
+    // exactly that) can't collide with them and turn the next reference
+    // ambiguous. Output-name collisions can't be dodged the same way —
+    // reject them up front instead of failing mid-plan.
+    val outNames = Set("id", "n_words", "mean_word_len", "symbol_ratio",
+      "bullet_frac", "ellipsis_frac", "alpha_frac", "stop_hits", "passes")
+    require(passthrough.forall(p => !outNames.contains(p)),
+      s"passthrough ${passthrough.filter(outNames.contains)} collides with gopherRules output columns")
     val text = col(textCol)
     val nW = col("n_words").cast("double")
-    val nL = size(col("ls")).cast("double")
+    val nL = size(col("__gopher_ls")).cast("double")
     val pt = passthrough.map(col)
     docs
-      .select(Seq(col(idCol).as("id"), text.as("text"),
-        TF.tokens(text).as("toks"), split(text, "\n").as("ls")) ++ pt: _*)
-      .select(Seq(col("id"), col("text"), col("toks"), col("ls"),
-        size(col("toks")).cast("long").as("n_words")) ++ pt: _*)
+      .select(Seq(col(idCol).as("id"), text.as("__gopher_text"),
+        TF.tokens(text).as("__gopher_toks"), split(text, "\n").as("__gopher_ls")) ++ pt: _*)
+      .select(Seq(col("id"), col("__gopher_text"), col("__gopher_toks"), col("__gopher_ls"),
+        size(col("__gopher_toks")).cast("long").as("n_words")) ++ pt: _*)
       .select(Seq(col("id"), col("n_words"),
-        (aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+        (aggregate(col("__gopher_toks"), lit(0L), (acc, t) => acc + length(t))
           .cast("double") / nW).as("mean_word_len"),
-        (size(regexp_extract_all(col("text"), lit("#|\\.\\.\\.|…"), lit(0)))
+        (size(regexp_extract_all(col("__gopher_text"), lit("#|\\.\\.\\.|…"), lit(0)))
           .cast("double") / nW).as("symbol_ratio"),
-        (size(filter(col("ls"), l => trim(l).substr(1, 1).isin("•", "-", "*")))
+        (size(filter(col("__gopher_ls"), l => trim(l).substr(1, 1).isin("•", "-", "*")))
           .cast("double") / nL).as("bullet_frac"),
-        (size(filter(col("ls"), l => trim(l).endsWith("...") || trim(l).endsWith("…")))
+        (size(filter(col("__gopher_ls"), l => trim(l).endsWith("...") || trim(l).endsWith("…")))
           .cast("double") / nL).as("ellipsis_frac"),
-        (size(filter(col("toks"), t => t.rlike("[a-z]")))
+        (size(filter(col("__gopher_toks"), t => t.rlike("[a-z]")))
           .cast("double") / nW).as("alpha_frac"),
-        size(filter(typedLit(stopwords), w => array_contains(col("toks"), w)))
+        size(filter(typedLit(stopwords), w => array_contains(col("__gopher_toks"), w)))
           .cast("long").as("stop_hits")) ++ pt: _*)
       .select(Seq(col("id"), col("n_words"),
         round(col("mean_word_len"), 6).as("mean_word_len"),

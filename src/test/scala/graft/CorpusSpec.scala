@@ -461,4 +461,150 @@ class CorpusSpec extends SparkSpec {
     assert(t5.contains("<EMAIL>") && t5.contains("<PHONE>"))
     assert(!t5.contains("bob@") && !t5.contains("555-123-4567"))
   }
+
+  // ---------------------------------------------------------------- p70
+
+  /** Pure-Scala twin of TF.tokenCode → bucket (md5 prefix, engine-portable)
+   * so the classifier fixture below is hand-computed, not circular. */
+  private def bucketOf(gram: String, buckets: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(gram.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 8), 16) % buckets).toInt
+  }
+
+  /** Unrounded mean NB likelihood ratio for `text` under `model` —
+   * re-derives score from the model's count arrays with the documented
+   * formula ((cp+1)(tn+B))/((cn+1)(tp+B)), ordered fold, independent of
+   * the native dsir_score expression. */
+  private def handScore(text: String, model: Corpus.DsirModel): (Long, Double) = {
+    val toks = text.trim.toLowerCase.split("\\s+").toSeq
+    val grams = toks.sliding(2).map(_.mkString(" ")).toSeq
+    val b = model.cr.size
+    val ratios = grams.map { g =>
+      val k = bucketOf(g, b)
+      ((model.ct(k) + 1).toDouble * (model.tr + b).toDouble) /
+        ((model.cr(k) + 1).toDouble * (model.tt + b).toDouble)
+    }
+    (grams.size.toLong, ratios.foldLeft(0.0)(_ + _) / grams.size)
+  }
+
+  private lazy val seedDocs = Seq(
+    (0L, "good clean prose about science and careful analysis today", true),
+    (1L, "good clean prose with careful reasoning and clear analysis", true),
+    (2L, "spam spam click here buy now cheap cheap deal", false),
+    (3L, "click buy now spam cheap spam here deal now", false)
+  ).toDF("doc_id", "text", "pos")
+
+  test("classifierTrain rebases dsirTrain's (all, pos) counts to (neg, pos)") {
+    val B = 64
+    val raw = Corpus.dsirTrain(seedDocs, isTarget = col("pos"), buckets = B)
+    val cls = Corpus.classifierTrain(seedDocs, isPositive = col("pos"), buckets = B)
+    assert(cls.ct == raw.ct && cls.tt == raw.tt)
+    assert(cls.cr == raw.cr.zip(raw.ct).map { case (all, p) => all - p })
+    assert(cls.tr == raw.tr - raw.tt)
+    // the rebased negatives really are the negative-seed gram counts
+    val negOnly = Corpus.dsirTrain(seedDocs.where(!col("pos")),
+      isTarget = lit(false), buckets = B)
+    assert(cls.cr == negOnly.cr && cls.tr == negOnly.tr)
+  }
+
+  test("classifierFilter matches a hand-computed NB score; threshold is >=") {
+    val B = 64
+    val model = Corpus.classifierTrain(seedDocs, isPositive = col("pos"), buckets = B)
+    // apply frame DIFFERENT from the train frame (generalization, the
+    // p70 contract): unseen docs built from seed-like vocabulary
+    val applyDocs = Seq(
+      (10L, "clean prose about careful science analysis"),
+      (11L, "buy cheap spam now click here"),
+      (12L, "onetoken")
+    ).toDF("doc_id", "text")
+    val (nGood, sGood) = handScore("clean prose about careful science analysis", model)
+    val (_, sBad) = handScore("buy cheap spam now click here", model)
+    assert(sGood > 1.0 && sBad < 1.0) // the fixture separates
+
+    val kept = Corpus.classifierFilter(applyDocs, model, threshold = 1.0)
+      .orderBy("id").collect()
+    // doc 12 has one token (< 2) -> no bigrams -> excluded, not scored
+    assert(kept.map(_.getLong(0)).toSeq == Seq(10L))
+    assert(kept(0).getAs[Long]("n_grams") == nGood)
+    assert(kept(0).getAs[Double]("quality_score") ==
+      BigDecimal(sGood).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+    // threshold semantics: keep AT the unrounded score, drop just above
+    val atScore = Corpus.classifierFilter(applyDocs, model, threshold = sGood)
+      .select("id").as[Long].collect()
+    assert(atScore.toSeq == Seq(10L))
+    val above = Corpus.classifierFilter(applyDocs, model,
+      threshold = sGood + 1e-12).select("id").as[Long].collect()
+    assert(!above.contains(10L))
+  }
+
+  // ---------------------------------------------------------------- p71
+
+  test("tokenChunks edge cases: n==chunk, n==chunk+1, stride==chunk, n<chunk, empty") {
+    def doc(n: Int) = Seq((1L, (0 until n).map("t" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(n: Int, cs: Int, st: Int) =
+      Corpus.tokenChunks(doc(n), chunkSize = cs, stride = st)
+        .orderBy("chunk_id").collect()
+
+    // n == chunkSize: exactly one window, no spurious empty tail chunk
+    val eq = run(8, 8, 5)
+    assert(eq.length == 1 && eq(0).getAs[Long]("n_tokens") == 8L)
+
+    // n == chunkSize+1: two windows; the last contains the one new token
+    val p1 = run(9, 8, 5)
+    assert(p1.length == 2)
+    assert(p1(1).getAs[Long]("start_token") == 5L &&
+      p1(1).getAs[Long]("n_tokens") == 4L &&
+      p1(1).getAs[String]("chunk_text") == "t5 t6 t7 t8")
+
+    // stride == chunkSize: disjoint tiling, concatenation == original text
+    val tile = run(20, 8, 8)
+    assert(tile.map(_.getAs[Long]("start_token")).toSeq == Seq(0L, 8L, 16L))
+    assert(tile.map(_.getAs[String]("chunk_text")).mkString(" ") ==
+      (0 until 20).map("t" + _).mkString(" "))
+
+    // n < chunkSize: one short window
+    val short = run(3, 8, 5)
+    assert(short.length == 1 && short(0).getAs[Long]("n_tokens") == 3L)
+
+    // empty text: tokens("") == [""] -> a single 1-token window of ""
+    val empty = Corpus.tokenChunks(Seq((1L, "")).toDF("doc_id", "text"),
+      chunkSize = 8, stride = 5).collect()
+    assert(empty.length == 1 && empty(0).getAs[Long]("n_tokens") == 1L &&
+      empty(0).getAs[String]("chunk_text") == "")
+
+    // require() bounds
+    intercept[IllegalArgumentException](Corpus.tokenChunks(doc(5), 8, 0))
+    intercept[IllegalArgumentException](Corpus.tokenChunks(doc(5), 8, 9))
+  }
+
+  test("tokenChunks invariant sweep: every token covered, every window novel") {
+    val (cs, st) = (8, 5)
+    val docsN = (1 to 40).map(n =>
+      (n.toLong, (0 until n).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+    val rows = Corpus.tokenChunks(docsN, chunkSize = cs, stride = st)
+      .orderBy("id", "chunk_id").collect()
+      .groupBy(_.getAs[Long]("id")).view.mapValues(_.sortBy(_.getAs[Long]("chunk_id")))
+    (1 to 40).foreach { n =>
+      val ch = rows(n.toLong)
+      // expected window count straight from the documented formula
+      val kMax = if (n > cs) math.ceil((n - cs).toDouble / st).toInt else 0
+      assert(ch.length == kMax + 1, s"n=$n")
+      var prevEnd = 0L
+      ch.foreach { r =>
+        val start = r.getAs[Long]("start_token")
+        val nt = r.getAs[Long]("n_tokens")
+        assert(nt == math.min(cs.toLong, n - start), s"n=$n start=$start")
+        // novelty: each window ends past the previous window's end,
+        // so it contains at least one token no earlier window covered
+        assert(start + nt > prevEnd, s"n=$n redundant window at $start")
+        // coverage: no gap between consecutive windows
+        assert(start <= prevEnd, s"n=$n dropped tokens before $start")
+        prevEnd = start + nt
+      }
+      assert(prevEnd == n, s"n=$n tail tokens dropped") // full coverage
+    }
+  }
 }
