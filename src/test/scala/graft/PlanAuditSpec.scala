@@ -57,6 +57,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("get_edges literal fast path (g18 shape): one probe scan, zero joins, zero exchanges") {
+    // The batch pair-lookup serving path: unordered-pair keys become an
+    // isin scan filter plus a map_probe literal lookup — no broadcast
+    // build job, no join, no shuffle before the caller's output sort.
+    val res = GraphOps.getEdges(spark, graph, Seq(
+      ("NAT:0", "REG:0"), ("NAT:1", "NAT:2"), ("CUST:1", "NAT:7")))
+    val p = plan(res).split("InMemoryTableScan").head
+    assert(!p.contains("Join"), s"get_edges literal path gained a join:\n$p")
+    assert(!p.contains("Exchange"), s"get_edges literal path gained a shuffle:\n$p")
+    assert(p.contains("map_probe"), s"pair-key map probe missing:\n$p")
+  }
+
+  test("single-node literal fast path (g14 shape): one probe scan, zero joins, zero exchanges") {
+    // Edgeless lookups with subclass expansion resolved driver-side via
+    // ClosureIndex: the query collapses to one probe filter over the
+    // cached node table with the query-id mapping as a map_probe literal.
+    val closure = SubclassClosure.fromGraph(graph, ont).cache()
+    val ix = ClosureIndex.fromClosure(closure)
+    assert(ix.isDefined, "fixture closure should fit the driver-side index")
+    val res = GraphOps.singleNode(spark, graph,
+      Seq("REG:1", "NAT:20", "CUST:3"), Some(closure), index = ix)
+    val p = plan(res).split("InMemoryTableScan").head
+    assert(!p.contains("Join"), s"single-node literal path gained a join:\n$p")
+    assert(!p.contains("Exchange"), s"single-node literal path gained a shuffle:\n$p")
+    assert(p.contains("map_probe"), s"query-id map probe missing:\n$p")
+  }
+
   test("graph build: endpoint-category denormalization broadcasts the node dimension") {
     // The build-time category denorm is the dominant warm-up cost; the
     // stats-materialized narrow dimension must keep BOTH endpoint joins
