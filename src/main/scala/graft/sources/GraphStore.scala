@@ -88,13 +88,31 @@ object GraphStore {
       buildNanosAcc += System.nanoTime() - t0
     }
     val df = spark.read.parquet(data.toString)
-    // Fixture-scale read parallelism: a store table here is a few tens of
-    // MB, which file-packing (maxPartitionBytes + openCostInBytes) plans
-    // as ~2 scan partitions — so the downstream cache encode would run on
-    // 2 of 32 cores. Spread it; a real corpus's store has thousands of
-    // full-size files and takes the no-op branch. (Filters/projections
-    // still push through a round-robin repartition.)
-    val target = spark.sparkContext.defaultParallelism
-    if (df.inputFiles.length >= target) df else df.repartition(target)
+    // SIZE-derived partition count for the cached serving tables. The
+    // partition count must come from the data, not from shuffle config or
+    // the writer's task count: r11 cached the sf0.1 edge table as ~43
+    // 600 KB partitions (the store write's shuffle width), so every point
+    // lookup scheduled ~50 tasks against 27 MB — the task-launch constant,
+    // not the scan, was the latency floor. Target ~8 MB of parquet per
+    // cached partition (overridable), capped at defaultParallelism so a
+    // fixture-sized table still encodes/scans in parallel; a real
+    // corpus's store (size >= cores x target) takes the no-op branch and
+    // keeps the planner's file-packed partitioning — at 100 TB that is
+    // thousands of full-size partitions, exactly right for cluster scans.
+    // (Filters/projections still push through a round-robin repartition.)
+    val targetBytes = sys.env.getOrElse("SPARK_GRAFT_STORE_PART_BYTES",
+      (8L << 20).toString).toLong
+    val par = spark.sparkContext.defaultParallelism
+    val bytes =
+      try {
+        val s = Files.walk(data)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+        } finally s.close()
+      } catch { case _: Throwable => Long.MaxValue }
+    if (bytes >= par.toLong * targetBytes) df
+    else df.repartition(
+      math.max(1L, math.min(par.toLong, (bytes + targetBytes - 1) / targetBytes)).toInt)
   }
 }

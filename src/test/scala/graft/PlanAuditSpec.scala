@@ -522,9 +522,12 @@ class PlanAuditSpec extends SparkSpec {
       Seq("Join", "Aggregate", "HashAggregate", "Window", "Generate")
         .foreach(op => assert(!cached.contains(op),
           s"$name warm plan re-runs build stage '$op':\n$cached"))
+      // the size-derived spread (GraphStore's repartition-to-target-bytes)
+      // plans as REPARTITION_BY_NUM — round-robin for k>1, SinglePartition
+      // for k=1; any other exchange means the load re-runs build work
       val exchanges = "Exchange".r.findAllIn(cached).size
-      val rr = "RoundRobinPartitioning".r.findAllIn(cached).size
-      assert(exchanges == rr,
+      val spread = "REPARTITION_BY_NUM".r.findAllIn(cached).size
+      assert(exchanges == spread,
         s"$name warm plan has a non-spread exchange:\n$cached")
     }
   }
