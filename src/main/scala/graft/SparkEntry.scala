@@ -100,6 +100,15 @@ object Fixture {
       sv
     })
 
+  /** Retire the serving session derived from `spark`: drops it from the
+   * registry and evicts its prepared plans (the shared cached fixture
+   * frames belong to the SparkContext's CacheManager and stay valid for
+   * other sessions). */
+  def closeServing(spark: SparkSession): Unit = {
+    val sv = servingSessions.remove(spark)
+    if (sv != null) SparkEntry.evictPrepared(sv)
+  }
+
   def metaSummary(spark: SparkSession, sfDir: String): DataFrame =
     metaSummaries.computeIfAbsent((spark, sfDir), { _ =>
       val (nodes, edges) = storeFrames(spark, sfDir)
@@ -207,9 +216,26 @@ object SparkEntry {
    * This is the serving-layer analog of the reference pre-building its
    * lookup indexes once per boot (plover.py:1790 answer_query runs
    * against prebuilt dicts); each call still runs a fresh Spark job
-   * over the shared cached graph, so results always reflect the store. */
+   * over the shared cached graph, so results always reflect the store.
+   *
+   * Lifecycle (r11 advice): entries are built OUTSIDE the map's bin lock
+   * (putIfAbsent — a racing duplicate build is harmless, both plans are
+   * pure) so a slow plan construction never blocks unrelated lookups,
+   * and `evictPrepared` drops a session's entries when serving ends so a
+   * long-lived process doesn't pin dead sessions' plans (and whatever
+   * intermediates they persist) forever. The key space is otherwise
+   * bounded by design: |query keys| x |live serving sessions| x |stores|. */
   private val prepared = new java.util.concurrent.ConcurrentHashMap[
     (String, SparkSession, String), DataFrame]()
+
+  /** Drop all prepared plans bound to `session` (call when a serving
+   * session is retired); unpersists any operator-materialized frames the
+   * evicted plans pinned. */
+  def evictPrepared(session: SparkSession): Unit = {
+    val it = prepared.keySet.iterator()
+    while (it.hasNext) if (it.next()._2 eq session) it.remove()
+    graft.operators.OperatorCaches.drainMaterialized()
+  }
 
   /** Keys whose CONSTRUCTION is the operation under test — a file
    * export/spool/roundtrip or an eager guard probe. Serving them from
@@ -227,9 +253,17 @@ object SparkEntry {
       if (sideEffecting(k))
         k -> ((s: SparkSession, d: String) => f(Fixture.serving(s), d))
       else
-        k -> ((s: SparkSession, d: String) =>
-          prepared.computeIfAbsent((k, Fixture.serving(s), d),
-            { case (_, sv, dd) => f(sv, dd) }))
+        k -> ((s: SparkSession, d: String) => {
+          val sv = Fixture.serving(s)
+          val key = (k, sv, d)
+          val hit = prepared.get(key)
+          if (hit != null) hit
+          else {
+            val df = f(sv, d) // built outside the bin lock
+            val raced = prepared.putIfAbsent(key, df)
+            if (raced != null) raced else df
+          }
+        })
     } ++ PipelineEntry.queries
 
   private def graphQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -94,6 +94,22 @@ class OneHopSpec extends SparkSpec {
     }
   }
 
+  test("serving session lifecycle: prepared plans survive reuse, closeServing retires") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("g03_onehop_fwd")
+    val sv1 = Fixture.serving(spark)
+    assert(Fixture.serving(spark) eq sv1) // stable across calls
+    val df1 = q(spark, sfDir)
+    assert(q(spark, sfDir) eq df1) // prepared-plan hit: same instance
+    assert(df1.count() > 0)
+    Fixture.closeServing(spark)
+    val sv2 = Fixture.serving(spark)
+    assert(!(sv2 eq sv1)) // a fresh serving session after retirement
+    val df2 = q(spark, sfDir)
+    assert(!(df2 eq df1)) // evicted: rebuilt against the new session
+    assert(df2.count() == df1.count())
+  }
+
   test("requires at least one pinned qnode") {
     val e = intercept[IllegalArgumentException] {
       OneHop.answer(spark, graph, ont,
