@@ -367,6 +367,53 @@ object ScaleSmoke {
       Dedup.embeddingPairs(bigEmbs, threshold = 0.4, bucketed = true,
         nTables = 4).count())
     }
+
+    // Crossover sweep for the serving fast path: at what pinned-id-set
+    // size does the driver-built literal probe (SetProbe/MapProbe scan
+    // filter, zero join) lose to the broadcast hash join? The literal
+    // path's cost grows with probe-set build + task serialization (the
+    // whole set ships inside the task binary, on every call); the join
+    // path pays a fixed broadcast-build job but streams the id set as
+    // DATA. DefaultMaxLiteralIds (64k) is the claimed crossover — this
+    // sweep is its measurement. Sizes straddle the threshold; each row
+    // is (forced-literal, forced-join) on identical inputs, min of 2
+    // runs to shed scheduling noise.
+    if (sections.contains("lookup")) {
+      val ont = graft.model.GraftOntology.ontology
+      Fixture.ensureStore(spark, sfDir)
+      val g = Fixture.graph(spark, sfDir)
+      g.nodes.count(); g.edges.count()
+      def timed2(f: => Long): (Double, Long) = {
+        val r = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val n = f
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        (r.map(_._1).min, r.head._2)
+      }
+      for (sz <- Seq(4096, 16384, 65536, 131072, 262144)) {
+        val ids = (1 to sz).map("CUST:" + _)
+        val qg = operators.QueryGraph.oneHop(
+          operators.QNode("n0", ids = ids),
+          operators.QNode("n1"),
+          operators.QEdge("n0", "n1"))
+        def hop(maxLit: Int): Long =
+          operators.OneHop.answer(spark, g, ont, qg, closure = None,
+            expandSubclasses = false, maxLiteralIds = maxLit).matches.count()
+        val (tLit, rows) = timed2(hop(Int.MaxValue))
+        val (tJoin, _) = timed2(hop(0))
+        println(f"onehop ids=$sz%7d   literal ${tLit}%6.2f s   " +
+          f"join ${tJoin}%6.2f s   $rows%9d rows")
+        val pairs = (1 to sz).map(i => (s"CUST:$i", s"NAT:${i % 25}"))
+        def edges(maxLit: Int): Long =
+          operators.GraphOps.getEdges(spark, g, pairs, maxLiteralPairs = maxLit)
+            .count()
+        val (teLit, erows) = timed2(edges(Int.MaxValue))
+        val (teJoin, _) = timed2(edges(0))
+        println(f"edges  pairs=$sz%6d   literal ${teLit}%6.2f s   " +
+          f"join ${teJoin}%6.2f s   $erows%9d rows")
+      }
+    }
     spark.stop()
   }
 }

@@ -50,7 +50,8 @@ object GraphOps {
    * Returns (pair_key, edge_id, subject, object, predicate).
    */
   def getEdges(spark: SparkSession, graph: PropertyGraph,
-               pairs: Seq[(String, String)]): DataFrame = {
+               pairs: Seq[(String, String)],
+               maxLiteralPairs: Int = OneHop.DefaultMaxLiteralIds): DataFrame = {
     // Driver-side unordered-pair keys: a U+0001 separator never occurs
     // in CURIEs, so keys are collision-free.
     val keyed = pairs.map { case (na, nb) =>
@@ -60,11 +61,17 @@ object GraphOps {
     val keyMap = keyed.toMap
     val edgeKey = concat_ws("\u0001",
       least(col("subject"), col("object")), greatest(col("subject"), col("object")))
-    if (keyed.size <= OneHop.DefaultMaxLiteralIds && keyMap.size == keyed.size) {
-      // Literal fast path: the whole batch is one isin scan filter plus a
-      // map-literal probe for the pair key — no broadcast build job.
+    if (keyed.size <= maxLiteralPairs && keyMap.size == keyed.size) {
+      // Literal fast path: the whole batch is one probe scan filter plus a
+      // map-literal probe for the pair key — no broadcast build job. Like
+      // OneHop's literal path, membership is isin only while the set is
+      // tiny; past that it's a SetProbe (one shared driver-built hash set,
+      // not N Literal nodes — analysis time is what made the r12 sweep's
+      // isin variant superlinear in the pair count).
       graph.edges
-        .where(edgeKey.isin(keyMap.keys.toSeq: _*))
+        .where(
+          if (keyMap.size <= 16) edgeKey.isin(keyMap.keys.toSeq: _*)
+          else graft.functions.HashExpressions.setProbe(edgeKey, keyMap.keySet))
         .withColumn("pair_key",
           graft.functions.HashExpressions.mapProbe(edgeKey, keyMap))
         .select("pair_key", "edge_id", "subject", "object", "predicate")

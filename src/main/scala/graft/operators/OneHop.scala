@@ -42,7 +42,17 @@ object OneHop {
    * itself data-sized. 64k strings stay cheap plan-side because both
    * probes are hash tables, not unrolled literals: isin compiles to an
    * InSet set probe, and the query-id map goes through the native
-   * MapProbe expression (a typedLit map would LINEAR-scan per row). */
+   * MapProbe expression (a typedLit map would LINEAR-scan per row).
+   *
+   * Threshold justification (ScaleSmoke `lookup` sweep, sf0.1, r12):
+   * the literal probe matches or beats the broadcast join at EVERY
+   * measured size — one-hop 16k ids 0.57 s vs 1.02 s, 262k ids 3.47 s
+   * vs 4.26 s; get_edges 16k pairs 0.28 s vs 0.84 s, 262k pairs 1.33 s
+   * vs 2.35 s — so 64k is not a latency crossover but a MEMORY bound:
+   * the probe set rides inside the serialized task binary on every
+   * call (~tens of MB at 10^6 ids), where the join path ships the ids
+   * once as broadcast DATA. Batches past the cap take the join path,
+   * whose plan cost is flat in the pair count. */
   val DefaultMaxLiteralIds = 65536
 
   /** Matched edges with binding columns:

@@ -88,4 +88,21 @@ class OneHopSemanticsSpec extends SparkSpec {
       QEdge("a", "b"))
     assert(qg.edge.isDefined && qg.nodes.size == 2)
   }
+
+  test("getEdges three paths agree: isin (small), SetProbe (mid), broadcast join (large)") {
+    // >16 pairs flips the literal path's membership filter from isin to
+    // the driver-built SetProbe; past maxLiteralPairs it becomes the
+    // broadcast join. All three must return identical rows.
+    val pairs = (0 to 24).map(i => (s"NAT:$i", s"REG:${i % 5}")) ++
+      Seq(("CUST:1", "NAT:7"), ("REG:0", "NAT:3"))
+    def rows(maxLit: Int) =
+      GraphOps.getEdges(spark, graph, pairs, maxLiteralPairs = maxLit)
+        .collect().map(_.toString).sorted.toSeq
+    val probe = rows(Int.MaxValue) // 27 pairs -> SetProbe branch
+    val join = rows(0)             // forced broadcast join
+    val isin = GraphOps.getEdges(spark, graph, pairs.take(4))
+      .collect().map(_.toString).sorted.toSeq // <=16 -> isin branch
+    assert(probe.nonEmpty && probe == join)
+    assert(isin.forall(probe.contains), "isin subset must appear in probe results")
+  }
 }
