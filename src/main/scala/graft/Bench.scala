@@ -102,6 +102,7 @@ object Bench {
       val g = Fixture.graph(spark, sfDir)
       Await.result(Future.sequence(Seq(
         Future(g.nodes.count()), Future(g.edges.count()),
+        Future(g.reverseEdges.count()),
         Future(Fixture.closure(spark, sfDir).count()),
         Future(Fixture.metaSummary(spark, sfDir).count()))), 30.minutes)
     }

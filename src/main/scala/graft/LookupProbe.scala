@@ -30,7 +30,7 @@ object LookupProbe {
     spark.sparkContext.setLogLevel("WARN")
     Fixture.ensureStore(spark, sfDir)
     val g = Fixture.graph(spark, sfDir)
-    g.nodes.count(); g.edges.count()
+    g.nodes.count(); g.edges.count(); g.reverseEdges.count()
     Fixture.closure(spark, sfDir); Fixture.metaSummary(spark, sfDir).count()
     Fixture.closureIndex(spark, sfDir)
     println(s"[probe] partitions: nodes=${g.nodes.rdd.getNumPartitions} " +

@@ -382,7 +382,7 @@ object ScaleSmoke {
       val ont = graft.model.GraftOntology.ontology
       Fixture.ensureStore(spark, sfDir)
       val g = Fixture.graph(spark, sfDir)
-      g.nodes.count(); g.edges.count()
+      g.nodes.count(); g.edges.count(); g.reverseEdges.count()
       def timed2(f: => Long): (Double, Long) = {
         val r = (1 to 2).map { _ =>
           val t0 = System.nanoTime()

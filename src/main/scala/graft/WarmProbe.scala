@@ -36,6 +36,7 @@ object WarmProbe {
         .mkString("[warmprobe] edges plan:\n", "\n", ""))
     t("nodes count")(g.nodes.count())
     t("edges count")(g.edges.count())
+    t("reverse edges count")(g.reverseEdges.count())
     t("closure")(Fixture.closure(spark, sfDir).count())
     t("meta summary")(Fixture.metaSummary(spark, sfDir).count())
     println(f"[warmprobe] TOTAL ${(System.nanoTime() - total0) / 1e9}%7.2f s")

@@ -30,15 +30,28 @@ import org.apache.spark.sql.DataFrame
  *   num_attrs                map<string,double>  scalar numeric attributes
  *   list_attrs               map<string,array<string>> list attributes
  */
-final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
+                               edgesByObject: Option[DataFrame] = None) {
 
-  /** Persist both sides (used by long-lived query sessions / benchmarks). */
+  /** OBJECT-clustered edge replica for reverse-direction literal probes —
+   * the columnar analog of the reference keeping both forward AND
+   * backward adjacency in its node index (plover.py:85-113 stores each
+   * edge under both endpoints). `edges` is subject-clustered, so a
+   * pinned-subject probe prunes to the batches holding those subjects; a
+   * pinned-OBJECT probe against it would scan everything. The replica
+   * trades 2x edge storage for zone-map pruning in both directions —
+   * the same trade the reference makes in RAM. Falls back to the primary
+   * table when the store has no replica (semantics identical, just
+   * unpruned). */
+  def reverseEdges: DataFrame = edgesByObject.getOrElse(edges)
+
+  /** Persist all sides (used by long-lived query sessions / benchmarks). */
   def cache(): PropertyGraph = {
-    nodes.cache(); edges.cache(); this
+    nodes.cache(); edges.cache(); edgesByObject.foreach(_.cache()); this
   }
 
   def unpersist(): PropertyGraph = {
-    nodes.unpersist(); edges.unpersist(); this
+    nodes.unpersist(); edges.unpersist(); edgesByObject.foreach(_.unpersist()); this
   }
 }
 

@@ -68,10 +68,21 @@ object GraphOps {
       // tiny; past that it's a SetProbe (one shared driver-built hash set,
       // not N Literal nodes — analysis time is what made the r12 sweep's
       // isin variant superlinear in the pair count).
+      // Implied endpoint conjunct: an edge matching some pair has its
+      // subject among the pairs' endpoints, so `subject IN endpoints` is
+      // redundant semantically but load-bearing physically — it is a
+      // plain column predicate the subject-clustered cache prunes batches
+      // on (the pair key is a concat expression, invisible to zone maps),
+      // and it short-circuits before the key concat on surviving rows.
+      val endpoints = pairs.iterator.flatMap(p => Iterator(p._1, p._2))
+        .toSeq.distinct
+      val endpointHit =
+        if (endpoints.size <= 16) col("subject").isin(endpoints: _*)
+        else graft.functions.HashExpressions.setProbe(col("subject"), endpoints.toSet)
       graph.edges
-        .where(
+        .where(endpointHit && (
           if (keyMap.size <= 16) edgeKey.isin(keyMap.keys.toSeq: _*)
-          else graft.functions.HashExpressions.setProbe(edgeKey, keyMap.keySet))
+          else graft.functions.HashExpressions.setProbe(edgeKey, keyMap.keySet)))
         .withColumn("pair_key",
           graft.functions.HashExpressions.mapProbe(edgeKey, keyMap))
         .select("pair_key", "edge_id", "subject", "object", "predicate")

@@ -127,23 +127,29 @@ object OneHop {
 
     // ---- input-side matching ----
     // Literal fast path (pinned sets small, expansion driver-resolvable):
-    // ONE pass over the edge table — the fwd/bwd union becomes a
-    // conditional two-element explode so an edge matching both directions
-    // still yields both binding rows, with zero joins and zero shuffles.
+    // each direction is its own filtered pass over the replica CLUSTERED
+    // on the column it probes — fwd probes `subject` against the
+    // subject-clustered primary, bwd probes `object` against the
+    // object-clustered replica — so zone-map batch pruning serves both
+    // (see PropertyGraph.reverseEdges). Zero joins and zero shuffles; an
+    // edge matching both directions yields both binding rows, exactly as
+    // the previous single-scan conditional explode did, and a direction
+    // whose condition folds to false (a non-symmetric pinned-side query)
+    // prunes to an empty relation at optimization time, leaving ONE scan.
     // Fallback: the broadcast-join shape (two filtered scans joined to the
     // broadcast expansion frame), the right plan for data-sized id sets.
     var matched = inLocalOpt match {
       case Some(in) if outputQ.ids.isEmpty || outLocalOpt.isDefined =>
         val fwdHit = fwdCond && memberOf(col("subject"), in.ids)
         val bwdHit = bwdCond && memberOf(col("object"), in.ids)
-        edges.where(fwdHit || bwdHit)
-          .withColumn("io", explode(array_compact(array(
-            when(fwdHit, struct(col("subject").as("i"), col("object").as("o"))),
-            when(bwdHit, struct(col("object").as("i"), col("subject").as("o")))))))
-          .withColumn("input_id", col("io.i"))
-          .withColumn("output_id", col("io.o"))
+        val fwd = edges.where(fwdHit)
+          .withColumn("input_id", col("subject"))
+          .withColumn("output_id", col("object"))
+        val bwd = graph.reverseEdges.where(bwdHit)
+          .withColumn("input_id", col("object"))
+          .withColumn("output_id", col("subject"))
+        fwd.unionByName(bwd)
           .withColumn("input_query_id", queryIdCol(in.queryIds, col("input_id")))
-          .drop("io")
       case _ =>
         val inputExp = expandIds(spark, inputQ.ids, closure, expandSubclasses)
         val inFwd = inputExp

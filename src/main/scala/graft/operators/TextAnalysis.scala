@@ -593,6 +593,121 @@ object TextAnalysis {
         round(lit(lam1), 6).as("lam1"))
   }
 
+  /**
+   * P31+++++ — CCNet-style PER-LANGUAGE perplexity bucketing (Wenzek et
+   * al. 2020 "CCNet"): train a language model per language on a trusted
+   * REFERENCE slice of the corpus (CCNet: Wikipedia), score every
+   * document with its own language's model, then split each language
+   * into head / middle / tail at fixed quantiles of the score
+   * distribution and keep head+middle. This is the canonical
+   * "perplexity filter" step between language ID and dedup in a
+   * web-scale curation pipeline.
+   *
+   * Portability design (the LM-ladder convention): the per-document
+   * statistic is the MEAN add-one-smoothed unigram probability
+   * p(w) = (c(w)+1)/(T_l + v_l + 1) (OOV: c = 0) rather than a log
+   * perplexity — logs are the one transcendental whose last-ulp differs
+   * across engines, while this score is pure rational IEEE arithmetic
+   * summed in token order, so DuckDB reproduces it bit-exactly. The
+   * score is a strictly monotone proxy for fluency-under-the-LM, which
+   * is all quantile bucketing consumes.
+   *
+   * Quantile rule (discrete, tie-safe): within a language with n scored
+   * docs, the head cutoff is the score at rank ceil(headFrac*n) of the
+   * descending score order (equivalently the LARGEST rounded score whose
+   * descending cumulative count reaches that rank); keepFrac gives the
+   * head+middle cutoff the same way. Ties share a bucket, so the head
+   * can exceed headFrac — deterministic and row-local once the two
+   * cutoffs are known.
+   *
+   * Scale shape: training is one uniform (lang, token) groupBy over the
+   * reference slice + a per-language top-V window on the count table
+   * (O(|langs| x V) collected artifact); scoring is ONE narrow scan
+   * through the native vocab_score hash probe (keys "langtoken"
+   * so one probe serves every language); the cutoffs derive from a
+   * histogram of (lang, rounded score) — BOUNDED at 10^6+1 bins per
+   * language because the score lives in [0,1] and is rounded to 6dp —
+   * and join back as a broadcast of |langs| rows. No corpus-sized
+   * shuffle, sort, or collect anywhere; the corpus is scanned twice
+   * (score materialization + output), the reference slice once.
+   *
+   * Languages absent from the reference slice degenerate to T = v = 0,
+   * denominator 1, so every token scores 1.0 and the whole language
+   * lands in head — deterministic, and the honest reading of "no
+   * reference model exists for this language".
+   *
+   * Output: (id, lang, score, bucket, keep), keep = bucket != tail.
+   */
+  def perplexityBuckets(docs: DataFrame, refFilter: Column,
+                        vocabSize: Int = 4096,
+                        headFrac: Double = 0.3, keepFrac: Double = 0.6,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        langCol: String = "lang"): DataFrame = {
+    require(headFrac > 0 && headFrac <= keepFrac && keepFrac <= 1.0,
+      s"need 0 < headFrac <= keepFrac <= 1, got ($headFrac, $keepFrac)")
+    val Sep = "\u0001" // never occurs in whitespace-split tokens
+    val toks = TF.tokens(col(textCol))
+    // Reference-slice per-language token counts: ONE uniform groupBy.
+    val cnt = SelfJoinMaterialize(
+      docs.where(refFilter)
+        .select(col(langCol).as("l"), explode(toks).as("tok"))
+        .groupBy("l", "tok").agg(count(lit(1)).as("c")))
+    // Top-V per language: the rank window runs over the count table
+    // (vocabulary-sized, not corpus-sized) and the collect is bounded by
+    // |langs| x vocabSize.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l").orderBy(col("c").desc, col("tok").asc)
+    val top = cnt.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= vocabSize).select("l", "tok", "c").collect()
+    val totals: Map[String, Long] = cnt.groupBy("l").agg(sum("c").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocabSizes: Map[String, Int] =
+      top.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val denom: Map[String, Double] = totals.map { case (l, t) =>
+      l -> (t + vocabSizes.getOrElse(l, 0) + 1).toDouble }
+    val vm: Map[String, Double] = top.iterator.map { r =>
+      (r.getString(0) + Sep + r.getString(1)) ->
+        (r.getLong(2) + 1).toDouble / denom(r.getString(0))
+    }.toMap
+    // OOV probability is a per-language constant: 1/denom (1.0 for
+    // languages with no reference model). |langs| is bounded, so the
+    // when-chain stays a trivial literal expression.
+    val oovp = denom.toSeq.sortBy(_._1).foldLeft(lit(1.0)) {
+      case (acc, (l, d)) => when(col(langCol) === l, lit(1.0 / d)).otherwise(acc)
+    }
+    val grams = transform(toks, t => concat(col(langCol), lit(Sep), t))
+    // Materialized scores: reused by the histogram AND the final output,
+    // so the corpus scan + score evaluation run once.
+    val scored = SelfJoinMaterialize(
+      docs.where(size(toks) >= 1)
+        .select(col(idCol).as("id"), col(langCol).as("lang"),
+          HE.vocabScore(grams, vm).as("s"), oovp.as("oovp"))
+        .select(col("id"), col("lang"),
+          round((col("s.sumf") +
+              col("s.n_oov").cast("double") * col("oovp"))
+            / col("s.n").cast("double"), 6).as("score")))
+    // Bounded histogram -> per-language cutoffs, entirely in-plan: the
+    // cumulative window runs over <= 1e6+1 bins per language and the
+    // cutoff table is |langs| rows, broadcast back onto the scores.
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("score").desc)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val cuts = scored.groupBy("lang", "score").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wl))
+      .withColumn("n", sum("c").over(wn))
+      .groupBy("lang").agg(
+        max(when(col("cum") >= ceil(col("n") * lit(headFrac)), col("score")))
+          .as("hc"),
+        max(when(col("cum") >= ceil(col("n") * lit(keepFrac)), col("score")))
+          .as("mc"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .select(col("id"), col("lang"), col("score"),
+        when(col("score") >= col("hc"), lit("head"))
+          .when(col("score") >= col("mc"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"),
+        (col("score") >= col("mc")).as("keep"))
+  }
+
   /** Shared n-gram (n >= 2) scorer behind bigramScore/trigramScore:
    * train one top-`vocabSize` frequency table (uniform hash-keyed
    * groupBy over exploded shingles, map-side combine absorbs hot grams;

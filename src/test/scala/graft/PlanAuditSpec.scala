@@ -26,10 +26,15 @@ class PlanAuditSpec extends SparkSpec {
 
   test("one-hop literal fast path: single scan, zero joins, zero exchanges") {
     // The serving path for pinned-id lookups: ids resolve to literal
-    // set probes, the fwd/bwd union is a conditional explode — ONE pass
-    // over the edge table with no join, no broadcast build job, and no
-    // shuffle. This is what holds the per-query floor near the Spark
-    // scheduling constant (r10 advice #1).
+    // set probes, each direction scans the replica clustered on the
+    // column it probes, and a direction whose condition folds to false
+    // (here: located_in is not symmetric, input pinned on the subject
+    // side) must PRUNE AWAY at optimization time — leaving one pass over
+    // the edge table with no join, no broadcast build job, no shuffle,
+    // and (r12) no Union and no Generate either: a plain Filter+Project
+    // over the clustered cache, which zone-map batch pruning serves in
+    // O(matching batches). This is what holds the per-query floor near
+    // the Spark scheduling constant (r10 advice #1).
     val res = OneHop.answer(spark, graph, ont, QueryGraph.oneHop(
       QNode("n0", ids = Seq("NAT:1", "NAT:2")),
       QNode("n1", categories = Seq(O.Customer)),
@@ -40,7 +45,25 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(res.matches).split("InMemoryTableScan").head
     assert(!p.contains("Join"), s"fast path gained a join:\n$p")
     assert(!p.contains("Exchange"), s"fast path gained a shuffle:\n$p")
-    assert(p.contains("Generate"), s"fwd/bwd explode missing:\n$p")
+    assert(!p.contains("Union"), s"dead direction branch not pruned:\n$p")
+    assert(!p.contains("Generate"), s"unexpected explode on the fast path:\n$p")
+  }
+
+  test("one-hop literal fast path, symmetric predicate: per-replica union, still no joins/exchanges") {
+    // A symmetric predicate keeps BOTH directions live: the plan must be
+    // a Union of two filtered scans — fwd probing `subject` against the
+    // subject-clustered primary, bwd probing `object` against the
+    // object-clustered replica — with still zero joins and zero
+    // exchanges before the output sort.
+    val res = OneHop.answer(spark, graph, ont, QueryGraph.oneHop(
+      QNode("n0", ids = Seq("NAT:1")),
+      QNode("n1"),
+      QEdge("n0", "n1", predicates = Seq(O.AdjacentTo))),
+      closure = None, expandSubclasses = false)
+    val p = plan(res.matches).split("InMemoryTableScan").head
+    assert(!p.contains("Join"), s"fast path gained a join:\n$p")
+    assert(!p.contains("Exchange"), s"fast path gained a shuffle:\n$p")
+    assert(p.contains("Union"), s"fwd/bwd replica union missing:\n$p")
   }
 
   test("one-hop large-id fallback: broadcast joins only, no shuffle of the edge table") {
