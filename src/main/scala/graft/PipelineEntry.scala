@@ -969,7 +969,19 @@ object PipelineEntry {
     // boundaries; one narrow scan + explode, no shuffle.
     "p71_token_chunks" -> ((s, dir) =>
       Corpus.tokenChunks(docs(s, dir), chunkSize = 64, stride = 48)
-        .orderBy("id", "chunk_id"))
+        .orderBy("id", "chunk_id")),
+
+    // P31+++++, key p72_perplexity_buckets — CCNet-style per-language
+    // perplexity bucketing (Wenzek et al. 2020): per-language unigram
+    // models trained on a trusted reference slice (sources src0-src4,
+    // the "Wikipedia" proxy), every doc scored with its own language's
+    // model, each language split head/middle/tail at the 30%/60%
+    // quantiles of the rounded score, keep = not tail. Small per-lang
+    // vocab (24) exercises OOV like the rest of the LM ladder.
+    "p72_perplexity_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(docs(s, dir),
+        refFilter = col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        vocabSize = 24, headFrac = 0.3, keepFrac = 0.6).orderBy("id"))
   )
 
   // ------------------------------------------------------------ oracles
@@ -2413,6 +2425,55 @@ SELECT doc_id AS id, k::BIGINT AS chunk_id, (k*48)::BIGINT AS start_token,
   len(list_slice(t, k*48+1, k*48+64))::BIGINT AS n_tokens,
   array_to_string(list_slice(t, k*48+1, k*48+64), ' ') AS chunk_text
 FROM ch ORDER BY id, chunk_id""",
+
+    // p72 mirror notes: per-language add-one unigram probability
+    // p(w) = (c+1)/(T_l + v_l + 1) — pure rational IEEE arithmetic (no
+    // logs, the LM-ladder portability convention), summed in token order
+    // via list_reduce exactly like VocabScore's left fold; OOV adds the
+    // per-language constant 1/(T_l+v_l+1). The head/keep cutoffs are the
+    // rounded scores at rank ceil(frac*n) of the per-language descending
+    // order — ties share a bucket, so max(score) over cum>=k equals the
+    // rank-k score with any tie-break.
+    "p72_perplexity_buckets" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+tok AS (SELECT doc_id, lang, source,
+        string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+refcnt AS (SELECT lang AS l, tok, count(*)::BIGINT AS c
+           FROM (SELECT lang, unnest(t) AS tok FROM tok
+                 WHERE source IN ('src0','src1','src2','src3','src4'))
+           GROUP BY l, tok),
+topv AS (SELECT l, tok, c FROM (SELECT l, tok, c,
+           row_number() OVER (PARTITION BY l ORDER BY c DESC, tok) AS rn
+           FROM refcnt) WHERE rn <= 24),
+denom AS (SELECT s.l, (s.t + v.v + 1)::DOUBLE AS d
+          FROM (SELECT l, sum(c)::BIGINT AS t FROM refcnt GROUP BY l) s
+          JOIN (SELECT l, count(*)::BIGINT AS v FROM topv GROUP BY l) v
+            USING (l)),
+vm AS (SELECT topv.l, map(list(tok ORDER BY c DESC, tok),
+         list((c + 1)::DOUBLE / d ORDER BY c DESC, tok)) AS m
+       FROM topv JOIN denom ON denom.l = topv.l GROUP BY topv.l),
+scored AS (SELECT doc_id AS id, tok.lang,
+    round((list_reduce([0.0]::DOUBLE[] ||
+        list_transform(t, x -> coalesce(m[x][1], 0.0)), (a,b) -> a+b)
+      + len(list_filter(t, x -> m[x][1] IS NULL))::DOUBLE
+        * coalesce(1.0 / d, 1.0))
+      / len(t)::DOUBLE, 6) AS score
+  FROM tok LEFT JOIN vm ON vm.l = tok.lang
+           LEFT JOIN denom ON denom.l = tok.lang
+  WHERE len(t) >= 1),
+cum AS (SELECT lang, score, sum(c) OVER (PARTITION BY lang ORDER BY score DESC)
+          AS cum, sum(c) OVER (PARTITION BY lang) AS n
+        FROM (SELECT lang, score, count(*)::BIGINT AS c FROM scored
+              GROUP BY lang, score)),
+cuts AS (SELECT lang,
+           max(CASE WHEN cum >= ceil(n * 0.3) THEN score END) AS hc,
+           max(CASE WHEN cum >= ceil(n * 0.6) THEN score END) AS mc
+         FROM cum GROUP BY lang)
+SELECT id, lang, score,
+  CASE WHEN score >= hc THEN 'head'
+       WHEN score >= mc THEN 'middle' ELSE 'tail' END AS bucket,
+  score >= mc AS keep
+FROM scored JOIN cuts USING (lang) ORDER BY id""",
 
     "p65_tfidf" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),

@@ -314,4 +314,49 @@ class TextFunctionsSpec extends SparkSpec {
     // a doc too short to shingle yields no row (documented domain)
     assert(TextAnalysis.repetition(one("ab cd"), n = 3).count() == 0L)
   }
+
+  test("perplexity buckets: hand-computed per-language LM, cutoffs, ties, unseen lang") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // reference slice (source=ref) — trains the per-language models
+      (1L, "a a b", "en", "ref"),  // en counts: a=3 b=1 c=1, T=5
+      (2L, "a c", "en", "ref"),    //   top-2 (c desc, tok asc) = a, b
+      (3L, "x x", "fr", "ref"),    // fr counts: x=2, T=2, v=1
+      // corpus-only docs (still scored; ref docs are scored too)
+      (10L, "a a", "en", "web"), (11L, "b b", "en", "web"),
+      (12L, "c c", "en", "web"), (13L, "q", "en", "web"),
+      (14L, "y", "fr", "web"),
+      (15L, "m n", "zz", "web")    // language with no reference model
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.perplexityBuckets(docs,
+      refFilter = col("source") === "ref", vocabSize = 2,
+      headFrac = 0.3, keepFrac = 0.6)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2),
+        x.getString(3), x.getBoolean(4))).toSeq
+    // en: denom = 5+2+1 = 8 -> p(a)=.5 p(b)=.25 oov=.125; scores:
+    // d10 .5 > d1 .416667 > d2 .3125 > d11 .25 > d12 = d13 .125.
+    // n=6: hc = rank ceil(1.8)=2 -> .416667; mc = rank ceil(3.6)=4 -> .25
+    // fr: denom = 2+1+1 = 4 -> p(x)=.75 oov=.25; n=2 -> hc=.75, mc=.25
+    // zz: no model -> every token OOV at prob 1 -> score 1.0, all head
+    assert(r == Seq(
+      (1L, "en", 0.416667, "head", true),
+      (2L, "en", 0.3125, "middle", true),
+      (3L, "fr", 0.75, "head", true),
+      (10L, "en", 0.5, "head", true),
+      (11L, "en", 0.25, "middle", true),  // exactly at mc -> middle, kept
+      (12L, "en", 0.125, "tail", false),  // tied tail pair shares bucket
+      (13L, "en", 0.125, "tail", false),
+      (14L, "fr", 0.25, "middle", true),
+      (15L, "zz", 1.0, "head", true)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.perplexityBuckets(docs, col("source") === "ref",
+        headFrac = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.perplexityBuckets(docs, col("source") === "ref",
+        headFrac = 0.7, keepFrac = 0.6)
+    }
+  }
 }
