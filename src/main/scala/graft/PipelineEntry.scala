@@ -981,7 +981,30 @@ object PipelineEntry {
     "p72_perplexity_buckets" -> ((s, dir) =>
       TextAnalysis.perplexityBuckets(docs(s, dir),
         refFilter = col("source").isin("src0", "src1", "src2", "src3", "src4"),
-        vocabSize = 24, headFrac = 0.3, keepFrac = 0.6).orderBy("id"))
+        vocabSize = 24, headFrac = 0.3, keepFrac = 0.6).orderBy("id")),
+
+    // P31++++++, key p73_streaming_perplexity — the CCNet filter's
+    // continuous-ingestion shape: models + quantile cutoffs trained
+    // ONCE in batch (perplexityTrain), then the stream is scored and
+    // bucketed by a stateless projection (perplexityApply) under
+    // AvailableNow. Shares p72's oracle — matching hashes prove the
+    // frozen-model streaming path equals the batch self-quantile run
+    // on the same corpus.
+    "p73_streaming_perplexity" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val (streamDir, tag) = streamingDocsDir(dir)
+      val batch = s.read.parquet(s"$dir/documents.parquet")
+      val model = TextAnalysis.perplexityTrain(batch,
+        refFilter = col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        vocabSize = 24, headFrac = 0.3, keepFrac = 0.6)
+      val stream = s.readStream.schema(batch.schema).parquet(streamDir)
+      val out = TextAnalysis.perplexityApply(stream, model)
+      val name = "p73_ppl_" + tag
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("id")
+    })
   )
 
   // ------------------------------------------------------------ oracles
@@ -990,6 +1013,50 @@ object PipelineEntry {
    * mirroring TextFunctions bit-for-bit. */
   /** Oracle twin of the DSIR selection (shared by p63 batch and p67
    * streaming — matching hashes prove batch and streaming agree). */
+  /** Oracle twin of the perplexity bucketing (shared by p72 batch and
+   * p73 streaming — matching hashes prove the frozen-model streaming
+   * path equals the batch self-quantile run on the same corpus). */
+  private val PerplexityOracle =
+    s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+tok AS (SELECT doc_id, lang, source,
+        string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+refcnt AS (SELECT lang AS l, tok, count(*)::BIGINT AS c
+           FROM (SELECT lang, unnest(t) AS tok FROM tok
+                 WHERE source IN ('src0','src1','src2','src3','src4'))
+           GROUP BY l, tok),
+topv AS (SELECT l, tok, c FROM (SELECT l, tok, c,
+           row_number() OVER (PARTITION BY l ORDER BY c DESC, tok) AS rn
+           FROM refcnt) WHERE rn <= 24),
+denom AS (SELECT s.l, (s.t + v.v + 1)::DOUBLE AS d
+          FROM (SELECT l, sum(c)::BIGINT AS t FROM refcnt GROUP BY l) s
+          JOIN (SELECT l, count(*)::BIGINT AS v FROM topv GROUP BY l) v
+            USING (l)),
+vm AS (SELECT topv.l, map(list(tok ORDER BY c DESC, tok),
+         list((c + 1)::DOUBLE / d ORDER BY c DESC, tok)) AS m
+       FROM topv JOIN denom ON denom.l = topv.l GROUP BY topv.l),
+scored AS (SELECT doc_id AS id, tok.lang,
+    round((list_reduce([0.0]::DOUBLE[] ||
+        list_transform(t, x -> coalesce(m[x][1], 0.0)), (a,b) -> a+b)
+      + len(list_filter(t, x -> m[x][1] IS NULL))::DOUBLE
+        * coalesce(1.0 / d, 1.0))
+      / len(t)::DOUBLE, 6) AS score
+  FROM tok LEFT JOIN vm ON vm.l = tok.lang
+           LEFT JOIN denom ON denom.l = tok.lang
+  WHERE len(t) >= 1),
+cum AS (SELECT lang, score, sum(c) OVER (PARTITION BY lang ORDER BY score DESC)
+          AS cum, sum(c) OVER (PARTITION BY lang) AS n
+        FROM (SELECT lang, score, count(*)::BIGINT AS c FROM scored
+              GROUP BY lang, score)),
+cuts AS (SELECT lang,
+           max(CASE WHEN cum >= ceil(n * 0.3) THEN score END) AS hc,
+           max(CASE WHEN cum >= ceil(n * 0.6) THEN score END) AS mc
+         FROM cum GROUP BY lang)
+SELECT id, lang, score,
+  CASE WHEN score >= hc THEN 'head'
+       WHEN score >= mc THEN 'middle' ELSE 'tail' END AS bucket,
+  score >= mc AS keep
+FROM scored JOIN cuts USING (lang) ORDER BY id"""
+
   private val DsirOracle =
     s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
 tok AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t
@@ -2434,46 +2501,8 @@ FROM ch ORDER BY id, chunk_id""",
     // rounded scores at rank ceil(frac*n) of the per-language descending
     // order — ties share a bucket, so max(score) over cum>=k equals the
     // rank-k score with any tie-break.
-    "p72_perplexity_buckets" ->
-      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
-tok AS (SELECT doc_id, lang, source,
-        string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
-refcnt AS (SELECT lang AS l, tok, count(*)::BIGINT AS c
-           FROM (SELECT lang, unnest(t) AS tok FROM tok
-                 WHERE source IN ('src0','src1','src2','src3','src4'))
-           GROUP BY l, tok),
-topv AS (SELECT l, tok, c FROM (SELECT l, tok, c,
-           row_number() OVER (PARTITION BY l ORDER BY c DESC, tok) AS rn
-           FROM refcnt) WHERE rn <= 24),
-denom AS (SELECT s.l, (s.t + v.v + 1)::DOUBLE AS d
-          FROM (SELECT l, sum(c)::BIGINT AS t FROM refcnt GROUP BY l) s
-          JOIN (SELECT l, count(*)::BIGINT AS v FROM topv GROUP BY l) v
-            USING (l)),
-vm AS (SELECT topv.l, map(list(tok ORDER BY c DESC, tok),
-         list((c + 1)::DOUBLE / d ORDER BY c DESC, tok)) AS m
-       FROM topv JOIN denom ON denom.l = topv.l GROUP BY topv.l),
-scored AS (SELECT doc_id AS id, tok.lang,
-    round((list_reduce([0.0]::DOUBLE[] ||
-        list_transform(t, x -> coalesce(m[x][1], 0.0)), (a,b) -> a+b)
-      + len(list_filter(t, x -> m[x][1] IS NULL))::DOUBLE
-        * coalesce(1.0 / d, 1.0))
-      / len(t)::DOUBLE, 6) AS score
-  FROM tok LEFT JOIN vm ON vm.l = tok.lang
-           LEFT JOIN denom ON denom.l = tok.lang
-  WHERE len(t) >= 1),
-cum AS (SELECT lang, score, sum(c) OVER (PARTITION BY lang ORDER BY score DESC)
-          AS cum, sum(c) OVER (PARTITION BY lang) AS n
-        FROM (SELECT lang, score, count(*)::BIGINT AS c FROM scored
-              GROUP BY lang, score)),
-cuts AS (SELECT lang,
-           max(CASE WHEN cum >= ceil(n * 0.3) THEN score END) AS hc,
-           max(CASE WHEN cum >= ceil(n * 0.6) THEN score END) AS mc
-         FROM cum GROUP BY lang)
-SELECT id, lang, score,
-  CASE WHEN score >= hc THEN 'head'
-       WHEN score >= mc THEN 'middle' ELSE 'tail' END AS bucket,
-  score >= mc AS keep
-FROM scored JOIN cuts USING (lang) ORDER BY id""",
+    "p72_perplexity_buckets" -> PerplexityOracle,
+    "p73_streaming_perplexity" -> PerplexityOracle,
 
     "p65_tfidf" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),

@@ -623,7 +623,7 @@ object TextAnalysis {
    * Scale shape: training is one uniform (lang, token) groupBy over the
    * reference slice + a per-language top-V window on the count table
    * (O(|langs| x V) collected artifact); scoring is ONE narrow scan
-   * through the native vocab_score hash probe (keys "langtoken"
+   * through the native vocab_score hash probe (keys "lang\u0001token"
    * so one probe serves every language); the cutoffs derive from a
    * histogram of (lang, rounded score) — BOUNDED at 10^6+1 bins per
    * language because the score lives in [0,1] and is rounded to 6dp —
@@ -645,47 +645,11 @@ object TextAnalysis {
                         langCol: String = "lang"): DataFrame = {
     require(headFrac > 0 && headFrac <= keepFrac && keepFrac <= 1.0,
       s"need 0 < headFrac <= keepFrac <= 1, got ($headFrac, $keepFrac)")
-    val Sep = "\u0001" // never occurs in whitespace-split tokens
-    val toks = TF.tokens(col(textCol))
-    // Reference-slice per-language token counts: ONE uniform groupBy.
-    val cnt = SelfJoinMaterialize(
-      docs.where(refFilter)
-        .select(col(langCol).as("l"), explode(toks).as("tok"))
-        .groupBy("l", "tok").agg(count(lit(1)).as("c")))
-    // Top-V per language: the rank window runs over the count table
-    // (vocabulary-sized, not corpus-sized) and the collect is bounded by
-    // |langs| x vocabSize.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("l").orderBy(col("c").desc, col("tok").asc)
-    val top = cnt.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= vocabSize).select("l", "tok", "c").collect()
-    val totals: Map[String, Long] = cnt.groupBy("l").agg(sum("c").as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val vocabSizes: Map[String, Int] =
-      top.groupBy(_.getString(0)).view.mapValues(_.length).toMap
-    val denom: Map[String, Double] = totals.map { case (l, t) =>
-      l -> (t + vocabSizes.getOrElse(l, 0) + 1).toDouble }
-    val vm: Map[String, Double] = top.iterator.map { r =>
-      (r.getString(0) + Sep + r.getString(1)) ->
-        (r.getLong(2) + 1).toDouble / denom(r.getString(0))
-    }.toMap
-    // OOV probability is a per-language constant: 1/denom (1.0 for
-    // languages with no reference model). |langs| is bounded, so the
-    // when-chain stays a trivial literal expression.
-    val oovp = denom.toSeq.sortBy(_._1).foldLeft(lit(1.0)) {
-      case (acc, (l, d)) => when(col(langCol) === l, lit(1.0 / d)).otherwise(acc)
-    }
-    val grams = transform(toks, t => concat(col(langCol), lit(Sep), t))
+    val (vocab, oov) = perplexityLm(docs, refFilter, vocabSize, textCol, langCol)
     // Materialized scores: reused by the histogram AND the final output,
     // so the corpus scan + score evaluation run once.
     val scored = SelfJoinMaterialize(
-      docs.where(size(toks) >= 1)
-        .select(col(idCol).as("id"), col(langCol).as("lang"),
-          HE.vocabScore(grams, vm).as("s"), oovp.as("oovp"))
-        .select(col("id"), col("lang"),
-          round((col("s.sumf") +
-              col("s.n_oov").cast("double") * col("oovp"))
-            / col("s.n").cast("double"), 6).as("score")))
+      perplexityScored(docs, vocab, oov, textCol, idCol, langCol))
     // Bounded histogram -> per-language cutoffs, entirely in-plan: the
     // cumulative window runs over <= 1e6+1 bins per language and the
     // cutoff table is |langs| rows, broadcast back onto the scores.
@@ -706,6 +670,126 @@ object TextAnalysis {
           .when(col("score") >= col("mc"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"),
         (col("score") >= col("mc")).as("keep"))
+  }
+
+  /** Trained perplexity-filter artifact: per-language add-one unigram
+   * probabilities (keys "lang\u0001token"), per-language OOV constants,
+   * and the frozen head/keep score cutoffs — O(|langs| x V), the thing a
+   * serving/streaming deployment ships to score NEW documents without
+   * re-deriving quantiles. */
+  final case class PerplexityModel(vocab: Map[String, Double],
+                                   oov: Map[String, Double],
+                                   cuts: Map[String, (Double, Double)])
+
+  /** Train the CCNet filter as a portable artifact: the per-language LMs
+   * from the `refFilter` slice of `docs` plus the quantile cutoffs of
+   * `docs`' own score distribution (collected — |langs| rows). Batch
+   * parity is exact: `perplexityApply(docs, perplexityTrain(docs, ...))`
+   * equals `perplexityBuckets(docs, ...)` row-for-row (spec-pinned),
+   * which is what lets the STREAMING twin share the batch oracle. */
+  def perplexityTrain(docs: DataFrame, refFilter: Column,
+                      vocabSize: Int = 4096,
+                      headFrac: Double = 0.3, keepFrac: Double = 0.6,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      langCol: String = "lang"): PerplexityModel = {
+    require(headFrac > 0 && headFrac <= keepFrac && keepFrac <= 1.0,
+      s"need 0 < headFrac <= keepFrac <= 1, got ($headFrac, $keepFrac)")
+    val (vocab, oov) = perplexityLm(docs, refFilter, vocabSize, textCol, langCol)
+    val scored = SelfJoinMaterialize(
+      perplexityScored(docs, vocab, oov, textCol, idCol, langCol))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("score").desc)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val cuts = scored.groupBy("lang", "score").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wl))
+      .withColumn("n", sum("c").over(wn))
+      .groupBy("lang").agg(
+        max(when(col("cum") >= ceil(col("n") * lit(headFrac)), col("score")))
+          .as("hc"),
+        max(when(col("cum") >= ceil(col("n") * lit(keepFrac)), col("score")))
+          .as("mc"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    PerplexityModel(vocab, oov, cuts)
+  }
+
+  /** Score + bucket documents with a FROZEN model — one stateless narrow
+   * projection (no aggregation, no shuffle, no state), so it runs
+   * unchanged on a Structured Streaming source: the continuous-ingestion
+   * shape of the CCNet filter. A language the model never saw scores 1.0
+   * (every token OOV at probability 1) and defaults to head/keep — the
+   * same deterministic reading the batch operator gives it. */
+  def perplexityApply(docs: DataFrame, model: PerplexityModel,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      langCol: String = "lang"): DataFrame = {
+    def cutCol(pick: ((Double, Double)) => Double, default: Double): Column =
+      model.cuts.toSeq.sortBy(_._1).foldLeft(lit(default)) {
+        case (acc, (l, hm)) =>
+          when(col(langCol) === l, lit(pick(hm))).otherwise(acc)
+      }
+    // unseen-language default: cutoffs at 1.0 put the score-1.0 docs in
+    // head (score >= hc), matching the batch degenerate
+    val hc = cutCol(_._1, 1.0)
+    val mc = cutCol(_._2, 1.0)
+    perplexityScored(docs, model.vocab, model.oov, textCol, idCol, langCol)
+      .select(col("id"), col("lang"), col("score"),
+        when(col("score") >= hc, lit("head"))
+          .when(col("score") >= mc, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"),
+        (col("score") >= mc).as("keep"))
+  }
+
+  /** Per-language LM training shared by perplexityBuckets/Train: ONE
+   * uniform (lang, token) groupBy over the reference slice, top-V per
+   * language via a rank window over the count table (vocabulary-sized,
+   * not corpus-sized; collect bounded by |langs| x vocabSize). Returns
+   * (vocab probs keyed "lang\u0001token", per-language OOV constant). */
+  private def perplexityLm(docs: DataFrame, refFilter: Column, vocabSize: Int,
+                           textCol: String, langCol: String)
+      : (Map[String, Double], Map[String, Double]) = {
+    val toks = TF.tokens(col(textCol))
+    val cnt = SelfJoinMaterialize(
+      docs.where(refFilter)
+        .select(col(langCol).as("l"), explode(toks).as("tok"))
+        .groupBy("l", "tok").agg(count(lit(1)).as("c")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l").orderBy(col("c").desc, col("tok").asc)
+    val top = cnt.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= vocabSize).select("l", "tok", "c").collect()
+    val totals: Map[String, Long] = cnt.groupBy("l").agg(sum("c").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocabSizes: Map[String, Int] =
+      top.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val denom: Map[String, Double] = totals.map { case (l, t) =>
+      l -> (t + vocabSizes.getOrElse(l, 0) + 1).toDouble }
+    val vocab: Map[String, Double] = top.iterator.map { r =>
+      (r.getString(0) + "\u0001" + r.getString(1)) ->
+        (r.getLong(2) + 1).toDouble / denom(r.getString(0))
+    }.toMap
+    (vocab, denom.map { case (l, d) => l -> 1.0 / d })
+  }
+
+  /** The score projection shared by all three perplexity entry points:
+   * ONE narrow scan through the native vocab_score hash probe with
+   * lang-prefixed keys (one probe serves every language); score = mean
+   * add-one-smoothed probability, rounded to 6dp. OOV probability is a
+   * per-language literal when-chain (|langs| bounded), 1.0 for languages
+   * with no reference model. */
+  private def perplexityScored(docs: DataFrame, vocab: Map[String, Double],
+                               oov: Map[String, Double], textCol: String,
+                               idCol: String, langCol: String): DataFrame = {
+    val toks = TF.tokens(col(textCol))
+    val oovp = oov.toSeq.sortBy(_._1).foldLeft(lit(1.0)) {
+      case (acc, (l, p)) => when(col(langCol) === l, lit(p)).otherwise(acc)
+    }
+    val grams = transform(toks, t => concat(col(langCol), lit("\u0001"), t))
+    docs.where(size(toks) >= 1)
+      .select(col(idCol).as("id"), col(langCol).as("lang"),
+        HE.vocabScore(grams, vocab).as("s"), oovp.as("oovp"))
+      .select(col("id"), col("lang"),
+        round((col("s.sumf") +
+            col("s.n_oov").cast("double") * col("oovp"))
+          / col("s.n").cast("double"), 6).as("score"))
   }
 
   /** Shared n-gram (n >= 2) scorer behind bigramScore/trigramScore:

@@ -126,6 +126,18 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.interpolatedScore(emptyDocs).count() == 0)
     assert(TextAnalysis.sourceQualityFilter(
       emptyDocs.withColumn("source", lit("s"))).count() == 0)
+    // empty corpus; and a live corpus whose REFERENCE slice is empty
+    // (every language unmodeled -> deterministic all-head, not a crash)
+    assert(TextAnalysis.perplexityBuckets(
+      emptyDocs.withColumn("lang", lit("en")).withColumn("source", lit("s")),
+      refFilter = lit(false)).count() == 0)
+    locally {
+      import spark.implicits._
+      val r = TextAnalysis.perplexityBuckets(
+        Seq((1L, "a b", "en", "web")).toDF("doc_id", "text", "lang", "source"),
+        refFilter = lit(false)).collect()
+      assert(r.length == 1 && r(0).getString(3) == "head" && r(0).getBoolean(4))
+    }
     assert(Dedup.paragraphDedup(emptyDocs).count() == 0)
     assert(Dedup.dupSpans(emptyDocs).count() == 0)
     assert(Dedup.spanDedupApply(emptyDocs).count() == 0)

@@ -358,5 +358,24 @@ class TextFunctionsSpec extends SparkSpec {
       TextAnalysis.perplexityBuckets(docs, col("source") === "ref",
         headFrac = 0.7, keepFrac = 0.6)
     }
+    // Train/apply parity: the frozen-model path (what the streaming twin
+    // runs) must reproduce the batch self-quantile run row-for-row on
+    // the same corpus — including the unseen-language head default.
+    val model = TextAnalysis.perplexityTrain(docs,
+      refFilter = col("source") === "ref", vocabSize = 2,
+      headFrac = 0.3, keepFrac = 0.6)
+    assert(model.cuts("en") == (0.416667, 0.25) && model.cuts("fr") == (0.75, 0.25))
+    val applied = TextAnalysis.perplexityApply(docs, model)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2),
+        x.getString(3), x.getBoolean(4))).toSeq
+    assert(applied == r)
+    // A language the TRAINED model never saw (no vocab, no cutoffs):
+    // every token OOV at probability 1 -> score 1.0, defaults head/keep.
+    val novel = TextAnalysis.perplexityApply(
+      Seq((99L, "w v", "qq", "web")).toDF("doc_id", "text", "lang", "source"),
+      model).collect()(0)
+    assert(novel.getDouble(2) == 1.0 && novel.getString(3) == "head" &&
+      novel.getBoolean(4))
   }
 }
