@@ -125,6 +125,19 @@ object PipelineEntry {
   private def streamingDocsDir(dir: String): (String, String) =
     streamingSourceDir(dir, "documents.parquet")
 
+  /** Batch-side `spread`'s STREAMING twin: the harness drops the corpus
+   * as ONE parquet file, and FileStreamSource hands AvailableNow
+   * micro-batches partitioned by file — so every per-row scoring
+   * expression would run on a single task. A production stream arrives
+   * pre-partitioned (many files / many Kafka partitions); this
+   * repartition restores that shape for one answer-sized shuffle.
+   * Stateless-projection semantics are untouched (row set identical,
+   * order irrelevant behind the memory sink's orderBy). Applied to the
+   * streaming keys whose per-row work is heavy (p67 md5-per-bigram DSIR:
+   * drain 4.8 -> 0.9 s at sf0.1; p58 fused stages; p73 vocab probes). */
+  private def spreadStream(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     spread(s.read.parquet(s"$dir/documents.parquet"))
   private def embs(s: SparkSession, dir: String): DataFrame =
@@ -598,7 +611,7 @@ object PipelineEntry {
       import org.apache.spark.sql.streaming.Trigger
       val (streamDir, tag) = streamingDocsDir(dir)
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val stream = s.readStream.schema(schema).parquet(streamDir)
+      val stream = spreadStream(s.readStream.schema(schema).parquet(streamDir))
       val out = Corpus.curationDedupAgg(
         Corpus.curationStages(pipelinePlanted(stream),
           stopwords = Seq("the", "a")))
@@ -733,10 +746,13 @@ object PipelineEntry {
     "p67_streaming_dsir" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val (streamDir, tag) = streamingDocsDir(dir)
-      val batch = s.read.parquet(s"$dir/documents.parquet")
+      // train on the SPREAD batch read (docs) — the raw single-file read
+      // would serialize the md5-per-bigram count on one task (r12: the
+      // whole key was ~5 s of 1-task training + 4 s of 1-task drain)
+      val batch = docs(s, dir)
       val model = Corpus.dsirTrain(batch, isTarget = col("lang") === "en",
         buckets = DsirBuckets)
-      val stream = s.readStream.schema(batch.schema).parquet(streamDir)
+      val stream = spreadStream(s.readStream.schema(batch.schema).parquet(streamDir))
       val out = Corpus.dsirApply(stream, model, hashMod = 1000003L,
         acceptScale = 0.25)
       val name = "p67_dsir_" + tag
@@ -993,11 +1009,11 @@ object PipelineEntry {
     "p73_streaming_perplexity" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val (streamDir, tag) = streamingDocsDir(dir)
-      val batch = s.read.parquet(s"$dir/documents.parquet")
+      val batch = docs(s, dir)
       val model = TextAnalysis.perplexityTrain(batch,
         refFilter = col("source").isin("src0", "src1", "src2", "src3", "src4"),
         vocabSize = 24, headFrac = 0.3, keepFrac = 0.6)
-      val stream = s.readStream.schema(batch.schema).parquet(streamDir)
+      val stream = spreadStream(s.readStream.schema(batch.schema).parquet(streamDir))
       val out = TextAnalysis.perplexityApply(stream, model)
       val name = "p73_ppl_" + tag
       val q = out.writeStream.format("memory").queryName(name)
