@@ -33,5 +33,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Heap sized to the host (128 GiB, local[32]): at 8g the full 108-key
+  // bench run thrashed — the heavy pipeline/ANN keys' execution memory
+  // evicted the cached serving fixture and left GC pressure that
+  // inflated every interleaved point lookup ~2x (r12: g15 p50 414 ms in
+  // the full run vs 179 ms with the same code benched alone; g19
+  // 232 vs 125, g05 482 vs 275). 32g holds the fixture caches, the
+  // operators' materialized frames and execution memory side by side —
+  // the same sizing a real 32-core executor of this memory class gets.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

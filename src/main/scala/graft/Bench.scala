@@ -94,19 +94,40 @@ object Bench {
     // The four materializations are independent Spark jobs, so they run
     // concurrently (a fresh local[32] JVM is JIT/codegen-bound here, not
     // core-bound; overlapping hides most of the per-job first-touch cost).
+    // The OBJECT-clustered edge replica is warmed in the BACKGROUND
+    // (r12 verdict #3): it exists purely to accelerate reverse-direction
+    // probes, so the service is ready to answer as soon as the PRIMARY
+    // tables are hot — warm_sec is that blocking time-to-first-answer.
+    // The replica cache fills concurrently (started first, so it
+    // overlaps the other four materializations on the 32 cores); a
+    // reverse probe arriving before it finishes simply materializes the
+    // remaining partitions itself (Spark's block-level cache locking
+    // computes each partition once). The tail the replica needs BEYOND
+    // the primary warm is reported as replica_warm_sec — nothing is
+    // off the books, it just no longer serializes startup.
     val tWarm0 = System.nanoTime()
-    locally {
+    val replicaWarm = locally {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.DurationInt
       val g = Fixture.graph(spark, sfDir)
+      val replica = Future(g.reverseEdges.count())
       Await.result(Future.sequence(Seq(
         Future(g.nodes.count()), Future(g.edges.count()),
-        Future(g.reverseEdges.count()),
         Future(Fixture.closure(spark, sfDir).count()),
         Future(Fixture.metaSummary(spark, sfDir).count()))), 30.minutes)
+      replica
     }
     val warmSec = (System.nanoTime() - tWarm0) / 1e9
+    // Drain the replica tail before the floor probe — the floor is a
+    // measurement instrument and must not be timed under self-inflicted
+    // cache-build contention.
+    locally {
+      import scala.concurrent.Await
+      import scala.concurrent.duration.DurationInt
+      Await.result(replicaWarm, 30.minutes)
+    }
+    val replicaWarmSec = (System.nanoTime() - tWarm0) / 1e9 - warmSec
 
     // Irreducible per-query floor: plan + schedule + scan a cached-edge
     // count that matches nothing. Every interactive query pays at least
@@ -196,7 +217,7 @@ object Bench {
       s""""load_avg_start":$load0,"load_avg_end":$load1,"load_wait_sec":${ok3(waitSec)}"""
     val probes =
       s""""calib_sec":${ok3(calibSec)},"calib_par_sec":${ok3(calibParSec)},"floor_sec":${ok3(floorSec)}"""
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"queries_p50":${qmap(p50)},"queries_min":${qmap(_.min)},"queries_max":${qmap(_.max)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,$probes,"build_sec":${ok3(buildSec)},"caches_drained":$cachesDrained,$loads,"sf":${jstr(sfDir)}}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"queries_p50":${qmap(p50)},"queries_min":${qmap(_.min)},"queries_max":${qmap(_.max)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"replica_warm_sec":${ok3(replicaWarmSec)},$probes,"build_sec":${ok3(buildSec)},"caches_drained":$cachesDrained,$loads,"sf":${jstr(sfDir)}}"""
     // Detail file: env-overridable path, and never let an unwritable CWD
     // abort the run after all queries already completed — the stdout line
     // is the contract, the file is best-effort.
@@ -211,7 +232,7 @@ object Bench {
     // probes only, no per-query map — the driver's tail capture truncates
     // long lines and then records parsed:null. Per-query numbers live in
     // the detail file (path carried in "detail").
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,$probes,"build_sec":${ok3(buildSec)},"caches_drained":$cachesDrained,$loads,"detail":$detailRef,"sf":${jstr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"replica_warm_sec":${ok3(replicaWarmSec)},$probes,"build_sec":${ok3(buildSec)},"caches_drained":$cachesDrained,$loads,"detail":$detailRef,"sf":${jstr(sfDir)}}"""
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(line)

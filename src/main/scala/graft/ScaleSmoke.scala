@@ -414,6 +414,63 @@ object ScaleSmoke {
           f"join ${teJoin}%6.2f s   $erows%9d rows")
       }
     }
+
+    // Batched lookup amortization (r12 verdict #2): k mixed point probes
+    // answered as ONE answerBatch job vs k sequential answer() jobs.
+    // Each sequential call pays the full per-job scheduling floor
+    // (~110 ms measured idle), so the sequential line grows as k x floor
+    // while the batch line stays one job of constant plan size — the
+    // target is batch <= a few single-call latencies at k=100.
+    if (sections.contains("batch")) {
+      val ont = graft.model.GraftOntology.ontology
+      Fixture.ensureStore(spark, sfDir)
+      val g = Fixture.graph(spark, sfDir)
+      g.nodes.count(); g.edges.count(); g.reverseEdges.count()
+      import operators.{OneHop, QueryGraph, QNode, QEdge}
+      val O = graft.model.GraftOntology
+      def mixedProbes(k: Int): Seq[(String, QueryGraph)] =
+        (0 until k).map { i =>
+          val qg = i % 4 match {
+            case 0 => QueryGraph.oneHop( // forward pinned -> category
+              QNode("n0", ids = (1 to 3).map(j => s"CUST:${i * 13 + j}")),
+              QNode("n1", categories = Seq(O.Nation)),
+              QEdge("n0", "n1", predicates = Seq(O.LocatedIn)))
+            case 1 => QueryGraph.oneHop( // reverse pinned <- category
+              QNode("n_out", categories = Seq(O.Customer)),
+              QNode("n_in", ids = Seq(s"NAT:${i % 25}")),
+              QEdge("n_out", "n_in", predicates = Seq(O.LocatedIn)))
+            case 2 => QueryGraph.oneHop( // doubly pinned
+              QNode("n0", ids = Seq(s"NAT:${i % 25}")),
+              QNode("n1", ids = Seq(s"REG:${i % 5}")),
+              QEdge("n0", "n1", predicates = Seq(O.PartOf)))
+            case _ => QueryGraph.oneHop( // symmetric, open output
+              QNode("n0", ids = Seq(s"NAT:${i % 25}")),
+              QNode("n1"),
+              QEdge("n0", "n1", predicates = Seq(O.AdjacentTo)))
+          }
+          s"q$i" -> qg
+        }
+      // warm both paths' code once so JIT/codegen novelty isn't timed
+      OneHop.answerBatch(spark, g, ont, mixedProbes(4)).count()
+      OneHop.answer(spark, g, ont, mixedProbes(1).head._2,
+        closure = None, expandSubclasses = false).matches.count()
+      for (k <- Seq(10, 100, 500)) {
+        val probes = mixedProbes(k)
+        val t0 = System.nanoTime()
+        val batchRows = OneHop.answerBatch(spark, g, ont, probes).count()
+        val tBatch = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        var seqRows = 0L
+        probes.foreach { case (_, qg) =>
+          seqRows += OneHop.answer(spark, g, ont, qg,
+            closure = None, expandSubclasses = false).matches.count()
+        }
+        val tSeq = (System.nanoTime() - t1) / 1e9
+        println(f"batch k=$k%4d   one-job ${tBatch}%6.2f s   " +
+          f"sequential ${tSeq}%7.2f s (${tSeq / k}%5.3f s/call)   " +
+          f"speedup ${tSeq / tBatch}%5.1fx   $batchRows%8d rows (seq $seqRows%8d)")
+      }
+    }
     spark.stop()
   }
 }

@@ -671,7 +671,41 @@ object SparkEntry {
           concat_ws("|", col("input_ids")).as("input_ids"),
           concat_ws("|", col("output_ids")).as("output_ids"))
         .orderBy("in_key", "out_key")
-    })
+    }),
+
+    // G31 — batched lookup serving: FIVE tagged probes (forward pinned,
+    // reverse + category, doubly pinned, symmetric, subclass-expanded)
+    // answered by ONE Spark job — plan size constant in the batch size
+    // (ref: plover.py:1934 get_edges / :1982 get_neighbors batch
+    // endpoints; see OneHop.answerBatch). The per-tag results are
+    // row-identical to the g03/g04/g06/g10/g13 singles (BatchLookupSpec).
+    "g36_batch_lookup" -> ((s, dir) =>
+      OneHop.answerBatch(s, Fixture.graph(s, dir), ont, Seq(
+        "t_fwd" -> QueryGraph.oneHop(
+          QNode("n0", ids = custIds(1, 2, 7, 13, 42, 99)),
+          QNode("n1", categories = Seq(O.Nation)),
+          QEdge("n0", "n1", predicates = Seq(O.LocatedIn))),
+        "t_rev" -> QueryGraph.oneHop(
+          QNode("n_out", categories = Seq(O.Customer)),
+          QNode("n_in", ids = natIds(1, 3, 5)),
+          QEdge("n_out", "n_in", predicates = Seq(O.LocatedIn))),
+        "t_pin" -> QueryGraph.oneHop(
+          QNode("n0", ids = natIds(0 to 11: _*)),
+          QNode("n1", ids = Seq("REG:1", "REG:2")),
+          QEdge("n0", "n1", predicates = Seq(O.PartOf))),
+        "t_sym" -> QueryGraph.oneHop(
+          QNode("n0", ids = natIds(4)),
+          QNode("n1"),
+          QEdge("n0", "n1", predicates = Seq(O.AdjacentTo))),
+        "t_exp" -> QueryGraph.oneHop(
+          QNode("n_out"),
+          QNode("n_in", ids = Seq("REG:3")),
+          QEdge("n_out", "n_in", predicates = Seq(O.LocatedIn)))),
+        closure = Some(Fixture.closure(s, dir)),
+        index = Fixture.closureIndex(s, dir))
+        .select(col("tag"), col("edge_id"), col("input_id"),
+          col("input_query_id").as("query_id"), col("output_id"))
+        .orderBy("tag", "edge_id", "input_id"))
   )
 
   /** The g17/g35 normalize+merge body: duplicate CUST->NAT edges under
@@ -812,6 +846,41 @@ object SparkEntry {
          JOIN nation n ON e.object = 'NAT:' || n.n_nationkey AND n.n_regionkey = 3
          WHERE e.predicate = 'graft:located_in'
          ORDER BY edge_id, input_id"""),
+
+    // The five tagged probes of the batch, each the SQL of its single-
+    // query twin (g03/g04/g06/g10/g13) with the tag as a literal column.
+    "g36_batch_lookup" -> TpchGraph.oracle(
+      s"""SELECT 't_fwd' AS tag, edge_id, subject AS input_id,
+                 CAST(NULL AS VARCHAR) AS query_id, object AS output_id
+          FROM g_edges
+          WHERE predicate = 'graft:located_in'
+            AND subject IN (${idList(custIds(1, 2, 7, 13, 42, 99))})
+          UNION ALL
+          SELECT 't_rev', edge_id, object, CAST(NULL AS VARCHAR), subject
+          FROM g_edges
+          WHERE predicate = 'graft:located_in'
+            AND object IN (${idList(natIds(1, 3, 5))})
+            AND subject LIKE 'CUST:%'
+          UNION ALL
+          SELECT 't_pin', edge_id, subject, CAST(NULL AS VARCHAR), object
+          FROM g_edges
+          WHERE predicate = 'graft:part_of'
+            AND subject IN (${idList(natIds(0 to 11: _*))})
+            AND object IN ('REG:1', 'REG:2')
+          UNION ALL
+          SELECT 't_sym', edge_id, subject, CAST(NULL AS VARCHAR), object
+          FROM g_edges
+          WHERE predicate = 'graft:adjacent_to' AND subject = 'NAT:4'
+          UNION ALL
+          SELECT 't_sym', edge_id, object, CAST(NULL AS VARCHAR), subject
+          FROM g_edges
+          WHERE predicate = 'graft:adjacent_to' AND object = 'NAT:4'
+          UNION ALL
+          SELECT 't_exp', e.edge_id, e.object, 'REG:3', e.subject
+          FROM g_edges e
+          JOIN nation n ON e.object = 'NAT:' || n.n_nationkey AND n.n_regionkey = 3
+          WHERE e.predicate = 'graft:located_in'
+          ORDER BY tag, edge_id, input_id"""),
 
     "g14_single_node" -> TpchGraph.oracle(
       """SELECT node_id, query_id FROM (

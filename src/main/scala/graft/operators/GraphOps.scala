@@ -74,11 +74,19 @@ object GraphOps {
       // plain column predicate the subject-clustered cache prunes batches
       // on (the pair key is a concat expression, invisible to zone maps),
       // and it short-circuits before the key concat on surviving rows.
+      // NULL tolerance: `subject IN endpoints` evaluates to NULL (drop)
+      // for a NULL subject, but the join path's concat_ws/least/greatest
+      // key SKIPS nulls — an edge with NULL subject and object=X carries
+      // key "XX" and matches a self-pair (X,X). Graphs built by
+      // GraphBuilder/KgxSource never emit null endpoints, but this path
+      // must stay value-equivalent to the join path on ANY input, so the
+      // conjunct explicitly admits null subjects (still a plain column
+      // predicate — batch-stat null counts keep it zone-map prunable).
       val endpoints = pairs.iterator.flatMap(p => Iterator(p._1, p._2))
         .toSeq.distinct
-      val endpointHit =
-        if (endpoints.size <= 16) col("subject").isin(endpoints: _*)
-        else graft.functions.HashExpressions.setProbe(col("subject"), endpoints.toSet)
+      val endpointHit = col("subject").isNull ||
+        (if (endpoints.size <= 16) col("subject").isin(endpoints: _*)
+         else graft.functions.HashExpressions.setProbe(col("subject"), endpoints.toSet))
       graph.edges
         .where(endpointHit && (
           if (keyMap.size <= 16) edgeKey.isin(keyMap.keys.toSeq: _*)

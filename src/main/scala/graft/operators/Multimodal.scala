@@ -333,6 +333,162 @@ object Multimodal {
     bb.toByteArray
   }
 
+  // --------------------------------------- image near-dup (dHash, P74)
+
+  /** dHash grid: 9x8 cell means -> 64 horizontal-gradient bits. */
+  val DHashGridW = 9
+  val DHashGridH = 8
+
+  /**
+   * Perceptual difference hash (dHash) of a decodable image: downscale
+   * to a 9x8 grid of EXACT integer block means (boundaries floor(i*w/9),
+   * means compared cross-multiplied so no float rounding exists
+   * anywhere), then bit (cy*8+cx) = mean(cx,cy) < mean(cx+1,cy). The
+   * LAION-style image near-dup key: invariant to re-encoding, global
+   * brightness shifts and mean-preserving pixel noise, while genuinely
+   * different images differ in many bits. None when the payload doesn't
+   * decode as an image.
+   */
+  def imageDHash(payload: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w < DHashGridW || h < DHashGridH) None
+        else {
+          // exact integer cell sums + areas
+          val sums = Array.ofDim[Long](DHashGridH, DHashGridW)
+          val areas = Array.ofDim[Long](DHashGridH, DHashGridW)
+          var cy = 0
+          while (cy < DHashGridH) {
+            val y0 = cy * h / DHashGridH
+            val y1 = (cy + 1) * h / DHashGridH
+            var cx = 0
+            while (cx < DHashGridW) {
+              val x0 = cx * w / DHashGridW
+              val x1 = (cx + 1) * w / DHashGridW
+              var s = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              sums(cy)(cx) = s
+              areas(cy)(cx) = (x1 - x0).toLong * (y1 - y0)
+              cx += 1
+            }
+            cy += 1
+          }
+          var hash = 0L
+          var bit = 0
+          cy = 0
+          while (cy < DHashGridH) {
+            var cx = 0
+            while (cx < DHashGridW - 1) {
+              // mean(cx) < mean(cx+1) without division: cross-multiply
+              if (sums(cy)(cx) * areas(cy)(cx + 1) <
+                  sums(cy)(cx + 1) * areas(cy)(cx)) hash |= 1L << bit
+              bit += 1
+              cx += 1
+            }
+            cy += 1
+          }
+          Some(hash)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The exact grayscale a dHash cell of `dhashImagePng` carries — the
+   * formula the spec AND the p74 plan recompute independently of the
+   * codec. Range [30, 210] so the brightness/noise variants never clamp. */
+  def dhashCellGray(docId: Long, cx: Int, cy: Int): Int =
+    (java.lang.Long.remainderUnsigned(
+      (docId * 31 + cx * 17 + cy * 57) * 2654435761L + 12345L, 181L) + 30L).toInt
+
+  /** The dHash `imageDHash` must produce for `dhashImagePng(docId, _)` —
+   * every variant of a doc, derived from the cell formula alone. */
+  def expectedDHash(docId: Long): Long = {
+    var hash = 0L
+    var bit = 0
+    var cy = 0
+    while (cy < DHashGridH) {
+      var cx = 0
+      while (cx < DHashGridW - 1) {
+        if (dhashCellGray(docId, cx, cy) < dhashCellGray(docId, cx + 1, cy))
+          hash |= 1L << bit
+        bit += 1
+        cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
+  /**
+   * Deterministic near-duplicate image fixture: a 72x64 grayscale PNG of
+   * 8x8 constant blocks (one per dHash cell — 72/9 = 64/8 = 8, so cell
+   * boundaries align exactly). Variants of one doc are BYTE-different
+   * but dHash-IDENTICAL by construction:
+   *   0 — the base image;
+   *   1 — +1/-1 alternating-column pixel noise (block means preserved
+   *       exactly: each 8-wide block holds four +1 and four -1 columns);
+   *   2 — global +10 brightness (every mean shifts equally; dHash
+   *       compares ADJACENT means, so all 64 bits survive).
+   * PNG is lossless and TYPE_BYTE_GRAY decodes with r=g=b, so the
+   * decoded means equal the generated integers exactly — the operator's
+   * hashes are reproducible from `expectedDHash` with zero tolerance.
+   */
+  def dhashImagePng(docId: Long, variant: Int): Array[Byte] = {
+    val w = DHashGridW * 8
+    val h = DHashGridH * 8
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = dhashCellGray(docId, x / 8, y / 8)
+        val v = variant match {
+          case 1 => base + (if (x % 2 == 0) 1 else -1)
+          case 2 => base + 10
+          case _ => base
+        }
+        raster.setSample(x, y, 0, v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /**
+   * (id, dhash) for every decodable image — batched per partition like
+   * `decodeBatched` (codec init amortizes across a batch); undecodable
+   * payloads are dropped (they have no perceptual content to pair on).
+   * Input columns: `idCol` long, `payloadCol` binary.
+   */
+  def imageDHashes(spark: SparkSession, images: DataFrame,
+                   idCol: String = "id", payloadCol: String = "payload")
+      : DataFrame = {
+    import spark.implicits._
+    images.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        imageDHash(payload).map(hsh => (id, hsh))
+      })
+      .toDF("id", "dhash")
+  }
+
   /**
    * Batched decode path: groups each partition's rows into `batchSize`
    * slices and runs the decoder once per batch (the shape a real codec /

@@ -247,13 +247,23 @@ object OneHop {
     ont.descendantsOfAll(proper, includeMixins = false)
   }
 
-  /** Non-qualified predicate match + bidirectionality conditions
-   * (ref: plover.py:2704-2743). */
-  private def plainConds(qedge: QEdge, ont: Ontology): (Column, Column) = {
+  /** Driver-side plain-predicate expansion shared by the per-query and
+   * batch paths: (all matching predicates, the bidirectional subset).
+   * One copy so the batch path can never drift from `answer`'s
+   * semantics (ref: plover.py:2704-2743). */
+  private[operators] def plainPredSets(qedge: QEdge, ont: Ontology)
+      : (Set[String], Set[String]) = {
     val raw = if (qedge.predicates.nonEmpty) qedge.predicates.toSet else Set(ont.rootPredicate)
     val qgPreds = raw ++ ont.replaceMixinsWithDirectMappings(raw)
     val expanded = ont.descendantsOfAll(qgPreds, includeMixins = true)
     val bidirPreds = expanded.filter(p => ont.considerBidirectional(p, qgPreds))
+    (expanded, bidirPreds)
+  }
+
+  /** Non-qualified predicate match + bidirectionality conditions
+   * (ref: plover.py:2704-2743). */
+  private def plainConds(qedge: QEdge, ont: Ontology): (Column, Column) = {
+    val (expanded, bidirPreds) = plainPredSets(qedge, ont)
     val dirPreds = expanded.diff(bidirPreds)
     val matchCond = col("predicate").isin(expanded.toSeq: _*)
     val bidirCond =
@@ -325,6 +335,181 @@ object OneHop {
         when(inDirect, inDirectSym).otherwise(fallback)
       }
     (matchCond, bidirCond)
+  }
+
+  /**
+   * Batched lookup serving — ONE Spark job answering N tagged one-hop
+   * probes (r12 verdict #2: amortize the per-job scheduling floor across
+   * a request batch, the TRAPI-batch analog of the reference's own batch
+   * endpoints — plover.py:1934 `get_edges` takes a pair LIST and
+   * :1982 `get_neighbors` an id list).
+   *
+   * Scale shape: the batch rides the plan as DATA, not as N plan
+   * branches. Each direction is ONE probe-filtered pass over the replica
+   * clustered on the probed column; a row fans out to the tags whose
+   * probe set contains its endpoint (map_probe -> split -> explode, all
+   * codegen'd), then per-tag predicate / pinned-output / category
+   * checks are O(1) hash probes on "tag<sep>value" pair keys. Plan size,
+   * stage count and shuffle count are CONSTANT in the batch size — 1000
+   * probes cost the same two scan stages as one — and the driver-built
+   * probe tables are bounded by the request itself (sum of expanded id
+   * sets), not the corpus.
+   *
+   * Semantics: per tag, identical to `answer` on the literal fast path
+   * (spec-pinned row-for-row in BatchLookupSpec): canonical forcing,
+   * input-qnode selection, subclass expansion with query-id mapping,
+   * per-predicate bidirectionality, pinned-output ids (categories
+   * ignored then, plover.py:2045-2049), output-category filtering
+   * against most-specific categories. Restrictions, by design: plain
+   * predicates only (qualifier/attribute constraints are per-query
+   * column work — such probes take the single `answer` path), and every
+   * pinned side must resolve driver-side (the ClosureIndex literal
+   * regime); a data-sized id set belongs on `answer`'s broadcast-join
+   * path, not in a point-probe batch.
+   *
+   * Output: `answer`'s binding projection plus the probe `tag`:
+   * (tag, edge_id, subject, object, predicate, input_id, output_id,
+   * input_query_id, output_query_id).
+   */
+  def answerBatch(spark: SparkSession, graph: PropertyGraph, ont: Ontology,
+                  probes: Seq[(String, QueryGraph)],
+                  closure: Option[DataFrame] = None,
+                  expandSubclasses: Boolean = true,
+                  index: Option[ClosureIndex] = None,
+                  maxLiteralIds: Int = DefaultMaxLiteralIds): DataFrame = {
+    import graft.functions.{HashExpressions => HE}
+    val SEP = "" // never occurs in CURIEs (same invariant as getEdges)
+    val TSEP = ""
+    require(probes.map(_._1).distinct.size == probes.size, "probe tags must be unique")
+    require(probes.forall(p => !p._1.contains(SEP) && !p._1.contains(TSEP)),
+      "probe tags must not contain \\u0001/\\u0002")
+
+    // ---- driver-side probe compilation (bounded by the request) ----
+    val fwdTags = scala.collection.mutable.Map.empty[String, List[String]]
+    val bwdTags = scala.collection.mutable.Map.empty[String, List[String]]
+    val fwdPredPairs = Set.newBuilder[String]
+    val bwdPredPairs = Set.newBuilder[String]
+    val inQid = Map.newBuilder[String, String]
+    val outQid = Map.newBuilder[String, String]
+    var outPinnedTags = Set.empty[String]
+    val outPairs = Set.newBuilder[String]
+    var catTags = Set.empty[String]
+    val catPairs = Set.newBuilder[String]
+
+    for ((tag, qg) <- probes) {
+      val qedge = QueryGraph.forceCanonical(qg.edge.get, ont)
+      require(qedge.qualifierConstraints.isEmpty && qedge.attributeConstraints.isEmpty,
+        s"probe '$tag': qualified/attribute-constrained probes take the answer() path")
+      val subjQ = qg.node(qedge.subjectKey)
+      val objQ = qg.node(qedge.objectKey)
+      require(subjQ.ids.nonEmpty || objQ.ids.nonEmpty,
+        s"probe '$tag': at least one qnode must have ids")
+      val inputQ = qg.nodes.foldLeft(Option.empty[QNode]) { (best, qn) =>
+        if (qn.ids.size > best.map(_.ids.size).getOrElse(0)) Some(qn) else best
+      }.get
+      val outputQ = if (inputQ.key == subjQ.key) objQ else subjQ
+      val inputIsSubject = inputQ.key == qedge.subjectKey
+
+      def expand(ids: Seq[String]): LocalIds = {
+        val li =
+          if (!expandSubclasses || closure.isEmpty) LocalIds(ids.distinct, Map.empty)
+          else index match {
+            case Some(ix) => val (all, qid) = ix.expand(ids); LocalIds(all, qid)
+            case None => throw new IllegalArgumentException(
+              s"probe '$tag': subclass expansion in a batch needs a ClosureIndex")
+          }
+        require(li.ids.size <= maxLiteralIds,
+          s"probe '$tag': ${li.ids.size} ids exceed the literal-probe cap " +
+            s"($maxLiteralIds) — use answer()'s broadcast-join path")
+        li
+      }
+      val in = expand(inputQ.ids)
+      val (expanded, bidirPreds) = plainPredSets(qedge, ont)
+      val fwdPreds = if (inputIsSubject) expanded else bidirPreds
+      val bwdPreds = if (!inputIsSubject) expanded else bidirPreds
+      if (fwdPreds.nonEmpty) {
+        in.ids.foreach(id => fwdTags(id) = tag :: fwdTags.getOrElse(id, Nil))
+        fwdPreds.foreach(p => fwdPredPairs += tag + SEP + p)
+      }
+      if (bwdPreds.nonEmpty) {
+        in.ids.foreach(id => bwdTags(id) = tag :: bwdTags.getOrElse(id, Nil))
+        bwdPreds.foreach(p => bwdPredPairs += tag + SEP + p)
+      }
+      in.queryIds.foreach { case (id, q) => inQid += (tag + SEP + id) -> q }
+      if (outputQ.ids.nonEmpty) {
+        val out = expand(outputQ.ids)
+        outPinnedTags += tag
+        out.ids.foreach(id => outPairs += tag + SEP + id)
+        out.queryIds.foreach { case (id, q) => outQid += (tag + SEP + id) -> q }
+      } else if (outputQ.categories.nonEmpty) {
+        catTags += tag
+        expandCategories(outputQ.categories, ont)
+          .foreach(c => catPairs += tag + SEP + c)
+      }
+    }
+
+    val fwdTagMap = fwdTags.iterator.map { case (k, v) => k -> v.mkString(TSEP) }.toMap
+    val bwdTagMap = bwdTags.iterator.map { case (k, v) => k -> v.mkString(TSEP) }.toMap
+    val inQidMap = inQid.result()
+    val outQidMap = outQid.result()
+    val fwdPairSet = fwdPredPairs.result()
+    val bwdPairSet = bwdPredPairs.result()
+    val outPairSet = outPairs.result()
+    val catPairSet = catPairs.result()
+
+    // ---- the one-job plan ----
+    def branch(rel: DataFrame, probeCol: String, otherCol: String,
+               tagMap: Map[String, String], predPairs: Set[String]): Option[DataFrame] =
+      if (tagMap.isEmpty) None
+      else Some {
+        rel.where(HE.setProbe(col(probeCol), tagMap.keySet))
+          .withColumn("tag",
+            explode(split(HE.mapProbe(col(probeCol), tagMap), TSEP)))
+          .where(HE.setProbe(concat_ws(SEP, col("tag"), col("predicate")), predPairs))
+          .withColumn("input_id", col(probeCol))
+          .withColumn("output_id", col(otherCol))
+      }
+    val fwd = branch(graph.edges, "subject", "object", fwdTagMap, fwdPairSet)
+    val bwd = branch(graph.reverseEdges, "object", "subject", bwdTagMap, bwdPairSet)
+    var matched = (fwd, bwd) match {
+      case (Some(f), Some(b)) => f.unionByName(b)
+      case (Some(f), None) => f
+      case (None, Some(b)) => b
+      case _ => throw new IllegalArgumentException("empty probe batch")
+    }
+    matched = matched
+      .withColumn("input_query_id",
+        if (inQidMap.isEmpty) lit(null).cast("string")
+        else HE.mapProbe(concat_ws(SEP, col("tag"), col("input_id")), inQidMap))
+      .withColumn("output_query_id",
+        if (outQidMap.isEmpty) lit(null).cast("string")
+        else HE.mapProbe(concat_ws(SEP, col("tag"), col("output_id")), outQidMap))
+    if (outPinnedTags.nonEmpty)
+      matched = matched.where(!HE.setProbe(col("tag"), outPinnedTags) ||
+        HE.setProbe(concat_ws(SEP, col("tag"), col("output_id")), outPairSet))
+    if (catTags.nonEmpty) {
+      val tagHasCats = HE.setProbe(col("tag"), catTags)
+      def catHit(cats: Column): Column =
+        exists(cats, c => HE.setProbe(concat_ws(SEP, col("tag"), c), catPairSet))
+      matched =
+        if (matched.columns.contains("object_categories"))
+          // denormalized endpoint categories: pure column predicate
+          matched.where(!tagHasCats || catHit(
+            when(col("output_id") === col("object"), col("object_categories"))
+              .otherwise(col("subject_categories"))))
+        else {
+          // fallback for graphs without denormalization: one broadcast of
+          // the node dimension's (id, categories) — still one job
+          val nodeCats = graph.nodes
+            .select(col("id").as("output_id"), col("categories").as("__out_cats"))
+          matched.join(broadcast(nodeCats), Seq("output_id"), "left")
+            .where(!tagHasCats || catHit(col("__out_cats")))
+            .drop("__out_cats")
+        }
+    }
+    matched.select(col("tag"), col("edge_id"), col("subject"), col("object"),
+      col("predicate"), col("input_id"), col("output_id"),
+      col("input_query_id"), col("output_query_id"))
   }
 
   /**

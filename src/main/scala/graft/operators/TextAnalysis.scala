@@ -650,20 +650,7 @@ object TextAnalysis {
     // so the corpus scan + score evaluation run once.
     val scored = SelfJoinMaterialize(
       perplexityScored(docs, vocab, oov, textCol, idCol, langCol))
-    // Bounded histogram -> per-language cutoffs, entirely in-plan: the
-    // cumulative window runs over <= 1e6+1 bins per language and the
-    // cutoff table is |langs| rows, broadcast back onto the scores.
-    val wl = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("score").desc)
-    val wn = org.apache.spark.sql.expressions.Window.partitionBy("lang")
-    val cuts = scored.groupBy("lang", "score").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum("c").over(wl))
-      .withColumn("n", sum("c").over(wn))
-      .groupBy("lang").agg(
-        max(when(col("cum") >= ceil(col("n") * lit(headFrac)), col("score")))
-          .as("hc"),
-        max(when(col("cum") >= ceil(col("n") * lit(keepFrac)), col("score")))
-          .as("mc"))
+    val cuts = perplexityCuts(scored, headFrac, keepFrac)
     scored.join(broadcast(cuts), Seq("lang"))
       .select(col("id"), col("lang"), col("score"),
         when(col("score") >= col("hc"), lit("head"))
@@ -697,10 +684,24 @@ object TextAnalysis {
     val (vocab, oov) = perplexityLm(docs, refFilter, vocabSize, textCol, langCol)
     val scored = SelfJoinMaterialize(
       perplexityScored(docs, vocab, oov, textCol, idCol, langCol))
+    val cuts = perplexityCuts(scored, headFrac, keepFrac)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    PerplexityModel(vocab, oov, cuts)
+  }
+
+  /** The ONE quantile-cutoff derivation both perplexityBuckets (broadcast
+   * join) and perplexityTrain (collected artifact) consume — a single
+   * copy so a future tweak to the quantile rule cannot silently break
+   * the spec-pinned batch ≡ train/apply parity. In-plan and bounded: the
+   * cumulative window runs over <= 1e6+1 rounded-score bins per language
+   * and the output is |langs| rows (lang, hc, mc). */
+  private def perplexityCuts(scored: DataFrame, headFrac: Double,
+                             keepFrac: Double): DataFrame = {
     val wl = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("score").desc)
     val wn = org.apache.spark.sql.expressions.Window.partitionBy("lang")
-    val cuts = scored.groupBy("lang", "score").agg(count(lit(1)).as("c"))
+    scored.groupBy("lang", "score").agg(count(lit(1)).as("c"))
       .withColumn("cum", sum("c").over(wl))
       .withColumn("n", sum("c").over(wn))
       .groupBy("lang").agg(
@@ -708,9 +709,6 @@ object TextAnalysis {
           .as("hc"),
         max(when(col("cum") >= ceil(col("n") * lit(keepFrac)), col("score")))
           .as("mc"))
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
-      .toMap
-    PerplexityModel(vocab, oov, cuts)
   }
 
   /** Score + bucket documents with a FROZEN model — one stateless narrow
@@ -749,7 +747,7 @@ object TextAnalysis {
       : (Map[String, Double], Map[String, Double]) = {
     val toks = TF.tokens(col(textCol))
     val cnt = SelfJoinMaterialize(
-      docs.where(refFilter)
+      docs.where(refFilter && col(langCol).isNotNull)
         .select(col(langCol).as("l"), explode(toks).as("tok"))
         .groupBy("l", "tok").agg(count(lit(1)).as("c")))
     val w = org.apache.spark.sql.expressions.Window
@@ -774,7 +772,16 @@ object TextAnalysis {
    * lang-prefixed keys (one probe serves every language); score = mean
    * add-one-smoothed probability, rounded to 6dp. OOV probability is a
    * per-language literal when-chain (|langs| bounded), 1.0 for languages
-   * with no reference model. */
+   * with no reference model.
+   *
+   * NULL-language rows are excluded HERE so every entry point treats
+   * them identically: before this filter, perplexityBuckets silently
+   * dropped them (the inner join to the per-language cutoffs never
+   * matches NULL) while perplexityApply kept them under the unseen-
+   * language default — breaking the documented row-for-row train/apply
+   * parity on any corpus with an un-identified language column. A doc
+   * with no language has no model to score under; run language ID
+   * (p08) first. */
   private def perplexityScored(docs: DataFrame, vocab: Map[String, Double],
                                oov: Map[String, Double], textCol: String,
                                idCol: String, langCol: String): DataFrame = {
@@ -783,7 +790,7 @@ object TextAnalysis {
       case (acc, (l, p)) => when(col(langCol) === l, lit(p)).otherwise(acc)
     }
     val grams = transform(toks, t => concat(col(langCol), lit("\u0001"), t))
-    docs.where(size(toks) >= 1)
+    docs.where(size(toks) >= 1 && col(langCol).isNotNull)
       .select(col(idCol).as("id"), col(langCol).as("lang"),
         HE.vocabScore(grams, vocab).as("s"), oovp.as("oovp"))
       .select(col("id"), col("lang"),
