@@ -78,6 +78,16 @@ object Bench {
       // 1.3 M-row edge table twice. Operators stay stats-adaptive —
       // genuinely large sides still shuffle.
       .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
+      // Codegen class cache sized to the WORKLOAD, not Spark's default
+      // 100 entries: a serving process answering 100+ distinct prepared
+      // queries compiles several generated classes per plan, so the
+      // default LRU churns and every repeat RE-COMPILES its generated
+      // code (janino, 50-200 ms for a large filter) — measured r13 as a
+      // consistent 2-3x p50 inflation on the expression-heavy lookups
+      // (g15 0.33 s in the full 108-key run vs 0.18 s benched alone,
+      // identical plans). Static conf — must be set before the first
+      // session. Memory cost is bounded: compiled classes, not data.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -24,6 +24,7 @@ object LookupProbe {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // deployment sizing shared with Bench (see comment there)
       .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

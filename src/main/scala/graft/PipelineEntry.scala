@@ -125,6 +125,22 @@ object PipelineEntry {
   private def streamingDocsDir(dir: String): (String, String) =
     streamingSourceDir(dir, "documents.parquet")
 
+  /** Multi-file streaming source: the corpus split into `parts` parquet
+   * files (written once per sf dir, reused after), so maxFilesPerTrigger=1
+   * yields genuinely separate micro-batches — the fixture for drain modes
+   * whose semantics only show across batches (p75's update mode). */
+  private def streamingDocsSplitDir(s: SparkSession, dir: String,
+                                    parts: Int): (String, String) = {
+    import java.nio.file.{Files, Paths}
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val out = Paths.get(s"target/stream-docs-split$parts-$tag")
+    if (!Files.exists(out.resolve("_SUCCESS")))
+      s.read.parquet(s"$dir/documents.parquet").repartition(parts)
+        .write.mode("overwrite").parquet(out.toString)
+    (out.toString, tag)
+  }
+
   /** Batch-side `spread`'s STREAMING twin: the harness drops the corpus
    * as ONE parquet file, and FileStreamSource hands AvailableNow
    * micro-batches partitioned by file — so every per-row scoring
@@ -622,6 +638,40 @@ object PipelineEntry {
       s.table(name).orderBy("id")
     }),
 
+    // P15+++/P22++++, key p75_streaming_update_dedup — p58's UPDATE-mode
+    // drain twin: the continuous-pipeline shape. Complete mode re-emits
+    // the WHOLE state every micro-batch (O(state) per batch — fine at
+    // fixture scale, wrong at 100 TB); update mode emits only the hash
+    // groups each batch CHANGED (O(delta) — the upsert-sink contract).
+    // The memory sink therefore accumulates one row per (group, update);
+    // the final state is each group's LAST update, recoverable because
+    // an emitted update always reflects at least one more member — its
+    // n_dups is strictly the group's largest so far. The source is the
+    // corpus split into 4 parquet files drained one per micro-batch
+    // (maxFilesPerTrigger=1), so cross-batch group updates genuinely
+    // occur; the folded state hash-matches p50's batch oracle
+    // (StreamingSpec additionally pins that multiple updates per group
+    // were actually emitted — the mode is exercised, not vacuous).
+    "p75_streaming_update_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val (streamDir, tag) = streamingDocsSplitDir(s, dir, parts = 4)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = spreadStream(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir))
+      val out = Corpus.curationDedupAgg(
+        Corpus.curationStages(pipelinePlanted(stream),
+          stopwords = Seq("the", "a")))
+      val name = "p75_upd_" + tag
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("content_hash").orderBy(col("n_dups").desc)
+      s.table(name).withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+        .orderBy("id")
+    }),
+
     // P10+, key p41_bpe — real BPE subword tokenization: merges trained
     // on the first 32 docs, corpus segmented by the native bpe_encode
     // expression in one scan. The oracle re-derives the SAME merges as a
@@ -893,6 +943,31 @@ object PipelineEntry {
         .select(col("doc_id"), col("width"), col("height"),
           col("n_pixels").as("n_frames"))
         .orderBy("doc_id")
+    }),
+
+    // P12++ / P74 — image near-duplicate detection via perceptual dHash
+    // (the LAION-style multimodal dedup step): deterministic grayscale
+    // PNG fixtures where docs with doc_id%5==0 / %7==0 carry extra
+    // BYTE-different re-encodings (mean-preserving pixel noise, +10
+    // brightness) that are dHash-identical by construction; the decode →
+    // 9x8 block-mean → gradient-bit hash runs in batched mapPartitions
+    // (no payload ever crosses a shuffle), and pairing is the banded
+    // hamming join — 16-bit bucket join + exact verification, never
+    // all-pairs. The oracle enumerates the planted variant pairs from
+    // the doc table alone, so a codec/hash/banding break surfaces as
+    // missing rows and an over-eager hash (cross-doc collisions) as
+    // extra rows. Ids are doc_id*10+variant.
+    "p74_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val images = docs(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { d =>
+          val variants = Seq(0) ++
+            (if (d % 5 == 0) Seq(1) else Nil) ++
+            (if (d % 7 == 0) Seq(2) else Nil)
+          variants.map(v => (d * 10 + v, Multimodal.dhashImagePng(d, v)))
+        }.toDF("id", "payload")
+      Dedup.hammingPairs64(Multimodal.imageDHashes(s, images))
+        .orderBy("id_a", "id_b")
     }),
 
     // P15 — streaming ingest, driver-visible: the file-based streaming
@@ -2048,6 +2123,8 @@ FROM batch ORDER BY id"""
     // production order as Corpus.curationPipeline.
     "p50_curation_pipeline" -> CurationPipelineOracle,
     "p58_streaming_pipeline" -> CurationPipelineOracle,
+    // p75: the update-mode drain folds to the SAME final state
+    "p75_streaming_update_dedup" -> CurationPipelineOracle,
 
 
     "p41_bpe" -> {
@@ -2804,6 +2881,21 @@ SELECT doc_id,
   (doc_id % 12 + 8)::INTEGER AS height,
   (doc_id % 3 + 1)::BIGINT AS n_frames
 FROM documents WHERE doc_id < 60 ORDER BY doc_id""",
+
+    // p74: the planted near-dup pairs are enumerable from the doc table
+    // alone — every variant of one doc is dHash-identical by fixture
+    // construction (hamming 0) and distinct docs never pair (64
+    // formula-derived gradient bits). Missing rows = codec/hash/banding
+    // break; extra rows = an over-eager hash.
+    "p74_image_neardup" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+v AS (SELECT doc_id, 0 AS var FROM documents
+      UNION ALL SELECT doc_id, 1 FROM documents WHERE doc_id % 5 = 0
+      UNION ALL SELECT doc_id, 2 FROM documents WHERE doc_id % 7 = 0)
+SELECT a.doc_id * 10 + a.var AS id_a, b.doc_id * 10 + b.var AS id_b,
+  0::BIGINT AS hamming
+FROM v a JOIN v b ON a.doc_id = b.doc_id AND a.var < b.var
+ORDER BY id_a, id_b""",
 
     "p15_streaming" ->
       s"""WITH $eventsCte,

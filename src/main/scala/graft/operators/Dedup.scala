@@ -463,6 +463,35 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /**
+   * Near-duplicate pairs among 64-bit fingerprints within `maxHamming`
+   * bit flips — the pairing stage behind image dHash dedup (P74), and
+   * the 64-bit twin of `simhashPairs`: 4-band bucketing on 16-bit bands
+   * (recall-lossless for maxHamming <= 3 by pigeonhole: 4 bands cannot
+   * all differ on <= 3 flipped bits), candidate join per bucket, exact
+   * hamming verification, never all-pairs. Input (idCol long, hashCol
+   * long); returns (id_a, id_b, hamming), id_a < id_b.
+   */
+  def hammingPairs64(hashes: DataFrame, maxHamming: Int = 3,
+                     idCol: String = "id", hashCol: String = "dhash"): DataFrame = {
+    require(maxHamming <= 3, "4-band bucketing is only recall-lossless for maxHamming <= 3")
+    val hs = SelfJoinMaterialize(
+      hashes.select(col(idCol).as("id"), col(hashCol).as("hsh")))
+    val banded = hs.select(col("id"), col("hsh"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_bits", expr("shiftright(hsh, band * 16) % 65536"))
+    val left = banded.select(col("band"), col("band_bits"),
+      col("id").as("id_a"), col("hsh").as("h_a"))
+    val right = banded.select(col("band"), col("band_bits"),
+      col("id").as("id_b"), col("hsh").as("h_b"))
+    left.join(right, Seq("band", "band_bits"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   // ---------------------------------------------------------------- P16
   /**
    * Near-duplicate CLUSTERS from a pair list: connected components via

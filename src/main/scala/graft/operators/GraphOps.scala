@@ -86,7 +86,12 @@ object GraphOps {
         .toSeq.distinct
       val endpointHit = col("subject").isNull ||
         (if (endpoints.size <= 16) col("subject").isin(endpoints: _*)
-         else graft.functions.HashExpressions.setProbe(col("subject"), endpoints.toSet))
+         else
+           // coarse [min,max] range first: zone-map prunable where the
+           // SetProbe is opaque to batch stats (see OneHop.memberOf)
+           col("subject") >= lit(endpoints.min) &&
+             col("subject") <= lit(endpoints.max) &&
+             graft.functions.HashExpressions.setProbe(col("subject"), endpoints.toSet))
       graph.edges
         .where(endpointHit && (
           if (keyMap.size <= 16) edgeKey.isin(keyMap.keys.toSeq: _*)

@@ -406,11 +406,21 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The exact grayscale a dHash cell of `dhashImagePng` carries — the
-   * formula the spec AND the p74 plan recompute independently of the
-   * codec. Range [30, 210] so the brightness/noise variants never clamp. */
-  def dhashCellGray(docId: Long, cx: Int, cy: Int): Int =
-    (java.lang.Long.remainderUnsigned(
-      (docId * 31 + cx * 17 + cy * 57) * 2654435761L + 12345L, 181L) + 30L).toInt
+   * formula the spec recomputes independently of the codec. A
+   * splitmix64-style NONLINEAR mix: a linear-mod formula makes the
+   * whole image a function of (docId mod m), capping the universe at m
+   * distinct hashes and colliding unrelated docs (caught by this spec's
+   * first draft); the finalizer makes cells behave independently, so
+   * distinct docs differ in ~32 of 64 gradient bits. Range [30, 210] so
+   * the brightness/noise variants never clamp at 0/255. */
+  def dhashCellGray(docId: Long, cx: Int, cy: Int): Int = {
+    var z = docId * 0x9E3779B97F4A7C15L + cx * 0xBF58476D1CE4E5B9L +
+      cy * 0x94D049BB133111EBL
+    z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+    z ^= z >>> 27; z *= 0x94D049BB133111EBL
+    z ^= z >>> 31
+    (java.lang.Long.remainderUnsigned(z, 181L) + 30L).toInt
+  }
 
   /** The dHash `imageDHash` must produce for `dhashImagePng(docId, _)` —
    * every variant of a doc, derived from the cell formula alone. */
@@ -441,7 +451,11 @@ object Multimodal {
    *       exactly: each 8-wide block holds four +1 and four -1 columns);
    *   2 — global +10 brightness (every mean shifts equally; dHash
    *       compares ADJACENT means, so all 64 bits survive).
-   * PNG is lossless and TYPE_BYTE_GRAY decodes with r=g=b, so the
+   * Pixels are stored as RGB with r=g=b (TYPE_INT_RGB round-trips
+   * through `getRGB` bit-exactly; a TYPE_BYTE_GRAY image would pass
+   * through a nonlinear gray→sRGB conversion on read, which does NOT
+   * commute with block means and flipped near-tie gradient bits under
+   * the noise variant — found by this spec). PNG is lossless, so the
    * decoded means equal the generated integers exactly — the operator's
    * hashes are reproducible from `expectedDHash` with zero tolerance.
    */
@@ -449,8 +463,7 @@ object Multimodal {
     val w = DHashGridW * 8
     val h = DHashGridH * 8
     val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
@@ -461,7 +474,7 @@ object Multimodal {
           case 2 => base + 10
           case _ => base
         }
-        raster.setSample(x, y, 0, v)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
         x += 1
       }
       y += 1

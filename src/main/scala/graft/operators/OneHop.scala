@@ -120,10 +120,18 @@ object OneHop {
     // Small sets keep isin (literal InSet: trivial plan cost, and cached-
     // batch stats pruning can use it); large expansions go through the
     // native SetProbe so the id set is ONE plan object however many times
-    // the condition is referenced.
+    // the condition is referenced — PLUS a coarse [min,max] range
+    // conjunct: SetProbe is opaque to the cached batches' min/max stats
+    // (r12's g15 scanned all 1.3M rows twice for a 40-id probe), but a
+    // plain range predicate over the clustering column prunes batches
+    // like isin does, and CURIE prefixes make the range tight (all
+    // "PART:*" ids fall inside ["PART:...","PART:..."]). Two string
+    // compares per surviving row; ordered range -> probe -> rest so the
+    // cheap checks still short-circuit the expensive match conditions.
     def memberOf(c: Column, ids: Seq[String]): Column =
       if (ids.size <= 16) c.isin(ids: _*)
-      else graft.functions.HashExpressions.setProbe(c, ids.toSet)
+      else c >= lit(ids.min) && c <= lit(ids.max) &&
+        graft.functions.HashExpressions.setProbe(c, ids.toSet)
 
     // ---- input-side matching ----
     // Literal fast path (pinned sets small, expansion driver-resolvable):
@@ -462,7 +470,12 @@ object OneHop {
                tagMap: Map[String, String], predPairs: Set[String]): Option[DataFrame] =
       if (tagMap.isEmpty) None
       else Some {
-        rel.where(HE.setProbe(col(probeCol), tagMap.keySet))
+        // coarse [min,max] range first — the zone-map-prunable conjunct
+        // (see memberOf in answer()); the probe set itself is opaque to
+        // cached-batch stats
+        rel.where(col(probeCol) >= lit(tagMap.keys.min) &&
+            col(probeCol) <= lit(tagMap.keys.max) &&
+            HE.setProbe(col(probeCol), tagMap.keySet))
           .withColumn("tag",
             explode(split(HE.mapProbe(col(probeCol), tagMap), TSEP)))
           .where(HE.setProbe(concat_ws(SEP, col("tag"), col("predicate")), predPairs))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Multimodal
+import graft.operators.{Dedup, Multimodal}
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
@@ -157,6 +157,47 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAvi("RIFFxxxxAVI corrupted".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.decodeAvi(
       Multimodal.generateAvi(16, 16, 2, 1).take(40)).isEmpty)
+  }
+
+  test("dHash: codec round-trip matches the cell formula exactly, variants collide, distinct docs don't") {
+    for (d <- Seq(0L, 3L, 35L, 123L)) {
+      val base = Multimodal.imageDHash(Multimodal.dhashImagePng(d, 0))
+      // the decoded hash equals the formula-derived one with ZERO tolerance
+      assert(base.contains(Multimodal.expectedDHash(d)), s"doc $d")
+      // byte-different re-encodings are dHash-identical by construction
+      for (v <- Seq(1, 2)) {
+        val bytes0 = Multimodal.dhashImagePng(d, 0)
+        val bytesV = Multimodal.dhashImagePng(d, v)
+        assert(!java.util.Arrays.equals(bytes0, bytesV), s"doc $d variant $v bytes")
+        assert(Multimodal.imageDHash(bytesV) == base, s"doc $d variant $v hash")
+      }
+    }
+    // genuinely different content diverges in many bits
+    val h1 = Multimodal.imageDHash(Multimodal.dhashImagePng(1L, 0)).get
+    val h2 = Multimodal.imageDHash(Multimodal.dhashImagePng(2L, 0)).get
+    assert(java.lang.Long.bitCount(h1 ^ h2) > 3)
+    // undecodable payloads are dropped, not mis-hashed
+    assert(Multimodal.imageDHash("not a png".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("image near-dup end-to-end: banded hamming join finds exactly the planted pairs") {
+    import spark.implicits._
+    val ds = (0L until 80L).toDS()
+    val images = ds.flatMap { d =>
+      val variants = Seq(0) ++
+        (if (d % 5 == 0) Seq(1) else Nil) ++
+        (if (d % 7 == 0) Seq(2) else Nil)
+      variants.map(v => (d * 10 + v, Multimodal.dhashImagePng(d, v)))
+    }.toDF("id", "payload")
+    val pairs = Dedup.hammingPairs64(Multimodal.imageDHashes(spark, images))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (0L until 80L).flatMap { d =>
+      val vs = Seq(0) ++
+        (if (d % 5 == 0) Seq(1) else Nil) ++
+        (if (d % 7 == 0) Seq(2) else Nil)
+      for (a <- vs; b <- vs if a < b) yield (d * 10 + a, d * 10 + b, 0L)
+    }.toSet
+    assert(pairs == expected)
   }
 
   test("column pruning: selecting features-only does not read payload") {

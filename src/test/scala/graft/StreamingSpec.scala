@@ -156,6 +156,69 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("update-mode dedup drain: per-batch deltas fold to the batch state, multi-update proven") {
+    import graft.operators.Corpus
+    import org.apache.spark.sql.streaming.Trigger
+    // Four files, drained one per micro-batch; the duplicate text spans
+    // ALL of them, so its hash group is updated in every batch — update
+    // mode must emit a delta each time, and the fold must recover the
+    // final (min id, total count) state.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-upd").toString
+    // texts must clear the full stage chain: one prose line of >= 5
+    // words ending in '.', 50+ words total, both stopwords present
+    val dupText = "the shared paragraph " +
+      (1 to 52).map(j => s"dup$j").mkString(" ") + " a fine end."
+    for (part <- 0 until 4) {
+      Seq.tabulate(10) { i =>
+        val id = part * 10 + i
+        val text = if (i == 0) dupText
+          else s"the document doc$id " +
+            (1 to 52).map(j => s"team$j").mkString(" ") + " a good end."
+        (id.toLong, text)
+      }.toDF("doc_id", "text")
+        .coalesce(1).write.parquet(s"$srcDir/part-$part")
+    }
+    // flatten: move each part's file into srcDir so FileStreamSource
+    // sees 4 sibling files
+    val root = java.nio.file.Paths.get(srcDir)
+    for (part <- 0 until 4) {
+      val sub = root.resolve(s"part-$part")
+      val f = java.nio.file.Files.list(sub).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.move(f, root.resolve(s"file-$part.parquet"))
+      java.nio.file.Files.walk(sub).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val schema = spark.read.parquet(s"$srcDir/file-0.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val out = Corpus.curationDedupAgg(
+      Corpus.curationStages(stream, stopwords = Seq("the", "a")))
+    val q = out.writeStream.format("memory").queryName("upd_spec")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val raw = spark.table("upd_spec").collect()
+    // the dup group was re-emitted across batches: more update rows than
+    // distinct groups — update mode did incremental work, not a re-dump
+    val nGroups = raw.map(_.getAs[String]("content_hash")).distinct.length
+    assert(raw.length > nGroups, s"no multi-update rows (${raw.length} rows, $nGroups groups)")
+    // fold: last update per group (largest n_dups) == the batch pipeline
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash").orderBy(col("n_dups").desc)
+    val folded = spark.table("upd_spec")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Corpus.curationPipeline(
+      spark.read.parquet(s"$srcDir/file-*.parquet"), stopwords = Seq("the", "a"))
+      .select("id", "content_hash", "n_tokens", "n_dups", "final_text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(folded == batch)
+    // and the dup group's final count is the cross-batch total
+    val dupRow = spark.table("upd_spec").orderBy(col("n_dups").desc).head()
+    assert(dupRow.getAs[Long]("n_dups") == 4L)
+  }
+
   test("streaming sessionize: EventTimeTimeout closes a session as the watermark advances") {
     implicit val sqlCtx = spark.sqlContext
     // user 1's events have NO in-batch gap — the session can only close by
