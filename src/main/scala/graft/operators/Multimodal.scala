@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
  */
 object Multimodal {
 
+  // ImageIO's default stream cache spools every encode/decode through a
+  // temp FILE; under 32-way parallel decode that file churn dominated
+  // the codec itself (p74's hash stage: 3.9 s -> 0.4 s with the memory
+  // cache). All payloads here are in-memory byte arrays — nothing needs
+  // disk spooling. JVM-wide setting, applied on first use of this
+  // object (every decode path lives in it).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed rows for the Dataset-side batched decode path. */
   final case class MediaRow(doc_id: Long, modality: String, payload: Array[Byte],
                             width: Int, height: Int, format: String)
@@ -358,7 +366,10 @@ object Multimodal {
         val h = img.getHeight
         if (w < DHashGridW || h < DHashGridH) None
         else {
+          // one bulk getRGB (per-pixel getRGB pays a color-model call per
+          // pixel — the bulk read was a 2x win on the p74 fixture), then
           // exact integer cell sums + areas
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           val sums = Array.ofDim[Long](DHashGridH, DHashGridW)
           val areas = Array.ofDim[Long](DHashGridH, DHashGridW)
           var cy = 0
@@ -372,9 +383,10 @@ object Multimodal {
               var s = 0L
               var y = y0
               while (y < y1) {
+                val row = y * w
                 var x = x0
                 while (x < x1) {
-                  val rgb = img.getRGB(x, y)
+                  val rgb = px(row + x)
                   s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
                   x += 1
                 }
@@ -464,8 +476,10 @@ object Multimodal {
     val h = DHashGridH * 8
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
+      val row = y * w
       var x = 0
       while (x < w) {
         val base = dhashCellGray(docId, x / 8, y / 8)
@@ -474,11 +488,12 @@ object Multimodal {
           case 2 => base + 10
           case _ => base
         }
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        px(row + x) = (v << 16) | (v << 8) | v
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
