@@ -700,7 +700,23 @@ object SparkEntry {
         "t_exp" -> QueryGraph.oneHop(
           QNode("n_out"),
           QNode("n_in", ids = Seq("REG:3")),
-          QEdge("n_out", "n_in", predicates = Seq(O.LocatedIn)))),
+          QEdge("n_out", "n_in", predicates = Seq(O.LocatedIn))),
+        "t_qual" -> QueryGraph.oneHop( // g15 shape: per-tag gated conglomerate
+          QNode("nOrd"),
+          QNode("nPart", ids = partIds(1 to 40: _*)),
+          QEdge("nOrd", "nPart", qualifierConstraints = Seq(
+            QualifierConstraint(qualifiedPredicate = Some(O.Ships),
+              objectDirection = Some(O.Flagged))))),
+        "t_attr" -> QueryGraph.oneHop( // g16 shape: gated attribute filter
+          QNode("nOut", categories = Seq(O.Customer)),
+          QNode("nIn", ids = natIds(0 to 9: _*)),
+          QEdge("nOut", "nIn", predicates = Seq(O.LocatedIn),
+            attributeConstraints = Seq(
+              AttributeConstraint("acctbal", ">", numValues = Seq(1000.0)),
+              AttributeConstraint("mktsegment", "==",
+                strValues = Seq("MACHINERY"), negated = true),
+              AttributeConstraint("knowledge_source", "==",
+                strValues = Seq("infores:crm")))))),
         closure = Some(Fixture.closure(s, dir)),
         index = Fixture.closureIndex(s, dir))
         .select(col("tag"), col("edge_id"), col("input_id"),
@@ -880,6 +896,18 @@ object SparkEntry {
           FROM g_edges e
           JOIN nation n ON e.object = 'NAT:' || n.n_nationkey AND n.n_regionkey = 3
           WHERE e.predicate = 'graft:located_in'
+          UNION ALL
+          SELECT 't_qual', edge_id, object, CAST(NULL AS VARCHAR), subject
+          FROM g_edges
+          WHERE qualified_predicate = 'graft:ships'
+            AND object_direction IN ('graft:returned', 'graft:accepted')
+            AND object IN (${idList(partIds(1 to 40: _*))})
+          UNION ALL
+          SELECT 't_attr', e.edge_id, e.object, CAST(NULL AS VARCHAR), e.subject
+          FROM g_edges e JOIN customer c ON e.subject = 'CUST:' || c.c_custkey
+          WHERE e.predicate = 'graft:located_in'
+            AND e.object IN (${idList(natIds(0 to 9: _*))})
+            AND c.c_acctbal > 1000 AND c.c_mktsegment <> 'MACHINERY'
           ORDER BY tag, edge_id, input_id"""),
 
     "g14_single_node" -> TpchGraph.oracle(

@@ -368,12 +368,22 @@ object OneHop {
    * input-qnode selection, subclass expansion with query-id mapping,
    * per-predicate bidirectionality, pinned-output ids (categories
    * ignored then, plover.py:2045-2049), output-category filtering
-   * against most-specific categories. Restrictions, by design: plain
-   * predicates only (qualifier/attribute constraints are per-query
-   * column work — such probes take the single `answer` path), and every
-   * pinned side must resolve driver-side (the ClosureIndex literal
-   * regime); a data-sized id set belongs on `answer`'s broadcast-join
-   * path, not in a point-probe batch.
+   * against most-specific categories. Qualified (conglomerate) and
+   * attribute-constrained probes are supported through per-tag GATED
+   * conjuncts (`tag = t && <condition_t>` folded into the branch
+   * filter): they cost plan size linear in the number of such probes —
+   * where plain probes are pure data — but still run inside the same
+   * single job and both scans. A qualified probe's ids enter both
+   * direction maps (its bidirectionality condition is per-row, so
+   * neither branch can be proven dead driver-side); the gate filters
+   * the wrong-direction rows.
+   *
+   * Bounds, by design: every pinned side must resolve driver-side (the
+   * ClosureIndex literal regime), and the WHOLE batch's expanded ids
+   * ride the serialized task binary together — so the per-call
+   * `maxLiteralIds` cap applies to the batch TOTAL, not per probe. A
+   * data-sized id set belongs on `answer`'s broadcast-join path, not
+   * in a point-probe batch.
    *
    * Output: `answer`'s binding projection plus the probe `tag`:
    * (tag, edge_id, subject, object, predicate, input_id, output_id,
@@ -403,11 +413,13 @@ object OneHop {
     val outPairs = Set.newBuilder[String]
     var catTags = Set.empty[String]
     val catPairs = Set.newBuilder[String]
+    val fwdQual = Seq.newBuilder[(String, Column)]
+    val bwdQual = Seq.newBuilder[(String, Column)]
+    val attrGates = Seq.newBuilder[(String, Column)]
+    var totalIds = 0
 
     for ((tag, qg) <- probes) {
       val qedge = QueryGraph.forceCanonical(qg.edge.get, ont)
-      require(qedge.qualifierConstraints.isEmpty && qedge.attributeConstraints.isEmpty,
-        s"probe '$tag': qualified/attribute-constrained probes take the answer() path")
       val subjQ = qg.node(qedge.subjectKey)
       val objQ = qg.node(qedge.objectKey)
       require(subjQ.ids.nonEmpty || objQ.ids.nonEmpty,
@@ -426,23 +438,41 @@ object OneHop {
             case None => throw new IllegalArgumentException(
               s"probe '$tag': subclass expansion in a batch needs a ClosureIndex")
           }
-        require(li.ids.size <= maxLiteralIds,
-          s"probe '$tag': ${li.ids.size} ids exceed the literal-probe cap " +
-            s"($maxLiteralIds) — use answer()'s broadcast-join path")
+        totalIds += li.ids.size
+        require(totalIds <= maxLiteralIds,
+          s"batch ships $totalIds+ expanded ids inside one task binary, " +
+            s"over the $maxLiteralIds cap (probe '$tag') — split the " +
+            "batch, or run oversized probes through answer()'s " +
+            "broadcast-join path")
         li
       }
       val in = expand(inputQ.ids)
-      val (expanded, bidirPreds) = plainPredSets(qedge, ont)
-      val fwdPreds = if (inputIsSubject) expanded else bidirPreds
-      val bwdPreds = if (!inputIsSubject) expanded else bidirPreds
-      if (fwdPreds.nonEmpty) {
-        in.ids.foreach(id => fwdTags(id) = tag :: fwdTags.getOrElse(id, Nil))
-        fwdPreds.foreach(p => fwdPredPairs += tag + SEP + p)
+      if (qedge.qualifierConstraints.nonEmpty) {
+        // qualified probe: the conglomerate match is a per-tag GATED
+        // conjunct; ids enter both direction maps (bidirectionality is
+        // per-row here — see scaladoc)
+        val (matchCond, bidirCond) = qualifiedConds(qedge, ont)
+        in.ids.foreach { id =>
+          fwdTags(id) = tag :: fwdTags.getOrElse(id, Nil)
+          bwdTags(id) = tag :: bwdTags.getOrElse(id, Nil)
+        }
+        fwdQual += tag -> (matchCond && (bidirCond || lit(inputIsSubject)))
+        bwdQual += tag -> (matchCond && (bidirCond || lit(!inputIsSubject)))
+      } else {
+        val (expanded, bidirPreds) = plainPredSets(qedge, ont)
+        val fwdPreds = if (inputIsSubject) expanded else bidirPreds
+        val bwdPreds = if (!inputIsSubject) expanded else bidirPreds
+        if (fwdPreds.nonEmpty) {
+          in.ids.foreach(id => fwdTags(id) = tag :: fwdTags.getOrElse(id, Nil))
+          fwdPreds.foreach(p => fwdPredPairs += tag + SEP + p)
+        }
+        if (bwdPreds.nonEmpty) {
+          in.ids.foreach(id => bwdTags(id) = tag :: bwdTags.getOrElse(id, Nil))
+          bwdPreds.foreach(p => bwdPredPairs += tag + SEP + p)
+        }
       }
-      if (bwdPreds.nonEmpty) {
-        in.ids.foreach(id => bwdTags(id) = tag :: bwdTags.getOrElse(id, Nil))
-        bwdPreds.foreach(p => bwdPredPairs += tag + SEP + p)
-      }
+      if (qedge.attributeConstraints.nonEmpty)
+        attrGates += tag -> AttributeConstraints.compileAll(qedge.attributeConstraints)
       in.queryIds.foreach { case (id, q) => inQid += (tag + SEP + id) -> q }
       if (outputQ.ids.nonEmpty) {
         val out = expand(outputQ.ids)
@@ -464,12 +494,23 @@ object OneHop {
     val bwdPairSet = bwdPredPairs.result()
     val outPairSet = outPairs.result()
     val catPairSet = catPairs.result()
+    val fwdQualGates = fwdQual.result()
+    val bwdQualGates = bwdQual.result()
 
     // ---- the one-job plan ----
     def branch(rel: DataFrame, probeCol: String, otherCol: String,
-               tagMap: Map[String, String], predPairs: Set[String]): Option[DataFrame] =
+               tagMap: Map[String, String], predPairs: Set[String],
+               qualGates: Seq[(String, Column)]): Option[DataFrame] =
       if (tagMap.isEmpty) None
       else Some {
+        // predicate check: plain probes are an O(1) pair-key hash probe;
+        // qualified probes are per-tag gated conjuncts OR'd behind it
+        val pairHit =
+          if (predPairs.isEmpty) lit(false)
+          else HE.setProbe(concat_ws(SEP, col("tag"), col("predicate")), predPairs)
+        val qualHit = qualGates.foldLeft(lit(false)) {
+          case (acc, (t, c)) => acc || (col("tag") === t && c)
+        }
         // coarse [min,max] range first — the zone-map-prunable conjunct
         // (see memberOf in answer()); the probe set itself is opaque to
         // cached-batch stats
@@ -478,12 +519,14 @@ object OneHop {
             HE.setProbe(col(probeCol), tagMap.keySet))
           .withColumn("tag",
             explode(split(HE.mapProbe(col(probeCol), tagMap), TSEP)))
-          .where(HE.setProbe(concat_ws(SEP, col("tag"), col("predicate")), predPairs))
+          .where(pairHit || qualHit)
           .withColumn("input_id", col(probeCol))
           .withColumn("output_id", col(otherCol))
       }
-    val fwd = branch(graph.edges, "subject", "object", fwdTagMap, fwdPairSet)
-    val bwd = branch(graph.reverseEdges, "object", "subject", bwdTagMap, bwdPairSet)
+    val fwd = branch(graph.edges, "subject", "object", fwdTagMap, fwdPairSet,
+      fwdQualGates)
+    val bwd = branch(graph.reverseEdges, "object", "subject", bwdTagMap,
+      bwdPairSet, bwdQualGates)
     var matched = (fwd, bwd) match {
       case (Some(f), Some(b)) => f.unionByName(b)
       case (Some(f), None) => f
@@ -519,6 +562,18 @@ object OneHop {
             .where(!tagHasCats || catHit(col("__out_cats")))
             .drop("__out_cats")
         }
+    }
+    locally {
+      val gates = attrGates.result()
+      if (gates.nonEmpty) {
+        // attribute constraints: per-tag gated conjuncts, same contract
+        // as answer()'s post-match AttributeConstraints filter
+        val inAttr = HE.setProbe(col("tag"), gates.map(_._1).toSet)
+        val gate = gates.foldLeft(lit(false)) {
+          case (acc, (t, c)) => acc || (col("tag") === t && c)
+        }
+        matched = matched.where(!inAttr || gate)
+      }
     }
     matched.select(col("tag"), col("edge_id"), col("subject"), col("object"),
       col("predicate"), col("input_id"), col("output_id"),

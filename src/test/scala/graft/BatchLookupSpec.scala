@@ -51,7 +51,23 @@ class BatchLookupSpec extends SparkSpec {
       "hier" -> QueryGraph.oneHop(
         QNode("n0", ids = (1 to 5).map("PART:" + _)),
         QNode("n1"),
-        QEdge("n0", "n1", predicates = Seq(O.Transacts))))
+        QEdge("n0", "n1", predicates = Seq(O.Transacts))),
+      // qualified conglomerate probe (g15 shape) — per-tag gated conjunct
+      "qual" -> QueryGraph.oneHop(
+        QNode("nOrd"),
+        QNode("nPart", ids = (1 to 40).map("PART:" + _)),
+        QEdge("nOrd", "nPart", qualifierConstraints = Seq(
+          QualifierConstraint(qualifiedPredicate = Some(O.Ships),
+            objectDirection = Some(O.Flagged))))),
+      // attribute-constrained probe (g16 shape) — gated post-match filter
+      "attr" -> QueryGraph.oneHop(
+        QNode("nOut", categories = Seq(O.Customer)),
+        QNode("nIn", ids = (0 to 9).map("NAT:" + _)),
+        QEdge("nOut", "nIn", predicates = Seq(O.LocatedIn),
+          attributeConstraints = Seq(
+            AttributeConstraint("acctbal", ">", numValues = Seq(1000.0)),
+            AttributeConstraint("mktsegment", "==",
+              strValues = Seq("MACHINERY"), negated = true)))))
   }
 
   private val bindingCols =
@@ -92,21 +108,23 @@ class BatchLookupSpec extends SparkSpec {
     assert(jobs.get() <= 2, s"batch ran ${jobs.get()} jobs") // count may AQE-split once
   }
 
-  test("guards: duplicate tags, constrained probes, oversized id sets") {
+  test("guards: duplicate tags, batch-total id cap") {
     val qg = probes.head._2
     intercept[IllegalArgumentException] {
       OneHop.answerBatch(spark, graph, ont, Seq("a" -> qg, "a" -> qg))
     }
+    // the cap bounds the BATCH total (everything rides one task binary),
+    // so two probes of 3 ids each exceed a cap of 5 even though each
+    // alone would fit
     intercept[IllegalArgumentException] {
-      OneHop.answerBatch(spark, graph, ont, Seq("q" -> QueryGraph.oneHop(
-        QNode("n0", ids = Seq("NAT:1")), QNode("n1"),
-        QEdge("n0", "n1", qualifierConstraints = Seq(
-          QualifierConstraint(qualifiedPredicate = Some(O.Ships)))))))
-    }
-    intercept[IllegalArgumentException] {
-      OneHop.answerBatch(spark, graph, ont, Seq("big" -> QueryGraph.oneHop(
-        QNode("n0", ids = (1 to 10).map("CUST:" + _)), QNode("n1"),
-        QEdge("n0", "n1", predicates = Seq(O.LocatedIn)))), maxLiteralIds = 5)
+      OneHop.answerBatch(spark, graph, ont, Seq(
+        "b1" -> QueryGraph.oneHop(
+          QNode("n0", ids = (1 to 3).map("CUST:" + _)), QNode("n1"),
+          QEdge("n0", "n1", predicates = Seq(O.LocatedIn))),
+        "b2" -> QueryGraph.oneHop(
+          QNode("n0", ids = (4 to 6).map("CUST:" + _)), QNode("n1"),
+          QEdge("n0", "n1", predicates = Seq(O.LocatedIn)))),
+        maxLiteralIds = 5)
     }
   }
 }

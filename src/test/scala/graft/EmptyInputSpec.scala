@@ -152,5 +152,31 @@ class EmptyInputSpec extends SparkSpec {
     assert(Sessionize.tumblingAgg(emptyEvents).count() == 0)
     assert(Multimodal.features(Multimodal.fromDocuments(
       emptyDocs.withColumn("n_chars", lit(0L)))).count() == 0)
+    // image dHash plumbing: empty image table -> empty hashes and pairs
+    val emptyImages = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType),
+        StructField("payload", BinaryType))))
+    assert(Multimodal.imageDHashes(spark, emptyImages).count() == 0)
+    assert(Dedup.hammingPairs64(
+      Multimodal.imageDHashes(spark, emptyImages)).count() == 0)
+  }
+
+  test("batched lookup: a probe matching nothing contributes zero rows, not an error") {
+    val graph = graft.sources.TpchGraph(spark, "/root/testdata/sf0.001")
+    val ont = graft.model.GraftOntology.ontology
+    val out = OneHop.answerBatch(spark, graph, ont, Seq(
+      "miss" -> QueryGraph.oneHop(
+        QNode("n0", ids = Seq("CUST:99999999")),
+        QNode("n1"),
+        QEdge("n0", "n1", predicates = Seq(graft.model.GraftOntology.LocatedIn))),
+      "hit" -> QueryGraph.oneHop(
+        QNode("n0", ids = Seq("NAT:0")),
+        QNode("n1"),
+        QEdge("n0", "n1", predicates = Seq(graft.model.GraftOntology.PartOf)))))
+    val byTag = out.groupBy("tag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byTag.contains("miss"))
+    assert(byTag.getOrElse("hit", 0L) > 0)
   }
 }
