@@ -42,4 +42,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // operators' materialized frames and execution memory side by side —
   // the same sizing a real 32-core executor of this memory class gets.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // G1 stays on its DEFAULT 200 ms pause target: an r13 experiment with
+  // -XX:MaxGCPauseMillis=50 shrank the young gen so aggressively on the
+  // 32g heap that GC frequency exploded — the per-query floor doubled
+  // (0.12 -> 0.25 s) and the published-key sum went 1.21 -> 2.75 s.
+  // Occasional ~100-200 ms young pauses are the cheaper jitter.
 )

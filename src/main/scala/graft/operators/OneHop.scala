@@ -44,11 +44,12 @@ object OneHop {
    * InSet set probe, and the query-id map goes through the native
    * MapProbe expression (a typedLit map would LINEAR-scan per row).
    *
-   * Threshold justification (ScaleSmoke `lookup` sweep, sf0.1, r12):
-   * the literal probe matches or beats the broadcast join at EVERY
-   * measured size — one-hop 16k ids 0.57 s vs 1.02 s, 262k ids 3.47 s
-   * vs 4.26 s; get_edges 16k pairs 0.28 s vs 0.84 s, 262k pairs 1.33 s
-   * vs 2.35 s — so 64k is not a latency crossover but a MEMORY bound:
+   * Threshold justification (ScaleSmoke `lookup` sweep, sf0.1, r12;
+   * re-measured r13 with the coarse range conjunct — literal gains
+   * further: one-hop 16k ids 0.31 s vs 0.59 s join, 262k 1.91 vs
+   * 2.69): the literal probe matches or beats the broadcast join at
+   * EVERY measured size — so 64k is not a latency crossover but a
+   * MEMORY bound:
    * the probe set rides inside the serialized task binary on every
    * call (~tens of MB at 10^6 ids), where the join path ships the ids
    * once as broadcast DATA. Batches past the cap take the join path,
