@@ -638,6 +638,28 @@ object PipelineEntry {
       s.table(name).orderBy("id")
     }),
 
+    // P12+++ / P76 — audio near-duplicate detection via envelope hash
+    // (the WAV twin of p74's image dHash): real javax.sound decode →
+    // 65 exact integer frame-energy sums → 64 delta-sign bits,
+    // invariant to amplitude scaling and energy-preserving dither;
+    // pairing reuses the SAME banded hamming join as images. Docs
+    // %4/%6 carry byte-different hash-identical re-encodings; the
+    // oracle enumerates the planted variant pairs (same contract as
+    // p74: codec/hash/banding break = missing rows, over-eager hash =
+    // extra rows). Ids are doc_id*10+variant.
+    "p76_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val clips = docs(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { d =>
+          val variants = Seq(0) ++
+            (if (d % 4 == 0) Seq(1) else Nil) ++
+            (if (d % 6 == 0) Seq(2) else Nil)
+          variants.map(v => (d * 10 + v, Multimodal.envelopeWav(d, v)))
+        }.toDF("id", "payload")
+      Dedup.hammingPairs64(Multimodal.audioEnvelopeHashes(s, clips))
+        .orderBy("id_a", "id_b")
+    }),
+
     // P15+++/P22++++, key p75_streaming_update_dedup — p58's UPDATE-mode
     // drain twin: the continuous-pipeline shape. Complete mode re-emits
     // the WHOLE state every micro-batch (O(state) per batch — fine at
@@ -2883,6 +2905,17 @@ SELECT doc_id,
   (doc_id % 12 + 8)::INTEGER AS height,
   (doc_id % 3 + 1)::BIGINT AS n_frames
 FROM documents WHERE doc_id < 60 ORDER BY doc_id""",
+
+    // p76: same enumeration contract as p74, audio variant rules %4/%6
+    "p76_audio_neardup" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+v AS (SELECT doc_id, 0 AS var FROM documents
+      UNION ALL SELECT doc_id, 1 FROM documents WHERE doc_id % 4 = 0
+      UNION ALL SELECT doc_id, 2 FROM documents WHERE doc_id % 6 = 0)
+SELECT a.doc_id * 10 + a.var AS id_a, b.doc_id * 10 + b.var AS id_b,
+  0::BIGINT AS hamming
+FROM v a JOIN v b ON a.doc_id = b.doc_id AND a.var < b.var
+ORDER BY id_a, id_b""",
 
     // p74: the planted near-dup pairs are enumerable from the doc table
     // alone — every variant of one doc is dHash-identical by fixture

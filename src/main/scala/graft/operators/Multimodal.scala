@@ -517,6 +517,152 @@ object Multimodal {
       .toDF("id", "dhash")
   }
 
+  // ------------------------------------ audio near-dup (envelope, P76)
+
+  /** Envelope hash frames: 65 equal frames -> 64 delta-sign bits. */
+  val EnvFrames = 65
+  /** Samples per frame in the fixture (even — the dither variant pairs
+   * a +1 and a -1 adjustment inside every frame). */
+  val EnvFrameLen = 32
+
+  /**
+   * Audio envelope hash — the WAV twin of the image dHash: decode
+   * 16-bit PCM, split into 65 equal frames, take each frame's EXACT
+   * integer sum of |sample|, and emit 64 bits comparing adjacent frame
+   * energies (cross-multiplied — no float anywhere). Invariant to
+   * amplitude scaling (every frame scales together) and to
+   * re-encodings that preserve per-frame energy; genuinely different
+   * audio differs in many bits. None for non-PCM16 payloads or clips
+   * shorter than the frame grid.
+   */
+  def audioEnvelopeHash(payload: Array[Byte]): Option[Long] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          if (n < EnvFrames) None
+          else {
+            val sums = new Array[Long](EnvFrames)
+            val lens = new Array[Long](EnvFrames)
+            var f = 0
+            while (f < EnvFrames) {
+              val i0 = f * n / EnvFrames
+              val i1 = (f + 1) * n / EnvFrames
+              var s = 0L
+              var i = i0
+              while (i < i1) {
+                val v: Int =
+                  if (fmt.isBigEndian) (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
+                  else (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+                s += math.abs(v)
+                i += 1
+              }
+              sums(f) = s
+              lens(f) = (i1 - i0).toLong
+              f += 1
+            }
+            var hash = 0L
+            var bit = 0
+            while (bit < EnvFrames - 1) {
+              if (sums(bit) * lens(bit + 1) < sums(bit + 1) * lens(bit))
+                hash |= 1L << bit
+              bit += 1
+            }
+            Some(hash)
+          }
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The exact PCM sample of the p76 fixture — ODD magnitudes only
+   * (|s| in {1,3,...,8191}), so the dither variant's ±1 adjustments
+   * never cross zero ambiguously and the ×2 variant never clips. The
+   * spec recomputes the envelope hash from this formula alone. */
+  def envelopeSample(docId: Long, i: Int): Short = {
+    var z = docId * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L
+    z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+    z ^= z >>> 27; z *= 0x94D049BB133111EBL
+    z ^= z >>> 31
+    val mag = (java.lang.Long.remainderUnsigned(z, 4096L) * 2 + 1).toInt
+    (if ((z >>> 13 & 1L) == 0L) mag else -mag).toShort
+  }
+
+  /** The envelope hash `audioEnvelopeHash` must produce for EVERY
+   * variant of `envelopeWav(docId, _)`, from the sample formula alone. */
+  def expectedEnvelopeHash(docId: Long): Long = {
+    val n = EnvFrames * EnvFrameLen
+    val sums = new Array[Long](EnvFrames)
+    var i = 0
+    while (i < n) {
+      sums(i / EnvFrameLen) += math.abs(envelopeSample(docId, i).toInt)
+      i += 1
+    }
+    var hash = 0L
+    var bit = 0
+    while (bit < EnvFrames - 1) {
+      if (sums(bit) < sums(bit + 1)) hash |= 1L << bit
+      bit += 1
+    }
+    hash
+  }
+
+  /**
+   * Deterministic near-duplicate audio fixture (2080-sample mono PCM16
+   * WAV, lossless). Variants of one doc are BYTE-different but
+   * envelope-hash-IDENTICAL by construction:
+   *   0 — the base clip;
+   *   1 — amplitude x2 (every frame energy scales together; magnitudes
+   *       <= 8191 so x2 never clips);
+   *   2 — sign-aware ±1 dither: |s|+1 at even positions, |s|-1 at odd —
+   *       each frame holds equally many of each, so the frame's
+   *       |sample| SUM is preserved exactly (a plain alternating ±1
+   *       would shift the sum by the sample-sign imbalance).
+   */
+  def envelopeWav(docId: Long, variant: Int): Array[Byte] = {
+    val n = EnvFrames * EnvFrameLen
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = envelopeSample(docId, i).toInt
+      val v = variant match {
+        case 1 => s * 2
+        case 2 => if (i % 2 == 0) s + Integer.signum(s) else s - Integer.signum(s)
+        case _ => s
+      }
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** (id, dhash) for every decodable PCM16 clip — the audio twin of
+   * `imageDHashes`, same batched-per-partition shape, same output
+   * column so `Dedup.hammingPairs64` pairs either modality. */
+  def audioEnvelopeHashes(spark: SparkSession, audio: DataFrame,
+                          idCol: String = "id", payloadCol: String = "payload")
+      : DataFrame = {
+    import spark.implicits._
+    audio.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        audioEnvelopeHash(payload).map(hsh => (id, hsh))
+      })
+      .toDF("id", "dhash")
+  }
+
   /**
    * Batched decode path: groups each partition's rows into `batchSize`
    * slices and runs the decoder once per batch (the shape a real codec /

@@ -200,6 +200,43 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == expected)
   }
 
+  test("audio envelope hash: codec round-trip matches the formula, variants collide, distinct docs don't") {
+    for (d <- Seq(0L, 4L, 12L, 77L)) {
+      val base = Multimodal.audioEnvelopeHash(Multimodal.envelopeWav(d, 0))
+      assert(base.contains(Multimodal.expectedEnvelopeHash(d)), s"doc $d")
+      for (v <- Seq(1, 2)) {
+        val b0 = Multimodal.envelopeWav(d, 0)
+        val bv = Multimodal.envelopeWav(d, v)
+        assert(!java.util.Arrays.equals(b0, bv), s"doc $d variant $v bytes")
+        assert(Multimodal.audioEnvelopeHash(bv) == base, s"doc $d variant $v hash")
+      }
+    }
+    val h1 = Multimodal.audioEnvelopeHash(Multimodal.envelopeWav(1L, 0)).get
+    val h2 = Multimodal.audioEnvelopeHash(Multimodal.envelopeWav(2L, 0)).get
+    assert(java.lang.Long.bitCount(h1 ^ h2) > 3)
+    assert(Multimodal.audioEnvelopeHash("not a wav".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("audio near-dup end-to-end: banded hamming join finds exactly the planted pairs") {
+    import spark.implicits._
+    val ds = (0L until 60L).toDS()
+    val clips = ds.flatMap { d =>
+      val variants = Seq(0) ++
+        (if (d % 4 == 0) Seq(1) else Nil) ++
+        (if (d % 6 == 0) Seq(2) else Nil)
+      variants.map(v => (d * 10 + v, Multimodal.envelopeWav(d, v)))
+    }.toDF("id", "payload")
+    val pairs = Dedup.hammingPairs64(Multimodal.audioEnvelopeHashes(spark, clips))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (0L until 60L).flatMap { d =>
+      val vs = Seq(0) ++
+        (if (d % 4 == 0) Seq(1) else Nil) ++
+        (if (d % 6 == 0) Seq(2) else Nil)
+      for (a <- vs; b <- vs if a < b) yield (d * 10 + a, d * 10 + b, 0L)
+    }.toSet
+    assert(pairs == expected)
+  }
+
   test("column pruning: selecting features-only does not read payload") {
     // Write to parquet, read back, select a narrow projection — the
     // optimized scan schema must exclude the payload column.
