@@ -534,8 +534,91 @@ object Multimodal {
    * re-encodings that preserve per-frame energy; genuinely different
    * audio differs in many bits. None for non-PCM16 payloads or clips
    * shorter than the frame grid.
+   *
+   * Canonical RIFF/WAVE PCM16-mono payloads are parsed directly (pure
+   * byte work, zero shared state — `AudioSystem` holds a synchronized
+   * provider registry whose per-call scan serialized 32-way parallel
+   * hashing 50x in the p76 micro-benchmark); anything else falls back
+   * to the javax.sound path, so exotic-but-valid encodings still
+   * decode, just without the fast lane.
    */
   def audioEnvelopeHash(payload: Array[Byte]): Option[Long] =
+    parseCanonicalWavPcm16Mono(payload) match {
+      case Some((bytes, off, n)) => envelopeHashOfPcm(bytes, off, n, bigEndian = false)
+      case None => audioEnvelopeHashViaSound(payload)
+    }
+
+  /** Locate the PCM16-mono sample data inside a canonical RIFF/WAVE
+   * payload: returns (buffer, byteOffset, sampleCount), or None when
+   * the container/encoding isn't the canonical shape (caller falls
+   * back to javax.sound). */
+  private def parseCanonicalWavPcm16Mono(payload: Array[Byte])
+      : Option[(Array[Byte], Int, Int)] =
+    try {
+      def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+      def le32(o: Int): Int =
+        (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+          ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+      def cc(o: Int): String = new String(payload, o, 4, "US-ASCII")
+      if (payload.length < 44 || cc(0) != "RIFF" || cc(8) != "WAVE") return None
+      var pos = 12
+      var pcmOk = false
+      var data: Option[(Array[Byte], Int, Int)] = None
+      while (pos + 8 <= payload.length && data.isEmpty) {
+        val id = cc(pos)
+        val size = le32(pos + 4)
+        if (size < 0 || pos + 8 + size > payload.length) return None
+        if (id == "fmt " && size >= 16) {
+          pcmOk = le16(pos + 8) == 1 && // WAVE_FORMAT_PCM
+            le16(pos + 10) == 1 && // mono
+            le16(pos + 22) == 16 // 16-bit
+          if (!pcmOk) return None // valid WAV, non-canonical encoding
+        } else if (id == "data") {
+          if (!pcmOk) return None // data before fmt: let javax.sound decide
+          data = Some((payload, pos + 8, size / 2))
+        }
+        pos += 8 + size + (size & 1)
+      }
+      data
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The exact frame-energy hash over a PCM16 sample run (see
+   * audioEnvelopeHash). */
+  private def envelopeHashOfPcm(bytes: Array[Byte], off: Int, n: Int,
+                                bigEndian: Boolean): Option[Long] = {
+    if (n < EnvFrames) return None
+    val sums = new Array[Long](EnvFrames)
+    val lens = new Array[Long](EnvFrames)
+    var f = 0
+    while (f < EnvFrames) {
+      val i0 = f * n / EnvFrames
+      val i1 = (f + 1) * n / EnvFrames
+      var s = 0L
+      var i = i0
+      while (i < i1) {
+        val o = off + 2 * i
+        val v: Int =
+          if (bigEndian) (bytes(o).toInt << 8) | (bytes(o + 1) & 0xff)
+          else (bytes(o + 1).toInt << 8) | (bytes(o) & 0xff)
+        s += math.abs(v)
+        i += 1
+      }
+      sums(f) = s
+      lens(f) = (i1 - i0).toLong
+      f += 1
+    }
+    var hash = 0L
+    var bit = 0
+    while (bit < EnvFrames - 1) {
+      if (sums(bit) * lens(bit + 1) < sums(bit + 1) * lens(bit))
+        hash |= 1L << bit
+      bit += 1
+    }
+    Some(hash)
+  }
+
+  /** javax.sound fallback for non-canonical payloads. */
+  private def audioEnvelopeHashViaSound(payload: Array[Byte]): Option[Long] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -545,37 +628,7 @@ object Multimodal {
             fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
         else {
           val bytes = in.readAllBytes()
-          val n = bytes.length / 2
-          if (n < EnvFrames) None
-          else {
-            val sums = new Array[Long](EnvFrames)
-            val lens = new Array[Long](EnvFrames)
-            var f = 0
-            while (f < EnvFrames) {
-              val i0 = f * n / EnvFrames
-              val i1 = (f + 1) * n / EnvFrames
-              var s = 0L
-              var i = i0
-              while (i < i1) {
-                val v: Int =
-                  if (fmt.isBigEndian) (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
-                  else (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
-                s += math.abs(v)
-                i += 1
-              }
-              sums(f) = s
-              lens(f) = (i1 - i0).toLong
-              f += 1
-            }
-            var hash = 0L
-            var bit = 0
-            while (bit < EnvFrames - 1) {
-              if (sums(bit) * lens(bit + 1) < sums(bit + 1) * lens(bit))
-                hash |= 1L << bit
-              bit += 1
-            }
-            Some(hash)
-          }
+          envelopeHashOfPcm(bytes, 0, bytes.length / 2, fmt.isBigEndian)
         }
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -639,13 +692,27 @@ object Multimodal {
       pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
-    val stream = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(stream,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    // canonical 44-byte RIFF/WAVE header written directly (the
+    // AudioSystem writer pays the same synchronized provider scan the
+    // hash path avoids — see audioEnvelopeHash)
+    val out = new Array[Byte](44 + pcm.length)
+    def putLe32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def putLe16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putCc(o: Int, s: String): Unit =
+      System.arraycopy(s.getBytes("US-ASCII"), 0, out, o, 4)
+    putCc(0, "RIFF"); putLe32(4, 36 + pcm.length); putCc(8, "WAVE")
+    putCc(12, "fmt "); putLe32(16, 16)
+    putLe16(20, 1); putLe16(22, 1) // PCM, mono
+    putLe32(24, 16000); putLe32(28, 16000 * 2) // rate, byte rate
+    putLe16(32, 2); putLe16(34, 16) // block align, bits
+    putCc(36, "data"); putLe32(40, pcm.length)
+    System.arraycopy(pcm, 0, out, 44, pcm.length)
+    out
   }
 
   /** (id, dhash) for every decodable PCM16 clip — the audio twin of
