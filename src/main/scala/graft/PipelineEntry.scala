@@ -660,6 +660,29 @@ object PipelineEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // P12+++/P74++, key p77_video_neardup — the video member of the
+    // near-dup triad: per-frame dHash of the DECODED frames, strict-
+    // majority-folded into a 64-bit fingerprint, paired by the SAME
+    // banded hamming join as images/audio. Fixture plants re-muxed
+    // (same frame bytes, different container) and losslessly-transcoded
+    // (same pixels, different codec) twins — byte-different,
+    // fingerprint-identical by construction; videos only on doc_id%5
+    // (video corpora are sparser than image ones, and each payload
+    // costs NeardupVideoFrames codec passes). Ids are doc_id*10+variant.
+    "p77_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val videos = docs(s, dir).select(col("doc_id")).as[Long]
+        .filter(_ % 5 == 0)
+        .flatMap { d =>
+          val variants = Seq(0) ++
+            (if (d % 10 == 0) Seq(1) else Nil) ++
+            (if (d % 15 == 0) Seq(2) else Nil)
+          variants.map(v => (d * 10 + v, Multimodal.neardupAvi(d, v)))
+        }.toDF("id", "payload")
+      Dedup.hammingPairs64(Multimodal.videoFingerprints(s, videos))
+        .orderBy("id_a", "id_b")
+    }),
+
     // P15+++/P22++++, key p75_streaming_update_dedup — p58's UPDATE-mode
     // drain twin: the continuous-pipeline shape. Complete mode re-emits
     // the WHOLE state every micro-batch (O(state) per batch — fine at
@@ -2912,6 +2935,20 @@ FROM documents WHERE doc_id < 60 ORDER BY doc_id""",
 v AS (SELECT doc_id, 0 AS var FROM documents
       UNION ALL SELECT doc_id, 1 FROM documents WHERE doc_id % 4 = 0
       UNION ALL SELECT doc_id, 2 FROM documents WHERE doc_id % 6 = 0)
+SELECT a.doc_id * 10 + a.var AS id_a, b.doc_id * 10 + b.var AS id_b,
+  0::BIGINT AS hamming
+FROM v a JOIN v b ON a.doc_id = b.doc_id AND a.var < b.var
+ORDER BY id_a, id_b""",
+
+    // p77: same planted-pair enumeration as p74/p76 — every variant of
+    // one doc is fingerprint-identical by fixture construction (v1
+    // shares v0's frame bytes, v2 shares v0's decoded pixels), distinct
+    // docs never collide within hamming 3 (quasi-random 64-bit folds).
+    "p77_video_neardup" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+v AS (SELECT doc_id, 0 AS var FROM documents WHERE doc_id % 5 = 0
+      UNION ALL SELECT doc_id, 1 FROM documents WHERE doc_id % 10 = 0
+      UNION ALL SELECT doc_id, 2 FROM documents WHERE doc_id % 15 = 0)
 SELECT a.doc_id * 10 + a.var AS id_a, b.doc_id * 10 + b.var AS id_b,
   0::BIGINT AS hamming
 FROM v a JOIN v b ON a.doc_id = b.doc_id AND a.var < b.var

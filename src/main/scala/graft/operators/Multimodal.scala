@@ -730,6 +730,192 @@ object Multimodal {
       .toDF("id", "dhash")
   }
 
+  // ---------------------------------- video near-dup (fingerprint, P77)
+
+  /**
+   * Strict-majority fold of per-frame 64-bit hashes into one video
+   * fingerprint: output bit b = 1 iff MORE than half the frames have
+   * bit b set (ties -> 0, so the fold is deterministic for any frame
+   * count). Robust to a minority of odd frames (an inserted title card
+   * or a corrupted frame flips no bit), unlike an XOR or concat fold.
+   */
+  def majorityFold64(hashes: Array[Long]): Long = {
+    val n = hashes.length
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      var ones = 0
+      var i = 0
+      while (i < n) {
+        if ((hashes(i) >>> bit & 1L) == 1L) ones += 1
+        i += 1
+      }
+      if (ones * 2 > n) out |= 1L << bit
+      bit += 1
+    }
+    out
+  }
+
+  /**
+   * Perceptual video fingerprint — the video member of the near-dup
+   * triad (image `imageDHash`, audio `audioEnvelopeHash`): walk the AVI
+   * RIFF tree like `decodeAvi`, dHash every `frameStep`-th DECODED
+   * frame (any `javax.imageio` codec inside the frame chunk — MJPEG or
+   * a lossless transcode), then strict-majority-fold the per-frame
+   * hashes into 64 bits. Invariant to container re-muxing (chunk ids,
+   * JUNK padding, index chunks, fps metadata — the bytes change, the
+   * frames don't) and to lossless per-frame transcodes (identical
+   * decoded pixels => identical per-frame dHash), while genuinely
+   * different videos differ in ~32 bits. None when no frame decodes.
+   */
+  def videoFingerprint(payload: Array[Byte], frameStep: Int = 1): Option[Long] =
+    try {
+      require(frameStep >= 1)
+      def le32(off: Int): Int =
+        (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
+          ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
+      def fourcc(off: Int): String =
+        new String(payload, off, 4, "US-ASCII")
+      if (payload.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+        return None
+      val frameHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var frameIdx = 0L
+      var stack = List((12, math.min(payload.length, 8 + le32(4))))
+      while (stack.nonEmpty) {
+        var (pos, end) = stack.head
+        stack = stack.tail
+        while (pos + 8 <= end) {
+          val cc = fourcc(pos)
+          val size = le32(pos + 4)
+          if (size < 0 || pos + 8 + size > end) { pos = end }
+          else {
+            if (cc == "LIST" && size >= 4) {
+              stack = (pos + 12, pos + 8 + size) :: stack
+            } else if (cc.endsWith("dc") || cc.endsWith("db")) {
+              if (frameIdx % frameStep == 0) {
+                imageDHash(java.util.Arrays.copyOfRange(payload, pos + 8,
+                  pos + 8 + size)) match {
+                  case Some(hsh) => frameHashes += hsh
+                  case None => return None // a frame that isn't an image
+                }
+              }
+              frameIdx += 1
+            }
+            pos += 8 + size + (size & 1)
+          }
+        }
+      }
+      if (frameHashes.isEmpty) None
+      else Some(majorityFold64(frameHashes.toArray))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Frames per near-dup video fixture (odd — every majority is strict). */
+  val NeardupVideoFrames = 3
+
+  /**
+   * Deterministic near-duplicate video fixture: a `NeardupVideoFrames`-
+   * frame AVI whose frame f carries the `dhashCellGray(docId*1000003+f)`
+   * block image (72x64, 8x8 constant blocks — the p74 cell formula, so
+   * per-frame dHashes are quasi-random and independent across docs).
+   * Variants of one doc are BYTE-different but fingerprint-IDENTICAL by
+   * construction:
+   *   0 — base MJPEG mux (`00dc` chunks, 40000 us/frame, no index);
+   *   1 — re-mux of the SAME JPEG frame bytes (`00db` chunk ids, a JUNK
+   *       chunk in hdrl, 33333 us/frame, an idx1 index appended) — the
+   *       remux-without-re-encode case every video pipeline hits;
+   *   2 — lossless transcode: variant 0's frames DECODED and re-encoded
+   *       as PNG in the base mux (different codec, byte-different
+   *       frames, pixel-identical decodes).
+   * Intra-doc fingerprint equality is exact regardless of JPEG
+   * quantization: v1 shares v0's bytes, v2 shares v0's decoded pixels.
+   */
+  def neardupAvi(docId: Long, variant: Int): Array[Byte] = {
+    val w = DHashGridW * 8
+    val h = DHashGridH * 8
+    def framePixels(f: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val row = y * w
+        var x = 0
+        while (x < w) {
+          val v = dhashCellGray(docId * 1000003L + f, x / 8, y / 8)
+          px(row + x) = (v << 16) | (v << 8) | v
+          x += 1
+        }
+        y += 1
+      }
+      img.setRGB(0, 0, w, h, px, 0, w)
+      img
+    }
+    def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val baseFrames: Array[Array[Byte]] =
+      (0 until NeardupVideoFrames).toArray.map(f => encode(framePixels(f), "jpg"))
+    val frames: Array[Array[Byte]] = variant match {
+      case 2 => baseFrames.map { jb =>
+        // decode the JPEG bytes and re-encode losslessly — the
+        // fingerprint must survive because the PIXELS are identical
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jb))
+        encode(img, "png")
+      }
+      case _ => baseFrames
+    }
+    val remux = variant == 1
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc(id) ++ le32(body.length) ++ body ++ pad
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(listType) ++ body)
+    val nFrames = frames.length
+    val avih = le32(if (remux) 33333 else 40000) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = cc("vids") ++ cc("MJPG") ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(1) ++ le32(if (remux) 30 else 25) ++ le32(0) ++ le32(nFrames) ++
+      le32(0) ++ le32(-1) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++
+      Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++ cc("MJPG") ++
+      le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val junk = if (remux) chunk("JUNK", new Array[Byte](64)) else Array.empty[Byte]
+    val hdrl = list("hdrl", chunk("avih", avih) ++ junk ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val frameCc = if (remux) "00db" else "00dc"
+    val movi = list("movi", frames.flatMap(fb => chunk(frameCc, fb)))
+    val idx = if (remux) chunk("idx1", frames.indices.toArray.flatMap(i =>
+      cc(frameCc) ++ le32(16) ++ le32(4 + i) ++ le32(0))) else Array.empty[Byte]
+    val riffBody = cc("AVI ") ++ hdrl ++ movi ++ idx
+    val bb = new java.io.ByteArrayOutputStream()
+    bb.write(cc("RIFF")); bb.write(le32(riffBody.length)); bb.write(riffBody)
+    bb.toByteArray
+  }
+
+  /** (id, dhash) for every decodable video — the video member of the
+   * `imageDHashes` / `audioEnvelopeHashes` family, same output column
+   * so `Dedup.hammingPairs64` pairs any modality. */
+  def videoFingerprints(spark: SparkSession, videos: DataFrame,
+                        frameStep: Int = 1,
+                        idCol: String = "id", payloadCol: String = "payload")
+      : DataFrame = {
+    import spark.implicits._
+    videos.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        videoFingerprint(payload, frameStep).map(hsh => (id, hsh))
+      })
+      .toDF("id", "dhash")
+  }
+
   /**
    * Batched decode path: groups each partition's rows into `batchSize`
    * slices and runs the decoder once per batch (the shape a real codec /

@@ -237,6 +237,62 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == expected)
   }
 
+  test("majorityFold64: strict majority per bit, ties break to 0") {
+    // bit 0: two of three set -> 1; bit 1: one of three -> 0
+    assert(Multimodal.majorityFold64(Array(1L, 1L, 2L)) == 1L)
+    // even count, 2/4 set is NOT a strict majority -> 0
+    assert(Multimodal.majorityFold64(Array(1L, 1L, 0L, 0L)) == 0L)
+    assert(Multimodal.majorityFold64(Array(1L, 1L, 1L, 0L)) == 1L)
+    // single frame: the fold is the frame hash itself
+    assert(Multimodal.majorityFold64(Array(-1L)) == -1L)
+    // identical frames: the fold is that hash
+    assert(Multimodal.majorityFold64(Array(42L, 42L, 42L)) == 42L)
+  }
+
+  test("video fingerprint: remux and lossless-transcode variants collide, distinct docs don't") {
+    for (d <- Seq(0L, 5L, 30L, 120L)) {
+      val b0 = Multimodal.neardupAvi(d, 0)
+      val base = Multimodal.videoFingerprint(b0)
+      assert(base.nonEmpty, s"doc $d")
+      // the fold equals the majority of the per-frame dHashes taken
+      // straight from the frame bytes (walked independently here)
+      for (v <- Seq(1, 2)) {
+        val bv = Multimodal.neardupAvi(d, v)
+        assert(!java.util.Arrays.equals(b0, bv), s"doc $d variant $v bytes")
+        assert(Multimodal.videoFingerprint(bv) == base, s"doc $d variant $v fp")
+      }
+      // remux preserves the frame BYTES; transcode only the pixels
+      assert(Multimodal.neardupAvi(d, 1).length != b0.length, s"doc $d remux size")
+    }
+    val f1 = Multimodal.videoFingerprint(Multimodal.neardupAvi(1L, 0)).get
+    val f2 = Multimodal.videoFingerprint(Multimodal.neardupAvi(2L, 0)).get
+    assert(java.lang.Long.bitCount(f1 ^ f2) > 3)
+    assert(Multimodal.videoFingerprint("not an avi".getBytes("UTF-8")).isEmpty)
+    // frame sampling: with every-other-frame only frame 0 and 2 vote —
+    // still a defined fingerprint (2-frame strict majority = AND of bits)
+    assert(Multimodal.videoFingerprint(Multimodal.neardupAvi(7L, 0), frameStep = 2).nonEmpty)
+  }
+
+  test("video near-dup end-to-end: banded hamming join finds exactly the planted pairs") {
+    import spark.implicits._
+    val ds = (0L until 60L).toDS()
+    val videos = ds.filter(_ % 5 == 0).flatMap { d =>
+      val variants = Seq(0) ++
+        (if (d % 10 == 0) Seq(1) else Nil) ++
+        (if (d % 15 == 0) Seq(2) else Nil)
+      variants.map(v => (d * 10 + v, Multimodal.neardupAvi(d, v)))
+    }.toDF("id", "payload")
+    val pairs = Dedup.hammingPairs64(Multimodal.videoFingerprints(spark, videos))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (0L until 60L).filter(_ % 5 == 0).flatMap { d =>
+      val vs = Seq(0) ++
+        (if (d % 10 == 0) Seq(1) else Nil) ++
+        (if (d % 15 == 0) Seq(2) else Nil)
+      for (a <- vs; b <- vs if a < b) yield (d * 10 + a, d * 10 + b, 0L)
+    }.toSet
+    assert(pairs == expected)
+  }
+
   test("column pruning: selecting features-only does not read payload") {
     // Write to parquet, read back, select a narrow projection — the
     // optimized scan schema must exclude the payload column.
