@@ -683,6 +683,31 @@ object PipelineEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // P78 — URL canonicalization + URL-level dedup (C4/CCNet/RefinedWeb
+    // step 1: collapse scheme/www/default-port/tracking-param/fragment/
+    // trailing-slash/param-order variants of one page, keep the best
+    // capture). Fixture: every 3 consecutive docs are the same page
+    // crawled 3 messy ways (https+mixed-case host; http+www+:80+
+    // trailing slash+utm+shuffled params; scheme-less+:443+fragment);
+    // the canonicalizer must collapse all three to the formula
+    // canonical or rows/hash diverge. One scan + one hash aggregation.
+    "p78_url_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+        .withColumn("grp", expr("doc_id DIV 3"))
+        .withColumn("h", pmod(col("grp"), lit(50)))
+      val url = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("https://Example-"), col("h"), lit(".com/Pg/"),
+            col("grp"), lit("?a=1&b=2")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("http://www.example-"), col("h"), lit(".com:80/Pg/"),
+            col("grp"), lit("/?b=2&a=1&utm_source=s"), col("doc_id")))
+        .otherwise(
+          concat(lit("example-"), col("h"), lit(".COM:443/Pg/"),
+            col("grp"), lit("?b=2&utm_campaign=c&a=1#frag"), col("doc_id")))
+      UrlOps.urlDedup(d.withColumn("url", url))
+        .orderBy("canonical_url")
+    }),
+
     // P15+++/P22++++, key p75_streaming_update_dedup — p58's UPDATE-mode
     // drain twin: the continuous-pipeline shape. Complete mode re-emits
     // the WHOLE state every micro-batch (O(state) per batch — fine at
@@ -2953,6 +2978,24 @@ SELECT a.doc_id * 10 + a.var AS id_a, b.doc_id * 10 + b.var AS id_b,
   0::BIGINT AS hamming
 FROM v a JOIN v b ON a.doc_id = b.doc_id AND a.var < b.var
 ORDER BY id_a, id_b""",
+
+    // p78: ground truth from the fixture formula — three messy URL
+    // variants of group g all canonicalize to
+    // example-{g%50}.com/Pg/{g}?a=1&b=2; the kept capture is the
+    // longest (ties -> smallest doc_id). Any canonicalizer slip
+    // (unstripped utm/port/www/slash, unsorted params) changes the
+    // grouping and the rows diverge.
+    "p78_url_dedup" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+d AS (SELECT doc_id, n_chars, doc_id // 3 AS grp FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY grp
+        ORDER BY n_chars DESC, doc_id ASC) AS rn FROM d),
+a AS (SELECT grp, count(*) AS n_dups FROM d GROUP BY grp)
+SELECT 'example-' || (a.grp % 50) || '.com/Pg/' || a.grp || '?a=1&b=2'
+    AS canonical_url,
+  r.doc_id AS kept_doc_id, a.n_dups
+FROM r JOIN a ON r.grp = a.grp WHERE r.rn = 1
+ORDER BY canonical_url""",
 
     // p74: the planted near-dup pairs are enumerable from the doc table
     // alone — every variant of one doc is dHash-identical by fixture
