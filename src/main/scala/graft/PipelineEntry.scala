@@ -708,6 +708,29 @@ object PipelineEntry {
         .orderBy("canonical_url")
     }),
 
+    // P79 — domain balancing (RefinedWeb/FineWeb anti-dominance: cap
+    // every registered domain at k docs, best-quality first). Fixture:
+    // ~40 domains with subdomain variety (bare/www/blog/api.v2) and a
+    // two-level-suffix TLD mix (.com vs .co.uk) — the registered-domain
+    // cut must ignore subdomains and keep 3 labels under co.uk or the
+    // grouping (and the kept set) diverges. WindowGroupLimit prunes to
+    // k rows per partition BEFORE the shuffle.
+    "p79_domain_cap" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+        .withColumn("h", pmod(col("doc_id"), lit(40)))
+      val tld = when(pmod(col("h"), lit(4)) === 0, lit(".co.uk"))
+        .otherwise(lit(".com"))
+      val sub = when(pmod(col("doc_id"), lit(4)) === 0, lit(""))
+        .when(pmod(col("doc_id"), lit(4)) === 1, lit("www."))
+        .when(pmod(col("doc_id"), lit(4)) === 2, lit("blog."))
+        .otherwise(lit("api.v2."))
+      val url = concat(lit("https://"), sub, lit("Example-"), col("h"),
+        tld, lit("/d/"), col("doc_id"))
+      UrlOps.domainCap(d.withColumn("url", url), k = 5)
+        .withColumn("domain_rank", col("domain_rank").cast("long"))
+        .orderBy("domain", "domain_rank")
+    }),
+
     // P15+++/P22++++, key p75_streaming_update_dedup — p58's UPDATE-mode
     // drain twin: the continuous-pipeline shape. Complete mode re-emits
     // the WHOLE state every micro-batch (O(state) per batch — fine at
@@ -2996,6 +3019,19 @@ SELECT 'example-' || (a.grp % 50) || '.com/Pg/' || a.grp || '?a=1&b=2'
   r.doc_id AS kept_doc_id, a.n_dups
 FROM r JOIN a ON r.grp = a.grp WHERE r.rn = 1
 ORDER BY canonical_url""",
+
+    // p79: ground truth from the fixture formula — subdomains never
+    // split a domain, co.uk keeps three labels; rank = quality desc,
+    // ties to smallest id; cap k=5.
+    "p79_domain_cap" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+d AS (SELECT doc_id, n_chars, doc_id % 40 AS h FROM documents),
+e AS (SELECT doc_id, n_chars, 'example-' || h ||
+        CASE WHEN h % 4 = 0 THEN '.co.uk' ELSE '.com' END AS domain FROM d),
+r AS (SELECT *, row_number() OVER (PARTITION BY domain
+        ORDER BY n_chars DESC, doc_id ASC) AS domain_rank FROM e)
+SELECT doc_id, domain, domain_rank FROM r WHERE domain_rank <= 5
+ORDER BY domain, domain_rank""",
 
     // p74: the planted near-dup pairs are enumerable from the doc table
     // alone — every variant of one doc is dHash-identical by fixture

@@ -55,6 +55,60 @@ object UrlOps {
         .otherwise(lit("")))
   }
 
+  /** Two-level public suffixes under which the registered domain is
+   * THREE labels (`shop.example.co.uk` -> `example.co.uk`). A tiny,
+   * documented subset of the public-suffix list — enough for the
+   * common crawl TLDs; extend the set, not the algorithm. */
+  val TwoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "co.nz", "co.in", "com.br",
+    "com.cn", "com.mx", "co.za", "com.sg", "com.tr")
+
+  /**
+   * Registered (pay-level) domain of a URL: canonical host cut down to
+   * the last two labels — three when the last two are a listed
+   * two-level public suffix. Ports are stripped (a domain quota should
+   * not split on :8080). Native expressions only: the suffix test is a
+   * single regexp alternation over `TwoLevelSuffixes`.
+   */
+  def registeredDomain(url: Column): Column = {
+    val host = regexp_replace(
+      regexp_extract(canonicalizeUrl(url), "^([^/?]*)", 1), ":[0-9]+$", "")
+    val twoLevel = TwoLevelSuffixes.map(_.replace(".", "\\.")).mkString("|")
+    val labels = when(host.rlike(s"\\.($twoLevel)$$"), 3).otherwise(2)
+    // keep the last `labels` dot-separated labels of the host
+    val parts = split(host, "\\.")
+    when(size(parts) <= labels, host)
+      .otherwise(array_join(slice(parts, -labels, labels), "."))
+  }
+
+  /**
+   * Domain balancing — the RefinedWeb/FineWeb anti-dominance step: no
+   * registered domain may contribute more than `k` documents; within a
+   * domain the BEST docs win (quality desc, ties -> smallest id, so
+   * the kept set is deterministic). Emits the kept rows with their
+   * (domain, domain_rank).
+   *
+   * Scale shape: rank-within-group with `row_number <= k` — Spark
+   * plans this as WindowGroupLimit, which keeps a bounded top-k heap
+   * per partition BEFORE the shuffle (map-side k-pruning, the window
+   * analog of a partial aggregate), so the exchange carries at most
+   * k rows per (partition, domain), not the whole crawl.
+   */
+  def domainCap(docs: DataFrame, k: Int, urlCol: String = "url",
+                idCol: String = "doc_id", qualityCol: String = "n_chars")
+      : DataFrame = {
+    require(k >= 1, "domain cap must keep at least one doc")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain")
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    docs
+      .withColumn("domain", registeredDomain(col(urlCol)))
+      .withColumn("domain_rank", row_number().over(w))
+      .where(col("domain_rank") <= k)
+      .select(col(idCol), col("domain"), col("domain_rank"))
+  }
+
   /**
    * URL-level dedup: one row per canonical URL, keeping the BEST
    * capture — longest content, ties to the smallest doc id (crawls

@@ -67,6 +67,59 @@ class UrlOpsSpec extends SparkSpec {
       ("solo.com/z?a=1&b=2", 30L, 1L)))
   }
 
+  private def domains(urls: String*): Seq[String] =
+    urls.toDF("url").select(UrlOps.registeredDomain(col("url")).as("d"))
+      .as[String].collect().toSeq
+
+  test("registeredDomain: subdomains cut, two-level suffixes keep three labels, ports ignored") {
+    assert(domains(
+      "https://example.com/x",
+      "https://www.example.com/x",
+      "https://blog.example.com/x",
+      "https://a.b.c.example.com/x",
+      "https://EXAMPLE.com:8443/x").toSet == Set("example.com"))
+    assert(domains(
+      "https://shop.example.co.uk/x",
+      "https://example.co.uk/x",
+      "https://a.b.example.co.uk/x").toSet == Set("example.co.uk"))
+    // a host that IS a two-label name under a normal TLD stays whole
+    assert(domains("https://couk.uk/x") == Seq("couk.uk"))
+    // 'co.jp' et al. from the suffix set
+    assert(domains("https://www.shop.maker.co.jp/x") == Seq("maker.co.jp"))
+    // bare single-label host (intranet style) passes through
+    assert(domains("http://localhost:8080/x") == Seq("localhost"))
+  }
+
+  test("domainCap: at most k per registered domain, best quality first, deterministic ties") {
+    val docs = Seq(
+      // domain a.com: 4 docs, cap 2 -> ids 3 (len 50) and 1 (len 40)
+      (1L, 40L, "https://a.com/1"),
+      (2L, 30L, "https://www.a.com/2"),
+      (3L, 50L, "https://blog.a.com/3"),
+      (4L, 30L, "https://a.com/4"),
+      // domain b.co.uk: 3 docs all tied -> smallest ids 10, 11
+      (10L, 20L, "https://b.co.uk/1"),
+      (11L, 20L, "https://shop.b.co.uk/2"),
+      (12L, 20L, "https://b.co.uk/3")
+    ).toDF("doc_id", "n_chars", "url")
+    val out = UrlOps.domainCap(docs, k = 2).orderBy("domain", "domain_rank")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(out == Seq(
+      (3L, "a.com", 1), (1L, "a.com", 2),
+      (10L, "b.co.uk", 1), (11L, "b.co.uk", 2)))
+  }
+
+  test("domainCap plan: WindowGroupLimit prunes to k per partition before the shuffle") {
+    // a parquet source, not a LocalRelation — the InferWindowGroupLimit
+    // rule skips relations whose row count is statically known-small
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("url", concat(lit("https://e-"), pmod(col("doc_id"), lit(7)),
+        lit(".com/d/"), col("doc_id")))
+    val plan = UrlOps.domainCap(docs, k = 3).queryExecution.executedPlan.toString
+    // Partial BEFORE the exchange (map-side k-pruning), Final after
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"), plan)
+  }
+
   test("urlDedup plan: one aggregation pass, map-side partial combine, one exchange, no window") {
     val docs = Seq((1L, 5L, "https://a.com/1")).toDF("doc_id", "n_chars", "url")
     val plan = UrlOps.urlDedup(docs).queryExecution.executedPlan.toString
