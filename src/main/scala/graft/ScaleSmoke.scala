@@ -415,6 +415,30 @@ object ScaleSmoke {
       }
     }
 
+    // Web-curation ops (r13): URL dedup and domain cap over the
+    // replicated corpus with synthesized messy URLs — the canonical-
+    // ization regexp chain runs inside the scan, so the measurement is
+    // dominated by the aggregation (url dedup: one exchange + partial
+    // combine) and the WindowGroupLimit-pruned rank (domain cap).
+    if (sections.contains("web")) {
+      val docs = replicate(
+        spark.read.parquet(s"$sfDir/documents.parquet"), n)
+      val urls = docs
+        .withColumn("n_chars", length(col("text")))
+        .withColumn("grp", expr("doc_id DIV 3"))
+        .withColumn("h", pmod(col("grp"), lit(5000)))
+        .withColumn("url", concat(lit("https://"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("www.")).otherwise(lit("blog.")),
+          lit("Example-"), col("h"),
+          when(pmod(col("h"), lit(4)) === 0, lit(".co.uk")).otherwise(lit(".com")),
+          lit("/Pg/"), col("grp"),
+          lit("/?b=2&a=1&utm_source=s"), col("doc_id")))
+        .select(col("doc_id"), col("n_chars"), col("url"))
+      time("url dedup")(operators.UrlOps.urlDedup(urls).count())
+      time("domain cap k=100")(
+        operators.UrlOps.domainCap(urls, k = 100).count())
+    }
+
     // Batched lookup amortization (r12 verdict #2): k mixed point probes
     // answered as ONE answerBatch job vs k sequential answer() jobs.
     // Each sequential call pays the full per-job scheduling floor
