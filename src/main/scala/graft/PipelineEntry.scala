@@ -731,6 +731,31 @@ object PipelineEntry {
         .orderBy("domain", "domain_rank")
     }),
 
+    // P80 — domain-aware boilerplate removal (jusText/trafilatura step:
+    // lines in >= 1/2 of a domain's docs are template, excised from ALL
+    // docs of that domain). Fixture plants, per domain (doc_id%40): a
+    // universal header+footer (ratio 1 -> removed), a PROMO line on
+    // doc_id%3 (ratio ~1/3 -> kept: the negative case), and a NOTICE
+    // line on (doc_id DIV 40)%2 (ratio ~1/2 -> the exact-integer
+    // boundary, decided per-domain by cnt*2 >= ndocs). Body lines are
+    // content and survive.
+    "p80_boilerplate" -> ((s, dir) => {
+      val domain = concat(lit("example-"), pmod(col("doc_id"), lit(40)))
+      val planted = docs(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("domain", domain)
+        .withColumn("text", concat(
+          lit("(c) "), col("domain"), lit(" rights\n"),
+          col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("\nPROMO "), col("domain"))).otherwise(lit("")),
+          when(pmod(expr("doc_id DIV 40"), lit(2)) === 0,
+            concat(lit("\nNOTICE "), col("domain"))).otherwise(lit("")),
+          lit("\nsubscribe "), col("domain")))
+      TextAnalysis.boilerplateRemove(planted, "domain")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // P15+++/P22++++, key p75_streaming_update_dedup — p58's UPDATE-mode
     // drain twin: the continuous-pipeline shape. Complete mode re-emits
     // the WHOLE state every micro-batch (O(state) per batch — fine at
@@ -3032,6 +3057,39 @@ r AS (SELECT *, row_number() OVER (PARTITION BY domain
         ORDER BY n_chars DESC, doc_id ASC) AS domain_rank FROM e)
 SELECT doc_id, domain, domain_rank FROM r WHERE domain_rank <= 5
 ORDER BY domain, domain_rank""",
+
+    // p80: DuckDB recomputes the per-(domain, line) doc frequency and
+    // the exact-integer threshold from the same planted text, so a
+    // drifted count, a wrong boundary, or an order-scrambling rebuild
+    // all diverge.
+    "p80_boilerplate" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+d AS (SELECT doc_id, 'example-' || (doc_id % 40) AS domain,
+        '(c) example-' || (doc_id % 40) || ' rights' || chr(10) || text ||
+        CASE WHEN doc_id % 3 = 0
+          THEN chr(10) || 'PROMO example-' || (doc_id % 40) ELSE '' END ||
+        CASE WHEN (doc_id // 40) % 2 = 0
+          THEN chr(10) || 'NOTICE example-' || (doc_id % 40) ELSE '' END ||
+        chr(10) || 'subscribe example-' || (doc_id % 40) AS text
+      FROM documents),
+nd AS (SELECT domain, count(*) AS ndocs FROM d GROUP BY domain),
+lx AS (SELECT doc_id, domain, string_split(text, chr(10)) AS ls FROM d),
+l AS (SELECT doc_id, domain, z[2]::BIGINT AS ord, z[1] AS line
+      FROM (SELECT doc_id, domain, unnest(list_zip(ls, range(1, len(ls) + 1))) AS z
+            FROM lx)),
+u AS (SELECT DISTINCT doc_id, domain, line FROM l),
+c AS (SELECT domain, line, count(*) AS cnt FROM u GROUP BY domain, line),
+b AS (SELECT c.domain, c.line FROM c JOIN nd ON c.domain = nd.domain
+      WHERE 2 * c.cnt >= nd.ndocs),
+k AS (SELECT l.* FROM l LEFT JOIN b
+        ON l.domain = b.domain AND l.line = b.line
+      WHERE b.line IS NULL)
+SELECT d.doc_id,
+  (SELECT count(*) FROM l WHERE l.doc_id = d.doc_id)
+    - count(k.line) AS n_removed,
+  coalesce(string_agg(k.line, chr(10) ORDER BY k.ord), '') AS text_clean
+FROM d LEFT JOIN k ON d.doc_id = k.doc_id
+GROUP BY d.doc_id ORDER BY d.doc_id""",
 
     // p74: the planted near-dup pairs are enumerable from the doc table
     // alone — every variant of one doc is dHash-identical by fixture

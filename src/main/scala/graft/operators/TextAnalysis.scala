@@ -863,4 +863,65 @@ object TextAnalysis {
       .select(col("id"), col("n_shingles"), col("top_count"),
         round(col("top_count").cast("double") / col("n_shingles").cast("double"), 6)
           .as("top_shingle_ratio"))
+
+  // ------------------------------------------ boilerplate removal (P80)
+
+  /**
+   * Domain-aware boilerplate line removal — the jusText/trafilatura
+   * step every web pipeline runs between extraction and dedup: a line
+   * that appears in at least `tNum/tDen` of a DOMAIN's documents
+   * (headers, footers, cookie banners, nav text) is template, not
+   * content, and is excised from every doc of that domain. Distinct
+   * from paragraph dedup (p33), which keeps the FIRST copy of an
+   * exact duplicate — boilerplate is removed from ALL docs, and the
+   * frequency is judged per domain (a line ubiquitous on one site is
+   * boilerplate there even if globally rare).
+   *
+   * The threshold compare is exact-integer (`cnt*tDen >= ndocs*tNum`)
+   * so the oracle reproduces every boundary case bit-for-bit.
+   *
+   * Scale shape: line explode is narrow; the per-(domain,line) doc
+   * frequency is one distinct + one uniform hash aggregation (both
+   * partial-combined map-side); the boilerplate set — bounded by the
+   * threshold to O(domains x template-lines) — BROADCASTS into a
+   * left-anti join, so the corpus lines never shuffle for the
+   * removal; the rebuild is one id-keyed aggregation reassembling
+   * surviving lines in order. No window over the corpus anywhere.
+   *
+   * Output: (id, n_removed, text_clean) — n_removed counts excised
+   * line OCCURRENCES; a fully-boilerplate doc keeps its row with
+   * text_clean = "".
+   */
+  def boilerplateRemove(docs: DataFrame, domainCol: String,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    require(tNum >= 1 && tDen >= 1 && tNum <= tDen,
+      "threshold must be a fraction in (0, 1]")
+    val base = docs.select(col(idCol).as("id"), col(domainCol).as("domain"),
+      col(textCol).as("text"))
+    val lines = base.select(col("id"), col("domain"),
+      posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+    val ndocs = base.groupBy("domain").agg(count(lit(1)).as("ndocs"))
+    val boiler = lines.select("domain", "line", "id").distinct()
+      .groupBy("domain", "line").agg(count(lit(1)).as("cnt"))
+      .join(ndocs, "domain")
+      .where(col("cnt") * tDen >= col("ndocs") * tNum)
+      // renamed on BOTH columns: boiler shares lineage with `lines`, so
+      // an unrenamed join key resolves to a trivially-true self-compare
+      .select(col("domain").as("boiler_domain"),
+        col("line").as("boiler_line"))
+    val kept = lines.join(broadcast(boiler),
+      col("domain") === col("boiler_domain") &&
+        col("line") === col("boiler_line"), "left_anti")
+    val rebuilt = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("line")))),
+        s => s.getField("line")), "\n").as("text_clean"))
+    val totals = lines.groupBy("id").agg(count(lit(1)).as("n_lines"))
+    totals.join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

@@ -378,4 +378,47 @@ class TextFunctionsSpec extends SparkSpec {
     assert(novel.getDouble(2) == 1.0 && novel.getString(3) == "head" &&
       novel.getBoolean(4))
   }
+
+  test("boilerplateRemove: per-domain frequency, exact boundary, order-preserving rebuild") {
+    // domain A: 4 docs. header in all 4 (removed); 'promo' in 1 of 4
+    // (kept); 'notice' in exactly 2 of 4 — the 2*cnt >= ndocs boundary
+    // fires at EXACTLY half (removed). domain B: 1 doc — every line of
+    // a singleton domain trivially meets the threshold, so the doc
+    // empties (fully-boilerplate edge: row kept, text_clean = "").
+    val docs = Seq(
+      (1L, "A", "head\nbody one\npromo\nnotice"),
+      (2L, "A", "head\nbody two\nnotice"),
+      (3L, "A", "head\nbody three"),
+      (4L, "A", "head\nbody four"),
+      (10L, "B", "solo line\nsolo two")
+    ).toDF("doc_id", "domain", "text")
+    val out = TextAnalysis.boilerplateRemove(docs, "domain")
+      .orderBy("id").as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, "body one\npromo"), // head + notice removed, promo 1/4 kept
+      (2L, 2L, "body two"),
+      (3L, 1L, "body three"),
+      (4L, 1L, "body four"),
+      (10L, 2L, "")))
+    // repeated occurrences of a boilerplate line are ALL removed, and
+    // n_removed counts occurrences, not distinct lines (threshold 2/3
+    // here — at the default 1/2, EVERY line of a 2-doc domain is
+    // boilerplate: 1 of 2 docs meets the bar, caught by this spec's
+    // first draft)
+    val rep = Seq(
+      (1L, "C", "x\nmid\nx"),
+      (2L, "C", "x\nother")
+    ).toDF("doc_id", "domain", "text")
+    val rout = TextAnalysis.boilerplateRemove(rep, "domain", tNum = 2, tDen = 3)
+      .orderBy("id").as[(Long, Long, String)].collect().toSeq
+    assert(rout == Seq((1L, 2L, "mid"), (2L, 1L, "other")))
+    // line order survives removal even when kept lines interleave
+    val ord = Seq(
+      (1L, "D", "b\nz\na\nb\ny"),
+      (2L, "D", "b\nq")
+    ).toDF("doc_id", "domain", "text")
+    val oout = TextAnalysis.boilerplateRemove(ord, "domain", tNum = 2, tDen = 3)
+      .orderBy("id").as[(Long, Long, String)].collect().toSeq
+    assert(oout == Seq((1L, 2L, "z\na\ny"), (2L, 1L, "q")))
+  }
 }
