@@ -159,6 +159,30 @@ object PipelineEntry {
   private def embs(s: SparkSession, dir: String): DataFrame =
     spread(s.read.parquet(s"$dir/embeddings.parquet"))
 
+  /** Shared messy-URL fixture for the web keys (p78 batch, p81
+   * streaming — SAME oracle): every 3 consecutive docs are the same
+   * page crawled 3 ways (https + mixed-case host; http + www + :80 +
+   * trailing slash + utm + shuffled params; scheme-less + :443 +
+   * fragment) — all canonicalizing to
+   * example-{grp%50}.com/Pg/{grp}?a=1&b=2. Pure projection, works on
+   * batch and streaming frames. */
+  private def messyUrls(d: DataFrame): DataFrame = {
+    val g = d.select(col("doc_id"), col("n_chars"))
+      .withColumn("grp", expr("doc_id DIV 3"))
+      .withColumn("h", pmod(col("grp"), lit(50)))
+    g.withColumn("url",
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit("https://Example-"), col("h"), lit(".com/Pg/"),
+          col("grp"), lit("?a=1&b=2")))
+      .when(pmod(col("doc_id"), lit(3)) === 1,
+        concat(lit("http://www.example-"), col("h"), lit(".com:80/Pg/"),
+          col("grp"), lit("/?b=2&a=1&utm_source=s"), col("doc_id")))
+      .otherwise(
+        concat(lit("example-"), col("h"), lit(".COM:443/Pg/"),
+          col("grp"), lit("?b=2&utm_campaign=c&a=1#frag"), col("doc_id"))))
+      .select(col("doc_id"), col("n_chars"), col("url"))
+  }
+
   /** Shared planting for the curation-pipeline keys (p50 batch, p58
    * streaming — SAME oracle): dup paragraph (%25, collapses in the
    * final dedup), lorem/braces drops (%10/%7), a PII line that survives
@@ -691,20 +715,34 @@ object PipelineEntry {
     // trailing slash+utm+shuffled params; scheme-less+:443+fragment);
     // the canonicalizer must collapse all three to the formula
     // canonical or rows/hash diverge. One scan + one hash aggregation.
-    "p78_url_dedup" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
-        .withColumn("grp", expr("doc_id DIV 3"))
-        .withColumn("h", pmod(col("grp"), lit(50)))
-      val url = when(pmod(col("doc_id"), lit(3)) === 0,
-          concat(lit("https://Example-"), col("h"), lit(".com/Pg/"),
-            col("grp"), lit("?a=1&b=2")))
-        .when(pmod(col("doc_id"), lit(3)) === 1,
-          concat(lit("http://www.example-"), col("h"), lit(".com:80/Pg/"),
-            col("grp"), lit("/?b=2&a=1&utm_source=s"), col("doc_id")))
-        .otherwise(
-          concat(lit("example-"), col("h"), lit(".COM:443/Pg/"),
-            col("grp"), lit("?b=2&utm_campaign=c&a=1#frag"), col("doc_id")))
-      UrlOps.urlDedup(d.withColumn("url", url))
+    "p78_url_dedup" -> ((s, dir) =>
+      UrlOps.urlDedup(messyUrls(docs(s, dir))).orderBy("canonical_url")),
+
+    // P78+, key p81_streaming_url_dedup — the crawl-frontier twin of
+    // p78 (the p58/p67/p73/p75 batch≡streaming convention): captures
+    // arrive in micro-batches, the canonical-URL keep-best state is a
+    // STREAMING aggregation in update mode (each batch emits only the
+    // canonical URLs it changed — O(delta), the upsert-sink contract;
+    // the struct-argmax min and the count both fold associatively, so
+    // the state store holds one row per canonical URL). Final state =
+    // each group's last update, identifiable because an update always
+    // reflects at least one more capture (n_dups strictly grows).
+    // Hash-matches p78's batch oracle on the same corpus.
+    "p81_streaming_url_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val (streamDir, tag) = streamingDocsSplitDir(s, dir, parts = 2)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = spreadStream(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir))
+      val agg = UrlOps.urlDedup(messyUrls(stream))
+      val name = "p81_url_" + tag
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("canonical_url").orderBy(col("n_dups").desc)
+      s.table(name).withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
         .orderBy("canonical_url")
     }),
 
@@ -1224,6 +1262,23 @@ object PipelineEntry {
    * mirroring TextFunctions bit-for-bit. */
   /** Oracle twin of the DSIR selection (shared by p63 batch and p67
    * streaming — matching hashes prove batch and streaming agree). */
+  /** Oracle twin of the URL dedup (shared by p78 batch and p81
+   * streaming): ground truth from the messyUrls fixture formula —
+   * three spellings per page group all canonicalize to
+   * example-{grp%50}.com/Pg/{grp}?a=1&b=2; keep = longest capture,
+   * ties -> smallest doc_id. Any canonicalizer slip diverges rows. */
+  private val UrlDedupOracle =
+    s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+d AS (SELECT doc_id, n_chars, doc_id // 3 AS grp FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY grp
+        ORDER BY n_chars DESC, doc_id ASC) AS rn FROM d),
+a AS (SELECT grp, count(*) AS n_dups FROM d GROUP BY grp)
+SELECT 'example-' || (a.grp % 50) || '.com/Pg/' || a.grp || '?a=1&b=2'
+    AS canonical_url,
+  r.doc_id AS kept_doc_id, a.n_dups
+FROM r JOIN a ON r.grp = a.grp WHERE r.rn = 1
+ORDER BY canonical_url"""
+
   /** Oracle twin of the perplexity bucketing (shared by p72 batch and
    * p73 streaming — matching hashes prove the frozen-model streaming
    * path equals the batch self-quantile run on the same corpus). */
@@ -3033,17 +3088,12 @@ ORDER BY id_a, id_b""",
     // longest (ties -> smallest doc_id). Any canonicalizer slip
     // (unstripped utm/port/www/slash, unsorted params) changes the
     // grouping and the rows diverge.
-    "p78_url_dedup" ->
-      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
-d AS (SELECT doc_id, n_chars, doc_id // 3 AS grp FROM documents),
-r AS (SELECT *, row_number() OVER (PARTITION BY grp
-        ORDER BY n_chars DESC, doc_id ASC) AS rn FROM d),
-a AS (SELECT grp, count(*) AS n_dups FROM d GROUP BY grp)
-SELECT 'example-' || (a.grp % 50) || '.com/Pg/' || a.grp || '?a=1&b=2'
-    AS canonical_url,
-  r.doc_id AS kept_doc_id, a.n_dups
-FROM r JOIN a ON r.grp = a.grp WHERE r.rn = 1
-ORDER BY canonical_url""",
+    "p78_url_dedup" -> UrlDedupOracle,
+
+    // p81 SHARES p78's oracle — matching hashes prove the update-mode
+    // streaming aggregation folded to the batch keep-best state on the
+    // same corpus (the p58/p67/p73/p75 batch≡streaming convention).
+    "p81_streaming_url_dedup" -> UrlDedupOracle,
 
     // p79: ground truth from the fixture formula — subdomains never
     // split a domain, co.uk keeps three labels; rank = quality desc,

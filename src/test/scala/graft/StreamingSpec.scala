@@ -219,6 +219,59 @@ class StreamingSpec extends SparkSpec {
     assert(dupRow.getAs[Long]("n_dups") == 4L)
   }
 
+  test("streaming URL dedup: update-mode keep-best folds to the batch state across batches") {
+    import graft.operators.UrlOps
+    import org.apache.spark.sql.streaming.Trigger
+    // Two files, one per micro-batch. Page 'site.com/x' is captured in
+    // BOTH batches — the second capture is longer, so the streamed
+    // keep-best state must be REVISED across batches (not just counted
+    // up), and update mode must emit the group twice.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-urlupd")
+    Seq(
+      (1L, 10L, "https://site.com/x?a=1"),
+      (2L, 20L, "https://other.com/y")
+    ).toDF("doc_id", "n_chars", "url")
+      .coalesce(1).write.parquet(srcDir.resolve("b0").toString)
+    Seq(
+      (3L, 30L, "http://www.site.com:80/x/?a=1&utm_source=s"),
+      (4L, 20L, "https://third.com/z")
+    ).toDF("doc_id", "n_chars", "url")
+      .coalesce(1).write.parquet(srcDir.resolve("b1").toString)
+    for (part <- 0 until 2) {
+      val sub = srcDir.resolve(s"b$part")
+      val f = java.nio.file.Files.list(sub).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.move(f, srcDir.resolve(s"file-$part.parquet"))
+      java.nio.file.Files.walk(sub).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val schema = spark.read.parquet(srcDir.resolve("file-0.parquet").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    val q = UrlOps.urlDedup(stream).writeStream.format("memory")
+      .queryName("url_upd_spec").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val raw = spark.table("url_upd_spec").collect()
+    val nGroups = raw.map(_.getAs[String]("canonical_url")).distinct.length
+    assert(raw.length > nGroups, s"no multi-update rows (${raw.length} rows, $nGroups groups)")
+    // fold last update per group == the batch operator on the union
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canonical_url").orderBy(col("n_dups").desc)
+    val folded = spark.table("url_upd_spec")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = UrlOps.urlDedup(
+      spark.read.parquet(srcDir.resolve("file-*.parquet").toString))
+      .collect().map(_.toString).sorted.toSeq
+    assert(folded == batch)
+    // the cross-batch group revised its champion: doc 3's longer capture
+    // displaced doc 1, and the count reflects both batches
+    val site = folded.map(_.toString).find(_.contains("site.com/x")).get
+    assert(site.contains("3") && site.contains("2"), site)
+  }
+
   test("streaming sessionize: EventTimeTimeout closes a session as the watermark advances") {
     implicit val sqlCtx = spark.sqlContext
     // user 1's events have NO in-batch gap — the session can only close by
