@@ -769,6 +769,14 @@ object PipelineEntry {
         .orderBy("domain", "domain_rank")
     }),
 
+    // P82 — sign random projection (Achlioptas/JL): 64-dim float
+    // embeddings -> 8 doubles through a deterministic md5-derived ±1
+    // matrix (a driver literal artifact, like the LM vocabularies).
+    // One narrow codegen scan, fixed-order left fold so every output
+    // bit is oracle-reproducible; long-format output stays pivot-free.
+    "p82_random_projection" -> ((s, dir) =>
+      Ann.signProject(embs(s, dir), outDim = 8).orderBy("vec_id", "dim")),
+
     // P80 — domain-aware boilerplate removal (jusText/trafilatura step:
     // lines in >= 1/2 of a domain's docs are template, excised from ALL
     // docs of that domain). Fixture plants, per domain (doc_id%40): a
@@ -3107,6 +3115,27 @@ r AS (SELECT *, row_number() OVER (PARTITION BY domain
         ORDER BY n_chars DESC, doc_id ASC) AS domain_rank FROM e)
 SELECT doc_id, domain, domain_rank FROM r WHERE domain_rank <= 5
 ORDER BY domain, domain_rank""",
+
+    // p82: the oracle regenerates the SAME ±1 matrix from the md5
+    // formula and mirrors the fixed-order fold (list_prepend(0.0) =
+    // Spark's zero accumulator, so even a -0.0 first element agrees).
+    "p82_random_projection" ->
+      s"""WITH e AS (SELECT vec_id, embedding
+        FROM read_parquet('$Sf/embeddings.parquet')),
+g AS (SELECT j.range AS j, i.range AS i
+      -- 64 = the fixture embedding dim at every SF (range() cannot
+      -- take a subquery); the Spark side reads the dim from the data
+      FROM range(0, 8) j, range(0, 64) i),
+s AS (SELECT j, list(CASE WHEN ('0x' ||
+          substring(md5(j::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT
+          % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY i) AS signs
+      FROM g GROUP BY j)
+SELECT e.vec_id, s.j AS dim,
+  round(list_reduce(list_prepend(0.0::DOUBLE,
+    list_transform(list_zip(e.embedding, s.signs),
+      z -> z[1]::DOUBLE * z[2])),
+    (a, b) -> a + b), 6) AS proj
+FROM e, s ORDER BY vec_id, dim""",
 
     // p80: DuckDB recomputes the per-(domain, line) doc frequency and
     // the exact-integer threshold from the same planted text, so a

@@ -818,4 +818,52 @@ object Ann {
       .select(col("probe_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  // -------------------------------- random projection (sign JL, P82)
+
+  /** The deterministic ±1 sign for output dim `j`, input dim `i` —
+   * md5-derived so the oracle regenerates the identical matrix with
+   * SQL alone: sign = +1 iff the first 8 hex chars of md5("j:i"),
+   * read as an integer, are even. */
+  def projSign(j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /**
+   * Sign random projection (Achlioptas 2003 / JL with ±1 entries) —
+   * the dimensionality-reduction step a 100 TB embedding pipeline runs
+   * BEFORE SemDeDup / IVF training when the raw dimension makes the
+   * quadratic-in-d steps dominate: project d-dim float vectors to
+   * `outDim` doubles through a deterministic ±1 matrix. Angles are
+   * approximately preserved (JL), so downstream cosine thresholds and
+   * centroid assignments survive with tunable distortion.
+   *
+   * Scale shape: the matrix is outDim x d doubles — a driver-derived
+   * LITERAL artifact (like the LM vocabularies), so projection is ONE
+   * narrow codegen scan: per output dim a `zip_with` multiply and a
+   * left-fold `aggregate` in a FIXED order (IEEE addition isn't
+   * associative; the fixed fold makes every output bit-reproducible,
+   * oracle-mirrored operation-for-operation). No shuffle, no join, no
+   * UDF; output long-format (id, dim, proj) to stay pivot-free in
+   * both engines.
+   */
+  def signProject(embs: DataFrame, outDim: Int = 8,
+                  vecCol: String = "embedding", idCol: String = "vec_id")
+      : DataFrame = {
+    require(outDim >= 1, "outDim must be positive")
+    val dim = embs.select(size(col(vecCol))).as[Int](
+      org.apache.spark.sql.Encoders.scalaInt).head()
+    val projCols = (0 until outDim).map { j =>
+      val signs = array((0 until dim).map(i => lit(projSign(j, i))): _*)
+      round(aggregate(
+        zip_with(col(vecCol), signs, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v), 6)
+    }
+    embs.select(col(idCol),
+      posexplode(array(projCols: _*)).as(Seq("dim", "proj")))
+      .withColumn("dim", col("dim").cast("long"))
+  }
 }

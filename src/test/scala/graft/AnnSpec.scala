@@ -353,4 +353,30 @@ class AnnSpec extends SparkSpec {
     val recall = (approx & exact).size.toDouble / exact.size
     assert(recall >= 0.5, s"PQ recall@10 unexpectedly low: $recall")
   }
+
+  test("signProject: deterministic matrix, exact fixed-order fold, shuffle-free plan") {
+    // the ±1 matrix is a pure function of (j, i) — same values every call
+    val signs = (0 until 4).map(i => Ann.projSign(0, i))
+    assert(signs == (0 until 4).map(i => Ann.projSign(0, i)))
+    assert(signs.forall(s => s == 1.0 || s == -1.0))
+    // hand-fold a tiny vector: proj_j = ((0 + x0*s0) + x1*s1) + x2*s2
+    val vec = Array(0.5f, -1.25f, 2.0f)
+    val embs = Seq((7L, vec)).toDF("vec_id", "embedding")
+    val out = Ann.signProject(embs, outDim = 2).orderBy("dim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = (0 until 2).map { j =>
+      val raw = vec.zipWithIndex.foldLeft(0.0) { case (acc, (x, i)) =>
+        acc + x.toDouble * Ann.projSign(j, i)
+      }
+      (7L, j.toLong, math.rint(raw * 1e6) / 1e6)
+    }
+    assert(out.toSeq == expected)
+    // distinct output dims use distinct sign rows (not a copied row)
+    val allSame = (0 until 64).forall(i => Ann.projSign(0, i) == Ann.projSign(1, i))
+    assert(!allSame)
+    // scale shape: one narrow scan — no exchange, no join anywhere
+    val plan = Ann.signProject(embs, outDim = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
 }
