@@ -854,8 +854,14 @@ object Ann {
                   vecCol: String = "embedding", idCol: String = "vec_id")
       : DataFrame = {
     require(outDim >= 1, "outDim must be positive")
-    val dim = embs.select(size(col(vecCol))).as[Int](
-      org.apache.spark.sql.Encoders.scalaInt).head()
+    val dims = embs.select(size(col(vecCol))).as[Int](
+      org.apache.spark.sql.Encoders.scalaInt).take(1)
+    if (dims.isEmpty)
+      // empty corpus: nothing to derive a matrix from — empty result,
+      // same schema (the empty-partition-date robustness contract)
+      return embs.select(col(idCol), lit(0L).as("dim"),
+        lit(0.0).as("proj")).limit(0)
+    val dim = dims(0)
     val projCols = (0 until outDim).map { j =>
       val signs = array((0 until dim).map(i => lit(projSign(j, i))): _*)
       round(aggregate(

@@ -179,4 +179,28 @@ class EmptyInputSpec extends SparkSpec {
     assert(!byTag.contains("miss"))
     assert(byTag.getOrElse("hit", 0L) > 0)
   }
+
+  test("web/media/projection operators on empty inputs") {
+    val emptyUrls = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("n_chars", LongType), StructField("url", StringType))))
+    assert(UrlOps.urlDedup(emptyUrls).count() == 0)
+    assert(UrlOps.domainCap(emptyUrls, k = 3).count() == 0)
+    val emptyDomainDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("domain", StringType), StructField("text", StringType))))
+    assert(TextAnalysis.boilerplateRemove(emptyDomainDocs, "domain").count() == 0)
+    val emptyMedia = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType),
+        StructField("payload", BinaryType))))
+    assert(Multimodal.videoFingerprints(spark, emptyMedia).count() == 0)
+    // signProject derives its matrix from the data — an empty corpus
+    // must yield an empty frame (same schema), not a head() crash
+    val proj = Ann.signProject(emptyEmbs, outDim = 4)
+    assert(proj.count() == 0)
+    assert(proj.columns.toSeq == Seq("vec_id", "dim", "proj"))
+  }
 }
