@@ -379,4 +379,26 @@ class AnnSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
+
+  test("signProject downstream: exact duplicates survive projection, distinct vectors separate") {
+    // the SemDeDup-feed guarantee: identical vectors project to
+    // identical low-dim points (the projection is a pure function), so
+    // an exact-dup pass on the 8-dim output finds exactly the planted
+    // dups — at 1/8 the vector bytes through every downstream shuffle
+    def vec(seed: Int): Array[Float] =
+      // % 101 (prime > 20 seeds x 31 steps apart) — a small modulus made
+      // vec(s) == vec(s+13), caught by this spec's first draft
+      Array.tabulate(16)(i => ((seed * 31 + i * 7) % 101 - 50) / 25.0f)
+    val embs = ((0 until 20).map(i => (i.toLong, vec(i))) ++
+      Seq((100L, vec(3)), (101L, vec(7)))) // planted exact dups of 3 and 7
+      .toDF("vec_id", "embedding")
+    val proj = Ann.signProject(embs, outDim = 8)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("proj")))).as("p"))
+    val pairs = proj.as("a").join(proj.as("b"),
+        col("a.p") === col("b.p") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 100L), (7L, 101L)))
+  }
 }
