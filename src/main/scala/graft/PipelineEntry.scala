@@ -777,6 +777,13 @@ object PipelineEntry {
     "p82_random_projection" -> ((s, dir) =>
       Ann.signProject(embs(s, dir), outDim = 8).orderBy("vec_id", "dim")),
 
+    // P83 — corpus statistics report: per-(lang, source) doc/char/token
+    // counts + per-lang subtotals + grand total in ONE rollup pass;
+    // grouping_id disambiguates subtotal rows. Exact-integer only.
+    "p83_corpus_stats" -> ((s, dir) =>
+      Corpus.corpusStats(docs(s, dir))
+        .orderBy("grouping_id", "lang", "source")),
+
     // P80 — domain-aware boilerplate removal (jusText/trafilatura step:
     // lines in >= 1/2 of a domain's docs are template, excised from ALL
     // docs of that domain). Fixture plants, per domain (doc_id%40): a
@@ -3136,6 +3143,18 @@ SELECT e.vec_id, s.j AS dim,
       z -> z[1]::DOUBLE * z[2])),
     (a, b) -> a + b), 6) AS proj
 FROM e, s ORDER BY vec_id, dim""",
+
+    // p83: DuckDB's ROLLUP + GROUPING bitmask mirror Spark's rollup +
+    // grouping_id exactly (leftmost column = MSB in both engines).
+    "p83_corpus_stats" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT lang, source, GROUPING(lang, source)::BIGINT AS grouping_id,
+  count(*) AS n_docs,
+  sum(n_chars)::BIGINT AS n_chars_total,
+  sum(len(string_split_regex(lower(trim(text)), '\\s+')))::BIGINT
+    AS n_tokens_total
+FROM documents GROUP BY ROLLUP(lang, source)
+ORDER BY grouping_id, lang NULLS FIRST, source NULLS FIRST""",
 
     // p80: DuckDB recomputes the per-(domain, line) doc frequency and
     // the exact-integer threshold from the same planted text, so a

@@ -902,4 +902,35 @@ object Corpus {
         size(col("c")).cast("long").as("n_tokens"),
         concat_ws(" ", col("c")).as("chunk_text"))
   }
+
+  // ------------------------------------------------ corpus stats (P83)
+
+  /**
+   * Corpus statistics report — the dashboard every data team keeps in
+   * front of a training corpus: per-(lang, source) document/char/token
+   * counts WITH per-language subtotals and the corpus grand total, in
+   * one pass via `rollup`. `grouping_id` disambiguates a subtotal row
+   * from a hypothetical NULL-valued group (0 = detail, 1 = per-lang
+   * subtotal, 3 = grand total). Counts and sums are exact integers —
+   * no floats anywhere, so the report is bit-portable.
+   *
+   * Scale shape: rollup plans as ONE hash aggregation over an Expand
+   * (3 grouping sets -> 3x pre-agg rows, partial-combined map-side);
+   * output is O(|langs| x |sources|) — the shuffle carries subtotals,
+   * never documents. Tokens use the same whitespace tokenizer as P10.
+   */
+  def corpusStats(docs: DataFrame, langCol: String = "lang",
+                  sourceCol: String = "source", textCol: String = "text",
+                  lenCol: String = "n_chars"): DataFrame =
+    docs.select(col(langCol).as("lang"), col(sourceCol).as("source"),
+        col(lenCol).as("nc"),
+        size(graft.functions.TextFunctions.tokens(col(textCol)))
+          .cast("long").as("toks"))
+      .rollup("lang", "source")
+      .agg(grouping_id().as("grouping_id"),
+        count(lit(1)).as("n_docs"),
+        sum("nc").as("n_chars_total"),
+        sum("toks").as("n_tokens_total"))
+      .select(col("lang"), col("source"), col("grouping_id"),
+        col("n_docs"), col("n_chars_total"), col("n_tokens_total"))
 }

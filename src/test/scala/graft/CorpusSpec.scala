@@ -607,4 +607,27 @@ class CorpusSpec extends SparkSpec {
       assert(prevEnd == n, s"n=$n tail tokens dropped") // full coverage
     }
   }
+
+  test("corpusStats: rollup levels, grouping_id semantics, exact integer sums") {
+    val docs = Seq(
+      (1L, "one two three", "en", "web", 13L),
+      (2L, "four five", "en", "web", 9L),
+      (3L, "six", "en", "books", 3L),
+      (4L, "sept huit", "fr", "web", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Corpus.corpusStats(docs)
+      .orderBy("grouping_id", "lang", "source")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      // detail rows (grouping_id 0)
+      (Some("en"), Some("books"), 0L, 1L, 3L, 1L),
+      (Some("en"), Some("web"), 0L, 2L, 22L, 5L),
+      (Some("fr"), Some("web"), 0L, 1L, 9L, 2L),
+      // per-lang subtotals (grouping_id 1): source is NULL
+      (Some("en"), None, 1L, 3L, 25L, 6L),
+      (Some("fr"), None, 1L, 1L, 9L, 2L),
+      // grand total (grouping_id 3)
+      (None, None, 3L, 4L, 34L, 8L)))
+  }
 }
