@@ -784,6 +784,15 @@ object PipelineEntry {
       Corpus.corpusStats(docs(s, dir))
         .orderBy("grouping_id", "lang", "source")),
 
+    // P84 — deterministic hash split (train/val/test as a pure function
+    // of (id, salt) — a doc keeps its split when the corpus grows or is
+    // re-filtered, the leakage guarantee randomSplit can't give). One
+    // narrow scan, zero shuffles.
+    "p84_hash_split" -> ((s, dir) =>
+      Corpus.hashSplit(docs(s, dir))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+
     // P80 — domain-aware boilerplate removal (jusText/trafilatura step:
     // lines in >= 1/2 of a domain's docs are template, excised from ALL
     // docs of that domain). Fixture plants, per domain (doc_id%40): a
@@ -3143,6 +3152,18 @@ SELECT e.vec_id, s.j AS dim,
       z -> z[1]::DOUBLE * z[2])),
     (a, b) -> a + b), 6) AS proj
 FROM e, s ORDER BY vec_id, dim""",
+
+    // p84: the oracle recomputes the md5 bucket and the cumulative
+    // ranges (98/1/1 over 100) from scratch.
+    "p84_hash_split" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+b AS (SELECT doc_id,
+        ('0x' || substring(md5(doc_id::VARCHAR || ':v1'), 1, 8))::BIGINT
+          % 100 AS bucket FROM documents)
+SELECT doc_id,
+  CASE WHEN bucket < 98 THEN 'train'
+       WHEN bucket < 99 THEN 'val' ELSE 'test' END AS split
+FROM b ORDER BY doc_id""",
 
     // p83: DuckDB's ROLLUP + GROUPING bitmask mirror Spark's rollup +
     // grouping_id exactly (leftmost column = MSB in both engines).

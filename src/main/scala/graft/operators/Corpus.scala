@@ -933,4 +933,40 @@ object Corpus {
         sum("toks").as("n_tokens_total"))
       .select(col("lang"), col("source"), col("grouping_id"),
         col("n_docs"), col("n_chars_total"), col("n_tokens_total"))
+
+  // ------------------------------------------- deterministic split (P84)
+
+  /**
+   * Deterministic hash split — train/val/test assignment as a pure
+   * function of (id, salt), never of the rest of the corpus: a doc
+   * keeps its split when the corpus grows, is re-filtered, or is
+   * re-processed on different hardware — the leakage guarantee
+   * `randomSplit` cannot give (its assignment depends on partitioning
+   * and seed plumbing). Weights are integers over a common
+   * denominator; bucket = md5(id:salt) mod total, split = the label
+   * whose cumulative weight range holds the bucket. Changing `salt`
+   * yields an independent re-split.
+   *
+   * Scale shape: one narrow codegen scan, zero shuffles — the split
+   * column is computed where the row lives.
+   */
+  def hashSplit(docs: DataFrame,
+                weights: Seq[(String, Int)] =
+                  Seq(("train", 98), ("val", 1), ("test", 1)),
+                idCol: String = "doc_id", salt: String = "v1"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val total = weights.map(_._2).sum
+    val bucket = pmod(
+      conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(":" + salt))), 1, 8), 16, 10).cast("long"), lit(total))
+    val cums = weights.scanLeft(("", 0)) {
+      case ((_, acc), (n, w)) => (n, acc + w)
+    }.tail
+    val splitCol = cums.init.foldRight(lit(cums.last._1): Column) {
+      case ((name, cum), rest) => when(bucket < cum, name).otherwise(rest)
+    }
+    docs.withColumn("bucket", bucket).withColumn("split", splitCol)
+      .drop("bucket")
+  }
 }

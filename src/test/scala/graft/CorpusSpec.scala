@@ -630,4 +630,28 @@ class CorpusSpec extends SparkSpec {
       // grand total (grouping_id 3)
       (None, None, 3L, 4L, 34L, 8L)))
   }
+
+  test("hashSplit: stable under corpus growth, salt re-splits, partition covers") {
+    def split(ids: Seq[Long], salt: String = "v1"): Map[Long, String] =
+      Corpus.hashSplit(ids.toDF("doc_id"), salt = salt)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // STABILITY — the production property randomSplit lacks: doubling
+    // the corpus must not move any existing doc's assignment
+    val small = split(0L until 200L)
+    val grown = split(0L until 400L)
+    assert((0L until 200L).forall(i => small(i) == grown(i)))
+    // every doc gets exactly one label; all three labels appear at 400
+    assert(grown.values.toSet == Set("train", "val", "test"))
+    // 98/1/1: train dominates
+    val counts = grown.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 350 && counts("val") < 25 && counts("test") < 25, counts)
+    // a different salt is an independent re-split: some docs move
+    val resalted = split(0L until 400L, salt = "v2")
+    assert((0L until 400L).exists(i => grown(i) != resalted(i)))
+    // custom weights: 1/1 halves and covers
+    val half = Corpus.hashSplit((0L until 100L).toDF("doc_id"),
+      weights = Seq(("a", 1), ("b", 1))).collect()
+      .map(_.getString(1)).groupBy(identity).view.mapValues(_.size).toMap
+    assert(half.keySet == Set("a", "b") && half.values.sum == 100)
+  }
 }
