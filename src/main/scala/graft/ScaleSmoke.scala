@@ -437,6 +437,14 @@ object ScaleSmoke {
       time("url dedup")(operators.UrlOps.urlDedup(urls).count())
       time("domain cap k=100")(
         operators.UrlOps.domainCap(urls, k = 100).count())
+      // boilerplate: every doc of a domain shares a planted header and
+      // footer (worst case: the template set is 2 lines x 5000 domains)
+      val withDomain = docs
+        .withColumn("domain", concat(lit("d"), pmod(col("doc_id"), lit(5000))))
+        .withColumn("text", concat(lit("HEADER "), col("domain"), lit("\n"),
+          col("text"), lit("\nFOOTER "), col("domain")))
+      time("boilerplate remove")(
+        operators.TextAnalysis.boilerplateRemove(withDomain, "domain").count())
     }
 
     // Batched lookup amortization (r12 verdict #2): k mixed point probes
