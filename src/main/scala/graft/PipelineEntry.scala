@@ -656,9 +656,11 @@ object PipelineEntry {
         Corpus.curationStages(pipelinePlanted(stream),
           stopwords = Seq("the", "a")))
       val name = "p58_pipe_" + tag
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamShuffle(s) {
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name).orderBy("id")
     }),
 
@@ -736,9 +738,11 @@ object PipelineEntry {
         .option("maxFilesPerTrigger", 1).parquet(streamDir))
       val agg = UrlOps.urlDedup(messyUrls(stream))
       val name = "p81_url_" + tag
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamShuffle(s) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("canonical_url").orderBy(col("n_dups").desc)
       s.table(name).withColumn("__rn", row_number().over(w))
@@ -844,9 +848,11 @@ object PipelineEntry {
         Corpus.curationStages(pipelinePlanted(stream),
           stopwords = Seq("the", "a")))
       val name = "p75_upd_" + tag
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamShuffle(s) {
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("content_hash").orderBy(col("n_dups").desc)
       s.table(name).withColumn("__rn", row_number().over(w))
