@@ -154,6 +154,18 @@ object PipelineEntry {
   private def spreadStream(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Fold an update-mode memory sink to its final state (p75/p81):
+   * keep each group's LAST update, identifiable because every emitted
+   * update reflects at least one more member — its `n_dups` strictly
+   * grows across a group's updates. */
+  private def foldUpdates(s: SparkSession, table: String,
+                          keyCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("n_dups").desc)
+    s.table(table).withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     spread(s.read.parquet(s"$dir/documents.parquet"))
   private def embs(s: SparkSession, dir: String): DataFrame =
@@ -743,11 +755,7 @@ object PipelineEntry {
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("canonical_url").orderBy(col("n_dups").desc)
-      s.table(name).withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1).drop("__rn")
-        .orderBy("canonical_url")
+      foldUpdates(s, name, "canonical_url").orderBy("canonical_url")
     }),
 
     // P79 — domain balancing (RefinedWeb/FineWeb anti-dominance: cap
@@ -853,11 +861,7 @@ object PipelineEntry {
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("content_hash").orderBy(col("n_dups").desc)
-      s.table(name).withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1).drop("__rn")
-        .orderBy("id")
+      foldUpdates(s, name, "content_hash").orderBy("id")
     }),
 
     // P10+, key p41_bpe — real BPE subword tokenization: merges trained

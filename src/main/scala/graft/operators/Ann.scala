@@ -854,22 +854,28 @@ object Ann {
                   vecCol: String = "embedding", idCol: String = "vec_id")
       : DataFrame = {
     require(outDim >= 1, "outDim must be positive")
-    val dims = embs.select(size(col(vecCol))).as[Int](
-      org.apache.spark.sql.Encoders.scalaInt).take(1)
-    if (dims.isEmpty)
-      // empty corpus: nothing to derive a matrix from — empty result,
-      // same schema (the empty-partition-date robustness contract)
+    // the matrix dimension comes from the DATA: max over the corpus (a
+    // first-row peek read null/short vectors as the corpus dim and
+    // silently null-projected every row — review-caught); rows whose
+    // vector is null or of a different dimension are DROPPED like
+    // imageDHashes drops undecodables — they have nothing to project
+    val dimRow = embs.agg(max(size(col(vecCol)))).head()
+    if (dimRow.isNullAt(0))
+      // empty corpus (or all-null vectors): nothing to derive a matrix
+      // from — empty result, same schema (the empty-partition-date
+      // robustness contract)
       return embs.select(col(idCol), lit(0L).as("dim"),
         lit(0.0).as("proj")).limit(0)
-    val dim = dims(0)
+    val dim = dimRow.getInt(0)
     val projCols = (0 until outDim).map { j =>
       val signs = array((0 until dim).map(i => lit(projSign(j, i))): _*)
       round(aggregate(
         zip_with(col(vecCol), signs, (x, s) => x.cast("double") * s),
         lit(0.0), (acc, v) => acc + v), 6)
     }
-    embs.select(col(idCol),
-      posexplode(array(projCols: _*)).as(Seq("dim", "proj")))
+    embs.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol),
+        posexplode(array(projCols: _*)).as(Seq("dim", "proj")))
       .withColumn("dim", col("dim").cast("long"))
   }
 }

@@ -966,7 +966,6 @@ object Corpus {
     val splitCol = cums.init.foldRight(lit(cums.last._1): Column) {
       case ((name, cum), rest) => when(bucket < cum, name).otherwise(rest)
     }
-    docs.withColumn("bucket", bucket).withColumn("split", splitCol)
-      .drop("bucket")
+    docs.withColumn("split", splitCol)
   }
 }

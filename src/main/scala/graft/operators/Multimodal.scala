@@ -229,54 +229,77 @@ object Multimodal {
    * `frameStep` decodes every k-th frame (frame sampling — the feature-
    * extraction shape for long videos; metadata still counts ALL frames).
    */
+  /**
+   * Shared RIFF/AVI chunk walk (serves `decodeAvi` and
+   * `videoFingerprint` — one copy of the LIST recursion, word
+   * alignment, and malformed-size guard): calls `onChunk(cc, bodyOff,
+   * size)` for every non-LIST chunk in document order, descending into
+   * LISTs. Returns false when the payload is not an AVI at all; aborts
+   * early (returning true) when `onChunk` returns false.
+   */
+  private def walkAviChunks(payload: Array[Byte])
+                           (onChunk: (String, Int, Int) => Boolean): Boolean = {
+    def le32(off: Int): Int =
+      (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
+        ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
+    def fourcc(off: Int): String =
+      new String(payload, off, 4, "US-ASCII")
+    if (payload.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+      return false
+    var stack = List((12, math.min(payload.length, 8 + le32(4))))
+    while (stack.nonEmpty) {
+      var (pos, end) = stack.head
+      stack = stack.tail
+      while (pos + 8 <= end) {
+        val cc = fourcc(pos)
+        val size = le32(pos + 4)
+        if (size < 0 || pos + 8 + size > end) { pos = end } // malformed: stop
+        else {
+          if (cc == "LIST" && size >= 4) {
+            stack = (pos + 12, pos + 8 + size) :: stack
+          } else if (!onChunk(cc, pos + 8, size)) {
+            return true
+          }
+          pos += 8 + size + (size & 1) // chunks are word-aligned
+        }
+      }
+    }
+    true
+  }
+
+  private def aviLe32(payload: Array[Byte], off: Int): Int =
+    (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
+      ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
+
   def decodeAvi(payload: Array[Byte], frameStep: Int = 1): Option[(Int, Int, Long, Double)] =
     try {
       require(frameStep >= 1)
-      def le32(off: Int): Int =
-        (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
-          ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
-      def fourcc(off: Int): String =
-        new String(payload, off, 4, "US-ASCII")
-      if (payload.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
-        return None
       var width = 0
       var height = 0
       var nFrames = 0L
       var brightSum = 0.0
       var brightN = 0L
-      // iterative chunk walk: (start, end) ranges of chunk sequences
-      var stack = List((12, math.min(payload.length, 8 + le32(4))))
-      while (stack.nonEmpty) {
-        var (pos, end) = stack.head
-        stack = stack.tail
-        while (pos + 8 <= end) {
-          val cc = fourcc(pos)
-          val size = le32(pos + 4)
-          if (size < 0 || pos + 8 + size > end) { pos = end } // malformed: stop
-          else {
-            if (cc == "LIST" && size >= 4) {
-              stack = (pos + 12, pos + 8 + size) :: stack
-            } else if (cc == "avih" && size >= 40) {
-              nFrames = le32(pos + 8 + 16).toLong // dwTotalFrames
-              width = le32(pos + 8 + 32)
-              height = le32(pos + 8 + 36)
-            } else if (cc.endsWith("dc") || cc.endsWith("db")) {
-              if (brightN % frameStep == 0) {
-                decodeImage(java.util.Arrays.copyOfRange(payload, pos + 8,
-                  pos + 8 + size)) match {
-                  case Some((w, h, b)) =>
-                    brightSum += b
-                    if (width == 0) { width = w; height = h }
-                  case None => return None // a frame that isn't an image
-                }
-              }
-              brightN += 1
+      var badFrame = false
+      val isAvi = walkAviChunks(payload) { (cc, off, size) =>
+        if (cc == "avih" && size >= 40) {
+          nFrames = aviLe32(payload, off + 16).toLong // dwTotalFrames
+          width = aviLe32(payload, off + 32)
+          height = aviLe32(payload, off + 36)
+        } else if (cc.endsWith("dc") || cc.endsWith("db")) {
+          if (brightN % frameStep == 0) {
+            decodeImage(java.util.Arrays.copyOfRange(payload, off,
+              off + size)) match {
+              case Some((w, h, b)) =>
+                brightSum += b
+                if (width == 0) { width = w; height = h }
+              case None => badFrame = true // a frame that isn't an image
             }
-            pos += 8 + size + (size & 1) // chunks are word-aligned
           }
+          brightN += 1
         }
+        !badFrame
       }
-      if (brightN == 0) None
+      if (!isAvi || badFrame || brightN == 0) None
       else {
         val sampled = (brightN + frameStep - 1) / frameStep
         Some((width, height, if (nFrames > 0) nFrames else brightN,
@@ -766,46 +789,27 @@ object Multimodal {
    * JUNK padding, index chunks, fps metadata — the bytes change, the
    * frames don't) and to lossless per-frame transcodes (identical
    * decoded pixels => identical per-frame dHash), while genuinely
-   * different videos differ in ~32 bits. None when no frame decodes.
+   * different videos differ in ~32 bits. An undecodable MINORITY frame
+   * (the truncated-chunk case real crawls hit) is skipped — the
+   * majority fold absorbs it by design, unlike `decodeAvi`, whose
+   * metadata contract rejects the whole payload. None when NO sampled
+   * frame decodes.
    */
   def videoFingerprint(payload: Array[Byte], frameStep: Int = 1): Option[Long] =
     try {
       require(frameStep >= 1)
-      def le32(off: Int): Int =
-        (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
-          ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
-      def fourcc(off: Int): String =
-        new String(payload, off, 4, "US-ASCII")
-      if (payload.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
-        return None
       val frameHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
       var frameIdx = 0L
-      var stack = List((12, math.min(payload.length, 8 + le32(4))))
-      while (stack.nonEmpty) {
-        var (pos, end) = stack.head
-        stack = stack.tail
-        while (pos + 8 <= end) {
-          val cc = fourcc(pos)
-          val size = le32(pos + 4)
-          if (size < 0 || pos + 8 + size > end) { pos = end }
-          else {
-            if (cc == "LIST" && size >= 4) {
-              stack = (pos + 12, pos + 8 + size) :: stack
-            } else if (cc.endsWith("dc") || cc.endsWith("db")) {
-              if (frameIdx % frameStep == 0) {
-                imageDHash(java.util.Arrays.copyOfRange(payload, pos + 8,
-                  pos + 8 + size)) match {
-                  case Some(hsh) => frameHashes += hsh
-                  case None => return None // a frame that isn't an image
-                }
-              }
-              frameIdx += 1
-            }
-            pos += 8 + size + (size & 1)
-          }
+      val isAvi = walkAviChunks(payload) { (cc, off, size) =>
+        if (cc.endsWith("dc") || cc.endsWith("db")) {
+          if (frameIdx % frameStep == 0)
+            imageDHash(java.util.Arrays.copyOfRange(payload, off, off + size))
+              .foreach(frameHashes += _)
+          frameIdx += 1
         }
+        true
       }
-      if (frameHashes.isEmpty) None
+      if (!isAvi || frameHashes.isEmpty) None
       else Some(majorityFold64(frameHashes.toArray))
     } catch { case scala.util.control.NonFatal(_) => None }
 

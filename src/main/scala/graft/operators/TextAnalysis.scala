@@ -918,7 +918,11 @@ object TextAnalysis {
       array_join(transform(
         array_sort(collect_list(struct(col("idx"), col("line")))),
         s => s.getField("line")), "\n").as("text_clean"))
-    val totals = lines.groupBy("id").agg(count(lit(1)).as("n_lines"))
+    // per-doc line totals come narrowly from the base frame (size of
+    // the split) — a second explode + id aggregation would re-shuffle
+    // every corpus line just to count them (review-caught)
+    val totals = base.select(col("id"),
+      size(split(col("text"), "\n")).cast("long").as("n_lines"))
     totals.join(rebuilt, Seq("id"), "left")
       .select(col("id"),
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),

@@ -29,8 +29,10 @@ object UrlOps {
    * Canonical form of a URL, all in one codegen'd expression tree:
    *   1. strip the fragment (`#...`) and any `scheme://` prefix
    *      (http vs https vs scheme-less never distinguishes a page);
-   *   2. host: lowercase, strip a leading `www.`, strip an explicit
-   *      DEFAULT port (`:80`/`:443` — non-default ports are kept);
+   *   2. host: strip userinfo (`user:pw@` — scraped hrefs carry it,
+   *      the page is the same), lowercase, strip a leading `www.`,
+   *      strip an explicit DEFAULT port (`:80`/`:443` — non-default
+   *      ports are kept);
    *   3. path: strip trailing `/`s (so `/a/` == `/a`, and the root
    *      path collapses to the bare host); case is PRESERVED (paths
    *      are case-sensitive, hosts are not);
@@ -42,14 +44,17 @@ object UrlOps {
     val noFrag = regexp_replace(trim(url), "#.*$", "")
     val noScheme = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.\\-]*://", "")
     val rawHost = regexp_extract(noScheme, "^([^/?]*)", 1)
-    val host = regexp_replace(
-      regexp_replace(lower(rawHost), "^www\\.", ""), ":(80|443)$", "")
+    val host = regexp_replace(regexp_replace(
+      regexp_replace(lower(rawHost), "^[^@]*@", ""),
+      "^www\\.", ""), ":(80|443)$", "")
     val rest = substring(noScheme, length(rawHost) + 1, lit(1 << 30))
     val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
     val query = when(rest.contains("?"),
       regexp_replace(rest, "^[^?]*\\?", "")).otherwise(lit(""))
+    // (?i): param names are case-insensitive in the wild (UTM_SOURCE=)
+    // — matching must be, since the host is case-normalized too
     val kept = array_sort(filter(split(query, "&"), p =>
-      !(p.rlike(s"^($TrackingParams)(=|$$)") || p === "")))
+      !(p.rlike(s"(?i)^($TrackingParams)(=|$$)") || p === "")))
     concat(host, path,
       when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
         .otherwise(lit("")))

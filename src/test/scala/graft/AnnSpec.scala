@@ -378,7 +378,16 @@ class AnnSpec extends SparkSpec {
     val plan = Ann.signProject(embs, outDim = 2)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+    // null / wrong-dimension vectors are DROPPED, never null-projected
+    // (a first-row dim peek silently null-projected the whole corpus
+    // when row 1 was null — review-caught); the matrix dim is the max
+    val mixed = Seq((1L, null.asInstanceOf[Array[Float]]),
+      (2L, Array(1.0f)), (3L, vecOf3)).toDF("vec_id", "embedding")
+    val kept = Ann.signProject(mixed, outDim = 2)
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(kept == Set(3L))
   }
+  private val vecOf3 = Array(0.5f, -1.25f, 2.0f)
 
   test("signProject downstream: exact duplicates survive projection, distinct vectors separate") {
     // the SemDeDup-feed guarantee: identical vectors project to

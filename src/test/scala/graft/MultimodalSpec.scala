@@ -268,6 +268,17 @@ class MultimodalSpec extends SparkSpec {
     val f2 = Multimodal.videoFingerprint(Multimodal.neardupAvi(2L, 0)).get
     assert(java.lang.Long.bitCount(f1 ^ f2) > 3)
     assert(Multimodal.videoFingerprint("not an avi".getBytes("UTF-8")).isEmpty)
+    // a corrupted MINORITY frame is skipped (the truncated-chunk case
+    // real crawls hit) — the fingerprint survives; decodeAvi's metadata
+    // contract still rejects the payload wholesale
+    val corrupt = Multimodal.neardupAvi(9L, 0).clone()
+    val fcc = "00dc".getBytes("US-ASCII")
+    val at = corrupt.indices.find(i => i + 4 < corrupt.length &&
+      corrupt(i) == fcc(0) && corrupt(i + 1) == fcc(1) &&
+      corrupt(i + 2) == fcc(2) && corrupt(i + 3) == fcc(3)).get
+    corrupt(at + 8) = 0; corrupt(at + 9) = 0 // smash the JPEG SOI marker
+    assert(Multimodal.videoFingerprint(corrupt).nonEmpty)
+    assert(Multimodal.decodeAvi(corrupt).isEmpty)
     // frame sampling: with every-other-frame only frame 0 and 2 vote —
     // still a defined fingerprint (2-frame strict majority = AND of bits)
     assert(Multimodal.videoFingerprint(Multimodal.neardupAvi(7L, 0), frameStep = 2).nonEmpty)

@@ -31,6 +31,11 @@ class UrlOpsSpec extends SparkSpec {
     // root path collapses to the bare host
     assert(canon("https://example.com/", "https://example.com").toSet ==
       Set("example.com"))
+    // userinfo never distinguishes a page (scraped hrefs carry it)
+    assert(canon("https://user:pw@example.com/A/b",
+      "https://bot@example.com/A/b").toSet == Set("example.com/A/b"))
+    assert(domains("https://crawler@shop.example.co.uk/x") ==
+      Seq("example.co.uk"))
   }
 
   test("canonicalizeUrl: tracking params dropped, survivors sorted, empty query elided") {
@@ -43,6 +48,9 @@ class UrlOpsSpec extends SparkSpec {
     assert(canon("https://e.com/p?utm_source&utmx=1") == Seq("e.com/p?utmx=1"))
     // 'refresh=1' must not be caught by the 'ref' rule
     assert(canon("https://e.com/p?refresh=1") == Seq("e.com/p?refresh=1"))
+    // param-name case is insignificant in the wild: UTM_SOURCE= drops
+    // too (the host is case-normalized, the filter must be as well)
+    assert(canon("https://e.com/p?UTM_SOURCE=x&a=1&FbClId=z") == Seq("e.com/p?a=1"))
     // empty fragments of the query ('a=1&&b=2') don't leave holes
     assert(canon("https://e.com/p?a=1&&b=2") == Seq("e.com/p?a=1&b=2"))
   }
