@@ -243,6 +243,16 @@ object ScaleSmoke {
       Dedup.semDedup(bigEmbs, threshold = 0.4, nCenters = paperK,
         trainIters = 2, trainSample = math.max(1024, paperK * 8),
         pairRankWindow = Some(64)).count())
+    // The p82 payoff: project 64d -> 8d in the same narrow scan, then
+    // run the SAME SemDeDup on 1/8th the vector bytes — every
+    // downstream shuffle (train sample, per-cluster pair join) ships
+    // 8 floats instead of 64.
+    time("project to 8d")(
+      Ann.signProjectVec(bigEmbs, outDim = 8).count())
+    val proj8 = Ann.signProjectVec(bigEmbs, outDim = 8)
+    time("semdedup on 8d projection")(
+      Dedup.semDedup(proj8, threshold = 0.4,
+        nCenters = 64, trainIters = 2, trainSample = 1024).count())
     // Cluster-balanced sampling at the same paper-k: assignment is the
     // zero-shuffle argmax; the rank window only sees the prefiltered
     // ~overSample*perCluster sliver per cluster

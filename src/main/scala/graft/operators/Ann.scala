@@ -859,23 +859,57 @@ object Ann {
     // silently null-projected every row — review-caught); rows whose
     // vector is null or of a different dimension are DROPPED like
     // imageDHashes drops undecodables — they have nothing to project
-    val dimRow = embs.agg(max(size(col(vecCol)))).head()
-    if (dimRow.isNullAt(0))
-      // empty corpus (or all-null vectors): nothing to derive a matrix
-      // from — empty result, same schema (the empty-partition-date
-      // robustness contract)
-      return embs.select(col(idCol), lit(0L).as("dim"),
-        lit(0.0).as("proj")).limit(0)
-    val dim = dimRow.getInt(0)
-    val projCols = (0 until outDim).map { j =>
-      val signs = array((0 until dim).map(i => lit(projSign(j, i))): _*)
-      round(aggregate(
-        zip_with(col(vecCol), signs, (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, v) => acc + v), 6)
+    projExprs(embs, outDim, vecCol) match {
+      case None =>
+        // empty corpus (or all-null vectors): nothing to derive a
+        // matrix from — empty result, same schema (the
+        // empty-partition-date robustness contract)
+        embs.select(col(idCol), lit(0L).as("dim"),
+          lit(0.0).as("proj")).limit(0)
+      case Some((dim, projCols)) =>
+        embs.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+          .select(col(idCol),
+            posexplode(array(projCols: _*)).as(Seq("dim", "proj")))
+          .withColumn("dim", col("dim").cast("long"))
     }
-    embs.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
-      .select(col(idCol),
-        posexplode(array(projCols: _*)).as(Seq("dim", "proj")))
-      .withColumn("dim", col("dim").cast("long"))
   }
+
+  /** Shared core of the two projection surfaces: the data-derived
+   * input dim (max over the corpus; None when nothing projects) and
+   * one rounded dot-product expression per output dim. */
+  private def projExprs(embs: DataFrame, outDim: Int, vecCol: String)
+      : Option[(Int, Seq[Column])] = {
+    val dimRow = embs.agg(max(size(col(vecCol)))).head()
+    if (dimRow.isNullAt(0)) None
+    else {
+      val dim = dimRow.getInt(0)
+      Some((dim, (0 until outDim).map { j =>
+        val signs = array((0 until dim).map(i => lit(projSign(j, i))): _*)
+        round(aggregate(
+          zip_with(col(vecCol), signs, (x, s) => x.cast("double") * s),
+          lit(0.0), (acc, v) => acc + v), 6)
+      }))
+    }
+  }
+
+  /**
+   * `signProject` emitting the projected VECTOR per row (float array,
+   * same column name as the input) — the shape the downstream
+   * consumers (`Dedup.semDedup`, the IVF family) take directly, so
+   * "reduce dims, then dedup/index" composes shuffle-free: the array
+   * is built in the same narrow scan, no explode/pivot. The
+   * long-format twin exists for the oracle; this one is the pipeline
+   * surface.
+   */
+  def signProjectVec(embs: DataFrame, outDim: Int = 8,
+                     vecCol: String = "embedding", idCol: String = "vec_id")
+      : DataFrame =
+    projExprs(embs, outDim, vecCol) match {
+      case None =>
+        embs.select(col(idCol), col(vecCol)).limit(0)
+      case Some((dim, projCols)) =>
+        embs.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+          .select(col(idCol),
+            array(projCols.map(_.cast("float")): _*).as(vecCol))
+    }
 }

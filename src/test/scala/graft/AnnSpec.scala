@@ -389,6 +389,26 @@ class AnnSpec extends SparkSpec {
   }
   private val vecOf3 = Array(0.5f, -1.25f, 2.0f)
 
+  test("signProjectVec: row-for-row the long format, built shuffle-free") {
+    val embs = Seq((1L, vecOf3), (2L, Array(2.0f, 0.0f, -3.5f)))
+      .toDF("vec_id", "embedding")
+    // parity: vec(dim j) == long-format (dim=j).proj, float-cast
+    val long = Ann.signProject(embs, outDim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val vecs = Ann.signProjectVec(embs, outDim = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    for (id <- Seq(1L, 2L); j <- 0 until 4)
+      assert(vecs(id)(j) == long((id, j.toLong)).toFloat, s"id=$id j=$j")
+    // the vector surface adds NO exchange over the long one (no pivot)
+    val plan = Ann.signProjectVec(embs, outDim = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+    // and it composes with semDedup directly (same column names)
+    val out = graft.operators.Dedup.semDedup(
+      Ann.signProjectVec(embs, outDim = 4), threshold = 0.9, nCenters = 2)
+    assert(out.count() == 2)
+  }
+
   test("signProject downstream: exact duplicates survive projection, distinct vectors separate") {
     // the SemDeDup-feed guarantee: identical vectors project to
     // identical low-dim points (the projection is a pure function), so
