@@ -272,6 +272,62 @@ class StreamingSpec extends SparkSpec {
     assert(site.contains("3") && site.contains("2"), site)
   }
 
+  test("streaming URL dedup: checkpointed restart resumes state without reprocessing") {
+    import graft.operators.UrlOps
+    import org.apache.spark.sql.streaming.Trigger
+    // The production restart contract: a checkpointed query that stops
+    // and restarts must (a) NOT reprocess already-committed files and
+    // (b) resume its keep-best state, so a batch-2 capture of a
+    // batch-1 page updates the RESTORED group, not a fresh one.
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val srcDir = root.resolve("src"); java.nio.file.Files.createDirectory(srcDir)
+    val ckpt = root.resolve("ckpt").toString
+    def writeFile(n: String, rows: Seq[(Long, Long, String)]): Unit = {
+      val tmp = root.resolve("tmp-" + n)
+      rows.toDF("doc_id", "n_chars", "url").coalesce(1)
+        .write.parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(f, srcDir.resolve(n))
+      java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val schema = Seq((0L, 0L, "x")).toDF("doc_id", "n_chars", "url").schema
+    // the memory sink refuses checkpoint recovery (not fault-tolerant);
+    // foreachBatch is the recoverable sink shape — each run appends its
+    // update batches to its OWN parquet dir, so run 2's emissions are
+    // observable in isolation
+    def drain(outName: String): Unit = {
+      val outPath = root.resolve(outName).toString
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      val q = UrlOps.urlDedup(stream).writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(outPath)
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: one file, two pages
+    writeFile("f0.parquet", Seq(
+      (1L, 10L, "https://site.com/x"), (2L, 20L, "https://other.com/y")))
+    drain("out1")
+    assert(spark.read.parquet(root.resolve("out1").toString).count() == 2)
+    // run 2, SAME checkpoint: a new file with a longer capture of page
+    // x and one new page
+    writeFile("f1.parquet", Seq(
+      (3L, 30L, "https://www.site.com/x"), (4L, 5L, "https://third.com/z")))
+    drain("out2")
+    val run2 = spark.read.parquet(root.resolve("out2").toString)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // only the groups batch 2 touched are emitted (no f0 reprocessing:
+    // other.com/y does NOT reappear), and site.com/x resumed its state —
+    // count 2 spans both runs, champion revised to doc 3
+    assert(run2 == Set(("site.com/x", 3L, 2L), ("third.com/z", 4L, 1L)), run2)
+  }
+
   test("streaming sessionize: EventTimeTimeout closes a session as the watermark advances") {
     implicit val sqlCtx = spark.sqlContext
     // user 1's events have NO in-batch gap — the session can only close by
