@@ -789,6 +789,29 @@ object PipelineEntry {
     "p82_random_projection" -> ((s, dir) =>
       Ann.signProject(embs(s, dir), outDim = 8).orderBy("vec_id", "dim")),
 
+    // P85 — WARC ingest round-trip (ISO 28500 — the Common Crawl
+    // format, the first read of every web-scale pipeline): shard the
+    // docs into record-gzipped .warc.gz segments on the executors,
+    // re-ingest through the parser (one task per file — WARC is not
+    // splittable, exactly how production CC jobs parallelize), emit
+    // (doc_id from the target URI, status, md5 of the recovered body).
+    // The md5 proves byte-exact body round-trip through HTTP framing,
+    // Content-Length slicing, and member-gzip.
+    "p85_warc_ingest" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      val out = s"/root/repo/target/warc-ingest-${dir.replaceAll("[^0-9.]", "")}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      WarcSource.export(docs(s, dir), out, docsPerFile = 100)
+      WarcSource.records(s, out)
+        .where(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("status").cast("long").as("status"),
+          md5(col("body")).as("body_md5"))
+        .orderBy("doc_id")
+    }),
+
     // P83 — corpus statistics report: per-(lang, source) doc/char/token
     // counts + per-lang subtotals + grand total in ONE rollup pass;
     // grouping_id disambiguates subtotal rows. Exact-integer only.
@@ -3174,6 +3197,15 @@ SELECT doc_id,
   CASE WHEN bucket < 98 THEN 'train'
        WHEN bucket < 99 THEN 'val' ELSE 'test' END AS split
 FROM b ORDER BY doc_id""",
+
+    // p85: the oracle derives the expected records straight from the
+    // doc table (url/status by construction, md5(text) = the body
+    // hash) — a framing, Content-Length, gzip, or charset slip in
+    // either the writer or the parser diverges the hashes.
+    "p85_warc_ingest" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT doc_id, 200::BIGINT AS status, md5(text) AS body_md5
+FROM documents ORDER BY doc_id""",
 
     // p83: DuckDB's ROLLUP + GROUPING bitmask mirror Spark's rollup +
     // grouping_id exactly (leftmost column = MSB in both engines).

@@ -1,0 +1,165 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * WARC (ISO 28500) source — the ingest format of web-scale corpora:
+ * Common Crawl ships as .warc.gz files of concatenated records, each a
+ * CRLF-terminated header block plus a Content-Length-delimited payload.
+ * A training-data pipeline's first read is exactly this.
+ *
+ * Scale shape: WARC is record-gzipped (or plain) and NOT splittable
+ * within a file, so the unit of parallelism is the FILE — precisely how
+ * production Common Crawl jobs run (thousands of ~1 GB segment files,
+ * one task each). `records` reads via Spark's binaryFile source and
+ * parses per file inside `mapPartitions`; no driver-side work, no
+ * shuffle — parsing happens where the bytes land. JDK `GZIPInputStream`
+ * handles the member-concatenated gzip Common Crawl uses.
+ *
+ * Reference analog: the corpus-ingest family (KgxSource reads the graph
+ * exchange format; this reads the web-crawl one).
+ */
+object WarcSource {
+
+  /** One parsed WARC record: the record type, the target URI (null for
+   * warcinfo), the HTTP status (0 when the payload isn't HTTP), and
+   * the HTTP body (payload minus HTTP headers; full payload when not
+   * HTTP), decoded as UTF-8. */
+  case class WarcRecord(file: String, warc_type: String, target_uri: String,
+                        status: Int, body: String)
+
+  private val Crlf = "\r\n".getBytes("US-ASCII")
+
+  /** Parse every record of one WARC payload (already gunzipped). */
+  private[graft] def parseWarc(file: String, bytes: Array[Byte]): Seq[WarcRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var pos = 0
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i + 1 < bytes.length &&
+        !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      i
+    }
+    while (pos < bytes.length) {
+      // skip inter-record CRLFs
+      while (pos + 1 < bytes.length && bytes(pos) == '\r' && bytes(pos + 1) == '\n')
+        pos += 2
+      if (pos >= bytes.length) return out.toSeq
+      // version line
+      val vEnd = lineEnd(pos)
+      val version = new String(bytes, pos, vEnd - pos, "UTF-8")
+      if (!version.startsWith("WARC/")) return out.toSeq // trailing junk: stop
+      pos = vEnd + 2
+      // header block until blank line
+      val headers = scala.collection.mutable.Map.empty[String, String]
+      var done = false
+      while (!done && pos < bytes.length) {
+        val e = lineEnd(pos)
+        if (e == pos) { done = true; pos += 2 }
+        else {
+          val line = new String(bytes, pos, e - pos, "UTF-8")
+          val c = line.indexOf(':')
+          if (c > 0)
+            headers(line.substring(0, c).trim.toLowerCase) =
+              line.substring(c + 1).trim
+          pos = e + 2
+        }
+      }
+      val len = headers.getOrElse("content-length", "0").toInt
+      val payload = java.util.Arrays.copyOfRange(bytes, pos,
+        math.min(bytes.length, pos + len))
+      pos += len
+      val warcType = headers.getOrElse("warc-type", "")
+      val uri = headers.getOrElse("warc-target-uri", null)
+      // HTTP payload: split status line + headers from the body
+      val ptext = new String(payload, "UTF-8")
+      val (status, body) =
+        if (ptext.startsWith("HTTP/")) {
+          val headEnd = ptext.indexOf("\r\n\r\n")
+          val statusLine = ptext.substring(0, ptext.indexOf("\r\n"))
+          val st = statusLine.split(" ") match {
+            case a if a.length >= 2 && a(1).forall(_.isDigit) => a(1).toInt
+            case _ => 0
+          }
+          (st, if (headEnd >= 0) ptext.substring(headEnd + 4) else "")
+        } else (0, ptext)
+      out += WarcRecord(file, warcType, uri, status, body)
+    }
+    out.toSeq
+  }
+
+  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](65536)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  /**
+   * All records of every .warc / .warc.gz file under `dir`.
+   * One task per file (WARC is not splittable); columns
+   * (file, warc_type, target_uri, status, body).
+   */
+  def records(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, raw) =>
+        val bytes = if (path.endsWith(".gz")) gunzip(raw) else raw
+        parseWarc(path, bytes)
+      })
+      .toDF()
+  }
+
+  /**
+   * Fixture/export writer: shard `docs` into WARC response records
+   * (URL `https://example.org/doc/{id}`, body = text), one
+   * `.warc.gz` file per `docsPerFile` ids, written from the
+   * executors (`foreachPartition` — the driver never sees a record).
+   * A `warcinfo` header record leads each file, as real crawls have.
+   */
+  def export(docs: DataFrame, dir: String, docsPerFile: Int = 100,
+             idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val shards = docs.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("text"))
+      .repartition(expr(s"id DIV $docsPerFile"))
+    shards.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      // one FILE per shard key — the repartition only spreads work; two
+      // shard keys hashing into one task must still yield two segments
+      it.toArray.groupBy(_.getLong(0) / docsPerFile).foreach { case (_, rows) =>
+        val minId = rows.iterator.map(_.getLong(0)).min
+        val f = java.nio.file.Paths.get(dir, f"seg-$minId%08d.warc.gz")
+        val gz = new java.util.zip.GZIPOutputStream(
+          java.nio.file.Files.newOutputStream(f))
+        def record(headers: Seq[(String, String)], payload: Array[Byte]): Unit = {
+          val head = ("WARC/1.0" +: headers.map { case (k, v) => s"$k: $v" })
+            .mkString("", "\r\n", "\r\n") +
+            s"Content-Length: ${payload.length}\r\n\r\n"
+          gz.write(head.getBytes("UTF-8")); gz.write(payload); gz.write(Crlf); gz.write(Crlf)
+        }
+        record(Seq("WARC-Type" -> "warcinfo",
+          "WARC-Record-ID" -> s"<urn:graft:warcinfo:$minId>"),
+          "software: graft\r\n".getBytes("UTF-8"))
+        rows.sortBy(_.getLong(0)).foreach { r =>
+          val id = r.getLong(0)
+          val body = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
+          val http = ("HTTP/1.1 200 OK\r\n" +
+            "Content-Type: text/plain; charset=utf-8\r\n\r\n").getBytes("UTF-8") ++ body
+          record(Seq("WARC-Type" -> "response",
+            "WARC-Target-URI" -> s"https://example.org/doc/$id",
+            "WARC-Record-ID" -> s"<urn:graft:doc:$id>",
+            "Content-Type" -> "application/http; msgtype=response"), http)
+        }
+        gz.close()
+      }
+    }
+  }
+}

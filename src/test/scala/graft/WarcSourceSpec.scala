@@ -1,0 +1,70 @@
+package graft
+
+import graft.sources.WarcSource
+import org.apache.spark.sql.functions._
+
+class WarcSourceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rec(headers: Seq[(String, String)], payload: String): Array[Byte] = {
+    val p = payload.getBytes("UTF-8")
+    (("WARC/1.0" +: headers.map { case (k, v) => s"$k: $v" })
+      .mkString("", "\r\n", "\r\n") +
+      s"Content-Length: ${p.length}\r\n\r\n").getBytes("UTF-8") ++
+      p ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  test("parseWarc: headers, Content-Length slicing, HTTP framing, CRLF-bearing bodies") {
+    // body containing CRLFs and a lone 'WARC/1.0' line — only
+    // Content-Length may delimit the payload, never pattern matching
+    val trickyBody = "line one\r\nWARC/1.0\r\nline three"
+    val bytes =
+      rec(Seq("WARC-Type" -> "warcinfo", "WARC-Record-ID" -> "<urn:a>"),
+        "software: test\r\n") ++
+      rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "https://e.com/1",
+        "Content-Type" -> "application/http; msgtype=response"),
+        "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + trickyBody) ++
+      rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "https://e.com/2"),
+        "HTTP/1.1 404 Not Found\r\n\r\n") ++
+      rec(Seq("WARC-Type" -> "resource", "WARC-Target-URI" -> "https://e.com/r"),
+        "raw, not HTTP")
+    val rs = WarcSource.parseWarc("f", bytes)
+    assert(rs.map(_.warc_type) == Seq("warcinfo", "response", "response", "resource"))
+    assert(rs(0).target_uri == null && rs(0).status == 0)
+    assert(rs(1).status == 200 && rs(1).body == trickyBody)
+    assert(rs(2).status == 404 && rs(2).body == "")
+    // non-HTTP payload: status 0, body = the whole payload
+    assert(rs(3).status == 0 && rs(3).body == "raw, not HTTP")
+    // trailing junk stops cleanly instead of throwing
+    assert(WarcSource.parseWarc("f", bytes ++ "garbage".getBytes("UTF-8"))
+      .size == 4)
+    assert(WarcSource.parseWarc("f", "not a warc".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("export/records round-trip: per-file parallelism, member gzip, byte-exact bodies") {
+    val docs = Seq(
+      (0L, "plain ascii"),
+      (1L, "unicode é中文 body"),
+      (2L, "crlf\r\ninside"),
+      (150L, "second shard"),
+      (151L, "")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc").toString
+    WarcSource.export(docs, dir, docsPerFile = 100)
+    // two shards (ids 0-2 and 150-151) -> two .warc.gz segment files
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.length == 2 && files.forall(_.endsWith(".warc.gz")), files.toSeq)
+    val rs = WarcSource.records(spark, dir)
+    // every file leads with its warcinfo record
+    assert(rs.where(col("warc_type") === "warcinfo").count() == 2)
+    // responses round-trip byte-exactly, unicode and CRLFs included
+    val got = rs.where(col("warc_type") === "response")
+      .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long"),
+        col("status"), col("body"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val expected = docs.collect()
+      .map(r => (r.getLong(0), 200, r.getString(1))).toSet
+    assert(got == expected)
+  }
+}
