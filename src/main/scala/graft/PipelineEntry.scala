@@ -812,6 +812,31 @@ object PipelineEntry {
         .orderBy("doc_id")
     }),
 
+    // P86 — the crawl-to-corpus composition: WARC segments in, deduped
+    // corpus out. The messy-URL fixture rides as each record's
+    // WARC-Target-URI; ingest recovers (doc_id from the record id, url,
+    // body), canonicalization + keep-best run on the RECOVERED fields
+    // (n_chars = length(body) — byte-exact round-trip proven by p85),
+    // and the result hash-matches p78's oracle: three operators
+    // composed end-to-end, one ground truth.
+    "p86_crawl_dedup" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      val out = s"/root/repo/target/warc-crawl-${dir.replaceAll("[^0-9.]", "")}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val withText = messyUrls(docs(s, dir))
+        .join(docs(s, dir).select("doc_id", "text"), "doc_id")
+      WarcSource.export(withText, out, docsPerFile = 100,
+        urlCol = Some("url"))
+      val recovered = WarcSource.records(s, out)
+        .where(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("record_id"), ":doc:(\\d+)>$", 1)
+            .cast("long").as("doc_id"),
+          length(col("body")).cast("long").as("n_chars"),
+          col("target_uri").as("url"))
+      UrlOps.urlDedup(recovered).orderBy("canonical_url")
+    }),
+
     // P83 — corpus statistics report: per-(lang, source) doc/char/token
     // counts + per-lang subtotals + grand total in ONE rollup pass;
     // grouping_id disambiguates subtotal rows. Exact-integer only.
@@ -3151,6 +3176,10 @@ ORDER BY id_a, id_b""",
     // streaming aggregation folded to the batch keep-best state on the
     // same corpus (the p58/p67/p73/p75 batch≡streaming convention).
     "p81_streaming_url_dedup" -> UrlDedupOracle,
+
+    // p86 SHARES it too: the WARC round-trip + canonicalize + keep-best
+    // composition must land on the identical deduped corpus.
+    "p86_crawl_dedup" -> UrlDedupOracle,
 
     // p79: ground truth from the fixture formula — subdomains never
     // split a domain, co.uk keeps three labels; rank = quality desc,

@@ -22,12 +22,12 @@ import org.apache.spark.sql.functions._
  */
 object WarcSource {
 
-  /** One parsed WARC record: the record type, the target URI (null for
-   * warcinfo), the HTTP status (0 when the payload isn't HTTP), and
-   * the HTTP body (payload minus HTTP headers; full payload when not
-   * HTTP), decoded as UTF-8. */
-  case class WarcRecord(file: String, warc_type: String, target_uri: String,
-                        status: Int, body: String)
+  /** One parsed WARC record: the record type, the record id, the
+   * target URI (null for warcinfo), the HTTP status (0 when the
+   * payload isn't HTTP), and the HTTP body (payload minus HTTP
+   * headers; full payload when not HTTP), decoded as UTF-8. */
+  case class WarcRecord(file: String, warc_type: String, record_id: String,
+                        target_uri: String, status: Int, body: String)
 
   private val Crlf = "\r\n".getBytes("US-ASCII")
 
@@ -71,6 +71,7 @@ object WarcSource {
         math.min(bytes.length, pos + len))
       pos += len
       val warcType = headers.getOrElse("warc-type", "")
+      val recId = headers.getOrElse("warc-record-id", null)
       val uri = headers.getOrElse("warc-target-uri", null)
       // HTTP payload: split status line + headers from the body
       val ptext = new String(payload, "UTF-8")
@@ -84,7 +85,7 @@ object WarcSource {
           }
           (st, if (headEnd >= 0) ptext.substring(headEnd + 4) else "")
         } else (0, ptext)
-      out += WarcRecord(file, warcType, uri, status, body)
+      out += WarcRecord(file, warcType, recId, uri, status, body)
     }
     out.toSeq
   }
@@ -126,10 +127,13 @@ object WarcSource {
    * A `warcinfo` header record leads each file, as real crawls have.
    */
   def export(docs: DataFrame, dir: String, docsPerFile: Int = 100,
-             idCol: String = "doc_id", textCol: String = "text"): Unit = {
+             idCol: String = "doc_id", textCol: String = "text",
+             urlCol: Option[String] = None): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val urlExpr = urlCol.map(col)
+      .getOrElse(concat(lit("https://example.org/doc/"), col(idCol)))
     val shards = docs.select(col(idCol).cast("long").as("id"),
-        col(textCol).as("text"))
+        col(textCol).as("text"), urlExpr.cast("string").as("url"))
       .repartition(expr(s"id DIV $docsPerFile"))
     shards.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       // one FILE per shard key — the repartition only spreads work; two
@@ -154,7 +158,7 @@ object WarcSource {
           val http = ("HTTP/1.1 200 OK\r\n" +
             "Content-Type: text/plain; charset=utf-8\r\n\r\n").getBytes("UTF-8") ++ body
           record(Seq("WARC-Type" -> "response",
-            "WARC-Target-URI" -> s"https://example.org/doc/$id",
+            "WARC-Target-URI" -> r.getString(2),
             "WARC-Record-ID" -> s"<urn:graft:doc:$id>",
             "Content-Type" -> "application/http; msgtype=response"), http)
         }
