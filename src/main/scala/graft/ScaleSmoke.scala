@@ -455,6 +455,15 @@ object ScaleSmoke {
           col("text"), lit("\nFOOTER "), col("domain")))
       time("boilerplate remove")(
         operators.TextAnalysis.boilerplateRemove(withDomain, "domain").count())
+      // WARC round-trip at corpus scale: executor-side segment write,
+      // one parse task per .warc.gz file (the Common Crawl shape)
+      val warcDir = java.nio.file.Files.createTempDirectory("graft-warc-smoke").toString
+      time("warc export")(
+        { sources.WarcSource.export(docs, warcDir, docsPerFile = 2000); 0L })
+      time("warc ingest")(
+        sources.WarcSource.records(spark, warcDir)
+          .where(col("warc_type") === "response").count())
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warcDir))
     }
 
     // Batched lookup amortization (r12 verdict #2): k mixed point probes

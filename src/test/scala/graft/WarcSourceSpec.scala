@@ -40,6 +40,15 @@ class WarcSourceSpec extends SparkSpec {
     assert(WarcSource.parseWarc("f", bytes ++ "garbage".getBytes("UTF-8"))
       .size == 4)
     assert(WarcSource.parseWarc("f", "not a warc".getBytes("UTF-8")).isEmpty)
+    // WET files (Common Crawl's extracted-text sibling) are WARC with
+    // 'conversion' records whose payload IS the text — same parser
+    val wet = rec(Seq("WARC-Type" -> "conversion",
+      "WARC-Target-URI" -> "https://e.com/1",
+      "WARC-Record-ID" -> "<urn:wet:1>"), "extracted plain text")
+    val wr = WarcSource.parseWarc("f.wet", wet)
+    assert(wr.size == 1 && wr(0).warc_type == "conversion" &&
+      wr(0).record_id == "<urn:wet:1>" &&
+      wr(0).status == 0 && wr(0).body == "extracted plain text")
   }
 
   test("export/records round-trip: per-file parallelism, member gzip, byte-exact bodies") {
