@@ -837,6 +837,20 @@ object PipelineEntry {
       UrlOps.urlDedup(recovered).orderBy("canonical_url")
     }),
 
+    // P87 — corpus snapshot diff (incremental-refresh planning):
+    // v2 modifies %7 texts, drops %13 docs, and adds re-keyed copies
+    // of %11 — every status class is populated; only added+modified
+    // would re-enter the pipeline downstream.
+    "p87_snapshot_diff" -> ((s, dir) => {
+      val v1 = docs(s, dir).select(col("doc_id"), col("text"))
+      val v2 = v1.where(pmod(col("doc_id"), lit(13)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        .unionByName(v1.where(pmod(col("doc_id"), lit(11)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Corpus.snapshotDiff(v1, v2).orderBy("doc_id")
+    }),
+
     // P83 — corpus statistics report: per-(lang, source) doc/char/token
     // counts + per-lang subtotals + grand total in ONE rollup pass;
     // grouping_id disambiguates subtotal rows. Exact-integer only.
@@ -3235,6 +3249,23 @@ FROM b ORDER BY doc_id""",
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
 SELECT doc_id, 200::BIGINT AS status, md5(text) AS body_md5
 FROM documents ORDER BY doc_id""",
+
+    // p87: the oracle rebuilds v2 from the same fixture rules and
+    // classifies via an independent full outer join.
+    "p87_snapshot_diff" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+v2 AS (SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+       FROM documents WHERE doc_id % 13 != 0
+       UNION ALL
+       SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+  CASE WHEN a.doc_id IS NULL THEN 'added'
+       WHEN b.doc_id IS NULL THEN 'removed'
+       WHEN md5(a.text) = md5(b.text) THEN 'unchanged'
+       ELSE 'modified' END AS status
+FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+ORDER BY doc_id""",
 
     // p83: DuckDB's ROLLUP + GROUPING bitmask mirror Spark's rollup +
     // grouping_id exactly (leftmost column = MSB in both engines).

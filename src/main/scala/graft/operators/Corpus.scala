@@ -968,4 +968,34 @@ object Corpus {
     }
     docs.withColumn("split", splitCol)
   }
+
+  // --------------------------------------------- snapshot diff (P87)
+
+  /**
+   * Corpus snapshot diff — the planning step of every incremental
+   * refresh: compare two corpus versions by CONTENT (md5 of text, not
+   * timestamps or row identity) and classify every doc id as
+   * added / removed / modified / unchanged. Downstream, only
+   * added+modified re-enter the curation pipeline and removed ids are
+   * retired from derived artifacts — the alternative is reprocessing
+   * the full corpus per refresh.
+   *
+   * Scale shape: each side collapses to (id, content hash) inside its
+   * own scan — text never crosses the wire — then ONE full outer hash
+   * join on id. No window, no skew risk (ids are unique per side).
+   */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val a = v1.select(col(idCol).cast("long").as("id"),
+      md5(col(textCol)).as("h1"))
+    val b = v2.select(col(idCol).cast("long").as("id"),
+      md5(col(textCol)).as("h2"))
+    a.join(b, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("modified").as("status"))
+  }
 }

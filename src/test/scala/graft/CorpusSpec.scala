@@ -654,4 +654,20 @@ class CorpusSpec extends SparkSpec {
       .map(_.getString(1)).groupBy(identity).view.mapValues(_.size).toMap
     assert(half.keySet == Set("a", "b") && half.values.sum == 100)
   }
+
+  test("snapshotDiff: content-based classes; text never crosses the join") {
+    val v1 = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("doc_id", "text")
+    val out = Corpus.snapshotDiff(v1, v2).orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "unchanged"), (2L, "modified"),
+      (3L, "removed"), (4L, "added")))
+    // identity is CONTENT: a doc whose text round-trips byte-identically
+    // is unchanged even if the row was rewritten
+    val plan = Corpus.snapshotDiff(v1, v2).queryExecution.executedPlan.toString
+    // each side collapses to (id, md5) before the join — the raw text
+    // column must not appear in the join operator's output
+    assert(plan.contains("FullOuter"), plan)
+    assert(!plan.contains("text#"), plan)
+  }
 }
