@@ -851,6 +851,15 @@ object PipelineEntry {
       Corpus.snapshotDiff(v1, v2).orderBy("doc_id")
     }),
 
+    // P88 — content-defined chunking (Rabin/CDC boundaries over token
+    // streams): cut after every 8-token window whose rolling hash ≡ 0
+    // (mod 16), so an insertion shifts only the chunks it touches —
+    // boundaries re-synchronize and later chunk hashes survive (the
+    // property fixed-stride p71 lacks).
+    "p88_cdc_chunks" -> ((s, dir) =>
+      Corpus.cdcChunks(docs(s, dir), w = 8, divisor = 16)
+        .orderBy("id", "chunk_idx")),
+
     // P83 — corpus statistics report: per-(lang, source) doc/char/token
     // counts + per-lang subtotals + grand total in ONE rollup pass;
     // grouping_id disambiguates subtotal rows. Exact-integer only.
@@ -3266,6 +3275,33 @@ SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
        ELSE 'modified' END AS status
 FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
 ORDER BY doc_id""",
+
+    // p88: the oracle recomputes the rolling window hashes (the p36
+    // idiom), the mod-16 cut rule, and the per-chunk md5 from scratch.
+    "p88_cdc_chunks" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+cod AS (SELECT doc_id, t,
+    list_transform(t, x -> ('0x' || substring(md5(x),1,8))::BIGINT) AS c
+  FROM tok),
+wh AS (SELECT doc_id, t, CASE WHEN len(c) >= 8 THEN
+    list_transform(range(1, len(c) - 8 + 2), i ->
+      list_reduce([0]::BIGINT[] || list_slice(c, i, i + 7),
+        (a,b) -> (a*131 + b % $HashMod) % $HashMod))
+    ELSE []::BIGINT[] END AS h FROM cod),
+cuts AS (SELECT doc_id, t,
+    list_transform(list_filter(range(1, len(h) + 1), i -> h[i] % 16 = 0),
+      i -> i - 1 + 8) AS cl FROM wh),
+bounds AS (SELECT doc_id, t,
+    CASE WHEN len(cl) > 0 AND cl[-1] = len(t) THEN [0] || cl
+         ELSE [0] || cl || [len(t)] END AS bs FROM cuts),
+ch AS (SELECT doc_id, t, bs, unnest(range(1, len(bs))) AS k FROM bounds)
+SELECT doc_id AS id, (k - 1)::BIGINT AS chunk_idx,
+  bs[k]::BIGINT AS start_token,
+  (bs[k + 1] - bs[k])::BIGINT AS n_tokens,
+  md5(array_to_string(list_slice(t, bs[k] + 1, bs[k + 1]), ' ')) AS chunk_hash
+FROM ch ORDER BY id, chunk_idx""",
 
     // p83: DuckDB's ROLLUP + GROUPING bitmask mirror Spark's rollup +
     // grouping_id exactly (leftmost column = MSB in both engines).

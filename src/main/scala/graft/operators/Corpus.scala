@@ -969,6 +969,63 @@ object Corpus {
     docs.withColumn("split", splitCol)
   }
 
+  // ------------------------------------- content-defined chunks (P88)
+
+  /**
+   * Content-defined chunking (the Rabin/CDC boundary rule storage
+   * dedup uses, applied to token streams): cut after every w-token
+   * window whose rolling hash ≡ 0 (mod `divisor`), so boundaries are
+   * functions of CONTENT, not position. The property fixed-stride
+   * chunking (p71) lacks: inserting a prefix shifts every stride
+   * boundary and changes every downstream chunk identity, while CDC
+   * boundaries RE-SYNCHRONIZE after the edit — all later chunk hashes
+   * survive, so chunk-level dedup still collapses near-identical docs
+   * that differ by an insertion. Expected chunk length ≈ divisor + w.
+   *
+   * One narrow codegen scan per doc: the O(n) native rolling hash,
+   * boundary selection, and per-chunk md5 all happen inside array
+   * expressions; the only post-scan op is the explode. No shuffle.
+   *
+   * Output: (id, chunk_idx, start_token, n_tokens, chunk_hash).
+   * Docs shorter than w tokens yield one whole-doc chunk.
+   */
+  def cdcChunks(docs: DataFrame, w: Int = 8, divisor: Int = 16,
+                textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    require(w >= 1 && divisor >= 1, "window and divisor must be positive")
+    import graft.functions.{HashExpressions => HE, TextFunctions => TF}
+    val base = docs.select(col(idCol).as("id"),
+      TF.tokens(col(textCol)).as("t"))
+      .withColumn("wh", HE.windowHashes(col("t"), w))
+    val cuts = transform(
+      filter(sequence(lit(0), size(col("wh")) - 1),
+        i => pmod(element_at(col("wh"), i + 1), lit(divisor.toLong)) === 0),
+      i => i + w)
+    val withBounds = base
+      // guard: sequence(0, -1) is a DESCENDING range, not empty
+      .withColumn("cuts", when(size(col("wh")) > 0, cuts)
+        .otherwise(array().cast("array<int>")))
+      // tokens() of any text is non-empty, so bounds always holds at
+      // least [0, n] and the distinct only merges a final-position cut
+      .withColumn("bounds", array_distinct(concat(
+        array(lit(0)), col("cuts"), array(size(col("t"))))))
+    val chunkStructs = transform(
+      sequence(lit(0), size(col("bounds")) - 2), k => struct(
+        element_at(col("bounds"), k + 1).as("start_token"),
+        (element_at(col("bounds"), k + 2) -
+          element_at(col("bounds"), k + 1)).as("n_tokens"),
+        md5(array_join(slice(col("t"),
+          element_at(col("bounds"), k + 1) + 1,
+          element_at(col("bounds"), k + 2) -
+            element_at(col("bounds"), k + 1)), " ")).as("chunk_hash")))
+    withBounds.select(col("id"),
+      posexplode(chunkStructs).as(Seq("chunk_idx", "ch")))
+      .select(col("id"), col("chunk_idx").cast("long"),
+        col("ch.start_token").cast("long").as("start_token"),
+        col("ch.n_tokens").cast("long").as("n_tokens"),
+        col("ch.chunk_hash").as("chunk_hash"))
+  }
+
   // --------------------------------------------- snapshot diff (P87)
 
   /**

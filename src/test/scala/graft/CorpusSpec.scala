@@ -655,6 +655,37 @@ class CorpusSpec extends SparkSpec {
     assert(half.keySet == Set("a", "b") && half.values.sum == 100)
   }
 
+  test("cdcChunks: boundaries resynchronize after an insertion; short docs chunk whole") {
+    val text = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "inserted prefix words " + text))
+      .toDF("doc_id", "text")
+    val out = Corpus.cdcChunks(docs, w = 8, divisor = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val c1 = out.filter(_._1 == 1L).sortBy(_._2)
+    val c2 = out.filter(_._1 == 2L).sortBy(_._2)
+    // chunks tile each doc exactly
+    def tiles(cs: Seq[(Long, Long, Long, Long, String)], n: Long): Unit = {
+      assert(cs.head._3 == 0L)
+      cs.sliding(2).foreach { case Seq(a, b) => assert(a._3 + a._4 == b._3) }
+      assert(cs.last._3 + cs.last._4 == n)
+    }
+    tiles(c1.toSeq, 60); tiles(c2.toSeq, 63)
+    // THE CDC property: a 3-token insertion leaves every doc-1 chunk
+    // after the first boundary intact in doc 2 (boundaries are content
+    // functions, so they re-align; fixed-stride chunking loses ALL of
+    // them). Multiple shared chunks prove resync, not coincidence.
+    val tail1 = c1.drop(1).map(_._5).toSet
+    val h2 = c2.map(_._5).toSet
+    assert(c1.size >= 3, s"fixture too short to cut: ${c1.size} chunks")
+    assert(tail1.subsetOf(h2), s"lost ${tail1.diff(h2).size} of ${tail1.size}")
+    // a doc shorter than the window is one whole-doc chunk
+    val short = Corpus.cdcChunks(Seq((9L, "a b c")).toDF("doc_id", "text"),
+      w = 8, divisor = 16).collect()
+    assert(short.length == 1 && short(0).getLong(2) == 0L &&
+      short(0).getLong(3) == 3L)
+  }
+
   test("snapshotDiff: content-based classes; text never crosses the join") {
     val v1 = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("doc_id", "text")
     val v2 = Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("doc_id", "text")
