@@ -554,4 +554,37 @@ class PlanAuditSpec extends SparkSpec {
         s"$name warm plan has a non-spread exchange:\n$cached")
     }
   }
+
+  test("web-curation family (r13): the load-bearing plan shapes") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val urls = docs.select(col("doc_id"), col("n_chars"),
+      concat(lit("https://e-"), pmod(col("doc_id"), lit(7)),
+        lit(".com/d/"), col("doc_id")).as("url"))
+    // urlDedup: ONE exchange (the keep-best agg), partial combine
+    // before it, no window
+    val pd = plan(UrlOps.urlDedup(urls))
+    assert("Exchange".r.findAllIn(pd).size == 1, pd)
+    assert(pd.contains("partial_min") && !pd.contains("Window"), pd)
+    // domainCap: WindowGroupLimit Partial prunes before the exchange
+    val pc = plan(UrlOps.domainCap(urls, k = 3))
+    assert(pc.contains("WindowGroupLimit") && pc.contains("Partial"), pc)
+    // boilerplate: the template set broadcasts (left_anti build side);
+    // no SortMergeJoin anywhere — corpus lines never shuffle for the
+    // removal itself
+    val withDomain = docs.select(col("doc_id"), col("text"),
+      concat(lit("d"), pmod(col("doc_id"), lit(7))).as("domain"))
+    val pb = plan(TextAnalysis.boilerplateRemove(withDomain, "domain"))
+    assert(pb.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")), pb)
+    assert(!pb.contains("SortMergeJoin"), pb)
+    // cdc chunks: one narrow scan + explode — NO exchange at all
+    val pk = plan(Corpus.cdcChunks(docs, w = 8, divisor = 16))
+    assert(!pk.contains("Exchange") && !pk.contains("Join"), pk)
+    // snapshot diff: text collapses to md5 below the join — no JOIN
+    // node ships the raw text column
+    val pdf = plan(Corpus.snapshotDiff(docs, docs))
+    assert(pdf.contains("FullOuter"), pdf)
+    assert(pdf.linesIterator.filter(_.contains("Join"))
+      .forall(!_.contains("text#")), pdf)
+  }
 }
