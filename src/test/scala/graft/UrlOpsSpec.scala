@@ -75,6 +75,26 @@ class UrlOpsSpec extends SparkSpec {
       ("solo.com/z?a=1&b=2", 30L, 1L)))
   }
 
+  test("canonicalizeUrl/registeredDomain: junk crawl inputs never throw") {
+    // the canonicalizer sees arbitrary scraped strings — every one of
+    // these must produce SOME deterministic string, never an error
+    val junk = Seq("", "   ", "???", "http://", "https://", "//", "#",
+      "?a=1", "mailto:x@y.z", "javascript:void(0)",
+      "http://[::1]:8080/x", "a" * 5000,
+      "https://example.com/" + ("p/" * 500),
+      "http://.../x", "http:///nohost", "％ｆｕｌｌｗｉｄｔｈ")
+    val out = junk.toDF("url")
+      .select(UrlOps.canonicalizeUrl(col("url")).as("c"),
+        UrlOps.registeredDomain(col("url")).as("d"))
+      .collect()
+    assert(out.length == junk.size)
+    out.foreach(r => { assert(r.getString(0) != null); assert(r.getString(1) != null) })
+    // and determinism: same input, same canonical
+    val again = junk.toDF("url")
+      .select(UrlOps.canonicalizeUrl(col("url"))).collect().map(_.getString(0))
+    assert(again.toSeq == out.map(_.getString(0)).toSeq)
+  }
+
   private def domains(urls: String*): Seq[String] =
     urls.toDF("url").select(UrlOps.registeredDomain(col("url")).as("d"))
       .as[String].collect().toSeq
