@@ -34,6 +34,11 @@ object PipelineEntry {
     "distant icy hill while ships sail slowly past the quiet harbor " +
     "under pale morning light carrying spices and silk"
 
+  /** Shared passage for the CDC pairing fixture (p89): long enough to
+   * contain several content-defined cut points, so docs embedding it at
+   * DIFFERENT offsets still share its interior chunks. */
+  private val CdcPlant = (1 to 80).map(i => s"cdocs$i").mkString(" ")
+
   /** p50's planted duplicate paragraph: one 56-word prose line ending in
    * terminal punctuation, so it passes the line filter AND the Gopher
    * thresholds (stop hits 'the'/'a', mean word len ~3.9, all-alpha) —
@@ -859,6 +864,20 @@ object PipelineEntry {
     "p88_cdc_chunks" -> ((s, dir) =>
       Corpus.cdcChunks(docs(s, dir), w = 8, divisor = 16)
         .orderBy("id", "chunk_idx")),
+
+    // P89 — CDC shared-content pairs (what p88's chunking is FOR):
+    // docs embedding the same passage at DIFFERENT offsets share its
+    // interior content-defined chunks — fixed-stride chunking misses
+    // exactly that. Plant: every doc_id%9 doc appends the same
+    // 80-token passage after its own (different-length) text.
+    "p89_cdc_shared" -> ((s, dir) =>
+      Corpus.cdcSharedDocs(
+        docs(s, dir).withColumn("text",
+          when(pmod(col("doc_id"), lit(9)) === 0,
+            concat(col("text"), lit(" " + CdcPlant)))
+            .otherwise(col("text"))),
+        w = 8, divisor = 16, minShared = 2)
+        .orderBy("id_a", "id_b")),
 
     // P83 — corpus statistics report: per-(lang, source) doc/char/token
     // counts + per-lang subtotals + grand total in ONE rollup pass;
@@ -3302,6 +3321,40 @@ SELECT doc_id AS id, (k - 1)::BIGINT AS chunk_idx,
   (bs[k + 1] - bs[k])::BIGINT AS n_tokens,
   md5(array_to_string(list_slice(t, bs[k] + 1, bs[k + 1]), ' ')) AS chunk_hash
 FROM ch ORDER BY id, chunk_idx""",
+
+    // p89: the p88 chunk grid on the planted corpus, then the same
+    // distinct + frequency-guard + self-join + pair-count derivation.
+    "p89_cdc_shared" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+planted AS (SELECT doc_id, text || CASE WHEN doc_id % 9 = 0
+    THEN ' $CdcPlant' ELSE '' END AS text FROM documents),
+tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM planted),
+cod AS (SELECT doc_id, t,
+    list_transform(t, x -> ('0x' || substring(md5(x),1,8))::BIGINT) AS c
+  FROM tok),
+wh AS (SELECT doc_id, t, CASE WHEN len(c) >= 8 THEN
+    list_transform(range(1, len(c) - 8 + 2), i ->
+      list_reduce([0]::BIGINT[] || list_slice(c, i, i + 7),
+        (a,b) -> (a*131 + b % $HashMod) % $HashMod))
+    ELSE []::BIGINT[] END AS h FROM cod),
+cuts AS (SELECT doc_id, t,
+    list_transform(list_filter(range(1, len(h) + 1), i -> h[i] % 16 = 0),
+      i -> i - 1 + 8) AS cl FROM wh),
+bounds AS (SELECT doc_id, t,
+    CASE WHEN len(cl) > 0 AND cl[-1] = len(t) THEN [0] || cl
+         ELSE [0] || cl || [len(t)] END AS bs FROM cuts),
+ch AS (SELECT doc_id, t, bs, unnest(range(1, len(bs))) AS k FROM bounds),
+chunks AS (SELECT DISTINCT doc_id,
+    md5(array_to_string(list_slice(t, bs[k] + 1, bs[k + 1]), ' ')) AS h
+  FROM ch),
+el AS (SELECT h FROM chunks GROUP BY h
+       HAVING count(*) >= 2 AND count(*) <= 256),
+hits AS (SELECT doc_id, chunks.h FROM chunks JOIN el USING (h))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+FROM hits a JOIN hits b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+ORDER BY id_a, id_b""",
 
     // p83: DuckDB's ROLLUP + GROUPING bitmask mirror Spark's rollup +
     // grouping_id exactly (leftmost column = MSB in both engines).

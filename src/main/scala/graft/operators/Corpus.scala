@@ -1026,6 +1026,43 @@ object Corpus {
         col("ch.chunk_hash").as("chunk_hash"))
   }
 
+  /**
+   * CDC shared-content pairs — what the chunking is FOR: two docs
+   * sharing at least `minShared` content-defined chunks are
+   * partial-overlap near-dups (one embeds a copy of the other, a
+   * quoted passage, a syndicated section), found even when the shared
+   * region sits at DIFFERENT offsets — fixed-stride chunking misses
+   * exactly that case. `maxDocFreq` drops ubiquitous chunks (the
+   * inverted-index frequency guard every shingle join needs: a chunk
+   * in k docs costs k join rows, and a boilerplate chunk in millions
+   * would be quadratic — and means nothing for pairing anyway).
+   *
+   * Scale shape: chunking is the p88 narrow scan; the pair derivation
+   * is a bucketed self-join on chunk_hash (k rows per shared chunk,
+   * never all-pairs), then one pair-keyed count.
+   *
+   * Output: (id_a, id_b, n_shared) with id_a < id_b.
+   */
+  def cdcSharedDocs(docs: DataFrame, w: Int = 8, divisor: Int = 16,
+                    minShared: Int = 2, maxDocFreq: Int = 256,
+                    textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    val chunks = SelfJoinMaterialize(
+      cdcChunks(docs, w, divisor, textCol, idCol)
+        .select(col("id"), col("chunk_hash")).distinct())
+    val eligible = chunks.groupBy("chunk_hash")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDocFreq)
+      .select("chunk_hash")
+    val hits = chunks.join(eligible, "chunk_hash")
+    hits.as("a").join(hits.as("b"),
+        col("a.chunk_hash") === col("b.chunk_hash") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   // --------------------------------------------- snapshot diff (P87)
 
   /**

@@ -686,6 +686,25 @@ class CorpusSpec extends SparkSpec {
       short(0).getLong(3) == 3L)
   }
 
+  test("cdcSharedDocs: offset-shifted shared passages pair; frequency guard drops ubiquitous chunks") {
+    val passage = (1 to 80).map(i => s"pp$i").mkString(" ")
+    val docs = Seq(
+      (1L, "short intro " + passage),
+      (2L, (1 to 17).map(i => s"longer prefix$i").mkString(" ") + " " + passage),
+      (3L, (1 to 60).map(i => s"unrelated$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Corpus.cdcSharedDocs(docs, w = 8, divisor = 16, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs 1 and 2 embed the passage at DIFFERENT token offsets (2 vs
+    // 17) — content-defined boundaries resync inside it, so they share
+    // its interior chunks; doc 3 pairs with nobody
+    assert(pairs == Set((1L, 2L)), pairs)
+    // the frequency guard: with maxDocFreq = 1 every shared chunk is
+    // "ubiquitous" and no pair survives
+    assert(Corpus.cdcSharedDocs(docs, w = 8, divisor = 16, minShared = 2,
+      maxDocFreq = 1).count() == 0)
+  }
+
   test("snapshotDiff: content-based classes; text never crosses the join") {
     val v1 = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("doc_id", "text")
     val v2 = Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("doc_id", "text")
