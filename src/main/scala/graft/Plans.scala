@@ -34,6 +34,9 @@ object Plans {
       "p79_domain_cap" -> "Domain balancing: rank<=k plans as WindowGroupLimit with a Partial stage BEFORE the exchange - each map task ships at most k rows per registered domain",
       "p80_boilerplate" -> "Boilerplate removal: threshold-bounded (domain,line) template set BROADCASTS into a left-anti join - corpus lines never shuffle for the removal; rebuild is one id-keyed ordered aggregation",
       "p82_random_projection" -> "Sign random projection: literal +-1 matrix rides the plan, one narrow codegen scan of zip_with multiplies + fixed-order folds - no exchange, no join",
+      "p85_warc_ingest" -> "WARC ingest: binaryFile source, one parse task per record-gzipped segment (not splittable - the Common Crawl parallelism unit), parsing runs where the bytes land",
+      "p88_cdc_chunks" -> "CDC chunks: rolling hash, boundary selection, and per-chunk md5 all inside array expressions of ONE narrow scan - explode is the only post-scan op, no exchange",
+      "p89_cdc_shared" -> "CDC shared pairs: bucketed chunk-hash self-join behind a doc-frequency guard - k rows per shared chunk, never all-pairs",
       "g20_meta_kg" -> "Meta KG: aggregation over denormalized categories, no join",
       "g28_trapi_response" -> "TRAPI envelope: codegen'd to_json parts; grouping shuffles are keyed on answer ids (AQE picks broadcast for the small answer-side joins at runtime)",
       "p02_ngram_jaccard" -> "Jaccard pairs: inverted-index join with df-cutoff guard, never all-pairs",
