@@ -879,6 +879,25 @@ object PipelineEntry {
         w = 8, divisor = 16, minShared = 2)
         .orderBy("id_a", "id_b")),
 
+    // P90 — URL-level decontamination (the Pile/FineWeb benchmark
+    // guard BEFORE the n-gram checks): the eval set records every %17
+    // doc's page under a DIFFERENTLY-messy spelling (www + shuffled
+    // params + gclid), so only canonical matching — never string
+    // matching — removes the right docs; a hit kills the page's whole
+    // 3-capture group.
+    "p90_url_decontamination" -> ((s, dir) => {
+      val train = messyUrls(docs(s, dir))
+      val bench = docs(s, dir).where(pmod(col("doc_id"), lit(17)) === 0)
+        .withColumn("grp", expr("doc_id DIV 3"))
+        .withColumn("h", pmod(col("grp"), lit(50)))
+        .select(concat(lit("https://www.Example-"), col("h"),
+          lit(".com/Pg/"), col("grp"), lit("/?b=2&a=1&gclid=x")).as("url"))
+      UrlOps.urlDecontaminate(train, bench)
+        .select(col("doc_id"),
+          UrlOps.canonicalizeUrl(col("url")).as("canonical_url"))
+        .orderBy("doc_id")
+    }),
+
     // P83 — corpus statistics report: per-(lang, source) doc/char/token
     // counts + per-lang subtotals + grand total in ONE rollup pass;
     // grouping_id disambiguates subtotal rows. Exact-integer only.
@@ -3355,6 +3374,18 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
 FROM hits a JOIN hits b ON a.h = b.h AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
 ORDER BY id_a, id_b""",
+
+    // p90: contaminated groups from the fixture rule; survivors keep
+    // their formula canonical.
+    "p90_url_decontamination" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+bad AS (SELECT DISTINCT doc_id // 3 AS grp FROM documents WHERE doc_id % 17 = 0)
+SELECT doc_id,
+  'example-' || ((doc_id // 3) % 50) || '.com/Pg/' || (doc_id // 3)
+    || '?a=1&b=2' AS canonical_url
+FROM documents
+WHERE doc_id // 3 NOT IN (SELECT grp FROM bad)
+ORDER BY doc_id""",
 
     // p83: DuckDB's ROLLUP + GROUPING bitmask mirror Spark's rollup +
     // grouping_id exactly (leftmost column = MSB in both engines).

@@ -115,6 +115,27 @@ object UrlOps {
   }
 
   /**
+   * URL-level decontamination — the benchmark-leakage guard that runs
+   * at the URL grain (The Pile / FineWeb drop any training page whose
+   * canonical URL appears in an eval set, BEFORE the n-gram checks):
+   * both sides canonicalize, the benchmark set (small by nature)
+   * broadcasts, and the corpus anti-joins — one scan, no corpus
+   * shuffle. Matching is CANONICAL, so an eval page recorded as
+   * `http://www.x.com/p/?utm_source=s` still kills the training
+   * capture spelled `https://x.com/p`.
+   */
+  def urlDecontaminate(docs: DataFrame, benchmark: DataFrame,
+                       urlCol: String = "url"): DataFrame = {
+    val bench = benchmark
+      .select(canonicalizeUrl(col(urlCol)).as("__bench_canonical"))
+      .distinct()
+    docs.withColumn("__canonical", canonicalizeUrl(col(urlCol)))
+      .join(broadcast(bench),
+        col("__canonical") === col("__bench_canonical"), "left_anti")
+      .drop("__canonical")
+  }
+
+  /**
    * URL-level dedup: one row per canonical URL, keeping the BEST
    * capture — longest content, ties to the smallest doc id (crawls
    * prefer the fullest fetch; the tie rule makes the kept id

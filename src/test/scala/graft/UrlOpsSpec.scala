@@ -148,6 +148,30 @@ class UrlOpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"), plan)
   }
 
+  test("urlDecontaminate: canonical matching across spellings, benchmark broadcasts") {
+    val train = Seq(
+      (1L, "https://x.com/p"),
+      (2L, "https://x.com/q?a=1"),
+      (3L, "https://safe.com/r")
+    ).toDF("doc_id", "url")
+    // the eval set records the SAME pages under different spellings —
+    // string matching would miss both
+    val bench = Seq(
+      "http://www.x.com/p/?utm_source=s",
+      "X.COM:443/q?utm_campaign=c&a=1#frag"
+    ).toDF("url")
+    val kept = UrlOps.urlDecontaminate(train, bench)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+    // and the helper column does not leak into the output
+    assert(UrlOps.urlDecontaminate(train, bench).columns.toSeq ==
+      Seq("doc_id", "url"))
+    val plan = UrlOps.urlDecontaminate(train, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")), plan)
+  }
+
   test("urlDedup plan: one aggregation pass, map-side partial combine, one exchange, no window") {
     val docs = Seq((1L, 5L, "https://a.com/1")).toDF("doc_id", "n_chars", "url")
     val plan = UrlOps.urlDedup(docs).queryExecution.executedPlan.toString
