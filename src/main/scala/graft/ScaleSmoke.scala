@@ -521,6 +521,39 @@ object ScaleSmoke {
           f"sequential ${tSeq}%7.2f s (${tSeq / k}%5.3f s/call)   " +
           f"speedup ${tSeq / tBatch}%5.1fx   $batchRows%8d rows (seq $seqRows%8d)")
       }
+      // CONCURRENT serving: N independent answer() calls submitted
+      // simultaneously against the SHARED session (the multi-client
+      // shape the reference's burst tests exercise over HTTP). Spark's
+      // scheduler interleaves the jobs; results must match the
+      // sequential run exactly and the wall clock should amortize the
+      // per-job floor across callers.
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.DurationInt
+        import java.util.concurrent.Executors
+        val probes = mixedProbes(32)
+        val seqT0 = System.nanoTime()
+        val seqCounts = probes.map { case (_, qg) =>
+          OneHop.answer(spark, g, ont, qg,
+            closure = None, expandSubclasses = false).matches.count()
+        }
+        val tSeq = (System.nanoTime() - seqT0) / 1e9
+        val pool = Executors.newFixedThreadPool(16)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val parT0 = System.nanoTime()
+        val parCounts = Await.result(Future.sequence(probes.map {
+          case (_, qg) => Future(OneHop.answer(spark, g, ont, qg,
+            closure = None, expandSubclasses = false).matches.count())
+        }), 10.minutes)
+        val tPar = (System.nanoTime() - parT0) / 1e9
+        pool.shutdown()
+        require(parCounts == seqCounts,
+          s"concurrent results diverged: $parCounts vs $seqCounts")
+        println(f"concurrent n=32 (16 threads)   wall ${tPar}%6.2f s   " +
+          f"sequential ${tSeq}%6.2f s   speedup ${tSeq / tPar}%5.1fx   " +
+          "results identical")
+      }
     }
     spark.stop()
   }
