@@ -898,6 +898,25 @@ object PipelineEntry {
         .orderBy("doc_id")
     }),
 
+    // P91 — WET-to-analysis composition: Common Crawl's extracted-text
+    // form (conversion records, payload IS the text) ingested and fed
+    // straight into language ID — the realistic front door for the
+    // whole text-analysis family. Shares p08's oracle: byte-exact
+    // recovery means identical predictions and hit counts.
+    "p91_wet_langid" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      val out = s"/root/repo/target/wet-langid-${dir.replaceAll("[^0-9.]", "")}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      WarcSource.export(docs(s, dir), out, docsPerFile = 100, wet = true)
+      val recovered = WarcSource.records(s, out)
+        .where(col("warc_type") === "conversion")
+        .select(
+          regexp_extract(col("record_id"), ":doc:(\\d+)>$", 1)
+            .cast("long").as("doc_id"),
+          col("body").as("text"))
+      TextAnalysis.languageId(recovered).orderBy("id")
+    }),
+
     // P83 — corpus statistics report: per-(lang, source) doc/char/token
     // counts + per-lang subtotals + grand total in ONE rollup pass;
     // grouping_id disambiguates subtotal rows. Exact-integer only.
@@ -1405,6 +1424,30 @@ object PipelineEntry {
    * mirroring TextFunctions bit-for-bit. */
   /** Oracle twin of the DSIR selection (shared by p63 batch and p67
    * streaming — matching hashes prove batch and streaming agree). */
+  /** Oracle twin of the language ID (shared by p08 direct and p91
+   * WET-recovered — matching hashes prove the extracted-text ingest
+   * round-trips byte-exactly into the analysis operators). */
+  private val LangIdOracle = {
+    val langs = Seq("de", "en", "es", "fr")
+    val hitExprs = langs.map { l =>
+      val words = graft.functions.TextFunctions.DefaultStopwords(l)
+        .map("'" + _ + "'").mkString(", ")
+      s"len(list_filter(t, x -> list_contains([$words], x)))::BIGINT AS ${l}_hits"
+    }.mkString(",\n  ")
+    s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+hits AS (SELECT doc_id AS id,
+  $hitExprs
+  FROM toks)
+SELECT id,
+  CASE WHEN de_hits >= GREATEST(en_hits, es_hits, fr_hits) THEN 'de'
+       WHEN en_hits >= GREATEST(es_hits, fr_hits) THEN 'en'
+       WHEN es_hits >= fr_hits THEN 'es'
+       ELSE 'fr' END AS predicted_lang,
+  de_hits, en_hits, es_hits, fr_hits
+FROM hits ORDER BY id"""
+  }
+
   /** Oracle twin of the URL dedup (shared by p78 batch and p81
    * streaming): ground truth from the messyUrls fixture formula —
    * three spellings per page group all canonicalize to
@@ -3116,26 +3159,12 @@ SELECT t.doc_id AS id, t.n_shingles,
          ELSE 0.0 END, 6) AS contamination
 FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id ORDER BY id""",
 
-    "p08_langid" -> {
-      val langs = Seq("de", "en", "es", "fr")
-      val hitExprs = langs.map { l =>
-        val words = graft.functions.TextFunctions.DefaultStopwords(l)
-          .map("'" + _ + "'").mkString(", ")
-        s"len(list_filter(t, x -> list_contains([$words], x)))::BIGINT AS ${l}_hits"
-      }.mkString(",\n  ")
-      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
-toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
-hits AS (SELECT doc_id AS id,
-  $hitExprs
-  FROM toks)
-SELECT id,
-  CASE WHEN de_hits >= GREATEST(en_hits, es_hits, fr_hits) THEN 'de'
-       WHEN en_hits >= GREATEST(es_hits, fr_hits) THEN 'en'
-       WHEN es_hits >= fr_hits THEN 'es'
-       ELSE 'fr' END AS predicted_lang,
-  de_hits, en_hits, es_hits, fr_hits
-FROM hits ORDER BY id"""
-    },
+    "p08_langid" -> LangIdOracle,
+
+    // p91 SHARES p08's oracle: language-ID over the WET-recovered text
+    // must equal language-ID over the parquet text — the conversion
+    // records round-trip byte-exactly.
+    "p91_wet_langid" -> LangIdOracle,
 
     "p09_quality" -> {
       val stop = graft.functions.TextFunctions.DefaultStopwords("en")

@@ -126,9 +126,12 @@ object WarcSource {
    * executors (`foreachPartition` — the driver never sees a record).
    * A `warcinfo` header record leads each file, as real crawls have.
    */
+  /** `wet = true` writes WET-style `conversion` records (Common
+   * Crawl's extracted-text sibling): the payload IS the text, no HTTP
+   * framing — the form most pipelines actually consume. */
   def export(docs: DataFrame, dir: String, docsPerFile: Int = 100,
              idCol: String = "doc_id", textCol: String = "text",
-             urlCol: Option[String] = None): Unit = {
+             urlCol: Option[String] = None, wet: Boolean = false): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val urlExpr = urlCol.map(col)
       .getOrElse(concat(lit("https://example.org/doc/"), col(idCol)))
@@ -155,12 +158,19 @@ object WarcSource {
         rows.sortBy(_.getLong(0)).foreach { r =>
           val id = r.getLong(0)
           val body = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
-          val http = ("HTTP/1.1 200 OK\r\n" +
-            "Content-Type: text/plain; charset=utf-8\r\n\r\n").getBytes("UTF-8") ++ body
-          record(Seq("WARC-Type" -> "response",
-            "WARC-Target-URI" -> r.getString(2),
-            "WARC-Record-ID" -> s"<urn:graft:doc:$id>",
-            "Content-Type" -> "application/http; msgtype=response"), http)
+          if (wet)
+            record(Seq("WARC-Type" -> "conversion",
+              "WARC-Target-URI" -> r.getString(2),
+              "WARC-Record-ID" -> s"<urn:graft:doc:$id>",
+              "Content-Type" -> "text/plain"), body)
+          else {
+            val http = ("HTTP/1.1 200 OK\r\n" +
+              "Content-Type: text/plain; charset=utf-8\r\n\r\n").getBytes("UTF-8") ++ body
+            record(Seq("WARC-Type" -> "response",
+              "WARC-Target-URI" -> r.getString(2),
+              "WARC-Record-ID" -> s"<urn:graft:doc:$id>",
+              "Content-Type" -> "application/http; msgtype=response"), http)
+          }
         }
         gz.close()
       }
