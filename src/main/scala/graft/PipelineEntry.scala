@@ -200,6 +200,79 @@ object PipelineEntry {
       .select(col("doc_id"), col("n_chars"), col("url"))
   }
 
+  /** Shared raw-HTML fixture for the web-extraction keys (p92 text,
+   * p95 links): each doc becomes a page at its own messy URL whose
+   * HTML wraps the doc text in realistic chrome — head with title /
+   * style / script (the script body embeds a `<p>` tag that must NOT
+   * leak into the text), an HTML comment, an entity-bearing paragraph
+   * (incl. `&nbsp;` and a double-escape-safe `&amp;`), and two links:
+   * one ABSOLUTE messy href to the next doc's page (tracking param +
+   * unsorted query) and one ROOT-RELATIVE href (+gclid +fragment)
+   * that must resolve against the page host. Doc text is
+   * HTML-escaped on the way in, so extraction is exactly inverse. */
+  private def htmlPages(d: DataFrame): DataFrame = {
+    val esc = (c: org.apache.spark.sql.Column) =>
+      replace(replace(replace(c,
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    val h = pmod(col("doc_id"), lit(50))
+    val own = concat(lit("https://www.Example-"), h, lit(".com/Pg/"),
+      col("doc_id"), lit("/?b=2&a=1"))
+    val nxt = col("doc_id") + 1
+    val link1 = concat(lit("https://Example-"), pmod(nxt, lit(50)),
+      lit(".com/Pg/"), nxt, lit("?b=2&a=1&utm_source=x"))
+    val link2 = concat(lit("/Pg/"), col("doc_id") * 7 + 3,
+      lit("/?b=2&a=1&gclid=g#frag"))
+    d.select(col("doc_id"), own.as("url"),
+      concat(
+        lit("<html><head><title>Doc "), col("doc_id"), lit("</title>"),
+        lit("<style>body{color:#222}</style>"),
+        lit("<script>var t=\"<p>not text</p>\";</script></head>"),
+        lit("<body><!-- crawl "), col("doc_id"), lit(" -->"),
+        lit("<h1>Doc "), col("doc_id"), lit("</h1><p>"),
+        esc(col("text")),
+        lit("</p><p>Visit &amp; enjoy &lt;deals&gt;&nbsp;now.</p>"),
+        lit("<div><a href=\""), link1, lit("\">next</a> <a href='"),
+        link2, lit("'>rel</a></div></body></html>")).as("html"))
+  }
+
+  /** Shared messy per-doc page URLs for the CDX key (p93): one page
+   * per doc (unlike messyUrls' 3-docs-per-page), spelled messily by
+   * doc_id%3 — all canonicalize to example-{id%50}.com/Pg/{id}?a=1&b=2
+   * and SURT to com,example-{id%50})/pg/{id}?a=1&b=2. */
+  private def pageUrls(d: DataFrame): DataFrame = {
+    val h = pmod(col("doc_id"), lit(50))
+    d.withColumn("url",
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit("https://Example-"), h, lit(".com/Pg/"),
+          col("doc_id"), lit("?a=1&b=2")))
+      .when(pmod(col("doc_id"), lit(3)) === 1,
+        concat(lit("http://www.example-"), h, lit(".com:80/Pg/"),
+          col("doc_id"), lit("/?b=2&a=1&utm_source=s"), col("doc_id")))
+      .otherwise(
+        concat(lit("example-"), h, lit(".COM:443/Pg/"),
+          col("doc_id"), lit("?b=2&utm_campaign=c&a=1#frag"), col("doc_id"))))
+  }
+
+  /** Shared conversation fixture for the SFT key (p94): a 5-turn
+   * conversation per doc carved from its own token stream (system,
+   * user, assistant, user, assistant), mirrored token-for-token in
+   * the oracle's list_slice arithmetic. Short docs yield short or
+   * empty turn contents — both engines clamp slices identically. */
+  private def sftConvs(d: DataFrame): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val toks = TF.tokens(col("text"))
+    def seg(start: Int, len: Int) =
+      array_join(slice(toks, start, len), " ")
+    d.select(col("doc_id"), array(
+      struct(lit("system").as("role"),
+        lit("You are a helpful assistant.").as("content")),
+      struct(lit("user").as("role"), seg(1, 8).as("content")),
+      struct(lit("assistant").as("role"), seg(9, 12).as("content")),
+      struct(lit("user").as("role"), seg(21, 6).as("content")),
+      struct(lit("assistant").as("role"), seg(27, 10).as("content")))
+      .as("turns"))
+  }
+
   /** Shared planting for the curation-pipeline keys (p50 batch, p58
    * streaming — SAME oracle): dup paragraph (%25, collapses in the
    * final dedup), lorem/braces drops (%10/%7), a PII line that survives
@@ -916,6 +989,50 @@ object PipelineEntry {
           col("body").as("text"))
       TextAnalysis.languageId(recovered).orderBy("id")
     }),
+
+    // P92 — HTML-to-text extraction (the step that PRODUCES the WET
+    // form p91 consumes): script/style/comment excision, block-tag
+    // line breaks, tag stripping, entity decode, whitespace
+    // normalization — one codegen'd expression chain, zero shuffles.
+    // The oracle derives the expected text from the fixture RULE
+    // (title + h1 + normalized doc text + entity paragraph + link
+    // anchors), not by mirroring the chain — an independent check.
+    "p92_html_extract" -> ((s, dir) =>
+      htmlPages(docs(s, dir))
+        .select(col("doc_id"), Html.htmlToText(col("html")).as("text_extracted"))
+        .orderBy("doc_id")),
+
+    // P93 — CDX index generation (Common Crawl's cc-index): WARC
+    // segments in, urlkey-sorted capture index out — SURT urlkey,
+    // canonical URL, status, content digest, payload size. Composes
+    // the p85 WARC round-trip with the URL layer; the oracle derives
+    // every field from the doc table + URL formula independently.
+    "p93_cdx_index" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      val out = s"/root/repo/target/cdx-${dir.replaceAll("[^0-9.]", "")}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      WarcSource.export(pageUrls(docs(s, dir)), out, docsPerFile = 100,
+        urlCol = Some("url"))
+      WarcSource.cdxIndex(WarcSource.records(s, out)).orderBy("urlkey")
+    }),
+
+    // P94 — SFT chat rendering + loss-mask spans: conversations
+    // flatten to one training string under a fixed template; the char
+    // ranges holding ASSISTANT content come out as spans (the loss
+    // mask). One narrow scan + explode, zero shuffles; the oracle
+    // recomputes every offset from closed-form length arithmetic.
+    "p94_sft_render" -> ((s, dir) =>
+      Corpus.sftRender(sftConvs(docs(s, dir)), idCol = "doc_id")
+        .orderBy("doc_id", "turn_idx")),
+
+    // P95 — page-level link graph: hrefs extracted from raw HTML
+    // (both quote styles), root-relative links resolved against the
+    // page host, everything canonicalized, one distinct edge list —
+    // the web-graph construction behind PageRank-style quality
+    // signals. The oracle enumerates the planted edges by formula.
+    "p95_link_graph" -> ((s, dir) =>
+      Html.linkGraph(htmlPages(docs(s, dir)))
+        .orderBy("src_url", "dst_url")),
 
     // P83 — corpus statistics report: per-(lang, source) doc/char/token
     // counts + per-lang subtotals + grand total in ONE rollup pass;
@@ -3415,6 +3532,85 @@ SELECT doc_id,
 FROM documents
 WHERE doc_id // 3 NOT IN (SELECT grp FROM bad)
 ORDER BY doc_id""",
+
+    // p92: expected text from the fixture RULE, not the regex chain —
+    // title line + h1 line + whitespace-normalized doc text + decoded
+    // entity paragraph + link anchor text. A chain bug (script leak,
+    // entity order, line handling) diverges from this independently
+    // derived string.
+    "p92_html_extract" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+n AS (SELECT doc_id,
+  array_to_string(list_filter(list_transform(
+    string_split(regexp_replace(text, '[ \\t\\r]+', ' ', 'g'), chr(10)),
+    x -> trim(x)), x -> x <> ''), chr(10)) AS norm FROM documents)
+SELECT doc_id,
+  'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10) || norm ||
+  chr(10) || 'Visit & enjoy <deals> now.' || chr(10) || 'next rel'
+  AS text_extracted
+FROM n ORDER BY doc_id""",
+
+    // p93: every CDX field re-derived from the doc table + URL formula
+    // — urlkey by hand-SURTing the canonical form, digest/size from
+    // the text the WARC body must round-trip byte-exactly.
+    "p93_cdx_index" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT
+  'com,example-' || (doc_id % 50) || ')/pg/' || doc_id || '?a=1&b=2' AS urlkey,
+  'example-' || (doc_id % 50) || '.com/Pg/' || doc_id || '?a=1&b=2' AS url,
+  200::BIGINT AS status,
+  sha256(text) AS digest,
+  strlen(text)::BIGINT AS n_bytes
+FROM documents ORDER BY urlkey""",
+
+    // p94: offsets from closed-form length arithmetic — per-turn
+    // rendered length is role+content+13 ('<|'+role+'|>\\n' = role+5,
+    // '<|end|>\\n' = 8), assistant content starts header-offset 14
+    // into its turn. Any template or prefix-sum slip diverges.
+    "p94_sft_render" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+      FROM documents),
+c AS (SELECT doc_id,
+  'You are a helpful assistant.' AS c0,
+  -- array_to_string([]) is NULL in DuckDB; Spark's array_join is ''
+  coalesce(array_to_string(list_slice(tk, 1, 8), ' '), '') AS c1,
+  coalesce(array_to_string(list_slice(tk, 9, 20), ' '), '') AS c2,
+  coalesce(array_to_string(list_slice(tk, 21, 26), ' '), '') AS c3,
+  coalesce(array_to_string(list_slice(tk, 27, 36), ' '), '') AS c4
+ FROM t),
+l AS (SELECT doc_id, c2, c4,
+  len(c0) + 19 AS l0, len(c1) + 17 AS l1, len(c2) + 22 AS l2,
+  len(c3) + 17 AS l3, len(c4) + 22 AS l4
+ FROM c)
+SELECT doc_id, 2::BIGINT AS turn_idx,
+  (l0 + l1 + 14)::BIGINT AS span_start,
+  (l0 + l1 + 14 + len(c2))::BIGINT AS span_end,
+  (l0 + l1 + l2 + l3 + l4)::BIGINT AS n_chars_total
+FROM l
+UNION ALL
+SELECT doc_id, 4, l0 + l1 + l2 + l3 + 14,
+  l0 + l1 + l2 + l3 + 14 + len(c4), l0 + l1 + l2 + l3 + l4
+FROM l
+ORDER BY doc_id, turn_idx""",
+
+    // p95: the planted edges by formula — absolute messy link to the
+    // next doc's page, root-relative link resolving to the page's own
+    // host. A resolution or canonicalization slip changes rows.
+    "p95_link_graph" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+e AS (
+ SELECT 'example-' || (doc_id % 50) || '.com/Pg/' || doc_id || '?a=1&b=2'
+          AS src_url,
+        'example-' || ((doc_id + 1) % 50) || '.com/Pg/' || (doc_id + 1)
+          || '?a=1&b=2' AS dst_url
+ FROM documents
+ UNION
+ SELECT 'example-' || (doc_id % 50) || '.com/Pg/' || doc_id || '?a=1&b=2',
+        'example-' || (doc_id % 50) || '.com/Pg/' || (doc_id * 7 + 3)
+          || '?a=1&b=2'
+ FROM documents)
+SELECT src_url, dst_url FROM e ORDER BY src_url, dst_url""",
 
     // p83: DuckDB's ROLLUP + GROUPING bitmask mirror Spark's rollup +
     // grouping_id exactly (leftmost column = MSB in both engines).

@@ -1092,4 +1092,67 @@ object Corpus {
           .when(col("h1") === col("h2"), "unchanged")
           .otherwise("modified").as("status"))
   }
+
+  /**
+   * SFT chat-template rendering + loss-mask spans — the step that turns
+   * curated conversations into supervised-finetuning examples: each
+   * conversation's turns are flattened into ONE training string under a
+   * fixed template, and the char ranges holding ASSISTANT content are
+   * emitted as spans (the loss mask: a trainer computes loss only
+   * inside them — user/system text is context, not target).
+   *
+   * Template (fixed, shared with the oracle):
+   *   `<|role|>\n` + content + `<|end|>\n`   per turn, concatenated.
+   *
+   * Input: (idCol, turns: array<struct<role string, content string>>).
+   * Output: one row per ASSISTANT turn —
+   *   (idCol, turn_idx, span_start, span_end, n_chars_total), where
+   *   substring(rendered, span_start+1, span_end-span_start) == the
+   *   turn's content (0-based [start, end) offsets) and n_chars_total
+   *   is the full rendered length. Conversations with no assistant
+   *   turn yield no rows (nothing to train on).
+   *
+   * Scale shape: a narrow per-row expression tree — per-turn rendered
+   * lengths, prefix sums via a bounded slice-sum (turn counts are
+   * tens, never data-scale), one explode over assistant turn indices.
+   * Zero shuffles, zero driver work; the rendered string itself is
+   * recomputable downstream and deliberately NOT carried through the
+   * explode (spans + the turns array reconstruct it).
+   */
+  def sftRender(convs: DataFrame, idCol: String = "conv_id",
+                turnsCol: String = "turns"): DataFrame = {
+    val turns = col(turnsCol)
+    // rendered length of turn t: len("<|"+role+"|>\n") + len(content)
+    //                            + len("<|end|>\n")
+    val lens = transform(turns, t =>
+      length(t.getField("role")) + lit(4) + lit(1) +
+        length(t.getField("content")) + lit(8))
+    val total = aggregate(lens, lit(0L), (a, x) => a + x)
+    // span of turn i: start = sum(lens[0..i-1]) + header len;
+    // slice-sum is O(T^2) in the TURN count — bounded, never data-scale
+    val spans = filter(
+      transform(turns, (t, i) =>
+        struct(
+          i.as("turn_idx"),
+          (aggregate(slice(lens, lit(1), i), lit(0L), (a, x) => a + x) +
+            length(t.getField("role")) + lit(5)).as("span_start"),
+          (aggregate(slice(lens, lit(1), i), lit(0L), (a, x) => a + x) +
+            length(t.getField("role")) + lit(5) +
+            length(t.getField("content"))).as("span_end"),
+          t.getField("role").as("role"))),
+      s => s.getField("role") === "assistant")
+    convs
+      .select(col(idCol), total.as("n_chars_total"),
+        explode(spans).as("s"))
+      .select(col(idCol), col("s.turn_idx").cast("long").as("turn_idx"),
+        col("s.span_start").as("span_start"),
+        col("s.span_end").as("span_end"), col("n_chars_total"))
+  }
+
+  /** The template `sftRender` prices in: kept here so specs and
+   * fixtures render the SAME string the span arithmetic describes. */
+  def sftRendered(turns: Column): Column =
+    aggregate(turns, lit(""), (acc, t) =>
+      concat(acc, lit("<|"), t.getField("role"), lit("|>\n"),
+        t.getField("content"), lit("<|end|>\n")))
 }

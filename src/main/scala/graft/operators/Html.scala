@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * HTML-to-text extraction + link-graph construction — the step BEFORE
+ * everything the corpus pipeline does: a crawl's response records hold
+ * raw HTML, and the extracted text (Common Crawl's WET form, which
+ * `WarcSource.export(wet = true)` writes and p91 consumes) is produced
+ * by exactly this operator. The link extractor feeds the other derived
+ * artifact of a crawl: the host/page web graph behind PageRank-style
+ * quality signals.
+ *
+ * Reference analog: the corpus-ingest family (ref `plover.py` has no
+ * web layer; this extends the pipeline surface the way WarcSource and
+ * UrlOps do).
+ *
+ * The extractor is a DETERMINISTIC regex chain (a documented
+ * simplification of trafilatura/jusText: no DOM, no per-node
+ * classifier) chosen so every step is a codegen'd native expression
+ * that runs inside the one scan that reads the page — and so the same
+ * chain is expressible in ANSI SQL for the DuckDB oracle. RE2-safe
+ * patterns only (no backreferences, no lookaround), so the chain is
+ * engine-portable. At 100 TB: a narrow projection, zero shuffles; the
+ * link graph adds one explode + one distinct keyed by (src, dst).
+ */
+object Html {
+
+  /** Tags whose CLOSE (or the void br/hr) ends a text block — each
+   * becomes a newline so block structure survives tag stripping. */
+  private val BlockBreak =
+    "(?i)(?:<(?:br|hr)\\s*/?>|</(?:p|div|h[1-6]|li|tr|title|ul|ol|table|blockquote|pre|section|article|header|footer)\\s*>)"
+
+  /**
+   * Extracted text of an HTML page, all in one codegen'd expression
+   * tree:
+   *   1. drop `<script>`/`<style>` elements WITH their contents
+   *      (non-greedy to the first matching close — script bodies may
+   *      contain other tags) and HTML comments;
+   *   2. turn block-level closes (and `<br>`/`<hr>`) into newlines so
+   *      paragraphs stay separate lines;
+   *   3. strip every remaining tag;
+   *   4. decode the core entities (`&lt; &gt; &quot; &#39; &nbsp;`),
+   *      `&amp;` LAST — single-pass decoding, so double-encoded
+   *      `&amp;lt;` correctly yields the literal text `&lt;`;
+   *   5. normalize whitespace: collapse runs of spaces/tabs/CRs, trim
+   *      each line, drop empty lines, join with `\n`.
+   */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style>", "")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", "")
+    val broken = regexp_replace(noComment, BlockBreak, "\n")
+    val stripped = regexp_replace(broken, "(?s)<[^>]*>", "")
+    val decoded = replace(
+      replace(
+        replace(
+          replace(
+            replace(
+              replace(stripped, lit("&lt;"), lit("<")),
+              lit("&gt;"), lit(">")),
+            lit("&quot;"), lit("\"")),
+          lit("&#39;"), lit("'")),
+        lit("&nbsp;"), lit(" ")),
+      lit("&amp;"), lit("&"))
+    val collapsed = regexp_replace(decoded, "[ \\t\\r]+", " ")
+    array_join(
+      filter(transform(split(collapsed, "\n"), l => trim(l)), l => l =!= ""),
+      "\n")
+  }
+
+  /** Raw `href` targets of every `<a>` tag (either quote style);
+   * fragments are cut at extraction (`#...` never distinguishes a
+   * page — the canonicalizer would drop them anyway). */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?is)<a\\b[^>]*?href\\s*=\\s*[\"']([^\"'#>]*)"), lit(1))
+
+  /**
+   * Resolve an extracted href against its page URL: protocol-relative
+   * (`//host/p`) drops the slashes (the canonicalizer ignores scheme),
+   * root-relative (`/p`) prepends the page's canonical host, anything
+   * else is taken as absolute. (Path-relative `../p` resolution needs
+   * the page path's dirname — out of scope, documented; crawl hrefs
+   * are overwhelmingly absolute or root-relative.)
+   */
+  def resolveHref(pageUrl: Column, href: Column): Column = {
+    val host = regexp_extract(UrlOps.canonicalizeUrl(pageUrl), "^([^/?]*)", 1)
+    when(href.rlike("^//"), regexp_replace(href, "^//", ""))
+      .when(href.startsWith("/"), concat(host, href))
+      .otherwise(href)
+  }
+
+  /**
+   * Page-level link graph of a crawl: one row per distinct
+   * (src_url, dst_url) canonical pair, self-loops dropped (intra-page
+   * anchors and tracking-param variants of the page itself resolve to
+   * the page's own canonical URL — they carry no graph information).
+   *
+   * Scale shape: one scan of the pages (extraction + resolution are
+   * narrow expressions), one explode, one distinct keyed by the pair —
+   * the single shuffle a 100 TB edge list genuinely needs. No driver
+   * involvement; host-level rollups hang off this with one more
+   * aggregation.
+   */
+  def linkGraph(pages: DataFrame, urlCol: String = "url",
+                htmlCol: String = "html"): DataFrame =
+    pages
+      .select(UrlOps.canonicalizeUrl(col(urlCol)).as("src_url"),
+        col(urlCol).as("__page"),
+        explode(extractLinks(col(htmlCol))).as("__href"))
+      .select(col("src_url"),
+        UrlOps.canonicalizeUrl(resolveHref(col("__page"), col("__href")))
+          .as("dst_url"))
+      .where(col("dst_url") =!= col("src_url") && col("dst_url") =!= "")
+      .distinct()
+}

@@ -60,6 +60,28 @@ object UrlOps {
         .otherwise(lit("")))
   }
 
+  /**
+   * SURT urlkey of a URL — the sort key of the CDX index every crawl
+   * publishes (Common Crawl's cc-index): the canonical host's labels
+   * REVERSED and comma-joined, a `)`, then the lowercased path+query.
+   * Reversing the host groups a domain's pages contiguously
+   * (`com,example)/a` and `com,example)/b` sort together however many
+   * subdomains sit in front), which is what makes a urlkey-sorted
+   * index binary-searchable by domain prefix. Ports are dropped
+   * (capture identity, not lookup identity); unlike the canonical
+   * form, SURT lowercases the PATH too — CDX lookup keys are
+   * case-folded end to end.
+   */
+  def surtKey(url: Column): Column = {
+    val canon = canonicalizeUrl(url)
+    val host = regexp_replace(
+      regexp_extract(canon, "^([^/?]*)", 1), ":[0-9]+$", "")
+    val rest = substring(canon,
+      length(regexp_extract(canon, "^([^/?]*)", 1)) + 1, lit(1 << 30))
+    concat(array_join(reverse(split(host, "\\.")), ","), lit(")"),
+      lower(rest))
+  }
+
   /** Two-level public suffixes under which the registered domain is
    * THREE labels (`shop.example.co.uk` -> `example.co.uk`). A tiny,
    * documented subset of the public-suffix list — enough for the

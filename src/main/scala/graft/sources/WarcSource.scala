@@ -120,6 +120,31 @@ object WarcSource {
   }
 
   /**
+   * CDX index of a crawl's response records — the OTHER artifact every
+   * crawl publishes besides the segments themselves (Common Crawl's
+   * cc-index): one row per capture with the SURT urlkey, the canonical
+   * URL, the HTTP status, a content digest, and the payload size.
+   * Sorted by urlkey, the index answers "was this URL captured, and
+   * where" without touching a segment — the entry point of every
+   * targeted re-crawl and URL-level audit.
+   *
+   * Scale shape: one pass over the records (urlkey/digest/length are
+   * narrow expressions computed where the record was parsed); the only
+   * shuffle is the final urlkey range-sort that makes the index
+   * binary-searchable — exactly the job that builds the real cc-index.
+   * Digest is sha256 of the extracted body (the real index uses sha1
+   * of the raw payload; same role, stronger hash).
+   */
+  def cdxIndex(records: DataFrame): DataFrame =
+    records.where(col("warc_type") === "response")
+      .select(
+        graft.operators.UrlOps.surtKey(col("target_uri")).as("urlkey"),
+        graft.operators.UrlOps.canonicalizeUrl(col("target_uri")).as("url"),
+        col("status").cast("long").as("status"),
+        sha2(col("body"), 256).as("digest"),
+        octet_length(col("body")).cast("long").as("n_bytes"))
+
+  /**
    * Fixture/export writer: shard `docs` into WARC response records
    * (URL `https://example.org/doc/{id}`, body = text), one
    * `.warc.gz` file per `docsPerFile` ids, written from the

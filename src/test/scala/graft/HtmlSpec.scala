@@ -1,0 +1,152 @@
+package graft
+
+import graft.operators.{Corpus, Html, UrlOps}
+import org.apache.spark.sql.functions._
+
+class HtmlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h").select(Html.htmlToText(col("h")).as("t"))
+      .as[String].collect().head
+
+  test("htmlToText: script/style/comment contents never leak") {
+    // the script body embeds tags AND a fake close-looking string; only
+    // the first real </script> may end it
+    val html = "<html><head><style>p{color:red}</style>" +
+      "<script>var s=\"<p>hidden</p>\";</script></head>" +
+      "<body><!-- note with <b>markup</b> --><p>visible</p></body></html>"
+    assert(extract(html) == "visible")
+    // two script blocks: non-greedy match must not swallow text between
+    assert(extract("<script>a</script><p>kept</p><script>b</script>") ==
+      "kept")
+  }
+
+  test("htmlToText: block closes break lines, inline tags do not") {
+    val html = "<h1>Title</h1><p>one <b>bold</b> two</p><div>three</div>" +
+      "<ul><li>item a</li><li>item b</li></ul>four<br>five<hr/>six"
+    assert(extract(html) ==
+      "Title\none bold two\nthree\nitem a\nitem b\nfour\nfive\nsix")
+  }
+
+  test("htmlToText: entity decode, &amp; last so double-encoding survives") {
+    assert(extract("<p>a &lt;tag&gt; &quot;q&quot; it&#39;s x&nbsp;y &amp; z</p>") ==
+      "a <tag> \"q\" it's x y & z")
+    // double-encoded &amp;lt; must yield the literal text "&lt;", not "<"
+    assert(extract("<p>&amp;lt;</p>") == "&lt;")
+  }
+
+  test("htmlToText: whitespace collapses, blank lines drop") {
+    assert(extract("<p>  a\t\tb  </p><p>   </p><p>\r\n</p><p>c</p>") ==
+      "a b\nc")
+    assert(extract("<p></p>") == "")
+  }
+
+  test("extractLinks: both quote styles, fragment cut at extraction") {
+    val links = Seq(
+      "<a href=\"https://a.com/x\">1</a> <A HREF='https://b.com/y#frag'>2</A>" +
+        " <a class=\"z\" href=\"/rel/p?q=1\">3</a> <p>no link</p>")
+      .toDF("h").select(explode(Html.extractLinks(col("h"))).as("l"))
+      .as[String].collect().toSeq
+    assert(links == Seq("https://a.com/x", "https://b.com/y", "/rel/p?q=1"))
+  }
+
+  test("resolveHref: absolute, root-relative, protocol-relative") {
+    val rows = Seq(
+      ("https://www.Host-a.com:443/page/1", "https://b.com/x"),
+      ("https://www.Host-a.com:443/page/1", "/x/y?q=1"),
+      ("https://www.Host-a.com:443/page/1", "//c.com/z"))
+      .toDF("page", "href")
+      .select(UrlOps.canonicalizeUrl(
+        Html.resolveHref(col("page"), col("href"))).as("r"))
+      .as[String].collect().toSeq
+    assert(rows == Seq("b.com/x", "host-a.com/x/y?q=1", "c.com/z"))
+  }
+
+  test("linkGraph: canonical edges, dedup, self-loops and empties drop") {
+    val pages = Seq(
+      // page 1: a dup'd link, a self-link (tracking-param spelling of
+      // itself), and an empty href — only one real edge survives
+      ("https://www.one.com/p", "<a href=\"https://two.com/x\">a</a>" +
+        "<a href='https://two.com/x?utm_source=s'>b</a>" +
+        "<a href=\"https://one.com/p?fbclid=f\">self</a><a href=\"\">e</a>"),
+      // page 2: root-relative resolves against ITS host
+      ("https://two.com/q", "<a href=\"/deep/r\">c</a>"))
+      .toDF("url", "html")
+    val edges = Html.linkGraph(pages)
+      .orderBy("src_url", "dst_url")
+      .as[(String, String)].collect().toSeq
+    assert(edges == Seq(
+      ("one.com/p", "two.com/x"),
+      ("two.com/q", "two.com/deep/r")))
+  }
+
+  test("surtKey: host labels reverse, port drops, path+query lowercase") {
+    val keys = Seq(
+      "https://www.Shop.Example.co.uk:8443/A/B?X=1",
+      "https://example.com/",
+      "http://example.com:80/Pg/9?b=2&a=1#f")
+      .toDF("url").select(UrlOps.surtKey(col("url")).as("k"))
+      .as[String].collect().toSeq
+    assert(keys == Seq(
+      "uk,co,example,shop)/a/b?x=1",
+      "com,example)",
+      "com,example)/pg/9?a=1&b=2"))
+  }
+
+  test("sftRender: spans index the rendered string exactly") {
+    val convs = Seq(
+      (1L, Seq(("system", "Be good."), ("user", "hi there"),
+        ("assistant", "hello! how can I help?"), ("user", "sum 2+2"),
+        ("assistant", "4"))),
+      (2L, Seq(("user", "no reply yet"))), // no assistant turn -> no rows
+      (3L, Seq(("assistant", "")))) // empty content -> empty span
+      .toDF("conv_id", "raw")
+      .select(col("conv_id"), transform(col("raw"), t =>
+        struct(t.getField("_1").as("role"), t.getField("_2").as("content")))
+        .as("turns"))
+    val out = Corpus.sftRender(convs).orderBy("conv_id", "turn_idx")
+      .collect()
+    val rendered = convs.select(col("conv_id"),
+      Corpus.sftRendered(col("turns")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 1L, 3L))
+    // THE invariant: substring(rendered, start, end) == the turn content
+    val r1 = rendered(1L)
+    val spans = out.filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(2).toInt, r.getLong(3).toInt))
+    assert(spans.map { case (s, e) => r1.substring(s, e) }.toSeq ==
+      Seq("hello! how can I help?", "4"))
+    // n_chars_total is the full rendered length, on every row
+    assert(out.filter(_.getLong(0) == 1L)
+      .forall(_.getLong(4) == r1.length.toLong))
+    // conv 3: empty assistant content -> zero-width span, still emitted
+    val c3 = out.find(_.getLong(0) == 3L).get
+    assert(c3.getLong(2) == c3.getLong(3))
+    assert(c3.getLong(1) == 0L) // turn_idx of the single turn
+    assert(rendered(3L).length.toLong == c3.getLong(4))
+  }
+
+  test("cdxIndex: export -> records -> index round trip, field exactness") {
+    import graft.sources.WarcSource
+    val dir = "target/html-spec-cdx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val docs = Seq(
+      (1L, "alpha beta", "https://www.Site.com:443/One/1?b=2&a=1#f"),
+      (2L, "gamma", "http://other.org/x/")).toDF("doc_id", "text", "url")
+    WarcSource.export(docs, dir, docsPerFile = 10, urlCol = Some("url"))
+    val idx = WarcSource.cdxIndex(WarcSource.records(spark, dir))
+      .orderBy("urlkey").collect()
+    assert(idx.map(_.getString(0)).toSeq ==
+      Seq("com,site)/one/1?a=1&b=2", "org,other)/x"))
+    assert(idx.map(_.getString(1)).toSeq ==
+      Seq("site.com/One/1?a=1&b=2", "other.org/x"))
+    assert(idx.forall(_.getLong(2) == 200L))
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("alpha beta".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(idx.head.getString(3) == sha)
+    assert(idx.map(_.getLong(4)).toSeq == Seq(10L, 5L))
+  }
+}
