@@ -37,6 +37,10 @@ object Plans {
       "p85_warc_ingest" -> "WARC ingest: binaryFile source, one parse task per record-gzipped segment (not splittable - the Common Crawl parallelism unit), parsing runs where the bytes land",
       "p88_cdc_chunks" -> "CDC chunks: rolling hash, boundary selection, and per-chunk md5 all inside array expressions of ONE narrow scan - explode is the only post-scan op, no exchange",
       "p89_cdc_shared" -> "CDC shared pairs: bucketed chunk-hash self-join behind a doc-frequency guard - k rows per shared chunk, never all-pairs",
+      "p92_html_extract" -> "HTML extraction: the whole script/style/comment/entity/whitespace chain is ONE codegen'd projection - no exchange, no join, no UDF",
+      "p93_cdx_index" -> "CDX index: urlkey/digest/size are narrow expressions computed in the parse tasks; the urlkey range-sort that makes the index binary-searchable is the only exchange",
+      "p94_sft_render" -> "SFT rendering: per-turn length arithmetic + loss-span structs inside one narrow scan, explode the only post-scan op - no exchange",
+      "p95_link_graph" -> "Link graph: href extraction + relative resolution + canonicalization narrow in the scan, one explode, one (src,dst)-keyed distinct - the single shuffle an edge list needs",
       "g20_meta_kg" -> "Meta KG: aggregation over denormalized categories, no join",
       "g28_trapi_response" -> "TRAPI envelope: codegen'd to_json parts; grouping shuffles are keyed on answer ids (AQE picks broadcast for the small answer-side joins at runtime)",
       "p02_ngram_jaccard" -> "Jaccard pairs: inverted-index join with df-cutoff guard, never all-pairs",

@@ -463,7 +463,44 @@ object ScaleSmoke {
       time("warc ingest")(
         sources.WarcSource.records(spark, warcDir)
           .where(col("warc_type") === "response").count())
+      // CDX index over the same segments: field derivation rides the
+      // parse tasks; the urlkey range-sort is the only exchange
+      time("cdx index")(
+        sources.WarcSource.cdxIndex(sources.WarcSource.records(spark, warcDir))
+          .orderBy("urlkey").count())
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warcDir))
+      // HTML extraction + link graph at corpus scale: each doc becomes
+      // a page with chrome, entities, and two hrefs (one root-relative)
+      val pages = docs
+        .withColumn("url", concat(lit("https://www.Example-"),
+          pmod(col("doc_id"), lit(5000)), lit(".com/Pg/"), col("doc_id"),
+          lit("/?b=2&a=1")))
+        .withColumn("html", concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title><script>var x=\"<p>no</p>\";</script></head>"),
+          lit("<body><h1>Doc "), col("doc_id"), lit("</h1><p>"), col("text"),
+          lit("</p><p>Visit &amp; enjoy &lt;deals&gt;&nbsp;now.</p>"),
+          lit("<div><a href=\"https://Example-"),
+          pmod(col("doc_id") + 1, lit(5000)), lit(".com/Pg/"),
+          col("doc_id") + 1, lit("?b=2&a=1&utm_source=x\">n</a> <a href='/Pg/"),
+          col("doc_id") * 7 + 3, lit("'>r</a></div></body></html>")))
+      // the length-sum filter defeats column pruning so the whole
+      // extraction chain genuinely runs per page
+      time("html extract")(
+        pages.select(operators.Html.htmlToText(col("html")).as("t"))
+          .where(length(col("t")) >= 0).count())
+      time("link graph")(operators.Html.linkGraph(pages).count())
+      // SFT rendering: span arithmetic per turn, explode, no shuffle
+      val convs = docs.select(col("doc_id"), array(
+        struct(lit("system").as("role"),
+          lit("You are a helpful assistant.").as("content")),
+        struct(lit("user").as("role"),
+          substring(col("text"), 1, 200).as("content")),
+        struct(lit("assistant").as("role"),
+          substring(col("text"), 201, 400).as("content"))).as("turns"))
+      time("sft render")(
+        operators.Corpus.sftRender(convs, idCol = "doc_id")
+          .agg(sum(col("span_end"))).count())
     }
 
     // Batched lookup amortization (r12 verdict #2): k mixed point probes
