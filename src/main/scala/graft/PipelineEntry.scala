@@ -1034,6 +1034,67 @@ object PipelineEntry {
       Html.linkGraph(htmlPages(docs(s, dir)))
         .orderBy("src_url", "dst_url")),
 
+    // P96 — Unicode confusable folding (ftfy-lite): the fixture wraps
+    // each doc in curly quotes and plants NBSP + em-dash + ZWSP +
+    // curly apostrophe + ellipsis; the oracle states the expected
+    // folded string in closed form, so a missed fold, a wrong fold
+    // order, or an over-eager class all diverge.
+    "p96_unicode_fold" -> ((s, dir) =>
+      TextAnalysis.unicodeFold(
+        docs(s, dir).withColumn("text", concat(lit("\u201C"), col("text"),
+          // \u201D NBSP em-dash ZWSP it's-with-curly-quote fine ellipsis
+          lit("\u201D\u00A0\u2014\u200Bit\u2019s fine\u2026"))))
+        .orderBy("id")),
+
+    // P97 — sentence segmentation: the planted paragraph exercises
+    // every rule branch — ". Then" splits, "3.14" (no whitespace)
+    // doesn't, "! Was" and "? Yes" split, ". the" (lowercase) doesn't,
+    // ". Tail" splits. The oracle enumerates the 5 expected sentences
+    // per doc in closed form.
+    "p97_sentences" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      val intro = array_join(slice(TF.tokens(col("text")), 1, 2), " ")
+      TextAnalysis.sentences(
+        docs(s, dir).withColumn("text",
+          concat(lit("Intro about "), intro,
+            lit(". Then came 3.14 pies! Was it real? Yes. the trap " +
+              "stays. Tail"))))
+        .orderBy("id", "sent_idx")
+    }),
+
+    // P98 — registered-domain web-graph signals over the p95 edges:
+    // crawled page count, out-degree, in-degree per domain — the
+    // aggregate behind link-based quality priors. The oracle counts
+    // pages and planted links per domain straight from the formula.
+    "p98_domain_signals" -> ((s, dir) =>
+      Html.domainSignals(Html.linkGraph(htmlPages(docs(s, dir))))
+        .orderBy("domain")),
+
+    // P99 — streaming crawl ingest: WET segments arrive as a file
+    // stream (the live-crawl shape), parse + language ID run
+    // stateless per micro-batch. SHARES p08's oracle — the
+    // batch ≡ streaming hash-match convention (p58/p67/p73).
+    "p99_streaming_wet" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.sources.WarcSource
+      val tag = dir.replaceAll("[^0-9]", "_")
+      val out = s"/root/repo/target/wet-stream-$tag"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      WarcSource.export(docs(s, dir), out, docsPerFile = 100, wet = true)
+      val recovered = WarcSource.recordsStream(s, out)
+        .where(col("warc_type") === "conversion")
+        .select(
+          regexp_extract(col("record_id"), ":doc:(\\d+)>$", 1)
+            .cast("long").as("doc_id"),
+          col("body").as("text"))
+      val name = "p99_wet_" + tag
+      val q = TextAnalysis.languageId(recovered)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("id")
+    }),
+
     // P83 — corpus statistics report: per-(lang, source) doc/char/token
     // counts + per-lang subtotals + grand total in ONE rollup pass;
     // grouping_id disambiguates subtotal rows. Exact-integer only.
@@ -3283,6 +3344,10 @@ FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id ORDER BY id""",
     // records round-trip byte-exactly.
     "p91_wet_langid" -> LangIdOracle,
 
+    // p99: the streaming twin of p91's ingest — identical hashes prove
+    // the file-stream parse + stateless scoring equals the batch path.
+    "p99_streaming_wet" -> LangIdOracle,
+
     "p09_quality" -> {
       val stop = graft.functions.TextFunctions.DefaultStopwords("en")
         .map("'" + _ + "'").mkString(", ")
@@ -3611,6 +3676,54 @@ e AS (
           || '?a=1&b=2'
  FROM documents)
 SELECT src_url, dst_url FROM e ORDER BY src_url, dst_url""",
+
+    // p96: the expected folded string in closed form — curly quotes to
+    // ASCII, NBSP to space, em-dash to '-', ZWSP gone, curly
+    // apostrophe to ', ellipsis to three dots.
+    "p96_unicode_fold" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT doc_id AS id,
+  '"' || text || '" -it''s fine...' AS text_clean,
+  len('"' || text || '" -it''s fine...')::BIGINT AS n_chars_clean
+FROM documents ORDER BY id""",
+
+    // p97: the 5 expected sentences per doc in closed form — one per
+    // rule branch of the planted paragraph.
+    "p97_sentences" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+t AS (SELECT doc_id, coalesce(array_to_string(list_slice(
+        string_split_regex(lower(trim(text)), '\\s+'), 1, 2), ' '), '') AS seg
+      FROM documents),
+s AS (
+  SELECT doc_id, 0 AS sent_idx,
+         'Intro about ' || seg || '.' AS sentence FROM t
+  UNION ALL SELECT doc_id, 1, 'Then came 3.14 pies!' FROM t
+  UNION ALL SELECT doc_id, 2, 'Was it real?' FROM t
+  UNION ALL SELECT doc_id, 3, 'Yes. the trap stays.' FROM t
+  UNION ALL SELECT doc_id, 4, 'Tail' FROM t)
+SELECT doc_id AS id, sent_idx::BIGINT AS sent_idx, sentence
+FROM s ORDER BY id, sent_idx""",
+
+    // p98: per-domain page and planted-link counts straight from the
+    // formula — every doc contributes 1 page, 2 out-edges, 1 in-edge
+    // to its own domain (the relative link) and 1 to doc_id+1's.
+    "p98_domain_signals" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+o AS (SELECT 'example-' || (doc_id % 50) || '.com' AS domain,
+        count(*) AS n_pages, 2 * count(*) AS out_degree
+      FROM documents GROUP BY 1),
+i AS (SELECT domain, count(*) AS in_degree FROM (
+    SELECT 'example-' || ((doc_id + 1) % 50) || '.com' AS domain
+    FROM documents
+    UNION ALL
+    SELECT 'example-' || (doc_id % 50) || '.com' FROM documents)
+  GROUP BY domain)
+SELECT coalesce(o.domain, i.domain) AS domain,
+  coalesce(n_pages, 0)::BIGINT AS n_pages,
+  coalesce(out_degree, 0)::BIGINT AS out_degree,
+  coalesce(in_degree, 0)::BIGINT AS in_degree
+FROM o FULL JOIN i ON o.domain = i.domain
+ORDER BY domain""",
 
     // p83: DuckDB's ROLLUP + GROUPING bitmask mirror Spark's rollup +
     // grouping_id exactly (leftmost column = MSB in both engines).

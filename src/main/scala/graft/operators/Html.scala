@@ -126,4 +126,32 @@ object Html {
             .otherwise(col("__href"))).as("dst_url"))
       .where(col("dst_url") =!= col("src_url") && col("dst_url") =!= "")
       .distinct()
+
+  /**
+   * Registered-domain web-graph signals from a page-level edge list —
+   * the aggregate behind link-based quality priors (a page on a
+   * domain nothing links to is a different prior than one under a
+   * well-referenced host): per domain, the crawled page count, the
+   * out-degree, and the in-degree. Domains that only ever appear as
+   * link TARGETS still get a row (n_pages = 0, the "referenced but
+   * never crawled" frontier a crawler's scheduler feeds on).
+   *
+   * Scale shape: both endpoints tag into ONE union (src rows carry
+   * the page for the distinct count, dst rows carry null — count
+   * distinct ignores it), then a single domain-keyed aggregation.
+   * No join, no window; the edge list never materializes twice.
+   */
+  def domainSignals(edges: DataFrame, srcCol: String = "src_url",
+                    dstCol: String = "dst_url"): DataFrame =
+    edges
+      .select(UrlOps.registeredDomain(col(srcCol)).as("domain"),
+        col(srcCol).as("page"), lit(1L).as("out_e"), lit(0L).as("in_e"))
+      .unionAll(edges.select(
+        UrlOps.registeredDomain(col(dstCol)).as("domain"),
+        lit(null).cast("string").as("page"),
+        lit(0L).as("out_e"), lit(1L).as("in_e")))
+      .groupBy("domain")
+      .agg(countDistinct(col("page")).as("n_pages"),
+        sum(col("out_e")).as("out_degree"),
+        sum(col("in_e")).as("in_degree"))
 }

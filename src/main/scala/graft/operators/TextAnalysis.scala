@@ -928,4 +928,69 @@ object TextAnalysis {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
+
+  /** 1:1 character folds for `unicodeFold` (curly quotes, long
+   * dashes), applied via `translate` in one pass. Kept as paired
+   * strings so the spec can assert the two stay aligned. */
+  val FoldFrom = "‘’‚“”„–—―"
+  val FoldTo = "'''\"\"\"---"
+
+  /**
+   * Unicode confusable folding — the ftfy-lite pass between extraction
+   * and analysis, COMPLEMENTING `cleaned` (p32): that stage strips
+   * hard control characters and collapses whitespace runs; this one
+   * folds the Unicode lookalikes that SURVIVE it and silently split
+   * tokens or fork dedup hashes (the same visible text hashing two
+   * ways is a dedup miss):
+   *   1. remove zero-width characters (ZWSP/ZWNJ/ZWJ/BOM — invisible,
+   *      but tokenizers and hashes see them);
+   *   2. fold Unicode spaces (NBSP, en/em/thin/ideographic...) to
+   *      plain space;
+   *   3. fold curly quotes / long dashes to ASCII (one `translate`
+   *      pass) and `…` to `...`.
+   * Character classes use `\x{hhhh}` escapes — the one spelling valid
+   * in BOTH Java regex (Spark) and RE2 (DuckDB), so the oracle runs
+   * the identical pattern strings. One narrow codegen projection, no
+   * UDF, no shuffle.
+   * Output: (id, text_clean, n_chars_clean).
+   */
+  def unicodeFold(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val noZw = regexp_replace(col(textCol),
+      "[\\x{200B}-\\x{200D}\\x{FEFF}]", "")
+    val spaced = regexp_replace(noZw,
+      "[\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]",
+      " ")
+    val folded = replace(
+      translate(spaced, FoldFrom, FoldTo),
+      lit("…"), lit("..."))
+    docs.select(col(idCol).as("id"), folded.as("text_clean"),
+      length(folded).cast("long").as("n_chars_clean"))
+  }
+
+  /**
+   * Sentence segmentation (rule-based, the splitter feeding
+   * sentence-level dedup/packing/alignment): a boundary falls AFTER a
+   * run of `.`/`!`/`?` that is followed by whitespace and an
+   * uppercase letter or digit — so abbreviations mid-clause
+   * (`i.e. lower`) and decimal points don't split, while a lowercase
+   * continuation (`. the`) is treated as the same sentence (the
+   * deliberately simple, documented subset of a Punkt-style model;
+   * no lookahead, so the SAME rule runs under RE2 in the oracle: the
+   * boundary is marked by a capturing rewrite `([.!?])\s+([A-Z0-9])`
+   * -> `$1\x01$2`, then one split).
+   * Output: (id, sent_idx, sentence) — sentences trimmed, empties
+   * dropped, `sent_idx` 0-based in document order. One narrow scan +
+   * explode, no shuffle.
+   */
+  def sentences(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val marked = regexp_replace(col(textCol),
+      "([.!?])\\s+([A-Z0-9])", "$1\u0001$2")
+    val sents = filter(transform(split(marked, "\u0001"), s => trim(s)),
+      s => s =!= "")
+    docs.select(col(idCol).as("id"), posexplode(sents))
+      .select(col("id"), col("pos").cast("long").as("sent_idx"),
+        col("col").as("sentence"))
+  }
 }

@@ -120,6 +120,34 @@ object WarcSource {
   }
 
   /**
+   * Streaming twin of `records`: crawl segments arrive continuously
+   * (a live crawl drops .warc.gz files as it goes), so ingest is a
+   * file-stream of whole segments — same one-task-per-file parse,
+   * stateless, append-mode safe. The binaryFile source needs its
+   * schema pinned explicitly under readStream.
+   */
+  def recordsStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", "*.warc*")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, raw) =>
+        val bytes = if (path.endsWith(".gz")) gunzip(raw) else raw
+        parseWarc(path, bytes)
+      })
+      .toDF()
+  }
+
+  /**
    * CDX index of a crawl's response records — the OTHER artifact every
    * crawl publishes besides the segments themselves (Common Crawl's
    * cc-index): one row per capture with the SURT urlkey, the canonical

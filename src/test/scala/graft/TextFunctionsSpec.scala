@@ -421,4 +421,54 @@ class TextFunctionsSpec extends SparkSpec {
       .orderBy("id").as[(Long, Long, String)].collect().toSeq
     assert(oout == Seq((1L, 2L, "z\na\ny"), (2L, 1L, "q")))
   }
+
+  test("unicodeFold: zero-widths vanish, spaces/quotes/dashes/ellipsis fold") {
+    // the two fold tables must stay aligned 1:1
+    assert(TextAnalysis.FoldFrom.length == TextAnalysis.FoldTo.length)
+    val in = Seq(
+      (1L, "a​b‌‍﻿c"),          // zero-widths removed
+      (2L, "x y z　w"),                // NBSP/thin/ideographic
+      (3L, "“q” ‘a’ –— done…"),
+      (4L, "plain ascii stays")).toDF("doc_id", "text")
+    val out = TextAnalysis.unicodeFold(in).orderBy("id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "abc", 3L),
+      (2L, "x y z w", 7L),
+      (3L, "\"q\" 'a' -- done...", 18L),
+      (4L, "plain ascii stays", 17L)))
+  }
+
+  test("sentences: every rule branch, one row per trimmed sentence") {
+    val in = Seq(
+      (1L, "One two. Three four! Five? Six seven."),
+      (2L, "i.e. lowercase stays. 3.14 is pi. But 9 Lives"),
+      (3L, "No terminal punctuation at all"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.sentences(in).orderBy("id", "sent_idx")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, "One two."), (1L, 1L, "Three four!"), (1L, 2L, "Five?"),
+      (1L, 3L, "Six seven."),
+      // ". lowercase" and "3.14" don't split; ". But"/"But 9"? — only
+      // punctuation+space+capital-or-digit marks a boundary
+      (2L, 0L, "i.e. lowercase stays."), (2L, 1L, "3.14 is pi."),
+      (2L, 2L, "But 9 Lives"),
+      (3L, 0L, "No terminal punctuation at all")))
+  }
+
+  test("domainSignals: pages, out/in degrees, target-only domains kept") {
+    import graft.operators.Html
+    val edges = Seq(
+      ("a.com/1", "b.com/x"), ("a.com/1", "b.com/y"),
+      ("a.com/2", "b.com/x"), ("b.com/x", "a.com/1"),
+      // c.com is only ever a TARGET: row with n_pages = 0
+      ("a.com/2", "c.com/z")).toDF("src_url", "dst_url")
+    val out = Html.domainSignals(edges).orderBy("domain")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a.com", 2L, 4L, 1L),
+      ("b.com", 1L, 1L, 3L),
+      ("c.com", 0L, 0L, 1L)))
+  }
 }

@@ -76,4 +76,25 @@ class WarcSourceSpec extends SparkSpec {
       .map(r => (r.getLong(0), 200, r.getString(1))).toSet
     assert(got == expected)
   }
+
+  test("recordsStream: file-stream ingest yields exactly the batch records") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "target/warc-spec-stream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val docs = Seq((1L, "alpha"), (2L, "beta\r\nWARC/1.0 trap"), (3L, "γ"))
+      .toDF("doc_id", "text")
+    WarcSource.export(docs, dir, docsPerFile = 2, wet = true)
+    val q = WarcSource.recordsStream(spark, dir)
+      .writeStream.format("memory").queryName("warc_stream_spec")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("warc_stream_spec")
+      .select("warc_type", "record_id", "target_uri", "status", "body")
+      .collect().map(_.toSeq).toSet
+    val batch = WarcSource.records(spark, dir)
+      .select("warc_type", "record_id", "target_uri", "status", "body")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.count(_.head == "conversion") == 3)
+  }
 }
