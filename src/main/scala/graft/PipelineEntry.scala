@@ -1070,6 +1070,57 @@ object PipelineEntry {
       Html.domainSignals(Html.linkGraph(htmlPages(docs(s, dir))))
         .orderBy("domain")),
 
+    // P100 — PageRank over a domain graph in DETERMINISTIC fixed-point
+    // integer arithmetic (floats sum in shuffle order and never
+    // hash-match): the fixture's quadratic-residue edges give genuinely
+    // non-uniform ranks; the oracle unrolls the same 10 iterations as
+    // SQL CTE stages with identical floor-division order.
+    "p100_pagerank" -> ((s, dir) =>
+      Html.pageRank(
+        docs(s, dir).select(pmod(col("doc_id"), lit(50)).as("src"),
+          pmod(col("doc_id") * col("doc_id") + 1, lit(50)).as("dst"))
+          .where(col("src") =!= col("dst")).distinct(),
+        iterations = 10)
+        .orderBy("node")),
+
+    // P101 — robots-aware filtering: each host's robots.txt (built by
+    // formula: hosts h%3==1 disallow only /private, others also
+    // disallow their own /Pg/{h} page; an Allow line and an empty
+    // Disallow are planted to be correctly IGNORED) drops exactly the
+    // docs with doc_id < 50 on non-exempt hosts.
+    "p101_robots_filter" -> ((s, dir) => {
+      val d = pageUrls(docs(s, dir))
+      val robots = d.select(pmod(col("doc_id"), lit(50)).as("h")).distinct()
+        .select(concat(lit("example-"), col("h"), lit(".com")).as("host"),
+          concat(lit("User-agent: *\nAllow: /Pg\nDisallow:\n"),
+            when(pmod(col("h"), lit(3)) =!= 1,
+              concat(lit("Disallow: /Pg/"), col("h"), lit("\n")))
+              .otherwise(lit("")),
+            lit("Disallow: /private\n")).as("body"))
+      UrlOps.robotsFilter(d, robots)
+        .select(col("doc_id"),
+          UrlOps.canonicalizeUrl(col("url")).as("canonical_url"))
+        .orderBy("doc_id")
+    }),
+
+    // P102 — JSONL corpus round-trip: the interchange format LLM
+    // corpora actually ship as (Dolma/RedPajama = gzipped JSON lines).
+    // Write executor-side as .json.gz, read back schema-pinned, feed
+    // language ID — SHARES p08's oracle, so matching hashes prove the
+    // JSON escaping round-trips byte-exactly into the analysis ops.
+    "p102_jsonl_roundtrip" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^0-9]", "_")
+      val out = s"/root/repo/target/jsonl-$tag"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val d = docs(s, dir)
+      d.select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").option("compression", "gzip").json(out)
+      val back = s.read.schema(
+        d.select("doc_id", "text", "lang", "source", "n_chars").schema)
+        .json(out)
+      TextAnalysis.languageId(back).orderBy("id")
+    }),
+
     // P99 — streaming crawl ingest: WET segments arrive as a file
     // stream (the live-crawl shape), parse + language ID run
     // stateless per micro-batch. SHARES p08's oracle — the
@@ -3676,6 +3727,52 @@ e AS (
           || '?a=1&b=2'
  FROM documents)
 SELECT src_url, dst_url FROM e ORDER BY src_url, dst_url""",
+
+    // p100: the SAME 10 fixed-point iterations unrolled as CTE stages —
+    // identical floor-division order (r DIV outdeg per edge, sum,
+    // *85 DIV 100, + teleport), so Spark and DuckDB agree to the last
+    // integer unit. Positive-only values make DuckDB's floor-div and
+    // Spark's truncating DIV identical.
+    "p100_pagerank" -> {
+      val stages = (1 to 10).map { k =>
+        s"""pr$k AS (SELECT nodes.node,
+    (SELECT tele FROM t) + (85 * coalesce(cin.c, 0)) // 100 AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum(p.r // deg.outdeg)::BIGINT AS c
+    FROM e JOIN pr${k - 1} p ON e.src = p.node
+           JOIN deg ON deg.src = e.src
+    GROUP BY e.dst) cin ON nodes.node = cin.node)"""
+      }.mkString(",\n")
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+e AS (SELECT DISTINCT doc_id % 50 AS src, (doc_id * doc_id + 1) % 50 AS dst
+      FROM documents WHERE doc_id % 50 <> (doc_id * doc_id + 1) % 50),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+t AS (SELECT (1000000000000 * 15 // 100) // count(*) AS tele FROM nodes),
+pr0 AS (SELECT node, 1000000000000 // (SELECT count(*) FROM nodes) AS r
+        FROM nodes),
+$stages
+SELECT node, r AS rank FROM pr10 ORDER BY node"""
+    },
+
+    // p101: survivors by the fixture rule — a doc is robots-blocked iff
+    // its host h = id%50 is not %3==1-exempt AND "/Pg/{h}"
+    // string-prefix-matches its "/Pg/{id}..." path, i.e. decimal(id)
+    // starts with decimal(h) (id==h, but also 202 under h=2 — prefix
+    // semantics are the point of the operator, stated honestly here).
+    "p101_robots_filter" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT doc_id,
+  'example-' || (doc_id % 50) || '.com/Pg/' || doc_id || '?a=1&b=2'
+    AS canonical_url
+FROM documents
+WHERE NOT ((doc_id % 50) % 3 <> 1
+  AND starts_with(doc_id::VARCHAR, (doc_id % 50)::VARCHAR))
+ORDER BY doc_id""",
+
+    // p102: the streaming/batch-ingest convention — shares p08's oracle.
+    "p102_jsonl_roundtrip" -> LangIdOracle,
 
     // p96: the expected folded string in closed form — curly quotes to
     // ASCII, NBSP to space, em-dash to '-', ZWSP gone, curly

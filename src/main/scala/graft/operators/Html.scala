@@ -154,4 +154,68 @@ object Html {
       .agg(countDistinct(col("page")).as("n_pages"),
         sum(col("out_e")).as("out_degree"),
         sum(col("in_e")).as("in_degree"))
+
+  /** Fixed-point scale for `pageRank`: ranks are int64 micro-units of
+   * this (1.0 == 1e12), so every arithmetic step is exact integer
+   * division — bit-identical across engines, no float summation-order
+   * dependence. Headroom: 85 * 1e12 << 2^63. */
+  val RankScale = 1000000000000L
+
+  /**
+   * PageRank over a (src, dst) edge list — the link-based quality
+   * prior (a page's weight flows from who links to it; the web-graph
+   * signal FineWeb-era pipelines cite). DETERMINISTIC fixed-point
+   * integer arithmetic replaces the usual floats: with damping d =
+   * dampNum/dampDen, each iteration computes per node
+   *
+   *   r' = teleport + (dampNum * Σ_in floor(r_src / outdeg(src)))
+   *                   floor-div dampDen
+   *   teleport = floor(floor(RankScale * (dampDen-dampNum) / dampDen)
+   *              / N)
+   *
+   * — every division a floor, in a FIXED order, so Spark and the SQL
+   * oracle agree to the last unit (float PageRank sums in shuffle
+   * order and never hash-matches). Floor losses mean Σr drifts a few
+   * units below RankScale per iteration (bounded by N·iters) — the
+   * price of exactness, documented. Dangling nodes (out-degree 0)
+   * leak their mass: acceptable for quality-prior use; feed the edge
+   * list through a dangling-elimination pass if mass conservation
+   * matters.
+   *
+   * Scale shape: the classic Spark PageRank loop — per iteration ONE
+   * join (ranks to edges, both keyed on src) + ONE dst-keyed
+   * aggregation + a broadcast-joined teleport add; `localCheckpoint`
+   * truncates the lineage each round so the plan stays O(1) deep at
+   * any iteration count (the discipline a 10^9-node graph needs —
+   * without it the DAG doubles per round).
+   */
+  def pageRank(edges: DataFrame, iterations: Int = 10,
+               dampNum: Long = 85, dampDen: Long = 100,
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val teleport = (RankScale * (dampDen - dampNum) / dampDen) / n
+    var ranks = nodes.withColumn("r", lit(RankScale / n)).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(ranks, e("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          expr("r DIV outdeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("cin"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($dampNum * coalesce(cin, 0L)) DIV $dampDen")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank"))
+  }
 }

@@ -158,6 +158,53 @@ object UrlOps {
   }
 
   /**
+   * Disallow rules from raw robots.txt bodies: one (host, prefix) row
+   * per `Disallow:` line. A documented SUBSET of the robots exclusion
+   * protocol — every Disallow is honored regardless of its User-agent
+   * group (the conservative reading a bulk-crawl consumer takes:
+   * "anyone disallowed" = skip), `Allow:` lines and crawl-delay are
+   * ignored, empty `Disallow:` (= allow all) yields no rule. `(?im)`
+   * inline flags work in both Java regex and RE2, so the extraction
+   * is oracle-portable.
+   */
+  def robotsRules(robots: DataFrame, hostCol: String = "host",
+                  bodyCol: String = "body"): DataFrame =
+    robots.select(col(hostCol).as("rule_host"),
+      // horizontal whitespace ONLY after the colon: \s would eat the
+      // newline of an empty `Disallow:` line and capture the NEXT
+      // line's directive name as a prefix (found the hard way)
+      explode(regexp_extract_all(col(bodyCol),
+        lit("(?im)^disallow:[ \\t]*(\\S+)"), lit(1))).as("rule_prefix"))
+
+  /**
+   * Robots-aware filtering — the crawl-governance step (a pipeline
+   * re-filtering a bulk crawl against CURRENT robots rules drops pages
+   * whose canonical path now falls under a Disallow): a doc is dropped
+   * iff its canonical host has a rule whose prefix starts its
+   * canonical path+query. Hosts with no robots record keep everything
+   * (absent robots.txt = allowed, as crawlers treat a 404).
+   *
+   * Scale shape: ONE host-equi anti-join with the startsWith residual
+   * as the join filter — rules co-shuffle by host (or broadcast when
+   * the rule set is small); the corpus is scanned once and never
+   * carries more than (host, path) extra columns.
+   */
+  def robotsFilter(docs: DataFrame, robots: DataFrame,
+                   urlCol: String = "url", hostCol: String = "host",
+                   bodyCol: String = "body"): DataFrame = {
+    val canon = canonicalizeUrl(col(urlCol))
+    val host = regexp_extract(canon, "^([^/?]*)", 1)
+    val rules = robotsRules(robots, hostCol, bodyCol)
+    docs
+      .withColumn("__host", host)
+      .withColumn("__path",
+        substring(canon, length(col("__host")) + 1, lit(1 << 30)))
+      .join(rules, col("__host") === col("rule_host") &&
+        col("__path").startsWith(col("rule_prefix")), "left_anti")
+      .drop("__host", "__path")
+  }
+
+  /**
    * URL-level dedup: one row per canonical URL, keeping the BEST
    * capture — longest content, ties to the smallest doc id (crawls
    * prefer the fullest fetch; the tie rule makes the kept id

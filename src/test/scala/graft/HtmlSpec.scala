@@ -128,6 +128,41 @@ class HtmlSpec extends SparkSpec {
     assert(rendered(3L).length.toLong == c3.getLong(4))
   }
 
+  test("pageRank: exact fixed-point — uniform cycle, dangling leak, simulator parity") {
+    import graft.operators.Html.RankScale
+    // two-node cycle: perfectly symmetric, ranks stay EXACTLY uniform
+    val cycle = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val cr = Html.pageRank(cycle, iterations = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(cr == Map(1L -> RankScale / 2, 2L -> RankScale / 2))
+
+    // dangling node: A -> B only; B's mass leaks (documented), exact values
+    val dang = Seq((1L, 2L)).toDF("src", "dst")
+    val dr = Html.pageRank(dang, iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    val tele = (RankScale * 15 / 100) / 2
+    assert(dr(1L) == tele)
+    assert(dr(2L) == tele + 85L * tele / 100) // A holds tele after iter 1
+    assert(dr.values.sum < RankScale) // the leak
+
+    // asymmetric graph vs a plain-Scala reference simulator, 10 iters
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L), (3L, 0L))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val teleS = (RankScale * 15 / 100) / nodes.size
+    var r = nodes.map(_ -> RankScale / nodes.size).toMap
+    for (_ <- 1 to 10) {
+      val cin = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / outdeg(s) }.sum).toMap
+      r = nodes.map(n => n -> (teleS + 85L * cin.getOrElse(n, 0L) / 100)).toMap
+    }
+    val got = Html.pageRank(edges.toDF("src", "dst"), iterations = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == r)
+    // the asymmetry is real: node 2 (3 in-links) outranks node 3 (none)
+    assert(got(2L) > got(3L))
+  }
+
   test("cdxIndex: export -> records -> index round trip, field exactness") {
     import graft.sources.WarcSource
     val dir = "target/html-spec-cdx"

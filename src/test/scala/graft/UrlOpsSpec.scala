@@ -183,4 +183,31 @@ class UrlOpsSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("robotsRules: Disallow lines only, empty Disallow and Allow ignored") {
+    val robots = Seq(("a.com",
+      "User-agent: *\nAllow: /ok\nDisallow:\nDisallow: /private\n" +
+        "disallow:\t/Mixed/Case\nCrawl-delay: 5\nDisallow: /tmp"))
+      .toDF("host", "body")
+    val rules = UrlOps.robotsRules(robots).orderBy("rule_prefix")
+      .as[(String, String)].collect().toSeq
+    // case-insensitive directive, tab after colon, last line without \n;
+    // the EMPTY Disallow must NOT swallow the next line's directive
+    assert(rules == Seq(("a.com", "/Mixed/Case"), ("a.com", "/private"),
+      ("a.com", "/tmp")))
+  }
+
+  test("robotsFilter: host-scoped prefix drop, unknown hosts keep all") {
+    val docs = Seq(
+      (1L, "https://www.A.com/private/x?q=1"), // blocked: /private prefix
+      (2L, "https://a.com/privateer"),         // blocked: PREFIX semantics
+      (3L, "https://a.com/public/private"),    // kept: not a path prefix
+      (4L, "https://b.com/private/x"))         // kept: no robots for b.com
+      .toDF("doc_id", "url")
+    val robots = Seq(("a.com", "User-agent: *\nDisallow: /private\n"))
+      .toDF("host", "body")
+    val kept = UrlOps.robotsFilter(docs, robots).orderBy("doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(3L, 4L))
+  }
 }
