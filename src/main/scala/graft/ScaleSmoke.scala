@@ -501,6 +501,28 @@ object ScaleSmoke {
       time("sft render")(
         operators.Corpus.sftRender(convs, idCol = "doc_id")
           .agg(sum(col("span_end"))).count())
+      // PageRank at a 100k-node graph: quadratic-residue edges give
+      // non-uniform degrees; the loop is 10 joins + 10 aggregations
+      // with per-round localCheckpoint lineage truncation
+      val prEdges = docs.select(
+        pmod(col("doc_id"), lit(100000)).as("src"),
+        pmod(col("doc_id") * col("doc_id") + 1, lit(100000)).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+      time("pagerank 10 iters")(
+        operators.Html.pageRank(prEdges, iterations = 10)
+          .agg(sum(col("rank"))).count())
+      // robots filtering at 5000 hosts x ~3 rules: one host-equi
+      // anti-join with the startsWith residual
+      val robots = docs.select(pmod(col("doc_id"), lit(5000)).as("h"))
+        .distinct()
+        .select(concat(lit("example-"), col("h"), lit(".com")).as("host"),
+          concat(lit("User-agent: *\nDisallow: /private\nDisallow: /Pg/"),
+            col("h"), lit("\nDisallow: /tmp\n")).as("body"))
+      val docsWithUrls = docs.withColumn("url",
+        concat(lit("https://www.Example-"), pmod(col("doc_id"), lit(5000)),
+          lit(".com/Pg/"), col("doc_id"), lit("/?b=2&a=1")))
+      time("robots filter")(
+        operators.UrlOps.robotsFilter(docsWithUrls, robots).count())
     }
 
     // Batched lookup amortization (r12 verdict #2): k mixed point probes
