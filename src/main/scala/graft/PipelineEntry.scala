@@ -1121,6 +1121,36 @@ object PipelineEntry {
       TextAnalysis.languageId(back).orderBy("id")
     }),
 
+    // P103 — HLL-shaped distinct-count sketch over the corpus's 3-gram
+    // shingles: the bounded-memory cardinality primitive, in exact
+    // int64 arithmetic so the ESTIMATE ITSELF hash-matches the oracle
+    // (library HLLs never do). n_exact rides along for the honesty
+    // read; at scale it's the path the sketch replaces.
+    "p103_hll_distinct" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      val shingles = docs(s, dir).select(
+        explode(TF.shingles(TF.tokens(col("text")), 3)).as("v"))
+      Sketches.hllDistinct(shingles, "v", m = 64)
+    }),
+
+    // P104 — count-min heavy hitters: the sketch is a 4x256 bounded
+    // artifact; estimates for every vocab token plus two planted
+    // ABSENT tokens (their "count" is pure collision mass — the
+    // documented overestimate direction, spec-pinned as est >= exact).
+    "p104_cms_heavyhitters" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      import s.implicits._
+      val toks = docs(s, dir).select(explode(TF.tokens(col("text"))).as("v"))
+      val cands = toks.distinct()
+        .unionAll(Seq("zz_absent_a", "zz_absent_b").toDF("v"))
+      val exact = toks.groupBy("v").agg(count(lit(1)).as("n_exact"))
+      Sketches.cmsEstimate(Sketches.cmsBuild(toks, "v"), cands, "v")
+        .join(exact, col("value") === col("v"), "left")
+        .select(col("value"), col("cms_estimate"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+        .orderBy("value")
+    }),
+
     // P99 — streaming crawl ingest: WET segments arrive as a file
     // stream (the live-crawl shape), parse + language ID run
     // stateless per micro-batch. SHARES p08's oracle — the
@@ -3773,6 +3803,57 @@ ORDER BY doc_id""",
 
     // p102: the streaming/batch-ingest convention — shares p08's oracle.
     "p102_jsonl_roundtrip" -> LangIdOracle,
+
+    // p103: the identical register computation in SQL — same salted
+    // md5 codes, the same 33-way trailing-zero CASE (generated), the
+    // same integer harmonic fold. sum() casts guard DuckDB's HUGEINT.
+    "p103_hll_distinct" -> {
+      val whens = (1 to 32).map(k =>
+        s"WHEN hr % ${1L << k} = ${1L << (k - 1)} THEN $k").mkString("\n      ")
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+tok AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+sh AS (SELECT CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
+         i -> array_to_string(list_slice(t, i, i + 2), ' '))
+       ELSE [] END AS ss FROM tok),
+v AS (SELECT unnest(ss) AS v FROM sh),
+h AS (SELECT ('0x' || substring(md5('hb:' || v), 1, 8))::BIGINT % 64 AS bucket,
+             ('0x' || substring(md5('hr:' || v), 1, 8))::BIGINT AS hr FROM v),
+r AS (SELECT bucket, max(CASE WHEN hr = 0 THEN 33
+      $whens END) AS r FROM h GROUP BY bucket),
+s AS (SELECT (sum((1::BIGINT << (34 - r)))::BIGINT
+        + (64 - count(*)) * (1::BIGINT << 34)) AS s FROM r)
+SELECT 64::BIGINT AS m,
+  (709::BIGINT * 64 * 64 * (1::BIGINT << 34)) // (1000 * s) AS hll_estimate,
+  (SELECT count(DISTINCT v) FROM v)::BIGINT AS n_exact
+FROM s"""
+    },
+
+    // p104: the same 4 salted hash rows, sketch table, and min-fold in
+    // SQL; absent candidates read pure collision mass.
+    "p104_cms_heavyhitters" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS v
+        FROM documents),
+d AS (SELECT unnest([0, 1, 2, 3]) AS i),
+cell AS (SELECT i,
+    ('0x' || substring(md5('cms' || i || ':' || v), 1, 8))::BIGINT % 256
+      AS col
+  FROM tok, d),
+cms AS (SELECT i, col, count(*) AS cnt FROM cell GROUP BY i, col),
+cand AS (SELECT DISTINCT v FROM tok
+         UNION ALL SELECT 'zz_absent_a' UNION ALL SELECT 'zz_absent_b'),
+ce AS (SELECT cand.v, d.i,
+    ('0x' || substring(md5('cms' || d.i || ':' || cand.v), 1, 8))::BIGINT % 256
+      AS col
+  FROM cand, d),
+lk AS (SELECT ce.v, coalesce(cms.cnt, 0) AS c
+       FROM ce LEFT JOIN cms ON cms.i = ce.i AND cms.col = ce.col),
+est AS (SELECT v, min(c)::BIGINT AS cms_estimate FROM lk GROUP BY v),
+ex AS (SELECT v, count(*)::BIGINT AS n_exact FROM tok GROUP BY v)
+SELECT est.v AS value, cms_estimate,
+  coalesce(n_exact, 0)::BIGINT AS n_exact
+FROM est LEFT JOIN ex ON est.v = ex.v
+ORDER BY value""",
 
     // p96: the expected folded string in closed form — curly quotes to
     // ASCII, NBSP to space, em-dash to '-', ZWSP gone, curly

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("hllDistinct: estimate lands near exact, duplicates don't move it") {
+    val vals = (1 to 10000).map(i => s"val-$i").toDF("v")
+    val one = Sketches.hllDistinct(vals, "v", m = 64).collect().head
+    val est = one.getLong(1)
+    val exact = one.getLong(2)
+    assert(exact == 10000L)
+    // ~1.04/sqrt(64) rsd => 13%; 30% is a 2.3-sigma deterministic bound
+    // for THIS fixed hash (the value is reproducible, not random)
+    assert(math.abs(est - exact) <= 3000, s"est $est")
+    // registers saturate on max: replicating every value 3x changes nothing
+    val dup = vals.unionAll(vals).unionAll(vals)
+    val two = Sketches.hllDistinct(dup, "v", m = 64).collect().head
+    assert(two.getLong(1) == est)
+  }
+
+  test("hllDistinct: documented raw-estimate bias floor on empty input") {
+    val empty = Seq.empty[String].toDF("v")
+    val row = Sketches.hllDistinct(empty, "v", m = 64).collect().head
+    // no small-range correction (needs ln, breaks exactness): all-zero
+    // registers give floor(709*m/1000) = 45, the documented degenerate end
+    assert(row.getLong(1) == 45L)
+    assert(row.getLong(2) == 0L)
+  }
+
+  test("cms: never underestimates; zipfian head stays exact; absent reads collisions only") {
+    // 5000 distinct values over 4x256 counters forces collisions, plus a
+    // planted heavy hitter at 2000 occurrences
+    val tail = (1 to 5000).flatMap(i => Seq.fill(1 + i % 3)(s"t-$i"))
+    val all = (tail ++ Seq.fill(2000)("HEAVY")).toDF("v")
+    val cms = Sketches.cmsBuild(all, "v")
+    assert(cms.count() <= Sketches.CmsDepth.toLong * Sketches.CmsWidth)
+    val cands = all.distinct().unionAll(Seq("absent-x").toDF("v"))
+    val exact = all.groupBy("v").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Sketches.cmsEstimate(cms, cands, "v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // THE count-min guarantee: every counter a value touches includes all
+    // its occurrences, so the min over rows can only overestimate
+    est.foreach { case (v, e) =>
+      assert(e >= exact.getOrElse(v, 0L), s"underestimate for $v")
+    }
+    // the heavy hitter dwarfs per-cell collision mass: estimate stays
+    // within (total mass / width) of exact even in the worst row
+    val total = all.count()
+    assert(est("HEAVY") >= 2000L &&
+      est("HEAVY") <= 2000L + total / Sketches.CmsWidth,
+      s"HEAVY ${est("HEAVY")}")
+    // absent value: pure collision mass, bounded the same way
+    assert(est("absent-x") <= total / Sketches.CmsWidth)
+  }
+}
