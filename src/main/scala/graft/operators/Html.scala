@@ -198,14 +198,16 @@ object Html {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // out-degree rides WITH each edge (one pre-join, checkpointed) so
+    // every iteration pays ONE src-keyed join, not two
+    val eDeg = e.join(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .localCheckpoint()
     val teleport = (RankScale * (dampDen - dampNum) / dampDen) / n
     var ranks = nodes.withColumn("r", lit(RankScale / n)).localCheckpoint()
     for (_ <- 1 to iterations) {
-      val contrib = e
-        .join(ranks, e("src") === ranks("node"))
-        .join(deg, "src")
+      val contrib = eDeg
+        .join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst").as("node"),
           expr("r DIV outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("cin"))
