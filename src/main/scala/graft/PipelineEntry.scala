@@ -1151,6 +1151,25 @@ object PipelineEntry {
         .orderBy("value")
     }),
 
+    // P105 — shard-sketch-merge: the property that makes sketches THE
+    // 100 TB cardinality tool — every shard sketches independently,
+    // a reducer max-merges O(m) register rows, and the result is
+    // BIT-IDENTICAL to sketching the whole corpus in one pass. Proven
+    // by sharing p103's oracle: the merged parity-split halves must
+    // hash-match the single-pass estimate exactly.
+    "p105_sketch_merge" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      val d = docs(s, dir)
+      def shingles(part: DataFrame) = part.select(
+        explode(TF.shingles(TF.tokens(col("text")), 3)).as("v"))
+      val even = Sketches.hllRegisters(
+        shingles(d.where(pmod(col("doc_id"), lit(2)) === 0)), "v", m = 64)
+      val odd = Sketches.hllRegisters(
+        shingles(d.where(pmod(col("doc_id"), lit(2)) === 1)), "v", m = 64)
+      Sketches.hllEstimateFromRegisters(Sketches.hllMerge(even, odd), m = 64)
+        .crossJoin(shingles(d).agg(countDistinct(col("v")).as("n_exact")))
+    }),
+
     // P99 — streaming crawl ingest: WET segments arrive as a file
     // stream (the live-crawl shape), parse + language ID run
     // stateless per micro-batch. SHARES p08's oracle — the
@@ -1686,6 +1705,31 @@ object PipelineEntry {
   /** Oracle twin of the language ID (shared by p08 direct and p91
    * WET-recovered — matching hashes prove the extracted-text ingest
    * round-trips byte-exactly into the analysis operators). */
+  /** Oracle twin of the HLL shingle sketch (shared by p103 single-pass
+   * and p105 shard-merge — matching hashes prove register max-merge is
+   * exact): same salted md5 codes, the generated 33-way trailing-zero
+   * CASE, the same integer harmonic fold. */
+  private val HllShingleOracle: String = {
+    val whens = (1 to 32).map(k =>
+      s"WHEN hr % ${1L << k} = ${1L << (k - 1)} THEN $k").mkString("\n      ")
+    s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+tok AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+sh AS (SELECT CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
+         i -> array_to_string(list_slice(t, i, i + 2), ' '))
+       ELSE [] END AS ss FROM tok),
+v AS (SELECT unnest(ss) AS v FROM sh),
+h AS (SELECT ('0x' || substring(md5('hb:' || v), 1, 8))::BIGINT % 64 AS bucket,
+             ('0x' || substring(md5('hr:' || v), 1, 8))::BIGINT AS hr FROM v),
+r AS (SELECT bucket, max(CASE WHEN hr = 0 THEN 33
+      $whens END) AS r FROM h GROUP BY bucket),
+s AS (SELECT (sum((1::BIGINT << (34 - r)))::BIGINT
+        + (64 - count(*)) * (1::BIGINT << 34)) AS s FROM r)
+SELECT 64::BIGINT AS m,
+  (709::BIGINT * 64 * 64 * (1::BIGINT << 34)) // (1000 * s) AS hll_estimate,
+  (SELECT count(DISTINCT v) FROM v)::BIGINT AS n_exact
+FROM s"""
+  }
+
   private val LangIdOracle = {
     val langs = Seq("de", "en", "es", "fr")
     val hitExprs = langs.map { l =>
@@ -3807,26 +3851,12 @@ ORDER BY doc_id""",
     // p103: the identical register computation in SQL — same salted
     // md5 codes, the same 33-way trailing-zero CASE (generated), the
     // same integer harmonic fold. sum() casts guard DuckDB's HUGEINT.
-    "p103_hll_distinct" -> {
-      val whens = (1 to 32).map(k =>
-        s"WHEN hr % ${1L << k} = ${1L << (k - 1)} THEN $k").mkString("\n      ")
-      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
-tok AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
-sh AS (SELECT CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
-         i -> array_to_string(list_slice(t, i, i + 2), ' '))
-       ELSE [] END AS ss FROM tok),
-v AS (SELECT unnest(ss) AS v FROM sh),
-h AS (SELECT ('0x' || substring(md5('hb:' || v), 1, 8))::BIGINT % 64 AS bucket,
-             ('0x' || substring(md5('hr:' || v), 1, 8))::BIGINT AS hr FROM v),
-r AS (SELECT bucket, max(CASE WHEN hr = 0 THEN 33
-      $whens END) AS r FROM h GROUP BY bucket),
-s AS (SELECT (sum((1::BIGINT << (34 - r)))::BIGINT
-        + (64 - count(*)) * (1::BIGINT << 34)) AS s FROM r)
-SELECT 64::BIGINT AS m,
-  (709::BIGINT * 64 * 64 * (1::BIGINT << 34)) // (1000 * s) AS hll_estimate,
-  (SELECT count(DISTINCT v) FROM v)::BIGINT AS n_exact
-FROM s"""
-    },
+    "p103_hll_distinct" -> HllShingleOracle,
+
+    // p105: SHARES p103's oracle — the mergeability proof: max-merged
+    // parity-shard registers must yield the BIT-IDENTICAL estimate of
+    // the single-pass sketch.
+    "p105_sketch_merge" -> HllShingleOracle,
 
     // p104: the same 4 salted hash rows, sketch table, and min-fold in
     // SQL; absent candidates read pure collision mass.

@@ -56,17 +56,31 @@ object Sketches {
    * replaces at scale; callers drop it in production.
    * Output: one row (m, hll_estimate, n_exact).
    */
-  def hllDistinct(values: DataFrame, valueCol: String, m: Int = 64)
+  /** The register table of the HLL sketch — (bucket, r) with at most
+   * `m` rows. Exposed because registers are the MERGEABLE form:
+   * sketch(A ∪ B) == max-merge(sketch(A), sketch(B)) exactly, which
+   * is what lets every shard sketch independently and a reducer
+   * combine O(m) rows instead of re-scanning the corpus. */
+  def hllRegisters(values: DataFrame, valueCol: String, m: Int = 64)
       : DataFrame = {
     require(m >= 2 && m <= (1 << 19), "m out of the overflow-safe range")
     val v = col(valueCol)
-    val regs = values
+    values
       .select(pmod(code("hb:", v), lit(m.toLong)).as("bucket"),
         rho(code("hr:", v)).as("r"))
       .groupBy("bucket").agg(max(col("r")).as("r"))
-    val est = regs.agg(
-      // coalesce: zero registers (empty input) must read as an all-empty
-      // sketch, not a NULL estimate
+  }
+
+  /** Merge register tables (bucket-wise max) — exact: the merged
+   * sketch IS the sketch of the union, to the bit. */
+  def hllMerge(regTables: DataFrame*): DataFrame =
+    regTables.reduce(_ unionAll _)
+      .groupBy("bucket").agg(max(col("r")).as("r"))
+
+  /** Estimate from a register table (see `hllDistinct` for the
+   * formula and its exactness/accuracy trades). */
+  def hllEstimateFromRegisters(regs: DataFrame, m: Int): DataFrame =
+    regs.agg(
       (coalesce(
         sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(34 - r AS INT))")),
         lit(0L)) +
@@ -74,9 +88,22 @@ object Sketches {
       .select(lit(m.toLong).as("m"),
         expr(s"(709 * ${m.toLong} * ${m.toLong} * ${1L << 34}) DIV (1000 * s)")
           .as("hll_estimate"))
+
+  def hllDistinct(values: DataFrame, valueCol: String, m: Int = 64)
+      : DataFrame = {
+    val v = col(valueCol)
+    val regs = hllRegisters(values, valueCol, m)
+    val est = hllEstimateFromRegisters(regs, m)
     val exact = values.agg(countDistinct(v).as("n_exact"))
     est.crossJoin(exact) // 1x1 rows: the documented scalar-assembly case
   }
+
+  /** Merge count-min sketches (cell-wise add) — exact: counters are
+   * linear, so cms(A) + cms(B) == cms(A ⊎ B) cell for cell; shards
+   * sketch independently and a reducer combines O(depth·width) rows. */
+  def cmsMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionAll _)
+      .groupBy("row", "col").agg(sum(col("cnt")).as("cnt"))
 
   /** Count-min sketch depth (independent hash rows) and width. 4x256
    * bounds the overestimate at ~e/256 of the total mass with

@@ -31,6 +31,27 @@ class SketchesSpec extends SparkSpec {
     assert(row.getLong(2) == 0L)
   }
 
+  test("merge exactness: hll max-merge == single pass, cms add == union build") {
+    val a = (1 to 3000).map(i => s"val-$i").toDF("v")
+    val b = (2000 to 6000).map(i => s"val-$i").toDF("v") // overlaps a
+    // HLL: merged shard registers == whole-corpus registers, to the row
+    val merged = Sketches.hllMerge(
+      Sketches.hllRegisters(a, "v"), Sketches.hllRegisters(b, "v"))
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val whole = Sketches.hllRegisters(a.unionAll(b), "v")
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(merged.toSeq == whole.toSeq)
+    // CMS: cell-wise add == sketch of the bag union, to the cell
+    val cm = Sketches.cmsMerge(
+      Sketches.cmsBuild(a, "v"), Sketches.cmsBuild(b, "v"))
+      .orderBy("row", "col").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val cw = Sketches.cmsBuild(a.unionAll(b), "v")
+      .orderBy("row", "col").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(cm.toSeq == cw.toSeq)
+  }
+
   test("cms: never underestimates; zipfian head stays exact; absent reads collisions only") {
     // 5000 distinct values over 4x256 counters forces collisions, plus a
     // planted heavy hitter at 2000 occurrences
