@@ -198,6 +198,8 @@ object Html {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
+    // empty graph: no nodes to rank (and RankScale/n would divide by 0)
+    if (n == 0) return nodes.select(col("node"), lit(0L).as("rank"))
     // out-degree rides WITH each edge (one pre-join, checkpointed) so
     // every iteration pays ONE src-keyed join, not two
     val eDeg = e.join(

@@ -148,7 +148,9 @@ object Sketches {
       .toMap
     val v = col(valueCol)
     val lookups = (0 until CmsDepth).map { i =>
-      coalesce(
+      // empty sketch (empty corpus): every counter reads 0
+      if (table.isEmpty) lit(0L)
+      else coalesce(
         graft.functions.HashExpressions.mapProbe(
           concat(lit(s"$i:"),
             pmod(code(s"cms$i:", v), lit(CmsWidth.toLong))), table)

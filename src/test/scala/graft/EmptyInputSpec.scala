@@ -203,4 +203,56 @@ class EmptyInputSpec extends SparkSpec {
     assert(proj.count() == 0)
     assert(proj.columns.toSeq == Seq("vec_id", "dim", "proj"))
   }
+
+  test("r13 web/sketch/SFT operators on empty inputs") {
+    import spark.implicits._
+    // html/text ops: empty frames through the full chains
+    val emptyPages = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("url", StringType),
+        StructField("html", StringType))))
+    assert(Html.linkGraph(emptyPages).count() == 0)
+    assert(Html.domainSignals(
+      Html.linkGraph(emptyPages)).count() == 0)
+    assert(TextAnalysis.unicodeFold(emptyDocs).count() == 0)
+    assert(TextAnalysis.sentences(emptyDocs).count() == 0)
+    // pageRank: empty edge list -> empty ranks (no divide-by-zero on N)
+    val emptyEdges = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("src", LongType),
+        StructField("dst", LongType))))
+    val pr = Html.pageRank(emptyEdges, iterations = 3)
+    assert(pr.count() == 0)
+    assert(pr.columns.toSeq == Seq("node", "rank"))
+    // robots: empty corpus and/or empty rule set
+    val emptyUrlDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("url", StringType))))
+    val emptyRobots = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("host", StringType),
+        StructField("body", StringType))))
+    assert(UrlOps.robotsFilter(emptyUrlDocs, emptyRobots).count() == 0)
+    val oneDoc = Seq((1L, "https://a.com/x")).toDF("doc_id", "url")
+    assert(UrlOps.robotsFilter(oneDoc, emptyRobots).count() == 1)
+    // sketches: empty CMS estimates read 0 for any candidate
+    val emptyVals = emptyDocs.select(col("text").as("v"))
+    val est = Sketches.cmsEstimate(Sketches.cmsBuild(emptyVals, "v"),
+      Seq("anything").toDF("v"), "v").collect()
+    assert(est.head.getLong(1) == 0L)
+    // SFT: empty conversations and zero-turn conversations yield no rows
+    val emptyConvs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("conv_id", LongType),
+        StructField("turns", ArrayType(StructType(Seq(
+          StructField("role", StringType),
+          StructField("content", StringType))))))))
+    assert(Corpus.sftRender(emptyConvs).count() == 0)
+    val zeroTurns = Seq((1L, Seq.empty[(String, String)])).toDF("conv_id", "raw")
+      .select(col("conv_id"), transform(col("raw"), t =>
+        struct(t.getField("_1").as("role"), t.getField("_2").as("content")))
+        .as("turns"))
+    assert(Corpus.sftRender(zeroTurns).count() == 0)
+  }
 }
