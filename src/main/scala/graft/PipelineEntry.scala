@@ -1170,6 +1170,32 @@ object PipelineEntry {
         .crossJoin(shingles(d).agg(countDistinct(col("v")).as("n_exact")))
     }),
 
+    // P106 — streaming sketch maintenance: the HLL registers are a
+    // stateful streaming aggregation whose state is BOUNDED at m rows
+    // (unlike corpus-sized dedup state) — complete-mode drain is the
+    // honest shape here. Final registers must estimate BIT-IDENTICALLY
+    // to the batch sketch: SHARES p103's oracle, completing the sketch
+    // story (batch p103, shard-merge p105, streaming p106).
+    "p106_streaming_sketch" -> ((s, dir) => withStreamShuffle(s) {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.functions.{TextFunctions => TF}
+      val (streamDir, tag) = streamingDocsDir(dir)
+      val d = docs(s, dir)
+      val stream = spreadStream(
+        s.readStream.schema(d.schema).parquet(streamDir))
+      val shingles = stream.select(
+        explode(TF.shingles(TF.tokens(col("text")), 3)).as("v"))
+      val name = "p106_hll_" + tag
+      val q = Sketches.hllRegisters(shingles, "v", m = 64)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Sketches.hllEstimateFromRegisters(s.table(name), m = 64)
+        .crossJoin(d.select(
+          explode(TF.shingles(TF.tokens(col("text")), 3)).as("v"))
+          .agg(countDistinct(col("v")).as("n_exact")))
+    }),
+
     // P99 — streaming crawl ingest: WET segments arrive as a file
     // stream (the live-crawl shape), parse + language ID run
     // stateless per micro-batch. SHARES p08's oracle — the
@@ -3857,6 +3883,10 @@ ORDER BY doc_id""",
     // parity-shard registers must yield the BIT-IDENTICAL estimate of
     // the single-pass sketch.
     "p105_sketch_merge" -> HllShingleOracle,
+
+    // p106: SHARES p103's oracle — streaming register maintenance must
+    // land on the identical final sketch.
+    "p106_streaming_sketch" -> HllShingleOracle,
 
     // p104: the same 4 salted hash rows, sketch table, and min-fold in
     // SQL; absent candidates read pure collision mass.
