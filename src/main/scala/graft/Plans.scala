@@ -43,6 +43,8 @@ object Plans {
       "p95_link_graph" -> "Link graph: href extraction + relative resolution + canonicalization narrow in the scan, one explode, one (src,dst)-keyed distinct - the single shuffle an edge list needs",
       "p100_pagerank" -> "PageRank final iteration: ranks-to-edges src-keyed join + dst-keyed sum + teleport add over checkpointed inputs - lineage truncated per round so the plan is ONE round deep, not ten",
       "p101_robots_filter" -> "Robots filtering: ONE host-equi LEFT ANTI join with the startsWith residual as join filter; rule extraction rides the robots scan",
+      "p103_hll_distinct" -> "HLL sketch: ONE hash-keyed aggregation to <=m register rows (map-side-combined max) + a scalar integer fold - the corpus ships only (bucket, rho) pairs",
+      "p104_cms_heavyhitters" -> "Count-min: constant-depth explode + uniform (row,col) aggregation bounded at depth*width rows; estimates are a zero-join literal-map probe scan",
       "g20_meta_kg" -> "Meta KG: aggregation over denormalized categories, no join",
       "g28_trapi_response" -> "TRAPI envelope: codegen'd to_json parts; grouping shuffles are keyed on answer ids (AQE picks broadcast for the small answer-side joins at runtime)",
       "p02_ngram_jaccard" -> "Jaccard pairs: inverted-index join with df-cutoff guard, never all-pairs",
