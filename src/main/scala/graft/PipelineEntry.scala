@@ -1196,6 +1196,25 @@ object PipelineEntry {
           .agg(countDistinct(col("v")).as("n_exact")))
     }),
 
+    // P107 — filter-evaluation threshold sweep: deterministic score
+    // (doc_id%100/100) and label ((doc_id*7)%10 < 6) formulas make the
+    // confusion counts closed-form; one scan, |T| groups.
+    "p107_eval_sweep" -> ((s, dir) =>
+      Corpus.thresholdSweep(
+        docs(s, dir).select(col("doc_id"),
+          (pmod(col("doc_id"), lit(100)).cast("double") / 100.0).as("score"),
+          (pmod(col("doc_id") * 7, lit(10)) < 6).as("label")),
+        "score", "label", Seq(0.2, 0.5, 0.8))
+        .orderBy("threshold")),
+
+    // P108 — shard manifest: the dataset-card artifact; the oracle
+    // recomputes every field incl. the order-insensitive checksum from
+    // scratch, so a changed/added/dropped doc or a drifting shard
+    // assignment all move a row.
+    "p108_shard_manifest" -> ((s, dir) =>
+      Corpus.shardManifest(docs(s, dir), nShards = 8)
+        .orderBy("shard")),
+
     // P99 — streaming crawl ingest: WET segments arrive as a file
     // stream (the live-crawl shape), parse + language ID run
     // stateless per micro-batch. SHARES p08's oracle — the
@@ -3887,6 +3906,36 @@ ORDER BY doc_id""",
     // p106: SHARES p103's oracle — streaming register maintenance must
     // land on the identical final sketch.
     "p106_streaming_sketch" -> HllShingleOracle,
+
+    // p107: confusion counts from the closed-form score/label rules.
+    // 0.2/0.5/0.8 are exact doubles in both engines (k/100.0 parses
+    // identically; the >= compare is on bit-equal values).
+    "p107_eval_sweep" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+d AS (SELECT (doc_id % 100) / 100.0 AS score,
+             (doc_id * 7) % 10 < 6 AS label FROM documents),
+t AS (SELECT unnest([0.2, 0.5, 0.8]) AS threshold)
+SELECT threshold,
+  sum(CASE WHEN score >= threshold AND label THEN 1 ELSE 0 END)::BIGINT AS tp,
+  sum(CASE WHEN score >= threshold AND NOT label THEN 1 ELSE 0 END)::BIGINT AS fp,
+  sum(CASE WHEN score < threshold AND label THEN 1 ELSE 0 END)::BIGINT AS fn,
+  sum(CASE WHEN score < threshold AND NOT label THEN 1 ELSE 0 END)::BIGINT AS tn
+FROM d, t GROUP BY threshold ORDER BY threshold""",
+
+    // p108: every manifest field re-derived — the same salted shard
+    // hash, whitespace token mass, and md5-prefix checksum sum.
+    "p108_shard_manifest" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+d AS (SELECT
+  ('0x' || substring(md5('shard:' || doc_id), 1, 8))::BIGINT % 8 AS shard,
+  doc_id,
+  len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS n_toks,
+  ('0x' || substring(md5(text), 1, 8))::BIGINT AS code
+ FROM documents)
+SELECT shard, count(*)::BIGINT AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
+  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+  sum(code)::BIGINT AS checksum
+FROM d GROUP BY shard ORDER BY shard""",
 
     // p104: the same 4 salted hash rows, sketch table, and min-fold in
     // SQL; absent candidates read pure collision mass.

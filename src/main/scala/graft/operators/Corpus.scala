@@ -1155,4 +1155,64 @@ object Corpus {
     aggregate(turns, lit(""), (acc, t) =>
       concat(acc, lit("<|"), t.getField("role"), lit("|>\n"),
         t.getField("content"), lit("<|end|>\n")))
+
+  /**
+   * Filter-evaluation threshold sweep — the "is my quality filter any
+   * good" table: for each candidate threshold, the confusion counts of
+   * `score >= t` against a label column (tp/fp/fn/tn as EXACT integers
+   * — precision/recall are one division away and the caller picks the
+   * rounding; emitting counts keeps the output engine-exact).
+   *
+   * Scale shape: ONE corpus scan exploded by the |T| literal
+   * thresholds (a constant), one |T|-group aggregation with map-side
+   * combine — no per-threshold rescans, no sort. This is how a
+   * threshold is actually chosen before a filter ships (FineWeb-style
+   * classifier calibration).
+   * Output: (threshold, tp, fp, fn, tn) ordered by threshold.
+   */
+  def thresholdSweep(scored: DataFrame, scoreCol: String,
+                     labelCol: String, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val t = explode(array(thresholds.map(lit): _*)).as("threshold")
+    val pred = col(scoreCol) >= col("threshold")
+    val lab = col(labelCol)
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    scored.select(col(scoreCol), lab, t)
+      .groupBy("threshold")
+      .agg(cnt(pred && lab).as("tp"), cnt(pred && !lab).as("fp"),
+        cnt(!pred && lab).as("fn"), cnt(!pred && !lab).as("tn"))
+  }
+
+  /**
+   * Shard manifest — the dataset-card artifact corpora ship beside the
+   * shards (Dolma-style): per shard, the doc count, token mass, id
+   * range, and an ORDER-INSENSITIVE content checksum (sum of 32-bit
+   * md5-prefix codes of each doc's text — int64-safe to ~2^31 docs per
+   * shard, and any changed/added/dropped doc moves it). A consumer
+   * validates a downloaded shard against this row without trusting
+   * file metadata.
+   *
+   * Scale shape: one scan, one shard-keyed aggregation — the checksum
+   * is commutative so the map-side combine works and shard re-writes
+   * in any partition order reproduce it.
+   * Output: (shard, n_docs, n_tokens, min_doc_id, max_doc_id,
+   * checksum) ordered by shard.
+   */
+  def shardManifest(docs: DataFrame, nShards: Int = 8,
+                    idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(nShards >= 1)
+    val shard = pmod(
+      conv(substring(md5(concat(lit("shard:"), col(idCol))), 1, 8), 16, 10)
+        .cast("long"), lit(nShards.toLong))
+    val code = conv(substring(md5(col(textCol)), 1, 8), 16, 10).cast("long")
+    docs
+      .select(shard.as("shard"), col(idCol).as("id"),
+        size(TF.tokens(col(textCol))).cast("long").as("n_toks"),
+        code.as("code"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        min(col("id")).as("min_doc_id"), max(col("id")).as("max_doc_id"),
+        sum(col("code")).as("checksum"))
+  }
 }

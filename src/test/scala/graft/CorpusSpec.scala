@@ -720,4 +720,41 @@ class CorpusSpec extends SparkSpec {
     assert(plan.contains("FullOuter"), plan)
     assert(!plan.contains("text#"), plan)
   }
+
+  test("thresholdSweep: hand-computed confusion cells, rows partition the corpus") {
+    val scored = Seq(
+      (0.1, true), (0.3, true), (0.6, false), (0.9, true), (0.5, false))
+      .toDF("score", "label")
+    val out = Corpus.thresholdSweep(scored, "score", "label", Seq(0.5, 0.95))
+      .orderBy("threshold").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // t=0.5: predicted+ = {0.6F, 0.9T, 0.5F} -> tp 1, fp 2, fn 2, tn 0
+    // t=0.95: nothing predicted+ -> fn = all labels, tn = rest
+    assert(out.toSeq == Seq((0.5, 1L, 2L, 2L, 0L), (0.95, 0L, 0L, 3L, 2L)))
+    // the four cells always partition the corpus, at every threshold
+    assert(out.forall { case (_, tp, fp, fn, tn) => tp + fp + fn + tn == 5 })
+  }
+
+  test("shardManifest: checksum order-insensitive, any content change moves it") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "delta eps"),
+      (4L, "zeta")).toDF("doc_id", "text")
+    val base = Corpus.shardManifest(docs, nShards = 2).orderBy("shard").collect()
+    // totals across shards cover the corpus exactly
+    assert(base.map(_.getLong(1)).sum == 4L)
+    assert(base.map(_.getLong(2)).sum == 6L) // 2+1+2+1 tokens
+    // partition order / row order cannot move the checksum
+    val shuffled = Corpus.shardManifest(
+      docs.orderBy(col("doc_id").desc).repartition(5), nShards = 2)
+      .orderBy("shard").collect()
+    assert(base.map(_.toSeq).toSeq == shuffled.map(_.toSeq).toSeq)
+    // a one-char content change moves exactly that doc's shard checksum
+    val changed = Corpus.shardManifest(
+      docs.withColumn("text",
+        when(col("doc_id") === 2, lit("gamma!")).otherwise(col("text"))),
+      nShards = 2).orderBy("shard").collect()
+    assert(base.map(_.toSeq).toSeq != changed.map(_.toSeq).toSeq)
+    assert(base.zip(changed).count {
+      case (b, c) => b.getLong(5) != c.getLong(5) } == 1)
+  }
 }
