@@ -587,4 +587,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(pdf.linesIterator.filter(_.contains("Join"))
       .forall(!_.contains("text#")), pdf)
   }
+
+  test("web extraction family: extraction is join-free, link graph pays one distinct") {
+    import spark.implicits._
+    val pages = Seq(("https://a.com/p", "<p>t</p><a href=\"https://b.com/x\">l</a>"))
+      .toDF("url", "html")
+    // htmlToText: a pure projection — no Join, no Exchange, no Generate
+    val pt = plan(pages.select(Html.htmlToText(col("html")).as("t")))
+    assert(!pt.contains("Join") && !pt.contains("Exchange"), pt)
+    // linkGraph: one Generate (the href explode) and exactly the
+    // distinct's aggregation pair — no joins anywhere
+    val pl = plan(Html.linkGraph(pages))
+    assert(!pl.contains("Join"), pl)
+    assert("Generate".r.findAllIn(pl).size == 1, pl)
+    assert(pl.contains("HashAggregate"), pl)
+    // robots filtering: ONE anti join keyed on host with the
+    // startsWith residual — the corpus is never shuffled twice
+    val robots = Seq(("a.com", "Disallow: /x\n")).toDF("host", "body")
+    val docsUrl = Seq((1L, "https://a.com/x/1")).toDF("doc_id", "url")
+    val pr = plan(UrlOps.robotsFilter(docsUrl, robots))
+    assert("LeftAnti".r.findAllIn(pr).size == 1, pr)
+    assert(pr.contains("StartsWith"), pr)
+  }
+
+  test("sketches: bounded aggregation shapes, estimate scan is join-free") {
+    import spark.implicits._
+    val vals = (1 to 100).map(i => s"v$i").toDF("v")
+    // HLL registers: ONE aggregation keyed by bucket (partial + final),
+    // nothing else — the corpus ships (bucket, rho) pairs only
+    val ph = plan(Sketches.hllRegisters(vals, "v"))
+    assert(!ph.contains("Join"), ph)
+    assert(ph.contains("partial_max"), ph)
+    // CMS estimates: the sketch rides as a literal map — scoring any
+    // candidate stream is a narrow scan with zero joins
+    val cms = Sketches.cmsBuild(vals, "v")
+    val pe = plan(Sketches.cmsEstimate(cms, vals, "v"))
+    assert(!pe.contains("Join") && !pe.contains("Exchange"), pe)
+  }
 }
