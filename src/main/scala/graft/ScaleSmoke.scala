@@ -200,6 +200,19 @@ object ScaleSmoke {
     time("quality percentile")(
       Corpus.qualityPercentileFilter(TextAnalysis.quality(docs),
         keepFrac = 0.5).count())
+    // sketches: the corpus ships only (bucket, rho) / (row, col) pairs
+    // into bounded aggregations — the scale path exact counting can't take
+    val shingles = docs.select(explode(
+      graft.functions.TextFunctions.shingles(
+        graft.functions.TextFunctions.tokens(col("text")), 3)).as("v"))
+    time("hll distinct sketch")(
+      operators.Sketches.hllDistinct(shingles, "v").count())
+    val toks = docs.select(explode(
+      graft.functions.TextFunctions.tokens(col("text"))).as("v"))
+    time("cms build+estimate")(
+      operators.Sketches.cmsEstimate(operators.Sketches.cmsBuild(toks, "v"),
+        toks.distinct(), "v").count())
+    time("shard manifest")(Corpus.shardManifest(docs, nShards = 64).count())
     }
 
     if (sections.contains("ann")) {
