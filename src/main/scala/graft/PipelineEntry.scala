@@ -1215,6 +1215,35 @@ object PipelineEntry {
       Corpus.shardManifest(docs(s, dir), nShards = 8)
         .orderBy("shard")),
 
+    // P109 — the end-to-end web pipeline composition: WARC segments of
+    // raw HTML pages in → parse → extract text → keep-best URL dedup
+    // out. Every stage's fixture behavior is closed-form, so the
+    // oracle derives the composed result (per page-group: canonical
+    // URL, the doc with the longest EXTRACTED text, capture count)
+    // without running any of the stages — framing, extraction, and
+    // dedup all have to be right at once.
+    "p109_web_pipeline" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      val tag = dir.replaceAll("[^0-9]", "_")
+      val out = s"/root/repo/target/webpipe-$tag"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val d = docs(s, dir)
+      val pages = htmlPages(d).select(col("doc_id"), col("html"))
+        .join(messyUrls(d).select("doc_id", "url"), "doc_id")
+      WarcSource.export(pages, out, docsPerFile = 100,
+        textCol = "html", urlCol = Some("url"))
+      val extracted = WarcSource.records(s, out)
+        .where(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("record_id"), ":doc:(\\d+)>$", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri").as("url"),
+          Html.htmlToText(col("body")).as("text"))
+      UrlOps.urlDedup(
+        extracted.withColumn("n_chars", length(col("text"))))
+        .orderBy("canonical_url")
+    }),
+
     // P99 — streaming crawl ingest: WET segments arrive as a file
     // stream (the live-crawl shape), parse + language ID run
     // stateless per micro-batch. SHARES p08's oracle — the
@@ -3906,6 +3935,25 @@ ORDER BY doc_id""",
     // p106: SHARES p103's oracle — streaming register maintenance must
     // land on the identical final sketch.
     "p106_streaming_sketch" -> HllShingleOracle,
+
+    // p109: the composed chain in closed form — extracted length =
+    // two 'Doc {id}' lines + normalized doc text + the 26-char entity
+    // line + the 8-char anchor line + 4 newlines; keep-best matches
+    // urlDedup's (longest, then min id) rule over each 3-capture group.
+    "p109_web_pipeline" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+n AS (SELECT doc_id,
+  len(array_to_string(list_filter(list_transform(
+    string_split(regexp_replace(text, '[ \\t\\r]+', ' ', 'g'), chr(10)),
+    x -> trim(x)), x -> x <> ''), chr(10))) AS norm_len FROM documents),
+x AS (SELECT doc_id, doc_id // 3 AS grp,
+  2 * (4 + len(doc_id::VARCHAR)) + norm_len + 26 + 8 + 4 AS elen FROM n),
+r AS (SELECT *, row_number() OVER (PARTITION BY grp
+        ORDER BY elen DESC, doc_id ASC) AS rn,
+      count(*) OVER (PARTITION BY grp) AS cnt FROM x)
+SELECT 'example-' || (grp % 50) || '.com/Pg/' || grp || '?a=1&b=2'
+  AS canonical_url, doc_id AS kept_doc_id, cnt::BIGINT AS n_dups
+FROM r WHERE rn = 1 ORDER BY canonical_url""",
 
     // p107: confusion counts from the closed-form score/label rules.
     // 0.2/0.5/0.8 are exact doubles in both engines (k/100.0 parses
