@@ -1244,6 +1244,29 @@ object PipelineEntry {
         .orderBy("canonical_url")
     }),
 
+    // P110 — streaming CDX maintenance: a live crawl keeps its capture
+    // index current as segments land — cdxIndex is a STATELESS
+    // projection over the record stream (append mode, no state store);
+    // the urlkey sort that makes the batch index binary-searchable
+    // happens at publication (here: the table read). SHARES p93's
+    // oracle — the streamed index must equal the batch index row for
+    // row.
+    "p110_streaming_cdx" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.sources.WarcSource
+      val tag = dir.replaceAll("[^0-9]", "_")
+      val out = s"/root/repo/target/cdx-stream-$tag"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      WarcSource.export(pageUrls(docs(s, dir)), out, docsPerFile = 100,
+        urlCol = Some("url"))
+      val name = "p110_cdx_" + tag
+      val q = WarcSource.cdxIndex(WarcSource.recordsStream(s, out))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("urlkey")
+    }),
+
     // P99 — streaming crawl ingest: WET segments arrive as a file
     // stream (the live-crawl shape), parse + language ID run
     // stateless per micro-batch. SHARES p08's oracle — the
@@ -1779,6 +1802,19 @@ object PipelineEntry {
   /** Oracle twin of the language ID (shared by p08 direct and p91
    * WET-recovered — matching hashes prove the extracted-text ingest
    * round-trips byte-exactly into the analysis operators). */
+  /** Oracle twin of the CDX index (shared by p93 batch and p110
+   * streaming maintenance — matching hashes prove the stateless
+   * append-mode index equals the batch build row for row). */
+  private val CdxOracle: String =
+    s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT
+  'com,example-' || (doc_id % 50) || ')/pg/' || doc_id || '?a=1&b=2' AS urlkey,
+  'example-' || (doc_id % 50) || '.com/Pg/' || doc_id || '?a=1&b=2' AS url,
+  200::BIGINT AS status,
+  sha256(text) AS digest,
+  strlen(text)::BIGINT AS n_bytes
+FROM documents ORDER BY urlkey"""
+
   /** Oracle twin of the HLL shingle sketch (shared by p103 single-pass
    * and p105 shard-merge — matching hashes prove register max-merge is
    * exact): same salted md5 codes, the generated 33-way trailing-zero
@@ -3817,15 +3853,11 @@ FROM n ORDER BY doc_id""",
     // p93: every CDX field re-derived from the doc table + URL formula
     // — urlkey by hand-SURTing the canonical form, digest/size from
     // the text the WARC body must round-trip byte-exactly.
-    "p93_cdx_index" ->
-      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
-SELECT
-  'com,example-' || (doc_id % 50) || ')/pg/' || doc_id || '?a=1&b=2' AS urlkey,
-  'example-' || (doc_id % 50) || '.com/Pg/' || doc_id || '?a=1&b=2' AS url,
-  200::BIGINT AS status,
-  sha256(text) AS digest,
-  strlen(text)::BIGINT AS n_bytes
-FROM documents ORDER BY urlkey""",
+    "p93_cdx_index" -> CdxOracle,
+
+    // p110: SHARES p93's oracle — the streamed index must equal the
+    // batch index row for row (stateless append-mode maintenance).
+    "p110_streaming_cdx" -> CdxOracle,
 
     // p94: offsets from closed-form length arithmetic — per-turn
     // rendered length is role+content+13 ('<|'+role+'|>\\n' = role+5,

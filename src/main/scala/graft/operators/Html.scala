@@ -80,18 +80,49 @@ object Html {
       lit("(?is)<a\\b[^>]*?href\\s*=\\s*[\"']([^\"'#>]*)"), lit(1))
 
   /**
-   * Resolve an extracted href against its page URL: protocol-relative
-   * (`//host/p`) drops the slashes (the canonicalizer ignores scheme),
-   * root-relative (`/p`) prepends the page's canonical host, anything
-   * else is taken as absolute. (Path-relative `../p` resolution needs
-   * the page path's dirname — out of scope, documented; crawl hrefs
-   * are overwhelmingly absolute or root-relative.)
+   * Resolve an extracted href against its page URL:
+   *   - protocol-relative (`//host/p`) drops the slashes (the
+   *     canonicalizer ignores scheme);
+   *   - root-relative (`/p`) prepends the page's canonical host;
+   *   - schemeful (`https://...`) is absolute;
+   *   - anything else is PATH-relative (per RFC 3986 — an href
+   *     without scheme or leading slash resolves against the page
+   *     path's directory): `page2`, `./c`, `../other/x`. Dot-segment
+   *     folding is a bounded rewrite chain (4 `../` levels and 2 `./`
+   *     per href — beyond real-page depth; RE2-safe, no lookaround),
+   *     with `../` past the host clamped to the root as browsers do.
    */
   def resolveHref(pageUrl: Column, href: Column): Column = {
-    val host = regexp_extract(UrlOps.canonicalizeUrl(pageUrl), "^([^/?]*)", 1)
-    when(href.rlike("^//"), regexp_replace(href, "^//", ""))
+    val canon = UrlOps.canonicalizeUrl(pageUrl)
+    resolveParts(regexp_extract(canon, "^([^/?]*)", 1),
+      regexp_extract(canon, "^([^?]*)", 1), canon, href)
+  }
+
+  /** The resolution core over a pre-derived canonical (host, path
+   * base): shared between `resolveHref` and `linkGraph`'s per-edge
+   * path (which reuses the already-canonical `src_url`), so the two
+   * can't diverge. */
+  private def resolveParts(host: Column, baseNoQuery: Column,
+                           self: Column, href: Column): Column = {
+    // directory of the page path: drop the last segment; a bare host
+    // (root page) is its own directory
+    val dir = when(baseNoQuery.contains("/"),
+      regexp_replace(baseNoQuery, "/[^/]*$", "")).otherwise(baseNoQuery)
+    val joined = concat(dir, lit("/"), href)
+    // fold /./ then /seg/../ (segment not starting with '.', so a
+    // "../" is never consumed as the folded segment), innermost first
+    val dotFolded = (1 to 2).foldLeft(joined)((c, _) =>
+      regexp_replace(c, "/\\./", "/"))
+    val folded = (1 to 4).foldLeft(dotFolded)((c, _) =>
+      regexp_replace(c, "/[^/.][^/]*/\\.\\./", "/"))
+    val clamped = regexp_replace(folded, "^([^/]*)/(?:\\.\\./)+", "$1/")
+    // empty href (or a cut pure-fragment href) is a SELF-reference per
+    // RFC 3986 - resolve to the page so the self-loop filter drops it
+    when(href === "", self)
+      .when(href.rlike("^//"), regexp_replace(href, "^//", ""))
       .when(href.startsWith("/"), concat(host, href))
-      .otherwise(href)
+      .when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.\\-]*://"), href)
+      .otherwise(clamped)
   }
 
   /**
@@ -110,20 +141,17 @@ object Html {
                 htmlCol: String = "html"): DataFrame =
     pages
       // canonicalize the page ONCE here (below the explode); per-edge
-      // resolution reuses the canonical host by prefix-extraction
-      // instead of re-running the whole chain per href (equivalent to
-      // resolveHref by construction: its host IS this prefix) — the
-      // chain then runs ~once per edge, not three times (2.6x measured)
+      // resolution reuses the canonical host/base by prefix-extraction
+      // from src_url instead of re-running the whole chain per href
+      // (identical to resolveHref via the shared resolveParts core) —
+      // the chain then runs ~once per edge, not three times
       .select(UrlOps.canonicalizeUrl(col(urlCol)).as("src_url"),
         explode(extractLinks(col(htmlCol))).as("__href"))
       .select(col("src_url"),
-        UrlOps.canonicalizeUrl(
-          when(col("__href").rlike("^//"),
-            regexp_replace(col("__href"), "^//", ""))
-            .when(col("__href").startsWith("/"),
-              concat(regexp_extract(col("src_url"), "^([^/?]*)", 1),
-                col("__href")))
-            .otherwise(col("__href"))).as("dst_url"))
+        UrlOps.canonicalizeUrl(resolveParts(
+          regexp_extract(col("src_url"), "^([^/?]*)", 1),
+          regexp_extract(col("src_url"), "^([^?]*)", 1),
+          col("src_url"), col("__href"))).as("dst_url"))
       .where(col("dst_url") =!= col("src_url") && col("dst_url") =!= "")
       .distinct()
 

@@ -52,16 +52,25 @@ class HtmlSpec extends SparkSpec {
     assert(links == Seq("https://a.com/x", "https://b.com/y", "/rel/p?q=1"))
   }
 
-  test("resolveHref: absolute, root-relative, protocol-relative") {
+  test("resolveHref: absolute, root-relative, protocol-relative, path-relative") {
     val rows = Seq(
       ("https://www.Host-a.com:443/page/1", "https://b.com/x"),
       ("https://www.Host-a.com:443/page/1", "/x/y?q=1"),
-      ("https://www.Host-a.com:443/page/1", "//c.com/z"))
+      ("https://www.Host-a.com:443/page/1", "//c.com/z"),
+      // path-relative: sibling, ./, ../, multi-.., past-root clamp
+      ("https://a.com/docs/guide/page1", "page2"),
+      ("https://a.com/docs/guide/page1", "./local"),
+      ("https://a.com/docs/guide/page1", "../other/x"),
+      ("https://a.com/docs/guide/page1", "../../top"),
+      ("https://a.com/p", "../../up"),
+      ("https://a.com", "rooted"))
       .toDF("page", "href")
       .select(UrlOps.canonicalizeUrl(
         Html.resolveHref(col("page"), col("href"))).as("r"))
       .as[String].collect().toSeq
-    assert(rows == Seq("b.com/x", "host-a.com/x/y?q=1", "c.com/z"))
+    assert(rows == Seq("b.com/x", "host-a.com/x/y?q=1", "c.com/z",
+      "a.com/docs/guide/page2", "a.com/docs/guide/local",
+      "a.com/docs/other/x", "a.com/top", "a.com/up", "a.com/rooted"))
   }
 
   test("linkGraph: canonical edges, dedup, self-loops and empties drop") {
