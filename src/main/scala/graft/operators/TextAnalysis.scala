@@ -985,7 +985,11 @@ object TextAnalysis {
    */
   def sentences(docs: DataFrame, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
-    val marked = regexp_replace(col(textCol),
+    // strip any pre-existing sentinel char first — a \u0001 in crawl
+    // junk would otherwise inject phantom boundaries (cleaned() removes
+    // control chars upstream, but this operator must be safe standalone)
+    val safe = regexp_replace(col(textCol), "\u0001", "")
+    val marked = regexp_replace(safe,
       "([.!?])\\s+([A-Z0-9])", "$1\u0001$2")
     val sents = filter(transform(split(marked, "\u0001"), s => trim(s)),
       s => s =!= "")
