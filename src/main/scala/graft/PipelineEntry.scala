@@ -1083,11 +1083,14 @@ object PipelineEntry {
         iterations = 10)
         .orderBy("node")),
 
-    // P101 — robots-aware filtering: each host's robots.txt (built by
-    // formula: hosts h%3==1 disallow only /private, others also
-    // disallow their own /Pg/{h} page; an Allow line and an empty
-    // Disallow are planted to be correctly IGNORED) drops exactly the
-    // docs with doc_id < 50 on non-exempt hosts.
+    // P101 — robots-aware filtering under RFC 9309 longest-match: every
+    // host allows /Pg (len 3); hosts h%3!=1 disallow their own
+    // /Pg/{h} page prefix (len 4+|h|, beats the allow); hosts h%5==2
+    // ALSO carry a broad `Disallow: /Pg` (ties the allow at len 3 —
+    // the tie must fall to allow) plus an `Allow: /Pg/1` carve-out
+    // (len 5 — re-admits doc ids starting with '1' unless an even
+    // longer host-page disallow matches). An empty Disallow and a
+    // never-matching /private rule are planted to be ignored.
     "p101_robots_filter" -> ((s, dir) => {
       val d = pageUrls(docs(s, dir))
       val robots = d.select(pmod(col("doc_id"), lit(50)).as("h")).distinct()
@@ -1096,6 +1099,8 @@ object PipelineEntry {
             when(pmod(col("h"), lit(3)) =!= 1,
               concat(lit("Disallow: /Pg/"), col("h"), lit("\n")))
               .otherwise(lit("")),
+            when(pmod(col("h"), lit(5)) === 2,
+              lit("Disallow: /Pg\nAllow: /Pg/1\n")).otherwise(lit("")),
             lit("Disallow: /private\n")).as("body"))
       UrlOps.robotsFilter(d, robots)
         .select(col("doc_id"),
@@ -3941,15 +3946,25 @@ SELECT node, r AS rank FROM pr10 ORDER BY node"""
     // string-prefix-matches its "/Pg/{id}..." path, i.e. decimal(id)
     // starts with decimal(h) (id==h, but also 202 under h=2 — prefix
     // semantics are the point of the operator, stated honestly here).
+    // p101: longest-match re-derived in closed form — best allow =
+    // max(/Pg = 3, carve-out /Pg/1 = 5 where it matches); best
+    // disallow = max(broad /Pg = 3 on h%5==2 hosts, /Pg/{h} =
+    // 4+|h| where the id string starts with h); kept iff
+    // best_d <= best_a (the equal-length tie falls to allow).
     "p101_robots_filter" ->
-      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+d AS (SELECT doc_id, doc_id % 50 AS h,
+        doc_id::VARCHAR AS ds, (doc_id % 50)::VARCHAR AS hs FROM documents),
+v AS (SELECT doc_id, h,
+   greatest(3, CASE WHEN h % 5 = 2 AND starts_with(ds, '1')
+                 THEN 5 ELSE -1 END) AS best_a,
+   greatest(CASE WHEN h % 5 = 2 THEN 3 ELSE -1 END,
+            CASE WHEN h % 3 <> 1 AND starts_with(ds, hs)
+              THEN 4 + len(hs) ELSE -1 END) AS best_d
+ FROM d)
 SELECT doc_id,
-  'example-' || (doc_id % 50) || '.com/Pg/' || doc_id || '?a=1&b=2'
-    AS canonical_url
-FROM documents
-WHERE NOT ((doc_id % 50) % 3 <> 1
-  AND starts_with(doc_id::VARCHAR, (doc_id % 50)::VARCHAR))
-ORDER BY doc_id""",
+  'example-' || h || '.com/Pg/' || doc_id || '?a=1&b=2' AS canonical_url
+FROM v WHERE best_d <= best_a ORDER BY doc_id""",
 
     // p102: the streaming/batch-ingest convention — shares p08's oracle.
     "p102_jsonl_roundtrip" -> LangIdOracle,
@@ -4126,7 +4141,7 @@ l AS (SELECT doc_id, domain, z[2]::BIGINT AS ord, z[1] AS line
 u AS (SELECT DISTINCT doc_id, domain, line FROM l),
 c AS (SELECT domain, line, count(*) AS cnt FROM u GROUP BY domain, line),
 b AS (SELECT c.domain, c.line FROM c JOIN nd ON c.domain = nd.domain
-      WHERE 2 * c.cnt >= nd.ndocs),
+      WHERE 2 * c.cnt >= nd.ndocs AND nd.ndocs >= 3),
 k AS (SELECT l.* FROM l LEFT JOIN b
         ON l.domain = b.domain AND l.line = b.line
       WHERE b.line IS NULL)

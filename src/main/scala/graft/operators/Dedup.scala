@@ -479,7 +479,12 @@ object Dedup {
       hashes.select(col(idCol).as("id"), col(hashCol).as("hsh")))
     val banded = hs.select(col("id"), col("hsh"),
       explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("band_bits", expr("shiftright(hsh, band * 16) % 65536"))
+      // & 65535, not % 65536: arithmetic shiftright sign-extends, and %
+      // keeps the dividend's sign, so a negative hash's band key would
+      // differ from a positive hash with identical band CONTENT — pairs
+      // straddling bit 63 would silently miss (review-caught). The mask
+      // makes the key depend only on the 16 band bits.
+      .withColumn("band_bits", expr("shiftright(hsh, band * 16) & 65535"))
     val left = banded.select(col("band"), col("band_bits"),
       col("id").as("id_a"), col("hsh").as("h_a"))
     val right = banded.select(col("band"), col("band_bits"),

@@ -206,20 +206,28 @@ object Html {
    * order and never hash-matches). Floor losses mean Σr drifts a few
    * units below RankScale per iteration (bounded by N·iters) — the
    * price of exactness, documented. Dangling nodes (out-degree 0)
-   * leak their mass: acceptable for quality-prior use; feed the edge
-   * list through a dangling-elimination pass if mass conservation
-   * matters.
+   * leak their mass by default: acceptable for quality-prior use.
+   * `redistributeDangling = true` adds the classic correction — each
+   * iteration spreads floor(D / N) of the danglers' total mass D to
+   * every node inside the damping term — making Σr conservation a
+   * testable property (spec-pinned to within the floor-loss bound);
+   * it costs one bounded scalar aggregation per iteration (the
+   * dangling mass, a 1-row collect — the standard accumulator shape).
    *
-   * Scale shape: the classic Spark PageRank loop — per iteration ONE
-   * join (ranks to edges, both keyed on src) + ONE dst-keyed
-   * aggregation + a broadcast-joined teleport add; `localCheckpoint`
-   * truncates the lineage each round so the plan stays O(1) deep at
-   * any iteration count (the discipline a 10^9-node graph needs —
-   * without it the DAG doubles per round).
+   * Scale shape: the classic Spark PageRank loop — per iteration one
+   * src-keyed join of ranks to the (pre-joined, checkpointed)
+   * edge+outdeg table, ONE dst-keyed aggregation, and a left join
+   * back to the node list that re-admits nodes with no in-links for
+   * their teleport share (two joins total, the second against the
+   * already-materialized node list); `localCheckpoint` truncates the
+   * lineage each round so the plan stays O(1) deep at any iteration
+   * count (the discipline a 10^9-node graph needs — without it the
+   * DAG doubles per round).
    */
   def pageRank(edges: DataFrame, iterations: Int = 10,
                dampNum: Long = 85, dampDen: Long = 100,
-               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+               srcCol: String = "src", dstCol: String = "dst",
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val nodes = e.select(col("src").as("node"))
@@ -233,9 +241,21 @@ object Html {
     val eDeg = e.join(
       e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .localCheckpoint()
+    // dangling = nodes with no outgoing edge; materialized ONCE — per
+    // iteration only their current rank mass (one scalar) is re-read
+    val dangling = if (redistributeDangling)
+      nodes.join(e.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti").localCheckpoint()
+    else null
     val teleport = (RankScale * (dampDen - dampNum) / dampDen) / n
     var ranks = nodes.withColumn("r", lit(RankScale / n)).localCheckpoint()
     for (_ <- 1 to iterations) {
+      // per-node share of the danglers' mass, a plan-time literal this
+      // round (floor BEFORE the damping multiply, fixed order)
+      val dangShare: Long = if (redistributeDangling)
+        ranks.join(dangling, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("r")), lit(0L))).collect()(0).getLong(0) / n
+      else 0L
       val contrib = eDeg
         .join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst").as("node"),
@@ -245,7 +265,8 @@ object Html {
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) +
-            expr(s"($dampNum * coalesce(cin, 0L)) DIV $dampDen")).as("r"))
+            expr(s"($dampNum * (coalesce(cin, 0L) + $dangShare)) DIV $dampDen"))
+            .as("r"))
         .localCheckpoint()
     }
     ranks.select(col("node"), col("r").as("rank"))

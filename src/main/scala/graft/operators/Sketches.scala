@@ -42,8 +42,10 @@ object Sketches {
    *   E = floor(709 * m^2 * 2^34 / (1000 * S)),
    *   S = Σ_buckets 2^(34 - r_j)   (empty bucket: r_j = 0)
    *
-   * is computed in pure int64 (alpha_64 ≈ 0.709 as the rational
-   * 709/1000; S ≤ m·2^34 so no overflow at any m ≤ 2^19). RAW
+   * is computed in exact integer math (alpha_64 ≈ 0.709 as the
+   * rational 709/1000; S ≤ m·2^34 stays int64, the numerator rides a
+   * plan-time DECIMAL(38,0) literal past int64 — see
+   * `hllEstimateFromRegisters` — so any m ≤ 2^19 is safe). RAW
    * estimate only — the standard small/large-range corrections need
    * ln() and are deliberately omitted for cross-engine exactness;
    * accuracy is the usual ~1.04/sqrt(m) rsd away from the degenerate
@@ -63,7 +65,7 @@ object Sketches {
    * combine O(m) rows instead of re-scanning the corpus. */
   def hllRegisters(values: DataFrame, valueCol: String, m: Int = 64)
       : DataFrame = {
-    require(m >= 2 && m <= (1 << 19), "m out of the overflow-safe range")
+    require(m >= 2 && m <= (1 << 19), "m out of the supported range")
     val v = col(valueCol)
     values
       .select(pmod(code("hb:", v), lit(m.toLong)).as("bucket"),
@@ -78,16 +80,24 @@ object Sketches {
       .groupBy("bucket").agg(max(col("r")).as("r"))
 
   /** Estimate from a register table (see `hllDistinct` for the
-   * formula and its exactness/accuracy trades). */
-  def hllEstimateFromRegisters(regs: DataFrame, m: Int): DataFrame =
+   * formula and its exactness/accuracy trades). The numerator
+   * 709·m²·2^34 exceeds int64 for m ≳ 870, so it is folded at PLAN
+   * time into one BigInt literal carried as DECIMAL(38,0) (22 digits
+   * at m = 2^19 — exact); the integral divide stays exact and the
+   * result re-fits int64 because E ≤ 709·m·2^34/1000 < 2^63 for
+   * every admissible m. */
+  def hllEstimateFromRegisters(regs: DataFrame, m: Int): DataFrame = {
+    require(m >= 2 && m <= (1 << 19), "m out of the supported range")
+    val numer = BigInt(709) * m * m * (BigInt(1) << 34)
     regs.agg(
       (coalesce(
         sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(34 - r AS INT))")),
         lit(0L)) +
         (lit(m.toLong) - count(lit(1))) * lit(1L << 34)).as("s"))
       .select(lit(m.toLong).as("m"),
-        expr(s"(709 * ${m.toLong} * ${m.toLong} * ${1L << 34}) DIV (1000 * s)")
+        expr(s"CAST(CAST('$numer' AS DECIMAL(38,0)) DIV (1000 * s) AS BIGINT)")
           .as("hll_estimate"))
+  }
 
   def hllDistinct(values: DataFrame, valueCol: String, m: Int = 64)
       : DataFrame = {

@@ -890,13 +890,18 @@ object TextAnalysis {
    *
    * Output: (id, n_removed, text_clean) — n_removed counts excised
    * line OCCURRENCES; a fully-boilerplate doc keeps its row with
-   * text_clean = "".
+   * text_clean = "". Domains with fewer than `minDocs` docs are left
+   * untouched (no line is removed): below that, the frequency vote is
+   * vacuous and the default 1/2 threshold would erase the whole
+   * domain.
    */
   def boilerplateRemove(docs: DataFrame, domainCol: String,
                         textCol: String = "text", idCol: String = "doc_id",
-                        tNum: Int = 1, tDen: Int = 2): DataFrame = {
+                        tNum: Int = 1, tDen: Int = 2,
+                        minDocs: Int = 3): DataFrame = {
     require(tNum >= 1 && tDen >= 1 && tNum <= tDen,
       "threshold must be a fraction in (0, 1]")
+    require(minDocs >= 1, "minDocs must be positive")
     val base = docs.select(col(idCol).as("id"), col(domainCol).as("domain"),
       col(textCol).as("text"))
     val lines = base.select(col("id"), col("domain"),
@@ -905,7 +910,13 @@ object TextAnalysis {
     val boiler = lines.select("domain", "line", "id").distinct()
       .groupBy("domain", "line").agg(count(lit(1)).as("cnt"))
       .join(ndocs, "domain")
-      .where(col("cnt") * tDen >= col("ndocs") * tNum)
+      // the ndocs >= minDocs conjunct guards tiny domains: at the default
+      // 1/2 threshold every line of a 1- or 2-doc domain trivially meets
+      // cnt*tDen >= ndocs*tNum (cnt = 1, ndocs <= 2), which would erase
+      // ALL text of small domains — frequency is only evidence of
+      // boilerplate when there are enough docs to vote (review-caught)
+      .where(col("cnt") * tDen >= col("ndocs") * tNum &&
+        col("ndocs") >= minDocs)
       // renamed on BOTH columns: boiler shares lineage with `lines`, so
       // an unrenamed join key resolves to a trivially-true self-compare
       .select(col("domain").as("boiler_domain"),

@@ -158,50 +158,75 @@ object UrlOps {
   }
 
   /**
-   * Disallow rules from raw robots.txt bodies: one (host, prefix) row
-   * per `Disallow:` line. A documented SUBSET of the robots exclusion
-   * protocol — every Disallow is honored regardless of its User-agent
-   * group (the conservative reading a bulk-crawl consumer takes:
-   * "anyone disallowed" = skip), `Allow:` lines and crawl-delay are
-   * ignored, empty `Disallow:` (= allow all) yields no rule. `(?im)`
-   * inline flags work in both Java regex and RE2, so the extraction
-   * is oracle-portable.
+   * Allow/Disallow rules from raw robots.txt bodies: one
+   * (rule_host, rule_prefix, rule_allow) row per directive line. A
+   * documented SUBSET of the robots exclusion protocol (RFC 9309) —
+   * every rule is honored regardless of its User-agent group (the
+   * conservative reading a bulk-crawl consumer takes), wildcards and
+   * crawl-delay are ignored, an empty `Disallow:`/`Allow:` (= no
+   * rule) yields no row. `(?im)` inline flags work in both Java regex
+   * and RE2, so the extraction is oracle-portable.
    */
   def robotsRules(robots: DataFrame, hostCol: String = "host",
-                  bodyCol: String = "body"): DataFrame =
-    robots.select(col(hostCol).as("rule_host"),
-      // horizontal whitespace ONLY after the colon: \s would eat the
-      // newline of an empty `Disallow:` line and capture the NEXT
-      // line's directive name as a prefix (found the hard way)
-      explode(regexp_extract_all(col(bodyCol),
-        lit("(?im)^disallow:[ \\t]*(\\S+)"), lit(1))).as("rule_prefix"))
+                  bodyCol: String = "body"): DataFrame = {
+    // horizontal whitespace ONLY after the colon: \s would eat the
+    // newline of an empty `Disallow:` line and capture the NEXT
+    // line's directive name as a prefix (found the hard way)
+    def extract(directive: String, allow: Boolean) =
+      robots.select(col(hostCol).as("rule_host"),
+        explode(regexp_extract_all(col(bodyCol),
+          lit(s"(?im)^$directive:[ \\t]*(\\S+)"), lit(1))).as("rule_prefix"),
+        lit(allow).as("rule_allow"))
+    extract("disallow", allow = false) unionAll extract("allow", allow = true)
+  }
 
   /**
    * Robots-aware filtering — the crawl-governance step (a pipeline
    * re-filtering a bulk crawl against CURRENT robots rules drops pages
-   * whose canonical path now falls under a Disallow): a doc is dropped
-   * iff its canonical host has a rule whose prefix starts its
-   * canonical path+query. Hosts with no robots record keep everything
-   * (absent robots.txt = allowed, as crawlers treat a 404).
+   * whose canonical path now falls under a Disallow): per RFC 9309, of
+   * all rules whose prefix matches the canonical path+query the
+   * LONGEST wins, and an equal-length tie breaks to Allow — so
+   * `Allow: /public` carves its subtree out of a broader
+   * `Disallow: /`. Hosts with no robots record (or no matching rule)
+   * keep everything, as crawlers treat a 404. The match appends "/"
+   * to the doc path before the prefix compare: canonicalization
+   * strips trailing slashes, so a directory rule `Disallow: /private/`
+   * must still match its root page `/private` (and `Disallow: /` the
+   * host root) without ever matching `/privateer`.
    *
-   * Scale shape: ONE host-equi anti-join with the startsWith residual
-   * as the join filter — rules co-shuffle by host (or broadcast when
-   * the rule set is small); the corpus is scanned once and never
-   * carries more than (host, path) extra columns.
+   * Scale shape: rules group to ONE row per host (a robots file is
+   * KB-bounded, so the per-host rule array is too) and BROADCAST into
+   * a left join; the longest-match verdict is a narrow codegen'd
+   * expression — array_max over the matching (length, allow) structs —
+   * so the corpus is scanned ONCE and never shuffles at all (the old
+   * any-match version already avoided a corpus shuffle; this keeps
+   * that while adding precedence).
    */
   def robotsFilter(docs: DataFrame, robots: DataFrame,
                    urlCol: String = "url", hostCol: String = "host",
                    bodyCol: String = "body"): DataFrame = {
     val canon = canonicalizeUrl(col(urlCol))
     val host = regexp_extract(canon, "^([^/?]*)", 1)
-    val rules = robotsRules(robots, hostCol, bodyCol)
+    val hostRules = robotsRules(robots, hostCol, bodyCol)
+      .groupBy("rule_host")
+      .agg(collect_list(struct(
+        length(col("rule_prefix")).as("l"),
+        col("rule_allow").cast("int").as("a"),
+        col("rule_prefix").as("p"))).as("__rules"))
     docs
       .withColumn("__host", host)
       .withColumn("__path",
         substring(canon, length(col("__host")) + 1, lit(1 << 30)))
-      .join(rules, col("__host") === col("rule_host") &&
-        col("__path").startsWith(col("rule_prefix")), "left_anti")
-      .drop("__host", "__path")
+      .join(broadcast(hostRules),
+        col("__host") === col("rule_host"), "left")
+      // (path + "/") startsWith p subsumes the plain prefix test AND
+      // lets directory rules match their slash-stripped root page;
+      // struct order (l, a) makes array_max the longest-match winner
+      // with the equal-length tie falling to allow (a: 1 > 0)
+      .withColumn("__best", array_max(filter(col("__rules"),
+        r => concat(col("__path"), lit("/")).startsWith(r.getField("p")))))
+      .where(col("__best").isNull || col("__best").getField("a") === 1)
+      .drop("__host", "__path", "rule_host", "__rules", "__best")
   }
 
   /**

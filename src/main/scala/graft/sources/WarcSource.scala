@@ -156,12 +156,17 @@ object WarcSource {
    * where" without touching a segment — the entry point of every
    * targeted re-crawl and URL-level audit.
    *
-   * Scale shape: one pass over the records (urlkey/digest/length are
-   * narrow expressions computed where the record was parsed); the only
-   * shuffle is the final urlkey range-sort that makes the index
-   * binary-searchable — exactly the job that builds the real cc-index.
-   * Digest is sha256 of the extracted body (the real index uses sha1
-   * of the raw payload; same role, stronger hash).
+   * Scale shape: one shuffle-free pass over the records (urlkey/
+   * digest/length are narrow expressions computed where the record
+   * was parsed). The rows are NOT sorted here: the binary-searchable
+   * publish order is the CALLER's final `.orderBy("urlkey")`
+   * range-sort (the batch entry does exactly that) — kept out of this
+   * operator so the same projection serves the STREAMING index
+   * (p110), where a global sort is illegal and ordering belongs to
+   * the downstream compaction, just as the real cc-index sorts at
+   * publish time, not per segment. Digest is sha256 of the extracted
+   * body (the real index uses sha1 of the raw payload; same role,
+   * stronger hash).
    */
   def cdxIndex(records: DataFrame): DataFrame =
     records.where(col("warc_type") === "response")

@@ -172,6 +172,39 @@ class HtmlSpec extends SparkSpec {
     assert(got(2L) > got(3L))
   }
 
+  test("pageRank: dangling redistribution conserves mass to the floor-loss bound") {
+    import graft.operators.Html.RankScale
+    // star into a sink: 4 sources -> node 0 (dangling). Without the
+    // correction the sink's mass leaks every round; with it Σr stays at
+    // RankScale minus only the floor losses (< ~4N + |E| units/iter).
+    val star = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)).toDF("src", "dst")
+    val iters = 10
+    val leaky = Html.pageRank(star, iterations = iters)
+      .as[(Long, Long)].collect().toMap
+    val fixed = Html.pageRank(star, iterations = iters,
+      redistributeDangling = true).as[(Long, Long)].collect().toMap
+    val lossBound = iters.toLong * (4 * 5 + 4 + 5) // loose: per-iter floors
+    assert(fixed.values.sum <= RankScale)
+    assert(fixed.values.sum >= RankScale - lossBound,
+      s"sum ${fixed.values.sum}")
+    // the default really leaks: the sink holds ~85% of all mass, so two
+    // iterations already lose most of it
+    assert(leaky.values.sum < RankScale * 9 / 10)
+    // redistribution preserves the ORDER (sink still outranks sources)
+    assert(fixed(0L) > fixed(1L) && leaky(0L) > leaky(1L))
+    // parity against a plain-Scala simulator with the same floor order
+    val nodesS = Seq(0L, 1L, 2L, 3L, 4L)
+    val teleS = (RankScale * 15 / 100) / 5
+    var r = nodesS.map(_ -> RankScale / 5).toMap
+    for (_ <- 1 to iters) {
+      val dShare = r(0L) / 5 // node 0 is the only dangler
+      val cin0 = (1L to 4L).map(s => r(s) / 1L).sum
+      r = nodesS.map(n => n ->
+        (teleS + 85L * ((if (n == 0L) cin0 else 0L) + dShare) / 100)).toMap
+    }
+    assert(fixed == r)
+  }
+
   test("cdxIndex: export -> records -> index round trip, field exactness") {
     import graft.sources.WarcSource
     val dir = "target/html-spec-cdx"

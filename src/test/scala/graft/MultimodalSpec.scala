@@ -200,6 +200,24 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == expected)
   }
 
+  test("hammingPairs64: recall survives pairs straddling the sign bit (hamming 1..3)") {
+    import spark.implicits._
+    // Each planted pair has one negative and one positive hash whose
+    // differing bits include bit 63 — with sign-dependent band keys
+    // (the pre-fix `% 65536`) every one of these was silently missed.
+    val pairs = Seq(
+      (10L, 0x7FFFFFFFFFFFFFFFL, 11L, -1L),                     // hamming 1 (bit 63)
+      (20L, 0x1234567890ABCDEFL, 21L, 0x1234567890ABCDEFL ^ (1L << 63) ^ (1L << 62) ^ 1L), // hamming 3
+      (30L, 0L, 31L, 1L << 63))                                 // hamming 1, min-negative
+    val far = Seq((90L, 0x0F0F0F0F0F0F0F0FL), (91L, -0x0F0F0F0F0F0F0F10L))
+    val hashes = (pairs.flatMap { case (ia, ha, ib, hb) => Seq((ia, ha), (ib, hb)) } ++ far)
+      .toDF("id", "dhash")
+    val got = Dedup.hammingPairs64(hashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = Set((10L, 11L, 1L), (20L, 21L, 3L), (30L, 31L, 1L))
+    assert(got == expected)
+  }
+
   test("audio envelope hash: codec round-trip matches the formula, variants collide, distinct docs don't") {
     for (d <- Seq(0L, 4L, 12L, 77L)) {
       val base = Multimodal.audioEnvelopeHash(Multimodal.envelopeWav(d, 0))

@@ -601,12 +601,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pl.contains("Join"), pl)
     assert("Generate".r.findAllIn(pl).size == 1, pl)
     assert(pl.contains("HashAggregate"), pl)
-    // robots filtering: ONE anti join keyed on host with the
-    // startsWith residual — the corpus is never shuffled twice
-    val robots = Seq(("a.com", "Disallow: /x\n")).toDF("host", "body")
+    // robots filtering: the per-host rule arrays BROADCAST into ONE
+    // left join and the longest-match verdict is a narrow expression —
+    // the corpus side never shuffles at all
+    val robots = Seq(("a.com", "Disallow: /x\nAllow: /x/ok\n"))
+      .toDF("host", "body")
     val docsUrl = Seq((1L, "https://a.com/x/1")).toDF("doc_id", "url")
     val pr = plan(UrlOps.robotsFilter(docsUrl, robots))
-    assert("LeftAnti".r.findAllIn(pr).size == 1, pr)
+    assert("BroadcastHashJoin".r.findAllIn(pr).size == 1, pr)
+    assert(!pr.contains("SortMergeJoin"), pr)
     assert(pr.contains("StartsWith"), pr)
   }
 

@@ -22,6 +22,25 @@ class SketchesSpec extends SparkSpec {
     assert(two.getLong(1) == est)
   }
 
+  test("hllEstimateFromRegisters: large m (numerator past int64) stays exact vs BigInt formula") {
+    // m = 16384: 709*m^2*2^34 ~ 3.3e21, far beyond int64 — the estimate
+    // must equal the BigInt-evaluated formula bit-for-bit (no silent wrap)
+    val m = 1 << 14
+    val vals = (1 to 20000).map(i => s"big-$i").toDF("v")
+    val regs = Sketches.hllRegisters(vals, "v", m = m)
+    val est = Sketches.hllEstimateFromRegisters(regs, m).collect().head.getLong(1)
+    val collected = regs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val s = collected.map { case (_, r) => BigInt(1) << (34 - r.toInt) }.sum +
+      BigInt(m - collected.length) * (BigInt(1) << 34)
+    val expected = (BigInt(709) * m * m * (BigInt(1) << 34)) / (BigInt(1000) * s)
+    assert(BigInt(est) == expected, s"est $est vs $expected")
+    // sanity only: n ~ 1.2m sits in the small-range regime where the
+    // RAW estimator (no linear-counting correction — deliberately
+    // omitted for cross-engine exactness) is biased high; the point of
+    // this spec is the bit-exact BigInt match above, not accuracy
+    assert(est > 20000L && est < 2 * 20000L, s"est $est")
+  }
+
   test("hllDistinct: documented raw-estimate bias floor on empty input") {
     val empty = Seq.empty[String].toDF("v")
     val row = Sketches.hllDistinct(empty, "v", m = 64).collect().head

@@ -327,7 +327,11 @@ class TextFunctionsSpec extends SparkSpec {
       (10L, "a a", "en", "web"), (11L, "b b", "en", "web"),
       (12L, "c c", "en", "web"), (13L, "q", "en", "web"),
       (14L, "y", "fr", "web"),
-      (15L, "m n", "zz", "web")    // language with no reference model
+      (15L, "m n", "zz", "web"),   // language with no reference model
+      // NULL lang: must be excluded by BOTH the batch self-quantile
+      // path and the frozen-model apply path (the pre-r13 bug dropped
+      // it in batch but kept it as head in apply, breaking parity)
+      (20L, "a a", null.asInstanceOf[String], "web")
     ).toDF("doc_id", "text", "lang", "source")
     val r = TextAnalysis.perplexityBuckets(docs,
       refFilter = col("source") === "ref", vocabSize = 2,
@@ -350,6 +354,9 @@ class TextFunctionsSpec extends SparkSpec {
       (13L, "en", 0.125, "tail", false),
       (14L, "fr", 0.25, "middle", true),
       (15L, "zz", 1.0, "head", true)))
+    // the null-lang doc 20 is in NEITHER output (and `applied == r`
+    // below proves the two paths agree on it row-for-row)
+    assert(!r.exists(_._1 == 20L))
     intercept[IllegalArgumentException] {
       TextAnalysis.perplexityBuckets(docs, col("source") === "ref",
         headFrac = 0.0)
@@ -382,8 +389,9 @@ class TextFunctionsSpec extends SparkSpec {
   test("boilerplateRemove: per-domain frequency, exact boundary, order-preserving rebuild") {
     // domain A: 4 docs. header in all 4 (removed); 'promo' in 1 of 4
     // (kept); 'notice' in exactly 2 of 4 — the 2*cnt >= ndocs boundary
-    // fires at EXACTLY half (removed). domain B: 1 doc — every line of
-    // a singleton domain trivially meets the threshold, so the doc
+    // fires at EXACTLY half (removed). domain B: 1 doc — under the
+    // default minDocs guard a singleton domain is untouched; with
+    // minDocs = 1 every line trivially meets the threshold and the doc
     // empties (fully-boilerplate edge: row kept, text_clean = "").
     val docs = Seq(
       (1L, "A", "head\nbody one\npromo\nnotice"),
@@ -399,7 +407,10 @@ class TextFunctionsSpec extends SparkSpec {
       (2L, 2L, "body two"),
       (3L, 1L, "body three"),
       (4L, 1L, "body four"),
-      (10L, 2L, "")))
+      (10L, 0L, "solo line\nsolo two"))) // minDocs guard: B untouched
+    val unguarded = TextAnalysis.boilerplateRemove(docs, "domain", minDocs = 1)
+      .orderBy("id").as[(Long, Long, String)].collect().toSeq
+    assert(unguarded.last == ((10L, 2L, ""))) // guard off: singleton empties
     // repeated occurrences of a boilerplate line are ALL removed, and
     // n_removed counts occurrences, not distinct lines (threshold 2/3
     // here — at the default 1/2, EVERY line of a 2-doc domain is
@@ -409,7 +420,8 @@ class TextFunctionsSpec extends SparkSpec {
       (1L, "C", "x\nmid\nx"),
       (2L, "C", "x\nother")
     ).toDF("doc_id", "domain", "text")
-    val rout = TextAnalysis.boilerplateRemove(rep, "domain", tNum = 2, tDen = 3)
+    val rout = TextAnalysis.boilerplateRemove(rep, "domain", tNum = 2, tDen = 3,
+        minDocs = 1)
       .orderBy("id").as[(Long, Long, String)].collect().toSeq
     assert(rout == Seq((1L, 2L, "mid"), (2L, 1L, "other")))
     // line order survives removal even when kept lines interleave
@@ -417,7 +429,8 @@ class TextFunctionsSpec extends SparkSpec {
       (1L, "D", "b\nz\na\nb\ny"),
       (2L, "D", "b\nq")
     ).toDF("doc_id", "domain", "text")
-    val oout = TextAnalysis.boilerplateRemove(ord, "domain", tNum = 2, tDen = 3)
+    val oout = TextAnalysis.boilerplateRemove(ord, "domain", tNum = 2, tDen = 3,
+        minDocs = 1)
       .orderBy("id").as[(Long, Long, String)].collect().toSeq
     assert(oout == Seq((1L, 2L, "z\na\ny"), (2L, 1L, "q")))
   }

@@ -184,17 +184,18 @@ class UrlOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
-  test("robotsRules: Disallow lines only, empty Disallow and Allow ignored") {
+  test("robotsRules: Allow and Disallow lines, empty directives ignored") {
     val robots = Seq(("a.com",
       "User-agent: *\nAllow: /ok\nDisallow:\nDisallow: /private\n" +
-        "disallow:\t/Mixed/Case\nCrawl-delay: 5\nDisallow: /tmp"))
+        "disallow:\t/Mixed/Case\nCrawl-delay: 5\nAllow:\nDisallow: /tmp"))
       .toDF("host", "body")
     val rules = UrlOps.robotsRules(robots).orderBy("rule_prefix")
-      .as[(String, String)].collect().toSeq
+      .as[(String, String, Boolean)].collect().toSeq
     // case-insensitive directive, tab after colon, last line without \n;
-    // the EMPTY Disallow must NOT swallow the next line's directive
-    assert(rules == Seq(("a.com", "/Mixed/Case"), ("a.com", "/private"),
-      ("a.com", "/tmp")))
+    // the EMPTY Disallow/Allow must NOT swallow the next line's directive
+    assert(rules == Seq(("a.com", "/Mixed/Case", false),
+      ("a.com", "/ok", true), ("a.com", "/private", false),
+      ("a.com", "/tmp", false)))
   }
 
   test("robotsFilter: host-scoped prefix drop, unknown hosts keep all") {
@@ -209,5 +210,39 @@ class UrlOpsSpec extends SparkSpec {
     val kept = UrlOps.robotsFilter(docs, robots).orderBy("doc_id")
       .select("doc_id").as[Long].collect().toSeq
     assert(kept == Seq(3L, 4L))
+  }
+
+  test("robotsFilter: RFC 9309 longest-match, Allow carve-outs, tie breaks to allow") {
+    val docs = Seq(
+      (1L, "https://a.com/x"),            // Disallow / wins (only match)
+      (2L, "https://a.com/public/page"),  // Allow /public (7) > Disallow / (1)
+      (3L, "https://a.com/public/secret/k"), // Disallow /public/secret (14) > Allow /public (7)
+      (4L, "https://a.com/"),             // host root: Disallow / matches "" + "/"
+      (5L, "https://b.com/dup"),          // equal length /dup vs /dup: allow wins
+      (6L, "https://b.com/other"))        // no matching rule at all: kept
+      .toDF("doc_id", "url")
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /\nAllow: /public\n" +
+        "Disallow: /public/secret\n"),
+      ("b.com", "Disallow: /dup\nAllow: /dup\n"))
+      .toDF("host", "body")
+    val kept = UrlOps.robotsFilter(docs, robots).orderBy("doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L, 5L, 6L))
+  }
+
+  test("robotsFilter: directory rules match their slash-stripped root page") {
+    // canonicalizeUrl strips the trailing slash, so /private/ (the page)
+    // canonicalizes to path /private — a `Disallow: /private/` directory
+    // rule must still drop it, while NOT touching /privateer
+    val docs = Seq(
+      (1L, "https://a.com/private/"),  // directory root page: blocked
+      (2L, "https://a.com/private/x"), // inside the directory: blocked
+      (3L, "https://a.com/privateer")) // not under /private/: kept
+      .toDF("doc_id", "url")
+    val robots = Seq(("a.com", "Disallow: /private/\n")).toDF("host", "body")
+    val kept = UrlOps.robotsFilter(docs, robots).orderBy("doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(3L))
   }
 }
