@@ -721,8 +721,55 @@ object SparkEntry {
         index = Fixture.closureIndex(s, dir))
         .select(col("tag"), col("edge_id"), col("input_id"),
           col("input_query_id").as("query_id"), col("output_id"))
-        .orderBy("tag", "edge_id", "input_id"))
+        .orderBy("tag", "edge_id", "input_id")),
+
+    // G32 — multi-graph serving session: TWO graphs co-hosted in one
+    // SparkSession behind name routing with a default-graph fallback
+    // (ref main.py:50-69 name->engine map, :210-218 routed + bare
+    // /query, min-name default). The SAME open one-hop probe (g05
+    // shape) runs twice: once default-routed (must land on "alpha",
+    // the full graph) and once against "beta", a located_in-only
+    // logical slice of the same store — independent result sets from
+    // one warm session, each with its own closed-form oracle branch.
+    "g37_multi_graph" -> ((s, dir) => {
+      val mg = multiGraph(s, dir)
+      val qg = QueryGraph.oneHop(
+        QNode("n0", ids = natIds(7)), QNode("n1"), QEdge("n0", "n1"))
+      val a = bindings(mg.answer("g37", qg)) // None routes to default
+        .withColumn("graph", lit("alpha"))
+      val b = bindings(mg.answer("g37", qg, Some("beta")))
+        .withColumn("graph", lit("beta"))
+      a.unionAll(b)
+        .select(col("graph"), col("edge_id"), col("input_id"), col("output_id"))
+        .orderBy("graph", "edge_id", "input_id")
+    })
   )
+
+  private val multiGraphs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.serving.MultiGraph]()
+
+  /** Two-graph registry for g37: "alpha" hosts the full store-backed
+   * graph (sharing the Fixture caches with every single-graph key —
+   * co-hosting costs nothing extra for it); "beta" co-hosts a
+   * located_in-only logical slice of the SAME store, its cached slice
+   * frames registered as `owned` so releasing beta never cold-starts
+   * alpha. Both get the store's closure + driver index (same node
+   * hierarchy). */
+  private def multiGraph(s: SparkSession, dir: String): graft.serving.MultiGraph =
+    multiGraphs.computeIfAbsent((s, dir), { _ =>
+      import graft.serving.{HostedGraph, MultiGraph}
+      val mg = new MultiGraph(s, ont)
+      val g = Fixture.graph(s, dir)
+      val closure = Some(Fixture.closure(s, dir))
+      val idx = Fixture.closureIndex(s, dir)
+      mg.register("alpha", HostedGraph(g, closure, idx))
+      val betaEdges = g.edges.where(col("predicate") === O.LocatedIn).cache()
+      val betaRev = g.reverseEdges.where(col("predicate") === O.LocatedIn).cache()
+      mg.register("beta", HostedGraph(
+        PropertyGraph(g.nodes, betaEdges, Some(betaRev)), closure, idx,
+        owned = Seq(betaEdges, betaRev)))
+      mg
+    })
 
   /** The g17/g35 normalize+merge body: duplicate CUST->NAT edges under
    * their alias id, then remap through `prefMap` and merge — shared so
@@ -909,6 +956,28 @@ object SparkEntry {
             AND e.object IN (${idList(natIds(0 to 9: _*))})
             AND c.c_acctbal > 1000 AND c.c_mktsegment <> 'MACHINERY'
           ORDER BY tag, edge_id, input_id"""),
+
+    // Both branches run the g05 open probe over the same expanded id set
+    // `s`; alpha sees every edge, beta only the located_in slice.
+    "g37_multi_graph" -> TpchGraph.oracle(
+      """SELECT graph, edge_id, input_id, output_id FROM (
+           SELECT 'alpha' AS graph, e.edge_id, e.subject AS input_id,
+                  e.object AS output_id
+           FROM g_edges e JOIN s ON e.subject = s.id
+           UNION ALL
+           SELECT 'alpha', e.edge_id, e.object, e.subject
+           FROM g_edges e JOIN s ON e.object = s.id
+           UNION ALL
+           SELECT 'beta', e.edge_id, e.subject, e.object
+           FROM g_edges e JOIN s ON e.subject = s.id
+           WHERE e.predicate = 'graft:located_in'
+           UNION ALL
+           SELECT 'beta', e.edge_id, e.object, e.subject
+           FROM g_edges e JOIN s ON e.object = s.id
+           WHERE e.predicate = 'graft:located_in')
+         ORDER BY graph, edge_id, input_id""",
+      extraCtes = """s AS (SELECT 'NAT:7' AS id
+         UNION ALL SELECT 'CUST:' || c_custkey FROM customer WHERE c_nationkey = 7)"""),
 
     "g14_single_node" -> TpchGraph.oracle(
       """SELECT node_id, query_id FROM (

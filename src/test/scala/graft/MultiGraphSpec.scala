@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.model.{GraftOntology => O, PropertyGraph}
+import graft.operators._
+import graft.serving.{HostedGraph, MultiGraph}
+import graft.sources.TpchGraph
+
+/** Multi-graph serving session (ref: main.py:50-69 name->engine map,
+ * :210-218 routed + bare /query, min-name default, 404 on unknown).
+ * Pins: routing + default fallback, per-graph result independence,
+ * per-graph prepared-plan isolation, and release isolation (retiring
+ * one graph never cold-starts or corrupts a co-hosted one). */
+class MultiGraphSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val ont = O.ontology
+
+  private def freshSession(): (MultiGraph, PropertyGraph) = {
+    val g = TpchGraph(spark, sfDir)
+    val closure = Some(SubclassClosure.fromGraph(g, ont))
+    val mg = new MultiGraph(spark, ont)
+    mg.register("alpha", HostedGraph(g, closure))
+    val betaEdges = g.edges.where(col("predicate") === O.LocatedIn).cache()
+    mg.register("beta", HostedGraph(
+      PropertyGraph(g.nodes, betaEdges), closure, owned = Seq(betaEdges)))
+    (mg, g)
+  }
+
+  private val probe = QueryGraph.oneHop(
+    QNode("n0", ids = Seq("NAT:7")), QNode("n1"), QEdge("n0", "n1"))
+
+  test("routing: default is the lexicographically smallest name; unknown 404s") {
+    val (mg, _) = freshSession()
+    assert(mg.names == Seq("alpha", "beta"))
+    assert(mg.defaultName == "alpha")
+    assert(mg.resolve(None)._1 == "alpha")
+    assert(mg.resolve(Some("beta"))._1 == "beta")
+    val err = intercept[NoSuchElementException](mg.resolve(Some("gamma")))
+    assert(err.getMessage.contains("gamma"))
+    mg.releaseAll()
+  }
+
+  test("co-hosted graphs answer the same probe independently") {
+    val (mg, g) = freshSession()
+    val viaDefault = mg.answer("probe", probe).collect()
+    val viaBeta = mg.answer("probe", probe, Some("beta")).collect()
+    // default-routed == explicit alpha == single-graph OneHop
+    val solo = OneHop.answer(spark, g, ont, probe,
+      closure = Some(SubclassClosure.fromGraph(g, ont)),
+      expandSubclasses = true).matches.collect()
+    assert(viaDefault.map(_.getString(0)).sorted.toSeq ==
+      solo.map(_.getString(0)).sorted.toSeq)
+    // beta is the located_in-only slice: strictly fewer matches, and
+    // every beta edge id appears in alpha's result
+    val alphaIds = viaDefault.map(_.getAs[String]("edge_id")).toSet
+    val betaIds = viaBeta.map(_.getAs[String]("edge_id")).toSet
+    assert(betaIds.nonEmpty && betaIds.size < alphaIds.size)
+    assert(betaIds.subsetOf(alphaIds))
+    mg.releaseAll()
+  }
+
+  test("prepared plans are cached per (graph, key) and never alias") {
+    val (mg, _) = freshSession()
+    val a1 = mg.answer("k", probe, Some("alpha"))
+    val a2 = mg.answer("k", probe, Some("alpha"))
+    val b1 = mg.answer("k", probe, Some("beta"))
+    assert(a1 eq a2, "repeat probe must reuse the prepared plan")
+    assert(!(a1 eq b1), "same key on another graph must NOT alias")
+    // re-registering a graph drops ONLY its prepared plans
+    val g = TpchGraph(spark, sfDir)
+    mg.register("beta", HostedGraph(g))
+    val b2 = mg.answer("k", probe, Some("beta"))
+    assert(!(b1 eq b2), "stale plan must not serve a re-registered graph")
+    assert(mg.answer("k", probe, Some("alpha")) eq a1,
+      "co-hosted graph's plans survive a neighbor's re-registration")
+    mg.releaseAll()
+  }
+
+  test("release retires one graph without cold-starting its neighbor") {
+    val (mg, _) = freshSession()
+    val beta = mg.answer("probe", probe, Some("beta"))
+    beta.count() // materialize beta's owned caches
+    val alpha = mg.answer("probe", probe, Some("alpha"))
+    val alphaRows = alpha.count()
+    mg.release("beta")
+    assert(mg.names == Seq("alpha"))
+    intercept[NoSuchElementException](mg.answer("probe", probe, Some("beta")))
+    // alpha keeps serving from its untouched prepared plan
+    assert(mg.answer("probe", probe, Some("alpha")) eq alpha)
+    assert(mg.answer("probe", probe).count() == alphaRows)
+    mg.releaseAll()
+  }
+}
