@@ -94,6 +94,27 @@ object PipelineEntry {
     try body finally s.conf.set(key, prev)
   }
 
+  /** The default HDFS-backed state store keeps ALL streaming state on
+   * the executor heap — fine for bounded trained artifacts (p106's HLL
+   * registers are ≤ m rows), wrong for corpus-sized dedup state: at
+   * 100 TB the per-partition hash-group state outgrows any heap. The
+   * three corpus-state drains (p58/p75/p81) therefore run under
+   * RocksDB, where state lives off-heap/on-local-disk per partition and
+   * is bounded by disk, not memory. Restored after the drain (same
+   * discipline as withStreamShuffle; a real deployment sets this once
+   * in session conf). */
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private def withRocksDbState[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, RocksDbProvider)
+    try body finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** The corpus tables ship as ONE parquet file each, which Spark scans
    * as a single partition — per-doc hashing work would run on one core.
    * Spread small inputs across the cluster before the compute-heavy
@@ -746,11 +767,11 @@ object PipelineEntry {
         Corpus.curationStages(pipelinePlanted(stream),
           stopwords = Seq("the", "a")))
       val name = "p58_pipe_" + tag
-      withStreamShuffle(s) {
+      withStreamShuffle(s) { withRocksDbState(s) {
         val q = out.writeStream.format("memory").queryName(name)
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-      }
+      } }
       s.table(name).orderBy("id")
     }),
 
@@ -828,11 +849,11 @@ object PipelineEntry {
         .option("maxFilesPerTrigger", 1).parquet(streamDir))
       val agg = UrlOps.urlDedup(messyUrls(stream))
       val name = "p81_url_" + tag
-      withStreamShuffle(s) {
+      withStreamShuffle(s) { withRocksDbState(s) {
         val q = agg.writeStream.format("memory").queryName(name)
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-      }
+      } }
       foldUpdates(s, name, "canonical_url").orderBy("canonical_url")
     }),
 
@@ -1364,11 +1385,11 @@ object PipelineEntry {
         Corpus.curationStages(pipelinePlanted(stream),
           stopwords = Seq("the", "a")))
       val name = "p75_upd_" + tag
-      withStreamShuffle(s) {
+      withStreamShuffle(s) { withRocksDbState(s) {
         val q = out.writeStream.format("memory").queryName(name)
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-      }
+      } }
       foldUpdates(s, name, "content_hash").orderBy("id")
     }),
 
@@ -1667,6 +1688,41 @@ object PipelineEntry {
           variants.map(v => (d * 10 + v, Multimodal.dhashImagePng(d, v)))
         }.toDF("id", "payload")
       Dedup.hammingPairs64(Multimodal.imageDHashes(s, images))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // P74+ / P85+, key p111_warc_binary — the crawl-to-multimodal
+    // composition the text-only WARC path couldn't express: the SAME
+    // planted PNG fixture as p74 rides as BINARY response payloads
+    // (Content-Type image/png) through a real .warc.gz segment
+    // round-trip, and the image near-dup family runs on the RECOVERED
+    // body_bytes. A UTF-8 decode anywhere in the ingest would corrupt
+    // the PNGs (dHash gives None, pairs vanish), so hash-matching
+    // p74's oracle proves byte-exact binary transit — and the parser's
+    // text column stays null for the binary type (decode is lazy, not
+    // destructive). Scale shape inherits both parents': one task per
+    // segment file, payloads never cross a shuffle.
+    "p111_warc_binary" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.WarcSource
+      val out = s"/root/repo/target/warc-binary-${dir.replaceAll("[^0-9.]", "")}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val images = docs(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { d =>
+          val variants = Seq(0) ++
+            (if (d % 5 == 0) Seq(1) else Nil) ++
+            (if (d % 7 == 0) Seq(2) else Nil)
+          variants.map(v => (d * 10 + v, Multimodal.dhashImagePng(d, v)))
+        }.toDF("id", "payload")
+      WarcSource.export(images, out, docsPerFile = 100, idCol = "id",
+        bytesCol = Some("payload"), mime = "image/png")
+      val recovered = WarcSource.records(s, out)
+        .where(col("warc_type") === "response" && col("body").isNull)
+        .select(
+          regexp_extract(col("record_id"), ":doc:(\\d+)>$", 1)
+            .cast("long").as("id"),
+          col("body_bytes").as("payload"))
+      Dedup.hammingPairs64(Multimodal.imageDHashes(s, recovered))
         .orderBy("id_a", "id_b")
     }),
 
@@ -2118,6 +2174,21 @@ cbl$s AS (SELECT list(cv ORDER BY cid) AS l FROM c${s}_2)"""
     }
     s"[${entries.mkString(",\n  ")}]"
   }
+
+  /** Shared oracle for the planted-PNG near-dup keys: p74 (parquet
+   * fixture) and p111 (the same fixture round-tripped through a
+   * binary-payload WARC segment). The pairs are enumerable from the
+   * doc table alone — every variant of one doc is dHash-identical by
+   * construction, distinct docs never pair. */
+  private lazy val ImageNearDupOracle: String =
+    s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+v AS (SELECT doc_id, 0 AS var FROM documents
+      UNION ALL SELECT doc_id, 1 FROM documents WHERE doc_id % 5 = 0
+      UNION ALL SELECT doc_id, 2 FROM documents WHERE doc_id % 7 = 0)
+SELECT a.doc_id * 10 + a.var AS id_a, b.doc_id * 10 + b.var AS id_b,
+  0::BIGINT AS hamming
+FROM v a JOIN v b ON a.doc_id = b.doc_id AND a.var < b.var
+ORDER BY id_a, id_b"""
 
   /** Shared batch oracle for the curation-pipeline keys: p50 (batch
    * window dedup) and p58 (streaming aggregation dedup) both
@@ -4157,15 +4228,13 @@ GROUP BY d.doc_id ORDER BY d.doc_id""",
     // construction (hamming 0) and distinct docs never pair (64
     // formula-derived gradient bits). Missing rows = codec/hash/banding
     // break; extra rows = an over-eager hash.
-    "p74_image_neardup" ->
-      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
-v AS (SELECT doc_id, 0 AS var FROM documents
-      UNION ALL SELECT doc_id, 1 FROM documents WHERE doc_id % 5 = 0
-      UNION ALL SELECT doc_id, 2 FROM documents WHERE doc_id % 7 = 0)
-SELECT a.doc_id * 10 + a.var AS id_a, b.doc_id * 10 + b.var AS id_b,
-  0::BIGINT AS hamming
-FROM v a JOIN v b ON a.doc_id = b.doc_id AND a.var < b.var
-ORDER BY id_a, id_b""",
+    "p74_image_neardup" -> ImageNearDupOracle,
+
+    // p111 shares p74's ground truth: the SAME fixture rides through a
+    // binary-payload .warc.gz round-trip first, so any byte corruption
+    // in WARC framing/Content-Length slicing/gzip — or an eager UTF-8
+    // decode of the image body — surfaces as missing pairs.
+    "p111_warc_binary" -> ImageNearDupOracle,
 
     "p15_streaming" ->
       s"""WITH $eventsCte,

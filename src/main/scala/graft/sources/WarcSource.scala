@@ -24,10 +24,32 @@ object WarcSource {
 
   /** One parsed WARC record: the record type, the record id, the
    * target URI (null for warcinfo), the HTTP status (0 when the
-   * payload isn't HTTP), and the HTTP body (payload minus HTTP
-   * headers; full payload when not HTTP), decoded as UTF-8. */
+   * payload isn't HTTP), the payload's content type (the HTTP
+   * `Content-Type` when the payload is HTTP, else the WARC-header
+   * one), the HTTP body decoded as UTF-8 — null for binary content
+   * types, where a lossy decode would corrupt the payload — and the
+   * RAW body bytes, always present. Real crawls carry images/PDFs in
+   * response records; the bytes column is what lets a WARC ingest
+   * feed the multimodal family (image/audio/video near-dup) without
+   * a destructive text decode in between. */
   case class WarcRecord(file: String, warc_type: String, record_id: String,
-                        target_uri: String, status: Int, body: String)
+                        target_uri: String, status: Int, content_type: String,
+                        body: String, body_bytes: Array[Byte])
+
+  /** Content types whose bodies are UTF-8-decodable text. Everything
+   * else (image, audio, video, pdf, octet-stream, ...) keeps
+   * body = null and rides as bytes only. Unknown/absent types decode
+   * as text — the pre-binary-path behavior, and what WET `conversion`
+   * and `warcinfo` records need. */
+  private[graft] def isTextType(ct: String): Boolean = {
+    if (ct == null) return true
+    val t = ct.toLowerCase.trim
+    t.isEmpty || t.startsWith("text/") ||
+      t.startsWith("application/http") ||
+      t.startsWith("application/warc-fields") ||
+      t.contains("json") || t.contains("xml") || t.contains("html") ||
+      t.contains("javascript") || t.contains("x-www-form-urlencoded")
+  }
 
   private val Crlf = "\r\n".getBytes("US-ASCII")
 
@@ -73,19 +95,44 @@ object WarcSource {
       val warcType = headers.getOrElse("warc-type", "")
       val recId = headers.getOrElse("warc-record-id", null)
       val uri = headers.getOrElse("warc-target-uri", null)
-      // HTTP payload: split status line + headers from the body
-      val ptext = new String(payload, "UTF-8")
-      val (status, body) =
-        if (ptext.startsWith("HTTP/")) {
-          val headEnd = ptext.indexOf("\r\n\r\n")
-          val statusLine = ptext.substring(0, ptext.indexOf("\r\n"))
-          val st = statusLine.split(" ") match {
+      // HTTP payload: split status line + headers from the body at the
+      // BYTE level (a string round-trip before the split would corrupt
+      // binary bodies), then decode only the header block as text.
+      val isHttp = payload.length >= 5 &&
+        new String(payload, 0, 5, "US-ASCII") == "HTTP/"
+      val (status, httpCt, bodyBytes) =
+        if (isHttp) {
+          var he = -1
+          var i = 0
+          while (he < 0 && i + 3 < payload.length) {
+            if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+              payload(i + 2) == '\r' && payload(i + 3) == '\n') he = i
+            i += 1
+          }
+          val headBlock = new String(payload, 0,
+            if (he >= 0) he else payload.length, "UTF-8")
+          val lines = headBlock.split("\r\n")
+          val st = lines(0).split(" ") match {
             case a if a.length >= 2 && a(1).forall(_.isDigit) => a(1).toInt
             case _ => 0
           }
-          (st, if (headEnd >= 0) ptext.substring(headEnd + 4) else "")
-        } else (0, ptext)
-      out += WarcRecord(file, warcType, recId, uri, status, body)
+          val ct = lines.iterator.drop(1)
+            .map(l => (l, l.indexOf(':')))
+            .collectFirst { case (l, c)
+              if c > 0 && l.substring(0, c).trim.equalsIgnoreCase("content-type") =>
+              l.substring(c + 1).trim }
+            .orNull
+          val bb = if (he >= 0)
+            java.util.Arrays.copyOfRange(payload, he + 4, payload.length)
+          else Array.empty[Byte]
+          (st, ct, bb)
+        } else (0, null: String, payload)
+      val contentType =
+        if (isHttp) httpCt else headers.getOrElse("content-type", null)
+      val body =
+        if (isTextType(contentType)) new String(bodyBytes, "UTF-8") else null
+      out += WarcRecord(file, warcType, recId, uri, status, contentType,
+        body, bodyBytes)
     }
     out.toSeq
   }
@@ -103,7 +150,9 @@ object WarcSource {
   /**
    * All records of every .warc / .warc.gz file under `dir`.
    * One task per file (WARC is not splittable); columns
-   * (file, warc_type, target_uri, status, body).
+   * (file, warc_type, record_id, target_uri, status, content_type,
+   * body, body_bytes) — body is null for binary content types,
+   * body_bytes always carries the raw payload body.
    */
   def records(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -186,15 +235,24 @@ object WarcSource {
    */
   /** `wet = true` writes WET-style `conversion` records (Common
    * Crawl's extracted-text sibling): the payload IS the text, no HTTP
-   * framing — the form most pipelines actually consume. */
+   * framing — the form most pipelines actually consume.
+   * `bytesCol` switches to BINARY-payload mode: the named binary
+   * column rides as the HTTP body verbatim under Content-Type `mime`
+   * (e.g. PNG images under `image/png`) — the response-record shape
+   * real crawls use for non-text captures. */
   def export(docs: DataFrame, dir: String, docsPerFile: Int = 100,
              idCol: String = "doc_id", textCol: String = "text",
-             urlCol: Option[String] = None, wet: Boolean = false): Unit = {
+             urlCol: Option[String] = None, wet: Boolean = false,
+             bytesCol: Option[String] = None,
+             mime: String = "text/plain; charset=utf-8"): Unit = {
+    require(bytesCol.isEmpty || !wet, "binary payloads need HTTP framing")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val urlExpr = urlCol.map(col)
       .getOrElse(concat(lit("https://example.org/doc/"), col(idCol)))
+    val payloadExpr = bytesCol.map(col)
+      .getOrElse(encode(coalesce(col(textCol), lit("")), "UTF-8"))
     val shards = docs.select(col(idCol).cast("long").as("id"),
-        col(textCol).as("text"), urlExpr.cast("string").as("url"))
+        payloadExpr.as("payload"), urlExpr.cast("string").as("url"))
       .repartition(expr(s"id DIV $docsPerFile"))
     shards.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       // one FILE per shard key — the repartition only spreads work; two
@@ -215,7 +273,7 @@ object WarcSource {
           "software: graft\r\n".getBytes("UTF-8"))
         rows.sortBy(_.getLong(0)).foreach { r =>
           val id = r.getLong(0)
-          val body = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
+          val body = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty[Byte])
           if (wet)
             record(Seq("WARC-Type" -> "conversion",
               "WARC-Target-URI" -> r.getString(2),
@@ -223,7 +281,7 @@ object WarcSource {
               "Content-Type" -> "text/plain"), body)
           else {
             val http = ("HTTP/1.1 200 OK\r\n" +
-              "Content-Type: text/plain; charset=utf-8\r\n\r\n").getBytes("UTF-8") ++ body
+              s"Content-Type: $mime\r\n\r\n").getBytes("UTF-8") ++ body
             record(Seq("WARC-Type" -> "response",
               "WARC-Target-URI" -> r.getString(2),
               "WARC-Record-ID" -> s"<urn:graft:doc:$id>",

@@ -124,9 +124,10 @@ class StreamingSpec extends SparkSpec {
 
   test("sessionizer runs identically under the RocksDB state store (production large-state config)") {
     // RocksDB is the memory-bounded store for BIG state (per-event-id
-    // dedup at corpus scale); it's slower than the in-memory map at test
-    // scale, so the registered queries use the default store and this
-    // case proves the production config yields identical results.
+    // dedup at corpus scale). The corpus-state drains (p58/p75/p81)
+    // run under it in the registry too; this case pins the
+    // mapGroupsWithState path and proves via the query's state-operator
+    // custom metrics that the provider actually took effect.
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -143,6 +144,12 @@ class StreamingSpec extends SparkSpec {
           timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
         .writeStream.format("memory").queryName("sess_rocks").outputMode("append").start()
       q.processAllAvailable()
+      // the provider is engaged, not merely configured: RocksDB's
+      // state-operator custom metrics appear in the progress report
+      val rocksMetrics = q.lastProgress.stateOperators.flatMap(
+        _.customMetrics.keySet().toArray(Array.empty[String]))
+      assert(rocksMetrics.exists(_.startsWith("rocksdb")),
+        s"expected rocksdb* custom metrics, got: ${rocksMetrics.mkString(",")}")
       q.stop()
       val out = spark.table("sess_rocks").collect()
       assert(out.length == 1)

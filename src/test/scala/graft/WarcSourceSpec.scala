@@ -77,6 +77,42 @@ class WarcSourceSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("binary payloads: byte-exact transit, lazy text decode, content_type routing") {
+    // a payload that is INVALID UTF-8 (0xFF 0xFE lead bytes, PNG magic):
+    // any eager string decode corrupts it irreversibly
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0xff.toByte, 0xfe.toByte, 0x00, 0x7f)
+    val docs = Seq((5L, png), (6L, Array[Byte]())).toDF("doc_id", "img")
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-bin").toString
+    WarcSource.export(docs, dir, docsPerFile = 100,
+      bytesCol = Some("img"), mime = "image/png")
+    val rs = WarcSource.records(spark, dir)
+      .where(col("warc_type") === "response").orderBy("target_uri").collect()
+    assert(rs.length == 2)
+    // content type recovered from the HTTP header block, not the WARC one
+    assert(rs.forall(_.getAs[String]("content_type") == "image/png"))
+    // binary type: text column null, bytes byte-exact
+    assert(rs.forall(r => r.getAs[String]("body") == null))
+    assert(rs(0).getAs[Array[Byte]]("body_bytes").toSeq == png.toSeq)
+    assert(rs(1).getAs[Array[Byte]]("body_bytes").isEmpty)
+    // text records expose BOTH views, and they agree
+    val tdocs = Seq((1L, "unicode é中文")).toDF("doc_id", "text")
+    val tdir = java.nio.file.Files.createTempDirectory("graft-warc-txt").toString
+    WarcSource.export(tdocs, tdir, docsPerFile = 100)
+    val tr = WarcSource.records(spark, tdir)
+      .where(col("warc_type") === "response").collect()(0)
+    assert(tr.getAs[String]("content_type") == "text/plain; charset=utf-8")
+    assert(tr.getAs[String]("body") == "unicode é中文")
+    assert(new String(tr.getAs[Array[Byte]]("body_bytes"), "UTF-8") ==
+      "unicode é中文")
+    // the classifier itself: textual families decode, binary ones don't
+    assert(WarcSource.isTextType(null) && WarcSource.isTextType("TEXT/HTML") &&
+      WarcSource.isTextType("application/json; charset=utf-8"))
+    assert(!WarcSource.isTextType("image/png") &&
+      !WarcSource.isTextType("application/pdf") &&
+      !WarcSource.isTextType("application/octet-stream"))
+  }
+
   test("recordsStream: file-stream ingest yields exactly the batch records") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = "target/warc-spec-stream"
