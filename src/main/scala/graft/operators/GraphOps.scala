@@ -87,10 +87,9 @@ object GraphOps {
       val endpointHit = col("subject").isNull ||
         (if (endpoints.size <= 16) col("subject").isin(endpoints: _*)
          else
-           // coarse [min,max] range first: zone-map prunable where the
-           // SetProbe is opaque to batch stats (see OneHop.memberOf)
-           col("subject") >= lit(endpoints.min) &&
-             col("subject") <= lit(endpoints.max) &&
+           // per-length ranges first: zone-map prunable where the
+           // SetProbe is opaque to batch stats (see OneHop.rangeConjunct)
+           OneHop.rangeConjunct(col("subject"), endpoints) &&
              graft.functions.HashExpressions.setProbe(col("subject"), endpoints.toSet))
       graph.edges
         .where(endpointHit && (

@@ -56,6 +56,39 @@ object OneHop {
    * whose plan cost is flat in the pair count. */
   val DefaultMaxLiteralIds = 65536
 
+  /** Zone-map range conjunct for a literal probe set, ONE [min,max]
+   * pair per id LENGTH class. Cached-batch min/max stats can't see
+   * through SetProbe, so a plain range predicate over the clustering
+   * column must do the batch pruning — but a single global range is
+   * coarse for numeric-suffix CURIEs of mixed digit count: probing
+   * PART:1..PART:40 gives [PART:1, PART:9] lexicographically, which
+   * spans nearly the whole PART region (the r13 g15 residue: ~0.7M
+   * replica rows survived pruning for a 40-id probe). Ids of ONE
+   * length sort numerically, so per-length ranges are tight —
+   * [PART:1,PART:9] OR [PART:10,PART:40] prunes to the 40 probed
+   * parts — and a disjunction of ranges is still batch-prunable
+   * (stats evaluation folds Or; the length conjunct, which no stats
+   * shape recognizes, folds to true inside its And and only runs
+   * per-row, where it is what keeps longer ids from landing inside a
+   * shorter class's lexicographic window). Length classes are bounded
+   * by CURIE shapes (a handful), so plan cost stays trivial; the
+   * exact SetProbe conjunct follows. Grouping uses codepoint count to
+   * agree with Spark's `length`, and min/max use UTF-8 byte order to
+   * agree with Spark's binary string comparison — both differ from
+   * Java's UTF-16 conventions outside the BMP, and a range conjunct
+   * must stay a SUPERSET test for every member id. */
+  private[graft] def rangeConjunct(c: Column, ids: Iterable[String]): Column = {
+    def cp(s: String): Int = s.codePointCount(0, s.length)
+    val utf8Order: Ordering[String] = new Ordering[String] {
+      def compare(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    }
+    ids.groupBy(cp).toSeq.sortBy(_._1).map { case (len, g) =>
+      org.apache.spark.sql.functions.length(c) === len &&
+        c >= lit(g.min(utf8Order)) && c <= lit(g.max(utf8Order))
+    }.reduce(_ || _)
+  }
+
   /** Matched edges with binding columns:
    * input_id/output_id (which endpoint fulfilled which qnode) and
    * input_query_id/output_query_id (non-null when the endpoint was reached
@@ -105,9 +138,13 @@ object OneHop {
     val outLocalOpt = if (outputQ.ids.nonEmpty) local(outputQ.ids) else None
 
     // ---- predicate + direction conditions (literal, driver-computed) ----
+    // staticBidir = Some(false) folds the dead direction's condition to
+    // a literal false, so Catalyst prunes that scan branch entirely
+    // (the qualified twin of the plain path's literal-set folding).
     val (matchCond, bidirCond) =
-      if (qedge.qualifierConstraints.nonEmpty) qualifiedConds(qedge, ont)
-      else plainConds(qedge, ont)
+      if (qedge.qualifierConstraints.nonEmpty) {
+        val (m, b, _) = qualifiedConds(qedge, ont); (m, b)
+      } else plainConds(qedge, ont)
 
     val fwdCond = matchCond && (bidirCond || lit(inputIsSubject))
     val bwdCond = matchCond && (bidirCond || lit(!inputIsSubject))
@@ -121,17 +158,16 @@ object OneHop {
     // Small sets keep isin (literal InSet: trivial plan cost, and cached-
     // batch stats pruning can use it); large expansions go through the
     // native SetProbe so the id set is ONE plan object however many times
-    // the condition is referenced — PLUS a coarse [min,max] range
-    // conjunct: SetProbe is opaque to the cached batches' min/max stats
-    // (r12's g15 scanned all 1.3M rows twice for a 40-id probe), but a
-    // plain range predicate over the clustering column prunes batches
-    // like isin does, and CURIE prefixes make the range tight (all
-    // "PART:*" ids fall inside ["PART:...","PART:..."]). Two string
-    // compares per surviving row; ordered range -> probe -> rest so the
-    // cheap checks still short-circuit the expensive match conditions.
+    // the condition is referenced — PLUS the zone-map range conjunct
+    // (rangeConjunct below): SetProbe is opaque to the cached batches'
+    // min/max stats (r12's g15 scanned all 1.3M rows twice for a 40-id
+    // probe), but plain range predicates over the clustering column
+    // prune batches like isin does. Ordered range -> probe -> rest so
+    // the cheap checks still short-circuit the expensive match
+    // conditions.
     def memberOf(c: Column, ids: Seq[String]): Column =
       if (ids.size <= 16) c.isin(ids: _*)
-      else c >= lit(ids.min) && c <= lit(ids.max) &&
+      else rangeConjunct(c, ids) &&
         graft.functions.HashExpressions.setProbe(c, ids.toSet)
 
     // ---- input-side matching ----
@@ -291,7 +327,8 @@ object OneHop {
    * component; the predicate component may be fulfilled by either the
    * edge's qualified predicate or its regular predicate.
    */
-  private def qualifiedConds(qedge: QEdge, ont: Ontology): (Column, Column) = {
+  private def qualifiedConds(qedge: QEdge, ont: Ontology)
+      : (Column, Column, Option[Boolean]) = {
     val isQualified = col("qualified_predicate").isNotNull ||
       col("object_direction").isNotNull || col("object_aspect").isNotNull
 
@@ -332,9 +369,23 @@ object OneHop {
     }.toSet
     val edgeUsed = coalesce(col("qualified_predicate"), col("predicate"))
     val directSym = direct.filter(ont.isSymmetric)
-    val bidirCond =
-      if (direct.nonEmpty && direct.forall(ont.isSymmetric)) lit(true)
-      else {
+    // Driver-decidable bidirectionality (r13 verdict #10): Some(true)
+    // when every direct predicate is symmetric (the reference's
+    // all-symmetric early return, plover.py:2644); Some(false) when NO
+    // row can satisfy the per-row condition — it only ever admits a
+    // used predicate through `directSym` or the ontology-wide symmetric
+    // set, so both empty proves the dead direction statically. (The
+    // symmetric-set check cannot be narrowed to the constraint's
+    // descendant cone: a row may match via `predicate` while carrying
+    // an arbitrary `qualified_predicate`, which is the used predicate.)
+    // None -> per-row, both directions live.
+    val staticBidir: Option[Boolean] =
+      if (direct.nonEmpty && direct.forall(ont.isSymmetric)) Some(true)
+      else if (directSym.isEmpty && ont.symmetric.isEmpty) Some(false)
+      else None
+    val bidirCond = staticBidir match {
+      case Some(b) => lit(b)
+      case None =>
         val descOfDirectSym = ont.descendantsOfAll(directSym, includeMixins = true)
         val inDirect = if (direct.isEmpty) lit(false) else edgeUsed.isin(direct.toSeq: _*)
         val inDirectSym =
@@ -342,8 +393,8 @@ object OneHop {
         val fallback = edgeUsed.isin(
           (ont.symmetric ++ descOfDirectSym).toSeq: _*)
         when(inDirect, inDirectSym).otherwise(fallback)
-      }
-    (matchCond, bidirCond)
+    }
+    (matchCond, bidirCond, staticBidir)
   }
 
   /**
@@ -450,15 +501,23 @@ object OneHop {
       val in = expand(inputQ.ids)
       if (qedge.qualifierConstraints.nonEmpty) {
         // qualified probe: the conglomerate match is a per-tag GATED
-        // conjunct; ids enter both direction maps (bidirectionality is
-        // per-row here — see scaladoc)
-        val (matchCond, bidirCond) = qualifiedConds(qedge, ont)
-        in.ids.foreach { id =>
-          fwdTags(id) = tag :: fwdTags.getOrElse(id, Nil)
-          bwdTags(id) = tag :: bwdTags.getOrElse(id, Nil)
+        // conjunct. Ids enter a direction map only when that direction
+        // can match: usually bidirectionality is per-row so both are
+        // live, but a driver-decidable verdict (qualifiedConds'
+        // staticBidir — e.g. a symmetric-free ontology) keeps the ids
+        // and the gate out of the dead direction, dropping the probe
+        // from 2 plan gates to 1 (r13 verdict #10).
+        val (matchCond, bidirCond, staticBidir) = qualifiedConds(qedge, ont)
+        val fwdLive = staticBidir.getOrElse(true) || inputIsSubject
+        val bwdLive = staticBidir.getOrElse(true) || !inputIsSubject
+        if (fwdLive) {
+          in.ids.foreach(id => fwdTags(id) = tag :: fwdTags.getOrElse(id, Nil))
+          fwdQual += tag -> (matchCond && (bidirCond || lit(inputIsSubject)))
         }
-        fwdQual += tag -> (matchCond && (bidirCond || lit(inputIsSubject)))
-        bwdQual += tag -> (matchCond && (bidirCond || lit(!inputIsSubject)))
+        if (bwdLive) {
+          in.ids.foreach(id => bwdTags(id) = tag :: bwdTags.getOrElse(id, Nil))
+          bwdQual += tag -> (matchCond && (bidirCond || lit(!inputIsSubject)))
+        }
       } else {
         val (expanded, bidirPreds) = plainPredSets(qedge, ont)
         val fwdPreds = if (inputIsSubject) expanded else bidirPreds
@@ -512,11 +571,10 @@ object OneHop {
         val qualHit = qualGates.foldLeft(lit(false)) {
           case (acc, (t, c)) => acc || (col("tag") === t && c)
         }
-        // coarse [min,max] range first — the zone-map-prunable conjunct
-        // (see memberOf in answer()); the probe set itself is opaque to
+        // per-length range conjuncts first — the zone-map-prunable part
+        // (see rangeConjunct); the probe set itself is opaque to
         // cached-batch stats
-        rel.where(col(probeCol) >= lit(tagMap.keys.min) &&
-            col(probeCol) <= lit(tagMap.keys.max) &&
+        rel.where(rangeConjunct(col(probeCol), tagMap.keys) &&
             HE.setProbe(col(probeCol), tagMap.keySet))
           .withColumn("tag",
             explode(split(HE.mapProbe(col(probeCol), tagMap), TSEP)))

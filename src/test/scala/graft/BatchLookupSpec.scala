@@ -108,6 +108,35 @@ class BatchLookupSpec extends SparkSpec {
     assert(jobs.get() <= 2, s"batch ran ${jobs.get()} jobs") // count may AQE-split once
   }
 
+  test("qualified direction folding: symmetric-free ontology drops the dead gate") {
+    import org.apache.spark.sql.functions.col
+    // Under an ontology with NO symmetric predicates, a qualified
+    // probe's bidirectionality is driver-decidable (staticBidir =
+    // Some(false)): the non-input direction can never match, so its ids
+    // stay out of that direction's fan-out map and the probe costs ONE
+    // plan gate instead of two — with rows still identical to answer().
+    val symFree = ont.copy(symmetric = Set.empty)
+    val qualProbe = probes.filter(_._1 == "qual")
+    val folded = OneHop.answerBatch(spark, graph, symFree, qualProbe,
+      closure = Some(closure), index = ix)
+    val single = OneHop.answer(spark, graph, symFree, qualProbe.head._2,
+      closure = Some(closure), expandSubclasses = true, index = ix).matches
+    val fRows = folded.select(bindingCols.map(col): _*)
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    val sRows = single.select(bindingCols.map(col): _*)
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    assert(fRows.nonEmpty && fRows == sRows)
+    // gate census: the probed tag rides the plan once per LIVE direction
+    // (fan-out map + gated conjunct); folding must remove the dead one
+    def tagHits(df: org.apache.spark.sql.DataFrame): Int =
+      "qual".r.findAllIn(df.queryExecution.optimizedPlan.toString).size
+    val both = OneHop.answerBatch(spark, graph, ont, qualProbe,
+      closure = Some(closure), index = ix)
+    assert(tagHits(folded) < tagHits(both),
+      s"folded plan should carry fewer '${qualProbe.head._1}' gates " +
+        s"(${tagHits(folded)} vs ${tagHits(both)})")
+  }
+
   test("guards: duplicate tags, batch-total id cap") {
     val qg = probes.head._2
     intercept[IllegalArgumentException] {
