@@ -243,9 +243,20 @@ object PipelineEntry {
       lit(".com/Pg/"), nxt, lit("?b=2&a=1&utm_source=x"))
     val link2 = concat(lit("/Pg/"), col("doc_id") * 7 + 3,
       lit("/?b=2&a=1&gclid=g#frag"))
+    // UNQUOTED root-relative href (legal HTML, common on old pages) and
+    // a path-relative one; docs %10==7 additionally carry a <base href>
+    // that re-roots BOTH relative forms onto another host — the four
+    // resolution regimes (absolute / root-relative / path-relative /
+    // base-overridden) all ride every p9x web key's fixture.
+    val link3 = concat(lit("/Pg/"), col("doc_id") * 3 + 1, lit("?b=2&a=1"))
+    val link4 = concat(lit("Sub/"), col("doc_id"), lit("?b=2&a=1"))
+    val baseTag = when(pmod(col("doc_id"), lit(10)) === 7,
+      concat(lit("<base href=\"https://Base-"), h,
+        lit(".example.org/Dir/x\">"))).otherwise(lit(""))
     d.select(col("doc_id"), own.as("url"),
       concat(
         lit("<html><head><title>Doc "), col("doc_id"), lit("</title>"),
+        baseTag,
         lit("<style>body{color:#222}</style>"),
         lit("<script>var t=\"<p>not text</p>\";</script></head>"),
         lit("<body><!-- crawl "), col("doc_id"), lit(" -->"),
@@ -253,7 +264,9 @@ object PipelineEntry {
         esc(col("text")),
         lit("</p><p>Visit &amp; enjoy &lt;deals&gt;&nbsp;now.</p>"),
         lit("<div><a href=\""), link1, lit("\">next</a> <a href='"),
-        link2, lit("'>rel</a></div></body></html>")).as("html"))
+        link2, lit("'>rel</a> <a href="), link3,
+        lit(">u</a> <a href=\""), link4,
+        lit("\">s</a></div></body></html>")).as("html"))
   }
 
   /** Shared messy per-doc page URLs for the CDX key (p93): one page
@@ -3922,7 +3935,7 @@ n AS (SELECT doc_id,
     x -> trim(x)), x -> x <> ''), chr(10)) AS norm FROM documents)
 SELECT doc_id,
   'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10) || norm ||
-  chr(10) || 'Visit & enjoy <deals> now.' || chr(10) || 'next rel'
+  chr(10) || 'Visit & enjoy <deals> now.' || chr(10) || 'next rel u s'
   AS text_extracted
 FROM n ORDER BY doc_id""",
 
@@ -3967,21 +3980,29 @@ FROM l
 ORDER BY doc_id, turn_idx""",
 
     // p95: the planted edges by formula — absolute messy link to the
-    // next doc's page, root-relative link resolving to the page's own
-    // host. A resolution or canonicalization slip changes rows.
+    // next doc's page; root-relative (quoted AND unquoted) plus
+    // path-relative links resolving against the page's own host/dir,
+    // except on %10==7 pages whose <base href> re-roots both relative
+    // forms onto base-{h}.example.org. A resolution, base, or
+    // canonicalization slip changes rows.
     "p95_link_graph" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+d AS (SELECT doc_id,
+  'example-' || (doc_id % 50) || '.com/Pg/' || doc_id || '?a=1&b=2' AS src_url,
+  CASE WHEN doc_id % 10 = 7 THEN 'base-' || (doc_id % 50) || '.example.org'
+       ELSE 'example-' || (doc_id % 50) || '.com' END AS bhost,
+  CASE WHEN doc_id % 10 = 7 THEN 'base-' || (doc_id % 50) || '.example.org/Dir'
+       ELSE 'example-' || (doc_id % 50) || '.com/Pg' END AS bdir
+ FROM documents),
 e AS (
- SELECT 'example-' || (doc_id % 50) || '.com/Pg/' || doc_id || '?a=1&b=2'
-          AS src_url,
-        'example-' || ((doc_id + 1) % 50) || '.com/Pg/' || (doc_id + 1)
-          || '?a=1&b=2' AS dst_url
- FROM documents
+ SELECT src_url, 'example-' || ((doc_id + 1) % 50) || '.com/Pg/'
+          || (doc_id + 1) || '?a=1&b=2' AS dst_url FROM d
  UNION
- SELECT 'example-' || (doc_id % 50) || '.com/Pg/' || doc_id || '?a=1&b=2',
-        'example-' || (doc_id % 50) || '.com/Pg/' || (doc_id * 7 + 3)
-          || '?a=1&b=2'
- FROM documents)
+ SELECT src_url, bhost || '/Pg/' || (doc_id * 7 + 3) || '?a=1&b=2' FROM d
+ UNION
+ SELECT src_url, bhost || '/Pg/' || (doc_id * 3 + 1) || '?a=1&b=2' FROM d
+ UNION
+ SELECT src_url, bdir || '/Sub/' || doc_id || '?a=1&b=2' FROM d)
 SELECT src_url, dst_url FROM e ORDER BY src_url, dst_url""",
 
     // p100: the SAME 10 fixed-point iterations unrolled as CTE stages —
@@ -4065,7 +4086,7 @@ n AS (SELECT doc_id,
     string_split(regexp_replace(text, '[ \\t\\r]+', ' ', 'g'), chr(10)),
     x -> trim(x)), x -> x <> ''), chr(10))) AS norm_len FROM documents),
 x AS (SELECT doc_id, doc_id // 3 AS grp,
-  2 * (4 + len(doc_id::VARCHAR)) + norm_len + 26 + 8 + 4 AS elen FROM n),
+  2 * (4 + len(doc_id::VARCHAR)) + norm_len + 26 + 12 + 4 AS elen FROM n),
 r AS (SELECT *, row_number() OVER (PARTITION BY grp
         ORDER BY elen DESC, doc_id ASC) AS rn,
       count(*) OVER (PARTITION BY grp) AS cnt FROM x)
@@ -4163,13 +4184,17 @@ FROM s ORDER BY id, sent_idx""",
     "p98_domain_signals" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
 o AS (SELECT 'example-' || (doc_id % 50) || '.com' AS domain,
-        count(*) AS n_pages, 2 * count(*) AS out_degree
+        count(*) AS n_pages, 4 * count(*) AS out_degree
       FROM documents GROUP BY 1),
 i AS (SELECT domain, count(*) AS in_degree FROM (
     SELECT 'example-' || ((doc_id + 1) % 50) || '.com' AS domain
     FROM documents
     UNION ALL
-    SELECT 'example-' || (doc_id % 50) || '.com' FROM documents)
+    -- root-relative (x2) + path-relative links: the page's own domain,
+    -- except base pages whose subdomain registers under example.org
+    SELECT CASE WHEN doc_id % 10 = 7 THEN 'example.org'
+                ELSE 'example-' || (doc_id % 50) || '.com' END
+    FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k))
   GROUP BY domain)
 SELECT coalesce(o.domain, i.domain) AS domain,
   coalesce(n_pages, 0)::BIGINT AS n_pages,

@@ -72,12 +72,35 @@ object Html {
       "\n")
   }
 
-  /** Raw `href` targets of every `<a>` tag (either quote style);
-   * fragments are cut at extraction (`#...` never distinguishes a
-   * page — the canonicalizer would drop them anyway). */
+  /** Raw `href` targets of every `<a>` tag — quoted (either style) or
+   * UNQUOTED (`<a href=/page>`, legal HTML and common on old pages; an
+   * unquoted value runs to the first whitespace/quote/`>`); fragments
+   * are cut at extraction (`#...` never distinguishes a page — the
+   * canonicalizer would drop them anyway). Both patterns require
+   * whitespace before `href` (attributes are space-separated) so a
+   * `data-href` attribute or an `href=` substring inside a quoted
+   * value never yields a phantom link; the two alternatives are
+   * disjoint (after `=`, a quote selects exactly one). */
   def extractLinks(html: Column): Column =
-    regexp_extract_all(html,
-      lit("(?is)<a\\b[^>]*?href\\s*=\\s*[\"']([^\"'#>]*)"), lit(1))
+    concat(
+      regexp_extract_all(html,
+        lit("(?is)<a\\b[^>]*?\\shref\\s*=\\s*[\"']([^\"'#>]*)"), lit(1)),
+      regexp_extract_all(html,
+        lit("(?is)<a\\b[^>]*?\\shref\\s*=\\s*([^\\s\"'>#]+)"), lit(1)))
+
+  /** The page's `<base href>` target — the document-wide resolution
+   * base browsers honor for every relative reference; first occurrence
+   * wins (as in browsers), either quote style or unquoted, null when
+   * absent. May itself be relative: resolve it against the page URL
+   * before use (resolveHref's 3-arg overload and linkGraph do). */
+  def extractBase(html: Column): Column = {
+    val quoted = regexp_extract(html,
+      "(?is)<base\\b[^>]*?\\shref\\s*=\\s*[\"']([^\"'#>]*)", 1)
+    val bare = regexp_extract(html,
+      "(?is)<base\\b[^>]*?\\shref\\s*=\\s*([^\\s\"'>#]+)", 1)
+    when(quoted =!= "", quoted).when(bare =!= "", bare)
+      .otherwise(lit(null).cast("string"))
+  }
 
   /**
    * Resolve an extracted href against its page URL:
@@ -96,6 +119,35 @@ object Html {
     val canon = UrlOps.canonicalizeUrl(pageUrl)
     resolveParts(regexp_extract(canon, "^([^/?]*)", 1),
       regexp_extract(canon, "^([^?]*)", 1), canon, href)
+  }
+
+  /** `resolveHref` honoring a page-level `<base href>` (extractBase):
+   * when non-null, the base — itself resolved against the page, since
+   * a relative base is legal — replaces the page as the host/directory
+   * source for host- and path-relative hrefs, exactly as browsers
+   * treat the document base URI. An empty href still resolves to the
+   * PAGE (the self-reference contract downstream self-loop filtering
+   * relies on). */
+  def resolveHref(pageUrl: Column, href: Column, baseHref: Column): Column = {
+    val canon = UrlOps.canonicalizeUrl(pageUrl)
+    val eff = effectiveBase(canon, baseHref)
+    resolveParts(regexp_extract(eff, "^([^/?]*)", 1),
+      regexp_extract(eff, "^([^?]*)", 1), canon, href)
+  }
+
+  /** The canonical resolution base: the page itself, or its
+   * `<base href>` resolved against it when one is present. A base
+   * ending in `/` names a DIRECTORY (RFC 3986: `y` against `/assets/`
+   * is `/assets/y`), but canonicalization strips the trailing slash,
+   * which would demote the last segment to a droppable leaf — so a
+   * dummy leaf is planted first; only the base's host/directory are
+   * ever read, never the leaf. */
+  private def effectiveBase(canonPage: Column, baseHref: Column): Column = {
+    val dirSafe = regexp_replace(baseHref, "/(\\?[^#]*)?$", "/x$1")
+    when(baseHref.isNull || baseHref === "", canonPage)
+      .otherwise(UrlOps.canonicalizeUrl(resolveParts(
+        regexp_extract(canonPage, "^([^/?]*)", 1),
+        regexp_extract(canonPage, "^([^?]*)", 1), canonPage, dirSafe)))
   }
 
   /** The resolution core over a pre-derived canonical (host, path
@@ -140,17 +192,21 @@ object Html {
   def linkGraph(pages: DataFrame, urlCol: String = "url",
                 htmlCol: String = "html"): DataFrame =
     pages
-      // canonicalize the page ONCE here (below the explode); per-edge
-      // resolution reuses the canonical host/base by prefix-extraction
-      // from src_url instead of re-running the whole chain per href
-      // (identical to resolveHref via the shared resolveParts core) —
-      // the chain then runs ~once per edge, not three times
+      // canonicalize the page and resolve its <base href> ONCE here
+      // (below the explode); per-edge resolution reuses the effective
+      // base's host/directory by prefix-extraction instead of
+      // re-running the whole chain per href (identical to resolveHref's
+      // 3-arg overload via the shared resolveParts core). Pages without
+      // a base (the overwhelming majority) pay only a null check.
       .select(UrlOps.canonicalizeUrl(col(urlCol)).as("src_url"),
+        extractBase(col(htmlCol)).as("__b"),
         explode(extractLinks(col(htmlCol))).as("__href"))
+      .select(col("src_url"), col("__href"),
+        effectiveBase(col("src_url"), col("__b")).as("__eff"))
       .select(col("src_url"),
         UrlOps.canonicalizeUrl(resolveParts(
-          regexp_extract(col("src_url"), "^([^/?]*)", 1),
-          regexp_extract(col("src_url"), "^([^?]*)", 1),
+          regexp_extract(col("__eff"), "^([^/?]*)", 1),
+          regexp_extract(col("__eff"), "^([^?]*)", 1),
           col("src_url"), col("__href"))).as("dst_url"))
       .where(col("dst_url") =!= col("src_url") && col("dst_url") =!= "")
       .distinct()

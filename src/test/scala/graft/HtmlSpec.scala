@@ -52,6 +52,37 @@ class HtmlSpec extends SparkSpec {
     assert(links == Seq("https://a.com/x", "https://b.com/y", "/rel/p?q=1"))
   }
 
+  test("extractLinks: unquoted hrefs; no phantom links from attrs or values") {
+    val links = Seq(
+      // unquoted values end at whitespace or '>'; fragment cut too
+      "<a href=/page one</a> <a href=https://c.com/q#f>two</a>" +
+        // a data-href attribute and an 'href=' substring INSIDE a quoted
+        // value must not register
+        " <a data-href=trap>x</a> <a href=\"/x?href=y\">q</a>")
+      .toDF("h").select(explode(Html.extractLinks(col("h"))).as("l"))
+      .as[String].collect().toSeq
+    assert(links.sorted == Seq("/page", "/x?href=y", "https://c.com/q"))
+  }
+
+  test("extractBase + resolveHref: <base href> re-roots relative references") {
+    val rows = Seq(
+      // absolute base: host- and path-relative re-root; absolute hrefs don't
+      ("https://a.com/p/1", "<base href=\"https://cdn.b.org/lib/v1\">", "/x"),
+      ("https://a.com/p/1", "<base href=\"https://cdn.b.org/lib/v1\">", "y"),
+      ("https://a.com/p/1", "<base href=\"https://cdn.b.org/lib/v1\">",
+        "https://c.com/z"),
+      // unquoted base; relative base resolves against the page first
+      ("https://a.com/p/1", "<base href=/assets/>", "y"),
+      // no base: page is its own base
+      ("https://a.com/p/1", "<p>none</p>", "y"))
+      .toDF("page", "html", "href")
+      .select(UrlOps.canonicalizeUrl(Html.resolveHref(
+        col("page"), col("href"), Html.extractBase(col("html")))).as("r"))
+      .as[String].collect().toSeq
+    assert(rows == Seq("cdn.b.org/x", "cdn.b.org/lib/y", "c.com/z",
+      "a.com/assets/y", "a.com/p/y"))
+  }
+
   test("resolveHref: absolute, root-relative, protocol-relative, path-relative") {
     val rows = Seq(
       ("https://www.Host-a.com:443/page/1", "https://b.com/x"),
