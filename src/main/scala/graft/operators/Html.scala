@@ -117,8 +117,8 @@ object Html {
    */
   def resolveHref(pageUrl: Column, href: Column): Column = {
     val canon = UrlOps.canonicalizeUrl(pageUrl)
-    resolveParts(regexp_extract(canon, "^([^/?]*)", 1),
-      regexp_extract(canon, "^([^?]*)", 1), canon, href)
+    resolveWithDir(regexp_extract(canon, "^([^/?]*)", 1),
+      dirOf(regexp_extract(canon, "^([^?]*)", 1)), canon, href)
   }
 
   /** `resolveHref` honoring a page-level `<base href>` (extractBase):
@@ -130,36 +130,52 @@ object Html {
    * relies on). */
   def resolveHref(pageUrl: Column, href: Column, baseHref: Column): Column = {
     val canon = UrlOps.canonicalizeUrl(pageUrl)
-    val eff = effectiveBase(canon, baseHref)
-    resolveParts(regexp_extract(eff, "^([^/?]*)", 1),
-      regexp_extract(eff, "^([^?]*)", 1), canon, href)
+    val (host, dir) = baseParts(canon, baseHref)
+    resolveWithDir(host, dir, canon, href)
   }
 
-  /** The canonical resolution base: the page itself, or its
-   * `<base href>` resolved against it when one is present. A base
-   * ending in `/` names a DIRECTORY (RFC 3986: `y` against `/assets/`
-   * is `/assets/y`), but canonicalization strips the trailing slash,
-   * which would demote the last segment to a droppable leaf — so a
-   * dummy leaf is planted first; only the base's host/directory are
-   * ever read, never the leaf. */
-  private def effectiveBase(canonPage: Column, baseHref: Column): Column = {
+  /** (host, directory) of the page's effective resolution base: the
+   * page itself, or its `<base href>` resolved against it when one is
+   * present. A base ending in `/` names a DIRECTORY (RFC 3986: `y`
+   * against `/assets/` is `/assets/y`), but directory-dropping would
+   * demote its last segment to a leaf — so a dummy leaf is planted
+   * before resolution; only host/directory are ever read. The base is
+   * deliberately NOT run through full URL canonicalization: the final
+   * canonicalization of every RESOLVED reference lowercases the host
+   * and strips scheme/www/port/params anyway, and keeping these
+   * expressions small is load-bearing — predicate pushdown inlines a
+   * projected dst_url into filter conjuncts wholesale, so anything
+   * that rides inside it multiplies (the r14 regression: a 16M-char
+   * plan and a 100x slowdown on the link-graph keys from composing
+   * canonicalizeUrl over an already-composed base expression). */
+  private[graft] def baseParts(canonPage: Column, baseHref: Column)
+      : (Column, Column) = {
+    val pageHost = regexp_extract(canonPage, "^([^/?]*)", 1)
+    val pageDir = dirOf(regexp_extract(canonPage, "^([^?]*)", 1))
     val dirSafe = regexp_replace(baseHref, "/(\\?[^#]*)?$", "/x$1")
-    when(baseHref.isNull || baseHref === "", canonPage)
-      .otherwise(UrlOps.canonicalizeUrl(resolveParts(
-        regexp_extract(canonPage, "^([^/?]*)", 1),
-        regexp_extract(canonPage, "^([^?]*)", 1), canonPage, dirSafe)))
+    val resolved = resolveWithDir(pageHost, pageDir, canonPage, dirSafe)
+    val noScheme = regexp_replace(resolved,
+      "^[a-zA-Z][a-zA-Z0-9+.\\-]*://", "")
+    val hasBase = baseHref.isNotNull && baseHref =!= ""
+    (when(hasBase, regexp_extract(noScheme, "^([^/?]*)", 1))
+       .otherwise(pageHost),
+     when(hasBase, dirOf(regexp_extract(noScheme, "^([^?]*)", 1)))
+       .otherwise(pageDir))
   }
 
-  /** The resolution core over a pre-derived canonical (host, path
-   * base): shared between `resolveHref` and `linkGraph`'s per-edge
-   * path (which reuses the already-canonical `src_url`), so the two
-   * can't diverge. */
-  private def resolveParts(host: Column, baseNoQuery: Column,
-                           self: Column, href: Column): Column = {
-    // directory of the page path: drop the last segment; a bare host
-    // (root page) is its own directory
-    val dir = when(baseNoQuery.contains("/"),
-      regexp_replace(baseNoQuery, "/[^/]*$", "")).otherwise(baseNoQuery)
+  /** Directory of a query-less path: drop the last segment; a bare
+   * host (root page) is its own directory. */
+  private def dirOf(noQuery: Column): Column =
+    when(noQuery.contains("/"),
+      regexp_replace(noQuery, "/[^/]*$", "")).otherwise(noQuery)
+
+  /** The resolution core over a pre-derived (host, directory) pair:
+   * shared between `resolveHref`, `baseParts`, and `linkGraph`'s
+   * per-edge path, so they can't diverge. Taking the DIRECTORY (not
+   * the path) lets linkGraph pre-compute it once per page as a plain
+   * column below the Generate barrier. */
+  private def resolveWithDir(host: Column, dir: Column,
+                             self: Column, href: Column): Column = {
     val joined = concat(dir, lit("/"), href)
     // fold /./ then /seg/../ (segment not starting with '.', so a
     // "../" is never consumed as the folded segment), innermost first
@@ -192,24 +208,35 @@ object Html {
   def linkGraph(pages: DataFrame, urlCol: String = "url",
                 htmlCol: String = "html"): DataFrame =
     pages
-      // canonicalize the page and resolve its <base href> ONCE here
-      // (below the explode); per-edge resolution reuses the effective
-      // base's host/directory by prefix-extraction instead of
-      // re-running the whole chain per href (identical to resolveHref's
-      // 3-arg overload via the shared resolveParts core). Pages without
-      // a base (the overwhelming majority) pay only a null check.
+      // canonicalize the page and derive the effective base's
+      // (host, directory) ONCE PER PAGE, inside the projection that
+      // carries the explode. The per-edge resolution and the self-loop
+      // filter then reference plain ATTRIBUTES: the filter's condition
+      // mentions the generator output, so predicate pushdown stops at
+      // the Generate and only ever inlines the small attribute-based
+      // dst chain — never the per-page base derivation. (Composing the
+      // base expression into the per-edge chain instead let pushdown
+      // inline it into both filter conjuncts with canonicalizeUrl's
+      // internal fan-out compounding on top: a 16M-character plan and
+      // a 100x slowdown on p95/p98 — the r14 regression.)
       .select(UrlOps.canonicalizeUrl(col(urlCol)).as("src_url"),
-        extractBase(col(htmlCol)).as("__b"),
-        explode(extractLinks(col(htmlCol))).as("__href"))
-      .select(col("src_url"), col("__href"),
-        effectiveBase(col("src_url"), col("__b")).as("__eff"))
+        basePartsOf(col(urlCol), col(htmlCol))._1.as("__bhost"),
+        basePartsOf(col(urlCol), col(htmlCol))._2.as("__bdir"),
+        col(htmlCol).as("__html"))
+      // the explode rides a SEPARATE select so the per-page columns sit
+      // BELOW the Generate (a select that carries the explode parks its
+      // other aliases in a Project ABOVE it, back in pushdown reach)
+      .select(col("src_url"), col("__bhost"), col("__bdir"),
+        explode(extractLinks(col("__html"))).as("__href"))
       .select(col("src_url"),
-        UrlOps.canonicalizeUrl(resolveParts(
-          regexp_extract(col("__eff"), "^([^/?]*)", 1),
-          regexp_extract(col("__eff"), "^([^?]*)", 1),
-          col("src_url"), col("__href"))).as("dst_url"))
+        UrlOps.canonicalizeUrl(resolveWithDir(col("__bhost"),
+          col("__bdir"), col("src_url"), col("__href"))).as("dst_url"))
       .where(col("dst_url") =!= col("src_url") && col("dst_url") =!= "")
       .distinct()
+
+  /** baseParts over raw page columns (canonicalizes the page first). */
+  private def basePartsOf(url: Column, html: Column): (Column, Column) =
+    baseParts(UrlOps.canonicalizeUrl(url), extractBase(html))
 
   /**
    * Registered-domain web-graph signals from a page-level edge list —

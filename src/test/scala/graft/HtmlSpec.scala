@@ -104,6 +104,20 @@ class HtmlSpec extends SparkSpec {
       "a.com/docs/other/x", "a.com/top", "a.com/up", "a.com/rooted"))
   }
 
+  test("linkGraph plan stays small: base derivation never inlines per edge") {
+    // Predicate pushdown substitutes dst_url's expression into the
+    // self-loop filter's conjuncts wholesale; if the per-page base
+    // derivation ever rides inside the per-edge chain again (instead
+    // of as attributes below the Generate), canonicalizeUrl's internal
+    // fan-out compounds it to a multi-megabyte plan and a ~100x
+    // slowdown (the r14 p95/p98 regression: 2.3 s -> 290 s). Pin the
+    // whole optimized plan under a generous ceiling.
+    val pages = Seq(("https://a.com/p/1", "<a href=\"/x\">l</a>"))
+      .toDF("url", "html")
+    val n = Html.linkGraph(pages).queryExecution.optimizedPlan.toString.length
+    assert(n < 200000, s"linkGraph optimized plan blew up to $n chars")
+  }
+
   test("linkGraph: canonical edges, dedup, self-loops and empties drop") {
     val pages = Seq(
       // page 1: a dup'd link, a self-link (tracking-param spelling of
