@@ -56,37 +56,26 @@ object OneHop {
    * whose plan cost is flat in the pair count. */
   val DefaultMaxLiteralIds = 65536
 
-  /** Zone-map range conjunct for a literal probe set, ONE [min,max]
-   * pair per id LENGTH class. Cached-batch min/max stats can't see
-   * through SetProbe, so a plain range predicate over the clustering
-   * column must do the batch pruning — but a single global range is
-   * coarse for numeric-suffix CURIEs of mixed digit count: probing
-   * PART:1..PART:40 gives [PART:1, PART:9] lexicographically, which
-   * spans nearly the whole PART region (the r13 g15 residue: ~0.7M
-   * replica rows survived pruning for a 40-id probe). Ids of ONE
-   * length sort numerically, so per-length ranges are tight —
-   * [PART:1,PART:9] OR [PART:10,PART:40] prunes to the 40 probed
-   * parts — and a disjunction of ranges is still batch-prunable
-   * (stats evaluation folds Or; the length conjunct, which no stats
-   * shape recognizes, folds to true inside its And and only runs
-   * per-row, where it is what keeps longer ids from landing inside a
-   * shorter class's lexicographic window). Length classes are bounded
-   * by CURIE shapes (a handful), so plan cost stays trivial; the
-   * exact SetProbe conjunct follows. Grouping uses codepoint count to
-   * agree with Spark's `length`, and min/max use UTF-8 byte order to
-   * agree with Spark's binary string comparison — both differ from
-   * Java's UTF-16 conventions outside the BMP, and a range conjunct
-   * must stay a SUPERSET test for every member id. */
+  /** Coarse zone-map range conjunct for a literal probe set: ONE
+   * [min,max] pair in UTF-8 byte order (Spark's binary string
+   * comparison — Java's UTF-16 order differs outside the BMP, and a
+   * range conjunct must stay a SUPERSET test for every member id).
+   * Cached-batch min/max stats can't see through SetProbe, so this
+   * plain range predicate over the clustering column does the batch
+   * pruning. A per-length multi-range refinement (tight windows for
+   * numeric-suffix CURIEs of mixed digit count, each class guarded by
+   * a length conjunct) was tried in r14: A/B runs on the same machine
+   * showed NO improvement on any key — g15's residue included — with
+   * the Or-of-ranges adding per-row cost on every surviving row, so
+   * the simpler single range was kept (negative result recorded).
+   * Shared by answer(), answerBatch and getEdges so the three
+   * literal-probe paths can't diverge. */
   private[graft] def rangeConjunct(c: Column, ids: Iterable[String]): Column = {
-    def cp(s: String): Int = s.codePointCount(0, s.length)
     val utf8Order: Ordering[String] = new Ordering[String] {
       def compare(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
         a.getBytes("UTF-8"), b.getBytes("UTF-8"))
     }
-    ids.groupBy(cp).toSeq.sortBy(_._1).map { case (len, g) =>
-      org.apache.spark.sql.functions.length(c) === len &&
-        c >= lit(g.min(utf8Order)) && c <= lit(g.max(utf8Order))
-    }.reduce(_ || _)
+    c >= lit(ids.min(utf8Order)) && c <= lit(ids.max(utf8Order))
   }
 
   /** Matched edges with binding columns:

@@ -119,19 +119,19 @@ class OneHopSpec extends SparkSpec {
     assert(e.getMessage.contains("ids"))
   }
 
-  test("rangeConjunct: per-length ranges admit every member and prune across lengths") {
+  test("rangeConjunct: superset of every member, bounded outside the window") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    // mixed digit counts: the single global range [PART:1, PART:9999]
-    // would admit EVERY id here; per-length ranges must cut the
-    // out-of-class ones while remaining a superset of the probe set
     val probe = Seq("PART:1", "PART:5", "PART:30", "PART:40")
-    val universe = (1 to 9999).map("PART:" + _).toDF("id")
-    val kept = universe.where(OneHop.rangeConjunct(col("id"), probe))
+    val universe = "CUST:3" +: "REG:1" +: (1 to 9999).map("PART:" + _)
+    val kept = universe.toDF("id")
+      .where(OneHop.rangeConjunct(col("id"), probe))
       .collect().map(_.getString(0)).toSet
     assert(probe.forall(kept), "a member id must never be pruned")
-    // tight: only same-length ids inside a group's [min,max] survive —
-    // 1..5 (len 6) and 30..40 (len 7), nothing from 6..29 or 41..9999
-    assert(kept == ((1 to 5) ++ (30 to 40)).map("PART:" + _).toSet, kept.toSeq.sorted)
+    // coarse by design (see the negative result in the scaladoc): the
+    // window is [PART:1, PART:5] in byte order — other prefixes and
+    // everything past PART:5 lexicographically stay out
+    assert(!kept("CUST:3") && !kept("REG:1") && !kept("PART:6") &&
+      !kept("PART:9999") && kept("PART:40") && kept("PART:2222"))
   }
 }
