@@ -231,6 +231,57 @@ object PipelineEntry {
    * unsorted query) and one ROOT-RELATIVE href (+gclid +fragment)
    * that must resolve against the page host. Doc text is
    * HTML-escaped on the way in, so extraction is exactly inverse. */
+  /** p113 fixture: eval docs (%97==0) and planted train docs (%10==3)
+   * get a 13-word slogan appended whose first token varies by id%3 —
+   * eval ids 0,97,194,291,388,485 cover all three variants at sf0.01,
+   * so every planted train doc finds a cross-split 13-gram match. */
+  private def decontamPlanted(d: DataFrame): DataFrame =
+    d.withColumn("text",
+      when(pmod(col("doc_id"), lit(97)) === 0 ||
+           pmod(col("doc_id"), lit(10)) === 3,
+        concat(col("text"), lit(" zq"), pmod(col("doc_id"), lit(3)),
+          lit(" alpha beta gamma delta epsilon zeta eta theta iota" +
+            " kappa lambda mu")))
+      .otherwise(col("text")))
+
+  /** p114 fixture: every doc carries one table of (2 + id%3) rows x
+   * (2 + id%2) cols — row 0 as TH cells, cell (0,0) bold-wrapped,
+   * cell (1,1) carrying a trailing `&amp;x` entity — and docs %7==0 a
+   * second 2x2 table; every cell's text is closed-form so the oracle
+   * regenerates it without parsing HTML. */
+  private def tablePages(d: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def table(prefix: String, nr: org.apache.spark.sql.Column, nc: org.apache.spark.sql.Column,
+              cellMod: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+              decorate: Boolean): org.apache.spark.sql.Column = {
+      val rows = transform(sequence(lit(0), nr - 1), r => concat(
+        lit("<tr>"),
+        array_join(transform(sequence(lit(0), nc - 1), c => {
+          val base = concat(lit(prefix), r, lit("_"), c, lit("_"), cellMod(r, c))
+          val content =
+            if (!decorate) base
+            else when(r === 0 && c === 0, concat(lit("<b>"), base, lit("</b>")))
+              .when(r === 1 && c === 1, concat(base, lit("&amp;x")))
+              .otherwise(base)
+          when(r === 0, concat(lit("<th class=\"h\">"), content, lit("</th>")))
+            .otherwise(concat(lit("<td>"), content, lit("</td>")))
+        }), ""),
+        lit("</tr>")))
+      concat(lit("<table border=\"1\">"), array_join(rows, ""), lit("</table>"))
+    }
+    val t1 = table("c", lit(2) + pmod(id, lit(3)).cast("int"),
+      lit(2) + pmod(id, lit(2)).cast("int"),
+      (r, c) => pmod(id + r.cast("long") * 7 + c.cast("long") * 3, lit(50)),
+      decorate = true)
+    val t2 = table("d", lit(2), lit(2),
+      (r, c) => pmod(id + r.cast("long") * 5 + c.cast("long") * 11, lit(50)),
+      decorate = false)
+    d.select(id, concat(
+      lit("<html><body><p>pre "), id, lit("</p>"), t1,
+      when(pmod(id, lit(7)) === 0, t2).otherwise(lit("")),
+      lit("<p>post</p></body></html>")).as("html"))
+  }
+
   private def htmlPages(d: DataFrame): DataFrame = {
     val esc = (c: org.apache.spark.sql.Column) =>
       replace(replace(replace(c,
@@ -1738,6 +1789,47 @@ object PipelineEntry {
       Dedup.hammingPairs64(Multimodal.imageDHashes(s, recovered))
         .orderBy("id_a", "id_b")
     }),
+
+    // P112 — DPO/RLHF preference-pair construction: per prompt group
+    // of scored candidates, (chosen, rejected) = (best, worst) with
+    // deterministic tie-breaks, in ONE hash aggregation (max_by/min_by
+    // declarative aggregates — no window, no second shuffle). The
+    // fixture's (doc_id div 2) scoring makes every group carry BOTH a
+    // tied top pair and a tied bottom pair, so both tie-break arms are
+    // load-bearing in the oracle comparison.
+    "p112_dpo_pairs" -> ((s, dir) =>
+      Corpus.dpoPairs(
+        docs(s, dir).select(expr("doc_id div 4").as("group_id"),
+          col("doc_id").as("id"),
+          expr("((doc_id div 2) * 37) % 50").as("score")))
+        .orderBy("group_id")),
+
+    // P113 — 13-gram eval-set decontamination (the GPT-3-report
+    // recipe): train docs sharing any 13-gram of normalized tokens
+    // with the eval corpus are flagged. Eval docs (%97) and planted
+    // train docs (%10==3) carry a shared 13-word slogan varying in
+    // its first token by id%3, so planted contamination crosses the
+    // train/eval split deterministically; natural collisions in the
+    // corpus text count too — the oracle recomputes ground truth from
+    // scratch, not the plant list.
+    "p113_ngram_decontam" -> ((s, dir) => {
+      val planted = decontamPlanted(docs(s, dir))
+      Corpus.ngramDecontaminate(
+        planted.where(pmod(col("doc_id"), lit(97)) =!= 0),
+        planted.where(pmod(col("doc_id"), lit(97)) === 0))
+        .orderBy("id")
+    }),
+
+    // P114 — table extraction from raw HTML (tables are prime
+    // pretraining content and the first casualty of text-only
+    // extraction): page → tables → rows via two positional generators,
+    // cells tag-stripped/entity-decoded where the page landed — no
+    // shuffle. The oracle REGENERATES every cell from the fixture
+    // formula (never parses HTML), so a regex slip, an index slip, or
+    // a decode miss all change rows.
+    "p114_html_tables" -> ((s, dir) =>
+      Html.extractTables(tablePages(docs(s, dir)))
+        .orderBy("id", "table_idx", "row_idx")),
 
     // P15 — streaming ingest, driver-visible: the file-based streaming
     // source drained through the stateful gap-sessionizer into a memory
@@ -4260,6 +4352,71 @@ GROUP BY d.doc_id ORDER BY d.doc_id""",
     // in WARC framing/Content-Length slicing/gzip — or an eager UTF-8
     // decode of the image body — surfaces as missing pairs.
     "p111_warc_binary" -> ImageNearDupOracle,
+
+    // p112: the windowed re-derivation — chosen = first by (score
+    // DESC, id ASC), rejected = first by (score ASC, id DESC); both
+    // tie-break arms fire in every group by fixture construction.
+    "p112_dpo_pairs" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+c AS (SELECT doc_id // 4 AS group_id, doc_id AS id,
+        ((doc_id // 2) * 37) % 50 AS s FROM documents),
+r AS (SELECT *,
+        row_number() OVER (PARTITION BY group_id ORDER BY s DESC, id ASC) AS rc,
+        row_number() OVER (PARTITION BY group_id ORDER BY s ASC, id DESC) AS rr,
+        count(*) OVER (PARTITION BY group_id) AS n FROM c)
+SELECT group_id,
+  max(CASE WHEN rc = 1 THEN id END)::BIGINT AS chosen_id,
+  max(CASE WHEN rr = 1 THEN id END)::BIGINT AS rejected_id,
+  max(s)::BIGINT AS chosen_score, min(s)::BIGINT AS rejected_score,
+  (max(s) - min(s))::BIGINT AS margin, max(n)::BIGINT AS n_candidates
+FROM r WHERE n >= 2 GROUP BY group_id ORDER BY group_id""",
+
+    // p113: ground truth recomputed from scratch — per-doc distinct
+    // 13-grams of lowercased whitespace tokens, eval grams from the
+    // %97 split, per-train-doc distinct-hit counts. The planted slogan
+    // rides the same CASE as the Spark fixture; natural corpus
+    // collisions (if any) count identically on both sides.
+    "p113_ngram_decontam" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+p AS (SELECT doc_id, CASE WHEN doc_id % 97 = 0 OR doc_id % 10 = 3
+        THEN text || ' zq' || (doc_id % 3) ||
+          ' alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu'
+        ELSE text END AS text FROM documents),
+w AS (SELECT doc_id, list_filter(
+        string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws FROM p),
+g AS (SELECT DISTINCT w.doc_id, array_to_string(w.ws[t.i:t.i + 12], ' ') AS gram
+      FROM w, unnest(generate_series(1, len(w.ws) - 12)) AS t(i)),
+eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+h AS (SELECT g.doc_id, count(*) AS n_hits FROM g JOIN eg USING (gram)
+      WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id)
+SELECT p.doc_id AS id,
+  coalesce(h.n_hits, 0)::BIGINT AS n_contaminated_grams,
+  coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM p LEFT JOIN h ON p.doc_id = h.doc_id
+WHERE p.doc_id % 97 <> 0 ORDER BY id""",
+
+    // p114: every cell regenerated from the fixture formula — row 0's
+    // bold wrap strips to nothing, cell (1,1)'s &amp;x decodes to &x;
+    // the second table exists only for %7 docs.
+    "p114_html_tables" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+t1 AS (SELECT doc_id AS id, 0::BIGINT AS table_idx, r.r::BIGINT AS row_idx,
+        (2 + doc_id % 2)::BIGINT AS n_cells,
+        (SELECT string_agg(
+           'c' || r.r || '_' || c.c || '_' || ((doc_id + r.r*7 + c.c*3) % 50)
+             || CASE WHEN r.r = 1 AND c.c = 1 THEN '&x' ELSE '' END,
+           '|' ORDER BY c.c)
+         FROM unnest(generate_series(0, 1 + doc_id % 2)) AS c(c)) AS cells
+      FROM documents, unnest(generate_series(0, 1 + doc_id % 3)) AS r(r)),
+t2 AS (SELECT doc_id AS id, 1::BIGINT, r.r::BIGINT, 2::BIGINT,
+        (SELECT string_agg(
+           'd' || r.r || '_' || c.c || '_' || ((doc_id + r.r*5 + c.c*11) % 50),
+           '|' ORDER BY c.c)
+         FROM unnest(generate_series(0, 1)) AS c(c))
+      FROM documents, unnest(generate_series(0, 1)) AS r(r)
+      WHERE doc_id % 7 = 0)
+SELECT * FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+ORDER BY id, table_idx, row_idx""",
 
     "p15_streaming" ->
       s"""WITH $eventsCte,

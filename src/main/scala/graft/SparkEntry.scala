@@ -742,6 +742,33 @@ object SparkEntry {
       a.unionAll(b)
         .select(col("graph"), col("edge_id"), col("input_id"), col("output_id"))
         .orderBy("graph", "edge_id", "input_id")
+    }),
+
+    // G32+G31 — batched lookups ROUTED by graph name: the same 2-probe
+    // batch (g03 + g06 shapes) answered by alpha (full graph) and by
+    // beta (the located_in-only slice), each through its own per-graph
+    // prepared batch plan. t_fwd returns identically on both (its
+    // predicate IS the slice); t_pin exists only on alpha — the
+    // divergence proves the batch genuinely ran against the routed
+    // graph, not the shared store.
+    "g38_multi_graph_batch" -> ((s, dir) => {
+      val mg = multiGraph(s, dir)
+      val probes = Seq(
+        "t_fwd" -> QueryGraph.oneHop(
+          QNode("n0", ids = custIds(1, 2, 7)),
+          QNode("n1", categories = Seq(O.Nation)),
+          QEdge("n0", "n1", predicates = Seq(O.LocatedIn))),
+        "t_pin" -> QueryGraph.oneHop(
+          QNode("n0", ids = natIds(0 to 11: _*)),
+          QNode("n1", ids = Seq("REG:1", "REG:2")),
+          QEdge("n0", "n1", predicates = Seq(O.PartOf))))
+      val a = mg.answerBatch("g38", probes).withColumn("graph", lit("alpha"))
+      val b = mg.answerBatch("g38", probes, Some("beta"))
+        .withColumn("graph", lit("beta"))
+      a.unionAll(b)
+        .select(col("graph"), col("tag"), col("edge_id"),
+          col("input_id"), col("output_id"))
+        .orderBy("graph", "tag", "edge_id", "input_id")
     })
   )
 
@@ -978,6 +1005,27 @@ object SparkEntry {
          ORDER BY graph, edge_id, input_id""",
       extraCtes = """s AS (SELECT 'NAT:7' AS id
          UNION ALL SELECT 'CUST:' || c_custkey FROM customer WHERE c_nationkey = 7)"""),
+
+    // Routed batch: alpha answers both probes; beta only the one whose
+    // predicate survives its located_in slice.
+    "g38_multi_graph_batch" -> TpchGraph.oracle(
+      s"""SELECT 'alpha' AS graph, 't_fwd' AS tag, edge_id,
+                 subject AS input_id, object AS output_id
+          FROM g_edges
+          WHERE predicate = 'graft:located_in'
+            AND subject IN (${idList(custIds(1, 2, 7))})
+          UNION ALL
+          SELECT 'alpha', 't_pin', edge_id, subject, object
+          FROM g_edges
+          WHERE predicate = 'graft:part_of'
+            AND subject IN (${idList(natIds(0 to 11: _*))})
+            AND object IN ('REG:1', 'REG:2')
+          UNION ALL
+          SELECT 'beta', 't_fwd', edge_id, subject, object
+          FROM g_edges
+          WHERE predicate = 'graft:located_in'
+            AND subject IN (${idList(custIds(1, 2, 7))})
+          ORDER BY graph, tag, edge_id, input_id"""),
 
     "g14_single_node" -> TpchGraph.oracle(
       """SELECT node_id, query_id FROM (

@@ -1215,4 +1215,90 @@ object Corpus {
         min(col("id")).as("min_doc_id"), max(col("id")).as("max_doc_id"),
         sum(col("code")).as("checksum"))
   }
+
+  /**
+   * Preference-pair construction — the dataset-building step of
+   * DPO/RLHF reward modeling: per prompt group of scored candidate
+   * responses, emit (chosen, rejected) = (best, worst) with
+   * deterministic tie-breaks (equal scores: chosen = smallest id,
+   * rejected = largest id — so a fully-tied group still yields a
+   * well-defined, distinct pair). Groups with fewer than two
+   * candidates are dropped (no pair exists).
+   *
+   * Scale shape: ONE group-keyed aggregation — `max_by`/`min_by` over
+   * a (score, ±id) struct are declarative aggregates with map-side
+   * partial combine, so candidates ride exactly the one exchange the
+   * semantics require and no WINDOW materializes whole groups. The
+   * struct-typed ordering buffer keeps the aggregate on the Sort
+   * (not Hash) strategy — a per-partition sort on the grouping key,
+   * which partial combine has already shrunk to one row per (group,
+   * partition); the alternative (two row_number windows) costs two
+   * full sorts of the CANDIDATES.
+   *
+   * Output: (group_id, chosen_id, rejected_id, chosen_score,
+   * rejected_score, margin, n_candidates).
+   */
+  def dpoPairs(candidates: DataFrame, groupCol: String = "group_id",
+               idCol: String = "id", scoreCol: String = "score")
+      : DataFrame = {
+    val id = col(idCol).cast("long")
+    val score = col(scoreCol).cast("long")
+    // ordering structs: chosen = max by (score asc-ordering, then -id)
+    // so ties prefer the SMALLEST id; rejected = min by (score, -id) so
+    // ties prefer the LARGEST id — distinct endpoints whenever n >= 2
+    val chosenKey = struct(score.as("s"), (-id).as("t"))
+    candidates
+      .groupBy(col(groupCol).as("group_id"))
+      .agg(
+        max_by(id, chosenKey).as("chosen_id"),
+        min_by(id, chosenKey).as("rejected_id"),
+        max(score).as("chosen_score"),
+        min(score).as("rejected_score"),
+        count(lit(1)).as("n_candidates"))
+      .where(col("n_candidates") >= 2)
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+  }
+
+  /**
+   * N-gram decontamination (the GPT-3-report recipe): a TRAIN doc is
+   * contaminated when it shares any n-gram of normalized tokens
+   * (lowercased, whitespace-split) with the EVAL corpus. Exact n-gram
+   * collision — no fuzziness — which is what published pipelines ship
+   * for eval hygiene; n = 13 is the published default.
+   *
+   * Scale shape: the eval side is an EVALUATION SET — bounded by
+   * construction (thousands of docs, not the corpus) — so its distinct
+   * gram table broadcasts; the train side is one narrow scan
+   * (tokenize + slide + array_distinct, all codegen'd) whose exploded
+   * grams meet the broadcast in a semi-join shape, then one doc-keyed
+   * count with map-side combine. The corpus text never rides a
+   * shuffle; nothing quadratic anywhere.
+   *
+   * Output: one row per train doc — (id, n_contaminated_grams,
+   * contaminated).
+   */
+  def ngramDecontaminate(train: DataFrame, eval: DataFrame, n: Int = 13,
+                         idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(n >= 1)
+    def grams(c: Column): Column = {
+      val w = filter(split(lower(c), "\\s+"), t => t =!= "")
+      when(size(w) >= n,
+        array_distinct(transform(sequence(lit(0), size(w) - lit(n)),
+          i => array_join(slice(w, i + lit(1), lit(n)), " "))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val evalGrams = eval
+      .select(explode(grams(col(textCol))).as("gram")).distinct()
+    val hits = train
+      .select(col(idCol).as("id"), explode(grams(col(textCol))).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_contaminated_grams"))
+    train.select(col(idCol).cast("long").as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_contaminated_grams"), lit(0L))
+          .as("n_contaminated_grams"))
+      .withColumn("contaminated", col("n_contaminated_grams") > 0)
+  }
 }

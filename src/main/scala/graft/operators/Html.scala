@@ -239,6 +239,44 @@ object Html {
     baseParts(UrlOps.canonicalizeUrl(url), extractBase(html))
 
   /**
+   * Table extraction from raw HTML — tables are among the most
+   * valuable pretraining content in a crawl and the first thing a
+   * text-only extractor destroys (htmlToText flattens cells into an
+   * undifferentiated line). One row per `<tr>`: the cells (`<td>` or
+   * `<th>`, inner tags stripped, `&amp;` decoded, trimmed) joined by
+   * `|`, positionally indexed by (table, row) within the page.
+   *
+   * Scale shape: two generators over narrow per-page expressions —
+   * page → tables (posexplode keeps the index), table → rows — with
+   * all parsing in codegen'd regexp work where the page landed; no
+   * shuffle, no driver involvement. Pages without tables contribute
+   * nothing (posexplode drops empty arrays).
+   *
+   * Output: (id, table_idx, row_idx, n_cells, cells), both indexes
+   * 0-based longs.
+   */
+  def extractTables(pages: DataFrame, idCol: String = "doc_id",
+                    htmlCol: String = "html"): DataFrame = {
+    val tables = regexp_extract_all(col(htmlCol),
+      lit("(?is)<table\\b[^>]*>(.*?)</table>"), lit(1))
+    val rows = regexp_extract_all(col("__t"),
+      lit("(?is)<tr\\b[^>]*>(.*?)</tr>"), lit(1))
+    val cells = transform(
+      regexp_extract_all(col("__r"),
+        lit("(?is)<t[dh]\\b[^>]*>(.*?)</t[dh]>"), lit(1)),
+      c => trim(replace(regexp_replace(c, "(?s)<[^>]*>", ""),
+        lit("&amp;"), lit("&"))))
+    pages
+      .select(col(idCol).cast("long").as("id"), posexplode(tables))
+      .withColumnsRenamed(Map("pos" -> "table_idx", "col" -> "__t"))
+      .select(col("id"), col("table_idx").cast("long"), posexplode(rows))
+      .withColumnsRenamed(Map("pos" -> "row_idx", "col" -> "__r"))
+      .select(col("id"), col("table_idx"), col("row_idx").cast("long"),
+        size(cells).cast("long").as("n_cells"),
+        array_join(cells, "|").as("cells"))
+  }
+
+  /**
    * Registered-domain web-graph signals from a page-level edge list —
    * the aggregate behind link-based quality priors (a page on a
    * domain nothing links to is a different prior than one under a

@@ -111,6 +111,21 @@ final class MultiGraph(val spark: SparkSession, ont: Ontology) {
         maxEdges = maxEdges, index = g.index).matches
     }
 
+  /** Batched lookup serving against the routed graph — answerBatch
+   * through the same per-graph prepared-plan cache as `answer` (the
+   * routed twin of the reference's batch endpoints: `/<kp>` routing
+   * composed with the pair/id LIST lookups, plover.py:1934/:1982).
+   * One Spark job per call however many probes ride the batch; a
+   * different graph name compiles its own plan, so co-hosted graphs'
+   * batch plans never alias. */
+  def answerBatch(cacheKey: String, probes: Seq[(String, QueryGraph)],
+                  graphName: Option[String] = None): DataFrame =
+    preparedPlan(graphName, cacheKey) { (_, g) =>
+      OneHop.answerBatch(spark, g.graph, ont, probes,
+        closure = g.closure, expandSubclasses = g.closure.isDefined,
+        index = g.index)
+    }
+
   private def dropPrepared(name: String): Unit = {
     val it = prepared.keySet.iterator()
     while (it.hasNext) if (it.next()._1 == name) it.remove()

@@ -757,4 +757,54 @@ class CorpusSpec extends SparkSpec {
     assert(base.zip(changed).count {
       case (b, c) => b.getLong(5) != c.getLong(5) } == 1)
   }
+
+  test("dpoPairs: best/worst per group, deterministic tie-breaks, singletons drop") {
+    val cands = Seq(
+      // group 0: distinct scores — plain argmax/argmin
+      (0L, 10L, 5L), (0L, 11L, 9L), (0L, 12L, 1L),
+      // group 1: fully tied — chosen = smallest id, rejected = largest
+      (1L, 20L, 7L), (1L, 21L, 7L), (1L, 22L, 7L),
+      // group 2: singleton — no pair, dropped
+      (2L, 30L, 3L)
+    ).toDF("group_id", "id", "score")
+    val out = Corpus.dpoPairs(cands).orderBy("group_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("chosen_id") == 11L &&
+      out(0).getAs[Long]("rejected_id") == 12L &&
+      out(0).getAs[Long]("margin") == 8L &&
+      out(0).getAs[Long]("n_candidates") == 3L)
+    assert(out(1).getAs[Long]("chosen_id") == 20L &&
+      out(1).getAs[Long]("rejected_id") == 22L &&
+      out(1).getAs[Long]("margin") == 0L)
+    // one group-keyed exchange, no window materializing whole groups
+    // (the struct ordering buffer rides a SortAggregate with partial
+    // combine — see the scaladoc's cost argument)
+    val plan = Corpus.dpoPairs(cands).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("partial_max_by") || plan.contains("partial_"), plan)
+  }
+
+  test("ngramDecontaminate: exact n-gram collision across the split, nothing fuzzy") {
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      // shares the full 5-gram (case/extra-whitespace-insensitive)
+      (1L, "intro  ALPHA beta GAMMA delta epsilon outro"),
+      // shares only a 4-gram — NOT contaminated at n=5
+      (2L, "alpha beta gamma delta omega"),
+      // too short to have any 5-gram
+      (3L, "alpha beta"),
+      (4L, "unrelated text entirely free of overlap here")
+    ).toDF("doc_id", "text")
+    val out = Corpus.ngramDecontaminate(train, eval, n = 5)
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getBoolean(2))).toSeq ==
+      Seq((1L, true), (2L, false), (3L, false), (4L, false)))
+    assert(out(0).getAs[Long]("n_contaminated_grams") == 1L)
+    // the eval side broadcasts — the corpus never rides a shuffle join
+    val plan = Corpus.ngramDecontaminate(train, eval, n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }

@@ -104,6 +104,22 @@ class HtmlSpec extends SparkSpec {
       "a.com/docs/other/x", "a.com/top", "a.com/up", "a.com/rooted"))
   }
 
+  test("extractTables: positional indexes, th+td cells, tag strip, entity decode") {
+    val pages = Seq(
+      (1L, "<p>no tables here</p>"),
+      (2L, "<table><tr><th>H1</th><th>H2</th></tr>" +
+        "<tr><td><b>bold</b> cell</td><td>a &amp; b</td></tr></table>" +
+        "<div><table class=\"x\"><tr><td>solo</td></tr></table></div>"))
+      .toDF("doc_id", "html")
+    val out = Html.extractTables(pages).orderBy("id", "table_idx", "row_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (2L, 0L, 0L, 2L, "H1|H2"),
+      (2L, 0L, 1L, 2L, "bold cell|a & b"),
+      (2L, 1L, 0L, 1L, "solo")))
+  }
+
   test("linkGraph plan stays small: base derivation never inlines per edge") {
     // Predicate pushdown substitutes dst_url's expression into the
     // self-loop filter's conjuncts wholesale; if the per-page base

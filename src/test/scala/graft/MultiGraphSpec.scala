@@ -19,11 +19,13 @@ class MultiGraphSpec extends SparkSpec {
   private def freshSession(): (MultiGraph, PropertyGraph) = {
     val g = TpchGraph(spark, sfDir)
     val closure = Some(SubclassClosure.fromGraph(g, ont))
+    val index = ClosureIndex.fromClosure(closure.get)
     val mg = new MultiGraph(spark, ont)
-    mg.register("alpha", HostedGraph(g, closure))
+    mg.register("alpha", HostedGraph(g, closure, index))
     val betaEdges = g.edges.where(col("predicate") === O.LocatedIn).cache()
     mg.register("beta", HostedGraph(
-      PropertyGraph(g.nodes, betaEdges), closure, owned = Seq(betaEdges)))
+      PropertyGraph(g.nodes, betaEdges), closure, index,
+      owned = Seq(betaEdges)))
     (mg, g)
   }
 
@@ -49,8 +51,8 @@ class MultiGraphSpec extends SparkSpec {
     val solo = OneHop.answer(spark, g, ont, probe,
       closure = Some(SubclassClosure.fromGraph(g, ont)),
       expandSubclasses = true).matches.collect()
-    assert(viaDefault.map(_.getString(0)).sorted.toSeq ==
-      solo.map(_.getString(0)).sorted.toSeq)
+    assert(viaDefault.map(_.getAs[String]("edge_id")).sorted.toSeq ==
+      solo.map(_.getAs[String]("edge_id")).sorted.toSeq)
     // beta is the located_in-only slice: strictly fewer matches, and
     // every beta edge id appears in alpha's result
     val alphaIds = viaDefault.map(_.getAs[String]("edge_id")).toSet
@@ -74,6 +76,32 @@ class MultiGraphSpec extends SparkSpec {
     assert(!(b1 eq b2), "stale plan must not serve a re-registered graph")
     assert(mg.answer("k", probe, Some("alpha")) eq a1,
       "co-hosted graph's plans survive a neighbor's re-registration")
+    mg.releaseAll()
+  }
+
+  test("answerBatch routes per graph and caches per (graph, key)") {
+    val (mg, g) = freshSession()
+    val probes = Seq(
+      "t1" -> probe,
+      "t2" -> QueryGraph.oneHop(
+        QNode("n0", ids = Seq("NAT:3")), QNode("n1"),
+        QEdge("n0", "n1", predicates = Seq(O.PartOf))))
+    val a = mg.answerBatch("b", probes)
+    val b = mg.answerBatch("b", probes, Some("beta"))
+    // per-tag rows match running the same batch directly on each graph
+    val direct = OneHop.answerBatch(spark, g, O.ontology, probes,
+      closure = Some(SubclassClosure.fromGraph(g, O.ontology)),
+      index = ClosureIndex.fromClosure(
+        SubclassClosure.fromGraph(g, O.ontology)))
+    assert(a.select("tag", "edge_id").collect().map(_.toSeq.toString).sorted.toSeq ==
+      direct.select("tag", "edge_id").collect().map(_.toSeq.toString).sorted.toSeq)
+    // beta (located_in slice) answers t1's open probe but has no
+    // part_of edges for t2 — the batch genuinely ran on the slice
+    val byTag = b.collect().groupBy(_.getAs[String]("tag"))
+    assert(byTag.contains("t1") && !byTag.contains("t2"))
+    // prepared per (graph, key): repeat aliases, cross-graph never
+    assert(mg.answerBatch("b", probes) eq a)
+    assert(!(mg.answerBatch("b", probes, Some("beta")) eq a))
     mg.releaseAll()
   }
 
