@@ -1831,6 +1831,17 @@ object PipelineEntry {
       Html.extractTables(tablePages(docs(s, dir)))
         .orderBy("id", "table_idx", "row_idx")),
 
+    // P115 — per-language tokenizer fertility under the p41-trained
+    // BPE: subwords per word and per character by language — the
+    // signal multilingual mixtures weigh languages by (a fixed token
+    // budget buys less text in high-fertility languages). One native
+    // encode scan + one lang-keyed aggregation; ratios after the sums.
+    "p115_token_fertility" -> ((s, dir) => {
+      val merges = Bpe.trainMerges(docs(s, dir), numMerges = BpeMerges,
+        sampleN = BpeSampleN)
+      Bpe.fertility(docs(s, dir), merges).orderBy("lang")
+    }),
+
     // P15 — streaming ingest, driver-visible: the file-based streaming
     // source drained through the stateful gap-sessionizer into a memory
     // sink (Trigger.AvailableNow). With NoTimeout, exactly the sessions
@@ -2278,6 +2289,55 @@ cbl$s AS (SELECT list(cv ORDER BY cid) AS l FROM c${s}_2)"""
       s"list_min(list_transform(d, x -> ($a*x + $b) % $HashMod))"
     }
     s"[${entries.mkString(",\n  ")}]"
+  }
+
+  /** Shared BPE oracle machinery (p41, p115): the stagewise
+   * merge-training + corpus re-encode CTE chain, ending at `per`
+   * (per-doc n_words/n_subwords) with `tok` (per-doc filtered word
+   * list) still in scope. One stage per merge: count adjacent symbol
+   * pairs over the current sample encoding, pick (count desc, a, b) —
+   * then re-encode the sample with a left-greedy replace over the
+   * chr(31)-joined representation (replace's resume-after-replacement
+   * scan IS the BPE fold; see operators.Bpe). */
+  private lazy val BpeOracleCtes: String = {
+    def stage(k: Int): String = {
+      val prev = if (k == 1) "s0" else s"s${k - 1}"
+      s"""p$k AS MATERIALIZED (SELECT (z).a AS a, (z).b AS b FROM (
+    SELECT unnest(list_transform(range(1, len(l)), i ->
+      struct_pack(a := l[i], b := l[i+1]))) AS z, f FROM $prev)
+  GROUP BY 1, 2 ORDER BY sum(f) DESC, a, b LIMIT 1),
+s$k AS MATERIALIZED (SELECT j, f,
+    string_split(trim(j, chr(31)), chr(31) || chr(31)) AS l FROM (
+    SELECT replace($prev.j,
+        chr(31) || p$k.a || chr(31) || chr(31) || p$k.b || chr(31),
+        chr(31) || p$k.a || p$k.b || chr(31)) AS j, f
+    FROM $prev, p$k))"""
+    }
+    val stages = (1 to BpeMerges).map(stage).mkString(",\n")
+    val baseJ = "chr(31) || array_to_string(list_transform(" +
+      "range(1, length(w)+1), i -> w[i]), chr(31) || chr(31)) || chr(31)"
+    val encJ = (1 to BpeMerges).foldLeft(baseJ)((acc, k) =>
+      s"replace($acc, chr(31) || p$k.a || chr(31) || chr(31) || p$k.b || chr(31), " +
+        s"chr(31) || p$k.a || p$k.b || chr(31))")
+    val pList = (1 to BpeMerges).map(k => s"p$k").mkString(", ")
+    s"""documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+w0 AS (SELECT w, count(*)::BIGINT AS f FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM (SELECT text FROM documents ORDER BY doc_id LIMIT $BpeSampleN))
+  WHERE w <> '' GROUP BY w),
+s0 AS MATERIALIZED (SELECT chr(31) || array_to_string(
+         list_transform(range(1, length(w)+1), i -> w[i]),
+         chr(31) || chr(31)) || chr(31) AS j, f,
+       list_transform(range(1, length(w)+1), i -> w[i]) AS l FROM w0),
+$stages,
+tok AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+          x -> x <> '') AS ws FROM documents),
+encw AS (SELECT doc_id, unnest(ws) AS w FROM tok),
+encj AS (SELECT doc_id, $encJ AS j FROM encw, $pList),
+per AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+          sum(len(string_split(trim(j, chr(31)), chr(31) || chr(31))))::BIGINT
+            AS n_subwords
+        FROM encj GROUP BY doc_id)"""
   }
 
   /** Shared oracle for the planted-PNG near-dup keys: p74 (parquet
@@ -3082,57 +3142,36 @@ FROM batch ORDER BY id"""
     "p75_streaming_update_dedup" -> CurationPipelineOracle,
 
 
-    "p41_bpe" -> {
-      // One stage per merge: count adjacent symbol pairs over the
-      // current sample encoding, pick (count desc, a, b) — then re-encode
-      // the sample with a left-greedy replace over the chr(31)-joined
-      // representation (replace's resume-after-replacement scan IS the
-      // BPE fold; see operators.Bpe).
-      def stage(k: Int): String = {
-        val prev = if (k == 1) "s0" else s"s${k - 1}"
-        s"""p$k AS MATERIALIZED (SELECT (z).a AS a, (z).b AS b FROM (
-    SELECT unnest(list_transform(range(1, len(l)), i ->
-      struct_pack(a := l[i], b := l[i+1]))) AS z, f FROM $prev)
-  GROUP BY 1, 2 ORDER BY sum(f) DESC, a, b LIMIT 1),
-s$k AS MATERIALIZED (SELECT j, f,
-    string_split(trim(j, chr(31)), chr(31) || chr(31)) AS l FROM (
-    SELECT replace($prev.j,
-        chr(31) || p$k.a || chr(31) || chr(31) || p$k.b || chr(31),
-        chr(31) || p$k.a || p$k.b || chr(31)) AS j, f
-    FROM $prev, p$k))"""
-      }
-      val stages = (1 to BpeMerges).map(stage).mkString(",\n")
-      val baseJ = "chr(31) || array_to_string(list_transform(" +
-        "range(1, length(w)+1), i -> w[i]), chr(31) || chr(31)) || chr(31)"
-      val encJ = (1 to BpeMerges).foldLeft(baseJ)((acc, k) =>
-        s"replace($acc, chr(31) || p$k.a || chr(31) || chr(31) || p$k.b || chr(31), " +
-          s"chr(31) || p$k.a || p$k.b || chr(31))")
-      val pList = (1 to BpeMerges).map(k => s"p$k").mkString(", ")
-      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
-w0 AS (SELECT w, count(*)::BIGINT AS f FROM (
-    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-    FROM (SELECT text FROM documents ORDER BY doc_id LIMIT $BpeSampleN))
-  WHERE w <> '' GROUP BY w),
-s0 AS MATERIALIZED (SELECT chr(31) || array_to_string(
-         list_transform(range(1, length(w)+1), i -> w[i]),
-         chr(31) || chr(31)) || chr(31) AS j, f,
-       list_transform(range(1, length(w)+1), i -> w[i]) AS l FROM w0),
-$stages,
-tok AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-          x -> x <> '') AS ws FROM documents),
-encw AS (SELECT doc_id, unnest(ws) AS w FROM tok),
-encj AS (SELECT doc_id, $encJ AS j FROM encw, $pList),
-per AS (SELECT doc_id, count(*)::BIGINT AS n_words,
-          sum(len(string_split(trim(j, chr(31)), chr(31) || chr(31))))::BIGINT
-            AS n_subwords
-        FROM encj GROUP BY doc_id)
+    "p41_bpe" -> s"""WITH $BpeOracleCtes
 SELECT t.doc_id AS id, coalesce(per.n_words, 0)::BIGINT AS n_words,
   coalesce(per.n_subwords, 0)::BIGINT AS n_subwords,
   round(CASE WHEN coalesce(per.n_words, 0) > 0
     THEN per.n_subwords::DOUBLE / per.n_words ELSE 0.0 END, 6)
     AS subwords_per_word
-FROM tok t LEFT JOIN per USING (doc_id) ORDER BY id"""
-    },
+FROM tok t LEFT JOIN per USING (doc_id) ORDER BY id""",
+
+    // p115: the SAME trained-BPE chain aggregated per language —
+    // ratios computed AFTER the language sums, exactly as the Spark
+    // side does, so the two engines divide identical exact integers.
+    "p115_token_fertility" -> s"""WITH $BpeOracleCtes,
+chars AS (SELECT doc_id,
+            coalesce(list_sum(list_transform(ws, x -> len(x))), 0)::BIGINT AS nc
+          FROM tok),
+agg AS (SELECT d.lang, count(*) AS n_docs,
+          sum(coalesce(per.n_words, 0)) AS n_words,
+          sum(coalesce(per.n_subwords, 0)) AS n_subwords,
+          sum(c.nc) AS n_chars
+        FROM documents d
+        LEFT JOIN per ON d.doc_id = per.doc_id
+        JOIN chars c ON d.doc_id = c.doc_id
+        GROUP BY d.lang)
+SELECT lang, n_docs::BIGINT AS n_docs, n_words::BIGINT AS n_words,
+  n_subwords::BIGINT AS n_subwords, n_chars::BIGINT AS n_chars,
+  round(CASE WHEN n_words > 0 THEN n_subwords::DOUBLE / n_words
+    ELSE 0.0 END, 6) AS fertility_word,
+  round(CASE WHEN n_chars > 0 THEN n_subwords::DOUBLE / n_chars
+    ELSE 0.0 END, 6) AS fertility_char
+FROM agg ORDER BY lang""",
 
     "p37_unigram" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),

@@ -136,4 +136,44 @@ object Bpe {
         round(when(col("n_words") > 0,
           col("n_subwords").cast("double") / col("n_words").cast("double"))
           .otherwise(lit(0.0)), 6).as("subwords_per_word"))
+
+  /**
+   * Per-language tokenizer fertility — the subword-efficiency signal
+   * multilingual mixtures weigh languages by: under ONE tokenizer,
+   * high-fertility languages pay more subwords for the same words or
+   * characters, skewing any token-denominated budget (the published
+   * multilingual-tokenizer evaluations report exactly these ratios).
+   * fertility_word = subwords/word, fertility_char = subwords/char
+   * (characters of the tokenized words — the denominator the
+   * tokenizer actually saw, not raw-text bytes).
+   *
+   * Scale shape: one narrow scan (the native BPE encode + two array
+   * folds, all codegen'd — text never leaves its partition) into one
+   * language-keyed aggregation with map-side combine; ratios computed
+   * AFTER the sums, so per-doc skew can't bias them. Output ordered
+   * by the caller.
+   */
+  def fertility(docs: DataFrame, merges: Seq[(String, String)],
+                langCol: String = "lang", textCol: String = "text")
+      : DataFrame = {
+    val toks = filter(TF.tokens(col(textCol)), w => w =!= lit(""))
+    docs
+      .select(col(langCol).as("lang"),
+        size(toks).cast("long").as("nw"),
+        size(HE.bpeEncodeFast(TF.tokens(col(textCol)), merges))
+          .cast("long").as("ns"),
+        aggregate(toks, lit(0L), (a, w) => a + length(w).cast("long"))
+          .as("nc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_words"),
+        sum("ns").as("n_subwords"), sum("nc").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_subwords"), col("n_chars"),
+        round(when(col("n_words") > 0,
+          col("n_subwords").cast("double") / col("n_words"))
+          .otherwise(lit(0.0)), 6).as("fertility_word"),
+        round(when(col("n_chars") > 0,
+          col("n_subwords").cast("double") / col("n_chars"))
+          .otherwise(lit(0.0)), 6).as("fertility_char"))
+  }
 }

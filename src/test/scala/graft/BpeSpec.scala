@@ -86,6 +86,29 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("fertility: per-language sums then ratios, hand-computed") {
+    // merges trained on the en doc: "aa aa ab" -> merge (a,a) then (a,b)
+    val docs = Seq(
+      (1L, "aa aa ab", "en"),       // encodes: [aa],[aa],[ab] = 3 subwords
+      (2L, "aa b", "de"),           // [aa],[b] = 2 subwords
+      (3L, "abc", "de")             // [ab],[c] = 2 subwords
+    ).toDF("doc_id", "text", "lang")
+    val merges = Bpe.trainMerges(docs.limit(1), numMerges = 5, sampleN = 1)
+    val out = Bpe.fertility(docs, merges).orderBy("lang").collect()
+    // de: 2 docs, 3 words, 4 subwords, 6 chars
+    assert(out(0).getAs[String]("lang") == "de" &&
+      out(0).getAs[Long]("n_docs") == 2L &&
+      out(0).getAs[Long]("n_words") == 3L &&
+      out(0).getAs[Long]("n_subwords") == 4L &&
+      out(0).getAs[Long]("n_chars") == 6L)
+    assert(out(0).getAs[Double]("fertility_word") == 1.333333)
+    assert(out(0).getAs[Double]("fertility_char") == 0.666667)
+    // en: 1 doc, 3 words, 3 subwords, 6 chars -> 1.0 / 0.5
+    assert(out(1).getAs[Long]("n_subwords") == 3L &&
+      out(1).getAs[Double]("fertility_word") == 1.0 &&
+      out(1).getAs[Double]("fertility_char") == 0.5)
+  }
+
   test("supplementary-plane code points segment whole, never as surrogates") {
     // U+10348 (𐍈) and an emoji are outside the BMP: code-point
     // segmentation must keep each as ONE symbol — UTF-16-unit splitting
