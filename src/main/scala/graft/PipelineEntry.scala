@@ -1842,6 +1842,13 @@ object PipelineEntry {
       Bpe.fertility(docs(s, dir), merges).orderBy("lang")
     }),
 
+    // P116 — markdown rendering of extracted tables (how table
+    // content actually enters a training corpus): p114's rows
+    // re-shaped to GFM pipe-table lines in the same single pass.
+    "p116_table_markdown" -> ((s, dir) =>
+      Html.tablesToMarkdown(tablePages(docs(s, dir)))
+        .orderBy("id", "table_idx", "line_idx")),
+
     // P15 — streaming ingest, driver-visible: the file-based streaming
     // source drained through the stateful gap-sessionizer into a memory
     // sink (Trigger.AvailableNow). With NoTimeout, exactly the sessions
@@ -2290,6 +2297,28 @@ cbl$s AS (SELECT list(cv ORDER BY cid) AS l FROM c${s}_2)"""
     }
     s"[${entries.mkString(",\n  ")}]"
   }
+
+  /** Shared p114/p116 oracle CTEs: the fixture tables regenerated
+   * cell-by-cell from the formula (never by parsing HTML), ending at
+   * `u` = (id, table_idx, row_idx, n_cells, cells). */
+  private lazy val HtmlTablesOracleCtes: String =
+    s"""documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+t1 AS (SELECT doc_id AS id, 0::BIGINT AS table_idx, r.r::BIGINT AS row_idx,
+        (2 + doc_id % 2)::BIGINT AS n_cells,
+        (SELECT string_agg(
+           'c' || r.r || '_' || c.c || '_' || ((doc_id + r.r*7 + c.c*3) % 50)
+             || CASE WHEN r.r = 1 AND c.c = 1 THEN '&x' ELSE '' END,
+           '|' ORDER BY c.c)
+         FROM unnest(generate_series(0, 1 + doc_id % 2)) AS c(c)) AS cells
+      FROM documents, unnest(generate_series(0, 1 + doc_id % 3)) AS r(r)),
+t2 AS (SELECT doc_id AS id, 1::BIGINT, r.r::BIGINT, 2::BIGINT,
+        (SELECT string_agg(
+           'd' || r.r || '_' || c.c || '_' || ((doc_id + r.r*5 + c.c*11) % 50),
+           '|' ORDER BY c.c)
+         FROM unnest(generate_series(0, 1)) AS c(c))
+      FROM documents, unnest(generate_series(0, 1)) AS r(r)
+      WHERE doc_id % 7 = 0),
+u AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2)"""
 
   /** Shared BPE oracle machinery (p41, p115): the stagewise
    * merge-training + corpus re-encode CTE chain, ending at `per`
@@ -4437,25 +4466,24 @@ WHERE p.doc_id % 97 <> 0 ORDER BY id""",
     // p114: every cell regenerated from the fixture formula — row 0's
     // bold wrap strips to nothing, cell (1,1)'s &amp;x decodes to &x;
     // the second table exists only for %7 docs.
-    "p114_html_tables" ->
-      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
-t1 AS (SELECT doc_id AS id, 0::BIGINT AS table_idx, r.r::BIGINT AS row_idx,
-        (2 + doc_id % 2)::BIGINT AS n_cells,
-        (SELECT string_agg(
-           'c' || r.r || '_' || c.c || '_' || ((doc_id + r.r*7 + c.c*3) % 50)
-             || CASE WHEN r.r = 1 AND c.c = 1 THEN '&x' ELSE '' END,
-           '|' ORDER BY c.c)
-         FROM unnest(generate_series(0, 1 + doc_id % 2)) AS c(c)) AS cells
-      FROM documents, unnest(generate_series(0, 1 + doc_id % 3)) AS r(r)),
-t2 AS (SELECT doc_id AS id, 1::BIGINT, r.r::BIGINT, 2::BIGINT,
-        (SELECT string_agg(
-           'd' || r.r || '_' || c.c || '_' || ((doc_id + r.r*5 + c.c*11) % 50),
-           '|' ORDER BY c.c)
-         FROM unnest(generate_series(0, 1)) AS c(c))
-      FROM documents, unnest(generate_series(0, 1)) AS r(r)
-      WHERE doc_id % 7 = 0)
-SELECT * FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
-ORDER BY id, table_idx, row_idx""",
+    "p114_html_tables" -> s"""WITH $HtmlTablesOracleCtes
+SELECT * FROM u ORDER BY id, table_idx, row_idx""",
+
+    // p116: p114's regenerated rows re-shaped into GFM pipe-table
+    // lines — header, ----alignment line, data rows — by the same
+    // formula; a formatting or line-indexing slip changes rows.
+    "p116_table_markdown" -> s"""WITH $HtmlTablesOracleCtes,
+l AS (SELECT id, table_idx, 0::BIGINT AS line_idx,
+        '| ' || replace(cells, '|', ' | ') || ' |' AS line
+      FROM u WHERE row_idx = 0
+      UNION ALL
+      SELECT id, table_idx, 1::BIGINT, '|' || repeat(' --- |', n_cells::INT)
+      FROM u WHERE row_idx = 0
+      UNION ALL
+      SELECT id, table_idx, row_idx + 1,
+        '| ' || replace(cells, '|', ' | ') || ' |'
+      FROM u WHERE row_idx > 0)
+SELECT * FROM l ORDER BY id, table_idx, line_idx""",
 
     "p15_streaming" ->
       s"""WITH $eventsCte,

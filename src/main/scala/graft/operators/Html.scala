@@ -277,6 +277,34 @@ object Html {
   }
 
   /**
+   * Markdown rendering of extracted tables — the textual form table
+   * content actually enters an LLM training corpus in (GFM pipe
+   * tables): the first row becomes the header line, a `---` alignment
+   * line follows, data rows after. One row per OUTPUT LINE, so the
+   * result concatenates per (id, table_idx) by line_idx into a ready
+   * corpus fragment. Built on extractTables' output in the same
+   * single pass (the header row fans out to two lines via one
+   * generator); cells containing a literal `|` are ambiguous after
+   * the join — the documented limitation of the pipe format itself.
+   */
+  def tablesToMarkdown(pages: DataFrame, idCol: String = "doc_id",
+                       htmlCol: String = "html"): DataFrame = {
+    val fmt = concat(lit("| "),
+      replace(col("cells"), lit("|"), lit(" | ")), lit(" |"))
+    val sep = concat(lit("|"),
+      array_join(transform(sequence(lit(1), col("n_cells").cast("int")),
+        _ => lit(" --- ")), "|"), lit("|"))
+    extractTables(pages, idCol, htmlCol)
+      .select(col("id"), col("table_idx"), col("row_idx"),
+        posexplode(when(col("row_idx") === 0, array(fmt, sep))
+          .otherwise(array(fmt))))
+      .select(col("id"), col("table_idx"),
+        when(col("row_idx") === 0, col("pos").cast("long"))
+          .otherwise(col("row_idx") + 1).as("line_idx"),
+        col("col").as("line"))
+  }
+
+  /**
    * Registered-domain web-graph signals from a page-level edge list —
    * the aggregate behind link-based quality priors (a page on a
    * domain nothing links to is a different prior than one under a

@@ -120,6 +120,21 @@ class HtmlSpec extends SparkSpec {
       (2L, 1L, 0L, 1L, "solo")))
   }
 
+  test("tablesToMarkdown: header + alignment + data lines, GFM pipe format") {
+    val pages = Seq(
+      (2L, "<table><tr><th>H1</th><th>H2</th></tr>" +
+        "<tr><td>a</td><td>b</td></tr><tr><td>c</td><td>d</td></tr></table>"))
+      .toDF("doc_id", "html")
+    val out = Html.tablesToMarkdown(pages)
+      .orderBy("id", "table_idx", "line_idx")
+      .collect().map(r => (r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (0L, "| H1 | H2 |"),
+      (1L, "| --- | --- |"),
+      (2L, "| a | b |"),
+      (3L, "| c | d |")))
+  }
+
   test("linkGraph plan stays small: base derivation never inlines per edge") {
     // Predicate pushdown substitutes dst_url's expression into the
     // self-loop filter's conjuncts wholesale; if the per-page base
