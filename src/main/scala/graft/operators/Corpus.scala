@@ -1235,6 +1235,11 @@ object Corpus {
    * partition); the alternative (two row_number windows) costs two
    * full sorts of the CANDIDATES.
    *
+   * Scores are compared and reported on their NATIVE numeric type —
+   * fractional reward scores (0.9 vs 0.2, the typical DPO input)
+   * order exactly and surface unrounded in chosen_score /
+   * rejected_score / margin; nothing is cast to an integer anywhere.
+   *
    * Output: (group_id, chosen_id, rejected_id, chosen_score,
    * rejected_score, margin, n_candidates).
    */
@@ -1242,7 +1247,7 @@ object Corpus {
                idCol: String = "id", scoreCol: String = "score")
       : DataFrame = {
     val id = col(idCol).cast("long")
-    val score = col(scoreCol).cast("long")
+    val score = col(scoreCol)
     // ordering structs: chosen = max by (score asc-ordering, then -id)
     // so ties prefer the SMALLEST id; rejected = min by (score, -id) so
     // ties prefer the LARGEST id — distinct endpoints whenever n >= 2
@@ -1290,11 +1295,14 @@ object Corpus {
     }
     val evalGrams = eval
       .select(explode(grams(col(textCol))).as("gram")).distinct()
+    // the caller's id type rides both sides of the final join
+    // UNCHANGED — casting one side only (the r14 bug) nulled every
+    // string id and silently lost all contamination
     val hits = train
       .select(col(idCol).as("id"), explode(grams(col(textCol))).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_contaminated_grams"))
-    train.select(col(idCol).cast("long").as("id"))
+    train.select(col(idCol).as("id"))
       .join(hits, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_contaminated_grams"), lit(0L))

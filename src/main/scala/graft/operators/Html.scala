@@ -72,34 +72,44 @@ object Html {
       "\n")
   }
 
+  /** The attribute-walking prefix shared by extractLinks/extractBase:
+   * from the tag name, repeatedly consume either a plain character
+   * (anything but `>`, a quote, or `=`) or a whole `=value` unit —
+   * quoted values consumed ATOMICALLY — so an `href=` substring
+   * INSIDE a quoted attribute value (`title="see href=foo"`,
+   * `onclick="go href=evil"`) can never be matched as the href
+   * attribute, whatever whitespace the value carries. The value
+   * capture then takes either quote style (quote kept, stripped by
+   * the caller) or an unquoted run to the first
+   * whitespace/quote/`>`; fragments are cut at extraction (`#...`
+   * never distinguishes a page — the canonicalizer would drop them
+   * anyway). */
+  private def hrefPattern(tag: String): String =
+    "(?is)<" + tag + "\\b(?:[^>'\"=]|=\\s*\"[^\"]*\"|=\\s*'[^']*'" +
+      "|=[^\\s>'\"]*)*?\\shref\\s*=\\s*([\"'][^\"'#>]*|[^\\s\"'>#]+)"
+
   /** Raw `href` targets of every `<a>` tag — quoted (either style) or
-   * UNQUOTED (`<a href=/page>`, legal HTML and common on old pages; an
-   * unquoted value runs to the first whitespace/quote/`>`); fragments
-   * are cut at extraction (`#...` never distinguishes a page — the
-   * canonicalizer would drop them anyway). Both patterns require
-   * whitespace before `href` (attributes are space-separated) so a
-   * `data-href` attribute or an `href=` substring inside a quoted
-   * value never yields a phantom link; the two alternatives are
-   * disjoint (after `=`, a quote selects exactly one). */
+   * UNQUOTED (`<a href=/page>`, legal HTML and common on old pages),
+   * one per tag in document order, extracted by the quote-skipping
+   * attribute walk (`hrefPattern`) so neither a `data-href` attribute
+   * nor an `href=` substring inside a quoted value yields a phantom
+   * link. */
   def extractLinks(html: Column): Column =
-    concat(
-      regexp_extract_all(html,
-        lit("(?is)<a\\b[^>]*?\\shref\\s*=\\s*[\"']([^\"'#>]*)"), lit(1)),
-      regexp_extract_all(html,
-        lit("(?is)<a\\b[^>]*?\\shref\\s*=\\s*([^\\s\"'>#]+)"), lit(1)))
+    transform(
+      regexp_extract_all(html, lit(hrefPattern("a")), lit(1)),
+      v => regexp_replace(v, "^[\"']", ""))
 
   /** The page's `<base href>` target — the document-wide resolution
    * base browsers honor for every relative reference; first occurrence
-   * wins (as in browsers), either quote style or unquoted, null when
-   * absent. May itself be relative: resolve it against the page URL
-   * before use (resolveHref's 3-arg overload and linkGraph do). */
+   * wins in DOCUMENT ORDER (as in browsers), either quote style or
+   * unquoted (one alternation, so a later quoted base never beats an
+   * earlier unquoted one), null when absent. May itself be relative:
+   * resolve it against the page URL before use (resolveHref's 3-arg
+   * overload and linkGraph do). */
   def extractBase(html: Column): Column = {
-    val quoted = regexp_extract(html,
-      "(?is)<base\\b[^>]*?\\shref\\s*=\\s*[\"']([^\"'#>]*)", 1)
-    val bare = regexp_extract(html,
-      "(?is)<base\\b[^>]*?\\shref\\s*=\\s*([^\\s\"'>#]+)", 1)
-    when(quoted =!= "", quoted).when(bare =!= "", bare)
-      .otherwise(lit(null).cast("string"))
+    val raw = regexp_replace(
+      regexp_extract(html, hrefPattern("base"), 1), "^[\"']", "")
+    when(raw =!= "", raw).otherwise(lit(null).cast("string"))
   }
 
   /**

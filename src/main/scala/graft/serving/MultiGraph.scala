@@ -43,15 +43,26 @@ final case class HostedGraph(graph: PropertyGraph,
  */
 final class MultiGraph(val spark: SparkSession, ont: Ontology) {
 
-  private val hosted = new ConcurrentHashMap[String, HostedGraph]()
-  private val prepared = new ConcurrentHashMap[(String, String), DataFrame]()
+  /** A hosted entry carries a session-unique VERSION stamped at
+   * registration; prepared plans key on (name, version, query key), so
+   * a plan built against a superseded registration — even one whose
+   * build was in flight when `register` replaced the graph and purged
+   * the name — lands under the dead version and can never serve the
+   * new graph's probes (the purge races registration; the version
+   * doesn't). */
+  private final class Hosted(val version: Long, val g: HostedGraph)
+  private val hosted = new ConcurrentHashMap[String, Hosted]()
+  private val prepared =
+    new ConcurrentHashMap[(String, Long, String), DataFrame]()
+  private val versionGen = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Host `g` under `name` (replaces any previous holder of the name —
-   * its prepared plans are dropped so stale plans can't serve the new
-   * graph's data). Returns this for chaining. */
+   * its prepared plans are dropped, and the fresh version stamp keeps
+   * any in-flight stale build from re-inserting one). Returns this for
+   * chaining. */
   def register(name: String, g: HostedGraph): this.type = {
     require(name.nonEmpty, "graph name must be non-empty")
-    val prev = hosted.put(name, g)
+    val prev = hosted.put(name, new Hosted(versionGen.incrementAndGet(), g))
     if (prev != null) dropPrepared(name)
     this
   }
@@ -74,12 +85,17 @@ final class MultiGraph(val spark: SparkSession, ont: Ontology) {
    * fail loudly, the session-side 404 — main.py:218); None falls back
    * to the default graph (the bare `/query` route). */
   def resolve(name: Option[String]): (String, HostedGraph) = {
+    val (n, h) = resolveVersioned(name)
+    (n, h.g)
+  }
+
+  private def resolveVersioned(name: Option[String]): (String, Hosted) = {
     val n = name.getOrElse(defaultName)
-    val g = hosted.get(n)
-    if (g == null)
+    val h = hosted.get(n)
+    if (h == null)
       throw new NoSuchElementException(
         s"graph endpoint '$n' does not exist (hosted: ${names.mkString(", ")})")
-    (n, g)
+    (n, h)
   }
 
   /** Per-graph prepared-plan cache: build-once, re-execute per call
@@ -89,12 +105,12 @@ final class MultiGraph(val spark: SparkSession, ont: Ontology) {
    * duplicate build is harmless — both plans are pure. */
   def preparedPlan(graphName: Option[String], key: String)
                   (build: (String, HostedGraph) => DataFrame): DataFrame = {
-    val (n, g) = resolve(graphName)
-    val k = (n, key)
+    val (n, h) = resolveVersioned(graphName)
+    val k = (n, h.version, key)
     val hit = prepared.get(k)
     if (hit != null) hit
     else {
-      val df = build(n, g)
+      val df = build(n, h.g)
       val raced = prepared.putIfAbsent(k, df)
       if (raced != null) raced else df
     }
@@ -135,9 +151,9 @@ final class MultiGraph(val spark: SparkSession, ont: Ontology) {
    * unpersist only the frames it owned. Co-hosted graphs keep their
    * caches and prepared plans untouched (spec-pinned isolation). */
   def release(name: String): Unit = {
-    val g = hosted.remove(name)
+    val h = hosted.remove(name)
     dropPrepared(name)
-    if (g != null) g.owned.foreach(_.unpersist())
+    if (h != null) h.g.owned.foreach(_.unpersist())
   }
 
   def releaseAll(): Unit = names.foreach(release)

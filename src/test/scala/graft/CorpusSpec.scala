@@ -785,6 +785,38 @@ class CorpusSpec extends SparkSpec {
     assert(plan.contains("partial_max_by") || plan.contains("partial_"), plan)
   }
 
+  test("dpoPairs: fractional scores order and report on their native type") {
+    // 0.9 vs 0.2 must NOT collapse to a tie (the r14 cast("long") bug
+    // truncated both to 0 and handed the pair to the id tie-break)
+    val cands = Seq(
+      (0L, 10L, 0.2), (0L, 11L, 0.9), (0L, 12L, 0.35),
+      (1L, 20L, -0.5), (1L, 21L, 0.5)
+    ).toDF("group_id", "id", "score")
+    val out = Corpus.dpoPairs(cands).orderBy("group_id").collect()
+    assert(out(0).getAs[Long]("chosen_id") == 11L &&
+      out(0).getAs[Long]("rejected_id") == 10L)
+    assert(out(0).getAs[Double]("chosen_score") == 0.9 &&
+      out(0).getAs[Double]("rejected_score") == 0.2 &&
+      math.abs(out(0).getAs[Double]("margin") - 0.7) < 1e-12)
+    assert(out(1).getAs[Long]("chosen_id") == 21L &&
+      out(1).getAs[Double]("margin") == 1.0)
+  }
+
+  test("ngramDecontaminate: string doc ids survive (no one-sided cast)") {
+    // the r14 bug cast the train id to long on the output side only,
+    // so string ids became null and contamination was silently lost
+    val eval = Seq(("e1", "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      ("doc-a", "x alpha beta gamma delta epsilon y"),
+      ("doc-b", "nothing shared at all in here")
+    ).toDF("doc_id", "text")
+    val out = Corpus.ngramDecontaminate(train, eval, n = 5)
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getString(0), r.getBoolean(2))).toSeq ==
+      Seq(("doc-a", true), ("doc-b", false)))
+    assert(out(0).getAs[Long]("n_contaminated_grams") == 1L)
+  }
+
   test("ngramDecontaminate: exact n-gram collision across the split, nothing fuzzy") {
     val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val train = Seq(

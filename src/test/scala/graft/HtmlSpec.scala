@@ -64,6 +64,34 @@ class HtmlSpec extends SparkSpec {
     assert(links.sorted == Seq("/page", "/x?href=y", "https://c.com/q"))
   }
 
+  test("extractLinks: href= inside a quoted value never yields a phantom link") {
+    // the r14 regex let WHITESPACE inside a quoted attribute value
+    // satisfy the \s-before-href guard; the quote-skipping attribute
+    // walk consumes quoted values atomically, so neither tag below
+    // emits the embedded 'href=' — while a real href ANYWHERE after
+    // such a value still extracts
+    val links = Seq(
+      "<a title=\"see href=foo\">x</a>" +
+        " <a class=\"x\" onclick=\"go href=evil\">y</a>" +
+        " <a title='see href=bad' href=/real>z</a>")
+      .toDF("h").select(explode(Html.extractLinks(col("h"))).as("l"))
+      .as[String].collect().toSeq
+    assert(links == Seq("/real"))
+  }
+
+  test("extractBase: document-order first occurrence wins across quote styles") {
+    // one alternation extracts both styles, so an EARLIER unquoted
+    // base beats a later quoted one (the r14 two-regex version
+    // preferred quoted unconditionally)
+    val bases = Seq(
+      "<base href=/early/> <base href=\"https://late.example/lib\">",
+      "<base href=\"https://first.example/q\"> <base href=/second/>",
+      "<p>none</p>")
+      .toDF("h").select(Html.extractBase(col("h")).as("b"))
+      .as[String].collect().toSeq
+    assert(bases == Seq("/early/", "https://first.example/q", null))
+  }
+
   test("extractBase + resolveHref: <base href> re-roots relative references") {
     val rows = Seq(
       // absolute base: host- and path-relative re-root; absolute hrefs don't

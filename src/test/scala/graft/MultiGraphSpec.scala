@@ -79,6 +79,31 @@ class MultiGraphSpec extends SparkSpec {
     mg.releaseAll()
   }
 
+  test("re-registration landing MID-BUILD can't install a stale plan") {
+    // deterministic replay of the race: the build resolved the OLD
+    // hosted entry, the replacement (and its plan purge) lands while
+    // the build is still in flight, then the build's putIfAbsent
+    // completes. Version fencing keys the stale insert under the dead
+    // registration, so the NEXT probe rebuilds against the new graph
+    // instead of serving the stale plan forever.
+    val (mg, g) = freshSession()
+    val slice = g.edges.where(col("predicate") === O.LocatedIn)
+    val stale = mg.preparedPlan(Some("beta"), "race") { (_, hosted) =>
+      mg.register("beta", HostedGraph(PropertyGraph(g.nodes, g.edges)))
+      hosted.graph.edges // plan built against the superseded slice
+    }
+    val fresh = mg.preparedPlan(Some("beta"), "race") { (_, hosted) =>
+      hosted.graph.edges
+    }
+    assert(!(fresh eq stale), "stale mid-build plan must not serve")
+    assert(fresh.count() == g.edges.count() &&
+      stale.count() == slice.count())
+    // and the fresh plan IS now cached for the new registration
+    assert(mg.preparedPlan(Some("beta"), "race")((_, h) => h.graph.edges)
+      eq fresh)
+    mg.releaseAll()
+  }
+
   test("answerBatch routes per graph and caches per (graph, key)") {
     val (mg, g) = freshSession()
     val probes = Seq(
