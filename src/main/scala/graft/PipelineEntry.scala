@@ -1168,14 +1168,27 @@ object PipelineEntry {
         iterations = 10)
         .orderBy("node")),
 
-    // P101 — robots-aware filtering under RFC 9309 longest-match: every
-    // host allows /Pg (len 3); hosts h%3!=1 disallow their own
-    // /Pg/{h} page prefix (len 4+|h|, beats the allow); hosts h%5==2
-    // ALSO carry a broad `Disallow: /Pg` (ties the allow at len 3 —
-    // the tie must fall to allow) plus an `Allow: /Pg/1` carve-out
-    // (len 5 — re-admits doc ids starting with '1' unless an even
-    // longer host-page disallow matches). An empty Disallow and a
-    // never-matching /private rule are planted to be ignored.
+    // P101 — robots-aware filtering as crawler "GraftBot/1.0" under
+    // RFC 9309: group selection FIRST (§2.2.1 — most-specific
+    // User-agent prefix match, `*` fallback, non-matching named
+    // groups ignored), then longest-match Allow/Disallow within the
+    // selected group. The `*` group carries the r14 precedence
+    // gauntlet: every host allows /Pg (len 3); hosts h%3!=1 disallow
+    // their own /Pg/{h} page prefix (len 4+|h|, beats the allow);
+    // hosts h%5==2 ALSO carry a broad `Disallow: /Pg` (ties the allow
+    // at len 3 — the tie must fall to allow) plus an `Allow: /Pg/1`
+    // carve-out (len 5). On top, multi-group bodies where the
+    // specific group and `*` DISAGREE loudly:
+    //   h%4==0 — a `User-agent: graft` group (prefix of graftbot,
+    //     so it binds INSTEAD of `*`): Disallow /Pg + Allow /Pg/2 —
+    //     only ids starting with '2' survive on these hosts;
+    //   h%4==2 — TWO named groups, `graft` (Disallow: /, blocks all)
+    //     and `graftbot` (only Disallow: /private) — the LONGER token
+    //     must win, keeping everything on these hosts;
+    //   h%4==3 — a `User-agent: otherbot` group (Disallow: /) that
+    //     does NOT match and must be ignored in favor of `*`.
+    // An empty Disallow and a never-matching /private rule are
+    // planted to be ignored throughout.
     "p101_robots_filter" -> ((s, dir) => {
       val d = pageUrls(docs(s, dir))
       val robots = d.select(pmod(col("doc_id"), lit(50)).as("h")).distinct()
@@ -1186,8 +1199,18 @@ object PipelineEntry {
               .otherwise(lit("")),
             when(pmod(col("h"), lit(5)) === 2,
               lit("Disallow: /Pg\nAllow: /Pg/1\n")).otherwise(lit("")),
-            lit("Disallow: /private\n")).as("body"))
-      UrlOps.robotsFilter(d, robots)
+            lit("Disallow: /private\n"),
+            when(pmod(col("h"), lit(4)) === 0,
+              lit("User-agent: graft\nDisallow: /Pg\nAllow: /Pg/2\n"))
+              .otherwise(lit("")),
+            when(pmod(col("h"), lit(4)) === 2,
+              lit("User-agent: graft\nDisallow: /\n" +
+                "User-agent: GraftBot\nDisallow: /private\n"))
+              .otherwise(lit("")),
+            when(pmod(col("h"), lit(4)) === 3,
+              lit("User-agent: otherbot\nDisallow: /\n"))
+              .otherwise(lit(""))).as("body"))
+      UrlOps.robotsFilter(d, robots, agent = Some("GraftBot/1.0"))
         .select(col("doc_id"),
           UrlOps.canonicalizeUrl(col("url")).as("canonical_url"))
         .orderBy("doc_id")
@@ -4193,30 +4216,39 @@ $stages
 SELECT node, r AS rank FROM pr10 ORDER BY node"""
     },
 
-    // p101: survivors by the fixture rule — a doc is robots-blocked iff
-    // its host h = id%50 is not %3==1-exempt AND "/Pg/{h}"
-    // string-prefix-matches its "/Pg/{id}..." path, i.e. decimal(id)
-    // starts with decimal(h) (id==h, but also 202 under h=2 — prefix
-    // semantics are the point of the operator, stated honestly here).
-    // p101: longest-match re-derived in closed form — best allow =
-    // max(/Pg = 3, carve-out /Pg/1 = 5 where it matches); best
-    // disallow = max(broad /Pg = 3 on h%5==2 hosts, /Pg/{h} =
-    // 4+|h| where the id string starts with h); kept iff
+    // p101: group choice + verdict re-derived in closed form. Group
+    // choice by host class: h%4==0 → the `graft` group binds (its
+    // token prefixes graftbot; `*` loses), kept iff decimal(id)
+    // starts with '2' (Allow /Pg/2 = 5 beats Disallow /Pg = 3);
+    // h%4==2 → `graftbot` (len 8) beats `graft` (len 5), its only
+    // rule /private never matches → all kept (the losing graft group
+    // said Disallow: / — selection is load-bearing); otherwise the
+    // `*` group binds (h%4==3's otherbot group must NOT match) with
+    // the r14 longest-match formula: best allow = max(/Pg = 3,
+    // carve-out /Pg/1 = 5 where it matches); best disallow =
+    // max(broad /Pg = 3 on h%5==2 hosts, /Pg/{h} = 4+|h| where the
+    // id string starts with h — id==h, but also 202 under h=2:
+    // prefix semantics are the point, stated honestly); kept iff
     // best_d <= best_a (the equal-length tie falls to allow).
     "p101_robots_filter" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
 d AS (SELECT doc_id, doc_id % 50 AS h,
         doc_id::VARCHAR AS ds, (doc_id % 50)::VARCHAR AS hs FROM documents),
 v AS (SELECT doc_id, h,
-   greatest(3, CASE WHEN h % 5 = 2 AND starts_with(ds, '1')
-                 THEN 5 ELSE -1 END) AS best_a,
-   greatest(CASE WHEN h % 5 = 2 THEN 3 ELSE -1 END,
-            CASE WHEN h % 3 <> 1 AND starts_with(ds, hs)
-              THEN 4 + len(hs) ELSE -1 END) AS best_d
+   CASE WHEN h % 4 = 0 THEN
+     CASE WHEN starts_with(ds, '2') THEN 1 ELSE 0 END
+   WHEN h % 4 = 2 THEN 1
+   ELSE CASE WHEN
+     greatest(CASE WHEN h % 5 = 2 THEN 3 ELSE -1 END,
+              CASE WHEN h % 3 <> 1 AND starts_with(ds, hs)
+                THEN 4 + len(hs) ELSE -1 END)
+     <= greatest(3, CASE WHEN h % 5 = 2 AND starts_with(ds, '1')
+                  THEN 5 ELSE -1 END)
+     THEN 1 ELSE 0 END END AS kept
  FROM d)
 SELECT doc_id,
   'example-' || h || '.com/Pg/' || doc_id || '?a=1&b=2' AS canonical_url
-FROM v WHERE best_d <= best_a ORDER BY doc_id""",
+FROM v WHERE kept = 1 ORDER BY doc_id""",
 
     // p102: the streaming/batch-ingest convention — shares p08's oracle.
     "p102_jsonl_roundtrip" -> LangIdOracle,

@@ -181,6 +181,77 @@ object UrlOps {
   }
 
   /**
+   * Allow/Disallow rules of the group a SPECIFIC crawler must obey,
+   * per RFC 9309 §2.2.1 group selection: lines parse into groups (a
+   * clump of consecutive `User-agent:` lines names one group; the
+   * rules that follow, up to the next clump, belong to it), a named
+   * token matches when it is a case-insensitive PREFIX of the
+   * crawler's product token, the MOST SPECIFIC match wins (longest
+   * matching token; `*` matches everything at specificity 0, so any
+   * named match beats it), and ALL groups at the winning specificity
+   * combine — two `User-agent: graftbot` groups in one file merge
+   * their rules, as the RFC requires. Rules before the first
+   * `User-agent:` line belong to no group and are dropped (invalid
+   * per the RFC). A selected group with no matching rules keeps
+   * everything downstream, exactly like a missing robots record.
+   *
+   * Scale shape: the line walk (posexplode + one window for the
+   * group ids + one (host, group) aggregation) runs over the ROBOTS
+   * table only — one KB-bounded row per host, millions of hosts at
+   * crawl scale but never the corpus — so its one small shuffle is
+   * noise next to the corpus scan, which stays broadcast-joined and
+   * shuffle-free in [[robotsFilter]]. Output shape matches
+   * [[robotsRules]] so both feed the same filter tail.
+   */
+  def robotsRulesForAgent(robots: DataFrame, agent: String,
+                          hostCol: String = "host",
+                          bodyCol: String = "body"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robots.select(col(hostCol).as("rule_host"),
+      posexplode(split(col(bodyCol), "\r?\n")).as(Seq("__i", "__line")))
+    val isUa = col("__ua") =!= ""
+    val classified = lines.select(col("rule_host"), col("__i"),
+      regexp_extract(col("__line"),
+        "(?i)^user-agent:[ \\t]*(\\S+)", 1).as("__ua"),
+      lower(regexp_extract(col("__line"),
+        "(?i)^(allow|disallow):", 1)).as("__dir"),
+      regexp_extract(col("__line"),
+        "(?i)^(?:allow|disallow):[ \\t]*(\\S*)", 1).as("__prefix"))
+      // directive lines only; an EMPTY Disallow:/Allow: still ends a
+      // user-agent clump (it is a rule line), it just emits no rule
+      .where(isUa || col("__dir") =!= "")
+    val w = Window.partitionBy("rule_host").orderBy("__i")
+    val groups = classified
+      .withColumn("__grp", sum(
+        when(isUa && coalesce(lag(isUa.cast("int"), 1).over(w),
+          lit(0)) === 0, 1).otherwise(0)).over(w))
+      .where(col("__grp") >= 1)
+      .groupBy("rule_host", "__grp")
+      .agg(
+        collect_list(when(isUa, lower(col("__ua")))).as("__uas"),
+        collect_list(when(!isUa && col("__prefix") =!= "",
+          struct(col("__prefix").as("p"),
+            (col("__dir") === "allow").as("a")))).as("__rules"))
+    // specificity: longest named token that prefixes the agent; `*`
+    // scores 0; non-matching tokens are out. Groups tie at the host's
+    // best specificity → their rules combine.
+    val score = array_max(transform(col("__uas"), t =>
+      when(t === "*", lit(0))
+        .when(lit(agent.toLowerCase(java.util.Locale.ROOT)).startsWith(t),
+          length(t))
+        .otherwise(lit(-1))))
+    val wh = Window.partitionBy("rule_host")
+    groups
+      .withColumn("__score", score)
+      .where(col("__score") >= 0)
+      .withColumn("__best", max(col("__score")).over(wh))
+      .where(col("__score") === col("__best"))
+      .select(col("rule_host"), explode(col("__rules")).as("__r"))
+      .select(col("rule_host"), col("__r.p").as("rule_prefix"),
+        col("__r.a").as("rule_allow"))
+  }
+
+  /**
    * Robots-aware filtering — the crawl-governance step (a pipeline
    * re-filtering a bulk crawl against CURRENT robots rules drops pages
    * whose canonical path now falls under a Disallow): per RFC 9309, of
@@ -188,7 +259,11 @@ object UrlOps {
    * LONGEST wins, and an equal-length tie breaks to Allow — so
    * `Allow: /public` carves its subtree out of a broader
    * `Disallow: /`. Hosts with no robots record (or no matching rule)
-   * keep everything, as crawlers treat a 404. The match appends "/"
+   * keep everything, as crawlers treat a 404. With `agent` set, only
+   * the rules of the crawler's OWN RFC 9309 group bind
+   * ([[robotsRulesForAgent]] — most-specific User-agent match, `*`
+   * fallback); without it, every group's rules are honored (the
+   * conservative bulk-crawl reading). The match appends "/"
    * to the doc path before the prefix compare: canonicalization
    * strips trailing slashes, so a directory rule `Disallow: /private/`
    * must still match its root page `/private` (and `Disallow: /` the
@@ -204,10 +279,18 @@ object UrlOps {
    */
   def robotsFilter(docs: DataFrame, robots: DataFrame,
                    urlCol: String = "url", hostCol: String = "host",
-                   bodyCol: String = "body"): DataFrame = {
+                   bodyCol: String = "body",
+                   agent: Option[String] = None): DataFrame = {
     val canon = canonicalizeUrl(col(urlCol))
     val host = regexp_extract(canon, "^([^/?]*)", 1)
-    val hostRules = robotsRules(robots, hostCol, bodyCol)
+    // agent given → RFC 9309 group selection picks WHICH rules bind
+    // this crawler; agent absent → the conservative every-group
+    // reading (the bulk-crawl consumer default)
+    val rules = agent match {
+      case Some(a) => robotsRulesForAgent(robots, a, hostCol, bodyCol)
+      case None    => robotsRules(robots, hostCol, bodyCol)
+    }
+    val hostRules = rules
       .groupBy("rule_host")
       .agg(collect_list(struct(
         length(col("rule_prefix")).as("l"),

@@ -231,6 +231,63 @@ class UrlOpsSpec extends SparkSpec {
     assert(kept == Seq(2L, 5L, 6L))
   }
 
+  test("robotsRulesForAgent: RFC 9309 group selection — prefix match, longest token, * fallback") {
+    val body =
+      "User-agent: *\nDisallow: /all\n" +
+        "User-agent: graft\nDisallow: /short\n" +
+        "User-agent: GRAFTBOT\nDisallow: /long\n" + // longest match wins (case-insensitive)
+        "User-agent: otherbot\nDisallow: /other\n"  // never matches GraftBot
+    val robots = Seq(("a.com", body)).toDF("host", "body")
+    def rulesFor(agent: String) =
+      UrlOps.robotsRulesForAgent(robots, agent)
+        .select("rule_prefix").as[String].collect().toSeq.sorted
+    // graftbot (8) beats graft (5) beats * (0); otherbot is out
+    assert(rulesFor("GraftBot/1.0") == Seq("/long"))
+    // an agent only `graft` prefixes falls to that group
+    assert(rulesFor("graftling") == Seq("/short"))
+    // no named token matches → the * group binds
+    assert(rulesFor("unrelatedbot") == Seq("/all"))
+  }
+
+  test("robotsRulesForAgent: UA clumps share rules; tied-token groups combine; pre-group rules drop") {
+    val body =
+      "Disallow: /orphan\n" +                       // before any group: invalid, dropped
+        "User-agent: alpha\nUser-agent: graftbot\nDisallow: /a\n" + // clump: one group, two tokens
+        "User-agent: beta\nDisallow: /b\n" +
+        "User-agent: graftbot\nDisallow: /c\nAllow: /c/ok\n" // same winning token: combines
+    val robots = Seq(("a.com", body)).toDF("host", "body")
+    val rules = UrlOps.robotsRulesForAgent(robots, "graftbot")
+      .select("rule_prefix", "rule_allow").as[(String, Boolean)]
+      .collect().toSeq.sorted
+    assert(rules == Seq(("/a", false), ("/c", false), ("/c/ok", true)))
+  }
+
+  test("robotsFilter with agent: the crawler's own group binds, not every group") {
+    val docs = Seq(
+      (1L, "https://a.com/starblocked/x"), // * says block — but graftbot's group binds: kept
+      (2L, "https://a.com/mine/x"),        // graftbot's own Disallow: blocked
+      (3L, "https://b.com/anything"),      // b.com selects graftbot's EMPTY group: kept
+      (4L, "https://c.com/starblocked/x")) // c.com has only *: its rules bind
+      .toDF("doc_id", "url")
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /starblocked\n" +
+        "User-agent: graftbot\nDisallow: /mine\n"),
+      // an empty Disallow ends the clump AND yields no rule — the
+      // selected group then keeps everything, like a 404
+      ("b.com", "User-agent: graftbot\nDisallow:\n" +
+        "User-agent: *\nDisallow: /\n"),
+      ("c.com", "User-agent: *\nDisallow: /starblocked\n"))
+      .toDF("host", "body")
+    val kept = UrlOps.robotsFilter(docs, robots, agent = Some("GraftBot/1.0"))
+      .orderBy("doc_id").select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L, 3L))
+    // without an agent the conservative all-groups reading still
+    // holds: every Disallow above binds, so nothing survives
+    val conservative = UrlOps.robotsFilter(docs, robots)
+      .orderBy("doc_id").select("doc_id").as[Long].collect().toSeq
+    assert(conservative == Seq())
+  }
+
   test("robotsFilter: directory rules match their slash-stripped root page") {
     // canonicalizeUrl strips the trailing slash, so /private/ (the page)
     // canonicalizes to path /private — a `Disallow: /private/` directory
