@@ -1872,6 +1872,23 @@ object PipelineEntry {
       Html.tablesToMarkdown(tablePages(docs(s, dir)))
         .orderBy("id", "table_idx", "line_idx")),
 
+    // P119 — SPAN-level 13-gram decontamination, the excision half of
+    // the GPT-3 recipe p113 flags doc-level: a pad-token window
+    // around each colliding gram is cut and merged into disjoint
+    // intervals, keeping the rest of the doc. Same planted fixture as
+    // p113 (slogan appended at the tail), so the excised span is the
+    // doc's tail window and every clean_text byte is oracle-checked;
+    // natural cross-split collisions (incl. grams STRADDLING the
+    // text/slogan boundary, which exist iff a train doc's tail equals
+    // an eval doc's tail) are recomputed from scratch on both sides.
+    "p119_span_decontam" -> ((s, dir) => {
+      val planted = decontamPlanted(docs(s, dir))
+      Corpus.spanDecontaminate(
+        planted.where(pmod(col("doc_id"), lit(97)) =!= 0),
+        planted.where(pmod(col("doc_id"), lit(97)) === 0))
+        .orderBy("id")
+    }),
+
     // P15 — streaming ingest, driver-visible: the file-based streaming
     // source drained through the stateful gap-sessionizer into a memory
     // sink (Trigger.AvailableNow). With NoTimeout, exactly the sessions
@@ -4516,6 +4533,52 @@ l AS (SELECT id, table_idx, 0::BIGINT AS line_idx,
         '| ' || replace(cells, '|', ' | ') || ' |'
       FROM u WHERE row_idx > 0)
 SELECT * FROM l ORDER BY id, table_idx, line_idx""",
+
+    // p119: the excision recomputed from scratch — gram hits (0-based
+    // starts, LOWERCASED grams over original-case tokens) against the
+    // %97 eval split, gaps-and-islands merge of the [s-20, s+33)
+    // windows (two hits merge iff start gap <= 13 + 2*20 = 53), then
+    // every kept token re-joined in order. A window slip, a merge
+    // slip, or a case-folding slip changes clean_text bytes.
+    "p119_span_decontam" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+p AS (SELECT doc_id, CASE WHEN doc_id % 97 = 0 OR doc_id % 10 = 3
+        THEN text || ' zq' || (doc_id % 3) ||
+          ' alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu'
+        ELSE text END AS text FROM documents),
+w AS (SELECT doc_id, list_filter(
+        string_split_regex(text, '\\s+'), x -> x <> '') AS ws FROM p),
+g AS (SELECT w.doc_id, t.i - 1 AS s, array_to_string(
+        list_transform(w.ws[t.i:t.i + 12], x -> lower(x)), ' ') AS gram
+      FROM w, unnest(generate_series(1, len(w.ws) - 12)) AS t(i)),
+eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+h AS (SELECT DISTINCT g.doc_id, g.s FROM g JOIN eg USING (gram)
+      WHERE g.doc_id % 97 <> 0),
+o AS (SELECT doc_id, s, CASE WHEN s - lag(s) OVER
+        (PARTITION BY doc_id ORDER BY s) <= 53 THEN 0 ELSE 1 END AS brk
+      FROM h),
+i0 AS (SELECT doc_id, s, sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+        ROWS UNBOUNDED PRECEDING) AS isl FROM o),
+isl AS (SELECT doc_id, isl, greatest(min(s) - 20, 0) AS lo, max(s) + 33 AS hi
+        FROM i0 GROUP BY doc_id, isl),
+tok AS (SELECT w.doc_id, t.i - 1 AS idx, w.ws[t.i] AS tok
+        FROM w, unnest(generate_series(1, len(w.ws))) AS t(i)
+        WHERE w.doc_id % 97 <> 0),
+kept AS (SELECT tok.doc_id, tok.idx, tok.tok FROM tok
+         LEFT JOIN isl ON isl.doc_id = tok.doc_id
+           AND tok.idx >= isl.lo AND tok.idx < isl.hi
+         WHERE isl.doc_id IS NULL),
+k AS (SELECT doc_id, count(*) AS n_kept,
+        array_to_string(list(tok ORDER BY idx), ' ') AS clean_text
+      FROM kept GROUP BY doc_id),
+ns AS (SELECT doc_id, count(*) AS n_spans FROM isl GROUP BY doc_id)
+SELECT w.doc_id AS id, len(w.ws)::BIGINT AS n_tokens,
+  coalesce(ns.n_spans, 0)::BIGINT AS n_spans,
+  (len(w.ws) - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
+  coalesce(k.clean_text, '') AS clean_text
+FROM w LEFT JOIN k ON k.doc_id = w.doc_id
+LEFT JOIN ns ON ns.doc_id = w.doc_id
+WHERE w.doc_id % 97 <> 0 ORDER BY id""",
 
     "p15_streaming" ->
       s"""WITH $eventsCte,

@@ -1309,4 +1309,81 @@ object Corpus {
           .as("n_contaminated_grams"))
       .withColumn("contaminated", col("n_contaminated_grams") > 0)
   }
+
+  /**
+   * SPAN-level n-gram decontamination — the excision half of the
+   * GPT-3-report recipe ([[ngramDecontaminate]] is the doc-level
+   * flagging half): instead of dropping a whole train doc on one
+   * colliding n-gram, remove a `pad`-token window around EACH
+   * collision and keep the rest (the report excises a fixed window
+   * around every leaked eval gram, splitting the doc). Matching
+   * normalizes like the flagging half (lowercased, whitespace-split);
+   * the excised text keeps its ORIGINAL case — only gram comparison
+   * folds case, so the surviving corpus is the input corpus minus the
+   * contaminated spans, not a lowercased rewrite.
+   *
+   * Excision windows are [start - pad, start + n + pad) in token
+   * positions, folded into disjoint merged intervals with the same
+   * sorted-fold [[Dedup.spanDedupApply]] uses (constant width keeps
+   * the fold's extension property: ascending starts can only extend
+   * the open interval's hi), so the per-token coverage test is
+   * O(#disjoint spans) however many grams collided.
+   *
+   * Scale shape: the eval side is an evaluation set — bounded by
+   * construction — so its distinct gram table BROADCASTS; the train
+   * side tokenizes once into a materialized (id, tokens) frame that
+   * feeds both the hit scan and the final projection, and only
+   * (id, hit-start int) pairs ride the one doc-keyed shuffle. The
+   * corpus text never shuffles; nothing quadratic anywhere.
+   *
+   * Output: one row per train doc — (id, n_tokens, n_spans,
+   * n_removed, clean_text).
+   */
+  def spanDecontaminate(train: DataFrame, eval: DataFrame, n: Int = 13,
+                        pad: Int = 20, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(n >= 1 && pad >= 0)
+    def words(c: Column): Column = filter(split(c, "\\s+"), t => t =!= "")
+    def gramsOf(ws: Column): Column = {
+      val lw = transform(ws, w => lower(w))
+      when(size(lw) >= n,
+        transform(sequence(lit(0), size(lw) - lit(n)),
+          i => array_join(slice(lw, i + lit(1), lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+    val evalGrams = eval
+      .select(explode(array_distinct(gramsOf(words(col(textCol)))))
+        .as("gram")).distinct()
+    val base = SelfJoinMaterialize(
+      train.select(col(idCol).as("id"), words(col(textCol)).as("toks")))
+    val hitStarts = base
+      .select(col("id"), posexplode(gramsOf(col("toks"))).as(Seq("s", "gram")))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy("id").agg(sort_array(collect_set(col("s"))).as("ss"))
+    val zero = array().cast("array<struct<lo:long,hi:long>>")
+    val iv = aggregate(col("ss"), zero, (acc, s) => {
+      val sl = s.cast("long")
+      val lo = greatest(sl - pad, lit(0L))
+      val hi = sl + (n + pad)
+      val last = element_at(acc, -1)
+      when(size(acc) > 0 && last.getField("hi") >= lo,
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(last.getField("lo").as("lo"), hi.as("hi")))))
+        .otherwise(concat(acc, array(struct(lo.as("lo"), hi.as("hi")))))
+    })
+    val withIv = base.join(hitStarts, Seq("id"), "left")
+      .withColumn("ss", coalesce(col("ss"), array().cast("array<int>")))
+      .withColumn("iv", iv)
+    val kept = filter(col("toks"), (t, i) =>
+      !exists(col("iv"), v =>
+        v.getField("lo") <= i && i < v.getField("hi")))
+    withIv
+      .withColumn("kept", kept)
+      .select(col("id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("iv")).cast("long").as("n_spans"),
+        (size(col("toks")) - size(col("kept"))).cast("long")
+          .as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
 }

@@ -802,6 +802,45 @@ class CorpusSpec extends SparkSpec {
       out(1).getAs[Double]("margin") == 1.0)
   }
 
+  test("spanDecontaminate: pad windows excise, overlaps merge, case survives") {
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      // one hit at s=4: window [4-2, 4+5+2) = [2, 11) of 13 tokens
+      (1L, "t0 t1 t2 t3 alpha beta gamma delta epsilon t9 t10 t11 t12"),
+      // two hits at s=0 and s=6, gap 6 <= 5+2*2: ONE merged span
+      // covering everything (lo clamps at 0)
+      (2L, "alpha beta gamma delta epsilon x alpha beta gamma delta epsilon"),
+      // matching is case-folded but the kept text is NOT rewritten
+      (3L, "ALPHA Beta gamma delta epsilon Keep Me SAFE here now yes ok"),
+      (4L, "nothing shared with the eval split at all")
+    ).toDF("doc_id", "text")
+    val out = Corpus.spanDecontaminate(train, eval, n = 5, pad = 2)
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("n_spans") == 1L &&
+      out(0).getAs[Long]("n_removed") == 9L &&
+      out(0).getAs[String]("clean_text") == "t0 t1 t11 t12")
+    assert(out(1).getAs[Long]("n_spans") == 1L &&
+      out(1).getAs[Long]("n_removed") == 11L &&
+      out(1).getAs[String]("clean_text") == "")
+    assert(out(2).getAs[Long]("n_spans") == 1L &&
+      out(2).getAs[String]("clean_text") == "SAFE here now yes ok")
+    assert(out(3).getAs[Long]("n_spans") == 0L &&
+      out(3).getAs[Long]("n_removed") == 0L &&
+      out(3).getAs[String]("clean_text") ==
+        "nothing shared with the eval split at all")
+    // distant hits stay SEPARATE spans at pad=0
+    val far = Seq((9L, "alpha beta gamma delta epsilon q w e r t y u i o p" +
+      " alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val sep = Corpus.spanDecontaminate(far, eval, n = 5, pad = 0).collect()(0)
+    assert(sep.getAs[Long]("n_spans") == 2L &&
+      sep.getAs[Long]("n_removed") == 10L &&
+      sep.getAs[String]("clean_text") == "q w e r t y u i o p")
+    // the eval side broadcasts; the corpus never rides a shuffle join
+    val plan = Corpus.spanDecontaminate(train, eval, n = 5, pad = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("ngramDecontaminate: string doc ids survive (no one-sided cast)") {
     // the r14 bug cast the train id to long on the output side only,
     // so string ids became null and contamination was silently lost
