@@ -61,6 +61,23 @@ object PipelineEntry {
   private val SampleHashMod = 1 << 20
   private val DsirBuckets = 4096
 
+  /** Trained-langid (p117/p120) parameters: bucket count plus the
+   * per-language marker phrases the fixture appends (repeated
+   * `LangMarkerReps`x) — the synthetic corpus shares ONE vocabulary
+   * across lang labels, so without an injected signal there is
+   * nothing for any classifier to learn. Shared between the Scala
+   * fixture and the oracle's generated CASE so the two can never
+   * silently diverge. ASCII-only (no quotes): the strings embed in
+   * SQL literals and hash char-by-byte identically in both engines. */
+  private val LangIdBuckets = 4096
+  private val LangMarkerReps = 3
+  private val LangMarkers = Seq(
+    "de" -> " der schnelle braune fuchs springt ueber den faulen hund und laeuft weg",
+    "en" -> " the quick brown fox jumps over the lazy dog and runs away with them",
+    "es" -> " el zorro marron salta sobre el perro perezoso y corre lejos de aqui",
+    "fr" -> " le renard brun saute par dessus le chien paresseux et court loin",
+    "zh" -> " kuai su de zong se hu li tiao guo lan duo de gou ran hou pao kai")
+
   /** Token-mixture (p29) parameters — shared between the Scala call and
    * the interpolated oracle SQL (weights render as a VALUES table).
    * The temperature variant (p40) uses a budget below the corpus's
@@ -243,6 +260,21 @@ object PipelineEntry {
           lit(" alpha beta gamma delta epsilon zeta eta theta iota" +
             " kappa lambda mu")))
       .otherwise(col("text")))
+
+  /** p117/p120 fixture: the documents table with the per-language
+   * marker phrase appended (see LangMarkers). */
+  private def langMarked(d: DataFrame): DataFrame = {
+    val marker = LangMarkers.foldLeft(lit(""): org.apache.spark.sql.Column) {
+      case (acc, (l, m)) => when(col("lang") === l, lit(m)).otherwise(acc)
+    }
+    d.withColumn("text", concat(col("text"), repeat(marker, LangMarkerReps)))
+  }
+
+  /** The langid model trained on the %5!=0 slice of the marked corpus
+   * (shared by p117 and the p120 composition). */
+  private def langIdModelOf(d: DataFrame): TextAnalysis.LangIdModel =
+    TextAnalysis.langIdTrain(
+      d.where(pmod(col("doc_id"), lit(5)) =!= 0), buckets = LangIdBuckets)
 
   /** p114 fixture: every doc carries one table of (2 + id%3) rows x
    * (2 + id%2) cols — row 0 as TH cells, cell (0,0) bold-wrapped,
@@ -1889,6 +1921,47 @@ object PipelineEntry {
         .orderBy("id")
     }),
 
+    // P117 — TRAINED char-n-gram language ID, p08's production
+    // successor: a per-language hashed 2-4-gram model trained on the
+    // labeled %5!=0 slice (ONE bounded (lang, bucket) aggregation →
+    // O(langs x buckets) literal artifact), applied to EVERY doc as a
+    // stateless narrow scan through the native langid_vote expression
+    // — per-gram likelihood argmax by exact integer cross-
+    // multiplication, doc-level plurality, both ties alphabetical, no
+    // floats anywhere (the dsir_score dodge, multiclass). The oracle
+    // re-derives counts, HUGEINT-product vote argmax, and the doc
+    // plurality from scratch; held-out docs (%5==0) are scored by a
+    // model that never saw them, so `correct` measures real
+    // generalization, not memorization.
+    "p117_langid_trained" -> ((s, dir) => {
+      val d = langMarked(docs(s, dir))
+      TextAnalysis.langIdApply(d, langIdModelOf(d), carry = Seq("lang"))
+        .select(col("id"), col("predicted_lang"),
+          col("lang").as("gold_lang"),
+          (col("predicted_lang") === col("lang")).as("correct"),
+          col("n_grams"), col("top_votes"))
+        .orderBy("id")
+    }),
+
+    // P120 — the composition the trained classifier exists for:
+    // CCNet-style per-language perplexity buckets (p72) where the
+    // language routing comes from the PREDICTED lang, not the gold
+    // label — the production shape (a real crawl has no labels). The
+    // prediction rides the same projection that feeds the LM stage
+    // (carry columns, no id re-join); p72's whole train-score-
+    // quantile-bucket chain then runs per PREDICTED language, and the
+    // oracle recomputes both stages end to end.
+    "p120_langid_perplexity" -> ((s, dir) => {
+      val d = langMarked(docs(s, dir))
+      val routed = TextAnalysis.langIdApply(d, langIdModelOf(d),
+        carry = Seq("text", "source"))
+        .select(col("id").as("doc_id"),
+          col("predicted_lang").as("lang"), col("text"), col("source"))
+      TextAnalysis.perplexityBuckets(routed,
+        refFilter = col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        vocabSize = 24, headFrac = 0.3, keepFrac = 0.6).orderBy("id")
+    }),
+
     // P15 — streaming ingest, driver-visible: the file-based streaming
     // source drained through the stateful gap-sessionizer into a memory
     // sink (Trigger.AvailableNow). With NoTimeout, exactly the sessions
@@ -2105,10 +2178,13 @@ ORDER BY canonical_url"""
   /** Oracle twin of the perplexity bucketing (shared by p72 batch and
    * p73 streaming — matching hashes prove the frozen-model streaming
    * path equals the batch self-quantile run on the same corpus). */
-  private val PerplexityOracle =
+  /** The p72 CCNet chain (LM train -> score -> per-language quantile
+   * cuts -> buckets) over whatever `tok(doc_id, lang, source, t)` CTE
+   * the caller prefixes — the label-routed original (p72/p73) and the
+   * PREDICTED-lang composition (p120) share every line after tok. */
+  private def perplexityOracleSql(prefixCtes: String): String =
     s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
-tok AS (SELECT doc_id, lang, source,
-        string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+$prefixCtes,
 refcnt AS (SELECT lang AS l, tok, count(*)::BIGINT AS c
            FROM (SELECT lang, unnest(t) AS tok FROM tok
                  WHERE source IN ('src0','src1','src2','src3','src4'))
@@ -2145,6 +2221,67 @@ SELECT id, lang, score,
        WHEN score >= mc THEN 'middle' ELSE 'tail' END AS bucket,
   score >= mc AS keep
 FROM scored JOIN cuts USING (lang) ORDER BY id"""
+
+  private val PerplexityOracle = perplexityOracleSql(
+    s"""tok AS (SELECT doc_id, lang, source,
+        string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents)""")
+
+  /** Oracle twin of the p117 train/apply chain, generated from the
+   * same LangMarkers/LangIdBuckets/LangMarkerReps constants the Spark
+   * fixture uses: marked text -> lowered char 2-4 grams -> md5
+   * buckets -> per-(lang, bucket) counts over the %5!=0 slice ->
+   * per-gram argmax by exact HUGEINT cross-products ((c_l+1) x the
+   * OTHER languages' denominators compares the smoothed
+   * probabilities without a single division) -> doc-level plurality;
+   * every tie alphabetical on both sides. Ends at
+   * `pred(doc_id, gold, vote, nv, n_grams)`. */
+  private lazy val LangIdOracleCtes: String = {
+    val langs = LangMarkers.map(_._1)
+    val markerCase = "CASE lang " + LangMarkers.map { case (l, m) =>
+      s"WHEN '$l' THEN '$m'" }.mkString(" ") + " ELSE '' END"
+    val cpCols = langs.map(l =>
+      s"coalesce(max(c) FILTER (lang = '$l'), 0)::HUGEINT AS c_$l")
+      .mkString(",\n        ")
+    val dnCols = langs.map(l =>
+      s"(coalesce(max(t) FILTER (lang = '$l'), 0) + $LangIdBuckets)::HUGEINT AS d_$l")
+      .mkString(",\n        ")
+    val scoreCols = langs.map { l =>
+      val others = langs.filter(_ != l).map(o => s"dn.d_$o").mkString(" * ")
+      s"(coalesce(cp.c_$l, 0) + 1) * $others AS s_$l"
+    }.mkString(",\n              ")
+    val caseVote = "CASE greatest(" + langs.map(l => s"s_$l").mkString(", ") +
+      ") " + langs.dropRight(1).map(l => s"WHEN s_$l THEN '$l'")
+      .mkString(" ") + s" ELSE '${langs.last}' END"
+    s"""m AS (SELECT doc_id, lang, source,
+        text || repeat($markerCase, $LangMarkerReps) AS text FROM documents),
+lt AS (SELECT doc_id, lang, lower(text) AS t FROM m),
+gg AS (SELECT doc_id, lang,
+        ('0x' || substring(md5(substring(lt.t, u.i, ns.n)), 1, 8))::BIGINT
+          % $LangIdBuckets AS b
+      FROM lt, (VALUES (2), (3), (4)) AS ns(n),
+           unnest(generate_series(1, len(lt.t) - ns.n + 1)) AS u(i)
+      WHERE len(lt.t) >= ns.n),
+cnt AS (SELECT lang, b, count(*)::BIGINT AS c FROM gg
+        WHERE doc_id % 5 <> 0 GROUP BY lang, b),
+tot AS (SELECT lang, sum(c)::BIGINT AS t FROM cnt GROUP BY lang),
+cp AS (SELECT b,
+        $cpCols
+       FROM cnt GROUP BY b),
+dn AS (SELECT
+        $dnCols
+       FROM tot),
+vt AS (SELECT doc_id, lang AS gold, $caseVote AS vote
+      FROM (SELECT gg.doc_id, gg.lang,
+              $scoreCols
+            FROM gg LEFT JOIN cp USING (b) CROSS JOIN dn)),
+dv AS (SELECT doc_id, gold, vote, count(*)::BIGINT AS nv FROM vt
+       GROUP BY doc_id, gold, vote),
+rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         ORDER BY nv DESC, vote ASC) AS rn FROM dv),
+ng AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM gg GROUP BY doc_id),
+pred AS (SELECT rk.doc_id, rk.gold, rk.vote, rk.nv, ng.n_grams
+         FROM rk JOIN ng USING (doc_id) WHERE rn = 1)"""
+  }
 
   private val DsirOracle =
     s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
@@ -4579,6 +4716,26 @@ SELECT w.doc_id AS id, len(w.ws)::BIGINT AS n_tokens,
 FROM w LEFT JOIN k ON k.doc_id = w.doc_id
 LEFT JOIN ns ON ns.doc_id = w.doc_id
 WHERE w.doc_id % 97 <> 0 ORDER BY id""",
+
+    // p117: the whole train/apply chain re-derived from scratch (see
+    // LangIdOracleCtes — counts, HUGEINT cross-product vote argmax,
+    // doc plurality, alphabetical ties).
+    "p117_langid_trained" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+$LangIdOracleCtes
+SELECT doc_id AS id, vote AS predicted_lang, gold AS gold_lang,
+  vote = gold AS correct, n_grams, nv AS top_votes
+FROM pred ORDER BY id""",
+
+    // p120: p117's predicted lang routed into p72's CCNet chain — the
+    // tok CTE swaps the gold label for the HUGEINT-derived vote and
+    // the marked text, then every perplexity line is shared verbatim
+    // with p72's oracle (perplexityOracleSql).
+    "p120_langid_perplexity" -> perplexityOracleSql(
+      s"""$LangIdOracleCtes,
+tok AS (SELECT m.doc_id, p.vote AS lang, m.source,
+        string_split_regex(lower(trim(m.text)), '\\s+') AS t
+        FROM m JOIN pred p USING (doc_id))"""),
 
     "p15_streaming" ->
       s"""WITH $eventsCte,

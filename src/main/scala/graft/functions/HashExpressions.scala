@@ -776,6 +776,87 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** Trained language-ID voting: for each char-gram, hash to a bucket
+   * (the md5 tokenCode convention) and vote for the language whose
+   * add-1-smoothed gram probability (counts(l)(b)+1)/dens(l) is
+   * LARGEST — the comparison runs as exact integer cross-
+   * multiplication ((c_l+1)·den_best vs (c_best+1)·den_l), so there
+   * is no float anywhere in the decision and the DuckDB oracle's
+   * HUGEINT re-derivation lands on identical votes. Ties keep the
+   * smaller language index (alphabetical — the model sorts its
+   * languages). The fold over languages is a tight primitive loop per
+   * gram; no priors (priors need the log domain; per-gram likelihood
+   * voting is the exactness dodge, the dsir_score precedent).
+   *
+   * Null grams are SKIPPED (excluded from n and the votes), matching
+   * the DsirScore null contract. Output struct:
+   * (n grams, best language index or -1 when n == 0, best vote
+   * count, per-language vote counts). */
+  case class LangIdVote(child: Expression, counts: Array[Array[Long]],
+                        dens: Array[Long])
+      extends UnaryExpression {
+    require(counts.length == dens.length && counts.nonEmpty)
+    override def dataType: DataType = StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("best", IntegerType, nullable = false),
+      StructField("top", LongType, nullable = false),
+      StructField("votes", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    override def prettyName: String = "langid_vote"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("langidVote", this, classOf[LangIdVote].getName)
+      val javaType = CodeGenerator.javaType(dataType)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = ($javaType) $ref.nullSafeEval($c);")
+    }
+
+    @transient private lazy val nLangs: Int = dens.length
+    @transient private lazy val buckets: Int = counts(0).length
+    @transient private lazy val md5 =
+      new ThreadLocal[MessageDigest] {
+        override def initialValue(): MessageDigest =
+          MessageDigest.getInstance("MD5")
+      }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val total = arr.numElements()
+      val votes = new Array[Long](nLangs)
+      var n = 0L
+      var i = 0
+      val digest = md5.get()
+      while (i < total) {
+        if (!arr.isNullAt(i)) {
+          val code = md5Code(digest, arr.getUTF8String(i).getBytes)
+          val b = (code % buckets).toInt
+          var best = 0
+          var l = 1
+          while (l < nLangs) {
+            if ((counts(l)(b) + 1L) * dens(best) >
+                (counts(best)(b) + 1L) * dens(l)) best = l
+            l += 1
+          }
+          votes(best) += 1L
+          n += 1L
+        }
+        i += 1
+      }
+      var best = 0
+      var l = 1
+      while (l < nLangs) {
+        if (votes(l) > votes(best)) best = l
+        l += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n, if (n == 0L) -1 else best, votes(best),
+          new GenericArrayData(votes)))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): LangIdVote =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftglue.Bridge
 
   def shingleSimhash(shingles: Column): Column =
@@ -813,6 +894,10 @@ object HashExpressions {
   def dsirScore(grams: Column, ct: Array[Long], cr: Array[Long],
                 tr: Long, tt: Long): Column =
     Bridge.column(DsirScore(Bridge.expression(grams), ct, cr, tr, tt))
+
+  def langIdVote(grams: Column, counts: Array[Array[Long]],
+                 dens: Array[Long]): Column =
+    Bridge.column(LangIdVote(Bridge.expression(grams), counts, dens))
 
   /**
    * O(1) driver-built hash probe over a literal string->string map — the

@@ -39,6 +39,116 @@ object TextAnalysis {
   }
 
   /**
+   * Trained char-n-gram language-ID model: per-language hashed-bucket
+   * gram counts plus smoothing denominators — the O(|langs| × buckets)
+   * literal artifact (the house train-artifact discipline: ONE bounded
+   * aggregation, collect, ship as literals).
+   */
+  final case class LangIdModel(langs: Seq[String],
+                               counts: Seq[Seq[Long]],
+                               totals: Seq[Long],
+                               buckets: Int) {
+    private[operators] def countArrays: Array[Array[Long]] =
+      counts.map(_.toArray).toArray
+    private[operators] def denArray: Array[Long] =
+      totals.map(_ + buckets.toLong).toArray
+  }
+
+  /** Character 2–4-grams of an ALREADY-LOWERCASED text attribute —
+   * the langid feature space (char n-grams carry script, diacritic,
+   * and morphology signal that whitespace tokens flatten; 2–4 is the
+   * classic profile range). Spaces are kept: word-boundary grams are
+   * discriminative. Callers must pass a plain lowered ATTRIBUTE, not
+   * an expression — the column is referenced once per n-arm and once
+   * per lambda, and composing a derived expression in would duplicate
+   * its tree at every reference (the r14 plan-explosion lesson). */
+  private[graft] def charGrams(lowered: Column,
+                               ns: Seq[Int] = Seq(2, 3, 4)): Column =
+    concat(ns.map { n =>
+      when(length(lowered) >= n,
+        transform(sequence(lit(1), length(lowered) - (n - 1)),
+          i => lowered.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    }: _*)
+
+  /**
+   * TRAIN the language classifier from a labeled slice: one bounded
+   * groupBy (lang, bucket) over the exploded char-gram stream — the
+   * only shuffle is O(|langs| × buckets) keys with map-side combine —
+   * then collect the counts as the literal model artifact. Grams hash
+   * by the md5 tokenCode convention, so a DuckDB oracle re-derives
+   * identical buckets.
+   *
+   * The vote comparison in apply cross-multiplies (count+1) × den in
+   * int64; the `require` pins the exactness bound the way dsirTrain
+   * does (a corpus past it must shard or raise `buckets`).
+   */
+  def langIdTrain(labeled: DataFrame, buckets: Int = 4096,
+                  langCol: String = "lang",
+                  textCol: String = "text"): LangIdModel = {
+    val rows = labeled
+      .select(col(langCol).as("l"), lower(col(textCol)).as("__lt"))
+      .select(col("l"), explode(charGrams(col("__lt"))).as("g"))
+      .select(col("l"),
+        pmod(TF.tokenCode(col("g")), lit(buckets.toLong)).as("b"))
+      .groupBy("l", "b").agg(count(lit(1)).as("c"))
+      .collect()
+    val langs = rows.map(_.getString(0)).distinct.sorted.toSeq
+    val idx = langs.zipWithIndex.toMap
+    val counts = Array.fill(langs.size, buckets)(0L)
+    rows.foreach { r =>
+      counts(idx(r.getString(0)))(r.getLong(1).toInt) = r.getLong(2)
+    }
+    val totals = counts.map(_.sum)
+    val maxC = counts.map(_.max).max
+    val maxT = totals.max
+    require(BigInt(maxC + 1) * BigInt(maxT + buckets) < (BigInt(1) << 62),
+      s"langid exact-arithmetic bound exceeded: (maxCount+1)*(total+" +
+        s"buckets) >= 2^62; shard the training slice or raise `buckets`")
+    LangIdModel(langs, counts.map(_.toSeq).toSeq, totals.toSeq, buckets)
+  }
+
+  /**
+   * APPLY the trained classifier — P8's production successor: each
+   * char-gram votes for the language whose add-1-smoothed bucket
+   * probability is largest, and the document takes the plurality
+   * vote. The decision chain is exact integers end to end (the
+   * `langid_vote` native expression cross-multiplies instead of
+   * dividing; per-gram ties break to the alphabetically smaller
+   * language, as does the doc-level plurality tie) — no logs, no
+   * floats, so Spark and the DuckDB oracle agree bit-for-bit, the
+   * dsir_score dodge applied to multiclass.
+   *
+   * A STATELESS narrow projection over the literal model (no joins,
+   * no shuffle, one scan through one native expression per row), so
+   * it runs unchanged over batch or streaming frames: train-once,
+   * predict-forever. Docs with no gram (< 2 chars) predict null.
+   * `carry` columns pass through unchanged (a downstream per-language
+   * stage reads the prediction WITHOUT an id-keyed re-join against
+   * the input).
+   *
+   * Output: (id, predicted_lang, n_grams, top_votes, carry...).
+   */
+  def langIdApply(docs: DataFrame, model: LangIdModel,
+                  textCol: String = "text",
+                  idCol: String = "doc_id",
+                  carry: Seq[String] = Nil): DataFrame = {
+    val langsLit = typedLit(model.langs)
+    val voted = HE.langIdVote(charGrams(col("__lt")),
+      model.countArrays, model.denArray)
+    docs
+      .withColumn("__lt", lower(col(textCol)))
+      .select(col(idCol).as("id") +: voted.as("v") +:
+        carry.map(col): _*)
+      .select(col("id") +:
+        when(col("v.best") >= 0,
+          element_at(langsLit, col("v.best") + 1)).as("predicted_lang") +:
+        col("v.n").as("n_grams") +:
+        col("v.top").as("top_votes") +:
+        carry.map(col): _*)
+  }
+
+  /**
    * P9 — Quality scoring: structural ratios a data-curation pipeline
    * filters on. All doubles rounded to 6dp for cross-engine stability.
    * Output: (id, n_chars, n_tokens, mean_token_len, punct_ratio,

@@ -69,6 +69,92 @@ class TextFunctionsSpec extends SparkSpec {
     assert(res.toSeq == Seq("en", "es", "de"))
   }
 
+  test("trained langid: charGrams slide 2-4 over lowered text, short text degrades") {
+    val g = Seq(("abcd")).toDF("t")
+      .select(TextAnalysis.charGrams(col("t")).as("g"))
+      .as[Seq[String]].head()
+    assert(g == Seq("ab", "bc", "cd", "abc", "bcd", "abcd"))
+    // below the smallest n: no grams at all
+    assert(Seq(("a")).toDF("t")
+      .select(TextAnalysis.charGrams(col("t")).as("g"))
+      .as[Seq[String]].head().isEmpty)
+  }
+
+  test("trained langid: train/apply recovers held-out languages; p08 parity on clear text") {
+    // distinctive char-gram profiles per language; train on 3 docs per
+    // lang, predict a HELD-OUT doc of each
+    val phrases = Map(
+      "en" -> Seq("the quick brown fox jumps over the lazy dog",
+        "this is the house that jack built with wood",
+        "she sells sea shells by the sea shore today"),
+      "es" -> Seq("el gato de la casa es un gato muy bonito",
+        "la lluvia en sevilla es una pura maravilla",
+        "los ninos juegan en el parque con la pelota"),
+      "de" -> Seq("der schnelle braune fuchs springt gern im wald",
+        "das haus ist gross und schoen und sehr alt",
+        "die kinder spielen gern im garten mit dem hund"))
+    val train = phrases.toSeq.flatMap { case (l, ts) =>
+      ts.map(t => (l, t)) }.zipWithIndex
+      .map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("doc_id", "lang", "text")
+    val model = TextAnalysis.langIdTrain(train, buckets = 1024)
+    assert(model.langs == Seq("de", "en", "es"))
+    assert(model.totals.forall(_ > 0))
+    val heldOut = Seq(
+      (100L, "the dog and the fox play in this house"),
+      (101L, "el perro juega en la casa con los gatos"),
+      (102L, "der hund spielt gern im haus mit den kindern"),
+      (103L, "")) // no grams: null prediction
+      .toDF("doc_id", "text")
+    val pred = TextAnalysis.langIdApply(heldOut, model).orderBy("id")
+      .select("predicted_lang").as[String].collect().toSeq
+    assert(pred == Seq("en", "es", "de", null))
+    // parity with the stopword voter on the en/es cases it can see
+    val p08 = TextAnalysis.languageId(heldOut.where(col("doc_id") <= 101))
+      .orderBy("id").select("predicted_lang").as[String].collect().toSeq
+    assert(p08 == Seq("en", "es"))
+    // vote bookkeeping: n_grams = all 2-4 grams, top_votes <= n_grams
+    val row = TextAnalysis.langIdApply(heldOut, model).orderBy("id").collect()(0)
+    val txt = "the dog and the fox play in this house"
+    val expectGrams = (2 to 4).map(n => txt.length - n + 1).sum
+    assert(row.getAs[Long]("n_grams") == expectGrams)
+    assert(row.getAs[Long]("top_votes") <= row.getAs[Long]("n_grams"))
+    // the apply is a narrow stateless projection: no exchange anywhere
+    val plan = TextAnalysis.langIdApply(heldOut, model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("trained langid: exact cross-multiplied votes match a hand computation") {
+    // one lang pair, tiny bucket space: force collisions and verify the
+    // integer argmax directly. buckets=2 so every gram lands in b0/b1.
+    val train = Seq((1L, "aa", "aaaa"), (2L, "bb", "bbbb"))
+      .toDF("doc_id", "lang", "text")
+    val model = TextAnalysis.langIdTrain(train, buckets = 2)
+    // re-derive expected votes in Scala with the same md5 convention
+    def bucket(g: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes)
+      ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % 2).toInt
+    }
+    val doc = "aab"
+    val grams = Seq("aa", "ab", "aab")
+    val dens = model.totals.map(_ + 2L)
+    val votes = Array(0L, 0L)
+    grams.foreach { g =>
+      val b = bucket(g)
+      val c = model.langs.indices.map(l => model.counts(l)(b) + 1L)
+      val best = if (c(1) * dens(0) > c(0) * dens(1)) 1 else 0
+      votes(best) += 1
+    }
+    val expect = model.langs(if (votes(1) > votes(0)) 1 else 0)
+    val got = TextAnalysis.langIdApply(
+      Seq((9L, doc)).toDF("doc_id", "text"), model)
+      .select("predicted_lang").as[String].head()
+    assert(got == expect)
+  }
+
   test("quality: ratios computed over chars and tokens") {
     val r = TextAnalysis.quality(one("the cat!! sat?")).collect()(0)
     assert(r.getAs[Long]("n_chars") == 14)
