@@ -1962,6 +1962,39 @@ object PipelineEntry {
         vocabSize = 24, headFrac = 0.3, keepFrac = 0.6).orderBy("id")
     }),
 
+    // P118 — pure-JDK PDF text extraction over the binary front door
+    // (p111's convention, application/pdf instead of image/png): every
+    // doc's text is typeset into a deterministic single-page PDF 1.4
+    // (real xref table, FlateDecode content stream, Tj + kerned-TJ
+    // show operators, escape-bearing header line), rides as a BINARY
+    // response payload through a .warc.gz round-trip, and the
+    // extractor recovers (xref_ok, n_streams, n_chars, text) from the
+    // RECOVERED body_bytes. The oracle re-typesets the text from the
+    // fixture formula alone — a deflate slip, an operator-machine
+    // slip, an escape slip, or a byte-corrupting ingest all change
+    // text bytes. Scale shape: generate and extract are both batched
+    // mapPartitions where the bytes land; one task per segment file in
+    // between; nothing crosses a shuffle.
+    "p118_pdf_extract" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.WarcSource
+      val out = s"/root/repo/target/warc-pdf-${dir.replaceAll("[^0-9.]", "")}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val pdfs = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) => (id, Pdf.fixturePdf(id, t)) })
+        .toDF("id", "payload")
+      WarcSource.export(pdfs, out, docsPerFile = 100, idCol = "id",
+        bytesCol = Some("payload"), mime = "application/pdf")
+      val recovered = WarcSource.records(s, out)
+        .where(col("warc_type") === "response" && col("body").isNull)
+        .select(
+          regexp_extract(col("record_id"), ":doc:(\\d+)>$", 1)
+            .cast("long").as("id"),
+          col("body_bytes").as("payload"))
+      Pdf.extractTexts(recovered).orderBy("id")
+    }),
+
     // P15 — streaming ingest, driver-visible: the file-based streaming
     // source drained through the stateful gap-sessionizer into a memory
     // sink (Trigger.AvailableNow). With NoTimeout, exactly the sessions
@@ -4736,6 +4769,25 @@ FROM pred ORDER BY id""",
 tok AS (SELECT m.doc_id, p.vote AS lang, m.source,
         string_split_regex(lower(trim(m.text)), '\\s+') AS t
         FROM m JOIN pred p USING (doc_id))"""),
+
+    // p118: the fixture PDF re-typeset in closed form — whitespace
+    // tokens in 10-token lines under the escape-bearing header line —
+    // never touching a PDF byte, so the whole generate → deflate →
+    // warc.gz → inflate → text-operator chain is checked end to end.
+    "p118_pdf_extract" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+w AS (SELECT doc_id, list_filter(
+        string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+e AS (SELECT doc_id,
+        'Doc ' || doc_id || ' (pdf) A' || chr(10) || array_to_string(
+          [array_to_string(toks[k*10+1 : k*10+10], ' ')
+           for k in range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))],
+          chr(10)) AS text
+      FROM w)
+SELECT doc_id AS id, TRUE AS xref_ok, 1::BIGINT AS n_streams,
+  length(text)::BIGINT AS n_chars, text
+FROM e ORDER BY id""",
 
     "p15_streaming" ->
       s"""WITH $eventsCte,

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+import graft.operators.Pdf
+import org.apache.spark.sql.functions._
+
+class PdfSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("fixturePdf round-trip: xref validates, FlateDecode, Tj + TJ text") {
+    val text = "  alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron  "
+    val pdf = Pdf.fixturePdf(7L, text)
+    // structural sanity: header, one content stream, a real xref table
+    val s = new String(pdf, ISO_8859_1)
+    assert(s.startsWith("%PDF-1.4"))
+    val r = Pdf.parse(pdf)
+    assert(r.xrefOk, "startxref offset must land on the xref keyword")
+    assert(r.nStreams == 1)
+    // closed-form expected text: header line (escapes: \( \) and octal
+    // \101 = 'A'), then 10-token chunks — chunk 0 via Tj, chunk 1 via a
+    // kerned TJ whose strings must concatenate with the kern dropped
+    assert(r.text ==
+      "Doc 7 (pdf) A\n" +
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa\n" +
+        "lambda mu nu xi omicron")
+  }
+
+  test("string literals: nesting, full escape set, octal, continuation") {
+    def t(content: String): String = Pdf.extractTextOps(content)
+    assert(t("BT (a (nested) b) Tj ET") == "a (nested) b")
+    assert(t("BT (tab\\there\\nnl) Tj ET") == "tab\there\nnl")
+    assert(t("BT (oct \\101\\102\\7!) Tj ET") == "oct AB!")
+    // backslash-newline continuation swallows the EOL
+    assert(t("BT (one\\\ntwo) Tj ET") == "onetwo")
+    // unknown escape drops the backslash, keeps the char
+    assert(t("BT (x\\zy) Tj ET") == "xzy")
+  }
+
+  test("text operators: line starts, show-string forms, operand discipline") {
+    def t(content: String): String = Pdf.extractTextOps(content)
+    // Td/TD/T* start lines; ' shows after a line start
+    assert(t("BT 72 720 Td (l1) Tj 0 -14 TD (l2) Tj T* (l3) Tj (l4) ' ET") ==
+      "l1\nl2\nl3\nl4")
+    // TJ concatenates strings, drops kerning numbers
+    assert(t("BT [(Hel) -20 (lo) 31 ( wor) (ld)] TJ ET") == "Hello world")
+    // strings outside BT..ET never show; a non-show operator consumes
+    // its string operands (ToUnicode-ish noise must not leak)
+    assert(t("(outside) Tj BT (keep) Tj ET (after)") == "keep")
+    assert(t("BT (gone) Tf (kept) Tj ET") == "kept")
+    // comments are skipped to EOL
+    assert(t("BT % noise (not text) Tj\n(real) Tj ET") == "real")
+    // name tokens are skipped atomically even when glued to delimiters
+    assert(t("BT /F1 12 Tf (x) Tj ET") == "x")
+  }
+
+  test("stream handling: unfiltered pass-through, non-Flate skipped, corrupt deflate") {
+    def obj(dict: String, data: Array[Byte]): Array[Byte] =
+      (s"9 0 obj $dict stream\n".getBytes(ISO_8859_1)) ++ data ++
+        "\nendstream endobj\n".getBytes(ISO_8859_1)
+    val plain = obj("<< /Length 15 >>", "BT (raw) Tj ET".getBytes(ISO_8859_1))
+    val dct = obj("<< /Filter /DCTDecode >>", Array[Byte](1, 2, 3))
+    val corrupt = obj("<< /Filter /FlateDecode >>",
+      "not deflate data".getBytes(ISO_8859_1))
+    val r = Pdf.parse("%PDF-1.4\n".getBytes(ISO_8859_1) ++
+      plain ++ dct ++ corrupt)
+    assert(r.nStreams == 3)
+    assert(r.text == "raw") // only the unfiltered stream contributes
+    assert(!r.xrefOk)       // no startxref at all
+    // a startxref pointing into the void fails validation, parse still works
+    val bad = Pdf.parse(plain ++ "startxref\n2\n%%EOF".getBytes(ISO_8859_1))
+    assert(!bad.xrefOk && bad.text == "raw")
+  }
+
+  test("/Length slices exactly: compressed data ending in EOL bytes survives") {
+    // find a content whose DEFLATED form ends in \r or \n — the case
+    // where blind EOL-trimming before `endstream` eats a data byte and
+    // kills the inflate (a real 1-in-128 fixture failure, doc 344)
+    def deflated(c: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(c.getBytes(ISO_8859_1)); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val (content, data) = Iterator.from(0)
+      .map(k => (s"BT (pad$k) Tj ET", deflated(s"BT (pad$k) Tj ET")))
+      .find { case (_, d) => d.last == '\r'.toByte || d.last == '\n'.toByte }
+      .get
+    val pdf = s"9 0 obj << /Length ${data.length} /Filter /FlateDecode >> stream\n"
+      .getBytes(ISO_8859_1) ++ data ++ "\nendstream endobj\n".getBytes(ISO_8859_1)
+    val r = Pdf.parse(pdf)
+    assert(r.text == content.drop(4).takeWhile(_ != ')'),
+      s"EOL-final deflate byte must survive: got '${r.text}'")
+    // indirect /Length (out of subset) falls back to EOL trimming
+    val raw = "BT (ind) Tj ET"
+    val pdf2 = s"9 0 obj << /Length 4 0 R >> stream\n".getBytes(ISO_8859_1) ++
+      raw.getBytes(ISO_8859_1) ++ "\nendstream endobj\n".getBytes(ISO_8859_1)
+    assert(Pdf.parse(pdf2).text == "ind")
+  }
+
+  test("extractTexts: DataFrame pass, binary-safe, per-row independence") {
+    val pdfs = Seq(
+      (1L, Pdf.fixturePdf(1L, "one two three")),
+      (2L, Array[Byte](0x25, 0x50)), // truncated garbage: no streams
+      (3L, Pdf.fixturePdf(3L, "a b c d e f g h i j k"))
+    ).toDF("id", "payload")
+    val out = Pdf.extractTexts(pdfs).orderBy("id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[String]("text") == "Doc 1 (pdf) A\none two three")
+    assert(out(0).getAs[Boolean]("xref_ok") && out(0).getAs[Long]("n_streams") == 1L)
+    assert(out(1).getAs[String]("text") == "" &&
+      out(1).getAs[Long]("n_streams") == 0L && !out(1).getAs[Boolean]("xref_ok"))
+    assert(out(2).getAs[String]("text") ==
+      "Doc 3 (pdf) A\na b c d e f g h i j\nk")
+    assert(out.forall(r =>
+      r.getAs[Long]("n_chars") == r.getAs[String]("text").length))
+  }
+
+  test("plan shape: one narrow mapPartitions pass, zero exchanges") {
+    val pdfs = Seq((1L, Pdf.fixturePdf(1L, "x y z"))).toDF("id", "payload")
+    val plan = Pdf.extractTexts(pdfs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}
