@@ -627,6 +627,82 @@ object ScaleSmoke {
           "results identical")
       }
     }
+
+    // Multi-graph co-hosting at N>2 (r14 verdict #8): does per-graph
+    // warm-probe latency stay flat as one session hosts 1 -> 8 graphs?
+    // Each graph is the full store-backed fixture under its own name —
+    // the frames share ONE cache copy, but every (graph, key) compiles
+    // its own prepared plan, so N=8 exercises 8x the generated-class
+    // population (the co-hosting cost that COULD inflate: codegen
+    // cache pressure, not data). Warm pass builds plans; the timed
+    // pass measures steady-state serving.
+    if (sections.contains("multigraph")) {
+      val ont = graft.model.GraftOntology.ontology
+      Fixture.ensureStore(spark, sfDir)
+      val g = Fixture.graph(spark, sfDir)
+      g.nodes.count(); g.edges.count(); g.reverseEdges.count()
+      import operators.{QueryGraph, QNode, QEdge}
+      import graft.serving.{HostedGraph, MultiGraph}
+      val O = graft.model.GraftOntology
+      def probeShape(p: Int): QueryGraph = p % 4 match {
+        case 0 => QueryGraph.oneHop(
+          QNode("n0", ids = Seq(s"NAT:${p % 25}")), QNode("n1"),
+          QEdge("n0", "n1", predicates = Seq(O.LocatedIn)))
+        case 1 => QueryGraph.oneHop(
+          QNode("n_out", categories = Seq(O.Customer)),
+          QNode("n_in", ids = Seq(s"NAT:${p % 25}")),
+          QEdge("n_out", "n_in", predicates = Seq(O.LocatedIn)))
+        case 2 => QueryGraph.oneHop(
+          QNode("n0", ids = Seq(s"NAT:${p % 25}")),
+          QNode("n1", ids = Seq(s"REG:${p % 5}")),
+          QEdge("n0", "n1", predicates = Seq(O.PartOf)))
+        case _ => QueryGraph.oneHop(
+          QNode("n0", ids = Seq(s"NAT:${p % 25}")), QNode("n1"),
+          QEdge("n0", "n1", predicates = Seq(O.AdjacentTo)))
+      }
+      def p50(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+      val probesPerGraph = 12
+      for (nGraphs <- Seq(1, 2, 4, 8)) {
+        val mg = new MultiGraph(spark, ont)
+        (0 until nGraphs).foreach(i => mg.register(f"g$i%02d", HostedGraph(g)))
+        // warm: build + execute every (graph, key) plan once
+        for (i <- 0 until nGraphs; p <- 0 until probesPerGraph)
+          mg.answer(s"k$p", probeShape(p), Some(f"g$i%02d")).count()
+        val lat = for (i <- 0 until nGraphs; p <- 0 until probesPerGraph) yield {
+          val t0 = System.nanoTime()
+          mg.answer(s"k$p", probeShape(p), Some(f"g$i%02d")).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"cohost n=$nGraphs%2d   warm p50 ${p50(lat) * 1000}%7.1f ms   " +
+          f"max ${lat.max * 1000}%7.1f ms   " +
+          f"(${nGraphs * probesPerGraph}%3d calls, ${nGraphs * probesPerGraph} plans)")
+        if (nGraphs == 8) {
+          // release footprint: g07 gets an owned cached slice; retiring
+          // it must drain its plans + cache and leave g00 serving at
+          // the same latency from the SAME prepared plans
+          val slice = g.edges.where(col("predicate") === O.LocatedIn).cache()
+          mg.register("g07", HostedGraph(
+            graft.model.PropertyGraph(g.nodes, slice), owned = Seq(slice)))
+          mg.answer("k0", probeShape(0), Some("g07")).count()
+          val before = (0 until probesPerGraph).map { p =>
+            val t0 = System.nanoTime()
+            mg.answer(s"k$p", probeShape(p), Some("g00")).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          mg.release("g07")
+          val drained = mg.preparedCount("g07") == 0 &&
+            slice.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+          val after = (0 until probesPerGraph).map { p =>
+            val t0 = System.nanoTime()
+            mg.answer(s"k$p", probeShape(p), Some("g00")).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"release g07: plans+cache drained=$drained   " +
+            f"neighbor g00 p50 ${p50(before) * 1000}%6.1f -> ${p50(after) * 1000}%6.1f ms")
+        }
+        mg.releaseAll()
+      }
+    }
     spark.stop()
   }
 }

@@ -142,6 +142,16 @@ final class MultiGraph(val spark: SparkSession, ont: Ontology) {
         index = g.index)
     }
 
+  /** Diagnostic: live prepared-plan entries for `name` (any version) —
+   * lets co-hosting smokes assert release really drained a graph's
+   * plan footprint rather than inferring it from behavior. */
+  private[graft] def preparedCount(name: String): Int = {
+    val it = prepared.keySet.iterator()
+    var n = 0
+    while (it.hasNext) if (it.next()._1 == name) n += 1
+    n
+  }
+
   private def dropPrepared(name: String): Unit = {
     val it = prepared.keySet.iterator()
     while (it.hasNext) if (it.next()._1 == name) it.remove()

@@ -130,6 +130,50 @@ class MultiGraphSpec extends SparkSpec {
     mg.releaseAll()
   }
 
+  test("N=6 co-hosting: per-graph isolation, drained release footprint") {
+    val g = TpchGraph(spark, sfDir)
+    val mg = new MultiGraph(spark, O.ontology)
+    val preds = Seq(O.LocatedIn, O.PartOf, O.SuppliedBy, O.AdjacentTo)
+    // six graphs: g0 = the full graph, g1..g5 = owned single-predicate
+    // slices (g5 reuses preds(0) so two DIFFERENT graphs hold EQUAL
+    // row sets — isolation must come from routing, not content)
+    val slices = (1 to 5).map { i =>
+      g.edges.where(col("predicate") === preds((i - 1) % preds.length)).cache()
+    }
+    mg.register("g0", HostedGraph(g))
+    slices.zipWithIndex.foreach { case (e, i) =>
+      mg.register(s"g${i + 1}",
+        HostedGraph(PropertyGraph(g.nodes, e), owned = Seq(e)))
+    }
+    assert(mg.names == (0 to 5).map("g" + _) && mg.defaultName == "g0")
+    // same probe key against all six: six DISTINCT prepared plans,
+    // each answering from its own slice
+    val plans = (0 to 5).map(i => mg.answer("k", probe, Some(s"g$i")))
+    for (i <- 0 to 5; j <- 0 to 5 if i < j)
+      assert(!(plans(i) eq plans(j)), s"g$i/g$j plans alias")
+    val counts = plans.map(_.count())
+    assert(counts(1) == counts(5), "equal-content slices must agree")
+    assert(counts.head >= counts.tail.max, "full graph answers the most")
+    (0 to 5).foreach(i => assert(mg.preparedCount(s"g$i") == 1))
+    // release g3: its plan entries drain to zero and its owned cache
+    // drops; every neighbor's plan still aliases (warm) and re-counts
+    // identically
+    val released = slices(2)
+    val None_ = org.apache.spark.storage.StorageLevel.NONE
+    assert(released.storageLevel != None_)
+    mg.release("g3")
+    assert(mg.preparedCount("g3") == 0, "released plans must drain")
+    assert(released.storageLevel == None_, "owned cache must drop on release")
+    assert(mg.names == Seq("g0", "g1", "g2", "g4", "g5"))
+    Seq(0, 1, 2, 4, 5).foreach { i =>
+      assert(mg.answer("k", probe, Some(s"g$i")) eq plans(i),
+        s"g$i cold-started after a neighbor's release")
+      assert(plans(i).count() == counts(i))
+    }
+    mg.releaseAll()
+    assert((0 to 5).forall(i => mg.preparedCount(s"g$i") == 0))
+  }
+
   test("release retires one graph without cold-starting its neighbor") {
     val (mg, _) = freshSession()
     val beta = mg.answer("probe", probe, Some("beta"))
