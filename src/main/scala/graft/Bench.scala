@@ -227,7 +227,15 @@ object Bench {
       s""""load_avg_start":$load0,"load_avg_end":$load1,"load_wait_sec":${ok3(waitSec)}"""
     val probes =
       s""""calib_sec":${ok3(calibSec)},"calib_par_sec":${ok3(calibParSec)},"floor_sec":${ok3(floorSec)}"""
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"queries_p50":${qmap(p50)},"queries_min":${qmap(_.min)},"queries_max":${qmap(_.max)},"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"replica_warm_sec":${ok3(replicaWarmSec)},$probes,"build_sec":${ok3(buildSec)},"caches_drained":$cachesDrained,$loads,"sf":${jstr(sfDir)}}"""
+    // SPARK_GRAFT_SERIES=1: carry the raw per-repeat series in the
+    // detail file (convergence-curve forensics — WHICH execution pays
+    // JIT/codegen warmup is invisible in cold/p50/min aggregates).
+    val series = if (sys.env.contains("SPARK_GRAFT_SERIES"))
+      s""""queries_series":${ok.map { case (k, ts, _) =>
+        jstr(k) + ":" + ts.map(ok3).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")},"""
+    else ""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"queries_p50":${qmap(p50)},"queries_min":${qmap(_.min)},"queries_max":${qmap(_.max)},$series"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"replica_warm_sec":${ok3(replicaWarmSec)},$probes,"build_sec":${ok3(buildSec)},"caches_drained":$cachesDrained,$loads,"sf":${jstr(sfDir)}}"""
     // Detail file: env-overridable path, and never let an unwritable CWD
     // abort the run after all queries already completed — the stdout line
     // is the contract, the file is best-effort.

@@ -628,6 +628,30 @@ object ScaleSmoke {
       }
     }
 
+    // Per-execution cost decomposition for one serving key (g15 churn
+    // forensics, r14 verdict #4): time each repeat of the PREPARED plan
+    // alongside the JVM's cumulative JIT time and Spark's Janino
+    // compilation count — tells JIT warmup from codegen-cache misses
+    // from planning overhead.
+    if (sections.contains("g15")) {
+      Fixture.ensureStore(spark, sfDir)
+      val cmp = java.lang.management.ManagementFactory.getCompilationMXBean
+      import org.apache.spark.metrics.source.CodegenMetrics
+      for (key <- Seq("g16_attr_constraint", "g15_qualified")) {
+        val fn = SparkEntry.queries(key)
+        for (r <- 1 to 8) {
+          val j0 = cmp.getTotalCompilationTime
+          val c0 = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          println(f"$key%-20s run$r ${t * 1000}%7.1f ms   " +
+            f"jit +${cmp.getTotalCompilationTime - j0}%5d ms   " +
+            f"janino +${CodegenMetrics.METRIC_COMPILATION_TIME.getCount - c0}%3d")
+        }
+      }
+    }
+
     // Multi-graph co-hosting at N>2 (r14 verdict #8): does per-graph
     // warm-probe latency stay flat as one session hosts 1 -> 8 graphs?
     // Each graph is the full store-backed fixture under its own name —
