@@ -370,6 +370,72 @@ object PipelineEntry {
           col("doc_id"), lit("?b=2&utm_campaign=c&a=1#frag"), col("doc_id"))))
   }
 
+  /** p122 fixture: one sitemap document per doc — doc_id%7==0 publishes
+   * a SITEMAPINDEX of doc_id%3+1 child refs, the rest a URLSET of
+   * doc_id%5+1 url entries with optional-field presence varied per
+   * entry (lastmod on even j, changefreq on j%3==0, priority on odd j)
+   * and a `&amp;`-escaped query in every loc, so entity decoding is
+   * load-bearing in the oracle comparison. */
+  private def sitemapDocs(d: DataFrame): DataFrame = {
+    val site = concat(lit("site"), pmod(col("doc_id"), lit(40)),
+      lit(".example.com"))
+    val freqs = Seq("always", "hourly", "daily", "weekly", "monthly",
+      "yearly", "never")
+    def day(prefix: String, j: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = concat(lit(prefix),
+      lpad((pmod(col("doc_id") + j, lit(28)) + 1).cast("string"), 2, "0"))
+    val urlEntries = transform(sequence(lit(0L), pmod(col("doc_id"), lit(5))),
+      j => concat(
+        lit("  <url>\n    <loc>https://"), site, lit("/page/"),
+        col("doc_id"), lit("/"), j, lit("?a=1&amp;b=2</loc>\n"),
+        when(pmod(j, lit(2)) === 0, concat(lit("    <lastmod>"),
+          day("2024-01-", j), lit("</lastmod>\n"))).otherwise(lit("")),
+        when(pmod(j, lit(3)) === 0, concat(lit("    <changefreq>"),
+          element_at(typedlit(freqs),
+            (pmod(col("doc_id") + j, lit(7)) + 1).cast("int")),
+          lit("</changefreq>\n"))).otherwise(lit("")),
+        when(pmod(j, lit(2)) === 1, concat(lit("    <priority>0."),
+          pmod(col("doc_id") + j, lit(10)), lit("</priority>\n")))
+          .otherwise(lit("")),
+        lit("  </url>")))
+    val idxEntries = transform(sequence(lit(0L), pmod(col("doc_id"), lit(3))),
+      j => concat(
+        lit("  <sitemap>\n    <loc>https://"), site, lit("/sitemap-"), j,
+        lit(".xml</loc>\n"),
+        when(pmod(j, lit(2)) === 0, concat(lit("    <lastmod>"),
+          day("2023-12-", j), lit("</lastmod>\n"))).otherwise(lit("")),
+        lit("  </sitemap>")))
+    val ns = "http://www.sitemaps.org/schemas/sitemap/0.9"
+    d.select(col("doc_id").as("site_id"),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit("<?xml version=\"1.0\"?>\n<sitemapindex xmlns=\"" +
+          ns + "\">\n"), array_join(idxEntries, "\n"),
+          lit("\n</sitemapindex>")))
+      .otherwise(
+        concat(lit("<?xml version=\"1.0\"?>\n<urlset xmlns=\"" + ns +
+          "\">\n"), array_join(urlEntries, "\n"), lit("\n</urlset>")))
+      .as("body"))
+  }
+
+  /** p123 fixture: each doc's tokens reshaped into 7-token lines (code
+   * has line structure the raw corpus text lacks); doc_id%9==0 gains a
+   * 1200-char minified-style line (fails the max-line screen),
+   * doc_id%11==0 a generation-marker header (fails the autogen
+   * screen) — both arms load-bearing in the oracle comparison. */
+  private def codeDocs(d: DataFrame): DataFrame = {
+    val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    val nChunks = ceil(size(toks).cast("double") / lit(7.0)).cast("int")
+    val lines = transform(sequence(lit(0), nChunks - 1),
+      k => array_join(slice(toks, k * 7 + 1, lit(7)), " "))
+    val body = array_join(lines, "\n")
+    val withLong = when(pmod(col("doc_id"), lit(9)) === 0,
+      concat(body, lit("\n"), repeat(lit("x"), 1200))).otherwise(body)
+    val withHdr = when(pmod(col("doc_id"), lit(11)) === 0,
+      concat(lit("// Auto-Generated by graftgen\n"), withLong))
+      .otherwise(withLong)
+    d.select(col("doc_id"), withHdr.as("text"))
+  }
+
   /** Shared conversation fixture for the SFT key (p94): a 5-turn
    * conversation per doc carved from its own token stream (system,
    * user, assistant, user, assistant), mirrored token-for-token in
@@ -1993,6 +2059,66 @@ object PipelineEntry {
             .cast("long").as("id"),
           col("body_bytes").as("payload"))
       Pdf.extractTexts(recovered).orderBy("id")
+    }),
+
+    // P121 — fill-in-the-middle transformation (the FIM-paper
+    // pretraining rewrite): a hash-gated half of docs is split at two
+    // deterministic char cuts and re-serialized PSM/SPM with sentinel
+    // tokens, the rest pass through verbatim. Pure (id, salt) functions
+    // end to end, so the oracle recomputes every gate, cut, and
+    // rendered byte from scratch; degenerate empty-middle splits are
+    // load-bearing (lo==hi happens in-fixture). One narrow scan.
+    "p121_fim" -> ((s, dir) =>
+      Corpus.fimTransform(docs(s, dir)).orderBy("doc_id")),
+
+    // P122 — sitemap parsing (the discovery half of crawl governance;
+    // robots p101 is the permission half): urlset AND sitemapindex
+    // documents with per-entry optional fields and entity-escaped
+    // locs. The oracle re-derives every entry from the fixture formula
+    // without touching XML — a block-split slip, a tag-match slip, an
+    // optional-field null/empty slip, or an entity-decode slip all
+    // change rows.
+    "p122_sitemaps" -> ((s, dir) =>
+      UrlOps.parseSitemaps(sitemapDocs(docs(s, dir)), siteCol = "site_id")
+        .orderBy("site", "entry_idx")),
+
+    // P123 — code-quality filters (Codex/StarCoder line-geometry
+    // screen): max/mean line length, alphanumeric density, and
+    // generation-marker scan over line-structured docs, exact integers
+    // only (div, basis points). The oracle REBUILDS the line-shaped
+    // fixture and recomputes every metric with SQL built-ins — a line
+    // split slip, a div slip, or a threshold slip changes rows.
+    "p123_code_quality" -> ((s, dir) =>
+      TextAnalysis.codeQuality(codeDocs(docs(s, dir))).orderBy("id")),
+
+    // P124 — end-to-end PDF pipeline (p109's sibling through the
+    // OTHER binary door): fixture PDFs ride a .warc.gz crawl segment,
+    // extraction recovers their text, and the STANDARD text-analysis
+    // family (p09 quality) runs on it without special-casing —
+    // the oracle composes p118's closed-form re-typeset with p09's
+    // quality formula, so every stage (deflate → warc → inflate →
+    // operator machine → tokenizer → ratios) is checked end to end.
+    "p124_pdf_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.WarcSource
+      val out = s"/root/repo/target/warc-pdfq-${dir.replaceAll("[^0-9.]", "")}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val pdfs = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) => (id, Pdf.fixturePdf(id, t)) })
+        .toDF("id", "payload")
+      WarcSource.export(pdfs, out, docsPerFile = 100, idCol = "id",
+        bytesCol = Some("payload"), mime = "application/pdf")
+      val recovered = WarcSource.records(s, out)
+        .where(col("warc_type") === "response" && col("body").isNull)
+        .select(
+          regexp_extract(col("record_id"), ":doc:(\\d+)>$", 1)
+            .cast("long").as("id"),
+          col("body_bytes").as("payload"))
+      TextAnalysis.quality(
+        Pdf.extractTexts(recovered).select(col("id").as("doc_id"),
+          col("text")))
+        .orderBy("id")
     }),
 
     // P15 — streaming ingest, driver-visible: the file-based streaming
@@ -4788,6 +4914,139 @@ e AS (SELECT doc_id,
 SELECT doc_id AS id, TRUE AS xref_ok, 1::BIGINT AS n_streams,
   length(text)::BIGINT AS n_chars, text
 FROM e ORDER BY id""",
+
+    // p121: gates, cuts, and renders all re-derived from the md5 chain
+    // (the p84 convention) — a gate slip, an off-by-one in a cut, or a
+    // sentinel-order slip changes text bytes.
+    "p121_fim" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+h AS (SELECT doc_id, text, length(text)::BIGINT AS n,
+        ('0x' || substring(md5(doc_id::VARCHAR || ':v1:gate'), 1, 8))::BIGINT % 100 AS gate,
+        ('0x' || substring(md5(doc_id::VARCHAR || ':v1:mode'), 1, 8))::BIGINT % 100 AS md,
+        ('0x' || substring(md5(doc_id::VARCHAR || ':v1:c1'), 1, 8))::BIGINT % (length(text) + 1) AS c1,
+        ('0x' || substring(md5(doc_id::VARCHAR || ':v1:c2'), 1, 8))::BIGINT % (length(text) + 1) AS c2
+      FROM documents),
+s AS (SELECT doc_id, text, n, gate < 50 AS fim, md < 50 AS spm,
+        least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM h)
+SELECT doc_id, fim,
+  CASE WHEN NOT fim THEN 'plain' WHEN spm THEN 'spm' ELSE 'psm' END AS mode,
+  CASE WHEN fim THEN lo END AS n_prefix,
+  CASE WHEN fim THEN hi - lo END AS n_middle,
+  CASE WHEN fim THEN n - hi END AS n_suffix,
+  CASE WHEN NOT fim THEN text
+       WHEN spm THEN '<|fim_suffix|>' || substring(text, (hi + 1)::INT, (n - hi)::INT)
+         || '<|fim_prefix|>' || substring(text, 1, lo::INT)
+         || '<|fim_middle|>' || substring(text, (lo + 1)::INT, (hi - lo)::INT)
+       ELSE '<|fim_prefix|>' || substring(text, 1, lo::INT)
+         || '<|fim_suffix|>' || substring(text, (hi + 1)::INT, (n - hi)::INT)
+         || '<|fim_middle|>' || substring(text, (lo + 1)::INT, (hi - lo)::INT)
+       END AS text
+FROM s ORDER BY doc_id""",
+
+    // p122: both entry populations regenerated closed-form (urlset for
+    // doc_id%7!=0, index refs otherwise) with the loc's &amp; DECODED —
+    // the parser's output, never the XML.
+    "p122_sitemaps" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+u AS (SELECT doc_id, t.j FROM documents,
+        unnest(generate_series(0, doc_id % 5)) AS t(j)
+      WHERE doc_id % 7 <> 0),
+i AS (SELECT doc_id, t.j FROM documents,
+        unnest(generate_series(0, doc_id % 3)) AS t(j)
+      WHERE doc_id % 7 = 0)
+SELECT doc_id AS site, 'urlset' AS kind, j AS entry_idx,
+  'https://site' || (doc_id % 40) || '.example.com/page/' || doc_id ||
+    '/' || j || '?a=1&b=2' AS loc,
+  CASE WHEN j % 2 = 0
+    THEN '2024-01-' || lpad(((doc_id + j) % 28 + 1)::VARCHAR, 2, '0')
+    END AS lastmod,
+  CASE WHEN j % 3 = 0 THEN (['always', 'hourly', 'daily', 'weekly',
+    'monthly', 'yearly', 'never'])[(doc_id + j) % 7 + 1]
+    END AS changefreq,
+  CASE WHEN j % 2 = 1 THEN '0.' || ((doc_id + j) % 10) END AS priority
+FROM u
+UNION ALL
+SELECT doc_id, 'sitemapindex', j,
+  'https://site' || (doc_id % 40) || '.example.com/sitemap-' || j || '.xml',
+  CASE WHEN j % 2 = 0
+    THEN '2023-12-' || lpad(((doc_id + j) % 28 + 1)::VARCHAR, 2, '0') END,
+  NULL, NULL
+FROM i
+ORDER BY site, entry_idx""",
+
+    // p123: the fixture text rebuilt closed-form, every metric
+    // recomputed with SQL built-ins (list_max over the line split,
+    // regexp char strip, // integral division).
+    "p123_code_quality" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+w AS (SELECT doc_id, list_filter(
+        string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+b AS (SELECT doc_id,
+        (CASE WHEN doc_id % 11 = 0
+          THEN '// Auto-Generated by graftgen' || chr(10) ELSE '' END)
+        || array_to_string(
+             [array_to_string(toks[k*7+1 : k*7+7], ' ')
+              for k in range(0, CAST(ceil(len(toks)/7.0) AS BIGINT))],
+             chr(10))
+        || (CASE WHEN doc_id % 9 = 0
+          THEN chr(10) || repeat('x', 1200) ELSE '' END) AS text
+      FROM w),
+m AS (SELECT doc_id AS id,
+        len(string_split(text, chr(10)))::BIGINT AS n_lines,
+        list_max(list_transform(string_split(text, chr(10)),
+          x -> length(x)))::BIGINT AS max_line_len,
+        length(text)::BIGINT AS n_chars,
+        length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::BIGINT
+          AS n_alnum,
+        (lower(text) LIKE '%auto-generated%'
+          OR lower(text) LIKE '%autogenerated%'
+          OR lower(text) LIKE '%generated by%') AS autogen
+      FROM b),
+f AS (SELECT id, n_lines, max_line_len,
+        (n_chars - (n_lines - 1)) * 1000 // n_lines AS mean_line_milli,
+        n_alnum * 10000 // n_chars AS alnum_bp, autogen
+      FROM m)
+SELECT *, (max_line_len <= 1000 AND mean_line_milli <= 100000
+  AND alnum_bp >= 2500 AND NOT autogen) AS keep
+FROM f ORDER BY id""",
+
+    // p124: p118's closed-form PDF re-typeset composed with p09's
+    // quality formula — end-to-end over the extracted text.
+    "p124_pdf_pipeline" -> {
+      val stop = graft.functions.TextFunctions.DefaultStopwords("en")
+        .map("'" + _ + "'").mkString(", ")
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+w AS (SELECT doc_id, list_filter(
+        string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+e AS (SELECT doc_id,
+        'Doc ' || doc_id || ' (pdf) A' || chr(10) || array_to_string(
+          [array_to_string(toks[k*10+1 : k*10+10], ' ')
+           for k in range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))],
+          chr(10)) AS text
+      FROM w),
+base AS (
+  SELECT doc_id AS id, length(text)::BIGINT AS n_chars,
+         string_split_regex(lower(trim(text)), '\\s+') AS t,
+         length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::BIGINT AS punct
+  FROM e),
+m AS (
+  SELECT id, n_chars, len(t)::BIGINT AS n_tokens,
+    list_reduce([0]::BIGINT[] || list_transform(t, x -> length(x)::BIGINT),
+      (a,b) -> a+b)::DOUBLE / len(t)::DOUBLE AS mean_len,
+    punct::DOUBLE / n_chars::DOUBLE AS punct_ratio,
+    len(list_filter(t, x -> list_contains([$stop], x)))::DOUBLE / len(t)::DOUBLE
+      AS stop_ratio
+  FROM base)
+SELECT id, n_chars, n_tokens,
+  round(mean_len, 6) AS mean_token_len,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(stop_ratio, 6) AS stopword_ratio,
+  round(GREATEST(0.0, 1.0 - abs(mean_len - 5.0) / 10.0 - punct_ratio * 2.0
+    + stop_ratio * 0.5), 6) AS quality_score
+FROM m ORDER BY id"""
+    },
 
     "p15_streaming" ->
       s"""WITH $eventsCte,

@@ -1386,4 +1386,70 @@ object Corpus {
           .as("n_removed"),
         concat_ws(" ", col("kept")).as("clean_text"))
   }
+
+  // ------------------------------------- fill-in-the-middle (P121)
+
+  /**
+   * Fill-in-the-middle transformation — the pretraining-data rewrite
+   * that teaches a causal LM to infill (Bavarian et al. 2022,
+   * "Efficient Training of Language Models to Fill in the Middle"):
+   * a gated fraction of docs is split at two cut points into
+   * (prefix, middle, suffix) and re-serialized with sentinel tokens so
+   * the middle comes LAST; the rest pass through verbatim (the paper's
+   * joint objective needs both populations).
+   *
+   * Everything is a pure function of (id, salt) — the house
+   * deterministic-randomness discipline (hashSplit's md5 chain), so
+   * the transform is reproducible, shard-order-independent, and
+   * oracle-checkable:
+   *   - gate:  md5(id:salt:gate)  % 100 < fimRate   -> transform
+   *   - mode:  md5(id:salt:mode)  % 100 < spmRate   -> SPM else PSM
+   *   - cuts:  md5(id:salt:c1|c2) % (n+1), character-level; lo/hi
+   *     ordered, so middle may be empty (lo==hi) — kept, as the paper
+   *     keeps degenerate splits.
+   * Rendering (this library's fixed convention, shared with the
+   * oracle):
+   *   PSM: `pre` + prefix + `suf` + suffix + `mid` + middle
+   *   SPM: `suf` + suffix + `pre` + prefix + `mid` + middle
+   *
+   * Output: (idCol, fim, mode 'psm'|'spm'|'plain', n_prefix, n_middle,
+   * n_suffix — null when untransformed — , text). One narrow scan,
+   * zero shuffles, zero UDFs; the split is char-level (the paper's
+   * context-level variant), so it composes BEFORE tokenization (p41
+   * BPE) exactly as production FIM pipelines order it.
+   */
+  def fimTransform(docs: DataFrame, fimRate: Int = 50, spmRate: Int = 50,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   salt: String = "v1",
+                   pre: String = "<|fim_prefix|>",
+                   suf: String = "<|fim_suffix|>",
+                   mid: String = "<|fim_middle|>"): DataFrame = {
+    require(fimRate >= 0 && fimRate <= 100 && spmRate >= 0 && spmRate <= 100,
+      "rates are percentages")
+    val text = col(textCol)
+    def h(tag: String, modulus: Column): Column = pmod(
+      conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(s":$salt:$tag"))), 1, 8), 16, 10).cast("long"), modulus)
+    val n = length(text).cast("long")
+    val isFim = h("gate", lit(100)) < fimRate
+    val isSpm = h("mode", lit(100)) < spmRate
+    val c1 = h("c1", n + 1)
+    val c2 = h("c2", n + 1)
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val prefix = text.substr(lit(1), lo.cast("int"))
+    val middle = text.substr((lo + 1).cast("int"), (hi - lo).cast("int"))
+    val suffix = text.substr((hi + 1).cast("int"), (n - hi).cast("int"))
+    docs.select(
+      col(idCol),
+      isFim.as("fim"),
+      when(!isFim, "plain").when(isSpm, "spm").otherwise("psm").as("mode"),
+      when(isFim, lo).as("n_prefix"),
+      when(isFim, hi - lo).as("n_middle"),
+      when(isFim, n - hi).as("n_suffix"),
+      when(!isFim, text)
+        .when(isSpm, concat(lit(suf), suffix, lit(pre), prefix, lit(mid), middle))
+        .otherwise(concat(lit(pre), prefix, lit(suf), suffix, lit(mid), middle))
+        .as("text"))
+  }
 }

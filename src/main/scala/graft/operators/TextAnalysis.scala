@@ -1104,6 +1104,54 @@ object TextAnalysis {
    * dropped, `sent_idx` 0-based in document order. One narrow scan +
    * explode, no shuffle.
    */
+  /**
+   * Code-quality filters — the line-geometry screen every code-corpus
+   * pipeline applies before training (the Codex data section and
+   * StarCoder/The-Stack filters: drop files with very long or very
+   * uniform-long lines, low alphanumeric density, or auto-generation
+   * markers — minified bundles, vendored blobs, and generated
+   * protobufs fail exactly these):
+   *   - max_line_len / mean_line_milli (mean chars-per-line x1000,
+   *     exact integer: (n_chars - (n_lines-1)) * 1000 div n_lines —
+   *     the numerator is the chars-in-lines total without re-summing);
+   *   - alnum_bp: [A-Za-z0-9] chars per 10000 (basis points, exact);
+   *   - autogen: case-insensitive generation-marker scan
+   *     ("auto-generated" / "autogenerated" / "generated by");
+   *   - keep: max_line_len <= maxLineLen AND mean_line_milli <=
+   *     maxMeanMilli AND alnum_bp >= minAlnumBp AND NOT autogen.
+   * Thresholds default to the published StarCoder values (1000 max,
+   * 100 mean, 25% alphanumeric).
+   *
+   * Scale shape: one narrow scan — split/transform/aggregate per row,
+   * exact integers only, zero shuffles, zero UDFs.
+   */
+  def codeQuality(docs: DataFrame, maxLineLen: Int = 1000,
+                  maxMeanMilli: Long = 100000L, minAlnumBp: Long = 2500L,
+                  textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    val text = col(textCol)
+    val lines = split(text, "\n", -1)
+    docs.select(
+        col(idCol).as("id"),
+        size(lines).cast("long").as("n_lines"),
+        array_max(transform(lines, l => length(l))).cast("long")
+          .as("max_line_len"),
+        length(text).cast("long").as("__n_chars"),
+        length(regexp_replace(text, "[^A-Za-z0-9]", "")).cast("long")
+          .as("__n_alnum"),
+        lower(text).rlike("auto-generated|autogenerated|generated by")
+          .as("autogen"))
+      // exact integral division (div, never IEEE /) — the oracle's //
+      .withColumn("mean_line_milli",
+        expr("(__n_chars - (n_lines - 1)) * 1000 div n_lines"))
+      .withColumn("alnum_bp", expr("__n_alnum * 10000 div __n_chars"))
+      .select(col("id"), col("n_lines"), col("max_line_len"),
+        col("mean_line_milli"), col("alnum_bp"), col("autogen"),
+        (col("max_line_len") <= maxLineLen &&
+          col("mean_line_milli") <= maxMeanMilli &&
+          col("alnum_bp") >= minAlnumBp && !col("autogen")).as("keep"))
+  }
+
   def sentences(docs: DataFrame, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
     // strip any pre-existing sentinel char first — a \u0001 in crawl

@@ -340,4 +340,113 @@ object UrlOps {
         count(lit(1)).as("n_dups"))
       .select(col("canonical_url"), col("best.id").as("kept_doc_id"),
         col("n_dups"))
+
+  // ------------------------------------------------ sitemaps (P122)
+
+  /**
+   * Sitemap parser (sitemaps.org protocol) — the discovery half of
+   * crawl governance: robots.txt (p101) says what a crawler MAY
+   * fetch, the sitemap says what the site WANTS fetched, with the
+   * freshness/priority metadata a frontier scheduler consumes. A site
+   * publishes either a `<urlset>` of `<url>` entries (`<loc>` required;
+   * `<lastmod>`, `<changefreq>`, `<priority>` optional) or a
+   * `<sitemapindex>` of child `<sitemap>` references — real crawls
+   * must take both, and large sites are index-first.
+   *
+   * Subset (regex extraction, the p92/p114 house approach — a
+   * conforming-document parser, not a recovering one): tag matching is
+   * case-insensitive and whitespace-tolerant, values are trimmed,
+   * `<loc>` is entity-decoded per the spec's requirement that URLs be
+   * entity-escaped (`&amp;` handled LAST so double-escapes resolve one
+   * level, as in htmlToText); absent optional tags yield null, never
+   * empty string. CDATA sections and XML namespaces-as-prefixes are
+   * out of subset.
+   *
+   * Input: one row per fetched sitemap document (`siteCol`,
+   * `bodyCol`). Output: one row per ENTRY —
+   *   (site, kind 'urlset'|'sitemapindex', entry_idx, loc, lastmod,
+   *    changefreq, priority)
+   * — index entries carry their child-sitemap loc (+ optional
+   * lastmod) with changefreq/priority null.
+   *
+   * Scale shape: regexp extraction runs where the body landed; ONE
+   * positional generator per document; zero shuffles, zero UDFs.
+   * Bodies never cross an exchange — the output is narrow metadata.
+   */
+  /**
+   * Crawl-frontier scheduling over parsed sitemap entries — the step
+   * between discovery (parseSitemaps) and fetching: a crawler must be
+   * POLITE (at most `perRound` concurrent fetches per host) while
+   * honoring the site's own priority hints, so the frontier is a
+   * per-host queue ordered by (priority desc, lastmod desc, loc) with
+   * the queue position folded into a fetch ROUND. The sitemap spec's
+   * default priority is 0.5; values parse as exact DECIMAL milli-units
+   * (never IEEE — 0.7*1000 must be 700 on both engines).
+   *
+   * Input: parseSitemaps output (urlset rows; index rows are pointers,
+   * not fetchables, and are filtered here). Output:
+   *   (host, loc, priority_milli, fetch_round) — round r holds each
+   * host's fetches (r-1)*perRound+1 .. r*perRound, so `max(fetch_round)
+   * per host` is the host's crawl depth and `count per round` the
+   * global fetch-rate profile.
+   *
+   * Scale shape: ONE window partitioned by host — the politeness
+   * domain is the natural partitioning key, and per-host sequencing is
+   * inherent to the problem (a global sort would be both wrong and
+   * unscalable). Skew = one giant host's queue, bounded by that host's
+   * OWN sitemap size, never the corpus.
+   */
+  def frontierSchedule(entries: DataFrame, perRound: Int = 1): DataFrame = {
+    require(perRound >= 1, "perRound must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val host = lower(regexp_extract(col("loc"), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    val prio = (coalesce(col("priority").cast("decimal(5,3)"),
+      lit(BigDecimal("0.5"))) * 1000).cast("long")
+    val w = Window.partitionBy("host")
+      .orderBy(col("priority_milli").desc,
+        col("lastmod").desc_nulls_last, col("loc"))
+    entries
+      .where(col("kind") === "urlset")
+      .select(host.as("host"), col("loc"), col("lastmod"),
+        prio.as("priority_milli"))
+      .withColumn("fetch_round",
+        ((row_number().over(w) + (perRound - 1)).cast("long") / perRound)
+          .cast("long"))
+      .select("host", "loc", "priority_milli", "fetch_round")
+  }
+
+  def parseSitemaps(sitemaps: DataFrame, siteCol: String = "site",
+                    bodyCol: String = "body"): DataFrame = {
+    val body = col(bodyCol)
+    val isIndex = body.rlike("(?is)<sitemapindex[\\s>]")
+    val blocks = when(isIndex,
+        regexp_extract_all(body,
+          lit("(?is)<sitemap\\b[^>]*>(.*?)</sitemap>"), lit(1)))
+      .otherwise(
+        regexp_extract_all(body,
+          lit("(?is)<url\\b[^>]*>(.*?)</url>"), lit(1)))
+    def field(tag: String): Column = {
+      val v = trim(regexp_extract(col("__e"),
+        s"(?is)<$tag\\b[^>]*>(.*?)</$tag>", 1))
+      when(v =!= "", v)
+    }
+    def decode(c: Column): Column =
+      replace(
+        replace(
+          replace(
+            replace(
+              replace(c, lit("&lt;"), lit("<")),
+              lit("&gt;"), lit(">")),
+            lit("&quot;"), lit("\"")),
+          lit("&apos;"), lit("'")),
+        lit("&amp;"), lit("&"))
+    sitemaps
+      .select(col(siteCol).as("site"),
+        when(isIndex, "sitemapindex").otherwise("urlset").as("kind"),
+        posexplode(blocks))
+      .withColumnsRenamed(Map("pos" -> "entry_idx", "col" -> "__e"))
+      .select(col("site"), col("kind"), col("entry_idx").cast("long"),
+        decode(field("loc")).as("loc"), field("lastmod").as("lastmod"),
+        field("changefreq").as("changefreq"), field("priority").as("priority"))
+  }
 }

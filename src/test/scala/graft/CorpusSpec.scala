@@ -878,4 +878,48 @@ class CorpusSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("fimTransform: splits reconstruct, renders match mode, lengths consistent") {
+    val docs = (0L until 40L).map(i => (i, s"document $i body with some text"))
+      .toDF("doc_id", "text")
+    val out = Corpus.fimTransform(docs).orderBy("doc_id").collect()
+    val orig = docs.orderBy("doc_id").collect().map(_.getString(1))
+    val (pre, suf, mid) = ("<|fim_prefix|>", "<|fim_suffix|>", "<|fim_middle|>")
+    var nFim = 0
+    out.zip(orig).foreach { case (r, t) =>
+      val rendered = r.getAs[String]("text")
+      if (!r.getAs[Boolean]("fim")) {
+        assert(r.getAs[String]("mode") == "plain" && rendered == t)
+        assert(r.isNullAt(r.fieldIndex("n_prefix")))
+      } else {
+        nFim += 1
+        val (np, nm, ns) = (r.getAs[Long]("n_prefix").toInt,
+          r.getAs[Long]("n_middle").toInt, r.getAs[Long]("n_suffix").toInt)
+        assert(np + nm + ns == t.length, "split lengths must cover the doc")
+        assert(rendered.length == t.length + pre.length + suf.length + mid.length)
+        // reconstruct the three pieces from the KNOWN lengths and
+        // require they reassemble the original — render-order proof
+        val (p, m, s) = (t.substring(0, np), t.substring(np, np + nm),
+          t.substring(np + nm))
+        if (r.getAs[String]("mode") == "spm")
+          assert(rendered == suf + s + pre + p + mid + m)
+        else
+          assert(rendered == pre + p + suf + s + mid + m)
+      }
+    }
+    assert(nFim > 5 && nFim < 35, s"gate should split the population: $nFim")
+    assert(out.exists(r => r.getAs[String]("mode") == "spm") &&
+      out.exists(r => r.getAs[String]("mode") == "psm"))
+    // rate endpoints: 0 -> all plain (byte-identical), 100 -> all fim
+    assert(Corpus.fimTransform(docs, fimRate = 0).collect()
+      .forall(r => r.getAs[String]("mode") == "plain"))
+    assert(Corpus.fimTransform(docs, fimRate = 100).collect()
+      .forall(_.getAs[Boolean]("fim")))
+    // degenerate empty-middle splits are kept, not dropped
+    val all = Corpus.fimTransform(docs, fimRate = 100).collect()
+    assert(all.length == 40)
+    // one narrow scan, zero exchanges
+    val plan = Corpus.fimTransform(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

@@ -570,4 +570,33 @@ class TextFunctionsSpec extends SparkSpec {
       ("b.com", 1L, 1L, 3L),
       ("c.com", 0L, 0L, 1L)))
   }
+
+  test("codeQuality: line geometry, alnum density, autogen marker, keep verdict") {
+    val docs = Seq(
+      (1L, "def f(x):\n  return x + 1\n"),          // healthy code
+      (2L, "let x=1;" + "y".repeat(1500)),          // minified: max line
+      (3L, "// Auto-Generated by protoc\ncode();"), // marker
+      (4L, "{}[]();,.!?<>" + "\n" + "::==--++"),    // symbol soup: alnum
+      (5L, "x\n\nz")                                 // empty middle line
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.codeQuality(docs).orderBy("id").collect()
+    val byId = out.map(r => r.getAs[Long]("id") -> r).toMap
+    // healthy: 3 lines (trailing \n makes an empty 3rd), keeps
+    assert(byId(1L).getAs[Long]("n_lines") == 3 &&
+      byId(1L).getAs[Long]("max_line_len") == 14 &&
+      byId(1L).getAs[Boolean]("keep"))
+    // mean = (n_chars - (n_lines-1)) * 1000 div n_lines, exact
+    val t1 = "def f(x):\n  return x + 1\n"
+    assert(byId(1L).getAs[Long]("mean_line_milli") ==
+      (t1.length - 2) * 1000L / 3)
+    assert(!byId(2L).getAs[Boolean]("keep") &&
+      byId(2L).getAs[Long]("max_line_len") > 1000)
+    assert(byId(3L).getAs[Boolean]("autogen") && !byId(3L).getAs[Boolean]("keep"))
+    assert(byId(4L).getAs[Long]("alnum_bp") == 0 && !byId(4L).getAs[Boolean]("keep"))
+    // split must KEEP empty segments (split limit -1): 3 lines, not 2
+    assert(byId(5L).getAs[Long]("n_lines") == 3)
+    // one narrow scan, zero exchanges
+    val plan = TextAnalysis.codeQuality(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

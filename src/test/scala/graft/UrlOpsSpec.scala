@@ -302,4 +302,57 @@ class UrlOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(kept == Seq(3L))
   }
+
+  test("parseSitemaps: urlset entries, optional fields, entity decoding") {
+    val body =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url>
+        |    <loc>https://a.com/p?x=1&amp;y=2</loc>
+        |    <lastmod> 2024-03-05 </lastmod>
+        |    <changefreq>daily</changefreq>
+        |    <priority>0.8</priority>
+        |  </url>
+        |  <URL><LOC>https://a.com/only-loc&amp;lt;</LOC></URL>
+        |</urlset>""".stripMargin
+    val out = UrlOps.parseSitemaps(Seq(("a.com", body)).toDF("site", "body"))
+      .orderBy("entry_idx").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[String]("kind") == "urlset"))
+    val r0 = out(0)
+    // entity-decoded loc, trimmed lastmod, all optionals present
+    assert(r0.getAs[String]("loc") == "https://a.com/p?x=1&y=2")
+    assert(r0.getAs[String]("lastmod") == "2024-03-05")
+    assert(r0.getAs[String]("changefreq") == "daily")
+    assert(r0.getAs[String]("priority") == "0.8")
+    val r1 = out(1)
+    // mixed-case tags parse; double-escape resolves ONE level; absent
+    // optionals are null, never ""
+    assert(r1.getAs[String]("loc") == "https://a.com/only-loc&lt;")
+    assert(r1.isNullAt(r1.fieldIndex("lastmod")) &&
+      r1.isNullAt(r1.fieldIndex("changefreq")) &&
+      r1.isNullAt(r1.fieldIndex("priority")))
+  }
+
+  test("parseSitemaps: sitemapindex routes to child-sitemap entries") {
+    val body =
+      """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <sitemap><loc>https://a.com/sitemap-0.xml</loc>
+        |    <lastmod>2024-01-01</lastmod></sitemap>
+        |  <sitemap><loc>https://a.com/sitemap-1.xml</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    val df = Seq(("a.com", body), ("b.com", "<urlset></urlset>"))
+      .toDF("site", "body")
+    val out = UrlOps.parseSitemaps(df).orderBy("site", "entry_idx").collect()
+    // the empty urlset yields zero rows, not a null row
+    assert(out.length == 2 && out.forall(_.getAs[String]("site") == "a.com"))
+    assert(out.forall(_.getAs[String]("kind") == "sitemapindex"))
+    assert(out.map(_.getAs[String]("loc")).toSeq ==
+      Seq("https://a.com/sitemap-0.xml", "https://a.com/sitemap-1.xml"))
+    assert(out(0).getAs[String]("lastmod") == "2024-01-01" &&
+      out(1).isNullAt(out(1).fieldIndex("lastmod")))
+    // bodies stay where they landed: generator only, zero exchanges
+    val plan = UrlOps.parseSitemaps(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
