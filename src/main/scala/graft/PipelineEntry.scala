@@ -2121,6 +2121,40 @@ object PipelineEntry {
         .orderBy("id")
     }),
 
+    // P125 — crawl-frontier scheduling (discovery → fetch plan): p122's
+    // parsed urlset entries become per-host politeness queues ordered
+    // by (priority desc, lastmod desc nulls last, loc), queue position
+    // folded into fetch rounds of 2. Priorities parse as exact DECIMAL
+    // milli-units (500 default where the sitemap gives none); index
+    // rows are pointers, not fetchables, and are filtered. The oracle
+    // re-derives entries AND the window from scratch.
+    "p125_frontier" -> ((s, dir) =>
+      UrlOps.frontierSchedule(
+        UrlOps.parseSitemaps(sitemapDocs(docs(s, dir)), siteCol = "site_id"),
+        perRound = 2)
+        .orderBy("host", "fetch_round", "loc")),
+
+    // P126 — STREAMING sitemap ingest (sitemaps arrive with the crawl,
+    // not before it): the same parse over a file stream of sitemap
+    // documents, stateless append mode, Trigger.AvailableNow — shares
+    // p122's oracle verbatim, so batch ≡ streaming is hash-proven (the
+    // p99/p110 convention).
+    "p126_streaming_sitemaps" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tag = dir.replaceAll("[^0-9]", "_")
+      val out = s"/root/repo/target/sitemaps-stream-$tag"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val sm = sitemapDocs(docs(s, dir))
+      sm.repartition(8).write.mode("overwrite").parquet(out)
+      val name = "p126_sitemaps_" + tag
+      val q = UrlOps.parseSitemaps(
+          s.readStream.schema(sm.schema).parquet(out), siteCol = "site_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("site", "entry_idx")
+    }),
+
     // P15 — streaming ingest, driver-visible: the file-based streaming
     // source drained through the stateful gap-sessionizer into a memory
     // sink (Trigger.AvailableNow). With NoTimeout, exactly the sessions
@@ -2710,6 +2744,37 @@ per AS (SELECT doc_id, count(*)::BIGINT AS n_words,
    * binary-payload WARC segment). The pairs are enumerable from the
    * doc table alone — every variant of one doc is dHash-identical by
    * construction, distinct docs never pair. */
+  /** Oracle shared by p122 (batch sitemap parse) and p126 (its
+   * streaming drain): both entry populations regenerated closed-form
+   * from the sitemapDocs fixture formula with the loc's &amp; DECODED. */
+  private lazy val SitemapsOracle: String =
+    s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+u AS (SELECT doc_id, t.j FROM documents,
+        unnest(generate_series(0, doc_id % 5)) AS t(j)
+      WHERE doc_id % 7 <> 0),
+i AS (SELECT doc_id, t.j FROM documents,
+        unnest(generate_series(0, doc_id % 3)) AS t(j)
+      WHERE doc_id % 7 = 0)
+SELECT doc_id AS site, 'urlset' AS kind, j AS entry_idx,
+  'https://site' || (doc_id % 40) || '.example.com/page/' || doc_id ||
+    '/' || j || '?a=1&b=2' AS loc,
+  CASE WHEN j % 2 = 0
+    THEN '2024-01-' || lpad(((doc_id + j) % 28 + 1)::VARCHAR, 2, '0')
+    END AS lastmod,
+  CASE WHEN j % 3 = 0 THEN (['always', 'hourly', 'daily', 'weekly',
+    'monthly', 'yearly', 'never'])[(doc_id + j) % 7 + 1]
+    END AS changefreq,
+  CASE WHEN j % 2 = 1 THEN '0.' || ((doc_id + j) % 10) END AS priority
+FROM u
+UNION ALL
+SELECT doc_id, 'sitemapindex', j,
+  'https://site' || (doc_id % 40) || '.example.com/sitemap-' || j || '.xml',
+  CASE WHEN j % 2 = 0
+    THEN '2023-12-' || lpad(((doc_id + j) % 28 + 1)::VARCHAR, 2, '0') END,
+  NULL, NULL
+FROM i
+ORDER BY site, entry_idx"""
+
   private lazy val ImageNearDupOracle: String =
     s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
 v AS (SELECT doc_id, 0 AS var FROM documents
@@ -4945,34 +5010,10 @@ FROM s ORDER BY doc_id""",
 
     // p122: both entry populations regenerated closed-form (urlset for
     // doc_id%7!=0, index refs otherwise) with the loc's &amp; DECODED —
-    // the parser's output, never the XML.
-    "p122_sitemaps" ->
-      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
-u AS (SELECT doc_id, t.j FROM documents,
-        unnest(generate_series(0, doc_id % 5)) AS t(j)
-      WHERE doc_id % 7 <> 0),
-i AS (SELECT doc_id, t.j FROM documents,
-        unnest(generate_series(0, doc_id % 3)) AS t(j)
-      WHERE doc_id % 7 = 0)
-SELECT doc_id AS site, 'urlset' AS kind, j AS entry_idx,
-  'https://site' || (doc_id % 40) || '.example.com/page/' || doc_id ||
-    '/' || j || '?a=1&b=2' AS loc,
-  CASE WHEN j % 2 = 0
-    THEN '2024-01-' || lpad(((doc_id + j) % 28 + 1)::VARCHAR, 2, '0')
-    END AS lastmod,
-  CASE WHEN j % 3 = 0 THEN (['always', 'hourly', 'daily', 'weekly',
-    'monthly', 'yearly', 'never'])[(doc_id + j) % 7 + 1]
-    END AS changefreq,
-  CASE WHEN j % 2 = 1 THEN '0.' || ((doc_id + j) % 10) END AS priority
-FROM u
-UNION ALL
-SELECT doc_id, 'sitemapindex', j,
-  'https://site' || (doc_id % 40) || '.example.com/sitemap-' || j || '.xml',
-  CASE WHEN j % 2 = 0
-    THEN '2023-12-' || lpad(((doc_id + j) % 28 + 1)::VARCHAR, 2, '0') END,
-  NULL, NULL
-FROM i
-ORDER BY site, entry_idx""",
+    // the parser's output, never the XML. p126 is the STREAMING drain
+    // of the same parse and shares it verbatim (batch ≡ streaming).
+    "p122_sitemaps" -> SitemapsOracle,
+    "p126_streaming_sitemaps" -> SitemapsOracle,
 
     // p123: the fixture text rebuilt closed-form, every metric
     // recomputed with SQL built-ins (list_max over the line split,
@@ -5047,6 +5088,30 @@ SELECT id, n_chars, n_tokens,
     + stop_ratio * 0.5), 6) AS quality_score
 FROM m ORDER BY id"""
     },
+
+    // p125: the urlset population from p122's oracle re-derived, then
+    // the politeness window recomputed — priority defaulting, null
+    // ordering, tie-breaks, and round folding all from scratch.
+    "p125_frontier" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+u AS (SELECT doc_id, t.j FROM documents,
+        unnest(generate_series(0, doc_id % 5)) AS t(j)
+      WHERE doc_id % 7 <> 0),
+e AS (SELECT 'site' || (doc_id % 40) || '.example.com' AS host,
+        'https://site' || (doc_id % 40) || '.example.com/page/' || doc_id
+          || '/' || j || '?a=1&b=2' AS loc,
+        CASE WHEN j % 2 = 0
+          THEN '2024-01-' || lpad(((doc_id + j) % 28 + 1)::VARCHAR, 2, '0')
+          END AS lastmod,
+        (CASE WHEN j % 2 = 1 THEN ((doc_id + j) % 10) * 100
+          ELSE 500 END)::BIGINT AS priority_milli
+      FROM u),
+r AS (SELECT host, loc, priority_milli,
+        row_number() OVER (PARTITION BY host ORDER BY priority_milli DESC,
+          lastmod DESC NULLS LAST, loc) AS rn
+      FROM e)
+SELECT host, loc, priority_milli, (rn + 1) // 2 AS fetch_round
+FROM r ORDER BY host, fetch_round, loc""",
 
     "p15_streaming" ->
       s"""WITH $eventsCte,

@@ -409,9 +409,9 @@ object UrlOps {
       .where(col("kind") === "urlset")
       .select(host.as("host"), col("loc"), col("lastmod"),
         prio.as("priority_milli"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
       .withColumn("fetch_round",
-        ((row_number().over(w) + (perRound - 1)).cast("long") / perRound)
-          .cast("long"))
+        expr(s"(__rn + ${perRound - 1}) div $perRound"))
       .select("host", "loc", "priority_milli", "fetch_round")
   }
 

@@ -355,4 +355,36 @@ class UrlOpsSpec extends SparkSpec {
     val plan = UrlOps.parseSitemaps(df).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("frontierSchedule: per-host politeness rounds, priority defaulting, ties") {
+    val entries = Seq(
+      // host a: four fetchables with mixed priority/lastmod presence
+      ("s", "urlset", 0L, "https://A.com/low", null, null, "0.1"),
+      ("s", "urlset", 1L, "https://a.com/high", null, null, "0.9"),
+      ("s", "urlset", 2L, "https://a.com/default-new", "2024-06-01", null, null),
+      ("s", "urlset", 3L, "https://a.com/default-old", "2023-01-01", null, null),
+      // host b: a single entry, and an index row that must NOT be fetched
+      ("s", "urlset", 4L, "https://b.com/only", null, null, null),
+      ("s", "sitemapindex", 5L, "https://b.com/sitemap.xml", null, null, null)
+    ).toDF("site", "kind", "entry_idx", "loc", "lastmod", "changefreq",
+      "priority")
+    val out = UrlOps.frontierSchedule(entries, perRound = 2)
+      .orderBy("host", "fetch_round", "loc").collect()
+    // index pointer filtered; host parsed from loc and LOWERCASED
+    assert(out.length == 5 && out.map(_.getAs[String]("host")).distinct.toSeq
+      == Seq("a.com", "b.com"))
+    // a.com order: 0.9 > default(0.5, newer lastmod first) > default > 0.1,
+    // folded into rounds of 2
+    val a = out.filter(_.getAs[String]("host") == "a.com")
+      .map(r => (r.getAs[String]("loc"), r.getAs[Long]("priority_milli"),
+        r.getAs[Long]("fetch_round")))
+    // (display sort is by loc STRING within a round: 'A' < 'a')
+    assert(a.toSeq == Seq(
+      ("https://a.com/default-new", 500L, 1L),
+      ("https://a.com/high", 900L, 1L),
+      ("https://A.com/low", 100L, 2L),
+      ("https://a.com/default-old", 500L, 2L)))
+    assert(out.filter(_.getAs[String]("host") == "b.com")
+      .map(_.getAs[Long]("fetch_round")).toSeq == Seq(1L))
+  }
 }
