@@ -417,6 +417,32 @@ object PipelineEntry {
       .as("body"))
   }
 
+  /** p127 fixture: a full page per doc — nav link farm (high link
+   * density), the doc's tokens as 8-token <p> paragraphs (content), a
+   * light-link paragraph with an entity on %5 (must SURVIVE the
+   * density screen), a link-heavy promo on %4 (must fail it), a short
+   * footer (fails the length screen). */
+  private def contentPages(d: DataFrame): DataFrame = {
+    val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    val nChunks = ceil(size(toks).cast("double") / lit(8.0)).cast("int")
+    val paras = transform(sequence(lit(0), nChunks - 1),
+      k => concat(lit("<p>"), array_join(slice(toks, k * 8 + 1, lit(8)), " "),
+        lit("</p>")))
+    val nav = lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
+      " <a href=\"/contact\">Contact</a></nav>")
+    val light = when(pmod(col("doc_id"), lit(5)) === 0,
+      lit("<p>See the <a href=\"/docs\">docs</a> for background " +
+        "information and details &amp; more</p>")).otherwise(lit(""))
+    val promo = when(pmod(col("doc_id"), lit(4)) === 0,
+      lit("<p><a href=\"/promo\">promo promo promo promo promo</a> x</p>"))
+      .otherwise(lit(""))
+    val footer = concat(lit("<footer>(c) site "),
+      pmod(col("doc_id"), lit(40)), lit("</footer>"))
+    d.select(col("doc_id"),
+      concat(lit("<html><body>"), nav, array_join(paras, ""), light, promo,
+        footer, lit("</body></html>")).as("html"))
+  }
+
   /** p123 fixture: each doc's tokens reshaped into 7-token lines (code
    * has line structure the raw corpus text lacks); doc_id%9==0 gains a
    * 1200-char minified-style line (fails the max-line screen),
@@ -1206,6 +1232,19 @@ object PipelineEntry {
     // recomputes every offset from closed-form length arithmetic.
     "p94_sft_render" -> ((s, dir) =>
       Corpus.sftRender(sftConvs(docs(s, dir)), idCol = "doc_id")
+        .orderBy("doc_id", "turn_idx")),
+
+    // P128 — SFT packing with remapped loss masks (p94 x p21, the
+    // actual trainer input): conversations pack into 2048-char budget
+    // bins per shard (packSequences topology) and every assistant span
+    // shifts by its conversation's offset within the pack. The oracle
+    // re-derives render lengths, the running-sum pack assignment, the
+    // per-pack offsets, and both span arms from scratch — an
+    // off-by-one anywhere trains the loss on the wrong bytes and
+    // changes rows.
+    "p128_sft_packing" -> ((s, dir) =>
+      Corpus.sftPack(sftConvs(docs(s, dir)), budget = 2048,
+        idCol = "doc_id")
         .orderBy("doc_id", "turn_idx")),
 
     // P95 — page-level link graph: hrefs extracted from raw HTML
@@ -2133,6 +2172,17 @@ object PipelineEntry {
         UrlOps.parseSitemaps(sitemapDocs(docs(s, dir)), siteCol = "site_id"),
         perRound = 2)
         .orderBy("host", "fetch_round", "loc")),
+
+    // P127 — main-content extraction by block link-density scoring
+    // (the jusText/trafilatura boilerplate-vs-content step): nav link
+    // farms and link-heavy promos fail the density screen, short
+    // footers fail the length screen, content paragraphs and a
+    // light-link entity-bearing paragraph survive into main_text. The
+    // oracle regenerates kept blocks closed-form (never parsing HTML),
+    // so segmentation, cleaning, the exact-integer density rule, and
+    // join order are all byte-checked.
+    "p127_main_content" -> ((s, dir) =>
+      Html.mainContent(contentPages(docs(s, dir))).orderBy("id")),
 
     // P126 — STREAMING sitemap ingest (sitemaps arrive with the crawl,
     // not before it): the same parse over a file stream of sitemap
@@ -4540,6 +4590,41 @@ SELECT doc_id, 4, l0 + l1 + l2 + l3 + 14,
 FROM l
 ORDER BY doc_id, turn_idx""",
 
+    // p128: p94's span CTEs composed with the packSequences window —
+    // shard, running-sum pack bins, per-pack offsets, shifted spans.
+    "p128_sft_packing" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+      FROM documents),
+c AS (SELECT doc_id,
+  'You are a helpful assistant.' AS c0,
+  coalesce(array_to_string(list_slice(tk, 1, 8), ' '), '') AS c1,
+  coalesce(array_to_string(list_slice(tk, 9, 20), ' '), '') AS c2,
+  coalesce(array_to_string(list_slice(tk, 21, 26), ' '), '') AS c3,
+  coalesce(array_to_string(list_slice(tk, 27, 36), ' '), '') AS c4
+ FROM t),
+l AS (SELECT doc_id, c2, c4,
+  len(c0) + 19 AS l0, len(c1) + 17 AS l1, len(c2) + 22 AS l2,
+  len(c3) + 17 AS l3, len(c4) + 22 AS l4
+ FROM c),
+conv AS (SELECT doc_id, doc_id % 8 AS shard,
+  (l0 + l1 + l2 + l3 + l4)::BIGINT AS n, l0, l1, l2, l3, c2, c4 FROM l),
+pk AS (SELECT *, (sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        ROWS UNBOUNDED PRECEDING))::BIGINT AS cum FROM conv),
+p2 AS (SELECT *, (cum - n) // 2048 AS pack_id FROM pk),
+p3 AS (SELECT *, (cum - n) - min(cum - n)
+        OVER (PARTITION BY shard, pack_id) AS off FROM p2)
+SELECT doc_id, shard::BIGINT AS shard, pack_id::BIGINT AS pack_id,
+  2::BIGINT AS turn_idx,
+  (off + l0 + l1 + 14)::BIGINT AS mask_start,
+  (off + l0 + l1 + 14 + len(c2))::BIGINT AS mask_end
+FROM p3
+UNION ALL
+SELECT doc_id, shard, pack_id, 4, off + l0 + l1 + l2 + l3 + 14,
+  off + l0 + l1 + l2 + l3 + 14 + len(c4)
+FROM p3
+ORDER BY doc_id, turn_idx""",
+
     // p95: the planted edges by formula — absolute messy link to the
     // next doc's page; root-relative (quoted AND unquoted) plus
     // path-relative links resolving against the page's own host/dir,
@@ -5088,6 +5173,32 @@ SELECT id, n_chars, n_tokens,
     + stop_ratio * 0.5), 6) AS quality_score
 FROM m ORDER BY id"""
     },
+
+    // p127: kept blocks regenerated closed-form — content paras with
+    // cleaned length >= 25 plus the light-link para (its entity
+    // DECODED) — and block counts from the planting arithmetic.
+    "p127_main_content" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+w AS (SELECT doc_id, list_filter(
+        string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+p AS (SELECT doc_id,
+        [array_to_string(toks[k*8+1 : k*8+8], ' ')
+         for k in range(0, CAST(ceil(len(toks)/8.0) AS BIGINT))] AS paras
+      FROM w),
+x AS (SELECT doc_id,
+        list_filter(paras, s -> length(s) >= 25)
+        || (CASE WHEN doc_id % 5 = 0 THEN ['See the docs for background ' ||
+            'information and details & more'] ELSE []::VARCHAR[] END)
+          AS kept,
+        len(paras) + 2
+        + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS n_blocks
+      FROM p)
+SELECT doc_id AS id, n_blocks::BIGINT AS n_blocks,
+  len(kept)::BIGINT AS n_kept,
+  coalesce(array_to_string(kept, chr(10)), '') AS main_text
+FROM x ORDER BY id""",
 
     // p125: the urlset population from p122's oracle re-derived, then
     // the politeness window recomputed — priority defaulting, null

@@ -1170,6 +1170,55 @@ object Corpus {
    * classifier calibration).
    * Output: (threshold, tp, fp, fn, tn) ordered by threshold.
    */
+  /**
+   * SFT packing with remapped loss masks — the composition that turns
+   * rendered conversations into actual trainer input (p94 x p21): a
+   * trainer packs many conversations into one fixed-budget context
+   * window, so the per-conversation assistant spans must remap into
+   * PACK coordinates or the loss mask trains on the wrong bytes.
+   *
+   * Packing follows packSequences' topology exactly — shard =
+   * id % nShards, contiguous char-budget bins in id order within the
+   * shard (running-sum div budget), a doc larger than the budget gets
+   * its own pack — and each conversation's char offset within its pack
+   * is its running start minus the pack's first start. Every assistant
+   * span then shifts by that offset:
+   *   (idCol, shard, pack_id, turn_idx, mask_start, mask_end)
+   * with substring(pack_text, mask_start+1, ...) == the turn's content
+   * once the pack is materialized by concatenating its members in id
+   * order (recomputable downstream, deliberately not carried).
+   *
+   * Scale shape: per-shard rank windows (the packSequences posture —
+   * no global sort), one co-keyed join of the span rows back onto the
+   * pack assignment by id (both sides derive from the same source; one
+   * exchange each on the id key). Char budget, not token budget: the
+   * mask coordinates are char offsets into the rendered string, so the
+   * budget must live in the same unit.
+   */
+  def sftPack(convs: DataFrame, budget: Long, nShards: Int = 8,
+              idCol: String = "conv_id", turnsCol: String = "turns")
+      : DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spans = sftRender(convs, idCol, turnsCol)
+      .select(col(idCol), col("turn_idx"), col("span_start"), col("span_end"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("pack_id"))
+    val packed = convs
+      .select(col(idCol), pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+        length(sftRendered(col(turnsCol))).cast("long").as("__n"))
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .withColumn("pack_id", expr(s"(__cum - __n) div $budget"))
+      .withColumn("__off",
+        col("__cum") - col("__n") - min(col("__cum") - col("__n")).over(wp))
+    packed.join(spans, Seq(idCol))
+      .select(col(idCol), col("shard"), col("pack_id"), col("turn_idx"),
+        (col("__off") + col("span_start")).as("mask_start"),
+        (col("__off") + col("span_end")).as("mask_end"))
+  }
+
   def thresholdSweep(scored: DataFrame, scoreCol: String,
                      labelCol: String, thresholds: Seq[Double]): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")

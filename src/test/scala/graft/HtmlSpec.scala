@@ -241,6 +241,42 @@ class HtmlSpec extends SparkSpec {
     assert(rendered(3L).length.toLong == c3.getLong(4))
   }
 
+  test("sftPack: masks land on assistant bytes inside the materialized pack") {
+    val convs = Seq(
+      (0L, Seq(("user", "hi"), ("assistant", "hello there my friend"))),
+      (1L, Seq(("user", "what"), ("assistant", "answer one"))),
+      (2L, Seq(("system", "s"), ("assistant", "final words"))))
+      .toDF("conv_id", "raw")
+      .select(col("conv_id"), transform(col("raw"), t =>
+        struct(t.getField("_1").as("role"), t.getField("_2").as("content")))
+        .as("turns"))
+    val rendered = convs.select(col("conv_id"),
+      Corpus.sftRendered(col("turns")).as("r"))
+      .as[(Long, String)].collect().sortBy(_._1).map(_._2)
+    // packs bin by START position (the p21 contiguous-binning rule):
+    // budget = len(r0) puts conv 0 in pack 0 and convs 1+2 — starting
+    // at len(r0) and len(r0)+len(r1) < 2*len(r0) — in pack 1
+    assert(rendered(1).length < rendered(0).length)
+    val budget = rendered(0).length
+    val out = Corpus.sftPack(convs, budget = budget, nShards = 1)
+      .orderBy("conv_id").collect()
+    assert(out.map(r => (r.getAs[Long]("conv_id"), r.getAs[Long]("pack_id")))
+      .toSeq == Seq((0L, 0L), (1L, 1L), (2L, 1L)))
+    // materialize each pack by concatenating members in id order; the
+    // remapped masks must cut exactly the assistant contents
+    val packs = Map(0L -> rendered(0), 1L -> (rendered(1) + rendered(2)))
+    val cut = out.map { r =>
+      packs(r.getAs[Long]("pack_id")).substring(
+        r.getAs[Long]("mask_start").toInt, r.getAs[Long]("mask_end").toInt)
+    }
+    assert(cut.toSeq == Seq("hello there my friend", "answer one", "final words"))
+    // a conversation larger than the budget still gets a pack of its own
+    val solo = Corpus.sftPack(convs, budget = 1, nShards = 1)
+      .orderBy("conv_id").collect()
+    assert(solo.map(_.getAs[Long]("pack_id")).distinct.length == 3)
+    assert(solo.forall(r => r.getAs[Long]("mask_start") >= 0))
+  }
+
   test("pageRank: exact fixed-point — uniform cycle, dangling leak, simulator parity") {
     import graft.operators.Html.RankScale
     // two-node cycle: perfectly symmetric, ranks stay EXACTLY uniform
@@ -329,5 +365,45 @@ class HtmlSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     assert(idx.head.getString(3) == sha)
     assert(idx.map(_.getLong(4)).toSeq == Seq(10L, 5L))
+  }
+
+  test("mainContent: link-density and length screens, entity decode, order") {
+    val page =
+      "<html><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+        "<a href=\"/c\">Contact</a></nav>" +
+        "<p>a genuinely long content paragraph with many plain words</p>" +
+        "<p>short one</p>" + // under 25 chars: length screen drops it
+        "<p>See the <a href=\"/docs\">docs</a> for background " +
+        "information and details &amp; more</p>" + // light link: kept
+        "<p><a href=\"/x\">link link link link link</a> y</p>" + // dense
+        "<footer>(c) s</footer>" +
+        "</body></html>"
+    val out = Html.mainContent(Seq((1L, page)).toDF("doc_id", "html"))
+      .collect()(0)
+    // blocks: nav, 4 paragraphs, footer (html/body wrappers clean empty)
+    assert(out.getAs[Long]("n_blocks") == 6)
+    assert(out.getAs[Long]("n_kept") == 2)
+    assert(out.getAs[String]("main_text") ==
+      "a genuinely long content paragraph with many plain words\n" +
+        "See the docs for background information and details & more")
+    // a page that is ALL boilerplate keeps nothing, yields '' not null
+    val allNav = "<nav><a href=\"/\">Home</a> <a href=\"/b\">Blog</a></nav>"
+    val none = Html.mainContent(Seq((2L, allNav)).toDF("doc_id", "html"))
+      .collect()(0)
+    assert(none.getAs[Long]("n_blocks") == 1 &&
+      none.getAs[Long]("n_kept") == 0 &&
+      none.getAs[String]("main_text") == "")
+    // scripts/styles/comments never leak into a block's text
+    val noisy = "<p>real words forming a long enough paragraph here" +
+      "<script>var x = 'spam spam spam';</script></p><!-- c -->"
+    val n = Html.mainContent(Seq((3L, noisy)).toDF("doc_id", "html"))
+      .collect()(0)
+    assert(n.getAs[String]("main_text") ==
+      "real words forming a long enough paragraph here")
+    // one narrow scan, zero exchanges
+    val plan = Html.mainContent(Seq((1L, page)).toDF("doc_id", "html"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
   }
 }
