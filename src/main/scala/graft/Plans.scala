@@ -61,7 +61,13 @@ object Plans {
       "p44_ann_ivfsq" -> "IVF x SQ8: list id + byte codes in ONE encode projection; coarse lists restrict the scan, rank window is the only exchange",
       "p63_dsir" -> "DSIR importance resampling: trained bucket models as literals; the one-element explode barrier keeps dsir_score to a SINGLE post-spread evaluation with acceptance filtered above it (r11 fix)",
       "p65_tfidf" -> "tf-idf keywords: df rides as DATA (no bounded artifact — vocabulary is unbounded at scale); WindowGroupLimit prunes the per-doc top-k before the rank exchange",
-      "p69_interp" -> "Interpolated LM scoring: trained count tables + learned lambdas as literals, one narrow scan through the native interp_score expression")
+      "p69_interp" -> "Interpolated LM scoring: trained count tables + learned lambdas as literals, one narrow scan through the native interp_score expression",
+      "p117_langid_trained" -> "Trained char-n-gram langid: O(langs x buckets) literal artifact + ONE narrow scan through the native langid_vote expression - no join, no shuffle for the corpus",
+      "p118_pdf_extract" -> "PDF text extraction: one parse task per .warc.gz segment, batched mapPartitions decode (xref walk + FlateDecode + BT/ET machine) - bytes never cross a shuffle",
+      "p121_fim" -> "FIM transform: hash gates, char cuts, and PSM/SPM renders as md5/substr expressions in ONE narrow codegen scan - no exchange",
+      "p125_frontier" -> "Crawl frontier: ONE window partitioned by host - the politeness domain IS the partitioning key, no global sort anywhere",
+      "p127_main_content" -> "Main-content extraction: block split + per-block link-density lambdas in one codegen'd projection - no exchange, no UDF",
+      "p128_sft_packing" -> "SFT packing: per-shard pack windows (packSequences topology) + one id-keyed join of span rows onto pack offsets")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
