@@ -536,6 +536,38 @@ object ScaleSmoke {
           lit(".com/Pg/"), col("doc_id"), lit("/?b=2&a=1")))
       time("robots filter")(
         operators.UrlOps.robotsFilter(docsWithUrls, robots).count())
+      // main-content extraction over the same chrome-bearing pages:
+      // block split + density lambdas, one codegen'd projection
+      time("main content")(
+        operators.Html.mainContent(pages)
+          .where(length(col("main_text")) >= 0)
+          .agg(sum(col("n_kept"))).count())
+      // PDF generate + extract at corpus scale: per-row deflate-encode
+      // and inflate-decode CPU inside mapPartitions, zero shuffle
+      locally {
+        import spark.implicits._
+        val pdfs = docs.select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            (id, operators.Pdf.fixturePdf(id, t)) })
+          .toDF("id", "payload")
+        time("pdf extract")(
+          operators.Pdf.extractTexts(pdfs)
+            .agg(sum(col("n_chars"))).count())
+      }
+      // frontier scheduling over ~1M sitemap-discovered urls: one
+      // window per host (the politeness domain), 5000 hosts
+      val entries = docs.select(
+        lit("urlset").as("kind"),
+        concat(lit("https://example-"), pmod(col("doc_id"), lit(5000)),
+          lit(".com/page/"), col("doc_id")).as("loc"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("2024-01-05"))
+          .otherwise(lit(null: String)).as("lastmod"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("0.8"))
+          .otherwise(lit(null: String)).as("priority"))
+      time("frontier schedule")(
+        operators.UrlOps.frontierSchedule(entries, perRound = 8)
+          .agg(sum(col("fetch_round"))).count())
     }
 
     // Batched lookup amortization (r12 verdict #2): k mixed point probes
