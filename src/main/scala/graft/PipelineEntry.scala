@@ -2173,6 +2173,21 @@ object PipelineEntry {
         perRound = 2)
         .orderBy("host", "fetch_round", "loc")),
 
+    // P129 — MP4/ISO-BMFF container metadata (the front half of video
+    // curation: clip length, track layout, codec allowlist — filtered
+    // BEFORE any decode; frame decode for inter-frame codecs stays
+    // documented out): version-0 box-tree walk over deterministic
+    // fixture MP4s, one row per track. The oracle re-derives brand,
+    // exact-div durations, track layout, and sample counts from the
+    // fixture arithmetic — a box-offset slip anywhere changes rows.
+    "p129_mp4_metadata" -> ((s, dir) => {
+      import s.implicits._
+      val vids = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(d => (d, Mp4.fixtureMp4(d))))
+        .toDF("id", "payload")
+      Mp4.containerMeta(vids).orderBy("id", "track_id")
+    }),
+
     // P127 — main-content extraction by block link-density scoring
     // (the jusText/trafilatura boilerplate-vs-content step): nav link
     // farms and link-heavy promos fail the density screen, short
@@ -5173,6 +5188,27 @@ SELECT id, n_chars, n_tokens,
     + stop_ratio * 0.5), 6) AS quality_score
 FROM m ORDER BY id"""
     },
+
+    // p129: track layout and durations from the fixture arithmetic —
+    // video n = id%50+10 at 25fps (40 ms/sample, media timescale
+    // 1000), audio n = id%30+5 on odd ids, movie duration follows the
+    // LONGER track through the timescale-600 round-trip.
+    "p129_mp4_metadata" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+b AS (SELECT doc_id, doc_id % 50 + 10 AS nv, doc_id % 30 + 5 AS na,
+        doc_id % 2 = 1 AS aud FROM documents),
+m AS (SELECT doc_id,
+        (CASE WHEN aud THEN greatest(nv, na) ELSE nv END * 40)::BIGINT AS mms,
+        (CASE WHEN aud THEN 2 ELSE 1 END)::BIGINT AS nt, nv, na, aud
+      FROM b)
+SELECT doc_id AS id, 'isom' AS major_brand, mms AS movie_duration_ms,
+  nt AS n_tracks, 1::BIGINT AS track_id, 'vide' AS handler,
+  'avc1' AS codec, nv::BIGINT AS n_samples, (nv * 40)::BIGINT AS duration_ms
+FROM m
+UNION ALL
+SELECT doc_id, 'isom', mms, nt, 2, 'soun', 'mp4a', na, na * 40
+FROM m WHERE aud
+ORDER BY id, track_id""",
 
     // p127: kept blocks regenerated closed-form — content paras with
     // cleaned length >= 25 plus the light-link para (its entity

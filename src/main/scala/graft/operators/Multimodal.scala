@@ -85,7 +85,9 @@ object Multimodal {
    * real modality now has a pure-JDK decode (images via javax.imageio,
    * WAV audio via javax.sound.sampled, MJPEG-in-AVI video via per-frame
    * javax.imageio); this fallback covers formats outside those codecs
-   * (e.g. mp4 — inter-frame codecs need a native decoder). Produces a
+   * (e.g. mp4 — inter-frame codecs need a native decoder; the mp4
+   * CONTAINER itself parses for real via [[Mp4.containerMeta]], so
+   * duration/track/codec curation runs without any decode). Produces a
    * fake "mean brightness" from the payload bytes so the batched
    * plumbing has a value to carry.
    */

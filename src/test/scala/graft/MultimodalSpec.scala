@@ -334,4 +334,48 @@ class MultimodalSpec extends SparkSpec {
     assert(scans.nonEmpty)
     assert(!scans.head.requiredSchema.fieldNames.contains("payload"))
   }
+
+  test("mp4: box walk recovers brand, durations, tracks, codecs, counts") {
+    import graft.operators.Mp4
+    // even id: video-only; odd id: video + audio
+    val m4 = Mp4.parse(Mp4.fixtureMp4(4L)) // nVideo = 14
+    assert(m4.majorBrand == "isom" && m4.durationMs == 14 * 40)
+    assert(m4.tracks.map(t => (t.trackId, t.handler, t.codec, t.nSamples,
+      t.durationMs)) == Seq((1L, "vide", "avc1", 14L, 560L)))
+    val m5 = Mp4.parse(Mp4.fixtureMp4(5L)) // nVideo = 15, nAudio = 10
+    assert(m5.tracks.size == 2 && m5.durationMs == 15 * 40)
+    assert(m5.tracks(1) == Mp4.Track(2L, "soun", "mp4a", 10L, 400L))
+    // movie duration follows the LONGER track (audio > video at id 54)
+    val m54 = Mp4.parse(Mp4.fixtureMp4(55L)) // nV=15, nA=30
+    assert(m54.durationMs == 30 * 40)
+  }
+
+  test("mp4: truncation, unknown boxes, and corrupt sizes degrade cleanly") {
+    import graft.operators.Mp4
+    val good = Mp4.fixtureMp4(7L)
+    // truncating inside moov parses nothing after the cut, never throws
+    val cut = Mp4.parse(java.util.Arrays.copyOfRange(good, 0, good.length / 3))
+    assert(cut.majorBrand == "isom")
+    // an unknown top-level box between ftyp and moov is skipped by size
+    val ftypLen = java.nio.ByteBuffer.wrap(good, 0, 4).getInt
+    val unknown = Mp4.parse(
+      java.util.Arrays.copyOfRange(good, 0, ftypLen) ++
+        (Array[Byte](0, 0, 0, 12) ++ "wxyzABCD".getBytes("ISO-8859-1")) ++
+        java.util.Arrays.copyOfRange(good, ftypLen, good.length))
+    assert(unknown.tracks.map(_.codec) == Mp4.parse(good).tracks.map(_.codec))
+    // a declared size of 0 (corrupt) stops the walk instead of looping
+    assert(Mp4.parse(Array[Byte](0, 0, 0, 0, 'f', 'r', 'e', 'e'))
+      .tracks.isEmpty)
+    // no moov at all -> null-track single row from containerMeta
+    import spark.implicits._
+    val out = Mp4.containerMeta(
+      Seq((9L, Array[Byte](0, 0, 0, 8, 'f', 'r', 'e', 'e'))).toDF("id", "payload"))
+      .collect()
+    assert(out.length == 1 && out(0).getAs[Long]("n_tracks") == 0L &&
+      out(0).isNullAt(out(0).fieldIndex("track_id")))
+    // plan: one narrow mapPartitions pass, zero exchanges
+    val vids = Seq((1L, Mp4.fixtureMp4(1L))).toDF("id", "payload")
+    val plan = Mp4.containerMeta(vids).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
