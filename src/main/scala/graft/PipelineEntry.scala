@@ -2188,6 +2188,31 @@ object PipelineEntry {
       Mp4.containerMeta(vids).orderBy("id", "track_id")
     }),
 
+    // P130 — crawl-to-video composition (p111's convention for the
+    // mp4 door): the SAME fixture MP4s ride as BINARY response
+    // payloads (Content-Type video/mp4) through a .warc.gz round-trip
+    // and the container walk runs on the RECOVERED body_bytes —
+    // hash-matching p129's oracle proves byte-exact binary transit
+    // into the video-curation front half.
+    "p130_warc_video" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.WarcSource
+      val out = s"/root/repo/target/warc-mp4-${dir.replaceAll("[^0-9.]", "")}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val vids = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(d => (d, Mp4.fixtureMp4(d))))
+        .toDF("id", "payload")
+      WarcSource.export(vids, out, docsPerFile = 100, idCol = "id",
+        bytesCol = Some("payload"), mime = "video/mp4")
+      val recovered = WarcSource.records(s, out)
+        .where(col("warc_type") === "response" && col("body").isNull)
+        .select(
+          regexp_extract(col("record_id"), ":doc:(\\d+)>$", 1)
+            .cast("long").as("id"),
+          col("body_bytes").as("payload"))
+      Mp4.containerMeta(recovered).orderBy("id", "track_id")
+    }),
+
     // P127 — main-content extraction by block link-density scoring
     // (the jusText/trafilatura boilerplate-vs-content step): nav link
     // farms and link-heavy promos fail the density screen, short
@@ -2809,6 +2834,25 @@ per AS (SELECT doc_id, count(*)::BIGINT AS n_words,
    * binary-payload WARC segment). The pairs are enumerable from the
    * doc table alone — every variant of one doc is dHash-identical by
    * construction, distinct docs never pair. */
+  /** Oracle shared by p129 (MP4 container walk) and p130 (the same
+   * fixture through a .warc.gz binary round-trip). */
+  private lazy val Mp4MetaOracle: String =
+    s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+b AS (SELECT doc_id, doc_id % 50 + 10 AS nv, doc_id % 30 + 5 AS na,
+        doc_id % 2 = 1 AS aud FROM documents),
+m AS (SELECT doc_id,
+        (CASE WHEN aud THEN greatest(nv, na) ELSE nv END * 40)::BIGINT AS mms,
+        (CASE WHEN aud THEN 2 ELSE 1 END)::BIGINT AS nt, nv, na, aud
+      FROM b)
+SELECT doc_id AS id, 'isom' AS major_brand, mms AS movie_duration_ms,
+  nt AS n_tracks, 1::BIGINT AS track_id, 'vide' AS handler,
+  'avc1' AS codec, nv::BIGINT AS n_samples, (nv * 40)::BIGINT AS duration_ms
+FROM m
+UNION ALL
+SELECT doc_id, 'isom', mms, nt, 2, 'soun', 'mp4a', na, na * 40
+FROM m WHERE aud
+ORDER BY id, track_id"""
+
   /** Oracle shared by p122 (batch sitemap parse) and p126 (its
    * streaming drain): both entry populations regenerated closed-form
    * from the sitemapDocs fixture formula with the loc's &amp; DECODED. */
@@ -5192,23 +5236,11 @@ FROM m ORDER BY id"""
     // p129: track layout and durations from the fixture arithmetic —
     // video n = id%50+10 at 25fps (40 ms/sample, media timescale
     // 1000), audio n = id%30+5 on odd ids, movie duration follows the
-    // LONGER track through the timescale-600 round-trip.
-    "p129_mp4_metadata" ->
-      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
-b AS (SELECT doc_id, doc_id % 50 + 10 AS nv, doc_id % 30 + 5 AS na,
-        doc_id % 2 = 1 AS aud FROM documents),
-m AS (SELECT doc_id,
-        (CASE WHEN aud THEN greatest(nv, na) ELSE nv END * 40)::BIGINT AS mms,
-        (CASE WHEN aud THEN 2 ELSE 1 END)::BIGINT AS nt, nv, na, aud
-      FROM b)
-SELECT doc_id AS id, 'isom' AS major_brand, mms AS movie_duration_ms,
-  nt AS n_tracks, 1::BIGINT AS track_id, 'vide' AS handler,
-  'avc1' AS codec, nv::BIGINT AS n_samples, (nv * 40)::BIGINT AS duration_ms
-FROM m
-UNION ALL
-SELECT doc_id, 'isom', mms, nt, 2, 'soun', 'mp4a', na, na * 40
-FROM m WHERE aud
-ORDER BY id, track_id""",
+    // LONGER track through the timescale-600 round-trip. p130 is the
+    // SAME fixture recovered from a .warc.gz round-trip and shares the
+    // oracle (byte-exact binary transit, the p111 convention).
+    "p129_mp4_metadata" -> Mp4MetaOracle,
+    "p130_warc_video" -> Mp4MetaOracle,
 
     // p127: kept blocks regenerated closed-form — content paras with
     // cleaned length >= 25 plus the light-link para (its entity
