@@ -1141,10 +1141,12 @@ object TextAnalysis {
           .as("__n_alnum"),
         lower(text).rlike("auto-generated|autogenerated|generated by")
           .as("autogen"))
-      // exact integral division (div, never IEEE /) — the oracle's //
+      // exact integral division (div, never IEEE /) — the oracle's //;
+      // empty-text docs (n_chars = 0) score alnum_bp 0, not a crash
       .withColumn("mean_line_milli",
         expr("(__n_chars - (n_lines - 1)) * 1000 div n_lines"))
-      .withColumn("alnum_bp", expr("__n_alnum * 10000 div __n_chars"))
+      .withColumn("alnum_bp", expr(
+        "CASE WHEN __n_chars = 0 THEN 0 ELSE __n_alnum * 10000 div __n_chars END"))
       .select(col("id"), col("n_lines"), col("max_line_len"),
         col("mean_line_milli"), col("alnum_bp"), col("autogen"),
         (col("max_line_len") <= maxLineLen &&

@@ -255,4 +255,48 @@ class EmptyInputSpec extends SparkSpec {
         .as("turns"))
     assert(Corpus.sftRender(zeroTurns).count() == 0)
   }
+
+  test("r15 operators on empty input") {
+    import spark.implicits._
+    // binary readers: empty frames and empty payloads
+    assert(Pdf.extractTexts(
+      spark.emptyDataset[(Long, Array[Byte])].toDF("id", "payload"))
+      .count() == 0)
+    assert(Mp4.containerMeta(
+      spark.emptyDataset[(Long, Array[Byte])].toDF("id", "payload"))
+      .count() == 0)
+    val emptyPayload = Seq((1L, Array.empty[Byte])).toDF("id", "payload")
+    assert(Pdf.extractTexts(emptyPayload).collect()(0)
+      .getAs[String]("text") == "")
+    assert(Mp4.containerMeta(emptyPayload).collect()(0)
+      .getAs[Long]("n_tracks") == 0L)
+    // text operators: empty corpus AND empty/whitespace text rows
+    assert(Corpus.fimTransform(emptyDocs).count() == 0)
+    assert(TextAnalysis.codeQuality(emptyDocs).count() == 0)
+    val blank = Seq((1L, "")).toDF("doc_id", "text")
+    val cq = TextAnalysis.codeQuality(blank).collect()(0)
+    assert(cq.getAs[Long]("n_lines") == 1L && cq.getAs[Long]("alnum_bp") == 0L)
+    val fim = Corpus.fimTransform(blank, fimRate = 100).collect()(0)
+    assert(fim.getAs[Long]("n_middle") == 0L) // n=0: all cuts collapse
+    // web/crawl operators: empty frames and contentless bodies
+    val emptySitemaps = spark.emptyDataset[(String, String)]
+      .toDF("site", "body")
+    assert(UrlOps.parseSitemaps(emptySitemaps).count() == 0)
+    assert(UrlOps.frontierSchedule(
+      UrlOps.parseSitemaps(emptySitemaps)).count() == 0)
+    val emptyPages = spark.emptyDataset[(Long, String)].toDF("doc_id", "html")
+    assert(Html.mainContent(emptyPages).count() == 0)
+    val blankPage = Seq((1L, "")).toDF("doc_id", "html")
+    val mc = Html.mainContent(blankPage).collect()(0)
+    assert(mc.getAs[Long]("n_blocks") == 0L &&
+      mc.getAs[String]("main_text") == "")
+    // SFT packing on the empty conversation frame
+    val emptyConvs2 = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("conv_id", LongType),
+        StructField("turns", ArrayType(StructType(Seq(
+          StructField("role", StringType),
+          StructField("content", StringType))))))))
+    assert(Corpus.sftPack(emptyConvs2, budget = 100).count() == 0)
+  }
 }
