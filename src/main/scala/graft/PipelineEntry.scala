@@ -1225,6 +1225,36 @@ object PipelineEntry {
       WarcSource.cdxIndex(WarcSource.records(s, out)).orderBy("urlkey")
     }),
 
+    // P131 — incremental re-crawl planning: two .warc.gz crawls of the
+    // same sites (B drops %13 pages, rewrites %6, discovers %17 under
+    // new ids) indexed with p93's CDX and full-outer diffed on urlkey
+    // into added/removed/changed/same. Both crawls run the REAL
+    // export → parse → index chain; the oracle re-derives every
+    // urlkey, sha256 digest, and verdict from the doc table alone, so
+    // a canonicalization, framing, or join slip changes rows.
+    "p131_crawl_diff" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      val tag = dir.replaceAll("[^0-9.]", "")
+      val outA = s"/root/repo/target/cdx-diff-a-$tag"
+      val outB = s"/root/repo/target/cdx-diff-b-$tag"
+      Seq(outA, outB).foreach(o =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(o)))
+      val d = docs(s, dir)
+      WarcSource.export(pageUrls(d), outA, docsPerFile = 100,
+        urlCol = Some("url"))
+      val bDocs = d.where(pmod(col("doc_id"), lit(13)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(6)) === 0,
+          concat(col("text"), lit(" updated"))).otherwise(col("text")))
+        .unionByName(d.where(pmod(col("doc_id"), lit(17)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      WarcSource.export(pageUrls(bDocs), outB, docsPerFile = 100,
+        urlCol = Some("url"))
+      WarcSource.cdxDiff(
+        WarcSource.cdxIndex(WarcSource.records(s, outA)),
+        WarcSource.cdxIndex(WarcSource.records(s, outB)))
+        .orderBy("urlkey")
+    }),
+
     // P94 — SFT chat rendering + loss-mask spans: conversations
     // flatten to one training string under a fixed template; the char
     // ranges holding ASSISTANT content come out as spans (the loss
@@ -4617,6 +4647,28 @@ FROM n ORDER BY doc_id""",
     // p110: SHARES p93's oracle — the streamed index must equal the
     // batch index row for row (stateless append-mode maintenance).
     "p110_streaming_cdx" -> CdxOracle,
+
+    // p131: both crawls' indexes re-derived from the doc table (p93's
+    // urlkey/digest formulas + the B-side mutation arithmetic), then
+    // the same full-outer classification.
+    "p131_crawl_diff" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+a AS (SELECT 'com,example-' || (doc_id % 50) || ')/pg/' || doc_id
+        || '?a=1&b=2' AS urlkey, sha256(text) AS digest FROM documents),
+b0 AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN text || ' updated'
+          ELSE text END AS text
+       FROM documents WHERE doc_id % 13 <> 0
+       UNION ALL
+       SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0),
+b AS (SELECT 'com,example-' || (doc_id % 50) || ')/pg/' || doc_id
+        || '?a=1&b=2' AS urlkey, sha256(text) AS digest FROM b0)
+SELECT coalesce(a.urlkey, b.urlkey) AS urlkey,
+  CASE WHEN a.urlkey IS NULL THEN 'added'
+       WHEN b.urlkey IS NULL THEN 'removed'
+       WHEN a.digest <> b.digest THEN 'changed' ELSE 'same' END AS status,
+  a.digest AS digest_prev, b.digest AS digest_next
+FROM a FULL OUTER JOIN b ON a.urlkey = b.urlkey
+ORDER BY urlkey""",
 
     // p94: offsets from closed-form length arithmetic — per-turn
     // rendered length is role+content+13 ('<|'+role+'|>\\n' = role+5,

@@ -227,6 +227,32 @@ object WarcSource {
         octet_length(col("body")).cast("long").as("n_bytes"))
 
   /**
+   * Crawl-to-crawl CDX diff — the planning step of INCREMENTAL
+   * crawling: two crawls' indexes (cdxIndex output) full-outer-joined
+   * on urlkey classify every URL as `added` (new capture), `removed`
+   * (gone from the site), `changed` (content digest moved — the
+   * re-extract set), or `same` (skippable). Real pipelines run this
+   * against the previous snapshot's published index to bound each
+   * refresh to the changed subset instead of re-processing the crawl.
+   *
+   * Scale shape: ONE join keyed on urlkey — the CDX's natural sorted
+   * key, so co-partitioned/bucketed indexes join without re-shuffling
+   * either side; only (urlkey, digest) pairs ride the wire, never
+   * payloads.
+   */
+  def cdxDiff(prev: DataFrame, next: DataFrame): DataFrame = {
+    val a = prev.select(col("urlkey"), col("digest").as("digest_prev"))
+    val b = next.select(col("urlkey"), col("digest").as("digest_next"))
+    a.join(b, Seq("urlkey"), "full_outer")
+      .select(col("urlkey"),
+        when(col("digest_prev").isNull, "added")
+          .when(col("digest_next").isNull, "removed")
+          .when(col("digest_prev") =!= col("digest_next"), "changed")
+          .otherwise("same").as("status"),
+        col("digest_prev"), col("digest_next"))
+  }
+
+  /**
    * Fixture/export writer: shard `docs` into WARC response records
    * (URL `https://example.org/doc/{id}`, body = text), one
    * `.warc.gz` file per `docsPerFile` ids, written from the

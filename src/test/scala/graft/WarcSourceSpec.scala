@@ -133,4 +133,26 @@ class WarcSourceSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.count(_.head == "conversion") == 3)
   }
+
+  test("cdxDiff: added/removed/changed/same classification on urlkey") {
+    val prev = Seq(
+      ("com,a)/1", "d1"), ("com,a)/2", "d2"), ("com,a)/3", "d3"))
+      .toDF("urlkey", "digest")
+    val next = Seq(
+      ("com,a)/1", "d1"),   // same
+      ("com,a)/2", "d2x"),  // changed
+      ("com,a)/4", "d4"))   // added; /3 removed
+      .toDF("urlkey", "digest")
+    val out = WarcSource.cdxDiff(prev, next).orderBy("urlkey")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      ("com,a)/1", "same", "d1", "d1"),
+      ("com,a)/2", "changed", "d2", "d2x"),
+      ("com,a)/3", "removed", "d3", null),
+      ("com,a)/4", "added", null, "d4")))
+    // both sides empty: empty diff, not a crash
+    val empty = prev.where(lit(false))
+    assert(WarcSource.cdxDiff(empty, empty).count() == 0)
+  }
 }
