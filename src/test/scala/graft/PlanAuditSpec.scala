@@ -627,4 +627,44 @@ class PlanAuditSpec extends SparkSpec {
     val pe = plan(Sketches.cmsEstimate(cms, vals, "v"))
     assert(!pe.contains("Join") && !pe.contains("Exchange"), pe)
   }
+
+  test("r15 family: the load-bearing plan shapes") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // FIM + code-quality: pure projections — no Join, no Exchange
+    val pf = plan(Corpus.fimTransform(docs))
+    assert(!pf.contains("Join") && !pf.contains("Exchange"), pf)
+    val pq = plan(TextAnalysis.codeQuality(docs))
+    assert(!pq.contains("Join") && !pq.contains("Exchange"), pq)
+    // frontier: exactly ONE exchange (the host partitioning) feeding
+    // the politeness window — no global sort, no join
+    val entries = Seq(("s", "urlset", 0L, "https://a.com/x",
+      null: String, null: String, "0.5"))
+      .toDF("site", "kind", "entry_idx", "loc", "lastmod", "changefreq",
+        "priority")
+    val pfr = plan(UrlOps.frontierSchedule(entries))
+    assert("Exchange".r.findAllIn(pfr).size == 1, pfr)
+    assert(!pfr.contains("Join"), pfr)
+    assert(pfr.contains("Window"), pfr)
+    // main content: a pure projection over the page scan
+    val pages = Seq((1L, "<p>text</p>")).toDF("doc_id", "html")
+    val pm = plan(Html.mainContent(pages))
+    assert(!pm.contains("Join") && !pm.contains("Exchange"), pm)
+    // SFT packing: the span join is keyed on the conversation id —
+    // no cartesian, no text/content column riding any join
+    val convs = Seq((1L, Seq(("assistant", "a")))).toDF("conv_id", "raw")
+      .select(col("conv_id"), transform(col("raw"), t =>
+        struct(t.getField("_1").as("role"), t.getField("_2").as("content")))
+        .as("turns"))
+    val ps = plan(Corpus.sftPack(convs, budget = 100))
+    assert(!ps.contains("Cartesian"), ps)
+    assert(ps.linesIterator.filter(_.contains("Join"))
+      .forall(!_.contains("content#")), ps)
+    // CDX diff: one full-outer join on urlkey; digests only, never a
+    // body/text column
+    val cdx = Seq(("k", "d")).toDF("urlkey", "digest")
+    val pd = plan(graft.sources.WarcSource.cdxDiff(cdx, cdx))
+    assert(pd.contains("FullOuter"), pd)
+    assert(!pd.contains("Cartesian"), pd)
+  }
 }
