@@ -138,7 +138,17 @@ object TextAnalysis {
       model.countArrays, model.denArray)
     docs
       .withColumn("__lt", lower(col(textCol)))
-      .select(col(idCol).as("id") +: voted.as("v") +:
+      .select(col(idCol).as("id") +: voted.as("__v0") +:
+        carry.map(col): _*)
+      // ONE-ELEMENT EXPLODE BARRIER (p63's dodge): CollapseProject
+      // inlines a projected alias into EVERY downstream reference, so
+      // without a Generate between the vote and its consumers the
+      // whole-text scoring expression re-evaluates once per reference
+      // — p120 routes predicted_lang into the full CCNet chain
+      // (filters, groupBys, windows) and paid ~80x one scan (76 s vs
+      // 1.4 s at sf0.1) before this barrier pinned it to ONE
+      // evaluation per row.
+      .select(col("id") +: explode(array(col("__v0"))).as("v") +:
         carry.map(col): _*)
       .select(col("id") +:
         when(col("v.best") >= 0,
