@@ -667,4 +667,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(pd.contains("FullOuter"), pd)
     assert(!pd.contains("Cartesian"), pd)
   }
+
+  test("trained langid: the vote evaluates ONCE however predicted_lang fans out") {
+    // the p120 regression: CollapseProject inlined the whole-text
+    // langid_vote expression into every downstream reference of
+    // predicted_lang (~80x per row through the CCNet chain). The
+    // explode barrier inside langIdApply must keep the plan at
+    // EXACTLY ONE vote evaluation even when a consumer filters,
+    // groups, and projects on the prediction simultaneously.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val model = TextAnalysis.langIdTrain(
+      docs.select(col("doc_id"), col("text"), col("lang")))
+    val applied = TextAnalysis.langIdApply(docs, model, carry = Seq("text"))
+    val fanout = applied
+      .where(col("predicted_lang").isNotNull &&
+        col("predicted_lang") =!= "zz")
+      .groupBy("predicted_lang")
+      .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
+    val p = plan(fanout)
+    assert("langid_vote".r.findAllIn(p).size == 1,
+      s"vote must evaluate once, not per reference:\n$p")
+    assert(p.contains("Generate"), p)
+  }
 }
