@@ -792,8 +792,13 @@ object HashExpressions {
    * the DsirScore null contract. Output struct:
    * (n grams, best language index or -1 when n == 0, best vote
    * count, per-language vote counts). */
-  case class LangIdVote(child: Expression, counts: Array[Array[Long]],
-                        dens: Array[Long])
+  // Model params are Seq (structural equality), NOT Array (reference
+  // equality): two semantically identical LangIdVote instances must
+  // compare equal or common-subexpression elimination and semantic
+  // plan-cache matching silently fail whenever the vote is referenced
+  // twice. The eval hot path reads @transient lazy Array copies.
+  case class LangIdVote(child: Expression, counts: Seq[Seq[Long]],
+                        dens: Seq[Long])
       extends UnaryExpression {
     require(counts.length == dens.length && counts.nonEmpty)
     override def dataType: DataType = StructType(Seq(
@@ -811,8 +816,11 @@ object HashExpressions {
         s"${ev.value} = ($javaType) $ref.nullSafeEval($c);")
     }
 
+    @transient private lazy val countsArr: Array[Array[Long]] =
+      counts.map(_.toArray).toArray
+    @transient private lazy val densArr: Array[Long] = dens.toArray
     @transient private lazy val nLangs: Int = dens.length
-    @transient private lazy val buckets: Int = counts(0).length
+    @transient private lazy val buckets: Int = counts.head.length
     @transient private lazy val md5 =
       new ThreadLocal[MessageDigest] {
         override def initialValue(): MessageDigest =
@@ -833,8 +841,8 @@ object HashExpressions {
           var best = 0
           var l = 1
           while (l < nLangs) {
-            if ((counts(l)(b) + 1L) * dens(best) >
-                (counts(best)(b) + 1L) * dens(l)) best = l
+            if ((countsArr(l)(b) + 1L) * densArr(best) >
+                (countsArr(best)(b) + 1L) * densArr(l)) best = l
             l += 1
           }
           votes(best) += 1L
@@ -895,8 +903,8 @@ object HashExpressions {
                 tr: Long, tt: Long): Column =
     Bridge.column(DsirScore(Bridge.expression(grams), ct, cr, tr, tt))
 
-  def langIdVote(grams: Column, counts: Array[Array[Long]],
-                 dens: Array[Long]): Column =
+  def langIdVote(grams: Column, counts: Seq[Seq[Long]],
+                 dens: Seq[Long]): Column =
     Bridge.column(LangIdVote(Bridge.expression(grams), counts, dens))
 
   /**

@@ -331,9 +331,13 @@ object Html {
           clean(array_join(regexp_extract_all(b,
             lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)), "")).as("link"))),
       s => s.getField("text") =!= "")
+    // both lengths widened to long BEFORE multiplying: a single block
+    // with >~214k chars of anchor text would overflow Int negative and
+    // wrongly pass the density screen — exactly the giant link farms
+    // this filter exists to drop
     val kept = filter(blocks, s =>
       length(s.getField("text")) >= minChars &&
-        length(s.getField("link")) * 10000 <=
+        length(s.getField("link")).cast("long") * 10000 <=
           length(s.getField("text")).cast("long") * maxLinkBp)
     pages.select(
       col(idCol).cast("long").as("id"),

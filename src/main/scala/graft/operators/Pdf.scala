@@ -107,8 +107,13 @@ object Pdf {
   }
 
   // direct /Length only (indirect "N 0 R" lengths are out of subset —
-  // the lookahead rejects them, falling back to EOL trimming)
-  private val LengthRe = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
+  // the lookahead rejects them, falling back to EOL trimming). The
+  // digits are POSSESSIVE (\d++): with a backtrackable \d+ the engine
+  // defeats the lookahead on "/Length 123 0 R" by shrinking the match
+  // to "12" (lookahead then sees "3 0 R", which is not \s+\d+\s+R),
+  // slicing the stream at a bogus offset and silently dropping its
+  // text instead of falling back to EOL trimming.
+  private val LengthRe = """/Length\s+(\d++)(?!\s+\d+\s+R)""".r
 
   private def inflate(raw: Array[Byte]): Option[Array[Byte]] = {
     val inf = new java.util.zip.Inflater()

@@ -48,10 +48,8 @@ object TextAnalysis {
                                counts: Seq[Seq[Long]],
                                totals: Seq[Long],
                                buckets: Int) {
-    private[operators] def countArrays: Array[Array[Long]] =
-      counts.map(_.toArray).toArray
-    private[operators] def denArray: Array[Long] =
-      totals.map(_ + buckets.toLong).toArray
+    private[operators] def denSeq: Seq[Long] =
+      totals.map(_ + buckets.toLong)
   }
 
   /** Character 2–4-grams of an ALREADY-LOWERCASED text attribute —
@@ -135,7 +133,7 @@ object TextAnalysis {
                   carry: Seq[String] = Nil): DataFrame = {
     val langsLit = typedLit(model.langs)
     val voted = HE.langIdVote(charGrams(col("__lt")),
-      model.countArrays, model.denArray)
+      model.counts, model.denSeq)
     docs
       .withColumn("__lt", lower(col(textCol)))
       .select(col(idCol).as("id") +: voted.as("__v0") +:

@@ -255,4 +255,32 @@ class HashExpressionsSpec extends SparkSpec {
     assert(fluent.getLong(2) > salad.getLong(2)) // n_tri
     assert(fluent.getDouble(6) > salad.getDouble(6)) // avg_score
   }
+
+  test("LangIdVote: structural equality across independent instances") {
+    // The model rides as Seq (structural equality), not Array
+    // (reference equality): two semantically identical votes built
+    // from separate collections must be semanticEquals, or Catalyst's
+    // common-subexpression elimination and plan-cache matching
+    // silently fail whenever the vote is referenced twice. (The
+    // explode barrier in langIdApply masks this today; this pin keeps
+    // other call sites safe.)
+    import org.apache.spark.sql.graftglue.Bridge
+    val child = Bridge.expression(col("g"))
+    def model(): (Seq[Seq[Long]], Seq[Long]) =
+      (Seq(Seq(3L, 1L), Seq(0L, 2L)), Seq(6L, 4L))
+    val (c1, d1) = model(); val (c2, d2) = model()
+    val e1 = HE.LangIdVote(child, c1, d1)
+    val e2 = HE.LangIdVote(child, c2, d2)
+    assert(e1 == e2, "case-class equality must be structural")
+    assert(e1.semanticEquals(e2), "canonicalized forms must match")
+    assert(e1.hashCode == e2.hashCode)
+    // and a different model must NOT compare equal
+    val e3 = HE.LangIdVote(child, Seq(Seq(9L, 9L), Seq(0L, 2L)), d1)
+    assert(e1 != e3 && !e1.semanticEquals(e3))
+    // eval still correct through the transient array hot path
+    val out = Seq((0L, Seq("aa", "bb"))).toDF("id", "g")
+      .select(HE.langIdVote(col("g"), c1, d1).as("v"))
+      .select(col("v.n"), col("v.best"), col("v.top")).collect()(0)
+    assert(out.getLong(0) == 2L)
+  }
 }

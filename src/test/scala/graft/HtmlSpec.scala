@@ -406,4 +406,18 @@ class HtmlSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("mainContent: giant link farm does not overflow the density math") {
+    // link_len * 10000 at 32 bits goes negative past ~214,748 chars of
+    // anchor text, wrongly PASSING the density screen for exactly the
+    // giant link farms it exists to drop — both sides must multiply
+    // in 64 bits
+    val farm = "<p><a href=\"/x\">" + ("spam link " * 25000) + "</a></p>"
+    val out = Html.mainContent(Seq((1L, farm)).toDF("doc_id", "html"))
+      .collect()(0)
+    assert(out.getAs[Long]("n_blocks") == 1)
+    assert(out.getAs[Long]("n_kept") == 0,
+      "250k-char all-anchor block must fail the link-density screen")
+    assert(out.getAs[String]("main_text") == "")
+  }
 }

@@ -100,6 +100,30 @@ class PdfSpec extends SparkSpec {
     val pdf2 = s"9 0 obj << /Length 4 0 R >> stream\n".getBytes(ISO_8859_1) ++
       raw.getBytes(ISO_8859_1) ++ "\nendstream endobj\n".getBytes(ISO_8859_1)
     assert(Pdf.parse(pdf2).text == "ind")
+    // MULTI-digit indirect length: a backtrackable \d+ defeats the
+    // lookahead by matching the digit prefix ("12" of "123 0 R"),
+    // slicing a Flate stream at a bogus offset so inflate fails and
+    // the text silently drops. The possessive \d++ must reject the
+    // whole reference and fall back to EOL trimming.
+    val raw3 = "BT (indirect multi) Tj ET"
+    val pdf3 = s"9 0 obj << /Length 123 0 R >> stream\n"
+      .getBytes(ISO_8859_1) ++ raw3.getBytes(ISO_8859_1) ++
+      "\nendstream endobj\n".getBytes(ISO_8859_1)
+    assert(Pdf.parse(pdf3).text == "indirect multi")
+    // and the Flate variant the advisory named: indirect length +
+    // FlateDecode must still inflate via the EOL-trim fallback (pick a
+    // payload whose deflate does NOT end in EOL bytes, where the
+    // fallback is exact; EOL-final deflate is the fallback's known
+    // 1-in-128 blind spot, covered above for direct lengths)
+    val (content4, d4) = Iterator.from(0)
+      .map(k => (s"BT (flate ind$k) Tj ET", deflated(s"BT (flate ind$k) Tj ET")))
+      .find { case (_, d) => d.last != '\r'.toByte && d.last != '\n'.toByte }
+      .get
+    val pdf4 = s"9 0 obj << /Length 123 0 R /Filter /FlateDecode >> stream\n"
+      .getBytes(ISO_8859_1) ++ d4 ++
+      "\nendstream endobj\n".getBytes(ISO_8859_1)
+    assert(Pdf.parse(pdf4).text == content4.drop(4).takeWhile(_ != ')'),
+      s"got '${Pdf.parse(pdf4).text}'")
   }
 
   test("extractTexts: DataFrame pass, binary-safe, per-row independence") {
