@@ -31,10 +31,18 @@ object WarcSource {
    * RAW body bytes, always present. Real crawls carry images/PDFs in
    * response records; the bytes column is what lets a WARC ingest
    * feed the multimodal family (image/audio/video near-dup) without
-   * a destructive text decode in between. */
+   * a destructive text decode in between.
+   *
+   * `refers_to` / `payload_digest` surface the ISO 28500 revisit
+   * linkage (`WARC-Refers-To`, `WARC-Payload-Digest`): a `revisit`
+   * record is a crawl-time dedup pointer — the crawler saw the URL
+   * again, found the payload identical (by digest), and stored the
+   * pointer instead of the bytes. Null on records without the
+   * headers. */
   case class WarcRecord(file: String, warc_type: String, record_id: String,
                         target_uri: String, status: Int, content_type: String,
-                        body: String, body_bytes: Array[Byte])
+                        body: String, body_bytes: Array[Byte],
+                        refers_to: String, payload_digest: String)
 
   /** Content types whose bodies are UTF-8-decodable text. Everything
    * else (image, audio, video, pdf, octet-stream, ...) keeps
@@ -132,7 +140,8 @@ object WarcSource {
       val body =
         if (isTextType(contentType)) new String(bodyBytes, "UTF-8") else null
       out += WarcRecord(file, warcType, recId, uri, status, contentType,
-        body, bodyBytes)
+        body, bodyBytes, headers.getOrElse("warc-refers-to", null),
+        headers.getOrElse("warc-payload-digest", null))
     }
     out.toSeq
   }
@@ -227,6 +236,65 @@ object WarcSource {
         octet_length(col("body")).cast("long").as("n_bytes"))
 
   /**
+   * CDX capture table INCLUDING `revisit` records — the crawl-time
+   * dedup signal real Common Crawl segments carry: a revisit is a
+   * capture whose payload the crawler did NOT store because it matched
+   * an earlier capture's digest. The revisit row's digest comes from
+   * its OWN `WARC-Payload-Digest` header (the identical-payload-digest
+   * profile carries the referent's digest inline), so a revisit chain
+   * collapses to its referent's content hash WITHOUT any join back to
+   * the original record — a re-crawl pipeline reads this before ever
+   * touching content. `n_bytes` is the stored payload size (0 for a
+   * revisit: the bytes live with the referent).
+   *
+   * Scale shape: identical to [[cdxIndex]] — one shuffle-free
+   * projection where the records were parsed; the digest either hashes
+   * locally or substring-parses a header. Nothing joins, nothing
+   * shuffles.
+   */
+  def cdxCaptures(records: DataFrame): DataFrame =
+    records.where(col("warc_type").isin("response", "revisit"))
+      .select(
+        graft.operators.UrlOps.surtKey(col("target_uri")).as("urlkey"),
+        graft.operators.UrlOps.canonicalizeUrl(col("target_uri")).as("url"),
+        col("warc_type").as("kind"),
+        col("status").cast("long").as("status"),
+        when(col("warc_type") === "revisit",
+          regexp_extract(col("payload_digest"), "^sha256:([0-9a-f]+)$", 1))
+          .otherwise(sha2(col("body"), 256)).as("digest"),
+        octet_length(col("body")).cast("long").as("n_bytes"))
+
+  /**
+   * Point lookup into a published CDX index — "was this URL captured,
+   * and where": the urlkey-sorted index (cdxIndex's publish order) is
+   * binary-searchable by construction, and this probe makes Spark's
+   * scan exploit that. Query URLs canonicalize to SURT keys through
+   * the SAME surtKey pipeline the index used (one bounded local job —
+   * the request batch is driver-sized by nature), then probe with the
+   * zone-map literal discipline OneHop's serving path uses: a small
+   * batch keeps `isin` (pushes an In filter into the parquet scan —
+   * row-group min/max stats over the SORTED urlkey prune to the
+   * matching groups); a large batch pairs the coarse [min,max] range
+   * conjunct (pushable, prunes row groups) with the O(1) native
+   * SetProbe for the exact membership (one plan object however many
+   * references). No join, no shuffle, no full scan — O(matching row
+   * groups) of a 100 TB index.
+   */
+  def cdxLookup(index: DataFrame, urls: Seq[String]): DataFrame = {
+    if (urls.isEmpty) return index.limit(0)
+    val s = index.sparkSession
+    import s.implicits._
+    val keys = s.createDataset(urls).toDF("u")
+      .select(graft.operators.UrlOps.surtKey(col("u")).as("k"))
+      .as[String].collect().toSeq.distinct
+    val probe =
+      if (keys.size <= 16) col("urlkey").isin(keys: _*)
+      else graft.operators.OneHop.rangeConjunct(col("urlkey"), keys) &&
+        graft.functions.HashExpressions.setProbe(col("urlkey"), keys.toSet)
+    index.where(probe)
+  }
+
+  /**
    * Crawl-to-crawl CDX diff — the planning step of INCREMENTAL
    * crawling: two crawls' indexes (cdxIndex output) full-outer-joined
    * on urlkey classify every URL as `added` (new capture), `removed`
@@ -235,14 +303,24 @@ object WarcSource {
    * against the previous snapshot's published index to bound each
    * refresh to the changed subset instead of re-processing the crawl.
    *
+   * Real crawls capture a URL MORE THAN ONCE per snapshot (re-crawls,
+   * mirrored hosts), so each side first collapses to one
+   * representative row per urlkey — max(digest), a deterministic
+   * stand-in for CDX's latest-by-timestamp convention (cdxIndex
+   * carries no timestamp) — otherwise the full-outer join fans out
+   * into duplicate, mutually contradictory verdicts for the same key.
+   *
    * Scale shape: ONE join keyed on urlkey — the CDX's natural sorted
    * key, so co-partitioned/bucketed indexes join without re-shuffling
-   * either side; only (urlkey, digest) pairs ride the wire, never
-   * payloads.
+   * either side (the per-side max(digest) is a partial-agg groupBy on
+   * the SAME key, reusing the join's exchange); only (urlkey, digest)
+   * pairs ride the wire, never payloads.
    */
   def cdxDiff(prev: DataFrame, next: DataFrame): DataFrame = {
-    val a = prev.select(col("urlkey"), col("digest").as("digest_prev"))
-    val b = next.select(col("urlkey"), col("digest").as("digest_next"))
+    val a = prev.groupBy(col("urlkey"))
+      .agg(max(col("digest")).as("digest_prev"))
+    val b = next.groupBy(col("urlkey"))
+      .agg(max(col("digest")).as("digest_next"))
     a.join(b, Seq("urlkey"), "full_outer")
       .select(col("urlkey"),
         when(col("digest_prev").isNull, "added")
@@ -265,13 +343,21 @@ object WarcSource {
    * `bytesCol` switches to BINARY-payload mode: the named binary
    * column rides as the HTTP body verbatim under Content-Type `mime`
    * (e.g. PNG images under `image/png`) — the response-record shape
-   * real crawls use for non-text captures. */
+   * real crawls use for non-text captures.
+   * `revisitEvery` > 0 additionally writes an ISO 28500 `revisit`
+   * record (identical-payload-digest profile) after every id divisible
+   * by it: same target URI, `WARC-Refers-To` the original response,
+   * `WARC-Payload-Digest: sha256:<hex>` of the body it did NOT store,
+   * HTTP headers only as payload — the crawl-time dedup pointer real
+   * CC segments carry for re-crawled pages. */
   def export(docs: DataFrame, dir: String, docsPerFile: Int = 100,
              idCol: String = "doc_id", textCol: String = "text",
              urlCol: Option[String] = None, wet: Boolean = false,
              bytesCol: Option[String] = None,
-             mime: String = "text/plain; charset=utf-8"): Unit = {
+             mime: String = "text/plain; charset=utf-8",
+             revisitEvery: Int = 0): Unit = {
     require(bytesCol.isEmpty || !wet, "binary payloads need HTTP framing")
+    require(revisitEvery == 0 || !wet, "revisit records are response-side")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val urlExpr = urlCol.map(col)
       .getOrElse(concat(lit("https://example.org/doc/"), col(idCol)))
@@ -312,6 +398,20 @@ object WarcSource {
               "WARC-Target-URI" -> r.getString(2),
               "WARC-Record-ID" -> s"<urn:graft:doc:$id>",
               "Content-Type" -> "application/http; msgtype=response"), http)
+            if (revisitEvery > 0 && id % revisitEvery == 0) {
+              val hex = java.security.MessageDigest.getInstance("SHA-256")
+                .digest(body).map("%02x".format(_)).mkString
+              val head = ("HTTP/1.1 200 OK\r\n" +
+                s"Content-Type: $mime\r\n\r\n").getBytes("UTF-8")
+              record(Seq("WARC-Type" -> "revisit",
+                "WARC-Target-URI" -> r.getString(2),
+                "WARC-Record-ID" -> s"<urn:graft:revisit:$id>",
+                "WARC-Refers-To" -> s"<urn:graft:doc:$id>",
+                "WARC-Payload-Digest" -> s"sha256:$hex",
+                "WARC-Profile" ->
+                  "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+                "Content-Type" -> "application/http; msgtype=response"), head)
+            }
           }
         }
         gz.close()

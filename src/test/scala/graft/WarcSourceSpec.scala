@@ -134,14 +134,93 @@ class WarcSourceSpec extends SparkSpec {
     assert(streamed.count(_.head == "conversion") == 3)
   }
 
+  test("revisit records: ISO 28500 linkage parses, captures collapse to one digest") {
+    val dir = "/root/repo/target/test-warc-revisit"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val docs = Seq((1L, "alpha"), (9L, "beta"), (18L, "gamma"))
+      .toDF("doc_id", "text")
+    WarcSource.export(docs, dir, docsPerFile = 100, revisitEvery = 9)
+    val recs = WarcSource.records(spark, dir)
+    // the two %9 docs each gained a revisit record
+    val revs = recs.where(col("warc_type") === "revisit")
+      .orderBy("target_uri").collect()
+    assert(revs.length == 2)
+    val r9 = revs(0)
+    assert(r9.getAs[String]("target_uri") == "https://example.org/doc/18" ||
+      r9.getAs[String]("target_uri") == "https://example.org/doc/9")
+    revs.foreach { r =>
+      val id = r.getAs[String]("target_uri").split("/").last
+      assert(r.getAs[String]("refers_to") == s"<urn:graft:doc:$id>")
+      assert(r.getAs[String]("payload_digest").startsWith("sha256:"))
+      // headers-only payload: empty body, but the HTTP status parsed
+      assert(r.getAs[Array[Byte]]("body_bytes").isEmpty)
+      assert(r.getAs[Int]("status") == 200)
+    }
+    // non-revisit records carry null linkage columns
+    assert(recs.where(col("warc_type") === "response")
+      .where(col("refers_to").isNotNull || col("payload_digest").isNotNull)
+      .count() == 0)
+    // capture table: revisit digest comes from its own header and
+    // MATCHES the referent's content hash — one distinct digest per key
+    val caps = WarcSource.cdxCaptures(recs)
+    val agg = caps.groupBy("urlkey")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("digest")).as("nd"),
+        sum(col("n_bytes")).as("b"))
+      .orderBy("urlkey").collect()
+    assert(agg.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("org,example)/doc/1", 1L, 1L),
+        ("org,example)/doc/18", 2L, 1L),
+        ("org,example)/doc/9", 2L, 1L)))
+    // stored bytes: the revisit contributes 0 (bytes live with the referent)
+    assert(agg.find(_.getString(0) == "org,example)/doc/9")
+      .get.getLong(3) == "beta".length.toLong)
+  }
+
+  test("cdxLookup: canonicalized point probes, pushed scan, no join") {
+    val dir = "/root/repo/target/test-cdx-lookup"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    Seq.tabulate(40)(i =>
+      (s"org,example)/doc/$i", s"example.org/doc/$i", 200L, s"d$i", 5L))
+      .toDF("urlkey", "url", "status", "digest", "n_bytes")
+      .orderBy("urlkey").write.parquet(dir)
+    val index = spark.read.parquet(dir)
+    // small batch: spelling variants canonicalize to the captured key;
+    // misses contribute nothing; duplicate spellings dedupe
+    val small = WarcSource.cdxLookup(index, Seq(
+      "HTTPS://WWW.example.org:443/doc/3#frag",
+      "http://example.org/doc/3",
+      "https://example.org/doc/7",
+      "https://example.org/doc/9999"))
+    assert(small.select("urlkey").as[String].collect().sorted.toSeq ==
+      Seq("org,example)/doc/3", "org,example)/doc/7"))
+    val ps = small.queryExecution.executedPlan.toString
+    assert(ps.contains("PushedFilters: [In(urlkey"), ps)
+    assert(!ps.contains("Join") && !ps.contains("Exchange"), ps)
+    // large batch (>16): coarse range pushes into the scan, the exact
+    // membership rides the O(1) native set probe — still join-free
+    val urls = (0 until 40).map(i => s"https://example.org/doc/$i")
+    val large = WarcSource.cdxLookup(index, urls)
+    assert(large.count() == 40)
+    val pl = large.queryExecution.executedPlan.toString
+    assert(pl.contains("GreaterThanOrEqual(urlkey") &&
+      pl.contains("LessThanOrEqual(urlkey"), pl)
+    assert(pl.contains("set_probe"), pl)
+    assert(!pl.contains("Join") && !pl.contains("Exchange"), pl)
+    // empty request: empty result, not a crash
+    assert(WarcSource.cdxLookup(index, Nil).count() == 0)
+  }
+
   test("cdxDiff: added/removed/changed/same classification on urlkey") {
     val prev = Seq(
-      ("com,a)/1", "d1"), ("com,a)/2", "d2"), ("com,a)/3", "d3"))
+      ("com,a)/1", "d1"), ("com,a)/1", "d0"), // multi-capture: max = d1
+      ("com,a)/2", "d2"), ("com,a)/3", "d3"))
       .toDF("urlkey", "digest")
     val next = Seq(
-      ("com,a)/1", "d1"),   // same
+      ("com,a)/1", "d1"),   // same (prev collapsed to its max capture)
       ("com,a)/2", "d2x"),  // changed
-      ("com,a)/4", "d4"))   // added; /3 removed
+      ("com,a)/4", "d4"),   // added; /3 removed
+      ("com,a)/4", "d5"))   // multi-capture on the next side: max = d5
       .toDF("urlkey", "digest")
     val out = WarcSource.cdxDiff(prev, next).orderBy("urlkey")
       .collect().map(r => (r.getString(0), r.getString(1),
@@ -150,7 +229,7 @@ class WarcSourceSpec extends SparkSpec {
       ("com,a)/1", "same", "d1", "d1"),
       ("com,a)/2", "changed", "d2", "d2x"),
       ("com,a)/3", "removed", "d3", null),
-      ("com,a)/4", "added", null, "d4")))
+      ("com,a)/4", "added", null, "d5")))
     // both sides empty: empty diff, not a crash
     val empty = prev.where(lit(false))
     assert(WarcSource.cdxDiff(empty, empty).count() == 0)
