@@ -303,7 +303,8 @@ object Html {
    */
   def mainContent(pages: DataFrame, idCol: String = "doc_id",
                   htmlCol: String = "html", minChars: Int = 25,
-                  maxLinkBp: Int = 3000): DataFrame = {
+                  maxLinkBp: Int = 3000, stopwords: Seq[String] = Nil,
+                  minStopwordBp: Int = 0): DataFrame = {
     val noScript = regexp_replace(col(htmlCol),
       "(?is)<script\\b[^>]*>.*?</script>", "")
     val noStyle = regexp_replace(noScript,
@@ -335,10 +336,26 @@ object Html {
     // with >~214k chars of anchor text would overflow Int negative and
     // wrongly pass the density screen — exactly the giant link farms
     // this filter exists to drop
+    //
+    // Third screen (jusText's signal — Pomikálek 2011: boilerplate has
+    // LOW stopword density; prose has high): per-block stopword ratio
+    // in exact basis points over the cleaned text's single-space
+    // tokens. Off by default (empty stopwords or bp 0) to keep the
+    // two-screen behavior.
+    val swLit = typedLit(stopwords.map(_.toLowerCase(java.util.Locale.ROOT)))
+    def stopwordPass(text: Column): Column =
+      if (stopwords.isEmpty || minStopwordBp <= 0) lit(true)
+      else {
+        val toks = split(text, " ")
+        size(filter(toks, t => array_contains(swLit, lower(t))))
+          .cast("long") * 10000 >=
+          size(toks).cast("long") * minStopwordBp
+      }
     val kept = filter(blocks, s =>
       length(s.getField("text")) >= minChars &&
         length(s.getField("link")).cast("long") * 10000 <=
-          length(s.getField("text")).cast("long") * maxLinkBp)
+          length(s.getField("text")).cast("long") * maxLinkBp &&
+        stopwordPass(s.getField("text")))
     pages.select(
       col(idCol).cast("long").as("id"),
       size(blocks).cast("long").as("n_blocks"),

@@ -181,6 +181,31 @@ object UrlOps {
   }
 
   /**
+   * `Sitemap:` directives from raw robots.txt bodies — the discovery
+   * pointer that links crawl governance's permission half (robots
+   * rules) to its discovery half (sitemap parsing): real crawlers
+   * find a site's sitemaps from its OWN robots file. Per RFC 9309
+   * §2.2.4 the directive is a non-group record — it applies
+   * host-scoped to every crawler regardless of where in the file it
+   * appears — so there is deliberately no User-agent group selection
+   * here, and the case-insensitive line match picks it up inside or
+   * outside UA groups alike. One (host, sitemap_url) row per
+   * directive line.
+   *
+   * Scale shape: one narrow scan over the robots table (KB-bounded
+   * row per host, never the corpus), zero joins, zero shuffles — the
+   * output is robots-table-bounded, small enough to BROADCAST into
+   * whatever sitemap-fetch join consumes it.
+   */
+  def robotsSitemaps(robots: DataFrame, hostCol: String = "host",
+                     bodyCol: String = "body"): DataFrame =
+    robots.select(col(hostCol).as("host"),
+      // horizontal whitespace only after the colon (the robotsRules
+      // lesson: \s eats the newline of an empty directive line)
+      explode(regexp_extract_all(col(bodyCol),
+        lit("(?im)^sitemap:[ \\t]*(\\S+)"), lit(1))).as("sitemap_url"))
+
+  /**
    * Allow/Disallow rules of the group a SPECIFIC crawler must obey,
    * per RFC 9309 §2.2.1 group selection: lines parse into groups (a
    * clump of consecutive `User-agent:` lines names one group; the

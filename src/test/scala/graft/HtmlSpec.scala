@@ -407,6 +407,29 @@ class HtmlSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("mainContent: stopword-density screen drops prose-free blocks (jusText)") {
+    val sw = Seq("the", "a", "and", "of")
+    val page =
+      "<p>the quick brown fox jumps over a lazy dog today</p>" + // 30% sw
+        "<p>zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10</p>" + // 0% sw: drop
+        "<p>short</p>" // length screen, unaffected by the new screen
+    val out = Html.mainContent(Seq((1L, page)).toDF("doc_id", "html"),
+      stopwords = sw, minStopwordBp = 500).collect()(0)
+    assert(out.getAs[Long]("n_blocks") == 3)
+    assert(out.getAs[Long]("n_kept") == 1)
+    assert(out.getAs[String]("main_text") ==
+      "the quick brown fox jumps over a lazy dog today")
+    // exact threshold boundary: 1 stopword in 20 tokens = 500 bp PASSES
+    val boundary = "<p>the " + (1 to 19).map(i => s"w$i").mkString(" ") + "</p>"
+    val b = Html.mainContent(Seq((1L, boundary)).toDF("doc_id", "html"),
+      stopwords = sw, minStopwordBp = 500).collect()(0)
+    assert(b.getAs[Long]("n_kept") == 1)
+    // default (no stopwords) keeps the two-screen behavior: zq block kept
+    val d = Html.mainContent(Seq((1L, page)).toDF("doc_id", "html"))
+      .collect()(0)
+    assert(d.getAs[Long]("n_kept") == 2)
+  }
+
   test("mainContent: giant link farm does not overflow the density math") {
     // link_len * 10000 at 32 bits goes negative past ~214,748 chars of
     // anchor text, wrongly PASSING the density screen for exactly the

@@ -387,4 +387,31 @@ class UrlOpsSpec extends SparkSpec {
     assert(out.filter(_.getAs[String]("host") == "b.com")
       .map(_.getAs[Long]("fetch_round")).toSeq == Seq(1L))
   }
+
+  test("robotsSitemaps: case-insensitive, group-independent, empty-safe") {
+    val robots = Seq(
+      // directive above, inside, and below UA groups — ALL surface
+      // (RFC 9309 §2.2.4: Sitemap is a non-group record); case varies
+      ("a.com", "Sitemap: https://a.com/sm1.xml\n" +
+        "User-agent: *\nDisallow: /private\n" +
+        "sitemap: https://a.com/sm2.xml\n" +
+        "User-agent: bot\nDisallow: /\n" +
+        "SITEMAP: https://a.com/sm3.xml"),
+      // an empty Sitemap: line (no URL) yields no row
+      ("b.com", "User-agent: *\nAllow: /\nSitemap:\n"),
+      // no directive at all
+      ("c.com", "User-agent: *\nDisallow: /tmp\n"))
+      .toDF("host", "body")
+    val out = UrlOps.robotsSitemaps(robots)
+      .orderBy("host", "sitemap_url")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(
+      ("a.com", "https://a.com/sm1.xml"),
+      ("a.com", "https://a.com/sm2.xml"),
+      ("a.com", "https://a.com/sm3.xml")))
+    // one narrow scan: no joins, no exchanges before the sort
+    val plan = UrlOps.robotsSitemaps(robots)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
 }
