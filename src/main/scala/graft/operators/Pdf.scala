@@ -27,11 +27,27 @@ import org.apache.spark.sql.functions._
  *     backslash-newline continuation; parentheses nest per spec.
  *     Extracted text is the non-empty lines joined with \n.
  *
- * Out of the subset (documented, like mp4 for video): encrypted PDFs,
- * object streams (/ObjStm), non-Flate filters (DCT/LZW/ASCII85), CID
- * / composite-font ToUnicode remapping — each is a payload class, not
- * a structural gap; the walk/decode/operator machinery is where they
- * would plug in.
+ * ENCRYPTED PDFs (r16): the standard security handler with an EMPTY
+ * user password — the dominant encrypted-crawl class (files encrypted
+ * only to restrict printing/copying; any reader opens them) — is IN
+ * the subset for both RC4-128 (V2/R3) and AES-128-CBC (V4/R4 AESV2),
+ * pure JDK (`javax.crypto` ships AES/CBC; RC4 is 15 lines): the file
+ * key derives per ISO 32000-1 §7.6.3.3 Algorithm 2 from the padded
+ * empty password, /O, /P, and /ID[0]; each stream decrypts under its
+ * per-object MD5 key (Algorithm 1; +sAlT for AES, IV = first 16
+ * bytes) BEFORE filters apply. The /U entry is VALIDATED first
+ * (Algorithm 4/5) — a file whose password is genuinely non-empty
+ * fails the check and contributes no text rather than garbage.
+ *
+ * Out of the subset (documented, like mp4 for video): non-empty user
+ * passwords and R5/R6 (AES-256) handlers, object streams (/ObjStm),
+ * non-Flate filters (DCT/LZW/ASCII85), CID / composite-font ToUnicode
+ * remapping — each is a payload class, not a structural gap; the
+ * walk/decode/operator machinery is where they would plug in. Note
+ * /ObjStm never holds CONTENT streams (ISO 32000-1 §7.5.7 forbids
+ * streams inside object streams), so the linear stream walk already
+ * extracts text from most PDF 1.5+ files — the gap is metadata
+ * resolution, not text.
  *
  * Scale shape: parsing is per-row CPU inside `mapPartitions` (the
  * contract case for imperative per-partition logic — batched binary
@@ -58,6 +74,7 @@ object Pdf {
         }
       }
     }
+    val crypt = resolveCrypt(s)
     var nStreams = 0
     val text = new StringBuilder
     var i = s.indexOf("stream")
@@ -86,13 +103,24 @@ object Pdf {
             if (e2 > dataStart && s.charAt(e2 - 1) == '\r') e2 -= 1
             e2
           }
-        val raw = s.substring(dataStart, dataEnd).getBytes(ISO_8859_1)
+        val sliced = s.substring(dataStart, dataEnd).getBytes(ISO_8859_1)
+        // encryption applies to the stream bytes BEFORE any filter
+        val rawOpt: Option[Array[Byte]] = crypt match {
+          case NoCrypt => Some(sliced)
+          case CryptUnsupported => None
+          case StdCrypt(fk, aes) =>
+            objHeader(s, objAt) match {
+              case Some((num, gen)) => decryptStream(fk, aes, num, gen, sliced)
+              case None => None
+            }
+        }
         val hasFlate = dict.contains("/FlateDecode")
         val otherFilter = dict.contains("/Filter") && !hasFlate
-        val decoded =
+        val decoded = rawOpt.flatMap { raw =>
           if (otherFilter) None
           else if (hasFlate) inflate(raw)
           else Some(raw)
+        }
         decoded.foreach { d =>
           val t = extractTextOps(new String(d, ISO_8859_1))
           if (t.nonEmpty) {
@@ -105,6 +133,169 @@ object Pdf {
     }
     Extracted(xrefOk, nStreams, text.toString)
   }
+
+  // --------------------------------------------- standard security handler
+
+  private sealed trait Crypt
+  private case object NoCrypt extends Crypt
+  private case object CryptUnsupported extends Crypt
+  private final case class StdCrypt(fileKey: Array[Byte], aes: Boolean)
+      extends Crypt
+
+  /** ISO 32000-1 §7.6.3.3: the 32-byte password padding constant. */
+  private val PadBytes: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private[graft] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val st = Array.tabulate(256)(_.toByte)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + st(i) + key(i % key.length)) & 0xff
+      val t = st(i); st(i) = st(j); st(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0; var y = 0; var k = 0
+    while (k < data.length) {
+      x = (x + 1) & 0xff
+      y = (y + st(x)) & 0xff
+      val t = st(x); st(x) = st(y); st(y) = t
+      out(k) = (data(k) ^ st((st(x) + st(y)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** Algorithm 2: the file encryption key for the EMPTY user password.
+   * (R4 /EncryptMetadata false would append FFFFFFFF — we keep the
+   * default-true case in the subset.) */
+  private def fileKey(o: Array[Byte], p: Int, id0: Array[Byte], r: Int,
+                      keyLen: Int): Array[Byte] = {
+    val pLe = Array[Byte](p.toByte, (p >> 8).toByte, (p >> 16).toByte,
+      (p >> 24).toByte)
+    var h = md5(PadBytes, o, pLe, id0)
+    if (r >= 3) for (_ <- 0 until 50) h = md5(h.take(keyLen))
+    h.take(keyLen)
+  }
+
+  /** Algorithm 1: the per-object key (MD5 of file key + obj/gen LE
+   * bytes, +sAlT for AESV2), truncated to min(keyLen+5, 16). */
+  private def objKey(fk: Array[Byte], num: Int, gen: Int,
+                     aes: Boolean): Array[Byte] = {
+    val ext = Array[Byte](num.toByte, (num >> 8).toByte, (num >> 16).toByte,
+      gen.toByte, (gen >> 8).toByte)
+    val salt = if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.empty[Byte]
+    md5(fk, ext, salt).take(math.min(fk.length + 5, 16))
+  }
+
+  /** Algorithm 3: the /O value for empty owner AND user passwords. */
+  private[graft] def ownerValue(r: Int, keyLen: Int): Array[Byte] = {
+    var h = md5(PadBytes)
+    if (r >= 3) for (_ <- 0 until 50) h = md5(h)
+    val rk = h.take(keyLen)
+    var o = rc4(rk, PadBytes)
+    if (r >= 3) for (i <- 1 to 19) o = rc4(rk.map(b => (b ^ i).toByte), o)
+    o
+  }
+
+  /** Algorithm 4 (R2) / 5 (R3+): the /U value for the empty user
+   * password — what a conforming reader validates the password
+   * against. R3+ compares the first 16 bytes only; the tail is
+   * arbitrary padding (we write zeros). */
+  private[graft] def userValue(fk: Array[Byte], r: Int,
+                               id0: Array[Byte]): Array[Byte] = {
+    if (r == 2) rc4(fk, PadBytes)
+    else {
+      var u = rc4(fk, md5(PadBytes, id0))
+      for (i <- 1 to 19) u = rc4(fk.map(b => (b ^ i).toByte), u)
+      u ++ new Array[Byte](16)
+    }
+  }
+
+  private def decryptStream(fk: Array[Byte], aes: Boolean, num: Int,
+                            gen: Int, data: Array[Byte]): Option[Array[Byte]] = {
+    val ek = objKey(fk, num, gen, aes)
+    if (!aes) Some(rc4(ek, data))
+    else if (data.length < 16 || (data.length - 16) % 16 != 0) None
+    else
+      try {
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(ek, "AES"),
+          new javax.crypto.spec.IvParameterSpec(data.take(16)))
+        Some(c.doFinal(data, 16, data.length - 16))
+      } catch { case _: java.security.GeneralSecurityException => None }
+  }
+
+  /** (objnum, gen) of the object whose `obj` keyword ends at objAt. */
+  private def objHeader(s: String, objAt: Int): Option[(Int, Int)] =
+    if (objAt < 0) None
+    else ObjHeadRe.findFirstMatchIn(
+      s.substring(math.max(0, objAt - 24), objAt))
+      .map(m => (m.group(1).toInt, m.group(2).toInt))
+  private val ObjHeadRe = """(\d+)\s+(\d+)\s*$""".r
+
+  /** Locate and resolve the trailer's /Encrypt dictionary: NoCrypt when
+   * absent, StdCrypt when it is a supported standard-handler shape AND
+   * the empty user password validates against /U, CryptUnsupported
+   * otherwise (non-empty password, R5/R6, exotic filters) — streams
+   * then contribute no text rather than garbage. */
+  private def resolveCrypt(s: String): Crypt = {
+    val encRef = EncRefRe.findAllMatchIn(s).toSeq.lastOption
+      .getOrElse(return NoCrypt)
+    val (num, gen) = (encRef.group(1).toInt, encRef.group(2).toInt)
+    val objAt = s.indexOf(s"$num $gen obj")
+    if (objAt < 0) return CryptUnsupported
+    val endAt = s.indexOf("endobj", objAt)
+    val dict = s.substring(objAt, if (endAt < 0) s.length else endAt)
+    if (!dict.contains("/Standard")) return CryptUnsupported
+    def intField(name: String): Option[Int] =
+      s"""/$name\\s+(-?\\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+    def strField(name: String): Option[Array[Byte]] = {
+      val hex = s"""/$name\\s*<([0-9A-Fa-f]+)>""".r
+      hex.findFirstMatchIn(dict).map(m =>
+        m.group(1).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+        .orElse {
+          val at = s"""/$name\\s*\\(""".r.findFirstMatchIn(dict)
+          at.map(m => parseString(dict, m.end - 1)._1.getBytes(ISO_8859_1))
+        }
+    }
+    val v = intField("V").getOrElse(0)
+    val r = intField("R").getOrElse(0)
+    val p = intField("P").getOrElse(return CryptUnsupported)
+    val o = strField("O").getOrElse(return CryptUnsupported)
+    val u = strField("U").getOrElse(return CryptUnsupported)
+    val aes = dict.contains("/AESV2")
+    val keyLen = intField("Length").getOrElse(40) / 8
+    val supported =
+      ((v == 1 || v == 2) && (r == 2 || r == 3) && !aes) ||
+        (v == 4 && r == 4 && aes)
+    if (!supported || o.length < 32 || keyLen < 5 || keyLen > 16)
+      return CryptUnsupported
+    val id0 = IdRe.findFirstMatchIn(s.substring(s.lastIndexOf("trailer")
+      .max(0))).map(m =>
+      m.group(1).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+      .getOrElse(Array.empty[Byte])
+    val fk = fileKey(o, p, id0, r, if (v == 1) 5 else keyLen)
+    val expectU = userValue(fk, r, id0)
+    val checkLen = if (r == 2) 32 else 16
+    if (u.length >= checkLen &&
+      java.util.Arrays.equals(u.take(checkLen), expectU.take(checkLen)))
+      StdCrypt(fk, aes)
+    else CryptUnsupported
+  }
+  private val EncRefRe = """/Encrypt\s+(\d+)\s+(\d+)\s+R""".r
+  private val IdRe = """/ID\s*\[\s*<([0-9A-Fa-f]+)>""".r
 
   // direct /Length only (indirect "N 0 R" lengths are out of subset —
   // the lookahead rejects them, falling back to EOL trimming). The
@@ -275,7 +466,22 @@ object Pdf {
    * kerned split shows (first token, kern, remainder) so both show
    * operators are load-bearing in the oracle comparison.
    */
-  def fixturePdf(docId: Long, text: String): Array[Byte] = {
+  def fixturePdf(docId: Long, text: String): Array[Byte] =
+    buildPdf(docId, text, encrypt = None)
+
+  /** Encrypted twin of [[fixturePdf]] under the standard security
+   * handler with EMPTY owner and user passwords (open-to-read,
+   * restricted-permissions — the dominant encrypted-crawl class):
+   * aes=false → RC4-128 (V2/R3), aes=true → AES-128-CBC (V4/R4
+   * AESV2, deterministic per-doc IV). Same object chain and content;
+   * /Encrypt dict + /ID land in the trailer and the content stream is
+   * encrypted under its per-object key BEFORE the file assembles. */
+  def fixturePdfEncrypted(docId: Long, text: String,
+                          aes: Boolean): Array[Byte] =
+    buildPdf(docId, text, encrypt = Some(aes))
+
+  private def buildPdf(docId: Long, text: String,
+                       encrypt: Option[Boolean]): Array[Byte] = {
     val toks = text.trim.split("\\s+").filter(_.nonEmpty)
     val chunks = toks.grouped(10).map(_.mkString(" ")).toSeq
     val content = new StringBuilder
@@ -301,13 +507,49 @@ object Pdf {
       d.end()
       out.toByteArray
     }
+    def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+    // handler parameters + the encrypted payload, when requested
+    val encInfo = encrypt.map { aes =>
+      val r = if (aes) 4 else 3
+      val keyLen = 16
+      val o = ownerValue(r, keyLen)
+      val perm = -3904 // print allowed, modify/copy restricted
+      val id0 = md5(s"graft-id-$docId".getBytes(ISO_8859_1))
+      val fk = fileKey(o, perm, id0, r, keyLen)
+      val u = userValue(fk, r, id0)
+      val dict =
+        if (!aes)
+          s"6 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 /P $perm" +
+            s" /O <${hex(o)}> /U <${hex(u)}> >> endobj\n"
+        else
+          s"6 0 obj << /Filter /Standard /V 4 /R 4 /Length 128 /P $perm" +
+            s" /O <${hex(o)}> /U <${hex(u)}>" +
+            " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>" +
+            " /StmF /StdCF /StrF /StdCF >> endobj\n"
+      (aes, fk, id0, dict)
+    }
+    val payload = encInfo match {
+      case None => deflated
+      case Some((aes, fk, _, _)) =>
+        val ek = objKey(fk, 4, 0, aes)
+        if (!aes) rc4(ek, deflated)
+        else {
+          val iv = md5(s"graft-iv-$docId".getBytes(ISO_8859_1))
+          val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+          c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+            new javax.crypto.spec.SecretKeySpec(ek, "AES"),
+            new javax.crypto.spec.IvParameterSpec(iv))
+          iv ++ c.doFinal(deflated)
+        }
+    }
     val objs = Seq(
       "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
       "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
       "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n",
       null, // content stream assembled below
-      "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
+      "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
+    ) ++ encInfo.map(_._4).toSeq
     val out = new java.io.ByteArrayOutputStream()
     def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
     w("%PDF-1.4\n")
@@ -316,8 +558,8 @@ object Pdf {
       offsets(k + 1) = out.size()
       if (o != null) w(o)
       else {
-        w(s"4 0 obj << /Length ${deflated.length} /Filter /FlateDecode >> stream\n")
-        out.write(deflated)
+        w(s"4 0 obj << /Length ${payload.length} /Filter /FlateDecode >> stream\n")
+        out.write(payload)
         w("\nendstream endobj\n")
       }
     }
@@ -325,7 +567,11 @@ object Pdf {
     w(s"xref\n0 ${objs.length + 1}\n")
     w("0000000000 65535 f \n")
     (1 to objs.length).foreach(k => w(f"${offsets(k)}%010d 00000 n \n"))
-    w(s"trailer << /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%%%EOF\n")
+    val encTrailer = encInfo.map { case (_, _, id0, _) =>
+      s" /Encrypt 6 0 R /ID [<${hex(id0)}> <${hex(id0)}>]"
+    }.getOrElse("")
+    w(s"trailer << /Size ${objs.length + 1} /Root 1 0 R$encTrailer >>" +
+      s"\nstartxref\n$xrefAt\n%%%%EOF\n")
     out.toByteArray
   }
 

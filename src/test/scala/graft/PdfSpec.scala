@@ -126,6 +126,44 @@ class PdfSpec extends SparkSpec {
       s"got '${Pdf.parse(pdf4).text}'")
   }
 
+  test("encrypted PDFs: RC4-128 and AES-128 empty-password round-trips") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu"
+    val expected = "Doc 7 (pdf) A\n" +
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa\n" +
+      "lambda mu"
+    for (aes <- Seq(false, true)) {
+      val pdf = Pdf.fixturePdfEncrypted(7L, text, aes)
+      val s = new String(pdf, ISO_8859_1)
+      assert(s.contains("/Encrypt 6 0 R") && s.contains("/Standard"), s"aes=$aes")
+      if (aes) assert(s.contains("/AESV2"))
+      // the plaintext content must NOT appear in the encrypted bytes
+      assert(!s.contains("alpha beta"), s"aes=$aes leaked plaintext")
+      val r = Pdf.parse(pdf)
+      assert(r.xrefOk && r.nStreams == 1, s"aes=$aes")
+      assert(r.text == expected, s"aes=$aes got '${r.text}'")
+    }
+    // same doc, plain vs both encryptions: identical extracted text
+    assert(Pdf.parse(Pdf.fixturePdf(7L, text)).text == expected)
+  }
+
+  test("encrypted PDFs: wrong password / unsupported handlers degrade to no text") {
+    val pdf = Pdf.fixturePdfEncrypted(3L, "one two three", aes = false)
+    val s = new String(pdf, ISO_8859_1)
+    // tamper /O (the password record): /U validation must fail and the
+    // file contribute NO text (never RC4 garbage)
+    val oAt = s.indexOf("/O <") + 4
+    val tampered = s.substring(0, oAt) +
+      (if (s.charAt(oAt) == '0') '1' else '0') + s.substring(oAt + 1)
+    val rt = Pdf.parse(tampered.getBytes(ISO_8859_1))
+    assert(rt.nStreams == 1 && rt.text == "", s"got '${rt.text}'")
+    // unsupported revision (R 5) likewise degrades cleanly
+    val r5 = s.replace("/V 2 /R 3", "/V 5 /R 5")
+    assert(Pdf.parse(r5.getBytes(ISO_8859_1)).text == "")
+    // and the untampered file still reads (control)
+    assert(Pdf.parse(pdf).text.contains("one two three"))
+  }
+
   test("extractTexts: DataFrame pass, binary-safe, per-row independence") {
     val pdfs = Seq(
       (1L, Pdf.fixturePdf(1L, "one two three")),
