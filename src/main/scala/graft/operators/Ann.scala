@@ -307,18 +307,33 @@ object Ann {
     if (clOpt.isEmpty)
       return emptyTopK(corpus, probes, "cosine", idCol, probeIdCol)
     val cl = clOpt.get
-    val assigned = corpus
+    ivfProbeLists(ivfAssigned(corpus, cl, vecCol, idCol), cl, probes, k,
+      nProbe, probeIdCol, probeVecCol)
+  }
+
+  /** The corpus half of the IVF index: every vector assigned to its
+   * nearest trained centroid — (neighbor_id, cv, cn, centroid_id). */
+  private def ivfAssigned(corpus: DataFrame, cl: CentLits, vecCol: String,
+                          idCol: String): DataFrame =
+    corpus
       .select(col(idCol).as("neighbor_id"), VF.toDouble(col(vecCol)).as("cv"))
       .withColumn("cn", VF.norm(col("cv")))
       .withColumn("centroid_id",
         nonNullKey(element_at(cl.ids, nearestIdx(col("cv"), col("cn"), cl) + 1)))
+
+  /** The probe half: each probe fans out to its nProbe nearest lists,
+   * joins the assigned corpus on centroid_id, exact-ranks inside the
+   * probed lists. */
+  private def ivfProbeLists(assigned: DataFrame, cl: CentLits,
+                            probes: DataFrame, k: Int, nProbe: Int,
+                            probeIdCol: String,
+                            probeVecCol: String): DataFrame = {
     val probeLists = probes
       .select(col(probeIdCol).as("probe_id"), VF.toDouble(col(probeVecCol)).as("pv"))
       .withColumn("pn", VF.norm(col("pv")))
       .select(col("probe_id"), col("pv"), col("pn"),
         explode(transform(nearestIdxs(col("pv"), col("pn"), cl, nProbe),
           i => element_at(cl.ids, i + 1))).as("centroid_id"))
-
     val wRank = Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     assigned.join(broadcast(probeLists), Seq("centroid_id"))
@@ -329,6 +344,34 @@ object Ann {
       .select(col("probe_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  /**
+   * PUBLISH the IVF index: train-once centroids applied to the corpus,
+   * yielding the (neighbor_id, cv, cn, centroid_id) table a serving
+   * layer persists (parquet, ideally partitioned/sorted by centroid_id
+   * so a probe's nProbe lists prune to their files). This is the
+   * build-side artifact of streaming ANN serving: the index is built
+   * ONCE, probes arrive forever.
+   */
+  def ivfIndex(corpus: DataFrame, cents: Seq[(Long, Seq[Double])],
+               vecCol: String = "embedding",
+               idCol: String = "vec_id"): DataFrame =
+    ivfAssigned(corpus, centLits(cents), vecCol, idCol)
+
+  /**
+   * SERVE probes against a published [[ivfIndex]] — the query half of
+   * ivfTopK with training factored out, so a probe STREAM is served
+   * batch-by-batch against the static index (each probe's top-k needs
+   * only its own row plus the index: stateless stream-static shape,
+   * exact same rows as the batch path — the p73/p67 batch≡streaming
+   * convention, proven by hash-matching p17's oracle).
+   */
+  def ivfProbe(index: DataFrame, cents: Seq[(Long, Seq[Double])],
+               probes: DataFrame, k: Int = 10, nProbe: Int = 4,
+               probeIdCol: String = "probe_id",
+               probeVecCol: String = "probe_vec"): DataFrame =
+    ivfProbeLists(index, centLits(cents), probes, k, nProbe,
+      probeIdCol, probeVecCol)
 
   // ------------------------------------------------- product quantization
 
