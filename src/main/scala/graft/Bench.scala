@@ -203,11 +203,24 @@ object Bench {
       .mkString("{", ",", "}")
     val cold = (ts: List[Double]) => ts.head
     val p50 = (ts: List[Double]) => ts.sorted.apply(ts.length / 2)
+    // Steady-state slice: executions >= 3. The r15 JIT instrumentation
+    // showed execution #1 is cold (plan+codegen), #2 still pays the
+    // one-time HotSpot tiered compile, and from #3 the series is what
+    // a warm server actually serves — a repeats=3 p50 lands on the
+    // WARMUP execution and overstates steady-state ~2x on the
+    // scheduling-floor keys. With repeats=3 the slice is the single
+    // third execution; repeats>=5 gives a true steady median. cold
+    // stays reported separately.
+    val steady = (ts: List[Double]) => {
+      val s = ts.drop(2)
+      p50(if (s.nonEmpty) s else ts.takeRight(1))
+    }
     val errs = results.collect { case (k, _, Some(m)) =>
       jstr(k) + ":" + jstr(m.take(200))
     }.mkString("{", ",", "}")
     val total = ok.map(r => cold(r._2)).sum
     val totalP50 = ok.map(r => p50(r._2)).sum
+    val totalP50Steady = ok.map(r => steady(r._2)).sum
     // Cache hygiene: drop every operator-materialized frame now that all
     // results are consumed (the long-running-service lifecycle; repeats
     // above deliberately reused them — that is the warm-service p50).
@@ -235,7 +248,7 @@ object Bench {
         jstr(k) + ":" + ts.map(ok3).mkString("[", ",", "]")
       }.mkString("{", ",", "}")},"""
     else ""
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"queries_p50":${qmap(p50)},"queries_min":${qmap(_.min)},"queries_max":${qmap(_.max)},$series"repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"replica_warm_sec":${ok3(replicaWarmSec)},$probes,"build_sec":${ok3(buildSec)},"caches_drained":$cachesDrained,$loads,"sf":${jstr(sfDir)}}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"queries_p50":${qmap(p50)},"queries_p50_steady":${qmap(steady)},"queries_min":${qmap(_.min)},"queries_max":${qmap(_.max)},$series"repeats":$repeats,"total_p50":$totalP50,"total_p50_steady":$totalP50Steady,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"replica_warm_sec":${ok3(replicaWarmSec)},$probes,"build_sec":${ok3(buildSec)},"caches_drained":$cachesDrained,$loads,"sf":${jstr(sfDir)}}"""
     // Detail file: env-overridable path, and never let an unwritable CWD
     // abort the run after all queries already completed — the stdout line
     // is the contract, the file is best-effort.
@@ -250,7 +263,7 @@ object Bench {
     // probes only, no per-query map — the driver's tail capture truncates
     // long lines and then records parsed:null. Per-query numbers live in
     // the detail file (path carried in "detail").
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"total_p50":$totalP50,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"replica_warm_sec":${ok3(replicaWarmSec)},$probes,"build_sec":${ok3(buildSec)},"caches_drained":$cachesDrained,$loads,"detail":$detailRef,"sf":${jstr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"total_p50":$totalP50,"total_p50_steady":$totalP50Steady,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"replica_warm_sec":${ok3(replicaWarmSec)},$probes,"build_sec":${ok3(buildSec)},"caches_drained":$cachesDrained,$loads,"detail":$detailRef,"sf":${jstr(sfDir)}}"""
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(line)

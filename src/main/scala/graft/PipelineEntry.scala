@@ -417,6 +417,36 @@ object PipelineEntry {
       .as("body"))
   }
 
+  /** p127's stopword list (jusText-style function words; the fixture
+   * vocabulary carries 'a'/'the', the planted light-link paragraph the
+   * rest). Shared verbatim by the oracle SQL. */
+  private val MainContentStopwords = Seq(
+    "the", "a", "and", "for", "more", "of", "to", "in", "is", "on")
+
+  /** p132 fixture: one robots.txt row per HOST, each advertising the
+   * sitemap URLs of the docs it owns (doc_id % 40 == host id) — but
+   * only for docs with doc_id % 3 != 1, so a third of the sitemap
+   * documents exist WITHOUT a robots pointer and must stay
+   * undiscovered. Directive case varies (Sitemap:/sitemap: by parity)
+   * to pin the case-insensitive match; a leading UA group makes the
+   * file realistic (RFC 9309 §2.2.4: the directive is a non-group
+   * record wherever it appears). Lines sort for determinism. */
+  private def robotsWithSitemaps(d: DataFrame): DataFrame = {
+    val h = pmod(col("doc_id"), lit(40))
+    val line = concat(
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("Sitemap: "))
+        .otherwise(lit("sitemap: ")),
+      lit("https://site"), h, lit(".example.com/sitemap-"),
+      col("doc_id"), lit(".xml"))
+    d.where(pmod(col("doc_id"), lit(3)) =!= 1)
+      .groupBy(h.as("__h"))
+      .agg(array_join(sort_array(collect_list(line)), "\n").as("__sm"))
+      .select(
+        concat(lit("site"), col("__h"), lit(".example.com")).as("host"),
+        concat(lit("User-agent: *\nDisallow: /private\n\n"),
+          col("__sm"), lit("\n")).as("body"))
+  }
+
   /** p127 fixture: a full page per doc — nav link farm (high link
    * density), the doc's tokens as 8-token <p> paragraphs (content), a
    * light-link paragraph with an entity on %5 (must SURVIVE the
@@ -1228,10 +1258,15 @@ object PipelineEntry {
     // P131 — incremental re-crawl planning: two .warc.gz crawls of the
     // same sites (B drops %13 pages, rewrites %6, discovers %17 under
     // new ids) indexed with p93's CDX and full-outer diffed on urlkey
-    // into added/removed/changed/same. Both crawls run the REAL
+    // into added/removed/changed/same. Crawl A additionally captures
+    // every %19 page TWICE (a re-crawl within the snapshot, body
+    // suffixed " v2") — real CDXes carry multi-capture urlkeys, and
+    // the diff must collapse each side to one representative
+    // (max digest) before classifying. Both crawls run the REAL
     // export → parse → index chain; the oracle re-derives every
-    // urlkey, sha256 digest, and verdict from the doc table alone, so
-    // a canonicalization, framing, or join slip changes rows.
+    // urlkey, sha256 digest, max-collapse, and verdict from the doc
+    // table alone, so a canonicalization, framing, dedupe, or join
+    // slip changes rows.
     "p131_crawl_diff" -> ((s, dir) => {
       import graft.sources.WarcSource
       val tag = dir.replaceAll("[^0-9.]", "")
@@ -1240,7 +1275,9 @@ object PipelineEntry {
       Seq(outA, outB).foreach(o =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(o)))
       val d = docs(s, dir)
-      WarcSource.export(pageUrls(d), outA, docsPerFile = 100,
+      val aDocs = d.unionByName(d.where(pmod(col("doc_id"), lit(19)) === 0)
+        .withColumn("text", concat(col("text"), lit(" v2"))))
+      WarcSource.export(pageUrls(aDocs), outA, docsPerFile = 100,
         urlCol = Some("url"))
       val bDocs = d.where(pmod(col("doc_id"), lit(13)) =!= 0)
         .withColumn("text", when(pmod(col("doc_id"), lit(6)) === 0,
@@ -1252,6 +1289,33 @@ object PipelineEntry {
       WarcSource.cdxDiff(
         WarcSource.cdxIndex(WarcSource.records(s, outA)),
         WarcSource.cdxIndex(WarcSource.records(s, outB)))
+        .orderBy("urlkey")
+    }),
+
+    // P133 — WARC revisit records (ISO 28500 crawl-time dedup): every
+    // %9 page is captured TWICE, the second time as a `revisit` record
+    // whose payload is headers-only and whose WARC-Payload-Digest
+    // carries the referent's sha256 inline. The capture table resolves
+    // revisit digests from the header (no join back to the original),
+    // and the per-urlkey collapse must land on exactly ONE distinct
+    // digest — the dedup signal a re-crawl pipeline reads before any
+    // content hash. Oracle re-derives captures, revisit counts, and
+    // the collapse from the doc table alone: a header-parse slip, a
+    // digest-prefix slip, or a phantom/lost revisit all change rows.
+    "p133_warc_revisit" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      val tag = dir.replaceAll("[^0-9.]", "")
+      val out = s"/root/repo/target/warc-revisit-$tag"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      WarcSource.export(docs(s, dir), out, docsPerFile = 100,
+        revisitEvery = 9)
+      WarcSource.cdxCaptures(WarcSource.records(s, out))
+        .groupBy("urlkey")
+        .agg(count(lit(1)).as("n_captures"),
+          sum((col("kind") === "revisit").cast("long")).as("n_revisits"),
+          countDistinct(col("digest")).as("n_digests"),
+          max(col("digest")).as("digest"),
+          sum(col("n_bytes")).as("stored_bytes"))
         .orderBy("urlkey")
     }),
 
@@ -2117,7 +2181,16 @@ object PipelineEntry {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
       val pdfs = docs(s, dir).select(col("doc_id"), col("text"))
         .as[(Long, String)]
-        .mapPartitions(_.map { case (id, t) => (id, Pdf.fixturePdf(id, t)) })
+        .mapPartitions(_.map { case (id, t) =>
+          // a third of the crawl is ENCRYPTED (empty-user-password
+          // standard handler, the dominant encrypted class): %3==1
+          // RC4-128, %3==2 AES-128-CBC — the oracle is unchanged, so
+          // decryption must be byte-exact or these docs' text diverges
+          (id,
+            if (id % 3 == 1) Pdf.fixturePdfEncrypted(id, t, aes = false)
+            else if (id % 3 == 2) Pdf.fixturePdfEncrypted(id, t, aes = true)
+            else Pdf.fixturePdf(id, t))
+        })
         .toDF("id", "payload")
       WarcSource.export(pdfs, out, docsPerFile = 100, idCol = "id",
         bytesCol = Some("payload"), mime = "application/pdf")
@@ -2174,7 +2247,16 @@ object PipelineEntry {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
       val pdfs = docs(s, dir).select(col("doc_id"), col("text"))
         .as[(Long, String)]
-        .mapPartitions(_.map { case (id, t) => (id, Pdf.fixturePdf(id, t)) })
+        .mapPartitions(_.map { case (id, t) =>
+          // a third of the crawl is ENCRYPTED (empty-user-password
+          // standard handler, the dominant encrypted class): %3==1
+          // RC4-128, %3==2 AES-128-CBC — the oracle is unchanged, so
+          // decryption must be byte-exact or these docs' text diverges
+          (id,
+            if (id % 3 == 1) Pdf.fixturePdfEncrypted(id, t, aes = false)
+            else if (id % 3 == 2) Pdf.fixturePdfEncrypted(id, t, aes = true)
+            else Pdf.fixturePdf(id, t))
+        })
         .toDF("id", "payload")
       WarcSource.export(pdfs, out, docsPerFile = 100, idCol = "id",
         bytesCol = Some("payload"), mime = "application/pdf")
@@ -2202,6 +2284,94 @@ object PipelineEntry {
         UrlOps.parseSitemaps(sitemapDocs(docs(s, dir)), siteCol = "site_id"),
         perRound = 2)
         .orderBy("host", "fetch_round", "loc")),
+
+    // P134 — STREAMING ANN serving (the one batch≡streaming family
+    // member that was missing): the IVF index is trained and PUBLISHED
+    // once (centroids + assigned lists to parquet — the build-side
+    // artifact), then a probe STREAM is served batch-by-batch against
+    // the static index via foreachBatch (each probe's top-k needs only
+    // its own row plus the index — stateless stream-static shape; the
+    // per-batch window ranks only that batch's probes). AvailableNow
+    // drain hash-matches p17's oracle: train-once, serve-forever.
+    "p134_streaming_ann" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tag = dir.replaceAll("[^0-9]", "_")
+      val root = s"/root/repo/target/ann-serve-$tag"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val e = embs(s, dir)
+      val cents = Ann.trainCentroids(e, nCenters = 16, sampleN = 256,
+        iters = 2)
+      Ann.ivfIndex(e, cents).write.parquet(s"$root/index")
+      val index = s.read.parquet(s"$root/index")
+      val p = probes(s, dir)
+      p.write.parquet(s"$root/probes")
+      val stream = s.readStream.schema(p.schema).parquet(s"$root/probes")
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Ann.ivfProbe(index, cents, batch, k = 10, nProbe = 4)
+            .write.mode("append").parquet(s"$root/served")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$root/served").orderBy("probe_id", "rank")
+    }),
+
+    // P135 — CDX point lookup (the serving read of the p93 index):
+    // the crawl publishes its urlkey-SORTED index once; a driver-sized
+    // request batch of URLs — every %11 page in a FRESH spelling
+    // (scheme case, www, :443, unsorted params, fragment: must
+    // canonicalize to the captured key) plus guaranteed misses — probes
+    // it through the zone-map literal discipline (range conjunct pushed
+    // into the parquet scan + native set probe). The oracle re-derives
+    // exactly the %11 hit rows; a canonicalization slip at EITHER end,
+    // a probe leak, or a phantom miss-row all change rows.
+    "p135_cdx_lookup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.WarcSource
+      val tag = dir.replaceAll("[^0-9.]", "")
+      val out = s"/root/repo/target/cdx-lookup-$tag"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val d = docs(s, dir)
+      WarcSource.export(pageUrls(d), s"$out/warc", docsPerFile = 100,
+        urlCol = Some("url"))
+      WarcSource.cdxIndex(WarcSource.records(s, s"$out/warc"))
+        .orderBy("urlkey").write.parquet(s"$out/index")
+      val index = s.read.parquet(s"$out/index")
+      val hitIds = d.where(pmod(col("doc_id"), lit(11)) === 0)
+        .select(col("doc_id")).as[Long].collect().toSeq.sorted
+      val urls = hitIds.map(i =>
+        s"HTTPS://WWW.Example-${i % 50}.com:443/Pg/$i?b=2&a=1#frag") ++
+        hitIds.map(i => s"https://example-${i % 50}.com/Pg/${i + 1000000}")
+      WarcSource.cdxLookup(index, urls).orderBy("urlkey")
+    }),
+
+    // P132 — robots-driven sitemap discovery (closes the crawl-
+    // governance loop: permission p101 → DISCOVERY ← frontier p125):
+    // each host's robots.txt advertises its sitemaps via RFC 9309
+    // §2.2.4 `Sitemap:` directives; the discovered URL set (robots-
+    // table-bounded → broadcast) semi-joins the sitemap documents, and
+    // only THOSE parse into the per-host frontier. A third of the
+    // fixture's sitemap docs carry no robots pointer and must stay
+    // undiscovered — the oracle re-derives the frontier closed-form
+    // from the robots arithmetic alone (doc_id % 3 gate), so a
+    // directive-parse slip, a join slip, or a discovery leak all
+    // change rows.
+    "p132_sitemap_discovery" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val discovered = UrlOps.robotsSitemaps(robotsWithSitemaps(d))
+        .select(col("sitemap_url").as("__url")).distinct()
+      val sm = sitemapDocs(d).withColumn("__url",
+        concat(lit("https://site"), pmod(col("site_id"), lit(40)),
+          lit(".example.com/sitemap-"), col("site_id"), lit(".xml")))
+      val selected = sm.join(broadcast(discovered), Seq("__url"),
+        "left_semi")
+      UrlOps.frontierSchedule(
+        UrlOps.parseSitemaps(selected, siteCol = "site_id"), perRound = 2)
+        .orderBy("host", "fetch_round", "loc")
+    }),
 
     // P129 — MP4/ISO-BMFF container metadata (the front half of video
     // curation: clip length, track layout, codec allowlist — filtered
@@ -2243,16 +2413,19 @@ object PipelineEntry {
       Mp4.containerMeta(recovered).orderBy("id", "track_id")
     }),
 
-    // P127 — main-content extraction by block link-density scoring
-    // (the jusText/trafilatura boilerplate-vs-content step): nav link
-    // farms and link-heavy promos fail the density screen, short
-    // footers fail the length screen, content paragraphs and a
-    // light-link entity-bearing paragraph survive into main_text. The
-    // oracle regenerates kept blocks closed-form (never parsing HTML),
-    // so segmentation, cleaning, the exact-integer density rule, and
-    // join order are all byte-checked.
+    // P127 — main-content extraction by block scoring (the jusText/
+    // trafilatura boilerplate-vs-content step), THREE exact-integer
+    // screens: nav link farms and link-heavy promos fail the
+    // link-density screen, short footers fail the length screen, and
+    // prose-free blocks (zero/low stopword tokens — jusText's core
+    // signal) fail the 5% stopword-density screen. The oracle
+    // regenerates kept blocks closed-form (never parsing HTML) and
+    // recomputes ALL THREE screens, so segmentation, cleaning, and
+    // each exact-integer rule are byte-checked.
     "p127_main_content" -> ((s, dir) =>
-      Html.mainContent(contentPages(docs(s, dir))).orderBy("id")),
+      Html.mainContent(contentPages(docs(s, dir)),
+        stopwords = MainContentStopwords, minStopwordBp = 500)
+        .orderBy("id")),
 
     // P126 — STREAMING sitemap ingest (sitemaps arrive with the crawl,
     // not before it): the same parse over a file stream of sitemap
@@ -3018,6 +3191,25 @@ SELECT doc_id AS id, n_words, round(mwl, 6) AS mean_word_len,
     AS passes
 FROM m ORDER BY id"""
 
+  /** IVF top-k closed form, shared by p17 (batch) and p134 (streaming
+   * serving drain): same trained coarse quantizer, same list
+   * restriction, same exact ranking. */
+  private lazy val IvfTopKOracle: String =
+    s"""WITH $embCte,
+$ivfCoarseCtes,
+scored AS (
+  SELECT pl.probe_id, a.neighbor_id,
+         ${dotSql("pl.pv", "a.cv")} / (pl.pn * a.cn) AS cs
+  FROM assigned a JOIN plists pl ON a.centroid_id = pl.centroid_id
+  WHERE pl.probe_id <> a.neighbor_id),
+ranked AS (
+  SELECT probe_id, neighbor_id, cs,
+         row_number() OVER (PARTITION BY probe_id
+           ORDER BY cs DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT probe_id, rank, neighbor_id, round(cs, 6) AS cosine
+FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank"""
+
   def oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
@@ -3199,21 +3391,13 @@ SELECT shard, pack_id, count(*)::BIGINT AS n_docs,
   min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id""",
 
-    "p17_ann_ivf" ->
-      s"""WITH $embCte,
-$ivfCoarseCtes,
-scored AS (
-  SELECT pl.probe_id, a.neighbor_id,
-         ${dotSql("pl.pv", "a.cv")} / (pl.pn * a.cn) AS cs
-  FROM assigned a JOIN plists pl ON a.centroid_id = pl.centroid_id
-  WHERE pl.probe_id <> a.neighbor_id),
-ranked AS (
-  SELECT probe_id, neighbor_id, cs,
-         row_number() OVER (PARTITION BY probe_id
-           ORDER BY cs DESC, neighbor_id) AS rank
-  FROM scored)
-SELECT probe_id, rank, neighbor_id, round(cs, 6) AS cosine
-FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
+    "p17_ann_ivf" -> IvfTopKOracle,
+
+    // p134: SHARES p17's oracle — the probe stream served against the
+    // published static index must land on EXACTLY the batch IVF rows
+    // (train-once/serve-forever, the p73/p67 batch ≡ streaming
+    // convention).
+    "p134_streaming_ann" -> IvfTopKOracle,
 
     "p34_semdedup" ->
       s"""WITH $embCte,
@@ -4649,12 +4833,18 @@ FROM n ORDER BY doc_id""",
     "p110_streaming_cdx" -> CdxOracle,
 
     // p131: both crawls' indexes re-derived from the doc table (p93's
-    // urlkey/digest formulas + the B-side mutation arithmetic), then
-    // the same full-outer classification.
+    // urlkey/digest formulas + the B-side mutation arithmetic + the
+    // A-side %19 double-capture collapsed by max(digest)), then the
+    // same full-outer classification.
     "p131_crawl_diff" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
-a AS (SELECT 'com,example-' || (doc_id % 50) || ')/pg/' || doc_id
-        || '?a=1&b=2' AS urlkey, sha256(text) AS digest FROM documents),
+a0 AS (SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id, text || ' v2' FROM documents WHERE doc_id % 19 = 0),
+a AS (SELECT urlkey, max(digest) AS digest FROM (
+        SELECT 'com,example-' || (doc_id % 50) || ')/pg/' || doc_id
+          || '?a=1&b=2' AS urlkey, sha256(text) AS digest FROM a0)
+      GROUP BY urlkey),
 b0 AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN text || ' updated'
           ELSE text END AS text
        FROM documents WHERE doc_id % 13 <> 0
@@ -5307,7 +5497,11 @@ p AS (SELECT doc_id,
          for k in range(0, CAST(ceil(len(toks)/8.0) AS BIGINT))] AS paras
       FROM w),
 x AS (SELECT doc_id,
-        list_filter(paras, s -> length(s) >= 25)
+        list_filter(paras, s -> length(s) >= 25
+          AND len(list_filter(string_split(s, ' '),
+                t -> list_contains(${MainContentStopwords
+                  .mkString("['", "','", "']")}, lower(t)))) * 10000
+              >= len(string_split(s, ' ')) * 500)
         || (CASE WHEN doc_id % 5 = 0 THEN ['See the docs for background ' ||
             'information and details & more'] ELSE []::VARCHAR[] END)
           AS kept,
@@ -5343,6 +5537,59 @@ r AS (SELECT host, loc, priority_milli,
       FROM e)
 SELECT host, loc, priority_milli, (rn + 1) // 2 AS fetch_round
 FROM r ORDER BY host, fetch_round, loc""",
+
+    // p132: p125's frontier closed form restricted to DISCOVERED
+    // sitemaps — the robots fixture advertises exactly the doc_id % 3
+    // <> 1 sitemap docs, and %7 == 0 docs are sitemapindex pointers
+    // (not fetchables). The SQL never parses robots or XML: if the
+    // directive extraction, the broadcast semi-join, or the discovery
+    // gate leaks even one undiscovered sitemap, rows diverge.
+    "p132_sitemap_discovery" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+u AS (SELECT doc_id, t.j FROM documents,
+        unnest(generate_series(0, doc_id % 5)) AS t(j)
+      WHERE doc_id % 7 <> 0 AND doc_id % 3 <> 1),
+e AS (SELECT 'site' || (doc_id % 40) || '.example.com' AS host,
+        'https://site' || (doc_id % 40) || '.example.com/page/' || doc_id
+          || '/' || j || '?a=1&b=2' AS loc,
+        CASE WHEN j % 2 = 0
+          THEN '2024-01-' || lpad(((doc_id + j) % 28 + 1)::VARCHAR, 2, '0')
+          END AS lastmod,
+        (CASE WHEN j % 2 = 1 THEN ((doc_id + j) % 10) * 100
+          ELSE 500 END)::BIGINT AS priority_milli
+      FROM u),
+r AS (SELECT host, loc, priority_milli,
+        row_number() OVER (PARTITION BY host ORDER BY priority_milli DESC,
+          lastmod DESC NULLS LAST, loc) AS rn
+      FROM e)
+SELECT host, loc, priority_milli, (rn + 1) // 2 AS fetch_round
+FROM r ORDER BY host, fetch_round, loc""",
+
+    // p135: the hit rows are exactly p93's index rows for %11 docs —
+    // the miss URLs must contribute nothing.
+    "p135_cdx_lookup" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT
+  'com,example-' || (doc_id % 50) || ')/pg/' || doc_id || '?a=1&b=2' AS urlkey,
+  'example-' || (doc_id % 50) || '.com/Pg/' || doc_id || '?a=1&b=2' AS url,
+  200::BIGINT AS status,
+  sha256(text) AS digest,
+  strlen(text)::BIGINT AS n_bytes
+FROM documents WHERE doc_id % 11 = 0 ORDER BY urlkey""",
+
+    // p133: captures re-derived from the doc table — one response per
+    // doc plus one headers-only revisit per %9 doc whose digest equals
+    // the referent's, so the collapse is closed-form: n_digests is
+    // ALWAYS 1 and stored bytes count the response payload only.
+    "p133_warc_revisit" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT 'org,example)/doc/' || doc_id AS urlkey,
+  (CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_captures,
+  (CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_revisits,
+  1::BIGINT AS n_digests,
+  sha256(text) AS digest,
+  strlen(text)::BIGINT AS stored_bytes
+FROM documents ORDER BY urlkey""",
 
     "p15_streaming" ->
       s"""WITH $eventsCte,

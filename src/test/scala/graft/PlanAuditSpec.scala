@@ -689,4 +689,86 @@ class PlanAuditSpec extends SparkSpec {
       s"vote must evaluate once, not per reference:\n$p")
     assert(p.contains("Generate"), p)
   }
+
+  // ------------------------------------------------------------------
+  // BOARD-WIDE SWEEP — the generalization of the p120 lesson. An
+  // expensive derived column that fans out downstream gets inlined by
+  // CollapseProject into EVERY reference (p120 paid ~80x/row before
+  // its explode barrier), and helper-composed Columns duplicate their
+  // input expression at every internal reference (r14's 16M-char
+  // plan). Both failure modes are visible in the OPTIMIZED plan long
+  // before they burn a benchmark: the plan string balloons, or a
+  // native expression name appears many times. This sweep walks every
+  // registered key and pins both, so the next blowup fails a spec
+  // instead of shipping.
+  //
+  // Node dump uses simpleString(1e6) per node: plain toString
+  // truncates long expression lists at spark.sql.debug.maxToStringFields
+  // and would HIDE duplication.
+  // ------------------------------------------------------------------
+  test("board sweep: every key's optimized plan is small and duplication-free") {
+    val natives = Seq("vec_dot", "shingle_simhash", "shingle_minhash",
+      "max_multiplicity", "rolling_window_hashes", "bpe_encode",
+      "bpe_encode_fast", "vocab_score", "backoff_score", "interp_score",
+      "dsir_score", "langid_vote", "map_probe", "set_probe")
+    // Default bounds: a healthy single-operator plan is a few thousand
+    // chars; 150k flags only genuine blowups. A native expression
+    // should appear once per (train|apply) stage — duplication past 4
+    // means an inlined alias is re-evaluating per reference.
+    val defaultMaxChars = 150000
+    val defaultMaxNative = 4
+    // Documented exemptions (key -> chars): plans that are legitimately
+    // large because they carry a TRAINED LITERAL ARTIFACT whose size is
+    // bounded by configuration, not data. Pinned near the measured
+    // value so a duplication (roughly 2x) still trips.
+    val charExempt: Map[String, Int] = Map(
+      // PQ codebooks + ADC tables as literals: O(M*K*dsub) constants
+      "p31_ann_ivfpq_residual" -> 350000,
+      // the Bloom bitmap rides as ONE literal long-array (configured m
+      // bits); plan length IS the artifact, measured ~2.10M chars
+      "p39_contamination_bloom" -> 2300000,
+      "p59_incremental_bloom" -> 2300000,
+      // wide per-domain metric rollup over canonicalized-URL
+      // expressions (r13-audited shape); scales with the metric count
+      "p98_domain_signals" -> 300000)
+    // Documented exemptions (key, native) -> count: repeats that scale
+    // with a CONFIG constant or the request batch, never with data or
+    // downstream reference fanout.
+    val nativeExempt: Map[(String, String), Int] = Map(
+      // batched lookup serving: one literal probe per (query shape,
+      // direction replica) — 7 shapes x 2 directions in one job
+      ("g36_batch_lookup", "set_probe") -> 14,
+      // multi-graph routed batch: 6 shapes x 2
+      ("g38_multi_graph_batch", "set_probe") -> 12,
+      // sign-LSH: one dot per hyperplane builds the signature (config
+      // constant), plus the re-rank dots
+      ("p07_ann_lsh", "vec_dot") -> 34)
+
+    val dir = sfDir // sf0.001
+    val report = new scala.collection.mutable.ArrayBuffer[String]
+    val sizes = new scala.collection.mutable.ArrayBuffer[(Int, String)]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      val dump = df.queryExecution.optimizedPlan
+        .map(n => n.simpleString(1000000)).mkString("\n")
+      sizes += ((dump.length, name))
+      val maxChars = charExempt.getOrElse(name, defaultMaxChars)
+      if (dump.length > maxChars)
+        report += s"$name: optimized plan ${dump.length} chars (> $maxChars)"
+      natives.foreach { nat =>
+        val c = java.util.regex.Pattern.quote(nat + "(").r
+          .findAllIn(dump).size
+        val cap = nativeExempt.getOrElse((name, nat), defaultMaxNative)
+        if (c > cap)
+          report += s"$name: $nat evaluates $c times (> $cap) — " +
+            "an inlined alias is re-evaluating per reference; add an " +
+            "explode barrier (langIdApply's dodge) or exempt with a reason"
+      }
+    }
+    val top = sizes.sorted.reverse.take(10)
+      .map { case (l, n) => f"$l%8d  $n" }.mkString("\n")
+    assert(report.isEmpty,
+      s"${report.size} plan-shape violations:\n${report.mkString("\n")}\n" +
+        s"largest plans:\n$top")
+  }
 }
