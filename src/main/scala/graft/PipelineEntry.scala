@@ -443,8 +443,24 @@ object PipelineEntry {
       .agg(array_join(sort_array(collect_list(line)), "\n").as("__sm"))
       .select(
         concat(lit("site"), col("__h"), lit(".example.com")).as("host"),
-        concat(lit("User-agent: *\nDisallow: /private\n\n"),
+        concat(lit("User-agent: *\nDisallow: /private\nCrawl-delay: "),
+          pmod(col("__h"), lit(5)) + 1, lit("\n\n"),
           col("__sm"), lit("\n")).as("body"))
+  }
+
+  /** The p132/p136 composition: robots-discovered sitemaps parsed into
+   * the per-host frontier (returns the robots frame too — p136 reads
+   * its Crawl-delay directives). */
+  private def discoveredFrontier(d: DataFrame): (DataFrame, DataFrame) = {
+    val robots = robotsWithSitemaps(d)
+    val discovered = UrlOps.robotsSitemaps(robots)
+      .select(col("sitemap_url").as("__url")).distinct()
+    val sm = sitemapDocs(d).withColumn("__url",
+      concat(lit("https://site"), pmod(col("site_id"), lit(40)),
+        lit(".example.com/sitemap-"), col("site_id"), lit(".xml")))
+    val selected = sm.join(broadcast(discovered), Seq("__url"), "left_semi")
+    (robots, UrlOps.frontierSchedule(
+      UrlOps.parseSitemaps(selected, siteCol = "site_id"), perRound = 2))
   }
 
   /** p127 fixture: a full page per doc — nav link farm (high link
@@ -2359,19 +2375,45 @@ object PipelineEntry {
     // from the robots arithmetic alone (doc_id % 3 gate), so a
     // directive-parse slip, a join slip, or a discovery leak all
     // change rows.
-    "p132_sitemap_discovery" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val discovered = UrlOps.robotsSitemaps(robotsWithSitemaps(d))
-        .select(col("sitemap_url").as("__url")).distinct()
-      val sm = sitemapDocs(d).withColumn("__url",
-        concat(lit("https://site"), pmod(col("site_id"), lit(40)),
-          lit(".example.com/sitemap-"), col("site_id"), lit(".xml")))
-      val selected = sm.join(broadcast(discovered), Seq("__url"),
-        "left_semi")
-      UrlOps.frontierSchedule(
-        UrlOps.parseSitemaps(selected, siteCol = "site_id"), perRound = 2)
-        .orderBy("host", "fetch_round", "loc")
+    "p132_sitemap_discovery" -> ((s, dir) =>
+      discoveredFrontier(docs(s, dir))._2
+        .orderBy("host", "fetch_round", "loc")),
+
+    // P136 — frontier PACING by Crawl-delay (the politeness budget in
+    // wall-clock terms: a host's queue position becomes a fetch TIME):
+    // Crawl-delay is not in RFC 9309 but ubiquitous and honored, so the
+    // scheduler reads it — conservative max across groups, 1 s default
+    // — and each discovered-frontier round fires at
+    // (round-1) × delay seconds. One broadcast join of the
+    // robots-bounded delay table onto the frontier; the oracle
+    // re-derives delays from the host arithmetic (h%5+1) and the
+    // pacing closed-form.
+    "p136_frontier_pacing" -> ((s, dir) => {
+      val (robots, frontier) = discoveredFrontier(docs(s, dir))
+      val delays = UrlOps.robotsCrawlDelays(robots)
+      frontier.join(broadcast(delays), Seq("host"), "left")
+        .select(col("host"), col("loc"), col("fetch_round"),
+          ((col("fetch_round") - 1) *
+            coalesce(col("crawl_delay_sec"), lit(1L))).as("fetch_at_sec"))
+        .orderBy("host", "fetch_at_sec", "loc")
     }),
+
+    // P137 — anchor-text signals (what the web says ABOUT a page — the
+    // off-page quality/topic label search corpora and quality
+    // classifiers aggregate; p95 keeps only the edge, this keeps the
+    // label): per <a> occurrence the base-aware resolved target plus
+    // the cleaned inner text, rolled up per target URL. The oracle
+    // enumerates all four planted anchor families ('next'/'rel'/'u'/
+    // 's') with p95's dst formulas and recomputes counts, distinct
+    // sources, and the sorted anchor-set join.
+    "p137_anchor_text" -> ((s, dir) =>
+      Html.anchorTexts(htmlPages(docs(s, dir)))
+        .groupBy("dst_url")
+        .agg(count(lit(1)).as("n_refs"),
+          countDistinct(col("src_url")).as("n_pages"),
+          array_join(array_sort(collect_set(col("anchor"))), "|")
+            .as("anchors"))
+        .orderBy("dst_url")),
 
     // P129 — MP4/ISO-BMFF container metadata (the front half of video
     // curation: clip length, track layout, codec allowlist — filtered
@@ -5564,6 +5606,59 @@ r AS (SELECT host, loc, priority_milli,
       FROM e)
 SELECT host, loc, priority_milli, (rn + 1) // 2 AS fetch_round
 FROM r ORDER BY host, fetch_round, loc""",
+
+    // p136: p132's discovered frontier with the pacing closed form —
+    // delay = host's Crawl-delay (h%5+1 by the robots arithmetic),
+    // fetch_at = (round-1) * delay.
+    "p136_frontier_pacing" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+u AS (SELECT doc_id, t.j FROM documents,
+        unnest(generate_series(0, doc_id % 5)) AS t(j)
+      WHERE doc_id % 7 <> 0 AND doc_id % 3 <> 1),
+e AS (SELECT (doc_id % 40) AS hn,
+        'site' || (doc_id % 40) || '.example.com' AS host,
+        'https://site' || (doc_id % 40) || '.example.com/page/' || doc_id
+          || '/' || j || '?a=1&b=2' AS loc,
+        CASE WHEN j % 2 = 0
+          THEN '2024-01-' || lpad(((doc_id + j) % 28 + 1)::VARCHAR, 2, '0')
+          END AS lastmod,
+        (CASE WHEN j % 2 = 1 THEN ((doc_id + j) % 10) * 100
+          ELSE 500 END)::BIGINT AS priority_milli
+      FROM u),
+r AS (SELECT hn, host, loc, priority_milli,
+        row_number() OVER (PARTITION BY host ORDER BY priority_milli DESC,
+          lastmod DESC NULLS LAST, loc) AS rn
+      FROM e)
+SELECT host, loc, (rn + 1) // 2 AS fetch_round,
+  (((rn + 1) // 2 - 1) * (hn % 5 + 1))::BIGINT AS fetch_at_sec
+FROM r ORDER BY host, fetch_at_sec, loc""",
+
+    // p137: all four planted anchor families over p95's dst formulas,
+    // occurrence counts + distinct sources + the sorted anchor-set
+    // join re-derived without parsing HTML.
+    "p137_anchor_text" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+d AS (SELECT doc_id,
+  'example-' || (doc_id % 50) || '.com/Pg/' || doc_id || '?a=1&b=2' AS src_url,
+  CASE WHEN doc_id % 10 = 7 THEN 'base-' || (doc_id % 50) || '.example.org'
+       ELSE 'example-' || (doc_id % 50) || '.com' END AS bhost,
+  CASE WHEN doc_id % 10 = 7 THEN 'base-' || (doc_id % 50) || '.example.org/Dir'
+       ELSE 'example-' || (doc_id % 50) || '.com/Pg' END AS bdir
+ FROM documents),
+e AS (
+ SELECT src_url, 'example-' || ((doc_id + 1) % 50) || '.com/Pg/'
+          || (doc_id + 1) || '?a=1&b=2' AS dst_url, 'next' AS anchor FROM d
+ UNION ALL
+ SELECT src_url, bhost || '/Pg/' || (doc_id * 7 + 3) || '?a=1&b=2', 'rel' FROM d
+ UNION ALL
+ SELECT src_url, bhost || '/Pg/' || (doc_id * 3 + 1) || '?a=1&b=2', 'u' FROM d
+ UNION ALL
+ SELECT src_url, bdir || '/Sub/' || doc_id || '?a=1&b=2', 's' FROM d)
+SELECT dst_url, count(*)::BIGINT AS n_refs,
+  count(DISTINCT src_url)::BIGINT AS n_pages,
+  array_to_string(list_sort(list_distinct(list(anchor))), '|') AS anchors
+FROM e WHERE dst_url <> src_url
+GROUP BY dst_url ORDER BY dst_url""",
 
     // p135: the hit rows are exactly p93's index rows for %11 docs —
     // the miss URLs must contribute nothing.

@@ -248,6 +248,67 @@ object Html {
   private def basePartsOf(url: Column, html: Column): (Column, Column) =
     baseParts(UrlOps.canonicalizeUrl(url), extractBase(html))
 
+  /** Whole `<a ...>...</a>` elements: the open tag consumed by the
+   * same quote-skipping attribute walk as hrefPattern (so a `>`
+   * inside a quoted attribute value never ends the tag early), then
+   * the lazy inner run to the close tag. */
+  private val AnchorElemPattern: String =
+    "(?is)<a\\b(?:[^>'\"=]|=\\s*\"[^\"]*\"|=\\s*'[^']*'" +
+      "|=[^\\s>'\"]*)*>.*?</a>"
+
+  /**
+   * Anchor-text signals — what the web says ABOUT a page (the classic
+   * off-page quality/topic signal search corpora and quality
+   * classifiers aggregate; the link graph p95 keeps only the edge,
+   * this keeps the label): one row per `<a>` occurrence with a
+   * resolvable href and non-empty cleaned inner text, the href
+   * resolved through the SAME base-aware chain as linkGraph (shared
+   * helpers, so the two can't diverge) and the anchor cleaned like a
+   * mainContent block (tag strip, 6-entity decode, whitespace
+   * collapse). Output: (src_url, dst_url, anchor).
+   *
+   * Scale shape: linkGraph's exact plan discipline — per-page base
+   * derivation computed ONCE below the Generate, per-anchor columns
+   * referencing plain attributes above it; one narrow scan, one
+   * explode, no shuffle (the aggregation that rolls anchors up per
+   * target is the CALLER's one dst-keyed groupBy, the only shuffle
+   * the problem genuinely needs).
+   */
+  def anchorTexts(pages: DataFrame, urlCol: String = "url",
+                  htmlCol: String = "html"): DataFrame = {
+    def clean(c: Column): Column = {
+      val stripped = regexp_replace(c, "(?s)<[^>]*>", "")
+      val decoded = replace(
+        replace(
+          replace(
+            replace(
+              replace(
+                replace(stripped, lit("&lt;"), lit("<")),
+                lit("&gt;"), lit(">")),
+              lit("&quot;"), lit("\"")),
+            lit("&#39;"), lit("'")),
+          lit("&nbsp;"), lit(" ")),
+        lit("&amp;"), lit("&"))
+      trim(regexp_replace(decoded, "\\s+", " "))
+    }
+    val href = regexp_replace(
+      regexp_extract(col("__a"), hrefPattern("a"), 1), "^[\"']", "")
+    pages
+      .select(UrlOps.canonicalizeUrl(col(urlCol)).as("src_url"),
+        basePartsOf(col(urlCol), col(htmlCol))._1.as("__bhost"),
+        basePartsOf(col(urlCol), col(htmlCol))._2.as("__bdir"),
+        col(htmlCol).as("__html"))
+      .select(col("src_url"), col("__bhost"), col("__bdir"),
+        explode(regexp_extract_all(col("__html"),
+          lit(AnchorElemPattern), lit(0))).as("__a"))
+      .select(col("src_url"),
+        UrlOps.canonicalizeUrl(resolveWithDir(col("__bhost"),
+          col("__bdir"), col("src_url"), href)).as("dst_url"),
+        clean(col("__a")).as("anchor"))
+      .where(col("dst_url") =!= col("src_url") && col("dst_url") =!= "" &&
+        col("anchor") =!= "")
+  }
+
   /**
    * Table extraction from raw HTML — tables are among the most
    * valuable pretraining content in a crawl and the first thing a

@@ -206,6 +206,28 @@ object UrlOps {
         lit("(?im)^sitemap:[ \\t]*(\\S+)"), lit(1))).as("sitemap_url"))
 
   /**
+   * Per-host `Crawl-delay` from raw robots.txt bodies — NOT in RFC
+   * 9309 (the RFC deliberately omits it) but ubiquitous in the wild
+   * and honored by most crawlers, which makes it a crawl-governance
+   * input a frontier scheduler must read. The conservative reading:
+   * the MAX delay across every group in the file binds (a crawler
+   * that can't attribute a group errs slow). Integer seconds; hosts
+   * without the directive get no row (callers default — frontier
+   * pacing uses 1 s).
+   *
+   * Scale shape: same as robotsSitemaps — one narrow scan over the
+   * KB-bounded robots table plus one host-keyed max with map-side
+   * combine; output is robots-bounded, broadcastable.
+   */
+  def robotsCrawlDelays(robots: DataFrame, hostCol: String = "host",
+                        bodyCol: String = "body"): DataFrame =
+    robots.select(col(hostCol).as("host"),
+      explode(regexp_extract_all(col(bodyCol),
+        lit("(?im)^crawl-delay:[ \\t]*(\\d+)"), lit(1))).as("__d"))
+      .groupBy("host")
+      .agg(max(col("__d").cast("long")).as("crawl_delay_sec"))
+
+  /**
    * Allow/Disallow rules of the group a SPECIFIC crawler must obey,
    * per RFC 9309 §2.2.1 group selection: lines parse into groups (a
    * clump of consecutive `User-agent:` lines names one group; the

@@ -407,6 +407,30 @@ class HtmlSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("anchorTexts: labeled edges — cleaning, resolution, phantom immunity") {
+    val pages = Seq((
+      "https://www.A.com/Dir/page?x=1",
+      "<a href=\"https://B.com/t1\"><b>Bold</b> link &amp; more</a>" +
+        "<a href='/abs'>root rel</a>" +
+        "<a href=sib>path rel</a>" +
+        "<a href=\"https://C.com/empty\"><img src=\"x.png\"></a>" + // no text
+        "<a title=\"see href=evil\" href=\"https://D.com/ok\">real</a>" +
+        "<a href=\"https://www.A.com/Dir/page?x=1\">self</a>"))
+      .toDF("url", "html")
+    val out = Html.anchorTexts(pages).orderBy("dst_url")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(out == Seq(
+      ("a.com/Dir/sib", "path rel"),      // path case preserved; 'D' < 'a'
+      ("a.com/abs", "root rel"),
+      ("b.com/t1", "Bold link & more"),   // nested tag stripped, entity decoded
+      ("d.com/ok", "real")))              // quoted-value href= never a phantom
+    // empty-text and self-loop anchors dropped; plan is one narrow
+    // scan + one Generate, no shuffle
+    val plan = Html.anchorTexts(pages).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("Generate"), plan)
+  }
+
   test("mainContent: stopword-density screen drops prose-free blocks (jusText)") {
     val sw = Seq("the", "a", "and", "of")
     val page =

@@ -730,7 +730,12 @@ class PlanAuditSpec extends SparkSpec {
       "p59_incremental_bloom" -> 2300000,
       // wide per-domain metric rollup over canonicalized-URL
       // expressions (r13-audited shape); scales with the metric count
-      "p98_domain_signals" -> 300000)
+      "p98_domain_signals" -> 300000,
+      // linkGraph's base-aware resolution chain (p95 measures ~116k,
+      // same audited shape) plus the anchor-clean expression; the
+      // filter and aggregation reference the dst chain exactly as
+      // linkGraph's do — honest size, not reference fan-out
+      "p137_anchor_text" -> 180000)
     // Documented exemptions (key, native) -> count: repeats that scale
     // with a CONFIG constant or the request batch, never with data or
     // downstream reference fanout.

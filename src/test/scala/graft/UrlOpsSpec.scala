@@ -388,6 +388,18 @@ class UrlOpsSpec extends SparkSpec {
       .map(_.getAs[Long]("fetch_round")).toSeq == Seq(1L))
   }
 
+  test("robotsCrawlDelays: conservative max across groups, absent-safe") {
+    val robots = Seq(
+      ("a.com", "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n" +
+        "User-agent: bot\ncrawl-delay: 10\n"), // max of 2 and 10, any case
+      ("b.com", "User-agent: *\nDisallow: /\n"), // no directive: no row
+      ("c.com", "CRAWL-DELAY: 7\n"))
+      .toDF("host", "body")
+    val out = UrlOps.robotsCrawlDelays(robots).orderBy("host")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a.com", 10L), ("c.com", 7L)))
+  }
+
   test("robotsSitemaps: case-insensitive, group-independent, empty-safe") {
     val robots = Seq(
       // directive above, inside, and below UA groups — ALL surface
