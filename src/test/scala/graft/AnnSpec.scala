@@ -430,4 +430,43 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((3L, 100L), (7L, 101L)))
   }
+
+  test("streaming ANN serving: probes split across micro-batches equal the batch rows") {
+    // the p134 shape under FORCED multi-batch arrival
+    // (maxFilesPerTrigger=1): each probe's top-k depends only on its
+    // own row plus the static published index, so HOWEVER the stream
+    // batches, the union must equal the batch ivfTopK rows exactly
+    import org.apache.spark.sql.streaming.Trigger
+    val many = Seq.tabulate(24)(i =>
+      (i.toLong, Array.tabulate(4)(d => ((i * 7 + d * 3) % 11 - 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val ps = many.where(col("vec_id") < 6)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val root = "/root/repo/target/test-ann-stream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val cents = Ann.trainCentroids(many, nCenters = 4, sampleN = 24, iters = 2)
+    Ann.ivfIndex(many, cents).write.parquet(s"$root/index")
+    val index = spark.read.parquet(s"$root/index")
+    ps.repartition(3).write.parquet(s"$root/probes") // 3 files -> 3 batches
+    val stream = spark.readStream.schema(ps.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/probes")
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Ann.ivfProbe(index, cents, b, k = 5, nProbe = 2)
+          .write.mode("append").parquet(s"$root/served")
+        ()
+      }.start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$root/served")
+      .collect().map(_.toSeq).toSet
+    val batch = Ann.ivfTopK(many, ps, k = 5, nCenters = 4, nProbe = 2,
+      trainIters = 2, trainSample = 24)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // genuinely multi-batch: served output came from >1 append job
+    assert(spark.read.parquet(s"$root/served").inputFiles.length > 1)
+  }
 }

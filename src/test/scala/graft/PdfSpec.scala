@@ -147,6 +147,19 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.parse(Pdf.fixturePdf(7L, text)).text == expected)
   }
 
+  test("RC4 matches the published test vector (round-trips can't catch shared bugs)") {
+    // The classic vector (Schneier, Applied Cryptography; widely
+    // published): key "Key", plaintext "Plaintext" ->
+    // BB F3 16 E8 D9 40 AF 0A D3
+    val ct = Pdf.rc4("Key".getBytes(ISO_8859_1),
+      "Plaintext".getBytes(ISO_8859_1))
+    assert(ct.map("%02X".format(_)).mkString == "BBF316E8D940AF0AD3")
+    // and the second canonical pair: "Wiki"/"pedia" -> 1021BF0420
+    val ct2 = Pdf.rc4("Wiki".getBytes(ISO_8859_1),
+      "pedia".getBytes(ISO_8859_1))
+    assert(ct2.map("%02X".format(_)).mkString == "1021BF0420")
+  }
+
   test("encrypted PDFs: wrong password / unsupported handlers degrade to no text") {
     val pdf = Pdf.fixturePdfEncrypted(3L, "one two three", aes = false)
     val s = new String(pdf, ISO_8859_1)
