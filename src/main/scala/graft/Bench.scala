@@ -211,6 +211,11 @@ object Bench {
     // scheduling-floor keys. With repeats=3 the slice is the single
     // third execution; repeats>=5 gives a true steady median. cold
     // stays reported separately.
+    // With repeats < 3 there IS no steady execution — emitting a cold
+    // or warmup number under the steady label would let an A/B compare
+    // cold vs steady and report a phantom 2x regression, the exact
+    // confusion this metric removes. The fields go null/absent instead.
+    val hasSteady = repeats >= 3
     val steady = (ts: List[Double]) => {
       val s = ts.drop(2)
       p50(if (s.nonEmpty) s else ts.takeRight(1))
@@ -220,7 +225,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = ok.map(r => cold(r._2)).sum
     val totalP50 = ok.map(r => p50(r._2)).sum
-    val totalP50Steady = ok.map(r => steady(r._2)).sum
+    val totalP50Steady =
+      if (hasSteady) ok3(ok.map(r => steady(r._2)).sum) else "null"
+    val steadyMap =
+      if (hasSteady) s""""queries_p50_steady":${qmap(steady)},""" else ""
     // Cache hygiene: drop every operator-materialized frame now that all
     // results are consumed (the long-running-service lifecycle; repeats
     // above deliberately reused them — that is the warm-service p50).
@@ -248,7 +256,7 @@ object Bench {
         jstr(k) + ":" + ts.map(ok3).mkString("[", ",", "]")
       }.mkString("{", ",", "}")},"""
     else ""
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"queries_p50":${qmap(p50)},"queries_p50_steady":${qmap(steady)},"queries_min":${qmap(_.min)},"queries_max":${qmap(_.max)},$series"repeats":$repeats,"total_p50":$totalP50,"total_p50_steady":$totalP50Steady,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"replica_warm_sec":${ok3(replicaWarmSec)},$probes,"build_sec":${ok3(buildSec)},"caches_drained":$cachesDrained,$loads,"sf":${jstr(sfDir)}}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(cold)},"queries_p50":${qmap(p50)},$steadyMap"queries_min":${qmap(_.min)},"queries_max":${qmap(_.max)},$series"repeats":$repeats,"total_p50":$totalP50,"total_p50_steady":$totalP50Steady,"errors":$errs,"n_ok":${ok.size},"n_queries":${results.size},"warm_sec":$warmSec,"replica_warm_sec":${ok3(replicaWarmSec)},$probes,"build_sec":${ok3(buildSec)},"caches_drained":$cachesDrained,$loads,"sf":${jstr(sfDir)}}"""
     // Detail file: env-overridable path, and never let an unwritable CWD
     // abort the run after all queries already completed — the stdout line
     // is the contract, the file is best-effort.

@@ -458,7 +458,13 @@ object PipelineEntry {
     val sm = sitemapDocs(d).withColumn("__url",
       concat(lit("https://site"), pmod(col("site_id"), lit(40)),
         lit(".example.com/sitemap-"), col("site_id"), lit(".xml")))
-    val selected = sm.join(broadcast(discovered), Seq("__url"), "left_semi")
+    // In production the discovered set is robots-table-bounded (a
+    // robots file is KB-sized) and Spark's stats broadcast it on their
+    // own; this FIXTURE advertises one sitemap per doc, so the set is
+    // corpus-proportional — deliberately NO broadcast() hint, which
+    // would bypass autoBroadcastJoinThreshold and ship the whole set
+    // to every executor at a large SF.
+    val selected = sm.join(discovered, Seq("__url"), "left_semi")
     (robots, UrlOps.frontierSchedule(
       UrlOps.parseSitemaps(selected, siteCol = "site_id"), perRound = 2))
   }
@@ -2356,8 +2362,14 @@ object PipelineEntry {
       WarcSource.cdxIndex(WarcSource.records(s, s"$out/warc"))
         .orderBy("urlkey").write.parquet(s"$out/index")
       val index = s.read.parquet(s"$out/index")
+      // the request batch is BOUNDED (first 64 hit ids) — a point-
+      // lookup API's batch is constant-sized by contract, never
+      // corpus-proportional, so the driver collect and the literal
+      // probe stay O(1) at every SF (at sf0.01 all ~46 %11 ids fit,
+      // so the oracle rows are unchanged)
       val hitIds = d.where(pmod(col("doc_id"), lit(11)) === 0)
-        .select(col("doc_id")).as[Long].collect().toSeq.sorted
+        .select(col("doc_id")).orderBy("doc_id").limit(64)
+        .as[Long].collect().toSeq
       val urls = hitIds.map(i =>
         s"HTTPS://WWW.Example-${i % 50}.com:443/Pg/$i?b=2&a=1#frag") ++
         hitIds.map(i => s"https://example-${i % 50}.com/Pg/${i + 1000000}")
@@ -5660,17 +5672,20 @@ SELECT dst_url, count(*)::BIGINT AS n_refs,
 FROM e WHERE dst_url <> src_url
 GROUP BY dst_url ORDER BY dst_url""",
 
-    // p135: the hit rows are exactly p93's index rows for %11 docs —
-    // the miss URLs must contribute nothing.
+    // p135: the hit rows are exactly p93's index rows for the FIRST 64
+    // %11 docs (the bounded request batch) — the miss URLs must
+    // contribute nothing.
     "p135_cdx_lookup" ->
-      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+hits AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0
+         ORDER BY doc_id LIMIT 64)
 SELECT
   'com,example-' || (doc_id % 50) || ')/pg/' || doc_id || '?a=1&b=2' AS urlkey,
   'example-' || (doc_id % 50) || '.com/Pg/' || doc_id || '?a=1&b=2' AS url,
   200::BIGINT AS status,
   sha256(text) AS digest,
   strlen(text)::BIGINT AS n_bytes
-FROM documents WHERE doc_id % 11 = 0 ORDER BY urlkey""",
+FROM hits ORDER BY urlkey""",
 
     // p133: captures re-derived from the doc table — one response per
     // doc plus one headers-only revisit per %9 doc whose digest equals

@@ -251,10 +251,21 @@ object Html {
   /** Whole `<a ...>...</a>` elements: the open tag consumed by the
    * same quote-skipping attribute walk as hrefPattern (so a `>`
    * inside a quoted attribute value never ends the tag early), then
-   * the lazy inner run to the close tag. */
+   * the inner run to the close tag GUARDED against crossing another
+   * `<a` — an UNCLOSED anchor (malformed HTML real crawls are full
+   * of) must not swallow the next anchor element and steal its text;
+   * it simply contributes no labeled edge (linkGraph still emits the
+   * bare edge from its per-href extraction). */
   private val AnchorElemPattern: String =
     "(?is)<a\\b(?:[^>'\"=]|=\\s*\"[^\"]*\"|=\\s*'[^']*'" +
-      "|=[^\\s>'\"]*)*>.*?</a>"
+      "|=[^\\s>'\"]*)*>(?:(?!<a\\b).)*?</a>"
+
+  /** Quote-aware strip of ALL tags inside an anchor element — the
+   * naive `<[^>]*>` would end at a `>` INSIDE a quoted attribute
+   * value and leak attribute text into the anchor label. */
+  private val AnyTagPattern: String =
+    "(?is)</?[a-zA-Z][a-zA-Z0-9]*\\b(?:[^>'\"=]|=\\s*\"[^\"]*\"" +
+      "|=\\s*'[^']*'|=[^\\s>'\"]*)*/?>"
 
   /**
    * Anchor-text signals — what the web says ABOUT a page (the classic
@@ -277,7 +288,7 @@ object Html {
   def anchorTexts(pages: DataFrame, urlCol: String = "url",
                   htmlCol: String = "html"): DataFrame = {
     def clean(c: Column): Column = {
-      val stripped = regexp_replace(c, "(?s)<[^>]*>", "")
+      val stripped = regexp_replace(c, AnyTagPattern, "")
       val decoded = replace(
         replace(
           replace(

@@ -254,11 +254,16 @@ object Pdf {
     val encRef = EncRefRe.findAllMatchIn(s).toSeq.lastOption
       .getOrElse(return NoCrypt)
     val (num, gen) = (encRef.group(1).toInt, encRef.group(2).toInt)
-    val objAt = s.indexOf(s"$num $gen obj")
-    if (objAt < 0) return CryptUnsupported
-    val endAt = s.indexOf("endobj", objAt)
-    val dict = s.substring(objAt, if (endAt < 0) s.length else endAt)
-    if (!dict.contains("/Standard")) return CryptUnsupported
+    // anchored header match: a bare indexOf("6 0 obj") would hit the
+    // digit-suffix of a longer object number ("16 0 obj") or a binary
+    // fluke inside a stream, reading the wrong dictionary and silently
+    // dropping a supported file's text. Of the anchored candidates,
+    // take the first whose dict names the Standard handler.
+    val headRe = (s"(?<![0-9])$num\\s+$gen\\s+obj").r
+    val dict = headRe.findAllMatchIn(s).map { m =>
+      val endAt = s.indexOf("endobj", m.start)
+      s.substring(m.start, if (endAt < 0) s.length else endAt)
+    }.find(_.contains("/Standard")).getOrElse(return CryptUnsupported)
     def intField(name: String): Option[Int] =
       s"""/$name\\s+(-?\\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
     def strField(name: String): Option[Array[Byte]] = {

@@ -232,37 +232,47 @@ object WarcSource {
         graft.operators.UrlOps.surtKey(col("target_uri")).as("urlkey"),
         graft.operators.UrlOps.canonicalizeUrl(col("target_uri")).as("url"),
         col("status").cast("long").as("status"),
-        sha2(col("body"), 256).as("digest"),
-        octet_length(col("body")).cast("long").as("n_bytes"))
+        // hash the RAW body bytes, not the decoded text: identical for
+        // text records (sha2 of a string hashes its UTF-8 bytes, which
+        // body_bytes IS), and it gives binary captures (images/PDFs,
+        // body = null) a real digest instead of null
+        sha2(col("body_bytes"), 256).as("digest"),
+        octet_length(col("body_bytes")).cast("long").as("n_bytes"))
 
   /**
    * CDX capture table INCLUDING `revisit` records — the crawl-time
    * dedup signal real Common Crawl segments carry: a revisit is a
    * capture whose payload the crawler did NOT store because it matched
-   * an earlier capture's digest. The revisit row's digest comes from
-   * its OWN `WARC-Payload-Digest` header (the identical-payload-digest
-   * profile carries the referent's digest inline), so a revisit chain
-   * collapses to its referent's content hash WITHOUT any join back to
-   * the original record — a re-crawl pipeline reads this before ever
-   * touching content. `n_bytes` is the stored payload size (0 for a
-   * revisit: the bytes live with the referent).
+   * an earlier capture's digest. EVERY capture's digest prefers its
+   * own `WARC-Payload-Digest` header with the algorithm label
+   * stripped (real crawls stamp the SAME algorithm — sha1:BASE32 in
+   * CC — on responses and revisits alike, so header digests compare
+   * across the pair; our fixture's responses carry no header and fall
+   * back to sha256 of the raw body bytes, which the revisit's
+   * `sha256:` header matches). A revisit chain thus collapses to its
+   * referent's content hash WITHOUT any join back to the original
+   * record — a re-crawl pipeline reads this before ever touching
+   * content. `n_bytes` is the stored payload size (0 for a revisit:
+   * the bytes live with the referent).
    *
    * Scale shape: identical to [[cdxIndex]] — one shuffle-free
    * projection where the records were parsed; the digest either hashes
    * locally or substring-parses a header. Nothing joins, nothing
    * shuffles.
    */
-  def cdxCaptures(records: DataFrame): DataFrame =
+  def cdxCaptures(records: DataFrame): DataFrame = {
+    val header = when(
+      col("payload_digest").isNotNull && col("payload_digest") =!= "",
+      regexp_replace(col("payload_digest"), "^[A-Za-z0-9-]+:", ""))
     records.where(col("warc_type").isin("response", "revisit"))
       .select(
         graft.operators.UrlOps.surtKey(col("target_uri")).as("urlkey"),
         graft.operators.UrlOps.canonicalizeUrl(col("target_uri")).as("url"),
         col("warc_type").as("kind"),
         col("status").cast("long").as("status"),
-        when(col("warc_type") === "revisit",
-          regexp_extract(col("payload_digest"), "^sha256:([0-9a-f]+)$", 1))
-          .otherwise(sha2(col("body"), 256)).as("digest"),
-        octet_length(col("body")).cast("long").as("n_bytes"))
+        coalesce(header, sha2(col("body_bytes"), 256)).as("digest"),
+        octet_length(col("body_bytes")).cast("long").as("n_bytes"))
+  }
 
   /**
    * Point lookup into a published CDX index — "was this URL captured,
@@ -358,6 +368,9 @@ object WarcSource {
              revisitEvery: Int = 0): Unit = {
     require(bytesCol.isEmpty || !wet, "binary payloads need HTTP framing")
     require(revisitEvery == 0 || !wet, "revisit records are response-side")
+    // binary + revisit composes cleanly: the planted digest hashes the
+    // RAW payload bytes, and cdxCaptures hashes body_bytes on the
+    // response side, so the pair compares for binary captures too
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val urlExpr = urlCol.map(col)
       .getOrElse(concat(lit("https://example.org/doc/"), col(idCol)))

@@ -431,6 +431,24 @@ class HtmlSpec extends SparkSpec {
     assert(plan.contains("Generate"), plan)
   }
 
+  test("anchorTexts: quoted '>' never corrupts the label; unclosed <a> never steals") {
+    val pages = Seq((
+      "https://a.com/p",
+      // a '>' INSIDE a quoted attribute of the anchor itself and of a
+      // nested tag: the quote-aware strip must remove both tags whole
+      "<a title=\"x>y\" href=\"https://b.com/t\"><span title=\"p>q\">label</span></a>" +
+        // unclosed anchor: must contribute NO labeled edge and must
+        // not swallow the following well-formed anchor's text
+        "<a href=\"https://c.com/unclosed\">orphan " +
+        "<a href=\"https://d.com/ok\">kept</a>"))
+      .toDF("url", "html")
+    val out = Html.anchorTexts(pages).orderBy("dst_url")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(out == Seq(
+      ("b.com/t", "label"),
+      ("d.com/ok", "kept")))
+  }
+
   test("mainContent: stopword-density screen drops prose-free blocks (jusText)") {
     val sw = Seq("the", "a", "and", "of")
     val page =

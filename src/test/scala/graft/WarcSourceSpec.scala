@@ -177,6 +177,31 @@ class WarcSourceSpec extends SparkSpec {
       .get.getLong(3) == "beta".length.toLong)
   }
 
+  test("cdxCaptures: header digests preferred with any algorithm label (CC's sha1:BASE32)") {
+    // real crawls stamp the SAME algorithm on responses and revisits,
+    // so header digests must compare across the pair whatever the
+    // label; absent/empty headers fall back to sha256 of the raw bytes
+    val recs = Seq(
+      ("response", "https://example.org/a", 200,
+        "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ", "x"),
+      ("revisit", "https://example.org/a", 200,
+        "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ", ""),
+      ("response", "https://example.org/b", 200, null, "y"),
+      ("response", "https://example.org/c", 200, "", "z"))
+      .toDF("warc_type", "target_uri", "status", "payload_digest", "__t")
+      .withColumn("body_bytes", encode(col("__t"), "UTF-8"))
+      .withColumn("body", col("__t"))
+    val caps = WarcSource.cdxCaptures(recs).orderBy("urlkey", "kind")
+      .collect().map(r => (r.getAs[String]("urlkey"),
+        r.getAs[String]("kind"), r.getAs[String]("digest"))).toSeq
+    assert(caps(0) == ("org,example)/a", "response",
+      "3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ"))
+    assert(caps(1) == ("org,example)/a", "revisit",
+      "3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")) // the pair COLLAPSES
+    // fallback: sha256 hex of the raw bytes, 64 chars, never null/""
+    assert(caps(2)._3.length == 64 && caps(3)._3.length == 64)
+  }
+
   test("cdxLookup: canonicalized point probes, pushed scan, no join") {
     val dir = "/root/repo/target/test-cdx-lookup"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
