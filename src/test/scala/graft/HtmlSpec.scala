@@ -431,6 +431,29 @@ class HtmlSpec extends SparkSpec {
     assert(plan.contains("Generate"), plan)
   }
 
+  test("tag strip is quote-aware everywhere text becomes output") {
+    import graft.operators.Html
+    // a '>' inside a quoted attribute must not end the tag early and
+    // leak attribute text; stray angle brackets in PROSE must survive
+    // (the naive <[^>]*> deleted ' 5 ' from 'x < 5 > 3')
+    val html = "<p title=\"a>b\">x &lt; 5 &gt; 3 and real text</p>" +
+      "<!DOCTYPE html><p>second</p>"
+    val txt = Seq(html).toDF("h").select(Html.htmlToText(col("h")).as("t"))
+      .collect()(0).getString(0)
+    assert(txt == "x < 5 > 3 and real text\nsecond", s"got '$txt'")
+    // mainContent's block cleaner: same property
+    val mc = Html.mainContent(Seq((1L,
+      "<p title=\"x>y\">a genuinely long content paragraph here</p>"))
+      .toDF("doc_id", "html")).collect()(0)
+    assert(mc.getAs[String]("main_text") ==
+      "a genuinely long content paragraph here")
+    // table cells: a quoted '>' in a cell's inner tag stays out of text
+    val cells = Html.extractTables(Seq((1L,
+      "<table><tr><td><b title=\"p>q\">v1</b></td><td>v2</td></tr></table>"))
+      .toDF("doc_id", "html")).collect()(0).getAs[String]("cells")
+    assert(cells == "v1|v2", s"got '$cells'")
+  }
+
   test("anchorTexts: quoted '>' never corrupts the label; unclosed <a> never steals") {
     val pages = Seq((
       "https://a.com/p",
