@@ -448,6 +448,30 @@ object PipelineEntry {
           col("__sm"), lit("\n")).as("body"))
   }
 
+  /** p138 fixture: the store of CHILD sitemap documents a crawler
+   * could fetch — every (host, j ≤ 2) pair, deliberately a SUPERSET of
+   * what any index points at (hosts without an index doc, and js above
+   * a host's max site_id%3, exist here but must never be fetched), so
+   * the pointer-driven semi-join is load-bearing. Each child carries
+   * two url entries, priority on the second. */
+  private def childSitemapDocs(d: DataFrame): DataFrame = {
+    val ns = "http://www.sitemaps.org/schemas/sitemap/0.9"
+    d.select(pmod(col("doc_id"), lit(40)).as("h")).distinct()
+      .select(col("h"),
+        explode(sequence(lit(0L), lit(2L))).as("j"))
+      .select(
+        concat(lit("https://site"), col("h"), lit(".example.com/sitemap-"),
+          col("j"), lit(".xml")).as("url"),
+        concat(
+          lit("<?xml version=\"1.0\"?>\n<urlset xmlns=\"" + ns + "\">\n"),
+          lit("  <url>\n    <loc>https://site"), col("h"),
+          lit(".example.com/child/"), col("j"), lit("/0</loc>\n  </url>\n"),
+          lit("  <url>\n    <loc>https://site"), col("h"),
+          lit(".example.com/child/"), col("j"), lit("/1</loc>\n"),
+          lit("    <priority>0."), pmod(col("h") + col("j"), lit(10)),
+          lit("</priority>\n  </url>\n</urlset>")).as("body"))
+  }
+
   /** The p132/p136 composition: robots-discovered sitemaps parsed into
    * the per-host frontier (returns the robots frame too — p136 reads
    * its Crawl-delay directives). */
@@ -2390,6 +2414,28 @@ object PipelineEntry {
     "p132_sitemap_discovery" -> ((s, dir) =>
       discoveredFrontier(docs(s, dir))._2
         .orderBy("host", "fetch_round", "loc")),
+
+    // P138 — sitemapindex RECURSION (the pointer-chase between p122's
+    // two halves: an index document's entries are not fetchables, they
+    // are URLS OF MORE SITEMAPS): the index docs parse to
+    // kind=sitemapindex rows, their locs — DEDUPLICATED, since two
+    // indexes on one host legitimately point at the same child —
+    // select which child sitemap documents are fetched, and the SAME
+    // parser runs on the children, yielding the fetchable urlset
+    // entries. The oracle re-derives the distinct (host, child) space
+    // and every child entry closed-form: a kind-routing slip, a
+    // pointer-extraction slip, a dedup miss (duplicate child rows), or
+    // a child-parse slip all change rows.
+    "p138_sitemap_children" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pointers = UrlOps.parseSitemaps(sitemapDocs(d), siteCol = "site_id")
+        .where(col("kind") === "sitemapindex")
+        .select(col("loc").as("url")).distinct()
+      val fetched = childSitemapDocs(d)
+        .join(pointers, Seq("url"), "left_semi")
+      UrlOps.parseSitemaps(fetched, siteCol = "url")
+        .orderBy("site", "entry_idx")
+    }),
 
     // P136 — frontier PACING by Crawl-delay (the politeness budget in
     // wall-clock terms: a host's queue position becomes a fetch TIME):
@@ -5618,6 +5664,23 @@ r AS (SELECT host, loc, priority_milli,
       FROM e)
 SELECT host, loc, priority_milli, (rn + 1) // 2 AS fetch_round
 FROM r ORDER BY host, fetch_round, loc""",
+
+    // p138: the pointed-at (host, child) space re-derived from the
+    // index arithmetic (distinct over site_id%7==0 docs), then every
+    // child entry stated closed-form — unpointed children in the store
+    // must contribute nothing.
+    "p138_sitemap_children" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+hj AS (SELECT DISTINCT (doc_id % 40) AS h, t.j
+       FROM documents, unnest(generate_series(0, doc_id % 3)) AS t(j)
+       WHERE doc_id % 7 = 0)
+SELECT 'https://site' || h || '.example.com/sitemap-' || j || '.xml' AS site,
+  'urlset' AS kind, u.k::BIGINT AS entry_idx,
+  'https://site' || h || '.example.com/child/' || j || '/' || u.k AS loc,
+  NULL::VARCHAR AS lastmod, NULL::VARCHAR AS changefreq,
+  CASE WHEN u.k = 1 THEN '0.' || ((h + j) % 10) END AS priority
+FROM hj, unnest(generate_series(0, 1)) AS u(k)
+ORDER BY site, entry_idx""",
 
     // p136: p132's discovered frontier with the pacing closed form —
     // delay = host's Crawl-delay (h%5+1 by the robots arithmetic),
