@@ -660,11 +660,6 @@ object ScaleSmoke {
       }
     }
 
-    // Per-execution cost decomposition for one serving key (g15 churn
-    // forensics, r14 verdict #4): time each repeat of the PREPARED plan
-    // alongside the JVM's cumulative JIT time and Spark's Janino
-    // compilation count — tells JIT warmup from codegen-cache misses
-    // from planning overhead.
     // CDX point-lookup pruning (r16, p135): the urlkey-sorted published
     // index is range-partitioned into disjoint sorted files, so a point
     // probe's pushed filters (In / [min,max] range) let the parquet
@@ -713,6 +708,11 @@ object ScaleSmoke {
       }
     }
 
+    // Per-execution cost decomposition for one serving key (g15 churn
+    // forensics, r14 verdict #4): time each repeat of the PREPARED plan
+    // alongside the JVM's cumulative JIT time and Spark's Janino
+    // compilation count — tells JIT warmup from codegen-cache misses
+    // from planning overhead.
     if (sections.contains("g15")) {
       Fixture.ensureStore(spark, sfDir)
       val cmp = java.lang.management.ManagementFactory.getCompilationMXBean

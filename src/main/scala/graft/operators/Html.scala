@@ -32,6 +32,21 @@ import org.apache.spark.sql.functions._
  */
 object Html {
 
+  /** Browser-consistent attribute walk for STRIP and ELEMENT patterns:
+   * quoted values matter only immediately after `=` (HTML5's rule —
+   * a `>` inside `="..."`/`='...'` does not end the tag), a lone
+   * quote anywhere else is a plain character (`alt=John's`,
+   * `<p 'x>y'>` — browsers end the tag at that `>`, and so does
+   * this), unquoted values run to whitespace or `>` whatever
+   * characters they contain. Alternatives are disjoint on their first
+   * character (plain excludes `=`/`>`, value units start `=`), so
+   * matching is linear — no backtracking blowup. NOT used by
+   * hrefPattern, whose stricter walk is what makes href-in-quoted-
+   * value phantoms impossible; a lone-quote-tolerant walk there would
+   * re-open them. */
+  private val AttrWalk: String =
+    "(?:[^>=]|=\\s*\"[^\"]*\"|=\\s*'[^']*'|=[^\\s>]*)*"
+
   /** Tags whose CLOSE (or the void br/hr) ends a text block — each
    * becomes a newline so block structure survives tag stripping. */
   private val BlockBreak =
@@ -260,23 +275,29 @@ object Html {
    * `<a` — an UNCLOSED anchor (malformed HTML real crawls are full
    * of) must not swallow the next anchor element and steal its text;
    * it simply contributes no labeled edge (linkGraph still emits the
-   * bare edge from its per-href extraction). */
+   * bare edge from its per-href extraction). The inner run consumes
+   * nested NON-anchor tags ATOMICALLY through the same quote-aware
+   * walk, so a literal `<a href=...>` embedded in a QUOTED attribute
+   * of a nested tag (Bootstrap-popover-style data-content HTML) can
+   * neither abort the real anchor nor surface as a phantom element. */
   private val AnchorElemPattern: String =
-    "(?is)<a\\b(?:[^>'\"=]|=\\s*\"[^\"]*\"|=\\s*'[^']*'" +
-      "|=[^\\s>'\"]*)*>(?:(?!<a\\b).)*?</a>"
+    "(?is)<a\\b" + AttrWalk + ">" +
+      "(?:[^<]|<(?!a\\b|/a\\b)" + AttrWalk + ">)*?" +
+      "</a>"
 
   /** Quote-aware strip of ALL tags — the naive `<[^>]*>` both ends at
    * a `>` INSIDE a quoted attribute value (leaking attribute text into
    * extracted output) and over-eagerly DELETES non-tag text like
    * "x < 5 > 3". This walk only matches real tags (name-led, quoted
    * values consumed atomically, self-closing slash) plus `<!...>`
-   * declarations (doctype), so stray angle brackets in prose survive.
+   * declarations (doctype) and `<?...?>` processing instructions
+   * (XHTML prologs), so stray angle brackets in prose survive.
    * Shared by htmlToText, mainContent, table cells, and anchor
    * labels: every place tag-stripped text becomes OUTPUT. */
   private val AnyTagPattern: String =
-    "(?is)(?:</?[a-zA-Z][a-zA-Z0-9]*\\b(?:[^>'\"=]|=\\s*\"[^\"]*\"" +
-      "|=\\s*'[^']*'|=[^\\s>'\"]*)*/?>" +
-      "|<!(?:[^>'\"]|\"[^\"]*\"|'[^']*')*>)"
+    "(?is)(?:</?[a-zA-Z][a-zA-Z0-9]*\\b" + AttrWalk + "/?>" +
+      "|<!(?:[^>'\"]|\"[^\"]*\"|'[^']*')*>" +
+      "|<\\?(?:[^>'\"]|\"[^\"]*\"|'[^']*')*>)"
 
   /**
    * Anchor-text signals — what the web says ABOUT a page (the classic
@@ -358,8 +379,7 @@ object Html {
   private val BlockTag =
     "(?i)(?:<(?:br|hr)\\s*/?>|</?(?:p|div|h[1-6]|li|tr|td|th|title|ul|ol" +
       "|table|blockquote|pre|section|article|header|footer|nav|aside" +
-      "|main|body|html)\\b(?:[^>'\"=]|=\\s*\"[^\"]*\"|=\\s*'[^']*'" +
-      "|=[^\\s>'\"]*)*>)"
+      "|main|body|html)\\b" + AttrWalk + ">)"
 
   /**
    * Main-content extraction by block-level link-density scoring — the
@@ -416,8 +436,12 @@ object Html {
       transform(split(regexp_replace(noComment, BlockTag, "\n"), "\n"),
         b => struct(
           clean(b).as("text"),
+          // quote-aware open tag: a '>' inside an anchor attribute
+          // must not count attribute soup as link text and inflate
+          // the density of a genuine prose block
           clean(array_join(regexp_extract_all(b,
-            lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)), "")).as("link"))),
+            lit("(?is)<a\\b" + AttrWalk + ">(.*?)</a>"), lit(1)), ""))
+            .as("link"))),
       s => s.getField("text") =!= "")
     // both lengths widened to long BEFORE multiplying: a single block
     // with >~214k chars of anchor text would overflow Int negative and
@@ -453,13 +477,16 @@ object Html {
 
   def extractTables(pages: DataFrame, idCol: String = "doc_id",
                     htmlCol: String = "html"): DataFrame = {
+    // quote-aware open tags throughout: a '>' inside a table/tr/td
+    // attribute must not truncate the element and leak attribute text
+    // into cells
     val tables = regexp_extract_all(col(htmlCol),
-      lit("(?is)<table\\b[^>]*>(.*?)</table>"), lit(1))
+      lit("(?is)<table\\b" + AttrWalk + ">(.*?)</table>"), lit(1))
     val rows = regexp_extract_all(col("__t"),
-      lit("(?is)<tr\\b[^>]*>(.*?)</tr>"), lit(1))
+      lit("(?is)<tr\\b" + AttrWalk + ">(.*?)</tr>"), lit(1))
     val cells = transform(
       regexp_extract_all(col("__r"),
-        lit("(?is)<t[dh]\\b[^>]*>(.*?)</t[dh]>"), lit(1)),
+        lit("(?is)<t[dh]\\b" + AttrWalk + ">(.*?)</t[dh]>"), lit(1)),
       c => trim(replace(regexp_replace(c, AnyTagPattern, ""),
         lit("&amp;"), lit("&"))))
     pages

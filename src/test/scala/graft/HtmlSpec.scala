@@ -454,6 +454,40 @@ class HtmlSpec extends SparkSpec {
     assert(cells == "v1|v2", s"got '$cells'")
   }
 
+  test("browser-consistent tag handling: lone quotes, PIs, embedded anchor markup") {
+    import graft.operators.Html
+    // unquoted value with an apostrophe (alt=John's) and an XHTML
+    // prolog: both must strip (the strict walk left them verbatim)
+    val t1 = Seq("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<img alt=John's photo><p>keep this text</p>" +
+      "<a href=\"u\" onclick=alert('hi')>t</a>").toDF("h")
+      .select(Html.htmlToText(col("h"))).collect()(0).getString(0)
+    assert(t1 == "keep this text\nt", s"got '$t1'")
+    // a quoted '>' in an ANCHOR's open tag must not count attribute
+    // soup as link text: the prose block stays kept
+    val page = "<p>a genuinely long paragraph with " +
+      "<a title=\"x>y\" href=\"u\">click</a> and many plain words</p>"
+    val mc = Html.mainContent(Seq((1L, page)).toDF("doc_id", "html"))
+      .collect()(0)
+    assert(mc.getAs[Long]("n_kept") == 1, mc.toString)
+    assert(mc.getAs[String]("main_text").contains("click and many"))
+    // a quoted '>' in the td's OWN attributes stays out of the cell
+    val cells = Html.extractTables(Seq((1L,
+      "<table><tr><td title=\"a>b\">v1</td><td>v2</td></tr></table>"))
+      .toDF("doc_id", "html")).collect()(0).getAs[String]("cells")
+    assert(cells == "v1|v2", s"got '$cells'")
+    // Bootstrap-popover style: a literal <a href=...> INSIDE a quoted
+    // attribute of a nested tag must neither abort the real anchor nor
+    // surface as a phantom edge
+    val popover = Seq(("https://real.com/p",
+      "<a href=\"https://real.com/t\"><span data-content=\"" +
+        "<a href='https://evil.com/x'>click</a>\">label</span></a>"))
+      .toDF("url", "html")
+    val out = Html.anchorTexts(popover)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(out == Seq(("real.com/t", "label")), out.toString)
+  }
+
   test("anchorTexts: quoted '>' never corrupts the label; unclosed <a> never steals") {
     val pages = Seq((
       "https://a.com/p",
