@@ -38,14 +38,32 @@ object Html {
    * quote anywhere else is a plain character (`alt=John's`,
    * `<p 'x>y'>` — browsers end the tag at that `>`, and so does
    * this), unquoted values run to whitespace or `>` whatever
-   * characters they contain. Alternatives are disjoint on their first
-   * character (plain excludes `=`/`>`, value units start `=`), so
-   * matching is linear — no backtracking blowup. NOT used by
-   * hrefPattern, whose stricter walk is what makes href-in-quoted-
-   * value phantoms impossible; a lone-quote-tolerant walk there would
-   * re-open them. */
+   * characters they contain. NOT used by hrefPattern, whose stricter
+   * walk is what makes href-in-quoted-value phantoms impossible; a
+   * lone-quote-tolerant walk there would re-open them.
+   *
+   * Backtracking discipline (this is load-bearing, not style): every
+   * unit is POSSESSIVE and plain characters are consumed as RUNS
+   * (`[^>=<]++`), not one alternation iteration each. java.util.regex
+   * recurses once per alternation iteration, so the old per-char walk
+   * threw StackOverflowError — an Error, which KILLS the Spark task —
+   * on a ~3 KB tag region (long unquoted attribute soup, or a stray
+   * `<name` followed by kilobytes of prose before the next `>`), even
+   * on a successful match. Possessive units also make the walk
+   * atomic: a failed parse is never re-explored, so the old
+   * exponential blowup (an unclosed `<a>` followed by nested
+   * `<b c="d">` tags doubled the match time per tag — `='d'` parsed
+   * as a quote unit, as `=[^\s>]*` at four lengths, or char-by-char)
+   * cannot occur; alternatives are disjoint on their first character,
+   * so the possessive walk never changes what matches, only how.
+   * Possessive GROUP loops also run iteratively in java.util.regex
+   * (measured: 8000 units, default stack, fine) where lazy ones
+   * recurse per unit — which is why AnchorElemPattern's inner loop is
+   * possessive too. The `{0,10000}+` bound is a sanity cap on units
+   * per tag (10000 attribute/`<`/run units in ONE tag is far past any
+   * real page): past it the region simply stops matching as a tag. */
   private val AttrWalk: String =
-    "(?:[^>=]|=\\s*\"[^\"]*\"|=\\s*'[^']*'|=[^\\s>]*)*"
+    "(?:[^>=<]++|<|=\\s*+\"[^\"]*+\"|=\\s*+'[^']*+'|=[^\\s>]*+){0,10000}+"
 
   /** Tags whose CLOSE (or the void br/hr) ends a text block — each
    * becomes a newline so block structure survives tag stripping. */
@@ -104,9 +122,21 @@ object Html {
    * whitespace/quote/`>`; fragments are cut at extraction (`#...`
    * never distinguishes a page — the canonicalizer would drop them
    * anyway). */
+  // Same backtracking discipline as AttrWalk (possessive units, runs
+  // not chars, bounded iterations): the old reluctant per-char walk
+  // recursed once per character and overflowed the stack on a ~3 KB
+  // attribute region before the href. Determinism needs the walk to
+  // STOP at the href attribute instead of relying on reluctant
+  // expansion, so each unit is (optional ws +) an `=value` unit, a
+  // word run that is NOT `href[ ]*=` (the lookahead), or a stray `<`;
+  // the walk therefore halts exactly at the ws before a real href and
+  // the possessive tail consumes it. Quotes stay EXCLUDED from plain
+  // runs (the strict walk) — that strictness is what makes
+  // href-in-quoted-value phantoms impossible.
   private def hrefPattern(tag: String): String =
-    "(?is)<" + tag + "\\b(?:[^>'\"=]|=\\s*\"[^\"]*\"|=\\s*'[^']*'" +
-      "|=[^\\s>'\"]*)*?\\shref\\s*=\\s*([\"'][^\"'#>]*|[^\\s\"'>#]+)"
+    "(?is)<" + tag + "\\b(?:\\s*+(?:=\\s*+\"[^\"]*+\"|=\\s*+'[^']*+'" +
+      "|=[^\\s>'\"]*+|(?!href\\s*+=)[^\\s>'\"=<]++|<)){0,10000}+" +
+      "\\s++href\\s*+=\\s*+([\"'][^\"'#>]*+|[^\\s\"'>#]++)"
 
   /** Raw `href` targets of every `<a>` tag — quoted (either style) or
    * UNQUOTED (`<a href=/page>`, legal HTML and common on old pages),
@@ -280,9 +310,21 @@ object Html {
    * walk, so a literal `<a href=...>` embedded in a QUOTED attribute
    * of a nested tag (Bootstrap-popover-style data-content HTML) can
    * neither abort the real anchor nor surface as a phantom element. */
+  // The inner run is a POSSESSIVE loop, not the old reluctant one —
+  // measured, not stylistic: java.util.regex runs lazy group loops
+  // recursively (one stack frame per unit, StackOverflowError — a
+  // task-killing Error — near ~1000 units, i.e. one long malformed
+  // anchor on a real page) but possessive group loops iteratively
+  // (100k nested tags in ~50 ms). The two accept the SAME language
+  // here: no unit can consume `</a>` ([^<]++ stops at `<`, the
+  // nested-tag alternative's lookahead blocks `/a`), so greedy
+  // consumption stops exactly at the first close tag — where the
+  // reluctant walk stopped. An unclosed anchor fails in linear time
+  // (atomic units are never re-explored; the old walk was exponential
+  // in the nested tags it scanned).
   private val AnchorElemPattern: String =
     "(?is)<a\\b" + AttrWalk + ">" +
-      "(?:[^<]|<(?!a\\b|/a\\b)" + AttrWalk + ">)*?" +
+      "(?:[^<]++|<(?!a\\b|/a\\b)" + AttrWalk + ">)*+" +
       "</a>"
 
   /** Quote-aware strip of ALL tags — the naive `<[^>]*>` both ends at
@@ -296,8 +338,8 @@ object Html {
    * labels: every place tag-stripped text becomes OUTPUT. */
   private val AnyTagPattern: String =
     "(?is)(?:</?[a-zA-Z][a-zA-Z0-9]*\\b" + AttrWalk + "/?>" +
-      "|<!(?:[^>'\"]|\"[^\"]*\"|'[^']*')*>" +
-      "|<\\?(?:[^>'\"]|\"[^\"]*\"|'[^']*')*>)"
+      "|<!(?:[^>'\"]++|\"[^\"]*+\"|'[^']*+'){0,10000}+>" +
+      "|<\\?(?:[^>'\"]++|\"[^\"]*+\"|'[^']*+'){0,10000}+>)"
 
   /**
    * Anchor-text signals — what the web says ABOUT a page (the classic

@@ -222,10 +222,17 @@ object UrlOps {
   def robotsCrawlDelays(robots: DataFrame, hostCol: String = "host",
                         bodyCol: String = "body"): DataFrame =
     robots.select(col(hostCol).as("host"),
+      // fractional delays are common ("Crawl-delay: 0.5") — capture
+      // the full decimal and CEIL it: truncating to the integer
+      // prefix would read 0.5 as 0, pacing that host with NO delay
+      // (faster than the 1 s default for hosts with no directive at
+      // all), the opposite of the conservative reading
       explode(regexp_extract_all(col(bodyCol),
-        lit("(?im)^crawl-delay:[ \\t]*(\\d+)"), lit(1))).as("__d"))
+        lit("(?im)^crawl-delay:[ \\t]*([0-9]+(?:\\.[0-9]+)?)"),
+        lit(1))).as("__d"))
       .groupBy("host")
-      .agg(max(col("__d").cast("long")).as("crawl_delay_sec"))
+      .agg(max(ceil(col("__d").cast("double")).cast("long"))
+        .as("crawl_delay_sec"))
 
   /**
    * Allow/Disallow rules of the group a SPECIFIC crawler must obey,

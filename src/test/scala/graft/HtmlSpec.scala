@@ -542,4 +542,46 @@ class HtmlSpec extends SparkSpec {
       "250k-char all-anchor block must fail the link-density screen")
     assert(out.getAs[String]("main_text") == "")
   }
+
+  test("pathological tags: possessive walks never overflow the stack") {
+    // a stray '<name' followed by 100 KB of prose before the next '>':
+    // the old per-char walk threw StackOverflowError (an Error — it
+    // kills the Spark task) at ~3 KB even on a SUCCESSFUL match
+    assert(extract("<p " + ("x" * 100000) + ">rest") == "rest")
+    // long unquoted-attribute soup: thousands of distinct walk units
+    val units = "<p " + (1 to 3000).map(i => s"a$i=v$i").mkString(" ") +
+      ">kept"
+    assert(extract(units) == "kept")
+    // declaration walk: a 50 KB conditional comment region
+    assert(extract("<!" + ("c" * 50000) + ">kept") == "kept")
+    // href after 5 KB of attribute soup still extracts (the old
+    // reluctant per-char walk overflowed before reaching it)
+    val hrefSoup =
+      "<a " + ("class=\"x\" data-k=v " * 500) + "href=/real>L</a>"
+    val links = Seq(hrefSoup).toDF("h")
+      .select(explode(Html.extractLinks(col("h"))).as("l"))
+      .as[String].collect().toSeq
+    assert(links == Seq("/real"))
+  }
+
+  test("unclosed anchor over thousands of nested tags: linear, not exponential") {
+    // the old inner walk re-explored every nested tag's attribute
+    // parses on failure — measured 5 s at 10 tags like <b c="d">,
+    // doubling per tag; 5000 tags would never finish. The possessive
+    // walk fails in linear time and the anchor contributes no edge.
+    val unclosed = "<a href=/x>text " + ("<b c=\"d\" e=f>w" * 5000)
+    val t0 = System.nanoTime()
+    val out = Html.anchorTexts(
+      Seq(("https://h.com/p", unclosed)).toDF("url", "html")).collect()
+    val ms = (System.nanoTime() - t0) / 1000000
+    assert(out.isEmpty, "unclosed anchor must contribute no labeled edge")
+    assert(ms < 30000, s"unclosed-anchor scan took ${ms}ms — backtracking regression")
+    // the closed twin matches linearly (lazy group loops overflow the
+    // stack near ~1000 units; the possessive inner run is iterative)
+    val closed = "<a href=/y>lbl " + ("<b c=\"d\">w " * 5000) + "</a>"
+    val out2 = Html.anchorTexts(
+      Seq(("https://h.com/p", closed)).toDF("url", "html")).collect()
+    assert(out2.length == 1)
+    assert(out2(0).getAs[String]("anchor").startsWith("lbl w"))
+  }
 }

@@ -426,4 +426,18 @@ class UrlOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), plan)
   }
+
+  test("robotsCrawlDelays: fractional delays round UP, never truncate to zero") {
+    val robots = Seq(
+      // the common 'Crawl-delay: 0.5' used to parse its integer PREFIX
+      // as 0 — pacing the host with NO delay, faster than the 1 s
+      // default for hosts with no directive at all
+      ("a.com", "User-agent: *\nCrawl-delay: 0.5\n"),
+      ("b.com", "Crawl-delay: 2.25\n"), // ceil -> 3
+      ("c.com", "Crawl-delay: 3\nCrawl-delay: 1.5\n")) // max(3, ceil 2)
+      .toDF("host", "body")
+    val out = UrlOps.robotsCrawlDelays(robots).orderBy("host")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a.com", 1L), ("b.com", 3L), ("c.com", 3L)))
+  }
 }
