@@ -251,7 +251,17 @@ object Pdf {
    * otherwise (non-empty password, R5/R6, exotic filters) — streams
    * then contribute no text rather than garbage. */
   private def resolveCrypt(s: String): Crypt = {
-    val encRef = EncRefRe.findAllMatchIn(s).toSeq.lastOption
+    // /Encrypt is a TRAILER key (ISO 32000-1 §7.5.5): anchor the search
+    // to the last trailer dict — the same anchoring IdRe already gets —
+    // so a coincidental "/Encrypt N G R" inside an uncompressed content
+    // stream (a PDF documenting PDF syntax) can't flip an unencrypted
+    // file to CryptUnsupported and silently drop all its text. Fall
+    // back to the whole file only when no trailer keyword exists at
+    // all (cross-reference-STREAM files carry the key in the XRef
+    // stream dict instead of a classic trailer).
+    val trailerAt = s.lastIndexOf("trailer")
+    val hay = if (trailerAt >= 0) s.substring(trailerAt) else s
+    val encRef = EncRefRe.findAllMatchIn(hay).toSeq.lastOption
       .getOrElse(return NoCrypt)
     val (num, gen) = (encRef.group(1).toInt, encRef.group(2).toInt)
     // anchored header match: a bare indexOf("6 0 obj") would hit the
@@ -281,7 +291,20 @@ object Pdf {
     val o = strField("O").getOrElse(return CryptUnsupported)
     val u = strField("U").getOrElse(return CryptUnsupported)
     val aes = dict.contains("/AESV2")
-    val keyLen = intField("Length").getOrElse(40) / 8
+    // /Length must be read from the TOP-LEVEL encrypt dict only: the
+    // V4 /CF crypt-filter subdict carries its own /Length in BYTES
+    // (not bits) — matching "/CF << /StdCF << ... /Length 16 >> >>"
+    // would parse keyLen as 2 and reject a supported file. And a legal
+    // V4 dict may omit the top-level /Length entirely: the effective
+    // default there is 128 bits (AESV2 keys are 128-bit), not the
+    // spec's literal 40.
+    val keyLen = {
+      val cfAt = dict.indexOf("/CF")
+      val top = if (cfAt >= 0) dict.substring(0, cfAt) else dict
+      """/Length\s+(-?\d+)""".r.findFirstMatchIn(top)
+        .map(_.group(1).toInt)
+        .getOrElse(if (v == 4) 128 else 40) / 8
+    }
     val supported =
       ((v == 1 || v == 2) && (r == 2 || r == 3) && !aes) ||
         (v == 4 && r == 4 && aes)

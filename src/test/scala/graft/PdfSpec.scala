@@ -177,6 +177,50 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.parse(pdf).text.contains("one two three"))
   }
 
+  test("/Encrypt resolution anchors to the trailer, not stream content") {
+    // An UNENCRYPTED file whose content stream happens to contain the
+    // token "/Encrypt 99 0 R" (a PDF documenting PDF syntax — the
+    // advisory's case): a whole-file scan finds it, fails to resolve
+    // object 99, and flips the file to CryptUnsupported, silently
+    // dropping all text. The trailer-anchored search must ignore it.
+    val content = "BT (see /Encrypt 99 0 R in trailers) Tj ET"
+    val pdf = (s"%PDF-1.4\n9 0 obj << /Length ${content.length} >> stream\n" +
+      content + "\nendstream endobj\n" +
+      "trailer << /Size 2 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n")
+      .getBytes(ISO_8859_1)
+    val r = Pdf.parse(pdf)
+    assert(r.text == "see /Encrypt 99 0 R in trailers", s"got '${r.text}'")
+    // control: a REAL /Encrypt in the trailer still resolves (the
+    // encrypted fixture's trailer carries one and round-trips above)
+    // and a trailer-less file still falls back to the whole-file scan
+    // (drop the trailer from an encrypted fixture: the /Encrypt ref
+    // must still be found and the text still decrypt)
+    val enc = new String(Pdf.fixturePdfEncrypted(5L, "x y z", aes = false),
+      ISO_8859_1)
+    val tAt = enc.lastIndexOf("trailer")
+    val gtAt = enc.indexOf(">>", tAt)
+    val noTrailer = enc.substring(0, tAt) +
+      enc.substring(tAt, gtAt + 2)
+        .replace("trailer << ", "").replace(" >>", "")
+        .replace("/Size 7 /Root 1 0 R ", "") +
+      enc.substring(gtAt + 2)
+    assert(Pdf.parse(noTrailer.getBytes(ISO_8859_1)).text.contains("x y z"))
+  }
+
+  test("V4 keyLen: /CF subdict /Length (bytes) must not shadow the top-level bits") {
+    // A legal V4 dict may omit the top-level /Length while the /CF
+    // crypt-filter subdict carries "/Length 16" in BYTES — reading that
+    // as bits gives keyLen 2 and rejects a supported file. The default
+    // for V4 is 128 bits, so stripping the top-level entry from the
+    // AES fixture must leave the text extractable.
+    val enc = new String(Pdf.fixturePdfEncrypted(8L, "aes cf case", aes = true),
+      ISO_8859_1)
+    assert(enc.contains("/Length 128 ") && enc.contains("/CF <<"))
+    val stripped = enc.replace("/V 4 /R 4 /Length 128 ", "/V 4 /R 4 ")
+    val r = Pdf.parse(stripped.getBytes(ISO_8859_1))
+    assert(r.text.contains("aes cf case"), s"got '${r.text}'")
+  }
+
   test("extractTexts: DataFrame pass, binary-safe, per-row independence") {
     val pdfs = Seq(
       (1L, Pdf.fixturePdf(1L, "one two three")),
