@@ -2318,6 +2318,33 @@ object PipelineEntry {
         .orderBy("id")
     }),
 
+    // P139 — Type0/CID composite-font PDF text via ToUnicode CMaps (the
+    // dominant post-2010 real-PDF class; p118 covers simple fonts):
+    // every doc's text is typeset as 2-byte-CID HEX shows under an
+    // Identity-H Type0 font whose FlateDecode /ToUnicode CMap (bfrange
+    // runs + bfchar singletons, CID = codepoint + 7) is the ONLY route
+    // back to text — a pass-through extractor yields shifted mojibake,
+    // an unparsed CMap yields nothing, so the oracle comparison proves
+    // the map is applied. A third of the corpus is RC4-encrypted and a
+    // third AES-128 (the CMap stream decrypts under its OWN per-object
+    // key, so font resolution rides the crypt path too). The oracle
+    // re-typesets the text closed-form, never touching a PDF byte.
+    // Scale shape: generate and extract are batched mapPartitions in
+    // one task; nothing shuffles.
+    "p139_pdf_cid" -> ((s, dir) => {
+      import s.implicits._
+      val pdfs = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, Pdf.fixturePdfCid(id, t,
+            if (id % 3 == 1) Some(false)
+            else if (id % 3 == 2) Some(true)
+            else None))
+        })
+        .toDF("id", "payload")
+      Pdf.extractTexts(pdfs).orderBy("id")
+    }),
+
     // P125 — crawl-frontier scheduling (discovery → fetch plan): p122's
     // parsed urlset entries become per-host politeness queues ordered
     // by (priority desc, lastmod desc nulls last, loc), queue position
@@ -5463,6 +5490,27 @@ e AS (SELECT doc_id,
           chr(10)) AS text
       FROM w)
 SELECT doc_id AS id, TRUE AS xref_ok, 1::BIGINT AS n_streams,
+  length(text)::BIGINT AS n_chars, text
+FROM e ORDER BY id""",
+
+    // p139: p118's closed-form re-typeset with the CID header — the
+    // SQL never sees a CID, a CMap, or a hex string, so the whole
+    // Type0 chain (font resolution → per-object CMap decrypt+inflate →
+    // bfchar/bfrange parse → 2-byte grouping → map application) must
+    // be byte-exact for the text to match. n_streams is 2 here: the
+    // content stream AND the ToUnicode CMap stream both ride the walk.
+    "p139_pdf_cid" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+w AS (SELECT doc_id, list_filter(
+        string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+e AS (SELECT doc_id,
+        'Doc ' || doc_id || ' (cid) A' || chr(10) || array_to_string(
+          [array_to_string(toks[k*10+1 : k*10+10], ' ')
+           for k in range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))],
+          chr(10)) AS text
+      FROM w)
+SELECT doc_id AS id, TRUE AS xref_ok, 2::BIGINT AS n_streams,
   length(text)::BIGINT AS n_chars, text
 FROM e ORDER BY id""",
 

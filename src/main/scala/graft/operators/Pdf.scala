@@ -39,11 +39,23 @@ import org.apache.spark.sql.functions._
  * (Algorithm 4/5) — a file whose password is genuinely non-empty
  * fails the check and contributes no text rather than garbage.
  *
+ * COMPOSITE (Type0/CID) FONTS (r17): most post-2010 real-world PDFs
+ * show 2-byte CIDs under a Type0 font instead of byte codes under a
+ * simple font. Page `/Resources /Font` names resolve to their font
+ * objects; a Type0 font's /ToUnicode CMap stream (bfchar + bfrange,
+ * incremental and array destinations, UTF-16BE including surrogate
+ * pairs and multi-char ligature targets) is parsed once per file, and
+ * show strings under that font — literal or HEX `<...>` — group into
+ * big-endian 2-byte CIDs mapped through it. A Type0 font WITHOUT a
+ * readable ToUnicode contributes no text rather than mojibake; simple
+ * fonts keep the byte-decoded path (hex strings decode byte-per-char).
+ *
  * Out of the subset (documented, like mp4 for video): non-empty user
  * passwords and R5/R6 (AES-256) handlers, object streams (/ObjStm),
- * non-Flate filters (DCT/LZW/ASCII85), CID / composite-font ToUnicode
- * remapping — each is a payload class, not a structural gap; the
- * walk/decode/operator machinery is where they would plug in. Note
+ * non-Flate filters (DCT/LZW/ASCII85), predefined (non-Identity) CMap
+ * ENCODINGS without ToUnicode — each is a payload class, not a
+ * structural gap; the walk/decode/operator machinery is where they
+ * would plug in. Note
  * /ObjStm never holds CONTENT streams (ISO 32000-1 §7.5.7 forbids
  * streams inside object streams), so the linear stream walk already
  * extracts text from most PDF 1.5+ files — the gap is metadata
@@ -75,6 +87,7 @@ object Pdf {
       }
     }
     val crypt = resolveCrypt(s)
+    val fonts = resolveFonts(s, crypt)
     var nStreams = 0
     val text = new StringBuilder
     var i = s.indexOf("stream")
@@ -82,47 +95,9 @@ object Pdf {
       val end = s.indexOf("endstream", i)
       if (end < 0) { i = -1 }
       else {
-        // keyword must be followed by EOL per spec; data starts after it
-        var dataStart = i + 6
-        if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
-        if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
         nStreams += 1
-        // the owning object's dict sits between the previous "obj" and
-        // the stream keyword (our subset: no nested stream dicts)
-        val objAt = s.lastIndexOf("obj", i)
-        val dict = if (objAt >= 0) s.substring(objAt, i) else ""
-        // exact data extent comes from the dict's /Length when present
-        // and plausible (EOL trimming is AMBIGUOUS: compressed data may
-        // itself end in 0x0A/0x0D bytes, which a blind trim would eat)
-        val lenM = LengthRe.findFirstMatchIn(dict)
-          .map(_.group(1)).filter(_.length <= 12)
-        val dataEnd = lenM.map(n => dataStart + n.toLong)
-          .filter(e => e >= dataStart && e <= end).map(_.toInt).getOrElse {
-            var e2 = end
-            if (e2 > dataStart && s.charAt(e2 - 1) == '\n') e2 -= 1
-            if (e2 > dataStart && s.charAt(e2 - 1) == '\r') e2 -= 1
-            e2
-          }
-        val sliced = s.substring(dataStart, dataEnd).getBytes(ISO_8859_1)
-        // encryption applies to the stream bytes BEFORE any filter
-        val rawOpt: Option[Array[Byte]] = crypt match {
-          case NoCrypt => Some(sliced)
-          case CryptUnsupported => None
-          case StdCrypt(fk, aes) =>
-            objHeader(s, objAt) match {
-              case Some((num, gen)) => decryptStream(fk, aes, num, gen, sliced)
-              case None => None
-            }
-        }
-        val hasFlate = dict.contains("/FlateDecode")
-        val otherFilter = dict.contains("/Filter") && !hasFlate
-        val decoded = rawOpt.flatMap { raw =>
-          if (otherFilter) None
-          else if (hasFlate) inflate(raw)
-          else Some(raw)
-        }
-        decoded.foreach { d =>
-          val t = extractTextOps(new String(d, ISO_8859_1))
+        decodeStream(s, i, crypt).foreach { d =>
+          val t = extractTextOps(new String(d, ISO_8859_1), fonts)
           if (t.nonEmpty) {
             if (text.nonEmpty) text.append('\n')
             text.append(t)
@@ -132,6 +107,198 @@ object Pdf {
       }
     }
     Extracted(xrefOk, nStreams, text.toString)
+  }
+
+  /** Decode the stream whose `stream` keyword starts at `kwAt`:
+   * slice by the owning dict's /Length (EOL-trim fallback), decrypt
+   * under the per-object key when the file is encrypted, inflate when
+   * FlateDecode. None for other filters / corrupt data / unsupported
+   * crypt — the stream then contributes nothing rather than garbage. */
+  private def decodeStream(s: String, kwAt: Int,
+                           crypt: Crypt): Option[Array[Byte]] = {
+    val end = s.indexOf("endstream", kwAt)
+    if (end < 0) return None
+    // keyword must be followed by EOL per spec; data starts after it
+    var dataStart = kwAt + 6
+    if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+    if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+    // the owning object's dict sits between the previous "obj" and
+    // the stream keyword (our subset: no nested stream dicts)
+    val objAt = s.lastIndexOf("obj", kwAt)
+    val dict = if (objAt >= 0) s.substring(objAt, kwAt) else ""
+    // exact data extent comes from the dict's /Length when present
+    // and plausible (EOL trimming is AMBIGUOUS: compressed data may
+    // itself end in 0x0A/0x0D bytes, which a blind trim would eat)
+    val lenM = LengthRe.findFirstMatchIn(dict)
+      .map(_.group(1)).filter(_.length <= 12)
+    val dataEnd = lenM.map(n => dataStart + n.toLong)
+      .filter(e => e >= dataStart && e <= end).map(_.toInt).getOrElse {
+        var e2 = end
+        if (e2 > dataStart && s.charAt(e2 - 1) == '\n') e2 -= 1
+        if (e2 > dataStart && s.charAt(e2 - 1) == '\r') e2 -= 1
+        e2
+      }
+    val sliced = s.substring(dataStart, dataEnd).getBytes(ISO_8859_1)
+    // encryption applies to the stream bytes BEFORE any filter
+    val rawOpt: Option[Array[Byte]] = crypt match {
+      case NoCrypt => Some(sliced)
+      case CryptUnsupported => None
+      case StdCrypt(fk, aes) =>
+        objHeader(s, objAt) match {
+          case Some((num, gen)) => decryptStream(fk, aes, num, gen, sliced)
+          case None => None
+        }
+    }
+    val hasFlate = dict.contains("/FlateDecode")
+    val otherFilter = dict.contains("/Filter") && !hasFlate
+    rawOpt.flatMap { raw =>
+      if (otherFilter) None
+      else if (hasFlate) inflate(raw)
+      else Some(raw)
+    }
+  }
+
+  // ------------------------------------------- Type0 / ToUnicode fonts
+
+  /** Resolve every font RESOURCE name to its ToUnicode CID→text map —
+   * present for Type0 (composite) fonts only; simple fonts keep the
+   * byte-decoded path. Names live in page `/Resources /Font << /F1
+   * 5 0 R >>` dicts; our subset treats the name space as per-FILE
+   * (conflicting same-name bindings across pages: last wins). A Type0
+   * font whose /ToUnicode is absent or unreadable maps to the EMPTY
+   * map, so its show strings contribute no text rather than leaking
+   * raw CID bytes as mojibake. */
+  private def resolveFonts(s: String,
+                           crypt: Crypt): Map[String, Map[Int, String]] = {
+    val refs = for {
+      fm <- FontDictRe.findAllMatchIn(s)
+      e <- FontEntryRe.findAllMatchIn(fm.group(1))
+    } yield e.group(1) -> ((e.group(2).toInt, e.group(3).toInt))
+    refs.toSeq.distinct.flatMap { case (name, (num, gen)) =>
+      objDict(s, num, gen).filter(_.contains("/Type0")).map { dict =>
+        name -> (for {
+          m <- ToUniRe.findFirstMatchIn(dict)
+          kwAt <- objStreamKw(s, m.group(1).toInt, m.group(2).toInt)
+          data <- decodeStream(s, kwAt, crypt)
+        } yield parseToUnicode(new String(data, ISO_8859_1)))
+          .getOrElse(Map.empty)
+      }
+    }.toMap
+  }
+  private val FontDictRe = """(?s)/Font\s*<<(.*?)>>""".r
+  private val FontEntryRe = """/([^\s/<>\[\]()]+)\s+(\d+)\s+(\d+)\s+R""".r
+  private val ToUniRe = """/ToUnicode\s+(\d+)\s+(\d+)\s+R""".r
+
+  /** The dict body of object `num gen` (anchored header match — a bare
+   * indexOf would hit digit-suffixes of longer object numbers). */
+  private def objDict(s: String, num: Int, gen: Int): Option[String] =
+    objAnchor(s, num, gen).map { at =>
+      val endAt = s.indexOf("endobj", at)
+      val stmAt = s.indexOf("stream", at)
+      val stop = Seq(endAt, stmAt).filter(_ >= 0)
+        .reduceOption(_ min _).getOrElse(s.length)
+      s.substring(at, stop)
+    }
+
+  /** Offset of the `stream` keyword of object `num gen`, if it has one
+   * before its `endobj`. */
+  private def objStreamKw(s: String, num: Int, gen: Int): Option[Int] =
+    objAnchor(s, num, gen).flatMap { at =>
+      val stmAt = s.indexOf("stream", at)
+      val endAt = s.indexOf("endobj", at)
+      if (stmAt >= 0 && (endAt < 0 || stmAt < endAt)) Some(stmAt) else None
+    }
+
+  private def objAnchor(s: String, num: Int, gen: Int): Option[Int] =
+    s"(?<![0-9])$num\\s+$gen\\s+obj".r.findFirstMatchIn(s).map(_.start)
+
+  /** Parse a ToUnicode CMap stream (ISO 32000-1 §9.10.3): bfchar
+   * blocks map one CID to a UTF-16BE string (multi-char destinations —
+   * ligatures, surrogate pairs — decode naturally); bfrange blocks map
+   * [lo,hi] either by incrementing a start destination or through an
+   * explicit destination array. Codespace and CMap boilerplate are
+   * skipped; hex tokens are the only operands read. */
+  private[graft] def parseToUnicode(c: String): Map[Int, String] = {
+    val out = Map.newBuilder[Int, String]
+    def utf16(hex: String): String =
+      if (hex.length % 4 == 0)
+        hex.grouped(4).map(Integer.parseInt(_, 16).toChar).mkString
+      else if (hex.length <= 4) Integer.parseInt(hex, 16).toChar.toString
+      else "" // malformed width: contribute nothing
+    for (blk <- blocks(c, "beginbfchar", "endbfchar"))
+      HexTokRe.findAllMatchIn(blk).map(_.group(1)).grouped(2).foreach {
+        case Seq(src, dst) => out += Integer.parseInt(src, 16) -> utf16(dst)
+        case _ => // dangling token: malformed pair, skip
+      }
+    for (blk <- blocks(c, "beginbfrange", "endbfrange")) {
+      // tokens in order: hex strings and array brackets
+      val toks = RangeTokRe.findAllMatchIn(blk).map(_.group(0)).toSeq
+      var i = 0
+      while (i < toks.length) {
+        (toks.lift(i), toks.lift(i + 1), toks.lift(i + 2)) match {
+          case (Some(loT), Some(hiT), Some("[")) if isHex(loT) && isHex(hiT) =>
+            val lo = Integer.parseInt(hexBody(loT), 16)
+            var j = i + 2 + 1
+            var k = 0
+            while (j < toks.length && toks(j) != "]") {
+              if (isHex(toks(j))) {
+                out += (lo + k) -> utf16(hexBody(toks(j)))
+                k += 1
+              }
+              j += 1
+            }
+            i = j + 1
+          case (Some(loT), Some(hiT), Some(dstT))
+              if isHex(loT) && isHex(hiT) && isHex(dstT) =>
+            val lo = Integer.parseInt(hexBody(loT), 16)
+            val hi = Integer.parseInt(hexBody(hiT), 16)
+            val dstHex = hexBody(dstT)
+            val base = BigInt(dstHex, 16)
+            var k = 0
+            while (k <= hi - lo && k < 65536) {
+              val v = (base + k).toString(16).toUpperCase
+              val padded = ("0" * ((dstHex.length - v.length) max 0)) + v
+              out += (lo + k) -> utf16(padded)
+              k += 1
+            }
+            i += 3
+          case _ => i += 1
+        }
+      }
+    }
+    out.result()
+  }
+  private val HexTokRe = """<([0-9A-Fa-f]+)>""".r
+  private val RangeTokRe = """<[0-9A-Fa-f]+>|\[|\]""".r
+  private def isHex(t: String): Boolean = t.startsWith("<")
+  private def hexBody(t: String): String = t.substring(1, t.length - 1)
+
+  private def blocks(c: String, open: String, close: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = c.indexOf(open)
+    while (i >= 0) {
+      val end = c.indexOf(close, i)
+      if (end < 0) i = -1
+      else {
+        out += c.substring(i + open.length, end)
+        i = c.indexOf(open, end + close.length)
+      }
+    }
+    out.result()
+  }
+
+  /** Map a shown string's raw bytes (chars 0–255) as big-endian 2-byte
+   * CIDs through a ToUnicode map; unmapped CIDs and an odd trailing
+   * byte contribute nothing (never mojibake). */
+  private def mapCid(raw: String, cmap: Map[Int, String]): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i + 1 < raw.length) {
+      val cid = ((raw.charAt(i) & 0xff) << 8) | (raw.charAt(i + 1) & 0xff)
+      cmap.get(cid).foreach(out ++= _)
+      i += 2
+    }
+    out.toString
   }
 
   // --------------------------------------------- standard security handler
@@ -352,12 +519,25 @@ object Pdf {
   }
 
   /** Run the BT/ET text-operator machine over one decoded content
-   * stream; returns non-empty lines joined with \n. */
-  private[graft] def extractTextOps(c: String): String = {
+   * stream; returns non-empty lines joined with \n. `fonts` carries
+   * the resolved Type0 ToUnicode maps by RESOURCE name: when the
+   * current font (tracked via `Tf`) is composite, show-string bytes —
+   * literal or hex — group into big-endian 2-byte CIDs and map through
+   * the CMap; under simple fonts hex strings decode byte-per-char like
+   * literals. */
+  private[graft] def extractTextOps(
+      c: String,
+      fonts: Map[String, Map[Int, String]] = Map.empty): String = {
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     val pending = scala.collection.mutable.ArrayBuffer.empty[String]
     var inBT = false
+    var lastName = ""
+    var curCid: Option[Map[Int, String]] = None
+    def shown(raw: String): String = curCid match {
+      case Some(m) => mapCid(raw, m)
+      case None => raw
+    }
     def endLine(): Unit = {
       if (cur.nonEmpty) { lines += cur.toString; cur.clear() }
     }
@@ -367,17 +547,37 @@ object Pdf {
       val ch = c.charAt(i)
       if (ch == '(') {
         val (str, next) = parseString(c, i)
-        if (inBT) pending += str
+        if (inBT) pending += shown(str)
         i = next
       } else if (ch == '%') {
         while (i < n && c.charAt(i) != '\n' && c.charAt(i) != '\r') i += 1
       } else if (ch == '<' && i + 1 < n && c.charAt(i + 1) == '<') {
         i += 2 // dict markers carry no text in our subset
-      } else if (ch == '[' || ch == ']' || ch == '<' || ch == '>') {
-        i += 1 // TJ array brackets; hex strings out of subset
+      } else if (ch == '<') {
+        // hex string: pairs of hex digits, odd count padded with 0 per
+        // spec; whitespace inside is legal and skipped
+        val hex = new StringBuilder
+        i += 1
+        while (i < n && c.charAt(i) != '>') {
+          val h = c.charAt(i)
+          if ((h >= '0' && h <= '9') || (h >= 'A' && h <= 'F') ||
+            (h >= 'a' && h <= 'f')) hex += h
+          i += 1
+        }
+        if (i < n) i += 1 // consume '>'
+        if (hex.length % 2 == 1) hex += '0'
+        if (inBT) {
+          val raw = hex.toString.grouped(2)
+            .map(Integer.parseInt(_, 16).toChar).mkString
+          pending += shown(raw)
+        }
+      } else if (ch == '[' || ch == ']' || ch == '>') {
+        i += 1 // TJ array brackets; stray '>' is noise
       } else if (ch == '/') {
         i += 1
+        val start = i
         while (i < n && !isDelim(c.charAt(i))) i += 1
+        lastName = c.substring(start, i)
       } else if (isDelim(ch)) {
         i += 1
       } else {
@@ -386,6 +586,8 @@ object Pdf {
         c.substring(start, i) match {
           case "BT" => inBT = true; pending.clear()
           case "ET" => endLine(); inBT = false; pending.clear()
+          case "Tf" => // font select: /Name size Tf
+            curCid = fonts.get(lastName); pending.clear()
           case "Tj" if inBT =>
             pending.lastOption.foreach(cur ++= _); pending.clear()
           case "TJ" if inBT =>
@@ -508,35 +710,98 @@ object Pdf {
                           aes: Boolean): Array[Byte] =
     buildPdf(docId, text, encrypt = Some(aes))
 
-  private def buildPdf(docId: Long, text: String,
-                       encrypt: Option[Boolean]): Array[Byte] = {
+  /** Type0/CID twin of [[fixturePdf]]: the content stream selects a
+   * composite font (Identity-H) and shows HEX strings of 2-byte CIDs
+   * (CID = codepoint + 7 — a fixed shift so extraction is provably
+   * CMap-driven, never a pass-through), and a FlateDecode /ToUnicode
+   * CMap maps them back — maximal consecutive codepoint runs as
+   * bfrange entries, singletons as bfchar, so BOTH block forms are
+   * load-bearing in the oracle comparison. `encrypt` works as in
+   * [[fixturePdfEncrypted]]; the CMap stream encrypts under its OWN
+   * per-object key. Closed-form text: line 0 "Doc {id} (cid) A", then
+   * the doc's whitespace tokens in 10-token lines alternating Tj/TJ. */
+  def fixturePdfCid(docId: Long, text: String,
+                    encrypt: Option[Boolean] = None): Array[Byte] =
+    buildPdf(docId, text, encrypt, cid = true)
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** The fixture ToUnicode CMap for `shownText` under CID = cp + 7:
+   * consecutive-codepoint runs (len ≥ 2) become bfrange lines,
+   * singletons bfchar lines, inside the standard CMap wrapper. */
+  private def fixtureCMap(shownText: String): String = {
+    val cps = shownText.toCharArray.map(_.toInt).distinct.sorted
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    cps.foreach { cp =>
+      if (runs.nonEmpty && runs.last._2 == cp - 1)
+        runs(runs.length - 1) = (runs.last._1, cp)
+      else runs += ((cp, cp))
+    }
+    val (ranges, singles) = runs.partition { case (lo, hi) => hi > lo }
+    val sb = new StringBuilder
+    sb.append("/CIDInit /ProcSet findresource begin\n12 dict begin\n")
+    sb.append("begincmap\n/CMapName /GraftToUni def\n/CMapType 2 def\n")
+    sb.append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+    if (ranges.nonEmpty) {
+      sb.append(s"${ranges.length} beginbfrange\n")
+      ranges.foreach { case (lo, hi) =>
+        sb.append(f"<${lo + 7}%04X> <${hi + 7}%04X> <$lo%04X>\n")
+      }
+      sb.append("endbfrange\n")
+    }
+    if (singles.nonEmpty) {
+      sb.append(s"${singles.length} beginbfchar\n")
+      singles.foreach { case (cp, _) =>
+        sb.append(f"<${cp + 7}%04X> <$cp%04X>\n")
+      }
+      sb.append("endbfchar\n")
+    }
+    sb.append("endcmap\nCMap currentdict /CMap defineresource pop\nend\nend")
+    sb.toString
+  }
+
+  private def buildPdf(docId: Long, text: String, encrypt: Option[Boolean],
+                       cid: Boolean = false): Array[Byte] = {
     val toks = text.trim.split("\\s+").filter(_.nonEmpty)
     val chunks = toks.grouped(10).map(_.mkString(" ")).toSeq
+    def cidHex(t: String): String =
+      "<" + t.map(ch => f"${ch.toInt + 7}%04X").mkString + ">"
+    val header = if (cid) s"Doc $docId (cid) A" else ""
     val content = new StringBuilder
-    content.append("BT /F1 12 Tf 72 720 Td (Doc ").append(docId)
-      .append(" \\(pdf\\) \\101) Tj\n")
+    if (cid)
+      content.append("BT /F1 12 Tf 72 720 Td ").append(cidHex(header))
+        .append(" Tj\n")
+    else
+      content.append("BT /F1 12 Tf 72 720 Td (Doc ").append(docId)
+        .append(" \\(pdf\\) \\101) Tj\n")
     chunks.zipWithIndex.foreach { case (chunk, k) =>
-      if (k % 2 == 0) content.append("T* (").append(esc(chunk)).append(") Tj\n")
+      def lit(t: String): String = "(" + esc(t) + ")"
+      def show(t: String): String = if (cid) cidHex(t) else lit(t)
+      if (k % 2 == 0) content.append("T* ").append(show(chunk)).append(" Tj\n")
       else {
         val cut = chunk.indexOf(' ')
-        if (cut < 0) content.append("T* (").append(esc(chunk)).append(") Tj\n")
-        else content.append("T* [(").append(esc(chunk.substring(0, cut)))
-          .append(") -250 (").append(esc(chunk.substring(cut)))
-          .append(")] TJ\n")
+        if (cut < 0) content.append("T* ").append(show(chunk)).append(" Tj\n")
+        else content.append("T* [").append(show(chunk.substring(0, cut)))
+          .append(" -250 ").append(show(chunk.substring(cut)))
+          .append("] TJ\n")
       }
     }
     content.append("ET")
-    val deflated = {
-      val d = new java.util.zip.Deflater()
-      d.setInput(content.toString.getBytes(ISO_8859_1)); d.finish()
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-      d.end()
-      out.toByteArray
-    }
+    val deflated = deflate(content.toString.getBytes(ISO_8859_1))
     def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
-    // handler parameters + the encrypted payload, when requested
+    // object layout: 1 catalog, 2 pages, 3 page, 4 content, 5 font,
+    // [6 encrypt], cid adds [descendant, ToUnicode] after those
+    val descNum = if (encrypt.isDefined) 7 else 6
+    val toUniNum = descNum + 1
+    // handler parameters + per-object payload encryption, when requested
     val encInfo = encrypt.map { aes =>
       val r = if (aes) 4 else 3
       val keyLen = 16
@@ -556,40 +821,63 @@ object Pdf {
             " /StmF /StdCF /StrF /StdCF >> endobj\n"
       (aes, fk, id0, dict)
     }
-    val payload = encInfo match {
-      case None => deflated
-      case Some((aes, fk, _, _)) =>
-        val ek = objKey(fk, 4, 0, aes)
-        if (!aes) rc4(ek, deflated)
-        else {
-          val iv = md5(s"graft-iv-$docId".getBytes(ISO_8859_1))
-          val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
-          c.init(javax.crypto.Cipher.ENCRYPT_MODE,
-            new javax.crypto.spec.SecretKeySpec(ek, "AES"),
-            new javax.crypto.spec.IvParameterSpec(iv))
-          iv ++ c.doFinal(deflated)
-        }
-    }
-    val objs = Seq(
-      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
-      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
-      "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
-        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n",
-      null, // content stream assembled below
-      "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
-    ) ++ encInfo.map(_._4).toSeq
+    def encPayload(objNum: Int, data: Array[Byte]): Array[Byte] =
+      encInfo match {
+        case None => data
+        case Some((aes, fk, _, _)) =>
+          val ek = objKey(fk, objNum, 0, aes)
+          if (!aes) rc4(ek, data)
+          else {
+            val iv = md5(s"graft-iv-$docId-$objNum".getBytes(ISO_8859_1))
+            val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+            c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+              new javax.crypto.spec.SecretKeySpec(ek, "AES"),
+              new javax.crypto.spec.IvParameterSpec(iv))
+            iv ++ c.doFinal(data)
+          }
+      }
+    def streamObj(objNum: Int, payload: Array[Byte]): Array[Byte] =
+      (s"$objNum 0 obj << /Length ${payload.length} /Filter /FlateDecode" +
+        " >> stream\n").getBytes(ISO_8859_1) ++ payload ++
+        "\nendstream endobj\n".getBytes(ISO_8859_1)
+    val fontObj =
+      if (!cid)
+        s"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+          " >> endobj\n"
+      else
+        s"5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /GraftCID" +
+          s" /Encoding /Identity-H /DescendantFonts [$descNum 0 R]" +
+          s" /ToUnicode $toUniNum 0 R >> endobj\n"
+    val cidObjs: Seq[Array[Byte]] =
+      if (!cid) Seq.empty
+      else {
+        val shownAll = (header +: chunks).mkString("\n")
+        val cmap = deflate(fixtureCMap(shownAll).getBytes(ISO_8859_1))
+        Seq(
+          (s"$descNum 0 obj << /Type /Font /Subtype /CIDFontType2" +
+            " /BaseFont /GraftCID /CIDSystemInfo << /Registry (Adobe)" +
+            " /Ordering (Identity) /Supplement 0 >> /CIDToGIDMap /Identity" +
+            " >> endobj\n").getBytes(ISO_8859_1),
+          streamObj(toUniNum, encPayload(toUniNum, cmap)))
+      }
+    val objs: Seq[Array[Byte]] = Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        .getBytes(ISO_8859_1),
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        .getBytes(ISO_8859_1),
+      ("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n")
+        .getBytes(ISO_8859_1),
+      streamObj(4, encPayload(4, deflated)),
+      fontObj.getBytes(ISO_8859_1)
+    ) ++ encInfo.map(_._4.getBytes(ISO_8859_1)).toSeq ++ cidObjs
     val out = new java.io.ByteArrayOutputStream()
     def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
     w("%PDF-1.4\n")
     val offsets = new Array[Int](objs.length + 1)
     objs.zipWithIndex.foreach { case (o, k) =>
       offsets(k + 1) = out.size()
-      if (o != null) w(o)
-      else {
-        w(s"4 0 obj << /Length ${payload.length} /Filter /FlateDecode >> stream\n")
-        out.write(payload)
-        w("\nendstream endobj\n")
-      }
+      out.write(o)
     }
     val xrefAt = out.size()
     w(s"xref\n0 ${objs.length + 1}\n")

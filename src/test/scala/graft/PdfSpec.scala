@@ -177,6 +177,87 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.parse(pdf).text.contains("one two three"))
   }
 
+  test("ToUnicode CMap parsing: bfchar, bfrange increment, array, surrogates") {
+    // bfchar with a multi-char (ligature) destination
+    val m1 = Pdf.parseToUnicode(
+      """2 beginbfchar
+        |<0041> <0061>
+        |<0042> <00660069>
+        |endbfchar""".stripMargin)
+    assert(m1(0x41) == "a" && m1(0x42) == "fi")
+    // bfrange incremental destination: lo..hi map to dst, dst+1, ...
+    val m2 = Pdf.parseToUnicode(
+      "1 beginbfrange\n<0010> <0012> <0041>\nendbfrange")
+    assert(m2 == Map(0x10 -> "A", 0x11 -> "B", 0x12 -> "C"))
+    // bfrange array destination: one explicit dst per code
+    val m3 = Pdf.parseToUnicode(
+      "1 beginbfrange\n<0005> <0007> [<0058> <20AC> <00660066006C>]\nendbfrange")
+    assert(m3 == Map(5 -> "X", 6 -> "€", 7 -> "ffl"))
+    // surrogate pair destination (U+1F600) decodes to a 2-char string
+    val m4 = Pdf.parseToUnicode(
+      "1 beginbfchar\n<0009> <D83DDE00>\nendbfchar")
+    assert(m4(9) == new String(Character.toChars(0x1F600)))
+    // multiple blocks accumulate; codespacerange hex must NOT leak in
+    val m5 = Pdf.parseToUnicode(
+      """1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |1 beginbfchar
+        |<0001> <0031>
+        |endbfchar
+        |1 beginbfchar
+        |<0002> <0032>
+        |endbfchar""".stripMargin)
+    assert(m5 == Map(1 -> "1", 2 -> "2"))
+  }
+
+  test("CID shows map through the current font; simple fonts stay byte-decoded") {
+    val cmap = Map(0x48 -> "H", 0x69 -> "i", 0x21 -> "!")
+    val fonts = Map("FC" -> cmap)
+    def t(c: String): String = Pdf.extractTextOps(c, fonts)
+    // hex show under the CID font: 2-byte groups through the map;
+    // unmapped CIDs (0x7777) and an odd trailing byte drop silently
+    assert(t("BT /FC 12 Tf <00480069> Tj ET") == "Hi")
+    assert(t("BT /FC 12 Tf <0048777700690021> Tj ET") == "Hi!")
+    assert(t("BT /FC 12 Tf <004800690021FF> Tj ET") == "Hi!")
+    // literal show under the CID font: same 2-byte grouping
+    assert(t("BT /FC 12 Tf ( H i) Tj ET") == "Hi")
+    // whitespace inside hex strings is legal; odd digit count pads 0
+    assert(t("BT /FC 12 Tf <0048 006 9> Tj ET") == "Hi")
+    // font switches take effect mid-stream: /F1 is simple (absent from
+    // fonts) so its hex decodes byte-per-char, then /FC maps CIDs
+    assert(t("BT /F1 10 Tf <4869> Tj T* /FC 10 Tf <00480069> Tj ET") ==
+      "Hi\nHi")
+    // a Type0 font with an EMPTY map contributes nothing (no mojibake)
+    assert(Pdf.extractTextOps("BT /FE 1 Tf <00480069> Tj ET",
+      Map("FE" -> Map.empty[Int, String])) == "")
+    // TJ arrays of hex strings concatenate with kerns dropped
+    assert(t("BT /FC 12 Tf [<0048> -250 <00690021>] TJ ET") == "Hi!")
+  }
+
+  test("fixturePdfCid round-trips: plain, RC4, AES — CMap-driven, not pass-through") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu"
+    val expected = "Doc 9 (cid) A\n" +
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa\n" +
+      "lambda mu"
+    for (enc <- Seq(None, Some(false), Some(true))) {
+      val pdf = Pdf.fixturePdfCid(9L, text, enc)
+      val s = new String(pdf, ISO_8859_1)
+      assert(s.contains("/Type0") && s.contains("/Identity-H") &&
+        s.contains("/ToUnicode"), s"enc=$enc")
+      // neither the plaintext nor its shifted-CID hex may appear raw
+      assert(!s.contains("alpha beta"), s"enc=$enc leaked plaintext")
+      val r = Pdf.parse(pdf)
+      assert(r.text == expected, s"enc=$enc got '${r.text}'")
+    }
+    // tamper the CMap ref to a missing object: Type0 with unreadable
+    // ToUnicode must contribute NO text (never raw CID mojibake)
+    val s = new String(Pdf.fixturePdfCid(9L, text, None), ISO_8859_1)
+    val broken = s.replace("/ToUnicode 7 0 R", "/ToUnicode 99 0 R")
+    assert(Pdf.parse(broken.getBytes(ISO_8859_1)).text == "")
+  }
+
   test("/Encrypt resolution anchors to the trailer, not stream content") {
     // An UNENCRYPTED file whose content stream happens to contain the
     // token "/Encrypt 99 0 R" (a PDF documenting PDF syntax — the
