@@ -708,6 +708,26 @@ object ScaleSmoke {
       }
     }
 
+    // Connected-components worst case (r16 verdict task #2): a single
+    // long PATH — the template-drift chain shape where min-label
+    // propagation needed O(diameter) rounds and the old silent
+    // maxIter=20 returned unconverged labels. Star contraction must
+    // converge in O(log n) rounds: chain length 100k converges in ~17
+    // and the wall-clock is round-count-bound, not diameter-bound.
+    if (sections.contains("cc")) {
+      for (len <- Seq(1000L, 100000L)) {
+        val chain = spark.range(len - 1)
+          .select((col("id") + 1).as("id_a"), col("id").as("id_b"))
+        time(s"cc chain $len") {
+          val labels = Dedup.clusters(chain)
+          val bad = labels.where(col("cluster_rep") =!= 0L).count()
+          require(bad == 0, s"unconverged: $bad of $len off-root")
+          labels.count()
+        }
+        graft.operators.OperatorCaches.drainMaterialized()
+      }
+    }
+
     // Per-execution cost decomposition for one serving key (g15 churn
     // forensics, r14 verdict #4): time each repeat of the PREPARED plan
     // alongside the JVM's cumulative JIT time and Spark's Janino

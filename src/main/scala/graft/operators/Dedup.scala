@@ -500,61 +500,93 @@ object Dedup {
   // ---------------------------------------------------------------- P16
   /**
    * Near-duplicate CLUSTERS from a pair list: connected components via
-   * min-label propagation, so a pipeline can keep one representative per
-   * duplicate group (not just per pair). Returns (id, cluster_rep) for
-   * every id appearing in `pairs`; cluster_rep = the minimum id reachable
-   * through the pair graph.
+   * ALTERNATING large-star / small-star contraction (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC 2014), so a
+   * pipeline can keep one representative per duplicate group (not just
+   * per pair). Returns (id, cluster_rep) for every id appearing in
+   * `pairs`; cluster_rep = the minimum id reachable through the pair
+   * graph.
    *
-   * Scale shape: label propagation converges in O(component diameter)
-   * rounds — near-dup components are tiny (dup groups), so 2-4 rounds of
-   * a join keyed by id, each round localCheckpointed like the subclass
-   * closure. This is the standard alternative to driver-side union-find,
-   * which cannot scale past driver memory.
+   * Scale shape: the alternation converges in O(log n) rounds
+   * INDEPENDENT of component diameter — the property min-label
+   * propagation (the r16 implementation) lacked: that needed
+   * O(diameter) rounds, and a 100-TB template-drift CHAIN can exceed
+   * any fixed round budget, which the old silent maxIter=20 cutoff
+   * answered by returning unconverged labels. Each round is two
+   * group-by-min aggregations and two joins keyed by node id, each
+   * round localCheckpointed like the subclass closure. This remains
+   * the standard alternative to driver-side union-find, which cannot
+   * scale past driver memory.
+   *
+   * `maxIter` is now a LOUD safety cap — IllegalStateException, never
+   * silently-unconverged labels. Alternation provably terminates in
+   * O(log² n) rounds and empirically ~log n, so the default covers any
+   * physical input (log²(10¹²) ≈ 40² with the constant well under 1).
    */
-  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // materialize the pair list first: the bidirectional union below
-    // references it twice, and deriving pairs is usually the expensive
-    // part (an LSH/jaccard pipeline)
+  def clusters(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
+    // materialize the pair list first: the star rounds reference it
+    // twice, and deriving pairs is usually the expensive part (an
+    // LSH/jaccard pipeline)
     val prs = SelfJoinMaterialize(pairs.select(col("id_a"), col("id_b")))
-    val fwd = prs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val adj = SelfJoinMaterialize(
-      fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst"))))
-    var labels = SelfJoinMaterialize(
-      adj.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")))
+    // canonical orientation (hi > lo), self-loops dropped
+    var edges = SelfJoinMaterialize(
+      prs.select(greatest(col("id_a"), col("id_b")).as("hi"),
+        least(col("id_a"), col("id_b")).as("lo"))
+        .where(col("hi") =!= col("lo")).distinct())
     var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val neighborMin = adj
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("label")).as("nbr_label"))
-      // Carry the per-row convergence flag THROUGH the update (changed ⇔
-      // some neighbor's label beat ours) instead of re-joining the new
-      // labels against the old ones — one fewer shuffle job per round.
-      val next = labels.withColumnRenamed("label", "old_label")
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("old_label"), coalesce(col("nbr_label"), col("old_label")))
-            .as("label"),
-          (coalesce(col("nbr_label"), col("old_label")) < col("old_label"))
-            .as("changed"))
+    var converged = edges.isEmpty
+    while (!converged) {
+      if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"clusters: star contraction did not converge in $maxIter " +
+            "rounds — pathological input (cyclic id graph?); raise maxIter")
+      // LARGE-STAR: every node u attaches its LARGER neighbors to
+      // m(u) = min(N(u) ∪ {u}). Each canonical edge (hi, lo) is emitted
+      // exactly once — from its lo endpoint, as (hi, m(lo)) — so the
+      // edge count never grows.
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .unionAll(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val minsL = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = SelfJoinMaterialize(
+        sym.where(col("v") > col("u"))
+          .join(minsL, Seq("u"))
+          .select(col("v").as("hi"), col("m").as("lo")).distinct())
+      // SMALL-STAR: every node attaches its SMALLER neighbors — and
+      // itself — to their common minimum: per hi group with m =
+      // min(lo*), emit (hi, m) and (lo, m) for each lo ≠ m.
+      val minsS = ls.groupBy("hi").agg(min("lo").as("m"))
+      val ss = minsS.select(col("hi"), col("m").as("lo"))
+        .unionAll(ls.join(minsS, Seq("hi")).where(col("lo") =!= col("m"))
+          .select(col("lo").as("hi"), col("m").as("lo")))
+        .distinct()
       // localCheckpoint cuts the per-round lineage, but its LogicalRDD
       // carries no size statistics — every subsequent round's joins would
-      // fall to sort-merge even on a tiny label table. Re-persisting the
+      // fall to sort-merge even on a tiny edge table. Re-persisting the
       // checkpointed frame (and dropping the previous round's cache)
-      // restores stats, so each round's joins stay broadcast while labels
+      // restores stats, so each round's joins stay broadcast while edges
       // are small and shuffle once they aren't.
-      val cp = next.localCheckpoint(true)
+      val cp = ss.localCheckpoint(true)
       val fresh = SelfJoinMaterialize(
         cp.sparkSession.createDataFrame(cp.rdd, cp.schema))
-      val changed = fresh.where(col("changed")).limit(1).count() > 0
-      labels.unpersist()
-      labels = fresh.select("id", "label")
-      converged = !changed
+      // exact convergence check — both frames are distinct sets, so
+      // count-equal + except-empty ⇔ set-equal (a hash-sum shortcut
+      // could collide and terminate EARLY with wrong labels)
+      val same = fresh.count() == edges.count() &&
+        fresh.except(edges).limit(1).count() == 0
+      ls.unpersist()
+      edges.unpersist()
+      edges = fresh
+      converged = same
       iter += 1
     }
-    labels.select(col("id"), col("label").as("cluster_rep"))
+    // the alternation's fixed points are disjoint STARS centered at
+    // component minima: leaves read off as hi → lo, centers map to
+    // themselves
+    edges.select(col("hi").as("id"), col("lo").as("cluster_rep"))
+      .unionAll(
+        edges.select(col("lo").as("id"), col("lo").as("cluster_rep")))
+      .distinct()
   }
 
   // ---------------------------------------------------------------- P5

@@ -91,6 +91,28 @@ class DedupSpec extends SparkSpec {
       7L -> 7L, 8L -> 7L, 9L -> 7L)) // 8-9, 7-9 merge via 9
   }
 
+  test("clusters: a 60-node path graph converges (diameter >> old 20-round cap)") {
+    // the r16 min-label implementation needed O(diameter) rounds and
+    // SILENTLY returned unconverged labels past maxIter=20 — a 100-TB
+    // template-drift chain is exactly this shape. Star contraction
+    // must converge in O(log n) rounds; 60 nodes, worst-case ordering
+    // (descending ids, so min-labels would have to travel the whole
+    // chain), every node must land on rep 0.
+    val n = 60L
+    val chain = (0L until n - 1).map(i => (n - 1 - i, n - 2 - i))
+      .toDF("id_a", "id_b")
+    val res = Dedup.clusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(res.length == n)
+    assert(res.forall(_._2 == 0L),
+      s"unconverged labels: ${res.filter(_._2 != 0L).take(5).toSeq}")
+    // and the loud cap actually throws instead of returning bad labels
+    val ex = intercept[IllegalStateException] {
+      Dedup.clusters(chain, maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("paragraph dedup: first occurrence survives, docs reassemble in order") {
     import spark.implicits._
     val docs = Seq(
