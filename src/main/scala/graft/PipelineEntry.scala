@@ -2345,6 +2345,38 @@ object PipelineEntry {
       Pdf.extractTexts(pdfs).orderBy("id")
     }),
 
+    // P140 — WAT sidecar generation (completes the WARC/WAT/WET
+    // artifact triple a crawl publishes; WARC p85, WET p91, CDX p93):
+    // html pages ride a .warc.gz crawl, watRecords emits the
+    // per-response JSON envelope (WARC header metadata + HTTP response
+    // metadata + title and RAW outlinks for HTML payloads) as pure
+    // codegen'd to_json Column work, watExport writes .warc.wat.gz
+    // metadata records (WARC-Refers-To the response), and the SAME
+    // records() front door parses them back. The oracle re-derives the
+    // complete JSON byte-for-byte from the fixture formula — envelope
+    // shape, field order, link order, and the href-walk's raw
+    // extraction semantics (quoted/unquoted, fragment stop) all pinned.
+    "p140_wat" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      val tag = dir.replaceAll("[^0-9.]", "")
+      val warcOut = s"/root/repo/target/warc-wat-src-$tag"
+      val watOut = s"/root/repo/target/warc-wat-$tag"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warcOut))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(watOut))
+      WarcSource.export(htmlPages(docs(s, dir)), warcOut,
+        idCol = "doc_id", textCol = "html", urlCol = Some("url"),
+        mime = "text/html; charset=utf-8")
+      WarcSource.watExport(
+        WarcSource.watRecords(WarcSource.records(s, warcOut)), watOut)
+      WarcSource.records(s, watOut)
+        .where(col("warc_type") === "metadata")
+        .select(
+          regexp_extract(col("refers_to"), ":doc:(\\d+)>$", 1)
+            .cast("long").as("id"),
+          col("target_uri"), col("body").as("wat"))
+        .orderBy("id")
+    }),
+
     // P125 — crawl-frontier scheduling (discovery → fetch plan): p122's
     // parsed urlset entries become per-host politeness queues ordered
     // by (priority desc, lastmod desc nulls last, loc), queue position
@@ -5513,6 +5545,33 @@ e AS (SELECT doc_id,
 SELECT doc_id AS id, TRUE AS xref_ok, 2::BIGINT AS n_streams,
   length(text)::BIGINT AS n_chars, text
 FROM e ORDER BY id""",
+
+    // p140: the COMPLETE WAT JSON envelope re-derived byte-for-byte
+    // from the fixture formula — to_json's compact rendering, struct
+    // field order, the raw (unresolved) href values in document order,
+    // and the quoted-scan's fragment stop are all load-bearing; a
+    // field-order slip, an escape slip, or a link-walk slip changes
+    // bytes.
+    "p140_wat" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+d AS (SELECT doc_id,
+  'https://www.Example-' || (doc_id % 50) || '.com/Pg/' || doc_id
+    || '/?b=2&a=1' AS uri,
+  'https://Example-' || ((doc_id + 1) % 50) || '.com/Pg/' || (doc_id + 1)
+    || '?b=2&a=1&utm_source=x' AS l1,
+  '/Pg/' || (doc_id * 7 + 3) || '/?b=2&a=1&gclid=g' AS l2,
+  '/Pg/' || (doc_id * 3 + 1) || '?b=2&a=1' AS l3,
+  'Sub/' || doc_id || '?b=2&a=1' AS l4
+ FROM documents)
+SELECT doc_id AS id, uri AS target_uri,
+  '{"Envelope":{"Format":"WARC","WARC-Header-Metadata":{"WARC-Type":"response","WARC-Target-URI":"'
+  || uri || '","WARC-Record-ID":"<urn:graft:doc:' || doc_id
+  || '>"},"Payload-Metadata":{"Actual-Content-Type":"application/http; msgtype=response","HTTP-Response-Metadata":{"Response-Message":{"Status":"200"},"Headers":{"Content-Type":"text/html; charset=utf-8"},"HTML-Metadata":{"Head":{"Title":"Doc '
+  || doc_id || '"},"Links":[{"path":"A@/href","url":"' || l1
+  || '"},{"path":"A@/href","url":"' || l2
+  || '"},{"path":"A@/href","url":"' || l3
+  || '"},{"path":"A@/href","url":"' || l4 || '"}]}}}}}' AS wat
+FROM d ORDER BY id""",
 
     // p121: gates, cuts, and renders all re-derived from the md5 chain
     // (the p84 convention) — a gate slip, an off-by-one in a cut, or a

@@ -341,6 +341,101 @@ object WarcSource {
   }
 
   /**
+   * WAT sidecar generation — the METADATA member of the WARC/WAT/WET
+   * artifact triple a crawl publishes (Common Crawl's .warc.wat.gz):
+   * one row per response record carrying the per-record JSON envelope
+   * a crawl planner reads instead of the 10× larger WARC — the WARC
+   * header metadata, the HTTP response metadata, and for HTML payloads
+   * the page title and the raw extracted outlinks (`Html.extractLinks`
+   * — the same walk the link graph uses, hrefs RAW as WAT records
+   * them, resolution is the consumer's job).
+   *
+   * Scale shape: pure codegen'd Column work — `to_json` over nested
+   * structs and the shared possessive href walk — no UDF, no shuffle,
+   * no driver involvement; the JSON is born where the record was
+   * parsed. Emits (record_id, target_uri, wat). Null fields are
+   * OMITTED by to_json (Jackson), so non-HTML records carry no
+   * HTML-Metadata key and a title-less page carries no Title key.
+   */
+  def watRecords(records: DataFrame): DataFrame = {
+    import graft.operators.Html
+    val title =
+      regexp_extract(col("body"), "(?is)<title[^>]*+>(.*?)</title", 1)
+    val htmlMeta = when(
+      lower(coalesce(col("content_type"), lit(""))).contains("html"),
+      struct(
+        struct(when(title =!= "", title).as("Title")).as("Head"),
+        transform(Html.extractLinks(col("body")),
+          v => struct(lit("A@/href").as("path"), v.as("url"))).as("Links")))
+    records.where(col("warc_type") === "response")
+      .select(col("record_id"), col("target_uri"),
+        to_json(struct(
+          struct(
+            lit("WARC").as("Format"),
+            struct(
+              col("warc_type").as("WARC-Type"),
+              col("target_uri").as("WARC-Target-URI"),
+              col("record_id").as("WARC-Record-ID")
+            ).as("WARC-Header-Metadata"),
+            struct(
+              lit("application/http; msgtype=response")
+                .as("Actual-Content-Type"),
+              struct(
+                struct(col("status").cast("string").as("Status"))
+                  .as("Response-Message"),
+                struct(col("content_type").as("Content-Type")).as("Headers"),
+                htmlMeta.as("HTML-Metadata")
+              ).as("HTTP-Response-Metadata")
+            ).as("Payload-Metadata")
+          ).as("Envelope"))).as("wat"))
+  }
+
+  /**
+   * Write a [[watRecords]] frame as `.warc.wat.gz` segment files (the
+   * Common Crawl naming, which keeps them inside `records`' front-door
+   * glob): WARC `metadata` records whose payload is the JSON envelope,
+   * `WARC-Refers-To` pointing at the described record. Same segmenting
+   * discipline as `export`: one file per docsPerFile id-range, a
+   * leading warcinfo record, one task per file.
+   */
+  def watExport(wat: DataFrame, dir: String, docsPerFile: Int = 100): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val shards = wat.select(
+        regexp_extract(col("record_id"), "(\\d+)>?$", 1)
+          .cast("long").as("id"),
+        col("record_id"), col("target_uri"), col("wat"))
+      .repartition(expr(s"id DIV $docsPerFile"))
+    shards.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      it.toArray.groupBy(_.getLong(0) / docsPerFile).foreach { case (_, rows) =>
+        val minId = rows.iterator.map(_.getLong(0)).min
+        val f = java.nio.file.Paths.get(dir, f"seg-$minId%08d.warc.wat.gz")
+        val gz = new java.util.zip.GZIPOutputStream(
+          java.nio.file.Files.newOutputStream(f))
+        def record(headers: Seq[(String, String)],
+                   payload: Array[Byte]): Unit = {
+          val head = ("WARC/1.0" +: headers.map { case (k, v) => s"$k: $v" })
+            .mkString("", "\r\n", "\r\n") +
+            s"Content-Length: ${payload.length}\r\n\r\n"
+          gz.write(head.getBytes("UTF-8")); gz.write(payload)
+          gz.write(Crlf); gz.write(Crlf)
+        }
+        record(Seq("WARC-Type" -> "warcinfo",
+          "WARC-Record-ID" -> s"<urn:graft:watinfo:$minId>"),
+          "software: graft\r\nformat: WAT\r\n".getBytes("UTF-8"))
+        rows.sortBy(_.getLong(0)).foreach { r =>
+          record(Seq("WARC-Type" -> "metadata",
+            "WARC-Target-URI" -> r.getString(2),
+            "WARC-Record-ID" -> s"<urn:graft:wat:${r.getLong(0)}>",
+            "WARC-Refers-To" -> r.getString(1),
+            "Content-Type" -> "application/json"),
+            r.getString(3).getBytes("UTF-8"))
+        }
+        gz.close()
+      }
+    }
+  }
+
+  /**
    * Fixture/export writer: shard `docs` into WARC response records
    * (URL `https://example.org/doc/{id}`, body = text), one
    * `.warc.gz` file per `docsPerFile` ids, written from the

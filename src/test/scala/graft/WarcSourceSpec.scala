@@ -259,4 +259,59 @@ class WarcSourceSpec extends SparkSpec {
     val empty = prev.where(lit(false))
     assert(WarcSource.cdxDiff(empty, empty).count() == 0)
   }
+
+  test("WAT: envelope JSON, HTML gating, and the .warc.wat.gz round-trip") {
+    val docs = Seq(
+      (1L, "<html><head><title>T one</title></head>" +
+        "<body><a href=\"https://x.org/a\">a</a> <a href=/b#frag>b</a></body></html>",
+        "https://site.org/1"),
+      (2L, "<html><head></head><body>no links, no title</body></html>",
+        "https://site.org/2")
+    ).toDF("doc_id", "text", "url")
+    val dir = "/root/repo/target/wat-spec-src"
+    val watDir = "/root/repo/target/wat-spec-out"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(watDir))
+    WarcSource.export(docs, dir, urlCol = Some("url"),
+      mime = "text/html; charset=utf-8")
+    val wat = WarcSource.watRecords(WarcSource.records(spark, dir))
+      .orderBy("record_id").collect()
+    assert(wat.length == 2)
+    val j1 = wat(0).getAs[String]("wat")
+    // exact envelope for the linkful page: compact to_json rendering,
+    // declared field order, raw hrefs in document order (unquoted form
+    // included, fragment stripped by the quoted scan's '#' stop)
+    assert(j1 ==
+      """{"Envelope":{"Format":"WARC","WARC-Header-Metadata":{"WARC-Type":"response","WARC-Target-URI":"https://site.org/1","WARC-Record-ID":"<urn:graft:doc:1>"},"Payload-Metadata":{"Actual-Content-Type":"application/http; msgtype=response","HTTP-Response-Metadata":{"Response-Message":{"Status":"200"},"Headers":{"Content-Type":"text/html; charset=utf-8"},"HTML-Metadata":{"Head":{"Title":"T one"},"Links":[{"path":"A@/href","url":"https://x.org/a"},{"path":"A@/href","url":"/b"}]}}}}}""",
+      j1)
+    // title-less page: Title key OMITTED (never "null"), Links empty
+    val j2 = wat(1).getAs[String]("wat")
+    assert(j2.contains("\"Head\":{},\"Links\":[]"), j2)
+    assert(!j2.contains("Title"), j2)
+    // a NON-html response gets no HTML-Metadata key at all
+    val plainDir = "/root/repo/target/wat-spec-plain"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(plainDir))
+    WarcSource.export(docs.select(col("doc_id"),
+      lit("just text with <a href=x>ignored</a>").as("text"), col("url")),
+      plainDir, urlCol = Some("url"))
+    val jp = WarcSource.watRecords(WarcSource.records(spark, plainDir))
+      .orderBy("record_id").collect()(0).getAs[String]("wat")
+    assert(!jp.contains("HTML-Metadata"), jp)
+    assert(jp.contains("\"Content-Type\":\"text/plain; charset=utf-8\""), jp)
+    // .warc.wat.gz round-trip: metadata records, Refers-To linkage,
+    // payload byte-identical, and the same records() front door reads
+    // them (CC naming keeps the file inside the *.warc* glob)
+    WarcSource.watExport(
+      WarcSource.watRecords(WarcSource.records(spark, dir)), watDir)
+    val back = WarcSource.records(spark, watDir)
+    val meta = back.where(col("warc_type") === "metadata")
+      .orderBy("record_id").collect()
+    assert(meta.length == 2)
+    assert(meta(0).getAs[String]("refers_to") == "<urn:graft:doc:1>")
+    assert(meta(0).getAs[String]("target_uri") == "https://site.org/1")
+    assert(meta(0).getAs[String]("content_type") == "application/json")
+    assert(meta(0).getAs[String]("body") == j1)
+    assert(meta(1).getAs[String]("body") == j2)
+    assert(back.where(col("warc_type") === "warcinfo").count() == 1)
+  }
 }
