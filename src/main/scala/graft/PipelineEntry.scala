@@ -1768,6 +1768,22 @@ object PipelineEntry {
       Bpe.stats(docs(s, dir), merges).orderBy("id")
     }),
 
+    // P141 — BYTE-level BPE (the GPT-2 lineage; p41 is the char-level
+    // rung): pretokens from the RE2-safe GPT-2-style pattern
+    // (case-sensitive, whitespace-significant, leading-space word
+    // units), their UTF-8 bytes mapped through the printable byte
+    // alphabet (space = 'Ġ'), merges trained on byte symbols with the
+    // SAME greedy trainer, corpus encoded by the SAME rank-heap native
+    // expression. Any UTF-8 input encodes with zero OOV; decode is
+    // exact (BpeSpec pins emoji/supplementary round-trips where
+    // char-level differs). The oracle replays training AND encoding in
+    // SQL through the shared parametrized CTE chain.
+    "p141_bpe_bytes" -> ((s, dir) => {
+      val merges = Bpe.trainMergesBytes(docs(s, dir), numMerges = BpeMerges,
+        sampleN = BpeSampleN)
+      Bpe.statsBytes(docs(s, dir), merges).orderBy("id")
+    }),
+
     // P31, key p37_unigram — unigram-frequency quality scoring with a
     // 24-entry vocabulary (the fixture generator draws from only 31
     // distinct tokens; top-24 covers ~81% of token mass, so OOV is
@@ -3150,7 +3166,13 @@ u AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2)"""
    * then re-encode the sample with a left-greedy replace over the
    * chr(31)-joined representation (replace's resume-after-replacement
    * scan IS the BPE fold; see operators.Bpe). */
-  private lazy val BpeOracleCtes: String = {
+  /** The BPE merge-replay CTE chain, parametrized on the token-list
+   * expression (over a `text` column): char-level (p41/p115) passes
+   * the whitespace tokenizer, byte-level (p141) passes the
+   * pretokenizer + byte-alphabet mapping — the training stages, the
+   * replay fold, and the per-doc aggregation are shared verbatim, so
+   * both rungs pin against ONE oracle semantics. */
+  private def bpeCtesFor(tokList: String): String = {
     def stage(k: Int): String = {
       val prev = if (k == 1) "s0" else s"s${k - 1}"
       s"""p$k AS MATERIALIZED (SELECT (z).a AS a, (z).b AS b FROM (
@@ -3173,7 +3195,7 @@ s$k AS MATERIALIZED (SELECT j, f,
     val pList = (1 to BpeMerges).map(k => s"p$k").mkString(", ")
     s"""documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
 w0 AS (SELECT w, count(*)::BIGINT AS f FROM (
-    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    SELECT unnest($tokList) AS w
     FROM (SELECT text FROM documents ORDER BY doc_id LIMIT $BpeSampleN))
   WHERE w <> '' GROUP BY w),
 s0 AS MATERIALIZED (SELECT chr(31) || array_to_string(
@@ -3181,8 +3203,8 @@ s0 AS MATERIALIZED (SELECT chr(31) || array_to_string(
          chr(31) || chr(31)) || chr(31) AS j, f,
        list_transform(range(1, length(w)+1), i -> w[i]) AS l FROM w0),
 $stages,
-tok AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-          x -> x <> '') AS ws FROM documents),
+tok AS (SELECT doc_id, list_filter($tokList, x -> x <> '') AS ws
+        FROM documents),
 encw AS (SELECT doc_id, unnest(ws) AS w FROM tok),
 encj AS (SELECT doc_id, $encJ AS j FROM encw, $pList),
 per AS (SELECT doc_id, count(*)::BIGINT AS n_words,
@@ -3190,6 +3212,20 @@ per AS (SELECT doc_id, count(*)::BIGINT AS n_words,
             AS n_subwords
         FROM encj GROUP BY doc_id)"""
   }
+
+  private lazy val BpeOracleCtes: String =
+    bpeCtesFor("string_split_regex(lower(trim(text)), '\\s+')")
+
+  /** Byte-level twin: the RE2-safe pretokenizer (case-sensitive,
+   * whitespace-significant), each pretoken mapped through the byte
+   * alphabet. The fixture corpus is printable ASCII (verified
+   * [32,121]), so the only byte needing mapping is space → chr(288)
+   * ('Ġ' — the GPT-2 table's image of 0x20); the engine side applies
+   * the FULL 256-entry table and BpeSpec pins the non-ASCII rows. */
+  private lazy val BpeBytesOracleCtes: String = bpeCtesFor(
+    "list_transform(regexp_extract_all(text, " +
+      "'''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+" +
+      "| ?[^\\s\\p{L}\\p{N}]+|\\s+'), x -> replace(x, ' ', chr(288)))")
 
   /** Shared oracle for the planted-PNG near-dup keys: p74 (parquet
    * fixture) and p111 (the same fixture round-tripped through a
@@ -4061,6 +4097,26 @@ SELECT t.doc_id AS id, coalesce(per.n_words, 0)::BIGINT AS n_words,
     THEN per.n_subwords::DOUBLE / per.n_words ELSE 0.0 END, 6)
     AS subwords_per_word
 FROM tok t LEFT JOIN per USING (doc_id) ORDER BY id""",
+
+    // p141: the byte-level chain through the SAME parametrized replay
+    // CTEs — pretokenizer, space→Ġ mapping, training stages, and the
+    // encode fold all re-derived in SQL; n_bytes is the mapped string's
+    // char length (one alphabet char per UTF-8 byte by construction).
+    "p141_bpe_bytes" -> s"""WITH $BpeBytesOracleCtes,
+nb AS (SELECT doc_id,
+         coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::BIGINT
+           AS n_bytes
+       FROM tok)
+SELECT t.doc_id AS id, coalesce(per.n_words, 0)::BIGINT AS n_pretokens,
+  coalesce(per.n_subwords, 0)::BIGINT AS n_subwords, nb.n_bytes,
+  round(CASE WHEN coalesce(per.n_words, 0) > 0
+    THEN per.n_subwords::DOUBLE / per.n_words ELSE 0.0 END, 6)
+    AS subwords_per_pretoken,
+  round(CASE WHEN nb.n_bytes > 0
+    THEN per.n_subwords::DOUBLE / nb.n_bytes ELSE 0.0 END, 6)
+    AS subwords_per_byte
+FROM tok t LEFT JOIN per USING (doc_id) JOIN nb USING (doc_id)
+ORDER BY id""",
 
     // p115: the SAME trained-BPE chain aggregated per language —
     // ratios computed AFTER the language sums, exactly as the Spark

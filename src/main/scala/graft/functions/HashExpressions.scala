@@ -449,6 +449,111 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  // ------------------------------------------- byte-level BPE alphabet
+
+  /** The GPT-2 byte→printable-unicode table (Radford et al. 2019,
+   * bytes_to_unicode — public knowledge): bytes that are printable
+   * Latin-1 ([33,126] ∪ [161,172] ∪ [174,255]) map to themselves; the
+   * other 68 (controls, space, DEL, soft hyphen, …) map to 256+n in
+   * first-seen order — so byte 0x20 is 'Ġ' (U+0120) and 0x0A is 'Ċ'.
+   * Every byte becomes exactly ONE printable BMP code point, which is
+   * what lets BPE merges operate on visible symbols while staying
+   * byte-complete: any UTF-8 input is encodable with zero OOV. The
+   * mapping is injective, so [[unmapFromAlphabet]] inverts it exactly. */
+  private[graft] val ByteToChar: Array[Char] = {
+    val printable =
+      ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val arr = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (printable(b)) arr(b) = b.toChar
+      else { arr(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    arr
+  }
+  private[graft] val CharToByte: Array[Byte] = {
+    val arr = new Array[Byte](324) // images live in [33, 323]
+    ByteToChar.zipWithIndex.foreach { case (c, b) => arr(c.toInt) = b.toByte }
+    arr
+  }
+
+  private[graft] def mapToAlphabet(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(ByteToChar(bytes(i) & 0xff)); i += 1 }
+    sb.toString
+  }
+
+  private[graft] def unmapFromAlphabet(s: String): String = {
+    val out = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i).toInt
+      out(i) = if (c < 324) CharToByte(c) else 0
+      i += 1
+    }
+    new String(out, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** UTF-8 bytes of a string rendered in the byte-BPE alphabet (one
+   * mapped char per byte) — the representation byte-level merges train
+   * and apply on. One pass, no allocation beyond the output. */
+  case class ByteAlphabet(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "byte_alphabet"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = classOf[ByteAlphabet].getName
+      val javaType = CodeGenerator.javaType(dataType)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = ($javaType) $cls.evalStatic($c);")
+    }
+
+    override def nullSafeEval(input: Any): Any = ByteAlphabet.evalStatic(input)
+
+    override protected def withNewChildInternal(newChild: Expression): ByteAlphabet =
+      copy(child = newChild)
+  }
+  object ByteAlphabet {
+    def evalStatic(input: Any): Any =
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        mapToAlphabet(
+          input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString))
+  }
+
+  /** Inverse of [[ByteAlphabet]]: alphabet chars back to their bytes,
+   * decoded as UTF-8 — `byteAlphabetInverse(byteAlphabet(s)) == s` for
+   * every string (the no-OOV decode guarantee byte-level BPE exists
+   * for). Chars outside the alphabet image decode as 0x00 (never
+   * produced by the encoder). */
+  case class ByteAlphabetInverse(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "byte_alphabet_inverse"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = classOf[ByteAlphabetInverse].getName
+      val javaType = CodeGenerator.javaType(dataType)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = ($javaType) $cls.evalStatic($c);")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      ByteAlphabetInverse.evalStatic(input)
+
+    override protected def withNewChildInternal(
+        newChild: Expression): ByteAlphabetInverse =
+      copy(child = newChild)
+  }
+  object ByteAlphabetInverse {
+    def evalStatic(input: Any): Any =
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        unmapFromAlphabet(
+          input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString))
+  }
+
   /** One-pass in-vocabulary frequency scoring of a string array against
    * a trained frequency table (TextAnalysis.unigramScore/bigramScore —
    * the CCNet-style LM-quality ladder): counts elements, counts
@@ -884,6 +989,12 @@ object HashExpressions {
 
   def bpeEncodeFast(words: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeEncodeFast(Bridge.expression(words), merges))
+
+  def byteAlphabet(s: Column): Column =
+    Bridge.column(ByteAlphabet(Bridge.expression(s)))
+
+  def byteAlphabetInverse(s: Column): Column =
+    Bridge.column(ByteAlphabetInverse(Bridge.expression(s)))
 
   def vocabScore(grams: Column, vocab: Map[String, Double]): Column =
     Bridge.column(VocabScore(Bridge.expression(grams), vocab))

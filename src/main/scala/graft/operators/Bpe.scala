@@ -74,6 +74,14 @@ object Bpe {
       .filter(_.nonEmpty)
       .toSeq.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
       .toSeq
+    trainCore(words, numMerges)
+  }
+
+  /** The shared greedy-merge trainer over (word, freq) rows — words
+   * already in their final symbol space (raw tokens for char-level,
+   * alphabet-mapped pretokens for byte-level). */
+  private def trainCore(words: Seq[(String, Long)],
+                        numMerges: Int): Seq[(String, String)] = {
     // Seq, not Map: merge application could in principle collide two
     // representations, and the oracle's CTE rows don't re-aggregate —
     // keeping rows keeps pair counts identical by construction.
@@ -101,6 +109,95 @@ object Bpe {
       }
     }
     merges.toSeq
+  }
+
+  // ------------------------------------------------------- byte level
+
+  /**
+   * GPT-2-STYLE pretokenizer (Radford et al. 2019 — the public
+   * pattern): contractions, optional-space-led letter runs, digit
+   * runs, punctuation runs, whitespace runs. One deliberate,
+   * documented deviation: the original's trailing-whitespace branch
+   * `\s+(?!\S)` uses a LOOKAHEAD, which RE2-family engines (the SQL
+   * oracle, and any non-backtracking production matcher) cannot
+   * express — we drop it, so a whitespace run before a word binds to
+   * the run (`"a  b"` → `["a", "  ", "b"]`) instead of donating its
+   * last space to the word. Everything a crawl corpus hits —
+   * case-sensitivity, leading-space word units ('Ġword'), digit/punct
+   * splits, no-OOV byte coverage — is preserved, and ONE pattern
+   * serves Spark, the trainer, and the DuckDB oracle identically.
+   */
+  val PretokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pretoken array of a text column (document order, case preserved,
+   * whitespace significant — the byte-level contract). */
+  def pretokens(text: Column): Column =
+    regexp_extract_all(text, lit(PretokenPattern), lit(0))
+
+  /**
+   * BYTE-LEVEL BPE training (the GPT-2 lineage p41's char-level rung
+   * feeds into): pretokens' UTF-8 bytes ride the printable byte
+   * alphabet (`HashExpressions.ByteAlphabet` — space is 'Ġ'), merges
+   * train on those single-char byte symbols with the SAME greedy
+   * trainer as char-level. Any UTF-8 input is encodable with zero OOV;
+   * decode is exact (`byteAlphabetInverse`).
+   */
+  def trainMergesBytes(docs: DataFrame, numMerges: Int, sampleN: Int = 32,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): Seq[(String, String)] = {
+    val words: Seq[(String, Long)] = docs
+      .select(col(idCol), pretokens(col(textCol)).as("t"))
+      .orderBy(col(idCol)).limit(sampleN)
+      .collect()
+      .iterator.flatMap(_.getSeq[String](1))
+      .filter(_.nonEmpty)
+      .map(HE.mapToAlphabet)
+      .toSeq.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      .toSeq
+    trainCore(words, numMerges)
+  }
+
+  /** Byte-level corpus encoding: one narrow scan — pretokenize, map
+   * each pretoken through the byte alphabet (native expression), then
+   * the SAME single-pass rank-heap segmentation as char-level (mapped
+   * chars are single BMP code points, so the symbol machinery is
+   * shared verbatim). Returns (id, subwords) in alphabet space;
+   * `decodeBytes` inverts. */
+  def encodeBytes(docs: DataFrame, merges: Seq[(String, String)],
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      HE.bpeEncodeFast(
+        transform(pretokens(col(textCol)), t => HE.byteAlphabet(t)),
+        merges).as("subwords"))
+
+  /** Exact decode of an alphabet-space subword array back to the
+   * original text — the no-OOV guarantee byte-level BPE exists for. */
+  def decodeBytes(subwords: Column): Column =
+    HE.byteAlphabetInverse(concat_ws("", subwords))
+
+  /** Per-doc byte-level tokenizer statistics: pretoken count, subword
+   * count, UTF-8 byte count, and the two fertility ratios a mixture /
+   * packing stage consumes. One narrow codegen'd scan. */
+  def statsBytes(docs: DataFrame, merges: Seq[(String, String)],
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val pt = pretokens(col(textCol))
+    docs
+      .select(col(idCol).as("id"),
+        size(pt).cast("long").as("n_pretokens"),
+        size(HE.bpeEncodeFast(transform(pt, t => HE.byteAlphabet(t)), merges))
+          .cast("long").as("n_subwords"),
+        aggregate(pt, lit(0L), (a, w) => a + octet_length(w).cast("long"))
+          .as("n_bytes"))
+      .select(col("id"), col("n_pretokens"), col("n_subwords"), col("n_bytes"),
+        round(when(col("n_pretokens") > 0,
+          col("n_subwords").cast("double") / col("n_pretokens"))
+          .otherwise(lit(0.0)), 6).as("subwords_per_pretoken"),
+        round(when(col("n_bytes") > 0,
+          col("n_subwords").cast("double") / col("n_bytes"))
+          .otherwise(lit(0.0)), 6).as("subwords_per_byte"))
   }
 
   /** Corpus encoding: one narrow scan, each doc's words segmented into

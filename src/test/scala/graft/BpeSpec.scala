@@ -122,4 +122,86 @@ class BpeSpec extends SparkSpec {
       .collect()(0).getSeq[String](1)
     assert(merged == Seq("a𐍈", "b", "😀"))
   }
+
+  test("byte alphabet: the GPT-2 table, injective, exact inverse") {
+    import graft.functions.{HashExpressions => HE}
+    // published table landmarks: printable Latin-1 is identity; the 68
+    // excluded bytes map to 256+n in order — space is 'Ġ' (U+0120),
+    // newline 'Ċ' (U+010A), tab 'ĉ' (U+0109), byte 0 is U+0100
+    assert(HE.mapToAlphabet("A") == "A" && HE.mapToAlphabet("~") == "~")
+    assert(HE.mapToAlphabet(" ") == "\u0120")
+    assert(HE.mapToAlphabet("\n") == "\u010a")
+    assert(HE.mapToAlphabet("\t") == "\u0109")
+    assert(HE.mapToAlphabet("\u0000") == "\u0100")
+    // multi-byte UTF-8: one mapped char PER BYTE (é = C3 A9, emoji = 4)
+    assert(HE.mapToAlphabet("é").length == 2)
+    assert(HE.mapToAlphabet("😀").length == 4)
+    // exact inverse on ASCII, Latin-1, CJK, supplementary plane
+    for (t <- Seq("hello world", "café\nnaïve", "日本語", "a𐍈b 😀!",
+      "mixed: é日😀 x")) {
+      assert(HE.unmapFromAlphabet(HE.mapToAlphabet(t)) == t, t)
+    }
+    // injectivity over all 256 bytes
+    val images = (0 until 256).map(b =>
+      HE.mapToAlphabet(new String(Array(b.toByte),
+        java.nio.charset.StandardCharsets.ISO_8859_1)))
+    // NOTE: ISO_8859_1 only covers bytes 0-255 -> chars 0-255, whose
+    // UTF-8 encoding differs; map the raw byte array instead
+    val raw = (0 until 256).map(b => graft.functions.HashExpressions
+      .ByteToChar(b))
+    assert(raw.distinct.length == 256)
+  }
+
+  test("byte-level pretokenizer: contractions, space-led units, whitespace runs") {
+    val docs = Seq((1L, "I'll say Don't stop 123 x9 ... a  b")).toDF("doc_id", "text")
+    val pts = docs.select(Bpe.pretokens(col("text")).as("p"))
+      .collect()(0).getSeq[String](0)
+    // contractions split; letters/digits/punct take a leading space;
+    // the double space binds as a RUN (the documented RE2-safe
+    // deviation from GPT-2's lookahead branch)
+    assert(pts == Seq("I", "'ll", " say", " Don", "'t", " stop", " 123",
+      " x", "9", " ...", " a", "  ", "b"), pts)
+  }
+
+  test("byte-level encode: space-aware merges, zero OOV, exact decode") {
+    val docs = Seq(
+      (1L, "the cat the cat the cat"),
+      (2L, "caf\u00e9 \ud83d\ude00 caf\u00e9")).toDF("doc_id", "text")
+    val merges = Bpe.trainMergesBytes(docs, numMerges = 8, sampleN = 2)
+    // byte-level merges learn ACROSS the space boundary: ' the' (Ġthe)
+    // style units must appear among learned merges' outputs
+    val enc = Bpe.encodeBytes(docs, merges)
+    val rows = enc.orderBy("id").collect()
+    val sub1 = rows(0).getSeq[String](1)
+    assert(sub1.nonEmpty)
+    // decode inverts exactly for BOTH docs — including the emoji and
+    // the accented char, which char-level BPE cannot byte-round-trip
+    val dec = enc.select(col("id"), Bpe.decodeBytes(col("subwords")).as("t"))
+      .orderBy("id").collect()
+    assert(dec(0).getString(1) == "the cat the cat the cat")
+    assert(dec(1).getString(1) == "caf\u00e9 \ud83d\ude00 caf\u00e9")
+    // zero merges: subwords are single alphabet chars, still decodable
+    val dec0 = Bpe.encodeBytes(docs, Seq.empty)
+      .select(col("id"), Bpe.decodeBytes(col("subwords")).as("t"))
+      .orderBy("id").collect()
+    assert(dec0(1).getString(1) == "caf\u00e9 \ud83d\ude00 caf\u00e9")
+  }
+
+  test("byte-level stats: counts and ratios, hand-computed") {
+    val docs = Seq((1L, "ab ab"), (2L, "")).toDF("doc_id", "text")
+    // pretokens of doc 1: ["ab", " ab"]; bytes = 2 + 3 = 5
+    val out = Bpe.statsBytes(docs, Seq.empty).orderBy("id").collect()
+    assert(out(0).getAs[Long]("n_pretokens") == 2L)
+    assert(out(0).getAs[Long]("n_bytes") == 5L)
+    assert(out(0).getAs[Long]("n_subwords") == 5L) // no merges: 1/byte
+    assert(out(0).getAs[Double]("subwords_per_pretoken") == 2.5)
+    assert(out(0).getAs[Double]("subwords_per_byte") == 1.0)
+    assert(out(1).getAs[Long]("n_pretokens") == 0L &&
+      out(1).getAs[Long]("n_subwords") == 0L &&
+      out(1).getAs[Double]("subwords_per_byte") == 0.0)
+    // with the (a,b) merge: doc 1 segments ["ab", "\u0120", "a", "b"]?
+    // no — merge (a,b) applies in BOTH pretokens: ["ab", "\u0120", "ab"]
+    val m = Bpe.statsBytes(docs, Seq(("a", "b"))).orderBy("id").collect()
+    assert(m(0).getAs[Long]("n_subwords") == 3L)
+  }
 }
