@@ -1084,6 +1084,30 @@ object PipelineEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // P142 — MP4 keyframe-byte near-dup (extends the near-dup triad to
+    // INTER-FRAME codecs without a decoder — the r16 verdict's #5 ask):
+    // sync-sample byte extents resolved purely from the container's
+    // sample tables (stss/stsc/stco/stsz), each keyframe's BYTES
+    // md5-hashed, strict-majority-folded, then the SAME banded hamming
+    // join as p74/p76/p77. The three variants of one doc are
+    // byte-different re-muxes (offset-shifting free box, leading audio
+    // trak, split chunks, reverse-stored chunk-per-sample, shuffled
+    // stbl box order) of identical sample bytes — fingerprints match
+    // ONLY if extent resolution is exact.
+    "p142_mp4_keyframe_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val videos = docs(s, dir).select(col("doc_id")).as[Long]
+        .filter(_ % 5 == 0)
+        .flatMap { d =>
+          val variants = Seq(0) ++
+            (if (d % 10 == 0) Seq(1) else Nil) ++
+            (if (d % 15 == 0) Seq(2) else Nil)
+          variants.map(v => (d * 10 + v, Mp4.neardupMp4(d, v)))
+        }.toDF("id", "payload")
+      Dedup.hammingPairs64(Mp4.keyframeFingerprints(videos))
+        .orderBy("id_a", "id_b")
+    }),
+
     // P78 — URL canonicalization + URL-level dedup (C4/CCNet/RefinedWeb
     // step 1: collapse scheme/www/default-port/tracking-param/fragment/
     // trailing-slash/param-order variants of one page, keep the best
@@ -3232,6 +3256,20 @@ per AS (SELECT doc_id, count(*)::BIGINT AS n_words,
    * binary-payload WARC segment). The pairs are enumerable from the
    * doc table alone — every variant of one doc is dHash-identical by
    * construction, distinct docs never pair. */
+  /** Pair oracle shared by p77 (decoded-frame AVI fingerprints) and
+   * p142 (container-resolved MP4 keyframe-byte fingerprints): every
+   * variant of one doc fingerprints identically by construction,
+   * distinct docs never pair. */
+  private lazy val VideoNeardupPairsOracle: String =
+    s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+v AS (SELECT doc_id, 0 AS var FROM documents WHERE doc_id % 5 = 0
+      UNION ALL SELECT doc_id, 1 FROM documents WHERE doc_id % 10 = 0
+      UNION ALL SELECT doc_id, 2 FROM documents WHERE doc_id % 15 = 0)
+SELECT a.doc_id * 10 + a.var AS id_a, b.doc_id * 10 + b.var AS id_b,
+  0::BIGINT AS hamming
+FROM v a JOIN v b ON a.doc_id = b.doc_id AND a.var < b.var
+ORDER BY id_a, id_b"""
+
   /** Oracle shared by p129 (MP4 container walk) and p130 (the same
    * fixture through a .warc.gz binary round-trip). */
   private lazy val Mp4MetaOracle: String =
@@ -4849,15 +4887,14 @@ ORDER BY id_a, id_b""",
     // one doc is fingerprint-identical by fixture construction (v1
     // shares v0's frame bytes, v2 shares v0's decoded pixels), distinct
     // docs never collide within hamming 3 (quasi-random 64-bit folds).
-    "p77_video_neardup" ->
-      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
-v AS (SELECT doc_id, 0 AS var FROM documents WHERE doc_id % 5 = 0
-      UNION ALL SELECT doc_id, 1 FROM documents WHERE doc_id % 10 = 0
-      UNION ALL SELECT doc_id, 2 FROM documents WHERE doc_id % 15 = 0)
-SELECT a.doc_id * 10 + a.var AS id_a, b.doc_id * 10 + b.var AS id_b,
-  0::BIGINT AS hamming
-FROM v a JOIN v b ON a.doc_id = b.doc_id AND a.var < b.var
-ORDER BY id_a, id_b""",
+    "p77_video_neardup" -> VideoNeardupPairsOracle,
+
+    // p142 SHARES p77's pair oracle: same (doc%5, variants on %10/%15)
+    // population, same ids, hamming 0 — but the fingerprints come from
+    // container-resolved KEYFRAME BYTES (stss/stsc/stco/stsz), no
+    // decoder, so the re-muxed variants prove byte-extent resolution
+    // instead of pixel decoding.
+    "p142_mp4_keyframe_neardup" -> VideoNeardupPairsOracle,
 
     // p78: ground truth from the fixture formula — three messy URL
     // variants of group g all canonicalize to

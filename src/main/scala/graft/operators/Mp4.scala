@@ -147,6 +147,176 @@ object Mp4 {
         "track_id", "handler", "codec", "n_samples", "duration_ms")
   }
 
+  // --------------------------------------- keyframe bytes (P142, r17)
+
+  /**
+   * Byte extents of the first VIDEO track's sync samples (keyframes),
+   * resolved purely from the sample tables — stss (sync sample
+   * numbers), stsc (sample→chunk), stco (chunk offsets), stsz (sample
+   * sizes) — with NO codec: the ISO-BMFF container tells you exactly
+   * which file bytes are each keyframe, which is all a near-dup
+   * fingerprint needs (identical content re-muxed into a different
+   * chunk layout moves the bytes but never changes them). One ordered
+   * pass over chunks and samples, O(nSamples). Absent stss means every
+   * sample is sync (the spec default); `maxKeyframes` bounds the walk
+   * deterministically (first K in sample order). co64 / version-1
+   * boxes are out of subset like the metadata walk.
+   */
+  def syncSampleRanges(bytes: Array[Byte],
+                       maxKeyframes: Int = 64): Seq[(Long, Long)] = {
+    var stss: Array[Long] = null
+    var stsc: Array[(Long, Long)] = Array.empty // (first_chunk, per_chunk)
+    var stco: Array[Long] = Array.empty
+    var sizes: Array[Long] = Array.empty
+    var defaultSize = 0L
+    var nSamples = 0L
+    var found = false
+    def table(p: Int, u: Int, width: Int): Array[Long] = {
+      val n = be32(bytes, p + 4)
+      val out = new Array[Long](n.toInt max 0)
+      var i = 0
+      while (i < out.length && p + 8 + (i + 1) * width <= u) {
+        out(i) = be32(bytes, p + 8 + i * width)
+        i += 1
+      }
+      out.take(i)
+    }
+    walk(bytes, 0, bytes.length) {
+      case ("moov", moovP, moovU) =>
+        walk(bytes, moovP, moovU) {
+          case ("trak", trakP, trakU) if !found =>
+            var isVideo = false
+            var tStss: Array[Long] = null
+            var tStsc = Array.empty[(Long, Long)]
+            var tStco = Array.empty[Long]
+            var tSizes = Array.empty[Long]
+            var tDef = 0L
+            var tN = 0L
+            walk(bytes, trakP, trakU) {
+              case ("mdia", mdiaP, mdiaU) =>
+                walk(bytes, mdiaP, mdiaU) {
+                  case ("hdlr", p, _) =>
+                    isVideo = fourcc(bytes, p + 8) == "vide"
+                  case ("minf", minfP, minfU) =>
+                    walk(bytes, minfP, minfU) {
+                      case ("stbl", stblP, stblU) =>
+                        walk(bytes, stblP, stblU) {
+                          case ("stss", p, u) => tStss = table(p, u, 4)
+                          case ("stsc", p, u) =>
+                            val n = be32(bytes, p + 4).toInt max 0
+                            val b = Array.newBuilder[(Long, Long)]
+                            var i = 0
+                            while (i < n && p + 8 + (i + 1) * 12 <= u) {
+                              b += ((be32(bytes, p + 8 + i * 12),
+                                be32(bytes, p + 12 + i * 12)))
+                              i += 1
+                            }
+                            tStsc = b.result()
+                          case ("stco", p, u) => tStco = table(p, u, 4)
+                          case ("stsz", p, u) =>
+                            tDef = be32(bytes, p + 4)
+                            tN = be32(bytes, p + 8)
+                            if (tDef == 0L) {
+                              val m = tN.toInt max 0
+                              val b = new Array[Long](m)
+                              var i = 0
+                              while (i < m && p + 12 + (i + 1) * 4 <= u) {
+                                b(i) = be32(bytes, p + 12 + i * 4)
+                                i += 1
+                              }
+                              tSizes = b.take(i)
+                            }
+                          case _ =>
+                        }
+                      case _ =>
+                    }
+                  case _ =>
+                }
+              case _ =>
+            }
+            if (isVideo) {
+              found = true
+              stss = tStss; stsc = tStsc; stco = tStco
+              sizes = tSizes; defaultSize = tDef; nSamples = tN
+            }
+          case _ =>
+        }
+      case _ =>
+    }
+    if (!found || stco.isEmpty || nSamples <= 0) return Seq.empty
+    val sync: Long => Boolean =
+      if (stss == null) _ => true else stss.toSet.contains
+    def sizeOf(sample1: Long): Long =
+      if (defaultSize > 0) defaultSize
+      else if (sample1 - 1 < sizes.length) sizes((sample1 - 1).toInt)
+      else 0L
+    // walk chunks in order, resolving samples_per_chunk from the last
+    // stsc entry whose first_chunk <= this chunk (the spec's run-length
+    // encoding), and emit (offset, size) for sync samples
+    val out = Seq.newBuilder[(Long, Long)]
+    var emitted = 0
+    var sample = 1L
+    var chunk = 1L
+    var stscIdx = 0
+    while (chunk <= stco.length && sample <= nSamples &&
+      emitted < maxKeyframes) {
+      while (stscIdx + 1 < stsc.length && stsc(stscIdx + 1)._1 <= chunk)
+        stscIdx += 1
+      val perChunk =
+        if (stsc.isEmpty) nSamples else stsc(stscIdx)._2
+      var off = stco((chunk - 1).toInt)
+      var k = 0L
+      while (k < perChunk && sample <= nSamples && emitted < maxKeyframes) {
+        val sz = sizeOf(sample)
+        if (sync(sample) && sz > 0 &&
+          off + sz <= bytes.length) {
+          out += ((off, sz))
+          emitted += 1
+        }
+        off += sz
+        sample += 1
+        k += 1
+      }
+      chunk += 1
+    }
+    out.result()
+  }
+
+  /**
+   * 64-bit keyframe fingerprint per video: md5-prefix hash of each
+   * sync sample's BYTES, strict-majority-folded
+   * (`Multimodal.majorityFold64` — same fold as the decoded-frame
+   * video path p77). Invariant to re-muxing (chunk layout, box order,
+   * interleaving, padding boxes — offsets move, sample bytes don't);
+   * NO decoder, so it covers the inter-frame codecs (avc1/hev1) the
+   * decode triad documents out. Rows with no resolvable keyframes are
+   * dropped (no fingerprint beats a fake one). One mapPartitions pass.
+   */
+  def keyframeFingerprints(videos: DataFrame, bytesCol: String = "payload",
+                           idCol: String = "id"): DataFrame = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.select(col(idCol).cast("long").as("id"), col(bytesCol).as("b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, b) =>
+          val hs = syncSampleRanges(b).map { case (off, sz) =>
+            md.reset()
+            md.update(b, off.toInt, sz.toInt)
+            val d = md.digest()
+            ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+              ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+              ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+              ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+          }
+          if (hs.isEmpty) None
+          else Some((id, Multimodal.majorityFold64(hs.toArray)))
+        }
+      }
+      .toDF("id", "dhash")
+  }
+
   // ------------------------------------------------------------ fixture
 
   private def be(v: Long): Array[Byte] = Array(
@@ -195,5 +365,109 @@ object Mp4 {
     val ftyp = box("ftyp", cc("isom"), be(0x200), cc("isom"), cc("mp41"))
     val mdat = box("mdat", Array.fill(16)(0x42: Byte))
     ftyp ++ moov ++ mdat
+  }
+
+  // ------------------------------------ re-muxed near-dup fixture (P142)
+
+  /** Deterministic variable-size sample payload for (doc, sample):
+   * 16–47 md5-seeded bytes, independent across docs and samples. */
+  private def sampleBytes(docId: Long, idx: Int): Array[Byte] = {
+    val seed = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"mp4-sample-$docId-$idx"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val n = 16 + (seed(0) & 0x1f)
+    Array.tabulate(n)(i => seed(i % 16))
+  }
+
+  /**
+   * Near-duplicate MP4 fixture: 9 variable-size avc1 samples (sync
+   * samples 1/4/7 — an inter-frame codec's keyframe cadence), whose
+   * BYTES depend only on docId. The three variants of one doc are
+   * byte-DIFFERENT muxes of the SAME samples, so keyframe fingerprints
+   * are identical by construction while distinct docs share nothing:
+   *   0 — one chunk of 9, stbl order stsd/stsz/stsc/stco/stss;
+   *   1 — a `free` box shifting every offset, a LEADING audio trak
+   *       (the resolver must pick the first VIDEO track), chunks of
+   *       5+4, stbl order stsd/stss/stsc/stsz/stco;
+   *   2 — chunk-per-sample with chunks stored in REVERSE file order
+   *       (stco points wherever the bytes are — the container's whole
+   *       point), a trailing `free`, stbl order stsd/stsc/stco/stsz/stss.
+   */
+  def neardupMp4(docId: Long, variant: Int): Array[Byte] = {
+    val nS = 9
+    val samples = Array.tabulate(nS)(i => sampleBytes(docId, i))
+    val stssArr = Array(1L, 4L, 7L)
+    val chunks: Seq[Seq[Int]] = variant match {
+      case 1 => Seq(0 until 5, 5 until 9).map(_.toSeq)
+      case 2 => (0 until nS).map(Seq(_))
+      case _ => Seq((0 until nS).toSeq)
+    }
+    // storage order of chunks within mdat (v2: reversed)
+    val storage = if (variant == 2) chunks.indices.reverse else chunks.indices
+    val mdatPayload = storage.flatMap(ci => chunks(ci).flatMap(samples(_))).toArray
+    // stsc entries from the chunk layout (run-length over equal counts)
+    val stscEntries = chunks.zipWithIndex.foldLeft(
+      Seq.empty[(Long, Long)]) { case (acc, (chk, i)) =>
+      if (acc.nonEmpty && acc.last._2 == chk.length.toLong) acc
+      else acc :+ ((i + 1L, chk.length.toLong))
+    }
+    def buildMoov(chunkOffsets: Seq[Long]): Array[Byte] = {
+      val stsd = full0("stsd", be(1), box("avc1", be(0), be(0), be(0), be(0)))
+      val stsz = full0("stsz", be(0), be(nS),
+        samples.flatMap(s => be(s.length)))
+      val stsc = full0("stsc", be(stscEntries.length),
+        stscEntries.flatMap { case (f, n) => be(f) ++ be(n) ++ be(1) }.toArray)
+      val stcoB = full0("stco", be(chunkOffsets.length),
+        chunkOffsets.flatMap(be).toArray)
+      val stss = full0("stss", be(stssArr.length), stssArr.flatMap(be))
+      val stblBoxes = variant match {
+        case 1 => Seq(stsd, stss, stsc, stsz, stcoB)
+        case 2 => Seq(stsd, stsc, stcoB, stsz, stss)
+        case _ => Seq(stsd, stsz, stsc, stcoB, stss)
+      }
+      def trakOf(trackId: Long, handler: String,
+                 stbl: Array[Byte]): Array[Byte] = {
+        val minf = box("minf", stbl)
+        val mdhd = full0("mdhd", be(0), be(0), be(1000), be(nS * 40L))
+        val hdlr = full0("hdlr", be(0), cc(handler), be(0), be(0), be(0))
+        val mdia = box("mdia", mdhd, hdlr, minf)
+        val tkhd = full0("tkhd", be(0), be(0), be(trackId), be(0),
+          be(nS * 40L * 600 / 1000))
+        box("trak", tkhd, mdia)
+      }
+      val videoTrak = trakOf(1, "vide", box("stbl", stblBoxes: _*))
+      val audioTrak = trakOf(2, "soun", box("stbl",
+        full0("stsd", be(1), box("mp4a", be(0), be(0), be(0), be(0))),
+        full0("stsz", be(0), be(0)), full0("stco", be(0))))
+      val traks =
+        if (variant == 1) Seq(audioTrak, videoTrak) else Seq(videoTrak)
+      val mvhd = full0("mvhd", be(0), be(0), be(600), be(nS * 24L))
+      box("moov", (mvhd +: traks): _*)
+    }
+    val ftyp = box("ftyp", cc("isom"), be(0x200), cc("isom"), cc("mp41"))
+    val free = full0("free", Array.fill(20)(0x46: Byte))
+    val prefix = variant match {
+      case 1 => ftyp ++ free
+      case _ => ftyp
+    }
+    // two-pass: moov size is offset-independent (stco entry count is
+    // fixed), so measure with zeros, then fill the real offsets
+    val moovLen = buildMoov(chunks.map(_ => 0L)).length
+    val mdatStart = prefix.length + moovLen + 8L
+    // chunk offset = mdat payload start + position in STORAGE order
+    val posInStorage = {
+      var off = mdatStart
+      val m = scala.collection.mutable.Map.empty[Int, Long]
+      storage.foreach { ci =>
+        m(ci) = off
+        off += chunks(ci).map(samples(_).length).sum
+      }
+      m
+    }
+    val moov = buildMoov(chunks.indices.map(posInStorage(_)))
+    val mdat = box("mdat", mdatPayload)
+    val tail = if (variant == 2) full0("free", Array.fill(12)(0: Byte))
+    else Array.empty[Byte]
+    prefix ++ moov ++ mdat ++ tail
   }
 }

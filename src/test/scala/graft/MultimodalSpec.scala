@@ -378,4 +378,60 @@ class MultimodalSpec extends SparkSpec {
     val plan = Mp4.containerMeta(vids).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("mp4 keyframes: extents from the sample tables, remux-invariant fingerprints") {
+    import graft.operators.Mp4
+    // variant 0: one chunk — extents are offset-cumulative within it
+    val v0 = Mp4.neardupMp4(10L, 0)
+    val r0 = Mp4.syncSampleRanges(v0)
+    assert(r0.length == 3, r0) // stss = [1,4,7] of 9 samples
+    // each extent must slice nonzero in-file bytes
+    r0.foreach { case (off, sz) =>
+      assert(off > 0 && sz >= 16 && off + sz <= v0.length, (off, sz)) }
+    // the three variants are byte-different files...
+    val v1 = Mp4.neardupMp4(10L, 1)
+    val v2 = Mp4.neardupMp4(10L, 2)
+    assert(!java.util.Arrays.equals(v0, v1) &&
+      !java.util.Arrays.equals(v0, v2))
+    // ...with different raw extents (the free box / reverse storage
+    // moved the bytes)...
+    assert(Mp4.syncSampleRanges(v1) != r0)
+    // ...but the BYTES at the extents are identical: slice and compare
+    def slices(b: Array[Byte]): Seq[Seq[Byte]] =
+      Mp4.syncSampleRanges(b).map { case (off, sz) =>
+        java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt).toSeq }
+    assert(slices(v1) == slices(v0) && slices(v2) == slices(v0))
+    // distinct docs share no keyframe bytes
+    assert(slices(Mp4.neardupMp4(11L, 0)) != slices(v0))
+    // fingerprints: variants collide, distinct docs differ
+    val vids = Seq((100L, v0), (101L, v1), (102L, v2),
+      (110L, Mp4.neardupMp4(11L, 0))).toDF("id", "payload")
+    val fps = Mp4.keyframeFingerprints(vids).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(100L) == fps(101L) && fps(100L) == fps(102L))
+    assert(fps(100L) != fps(110L))
+    // no-video payloads drop (no fingerprint beats a fake one)
+    val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    assert(Mp4.keyframeFingerprints(junk).count() == 0)
+    // absent stss would mean all-sync: the metadata fixture has no
+    // stss and zero-size samples, so extents resolve empty
+    assert(Mp4.syncSampleRanges(Mp4.fixtureMp4(4L)).isEmpty)
+  }
+
+  test("mp4 keyframe near-dup end-to-end: banded join finds exactly the planted pairs") {
+    import graft.operators.Mp4
+    val videos = (0L until 60L).filter(_ % 5 == 0).flatMap { d =>
+      val variants = Seq(0) ++ (if (d % 10 == 0) Seq(1) else Nil) ++
+        (if (d % 15 == 0) Seq(2) else Nil)
+      variants.map(v => (d * 10 + v, Mp4.neardupMp4(d, v)))
+    }.toDF("id", "payload")
+    val pairs = Dedup.hammingPairs64(Mp4.keyframeFingerprints(videos))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (0L until 60L).filter(_ % 5 == 0).flatMap { d =>
+      val vs = Seq(0) ++ (if (d % 10 == 0) Seq(1) else Nil) ++
+        (if (d % 15 == 0) Seq(2) else Nil)
+      for (a <- vs; b <- vs if a < b) yield (d * 10 + a, d * 10 + b, 0L)
+    }.toSet
+    assert(pairs == expected)
+  }
 }
