@@ -352,6 +352,39 @@ object PipelineEntry {
         lit("\">s</a></div></body></html>")).as("html"))
   }
 
+  /** Fixture for the meta-robots governance key (p143): one page per
+   * doc with a meta-robots variant by doc_id%9 — 0 noindex, 1 nofollow
+   * (unquoted uppercase), 2 `none` with FLIPPED attribute order,
+   * 3 both tokens, 4 a DECOY (`name=description` whose content says
+   * noindex — must not count), else no meta — and three anchors:
+   * a1 absolute (always followable), a2 rel=nofollow BEFORE href
+   * (never followable), a3 rel AFTER href, nofollow only on %4==0. */
+  private def robotsPages(d: DataFrame): DataFrame = {
+    val meta = when(pmod(col("doc_id"), lit(9)) === 0,
+      lit("<meta name=\"robots\" content=\"noindex\">"))
+      .when(pmod(col("doc_id"), lit(9)) === 1,
+        lit("<META NAME=ROBOTS CONTENT=nofollow>"))
+      .when(pmod(col("doc_id"), lit(9)) === 2,
+        lit("<meta content='none' name='robots'>"))
+      .when(pmod(col("doc_id"), lit(9)) === 3,
+        lit("<meta name=robots content=\"noindex, nofollow\">"))
+      .when(pmod(col("doc_id"), lit(9)) === 4,
+        lit("<meta name=\"description\" content=\"noindex nofollow\">"))
+      .otherwise(lit(""))
+    val a3rel = when(pmod(col("doc_id"), lit(4)) === 0, lit("nofollow"))
+      .otherwise(lit("me"))
+    d.select(col("doc_id"),
+      concat(lit("https://Gov-"), pmod(col("doc_id"), lit(50)),
+        lit(".example.com/p/"), col("doc_id")).as("url"),
+      concat(
+        lit("<html><head><title>G "), col("doc_id"), lit("</title>"), meta,
+        lit("</head><body><a href=\"https://ext-"),
+        pmod(col("doc_id"), lit(20)), lit(".example.org/t/"), col("doc_id"),
+        lit("\">x</a> <a rel=\"nofollow\" href=\"/nf/"), col("doc_id"),
+        lit("\">y</a> <a href=\"/ok/"), col("doc_id") * 2,
+        lit("\" rel="), a3rel, lit(">z</a></body></html>")).as("html"))
+  }
+
   /** Shared messy per-doc page URLs for the CDX key (p93): one page
    * per doc (unlike messyUrls' 3-docs-per-page), spelled messily by
    * doc_id%3 — all canonicalize to example-{id%50}.com/Pg/{id}?a=1&b=2
@@ -1082,6 +1115,28 @@ object PipelineEntry {
         }.toDF("id", "payload")
       Dedup.hammingPairs64(Multimodal.videoFingerprints(s, videos))
         .orderBy("id_a", "id_b")
+    }),
+
+    // P143 — meta-robots governance (the PAGE's own directives —
+    // complements robots.txt p101/p132; the r16 verdict's #6 ask):
+    // noindex (or none) drops the page from the corpus composition;
+    // nofollow (or none) drops ALL its edges, and a per-anchor
+    // rel=nofollow drops that edge, from the governed link graph. One
+    // result frame carries both effects: kind='page' rows are the
+    // kept corpus, kind='edge' rows the governed edges — the oracle
+    // re-derives both populations from the planted variant formula
+    // (mixed case, unquoted values, flipped attribute order, a decoy
+    // description meta, rel before AND after href all load-bearing).
+    "p143_meta_robots" -> ((s, dir) => {
+      val pages = robotsPages(docs(s, dir))
+      val kept = pages
+        .where(!Html.metaRobots(col("html")).getField("noindex"))
+        .select(lit("page").as("kind"),
+          UrlOps.canonicalizeUrl(col("url")).as("src_url"),
+          lit("").as("dst_url"))
+      val edges = Html.governedLinkGraph(pages)
+        .select(lit("edge").as("kind"), col("src_url"), col("dst_url"))
+      kept.unionAll(edges).orderBy("kind", "src_url", "dst_url")
     }),
 
     // P142 — MP4 keyframe-byte near-dup (extends the near-dup triad to
@@ -4895,6 +4950,26 @@ ORDER BY id_a, id_b""",
     // decoder, so the re-muxed variants prove byte-extent resolution
     // instead of pixel decoding.
     "p142_mp4_keyframe_neardup" -> VideoNeardupPairsOracle,
+
+    // p143: both populations by the planted-variant formula — noindex
+    // on m ∈ {0,2,3} (2 is `none`; 4 is the decoy and does NOT count),
+    // page-level nofollow on m ∈ {1,2,3} killing all edges, the
+    // rel=nofollow anchor never edging, a3 edging only off %4≠0.
+    "p143_meta_robots" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+d AS (SELECT doc_id, doc_id % 9 AS m, doc_id % 4 AS q,
+  'gov-' || (doc_id % 50) || '.example.com/p/' || doc_id AS src,
+  'ext-' || (doc_id % 20) || '.example.org/t/' || doc_id AS a1,
+  'gov-' || (doc_id % 50) || '.example.com/ok/' || (doc_id * 2) AS a3
+ FROM documents),
+rows_ AS (
+  SELECT 'page' AS kind, src AS src_url, '' AS dst_url FROM d
+    WHERE m NOT IN (0, 2, 3)
+  UNION ALL
+  SELECT 'edge', src, a1 FROM d WHERE m NOT IN (1, 2, 3)
+  UNION ALL
+  SELECT 'edge', src, a3 FROM d WHERE m NOT IN (1, 2, 3) AND q <> 0)
+SELECT * FROM rows_ ORDER BY kind, src_url, dst_url""",
 
     // p78: ground truth from the fixture formula — three messy URL
     // variants of group g all canonicalize to

@@ -149,6 +149,88 @@ object Html {
       regexp_extract_all(html, lit(hrefPattern("a")), lit(1)),
       v => regexp_replace(v, "^[\"']", ""))
 
+  /** Generic single-attribute extractor in hrefPattern's strict-walk
+   * style (quoted values atomic, attr-name lookahead halts the walk),
+   * minus href's `#` fragment stop — a generic attribute value (`rel`,
+   * `name`, `content`) may legitimately contain `#`. Capture keeps the
+   * opening quote (strip with `^["']` like hrefPattern consumers). */
+  private def attrPattern(tag: String, attr: String): String =
+    "(?is)<" + tag + "\\b(?:\\s*+(?:=\\s*+\"[^\"]*+\"|=\\s*+'[^']*+'" +
+      "|=[^\\s>'\"]*+|(?!" + attr + "\\s*+=)[^\\s>'\"=<]++|<)){0,10000}+" +
+      "\\s++" + attr + "\\s*+=\\s*+([\"'][^\"'>]*+|[^\\s\"'>]++)"
+
+  private def attrOf(tag: Column, tagName: String, attr: String): Column =
+    regexp_replace(regexp_extract(tag, attrPattern(tagName, attr), 1),
+      "^[\"']", "")
+
+  // --------------------------------------- meta-robots governance (P143)
+
+  private val MetaTagPattern: String = "(?is)<meta\\b" + AttrWalk + "/?>"
+  private val AnchorOpenPattern: String = "(?is)<a\\b" + AttrWalk + ">"
+
+  /** Page-level robots META directives (the governance half robots.txt
+   * p101 can't see — the PAGE's own `<meta name=robots>`): struct
+   * (noindex, nofollow), each true iff any `<meta>` whose `name` is
+   * `robots` (case-insensitive, either attribute order, any quote
+   * style) carries the token — or `none`, which per the original
+   * robots-meta convention means both — in its comma/space-separated
+   * `content` list. Token match is exact (`noindexfoo` doesn't count;
+   * a `description` meta whose content says "noindex" doesn't
+   * either). X-Robots-Tag, the HTTP-header twin, rides WARC headers
+   * and is out of this parser's scope. Pure codegen'd Column work. */
+  def metaRobots(html: Column): Column = {
+    val metas = regexp_extract_all(html, lit(MetaTagPattern), lit(0))
+    val robots = filter(metas, m =>
+      lower(attrOf(m, "meta", "name")) === "robots")
+    val contents = transform(robots, m =>
+      lower(attrOf(m, "meta", "content")))
+    def has(tok: String): Column = exists(contents, c =>
+      c.rlike("(^|[\\s,])(" + tok + "|none)([\\s,]|$)"))
+    struct(has("noindex").as("noindex"), has("nofollow").as("nofollow"))
+  }
+
+  /** Followable hrefs of a page: every `<a>` OPEN tag (same per-tag
+   * coverage as `extractLinks` — unclosed anchors still count), minus
+   * those whose `rel` list carries `nofollow` (exact token, either
+   * attribute order relative to href). Raw targets in document
+   * order. */
+  def governedLinks(html: Column): Column = {
+    val tags = regexp_extract_all(html, lit(AnchorOpenPattern), lit(0))
+    val followed = filter(tags, t =>
+      !lower(attrOf(t, "a", "rel"))
+        .rlike("(^|[\\s,])nofollow([\\s,]|$)"))
+    filter(
+      transform(followed, t =>
+        regexp_replace(regexp_extract(t, hrefPattern("a"), 1), "^[\"']", "")),
+      h => h =!= "")
+  }
+
+  /**
+   * Robots-governed page-level link graph: `linkGraph` semantics (same
+   * base-aware resolution, canonicalization, self-loop drop, distinct)
+   * under BOTH meta-robots rules — a page whose meta says `nofollow`
+   * (or `none`) contributes NO edges, and an individual anchor whose
+   * `rel` says `nofollow` contributes none either. Same plan
+   * discipline as linkGraph: per-page derivations land below the
+   * Generate, per-edge columns reference plain attributes above it;
+   * one scan, one explode, one distinct.
+   */
+  def governedLinkGraph(pages: DataFrame, urlCol: String = "url",
+                        htmlCol: String = "html"): DataFrame =
+    pages
+      .where(!metaRobots(col(htmlCol)).getField("nofollow"))
+      .select(UrlOps.canonicalizeUrl(col(urlCol)).as("src_url"),
+        basePartsOf(col(urlCol), col(htmlCol))._1.as("__bhost"),
+        basePartsOf(col(urlCol), col(htmlCol))._2.as("__bdir"),
+        col(htmlCol).as("__html"))
+      .select(col("src_url"), col("__bhost"), col("__bdir"),
+        explode(governedLinks(col("__html"))).as("__href"))
+      .select(col("src_url"),
+        UrlOps.canonicalizeUrl(resolveWithDir(col("__bhost"),
+          col("__bdir"), col("src_url"), col("__href"))).as("dst_url"))
+      .where(col("dst_url") =!= col("src_url") && col("dst_url") =!= "")
+      .distinct()
+
   /** The page's `<base href>` target — the document-wide resolution
    * base browsers honor for every relative reference; first occurrence
    * wins in DOCUMENT ORDER (as in browsers), either quote style or

@@ -584,4 +584,53 @@ class HtmlSpec extends SparkSpec {
     assert(out2.length == 1)
     assert(out2(0).getAs[String]("anchor").startsWith("lbl w"))
   }
+
+  test("metaRobots: tokens, none, case, attr order, decoys") {
+    def flags(h: String): (Boolean, Boolean) = {
+      val r = Seq(h).toDF("html")
+        .select(Html.metaRobots(col("html")).as("f"))
+        .select(col("f.noindex"), col("f.nofollow")).collect()(0)
+      (r.getBoolean(0), r.getBoolean(1))
+    }
+    assert(flags("<meta name=\"robots\" content=\"noindex\">") == (true, false))
+    assert(flags("<META NAME=ROBOTS CONTENT=nofollow>") == (false, true))
+    // `none` means both; flipped attribute order parses
+    assert(flags("<meta content='none' name='robots'>") == (true, true))
+    assert(flags("<meta name=robots content=\"noindex, nofollow\">") == (true, true))
+    // decoys: wrong meta name; token must be exact; content mentioning
+    // robots directives in prose text doesn't count
+    assert(flags("<meta name=\"description\" content=\"noindex nofollow\">") ==
+      (false, false))
+    assert(flags("<meta name=robots content=\"noindexing\">") == (false, false))
+    assert(flags("no meta at all <p>noindex</p>") == (false, false))
+    // two metas union their directives
+    assert(flags("<meta name=robots content=noindex>" +
+      "<meta name=robots content=nofollow>") == (true, true))
+  }
+
+  test("governedLinks: rel=nofollow drops the anchor, either attr order") {
+    val h = "<a href=\"/a\">1</a> <a rel=\"nofollow\" href=\"/b\">2</a> " +
+      "<a href=\"/c\" rel=nofollow>3</a> <a href=\"/d\" rel=\"me tag\">4</a> " +
+      "<a rel=\"NOFOLLOW noopener\" href=\"/e\">5</a> <a href=\"/nofollow\">6</a>"
+    val links = Seq(h).toDF("html")
+      .select(Html.governedLinks(col("html")).as("l")).collect()(0)
+      .getSeq[String](0)
+    // /b, /c, /e dropped (token in rel, any case/order); an href that
+    // merely CONTAINS the word is untouched
+    assert(links == Seq("/a", "/d", "/nofollow"), links)
+  }
+
+  test("governedLinkGraph: page nofollow kills all edges, anchor rel kills one") {
+    val pages = Seq(
+      (1L, "https://s.com/1",
+        "<html><head></head><body><a href=\"/x\">x</a>" +
+          "<a rel=nofollow href=\"/y\">y</a></body></html>"),
+      (2L, "https://s.com/2",
+        "<html><head><meta name=robots content=nofollow></head>" +
+          "<body><a href=\"/x\">x</a></body></html>")
+    ).toDF("doc_id", "url", "html")
+    val edges = Html.governedLinkGraph(pages).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(edges == Set(("s.com/1", "s.com/x")))
+  }
 }
