@@ -185,6 +185,32 @@ object Bench {
       } catch { case e: Throwable =>
         failed(name) = Option(e.getMessage).getOrElse(e.toString) }
     }
+    // p50 hygiene (r16 verdict #7): at repeats=3 a key's median IS the
+    // documented one-time warmup execution (#1 cold plan+codegen, #2
+    // HotSpot tiered compile, #3+ steady), so the headline
+    // baseline-comparison sum landed ~2x over steady on the
+    // scheduling-floor keys — pure metric artifact. The 15 published
+    // baseline keys get 2 extra rounds (total >= 5 executions), which
+    // puts their p50 on a steady execution without changing the metric
+    // definition. ~15 keys x 2 x sub-second = a few seconds per run.
+    val baselineKeys = Set(
+      "g03_onehop_fwd", "g04_onehop_rev", "g05_onehop_open",
+      "g06_onehop_pinned", "g07_onehop_multi", "g08_category_hierarchy",
+      "g09_predicate_hierarchy", "g10_symmetric", "g11_canonical_flip",
+      "g13_subclass_expansion", "g14_single_node", "g15_qualified",
+      "g16_attr_constraint", "g18_get_edges", "g19_get_neighbors")
+    val extraRounds =
+      math.max(0, 5 - repeats) min (if (repeats >= 1) 2 else 0)
+    for (_ <- 0 until extraRounds;
+         (name, fn) <- named
+         if baselineKeys.contains(name) && !failed.contains(name)) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        times(name) += (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        failed(name) = Option(e.getMessage).getOrElse(e.toString) }
+    }
     val results = named.map { case (name, _) =>
       (name, times(name).toList, failed.get(name)) }
 

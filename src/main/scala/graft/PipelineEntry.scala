@@ -2237,6 +2237,18 @@ object PipelineEntry {
       Bpe.fertility(docs(s, dir), merges).orderBy("lang")
     }),
 
+    // P144 — p115's fertility measurement re-run under the BYTE-level
+    // tokenizer (the verdict's re-measure ask): per-language sums of
+    // pretokens/subwords/BYTES under the p141-trained merges, ratios
+    // after the sums. Shares p141's oracle CTEs with one extra
+    // language aggregation — the two engines divide identical exact
+    // integers.
+    "p144_fertility_bytes" -> ((s, dir) => {
+      val merges = Bpe.trainMergesBytes(docs(s, dir), numMerges = BpeMerges,
+        sampleN = BpeSampleN)
+      Bpe.fertilityBytes(docs(s, dir), merges).orderBy("lang")
+    }),
+
     // P116 — markdown rendering of extracted tables (how table
     // content actually enters a training corpus): p114's rows
     // re-shaped to GFM pipe-table lines in the same single pass.
@@ -4210,6 +4222,31 @@ SELECT t.doc_id AS id, coalesce(per.n_words, 0)::BIGINT AS n_pretokens,
     AS subwords_per_byte
 FROM tok t LEFT JOIN per USING (doc_id) JOIN nb USING (doc_id)
 ORDER BY id""",
+
+    // p144: p141's byte-level chain aggregated per language — the tok
+    // CTE already carries mapped pretokens whose char length IS the
+    // byte count, so n_bytes sums length(x) exactly like the Spark
+    // side's octet_length over raw pretokens.
+    "p144_fertility_bytes" -> s"""WITH $BpeBytesOracleCtes,
+nb AS (SELECT doc_id,
+         coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::BIGINT
+           AS n_bytes
+       FROM tok),
+agg AS (SELECT d.lang, count(*) AS n_docs,
+          sum(coalesce(per.n_words, 0)) AS n_pretokens,
+          sum(coalesce(per.n_subwords, 0)) AS n_subwords,
+          sum(nb.n_bytes) AS n_bytes
+        FROM documents d
+        LEFT JOIN per ON d.doc_id = per.doc_id
+        JOIN nb ON d.doc_id = nb.doc_id
+        GROUP BY d.lang)
+SELECT lang, n_docs::BIGINT AS n_docs, n_pretokens::BIGINT AS n_pretokens,
+  n_subwords::BIGINT AS n_subwords, n_bytes::BIGINT AS n_bytes,
+  round(CASE WHEN n_pretokens > 0 THEN n_subwords::DOUBLE / n_pretokens
+    ELSE 0.0 END, 6) AS fertility_pretoken,
+  round(CASE WHEN n_bytes > 0 THEN n_subwords::DOUBLE / n_bytes
+    ELSE 0.0 END, 6) AS fertility_byte
+FROM agg ORDER BY lang""",
 
     // p115: the SAME trained-BPE chain aggregated per language —
     // ratios computed AFTER the language sums, exactly as the Spark

@@ -234,6 +234,35 @@ object Bpe {
           col("n_subwords").cast("double") / col("n_words").cast("double"))
           .otherwise(lit(0.0)), 6).as("subwords_per_word"))
 
+  /** Per-language fertility under the BYTE-level tokenizer — p115's
+   * measurement re-run on the byte rung (fertility_byte replaces
+   * fertility_char: bytes are what the byte tokenizer actually saw).
+   * Same shape: one narrow codegen'd scan into one language-keyed
+   * aggregation with map-side combine, ratios AFTER the sums. */
+  def fertilityBytes(docs: DataFrame, merges: Seq[(String, String)],
+                     langCol: String = "lang", textCol: String = "text")
+      : DataFrame = {
+    val pt = pretokens(col(textCol))
+    docs
+      .select(col(langCol).as("lang"),
+        size(pt).cast("long").as("np"),
+        size(HE.bpeEncodeFast(transform(pt, t => HE.byteAlphabet(t)), merges))
+          .cast("long").as("ns"),
+        aggregate(pt, lit(0L), (a, w) => a + octet_length(w).cast("long"))
+          .as("nb"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("np").as("n_pretokens"),
+        sum("ns").as("n_subwords"), sum("nb").as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_pretokens"),
+        col("n_subwords"), col("n_bytes"),
+        round(when(col("n_pretokens") > 0,
+          col("n_subwords").cast("double") / col("n_pretokens"))
+          .otherwise(lit(0.0)), 6).as("fertility_pretoken"),
+        round(when(col("n_bytes") > 0,
+          col("n_subwords").cast("double") / col("n_bytes"))
+          .otherwise(lit(0.0)), 6).as("fertility_byte"))
+  }
+
   /**
    * Per-language tokenizer fertility — the subword-efficiency signal
    * multilingual mixtures weigh languages by: under ONE tokenizer,

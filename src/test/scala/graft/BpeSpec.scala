@@ -204,4 +204,27 @@ class BpeSpec extends SparkSpec {
     val m = Bpe.statsBytes(docs, Seq(("a", "b"))).orderBy("id").collect()
     assert(m(0).getAs[Long]("n_subwords") == 3L)
   }
+
+  test("byte-level fertility: per-language sums then ratios, hand-computed") {
+    val docs = Seq(
+      (1L, "aa aa", "xx"),   // pretokens ["aa", " aa"] -> 5 bytes
+      (2L, "aa", "xx"),      // ["aa"] -> 2 bytes
+      (3L, "b", "yy")        // ["b"] -> 1 byte
+    ).toDF("doc_id", "text", "lang")
+    val out = Bpe.fertilityBytes(docs, Seq.empty).orderBy("lang").collect()
+    // xx: 2 docs, 3 pretokens, 7 bytes, 7 subwords (no merges)
+    assert(out(0).getAs[String]("lang") == "xx")
+    assert(out(0).getAs[Long]("n_docs") == 2L &&
+      out(0).getAs[Long]("n_pretokens") == 3L &&
+      out(0).getAs[Long]("n_bytes") == 7L &&
+      out(0).getAs[Long]("n_subwords") == 7L)
+    assert(out(0).getAs[Double]("fertility_byte") == 1.0)
+    assert(out(1).getAs[String]("lang") == "yy" &&
+      out(1).getAs[Long]("n_bytes") == 1L)
+    // with merge (a,a): "aa" folds to one subword in both pretokens of
+    // doc 1 and in doc 2 -> xx subwords = 1 + (1 for the mapped space? no:
+    // " aa" maps to [Ġ, a, a] -> [Ġ, aa] = 2) -> 1 + 2 + 1 = 4
+    val m = Bpe.fertilityBytes(docs, Seq(("a", "a"))).orderBy("lang").collect()
+    assert(m(0).getAs[Long]("n_subwords") == 4L)
+  }
 }
