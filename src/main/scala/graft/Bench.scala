@@ -208,8 +208,11 @@ object Bench {
       try {
         fn(spark, sfDir).count()
         times(name) += (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        failed(name) = Option(e.getMessage).getOrElse(e.toString) }
+      } catch { case _: Throwable =>
+        // a transient failure in a BONUS round must not retroactively
+        // fail a key that already has its main-round timings — refine
+        // p50 or leave it alone, never discard valid measurements
+      }
     }
     val results = named.map { case (name, _) =>
       (name, times(name).toList, failed.get(name)) }

@@ -528,6 +528,13 @@ object Dedup {
     // twice, and deriving pairs is usually the expensive part (an
     // LSH/jaccard pipeline)
     val prs = SelfJoinMaterialize(pairs.select(col("id_a"), col("id_b")))
+    // every id appearing in `pairs` — kept separately because the
+    // canonical edge set below drops self-loops, and an id appearing
+    // ONLY as (x, x) must still come back as its own singleton cluster
+    // (the documented contract; review-caught)
+    val ids = SelfJoinMaterialize(
+      prs.select(col("id_a").as("id"))
+        .unionAll(prs.select(col("id_b").as("id"))).distinct())
     // canonical orientation (hi > lo), self-loops dropped
     var edges = SelfJoinMaterialize(
       prs.select(greatest(col("id_a"), col("id_b")).as("hi"),
@@ -582,11 +589,16 @@ object Dedup {
     }
     // the alternation's fixed points are disjoint STARS centered at
     // component minima: leaves read off as hi → lo, centers map to
-    // themselves
-    edges.select(col("hi").as("id"), col("lo").as("cluster_rep"))
+    // themselves; ids touched only by self-loops fall through the left
+    // join to their own id
+    val starLabels = edges
+      .select(col("hi").as("id"), col("lo").as("cluster_rep"))
       .unionAll(
         edges.select(col("lo").as("id"), col("lo").as("cluster_rep")))
       .distinct()
+    ids.join(starLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_rep"), col("id"))
+        .as("cluster_rep"))
   }
 
   // ---------------------------------------------------------------- P5

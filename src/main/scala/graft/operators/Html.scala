@@ -134,9 +134,19 @@ object Html {
   // runs (the strict walk) — that strictness is what makes
   // href-in-quoted-value phantoms impossible.
   private def hrefPattern(tag: String): String =
+    strictAttrPattern(tag, "href", valueStops = "#")
+
+  /** ONE builder for both strict single-attribute extractors (the
+   * backtracking discipline above is load-bearing and must not be
+   * maintained in two drifting copies): `valueStops` adds chars that
+   * END an attribute value — href passes "#" so fragments never enter
+   * link targets; generic attributes pass none. */
+  private def strictAttrPattern(tag: String, attr: String,
+                                valueStops: String): String =
     "(?is)<" + tag + "\\b(?:\\s*+(?:=\\s*+\"[^\"]*+\"|=\\s*+'[^']*+'" +
-      "|=[^\\s>'\"]*+|(?!href\\s*+=)[^\\s>'\"=<]++|<)){0,10000}+" +
-      "\\s++href\\s*+=\\s*+([\"'][^\"'#>]*+|[^\\s\"'>#]++)"
+      "|=[^\\s>'\"]*+|(?!" + attr + "\\s*+=)[^\\s>'\"=<]++|<)){0,10000}+" +
+      "\\s++" + attr + "\\s*+=\\s*+" +
+      "([\"'][^\"'" + valueStops + ">]*+|[^\\s\"'>" + valueStops + "]++)"
 
   /** Raw `href` targets of every `<a>` tag — quoted (either style) or
    * UNQUOTED (`<a href=/page>`, legal HTML and common on old pages),
@@ -155,9 +165,7 @@ object Html {
    * `name`, `content`) may legitimately contain `#`. Capture keeps the
    * opening quote (strip with `^["']` like hrefPattern consumers). */
   private def attrPattern(tag: String, attr: String): String =
-    "(?is)<" + tag + "\\b(?:\\s*+(?:=\\s*+\"[^\"]*+\"|=\\s*+'[^']*+'" +
-      "|=[^\\s>'\"]*+|(?!" + attr + "\\s*+=)[^\\s>'\"=<]++|<)){0,10000}+" +
-      "\\s++" + attr + "\\s*+=\\s*+([\"'][^\"'>]*+|[^\\s\"'>]++)"
+    strictAttrPattern(tag, attr, valueStops = "")
 
   private def attrOf(tag: Column, tagName: String, attr: String): Column =
     regexp_replace(regexp_extract(tag, attrPattern(tagName, attr), 1),

@@ -172,14 +172,19 @@ object Mp4 {
     var nSamples = 0L
     var found = false
     def table(p: Int, u: Int, width: Int): Array[Long] = {
+      // allocation CLAMPED to the box extent: the count field is
+      // untrusted 32-bit input, and a corrupt 16-byte box declaring
+      // 0x7FFFFFFF entries must not allocate 17 GB (OutOfMemoryError
+      // kills the executor) before the bounded read loop ever runs
       val n = be32(bytes, p + 4)
-      val out = new Array[Long](n.toInt max 0)
+      val cap = ((u - p - 8) / width).max(0).toLong
+      val out = new Array[Long](math.min(n.max(0), cap).toInt)
       var i = 0
-      while (i < out.length && p + 8 + (i + 1) * width <= u) {
+      while (i < out.length) {
         out(i) = be32(bytes, p + 8 + i * width)
         i += 1
       }
-      out.take(i)
+      out
     }
     walk(bytes, 0, bytes.length) {
       case ("moov", moovP, moovU) =>
@@ -217,14 +222,16 @@ object Mp4 {
                             tDef = be32(bytes, p + 4)
                             tN = be32(bytes, p + 8)
                             if (tDef == 0L) {
-                              val m = tN.toInt max 0
+                              // same extent clamp as table()
+                              val cap = ((u - p - 12) / 4).max(0).toLong
+                              val m = math.min(tN.max(0), cap).toInt
                               val b = new Array[Long](m)
                               var i = 0
-                              while (i < m && p + 12 + (i + 1) * 4 <= u) {
+                              while (i < m) {
                                 b(i) = be32(bytes, p + 12 + i * 4)
                                 i += 1
                               }
-                              tSizes = b.take(i)
+                              tSizes = b
                             }
                           case _ =>
                         }

@@ -80,7 +80,7 @@ object Pdf {
       if (at < 0) false
       else {
         val rest = s.substring(at + 9).trim.takeWhile(_.isDigit)
-        rest.nonEmpty && {
+        rest.nonEmpty && rest.length <= 12 && {
           val off = rest.toLong
           off < s.length && s.startsWith("xref", off.toInt)
         }
@@ -170,47 +170,57 @@ object Pdf {
    * raw CID bytes as mojibake. */
   private def resolveFonts(s: String,
                            crypt: Crypt): Map[String, Map[Int, String]] = {
-    val refs = for {
+    val refs = (for {
       fm <- FontDictRe.findAllMatchIn(s)
       e <- FontEntryRe.findAllMatchIn(fm.group(1))
-    } yield e.group(1) -> ((e.group(2).toInt, e.group(3).toInt))
-    refs.toSeq.distinct.flatMap { case (name, (num, gen)) =>
-      objDict(s, num, gen).filter(_.contains("/Type0")).map { dict =>
+    } yield e.group(1) -> ((e.group(2).toInt, e.group(3).toInt)))
+      .toSeq.distinct
+    if (refs.isEmpty) return Map.empty
+    // ONE anchored scan indexes every object header (first occurrence
+    // wins, like findFirstMatchIn did) — the per-ref whole-file regex
+    // scans this replaces were O(fonts × file size) per PDF.
+    val objAt: Map[(Int, Int), Int] = {
+      val m = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+      ObjHeadAllRe.findAllMatchIn(s).foreach { h =>
+        val k = (h.group(1).toInt, h.group(2).toInt)
+        if (!m.contains(k)) m(k) = h.start
+      }
+      m.toMap
+    }
+    def objDict(num: Int, gen: Int): Option[String] =
+      objAt.get((num, gen)).map { at =>
+        val endAt = s.indexOf("endobj", at)
+        val stmAt = s.indexOf("stream", at)
+        val stop = Seq(endAt, stmAt).filter(_ >= 0)
+          .reduceOption(_ min _).getOrElse(s.length)
+        s.substring(at, stop)
+      }
+    def objStreamKw(num: Int, gen: Int): Option[Int] =
+      objAt.get((num, gen)).flatMap { at =>
+        val stmAt = s.indexOf("stream", at)
+        val endAt = s.indexOf("endobj", at)
+        if (stmAt >= 0 && (endAt < 0 || stmAt < endAt)) Some(stmAt) else None
+      }
+    refs.flatMap { case (name, (num, gen)) =>
+      objDict(num, gen).filter(_.contains("/Type0")).map { dict =>
         name -> (for {
           m <- ToUniRe.findFirstMatchIn(dict)
-          kwAt <- objStreamKw(s, m.group(1).toInt, m.group(2).toInt)
+          kwAt <- objStreamKw(m.group(1).toInt, m.group(2).toInt)
           data <- decodeStream(s, kwAt, crypt)
         } yield parseToUnicode(new String(data, ISO_8859_1)))
           .getOrElse(Map.empty)
       }
     }.toMap
   }
+  // digit counts BOUNDED everywhere a match feeds .toInt: an absurd
+  // object number in a malformed file must fail to MATCH, never throw
+  // NumberFormatException out of a Spark task (the module's whole
+  // degrade-to-no-text policy).
   private val FontDictRe = """(?s)/Font\s*<<(.*?)>>""".r
-  private val FontEntryRe = """/([^\s/<>\[\]()]+)\s+(\d+)\s+(\d+)\s+R""".r
-  private val ToUniRe = """/ToUnicode\s+(\d+)\s+(\d+)\s+R""".r
-
-  /** The dict body of object `num gen` (anchored header match — a bare
-   * indexOf would hit digit-suffixes of longer object numbers). */
-  private def objDict(s: String, num: Int, gen: Int): Option[String] =
-    objAnchor(s, num, gen).map { at =>
-      val endAt = s.indexOf("endobj", at)
-      val stmAt = s.indexOf("stream", at)
-      val stop = Seq(endAt, stmAt).filter(_ >= 0)
-        .reduceOption(_ min _).getOrElse(s.length)
-      s.substring(at, stop)
-    }
-
-  /** Offset of the `stream` keyword of object `num gen`, if it has one
-   * before its `endobj`. */
-  private def objStreamKw(s: String, num: Int, gen: Int): Option[Int] =
-    objAnchor(s, num, gen).flatMap { at =>
-      val stmAt = s.indexOf("stream", at)
-      val endAt = s.indexOf("endobj", at)
-      if (stmAt >= 0 && (endAt < 0 || stmAt < endAt)) Some(stmAt) else None
-    }
-
-  private def objAnchor(s: String, num: Int, gen: Int): Option[Int] =
-    s"(?<![0-9])$num\\s+$gen\\s+obj".r.findFirstMatchIn(s).map(_.start)
+  private val FontEntryRe =
+    """/([^\s/<>\[\]()]+)\s+(\d{1,9})\s+(\d{1,9})\s+R""".r
+  private val ToUniRe = """/ToUnicode\s+(\d{1,9})\s+(\d{1,9})\s+R""".r
+  private val ObjHeadAllRe = """(?<![0-9])(\d{1,9})\s+(\d{1,9})\s+obj""".r
 
   /** Parse a ToUnicode CMap stream (ISO 32000-1 §9.10.3): bfchar
    * blocks map one CID to a UTF-16BE string (multi-char destinations —
@@ -220,6 +230,12 @@ object Pdf {
    * skipped; hex tokens are the only operands read. */
   private[graft] def parseToUnicode(c: String): Map[Int, String] = {
     val out = Map.newBuilder[Int, String]
+    // a CODE token (src/lo/hi) parses only when it fits a sane width —
+    // a surrogate-pair DESTINATION misplaced into a src slot by a
+    // malformed CMap (<D83DDE00>, 8 digits) must be skipped, never
+    // throw NumberFormatException out of the task
+    def hexCode(h: String): Int =
+      if (h.isEmpty || h.length > 6) -1 else Integer.parseInt(h, 16)
     def utf16(hex: String): String =
       if (hex.length % 4 == 0)
         hex.grouped(4).map(Integer.parseInt(_, 16).toChar).mkString
@@ -227,8 +243,9 @@ object Pdf {
       else "" // malformed width: contribute nothing
     for (blk <- blocks(c, "beginbfchar", "endbfchar"))
       HexTokRe.findAllMatchIn(blk).map(_.group(1)).grouped(2).foreach {
-        case Seq(src, dst) => out += Integer.parseInt(src, 16) -> utf16(dst)
-        case _ => // dangling token: malformed pair, skip
+        case Seq(src, dst) if hexCode(src) >= 0 =>
+          out += hexCode(src) -> utf16(dst)
+        case _ => // dangling token or absurd src width: skip
       }
     for (blk <- blocks(c, "beginbfrange", "endbfrange")) {
       // tokens in order: hex strings and array brackets
@@ -236,8 +253,9 @@ object Pdf {
       var i = 0
       while (i < toks.length) {
         (toks.lift(i), toks.lift(i + 1), toks.lift(i + 2)) match {
-          case (Some(loT), Some(hiT), Some("[")) if isHex(loT) && isHex(hiT) =>
-            val lo = Integer.parseInt(hexBody(loT), 16)
+          case (Some(loT), Some(hiT), Some("["))
+              if isHex(loT) && isHex(hiT) && hexCode(hexBody(loT)) >= 0 =>
+            val lo = hexCode(hexBody(loT))
             var j = i + 2 + 1
             var k = 0
             while (j < toks.length && toks(j) != "]") {
@@ -249,9 +267,10 @@ object Pdf {
             }
             i = j + 1
           case (Some(loT), Some(hiT), Some(dstT))
-              if isHex(loT) && isHex(hiT) && isHex(dstT) =>
-            val lo = Integer.parseInt(hexBody(loT), 16)
-            val hi = Integer.parseInt(hexBody(hiT), 16)
+              if isHex(loT) && isHex(hiT) && isHex(dstT) &&
+                hexCode(hexBody(loT)) >= 0 && hexCode(hexBody(hiT)) >= 0 =>
+            val lo = hexCode(hexBody(loT))
+            val hi = hexCode(hexBody(hiT))
             val dstHex = hexBody(dstT)
             val base = BigInt(dstHex, 16)
             var k = 0
@@ -410,7 +429,7 @@ object Pdf {
     else ObjHeadRe.findFirstMatchIn(
       s.substring(math.max(0, objAt - 24), objAt))
       .map(m => (m.group(1).toInt, m.group(2).toInt))
-  private val ObjHeadRe = """(\d+)\s+(\d+)\s*$""".r
+  private val ObjHeadRe = """(\d{1,9})\s+(\d{1,9})\s*$""".r
 
   /** Locate and resolve the trailer's /Encrypt dictionary: NoCrypt when
    * absent, StdCrypt when it is a supported standard-handler shape AND
@@ -442,7 +461,9 @@ object Pdf {
       s.substring(m.start, if (endAt < 0) s.length else endAt)
     }.find(_.contains("/Standard")).getOrElse(return CryptUnsupported)
     def intField(name: String): Option[Int] =
-      s"""/$name\\s+(-?\\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+      s"""/$name\\s+(-?\\d+)""".r.findFirstMatchIn(dict)
+        .map(_.group(1)).filter(_.length <= 11).map(_.toLong)
+        .filter(v => v >= Int.MinValue && v <= Int.MaxValue).map(_.toInt)
     def strField(name: String): Option[Array[Byte]] = {
       val hex = s"""/$name\\s*<([0-9A-Fa-f]+)>""".r
       hex.findFirstMatchIn(dict).map(m =>
@@ -468,7 +489,7 @@ object Pdf {
     val keyLen = {
       val cfAt = dict.indexOf("/CF")
       val top = if (cfAt >= 0) dict.substring(0, cfAt) else dict
-      """/Length\s+(-?\d+)""".r.findFirstMatchIn(top)
+      """/Length\s+(-?\d{1,9})(?!\d)""".r.findFirstMatchIn(top)
         .map(_.group(1).toInt)
         .getOrElse(if (v == 4) 128 else 40) / 8
     }
@@ -489,7 +510,7 @@ object Pdf {
       StdCrypt(fk, aes)
     else CryptUnsupported
   }
-  private val EncRefRe = """/Encrypt\s+(\d+)\s+(\d+)\s+R""".r
+  private val EncRefRe = """/Encrypt\s+(\d{1,9})\s+(\d{1,9})\s+R""".r
   private val IdRe = """/ID\s*\[\s*<([0-9A-Fa-f]+)>""".r
 
   // direct /Length only (indirect "N 0 R" lengths are out of subset —
@@ -555,21 +576,33 @@ object Pdf {
         i += 2 // dict markers carry no text in our subset
       } else if (ch == '<') {
         // hex string: pairs of hex digits, odd count padded with 0 per
-        // spec; whitespace inside is legal and skipped
+        // spec; whitespace inside is legal and skipped. A NON-hex char
+        // before the closing '>' means this was a stray '<' (binary
+        // inline-image data, malformed markup), not a hex string: the
+        // scan ABORTS back to one-char-skip so a lone '<' can never
+        // swallow a later BT..ET block's text.
         val hex = new StringBuilder
+        val start = i
         i += 1
-        while (i < n && c.charAt(i) != '>') {
+        var bad = false
+        while (!bad && i < n && c.charAt(i) != '>') {
           val h = c.charAt(i)
           if ((h >= '0' && h <= '9') || (h >= 'A' && h <= 'F') ||
-            (h >= 'a' && h <= 'f')) hex += h
-          i += 1
+            (h >= 'a' && h <= 'f')) { hex += h; i += 1 }
+          else if (h == ' ' || h == '\n' || h == '\r' || h == '\t' ||
+            h == '\f' || h == 0.toChar) i += 1
+          else bad = true
         }
-        if (i < n) i += 1 // consume '>'
-        if (hex.length % 2 == 1) hex += '0'
-        if (inBT) {
-          val raw = hex.toString.grouped(2)
-            .map(Integer.parseInt(_, 16).toChar).mkString
-          pending += shown(raw)
+        if (bad || i >= n) {
+          i = start + 1 // stray '<': plain one-char skip, nothing shown
+        } else {
+          i += 1 // consume '>'
+          if (hex.length % 2 == 1) hex += '0'
+          if (inBT) {
+            val raw = hex.toString.grouped(2)
+              .map(Integer.parseInt(_, 16).toChar).mkString
+            pending += shown(raw)
+          }
         }
       } else if (ch == '[' || ch == ']' || ch == '>') {
         i += 1 // TJ array brackets; stray '>' is noise
@@ -678,7 +711,12 @@ object Pdf {
     pdfs.select(col(idCol).cast("long").as("id"), col(bytesCol).as("b"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) =>
-        val r = parse(b)
+        // last-resort backstop for the degrade-to-no-text policy: a
+        // parser bug on one malformed crawl PDF must surface as an
+        // empty row, never as a task-killing exception
+        val r = try parse(b) catch {
+          case scala.util.control.NonFatal(_) => Extracted(false, 0, "")
+        }
         (id, r.xrefOk, r.nStreams.toLong, r.text.length.toLong, r.text)
       })
       .toDF("id", "xref_ok", "n_streams", "n_chars", "text")

@@ -407,4 +407,19 @@ class DedupSpec extends SparkSpec {
     // bucketing can only lose pairs, never invent them
     assert(bucketed.subsetOf(exact))
   }
+
+  test("clusters: self-pair-only ids come back as their own singleton cluster") {
+    // the contract: every id appearing in pairs gets a row — an id
+    // seen ONLY as (x, x) must map to itself, not vanish (the star
+    // edge set drops self-loops; review-caught)
+    val pairs = Seq((5L, 5L), (1L, 2L), (2L, 2L)).toDF("id_a", "id_b")
+    val res = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res == Map(5L -> 5L, 1L -> 1L, 2L -> 1L), res)
+    // all-self-pairs input: every id its own cluster, no iteration
+    val selfOnly = Seq((7L, 7L), (9L, 9L)).toDF("id_a", "id_b")
+    val r2 = Dedup.clusters(selfOnly).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(7L -> 7L, 9L -> 9L), r2)
+  }
 }

@@ -434,4 +434,24 @@ class MultimodalSpec extends SparkSpec {
     }.toSet
     assert(pairs == expected)
   }
+
+  test("mp4: corrupt table counts are extent-clamped, never giant allocations") {
+    import graft.operators.Mp4
+    // take a valid fixture and corrupt the stss entry COUNT field to
+    // 0x7FFFFFFF (the box extent stays 3 entries): resolution must
+    // clamp to the extent and return promptly, not allocate 17 GB
+    val v = Mp4.neardupMp4(3L, 0)
+    val s = new String(v, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val at = s.indexOf("stss")
+    assert(at > 0)
+    val corrupt = v.clone()
+    // stss payload: [version+flags:4][count:4][entries...]
+    corrupt(at + 8) = 0x7f.toByte
+    corrupt(at + 9) = 0xff.toByte
+    corrupt(at + 10) = 0xff.toByte
+    corrupt(at + 11) = 0xff.toByte
+    val r = Mp4.syncSampleRanges(corrupt)
+    // the clamped table reads the 3 real entries; extents unchanged
+    assert(r == Mp4.syncSampleRanges(v), r)
+  }
 }

@@ -325,4 +325,43 @@ class PdfSpec extends SparkSpec {
     val plan = Pdf.extractTexts(pdfs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("malformed inputs degrade, never throw (review-caught hardening)") {
+    // 8-digit hex in a bfchar SRC slot (a surrogate-pair destination
+    // shifted into the src position by a dropped token): skipped
+    val m = Pdf.parseToUnicode(
+      "2 beginbfchar\n<D83DDE00> <0041>\n<0042> <0062>\nendbfchar")
+    assert(m == Map(0x42 -> "b"))
+    // absurd object numbers in font refs / encrypt refs / lengths must
+    // fail to MATCH, not throw NumberFormatException
+    val bad = ("%PDF-1.4\n" +
+      "3 0 obj << /Type /Page /Resources << /Font << /F1 99999999999 0 R" +
+      " >> >> >> endobj\n" +
+      "9 0 obj << /Length 99999999999999 >> stream\nBT (ok) Tj ET\n" +
+      "endstream endobj\n" +
+      "trailer << /Encrypt 88888888888 0 R >>\n" +
+      "startxref\n99999999999999999999\n%%EOF\n").getBytes(ISO_8859_1)
+    val r = Pdf.parse(bad)
+    assert(r.text == "ok" && !r.xrefOk, r)
+    // extractTexts backstop: even a parser bug surfaces as an empty
+    // row, never a task-killing exception (feed truly pathological
+    // bytes through the DataFrame path)
+    val rows = Pdf.extractTexts(Seq(
+      (1L, bad),
+      (2L, Array.fill(64)(0x3c.toByte)) // all '<'
+    ).toDF("id", "payload")).orderBy("id").collect()
+    assert(rows.length == 2)
+  }
+
+  test("stray '<' never swallows later text (hex scan aborts on non-hex)") {
+    // binary-ish junk with a lone '<' and no '>' until after a real
+    // BT..ET block: the hex-string scan must abort and one-char-skip,
+    // preserving the show text that follows
+    val t1 = Pdf.extractTextOps("q < junk junk BT (Hello) Tj ET >")
+    assert(t1 == "Hello", s"got '$t1'")
+    // '<' at very end of stream: no hang, no throw
+    assert(Pdf.extractTextOps("BT (x) Tj ET <") == "x")
+    // whitespace-only hex content still parses as a hex string
+    assert(Pdf.extractTextOps("BT /F 1 Tf <4 8> Tj ET") == "H")
+  }
 }
