@@ -1139,6 +1139,39 @@ object PipelineEntry {
       kept.unionAll(edges).orderBy("kind", "src_url", "dst_url")
     }),
 
+    // P145 — X-Robots-Tag governance (the HTTP-header twin of p143's
+    // meta tag, carried through the REAL front door): per-doc header
+    // variants ride export's spliced response-header lines through a
+    // .warc.gz round-trip, parseWarc surfaces the FULL header map, and
+    // the directive verdicts come off the recovered headers — so
+    // header capture, casing, the agent-scoped form, and the
+    // decoy-header exactness are all end-to-end checked against the
+    // planted formula.
+    "p145_xrobots" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      val out = s"/root/repo/target/warc-xrobots-${dir.replaceAll("[^0-9.]", "")}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val m = pmod(col("doc_id"), lit(6))
+      val pages = docs(s, dir).select(col("doc_id"), col("text"),
+        when(m === 0, lit("X-Robots-Tag: noindex"))
+          .when(m === 1, lit("x-robots-tag: NOFOLLOW"))
+          .when(m === 2, lit("X-Robots-Tag: none"))
+          .when(m === 3, lit("X-Robots-Tag: googlebot: noindex"))
+          .when(m === 4, lit("X-Custom-Tag: noindex"))
+          .otherwise(lit("")).as("xhdr"))
+      WarcSource.export(pages, out, httpHeaderCol = Some("xhdr"))
+      val recs = WarcSource.records(s, out)
+        .where(col("warc_type") === "response")
+      val d = WarcSource.xRobots(col("http_headers"))
+      recs.select(
+        regexp_extract(col("record_id"), ":doc:(\\d+)>$", 1)
+          .cast("long").as("id"),
+        d.getField("noindex").as("noindex"),
+        d.getField("nofollow").as("nofollow"))
+        .withColumn("kept", !col("noindex"))
+        .orderBy("id")
+    }),
+
     // P142 — MP4 keyframe-byte near-dup (extends the near-dup triad to
     // INTER-FRAME codecs without a decoder — the r16 verdict's #5 ask):
     // sync-sample byte extents resolved purely from the container's
@@ -4987,6 +5020,16 @@ ORDER BY id_a, id_b""",
     // decoder, so the re-muxed variants prove byte-extent resolution
     // instead of pixel decoding.
     "p142_mp4_keyframe_neardup" -> VideoNeardupPairsOracle,
+
+    // p145: verdicts by the planted-header formula — noindex on m ∈
+    // {0,2,3} (2 is `none`, 3 the agent-scoped form read globally),
+    // nofollow on m ∈ {1,2}; the m=4 decoy header name never counts.
+    "p145_xrobots" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+d AS (SELECT doc_id, doc_id % 6 AS m FROM documents)
+SELECT doc_id AS id, m IN (0, 2, 3) AS noindex, m IN (1, 2) AS nofollow,
+  m NOT IN (0, 2, 3) AS kept
+FROM d ORDER BY id""",
 
     // p143: both populations by the planted-variant formula — noindex
     // on m ∈ {0,2,3} (2 is `none`; 4 is the decoy and does NOT count),

@@ -42,7 +42,8 @@ object WarcSource {
   case class WarcRecord(file: String, warc_type: String, record_id: String,
                         target_uri: String, status: Int, content_type: String,
                         body: String, body_bytes: Array[Byte],
-                        refers_to: String, payload_digest: String)
+                        refers_to: String, payload_digest: String,
+                        http_headers: Map[String, String])
 
   /** Content types whose bodies are UTF-8-decodable text. Everything
    * else (image, audio, video, pdf, octet-stream, ...) keeps
@@ -96,7 +97,12 @@ object WarcSource {
           pos = e + 2
         }
       }
-      val len = headers.getOrElse("content-length", "0").toInt
+      // untrusted input: a malformed or absurd Content-Length must
+      // degrade (truncate to the remaining bytes), never throw a
+      // NumberFormatException out of the task
+      val len = headers.get("content-length").map(_.trim)
+        .filter(v => v.nonEmpty && v.length <= 12 && v.forall(_.isDigit))
+        .map(_.toLong.min(bytes.length.toLong).toInt).getOrElse(0)
       val payload = java.util.Arrays.copyOfRange(bytes, pos,
         math.min(bytes.length, pos + len))
       pos += len
@@ -108,7 +114,7 @@ object WarcSource {
       // binary bodies), then decode only the header block as text.
       val isHttp = payload.length >= 5 &&
         new String(payload, 0, 5, "US-ASCII") == "HTTP/"
-      val (status, httpCt, bodyBytes) =
+      val (status, httpCt, bodyBytes, httpHeaders) =
         if (isHttp) {
           var he = -1
           var i = 0
@@ -124,24 +130,31 @@ object WarcSource {
             case a if a.length >= 2 && a(1).forall(_.isDigit) => a(1).toInt
             case _ => 0
           }
-          val ct = lines.iterator.drop(1)
-            .map(l => (l, l.indexOf(':')))
-            .collectFirst { case (l, c)
-              if c > 0 && l.substring(0, c).trim.equalsIgnoreCase("content-type") =>
-              l.substring(c + 1).trim }
-            .orNull
+          // ALL response headers ride along (lowercased names, first
+          // occurrence wins — deterministic under repeats), so
+          // header-level governance (X-Robots-Tag) and future header
+          // consumers need no reparse
+          val hm = scala.collection.mutable.LinkedHashMap.empty[String, String]
+          lines.iterator.drop(1).foreach { l =>
+            val c = l.indexOf(':')
+            if (c > 0) {
+              val k = l.substring(0, c).trim.toLowerCase
+              if (!hm.contains(k)) hm(k) = l.substring(c + 1).trim
+            }
+          }
+          val ct = hm.get("content-type").orNull
           val bb = if (he >= 0)
             java.util.Arrays.copyOfRange(payload, he + 4, payload.length)
           else Array.empty[Byte]
-          (st, ct, bb)
-        } else (0, null: String, payload)
+          (st, ct, bb, hm.toMap)
+        } else (0, null: String, payload, null: Map[String, String])
       val contentType =
         if (isHttp) httpCt else headers.getOrElse("content-type", null)
       val body =
         if (isTextType(contentType)) new String(bodyBytes, "UTF-8") else null
       out += WarcRecord(file, warcType, recId, uri, status, contentType,
         body, bodyBytes, headers.getOrElse("warc-refers-to", null),
-        headers.getOrElse("warc-payload-digest", null))
+        headers.getOrElse("warc-payload-digest", null), httpHeaders)
     }
     out.toSeq
   }
@@ -391,6 +404,27 @@ object WarcSource {
   }
 
   /**
+   * X-Robots-Tag directives of a response record — the HTTP-header
+   * twin of the page-level `<meta name=robots>` (`Html.metaRobots`);
+   * together they complete crawl governance: robots.txt (p101) says
+   * what to FETCH, the meta tag and this header say what to INDEX and
+   * FOLLOW. Struct (noindex, nofollow), each true iff the
+   * `X-Robots-Tag` header value carries the token — or `none` — in
+   * its comma/space-separated list. Agent-scoped forms
+   * ("googlebot: noindex") count as global in our subset (the
+   * CONSERVATIVE reading: a directive any agent would honor drops the
+   * content for the corpus too). Exact token match, like metaRobots.
+   */
+  def xRobots(httpHeaders: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val v = lower(coalesce(
+      element_at(httpHeaders, "x-robots-tag"), lit("")))
+    def has(tok: String): org.apache.spark.sql.Column =
+      v.rlike("(^|[\\s,:])(" + tok + "|none)([\\s,]|$)")
+    struct(has("noindex").as("noindex"), has("nofollow").as("nofollow"))
+  }
+
+  /**
    * Write a [[watRecords]] frame as `.warc.wat.gz` segment files (the
    * Common Crawl naming, which keeps them inside `records`' front-door
    * glob): WARC `metadata` records whose payload is the JSON envelope,
@@ -460,7 +494,8 @@ object WarcSource {
              urlCol: Option[String] = None, wet: Boolean = false,
              bytesCol: Option[String] = None,
              mime: String = "text/plain; charset=utf-8",
-             revisitEvery: Int = 0): Unit = {
+             revisitEvery: Int = 0,
+             httpHeaderCol: Option[String] = None): Unit = {
     require(bytesCol.isEmpty || !wet, "binary payloads need HTTP framing")
     require(revisitEvery == 0 || !wet, "revisit records are response-side")
     // binary + revisit composes cleanly: the planted digest hashes the
@@ -471,8 +506,13 @@ object WarcSource {
       .getOrElse(concat(lit("https://example.org/doc/"), col(idCol)))
     val payloadExpr = bytesCol.map(col)
       .getOrElse(encode(coalesce(col(textCol), lit("")), "UTF-8"))
+    // optional 4th column: extra raw HTTP response header LINES per doc
+    // ("X-Robots-Tag: noindex"), spliced verbatim into the head block
+    val extraHdr = httpHeaderCol.map(col(_).cast("string"))
+      .getOrElse(lit("")).as("xhdr")
     val shards = docs.select(col(idCol).cast("long").as("id"),
-        payloadExpr.as("payload"), urlExpr.cast("string").as("url"))
+        payloadExpr.as("payload"), urlExpr.cast("string").as("url"),
+        extraHdr)
       .repartition(expr(s"id DIV $docsPerFile"))
     shards.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       // one FILE per shard key — the repartition only spreads work; two
@@ -500,8 +540,10 @@ object WarcSource {
               "WARC-Record-ID" -> s"<urn:graft:doc:$id>",
               "Content-Type" -> "text/plain"), body)
           else {
+            val xh = Option(r.getString(3)).filter(_.nonEmpty)
+              .map(_ + "\r\n").getOrElse("")
             val http = ("HTTP/1.1 200 OK\r\n" +
-              s"Content-Type: $mime\r\n\r\n").getBytes("UTF-8") ++ body
+              s"Content-Type: $mime\r\n$xh\r\n").getBytes("UTF-8") ++ body
             record(Seq("WARC-Type" -> "response",
               "WARC-Target-URI" -> r.getString(2),
               "WARC-Record-ID" -> s"<urn:graft:doc:$id>",

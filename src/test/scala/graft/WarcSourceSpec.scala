@@ -314,4 +314,48 @@ class WarcSourceSpec extends SparkSpec {
     assert(meta(1).getAs[String]("body") == j2)
     assert(back.where(col("warc_type") === "warcinfo").count() == 1)
   }
+
+  test("http_headers capture + X-Robots-Tag directives + safe content-length") {
+    val dir = "/root/repo/target/warc-xr-spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val docs = Seq(
+      (1L, "one", "X-Robots-Tag: noindex, nofollow"),
+      (2L, "two", "X-Robots-Tag: googlebot: noindex"),
+      (3L, "three", "")
+    ).toDF("doc_id", "text", "xhdr")
+    WarcSource.export(docs, dir, httpHeaderCol = Some("xhdr"))
+    val recs = WarcSource.records(spark, dir)
+      .where(col("warc_type") === "response").orderBy("record_id")
+    val rows = recs.select(col("record_id"), col("http_headers"),
+      WarcSource.xRobots(col("http_headers")).as("x")).collect()
+    // the full header map rides along, names lowercased
+    val h1 = rows(0).getAs[Map[String, String]]("http_headers")
+    assert(h1("content-type") == "text/plain; charset=utf-8")
+    assert(h1("x-robots-tag") == "noindex, nofollow")
+    assert(rows(0).getAs[org.apache.spark.sql.Row]("x") ==
+      org.apache.spark.sql.Row(true, true))
+    // agent-scoped form reads globally (conservative subset)
+    assert(rows(1).getAs[org.apache.spark.sql.Row]("x") ==
+      org.apache.spark.sql.Row(true, false))
+    // absent header: both false; map still present for HTTP records
+    assert(rows(2).getAs[org.apache.spark.sql.Row]("x") ==
+      org.apache.spark.sql.Row(false, false))
+    assert(rows(2).getAs[Map[String, String]]("http_headers")
+      .contains("content-type"))
+    // non-HTTP records (warcinfo) carry a null header map
+    val info = WarcSource.records(spark, dir)
+      .where(col("warc_type") === "warcinfo").collect()(0)
+    assert(info.getAs[Map[String, String]]("http_headers") == null)
+    // malformed Content-Length degrades instead of throwing: hand-roll
+    // a record with garbage and absurd values
+    val raw = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "Content-Length: notanumber\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "Content-Length: 99999999999999999999\r\n\r\nx").getBytes("UTF-8")
+    val f = new java.io.File(dir, "seg-junk.warc")
+    java.nio.file.Files.write(f.toPath, raw)
+    val parsed = WarcSource.records(spark, dir)
+      .where(col("warc_type") === "resource").collect()
+    assert(parsed.length == 2) // both parse (length 0), neither throws
+  }
 }
