@@ -2517,6 +2517,26 @@ object PipelineEntry {
         .orderBy("id")
     }),
 
+    // P146 — PDF transport-filter cascades (the real tool-generated
+    // shape: ASCIIHex / ASCII85 wrapping Flate; previously any
+    // non-bare-Flate /Filter dropped the stream): thirds of the corpus
+    // ride [/ASCIIHexDecode /FlateDecode] and [/ASCII85Decode
+    // /FlateDecode] cascades, and every %5==0 doc is ADDITIONALLY
+    // RC4-encrypted — decrypt-then-decode order (ISO 32000-1 §7.6.2)
+    // is end-to-end load-bearing. The oracle is p118's closed-form
+    // re-typeset: a codec slip anywhere changes text bytes.
+    "p146_pdf_filters" -> ((s, dir) => {
+      import s.implicits._
+      val pdfs = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, Pdf.fixturePdfFiltered(id, t, (id % 3).toInt,
+            if (id % 5 == 0) Some(false) else None))
+        })
+        .toDF("id", "payload")
+      Pdf.extractTexts(pdfs).orderBy("id")
+    }),
+
     // P125 — crawl-frontier scheduling (discovery → fetch plan): p122's
     // parsed urlset entries become per-host politeness queues ordered
     // by (priority desc, lastmod desc nulls last, loc), queue position
@@ -5759,6 +5779,25 @@ tok AS (SELECT m.doc_id, p.vote AS lang, m.source,
     // never touching a PDF byte, so the whole generate → deflate →
     // warc.gz → inflate → text-operator chain is checked end to end.
     "p118_pdf_extract" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+w AS (SELECT doc_id, list_filter(
+        string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+e AS (SELECT doc_id,
+        'Doc ' || doc_id || ' (pdf) A' || chr(10) || array_to_string(
+          [array_to_string(toks[k*10+1 : k*10+10], ' ')
+           for k in range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))],
+          chr(10)) AS text
+      FROM w)
+SELECT doc_id AS id, TRUE AS xref_ok, 1::BIGINT AS n_streams,
+  length(text)::BIGINT AS n_chars, text
+FROM e ORDER BY id""",
+
+    // p146: p118's closed-form re-typeset verbatim — the SQL never
+    // sees a filter name or an encoded byte, so the AHx/A85 decode,
+    // the cascade order, and decrypt-before-decode must all be
+    // byte-exact for the text to match.
+    "p146_pdf_filters" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
 w AS (SELECT doc_id, list_filter(
         string_split_regex(text, '\\s+'), x -> x <> '') AS toks

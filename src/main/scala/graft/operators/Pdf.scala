@@ -149,13 +149,138 @@ object Pdf {
           case None => None
         }
     }
-    val hasFlate = dict.contains("/FlateDecode")
-    val otherFilter = dict.contains("/Filter") && !hasFlate
+    // filter PIPELINE (r17): /Filter names apply in array order after
+    // decryption — ASCIIHex / ASCII85 transport encodings cascade into
+    // Flate the way real tool-generated PDFs write them. Predictors
+    // (/DecodeParms /Predictor) and the remaining filter classes
+    // (LZW/DCT/RunLength/...) stay out of subset: their streams
+    // contribute no text rather than mis-decoded garbage.
+    val filters = parseFilters(dict)
+    if (dict.contains("/Predictor")) return None
     rawOpt.flatMap { raw =>
-      if (otherFilter) None
-      else if (hasFlate) inflate(raw)
-      else Some(raw)
+      filters.foldLeft(Option(raw)) { (acc, f) =>
+        acc.flatMap(d => f match {
+          case "FlateDecode" | "Fl" => inflate(d)
+          case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
+          case "ASCII85Decode" | "A85" => ascii85Decode(d)
+          case _ => None
+        })
+      }
     }
+  }
+
+  /** The /Filter names of a stream dict in APPLICATION order: a bare
+   * name or an array of names; empty when unfiltered. */
+  private def parseFilters(dict: String): Seq[String] =
+    FilterRe.findFirstMatchIn(dict) match {
+      case None => Seq.empty
+      case Some(m) =>
+        FilterNameRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+    }
+  private val FilterRe = """/Filter\s*(\[[^\]]{0,500}+\]|/[A-Za-z0-9]+)""".r
+  private val FilterNameRe = """/([A-Za-z0-9]+)""".r
+
+  /** ASCIIHexDecode (ISO 32000-1 §7.4.2): hex pairs, whitespace
+   * ignored, `>` ends data, odd final digit pads with 0. None on any
+   * other character (malformed). */
+  private[graft] def asciiHexDecode(d: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(d.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < d.length && !done) {
+      val c = d(i).toChar
+      if (c == '>') done = true
+      else if (!Character.isWhitespace(c)) {
+        val v = Character.digit(c, 16)
+        if (v < 0) return None
+        if (hi < 0) hi = v
+        else { out.write(hi * 16 + v); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi * 16)
+    Some(out.toByteArray)
+  }
+
+  /** ASCII85Decode (ISO 32000-1 §7.4.3): 5 chars of '!'..'u' per 4
+   * bytes base-85 big-endian, `z` = four zero bytes (only between
+   * groups), whitespace ignored, `~>` ends data, a partial group of n
+   * chars yields n-1 bytes (padded with 'u' per spec). None on
+   * out-of-range chars, a lone trailing char, or group overflow. */
+  private[graft] def ascii85Decode(d: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(d.length * 4 / 5 + 4)
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = 0
+    var done = false
+    while (i < d.length && !done) {
+      val c = d(i).toChar
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) {
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (!Character.isWhitespace(c)) {
+        if (c < '!' || c > 'u') return None
+        grp(n) = c - '!'
+        n += 1
+        if (n == 5) {
+          var v = 0L
+          var k = 0
+          while (k < 5) { v = v * 85 + grp(k); k += 1 }
+          if (v > 0xffffffffL) return None
+          out.write((v >>> 24).toInt); out.write(((v >>> 16) & 0xff).toInt)
+          out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+          n = 0
+        }
+      }
+      i += 1
+    }
+    if (n == 1) return None
+    if (n > 1) {
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + (if (k < n) grp(k) else 84); k += 1 }
+      if (v > 0xffffffffL) return None
+      val b = Array((v >>> 24) & 0xff, (v >>> 16) & 0xff,
+        (v >>> 8) & 0xff, v & 0xff)
+      var j = 0
+      while (j < n - 1) { out.write(b(j).toInt); j += 1 }
+    }
+    Some(out.toByteArray)
+  }
+
+  /** Fixture-side ASCII85 encoder (inverse of [[ascii85Decode]],
+   * standard Adobe form with `z` shorthand and `~>` terminator). */
+  private[graft] def ascii85Encode(d: Array[Byte]): String = {
+    val sb = new StringBuilder(d.length * 5 / 4 + 2)
+    var i = 0
+    while (i + 4 <= d.length) {
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 8) | (d(i + k) & 0xffL); k += 1 }
+      if (v == 0L) sb += 'z'
+      else {
+        val c = new Array[Char](5)
+        var j = 4
+        while (j >= 0) { c(j) = ('!' + (v % 85).toInt).toChar; v /= 85; j -= 1 }
+        sb.appendAll(c)
+      }
+      i += 4
+    }
+    val rem = d.length - i
+    if (rem > 0) {
+      var v = 0L
+      var k = 0
+      while (k < 4) {
+        v = (v << 8) | (if (k < rem) d(i + k) & 0xffL else 0L); k += 1
+      }
+      val c = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { c(j) = ('!' + (v % 85).toInt).toChar; v /= 85; j -= 1 }
+      sb.appendAll(c.take(rem + 1))
+    }
+    sb.append("~>")
+    sb.toString
   }
 
   // ------------------------------------------- Type0 / ToUnicode fonts
@@ -762,6 +887,16 @@ object Pdf {
                     encrypt: Option[Boolean] = None): Array[Byte] =
     buildPdf(docId, text, encrypt, cid = true)
 
+  /** Transport-filter twin of [[fixturePdf]]: the content stream rides
+   * a filter CASCADE — `filterMode` 1 = [/ASCIIHexDecode /FlateDecode],
+   * 2 = [/ASCII85Decode /FlateDecode], 0 = plain Flate — with optional
+   * encryption composing OUTSIDE the filters (decrypt first, then
+   * decode, per ISO 32000-1 §7.6.2). Same closed-form text as
+   * [[fixturePdf]]. */
+  def fixturePdfFiltered(docId: Long, text: String, filterMode: Int,
+                         encrypt: Option[Boolean] = None): Array[Byte] =
+    buildPdf(docId, text, encrypt, cid = false, filterMode = filterMode)
+
   private def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     d.setInput(data); d.finish()
@@ -807,7 +942,8 @@ object Pdf {
   }
 
   private def buildPdf(docId: Long, text: String, encrypt: Option[Boolean],
-                       cid: Boolean = false): Array[Byte] = {
+                       cid: Boolean = false,
+                       filterMode: Int = 0): Array[Byte] = {
     val toks = text.trim.split("\\s+").filter(_.nonEmpty)
     val chunks = toks.grouped(10).map(_.mkString(" ")).toSeq
     def cidHex(t: String): String =
@@ -874,8 +1010,9 @@ object Pdf {
             iv ++ c.doFinal(data)
           }
       }
-    def streamObj(objNum: Int, payload: Array[Byte]): Array[Byte] =
-      (s"$objNum 0 obj << /Length ${payload.length} /Filter /FlateDecode" +
+    def streamObj(objNum: Int, payload: Array[Byte],
+                  filterSpec: String = "/Filter /FlateDecode"): Array[Byte] =
+      (s"$objNum 0 obj << /Length ${payload.length} $filterSpec" +
         " >> stream\n").getBytes(ISO_8859_1) ++ payload ++
         "\nendstream endobj\n".getBytes(ISO_8859_1)
     val fontObj =
@@ -906,7 +1043,19 @@ object Pdf {
       ("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n")
         .getBytes(ISO_8859_1),
-      streamObj(4, encPayload(4, deflated)),
+      {
+        // transport cascade applies INSIDE the encryption (reader
+        // decrypts first, then decodes filters in array order)
+        val (cp, cf) = filterMode match {
+          case 1 => ((deflated.map("%02X".format(_)).mkString + ">")
+            .getBytes(ISO_8859_1),
+            "/Filter [/ASCIIHexDecode /FlateDecode]")
+          case 2 => (ascii85Encode(deflated).getBytes(ISO_8859_1),
+            "/Filter [/ASCII85Decode /FlateDecode]")
+          case _ => (deflated, "/Filter /FlateDecode")
+        }
+        streamObj(4, encPayload(4, cp), cf)
+      },
       fontObj.getBytes(ISO_8859_1)
     ) ++ encInfo.map(_._4.getBytes(ISO_8859_1)).toSeq ++ cidObjs
     val out = new java.io.ByteArrayOutputStream()

@@ -364,4 +364,51 @@ class PdfSpec extends SparkSpec {
     // whitespace-only hex content still parses as a hex string
     assert(Pdf.extractTextOps("BT /F 1 Tf <4 8> Tj ET") == "H")
   }
+
+  test("filter cascades: AHx/A85 codecs, array order, encryption composes outside") {
+    // codec unit vector: the published "Hello" encoding begins 87cUR
+    // (one full group = "Hell"), pinning base-85 digit order
+    assert(Pdf.ascii85Decode("87cUR~>".getBytes(ISO_8859_1))
+      .map(new String(_, ISO_8859_1)) == Some("Hell"))
+    assert(Pdf.ascii85Encode("Hell".getBytes(ISO_8859_1)) == "87cUR~>")
+    // z shorthand; partial group; whitespace tolerance
+    assert(Pdf.ascii85Decode("z~>".getBytes(ISO_8859_1))
+      .map(_.toSeq) == Some(Seq[Byte](0, 0, 0, 0)))
+    val round = "graft!".getBytes(ISO_8859_1)
+    assert(Pdf.ascii85Decode(
+      Pdf.ascii85Encode(round).replace("8", " 8").getBytes(ISO_8859_1))
+      .map(_.toSeq) == Some(round.toSeq))
+    // a lone trailing char and out-of-range chars are malformed
+    assert(Pdf.ascii85Decode("87cUR!~>".getBytes(ISO_8859_1)).isEmpty)
+    assert(Pdf.ascii85Decode("\u00ff".getBytes(ISO_8859_1)).isEmpty)
+    // AHx: whitespace, odd-digit pad, '>' terminator, bad char
+    assert(Pdf.asciiHexDecode("4 86\n5>".getBytes(ISO_8859_1))
+      .map(new String(_, ISO_8859_1)) == Some("He"))
+    assert(Pdf.asciiHexDecode("47>".getBytes(ISO_8859_1))
+      .map(_.toSeq) == Some(Seq('G'.toByte)))
+    assert(Pdf.asciiHexDecode("4x>".getBytes(ISO_8859_1)).isEmpty)
+    // end-to-end: all three modes, plain and RC4-encrypted, same text
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu"
+    val expected = "Doc 7 (pdf) A\n" +
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa\n" +
+      "lambda mu"
+    for (mode <- Seq(0, 1, 2); enc <- Seq(None, Some(false))) {
+      val pdf = Pdf.fixturePdfFiltered(7L, text, mode, enc)
+      val sdoc = new String(pdf, ISO_8859_1)
+      if (mode == 1) assert(sdoc.contains("/ASCIIHexDecode"))
+      if (mode == 2) assert(sdoc.contains("/ASCII85Decode"))
+      val r = Pdf.parse(pdf)
+      assert(r.text == expected, s"mode=$mode enc=$enc got '${r.text}'")
+    }
+    // unknown filters in a cascade still degrade to no text
+    val lzw = ("9 0 obj << /Length 4 /Filter [/LZWDecode /FlateDecode] >>" +
+      " stream\nXXXX\nendstream endobj\n").getBytes(ISO_8859_1)
+    assert(Pdf.parse(lzw).text == "")
+    // a /Predictor in DecodeParms is out of subset: no text, no garbage
+    val pred = ("9 0 obj << /Length 4 /Filter /FlateDecode" +
+      " /DecodeParms << /Predictor 12 >> >> stream\nXXXX\nendstream" +
+      " endobj\n").getBytes(ISO_8859_1)
+    assert(Pdf.parse(pred).text == "")
+  }
 }
