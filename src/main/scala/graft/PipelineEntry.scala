@@ -2537,6 +2537,25 @@ object PipelineEntry {
       Pdf.extractTexts(pdfs).orderBy("id")
     }),
 
+    // P147 — PDF 1.5 object streams (/ObjStm): the page dict, the
+    // Type0 font, and its descendant all live INSIDE a Flate object
+    // stream — nothing about the fonts is visible in the raw bytes —
+    // so extraction works only if ObjStm expansion feeds both the
+    // /Font discovery and the dict lookups (most post-2005 writers
+    // emit exactly this shape; p139 covers the classic file-level
+    // layout). Oracle: the same closed-form CID re-typeset, n_streams
+    // now 3 (content + CMap + ObjStm).
+    "p147_pdf_objstm" -> ((s, dir) => {
+      import s.implicits._
+      val pdfs = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, Pdf.fixturePdfCidObjStm(id, t))
+        })
+        .toDF("id", "payload")
+      Pdf.extractTexts(pdfs).orderBy("id")
+    }),
+
     // P125 — crawl-frontier scheduling (discovery → fetch plan): p122's
     // parsed urlset entries become per-host politeness queues ordered
     // by (priority desc, lastmod desc nulls last, loc), queue position
@@ -5809,6 +5828,25 @@ e AS (SELECT doc_id,
           chr(10)) AS text
       FROM w)
 SELECT doc_id AS id, TRUE AS xref_ok, 1::BIGINT AS n_streams,
+  length(text)::BIGINT AS n_chars, text
+FROM e ORDER BY id""",
+
+    // p147: p139's closed-form CID re-typeset with n_streams 3 — the
+    // SQL never sees an object stream, so expansion, pair-header
+    // parsing, and compressed-resident font resolution must all be
+    // byte-exact for the text to match.
+    "p147_pdf_objstm" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+w AS (SELECT doc_id, list_filter(
+        string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+e AS (SELECT doc_id,
+        'Doc ' || doc_id || ' (cid) A' || chr(10) || array_to_string(
+          [array_to_string(toks[k*10+1 : k*10+10], ' ')
+           for k in range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))],
+          chr(10)) AS text
+      FROM w)
+SELECT doc_id AS id, TRUE AS xref_ok, 3::BIGINT AS n_streams,
   length(text)::BIGINT AS n_chars, text
 FROM e ORDER BY id""",
 

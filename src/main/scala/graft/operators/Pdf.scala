@@ -50,16 +50,22 @@ import org.apache.spark.sql.functions._
  * readable ToUnicode contributes no text rather than mojibake; simple
  * fonts keep the byte-decoded path (hex strings decode byte-per-char).
  *
+ * OBJECT STREAMS (r17): /Type /ObjStm streams — where PDF 1.5+ files
+ * park their non-stream objects, page and font dicts included — are
+ * expanded for DICT resolution: the /Font name discovery and the
+ * font/descendant lookups see compressed-resident objects, so the
+ * Type0 path works on modern files. /ObjStm never holds CONTENT
+ * streams (ISO 32000-1 §7.5.7 forbids streams inside object streams),
+ * so the linear text walk was never affected; this closes the
+ * metadata-resolution half. Transport filters (r17): /Filter cascades
+ * of ASCIIHex / ASCII85 over Flate decode in array order after
+ * decryption.
+ *
  * Out of the subset (documented, like mp4 for video): non-empty user
- * passwords and R5/R6 (AES-256) handlers, object streams (/ObjStm),
- * non-Flate filters (DCT/LZW/ASCII85), predefined (non-Identity) CMap
- * ENCODINGS without ToUnicode — each is a payload class, not a
- * structural gap; the walk/decode/operator machinery is where they
- * would plug in. Note
- * /ObjStm never holds CONTENT streams (ISO 32000-1 §7.5.7 forbids
- * streams inside object streams), so the linear stream walk already
- * extracts text from most PDF 1.5+ files — the gap is metadata
- * resolution, not text.
+ * passwords and R5/R6 (AES-256) handlers, LZW/DCT/RunLength filters
+ * and predictors, predefined (non-Identity) CMap ENCODINGS without
+ * ToUnicode — each is a payload class, not a structural gap; the
+ * walk/decode/operator machinery is where they would plug in.
  *
  * Scale shape: parsing is per-row CPU inside `mapPartitions` (the
  * contract case for imperative per-partition logic — batched binary
@@ -285,6 +291,61 @@ object Pdf {
 
   // ------------------------------------------- Type0 / ToUnicode fonts
 
+  /** Decoded object BODIES of every /Type /ObjStm stream (ISO 32000-1
+   * §7.5.7 — where PDF 1.5+ files park their non-stream objects, page
+   * and font dicts included): the stream's first /First bytes are N
+   * whitespace-separated (objnum, offset) pairs, the rest the
+   * concatenated object bodies. Returns objnum → body text. Encrypted
+   * files compose naturally (the ObjStm stream decrypts like any
+   * stream; inner objects are NOT separately encrypted per spec).
+   * Malformed counts/offsets clamp or skip — never throw. Content
+   * streams can never live here (§7.5.7 forbids streams in object
+   * streams), so only DICT resolution consults this. */
+  private def objStmObjects(s: String, crypt: Crypt): Map[Int, String] = {
+    val out = scala.collection.mutable.HashMap.empty[Int, String]
+    var i = s.indexOf("stream")
+    while (i >= 0) {
+      val objAt = s.lastIndexOf("obj", i)
+      val dict = if (objAt >= 0) s.substring(objAt, i) else ""
+      if (dict.contains("/ObjStm")) {
+        def intIn(name: String): Option[Int] =
+          (s"/$name\\s+(\\d{1,9})(?!\\d)").r.findFirstMatchIn(dict)
+            .map(_.group(1).toInt)
+        for {
+          data <- decodeStream(s, i, crypt)
+          // no upper cap needed: the pair HEADER is bounded by /First
+          // (≤ decoded length), so an absurd /N simply clamps to the
+          // pairs the header actually holds
+          n <- intIn("N") if n > 0
+          first <- intIn("First") if first <= data.length
+        } {
+          val body = new String(data, ISO_8859_1)
+          val nums = ObjStmIntRe.findAllMatchIn(body.substring(0, first))
+            .map(_.group(1).toInt).toArray
+          val pairs = nums.grouped(2).collect {
+            case Array(num, off) => (num, off)
+          }.take(n).toArray
+          var k = 0
+          while (k < pairs.length) {
+            val (num, off) = pairs(k)
+            val from = first.toLong + off
+            val until =
+              if (k + 1 < pairs.length) first.toLong + pairs(k + 1)._2
+              else body.length.toLong
+            if (from >= first && from <= until && until <= body.length &&
+              !out.contains(num))
+              out(num) = body.substring(from.toInt, until.toInt)
+            k += 1
+          }
+        }
+      }
+      val end = s.indexOf("endstream", i)
+      i = if (end < 0) -1 else s.indexOf("stream", end + 9)
+    }
+    out.toMap
+  }
+  private val ObjStmIntRe = """(\d{1,9})""".r
+
   /** Resolve every font RESOURCE name to its ToUnicode CID→text map —
    * present for Type0 (composite) fonts only; simple fonts keep the
    * byte-decoded path. Names live in page `/Resources /Font << /F1
@@ -295,8 +356,16 @@ object Pdf {
    * raw CID bytes as mojibake. */
   private def resolveFonts(s: String,
                            crypt: Crypt): Map[String, Map[Int, String]] = {
+    // PDF 1.5+ parks page/font dicts inside /ObjStm streams: expand
+    // them first (gated on the keyword — zero cost for classic files)
+    // so both the /Font NAME discovery and the dict lookups below see
+    // compressed-resident objects too
+    val stmObjs: Map[Int, String] =
+      if (s.contains("/ObjStm")) objStmObjects(s, crypt) else Map.empty
+    val haystacks = s +: stmObjs.values.toSeq
     val refs = (for {
-      fm <- FontDictRe.findAllMatchIn(s)
+      hay <- haystacks.iterator
+      fm <- FontDictRe.findAllMatchIn(hay)
       e <- FontEntryRe.findAllMatchIn(fm.group(1))
     } yield e.group(1) -> ((e.group(2).toInt, e.group(3).toInt)))
       .toSeq.distinct
@@ -319,7 +388,7 @@ object Pdf {
         val stop = Seq(endAt, stmAt).filter(_ >= 0)
           .reduceOption(_ min _).getOrElse(s.length)
         s.substring(at, stop)
-      }
+      }.orElse(if (gen == 0) stmObjs.get(num) else None)
     def objStreamKw(num: Int, gen: Int): Option[Int] =
       objAt.get((num, gen)).flatMap { at =>
         val stmAt = s.indexOf("stream", at)
@@ -897,6 +966,67 @@ object Pdf {
                          encrypt: Option[Boolean] = None): Array[Byte] =
     buildPdf(docId, text, encrypt, cid = false, filterMode = filterMode)
 
+  /** PDF 1.5-style twin of [[fixturePdfCid]]: the PAGE dict (with its
+   * /Resources /Font map), the Type0 font, and the CIDFontType2
+   * descendant all live inside a Flate /ObjStm — nothing about the
+   * fonts is visible in the raw bytes — while the content stream and
+   * the ToUnicode CMap stream stay file-level (content streams cannot
+   * live in object streams per spec). Extraction works ONLY if ObjStm
+   * expansion feeds both the /Font discovery and the dict lookups. */
+  def fixturePdfCidObjStm(docId: Long, text: String): Array[Byte] = {
+    val (ops, shownAll) = contentOps(docId, text, cid = true)
+    val content = deflate(ops.getBytes(ISO_8859_1))
+    val cmap = deflate(fixtureCMap(shownAll).getBytes(ISO_8859_1))
+    val bodies = Seq(
+      3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
+      5 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+        "/Encoding /Identity-H /DescendantFonts [6 0 R] " +
+        "/ToUnicode 7 0 R >>"),
+      6 -> ("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCID " +
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) " +
+        "/Supplement 0 >> /CIDToGIDMap /Identity >>"))
+    // (objnum, offset) header + concatenated bodies; /First counts
+    // DECODED bytes from stream start to the first body
+    val joined = bodies.map(_._2).mkString(" ")
+    val offsets = bodies.map(_._2).scanLeft(0)(_ + _.length + 1).init
+    val header = bodies.map(_._1).zip(offsets)
+      .map { case (n, o) => s"$n $o" }.mkString(" ")
+    val first = header.length + 1
+    val stmPayload = deflate((header + "\n" + joined).getBytes(ISO_8859_1))
+    def stream(num: Int, payload: Array[Byte], extra: String): Array[Byte] =
+      (s"$num 0 obj << /Length ${payload.length} /Filter /FlateDecode" +
+        s"$extra >> stream\n").getBytes(ISO_8859_1) ++ payload ++
+        "\nendstream endobj\n".getBytes(ISO_8859_1)
+    val objs: Seq[(Int, Array[Byte])] = Seq(
+      1 -> "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        .getBytes(ISO_8859_1),
+      2 -> "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        .getBytes(ISO_8859_1),
+      4 -> stream(4, content, ""),
+      7 -> stream(7, cmap, ""),
+      8 -> stream(8, stmPayload, s" /Type /ObjStm /N 3 /First $first"))
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
+    w("%PDF-1.5\n")
+    val offByNum = scala.collection.mutable.Map.empty[Int, Int]
+    objs.foreach { case (num, bytes) =>
+      offByNum(num) = out.size()
+      out.write(bytes)
+    }
+    val xrefAt = out.size()
+    w("xref\n0 9\n")
+    w("0000000000 65535 f \n")
+    (1 to 8).foreach { k =>
+      offByNum.get(k) match {
+        case Some(off) => w(f"$off%010d 00000 n \n")
+        case None => w("0000000000 00000 f \n") // lives in the ObjStm
+      }
+    }
+    w(s"trailer << /Size 9 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%%%EOF\n")
+    out.toByteArray
+  }
+
   private def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     d.setInput(data); d.finish()
@@ -941,13 +1071,17 @@ object Pdf {
     sb.toString
   }
 
-  private def buildPdf(docId: Long, text: String, encrypt: Option[Boolean],
-                       cid: Boolean = false,
-                       filterMode: Int = 0): Array[Byte] = {
+  private def cidHex(t: String): String =
+    "<" + t.map(ch => f"${ch.toInt + 7}%04X").mkString + ">"
+
+  /** The fixture content-stream operators for (docId, text): header
+   * line + 10-token chunks alternating Tj / kerned TJ, shows as
+   * literals (escape-bearing) or CID hex depending on `cid`. Returns
+   * (ops, shownText) — shownText drives the ToUnicode CMap. */
+  private def contentOps(docId: Long, text: String,
+                         cid: Boolean): (String, String) = {
     val toks = text.trim.split("\\s+").filter(_.nonEmpty)
     val chunks = toks.grouped(10).map(_.mkString(" ")).toSeq
-    def cidHex(t: String): String =
-      "<" + t.map(ch => f"${ch.toInt + 7}%04X").mkString + ">"
     val header = if (cid) s"Doc $docId (cid) A" else ""
     val content = new StringBuilder
     if (cid)
@@ -969,7 +1103,14 @@ object Pdf {
       }
     }
     content.append("ET")
-    val deflated = deflate(content.toString.getBytes(ISO_8859_1))
+    (content.toString, (header +: chunks).mkString("\n"))
+  }
+
+  private def buildPdf(docId: Long, text: String, encrypt: Option[Boolean],
+                       cid: Boolean = false,
+                       filterMode: Int = 0): Array[Byte] = {
+    val (ops, shownAll) = contentOps(docId, text, cid)
+    val deflated = deflate(ops.getBytes(ISO_8859_1))
     def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
     // object layout: 1 catalog, 2 pages, 3 page, 4 content, 5 font,
     // [6 encrypt], cid adds [descendant, ToUnicode] after those
@@ -1026,7 +1167,6 @@ object Pdf {
     val cidObjs: Seq[Array[Byte]] =
       if (!cid) Seq.empty
       else {
-        val shownAll = (header +: chunks).mkString("\n")
         val cmap = deflate(fixtureCMap(shownAll).getBytes(ISO_8859_1))
         Seq(
           (s"$descNum 0 obj << /Type /Font /Subtype /CIDFontType2" +

@@ -411,4 +411,36 @@ class PdfSpec extends SparkSpec {
       " endobj\n").getBytes(ISO_8859_1)
     assert(Pdf.parse(pred).text == "")
   }
+
+  test("/ObjStm: compressed-resident page + font dicts resolve (PDF 1.5 CID path)") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu"
+    val expected = "Doc 9 (cid) A\n" +
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa\n" +
+      "lambda mu"
+    val pdf = Pdf.fixturePdfCidObjStm(9L, text)
+    val sdoc = new String(pdf, ISO_8859_1)
+    // the fonts are genuinely invisible in the raw bytes
+    assert(sdoc.contains("/ObjStm") && !sdoc.contains("/Type0") &&
+      !sdoc.contains("/F1"))
+    val r = Pdf.parse(pdf)
+    assert(r.xrefOk && r.nStreams == 3, r) // content + CMap + ObjStm
+    assert(r.text == expected, s"got '${r.text}'")
+    // a corrupt ObjStm (undecodable) loses the font reference itself,
+    // so the CID hex falls to the simple-font byte path: the result
+    // must carry NO recognizable text (a few control-char line scraps
+    // are the documented floor — the /Font map was inside the broken
+    // stream, so "this name is Type0" is unknowable) and never throw
+    val at = sdoc.indexOf("/ObjStm")
+    val streamAt = sdoc.indexOf("stream", at)
+    val broken = pdf.clone()
+    broken(streamAt + 8) = 0x00 // corrupt the first deflate byte
+    val rb = Pdf.parse(broken)
+    assert(!rb.text.contains("alpha") && !rb.text.contains("Doc"), rb.text)
+    // malformed N/First clamp instead of throwing
+    val badN = sdoc.replace("/N 3 ", "/N 999999999 ")
+    assert(Pdf.parse(badN.getBytes(ISO_8859_1)).text == expected)
+    val badFirst = sdoc.replace(s"/First ", "/First 999999 X")
+    Pdf.parse(badFirst.getBytes(ISO_8859_1)) // must not throw
+  }
 }
