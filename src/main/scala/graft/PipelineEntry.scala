@@ -2726,6 +2726,19 @@ object PipelineEntry {
       Mp4.containerMeta(vids).orderBy("id", "track_id")
     }),
 
+    // P148 — 64-bit MP4 (the >4 GB capture shape): the SAME metadata
+    // formula carried in version-1 mvhd/tkhd/mdhd (64-bit times), co64
+    // offset boxes, and a size==1 LARGESIZE mdat — p129's oracle is
+    // shared verbatim, so the v1 parse must agree with the v0 parse
+    // row-for-row or the hash diverges.
+    "p148_mp4_64bit" -> ((s, dir) => {
+      import s.implicits._
+      val vids = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(d => (d, Mp4.fixtureMp4V1(d))))
+        .toDF("id", "payload")
+      Mp4.containerMeta(vids).orderBy("id", "track_id")
+    }),
+
     // P130 — crawl-to-video composition (p111's convention for the
     // mp4 door): the SAME fixture MP4s ride as BINARY response
     // payloads (Content-Type video/mp4) through a .warc.gz round-trip
@@ -6015,6 +6028,9 @@ FROM m ORDER BY id"""
     // oracle (byte-exact binary transit, the p111 convention).
     "p129_mp4_metadata" -> Mp4MetaOracle,
     "p130_warc_video" -> Mp4MetaOracle,
+    // p148 SHARES it: version-1 boxes, co64, and largesize mdat must
+    // parse to the identical per-track rows (the 64-bit twin).
+    "p148_mp4_64bit" -> Mp4MetaOracle,
 
     // p127: kept blocks regenerated closed-form — content paras with
     // cleaned length >= 25 plus the light-link para (its entity

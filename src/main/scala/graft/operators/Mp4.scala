@@ -47,6 +47,10 @@ object Mp4 {
     else ((b(at) & 0xffL) << 24) | ((b(at + 1) & 0xffL) << 16) |
       ((b(at + 2) & 0xffL) << 8) | (b(at + 3) & 0xffL)
 
+  private def be64(b: Array[Byte], at: Int): Long =
+    if (at + 8 > b.length) -1L
+    else (be32(b, at) << 32) | be32(b, at + 4)
+
   private def fourcc(b: Array[Byte], at: Int): String =
     if (at + 4 > b.length) ""
     else new String(b, at, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -58,10 +62,17 @@ object Mp4 {
                   (f: (String, Int, Int) => Unit): Unit = {
     var at = from
     while (at + 8 <= until) {
-      val size = be32(b, at)
+      val size32 = be32(b, at)
       val typ = fourcc(b, at + 4)
-      if (size < 8 || at + size > until) return // truncated/corrupt: stop
-      f(typ, at + 8, at + size.toInt)
+      // 64-bit boxes (ISO 14496-12 §4.2): size==1 means an 8-byte
+      // largesize follows the fourcc (what >4 GB mdats carry);
+      // size==0 means "to the end of the enclosing container"
+      val (size, hdr) =
+        if (size32 == 1L && at + 16 <= until) (be64(b, at + 8), 16)
+        else if (size32 == 0L) ((until - at).toLong, 8)
+        else (size32, 8)
+      if (size < hdr || at + size > until) return // truncated/corrupt: stop
+      f(typ, at + hdr, at + size.toInt)
       at += size.toInt
     }
   }
@@ -78,8 +89,10 @@ object Mp4 {
       case ("ftyp", p, _) => brand = fourcc(bytes, p)
       case ("moov", moovP, moovU) =>
         walk(bytes, moovP, moovU) {
-          case ("mvhd", p, _) if bytes(p) == 0 => // version 0 only
+          case ("mvhd", p, _) if bytes(p) == 0 =>
             movieMs = divMs(be32(bytes, p + 16), be32(bytes, p + 12))
+          case ("mvhd", p, _) if bytes(p) == 1 => // 64-bit times (r17)
+            movieMs = divMs(be64(bytes, p + 24), be32(bytes, p + 20))
           case ("trak", trakP, trakU) =>
             var trackId = 0L
             var handler = ""
@@ -89,10 +102,14 @@ object Mp4 {
             walk(bytes, trakP, trakU) {
               case ("tkhd", p, _) if bytes(p) == 0 =>
                 trackId = be32(bytes, p + 12)
+              case ("tkhd", p, _) if bytes(p) == 1 =>
+                trackId = be32(bytes, p + 20)
               case ("mdia", mdiaP, mdiaU) =>
                 walk(bytes, mdiaP, mdiaU) {
                   case ("mdhd", p, _) if bytes(p) == 0 =>
                     trackMs = divMs(be32(bytes, p + 16), be32(bytes, p + 12))
+                  case ("mdhd", p, _) if bytes(p) == 1 =>
+                    trackMs = divMs(be64(bytes, p + 24), be32(bytes, p + 20))
                   case ("hdlr", p, _) =>
                     handler = fourcc(bytes, p + 8)
                   case ("minf", minfP, minfU) =>
@@ -218,6 +235,17 @@ object Mp4 {
                             }
                             tStsc = b.result()
                           case ("stco", p, u) => tStco = table(p, u, 4)
+                          case ("co64", p, u) => // 64-bit chunk offsets
+                            val n = be32(bytes, p + 4)
+                            val cap = ((u - p - 8) / 8).max(0).toLong
+                            val m = math.min(n.max(0), cap).toInt
+                            val b64 = new Array[Long](m)
+                            var i = 0
+                            while (i < m) {
+                              b64(i) = be64(bytes, p + 8 + i * 8)
+                              i += 1
+                            }
+                            tStco = b64
                           case ("stsz", p, u) =>
                             tDef = be32(bytes, p + 4)
                             tN = be32(bytes, p + 8)
@@ -374,6 +402,44 @@ object Mp4 {
     ftyp ++ moov ++ mdat
   }
 
+  /** 64-bit twin of [[fixtureMp4]] (the >4 GB capture shape): SAME
+   * metadata formula but version-1 mvhd/tkhd/mdhd (64-bit times),
+   * co64 chunk-offset boxes, and an mdat carried as a size==1
+   * LARGESIZE box — so v0 and v1 parses must agree row-for-row. */
+  def fixtureMp4V1(docId: Long): Array[Byte] = {
+    val nVideo = docId % 50 + 10
+    val hasAudio = docId % 2 == 1
+    val nAudio = docId % 30 + 5
+    val movieDur600 = math.max(nVideo, if (hasAudio) nAudio else 0L) * 24
+    def full1(typ: String, payload: Array[Byte]*): Array[Byte] =
+      box(typ, (Array[Byte](1, 0, 0, 0) +: payload): _*)
+    def be8(v: Long): Array[Byte] = be(v >>> 32) ++ be(v & 0xffffffffL)
+    def trak(trackId: Long, handler: String, codec: String,
+             n: Long): Array[Byte] = {
+      val sampleEntry = box(codec, be(0), be(0), be(0), be(0))
+      val stbl = box("stbl",
+        full0("stsd", be(1), sampleEntry),
+        full0("stsz", be(0), be(n), Array.fill(n.toInt * 4)(1: Byte)),
+        full0("co64", be(0)))
+      val minf = box("minf", stbl)
+      val mdhd = full1("mdhd", be8(0), be8(0), be(1000), be8(n * 40))
+      val hdlr = full0("hdlr", be(0), cc(handler), be(0), be(0), be(0))
+      val mdia = box("mdia", mdhd, hdlr, minf)
+      val tkhd = full1("tkhd", be8(0), be8(0), be(trackId), be(0),
+        be8(n * 40 * 600 / 1000))
+      box("trak", tkhd, mdia)
+    }
+    val traks = Seq(trak(1, "vide", "avc1", nVideo)) ++
+      (if (hasAudio) Seq(trak(2, "soun", "mp4a", nAudio)) else Nil)
+    val mvhd = full1("mvhd", be8(0), be8(0), be(600), be8(movieDur600))
+    val moov = box("moov", (mvhd +: traks): _*)
+    val ftyp = box("ftyp", cc("isom"), be(0x200), cc("isom"), cc("mp41"))
+    val mdatPayload = Array.fill(16)(0x42: Byte)
+    val mdat = be(1) ++ cc("mdat") ++ be8(16L + mdatPayload.length) ++
+      mdatPayload
+    ftyp ++ moov ++ mdat
+  }
+
   // ------------------------------------ re-muxed near-dup fixture (P142)
 
   /** Deterministic variable-size sample payload for (doc, sample):
@@ -407,7 +473,7 @@ object Mp4 {
     val chunks: Seq[Seq[Int]] = variant match {
       case 1 => Seq(0 until 5, 5 until 9).map(_.toSeq)
       case 2 => (0 until nS).map(Seq(_))
-      case _ => Seq((0 until nS).toSeq)
+      case _ => Seq((0 until nS).toSeq) // 0, and 3 (co64 + largesize)
     }
     // storage order of chunks within mdat (v2: reversed)
     val storage = if (variant == 2) chunks.indices.reverse else chunks.indices
@@ -424,12 +490,19 @@ object Mp4 {
         samples.flatMap(s => be(s.length)))
       val stsc = full0("stsc", be(stscEntries.length),
         stscEntries.flatMap { case (f, n) => be(f) ++ be(n) ++ be(1) }.toArray)
-      val stcoB = full0("stco", be(chunkOffsets.length),
-        chunkOffsets.flatMap(be).toArray)
+      def be8(v: Long): Array[Byte] = be(v >>> 32) ++ be(v & 0xffffffffL)
+      val stcoB =
+        if (variant == 3)
+          full0("co64", be(chunkOffsets.length),
+            chunkOffsets.flatMap(be8).toArray)
+        else
+          full0("stco", be(chunkOffsets.length),
+            chunkOffsets.flatMap(be).toArray)
       val stss = full0("stss", be(stssArr.length), stssArr.flatMap(be))
       val stblBoxes = variant match {
         case 1 => Seq(stsd, stss, stsc, stsz, stcoB)
         case 2 => Seq(stsd, stsc, stcoB, stsz, stss)
+        case 3 => Seq(stsd, stss, stsz, stsc, stcoB)
         case _ => Seq(stsd, stsz, stsc, stcoB, stss)
       }
       def trakOf(trackId: Long, handler: String,
@@ -458,9 +531,12 @@ object Mp4 {
       case _ => ftyp
     }
     // two-pass: moov size is offset-independent (stco entry count is
-    // fixed), so measure with zeros, then fill the real offsets
+    // fixed), so measure with zeros, then fill the real offsets.
+    // variant 3 carries the mdat as a size==1 LARGESIZE box: 16-byte
+    // header instead of 8
     val moovLen = buildMoov(chunks.map(_ => 0L)).length
-    val mdatStart = prefix.length + moovLen + 8L
+    val mdatHdr = if (variant == 3) 16L else 8L
+    val mdatStart = prefix.length + moovLen + mdatHdr
     // chunk offset = mdat payload start + position in STORAGE order
     val posInStorage = {
       var off = mdatStart
@@ -472,7 +548,12 @@ object Mp4 {
       m
     }
     val moov = buildMoov(chunks.indices.map(posInStorage(_)))
-    val mdat = box("mdat", mdatPayload)
+    val mdat =
+      if (variant == 3)
+        be(1) ++ cc("mdat") ++
+          (be((16L + mdatPayload.length) >>> 32) ++
+            be((16L + mdatPayload.length) & 0xffffffffL)) ++ mdatPayload
+      else box("mdat", mdatPayload)
     val tail = if (variant == 2) full0("free", Array.fill(12)(0: Byte))
     else Array.empty[Byte]
     prefix ++ moov ++ mdat ++ tail

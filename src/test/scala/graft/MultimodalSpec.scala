@@ -454,4 +454,23 @@ class MultimodalSpec extends SparkSpec {
     // the clamped table reads the 3 real entries; extents unchanged
     assert(r == Mp4.syncSampleRanges(v), r)
   }
+
+  test("mp4 64-bit: v1 boxes, co64, largesize parse identically to the v0 twin") {
+    import graft.operators.Mp4
+    for (d <- Seq(4L, 5L, 55L)) {
+      val v0 = Mp4.parse(Mp4.fixtureMp4(d))
+      val v1 = Mp4.parse(Mp4.fixtureMp4V1(d))
+      assert(v1 == v0, s"doc $d: $v1 vs $v0")
+    }
+    // the v1 file genuinely differs at the byte level
+    assert(!java.util.Arrays.equals(Mp4.fixtureMp4(5L), Mp4.fixtureMp4V1(5L)))
+    // co64 + largesize re-mux (variant 3) fingerprints like the others
+    val v3 = Mp4.neardupMp4(10L, 3)
+    val s3 = new String(v3, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(s3.contains("co64") && !s3.contains("stco"))
+    def slices(b: Array[Byte]): Seq[Seq[Byte]] =
+      Mp4.syncSampleRanges(b).map { case (off, sz) =>
+        java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt).toSeq }
+    assert(slices(v3) == slices(Mp4.neardupMp4(10L, 0)))
+  }
 }
