@@ -2556,6 +2556,25 @@ object PipelineEntry {
       Pdf.extractTexts(pdfs).orderBy("id")
     }),
 
+    // P149 — AES-256 encrypted PDFs (V5 — the PDF 2.0 / Acrobat X+
+    // class, the last documented-out handler): halves of the corpus
+    // ride R6 (full ISO 32000-2 Algorithm 2.B hash) and the deprecated
+    // R5 single-hash form; /U validates the empty user password, /UE
+    // unwraps the 32-byte FILE key, and AESV3 streams decrypt under it
+    // directly (no per-object keys). Oracle: the closed-form
+    // re-typeset — a hash-round slip, a salt slip, or an unwrap slip
+    // yields no text and kills the match.
+    "p149_pdf_aes256" -> ((s, dir) => {
+      import s.implicits._
+      val pdfs = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, Pdf.fixturePdfEncryptedV5(id, t, r6 = id % 2 == 0))
+        })
+        .toDF("id", "payload")
+      Pdf.extractTexts(pdfs).orderBy("id")
+    }),
+
     // P125 — crawl-frontier scheduling (discovery → fetch plan): p122's
     // parsed urlset entries become per-host politeness queues ordered
     // by (priority desc, lastmod desc nulls last, loc), queue position
@@ -5830,6 +5849,24 @@ FROM e ORDER BY id""",
     // the cascade order, and decrypt-before-decode must all be
     // byte-exact for the text to match.
     "p146_pdf_filters" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+w AS (SELECT doc_id, list_filter(
+        string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+e AS (SELECT doc_id,
+        'Doc ' || doc_id || ' (pdf) A' || chr(10) || array_to_string(
+          [array_to_string(toks[k*10+1 : k*10+10], ' ')
+           for k in range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))],
+          chr(10)) AS text
+      FROM w)
+SELECT doc_id AS id, TRUE AS xref_ok, 1::BIGINT AS n_streams,
+  length(text)::BIGINT AS n_chars, text
+FROM e ORDER BY id""",
+
+    // p149: p118's closed-form re-typeset verbatim — the SQL never
+    // sees a hash round or a key unwrap; both R5 and R6 must decrypt
+    // byte-exactly for the text to match.
+    "p149_pdf_aes256" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
 w AS (SELECT doc_id, list_filter(
         string_split_regex(text, '\\s+'), x -> x <> '') AS toks

@@ -149,8 +149,9 @@ object Pdf {
     val rawOpt: Option[Array[Byte]] = crypt match {
       case NoCrypt => Some(sliced)
       case CryptUnsupported => None
-      case StdCrypt(fk, aes) =>
-        objHeader(s, objAt) match {
+      case StdCrypt(fk, aes, v5) =>
+        if (v5) decryptAes(fk, sliced) // V5: the FILE key, no per-object key
+        else objHeader(s, objAt) match {
           case Some((num, gen)) => decryptStream(fk, aes, num, gen, sliced)
           case None => None
         }
@@ -519,7 +520,8 @@ object Pdf {
   private sealed trait Crypt
   private case object NoCrypt extends Crypt
   private case object CryptUnsupported extends Crypt
-  private final case class StdCrypt(fileKey: Array[Byte], aes: Boolean)
+  private final case class StdCrypt(fileKey: Array[Byte], aes: Boolean,
+                                    v5: Boolean = false)
       extends Crypt
 
   /** ISO 32000-1 §7.6.3.3: the 32-byte password padding constant. */
@@ -606,15 +608,75 @@ object Pdf {
                             gen: Int, data: Array[Byte]): Option[Array[Byte]] = {
     val ek = objKey(fk, num, gen, aes)
     if (!aes) Some(rc4(ek, data))
-    else if (data.length < 16 || (data.length - 16) % 16 != 0) None
-    else
-      try {
-        val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
-        c.init(javax.crypto.Cipher.DECRYPT_MODE,
-          new javax.crypto.spec.SecretKeySpec(ek, "AES"),
-          new javax.crypto.spec.IvParameterSpec(data.take(16)))
-        Some(c.doFinal(data, 16, data.length - 16))
-      } catch { case _: java.security.GeneralSecurityException => None }
+    else decryptAes(ek, data)
+  }
+
+  /** AES-CBC stream decryption (AESV2 per-object keys and AESV3 file
+   * keys share the wire format: IV = first 16 bytes, PKCS#5 padding). */
+  private def decryptAes(key: Array[Byte],
+                         data: Array[Byte]): Option[Array[Byte]] = {
+    if (data.length < 16 || (data.length - 16) % 16 != 0) return None
+    try {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(data.take(16)))
+      Some(c.doFinal(data, 16, data.length - 16))
+    } catch { case _: java.security.GeneralSecurityException => None }
+  }
+
+  /** ISO 32000-2 Algorithm 2.B — the R6 password hash (R5, the
+   * deprecated ExtensionLevel 3 form, stops at the initial SHA-256):
+   * K = SHA-256(pw‖salt‖udata), then rounds of AES-256-CBC(K₀₋₁₅,
+   * IV=K₁₆₋₃₁) over 64 repetitions of (pw‖K‖udata), re-hashed with
+   * SHA-256/384/512 chosen by (ΣE₀₋₁₅ mod 3), at least 64 rounds and
+   * until E's last byte ≤ rounds−32. Pure JDK. */
+  private[graft] def hash2B(pw: Array[Byte], salt: Array[Byte],
+                            udata: Array[Byte], r: Int): Array[Byte] = {
+    def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance(alg)
+      parts.foreach(d.update)
+      d.digest()
+    }
+    var k = sha("SHA-256", pw, salt, udata)
+    if (r == 5) return k
+    var rounds = 0
+    var stop = false
+    while (!stop) {
+      val block = pw ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var j = 0
+      while (j < 64) {
+        System.arraycopy(block, 0, k1, j * block.length, block.length)
+        j += 1
+      }
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+        new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+      val e = c.doFinal(k1)
+      val mod = e.take(16).map(b => b & 0xff).sum % 3
+      k = sha(mod match {
+        case 0 => "SHA-256"
+        case 1 => "SHA-384"
+        case _ => "SHA-512"
+      }, e)
+      rounds += 1
+      if (rounds >= 64 && (e.last & 0xff) <= rounds - 32) stop = true
+    }
+    k.take(32)
+  }
+
+  /** AES-CBC with a ZERO IV and no padding — the /UE//OE unwrap mode
+   * (ISO 32000-2 Algorithm 8/9). */
+  private[graft] def aesNoPad(key: Array[Byte], data: Array[Byte],
+                              encryptMode: Boolean): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(if (encryptMode) javax.crypto.Cipher.ENCRYPT_MODE
+      else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+    c.doFinal(data)
   }
 
   /** (objnum, gen) of the object whose `obj` keyword ends at objAt. */
@@ -669,6 +731,28 @@ object Pdf {
     }
     val v = intField("V").getOrElse(0)
     val r = intField("R").getOrElse(0)
+    // V5 (AES-256, ISO 32000-2): the empty user password validates
+    // against /U's hash+salts and /UE unwraps the 32-byte FILE key —
+    // no per-object keys, AESV3 streams decrypt under it directly.
+    // R5 is the deprecated single-SHA-256 form, R6 the full 2.B hash.
+    if (v == 5) {
+      if ((r != 5 && r != 6) || !dict.contains("/AESV3"))
+        return CryptUnsupported
+      val u = strField("U").filter(_.length >= 48)
+        .getOrElse(return CryptUnsupported)
+      val ue = strField("UE").filter(_.length >= 32)
+        .getOrElse(return CryptUnsupported)
+      val vsalt = u.slice(32, 40)
+      val ksalt = u.slice(40, 48)
+      val expect = hash2B(Array.empty, vsalt, Array.empty, r)
+      if (!java.util.Arrays.equals(expect.take(32), u.take(32)))
+        return CryptUnsupported // genuinely non-empty password
+      val inter = hash2B(Array.empty, ksalt, Array.empty, r)
+      val fk = try aesNoPad(inter, ue.take(32), encryptMode = false)
+      catch { case _: java.security.GeneralSecurityException =>
+        return CryptUnsupported }
+      return StdCrypt(fk, aes = true, v5 = true)
+    }
     val p = intField("P").getOrElse(return CryptUnsupported)
     val o = strField("O").getOrElse(return CryptUnsupported)
     val u = strField("U").getOrElse(return CryptUnsupported)
@@ -1106,15 +1190,26 @@ object Pdf {
     (content.toString, (header +: chunks).mkString("\n"))
   }
 
+  /** AES-256 twin of [[fixturePdfEncrypted]] under the standard
+   * handler with EMPTY passwords: r6 = true builds the R6 (full
+   * Algorithm 2.B) form, false the deprecated R5 single-hash form.
+   * /U//UE//O//OE all computed per ISO 32000-2; streams encrypt under
+   * the 32-byte FILE key (AESV3 — no per-object keys). */
+  def fixturePdfEncryptedV5(docId: Long, text: String,
+                            r6: Boolean): Array[Byte] =
+    buildPdf(docId, text, None, v5r = Some(if (r6) 6 else 5))
+
   private def buildPdf(docId: Long, text: String, encrypt: Option[Boolean],
                        cid: Boolean = false,
-                       filterMode: Int = 0): Array[Byte] = {
+                       filterMode: Int = 0,
+                       v5r: Option[Int] = None): Array[Byte] = {
     val (ops, shownAll) = contentOps(docId, text, cid)
     val deflated = deflate(ops.getBytes(ISO_8859_1))
     def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
     // object layout: 1 catalog, 2 pages, 3 page, 4 content, 5 font,
     // [6 encrypt], cid adds [descendant, ToUnicode] after those
-    val descNum = if (encrypt.isDefined) 7 else 6
+    val anyEnc = encrypt.isDefined || v5r.isDefined
+    val descNum = if (anyEnc) 7 else 6
     val toUniNum = descNum + 1
     // handler parameters + per-object payload encryption, when requested
     val encInfo = encrypt.map { aes =>
@@ -1136,10 +1231,34 @@ object Pdf {
             " /StmF /StdCF /StrF /StdCF >> endobj\n"
       (aes, fk, id0, dict)
     }
+    // V5 (AES-256) handler parameters: /U = 2.B hash + salts, /UE the
+    // wrapped file key; /O//OE the owner twins (udata = the U string)
+    val v5Info = v5r.map { r =>
+      val fk = md5(s"graft-fk-$docId".getBytes(ISO_8859_1)) ++
+        md5(s"graft-fk2-$docId".getBytes(ISO_8859_1))
+      val vs = md5(s"graft-vs-$docId".getBytes(ISO_8859_1)).take(8)
+      val ks = md5(s"graft-ks-$docId".getBytes(ISO_8859_1)).take(8)
+      val u = hash2B(Array.empty, vs, Array.empty, r) ++ vs ++ ks
+      val ue = aesNoPad(hash2B(Array.empty, ks, Array.empty, r), fk,
+        encryptMode = true)
+      val ovs = md5(s"graft-ovs-$docId".getBytes(ISO_8859_1)).take(8)
+      val oks = md5(s"graft-oks-$docId".getBytes(ISO_8859_1)).take(8)
+      val o = hash2B(Array.empty, ovs, u, r) ++ ovs ++ oks
+      val oe = aesNoPad(hash2B(Array.empty, oks, u, r), fk,
+        encryptMode = true)
+      val id0 = md5(s"graft-id-$docId".getBytes(ISO_8859_1))
+      def hx(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+      val dict =
+        s"6 0 obj << /Filter /Standard /V 5 /R $r /Length 256 /P -3904" +
+          s" /O <${hx(o)}> /U <${hx(u)}> /OE <${hx(oe)}> /UE <${hx(ue)}>" +
+          " /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>" +
+          " /StmF /StdCF /StrF /StdCF >> endobj\n"
+      (fk, id0, dict)
+    }
     def encPayload(objNum: Int, data: Array[Byte]): Array[Byte] =
-      encInfo match {
-        case None => data
-        case Some((aes, fk, _, _)) =>
+      (encInfo, v5Info) match {
+        case (None, None) => data
+        case (Some((aes, fk, _, _)), _) =>
           val ek = objKey(fk, objNum, 0, aes)
           if (!aes) rc4(ek, data)
           else {
@@ -1150,6 +1269,13 @@ object Pdf {
               new javax.crypto.spec.IvParameterSpec(iv))
             iv ++ c.doFinal(data)
           }
+        case (None, Some((fk, _, _))) => // the FILE key, no object keys
+          val iv = md5(s"graft-iv-$docId-$objNum".getBytes(ISO_8859_1))
+          val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+          c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+            new javax.crypto.spec.SecretKeySpec(fk, "AES"),
+            new javax.crypto.spec.IvParameterSpec(iv))
+          iv ++ c.doFinal(data)
       }
     def streamObj(objNum: Int, payload: Array[Byte],
                   filterSpec: String = "/Filter /FlateDecode"): Array[Byte] =
@@ -1197,7 +1323,8 @@ object Pdf {
         streamObj(4, encPayload(4, cp), cf)
       },
       fontObj.getBytes(ISO_8859_1)
-    ) ++ encInfo.map(_._4.getBytes(ISO_8859_1)).toSeq ++ cidObjs
+    ) ++ encInfo.map(_._4.getBytes(ISO_8859_1)).toSeq ++
+      v5Info.map(_._3.getBytes(ISO_8859_1)).toSeq ++ cidObjs
     val out = new java.io.ByteArrayOutputStream()
     def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
     w("%PDF-1.4\n")
@@ -1210,9 +1337,9 @@ object Pdf {
     w(s"xref\n0 ${objs.length + 1}\n")
     w("0000000000 65535 f \n")
     (1 to objs.length).foreach(k => w(f"${offsets(k)}%010d 00000 n \n"))
-    val encTrailer = encInfo.map { case (_, _, id0, _) =>
-      s" /Encrypt 6 0 R /ID [<${hex(id0)}> <${hex(id0)}>]"
-    }.getOrElse("")
+    val encTrailer = encInfo.map(_._3).orElse(v5Info.map(_._2))
+      .map(id0 => s" /Encrypt 6 0 R /ID [<${hex(id0)}> <${hex(id0)}>]")
+      .getOrElse("")
     w(s"trailer << /Size ${objs.length + 1} /Root 1 0 R$encTrailer >>" +
       s"\nstartxref\n$xrefAt\n%%%%EOF\n")
     out.toByteArray

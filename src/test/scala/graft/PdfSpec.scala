@@ -443,4 +443,45 @@ class PdfSpec extends SparkSpec {
     val badFirst = sdoc.replace(s"/First ", "/First 999999 X")
     Pdf.parse(badFirst.getBytes(ISO_8859_1)) // must not throw
   }
+
+  test("AES-256 (V5): R5 and R6 empty-password round-trips, tamper rejection") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu"
+    val expected = "Doc 7 (pdf) A\n" +
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa\n" +
+      "lambda mu"
+    for (r6 <- Seq(false, true)) {
+      val pdf = Pdf.fixturePdfEncryptedV5(7L, text, r6)
+      val sdoc = new String(pdf, ISO_8859_1)
+      assert(sdoc.contains("/V 5") && sdoc.contains("/AESV3"), s"r6=$r6")
+      assert(sdoc.contains(if (r6) "/R 6" else "/R 5"))
+      assert(!sdoc.contains("alpha beta"), s"r6=$r6 leaked plaintext")
+      val r = Pdf.parse(pdf)
+      assert(r.xrefOk && r.nStreams == 1, s"r6=$r6")
+      assert(r.text == expected, s"r6=$r6 got '${r.text}'")
+      // R5 and R6 derive DIFFERENT hashes from the same salts: the /U
+      // of one must not validate under the other's revision
+      val flipped = sdoc.replace(
+        if (r6) "/R 6" else "/R 5", if (r6) "/R 5" else "/R 6")
+      assert(Pdf.parse(flipped.getBytes(ISO_8859_1)).text == "",
+        s"r6=$r6 cross-revision /U must not validate")
+      // tampered /U hash: validation fails, no text, no garbage
+      val uAt = sdoc.indexOf("/U <") + 4
+      val tampered = sdoc.substring(0, uAt) +
+        (if (sdoc.charAt(uAt) == '0') '1' else '0') + sdoc.substring(uAt + 1)
+      assert(Pdf.parse(tampered.getBytes(ISO_8859_1)).text == "")
+    }
+    // Algorithm 2.B is deterministic and R5 != R6 on identical input
+    val h5 = Pdf.hash2B(Array.empty, Array.fill(8)(1: Byte), Array.empty, 5)
+    val h6 = Pdf.hash2B(Array.empty, Array.fill(8)(1: Byte), Array.empty, 6)
+    assert(h5.length == 32 && h6.length == 32)
+    assert(!java.util.Arrays.equals(h5, h6))
+    assert(java.util.Arrays.equals(h6,
+      Pdf.hash2B(Array.empty, Array.fill(8)(1: Byte), Array.empty, 6)))
+    // V5 without AESV3 (an exotic CFM) stays unsupported
+    val pdf6 = new String(Pdf.fixturePdfEncryptedV5(7L, text, r6 = true),
+      ISO_8859_1)
+    assert(Pdf.parse(pdf6.replace("/AESV3", "/AESXX")
+      .getBytes(ISO_8859_1)).text == "")
+  }
 }
