@@ -77,6 +77,12 @@ object Mp4 {
     }
   }
 
+  /** Version byte of a full box, or -1 when the payload is EMPTY (a
+   * size==0 box at end-of-container yields p == until — reading
+   * bytes(p) there would throw out of the task). */
+  private def verAt(b: Array[Byte], p: Int): Int =
+    if (p >= 0 && p < b.length) b(p) & 0xff else -1
+
   private def divMs(duration: Long, timescale: Long): Long =
     if (timescale <= 0) 0L else duration * 1000L / timescale
 
@@ -89,9 +95,9 @@ object Mp4 {
       case ("ftyp", p, _) => brand = fourcc(bytes, p)
       case ("moov", moovP, moovU) =>
         walk(bytes, moovP, moovU) {
-          case ("mvhd", p, _) if bytes(p) == 0 =>
+          case ("mvhd", p, _) if verAt(bytes, p) == 0 =>
             movieMs = divMs(be32(bytes, p + 16), be32(bytes, p + 12))
-          case ("mvhd", p, _) if bytes(p) == 1 => // 64-bit times (r17)
+          case ("mvhd", p, _) if verAt(bytes, p) == 1 => // 64-bit times (r17)
             movieMs = divMs(be64(bytes, p + 24), be32(bytes, p + 20))
           case ("trak", trakP, trakU) =>
             var trackId = 0L
@@ -100,15 +106,15 @@ object Mp4 {
             var nSamples = 0L
             var trackMs = 0L
             walk(bytes, trakP, trakU) {
-              case ("tkhd", p, _) if bytes(p) == 0 =>
+              case ("tkhd", p, _) if verAt(bytes, p) == 0 =>
                 trackId = be32(bytes, p + 12)
-              case ("tkhd", p, _) if bytes(p) == 1 =>
+              case ("tkhd", p, _) if verAt(bytes, p) == 1 =>
                 trackId = be32(bytes, p + 20)
               case ("mdia", mdiaP, mdiaU) =>
                 walk(bytes, mdiaP, mdiaU) {
-                  case ("mdhd", p, _) if bytes(p) == 0 =>
+                  case ("mdhd", p, _) if verAt(bytes, p) == 0 =>
                     trackMs = divMs(be32(bytes, p + 16), be32(bytes, p + 12))
-                  case ("mdhd", p, _) if bytes(p) == 1 =>
+                  case ("mdhd", p, _) if verAt(bytes, p) == 1 =>
                     trackMs = divMs(be64(bytes, p + 24), be32(bytes, p + 20))
                   case ("hdlr", p, _) =>
                     handler = fourcc(bytes, p + 8)
@@ -176,8 +182,9 @@ object Mp4 {
    * chunk layout moves the bytes but never changes them). One ordered
    * pass over chunks and samples, O(nSamples). Absent stss means every
    * sample is sync (the spec default); `maxKeyframes` bounds the walk
-   * deterministically (first K in sample order). co64 / version-1
-   * boxes are out of subset like the metadata walk.
+   * deterministically (first K in sample order). co64 (64-bit chunk
+   * offsets) is consumed alongside stco (r17); negative or
+   * out-of-file extents are skipped, never emitted.
    */
   def syncSampleRanges(bytes: Array[Byte],
                        maxKeyframes: Int = 64): Seq[(Long, Long)] = {
@@ -303,7 +310,10 @@ object Mp4 {
       var k = 0L
       while (k < perChunk && sample <= nSamples && emitted < maxKeyframes) {
         val sz = sizeOf(sample)
-        if (sync(sample) && sz > 0 &&
+        // off >= 0: stco's be32 can never go negative but co64's be64
+        // can (a crafted high bit) — emitting it would index the array
+        // negatively downstream and throw out of the task
+        if (sync(sample) && sz > 0 && off >= 0 &&
           off + sz <= bytes.length) {
           out += ((off, sz))
           emitted += 1
@@ -357,6 +367,9 @@ object Mp4 {
   private def be(v: Long): Array[Byte] = Array(
     ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
     ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def be8(v: Long): Array[Byte] =
+    be(v >>> 32) ++ be(v & 0xffffffffL)
 
   private def cc(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -413,7 +426,6 @@ object Mp4 {
     val movieDur600 = math.max(nVideo, if (hasAudio) nAudio else 0L) * 24
     def full1(typ: String, payload: Array[Byte]*): Array[Byte] =
       box(typ, (Array[Byte](1, 0, 0, 0) +: payload): _*)
-    def be8(v: Long): Array[Byte] = be(v >>> 32) ++ be(v & 0xffffffffL)
     def trak(trackId: Long, handler: String, codec: String,
              n: Long): Array[Byte] = {
       val sampleEntry = box(codec, be(0), be(0), be(0), be(0))
@@ -490,7 +502,6 @@ object Mp4 {
         samples.flatMap(s => be(s.length)))
       val stsc = full0("stsc", be(stscEntries.length),
         stscEntries.flatMap { case (f, n) => be(f) ++ be(n) ++ be(1) }.toArray)
-      def be8(v: Long): Array[Byte] = be(v >>> 32) ++ be(v & 0xffffffffL)
       val stcoB =
         if (variant == 3)
           full0("co64", be(chunkOffsets.length),
@@ -550,9 +561,7 @@ object Mp4 {
     val moov = buildMoov(chunks.indices.map(posInStorage(_)))
     val mdat =
       if (variant == 3)
-        be(1) ++ cc("mdat") ++
-          (be((16L + mdatPayload.length) >>> 32) ++
-            be((16L + mdatPayload.length) & 0xffffffffL)) ++ mdatPayload
+        be(1) ++ cc("mdat") ++ be8(16L + mdatPayload.length) ++ mdatPayload
       else box("mdat", mdatPayload)
     val tail = if (variant == 2) full0("free", Array.fill(12)(0: Byte))
     else Array.empty[Byte]

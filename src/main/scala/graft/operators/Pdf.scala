@@ -164,6 +164,11 @@ object Pdf {
     // contribute no text rather than mis-decoded garbage.
     val filters = parseFilters(dict)
     if (dict.contains("/Predictor")) return None
+    // a /Filter entry the parser could NOT read (indirect "12 0 R"
+    // spec, oversized array) must DROP the stream like any unsupported
+    // filter — passing raw encoded bytes through would regress the
+    // no-garbage guarantee the pipeline replaced
+    if (dict.contains("/Filter") && filters.isEmpty) return None
     rawOpt.flatMap { raw =>
       filters.foldLeft(Option(raw)) { (acc, f) =>
         acc.flatMap(d => f match {
@@ -642,6 +647,9 @@ object Pdf {
     if (r == 5) return k
     var rounds = 0
     var stop = false
+    // ONE provider lookup for the whole hash (>= 64 rounds) — re-init
+    // per round is still required because key and IV change
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
     while (!stop) {
       val block = pw ++ k ++ udata
       val k1 = new Array[Byte](block.length * 64)
@@ -650,7 +658,6 @@ object Pdf {
         System.arraycopy(block, 0, k1, j * block.length, block.length)
         j += 1
       }
-      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
       c.init(javax.crypto.Cipher.ENCRYPT_MODE,
         new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
         new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))

@@ -130,19 +130,26 @@ object WarcSource {
             case a if a.length >= 2 && a(1).forall(_.isDigit) => a(1).toInt
             case _ => 0
           }
-          // ALL response headers ride along (lowercased names, first
-          // occurrence wins — deterministic under repeats), so
-          // header-level governance (X-Robots-Tag) and future header
-          // consumers need no reparse
+          // ALL response headers ride along (lowercased names); a
+          // REPEATED field joins with ", " — per RFC 9110 repeated
+          // lines are equivalent to the comma-joined list, and
+          // dropping later occurrences would silently ignore a second
+          // "X-Robots-Tag: noindex" (governance-review-caught).
+          // Content-Type keeps its FIRST occurrence (repeats there are
+          // malformed; joining would corrupt the mime routing).
           val hm = scala.collection.mutable.LinkedHashMap.empty[String, String]
+          var firstCt: String = null
           lines.iterator.drop(1).foreach { l =>
             val c = l.indexOf(':')
             if (c > 0) {
               val k = l.substring(0, c).trim.toLowerCase
-              if (!hm.contains(k)) hm(k) = l.substring(c + 1).trim
+              val v = l.substring(c + 1).trim
+              if (k == "content-type" && firstCt == null) firstCt = v
+              hm(k) = hm.get(k).map(_ + ", " + v).getOrElse(v)
             }
           }
-          val ct = hm.get("content-type").orNull
+          if (firstCt != null) hm("content-type") = firstCt
+          val ct = firstCt
           val bb = if (he >= 0)
             java.util.Arrays.copyOfRange(payload, he + 4, payload.length)
           else Array.empty[Byte]

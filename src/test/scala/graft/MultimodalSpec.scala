@@ -473,4 +473,30 @@ class MultimodalSpec extends SparkSpec {
         java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt).toSeq }
     assert(slices(v3) == slices(Mp4.neardupMp4(10L, 0)))
   }
+
+  test("mp4 hardening: negative co64 offsets and size-0 trailing boxes degrade") {
+    import graft.operators.Mp4
+    // flip a co64 entry's high bit: the extent must be SKIPPED (a
+    // negative offset would index the array negatively downstream)
+    val v3 = Mp4.neardupMp4(4L, 3)
+    val s3 = new String(v3, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val co = s3.indexOf("co64")
+    val corrupt = v3.clone()
+    // co64 payload: [version+flags:4][count:4][entries:8 each] from
+    // the fourcc at `co` — the first offset's top byte is co+12
+    corrupt(co + 12) = 0xff.toByte
+    val r = Mp4.syncSampleRanges(corrupt)
+    assert(r.size < Mp4.syncSampleRanges(v3).size, r)
+    r.foreach { case (off, sz) => assert(off >= 0 && off + sz <= corrupt.length) }
+    // a size==0 full box ending exactly at end-of-container: the
+    // version guard must not read past the array
+    def be(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def cc(t: String): Array[Byte] =
+      t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val inner = be(0) ++ cc("mvhd") // size 0 = to end, EMPTY payload
+    val moov = be(8L + inner.length) ++ cc("moov") ++ inner
+    Mp4.parse(moov) // must not throw
+    assert(Mp4.parse(moov).tracks.isEmpty)
+  }
 }

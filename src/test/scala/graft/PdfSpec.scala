@@ -484,4 +484,12 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.parse(pdf6.replace("/AESV3", "/AESXX")
       .getBytes(ISO_8859_1)).text == "")
   }
+
+  test("a /Filter the parser cannot read drops the stream (no raw passthrough)") {
+    // indirect filter spec: legal PDF, out of subset — the stream must
+    // contribute nothing, never its raw encoded bytes
+    val pdf = ("9 0 obj << /Length 14 /Filter 12 0 R >> stream\n" +
+      "BT (raw) Tj ET\nendstream endobj\n").getBytes(ISO_8859_1)
+    assert(Pdf.parse(pdf).text == "")
+  }
 }

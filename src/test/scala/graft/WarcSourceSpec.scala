@@ -342,6 +342,22 @@ class WarcSourceSpec extends SparkSpec {
       org.apache.spark.sql.Row(false, false))
     assert(rows(2).getAs[Map[String, String]]("http_headers")
       .contains("content-type"))
+    // REPEATED header lines join per RFC 9110 list semantics, so a
+    // second X-Robots-Tag still governs (review-caught); Content-Type
+    // keeps its first occurrence
+    val repDir = "/root/repo/target/warc-xr-rep"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(repDir))
+    WarcSource.export(Seq((1L, "r", "X-Robots-Tag: noarchive\r\n" +
+      "X-Robots-Tag: noindex")).toDF("doc_id", "text", "xhdr"),
+      repDir, httpHeaderCol = Some("xhdr"))
+    val rep = WarcSource.records(spark, repDir)
+      .where(col("warc_type") === "response")
+      .select(col("http_headers"),
+        WarcSource.xRobots(col("http_headers")).as("x")).collect()(0)
+    assert(rep.getAs[Map[String, String]]("http_headers")("x-robots-tag") ==
+      "noarchive, noindex")
+    assert(rep.getAs[org.apache.spark.sql.Row]("x") ==
+      org.apache.spark.sql.Row(true, false))
     // non-HTTP records (warcinfo) carry a null header map
     val info = WarcSource.records(spark, dir)
       .where(col("warc_type") === "warcinfo").collect()(0)
