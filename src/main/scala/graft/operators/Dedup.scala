@@ -541,7 +541,11 @@ object Dedup {
         least(col("id_a"), col("id_b")).as("lo"))
         .where(col("hi") =!= col("lo")).distinct())
     var iter = 0
-    var converged = edges.isEmpty
+    // counts tracked in vars: SelfJoinMaterialize already materialized
+    // each frame, so re-counting cached data per round is a pure
+    // scheduling-overhead job this loop doesn't need twice
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
     while (!converged) {
       if (iter >= maxIter)
         throw new IllegalStateException(
@@ -578,12 +582,15 @@ object Dedup {
         cp.sparkSession.createDataFrame(cp.rdd, cp.schema))
       // exact convergence check — both frames are distinct sets, so
       // count-equal + except-empty ⇔ set-equal (a hash-sum shortcut
-      // could collide and terminate EARLY with wrong labels)
-      val same = fresh.count() == edges.count() &&
+      // could collide and terminate EARLY with wrong labels); the
+      // except only runs on count-equal rounds (&&)
+      val freshCount = fresh.count()
+      val same = freshCount == edgeCount &&
         fresh.except(edges).limit(1).count() == 0
       ls.unpersist()
       edges.unpersist()
       edges = fresh
+      edgeCount = freshCount
       converged = same
       iter += 1
     }
