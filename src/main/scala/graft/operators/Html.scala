@@ -146,7 +146,13 @@ object Html {
     "(?is)<" + tag + "\\b(?:\\s*+(?:=\\s*+\"[^\"]*+\"|=\\s*+'[^']*+'" +
       "|=[^\\s>'\"]*+|(?!" + attr + "\\s*+=)[^\\s>'\"=<]++|<)){0,10000}+" +
       "\\s++" + attr + "\\s*+=\\s*+" +
-      "([\"'][^\"'" + valueStops + ">]*+|[^\\s\"'>" + valueStops + "]++)"
+      // quoted alternatives terminate ONLY on the matching quote (plus
+      // valueStops): a legal quoted value may contain '>' or the OTHER
+      // quote char (content="a > 'b', noindex") and truncating there
+      // dropped governance tokens after it (advice-caught). Unquoted
+      // values still stop at whitespace/quote/'>'.
+      "(\"[^\"" + valueStops + "]*+|'[^'" + valueStops + "]*+" +
+      "|[^\\s\"'>" + valueStops + "]++)"
 
   /** Raw `href` targets of every `<a>` tag — quoted (either style) or
    * UNQUOTED (`<a href=/page>`, legal HTML and common on old pages),

@@ -15,17 +15,19 @@ import org.apache.spark.sql.functions._
  * front half of the video family. Hand-rolled in the WARC/WAV/AVI/PDF
  * reader style.
  *
- * Subset (ISO 14496-12, version-0 full boxes — what fixture-grade and
- * most real captures carry):
+ * Subset (ISO 14496-12, version-0 AND version-1 full boxes):
  *   - top-level walk: ftyp / moov / mdat / free recognized, unknown
- *     boxes skipped by size; a box whose size runs past its parent
- *     ends the walk (truncated capture — parse what preceded it);
+ *     boxes skipped by size; `largesize` (size==1 + 64-bit field)
+ *     boxes walked; a box whose size runs past its parent ends the
+ *     walk (truncated capture — parse what preceded it);
  *   - moov → mvhd (movie timescale + duration) and trak* → tkhd
  *     (track id) + mdia → mdhd (media timescale + duration), hdlr
  *     (handler fourcc), minf → stbl → stsd (first sample-entry codec
  *     fourcc) + stsz (sample count);
- *   - version-1 (64-bit) boxes, edit lists, and fragmented mp4 (moof)
- *     are out of subset — fields parse as absent, never wrong.
+ *   - version-1 (64-bit) mvhd/tkhd/mdhd and co64 chunk offsets parse
+ *     exactly (the >4 GB capture shape — p148); edit lists and
+ *     fragmented mp4 (moof) remain out of subset — fields parse as
+ *     absent, never wrong.
  *
  * Output: one row PER TRACK — (id, major_brand, movie_duration_ms,
  * n_tracks, track_id, handler, codec, n_samples, duration_ms), with

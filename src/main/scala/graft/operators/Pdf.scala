@@ -376,14 +376,24 @@ object Pdf {
     } yield e.group(1) -> ((e.group(2).toInt, e.group(3).toInt)))
       .toSeq.distinct
     if (refs.isEmpty) return Map.empty
-    // ONE anchored scan indexes every object header (first occurrence
-    // wins, like findFirstMatchIn did) — the per-ref whole-file regex
-    // scans this replaces were O(fonts × file size) per PDF.
+    // ONE anchored scan indexes every object header (first QUALIFYING
+    // occurrence wins) — the per-ref whole-file regex scans this
+    // replaces were O(fonts × file size) per PDF. Qualifying: the
+    // bytes after the header open a dict (`<<` after optional
+    // whitespace). Compressed/encrypted stream bytes can
+    // coincidentally contain `N G obj` BEFORE the real header
+    // (advice-caught) — every object this index resolves (font dicts,
+    // ToUnicode stream objects) is dict-opened, so a non-dict
+    // candidate is a stream-byte phantom, never the target.
     val objAt: Map[(Int, Int), Int] = {
       val m = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
       ObjHeadAllRe.findAllMatchIn(s).foreach { h =>
         val k = (h.group(1).toInt, h.group(2).toInt)
-        if (!m.contains(k)) m(k) = h.start
+        if (!m.contains(k)) {
+          var i = h.end
+          while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+          if (s.startsWith("<<", i)) m(k) = h.start
+        }
       }
       m.toMap
     }

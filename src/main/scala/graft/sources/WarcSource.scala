@@ -420,14 +420,25 @@ object WarcSource {
    * its comma/space-separated list. Agent-scoped forms
    * ("googlebot: noindex") count as global in our subset (the
    * CONSERVATIVE reading: a directive any agent would honor drops the
-   * content for the corpus too). Exact token match, like metaRobots.
+   * content for the corpus too) — handled by stripping ONE leading
+   * `agentname:` prefix, NOT by admitting ':' as a token separator:
+   * the separator reading made a VALUED directive like
+   * `max-image-preview:none` match the `none` alternative and wrongly
+   * set both flags (advice-caught). The valued directives
+   * (max-snippet / max-image-preview / max-video-preview /
+   * unavailable_after) are excluded from the prefix strip because
+   * their ':' introduces a value, not a directive list. Token
+   * boundaries after the strip are metaRobots' exact `(^|[\s,])`.
    */
   def xRobots(httpHeaders: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     val v = lower(coalesce(
       element_at(httpHeaders, "x-robots-tag"), lit("")))
+    val stripped = regexp_replace(v,
+      "^\\s*(?!max-snippet\\b|max-image-preview\\b|max-video-preview\\b" +
+        "|unavailable_after\\b)[a-z0-9_.*-]++\\s*+:\\s*+", "")
     def has(tok: String): org.apache.spark.sql.Column =
-      v.rlike("(^|[\\s,:])(" + tok + "|none)([\\s,]|$)")
+      stripped.rlike("(^|[\\s,])(" + tok + "|none)([\\s,]|$)")
     struct(has("noindex").as("noindex"), has("nofollow").as("nofollow"))
   }
 

@@ -606,6 +606,13 @@ class HtmlSpec extends SparkSpec {
     // two metas union their directives
     assert(flags("<meta name=robots content=noindex>" +
       "<meta name=robots content=nofollow>") == (true, true))
+    // a legal quoted value may contain '>' or the OTHER quote char —
+    // the attribute walk must not truncate there (advice-caught):
+    // tokens after the '>'/quote still govern
+    assert(flags("<meta name=robots content=\"a > b, noindex\">") ==
+      (true, false))
+    assert(flags("<meta name=robots content=\"it's ok, nofollow\">") ==
+      (false, true))
   }
 
   test("governedLinks: rel=nofollow drops the anchor, either attr order") {

@@ -374,4 +374,26 @@ class WarcSourceSpec extends SparkSpec {
       .where(col("warc_type") === "resource").collect()
     assert(parsed.length == 2) // both parse (length 0), neither throws
   }
+
+  test("xRobots: valued directives never read as separators; agent prefix strips") {
+    // advice-caught: ':' as a token separator made max-image-preview:none
+    // set both flags. Valued directives keep their ':'+value opaque;
+    // ONE leading agentname: prefix (with or without a space) strips.
+    val cases = Seq(
+      ("max-image-preview:none", false, false),
+      ("max-snippet:0, noindex", true, false),
+      ("max-video-preview:-1, nofollow", false, true),
+      ("unavailable_after: 25 Jun 2026 15:00:00 PST", false, false),
+      ("googlebot:noindex", true, false), // no space after agent ':'
+      ("googlebot: none", true, true),
+      ("otherbot: nofollow, noarchive", false, true),
+      ("noindex", true, false),
+      ("none", true, true))
+    val got = cases.map(_._1).toDF("v")
+      .select(col("v"), WarcSource.xRobots(
+        map(lit("x-robots-tag"), col("v"))).as("x"))
+      .collect().map(r => (r.getString(0),
+        r.getStruct(1).getBoolean(0), r.getStruct(1).getBoolean(1)))
+    assert(got.toSeq == cases, got.toSeq)
+  }
 }
