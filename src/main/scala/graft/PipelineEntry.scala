@@ -2218,6 +2218,42 @@ object PipelineEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // P150 — HTTP transport decoding through the WARC front door:
+    // real captured HTTP/1.1 responses routinely carry
+    // Transfer-Encoding: chunked framing and Content-Encoding:
+    // gzip/deflate bodies; without the decode, extracted "text" is
+    // hex chunk-size lines or gzip bytes, inherited by every
+    // downstream HTML consumer (p92/p127/p137/p143). The fixture
+    // cycles doc_id % 5 through identity / chunked / gzip / deflate /
+    // chunked+gzip (gzip inside, chunked outside — the order a server
+    // applies them), round-trips through export, and md5(body) must
+    // equal md5(text) on EVERY lane: the writer's 7-byte chunks force
+    // boundaries inside multi-byte UTF-8 sequences, so any framing
+    // slip diverges the hash. Scale shape inherits p85's: one task
+    // per segment file, decode happens where the bytes land, nothing
+    // shuffles.
+    "p150_http_decode" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      val out = s"/root/repo/target/warc-transport-${dir.replaceAll("[^0-9.]", "")}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val in = docs(s, dir).select(col("doc_id"), col("text"),
+        element_at(array(lit(""), lit("chunked"), lit("gzip"),
+            lit("deflate"), lit("chunked+gzip")),
+          (col("doc_id") % 5 + 1).cast("int")).as("enc"))
+      WarcSource.export(in, out, docsPerFile = 100,
+        transportCol = Some("enc"))
+      WarcSource.records(s, out)
+        .where(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          (regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long") % 5).as("lane"),
+          col("status").cast("long").as("status"),
+          md5(col("body")).as("body_md5"))
+        .orderBy("doc_id")
+    }),
+
     // P112 — DPO/RLHF preference-pair construction: per prompt group
     // of scored candidates, (chosen, rejected) = (best, worst) with
     // deterministic tie-breaks, in ONE hash aggregation (max_by/min_by
@@ -5192,6 +5228,17 @@ FROM b ORDER BY doc_id""",
     "p85_warc_ingest" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
 SELECT doc_id, 200::BIGINT AS status, md5(text) AS body_md5
+FROM documents ORDER BY doc_id""",
+
+    // p150: same closed form as p85 — the transport lanes (chunked /
+    // gzip / deflate / chunked+gzip from doc_id % 5) must be
+    // INVISIBLE in the recovered text, so the oracle is exactly the
+    // undecorated document table; any lane whose decode slips
+    // diverges md5(text) for a fifth of the rows.
+    "p150_http_decode" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT doc_id, doc_id % 5 AS lane, 200::BIGINT AS status,
+       md5(text) AS body_md5
 FROM documents ORDER BY doc_id""",
 
     // p87: the oracle rebuilds v2 from the same fixture rules and

@@ -114,7 +114,7 @@ object WarcSource {
       // binary bodies), then decode only the header block as text.
       val isHttp = payload.length >= 5 &&
         new String(payload, 0, 5, "US-ASCII") == "HTTP/"
-      val (status, httpCt, bodyBytes, httpHeaders) =
+      val (status, httpCt, bodyBytes, httpHeaders, decodedOk) =
         if (isHttp) {
           var he = -1
           var i = 0
@@ -150,15 +150,24 @@ object WarcSource {
           }
           if (firstCt != null) hm("content-type") = firstCt
           val ct = firstCt
-          val bb = if (he >= 0)
+          val raw = if (he >= 0)
             java.util.Arrays.copyOfRange(payload, he + 4, payload.length)
           else Array.empty[Byte]
-          (st, ct, bb, hm.toMap)
-        } else (0, null: String, payload, null: Map[String, String])
+          // Transport decode (real captures routinely carry chunked
+          // framing and gzip/deflate bodies — without this, extracted
+          // "text" is hex chunk-size lines or gzip bytes, inherited by
+          // every downstream HTML consumer): undo Transfer-Encoding
+          // (outermost) then Content-Encoding. A coding we cannot
+          // decode (br, zstd, corrupt stream) degrades — raw bytes
+          // kept, text decode suppressed — never throws.
+          val (bb, decOk) = decodeTransport(raw, hm)
+          (st, ct, bb, hm.toMap, decOk)
+        } else (0, null: String, payload, null: Map[String, String], true)
       val contentType =
         if (isHttp) httpCt else headers.getOrElse("content-type", null)
       val body =
-        if (isTextType(contentType)) new String(bodyBytes, "UTF-8") else null
+        if (decodedOk && isTextType(contentType))
+          new String(bodyBytes, "UTF-8") else null
       out += WarcRecord(file, warcType, recId, uri, status, contentType,
         body, bodyBytes, headers.getOrElse("warc-refers-to", null),
         headers.getOrElse("warc-payload-digest", null), httpHeaders)
@@ -174,6 +183,145 @@ object WarcSource {
     var n = in.read(buf)
     while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
     out.toByteArray
+  }
+
+  // ------------------------------------- HTTP transport decoding (P150)
+
+  /** De-frame an RFC 9112 chunked body: hex-size lines (chunk
+   * extensions after ';' ignored), chunk data, terminated by the
+   * 0-chunk; OPTIONAL trailer header lines after the 0-chunk are
+   * consumed, never leaked into the body. None on any malformed
+   * framing (bad hex, missing CRLF, truncated chunk) — the caller
+   * degrades to the raw bytes. Bytes after the trailer are ignored
+   * (the WARC Content-Length already bounded the payload). */
+  private[graft] def dechunk(b: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    def line(): String = { // up to CRLF; null when none remains
+      var e = i
+      while (e + 1 < b.length && !(b(e) == '\r' && b(e + 1) == '\n')) e += 1
+      if (e + 1 >= b.length) null
+      else { val s = new String(b, i, e - i, "US-ASCII"); i = e + 2; s }
+    }
+    while (true) {
+      val l = line()
+      if (l == null) return None
+      val hex = l.indexOf(';') match { // chunk extensions are legal noise
+        case -1 => l.trim
+        case c => l.substring(0, c).trim
+      }
+      // bounded digits: an absurd size must fail to PARSE, never
+      // overflow toInt (same policy as the WARC Content-Length guard)
+      if (hex.isEmpty || hex.length > 8 ||
+        !hex.forall(c => Character.digit(c, 16) >= 0)) return None
+      val size = java.lang.Long.parseLong(hex, 16)
+      if (size == 0) {
+        // trailer section: header lines until the blank line (or end —
+        // lenient on a writer that omits the final CRLF)
+        var t = line()
+        while (t != null && t.nonEmpty) t = line()
+        return Some(out.toByteArray)
+      }
+      if (i + size > b.length) return None // truncated capture
+      out.write(b, i, size.toInt)
+      i += size.toInt
+      // chunk data must be CRLF-terminated
+      if (i + 1 >= b.length || b(i) != '\r' || b(i + 1) != '\n') return None
+      i += 2
+    }
+    None // unreachable
+  }
+
+  private def inflate(b: Array[Byte], rawDeflate: Boolean): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(rawDeflate)
+    try {
+      inf.setInput(b)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          throw new java.util.zip.DataFormatException("truncated deflate")
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  /** Undo ONE content/transfer coding. `deflate` is zlib-wrapped per
+   * RFC 9110 but plenty of real servers send raw-deflate under the
+   * same name — try zlib first, fall back to raw. None = unknown
+   * coding (br, zstd, ...) or corrupt stream. */
+  private def decodeCoding(b: Array[Byte], tok: String): Option[Array[Byte]] =
+    tok match {
+      case "chunked" => dechunk(b)
+      case "gzip" | "x-gzip" =>
+        try Some(gunzip(b)) catch { case _: Exception => None }
+      case "deflate" =>
+        try Some(inflate(b, rawDeflate = false)) catch {
+          case _: Exception =>
+            try Some(inflate(b, rawDeflate = true)) catch {
+              case _: Exception => None
+            }
+        }
+      case _ => None
+    }
+
+  /** Undo the response's transport: Transfer-Encoding codings
+   * (outermost — undone in reverse of their application order, so
+   * `gzip, chunked` de-chunks THEN gunzips), then Content-Encoding
+   * codings likewise. Returns (bytes, ok); ok = false means a coding
+   * could not be decoded — the ORIGINAL bytes come back and the
+   * caller suppresses the text decode (mojibake must not enter the
+   * corpus as "text"). */
+  private[graft] def decodeTransport(body: Array[Byte],
+      hm: scala.collection.Map[String, String]): (Array[Byte], Boolean) = {
+    def toks(h: String): List[String] = hm.get(h).iterator
+      .flatMap(_.split(",")).map(_.trim.toLowerCase)
+      .filter(t => t.nonEmpty && t != "identity").toList
+    val codings = toks("transfer-encoding").reverse ++
+      toks("content-encoding").reverse
+    if (codings.isEmpty) return (body, true)
+    var cur = body
+    val it = codings.iterator
+    while (it.hasNext) {
+      decodeCoding(cur, it.next()) match {
+        case Some(d) => cur = d
+        case None => return (body, false)
+      }
+    }
+    (cur, true)
+  }
+
+  // writer-side twins (fixture/export transport framing)
+  private def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(o)
+    g.write(b); g.close(); o.toByteArray
+  }
+  private def zlibBytes(b: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    val d = new java.util.zip.DeflaterOutputStream(o) // zlib per RFC 9110
+    d.write(b); d.close(); o.toByteArray
+  }
+  /** Chunk-frame a body: small chunks (7 bytes — forces boundaries
+   * inside multi-byte UTF-8 sequences, the case a decoder must not
+   * corrupt), a chunk extension on the first chunk, and a trailer
+   * header after the 0-chunk — the three framing features a lenient
+   * reader skips and a naive one leaks into the body. */
+  private[graft] def chunkify(b: Array[Byte], chunk: Int = 7): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    var i = 0
+    var first = true
+    while (i < b.length) {
+      val n = math.min(chunk, b.length - i)
+      val ext = if (first) ";graft=1" else ""
+      o.write(s"${n.toHexString}$ext\r\n".getBytes("US-ASCII"))
+      o.write(b, i, n); o.write(Crlf)
+      i += n; first = false
+    }
+    o.write("0\r\nX-Graft-Trailer: end\r\n\r\n".getBytes("US-ASCII"))
+    o.toByteArray
   }
 
   /**
@@ -507,13 +655,20 @@ object WarcSource {
    * `WARC-Payload-Digest: sha256:<hex>` of the body it did NOT store,
    * HTTP headers only as payload — the crawl-time dedup pointer real
    * CC segments carry for re-crawled pages. */
+  /** `transportCol` names a per-doc transport spec for RESPONSE
+   * records — any of `chunked`, `gzip`, `deflate`, or `chunked+gzip`
+   * (gzip applied first, chunked outermost, exactly the layering a
+   * real server emits); empty/null = identity. The writer stamps the
+   * matching Transfer-Encoding / Content-Encoding headers, so a
+   * round-trip through [[records]] proves the transport decode. */
   def export(docs: DataFrame, dir: String, docsPerFile: Int = 100,
              idCol: String = "doc_id", textCol: String = "text",
              urlCol: Option[String] = None, wet: Boolean = false,
              bytesCol: Option[String] = None,
              mime: String = "text/plain; charset=utf-8",
              revisitEvery: Int = 0,
-             httpHeaderCol: Option[String] = None): Unit = {
+             httpHeaderCol: Option[String] = None,
+             transportCol: Option[String] = None): Unit = {
     require(bytesCol.isEmpty || !wet, "binary payloads need HTTP framing")
     require(revisitEvery == 0 || !wet, "revisit records are response-side")
     // binary + revisit composes cleanly: the planted digest hashes the
@@ -528,9 +683,11 @@ object WarcSource {
     // ("X-Robots-Tag: noindex"), spliced verbatim into the head block
     val extraHdr = httpHeaderCol.map(col(_).cast("string"))
       .getOrElse(lit("")).as("xhdr")
+    val transport = transportCol.map(col(_).cast("string"))
+      .getOrElse(lit("")).as("transport")
     val shards = docs.select(col(idCol).cast("long").as("id"),
         payloadExpr.as("payload"), urlExpr.cast("string").as("url"),
-        extraHdr)
+        extraHdr, transport)
       .repartition(expr(s"id DIV $docsPerFile"))
     shards.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       // one FILE per shard key — the repartition only spreads work; two
@@ -560,8 +717,21 @@ object WarcSource {
           else {
             val xh = Option(r.getString(3)).filter(_.nonEmpty)
               .map(_ + "\r\n").getOrElse("")
+            // transport spec: content coding INSIDE, chunked OUTSIDE —
+            // the application order a real server uses (CE then TE)
+            val enc = Option(r.getString(4)).getOrElse("")
+            var pay = body
+            val th = new StringBuilder
+            if (enc.contains("gzip")) {
+              pay = gzipBytes(pay); th ++= "Content-Encoding: gzip\r\n"
+            } else if (enc.contains("deflate")) {
+              pay = zlibBytes(pay); th ++= "Content-Encoding: deflate\r\n"
+            }
+            if (enc.contains("chunked")) {
+              pay = chunkify(pay); th ++= "Transfer-Encoding: chunked\r\n"
+            }
             val http = ("HTTP/1.1 200 OK\r\n" +
-              s"Content-Type: $mime\r\n$xh\r\n").getBytes("UTF-8") ++ body
+              s"Content-Type: $mime\r\n$xh$th\r\n").getBytes("UTF-8") ++ pay
             record(Seq("WARC-Type" -> "response",
               "WARC-Target-URI" -> r.getString(2),
               "WARC-Record-ID" -> s"<urn:graft:doc:$id>",

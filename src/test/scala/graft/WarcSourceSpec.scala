@@ -375,6 +375,84 @@ class WarcSourceSpec extends SparkSpec {
     assert(parsed.length == 2) // both parse (length 0), neither throws
   }
 
+  test("HTTP transport decode: chunked framing, gzip/deflate bodies, degradation") {
+    val dir = "/root/repo/target/warc-transport-unit"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // multi-byte UTF-8 (2-, 3-, 4-byte sequences) + length > several
+    // chunks, so the 7-byte chunk boundaries fall INSIDE sequences
+    val txt = "transport body é € 𝄞 and a tail that spans chunks"
+    val docs = Seq(
+      (1L, txt, ""), (2L, txt, "chunked"), (3L, txt, "gzip"),
+      (4L, txt, "deflate"), (5L, txt, "chunked+gzip")
+    ).toDF("doc_id", "text", "enc")
+    WarcSource.export(docs, dir, transportCol = Some("enc"))
+    val rows = WarcSource.records(spark, dir)
+      .where(col("warc_type") === "response")
+      .orderBy("record_id").collect()
+    assert(rows.length == 5)
+    rows.foreach { r => assert(r.getAs[String]("body") == txt, r) }
+    // the declared framing really was on the wire (headers survive)
+    val h = rows.map(_.getAs[Map[String, String]]("http_headers"))
+    assert(!h(0).contains("transfer-encoding") && !h(0).contains("content-encoding"))
+    assert(h(1)("transfer-encoding") == "chunked")
+    assert(h(2)("content-encoding") == "gzip")
+    assert(h(3)("content-encoding") == "deflate")
+    assert(h(4)("transfer-encoding") == "chunked" &&
+      h(4)("content-encoding") == "gzip")
+    // body_bytes carries the DECODED payload (downstream binary
+    // consumers must see content, not framing)
+    assert(new String(rows(4).getAs[Array[Byte]]("body_bytes"), "UTF-8") == txt)
+
+    // dechunk units: chunk extension skipped, trailer consumed,
+    // malformed/truncated framing degrades to None
+    def dc(s: String) = WarcSource.dechunk(s.getBytes("UTF-8"))
+      .map(new String(_, "UTF-8"))
+    assert(dc("3;x=y\r\nabc\r\n0\r\nX-T: v\r\n\r\n") == Some("abc"))
+    assert(dc("3\r\nabc\r\n0\r\n\r\n") == Some("abc"))
+    assert(dc("3\r\nabc\r\n0\r\n") == Some("abc")) // lenient: EOF at trailer
+    assert(dc("zz\r\nabc\r\n0\r\n\r\n") == None)   // bad hex
+    assert(dc("5\r\nab") == None)                  // truncated chunk
+    assert(dc("3\r\nabcXY0\r\n\r\n") == None)      // missing data CRLF
+    assert(dc("") == None)
+
+    // unknown coding (br) degrades: raw bytes kept, text decode
+    // suppressed — mojibake never enters the corpus as "text"
+    val raw = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:x:1>\r\nWARC-Target-URI: https://x/1\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      "Content-Length: 73\r\n\r\n" +
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Content-Encoding: br\r\n\r\nBRBYTES\r\n\r\n").getBytes("UTF-8")
+    val f = new java.io.File(dir, "seg-junk.warc")
+    java.nio.file.Files.write(f.toPath, raw)
+    val junk = WarcSource.records(spark, dir)
+      .where(col("record_id") === "<urn:x:1>").collect()(0)
+    assert(junk.getAs[String]("body") == null)
+    assert(new String(junk.getAs[Array[Byte]]("body_bytes"), "UTF-8") == "BRBYTES")
+  }
+
+  test("transport decode composes with HTML consumers (p92/p127 shape)") {
+    val dir = "/root/repo/target/warc-transport-html"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val html = "<html><head><title>T1</title>" +
+      "<meta name=robots content=\"noindex\"></head>" +
+      "<body><p>Long enough paragraph of real prose content here.</p>" +
+      "<a href=\"/next\">next</a></body></html>"
+    val docs = Seq((1L, html, "chunked+gzip"), (2L, html, "deflate"))
+      .toDF("doc_id", "text", "enc")
+    WarcSource.export(docs, dir, transportCol = Some("enc"),
+      mime = "text/html")
+    val recs = WarcSource.records(spark, dir)
+      .where(col("warc_type") === "response")
+    val got = recs.select(
+      graft.operators.Html.metaRobots(col("body")).getField("noindex").as("ni"),
+      graft.operators.Html.extractLinks(col("body")).as("links")).collect()
+    got.foreach { r =>
+      assert(r.getBoolean(0), r)
+      assert(r.getSeq[String](1) == Seq("/next"), r)
+    }
+  }
+
   test("xRobots: valued directives never read as separators; agent prefix strips") {
     // advice-caught: ':' as a token separator made max-image-preview:none
     // set both flags. Valued directives keep their ':'+value opaque;
