@@ -2611,6 +2611,29 @@ object PipelineEntry {
       Pdf.extractTexts(pdfs).orderBy("id")
     }),
 
+    // P151 — PDF stream predictors (the r17 verdict's #2: real
+    // tool-generated PDFs almost universally write their ObjStm and
+    // XRef streams with PNG Predictor 12): quarters of the corpus
+    // ride (0) a PNG-predicted content stream whose per-row tags
+    // cycle all five PNG filters, (1) TIFF /Predictor 2 horizontal
+    // differencing, (2) a PNG predictor UNDER an ASCIIHex cascade
+    // with array-aligned /DecodeParms [null <<...>>], and (3) the
+    // real-world twin — a PNG-Predictor-12 /ObjStm holding the page
+    // and font dicts, so un-prediction must run inside the ObjStm
+    // expansion for ANY text to come out. Oracle: the closed-form
+    // re-typeset per lane ((pdf) classic / (cid) ObjStm).
+    "p151_pdf_predictor" -> ((s, dir) => {
+      import s.implicits._
+      val pdfs = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, if (id % 4 == 3) Pdf.fixturePdfCidObjStm(id, t, predictor = true)
+               else Pdf.fixturePdfPredictor(id, t, (id % 4).toInt))
+        })
+        .toDF("id", "payload")
+      Pdf.extractTexts(pdfs).orderBy("id")
+    }),
+
     // P125 — crawl-frontier scheduling (discovery → fetch plan): p122's
     // parsed urlset entries become per-host politeness queues ordered
     // by (priority desc, lastmod desc nulls last, loc), queue position
@@ -5944,6 +5967,31 @@ e AS (SELECT doc_id,
           chr(10)) AS text
       FROM w)
 SELECT doc_id AS id, TRUE AS xref_ok, 3::BIGINT AS n_streams,
+  length(text)::BIGINT AS n_chars, text
+FROM e ORDER BY id""",
+
+    // p151: the closed-form re-typeset per predictor lane — classic
+    // layout for the three content-stream predictor shapes (doc_id %
+    // 4 in 0..2, header "(pdf)", 1 stream), the CID/ObjStm layout for
+    // the predicted object stream (lane 3, header "(cid)", 3
+    // streams). The SQL never sees a predictor, a row tag, or an
+    // ObjStm: any un-prediction slip yields no text (or garbage) and
+    // kills the match on a quarter of the rows.
+    "p151_pdf_predictor" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+w AS (SELECT doc_id, list_filter(
+        string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+e AS (SELECT doc_id,
+        'Doc ' || doc_id ||
+          CASE WHEN doc_id % 4 = 3 THEN ' (cid) A' ELSE ' (pdf) A' END ||
+          chr(10) || array_to_string(
+          [array_to_string(toks[k*10+1 : k*10+10], ' ')
+           for k in range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))],
+          chr(10)) AS text
+      FROM w)
+SELECT doc_id AS id, TRUE AS xref_ok,
+  (CASE WHEN doc_id % 4 = 3 THEN 3 ELSE 1 END)::BIGINT AS n_streams,
   length(text)::BIGINT AS n_chars, text
 FROM e ORDER BY id""",
 

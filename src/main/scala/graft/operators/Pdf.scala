@@ -159,23 +159,37 @@ object Pdf {
     // filter PIPELINE (r17): /Filter names apply in array order after
     // decryption — ASCIIHex / ASCII85 transport encodings cascade into
     // Flate the way real tool-generated PDFs write them. Predictors
-    // (/DecodeParms /Predictor) and the remaining filter classes
-    // (LZW/DCT/RunLength/...) stay out of subset: their streams
-    // contribute no text rather than mis-decoded garbage.
+    // (r18): a /DecodeParms /Predictor un-predicts the OUTPUT of its
+    // filter — PNG row filters (10-15: per-row tag, all five types)
+    // and TIFF horizontal differencing (2), the shapes real writers
+    // almost universally stamp on ObjStm and XRef streams (PNG
+    // Predictor 12). Remaining filter classes (LZW/DCT/RunLength/...)
+    // stay out of subset: their streams contribute no text rather
+    // than mis-decoded garbage.
     val filters = parseFilters(dict)
-    if (dict.contains("/Predictor")) return None
     // a /Filter entry the parser could NOT read (indirect "12 0 R"
     // spec, oversized array) must DROP the stream like any unsupported
     // filter — passing raw encoded bytes through would regress the
     // no-garbage guarantee the pipeline replaced
     if (dict.contains("/Filter") && filters.isEmpty) return None
+    val parms = parseDecodeParms(dict, filters.length) match {
+      case Some(ps) => ps
+      case None => return None // unreadable parms shape
+    }
+    // safety net: a /Predictor the parse did NOT surface (indirect
+    // ref, nested shape) must drop the stream, never decode raw
+    if (dict.contains("/Predictor") &&
+      !parms.exists(_.exists(_.predictor > 1))) return None
     rawOpt.flatMap { raw =>
-      filters.foldLeft(Option(raw)) { (acc, f) =>
+      filters.zip(parms).foldLeft(Option(raw)) { case (acc, (f, pm)) =>
         acc.flatMap(d => f match {
           case "FlateDecode" | "Fl" => inflate(d)
           case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
           case "ASCII85Decode" | "A85" => ascii85Decode(d)
           case _ => None
+        }).flatMap(d => pm match {
+          case Some(p) if p.predictor > 1 => unpredict(d, p)
+          case _ => Some(d)
         })
       }
     }
@@ -191,6 +205,151 @@ object Pdf {
     }
   private val FilterRe = """/Filter\s*(\[[^\]]{0,500}+\]|/[A-Za-z0-9]+)""".r
   private val FilterNameRe = """/([A-Za-z0-9]+)""".r
+
+  /** Predictor parameters of one /DecodeParms entry (ISO 32000-1
+   * Table 8 — LZW/Flate extra parameters). */
+  private[graft] final case class PredParms(predictor: Int, colors: Int,
+                                            bpc: Int, columns: Int)
+
+  /** /DecodeParms (or /DP) entries ALIGNED to the filter list: a flat
+   * dict pairs with a single filter, an array pairs by position
+   * (`null` = no parms for that filter). None = a shape the subset
+   * cannot read safely (bare dict on a cascade, a predictor'd entry
+   * past the filter list, parms on an unfiltered stream) — the caller
+   * drops the stream rather than decode without un-predicting. */
+  private def parseDecodeParms(dict: String, nFilters: Int)
+      : Option[Seq[Option[PredParms]]] = {
+    val none: Seq[Option[PredParms]] = Seq.fill(nFilters)(None)
+    ParmsRe.findFirstMatchIn(dict) match {
+      case None => Some(none)
+      case Some(m) =>
+        val tok = m.group(1)
+        val hasPred = tok.contains("/Predictor")
+        if (tok.startsWith("<<")) {
+          if (!hasPred) Some(none)
+          else if (nFilters != 1) None
+          else parseParmsDict(tok).map(p => Seq(Some(p)))
+        } else { // array of null | <<...>> in filter order
+          val entries = ParmsEntryRe.findAllMatchIn(tok)
+            .map(_.group(0)).toSeq
+          if (entries.drop(nFilters).exists(_.contains("/Predictor")))
+            return None // predictor'd entry with no filter to attach to
+          val aligned = (0 until nFilters).map { i =>
+            entries.lift(i).filter(_.startsWith("<<"))
+          }
+          // sequence: any present-but-unreadable predictor dict → None
+          aligned.foldLeft(Option(Seq.empty[Option[PredParms]])) {
+            (acc, e) => acc.flatMap { seq =>
+              e match {
+                case None => Some(seq :+ None)
+                case Some(d) if !d.contains("/Predictor") =>
+                  Some(seq :+ None)
+                case Some(d) => parseParmsDict(d).map(p => seq :+ Some(p))
+              }
+            }
+          }
+        }
+    }
+  }
+  private def parseParmsDict(d: String): Option[PredParms] =
+    for {
+      pm <- PredValRe.findFirstMatchIn(d)
+      colors <- intOf(d, "Colors", 1)
+      bpc <- intOf(d, "BitsPerComponent", 8)
+      cols <- intOf(d, "Columns", 1)
+    } yield PredParms(pm.group(1).toInt, colors, bpc, cols)
+  // the `(?!\s+\d+\s+R)` lookaheads reject INDIRECT values
+  // ("/Predictor 12 0 R" references object 12, it is not the literal
+  // 12); a field that is PRESENT but unreadable (indirect, non-digit)
+  // yields None — the whole parms dict then reads as unreadable and
+  // the stream drops, because decoding with a default-guessed geometry
+  // would emit garbage, not text
+  private def intOf(d: String, name: String, dflt: Int): Option[Int] = {
+    val lit = ("/" + name + """\s+(\d{1,7})\b(?!\s+\d+\s+R\b)""").r
+    lit.findFirstMatchIn(d) match {
+      case Some(m) => Some(m.group(1).toInt)
+      case None =>
+        if (("/" + name + "\\b").r.findFirstIn(d).isDefined) None
+        else Some(dflt)
+    }
+  }
+  private val ParmsRe =
+    """/(?:DecodeParms|DP)\s*(\[[^\]]{0,1000}+\]|<<[^<>]{0,500}+>>)""".r
+  private val ParmsEntryRe = """null|<<[^<>]{0,500}+>>""".r
+  private val PredValRe = """/Predictor\s+(\d{1,3})\b(?!\s+\d+\s+R\b)""".r
+
+  /** Undo a stream predictor on filter OUTPUT (ISO 32000-1 §7.4.4.4):
+   * PNG row filters (predictor >= 10 — the VALUE only declares the
+   * family; each row's leading tag byte picks None/Sub/Up/Average/
+   * Paeth) and TIFF horizontal differencing (predictor 2, 8-bit
+   * components). A final partial row decodes as far as the data
+   * reaches (lenient, matching real readers); an unknown predictor
+   * value, unknown PNG tag, or absurd geometry returns None — the
+   * stream drops rather than mis-decodes. */
+  private[graft] def unpredict(data: Array[Byte],
+                               p: PredParms): Option[Array[Byte]] = {
+    val bits = p.colors.toLong * p.bpc * p.columns
+    if (p.colors < 1 || p.columns < 1 ||
+      !Seq(1, 2, 4, 8, 16).contains(p.bpc) || bits > (1L << 30)) return None
+    val rowBytes = ((bits + 7) / 8).toInt
+    val bpp = math.max(1, p.colors * p.bpc / 8)
+    p.predictor match {
+      case 1 => Some(data)
+      case 2 =>
+        if (p.bpc != 8) return None // sub-byte differencing: out of subset
+        val out = data.clone()
+        var r = 0
+        while (r < out.length) {
+          val end = math.min(r + rowBytes, out.length)
+          var i = r + bpp
+          while (i < end) {
+            out(i) = (out(i) + out(i - bpp)).toByte; i += 1
+          }
+          r += rowBytes
+        }
+        Some(out)
+      case pr if pr >= 10 && pr <= 15 =>
+        val out = new java.io.ByteArrayOutputStream(data.length)
+        val prev = new Array[Int](rowBytes)
+        val cur = new Array[Int](rowBytes)
+        var i = 0
+        while (i < data.length) {
+          val tag = data(i) & 0xff
+          i += 1
+          val n = math.min(rowBytes, data.length - i)
+          if (n == 0) return None // tag byte with no row data
+          var j = 0
+          while (j < n) {
+            val x = data(i + j) & 0xff
+            val a = if (j >= bpp) cur(j - bpp) else 0
+            val b = prev(j)
+            val c = if (j >= bpp) prev(j - bpp) else 0
+            val v = tag match {
+              case 0 => x
+              case 1 => x + a
+              case 2 => x + b
+              case 3 => x + (a + b) / 2
+              case 4 =>
+                val pp = a + b - c
+                val pa = math.abs(pp - a)
+                val pb = math.abs(pp - b)
+                val pc = math.abs(pp - c)
+                x + (if (pa <= pb && pa <= pc) a
+                     else if (pb <= pc) b else c)
+              case _ => return None // unknown PNG filter tag
+            }
+            cur(j) = v & 0xff
+            j += 1
+          }
+          var k = 0
+          while (k < n) { out.write(cur(k)); k += 1 }
+          System.arraycopy(cur, 0, prev, 0, rowBytes)
+          i += n
+        }
+        Some(out.toByteArray)
+      case _ => None
+    }
+  }
 
   /** ASCIIHexDecode (ISO 32000-1 §7.4.2): hex pairs, whitespace
    * ignored, `>` ends data, odd final digit pads with 0. None on any
@@ -1067,14 +1226,32 @@ object Pdf {
                          encrypt: Option[Boolean] = None): Array[Byte] =
     buildPdf(docId, text, encrypt, cid = false, filterMode = filterMode)
 
+  /** Predictor twin of [[fixturePdf]] (r18): the content stream's
+   * Flate output is PREDICTED — `mode` 0 = PNG /Predictor 12 with
+   * per-row tags cycling all five PNG filters, 1 = TIFF /Predictor 2
+   * horizontal differencing, 2 = PNG predictor UNDER an ASCIIHex
+   * transport cascade with array-aligned /DecodeParms
+   * `[null << ... >>]` — the three parameter shapes real writers
+   * emit. Same closed-form text as [[fixturePdf]]. */
+  def fixturePdfPredictor(docId: Long, text: String,
+                          mode: Int): Array[Byte] =
+    buildPdf(docId, text, encrypt = None, cid = false,
+      filterMode = 3 + (mode % 3))
+
   /** PDF 1.5-style twin of [[fixturePdfCid]]: the PAGE dict (with its
    * /Resources /Font map), the Type0 font, and the CIDFontType2
    * descendant all live inside a Flate /ObjStm — nothing about the
    * fonts is visible in the raw bytes — while the content stream and
    * the ToUnicode CMap stream stay file-level (content streams cannot
    * live in object streams per spec). Extraction works ONLY if ObjStm
-   * expansion feeds both the /Font discovery and the dict lookups. */
-  def fixturePdfCidObjStm(docId: Long, text: String): Array[Byte] = {
+   * expansion feeds both the /Font discovery and the dict lookups.
+   * `predictor = true` additionally PNG-predicts the ObjStm stream
+   * (/Predictor 12 — how post-2005 writers near-universally emit
+   * their object and xref streams; the r17 verdict's real-world
+   * twin): font resolution then works only if un-prediction runs
+   * inside the ObjStm decode path. */
+  def fixturePdfCidObjStm(docId: Long, text: String,
+                          predictor: Boolean = false): Array[Byte] = {
     val (ops, shownAll) = contentOps(docId, text, cid = true)
     val content = deflate(ops.getBytes(ISO_8859_1))
     val cmap = deflate(fixtureCMap(shownAll).getBytes(ISO_8859_1))
@@ -1094,7 +1271,13 @@ object Pdf {
     val header = bodies.map(_._1).zip(offsets)
       .map { case (n, o) => s"$n $o" }.mkString(" ")
     val first = header.length + 1
-    val stmPayload = deflate((header + "\n" + joined).getBytes(ISO_8859_1))
+    val stmRaw = (header + "\n" + joined).getBytes(ISO_8859_1)
+    val stmPayload =
+      if (predictor) deflate(pngPredictEncode(stmRaw, 16))
+      else deflate(stmRaw)
+    val stmParms =
+      if (predictor) " /DecodeParms << /Predictor 12 /Columns 16 >>"
+      else ""
     def stream(num: Int, payload: Array[Byte], extra: String): Array[Byte] =
       (s"$num 0 obj << /Length ${payload.length} /Filter /FlateDecode" +
         s"$extra >> stream\n").getBytes(ISO_8859_1) ++ payload ++
@@ -1106,7 +1289,8 @@ object Pdf {
         .getBytes(ISO_8859_1),
       4 -> stream(4, content, ""),
       7 -> stream(7, cmap, ""),
-      8 -> stream(8, stmPayload, s" /Type /ObjStm /N 3 /First $first"))
+      8 -> stream(8, stmPayload,
+        s" /Type /ObjStm /N 3 /First $first$stmParms"))
     val out = new java.io.ByteArrayOutputStream()
     def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
     w("%PDF-1.5\n")
@@ -1136,6 +1320,67 @@ object Pdf {
     while (!d.finished()) out.write(buf, 0, d.deflate(buf))
     d.end()
     out.toByteArray
+  }
+
+  /** PNG-predict `data` (writer side, 8-bit single-component rows of
+   * `columns` bytes): the per-row filter tag CYCLES 0→4 so every
+   * unfilter arm (None/Sub/Up/Average/Paeth) is load-bearing in a
+   * round-trip; the final row may be partial, as real encoders emit. */
+  private[graft] def pngPredictEncode(data: Array[Byte],
+                                      columns: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(
+      data.length + data.length / columns + 1)
+    var prev = new Array[Int](columns)
+    var r = 0
+    var rowIdx = 0
+    while (r < data.length) {
+      val n = math.min(columns, data.length - r)
+      val tag = rowIdx % 5
+      out.write(tag)
+      val cur = new Array[Int](columns)
+      var j = 0
+      while (j < n) { cur(j) = data(r + j) & 0xff; j += 1 }
+      j = 0
+      while (j < n) {
+        val a = if (j >= 1) cur(j - 1) else 0
+        val b = prev(j)
+        val c = if (j >= 1) prev(j - 1) else 0
+        val enc = tag match {
+          case 0 => cur(j)
+          case 1 => cur(j) - a
+          case 2 => cur(j) - b
+          case 3 => cur(j) - (a + b) / 2
+          case _ =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a)
+            val pb = math.abs(pp - b)
+            val pc = math.abs(pp - c)
+            cur(j) - (if (pa <= pb && pa <= pc) a
+                      else if (pb <= pc) b else c)
+        }
+        out.write(enc & 0xff)
+        j += 1
+      }
+      prev = cur
+      r += n
+      rowIdx += 1
+    }
+    out.toByteArray
+  }
+
+  /** TIFF predictor-2 encode (writer side, 8-bit components, bpp 1):
+   * horizontal differencing within each `columns`-byte row. */
+  private[graft] def tiffPredictEncode(data: Array[Byte],
+                                       columns: Int): Array[Byte] = {
+    val out = data.clone()
+    var r = 0
+    while (r < out.length) {
+      val end = math.min(r + columns, out.length)
+      var i = end - 1
+      while (i > r) { out(i) = (data(i) - data(i - 1)).toByte; i -= 1 }
+      r += columns
+    }
+    out
   }
 
   /** The fixture ToUnicode CMap for `shownText` under CID = cp + 7:
@@ -1328,13 +1573,26 @@ object Pdf {
         .getBytes(ISO_8859_1),
       {
         // transport cascade applies INSIDE the encryption (reader
-        // decrypts first, then decodes filters in array order)
+        // decrypts first, then decodes filters in array order);
+        // predictors (modes 3-5) transform the data BEFORE deflate —
+        // the reader inflates, then un-predicts
+        val opsBytes = ops.getBytes(ISO_8859_1)
         val (cp, cf) = filterMode match {
           case 1 => ((deflated.map("%02X".format(_)).mkString + ">")
             .getBytes(ISO_8859_1),
             "/Filter [/ASCIIHexDecode /FlateDecode]")
           case 2 => (ascii85Encode(deflated).getBytes(ISO_8859_1),
             "/Filter [/ASCII85Decode /FlateDecode]")
+          case 3 => (deflate(pngPredictEncode(opsBytes, 16)),
+            "/Filter /FlateDecode" +
+              " /DecodeParms << /Predictor 12 /Columns 16 >>")
+          case 4 => (deflate(tiffPredictEncode(opsBytes, 16)),
+            "/Filter /FlateDecode" +
+              " /DecodeParms << /Predictor 2 /Columns 16 >>")
+          case 5 => ((deflate(pngPredictEncode(opsBytes, 16))
+            .map("%02X".format(_)).mkString + ">").getBytes(ISO_8859_1),
+            "/Filter [/ASCIIHexDecode /FlateDecode]" +
+              " /DecodeParms [null << /Predictor 12 /Columns 16 >>]")
           case _ => (deflated, "/Filter /FlateDecode")
         }
         streamObj(4, encPayload(4, cp), cf)

@@ -405,11 +405,69 @@ class PdfSpec extends SparkSpec {
     val lzw = ("9 0 obj << /Length 4 /Filter [/LZWDecode /FlateDecode] >>" +
       " stream\nXXXX\nendstream endobj\n").getBytes(ISO_8859_1)
     assert(Pdf.parse(lzw).text == "")
-    // a /Predictor in DecodeParms is out of subset: no text, no garbage
+    // an UNREADABLE or unknown predictor still degrades: no text, no
+    // garbage (supported predictors have their own test below)
     val pred = ("9 0 obj << /Length 4 /Filter /FlateDecode" +
-      " /DecodeParms << /Predictor 12 >> >> stream\nXXXX\nendstream" +
+      " /DecodeParms << /Predictor 12 0 R >> >> stream\nXXXX\nendstream" +
       " endobj\n").getBytes(ISO_8859_1)
     assert(Pdf.parse(pred).text == "")
+  }
+
+  test("stream predictors: PNG row filters, TIFF differencing, parms alignment") {
+    // round-trips through the writer-side encoders: the PNG encoder
+    // cycles tags 0..4 so None/Sub/Up/Average/Paeth are ALL exercised,
+    // and the data length is deliberately NOT a multiple of columns
+    // (partial final row, as real encoders emit)
+    val data = (0 until 203).map(i => ((i * 37 + i / 16) % 251).toByte).toArray
+    val png = Pdf.PredParms(12, 1, 8, 16)
+    assert(Pdf.unpredict(Pdf.pngPredictEncode(data, 16), png)
+      .map(_.toSeq) == Some(data.toSeq))
+    val tiff = Pdf.PredParms(2, 1, 8, 16)
+    assert(Pdf.unpredict(Pdf.tiffPredictEncode(data, 16), tiff)
+      .map(_.toSeq) == Some(data.toSeq))
+    // predictor 1 is a pass-through; unknown values and unknown PNG
+    // row tags are malformed; a tag byte with no row data is malformed
+    assert(Pdf.unpredict(data, Pdf.PredParms(1, 1, 8, 16))
+      .map(_.toSeq) == Some(data.toSeq))
+    assert(Pdf.unpredict(data, Pdf.PredParms(7, 1, 8, 16)).isEmpty)
+    assert(Pdf.unpredict(Array[Byte](5, 1, 2), png).isEmpty)
+    assert(Pdf.unpredict(Array[Byte](0, 1, 2, 3), Pdf.PredParms(12, 1, 8, 3))
+      .map(_.toSeq) == Some(Seq[Byte](1, 2, 3)))
+    // TIFF sub-byte components are out of subset; absurd geometry too
+    assert(Pdf.unpredict(data, Pdf.PredParms(2, 1, 4, 16)).isEmpty)
+    assert(Pdf.unpredict(data, Pdf.PredParms(12, 3, 8, 900000000)).isEmpty)
+    // end-to-end: the three content-stream lanes + the ObjStm twin
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu"
+    val expected = "Doc 5 (pdf) A\n" +
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa\n" +
+      "lambda mu"
+    for (mode <- Seq(0, 1, 2)) {
+      val pdf = Pdf.fixturePdfPredictor(5L, text, mode)
+      val sdoc = new String(pdf, ISO_8859_1)
+      assert(sdoc.contains("/Predictor " + (if (mode == 1) "2" else "12")))
+      if (mode == 2) assert(sdoc.contains("[null <<"))
+      val r = Pdf.parse(pdf)
+      assert(r.text == expected, s"mode=$mode got '${r.text}'")
+    }
+    val objstm = Pdf.fixturePdfCidObjStm(5L, text, predictor = true)
+    val so = new String(objstm, ISO_8859_1)
+    assert(so.contains("/Predictor 12") && so.contains("/ObjStm") &&
+      !so.contains("/Type0"))
+    val ro = Pdf.parse(objstm)
+    assert(ro.xrefOk && ro.nStreams == 3, ro)
+    assert(ro.text == expected.replace("(pdf)", "(cid)"), s"got '${ro.text}'")
+    // a predictor'd parms entry PAST the filter list is unreadable
+    val bad = ("9 0 obj << /Length 4 /Filter /FlateDecode /DecodeParms" +
+      " [null << /Predictor 12 /Columns 4 >>] >> stream\nXXXX\n" +
+      "endstream endobj\n").getBytes(ISO_8859_1)
+    assert(Pdf.parse(bad).text == "")
+    // indirect geometry (present but unreadable) drops the stream
+    // rather than decode with a guessed default
+    val ind = ("9 0 obj << /Length 4 /Filter /FlateDecode /DecodeParms" +
+      " << /Predictor 12 /Columns 16 0 R >> >> stream\nXXXX\n" +
+      "endstream endobj\n").getBytes(ISO_8859_1)
+    assert(Pdf.parse(ind).text == "")
   }
 
   test("/ObjStm: compressed-resident page + font dicts resolve (PDF 1.5 CID path)") {
