@@ -2634,6 +2634,26 @@ object PipelineEntry {
       Pdf.extractTexts(pdfs).orderBy("id")
     }),
 
+    // P152 — WebP container metadata (the r17 verdict's #5:
+    // javax.imageio is blind to WebP, so the web's now-dominant image
+    // format skipped the image family SILENTLY): the RIFF walk reads
+    // dims/alpha/animation from all three container shapes — simple
+    // lossy VP8 (keyframe header), simple lossless VP8L (packed
+    // 14+14-bit dims + alpha bit), extended VP8X (24-bit canvas,
+    // flag bits, ALPH chunk, ANMF frame count; the walk must NOT
+    // descend into ANMF payloads whose embedded frames carry wrong
+    // dims). Pixel decode stays documented out (no pure-JDK VP8
+    // path); exact-byte near-dup rides the content-hash family.
+    // Oracle re-derives every field from the fixture's closed form.
+    "p152_webp_metadata" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, Multimodal.generateWebp(id, (id % 4).toInt))))
+        .toDF("id", "payload")
+      Multimodal.webpMetadataFrame(s, imgs).orderBy("id")
+    }),
+
     // P125 — crawl-frontier scheduling (discovery → fetch plan): p122's
     // parsed urlset entries become per-host politeness queues ordered
     // by (priority desc, lastmod desc nulls last, loc), queue position
@@ -5994,6 +6014,26 @@ SELECT doc_id AS id, TRUE AS xref_ok,
   (CASE WHEN doc_id % 4 = 3 THEN 3 ELSE 1 END)::BIGINT AS n_streams,
   length(text)::BIGINT AS n_chars, text
 FROM e ORDER BY id""",
+
+    // p152: every field re-derived from the fixture formula — format
+    // from the lane, dims from the w/h closed form (canvas and
+    // bitstream agree by construction), alpha from lane rules (VP8
+    // never, VP8L the %3 bit, static VP8X always via flag+ALPH,
+    // animated VP8X the %3 bit), animation and ANMF count from lane 3.
+    "p152_webp_metadata" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT doc_id AS id,
+  CASE doc_id % 4 WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l'
+       ELSE 'vp8x' END AS format,
+  (16 + (doc_id * 7) % 240)::BIGINT AS width,
+  (16 + (doc_id * 13) % 180)::BIGINT AS height,
+  CASE WHEN doc_id % 4 = 0 THEN FALSE
+       WHEN doc_id % 4 = 2 THEN TRUE
+       ELSE doc_id % 3 = 0 END AS has_alpha,
+  doc_id % 4 = 3 AS is_animated,
+  (CASE WHEN doc_id % 4 = 3 THEN 2 + doc_id % 3 ELSE 0 END)::BIGINT
+    AS n_frames
+FROM documents ORDER BY id""",
 
     // p139: p118's closed-form re-typeset with the CID header — the
     // SQL never sees a CID, a CMap, or a hex string, so the whole

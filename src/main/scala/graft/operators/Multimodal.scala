@@ -542,6 +542,168 @@ object Multimodal {
       .toDF("id", "dhash")
   }
 
+  // ------------------------------------- WebP container metadata (P152)
+
+  /**
+   * WebP container metadata — javax.imageio is blind to WebP, so the
+   * web's now-dominant image format would otherwise skip the image
+   * family SILENTLY; the container, though, is pure RIFF structure in
+   * the house AVI/WAV style, and its metadata (dims, alpha, animation)
+   * is what image-corpus curation filters on before any decode. All
+   * three container shapes of the WebP spec (RFC 9649) parse:
+   *   - `VP8 ` simple lossy: dims from the keyframe header (start code
+   *     9D 01 2A, 14-bit little-endian width/height);
+   *   - `VP8L` simple lossless: dims from the 14+14-bit packed field
+   *     after the 0x2F signature, alpha from its is_alpha bit;
+   *   - `VP8X` extended: canvas dims from the 24-bit LE minus-one
+   *     fields, alpha from the flag bit OR an ALPH chunk, animation
+   *     from the flag bit, n_frames = ANMF chunk count (the walk does
+   *     NOT descend into ANMF payloads — their embedded frame chunks
+   *     must not shadow the canvas).
+   * PIXEL decode stays documented out (no pure-JDK VP8/VP8L path —
+   * same policy as MP4 inter-frame); exact-byte near-dup rides the
+   * existing content-hash family unchanged. Returns (format, width,
+   * height, has_alpha, is_animated, n_frames); None when the payload
+   * is not a WebP or its declared bitstream header is malformed —
+   * absent metadata, never wrong.
+   */
+  def webpMetadata(payload: Array[Byte])
+      : Option[(String, Int, Int, Boolean, Boolean, Int)] = try {
+    def cc(off: Int): String = new String(payload, off, 4, "US-ASCII")
+    def le32(off: Int): Int = aviLe32(payload, off)
+    def le24(off: Int): Int = (payload(off) & 0xff) |
+      ((payload(off + 1) & 0xff) << 8) | ((payload(off + 2) & 0xff) << 16)
+    def le16(off: Int): Int =
+      (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
+    if (payload.length < 20 || cc(0) != "RIFF" || cc(8) != "WEBP")
+      return None
+    val end = math.min(payload.length, 8L + (le32(4) & 0xffffffffL)).toInt
+    var pos = 12
+    var format: String = null
+    var w = 0
+    var h = 0
+    var alpha = false
+    var anim = false
+    var nFrames = 0
+    while (pos + 8 <= end) {
+      val c = cc(pos)
+      val size = le32(pos + 4)
+      if (size < 0 || pos + 8 + size > end) { pos = end } // malformed: stop
+      else {
+        val off = pos + 8
+        c match {
+          case "VP8 " if format == null =>
+            if (size >= 10 && (payload(off + 3) & 0xff) == 0x9d &&
+              (payload(off + 4) & 0xff) == 0x01 &&
+              (payload(off + 5) & 0xff) == 0x2a) {
+              format = "vp8"
+              w = le16(off + 6) & 0x3fff
+              h = le16(off + 8) & 0x3fff
+            } else return None // declared lossy bitstream, bad keyframe
+          case "VP8L" if format == null =>
+            if (size >= 5 && (payload(off) & 0xff) == 0x2f) {
+              val bits = le32(off + 1)
+              format = "vp8l"
+              w = (bits & 0x3fff) + 1
+              h = ((bits >>> 14) & 0x3fff) + 1
+              alpha = ((bits >>> 28) & 1) == 1
+            } else return None
+          case "VP8X" if format == null =>
+            if (size >= 10) {
+              format = "vp8x"
+              val flags = payload(off) & 0xff
+              alpha = (flags & 0x10) != 0
+              anim = (flags & 0x02) != 0
+              w = le24(off + 4) + 1
+              h = le24(off + 7) + 1
+            } else return None
+          case "ALPH" => alpha = true
+          case "ANMF" => nFrames += 1
+          case _ => ()
+        }
+        pos += 8 + size + (size & 1) // chunks are word-aligned
+      }
+    }
+    if (format == null) None
+    else Some((format, w, h, alpha, anim, nFrames))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** (id, format, width, height, has_alpha, is_animated, n_frames)
+   * for every WebP payload — batched per partition like the other
+   * binary decoders; non-WebP payloads drop (absent, never wrong). */
+  def webpMetadataFrame(spark: SparkSession, images: DataFrame,
+                        idCol: String = "id",
+                        payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    images.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        webpMetadata(payload).map { case (f, w, h, a, an, nf) =>
+          (id, f, w.toLong, h.toLong, a, an, nf.toLong)
+        }
+      })
+      .toDF("id", "format", "width", "height", "has_alpha",
+        "is_animated", "n_frames")
+  }
+
+  /** Deterministic WebP fixture (hand-built containers, no encoder):
+   * `lane` 0 = simple lossy VP8, 1 = simple lossless VP8L (alpha when
+   * docId % 3 == 0), 2 = extended VP8X static with an ALPH chunk
+   * (alpha flag set), 3 = extended VP8X animated with 2 + docId % 3
+   * ANMF frames. Dims follow the closed form w = 16 + (docId*7) % 240,
+   * h = 16 + (docId*13) % 180 (canvas and bitstream agree). Filler
+   * sizes vary parity with docId so the word-alignment padding is
+   * load-bearing in round-trips. */
+  def generateWebp(docId: Long, lane: Int): Array[Byte] = {
+    val w = 16 + ((docId * 7) % 240).toInt
+    val h = 16 + ((docId * 13) % 180).toInt
+    val alpha = docId % 3 == 0
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le24(v: Int) =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+    def le32b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def filler(n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((docId + i) % 251).toByte)
+    def chunk(c: String, body: Array[Byte]): Array[Byte] = {
+      val head = c.getBytes("US-ASCII") ++ le32b(body.length)
+      val pad = if ((body.length & 1) == 1) Array[Byte](0) else Array.empty[Byte]
+      head ++ body ++ pad
+    }
+    val vp8Body = Array[Byte](0, 0, 0) ++ // 3-byte frame tag (keyframe)
+      Array[Byte](0x9d.toByte, 0x01, 0x2a) ++ le16(w) ++ le16(h) ++
+      filler(9 + (docId % 5).toInt)
+    val chunks: Array[Byte] = lane match {
+      case 0 => chunk("VP8 ", vp8Body)
+      case 1 =>
+        val bits = (w - 1) | ((h - 1) << 14) | ((if (alpha) 1 else 0) << 28)
+        chunk("VP8L", Array[Byte](0x2f) ++ le32b(bits) ++
+          filler(8 + (docId % 3).toInt))
+      case 2 =>
+        val flags = 0x10 // alpha
+        chunk("VP8X", Array[Byte](flags.toByte, 0, 0, 0) ++
+          le24(w - 1) ++ le24(h - 1)) ++
+          chunk("ALPH", filler(5 + (docId % 2).toInt)) ++
+          chunk("VP8 ", vp8Body)
+      case _ =>
+        val flags = 0x02 | (if (alpha) 0x10 else 0) // animation [+ alpha]
+        val anmf = (0 until (2 + (docId % 3)).toInt).map { k =>
+          // 16-byte ANMF header + embedded frame data the walk must
+          // NOT descend into (a full VP8 chunk with WRONG dims — the
+          // canvas must win)
+          chunk("ANMF", le24(0) ++ le24(0) ++ le24(w - 1) ++ le24(h - 1) ++
+            le24(40 + k) ++ Array[Byte](0) ++
+            chunk("VP8 ", Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a) ++
+              le16(1) ++ le16(1)))
+        }.reduce(_ ++ _)
+        chunk("VP8X", Array[Byte](flags.toByte, 0, 0, 0) ++
+          le24(w - 1) ++ le24(h - 1)) ++
+          chunk("ANIM", le32b(0) ++ le16(0)) ++ anmf
+    }
+    val body = "WEBP".getBytes("US-ASCII") ++ chunks
+    "RIFF".getBytes("US-ASCII") ++ le32b(body.length) ++ body
+  }
+
   // ------------------------------------ audio near-dup (envelope, P76)
 
   /** Envelope hash frames: 65 equal frames -> 64 delta-sign bits. */

@@ -499,4 +499,54 @@ class MultimodalSpec extends SparkSpec {
     Mp4.parse(moov) // must not throw
     assert(Mp4.parse(moov).tracks.isEmpty)
   }
+
+  test("webp: all three container shapes parse; ANMF payloads don't shadow") {
+    // fixture round-trips across lanes and ids (dims/alpha/frames all
+    // follow the closed form)
+    for (id <- Seq(0L, 1L, 2L, 3L, 7L, 12L, 30L); lane <- 0 to 3) {
+      val m = Multimodal.webpMetadata(Multimodal.generateWebp(id, lane))
+      val w = 16 + ((id * 7) % 240).toInt
+      val h = 16 + ((id * 13) % 180).toInt
+      val expect = lane match {
+        case 0 => ("vp8", w, h, false, false, 0)
+        case 1 => ("vp8l", w, h, id % 3 == 0, false, 0)
+        case 2 => ("vp8x", w, h, true, false, 0)
+        case _ => ("vp8x", w, h, id % 3 == 0, true, (2 + id % 3).toInt)
+      }
+      assert(m == Some(expect), s"id=$id lane=$lane got $m")
+    }
+    // an ALPH chunk sets alpha even when the VP8X flag forgot it
+    def le24(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(c: String, b: Array[Byte]) =
+      c.getBytes("US-ASCII") ++ le32(b.length) ++ b ++
+        (if ((b.length & 1) == 1) Array[Byte](0) else Array.empty[Byte])
+    val noFlag = chunk("VP8X", Array[Byte](0, 0, 0, 0) ++ le24(9) ++ le24(4)) ++
+      chunk("ALPH", Array[Byte](1, 2, 3))
+    val body = "WEBP".getBytes("US-ASCII") ++ noFlag
+    val webp = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    assert(Multimodal.webpMetadata(webp) ==
+      Some(("vp8x", 10, 5, true, false, 0)))
+    // non-WebP RIFF (a WAV), a PNG, a declared-VP8 chunk with a bad
+    // keyframe header, and truncation all yield None / degrade
+    assert(Multimodal.webpMetadata(
+      Multimodal.generateWav(4, 8000, 1)).isEmpty)
+    assert(Multimodal.webpMetadata(
+      Multimodal.dhashImagePng(1L, 0)).isEmpty)
+    val badVp8 = "WEBP".getBytes("US-ASCII") ++
+      chunk("VP8 ", Array.fill[Byte](12)(0x41))
+    assert(Multimodal.webpMetadata("RIFF".getBytes("US-ASCII") ++
+      le32(badVp8.length) ++ badVp8).isEmpty)
+    assert(Multimodal.webpMetadata(
+      Multimodal.generateWebp(5L, 0).take(15)).isEmpty)
+    // frame operator drops non-WebP rows instead of failing the batch
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.generateWebp(1L, 3)),
+      (2L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val rows = Multimodal.webpMetadataFrame(spark, df).collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 1L &&
+      rows(0).getBoolean(5) && rows(0).getLong(6) == 3L, rows.toSeq)
+  }
 }
