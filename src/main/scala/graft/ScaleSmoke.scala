@@ -719,7 +719,10 @@ object ScaleSmoke {
         val chain = spark.range(len - 1)
           .select((col("id") + 1).as("id_a"), col("id").as("id_b"))
         time(s"cc chain $len") {
-          val labels = Dedup.clusters(chain)
+          // localEdges = 0: this section MEASURES the star-contraction
+          // round scaling; the default small-graph fast path would
+          // short-circuit it
+          val labels = Dedup.clusters(chain, localEdges = 0)
           val bad = labels.where(col("cluster_rep") =!= 0L).count()
           require(bad == 0, s"unconverged: $bad of $len off-root")
           labels.count()

@@ -522,8 +522,26 @@ object Dedup {
    * silently-unconverged labels. Alternation provably terminates in
    * O(log² n) rounds and empirically ~log n, so the default covers any
    * physical input (log²(10¹²) ≈ 40² with the constant well under 1).
+   *
+   * `localEdges` (r18, the r17 verdict's #3): a DISTINCT canonical
+   * edge set at or below this count solves LOCALLY — one collect of
+   * ≤ localEdges (id, id) rows (a bounded driver artifact in the
+   * request-batch class, ~3 MB at the default) and a union-find fold,
+   * labels shipped back as one small frame. The iterative Spark loop
+   * pays several shuffle stages of FIXED scheduling cost per round,
+   * which dwarfs the work when the pair graph is small — and a
+   * post-LSH near-dup graph usually IS small even when the corpus is
+   * 100 TB (pairs are the exception, not the rule). Above the
+   * threshold the star-contraction loop runs unchanged; this is the
+   * same small-side escape hatch production CC implementations ship
+   * (GraphFrames' broadcast threshold). Local ordering for the min
+   * representative matches Spark's exactly: integral ids numerically,
+   * strings by UTF-8 byte order (UTF8String semantics); other id
+   * types take the distributed path regardless of size. Set 0 to
+   * force the loop (ScaleSmoke's round-scaling measurement does).
    */
-  def clusters(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 100,
+               localEdges: Long = 100000L): DataFrame = {
     // materialize the pair list first: the star rounds reference it
     // twice, and deriving pairs is usually the expensive part (an
     // LSH/jaccard pipeline)
@@ -531,21 +549,117 @@ object Dedup {
     // every id appearing in `pairs` — kept separately because the
     // canonical edge set below drops self-loops, and an id appearing
     // ONLY as (x, x) must still come back as its own singleton cluster
-    // (the documented contract; review-caught)
-    val ids = SelfJoinMaterialize(
-      prs.select(col("id_a").as("id"))
-        .unionAll(prs.select(col("id_b").as("id"))).distinct())
+    // (the documented contract; review-caught). Referenced once (the
+    // final left join) and derived from the cached `prs`, so it needs
+    // no materialization of its own.
+    val ids = prs.select(col("id_a").as("id"))
+      .unionAll(prs.select(col("id_b").as("id"))).distinct()
+    // LAZY persist (r18, the r17 verdict's #3): the round's single
+    // convergence job materializes the frame as a side effect — an
+    // eager count here is a pure scheduling-overhead job. Frames are
+    // registered so an aborted loop (the maxIter throw) still drains.
+    def lazyPersist(df: DataFrame): DataFrame = {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      OperatorCaches.register(df)
+      df
+    }
     // canonical orientation (hi > lo), self-loops dropped
     var edges = SelfJoinMaterialize(
       prs.select(greatest(col("id_a"), col("id_b")).as("hi"),
         least(col("id_a"), col("id_b")).as("lo"))
         .where(col("hi") =!= col("lo")).distinct())
+    val edgeCount0 = edges.count()
+    val dt = edges.schema.fields(0).dataType
+    val localizable = {
+      import org.apache.spark.sql.types._
+      dt == LongType || dt == IntegerType || dt == ShortType ||
+        dt == ByteType || dt == StringType
+    }
+    val starLabels: DataFrame =
+      if (edgeCount0 <= localEdges && localizable)
+        localStarLabels(edges, dt)
+      else starContractionLabels(edges, maxIter, lazyPersist)
+    ids.join(starLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_rep"), col("id"))
+        .as("cluster_rep"))
+  }
+
+  /** Driver-side union-find over a SMALL collected edge list (see
+   * [[clusters]]' `localEdges` doc — the bounded small-graph escape
+   * hatch): (id, cluster_rep) for every id appearing in an edge,
+   * cluster_rep = component minimum. Union-by-min + path compression,
+   * so each root IS its component's minimum; ordering matches the
+   * distributed path exactly (integral numeric; strings by UTF-8
+   * byte order, UTF8String semantics). */
+  private def localStarLabels(
+      edges: DataFrame,
+      dt: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = edges.collect()
+    val isStr = dt == StringType
+    def lt(a: Any, b: Any): Boolean =
+      if (isStr) {
+        val x = a.asInstanceOf[String]
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.asInstanceOf[String]
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        var c = 0
+        while (i < n && c == 0) { c = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+        if (c != 0) c < 0 else x.length < y.length
+      } else {
+        def num(v: Any): Long = v match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case s: Short => s.toLong
+          case b: Byte => b.toLong
+        }
+        num(a) < num(b)
+      }
+    val parent = new java.util.HashMap[Any, Any](rows.length * 2)
+    def find(x0: Any): Any = {
+      var r = x0
+      var p = parent.getOrDefault(r, r)
+      while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+      var x = x0 // path compression
+      while (x != r) { val nx = parent.getOrDefault(x, x); parent.put(x, r); x = nx }
+      r
+    }
+    rows.foreach { r =>
+      val ra = find(r.get(0))
+      val rb = find(r.get(1))
+      if (ra != rb) {
+        // union-by-min: the smaller root stays root, so at the end
+        // every root is its component's minimum — no second pass
+        if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val seen = new java.util.HashSet[Any](rows.length * 2)
+    val labels = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length * 2)
+    rows.foreach { r =>
+      var k = 0
+      while (k < 2) {
+        val id = r.get(k)
+        if (seen.add(id))
+          labels.add(org.apache.spark.sql.Row(id, find(id)))
+        k += 1
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("id", dt), StructField("cluster_rep", dt)))
+    edges.sparkSession.createDataFrame(labels, schema)
+  }
+
+  /** The alternating large-star / small-star loop (see [[clusters]]):
+   * returns the (id, cluster_rep) star labels from the converged edge
+   * set. The 100-TB path — O(log n) rounds, one Spark job per round. */
+  private def starContractionLabels(
+      edges0: DataFrame, maxIter: Int,
+      lazyPersist: DataFrame => DataFrame): DataFrame = {
+    var edges = edges0
     var iter = 0
-    // counts tracked in vars: SelfJoinMaterialize already materialized
-    // each frame, so re-counting cached data per round is a pure
-    // scheduling-overhead job this loop doesn't need twice
-    var edgeCount = edges.count()
-    var converged = edgeCount == 0
+    var converged = edges.isEmpty
     while (!converged) {
       if (iter >= maxIter)
         throw new IllegalStateException(
@@ -559,7 +673,10 @@ object Dedup {
         .unionAll(edges.select(col("lo").as("u"), col("hi").as("v")))
       val minsL = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
-      val ls = SelfJoinMaterialize(
+      // lazily cached: the small-star's two references (the min
+      // aggregation and the join back) share ONE InMemoryRelation,
+      // populated inside the round's job instead of by its own count
+      val ls = lazyPersist(
         sym.where(col("v") > col("u"))
           .join(minsL, Seq("u"))
           .select(col("v").as("hi"), col("m").as("lo")).distinct())
@@ -571,41 +688,40 @@ object Dedup {
         .unionAll(ls.join(minsS, Seq("hi")).where(col("lo") =!= col("m"))
           .select(col("lo").as("hi"), col("m").as("lo")))
         .distinct()
-      // localCheckpoint cuts the per-round lineage, but its LogicalRDD
-      // carries no size statistics — every subsequent round's joins would
-      // fall to sort-merge even on a tiny edge table. Re-persisting the
-      // checkpointed frame (and dropping the previous round's cache)
-      // restores stats, so each round's joins stay broadcast while edges
-      // are small and shuffle once they aren't.
-      val cp = ss.localCheckpoint(true)
-      val fresh = SelfJoinMaterialize(
+      // localCheckpoint cuts the per-round lineage (plan growth across
+      // rounds is O(rounds²) planning otherwise), but its LogicalRDD
+      // carries no size statistics — every subsequent round's joins
+      // would fall to sort-merge even on a tiny edge table.
+      // Re-persisting the checkpointed frame restores stats, so each
+      // round's joins stay broadcast while edges are small and shuffle
+      // once they aren't. NON-eager: the convergence job below is the
+      // round's ONE action — it computes the small-star output,
+      // checkpoints it, populates the cache, and answers set equality
+      // in the same pass (5 jobs/round in r17, 1 now).
+      val cp = ss.localCheckpoint(false)
+      val fresh = lazyPersist(
         cp.sparkSession.createDataFrame(cp.rdd, cp.schema))
-      // exact convergence check — both frames are distinct sets, so
-      // count-equal + except-empty ⇔ set-equal (a hash-sum shortcut
-      // could collide and terminate EARLY with wrong labels); the
-      // except only runs on count-equal rounds (&&)
-      val freshCount = fresh.count()
-      val same = freshCount == edgeCount &&
-        fresh.except(edges).limit(1).count() == 0
+      // exact convergence check — both frames are DISTINCT sets, so
+      // set-equal ⇔ every (hi, lo) of their union appears exactly
+      // twice (a hash-sum shortcut could collide and terminate EARLY
+      // with wrong labels; this stays exact in one job)
+      val same = fresh.unionAll(edges).groupBy("hi", "lo").count()
+        .where(col("count") =!= 2).limit(1).count() == 0
       ls.unpersist()
       edges.unpersist()
       edges = fresh
-      edgeCount = freshCount
       converged = same
       iter += 1
     }
     // the alternation's fixed points are disjoint STARS centered at
     // component minima: leaves read off as hi → lo, centers map to
-    // themselves; ids touched only by self-loops fall through the left
-    // join to their own id
-    val starLabels = edges
+    // themselves; ids touched only by self-loops fall through the
+    // caller's left join to their own id
+    edges
       .select(col("hi").as("id"), col("lo").as("cluster_rep"))
       .unionAll(
         edges.select(col("lo").as("id"), col("lo").as("cluster_rep")))
       .distinct()
-    ids.join(starLabels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster_rep"), col("id"))
-        .as("cluster_rep"))
   }
 
   // ---------------------------------------------------------------- P5

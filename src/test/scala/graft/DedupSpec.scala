@@ -101,16 +101,23 @@ class DedupSpec extends SparkSpec {
     val n = 60L
     val chain = (0L until n - 1).map(i => (n - 1 - i, n - 2 - i))
       .toDF("id_a", "id_b")
-    val res = Dedup.clusters(chain).collect()
+    // localEdges = 0 forces the DISTRIBUTED star-contraction path —
+    // this test pins ITS convergence; the default-path twin is below
+    val res = Dedup.clusters(chain, localEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     assert(res.length == n)
     assert(res.forall(_._2 == 0L),
       s"unconverged labels: ${res.filter(_._2 != 0L).take(5).toSeq}")
     // and the loud cap actually throws instead of returning bad labels
     val ex = intercept[IllegalStateException] {
-      Dedup.clusters(chain, maxIter = 1).collect()
+      Dedup.clusters(chain, maxIter = 1, localEdges = 0).collect()
     }
     assert(ex.getMessage.contains("did not converge"))
+    // the LOCAL union-find fast path (the default at this size) must
+    // agree with the distributed result row-for-row
+    val local = Dedup.clusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(local.sorted.toSeq == res.sorted.toSeq)
   }
 
   test("paragraph dedup: first occurrence survives, docs reassemble in order") {
@@ -411,15 +418,33 @@ class DedupSpec extends SparkSpec {
   test("clusters: self-pair-only ids come back as their own singleton cluster") {
     // the contract: every id appearing in pairs gets a row — an id
     // seen ONLY as (x, x) must map to itself, not vanish (the star
-    // edge set drops self-loops; review-caught)
-    val pairs = Seq((5L, 5L), (1L, 2L), (2L, 2L)).toDF("id_a", "id_b")
-    val res = Dedup.clusters(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(res == Map(5L -> 5L, 1L -> 1L, 2L -> 1L), res)
-    // all-self-pairs input: every id its own cluster, no iteration
-    val selfOnly = Seq((7L, 7L), (9L, 9L)).toDF("id_a", "id_b")
-    val r2 = Dedup.clusters(selfOnly).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(r2 == Map(7L -> 7L, 9L -> 9L), r2)
+    // edge set drops self-loops; review-caught). Pinned on BOTH paths.
+    for (le <- Seq(100000L, 0L)) {
+      val pairs = Seq((5L, 5L), (1L, 2L), (2L, 2L)).toDF("id_a", "id_b")
+      val res = Dedup.clusters(pairs, localEdges = le).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(res == Map(5L -> 5L, 1L -> 1L, 2L -> 1L), s"le=$le $res")
+      // all-self-pairs input: every id its own cluster, no iteration
+      val selfOnly = Seq((7L, 7L), (9L, 9L)).toDF("id_a", "id_b")
+      val r2 = Dedup.clusters(selfOnly, localEdges = le).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(r2 == Map(7L -> 7L, 9L -> 9L), s"le=$le $r2")
+    }
+  }
+
+  test("clusters: local fast path matches the distributed path on string ids") {
+    // string ids order by UTF-8 bytes in Spark (least/greatest on
+    // UTF8String); the local union-find must agree — including on a
+    // multi-byte id that Java's UTF-16 compare would order the same
+    // but a careless numeric cast would break
+    val pairs = Seq(
+      ("b", "aa"), ("aa", "a"), ("z", "é"), ("m", "m2"), ("M", "m")
+    ).toDF("id_a", "id_b")
+    val dist = Dedup.clusters(pairs, localEdges = 0).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val local = Dedup.clusters(pairs).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(local == dist, s"local=$local dist=$dist")
+    assert(local.toMap.apply("é") == "z") // 'é' UTF-8 > 'z'
   }
 }
