@@ -2634,6 +2634,33 @@ object PipelineEntry {
       Pdf.extractTexts(pdfs).orderBy("id")
     }),
 
+    // P153 — PDF 1.5 cross-reference-stream trailers (the r17
+    // verdict's missing-list #3: the normal Acrobat 7+ output has NO
+    // classical `trailer` keyword — /Root, /ID, and /Encrypt live in
+    // the /Type /XRef stream's dict, reached via startxref; an
+    // encrypted xref-stream file previously never found its /Encrypt
+    // and silently yielded no text). Thirds of the corpus ride plain
+    // / RC4-128 / AES-128 lanes; every file also routes page+font
+    // dicts through an ObjStm AND writes its XRef entries with PNG
+    // Predictor 12 (real entry values, /W [1 4 2]) — so trailer
+    // resolution, predictor decode, ObjStm expansion, and per-object
+    // decryption all compose. Oracle: the closed-form CID re-typeset,
+    // n_streams 4 (content + CMap + ObjStm + XRef).
+    "p153_pdf_xrefstream" -> ((s, dir) => {
+      import s.implicits._
+      val pdfs = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, Pdf.fixturePdfXrefStream(id, t, (id % 3) match {
+            case 1 => Some(false)
+            case 2 => Some(true)
+            case _ => None
+          }))
+        })
+        .toDF("id", "payload")
+      Pdf.extractTexts(pdfs).orderBy("id")
+    }),
+
     // P152 — WebP container metadata (the r17 verdict's #5:
     // javax.imageio is blind to WebP, so the web's now-dominant image
     // format skipped the image family SILENTLY): the RIFF walk reads
@@ -6012,6 +6039,26 @@ e AS (SELECT doc_id,
       FROM w)
 SELECT doc_id AS id, TRUE AS xref_ok,
   (CASE WHEN doc_id % 4 = 3 THEN 3 ELSE 1 END)::BIGINT AS n_streams,
+  length(text)::BIGINT AS n_chars, text
+FROM e ORDER BY id""",
+
+    // p153: the closed-form CID re-typeset with n_streams 4 — the SQL
+    // never sees a trailer, an xref stream, a predictor, or a cipher,
+    // so /Encrypt-via-startxref resolution, /ID recovery, ObjStm
+    // expansion, and per-object decryption must all be byte-exact on
+    // the encrypted lanes for any text to come out.
+    "p153_pdf_xrefstream" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+w AS (SELECT doc_id, list_filter(
+        string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+e AS (SELECT doc_id,
+        'Doc ' || doc_id || ' (cid) A' || chr(10) || array_to_string(
+          [array_to_string(toks[k*10+1 : k*10+10], ' ')
+           for k in range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))],
+          chr(10)) AS text
+      FROM w)
+SELECT doc_id AS id, TRUE AS xref_ok, 4::BIGINT AS n_streams,
   length(text)::BIGINT AS n_chars, text
 FROM e ORDER BY id""",
 

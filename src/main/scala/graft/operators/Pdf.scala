@@ -88,7 +88,10 @@ object Pdf {
         val rest = s.substring(at + 9).trim.takeWhile(_.isDigit)
         rest.nonEmpty && rest.length <= 12 && {
           val off = rest.toLong
-          off < s.length && s.startsWith("xref", off.toInt)
+          off < s.length && (s.startsWith("xref", off.toInt) ||
+            // PDF 1.5: the offset lands on the cross-reference STREAM
+            // object (/Type /XRef) instead of a classic table
+            xrefStreamDictAt(s, off.toInt).isDefined)
         }
       }
     }
@@ -863,22 +866,58 @@ object Pdf {
       .map(m => (m.group(1).toInt, m.group(2).toInt))
   private val ObjHeadRe = """(\d{1,9})\s+(\d{1,9})\s*$""".r
 
+  /** The cross-reference STREAM object's dict when byte offset `off`
+   * lands on one (PDF 1.5 — `N G obj << ... /Type /XRef ... >>`):
+   * the dict text between the header and its `stream` keyword. None
+   * when the offset doesn't start an XRef stream object. */
+  private def xrefStreamDictAt(s: String, off: Int): Option[String] = {
+    if (off < 0 || off >= s.length) return None
+    val seg = s.substring(off, math.min(s.length, off + 40))
+    if (XrefHeadRe.findPrefixOf(seg).isEmpty) return None
+    val stmAt = s.indexOf("stream", off)
+    val endAt = s.indexOf("endobj", off)
+    val stop = Seq(stmAt, endAt).filter(_ >= 0)
+      .reduceOption(_ min _).getOrElse(return None)
+    val dict = s.substring(off, stop)
+    if (dict.contains("/XRef")) Some(dict) else None
+  }
+  private val XrefHeadRe = """\d{1,9}\s+\d{1,9}\s+obj""".r
+
+  /** The file's trailer DICTIONARY text — where /Root, /Encrypt and
+   * /ID live: the classic `trailer` dict when present; else the
+   * cross-reference STREAM's dict reached through `startxref` (PDF
+   * 1.5 — the normal Acrobat 7+ output has NO classical trailer, so
+   * an encrypted xref-stream file would otherwise never find its
+   * /Encrypt); else the whole file (legacy lenient fallback). */
+  private def trailerDictText(s: String): String = {
+    val trailerAt = s.lastIndexOf("trailer")
+    if (trailerAt >= 0) return s.substring(trailerAt)
+    val at = s.lastIndexOf("startxref")
+    if (at >= 0) {
+      val digits = s.substring(at + 9).trim.takeWhile(_.isDigit)
+      if (digits.nonEmpty && digits.length <= 12) {
+        val off = digits.toLong
+        if (off < s.length) {
+          val d = xrefStreamDictAt(s, off.toInt)
+          if (d.isDefined) return d.get
+        }
+      }
+    }
+    s
+  }
+
   /** Locate and resolve the trailer's /Encrypt dictionary: NoCrypt when
    * absent, StdCrypt when it is a supported standard-handler shape AND
    * the empty user password validates against /U, CryptUnsupported
-   * otherwise (non-empty password, R5/R6, exotic filters) — streams
+   * otherwise (non-empty password, exotic filters) — streams
    * then contribute no text rather than garbage. */
   private def resolveCrypt(s: String): Crypt = {
     // /Encrypt is a TRAILER key (ISO 32000-1 §7.5.5): anchor the search
-    // to the last trailer dict — the same anchoring IdRe already gets —
-    // so a coincidental "/Encrypt N G R" inside an uncompressed content
+    // to the trailer dict — classic or xref-stream (r18) — so a
+    // coincidental "/Encrypt N G R" inside an uncompressed content
     // stream (a PDF documenting PDF syntax) can't flip an unencrypted
-    // file to CryptUnsupported and silently drop all its text. Fall
-    // back to the whole file only when no trailer keyword exists at
-    // all (cross-reference-STREAM files carry the key in the XRef
-    // stream dict instead of a classic trailer).
-    val trailerAt = s.lastIndexOf("trailer")
-    val hay = if (trailerAt >= 0) s.substring(trailerAt) else s
+    // file to CryptUnsupported and silently drop all its text.
+    val hay = trailerDictText(s)
     val encRef = EncRefRe.findAllMatchIn(hay).toSeq.lastOption
       .getOrElse(return NoCrypt)
     val (num, gen) = (encRef.group(1).toInt, encRef.group(2).toInt)
@@ -952,8 +991,7 @@ object Pdf {
         (v == 4 && r == 4 && aes)
     if (!supported || o.length < 32 || keyLen < 5 || keyLen > 16)
       return CryptUnsupported
-    val id0 = IdRe.findFirstMatchIn(s.substring(s.lastIndexOf("trailer")
-      .max(0))).map(m =>
+    val id0 = IdRe.findFirstMatchIn(trailerDictText(s)).map(m =>
       m.group(1).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
       .getOrElse(Array.empty[Byte])
     val fk = fileKey(o, p, id0, r, if (v == 1) 5 else keyLen)
@@ -1309,6 +1347,122 @@ object Pdf {
       }
     }
     w(s"trailer << /Size 9 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%%%EOF\n")
+    out.toByteArray
+  }
+
+  /** PDF 1.5 cross-reference-STREAM twin of [[fixturePdfCidObjStm]]
+   * (the normal Acrobat 7+ output shape): NO classical trailer —
+   * /Root, /Size, /ID, and (when encrypted) /Encrypt live in the
+   * `/Type /XRef` stream's dict, whose entry rows ride Flate + PNG
+   * Predictor 12 over /W [1 4 2] columns exactly as real writers emit
+   * them; `startxref` points at the XRef stream object. Entries are
+   * REAL (type-1 file offsets, type-2 ObjStm-resident rows, type-0
+   * free) even though resolution never reads them. `encrypt` as in
+   * [[fixturePdfEncrypted]] (false = RC4-128, true = AES-128); the
+   * XRef stream itself stays UNENCRYPTED per ISO 32000-1 §7.5.8.2
+   * while content/CMap/ObjStm streams encrypt under their per-object
+   * keys — decryption works only if /Encrypt and /ID are found
+   * through the startxref chain. */
+  def fixturePdfXrefStream(docId: Long, text: String,
+                           encrypt: Option[Boolean] = None): Array[Byte] = {
+    val (ops, shownAll) = contentOps(docId, text, cid = true)
+    def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+    val id0 = md5(s"graft-id-$docId".getBytes(ISO_8859_1))
+    val encInfo = encrypt.map { aes =>
+      val r = if (aes) 4 else 3
+      val o = ownerValue(r, 16)
+      val perm = -3904
+      val fk = fileKey(o, perm, id0, r, 16)
+      val u = userValue(fk, r, id0)
+      val dict =
+        if (!aes)
+          s"10 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 /P $perm" +
+            s" /O <${hex(o)}> /U <${hex(u)}> >> endobj\n"
+        else
+          s"10 0 obj << /Filter /Standard /V 4 /R 4 /Length 128 /P $perm" +
+            s" /O <${hex(o)}> /U <${hex(u)}>" +
+            " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>" +
+            " /StmF /StdCF /StrF /StdCF >> endobj\n"
+      (aes, fk, dict)
+    }
+    def encPayload(objNum: Int, data: Array[Byte]): Array[Byte] =
+      encInfo match {
+        case None => data
+        case Some((aes, fk, _)) =>
+          val ek = objKey(fk, objNum, 0, aes)
+          if (!aes) rc4(ek, data)
+          else {
+            val iv = md5(s"graft-iv-$docId-$objNum".getBytes(ISO_8859_1))
+            val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+            c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+              new javax.crypto.spec.SecretKeySpec(ek, "AES"),
+              new javax.crypto.spec.IvParameterSpec(iv))
+            iv ++ c.doFinal(data)
+          }
+      }
+    val content = deflate(ops.getBytes(ISO_8859_1))
+    val cmap = deflate(fixtureCMap(shownAll).getBytes(ISO_8859_1))
+    val bodies = Seq(
+      3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
+      5 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+        "/Encoding /Identity-H /DescendantFonts [6 0 R] " +
+        "/ToUnicode 7 0 R >>"),
+      6 -> ("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCID " +
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) " +
+        "/Supplement 0 >> /CIDToGIDMap /Identity >>"))
+    val joined = bodies.map(_._2).mkString(" ")
+    val offsets0 = bodies.map(_._2).scanLeft(0)(_ + _.length + 1).init
+    val header = bodies.map(_._1).zip(offsets0)
+      .map { case (n, o) => s"$n $o" }.mkString(" ")
+    val first = header.length + 1
+    val stmRaw = (header + "\n" + joined).getBytes(ISO_8859_1)
+    def stream(num: Int, payload: Array[Byte], extra: String): Array[Byte] =
+      (s"$num 0 obj << /Length ${payload.length} /Filter /FlateDecode" +
+        s"$extra >> stream\n").getBytes(ISO_8859_1) ++ payload ++
+        "\nendstream endobj\n".getBytes(ISO_8859_1)
+    val objs: Seq[(Int, Array[Byte])] = Seq(
+      1 -> "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        .getBytes(ISO_8859_1),
+      2 -> "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        .getBytes(ISO_8859_1),
+      4 -> stream(4, encPayload(4, content), ""),
+      7 -> stream(7, encPayload(7, cmap), ""),
+      8 -> stream(8, encPayload(8, deflate(stmRaw)),
+        s" /Type /ObjStm /N 3 /First $first")) ++
+      encInfo.map(e => 10 -> e._3.getBytes(ISO_8859_1)).toSeq
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
+    w("%PDF-1.5\n")
+    val offByNum = scala.collection.mutable.Map.empty[Int, Int]
+    objs.foreach { case (num, bytes) =>
+      offByNum(num) = out.size()
+      out.write(bytes)
+    }
+    val xrefAt = out.size()
+    val size = 11
+    val entries = (0 until size).flatMap { n =>
+      val (t, f2, f3) =
+        if (n == 0) (0, 0, 65535)
+        else if (n == 3) (2, 8, 0)
+        else if (n == 5) (2, 8, 1)
+        else if (n == 6) (2, 8, 2)
+        else if (n == 9) (1, xrefAt, 0)
+        else offByNum.get(n).map(off => (1, off, 0)).getOrElse((0, 0, 0))
+      Seq(t.toByte, ((f2 >> 24) & 0xff).toByte, ((f2 >> 16) & 0xff).toByte,
+        ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte,
+        ((f3 >> 8) & 0xff).toByte, (f3 & 0xff).toByte)
+    }.toArray
+    val xrefPayload = deflate(pngPredictEncode(entries, 7))
+    val encRef = if (encInfo.isDefined) " /Encrypt 10 0 R" else ""
+    out.write((s"9 0 obj << /Type /XRef /Size $size /Root 1 0 R$encRef" +
+      s" /ID [<${hex(id0)}> <${hex(id0)}>] /W [1 4 2] /Index [0 $size]" +
+      s" /Length ${xrefPayload.length} /Filter /FlateDecode" +
+      " /DecodeParms << /Predictor 12 /Columns 7 >> >> stream\n")
+      .getBytes(ISO_8859_1))
+    out.write(xrefPayload)
+    out.write("\nendstream endobj\n".getBytes(ISO_8859_1))
+    w(s"startxref\n$xrefAt\n%%%%EOF\n")
     out.toByteArray
   }
 

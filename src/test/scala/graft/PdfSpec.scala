@@ -413,6 +413,40 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.parse(pred).text == "")
   }
 
+  test("xref-stream trailers: /Root, /ID, /Encrypt resolve through startxref") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu"
+    val expected = "Doc 11 (cid) A\n" +
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa\n" +
+      "lambda mu"
+    for (enc <- Seq(None, Some(false), Some(true))) {
+      val pdf = Pdf.fixturePdfXrefStream(11L, text, enc)
+      val sdoc = new String(pdf, ISO_8859_1)
+      // genuinely no classical trailer, fonts invisible (ObjStm), and
+      // the xref entries ride a predictor
+      assert(!sdoc.contains("trailer") && !sdoc.contains("/Type0"))
+      assert(sdoc.contains("/XRef") && sdoc.contains("/Predictor 12"))
+      val r = Pdf.parse(pdf)
+      assert(r.xrefOk, s"enc=$enc xrefOk")
+      assert(r.nStreams == 4, s"enc=$enc nStreams=${r.nStreams}")
+      assert(r.text == expected, s"enc=$enc got '${r.text}'")
+    }
+    // a startxref that points nowhere: xrefOk false; the PLAIN lane
+    // still extracts (object scan is offset-free), and the ENCRYPTED
+    // lane still finds /Encrypt through the lenient whole-file
+    // fallback — never garbage either way
+    def breakStartxref(pdf: Array[Byte]): Array[Byte] = {
+      val sd = new String(pdf, ISO_8859_1)
+      (sd.substring(0, sd.lastIndexOf("startxref")) +
+        "startxref\n0\n%%EOF\n").getBytes(ISO_8859_1)
+    }
+    val rb = Pdf.parse(breakStartxref(Pdf.fixturePdfXrefStream(11L, text)))
+    assert(!rb.xrefOk && rb.text == expected, rb.xrefOk + " " + rb.text)
+    val re = Pdf.parse(breakStartxref(
+      Pdf.fixturePdfXrefStream(11L, text, Some(false))))
+    assert(!re.xrefOk && re.text == expected, re.xrefOk + " " + re.text)
+  }
+
   test("stream predictors: PNG row filters, TIFF differencing, parms alignment") {
     // round-trips through the writer-side encoders: the PNG encoder
     // cycles tags 0..4 so None/Sub/Up/Average/Paeth are ALL exercised,
