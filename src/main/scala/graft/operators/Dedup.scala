@@ -24,15 +24,20 @@ import graft.functions.{HashExpressions => HE, TextFunctions => TF, VectorFuncti
  * unpersist is always safe, Spark lazily recomputes if a frame is
  * somehow still referenced. */
 private[operators] object SelfJoinMaterialize {
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df: DataFrame): DataFrame = withCount(df)._1
+
+  /** Same materialization, surfacing the count the materializing
+   * action already computed — callers that need the row count must
+   * not schedule a second count job over the cached frame
+   * (review-caught). */
+  def withCount(df: DataFrame): (DataFrame, Long) = {
     // idempotent: a frame the caller already persisted (e.g. a guarded
     // one-hop result) keeps its level; the count still materializes it.
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       OperatorCaches.register(df)
     }
-    df.count()
-    df
+    (df, df.count())
   }
 }
 
@@ -564,11 +569,10 @@ object Dedup {
       df
     }
     // canonical orientation (hi > lo), self-loops dropped
-    var edges = SelfJoinMaterialize(
+    val (edges, edgeCount0) = SelfJoinMaterialize.withCount(
       prs.select(greatest(col("id_a"), col("id_b")).as("hi"),
         least(col("id_a"), col("id_b")).as("lo"))
         .where(col("hi") =!= col("lo")).distinct())
-    val edgeCount0 = edges.count()
     val dt = edges.schema.fields(0).dataType
     val localizable = {
       import org.apache.spark.sql.types._
@@ -659,7 +663,9 @@ object Dedup {
       lazyPersist: DataFrame => DataFrame): DataFrame = {
     var edges = edges0
     var iter = 0
-    var converged = edges.isEmpty
+    // the caller only routes here with a non-empty edge set (the empty
+    // case falls below every localEdges >= 0), so no emptiness job
+    var converged = false
     while (!converged) {
       if (iter >= maxIter)
         throw new IllegalStateException(

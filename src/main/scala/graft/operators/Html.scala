@@ -149,9 +149,18 @@ object Html {
       // quoted alternatives terminate ONLY on the matching quote (plus
       // valueStops): a legal quoted value may contain '>' or the OTHER
       // quote char (content="a > 'b', noindex") and truncating there
-      // dropped governance tokens after it (advice-caught). Unquoted
-      // values still stop at whitespace/quote/'>'.
-      "(\"[^\"" + valueStops + "]*+|'[^'" + valueStops + "]*+" +
+      // dropped governance tokens after it (advice-caught). This is
+      // the HTML5 tokenizer's reading — a quoted value runs to its
+      // matching quote even across '>', including the malformed
+      // unterminated-quote case, where browsers swallow to the next
+      // quote too. Two damage bounds (review-caught): the lookahead
+      // REQUIRES the terminator to exist (a quote unterminated to EOF
+      // fails the match and degrades locally), and the run is capped
+      // at 4096 chars — legal attribute values live far below it, so
+      // a pathological document degrades instead of swallowing
+      // megabytes. Unquoted values still stop at whitespace/quote/'>'.
+      "(\"[^\"" + valueStops + "]{0,4096}+(?=[\"" + valueStops + "])" +
+      "|'[^'" + valueStops + "]{0,4096}+(?=['" + valueStops + "])" +
       "|[^\\s\"'>" + valueStops + "]++)"
 
   /** Raw `href` targets of every `<a>` tag — quoted (either style) or

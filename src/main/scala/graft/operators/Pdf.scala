@@ -180,9 +180,12 @@ object Pdf {
       case None => return None // unreadable parms shape
     }
     // safety net: a /Predictor the parse did NOT surface (indirect
-    // ref, nested shape) must drop the stream, never decode raw
+    // ref, nested shape) must drop the stream, never decode raw —
+    // but an explicit literal `/Predictor 1` (the spec default, a
+    // pass-through) is legal and SURFACED, so presence of any parsed
+    // parms entry satisfies the net (review-caught)
     if (dict.contains("/Predictor") &&
-      !parms.exists(_.exists(_.predictor > 1))) return None
+      !parms.exists(_.isDefined)) return None
     rawOpt.flatMap { raw =>
       filters.zip(parms).foldLeft(Option(raw)) { case (acc, (f, pm)) =>
         acc.flatMap(d => f match {

@@ -232,6 +232,16 @@ object WarcSource {
     None // unreachable
   }
 
+  /** Decompression-bomb bound for PER-RECORD transport decoding: an
+   * untrusted crawl body must never expand past this (gzip tops out
+   * near 1000:1; a crafted multi-GB stream would otherwise OOM the
+   * task instead of degrading the record — review-caught). Exceeding
+   * it throws, which decodeCoding turns into the undecodable-coding
+   * degrade: raw bytes kept, text decode suppressed. File-level
+   * segment gunzip stays unbounded (a 1 GB+ decompressed segment is
+   * normal and IS the workload). */
+  private val MaxDecodedBody = 64L << 20
+
   private def inflate(b: Array[Byte], rawDeflate: Boolean): Array[Byte] = {
     val inf = new java.util.zip.Inflater(rawDeflate)
     try {
@@ -243,9 +253,28 @@ object WarcSource {
         if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
           throw new java.util.zip.DataFormatException("truncated deflate")
         out.write(buf, 0, n)
+        if (out.size() > MaxDecodedBody)
+          throw new java.util.zip.DataFormatException("decoded body too large")
       }
       out.toByteArray
     } finally inf.end()
+  }
+
+  /** [[gunzip]] with the per-record expansion bound (transport
+   * decoding only — see [[MaxDecodedBody]]). */
+  private def gunzipBounded(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](65536)
+    var n = in.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      if (out.size() > MaxDecodedBody)
+        throw new java.util.zip.ZipException("decoded body too large")
+      n = in.read(buf)
+    }
+    out.toByteArray
   }
 
   /** Undo ONE content/transfer coding. `deflate` is zlib-wrapped per
@@ -256,7 +285,7 @@ object WarcSource {
     tok match {
       case "chunked" => dechunk(b)
       case "gzip" | "x-gzip" =>
-        try Some(gunzip(b)) catch { case _: Exception => None }
+        try Some(gunzipBounded(b)) catch { case _: Exception => None }
       case "deflate" =>
         try Some(inflate(b, rawDeflate = false)) catch {
           case _: Exception =>
@@ -582,9 +611,14 @@ object WarcSource {
       : org.apache.spark.sql.Column = {
     val v = lower(coalesce(
       element_at(httpHeaders, "x-robots-tag"), lit("")))
+    // prefix strip anchors at the value START and after each comma —
+    // RFC 9110 joins repeated headers with ", ", so a second header's
+    // space-less agent form ("noindex, otherbot:nofollow") sits
+    // mid-value (review-caught); regexp_replace replaces ALL matches
     val stripped = regexp_replace(v,
-      "^\\s*(?!max-snippet\\b|max-image-preview\\b|max-video-preview\\b" +
-        "|unavailable_after\\b)[a-z0-9_.*-]++\\s*+:\\s*+", "")
+      "(^|,)\\s*(?!max-snippet\\b|max-image-preview\\b" +
+        "|max-video-preview\\b|unavailable_after\\b)" +
+        "[a-z0-9_.*-]++\\s*+:\\s*+", "$1")
     def has(tok: String): org.apache.spark.sql.Column =
       stripped.rlike("(^|[\\s,])(" + tok + "|none)([\\s,]|$)")
     struct(has("noindex").as("noindex"), has("nofollow").as("nofollow"))

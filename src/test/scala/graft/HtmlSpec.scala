@@ -613,6 +613,9 @@ class HtmlSpec extends SparkSpec {
       (true, false))
     assert(flags("<meta name=robots content=\"it's ok, nofollow\">") ==
       (false, true))
+    // a quote unterminated to EOF fails the match and degrades
+    // locally (review-caught) — no verdict, no swallow, no crash
+    assert(flags("<meta name=robots content=\"noindex") == (false, false))
   }
 
   test("governedLinks: rel=nofollow drops the anchor, either attr order") {

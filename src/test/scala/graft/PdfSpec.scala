@@ -491,6 +491,21 @@ class PdfSpec extends SparkSpec {
     val ro = Pdf.parse(objstm)
     assert(ro.xrefOk && ro.nStreams == 3, ro)
     assert(ro.text == expected.replace("(pdf)", "(cid)"), s"got '${ro.text}'")
+    // explicit literal /Predictor 1 is the spec-default pass-through:
+    // the stream must DECODE, not drop (review-caught)
+    def defl(b: Array[Byte]): Array[Byte] = {
+      val dd = new java.util.zip.Deflater()
+      dd.setInput(b); dd.finish()
+      val o = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1024)
+      while (!dd.finished()) o.write(buf, 0, dd.deflate(buf))
+      dd.end(); o.toByteArray
+    }
+    val body1 = defl("BT (ok) Tj ET".getBytes(ISO_8859_1))
+    val p1 = (s"9 0 obj << /Length ${body1.length} /Filter /FlateDecode" +
+      " /DecodeParms << /Predictor 1 >> >> stream\n").getBytes(ISO_8859_1) ++
+      body1 ++ "\nendstream endobj\n".getBytes(ISO_8859_1)
+    assert(Pdf.parse(p1).text == "ok", Pdf.parse(p1).text)
     // a predictor'd parms entry PAST the filter list is unreadable
     val bad = ("9 0 obj << /Length 4 /Filter /FlateDecode /DecodeParms" +
       " [null << /Predictor 12 /Columns 4 >>] >> stream\nXXXX\n" +

@@ -429,6 +429,31 @@ class WarcSourceSpec extends SparkSpec {
       .where(col("record_id") === "<urn:x:1>").collect()(0)
     assert(junk.getAs[String]("body") == null)
     assert(new String(junk.getAs[Array[Byte]]("body_bytes"), "UTF-8") == "BRBYTES")
+
+    // a decompression bomb (66 MiB of zeros behind a ~70 KB gzip)
+    // degrades the RECORD — raw bytes kept, text suppressed — instead
+    // of OOMing the task (review-caught)
+    val bomb = {
+      val o = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(o)
+      val z = new Array[Byte](1 << 20)
+      for (_ <- 0 until 66) g.write(z)
+      g.close(); o.toByteArray
+    }
+    val bHead = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+      "Content-Encoding: gzip\r\n\r\n").getBytes("UTF-8")
+    val bPayload = bHead ++ bomb
+    val bRec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:x:bomb>\r\nWARC-Target-URI: https://x/b\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${bPayload.length}\r\n\r\n").getBytes("UTF-8") ++
+      bPayload ++ "\r\n\r\n".getBytes("UTF-8")
+    java.nio.file.Files.write(
+      new java.io.File(dir, "seg-bomb.warc").toPath, bRec)
+    val bombRow = WarcSource.records(spark, dir)
+      .where(col("record_id") === "<urn:x:bomb>").collect()(0)
+    assert(bombRow.getAs[String]("body") == null)
+    assert(bombRow.getAs[Array[Byte]]("body_bytes").length == bomb.length)
   }
 
   test("transport decode composes with HTML consumers (p92/p127 shape)") {
@@ -465,6 +490,10 @@ class WarcSourceSpec extends SparkSpec {
       ("googlebot:noindex", true, false), // no space after agent ':'
       ("googlebot: none", true, true),
       ("otherbot: nofollow, noarchive", false, true),
+      // RFC 9110 comma-join of two headers puts the second agent
+      // prefix MID-value (review-caught)
+      ("noindex, otherbot:nofollow", true, true),
+      ("noarchive, bot.name:none", true, true),
       ("noindex", true, false),
       ("none", true, true))
     val got = cases.map(_._1).toDF("v")
