@@ -2634,6 +2634,86 @@ object PipelineEntry {
       Pdf.extractTexts(pdfs).orderBy("id")
     }),
 
+    // P155 — redirect edges (every real crawl is full of 3xx
+    // captures; URL dedup collapses chains against them and frontiers
+    // follow them): response records with a redirect status and a
+    // Location header become (src, dst, status) edges, the target
+    // resolved per RFC 9110 (relative Locations are legal and common)
+    // through the link graph's own resolution + canonicalization.
+    // Quarters of the corpus ride 200-no-edge / 301 absolute /
+    // 302 root-relative / 308 path-relative (../ folding
+    // load-bearing); the oracle re-derives each edge closed-form.
+    "p155_redirect_edges" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      val out = s"/root/repo/target/warc-redirect-${dir.replaceAll("[^0-9.]", "")}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val in = docs(s, dir).select(col("doc_id"), col("text"),
+        element_at(array(lit("200 OK"), lit("301 Moved Permanently"),
+            lit("302 Found"), lit("308 Permanent Redirect")),
+          (col("doc_id") % 4 + 1).cast("int")).as("st"),
+        element_at(array(lit(""),
+            concat(lit("Location: https://example.org/doc/"),
+              col("doc_id"), lit("-new")),
+            concat(lit("Location: /moved/"), col("doc_id")),
+            concat(lit("Location: ../r/"), col("doc_id"))),
+          (col("doc_id") % 4 + 1).cast("int")).as("loc"))
+      WarcSource.export(in, out, docsPerFile = 100,
+        statusCol = Some("st"), httpHeaderCol = Some("loc"))
+      WarcSource.redirectEdges(WarcSource.records(s, out))
+        .select(
+          regexp_extract(col("src_url"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("src_url"), col("dst_url"), col("status"))
+        .orderBy("doc_id")
+    }),
+
+    // P154 — HTTP charset decoding (the web is not all UTF-8: legacy
+    // pages declare ISO-8859-1 / windows-1252 in the Content-Type
+    // header or ONLY in a <meta> tag, and UTF-16 pages lead with a
+    // BOM; a blind UTF-8 decode turns every accented char into
+    // U+FFFD). Fifths of the corpus ride utf-8 / header-declared
+    // latin-1 (+" café", 0xE9 is invalid alone in UTF-8) /
+    // header-declared cp1252 (+" €uro", 0x80) / BOM'd UTF-16LE with
+    // NO charset param (+" 𝄞", supplementary plane) / html with the
+    // charset ONLY in <meta> (HTML5 prescan). The oracle builds each
+    // decoded body closed-form — any precedence or decode slip
+    // diverges md5 on a fifth of the rows.
+    "p154_charset_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.WarcSource
+      val out = s"/root/repo/target/warc-charset-${dir.replaceAll("[^0-9.]", "")}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val in = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          val (payload, mime) = (id % 5) match {
+            case 0 => (t.getBytes("UTF-8"), "text/plain; charset=utf-8")
+            case 1 => ((t + " café").getBytes("ISO-8859-1"),
+              "text/plain; charset=iso-8859-1")
+            case 2 => ((t + " €uro").getBytes("windows-1252"),
+              "text/plain; charset=windows-1252")
+            case 3 => (Array(0xFF.toByte, 0xFE.toByte) ++
+              (t + " 𝄞").getBytes("UTF-16LE"), "text/plain")
+            case _ =>
+              val html = "<html><head><meta charset=\"windows-1252\">" +
+                "<title>t</title></head><body>" + t + " €</body></html>"
+              (html.getBytes("windows-1252"), "text/html")
+          }
+          (id, payload, mime)
+        }).toDF("id", "payload", "mime")
+      WarcSource.export(in, out, docsPerFile = 100, idCol = "id",
+        bytesCol = Some("payload"), mimeCol = Some("mime"))
+      WarcSource.records(s, out)
+        .where(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          (regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long") % 5).as("lane"),
+          md5(col("body")).as("body_md5"))
+        .orderBy("doc_id")
+    }),
+
     // P153 — PDF 1.5 cross-reference-stream trailers (the r17
     // verdict's missing-list #3: the normal Acrobat 7+ output has NO
     // classical `trailer` keyword — /Root, /ID, and /Encrypt live in
@@ -6041,6 +6121,40 @@ SELECT doc_id AS id, TRUE AS xref_ok,
   (CASE WHEN doc_id % 4 = 3 THEN 3 ELSE 1 END)::BIGINT AS n_streams,
   length(text)::BIGINT AS n_chars, text
 FROM e ORDER BY id""",
+
+    // p155: each redirect edge re-derived closed-form — the SQL never
+    // resolves a URL, so the Location header transit, the relative
+    // resolution (../ folding included), and the canonicalization must
+    // all be exact; 200 rows must contribute NO edge.
+    "p155_redirect_edges" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT doc_id,
+  'example.org/doc/' || doc_id AS src_url,
+  CASE doc_id % 4
+    WHEN 1 THEN 'example.org/doc/' || doc_id || '-new'
+    WHEN 2 THEN 'example.org/moved/' || doc_id
+    ELSE 'example.org/r/' || doc_id
+  END AS dst_url,
+  (CASE doc_id % 4 WHEN 1 THEN 301 WHEN 2 THEN 302
+    ELSE 308 END)::BIGINT AS status
+FROM documents WHERE doc_id % 4 <> 0 ORDER BY doc_id""",
+
+    // p154: each lane's decoded body rebuilt closed-form in SQL (the
+    // oracle never touches a byte encoding — DuckDB strings are UTF-8,
+    // so equality proves the parser recovered the exact characters
+    // through latin-1/cp1252/UTF-16/meta-prescan transit).
+    "p154_charset_decode" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+e AS (SELECT doc_id, doc_id % 5 AS lane,
+  CASE doc_id % 5
+    WHEN 0 THEN text
+    WHEN 1 THEN text || ' café'
+    WHEN 2 THEN text || ' €uro'
+    WHEN 3 THEN text || ' 𝄞'
+    ELSE '<html><head><meta charset="windows-1252"><title>t</title></head><body>'
+      || text || ' €</body></html>'
+  END AS body FROM documents)
+SELECT doc_id, lane, md5(body) AS body_md5 FROM e ORDER BY doc_id""",
 
     // p153: the closed-form CID re-typeset with n_streams 4 — the SQL
     // never sees a trailer, an xref stream, a predictor, or a cipher,

@@ -62,6 +62,53 @@ object WarcSource {
 
   private val Crlf = "\r\n".getBytes("US-ASCII")
 
+  // ------------------------------------------ charset decoding (P154)
+
+  /** Decode a TEXT body to a string the way a browser would pick the
+   * encoding (real crawls are not all UTF-8 — legacy pages declare
+   * ISO-8859-1 / windows-1252 in the header, or only in a `<meta>`
+   * tag, and a blind UTF-8 decode turns every accented character into
+   * U+FFFD):
+   *   1. a BOM wins (UTF-8 / UTF-16LE / UTF-16BE, stripped);
+   *   2. else the Content-Type `charset` parameter, when the JDK
+   *      knows the name;
+   *   3. else, for HTML types only, the HTML5 prescan of the first
+   *      1024 bytes for `<meta charset=...>` / the http-equiv form;
+   *   4. else UTF-8 (the modern-web default; we diverge from HTML5's
+   *      legacy windows-1252 default deliberately — a corpus pipeline
+   *      would rather surface U+FFFD than silently mojibake the UTF-8
+   *      majority).
+   * Malformed sequences REPLACE (never throw), like browsers. */
+  private[graft] def decodeText(bytes: Array[Byte],
+                                contentType: String): String = {
+    if (bytes.length >= 3 && bytes(0) == 0xEF.toByte &&
+      bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte)
+      return new String(bytes, 3, bytes.length - 3, "UTF-8")
+    if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xFE.toByte)
+      return new String(bytes, 2, bytes.length - 2, "UTF-16LE")
+    if (bytes.length >= 2 && bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)
+      return new String(bytes, 2, bytes.length - 2, "UTF-16BE")
+    val ct = Option(contentType).getOrElse("")
+    def named(name: String): Option[java.nio.charset.Charset] =
+      try Some(java.nio.charset.Charset.forName(name.trim))
+      catch { case _: Exception => None }
+    val fromHeader = CharsetParamRe.findFirstMatchIn(ct)
+      .flatMap(m => named(m.group(1)))
+    val cs = fromHeader.orElse {
+      // HTML5 prescan (bounded, byte-transparent ISO-8859-1 view)
+      if (ct.toLowerCase.contains("html")) {
+        val head = new String(bytes, 0, math.min(bytes.length, 1024),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        MetaCharsetRe.findFirstMatchIn(head).flatMap(m => named(m.group(1)))
+      } else None
+    }.getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+    new String(bytes, cs) // malformed input REPLACES by default
+  }
+  private val CharsetParamRe =
+    """(?i)charset\s*=\s*"?([A-Za-z0-9._:-]+)""".r
+  private val MetaCharsetRe =
+    """(?is)<meta[^>]{0,500}?charset\s*=\s*["']?([A-Za-z0-9._:-]+)""".r
+
   /** Parse every record of one WARC payload (already gunzipped). */
   private[graft] def parseWarc(file: String, bytes: Array[Byte]): Seq[WarcRecord] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
@@ -167,7 +214,7 @@ object WarcSource {
         if (isHttp) httpCt else headers.getOrElse("content-type", null)
       val body =
         if (decodedOk && isTextType(contentType))
-          new String(bodyBytes, "UTF-8") else null
+          decodeText(bodyBytes, contentType) else null
       out += WarcRecord(file, warcType, recId, uri, status, contentType,
         body, bodyBytes, headers.getOrElse("warc-refers-to", null),
         headers.getOrElse("warc-payload-digest", null), httpHeaders)
@@ -625,6 +672,33 @@ object WarcSource {
   }
 
   /**
+   * Redirect edges of a crawl — the 3xx captures every real crawl is
+   * full of (a redirect chain multiplies captures of ONE logical
+   * page): response records with a redirect status AND a `Location`
+   * header become (src_url, dst_url, status) edges, the target
+   * resolved against the source per RFC 9110 §10.2.2 — relative
+   * Locations are legal and common — through the SAME resolution and
+   * canonicalization the link graph uses, so redirect edges and
+   * anchor edges land in one key space. This is what URL-level dedup
+   * collapses chains against and what a frontier follows.
+   *
+   * Scale shape: one shuffle-free projection where the records were
+   * parsed; the status/header filter prunes before any expression
+   * work. Pure codegen'd Column logic, no UDF.
+   */
+  def redirectEdges(records: DataFrame): DataFrame =
+    records.where(col("warc_type") === "response" &&
+        col("status").between(300L, 399L) &&
+        element_at(col("http_headers"), "location").isNotNull)
+      .select(
+        graft.operators.UrlOps.canonicalizeUrl(col("target_uri"))
+          .as("src_url"),
+        graft.operators.UrlOps.canonicalizeUrl(
+          graft.operators.Html.resolveHref(col("target_uri"),
+            element_at(col("http_headers"), "location"))).as("dst_url"),
+        col("status").cast("long").as("status"))
+
+  /**
    * Write a [[watRecords]] frame as `.warc.wat.gz` segment files (the
    * Common Crawl naming, which keeps them inside `records`' front-door
    * glob): WARC `metadata` records whose payload is the JSON envelope,
@@ -702,7 +776,9 @@ object WarcSource {
              mime: String = "text/plain; charset=utf-8",
              revisitEvery: Int = 0,
              httpHeaderCol: Option[String] = None,
-             transportCol: Option[String] = None): Unit = {
+             transportCol: Option[String] = None,
+             mimeCol: Option[String] = None,
+             statusCol: Option[String] = None): Unit = {
     require(bytesCol.isEmpty || !wet, "binary payloads need HTTP framing")
     require(revisitEvery == 0 || !wet, "revisit records are response-side")
     // binary + revisit composes cleanly: the planted digest hashes the
@@ -719,9 +795,17 @@ object WarcSource {
       .getOrElse(lit("")).as("xhdr")
     val transport = transportCol.map(col(_).cast("string"))
       .getOrElse(lit("")).as("transport")
+    // optional per-doc Content-Type (charset-lane fixtures need a
+    // different mime/charset per record); falls back to `mime`
+    val mimeExpr = mimeCol.map(col(_).cast("string"))
+      .getOrElse(lit(mime)).as("mime")
+    // optional per-doc status LINE ("301 Moved Permanently") —
+    // redirect/error-capture fixtures; default 200
+    val statusExpr = statusCol.map(col(_).cast("string"))
+      .getOrElse(lit("200 OK")).as("status_line")
     val shards = docs.select(col(idCol).cast("long").as("id"),
         payloadExpr.as("payload"), urlExpr.cast("string").as("url"),
-        extraHdr, transport)
+        extraHdr, transport, mimeExpr, statusExpr)
       .repartition(expr(s"id DIV $docsPerFile"))
     shards.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       // one FILE per shard key — the repartition only spreads work; two
@@ -751,6 +835,7 @@ object WarcSource {
           else {
             val xh = Option(r.getString(3)).filter(_.nonEmpty)
               .map(_ + "\r\n").getOrElse("")
+            val mime = Option(r.getString(5)).getOrElse("text/plain")
             // transport spec: content coding INSIDE, chunked OUTSIDE —
             // the application order a real server uses (CE then TE)
             val enc = Option(r.getString(4)).getOrElse("")
@@ -764,7 +849,8 @@ object WarcSource {
             if (enc.contains("chunked")) {
               pay = chunkify(pay); th ++= "Transfer-Encoding: chunked\r\n"
             }
-            val http = ("HTTP/1.1 200 OK\r\n" +
+            val statusLine = Option(r.getString(6)).getOrElse("200 OK")
+            val http = (s"HTTP/1.1 $statusLine\r\n" +
               s"Content-Type: $mime\r\n$xh$th\r\n").getBytes("UTF-8") ++ pay
             record(Seq("WARC-Type" -> "response",
               "WARC-Target-URI" -> r.getString(2),

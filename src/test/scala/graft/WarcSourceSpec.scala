@@ -478,6 +478,70 @@ class WarcSourceSpec extends SparkSpec {
     }
   }
 
+  test("redirectEdges: 3xx + Location become resolved edges; others don't") {
+    val dir = "/root/repo/target/warc-redirect-unit"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val docs = Seq(
+      (1L, "ok", "200 OK", ""),
+      (2L, "moved", "301 Moved Permanently",
+        "Location: https://other.com/new"),
+      (3L, "rel", "302 Found", "Location: /m/3"),
+      (4L, "dots", "308 Permanent Redirect", "Location: ../r/4"),
+      (5L, "no-loc", "301 Moved Permanently", ""), // 3xx, header missing
+      (6L, "not-3xx", "404 Not Found", "Location: /decoy")
+    ).toDF("doc_id", "text", "st", "loc")
+    WarcSource.export(docs, dir, statusCol = Some("st"),
+      httpHeaderCol = Some("loc"))
+    val edges = WarcSource.redirectEdges(WarcSource.records(spark, dir))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(edges == Seq(
+      ("example.org/doc/2", "other.com/new", 301L),
+      ("example.org/doc/3", "example.org/m/3", 302L),
+      ("example.org/doc/4", "example.org/r/4", 308L)), edges)
+    // the underlying status parse carried the per-doc line
+    val sts = WarcSource.records(spark, dir)
+      .where(col("warc_type") === "response")
+      .orderBy("record_id").collect().map(_.getAs[Int]("status")).toSeq
+    assert(sts == Seq(200, 301, 302, 308, 301, 404), sts)
+  }
+
+  test("charset decoding: BOM > header charset > meta prescan > UTF-8") {
+    import graft.sources.WarcSource.decodeText
+    // a BOM wins, even over a contradicting header
+    val utf16 = Array(0xFF.toByte, 0xFE.toByte) ++
+      "héllo 𝄞".getBytes("UTF-16LE")
+    assert(decodeText(utf16, "text/plain; charset=iso-8859-1") == "héllo 𝄞")
+    val bomUtf8 = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "x é".getBytes("UTF-8")
+    assert(decodeText(bomUtf8, null) == "x é")
+    assert(decodeText(Array(0xFE.toByte, 0xFF.toByte) ++
+      "ab".getBytes("UTF-16BE"), null) == "ab")
+    // header charset: quoted, case-insensitive, real legacy names
+    assert(decodeText("café".getBytes("ISO-8859-1"),
+      "text/plain; CHARSET=\"ISO-8859-1\"") == "café")
+    assert(decodeText("€uro".getBytes("windows-1252"),
+      "text/html; charset=windows-1252") == "€uro")
+    // meta prescan: html only, both <meta charset> and http-equiv forms
+    val meta1 = "<html><head><meta charset=windows-1252></head>" +
+      "<body>€</body></html>"
+    assert(decodeText(meta1.getBytes("windows-1252"), "text/html")
+      .contains("€"))
+    val meta2 = "<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=iso-8859-1\"></head>" +
+      "<body>café</body></html>"
+    assert(decodeText(meta2.getBytes("ISO-8859-1"), "text/html")
+      .contains("café"))
+    // the prescan does NOT apply to non-html types
+    assert(!decodeText(meta1.getBytes("windows-1252"), "text/plain")
+      .contains("€"))
+    // unknown charset names fall back to UTF-8; malformed bytes
+    // REPLACE, never throw
+    assert(decodeText("ok".getBytes("UTF-8"),
+      "text/plain; charset=x-wat-9") == "ok")
+    assert(decodeText(Array(0xE9.toByte), "text/plain") == "�")
+  }
+
   test("xRobots: valued directives never read as separators; agent prefix strips") {
     // advice-caught: ':' as a token separator made max-image-preview:none
     // set both flags. Valued directives keep their ':'+value opaque;
