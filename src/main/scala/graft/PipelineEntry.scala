@@ -2667,6 +2667,28 @@ object PipelineEntry {
         .orderBy("doc_id")
     }),
 
+    // P156 — redirect-chain collapse (p155's companion: a crawl
+    // captures EVERY hop of a moved page, and URL dedup must key on
+    // the chain's END): pointer doubling over the edge list —
+    // ⌈log₂ maxHops⌉ self-joins, not one shuffle per hop. The fixture
+    // builds 1/2/3-hop chains from the doc table (u_{id} → u_{id-1} →
+    // … → f_{root}); the oracle computes each chain's root in closed
+    // form, so a doubling slip (off-by-one hop, lost terminal) breaks
+    // most rows.
+    "p156_redirect_collapse" -> ((s, dir) => {
+      val base = docs(s, dir).where(col("doc_id") % 4 =!= 0)
+      val edges = base.select(
+        concat(lit("u"), col("doc_id")).as("src_url"),
+        when(col("doc_id") % 4 === 1, concat(lit("f"), col("doc_id")))
+          .otherwise(concat(lit("u"), col("doc_id") - 1)).as("dst_url"))
+      UrlOps.collapseRedirects(edges)
+        .select(
+          regexp_extract(col("src_url"), "(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("src_url"), col("final_url"))
+        .orderBy("doc_id")
+    }),
+
     // P154 — HTTP charset decoding (the web is not all UTF-8: legacy
     // pages declare ISO-8859-1 / windows-1252 in the Content-Type
     // header or ONLY in a <meta> tag, and UTF-16 pages lead with a
@@ -6121,6 +6143,16 @@ SELECT doc_id AS id, TRUE AS xref_ok,
   (CASE WHEN doc_id % 4 = 3 THEN 3 ELSE 1 END)::BIGINT AS n_streams,
   length(text)::BIGINT AS n_chars, text
 FROM e ORDER BY id""",
+
+    // p156: each chain's final target computed closed-form (the root
+    // of id's group is id - id%4 + 1) — the SQL never follows an
+    // edge, so the pointer-doubling must land every hop of every
+    // chain on its true terminal.
+    "p156_redirect_collapse" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT doc_id, 'u' || doc_id AS src_url,
+  'f' || (doc_id - (doc_id % 4) + 1) AS final_url
+FROM documents WHERE doc_id % 4 <> 0 ORDER BY doc_id""",
 
     // p155: each redirect edge re-derived closed-form — the SQL never
     // resolves a URL, so the Location header transit, the relative

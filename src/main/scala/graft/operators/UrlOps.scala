@@ -382,6 +382,37 @@ object UrlOps {
    * Output: (canonical_url, kept_doc_id, n_dups) — `n_dups` is the
    * capture count, the signal URL-frequency filters consume.
    */
+  /**
+   * Redirect-chain collapse — the companion of
+   * [[graft.sources.WarcSource.redirectEdges]]: (src_url, final_url)
+   * mapping every redirect SOURCE to the end of its chain (a → b → c
+   * yields a → c AND b → c), which is what URL-level dedup keys on —
+   * a crawl captures every hop of a moved page as its own record.
+   *
+   * Scale shape: POINTER DOUBLING — ⌈log₂ maxHops⌉ self-joins keyed
+   * on url, each halving the remaining chain depth (the subclass
+   * closure's discipline; a naive per-hop loop would pay one shuffle
+   * PER HOP). Chains longer than `maxHops` collapse to the node
+   * 2^⌈log₂ maxHops⌉ hops in — deterministic, never an infinite loop;
+   * a redirect CYCLE (a ↔ b, which real webs do contain) likewise
+   * lands on a fixed element instead of hanging.
+   */
+  def collapseRedirects(edges: DataFrame, maxHops: Int = 8): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 1024, "maxHops out of range")
+    var f = edges.select(col("src_url"), col("dst_url").as("final_url"))
+    var hops = 1
+    while (hops < maxHops) {
+      f = f.as("a").join(
+        f.select(col("src_url").as("b_src"),
+          col("final_url").as("b_final")),
+        col("a.final_url") === col("b_src"), "left")
+        .select(col("a.src_url").as("src_url"),
+          coalesce(col("b_final"), col("a.final_url")).as("final_url"))
+      hops *= 2
+    }
+    f
+  }
+
   def urlDedup(docs: DataFrame, urlCol: String = "url",
                idCol: String = "doc_id", lenCol: String = "n_chars")
       : DataFrame =

@@ -176,6 +176,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p2.contains("CartesianProduct"), p2)
   }
 
+  test("redirect edges are a shuffle-free projection; chain collapse joins only") {
+    import spark.implicits._
+    val recs = Seq(
+      ("f", "response", "<r1>", "https://a.com/x", 301, "text/html",
+        "b", "b".getBytes("UTF-8"), null: String, null: String,
+        Map("location" -> "/y"))
+    ).toDF("file", "warc_type", "record_id", "target_uri", "status",
+      "content_type", "body", "body_bytes", "refers_to",
+      "payload_digest", "http_headers")
+    val p = plan(graft.sources.WarcSource.redirectEdges(recs))
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src_url", "dst_url")
+    val p2 = plan(graft.operators.UrlOps.collapseRedirects(edges))
+    assert(!p2.contains("CartesianProduct"), p2)
+  }
+
   test("one-hop output-category filter is a scan predicate, not a join (r2 g07 regression)") {
     val res = OneHop.answer(spark, graph, ont, QueryGraph.oneHop(
       QNode("n_out", categories = Seq(O.Customer, O.Nation)),
@@ -734,8 +750,17 @@ class PlanAuditSpec extends SparkSpec {
       // linkGraph's base-aware resolution chain (p95 measures ~116k,
       // same audited shape) plus the anchor-clean expression; the
       // filter and aggregation reference the dst chain exactly as
-      // linkGraph's do — honest size, not reference fan-out
-      "p137_anchor_text" -> 180000)
+      // linkGraph's do — honest size, not reference fan-out. Raised
+      // 180k -> 200k in r18: the strict attribute walk's quoted
+      // alternatives grew for correctness (quote-spanning values with
+      // terminator lookaheads + length caps; advice+review-caught),
+      // measured 180.5k
+      "p137_anchor_text" -> 200000,
+      // redirect target resolution is the SAME resolveHref chain
+      // linkGraph inlines, wrapped once more in canonicalizeUrl (the
+      // Location must land in the link graph's key space) — measured
+      // ~169k, the p95/p137 audited shape, not reference fan-out
+      "p155_redirect_edges" -> 190000)
     // Documented exemptions (key, native) -> count: repeats that scale
     // with a CONFIG constant or the request batch, never with data or
     // downstream reference fanout.

@@ -440,4 +440,25 @@ class UrlOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(out == Seq(("a.com", 1L), ("b.com", 3L), ("c.com", 3L)))
   }
+
+  test("collapseRedirects: chains land on terminals, cycles terminate") {
+    // a -> b -> c -> F plus a lone x -> Y: every hop maps to the end
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "F"), ("x", "Y"))
+      .toDF("src_url", "dst_url")
+    val got = UrlOps.collapseRedirects(edges).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == Map("a" -> "F", "b" -> "F", "c" -> "F", "x" -> "Y"), got)
+    // a chain LONGER than maxHops collapses deterministically to the
+    // node 2^ceil(log2 maxHops) hops in, never loops forever
+    val long = (0 until 12).map(i => (s"n$i", s"n${i + 1}"))
+      .toDF("src_url", "dst_url")
+    val l = UrlOps.collapseRedirects(long, maxHops = 4).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(l("n0") == "n4", l) // 4 hops in (2 doublings)
+    // a 2-cycle terminates deterministically (every real web has one)
+    val cyc = Seq(("p", "q"), ("q", "p")).toDF("src_url", "dst_url")
+    val c = UrlOps.collapseRedirects(cyc).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(c == Map("p" -> "p", "q" -> "q"), c)
+  }
 }
