@@ -579,8 +579,12 @@ object Dedup {
       dt == LongType || dt == IntegerType || dt == ShortType ||
         dt == ByteType || dt == StringType
     }
+    // an EMPTY edge set is trivial for ANY id type (localStarLabels
+    // never compares ids on it) — without this, a non-localizable
+    // id column of pure self-pairs would run a full loop round over
+    // empty frames (review-caught)
     val starLabels: DataFrame =
-      if (edgeCount0 <= localEdges && localizable)
+      if (edgeCount0 == 0 || (edgeCount0 <= localEdges && localizable))
         localStarLabels(edges, dt)
       else starContractionLabels(edges, maxIter, lazyPersist)
     ids.join(starLabels, Seq("id"), "left")

@@ -297,7 +297,14 @@ object Pdf {
     val bits = p.colors.toLong * p.bpc * p.columns
     if (p.colors < 1 || p.columns < 1 ||
       !Seq(1, 2, 4, 8, 16).contains(p.bpc) || bits > (1L << 30)) return None
-    val rowBytes = ((bits + 7) / 8).toInt
+    if (data.length == 0) return Some(data)
+    val declaredRow = ((bits + 7) / 8).toInt
+    // allocation bound (review-caught): a row can never hold more
+    // bytes than the stream carries, so a crafted geometry
+    // (/Columns 1000000 on a 200-byte stream) must not allocate
+    // declared-row-sized buffers — clamp to the data length; the
+    // per-row loop already reads at most the remaining bytes
+    val rowBytes = math.min(declaredRow, data.length)
     val bpp = math.max(1, p.colors * p.bpc / 8)
     p.predictor match {
       case 1 => Some(data)
@@ -1293,26 +1300,7 @@ object Pdf {
    * inside the ObjStm decode path. */
   def fixturePdfCidObjStm(docId: Long, text: String,
                           predictor: Boolean = false): Array[Byte] = {
-    val (ops, shownAll) = contentOps(docId, text, cid = true)
-    val content = deflate(ops.getBytes(ISO_8859_1))
-    val cmap = deflate(fixtureCMap(shownAll).getBytes(ISO_8859_1))
-    val bodies = Seq(
-      3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
-        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
-      5 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
-        "/Encoding /Identity-H /DescendantFonts [6 0 R] " +
-        "/ToUnicode 7 0 R >>"),
-      6 -> ("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCID " +
-        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) " +
-        "/Supplement 0 >> /CIDToGIDMap /Identity >>"))
-    // (objnum, offset) header + concatenated bodies; /First counts
-    // DECODED bytes from stream start to the first body
-    val joined = bodies.map(_._2).mkString(" ")
-    val offsets = bodies.map(_._2).scanLeft(0)(_ + _.length + 1).init
-    val header = bodies.map(_._1).zip(offsets)
-      .map { case (n, o) => s"$n $o" }.mkString(" ")
-    val first = header.length + 1
-    val stmRaw = (header + "\n" + joined).getBytes(ISO_8859_1)
+    val (content, cmap, stmRaw, first) = cidObjStmParts(docId, text)
     val stmPayload =
       if (predictor) deflate(pngPredictEncode(stmRaw, 16))
       else deflate(stmRaw)
@@ -1368,7 +1356,6 @@ object Pdf {
    * through the startxref chain. */
   def fixturePdfXrefStream(docId: Long, text: String,
                            encrypt: Option[Boolean] = None): Array[Byte] = {
-    val (ops, shownAll) = contentOps(docId, text, cid = true)
     def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
     val id0 = md5(s"graft-id-$docId".getBytes(ISO_8859_1))
     val encInfo = encrypt.map { aes =>
@@ -1377,49 +1364,14 @@ object Pdf {
       val perm = -3904
       val fk = fileKey(o, perm, id0, r, 16)
       val u = userValue(fk, r, id0)
-      val dict =
-        if (!aes)
-          s"10 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 /P $perm" +
-            s" /O <${hex(o)}> /U <${hex(u)}> >> endobj\n"
-        else
-          s"10 0 obj << /Filter /Standard /V 4 /R 4 /Length 128 /P $perm" +
-            s" /O <${hex(o)}> /U <${hex(u)}>" +
-            " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>" +
-            " /StmF /StdCF /StrF /StdCF >> endobj\n"
-      (aes, fk, dict)
+      (aes, fk, stdEncryptDict(10, aes, perm, o, u))
     }
     def encPayload(objNum: Int, data: Array[Byte]): Array[Byte] =
       encInfo match {
         case None => data
-        case Some((aes, fk, _)) =>
-          val ek = objKey(fk, objNum, 0, aes)
-          if (!aes) rc4(ek, data)
-          else {
-            val iv = md5(s"graft-iv-$docId-$objNum".getBytes(ISO_8859_1))
-            val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
-            c.init(javax.crypto.Cipher.ENCRYPT_MODE,
-              new javax.crypto.spec.SecretKeySpec(ek, "AES"),
-              new javax.crypto.spec.IvParameterSpec(iv))
-            iv ++ c.doFinal(data)
-          }
+        case Some((aes, fk, _)) => stdEncrypt(docId, aes, fk, objNum, data)
       }
-    val content = deflate(ops.getBytes(ISO_8859_1))
-    val cmap = deflate(fixtureCMap(shownAll).getBytes(ISO_8859_1))
-    val bodies = Seq(
-      3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
-        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
-      5 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
-        "/Encoding /Identity-H /DescendantFonts [6 0 R] " +
-        "/ToUnicode 7 0 R >>"),
-      6 -> ("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCID " +
-        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) " +
-        "/Supplement 0 >> /CIDToGIDMap /Identity >>"))
-    val joined = bodies.map(_._2).mkString(" ")
-    val offsets0 = bodies.map(_._2).scanLeft(0)(_ + _.length + 1).init
-    val header = bodies.map(_._1).zip(offsets0)
-      .map { case (n, o) => s"$n $o" }.mkString(" ")
-    val first = header.length + 1
-    val stmRaw = (header + "\n" + joined).getBytes(ISO_8859_1)
+    val (content, cmap, stmRaw, first) = cidObjStmParts(docId, text)
     def stream(num: Int, payload: Array[Byte], extra: String): Array[Byte] =
       (s"$num 0 obj << /Length ${payload.length} /Filter /FlateDecode" +
         s"$extra >> stream\n").getBytes(ISO_8859_1) ++ payload ++
@@ -1477,6 +1429,70 @@ object Pdf {
     while (!d.finished()) out.write(buf, 0, d.deflate(buf))
     d.end()
     out.toByteArray
+  }
+
+  /** Standard-handler per-object payload encryption for the FIXTURE
+   * writers — ONE copy (review-caught: buildPdf and
+   * fixturePdfXrefStream had drifting twins of this crypto-bearing
+   * code): RC4 under the per-object key, or AES-128-CBC with the
+   * deterministic per-(doc, object) IV. */
+  private def stdEncrypt(docId: Long, aes: Boolean, fk: Array[Byte],
+                         objNum: Int, data: Array[Byte]): Array[Byte] = {
+    val ek = objKey(fk, objNum, 0, aes)
+    if (!aes) rc4(ek, data)
+    else {
+      val iv = md5(s"graft-iv-$docId-$objNum".getBytes(ISO_8859_1))
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(ek, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      iv ++ c.doFinal(data)
+    }
+  }
+
+  /** The standard-handler /Encrypt dict body (V2/R3 RC4-128 or V4/R4
+   * AESV2) the fixture writers emit — ONE copy. */
+  private def stdEncryptDict(objNum: Int, aes: Boolean, perm: Int,
+                             o: Array[Byte], u: Array[Byte]): String = {
+    def hx(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+    if (!aes)
+      s"$objNum 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 /P $perm" +
+        s" /O <${hx(o)}> /U <${hx(u)}> >> endobj\n"
+    else
+      s"$objNum 0 obj << /Filter /Standard /V 4 /R 4 /Length 128 /P $perm" +
+        s" /O <${hx(o)}> /U <${hx(u)}>" +
+        " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>" +
+        " /StmF /StdCF /StrF /StdCF >> endobj\n"
+  }
+
+  /** Shared CID-in-ObjStm fixture assembly — ONE copy of the object
+   * bodies, pair-header offsets, and payloads (review-caught:
+   * fixturePdfCidObjStm and fixturePdfXrefStream duplicated ~30
+   * lines). Object numbering is common to both: page 3, content 4,
+   * font 5, descendant 6, CMap 7, ObjStm 8. Returns (deflated
+   * content, deflated CMap, RAW objstm bytes, /First). */
+  private def cidObjStmParts(docId: Long, text: String)
+      : (Array[Byte], Array[Byte], Array[Byte], Int) = {
+    val (ops, shownAll) = contentOps(docId, text, cid = true)
+    val content = deflate(ops.getBytes(ISO_8859_1))
+    val cmap = deflate(fixtureCMap(shownAll).getBytes(ISO_8859_1))
+    val bodies = Seq(
+      3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
+      5 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+        "/Encoding /Identity-H /DescendantFonts [6 0 R] " +
+        "/ToUnicode 7 0 R >>"),
+      6 -> ("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCID " +
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) " +
+        "/Supplement 0 >> /CIDToGIDMap /Identity >>"))
+    // (objnum, offset) header + concatenated bodies; /First counts
+    // DECODED bytes from stream start to the first body
+    val joined = bodies.map(_._2).mkString(" ")
+    val offsets = bodies.map(_._2).scanLeft(0)(_ + _.length + 1).init
+    val header = bodies.map(_._1).zip(offsets)
+      .map { case (n, o) => s"$n $o" }.mkString(" ")
+    val first = header.length + 1
+    (content, cmap, (header + "\n" + joined).getBytes(ISO_8859_1), first)
   }
 
   /** PNG-predict `data` (writer side, 8-bit single-component rows of
@@ -1639,16 +1655,7 @@ object Pdf {
       val id0 = md5(s"graft-id-$docId".getBytes(ISO_8859_1))
       val fk = fileKey(o, perm, id0, r, keyLen)
       val u = userValue(fk, r, id0)
-      val dict =
-        if (!aes)
-          s"6 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 /P $perm" +
-            s" /O <${hex(o)}> /U <${hex(u)}> >> endobj\n"
-        else
-          s"6 0 obj << /Filter /Standard /V 4 /R 4 /Length 128 /P $perm" +
-            s" /O <${hex(o)}> /U <${hex(u)}>" +
-            " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>" +
-            " /StmF /StdCF /StrF /StdCF >> endobj\n"
-      (aes, fk, id0, dict)
+      (aes, fk, id0, stdEncryptDict(6, aes, perm, o, u))
     }
     // V5 (AES-256) handler parameters: /U = 2.B hash + salts, /UE the
     // wrapped file key; /O//OE the owner twins (udata = the U string)
@@ -1678,16 +1685,7 @@ object Pdf {
       (encInfo, v5Info) match {
         case (None, None) => data
         case (Some((aes, fk, _, _)), _) =>
-          val ek = objKey(fk, objNum, 0, aes)
-          if (!aes) rc4(ek, data)
-          else {
-            val iv = md5(s"graft-iv-$docId-$objNum".getBytes(ISO_8859_1))
-            val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
-            c.init(javax.crypto.Cipher.ENCRYPT_MODE,
-              new javax.crypto.spec.SecretKeySpec(ek, "AES"),
-              new javax.crypto.spec.IvParameterSpec(iv))
-            iv ++ c.doFinal(data)
-          }
+          stdEncrypt(docId, aes, fk, objNum, data)
         case (None, Some((fk, _, _))) => // the FILE key, no object keys
           val iv = md5(s"graft-iv-$docId-$objNum".getBytes(ISO_8859_1))
           val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")

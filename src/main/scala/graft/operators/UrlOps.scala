@@ -395,19 +395,31 @@ object UrlOps {
    * PER HOP). Chains longer than `maxHops` collapse to the node
    * 2^⌈log₂ maxHops⌉ hops in — deterministic, never an infinite loop;
    * a redirect CYCLE (a ↔ b, which real webs do contain) likewise
-   * lands on a fixed element instead of hanging.
+   * lands on a fixed element instead of hanging. The edge list is
+   * DEDUPED up front and each round materializes (review-caught): a
+   * real crawl captures the same redirect many times, and without the
+   * distinct, k copies of each hop fan out as k^2^rounds rows; without
+   * the per-round materialization the plan tree doubles every round.
+   * A src with SEVERAL distinct targets (the page moved between
+   * captures) keeps one row per chain — both histories are real.
    */
   def collapseRedirects(edges: DataFrame, maxHops: Int = 8): DataFrame = {
-    require(maxHops >= 1 && maxHops <= 1024, "maxHops out of range")
-    var f = edges.select(col("src_url"), col("dst_url").as("final_url"))
+    require(maxHops >= 1 && maxHops <= 64, "maxHops out of range")
+    var f = SelfJoinMaterialize(
+      edges.select(col("src_url"), col("dst_url").as("final_url"))
+        .distinct())
     var hops = 1
     while (hops < maxHops) {
-      f = f.as("a").join(
-        f.select(col("src_url").as("b_src"),
-          col("final_url").as("b_final")),
-        col("a.final_url") === col("b_src"), "left")
-        .select(col("a.src_url").as("src_url"),
-          coalesce(col("b_final"), col("a.final_url")).as("final_url"))
+      val next = SelfJoinMaterialize(
+        f.as("a").join(
+          f.select(col("src_url").as("b_src"),
+            col("final_url").as("b_final")),
+          col("a.final_url") === col("b_src"), "left")
+          .select(col("a.src_url").as("src_url"),
+            coalesce(col("b_final"), col("a.final_url")).as("final_url"))
+          .distinct())
+      f.unpersist()
+      f = next
       hops *= 2
     }
     f

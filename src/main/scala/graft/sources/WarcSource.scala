@@ -99,15 +99,54 @@ object WarcSource {
       if (ct.toLowerCase.contains("html")) {
         val head = new String(bytes, 0, math.min(bytes.length, 1024),
           java.nio.charset.StandardCharsets.ISO_8859_1)
-        MetaCharsetRe.findFirstMatchIn(head).flatMap(m => named(m.group(1)))
+        prescanCharset(head).flatMap(named)
       } else None
     }.getOrElse(java.nio.charset.StandardCharsets.UTF_8)
-    new String(bytes, cs) // malformed input REPLACES by default
+    // a BOM-less utf-16/utf-32 LABEL is an authoring error (the BOM
+    // branch above already handled real UTF-16) — HTML5's prescan
+    // explicitly remaps those labels to UTF-8; decoding 8-bit bytes
+    // as UTF-16 would turn the whole body into CJK garbage
+    // (review-caught), far worse than the documented U+FFFD degrade
+    val safe = if (cs.name.toLowerCase.startsWith("utf-16") ||
+      cs.name.toLowerCase.startsWith("utf-32") ||
+      cs.name.toLowerCase.startsWith("x-utf-32"))
+      java.nio.charset.StandardCharsets.UTF_8 else cs
+    new String(bytes, safe) // malformed input REPLACES by default
   }
   private val CharsetParamRe =
     """(?i)charset\s*=\s*"?([A-Za-z0-9._:-]+)""".r
-  private val MetaCharsetRe =
-    """(?is)<meta[^>]{0,500}?charset\s*=\s*["']?([A-Za-z0-9._:-]+)""".r
+
+  /** HTML5-style meta prescan over the (ASCII-viewed) head: honor a
+   * real `charset` ATTRIBUTE of a `<meta>` tag, or the `content`
+   * attribute's charset parameter when `http-equiv=content-type` is
+   * present — never a "charset=" substring inside an unrelated
+   * attribute value like a description (review-caught: the substring
+   * reading let '<meta content="fix charset=big5 errors">' hijack a
+   * UTF-8 page's decoding). Attributes parse with quote-aware
+   * boundaries, so a quoted value can't leak tokens. */
+  private[graft] def prescanCharset(head: String): Option[String] = {
+    val tags = MetaTagRe.findAllMatchIn(head)
+    while (tags.hasNext) {
+      val tag = tags.next()
+      val attrs = AttrRe.findAllMatchIn(tag.group(1)).map { a =>
+        val raw = a.group(2)
+        val v = if (raw.length >= 2 && (raw.head == '"' || raw.head == '\''))
+          raw.substring(1, raw.length - 1) else raw
+        a.group(1).toLowerCase -> v
+      }.toMap
+      val direct = attrs.get("charset").map(_.trim).filter(_.nonEmpty)
+      if (direct.isDefined) return direct
+      if (attrs.get("http-equiv").exists(_.equalsIgnoreCase("content-type"))) {
+        val fromContent = attrs.get("content").flatMap(c =>
+          CharsetParamRe.findFirstMatchIn(c).map(_.group(1)))
+        if (fromContent.isDefined) return fromContent
+      }
+    }
+    None
+  }
+  private val MetaTagRe = """(?is)<meta\b([^>]{0,500})""".r
+  private val AttrRe =
+    """([a-zA-Z-]++)\s*+=\s*+("[^"]*+"|'[^']*+'|[^\s>"']++)""".r
 
   /** Parse every record of one WARC payload (already gunzipped). */
   private[graft] def parseWarc(file: String, bytes: Array[Byte]): Seq[WarcRecord] = {
@@ -222,14 +261,30 @@ object WarcSource {
     out.toSeq
   }
 
-  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
+  /** One gunzip for both call sites (review-caught drift risk):
+   * `limit` = Long.MaxValue for file-level segments (a 1 GB+
+   * decompressed segment is normal and IS the workload), the
+   * per-record [[MaxDecodedBody]] for transport decoding. Exceeding
+   * the limit throws (the caller degrades the record). The stream is
+   * ALWAYS closed — per-record calls run millions of times per task
+   * and an unclosed GZIPInputStream leaks its native Inflater
+   * (review-caught). */
+  private def gunzip(bytes: Array[Byte],
+                     limit: Long = Long.MaxValue): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(bytes))
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](65536)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size() > limit)
+          throw new java.util.zip.ZipException("decoded body too large")
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } finally in.close()
   }
 
   // ------------------------------------- HTTP transport decoding (P150)
@@ -284,9 +339,7 @@ object WarcSource {
    * near 1000:1; a crafted multi-GB stream would otherwise OOM the
    * task instead of degrading the record — review-caught). Exceeding
    * it throws, which decodeCoding turns into the undecodable-coding
-   * degrade: raw bytes kept, text decode suppressed. File-level
-   * segment gunzip stays unbounded (a 1 GB+ decompressed segment is
-   * normal and IS the workload). */
+   * degrade: raw bytes kept, text decode suppressed. */
   private val MaxDecodedBody = 64L << 20
 
   private def inflate(b: Array[Byte], rawDeflate: Boolean): Array[Byte] = {
@@ -307,23 +360,6 @@ object WarcSource {
     } finally inf.end()
   }
 
-  /** [[gunzip]] with the per-record expansion bound (transport
-   * decoding only — see [[MaxDecodedBody]]). */
-  private def gunzipBounded(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](65536)
-    var n = in.read(buf)
-    while (n >= 0) {
-      out.write(buf, 0, n)
-      if (out.size() > MaxDecodedBody)
-        throw new java.util.zip.ZipException("decoded body too large")
-      n = in.read(buf)
-    }
-    out.toByteArray
-  }
-
   /** Undo ONE content/transfer coding. `deflate` is zlib-wrapped per
    * RFC 9110 but plenty of real servers send raw-deflate under the
    * same name — try zlib first, fall back to raw. None = unknown
@@ -332,7 +368,7 @@ object WarcSource {
     tok match {
       case "chunked" => dechunk(b)
       case "gzip" | "x-gzip" =>
-        try Some(gunzipBounded(b)) catch { case _: Exception => None }
+        try Some(gunzip(b, MaxDecodedBody)) catch { case _: Exception => None }
       case "deflate" =>
         try Some(inflate(b, rawDeflate = false)) catch {
           case _: Exception =>
@@ -644,28 +680,43 @@ object WarcSource {
    * its comma/space-separated list. Agent-scoped forms
    * ("googlebot: noindex") count as global in our subset (the
    * CONSERVATIVE reading: a directive any agent would honor drops the
-   * content for the corpus too) — handled by stripping ONE leading
-   * `agentname:` prefix, NOT by admitting ':' as a token separator:
-   * the separator reading made a VALUED directive like
-   * `max-image-preview:none` match the `none` alternative and wrongly
-   * set both flags (advice-caught). The valued directives
+   * content for the corpus too) — handled by stripping ONE
+   * `agentname:` prefix per comma section, NOT by admitting ':' as a
+   * token separator: the separator reading made a VALUED directive
+   * like `max-image-preview:none` match the `none` alternative and
+   * wrongly set both flags (advice-caught). The valued directives
    * (max-snippet / max-image-preview / max-video-preview /
-   * unavailable_after) are excluded from the prefix strip because
-   * their ':' introduces a value, not a directive list. Token
-   * boundaries after the strip are metaRobots' exact `(^|[\s,])`.
+   * unavailable_after) are removed WITH their values — in both the
+   * plain and agent-scoped positions — because their ':' introduces a
+   * value, not a directive list (review-caught: the spaced form
+   * `max-image-preview: none` otherwise detaches a `none` token).
+   * Token boundaries after the strips are metaRobots' exact
+   * `(^|[\s,])`.
    */
   def xRobots(httpHeaders: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     val v = lower(coalesce(
       element_at(httpHeaders, "x-robots-tag"), lit("")))
-    // prefix strip anchors at the value START and after each comma —
+    // VALUED directives are removed WITH their values first — the
+    // exclusion-from-strip alone left 'max-image-preview: none' (the
+    // space-after-colon form Google's own docs use) contributing a
+    // detached 'none' token that wrongly set both flags
+    // (review-caught). A value runs to the next comma; an
+    // unavailable_after RFC-850 date may itself contain one comma
+    // ("Sunday, 06-Nov-94 ..."), whose remainder tokens are inert.
+    val ValuedRe = "(^|,)\\s*(max-snippet|max-image-preview" +
+      "|max-video-preview|unavailable_after)\\s*:[^,]*"
+    val devalued = regexp_replace(v, ValuedRe, "$1")
+    // then ONE leading agentname: prefix strips per comma section —
     // RFC 9110 joins repeated headers with ", ", so a second header's
     // space-less agent form ("noindex, otherbot:nofollow") sits
     // mid-value (review-caught); regexp_replace replaces ALL matches
-    val stripped = regexp_replace(v,
-      "(^|,)\\s*(?!max-snippet\\b|max-image-preview\\b" +
-        "|max-video-preview\\b|unavailable_after\\b)" +
-        "[a-z0-9_.*-]++\\s*+:\\s*+", "$1")
+    val agentless = regexp_replace(devalued,
+      "(^|,)\\s*[a-z0-9_.*-]++\\s*+:\\s*+", "$1")
+    // a SECOND devalue pass: an agent-scoped valued directive
+    // ("googlebot: max-image-preview: none") only reaches a section
+    // boundary after its agent prefix strips
+    val stripped = regexp_replace(agentless, ValuedRe, "$1")
     def has(tok: String): org.apache.spark.sql.Column =
       stripped.rlike("(^|[\\s,])(" + tok + "|none)([\\s,]|$)")
     struct(has("noindex").as("noindex"), has("nofollow").as("nofollow"))

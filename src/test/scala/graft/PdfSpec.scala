@@ -470,6 +470,12 @@ class PdfSpec extends SparkSpec {
     // TIFF sub-byte components are out of subset; absurd geometry too
     assert(Pdf.unpredict(data, Pdf.PredParms(2, 1, 4, 16)).isEmpty)
     assert(Pdf.unpredict(data, Pdf.PredParms(12, 3, 8, 900000000)).isEmpty)
+    // crafted geometry INSIDE the bit guard (130*8*1e6 bits) on a tiny
+    // stream must clamp its buffers to the data, not allocate
+    // declared-row-sized arrays (review-caught); identity row decodes
+    val tiny = Array[Byte](0, 1, 2, 3) // tag 0 + 3 bytes
+    assert(Pdf.unpredict(tiny, Pdf.PredParms(12, 130, 8, 1000000))
+      .map(_.toSeq) == Some(Seq[Byte](1, 2, 3)))
     // end-to-end: the three content-stream lanes + the ObjStm twin
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu"

@@ -460,5 +460,14 @@ class UrlOpsSpec extends SparkSpec {
     val c = UrlOps.collapseRedirects(cyc).collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(c == Map("p" -> "p", "q" -> "q"), c)
+    // DUPLICATE captures of the same redirect (the real-crawl norm)
+    // must not fan out through the doubling joins (review-caught):
+    // 3 copies per hop would otherwise give 3^8 rows per source
+    val dup = Seq.fill(3)(Seq(("a", "b"), ("b", "c"))).flatten
+      .toDF("src_url", "dst_url")
+    val d = UrlOps.collapseRedirects(dup).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(d.length == 2 && d.toMap == Map("a" -> "c", "b" -> "c"),
+      d.toSeq)
   }
 }

@@ -540,6 +540,20 @@ class WarcSourceSpec extends SparkSpec {
     assert(decodeText("ok".getBytes("UTF-8"),
       "text/plain; charset=x-wat-9") == "ok")
     assert(decodeText(Array(0xE9.toByte), "text/plain") == "�")
+    // a "charset=" mention inside an UNRELATED attribute value must
+    // not hijack the page's decoding (review-caught)
+    val decoy = "<html><head><meta property=\"og:description\" " +
+      "content=\"how to fix charset=big5 errors\"></head>" +
+      "<body>café</body></html>"
+    assert(decodeText(decoy.getBytes("UTF-8"), "text/html")
+      .contains("café"))
+    // a BOM-less utf-16 LABEL is an authoring error: HTML5 remaps it
+    // to UTF-8 — decoding 8-bit bytes as UTF-16 would be CJK garbage
+    // (review-caught)
+    val lie = "<html><head><meta charset=\"utf-16\"></head>" +
+      "<body>plain ascii text here</body></html>"
+    assert(decodeText(lie.getBytes("UTF-8"), "text/html")
+      .contains("plain ascii text here"))
   }
 
   test("xRobots: valued directives never read as separators; agent prefix strips") {
@@ -558,6 +572,12 @@ class WarcSourceSpec extends SparkSpec {
       // prefix MID-value (review-caught)
       ("noindex, otherbot:nofollow", true, true),
       ("noarchive, bot.name:none", true, true),
+      // valued directives with a SPACE after ':' (Google's own doc
+      // format) must not detach their value as a token, in plain and
+      // agent-scoped positions (review-caught)
+      ("max-image-preview: none", false, false),
+      ("googlebot: max-image-preview: none", false, false),
+      ("max-snippet: 0, noindex", true, false),
       ("noindex", true, false),
       ("none", true, true))
     val got = cases.map(_._1).toDF("v")
