@@ -2667,6 +2667,59 @@ object PipelineEntry {
         .orderBy("doc_id")
     }),
 
+    // P158 — HTML character-reference decoding (real pages carry
+    // numeric `&#233;`/`&#xE9;` and named `&eacute;`/`&mdash;`
+    // references everywhere; the core-five-only decode leaked every
+    // other reference into the corpus as source text): ONE native
+    // codegen'd pass decodes numeric + HTML4 Latin-1 + typographic
+    // names, leaves unknown names and invalid scalars (surrogates)
+    // intact, and never rescans output (`&amp;lt;` stays `&lt;`).
+    // The oracle builds the decoded paragraph closed-form in SQL —
+    // DuckDB never sees an entity.
+    "p158_html_entities" -> ((s, dir) => {
+      val esc = (c: org.apache.spark.sql.Column) =>
+        replace(replace(replace(c,
+          lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+          lit(">"), lit("&gt;"))
+      val html = concat(lit("<html><body><p>"), esc(col("text")),
+        lit("</p><p>caf&eacute; &#233; &#xE9; na&iuml;ve &mdash; " +
+          "&ldquo;q&rdquo; &hellip; 3&nbsp;&times;&nbsp;4 &euro;9 " +
+          "&amp;lt; &bogus; &#xD800; R&amp;D</p></body></html>"))
+      docs(s, dir).select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"),
+          Html.htmlToText(col("html")).as("text_extracted"))
+        .orderBy("doc_id")
+    }),
+
+    // P157 — robots.txt WILDCARD rules (RFC 9309 REQUIRES `*` and the
+    // end-anchor `$` in path patterns — `Disallow: /*.pdf$` is
+    // everywhere; the prefix-only reading silently kept every such
+    // page): thirds of the corpus ride /p/{id}.pdf (dropped by
+    // /*.pdf$ unless the LONGER /p/2*.pdf$ Allow carves ids starting
+    // with '2' back in — pattern-length precedence is load-bearing),
+    // /p/{id}.html (kept: the anchor must not over-match), and
+    // /mid/{id}/deep/... (dropped by the mid-pattern wildcard
+    // /mid/*/deep). Oracle re-derives every verdict closed-form.
+    "p157_robots_wildcards" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("url",
+        concat(lit("https://w-"), pmod(col("doc_id"), lit(50)),
+          lit(".com"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("/p/"), col("doc_id"), lit(".pdf")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("/p/"), col("doc_id"), lit(".html")))
+          .otherwise(
+            concat(lit("/mid/"), col("doc_id"), lit("/deep/page")))))
+      val robots = d.select(pmod(col("doc_id"), lit(50)).as("h")).distinct()
+        .select(concat(lit("w-"), col("h"), lit(".com")).as("host"),
+          lit("User-agent: *\nDisallow: /*.pdf$\n" +
+            "Allow: /p/2*.pdf$\nDisallow: /mid/*/deep\n").as("body"))
+      UrlOps.robotsFilter(d, robots)
+        .select(col("doc_id"),
+          UrlOps.canonicalizeUrl(col("url")).as("canonical_url"))
+        .orderBy("doc_id")
+    }),
+
     // P156 — redirect-chain collapse (p155's companion: a crawl
     // captures EVERY hop of a moved page, and URL dedup must key on
     // the chain's END): pointer doubling over the edge list —
@@ -6143,6 +6196,40 @@ SELECT doc_id AS id, TRUE AS xref_ok,
   (CASE WHEN doc_id % 4 = 3 THEN 3 ELSE 1 END)::BIGINT AS n_streams,
   length(text)::BIGINT AS n_chars, text
 FROM e ORDER BY id""",
+
+    // p158: the decoded paragraph built closed-form — numeric decimal
+    // + hex, Latin-1 and typographic names, nbsp-to-space
+    // normalization, the double-encoding pass-once rule, unknown-name
+    // and invalid-scalar pass-through all load-bearing in one string.
+    "p158_html_entities" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+n AS (SELECT doc_id,
+  array_to_string(list_filter(list_transform(
+    string_split(regexp_replace(text, '[ \\t\\r]+', ' ', 'g'), chr(10)),
+    x -> trim(x)), x -> x <> ''), chr(10)) AS norm FROM documents)
+SELECT doc_id, norm || chr(10) ||
+  'café é é naïve — “q” … 3 × 4 €9 &lt; &bogus; &#xD800; R&D'
+  AS text_extracted
+FROM n ORDER BY doc_id""",
+
+    // p157: every wildcard verdict re-derived closed-form — kept rows
+    // are the .html lane plus the .pdf lane's ids starting with '2'
+    // (the longer Allow pattern outranks the Disallow); the SQL never
+    // evaluates a pattern, so translation, anchoring, and
+    // pattern-length precedence must all be exact.
+    "p157_robots_wildcards" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT doc_id,
+  'w-' || (doc_id % 50) || '.com' ||
+  CASE doc_id % 3
+    WHEN 0 THEN '/p/' || doc_id || '.pdf'
+    WHEN 1 THEN '/p/' || doc_id || '.html'
+    ELSE '/mid/' || doc_id || '/deep/page'
+  END AS canonical_url
+FROM documents
+WHERE doc_id % 3 = 1
+   OR (doc_id % 3 = 0 AND CAST(doc_id AS VARCHAR) LIKE '2%')
+ORDER BY doc_id""",
 
     // p156: each chain's final target computed closed-form (the root
     // of id's group is id - id%4 + 1) — the SQL never follows an

@@ -498,6 +498,129 @@ object HashExpressions {
     new String(out, java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** HTML character-reference decoding in ONE pass (P158): numeric
+   * `&#ddd;` / `&#xhh;` references (any Unicode scalar; surrogates
+   * and out-of-range values left intact, never mojibake) and the
+   * practical named set — the core five, the full HTML 4 Latin-1
+   * table, and the common typographic/symbol names real pages carry
+   * (dashes, curly quotes, ellipsis, bullets, currency, math signs).
+   * An `&` that does not introduce a well-formed known reference
+   * passes through untouched, so double-encoded `&amp;lt;` yields the
+   * literal text `&lt;` (the linear pass consumes `&amp;` and never
+   * rescans its output). The Column twin would be a 100-deep replace
+   * chain that STILL couldn't decode numeric references; this is one
+   * codegen'd traversal. */
+  case class DecodeHtmlEntities(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "decode_html_entities"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = classOf[DecodeHtmlEntities].getName
+      val javaType = CodeGenerator.javaType(dataType)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = ($javaType) $cls.evalStatic($c);")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      DecodeHtmlEntities.evalStatic(input)
+
+    override protected def withNewChildInternal(
+        newChild: Expression): DecodeHtmlEntities =
+      copy(child = newChild)
+  }
+  object DecodeHtmlEntities {
+    // the core five + HTML 4 Latin-1 (ISO 8859-1 names, codepoints
+    // 160-255, the table every browser ships) + the common
+    // typographic/symbol names (public HTML 4/5 reference data)
+    private val Named: java.util.HashMap[String, String] = {
+      val m = new java.util.HashMap[String, String](512)
+      def put(name: String, cp: Int): Unit =
+        m.put(name, new String(Character.toChars(cp)))
+      Seq("amp" -> '&', "lt" -> '<', "gt" -> '>', "quot" -> '"',
+        "apos" -> '\'').foreach { case (n, c) => put(n, c.toInt) }
+      // HTML 4 Latin-1 entity names IN CODEPOINT ORDER 160..255
+      val latin1 = Seq(
+        "nbsp", "iexcl", "cent", "pound", "curren", "yen", "brvbar",
+        "sect", "uml", "copy", "ordf", "laquo", "not", "shy", "reg",
+        "macr", "deg", "plusmn", "sup2", "sup3", "acute", "micro",
+        "para", "middot", "cedil", "sup1", "ordm", "raquo", "frac14",
+        "frac12", "frac34", "iquest", "Agrave", "Aacute", "Acirc",
+        "Atilde", "Auml", "Aring", "AElig", "Ccedil", "Egrave",
+        "Eacute", "Ecirc", "Euml", "Igrave", "Iacute", "Icirc",
+        "Iuml", "ETH", "Ntilde", "Ograve", "Oacute", "Ocirc",
+        "Otilde", "Ouml", "times", "Oslash", "Ugrave", "Uacute",
+        "Ucirc", "Uuml", "Yacute", "THORN", "szlig", "agrave",
+        "aacute", "acirc", "atilde", "auml", "aring", "aelig",
+        "ccedil", "egrave", "eacute", "ecirc", "euml", "igrave",
+        "iacute", "icirc", "iuml", "eth", "ntilde", "ograve",
+        "oacute", "ocirc", "otilde", "ouml", "divide", "oslash",
+        "ugrave", "uacute", "ucirc", "uuml", "yacute", "thorn",
+        "yuml")
+      latin1.zipWithIndex.foreach { case (n, i) => put(n, 160 + i) }
+      Seq("OElig" -> 0x152, "oelig" -> 0x153, "Scaron" -> 0x160,
+        "scaron" -> 0x161, "Yuml" -> 0x178, "fnof" -> 0x192,
+        "circ" -> 0x2C6, "tilde" -> 0x2DC, "ensp" -> 0x2002,
+        "emsp" -> 0x2003, "thinsp" -> 0x2009, "zwnj" -> 0x200C,
+        "zwj" -> 0x200D, "lrm" -> 0x200E, "rlm" -> 0x200F,
+        "ndash" -> 0x2013, "mdash" -> 0x2014, "lsquo" -> 0x2018,
+        "rsquo" -> 0x2019, "sbquo" -> 0x201A, "ldquo" -> 0x201C,
+        "rdquo" -> 0x201D, "bdquo" -> 0x201E, "dagger" -> 0x2020,
+        "Dagger" -> 0x2021, "bull" -> 0x2022, "hellip" -> 0x2026,
+        "permil" -> 0x2030, "prime" -> 0x2032, "Prime" -> 0x2033,
+        "lsaquo" -> 0x2039, "rsaquo" -> 0x203A, "oline" -> 0x203E,
+        "frasl" -> 0x2044, "euro" -> 0x20AC, "trade" -> 0x2122,
+        "larr" -> 0x2190, "uarr" -> 0x2191, "rarr" -> 0x2192,
+        "darr" -> 0x2193, "harr" -> 0x2194, "minus" -> 0x2212,
+        "lowast" -> 0x2217, "radic" -> 0x221A, "infin" -> 0x221E,
+        "cap" -> 0x2229, "cup" -> 0x222A, "int" -> 0x222B,
+        "asymp" -> 0x2248, "ne" -> 0x2260, "equiv" -> 0x2261,
+        "le" -> 0x2264, "ge" -> 0x2265, "loz" -> 0x25CA,
+        "spades" -> 0x2660, "clubs" -> 0x2663, "hearts" -> 0x2665,
+        "diams" -> 0x2666).foreach { case (n, cp) => put(n, cp) }
+      m
+    }
+
+    private[graft] def decode(s: String): String = {
+      var i = s.indexOf('&')
+      if (i < 0) return s // the common case: no reference, no copy
+      val sb = new java.lang.StringBuilder(s.length)
+      sb.append(s, 0, i)
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '&') {
+          val semi = s.indexOf(';', i + 1)
+          // longest named reference is ~8 chars; numeric <= 8 digits —
+          // a distant ';' means this '&' is plain text
+          val rep = if (semi > i + 1 && semi - i <= 10)
+            decodeOne(s.substring(i + 1, semi)) else null
+          if (rep != null) { sb.append(rep); i = semi + 1 }
+          else { sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+    private def decodeOne(body: String): String = {
+      if (body.length > 0 && body.charAt(0) == '#') {
+        val hexMode = body.length > 1 &&
+          (body.charAt(1) == 'x' || body.charAt(1) == 'X')
+        val digits = body.substring(if (hexMode) 2 else 1)
+        val radix = if (hexMode) 16 else 10
+        if (digits.isEmpty || digits.length > 7 ||
+          !digits.forall(ch => Character.digit(ch, radix) >= 0)) return null
+        val cp = java.lang.Long.parseLong(digits, radix)
+        if (cp < 1 || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF))
+          return null // invalid scalar: leave the source text intact
+        new String(Character.toChars(cp.toInt))
+      } else Named.get(body)
+    }
+
+    def evalStatic(input: Any): Any =
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        decode(input.asInstanceOf[
+          org.apache.spark.unsafe.types.UTF8String].toString))
+  }
+
   /** UTF-8 bytes of a string rendered in the byte-BPE alphabet (one
    * mapped char per byte) — the representation byte-level merges train
    * and apply on. One pass, no allocation beyond the output. */
@@ -992,6 +1115,9 @@ object HashExpressions {
 
   def byteAlphabet(s: Column): Column =
     Bridge.column(ByteAlphabet(Bridge.expression(s)))
+
+  def decodeHtmlEntities(s: Column): Column =
+    Bridge.column(DecodeHtmlEntities(Bridge.expression(s)))
 
   def byteAlphabetInverse(s: Column): Column =
     Bridge.column(ByteAlphabetInverse(Bridge.expression(s)))

@@ -79,11 +79,18 @@ object Html {
    *   2. turn block-level closes (and `<br>`/`<hr>`) into newlines so
    *      paragraphs stay separate lines;
    *   3. strip every remaining tag;
-   *   4. decode the core entities (`&lt; &gt; &quot; &#39; &nbsp;`),
-   *      `&amp;` LAST — single-pass decoding, so double-encoded
-   *      `&amp;lt;` correctly yields the literal text `&lt;`;
-   *   5. normalize whitespace: collapse runs of spaces/tabs/CRs, trim
-   *      each line, drop empty lines, join with `\n`.
+   *   4. decode character references in ONE native pass
+   *      (`HashExpressions.decodeHtmlEntities`, r18 — the full
+   *      practical set: numeric `&#ddd;`/`&#xhh;`, the HTML 4
+   *      Latin-1 table, typographic/symbol names; previously only the
+   *      core five decoded and every `&eacute;`/`&#233;` leaked into
+   *      the corpus as source text). The linear pass never rescans
+   *      its output, so double-encoded `&amp;lt;` correctly yields
+   *      the literal text `&lt;`;
+   *   5. normalize whitespace: collapse runs of spaces/tabs/CRs/
+   *      no-break spaces (`&nbsp;` decodes to U+00A0 — text analysis
+   *      wants a plain space), trim each line, drop empty lines, join
+   *      with `\n`.
    */
   def htmlToText(html: Column): Column = {
     val noScript = regexp_replace(html,
@@ -93,18 +100,9 @@ object Html {
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", "")
     val broken = regexp_replace(noComment, BlockBreak, "\n")
     val stripped = regexp_replace(broken, AnyTagPattern, "")
-    val decoded = replace(
-      replace(
-        replace(
-          replace(
-            replace(
-              replace(stripped, lit("&lt;"), lit("<")),
-              lit("&gt;"), lit(">")),
-            lit("&quot;"), lit("\"")),
-          lit("&#39;"), lit("'")),
-        lit("&nbsp;"), lit(" ")),
-      lit("&amp;"), lit("&"))
-    val collapsed = regexp_replace(decoded, "[ \\t\\r]+", " ")
+    val decoded =
+      graft.functions.HashExpressions.decodeHtmlEntities(stripped)
+    val collapsed = regexp_replace(decoded, "[ \\t\\r\\u00a0]+", " ")
     array_join(
       filter(transform(split(collapsed, "\n"), l => trim(l)), l => l =!= ""),
       "\n")

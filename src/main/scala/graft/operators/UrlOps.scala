@@ -344,12 +344,31 @@ object UrlOps {
       case Some(a) => robotsRulesForAgent(robots, a, hostCol, bodyCol)
       case None    => robotsRules(robots, hostCol, bodyCol)
     }
+    // RFC 9309 REQUIRES `*` (any char run) and `$` (end-of-path
+    // anchor, meaningful only at pattern end) in path patterns (r18 —
+    // rules like `Disallow: /*.pdf$` are everywhere). Wildcard rules
+    // translate ONCE per rule (a robots file is KB-bounded) to an
+    // anchored regex — every other regex special escaped, `*` → `.*`,
+    // a TRAILING `$` restored as the anchor — and match via
+    // regexp_like; plain rules keep the cheap prefix compare.
+    // Precedence stays pattern-LENGTH (RFC: most octets wins).
+    val isWild = col("rule_prefix").contains("*") ||
+      col("rule_prefix").endsWith("$")
+    val ruleRegex = concat(lit("^"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("rule_prefix"),
+            "([\\\\.\\[\\]{}()+?^$|])", "\\\\$1"),
+          "\\*", ".*"),
+        "\\\\\\$$", "\\$"))
     val hostRules = rules
       .groupBy("rule_host")
       .agg(collect_list(struct(
         length(col("rule_prefix")).as("l"),
         col("rule_allow").cast("int").as("a"),
-        col("rule_prefix").as("p"))).as("__rules"))
+        col("rule_prefix").as("p"),
+        isWild.as("w"),
+        ruleRegex.as("rx"))).as("__rules"))
     docs
       .withColumn("__host", host)
       .withColumn("__path",
@@ -357,11 +376,18 @@ object UrlOps {
       .join(broadcast(hostRules),
         col("__host") === col("rule_host"), "left")
       // (path + "/") startsWith p subsumes the plain prefix test AND
-      // lets directory rules match their slash-stripped root page;
+      // lets directory rules match their slash-stripped root page
+      // (same "/"-append applies to the wildcard arm, so a
+      // `Disallow: /dir/$` still drops its canonicalized root page);
       // struct order (l, a) makes array_max the longest-match winner
       // with the equal-length tie falling to allow (a: 1 > 0)
       .withColumn("__best", array_max(filter(col("__rules"),
-        r => concat(col("__path"), lit("/")).startsWith(r.getField("p")))))
+        r => when(r.getField("w"),
+          regexp_like(col("__path"), r.getField("rx")) ||
+            regexp_like(concat(col("__path"), lit("/")),
+              r.getField("rx")))
+          .otherwise(
+            concat(col("__path"), lit("/")).startsWith(r.getField("p"))))))
       .where(col("__best").isNull || col("__best").getField("a") === 1)
       .drop("__host", "__path", "rule_host", "__rules", "__best")
   }

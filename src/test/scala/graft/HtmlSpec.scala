@@ -618,6 +618,30 @@ class HtmlSpec extends SparkSpec {
     assert(flags("<meta name=robots content=\"noindex") == (false, false))
   }
 
+  test("decodeHtmlEntities: numeric, named, pass-once, invalid pass-through") {
+    def dec(s: String): String = Seq(s).toDF("t")
+      .select(graft.functions.HashExpressions.decodeHtmlEntities(col("t")))
+      .collect()(0).getString(0)
+    // numeric decimal, hex (either case), supplementary plane
+    assert(dec("caf&#233; &#xE9;&#Xe9; &#x1D11E;") == "café éé 𝄞")
+    // named: Latin-1 (case-sensitive pairs), typographic, symbols
+    assert(dec("&eacute;&Eacute; &mdash; &hellip; &euro; &frac12;") ==
+      "éÉ — … € ½")
+    // the linear pass never rescans output: double-encoded stays text
+    assert(dec("&amp;lt; &amp;eacute;") == "&lt; &eacute;")
+    // unknown names, invalid scalars (surrogate, 0, out-of-range),
+    // malformed shapes, lone '&', trailing '&' all pass through
+    assert(dec("&bogus; &#xD800; &#0; &#x110000; &#; &#xZZ; a&b &") ==
+      "&bogus; &#xD800; &#0; &#x110000; &#; &#xZZ; a&b &")
+    // a distant ';' never turns a plain '&' into a reference
+    assert(dec("AT&T and more text; here") == "AT&T and more text; here")
+    // htmlToText integration: entities decode, nbsp normalizes to
+    // plain space
+    val t = Seq("<p>caf&eacute;&nbsp;3&times;4 &#8212; ok</p>").toDF("html")
+      .select(Html.htmlToText(col("html"))).collect()(0).getString(0)
+    assert(t == "café 3×4 — ok", t)
+  }
+
   test("governedLinks: rel=nofollow drops the anchor, either attr order") {
     val h = "<a href=\"/a\">1</a> <a rel=\"nofollow\" href=\"/b\">2</a> " +
       "<a href=\"/c\" rel=nofollow>3</a> <a href=\"/d\" rel=\"me tag\">4</a> " +

@@ -726,7 +726,8 @@ class PlanAuditSpec extends SparkSpec {
     val natives = Seq("vec_dot", "shingle_simhash", "shingle_minhash",
       "max_multiplicity", "rolling_window_hashes", "bpe_encode",
       "bpe_encode_fast", "vocab_score", "backoff_score", "interp_score",
-      "dsir_score", "langid_vote", "map_probe", "set_probe")
+      "dsir_score", "langid_vote", "map_probe", "set_probe",
+      "decode_html_entities")
     // Default bounds: a healthy single-operator plan is a few thousand
     // chars; 150k flags only genuine blowups. A native expression
     // should appear once per (train|apply) stage — duplication past 4

@@ -441,6 +441,33 @@ class UrlOpsSpec extends SparkSpec {
     assert(out == Seq(("a.com", 1L), ("b.com", 3L), ("c.com", 3L)))
   }
 
+  test("robots wildcards: *, trailing-$ anchor, pattern-length precedence") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "https://a.com/p/1.pdf"),      // dropped: /*.pdf$
+      (2L, "https://a.com/p/2.pdf"),      // kept: longer Allow /p/2*.pdf$
+      (3L, "https://a.com/p/3.html"),     // kept: anchor must not over-match
+      (4L, "https://a.com/p/3.pdf.html"), // kept: $ anchors at END
+      (5L, "https://a.com/mid/x/deep/z"), // dropped: mid-pattern wildcard
+      (6L, "https://a.com/a+b/x"),        // dropped: '+' escapes as literal
+      (7L, "https://a.com/aab/x")         // kept: '+' is NOT a regex repeat
+    ).toDF("doc_id", "url")
+    val robots = Seq(("a.com",
+      "User-agent: *\nDisallow: /*.pdf$\nAllow: /p/2*.pdf$\n" +
+        "Disallow: /mid/*/deep\nDisallow: /a+b\n")).toDF("host", "body")
+    val kept = UrlOps.robotsFilter(docs, robots).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L, 7L), kept)
+    // a trailing-$ directory rule still drops its canonicalized root
+    // page (the "/"-append applies to the wildcard arm too)
+    val d2 = Seq((1L, "https://b.com/dir/"), (2L, "https://b.com/dirx"))
+      .toDF("doc_id", "url")
+    val r2 = Seq(("b.com", "User-agent: *\nDisallow: /dir/$\n"))
+      .toDF("host", "body")
+    val k2 = UrlOps.robotsFilter(d2, r2).collect().map(_.getLong(0)).toSet
+    assert(k2 == Set(2L), k2)
+  }
+
   test("collapseRedirects: chains land on terminals, cycles terminate") {
     // a -> b -> c -> F plus a lone x -> Y: every hop maps to the end
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "F"), ("x", "Y"))
