@@ -314,10 +314,16 @@ object PipelineEntry {
       lit("<p>post</p></body></html>")).as("html"))
   }
 
+  /** HTML-escape a text column for fixture pages — ORDER-SENSITIVE
+   * ('&' must escape first); one copy for every fixture that embeds
+   * doc text in markup (review-caught duplication). */
+  private def escHtml(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    replace(replace(replace(c,
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+
   private def htmlPages(d: DataFrame): DataFrame = {
-    val esc = (c: org.apache.spark.sql.Column) =>
-      replace(replace(replace(c,
-        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    val esc = escHtml _
     val h = pmod(col("doc_id"), lit(50))
     val own = concat(lit("https://www.Example-"), h, lit(".com/Pg/"),
       col("doc_id"), lit("/?b=2&a=1"))
@@ -2677,11 +2683,7 @@ object PipelineEntry {
     // The oracle builds the decoded paragraph closed-form in SQL —
     // DuckDB never sees an entity.
     "p158_html_entities" -> ((s, dir) => {
-      val esc = (c: org.apache.spark.sql.Column) =>
-        replace(replace(replace(c,
-          lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
-          lit(">"), lit("&gt;"))
-      val html = concat(lit("<html><body><p>"), esc(col("text")),
+      val html = concat(lit("<html><body><p>"), escHtml(col("text")),
         lit("</p><p>caf&eacute; &#233; &#xE9; na&iuml;ve &mdash; " +
           "&ldquo;q&rdquo; &hellip; 3&nbsp;&times;&nbsp;4 &euro;9 " +
           "&amp;lt; &bogus; &#xD800; R&amp;D</p></body></html>"))
@@ -5565,7 +5567,7 @@ ORDER BY doc_id""",
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
 n AS (SELECT doc_id,
   array_to_string(list_filter(list_transform(
-    string_split(regexp_replace(text, '[ \\t\\r]+', ' ', 'g'), chr(10)),
+    string_split(regexp_replace(text, '[ \\t\\r\\x{00a0}]+', ' ', 'g'), chr(10)),
     x -> trim(x)), x -> x <> ''), chr(10)) AS norm FROM documents)
 SELECT doc_id,
   'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10) || norm ||
@@ -5789,7 +5791,7 @@ FROM v WHERE kept = 1 ORDER BY doc_id""",
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
 n AS (SELECT doc_id,
   len(array_to_string(list_filter(list_transform(
-    string_split(regexp_replace(text, '[ \\t\\r]+', ' ', 'g'), chr(10)),
+    string_split(regexp_replace(text, '[ \\t\\r\\x{00a0}]+', ' ', 'g'), chr(10)),
     x -> trim(x)), x -> x <> ''), chr(10))) AS norm_len FROM documents),
 x AS (SELECT doc_id, doc_id // 3 AS grp,
   2 * (4 + len(doc_id::VARCHAR)) + norm_len + 26 + 12 + 4 AS elen FROM n),
@@ -6205,7 +6207,7 @@ FROM e ORDER BY id""",
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
 n AS (SELECT doc_id,
   array_to_string(list_filter(list_transform(
-    string_split(regexp_replace(text, '[ \\t\\r]+', ' ', 'g'), chr(10)),
+    string_split(regexp_replace(text, '[ \\t\\r\\x{00a0}]+', ' ', 'g'), chr(10)),
     x -> trim(x)), x -> x <> ''), chr(10)) AS norm FROM documents)
 SELECT doc_id, norm || chr(10) ||
   'café é é naïve — “q” … 3 × 4 €9 &lt; &bogus; &#xD800; R&D'

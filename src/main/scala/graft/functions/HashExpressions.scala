@@ -588,10 +588,19 @@ object HashExpressions {
       while (i < s.length) {
         val c = s.charAt(i)
         if (c == '&') {
-          val semi = s.indexOf(';', i + 1)
-          // longest named reference is ~8 chars; numeric <= 8 digits —
-          // a distant ';' means this '&' is plain text
-          val rep = if (semi > i + 1 && semi - i <= 10)
+          // BOUNDED terminator scan (review-caught: an unbounded
+          // indexOf made semicolon-sparse ampersand-heavy prose
+          // O(n·m)): the longest reference body we decode is 9 chars
+          // ('#00000233' fits; browsers cap similarly), so look at
+          // most 10 chars ahead
+          val limit = math.min(s.length, i + 11)
+          var semi = -1
+          var j = i + 1
+          while (j < limit && semi < 0) {
+            if (s.charAt(j) == ';') semi = j
+            j += 1
+          }
+          val rep = if (semi > i + 1)
             decodeOne(s.substring(i + 1, semi)) else null
           if (rep != null) { sb.append(rep); i = semi + 1 }
           else { sb.append(c); i += 1 }
@@ -604,15 +613,52 @@ object HashExpressions {
       if (body.length > 0 && body.charAt(0) == '#') {
         val hexMode = body.length > 1 &&
           (body.charAt(1) == 'x' || body.charAt(1) == 'X')
-        val digits = body.substring(if (hexMode) 2 else 1)
-        val radix = if (hexMode) 16 else 10
-        if (digits.isEmpty || digits.length > 7 ||
-          !digits.forall(ch => Character.digit(ch, radix) >= 0)) return null
-        val cp = java.lang.Long.parseLong(digits, radix)
-        if (cp < 1 || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF))
-          return null // invalid scalar: leave the source text intact
-        new String(Character.toChars(cp.toInt))
+        val start = if (hexMode) 2 else 1
+        if (start >= body.length) return null
+        // ASCII-ONLY digits, value-accumulating (review-caught twice:
+        // Character.digit accepted Arabic-Indic/fullwidth digits HTML
+        // rejects, and a fixed digit-count cap rejected zero-padded
+        // references browsers decode)
+        var cp = 0L
+        var k = start
+        while (k < body.length) {
+          val ch = body.charAt(k)
+          val v =
+            if (ch >= '0' && ch <= '9') ch - '0'
+            else if (hexMode && ch >= 'a' && ch <= 'f') ch - 'a' + 10
+            else if (hexMode && ch >= 'A' && ch <= 'F') ch - 'A' + 10
+            else return null
+          cp = cp * (if (hexMode) 16 else 10) + v
+          if (cp > 0x110000L) cp = 0x110000L // clamp, keep consuming
+          k += 1
+        }
+        codepointText(cp)
       } else Named.get(body)
+    }
+
+    /** The decoded text of a numeric reference, with the HTML5
+     * adjustments a corpus wants: the 0x80-0x9F range remaps through
+     * windows-1252 (Word-exported pages write &#147; for U+201C —
+     * review-caught); TAB/LF/CR decode to a PLAIN SPACE (they are
+     * inline whitespace to a renderer, and a raw LF here would forge
+     * a paragraph break in htmlToText); other control characters,
+     * surrogates, and out-of-range values leave the SOURCE TEXT
+     * intact — never a control char or U+FFFD into the corpus. */
+    private def codepointText(cp: Long): String = {
+      if (cp < 1 || cp >= 0x110000L || (cp >= 0xD800 && cp <= 0xDFFF))
+        return null
+      if (cp == 9 || cp == 10 || cp == 13) return " "
+      if (cp < 0x20 || cp == 0x7F) return null
+      if (cp >= 0x80 && cp <= 0x9F) {
+        val remapped = new String(Array(cp.toByte), "windows-1252")
+        val rc = remapped.charAt(0)
+        // the five cp1252 holes decode to C1 controls or U+FFFD
+        // (JDK): pass through — no control chars and no replacement
+        // chars into extracted text
+        if ((rc >= 0x80 && rc <= 0x9F) || rc == 0xFFFD) return null
+        return remapped
+      }
+      new String(Character.toChars(cp.toInt))
     }
 
     def evalStatic(input: Any): Any =

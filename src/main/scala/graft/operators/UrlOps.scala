@@ -361,6 +361,14 @@ object UrlOps {
             "([\\\\.\\[\\]{}()+?^$|])", "\\\\$1"),
           "\\*", ".*"),
         "\\\\\\$$", "\\$"))
+    // only patterns that END at a path-segment boundary can gain
+    // anything from the "/"-appended retry (review-caught: running it
+    // for every wild rule doubled the per-doc regex evaluations —
+    // regexp_like with a per-rule column pattern recompiles per
+    // evaluation, a bounded-but-real cost since rules per host are
+    // KB-bounded)
+    val needsSlashArm = col("rule_prefix").endsWith("/") ||
+      col("rule_prefix").endsWith("/$")
     val hostRules = rules
       .groupBy("rule_host")
       .agg(collect_list(struct(
@@ -368,6 +376,7 @@ object UrlOps {
         col("rule_allow").cast("int").as("a"),
         col("rule_prefix").as("p"),
         isWild.as("w"),
+        needsSlashArm.as("sa"),
         ruleRegex.as("rx"))).as("__rules"))
     docs
       .withColumn("__host", host)
@@ -384,8 +393,9 @@ object UrlOps {
       .withColumn("__best", array_max(filter(col("__rules"),
         r => when(r.getField("w"),
           regexp_like(col("__path"), r.getField("rx")) ||
-            regexp_like(concat(col("__path"), lit("/")),
-              r.getField("rx")))
+            (r.getField("sa") &&
+              regexp_like(concat(col("__path"), lit("/")),
+                r.getField("rx"))))
           .otherwise(
             concat(col("__path"), lit("/")).startsWith(r.getField("p"))))))
       .where(col("__best").isNull || col("__best").getField("a") === 1)

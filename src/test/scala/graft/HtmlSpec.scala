@@ -635,6 +635,18 @@ class HtmlSpec extends SparkSpec {
       "&bogus; &#xD800; &#0; &#x110000; &#; &#xZZ; a&b &")
     // a distant ';' never turns a plain '&' into a reference
     assert(dec("AT&T and more text; here") == "AT&T and more text; here")
+    // HTML5 C1 remap: Word-exported &#147;/&#148; are curly quotes
+    // via windows-1252, not C1 controls (review-caught); the five
+    // cp1252 holes pass through
+    assert(dec("&#147;q&#148; &#150; &#128;") == "“q” – €")
+    assert(dec("&#129;") == "&#129;")
+    // TAB/LF/CR references are INLINE whitespace — decoding to a raw
+    // LF would forge a paragraph break downstream (review-caught)
+    assert(dec("Tom&#10;Jerry&#9;x") == "Tom Jerry x")
+    // other C0 controls stay source text; zero-padded refs decode
+    // (value-based parse, review-caught); non-ASCII digits rejected
+    assert(dec("&#1; &#00000233;") == "&#1; é")
+    assert(dec("&#٢٣;") == "&#٢٣;")
     // htmlToText integration: entities decode, nbsp normalizes to
     // plain space
     val t = Seq("<p>caf&eacute;&nbsp;3&times;4 &#8212; ok</p>").toDF("html")

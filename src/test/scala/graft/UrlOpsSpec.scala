@@ -452,9 +452,12 @@ class UrlOpsSpec extends SparkSpec {
       (6L, "https://a.com/a+b/x"),        // dropped: '+' escapes as literal
       (7L, "https://a.com/aab/x")         // kept: '+' is NOT a regex repeat
     ).toDF("doc_id", "url")
+    // the '+' rule carries a '*' so it takes the WILDCARD/regex arm —
+    // a broken escape class would match /aab via the regex repeat
+    // (review-caught: a plain /a+b rule tests only the prefix arm)
     val robots = Seq(("a.com",
       "User-agent: *\nDisallow: /*.pdf$\nAllow: /p/2*.pdf$\n" +
-        "Disallow: /mid/*/deep\nDisallow: /a+b\n")).toDF("host", "body")
+        "Disallow: /mid/*/deep\nDisallow: /a+b*\n")).toDF("host", "body")
     val kept = UrlOps.robotsFilter(docs, robots).collect()
       .map(_.getLong(0)).toSet
     assert(kept == Set(2L, 3L, 4L, 7L), kept)
