@@ -293,7 +293,11 @@ object PipelineEntry {
           val content =
             if (!decorate) base
             else when(r === 0 && c === 0, concat(lit("<b>"), base, lit("</b>")))
-              .when(r === 1 && c === 1, concat(base, lit("&amp;x")))
+              // full-decode entities load-bearing in cells (r19): the
+              // named Latin-1 + numeric + nbsp forms must decode in a
+              // CELL exactly as in body text (shared cleanInline)
+              .when(r === 1 && c === 1,
+                concat(base, lit("&amp;x&nbsp;caf&eacute;&#233;")))
               .otherwise(base)
           when(r === 0, concat(lit("<th class=\"h\">"), content, lit("</th>")))
             .otherwise(concat(lit("<td>"), content, lit("</td>")))
@@ -547,7 +551,8 @@ object PipelineEntry {
       " <a href=\"/contact\">Contact</a></nav>")
     val light = when(pmod(col("doc_id"), lit(5)) === 0,
       lit("<p>See the <a href=\"/docs\">docs</a> for background " +
-        "information and details &amp; more</p>")).otherwise(lit(""))
+        "information and details &amp; more caf&eacute;&nbsp;&#8212;" +
+        "</p>")).otherwise(lit(""))
     val promo = when(pmod(col("doc_id"), lit(4)) === 0,
       lit("<p><a href=\"/promo\">promo promo promo promo promo</a> x</p>"))
       .otherwise(lit(""))
@@ -2260,6 +2265,35 @@ object PipelineEntry {
         .orderBy("doc_id")
     }),
 
+    // P159 — zstd Content-Encoding at the WARC front door (the r18
+    // verdict's #1 remaining real-capture gap): lanes by doc_id % 3
+    // ride identity / zstd / chunked+zstd through a real .warc.gz
+    // round-trip and must hash-match the undecorated doc table —
+    // zstd-jni is already on every Spark classpath (Spark's own
+    // shuffle compression), zero new dependencies. Brotli (`br`)
+    // remains DOCUMENTED OUT (no pure-JDK decoder and no
+    // org.brotli:dec on this classpath) and is spec-pinned to the
+    // unknown-coding degrade: raw bytes kept, text suppressed.
+    "p159_content_codings" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      val out = s"/root/repo/target/warc-zstd-${dir.replaceAll("[^0-9.]", "")}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val in = docs(s, dir).select(col("doc_id"), col("text"),
+        element_at(array(lit(""), lit("zstd"), lit("chunked+zstd")),
+          (col("doc_id") % 3 + 1).cast("int")).as("enc"))
+      WarcSource.export(in, out, docsPerFile = 100,
+        transportCol = Some("enc"))
+      WarcSource.records(s, out)
+        .where(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          (regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long") % 3).as("lane"),
+          md5(col("body")).as("body_md5"))
+        .orderBy("doc_id")
+    }),
+
     // P112 — DPO/RLHF preference-pair construction: per prompt group
     // of scored candidates, (chosen, rejected) = (best, worst) with
     // deterministic tie-breaks, in ONE hash aggregation (max_by/min_by
@@ -3603,7 +3637,7 @@ t1 AS (SELECT doc_id AS id, 0::BIGINT AS table_idx, r.r::BIGINT AS row_idx,
         (2 + doc_id % 2)::BIGINT AS n_cells,
         (SELECT string_agg(
            'c' || r.r || '_' || c.c || '_' || ((doc_id + r.r*7 + c.c*3) % 50)
-             || CASE WHEN r.r = 1 AND c.c = 1 THEN '&x' ELSE '' END,
+             || CASE WHEN r.r = 1 AND c.c = 1 THEN '&x caféé' ELSE '' END,
            '|' ORDER BY c.c)
          FROM unnest(generate_series(0, 1 + doc_id % 2)) AS c(c)) AS cells
       FROM documents, unnest(generate_series(0, 1 + doc_id % 3)) AS r(r)),
@@ -5468,6 +5502,15 @@ SELECT doc_id, doc_id % 5 AS lane, 200::BIGINT AS status,
        md5(text) AS body_md5
 FROM documents ORDER BY doc_id""",
 
+    // p159: p150's closed form with the zstd lanes — the codings must
+    // be INVISIBLE in the recovered text, so the oracle is exactly
+    // the undecorated document table; a framing or frame-decode slip
+    // diverges md5(text) for a third of the rows.
+    "p159_content_codings" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT doc_id, doc_id % 3 AS lane, md5(text) AS body_md5
+FROM documents ORDER BY doc_id""",
+
     // p87: the oracle rebuilds v2 from the same fixture rules and
     // classifies via an independent full outer join.
     "p87_snapshot_diff" ->
@@ -6505,7 +6548,7 @@ x AS (SELECT doc_id,
                   .mkString("['", "','", "']")}, lower(t)))) * 10000
               >= len(string_split(s, ' ')) * 500)
         || (CASE WHEN doc_id % 5 = 0 THEN ['See the docs for background ' ||
-            'information and details & more'] ELSE []::VARCHAR[] END)
+            'information and details & more café —'] ELSE []::VARCHAR[] END)
           AS kept,
         len(paras) + 2
         + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)

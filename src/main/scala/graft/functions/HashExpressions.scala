@@ -538,6 +538,13 @@ object HashExpressions {
         m.put(name, new String(Character.toChars(cp)))
       Seq("amp" -> '&', "lt" -> '<', "gt" -> '>', "quot" -> '"',
         "apos" -> '\'').foreach { case (n, c) => put(n, c.toInt) }
+      // HTML5's named-references table also defines UPPERCASE aliases
+      // for the legacy core set (AMP; LT; GT; QUOT; COPY; REG;
+      // TRADE;) — real pages carry them and browsers decode them
+      // (advisor-caught: they passed through undecoded)
+      Seq("AMP" -> '&'.toInt, "LT" -> '<'.toInt, "GT" -> '>'.toInt,
+        "QUOT" -> '"'.toInt, "COPY" -> 0xA9, "REG" -> 0xAE,
+        "TRADE" -> 0x2122).foreach { case (n, cp) => put(n, cp) }
       // HTML 4 Latin-1 entity names IN CODEPOINT ORDER 160..255
       val latin1 = Seq(
         "nbsp", "iexcl", "cent", "pound", "curren", "yen", "brvbar",
@@ -590,10 +597,12 @@ object HashExpressions {
         if (c == '&') {
           // BOUNDED terminator scan (review-caught: an unbounded
           // indexOf made semicolon-sparse ampersand-heavy prose
-          // O(n·m)): the longest reference body we decode is 9 chars
-          // ('#00000233' fits; browsers cap similarly), so look at
-          // most 10 chars ahead
-          val limit = math.min(s.length, i + 11)
+          // O(n·m)): the longest NAMED body we decode is 6 chars, so
+          // 10 ahead suffices there; NUMERIC references may carry
+          // zero-padding browsers still decode (&#0000000233; —
+          // advisor-caught), so '#' bodies scan a wider 32-char window
+          val numeric = i + 1 < s.length && s.charAt(i + 1) == '#'
+          val limit = math.min(s.length, i + (if (numeric) 34 else 11))
           var semi = -1
           var j = i + 1
           while (j < limit && semi < 0) {

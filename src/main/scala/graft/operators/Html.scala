@@ -241,14 +241,14 @@ object Html {
     pages
       .where(!metaRobots(col(htmlCol)).getField("nofollow"))
       .select(UrlOps.canonicalizeUrl(col(urlCol)).as("src_url"),
-        basePartsOf(col(urlCol), col(htmlCol))._1.as("__bhost"),
-        basePartsOf(col(urlCol), col(htmlCol))._2.as("__bdir"),
+        basePartsOf(col(urlCol), col(htmlCol)).as("__bp"),
         col(htmlCol).as("__html"))
-      .select(col("src_url"), col("__bhost"), col("__bdir"),
+      .select(col("src_url"), col("__bp"),
         explode(governedLinks(col("__html"))).as("__href"))
       .select(col("src_url"),
-        UrlOps.canonicalizeUrl(resolveWithDir(col("__bhost"),
-          col("__bdir"), col("src_url"), col("__href"))).as("dst_url"))
+        UrlOps.canonicalizeUrl(resolveWithDir(
+          col("__bp").getField("bhost"), col("__bp").getField("bdir"),
+          col("src_url"), col("__href"))).as("dst_url"))
       .where(col("dst_url") =!= col("src_url") && col("dst_url") =!= "")
       .distinct()
 
@@ -383,23 +383,32 @@ object Html {
       // internal fan-out compounding on top: a 16M-character plan and
       // a 100x slowdown on p95/p98 — the r14 regression.)
       .select(UrlOps.canonicalizeUrl(col(urlCol)).as("src_url"),
-        basePartsOf(col(urlCol), col(htmlCol))._1.as("__bhost"),
-        basePartsOf(col(urlCol), col(htmlCol))._2.as("__bdir"),
+        basePartsOf(col(urlCol), col(htmlCol)).as("__bp"),
         col(htmlCol).as("__html"))
       // the explode rides a SEPARATE select so the per-page columns sit
       // BELOW the Generate (a select that carries the explode parks its
       // other aliases in a Project ABOVE it, back in pushdown reach)
-      .select(col("src_url"), col("__bhost"), col("__bdir"),
+      .select(col("src_url"), col("__bp"),
         explode(extractLinks(col("__html"))).as("__href"))
       .select(col("src_url"),
-        UrlOps.canonicalizeUrl(resolveWithDir(col("__bhost"),
-          col("__bdir"), col("src_url"), col("__href"))).as("dst_url"))
+        UrlOps.canonicalizeUrl(resolveWithDir(
+          col("__bp").getField("bhost"), col("__bp").getField("bdir"),
+          col("src_url"), col("__href"))).as("dst_url"))
       .where(col("dst_url") =!= col("src_url") && col("dst_url") =!= "")
       .distinct()
 
-  /** baseParts over raw page columns (canonicalizes the page first). */
-  private def basePartsOf(url: Column, html: Column): (Column, Column) =
-    baseParts(UrlOps.canonicalizeUrl(url), extractBase(html))
+  /** baseParts over raw page columns (canonicalizes the page first),
+   * as ONE struct so a call site computes the expensive base
+   * derivation exactly once per page (verdict-caught: aliasing ._1
+   * and ._2 separately wrote the whole derivation tree twice into the
+   * projection, leaving dedup to codegen CSE). The struct alias lives
+   * below the Generate; consumers above extract cheap getFields, and
+   * CollapseProject's cost guard keeps a twice-referenced non-cheap
+   * alias from re-inlining. */
+  private def basePartsOf(url: Column, html: Column): Column = {
+    val (h, d) = baseParts(UrlOps.canonicalizeUrl(url), extractBase(html))
+    struct(h.as("bhost"), d.as("bdir"))
+  }
 
   /** Whole `<a ...>...</a>` elements: the open tag consumed by the
    * same quote-skipping attribute walk as hrefPattern (so a `>`
@@ -444,6 +453,22 @@ object Html {
       "|<!(?:[^>'\"]++|\"[^\"]*+\"|'[^']*+'){0,10000}+>" +
       "|<\\?(?:[^>'\"]++|\"[^\"]*+\"|'[^']*+'){0,10000}+>)"
 
+  /** Inline-text clean shared by anchor labels, main-content blocks,
+   * and table cells — the SAME chain as htmlToText's step 3-5
+   * (verdict-caught: these surfaces kept a 6-entity replace chain
+   * after p158 gave htmlToText full character-reference decoding, so
+   * `&eacute;` decoded in body text but stayed raw in anchors/blocks/
+   * cells — the same visible text hashed two ways across surfaces,
+   * forking dedup): strip tags, decode ALL character references in
+   * one native pass, collapse whitespace (incl. the U+00A0 that
+   * `&nbsp;` now decodes to — inline surfaces flatten newlines too),
+   * trim. */
+  private def cleanInline(c: Column): Column =
+    trim(regexp_replace(
+      graft.functions.HashExpressions.decodeHtmlEntities(
+        regexp_replace(c, AnyTagPattern, "")),
+      "[\\s\\u00A0]+", " "))
+
   /**
    * Anchor-text signals — what the web says ABOUT a page (the classic
    * off-page quality/topic signal search corpora and quality
@@ -452,8 +477,9 @@ object Html {
    * resolvable href and non-empty cleaned inner text, the href
    * resolved through the SAME base-aware chain as linkGraph (shared
    * helpers, so the two can't diverge) and the anchor cleaned like a
-   * mainContent block (tag strip, 6-entity decode, whitespace
-   * collapse). Output: (src_url, dst_url, anchor).
+   * mainContent block (cleanInline: tag strip, full character-
+   * reference decode, whitespace collapse). Output:
+   * (src_url, dst_url, anchor).
    *
    * Scale shape: linkGraph's exact plan discipline — per-page base
    * derivation computed ONCE below the Generate, per-anchor columns
@@ -464,35 +490,20 @@ object Html {
    */
   def anchorTexts(pages: DataFrame, urlCol: String = "url",
                   htmlCol: String = "html"): DataFrame = {
-    def clean(c: Column): Column = {
-      val stripped = regexp_replace(c, AnyTagPattern, "")
-      val decoded = replace(
-        replace(
-          replace(
-            replace(
-              replace(
-                replace(stripped, lit("&lt;"), lit("<")),
-                lit("&gt;"), lit(">")),
-              lit("&quot;"), lit("\"")),
-            lit("&#39;"), lit("'")),
-          lit("&nbsp;"), lit(" ")),
-        lit("&amp;"), lit("&"))
-      trim(regexp_replace(decoded, "\\s+", " "))
-    }
     val href = regexp_replace(
       regexp_extract(col("__a"), hrefPattern("a"), 1), "^[\"']", "")
     pages
       .select(UrlOps.canonicalizeUrl(col(urlCol)).as("src_url"),
-        basePartsOf(col(urlCol), col(htmlCol))._1.as("__bhost"),
-        basePartsOf(col(urlCol), col(htmlCol))._2.as("__bdir"),
+        basePartsOf(col(urlCol), col(htmlCol)).as("__bp"),
         col(htmlCol).as("__html"))
-      .select(col("src_url"), col("__bhost"), col("__bdir"),
+      .select(col("src_url"), col("__bp"),
         explode(regexp_extract_all(col("__html"),
           lit(AnchorElemPattern), lit(0))).as("__a"))
       .select(col("src_url"),
-        UrlOps.canonicalizeUrl(resolveWithDir(col("__bhost"),
-          col("__bdir"), col("src_url"), href)).as("dst_url"),
-        clean(col("__a")).as("anchor"))
+        UrlOps.canonicalizeUrl(resolveWithDir(
+          col("__bp").getField("bhost"), col("__bp").getField("bdir"),
+          col("src_url"), href)).as("dst_url"),
+        cleanInline(col("__a")).as("anchor"))
       .where(col("dst_url") =!= col("src_url") && col("dst_url") =!= "" &&
         col("anchor") =!= "")
   }
@@ -502,8 +513,10 @@ object Html {
    * valuable pretraining content in a crawl and the first thing a
    * text-only extractor destroys (htmlToText flattens cells into an
    * undifferentiated line). One row per `<tr>`: the cells (`<td>` or
-   * `<th>`, inner tags stripped, `&amp;` decoded, trimmed) joined by
-   * `|`, positionally indexed by (table, row) within the page.
+   * `<th>`, cleaned by the shared cleanInline chain — tags stripped,
+   * ALL character references decoded, whitespace collapsed, trimmed)
+   * joined by `|`, positionally indexed by (table, row) within the
+   * page.
    *
    * Scale shape: two generators over narrow per-page expressions —
    * page → tables (posexplode keeps the index), table → rows — with
@@ -538,10 +551,10 @@ object Html {
    *
    * Decision rule (exact integers, no division): keep a block iff
    *   text_len >= minChars  AND  link_len * 10000 <= maxLinkBp * text_len.
-   * `clean` = strip tags, decode the 6 core entities (&amp; last),
-   * collapse whitespace, trim — applied identically to block text and
-   * to the concatenated `<a>` bodies, so the density compares like
-   * with like. This is the documented heuristic grain: block
+   * `cleanInline` = strip tags, decode ALL character references
+   * (the shared htmlToText chain), collapse whitespace, trim —
+   * applied identically to block text and to the concatenated `<a>`
+   * bodies, so the density compares like with like. This is the documented heuristic grain: block
    * segmentation by tag boundaries, not DOM depth (the p92/p114 regex
    * house approach).
    *
@@ -562,29 +575,14 @@ object Html {
     val noStyle = regexp_replace(noScript,
       "(?is)<style\\b[^>]*>.*?</style>", "")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", "")
-    def clean(c: Column): Column = {
-      val stripped = regexp_replace(c, AnyTagPattern, "")
-      val decoded = replace(
-        replace(
-          replace(
-            replace(
-              replace(
-                replace(stripped, lit("&lt;"), lit("<")),
-                lit("&gt;"), lit(">")),
-              lit("&quot;"), lit("\"")),
-            lit("&#39;"), lit("'")),
-          lit("&nbsp;"), lit(" ")),
-        lit("&amp;"), lit("&"))
-      trim(regexp_replace(decoded, "\\s+", " "))
-    }
     val blocks = filter(
       transform(split(regexp_replace(noComment, BlockTag, "\n"), "\n"),
         b => struct(
-          clean(b).as("text"),
+          cleanInline(b).as("text"),
           // quote-aware open tag: a '>' inside an anchor attribute
           // must not count attribute soup as link text and inflate
           // the density of a genuine prose block
-          clean(array_join(regexp_extract_all(b,
+          cleanInline(array_join(regexp_extract_all(b,
             lit("(?is)<a\\b" + AttrWalk + ">(.*?)</a>"), lit(1)), ""))
             .as("link"))),
       s => s.getField("text") =!= "")
@@ -632,8 +630,7 @@ object Html {
     val cells = transform(
       regexp_extract_all(col("__r"),
         lit("(?is)<t[dh]\\b" + AttrWalk + ">(.*?)</t[dh]>"), lit(1)),
-      c => trim(replace(regexp_replace(c, AnyTagPattern, ""),
-        lit("&amp;"), lit("&"))))
+      c => cleanInline(c))
     pages
       .select(col(idCol).cast("long").as("id"), posexplode(tables))
       .withColumnsRenamed(Map("pos" -> "table_idx", "col" -> "__t"))

@@ -227,7 +227,13 @@ object Pdf {
       : Option[Seq[Option[PredParms]]] = {
     val none: Seq[Option[PredParms]] = Seq.fill(nFilters)(None)
     ParmsRe.findFirstMatchIn(dict) match {
-      case None => Some(none)
+      case None =>
+        // mirror the /Filter guard (advisor-caught): a /DecodeParms
+        // (or /DP) key PRESENT but not in a shape ParmsRe reads — an
+        // indirect "/DecodeParms 12 0 R", an oversized literal — may
+        // hide a predictor; decoding without un-predicting would emit
+        // garbage, so the stream drops
+        if (ParmsKeyRe.findFirstIn(dict).isDefined) None else Some(none)
       case Some(m) =>
         val tok = m.group(1)
         val hasPred = tok.contains("/Predictor")
@@ -281,6 +287,7 @@ object Pdf {
   }
   private val ParmsRe =
     """/(?:DecodeParms|DP)\s*(\[[^\]]{0,1000}+\]|<<[^<>]{0,500}+>>)""".r
+  private val ParmsKeyRe = """/(?:DecodeParms|DP)(?![A-Za-z0-9])""".r
   private val ParmsEntryRe = """null|<<[^<>]{0,500}+>>""".r
   private val PredValRe = """/Predictor\s+(\d{1,3})\b(?!\s+\d+\s+R\b)""".r
 

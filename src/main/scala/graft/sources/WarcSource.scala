@@ -144,7 +144,12 @@ object WarcSource {
     }
     None
   }
-  private val MetaTagRe = """(?is)<meta\b([^>]{0,500})""".r
+  // quote-aware tag capture (advisor-caught: a plain [^>] run stopped
+  // at a '>' INSIDE a quoted attribute value, so
+  // <meta content="a > b" charset=big5> lost its declared charset
+  // while the HTML5 prescan handles quoted '>' correctly)
+  private val MetaTagRe =
+    """(?is)<meta\b((?:"[^"]{0,500}+"|'[^']{0,500}+'|[^>"']){0,500}+)""".r
   private val AttrRe =
     """([a-zA-Z-]++)\s*+=\s*+("[^"]*+"|'[^']*+'|[^\s>"']++)""".r
 
@@ -244,8 +249,9 @@ object WarcSource {
           // "text" is hex chunk-size lines or gzip bytes, inherited by
           // every downstream HTML consumer): undo Transfer-Encoding
           // (outermost) then Content-Encoding. A coding we cannot
-          // decode (br, zstd, corrupt stream) degrades — raw bytes
-          // kept, text decode suppressed — never throws.
+          // decode (br — no decoder on this classpath — or a corrupt
+          // stream) degrades: raw bytes kept, text decode suppressed,
+          // never throws.
           val (bb, decOk) = decodeTransport(raw, hm)
           (st, ct, bb, hm.toMap, decOk)
         } else (0, null: String, payload, null: Map[String, String], true)
@@ -360,10 +366,39 @@ object WarcSource {
     } finally inf.end()
   }
 
+  /** Decode one RFC 8878 zstd frame sequence (the `zstd` content
+   * coding, r19 — Spark already bundles zstd-jni for its own shuffle
+   * compression, so this is zero new dependencies), bomb-capped like
+   * gunzip/inflate: zstd's ratio ceiling is far beyond gzip's, so an
+   * uncapped read of a crafted frame would OOM the task. Throws on
+   * corrupt input or cap breach; decodeCoding turns that into the
+   * degrade. */
+  private def unzstd(b: Array[Byte], cap: Long): Array[Byte] = {
+    val in = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size() > cap)
+          throw new java.io.IOException("decoded body too large")
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } finally in.close()
+  }
+
   /** Undo ONE content/transfer coding. `deflate` is zlib-wrapped per
    * RFC 9110 but plenty of real servers send raw-deflate under the
    * same name — try zlib first, fall back to raw. None = unknown
-   * coding (br, zstd, ...) or corrupt stream. */
+   * coding or corrupt stream. `br` is DOCUMENTED OUT: brotli has no
+   * pure-JDK decoder and neither `org.brotli:dec` nor a bundled
+   * equivalent is on this classpath (commons-compress's
+   * BrotliCompressorInputStream merely delegates to the former), so
+   * brotli bodies take the unknown-coding degrade — raw bytes kept,
+   * text decode suppressed, never garbage. */
   private def decodeCoding(b: Array[Byte], tok: String): Option[Array[Byte]] =
     tok match {
       case "chunked" => dechunk(b)
@@ -376,7 +411,9 @@ object WarcSource {
               case _: Exception => None
             }
         }
-      case _ => None
+      case "zstd" =>
+        try Some(unzstd(b, MaxDecodedBody)) catch { case _: Exception => None }
+      case _ => None // br (no decoder on this classpath), compress, ...
     }
 
   /** Undo the response's transport: Transfer-Encoding codings
@@ -415,6 +452,11 @@ object WarcSource {
     val o = new java.io.ByteArrayOutputStream()
     val d = new java.util.zip.DeflaterOutputStream(o) // zlib per RFC 9110
     d.write(b); d.close(); o.toByteArray
+  }
+  private def zstdBytes(b: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    val z = new com.github.luben.zstd.ZstdOutputStream(o)
+    z.write(b); z.close(); o.toByteArray
   }
   /** Chunk-frame a body: small chunks (7 bytes — forces boundaries
    * inside multi-byte UTF-8 sequences, the case a decoder must not
@@ -815,11 +857,12 @@ object WarcSource {
    * HTTP headers only as payload — the crawl-time dedup pointer real
    * CC segments carry for re-crawled pages. */
   /** `transportCol` names a per-doc transport spec for RESPONSE
-   * records — any of `chunked`, `gzip`, `deflate`, or `chunked+gzip`
-   * (gzip applied first, chunked outermost, exactly the layering a
-   * real server emits); empty/null = identity. The writer stamps the
-   * matching Transfer-Encoding / Content-Encoding headers, so a
-   * round-trip through [[records]] proves the transport decode. */
+   * records — a content coding (`gzip`, `deflate`, or `zstd`),
+   * `chunked`, or a `chunked+<coding>` combination (coding applied
+   * first, chunked outermost, exactly the layering a real server
+   * emits); empty/null = identity. The writer stamps the matching
+   * Transfer-Encoding / Content-Encoding headers, so a round-trip
+   * through [[records]] proves the transport decode. */
   def export(docs: DataFrame, dir: String, docsPerFile: Int = 100,
              idCol: String = "doc_id", textCol: String = "text",
              urlCol: Option[String] = None, wet: Boolean = false,
@@ -896,6 +939,8 @@ object WarcSource {
               pay = gzipBytes(pay); th ++= "Content-Encoding: gzip\r\n"
             } else if (enc.contains("deflate")) {
               pay = zlibBytes(pay); th ++= "Content-Encoding: deflate\r\n"
+            } else if (enc.contains("zstd")) {
+              pay = zstdBytes(pay); th ++= "Content-Encoding: zstd\r\n"
             }
             if (enc.contains("chunked")) {
               pay = chunkify(pay); th ++= "Transfer-Encoding: chunked\r\n"

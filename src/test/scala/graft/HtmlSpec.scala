@@ -647,11 +647,44 @@ class HtmlSpec extends SparkSpec {
     // (value-based parse, review-caught); non-ASCII digits rejected
     assert(dec("&#1; &#00000233;") == "&#1; é")
     assert(dec("&#٢٣;") == "&#٢٣;")
+    // HTML5 UPPERCASE aliases of the legacy core set decode
+    // (advisor-caught); an uppercase name NOT in the table does not
+    assert(dec("&AMP; &LT;x&GT; &QUOT; &COPY;&REG;&TRADE;") ==
+      "& <x> \" ©®™")
+    assert(dec("&NBSP;") == "&NBSP;")
+    // numeric references scan a wider 32-char window than named ones
+    // (advisor-caught: browsers decode long zero-padded bodies); a
+    // body past the window still passes through bounded
+    assert(dec("&#0000000233; &#x00000000000000E9;") == "é é")
+    assert(dec("&#" + "0" * 40 + "233;") == "&#" + "0" * 40 + "233;")
     // htmlToText integration: entities decode, nbsp normalizes to
     // plain space
     val t = Seq("<p>caf&eacute;&nbsp;3&times;4 &#8212; ok</p>").toDF("html")
       .select(Html.htmlToText(col("html"))).collect()(0).getString(0)
     assert(t == "café 3×4 — ok", t)
+  }
+
+  test("entity decode parity: anchor == body == cell == block (verdict r18)") {
+    // the SAME visible text must hash identically from every
+    // extraction surface — htmlToText, anchorTexts, extractTables,
+    // mainContent all route through one decode chain (verdict-caught:
+    // anchors/cells/blocks kept a 6-entity chain after p158, so
+    // '&eacute;' forked dedup hashes across surfaces)
+    val phrase = "café — “q” 3×4 €9 R&D"
+    val enc = "caf&eacute; &mdash; &ldquo;q&rdquo; 3&times;4 &euro;9 R&amp;D"
+    val page = s"<html><body><p>$enc</p>" +
+      s"<table><tr><td>$enc</td></tr></table>" +
+      s"<div><a href='https://x.com/t'>$enc</a></div></body></html>"
+    val df = Seq((1L, "https://s.com/p", page)).toDF("doc_id", "url", "html")
+    val body = df.select(Html.htmlToText(col("html"))).collect()(0).getString(0)
+    assert(body.split("\n").contains(phrase), body)
+    val anchor = Html.anchorTexts(df).collect()(0).getAs[String]("anchor")
+    assert(anchor == phrase, anchor)
+    val cell = Html.extractTables(df).collect()(0).getAs[String]("cells")
+    assert(cell == phrase, cell)
+    val mc = Html.mainContent(df, minChars = 5, maxLinkBp = 10000)
+      .collect()(0).getAs[String]("main_text")
+    assert(mc.split("\n").contains(phrase), mc)
   }
 
   test("governedLinks: rel=nofollow drops the anchor, either attr order") {

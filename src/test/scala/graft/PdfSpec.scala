@@ -523,6 +523,20 @@ class PdfSpec extends SparkSpec {
       " << /Predictor 12 /Columns 16 0 R >> >> stream\nXXXX\n" +
       "endstream endobj\n").getBytes(ISO_8859_1)
     assert(Pdf.parse(ind).text == "")
+    // a WHOLLY indirect /DecodeParms value ('/DecodeParms 12 0 R')
+    // may hide a predictor the subset cannot see: the stream must
+    // DROP, not decode without un-predicting (advisor-caught) — the
+    // flate body is valid, so a missed guard would emit its text
+    val wholeInd = (s"9 0 obj << /Length ${body1.length} /Filter" +
+      " /FlateDecode /DecodeParms 12 0 R >> stream\n")
+      .getBytes(ISO_8859_1) ++ body1 ++
+      "\nendstream endobj\n".getBytes(ISO_8859_1)
+    assert(Pdf.parse(wholeInd).text == "")
+    val wholeIndDp = (s"9 0 obj << /Length ${body1.length} /Filter" +
+      " /FlateDecode /DP 12 0 R >> stream\n")
+      .getBytes(ISO_8859_1) ++ body1 ++
+      "\nendstream endobj\n".getBytes(ISO_8859_1)
+    assert(Pdf.parse(wholeIndDp).text == "")
   }
 
   test("/ObjStm: compressed-resident page + font dicts resolve (PDF 1.5 CID path)") {

@@ -383,13 +383,14 @@ class WarcSourceSpec extends SparkSpec {
     val txt = "transport body é € 𝄞 and a tail that spans chunks"
     val docs = Seq(
       (1L, txt, ""), (2L, txt, "chunked"), (3L, txt, "gzip"),
-      (4L, txt, "deflate"), (5L, txt, "chunked+gzip")
+      (4L, txt, "deflate"), (5L, txt, "chunked+gzip"),
+      (6L, txt, "zstd"), (7L, txt, "chunked+zstd")
     ).toDF("doc_id", "text", "enc")
     WarcSource.export(docs, dir, transportCol = Some("enc"))
     val rows = WarcSource.records(spark, dir)
       .where(col("warc_type") === "response")
       .orderBy("record_id").collect()
-    assert(rows.length == 5)
+    assert(rows.length == 7)
     rows.foreach { r => assert(r.getAs[String]("body") == txt, r) }
     // the declared framing really was on the wire (headers survive)
     val h = rows.map(_.getAs[Map[String, String]]("http_headers"))
@@ -399,6 +400,9 @@ class WarcSourceSpec extends SparkSpec {
     assert(h(3)("content-encoding") == "deflate")
     assert(h(4)("transfer-encoding") == "chunked" &&
       h(4)("content-encoding") == "gzip")
+    assert(h(5)("content-encoding") == "zstd")
+    assert(h(6)("transfer-encoding") == "chunked" &&
+      h(6)("content-encoding") == "zstd")
     // body_bytes carries the DECODED payload (downstream binary
     // consumers must see content, not framing)
     assert(new String(rows(4).getAs[Array[Byte]]("body_bytes"), "UTF-8") == txt)
@@ -429,6 +433,21 @@ class WarcSourceSpec extends SparkSpec {
       .where(col("record_id") === "<urn:x:1>").collect()(0)
     assert(junk.getAs[String]("body") == null)
     assert(new String(junk.getAs[Array[Byte]]("body_bytes"), "UTF-8") == "BRBYTES")
+
+    // a CORRUPT zstd stream degrades identically (r19: zstd now
+    // decodes, so only a broken frame takes this path)
+    val zraw = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:x:2>\r\nWARC-Target-URI: https://x/2\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      "Content-Length: 75\r\n\r\n" +
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Content-Encoding: zstd\r\n\r\nNOTZSTD\r\n\r\n").getBytes("UTF-8")
+    java.nio.file.Files.write(
+      new java.io.File(dir, "seg-junk2.warc").toPath, zraw)
+    val zjunk = WarcSource.records(spark, dir)
+      .where(col("record_id") === "<urn:x:2>").collect()(0)
+    assert(zjunk.getAs[String]("body") == null)
+    assert(new String(zjunk.getAs[Array[Byte]]("body_bytes"), "UTF-8") == "NOTZSTD")
 
     // a decompression bomb (66 MiB of zeros behind a ~70 KB gzip)
     // degrades the RECORD — raw bytes kept, text suppressed — instead
@@ -547,6 +566,13 @@ class WarcSourceSpec extends SparkSpec {
       "<body>café</body></html>"
     assert(decodeText(decoy.getBytes("UTF-8"), "text/html")
       .contains("café"))
+    // a '>' inside a QUOTED attribute value must not end the meta-tag
+    // capture early and lose a charset declared after it
+    // (advisor-caught; the HTML5 prescan is quote-aware here)
+    val quotedGt = "<html><head><meta content=\"a > b\" " +
+      "charset=windows-1252></head><body>€uro café</body></html>"
+    assert(decodeText(quotedGt.getBytes("windows-1252"), "text/html")
+      .contains("€uro café"))
     // a BOM-less utf-16 LABEL is an authoring error: HTML5 remaps it
     // to UTF-8 — decoding 8-bit bytes as UTF-16 would be CJK garbage
     // (review-caught)
