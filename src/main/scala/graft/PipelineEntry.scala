@@ -2674,6 +2674,29 @@ object PipelineEntry {
       Pdf.extractTexts(pdfs).orderBy("id")
     }),
 
+    // P160 — PDF LZWDecode + RunLengthDecode (the r18 verdict's #3:
+    // LZW is ubiquitous in pre-2005 tool output and both are fully
+    // public, ISO 32000-1 §7.4.2/§7.4.5): fifths of the corpus ride
+    // (0) a bare LZW content stream, (1) LZW over PNG Predictor 12
+    // (the Table-8 pairing — un-prediction must run on LZW OUTPUT),
+    // (2) RunLength, (3) LZW with an explicit /EarlyChange 0 width
+    // schedule, and (4) the real-world twin — an LZW+Predictor-12
+    // /ObjStm holding the page and font dicts, so the LZW decode must
+    // run inside ObjStm expansion for ANY text to come out. Oracle:
+    // the closed-form re-typeset per lane.
+    "p160_pdf_lzw" -> ((s, dir) => {
+      import s.implicits._
+      val pdfs = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, if (id % 5 == 4)
+                 Pdf.fixturePdfCidObjStm(id, t, predictor = true, lzw = true)
+               else Pdf.fixturePdfLzw(id, t, (id % 5).toInt))
+        })
+        .toDF("id", "payload")
+      Pdf.extractTexts(pdfs).orderBy("id")
+    }),
+
     // P155 — redirect edges (every real crawl is full of 3xx
     // captures; URL dedup collapses chains against them and frontiers
     // follow them): response records with a redirect status and a
@@ -6239,6 +6262,27 @@ e AS (SELECT doc_id,
       FROM w)
 SELECT doc_id AS id, TRUE AS xref_ok,
   (CASE WHEN doc_id % 4 = 3 THEN 3 ELSE 1 END)::BIGINT AS n_streams,
+  length(text)::BIGINT AS n_chars, text
+FROM e ORDER BY id""",
+
+    // p160: p151's closed form under %5 lanes — the LZW/RunLength
+    // transports must be invisible in the extracted text; lane 4 is
+    // the (cid) ObjStm re-typeset with n_streams 3.
+    "p160_pdf_lzw" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+w AS (SELECT doc_id, list_filter(
+        string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+e AS (SELECT doc_id,
+        'Doc ' || doc_id ||
+          CASE WHEN doc_id % 5 = 4 THEN ' (cid) A' ELSE ' (pdf) A' END ||
+          chr(10) || array_to_string(
+          [array_to_string(toks[k*10+1 : k*10+10], ' ')
+           for k in range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))],
+          chr(10)) AS text
+      FROM w)
+SELECT doc_id AS id, TRUE AS xref_ok,
+  (CASE WHEN doc_id % 5 = 4 THEN 3 ELSE 1 END)::BIGINT AS n_streams,
   length(text)::BIGINT AS n_chars, text
 FROM e ORDER BY id""",
 

@@ -62,10 +62,12 @@ import org.apache.spark.sql.functions._
  * decryption.
  *
  * Out of the subset (documented, like mp4 for video): non-empty user
- * passwords and R5/R6 (AES-256) handlers, LZW/DCT/RunLength filters
- * and predictors, predefined (non-Identity) CMap ENCODINGS without
- * ToUnicode — each is a payload class, not a structural gap; the
+ * passwords, DCT/JBIG2/JPX/CCITT image-compression filters as TEXT
+ * sources (DCT payloads DO feed the image family via extractImages),
+ * and predefined (non-Identity) CMap ENCODINGS without ToUnicode —
+ * each is a payload class, not a structural gap; the
  * walk/decode/operator machinery is where they would plug in.
+ * (AES-256 joined in r17; predictors in r18; LZW/RunLength in r19.)
  *
  * Scale shape: parsing is per-row CPU inside `mapPartitions` (the
  * contract case for imperative per-partition logic — batched binary
@@ -166,8 +168,10 @@ object Pdf {
     // filter — PNG row filters (10-15: per-row tag, all five types)
     // and TIFF horizontal differencing (2), the shapes real writers
     // almost universally stamp on ObjStm and XRef streams (PNG
-    // Predictor 12). Remaining filter classes (LZW/DCT/RunLength/...)
-    // stay out of subset: their streams contribute no text rather
+    // Predictor 12). LZW (EarlyChange-aware) and RunLength joined in
+    // r19 — LZW composes with predictors through the same aligned
+    // parms. Remaining filter classes (DCT/JBIG2/JPX/CCITT...) stay
+    // out of the TEXT subset: their streams contribute no text rather
     // than mis-decoded garbage.
     val filters = parseFilters(dict)
     // a /Filter entry the parser could NOT read (indirect "12 0 R"
@@ -192,6 +196,9 @@ object Pdf {
           case "FlateDecode" | "Fl" => inflate(d)
           case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
           case "ASCII85Decode" | "A85" => ascii85Decode(d)
+          case "LZWDecode" | "LZW" => // r19: §7.4.4, EarlyChange-aware
+            lzwDecode(d, pm.map(_.earlyChange).getOrElse(1))
+          case "RunLengthDecode" | "RL" => runLengthDecode(d) // r19
           case _ => None
         }).flatMap(d => pm match {
           case Some(p) if p.predictor > 1 => unpredict(d, p)
@@ -213,9 +220,11 @@ object Pdf {
   private val FilterNameRe = """/([A-Za-z0-9]+)""".r
 
   /** Predictor parameters of one /DecodeParms entry (ISO 32000-1
-   * Table 8 — LZW/Flate extra parameters). */
+   * Table 8 — LZW/Flate extra parameters). `earlyChange` is LZW-only
+   * (§7.4.4.2, default 1 — width grows one code early). */
   private[graft] final case class PredParms(predictor: Int, colors: Int,
-                                            bpc: Int, columns: Int)
+                                            bpc: Int, columns: Int,
+                                            earlyChange: Int = 1)
 
   /** /DecodeParms (or /DP) entries ALIGNED to the filter list: a flat
    * dict pairs with a single filter, an array pairs by position
@@ -236,26 +245,28 @@ object Pdf {
         if (ParmsKeyRe.findFirstIn(dict).isDefined) None else Some(none)
       case Some(m) =>
         val tok = m.group(1)
-        val hasPred = tok.contains("/Predictor")
+        // an entry matters when it carries a key that changes decoding
+        // (/Predictor, or /EarlyChange for LZW); others pass through
+        def relevant(t: String): Boolean =
+          t.contains("/Predictor") || t.contains("/EarlyChange")
         if (tok.startsWith("<<")) {
-          if (!hasPred) Some(none)
+          if (!relevant(tok)) Some(none)
           else if (nFilters != 1) None
           else parseParmsDict(tok).map(p => Seq(Some(p)))
         } else { // array of null | <<...>> in filter order
           val entries = ParmsEntryRe.findAllMatchIn(tok)
             .map(_.group(0)).toSeq
-          if (entries.drop(nFilters).exists(_.contains("/Predictor")))
-            return None // predictor'd entry with no filter to attach to
+          if (entries.drop(nFilters).exists(relevant))
+            return None // decode-relevant entry with no filter to attach to
           val aligned = (0 until nFilters).map { i =>
             entries.lift(i).filter(_.startsWith("<<"))
           }
-          // sequence: any present-but-unreadable predictor dict → None
+          // sequence: any present-but-unreadable relevant dict → None
           aligned.foldLeft(Option(Seq.empty[Option[PredParms]])) {
             (acc, e) => acc.flatMap { seq =>
               e match {
                 case None => Some(seq :+ None)
-                case Some(d) if !d.contains("/Predictor") =>
-                  Some(seq :+ None)
+                case Some(d) if !relevant(d) => Some(seq :+ None)
                 case Some(d) => parseParmsDict(d).map(p => seq :+ Some(p))
               }
             }
@@ -265,11 +276,13 @@ object Pdf {
   }
   private def parseParmsDict(d: String): Option[PredParms] =
     for {
-      pm <- PredValRe.findFirstMatchIn(d)
+      pred <- intOf(d, "Predictor", 1) // absent = 1 (no prediction)
       colors <- intOf(d, "Colors", 1)
       bpc <- intOf(d, "BitsPerComponent", 8)
       cols <- intOf(d, "Columns", 1)
-    } yield PredParms(pm.group(1).toInt, colors, bpc, cols)
+      early <- intOf(d, "EarlyChange", 1) // LZW width schedule (r19)
+      if early == 0 || early == 1
+    } yield PredParms(pred, colors, bpc, cols, early)
   // the `(?!\s+\d+\s+R)` lookaheads reject INDIRECT values
   // ("/Predictor 12 0 R" references object 12, it is not the literal
   // 12); a field that is PRESENT but unreadable (indirect, non-digit)
@@ -289,7 +302,6 @@ object Pdf {
     """/(?:DecodeParms|DP)\s*(\[[^\]]{0,1000}+\]|<<[^<>]{0,500}+>>)""".r
   private val ParmsKeyRe = """/(?:DecodeParms|DP)(?![A-Za-z0-9])""".r
   private val ParmsEntryRe = """null|<<[^<>]{0,500}+>>""".r
-  private val PredValRe = """/Predictor\s+(\d{1,3})\b(?!\s+\d+\s+R\b)""".r
 
   /** Undo a stream predictor on filter OUTPUT (ISO 32000-1 §7.4.4.4):
    * PNG row filters (predictor >= 10 — the VALUE only declares the
@@ -369,6 +381,162 @@ object Pdf {
         Some(out.toByteArray)
       case _ => None
     }
+  }
+
+  /** LZWDecode (ISO 32000-1 §7.4.4 — the TIFF-variant LZW ubiquitous
+   * in pre-2005 tool output): variable 9..12-bit codes MSB-first,
+   * ClearTable = 256 (legal anywhere, resets table and width),
+   * EOD = 257; the code width widens as the table fills, ONE CODE
+   * EARLY under the spec-default EarlyChange = 1 (the decoder widens
+   * when its next-slot counter + EarlyChange reaches 512/1024/2048 —
+   * the pdf.js-compatible reading of §7.4.4.2). None on any malformed
+   * sequence — a code beyond the table, a truncated bitstream, or a
+   * first code that is not a literal — never garbage. Missing EOD is
+   * lenient (real writers omit it; the stream's /Length already
+   * bounded the data). */
+  private[graft] def lzwDecode(d: Array[Byte],
+                               earlyChange: Int = 1): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(d.length * 4)
+    val table = new Array[Array[Byte]](4096)
+    var next = 258
+    var width = 9
+    var prev: Array[Byte] = null
+    var acc = 0L
+    var nbits = 0
+    var i = 0
+    while (true) {
+      // fill the bit accumulator to one code's width
+      while (nbits < width && i < d.length) {
+        acc = (acc << 8) | (d(i) & 0xffL); nbits += 8; i += 1
+      }
+      if (nbits < width) { // bitstream exhausted
+        // lenient on missing EOD only when at a clean inter-code
+        // boundary (≤7 residual pad bits, all zero)
+        return if (acc == 0) Some(out.toByteArray) else None
+      }
+      val code = ((acc >>> (nbits - width)) & ((1L << width) - 1)).toInt
+      nbits -= width
+      acc &= (1L << nbits) - 1
+      if (code == 257) return Some(out.toByteArray) // EOD
+      else if (code == 256) { next = 258; width = 9; prev = null }
+      else {
+        val entry: Array[Byte] =
+          if (code < 256) Array(code.toByte)
+          else if (code < next && table(code) != null) table(code)
+          else if (code == next && prev != null) prev :+ prev(0) // KwKwK
+          else return None // undefined code: corrupt stream
+        out.write(entry, 0, entry.length)
+        if (prev != null && next < 4096) {
+          table(next) = prev :+ entry(0); next += 1
+        }
+        prev = entry
+        // EarlyChange-adjusted width growth (see doc comment)
+        if (width < 12 && next + earlyChange >= (1 << width)) width += 1
+      }
+    }
+    None // unreachable
+  }
+
+  /** Writer twin of [[lzwDecode]] for fixtures/specs: greedy
+   * longest-match LZW with the mirrored width schedule (the encoder's
+   * emit width is f(next − 1 + EarlyChange) so the decoder — one
+   * table entry behind at read time — always agrees), a leading
+   * ClearTable, table reset at 4095, and the EOD code. */
+  private[graft] def lzwEncode(b: Array[Byte],
+                               earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var acc = 0L
+    var nbits = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      acc = (acc << width) | code; nbits += width
+      while (nbits >= 8) {
+        out.write(((acc >>> (nbits - 8)) & 0xff).toInt); nbits -= 8
+        acc &= (1L << nbits) - 1
+      }
+    }
+    def widthFor(n: Int): Int =
+      if (n < 512) 9 else if (n < 1024) 10 else if (n < 2048) 11 else 12
+    val dict = new java.util.HashMap[Long, Integer](8192)
+    var next = 258
+    emit(256) // leading clear, as real encoders write
+    if (b.nonEmpty) {
+      var w = b(0) & 0xff // current match is a single known code so far
+      var i = 1
+      while (i < b.length) {
+        val key = (w.toLong << 8) | (b(i) & 0xffL)
+        val hit = dict.get(key)
+        if (hit != null) w = hit.intValue()
+        else {
+          emit(w)
+          dict.put(key, Integer.valueOf(next)); next += 1
+          width = widthFor(next - 1 + earlyChange)
+          if (next == 4095) { // table full: reset both sides
+            emit(256); dict.clear(); next = 258; width = 9
+          }
+          w = b(i) & 0xff
+        }
+        i += 1
+      }
+      emit(w)
+      // the decoder adds one more entry AFTER reading the final data
+      // code (possibly widening) before it reads EOD — mirror that
+      width = widthFor(next + earlyChange)
+    }
+    emit(257) // EOD
+    if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xff).toInt) // pad
+    out.toByteArray
+  }
+
+  /** RunLengthDecode (ISO 32000-1 §7.4.5): a length byte L, then
+   * L+1 literal bytes when L ≤ 127, or one byte repeated 257−L times
+   * when L ≥ 129; L = 128 is EOD. None on truncated runs; a missing
+   * EOD is lenient (the /Length already bounded the data). */
+  private[graft] def runLengthDecode(d: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      val l = d(i) & 0xff
+      i += 1
+      if (l == 128) return Some(out.toByteArray) // EOD
+      else if (l < 128) {
+        if (i + l + 1 > d.length) return None // truncated literal run
+        out.write(d, i, l + 1); i += l + 1
+      } else {
+        if (i >= d.length) return None // truncated repeat run
+        var k = 257 - l
+        while (k > 0) { out.write(d(i)); k -= 1 }
+        i += 1
+      }
+    }
+    Some(out.toByteArray)
+  }
+
+  /** Writer twin of [[runLengthDecode]] for fixtures/specs: maximal
+   * repeat runs (≥3 to beat the literal form), 128-byte-capped
+   * literal runs, trailing EOD. */
+  private[graft] def runLengthEncode(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length + 8)
+    var i = 0
+    while (i < b.length) {
+      var run = 1
+      while (i + run < b.length && run < 128 && b(i + run) == b(i)) run += 1
+      if (run >= 3) {
+        out.write(257 - run); out.write(b(i)); i += run
+      } else {
+        var lit = i + 1 // extend literals until a ≥3 repeat or cap
+        var rep = 1
+        while (lit < b.length && lit - i < 128 && rep < 3) {
+          rep = if (b(lit) == b(lit - 1)) rep + 1 else 1
+          lit += 1
+        }
+        if (rep == 3) lit -= 3 // leave the repeat for the next run
+        if (lit == i) lit = i + 1
+        out.write(lit - i - 1); out.write(b, i, lit - i); i = lit
+      }
+    }
+    out.write(128)
+    out.toByteArray
   }
 
   /** ASCIIHexDecode (ISO 32000-1 §7.4.2): hex pairs, whitespace
@@ -1293,6 +1461,13 @@ object Pdf {
     buildPdf(docId, text, encrypt = None, cid = false,
       filterMode = 3 + (mode % 3))
 
+  /** LZW / RunLength lanes (r19): mode 0 = bare LZW content stream,
+   * 1 = LZW over PNG Predictor 12, 2 = RunLength, 3 = LZW with
+   * /EarlyChange 0 (the non-default width schedule). */
+  def fixturePdfLzw(docId: Long, text: String, mode: Int): Array[Byte] =
+    buildPdf(docId, text, encrypt = None, cid = false,
+      filterMode = 6 + (mode % 4))
+
   /** PDF 1.5-style twin of [[fixturePdfCid]]: the PAGE dict (with its
    * /Resources /Font map), the Type0 font, and the CIDFontType2
    * descendant all live inside a Flate /ObjStm — nothing about the
@@ -1306,16 +1481,25 @@ object Pdf {
    * twin): font resolution then works only if un-prediction runs
    * inside the ObjStm decode path. */
   def fixturePdfCidObjStm(docId: Long, text: String,
-                          predictor: Boolean = false): Array[Byte] = {
+                          predictor: Boolean = false,
+                          lzw: Boolean = false): Array[Byte] = {
     val (content, cmap, stmRaw, first) = cidObjStmParts(docId, text)
+    // `lzw` swaps the ObjStm's transport filter for LZWDecode (r19) —
+    // font resolution then works only if the LZW decode (and, with
+    // `predictor`, the un-prediction on ITS output) runs inside the
+    // ObjStm expansion path
+    val code: Array[Byte] => Array[Byte] =
+      if (lzw) lzwEncode(_) else deflate
+    val stmFilter = if (lzw) "/LZWDecode" else "/FlateDecode"
     val stmPayload =
-      if (predictor) deflate(pngPredictEncode(stmRaw, 16))
-      else deflate(stmRaw)
+      if (predictor) code(pngPredictEncode(stmRaw, 16))
+      else code(stmRaw)
     val stmParms =
       if (predictor) " /DecodeParms << /Predictor 12 /Columns 16 >>"
       else ""
-    def stream(num: Int, payload: Array[Byte], extra: String): Array[Byte] =
-      (s"$num 0 obj << /Length ${payload.length} /Filter /FlateDecode" +
+    def stream(num: Int, payload: Array[Byte], extra: String,
+               filt: String = "/FlateDecode"): Array[Byte] =
+      (s"$num 0 obj << /Length ${payload.length} /Filter $filt" +
         s"$extra >> stream\n").getBytes(ISO_8859_1) ++ payload ++
         "\nendstream endobj\n".getBytes(ISO_8859_1)
     val objs: Seq[(Int, Array[Byte])] = Seq(
@@ -1326,7 +1510,7 @@ object Pdf {
       4 -> stream(4, content, ""),
       7 -> stream(7, cmap, ""),
       8 -> stream(8, stmPayload,
-        s" /Type /ObjStm /N 3 /First $first$stmParms"))
+        s" /Type /ObjStm /N 3 /First $first$stmParms", stmFilter))
     val out = new java.io.ByteArrayOutputStream()
     def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
     w("%PDF-1.5\n")
@@ -1755,6 +1939,16 @@ object Pdf {
             .map("%02X".format(_)).mkString + ">").getBytes(ISO_8859_1),
             "/Filter [/ASCIIHexDecode /FlateDecode]" +
               " /DecodeParms [null << /Predictor 12 /Columns 16 >>]")
+          // r19 lanes: LZW (spec-default EarlyChange 1), LZW over a
+          // PNG predictor (the §7.4.4 Table-8 pairing), RunLength,
+          // and LZW with an EXPLICIT /EarlyChange 0 width schedule
+          case 6 => (lzwEncode(opsBytes), "/Filter /LZWDecode")
+          case 7 => (lzwEncode(pngPredictEncode(opsBytes, 16)),
+            "/Filter /LZWDecode" +
+              " /DecodeParms << /Predictor 12 /Columns 16 >>")
+          case 8 => (runLengthEncode(opsBytes), "/Filter /RunLengthDecode")
+          case 9 => (lzwEncode(opsBytes, earlyChange = 0),
+            "/Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>")
           case _ => (deflated, "/Filter /FlateDecode")
         }
         streamObj(4, encPayload(4, cp), cf)

@@ -413,6 +413,79 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.parse(pred).text == "")
   }
 
+  test("LZW + RunLength filters: round-trips, EarlyChange, ObjStm, degrades") {
+    // codec round-trips, including table growth PAST the 9->10-bit
+    // width boundary (the tabulated sequence creates >500 dict
+    // entries) under BOTH EarlyChange schedules
+    val long = Array.tabulate[Byte](6000)(i =>
+      ((i * 31 + (i >> 3) * 7 + (i >> 7) * 13) % 251).toByte)
+    for (ec <- Seq(0, 1)) {
+      val enc = Pdf.lzwEncode(long, ec)
+      assert(Pdf.lzwDecode(enc, ec).map(_.toSeq) == Some(long.toSeq),
+        s"ec=$ec long round-trip")
+    }
+    // the two schedules genuinely diverge: decoding an ec=1 stream
+    // with ec=0 must NOT silently reproduce the input
+    assert(Pdf.lzwDecode(Pdf.lzwEncode(long, 1), 0)
+      .map(_.toSeq) != Some(long.toSeq))
+    // KwKwK (code == next, the entry still being built)
+    val kwk = Array.tabulate[Byte](64)(i =>
+      (if (i % 2 == 0) 'a' else 'b').toByte)
+    assert(Pdf.lzwDecode(Pdf.lzwEncode(kwk)).map(_.toSeq) == Some(kwk.toSeq))
+    assert(Pdf.lzwDecode(Pdf.lzwEncode(Array.empty[Byte]))
+      .map(_.toSeq) == Some(Seq.empty[Byte]))
+    // malformed: a first code referencing an undefined table slot
+    // (9-bit 258 = bytes 0x81 0x00) degrades, never garbage
+    assert(Pdf.lzwDecode(Array(0x81.toByte, 0x00.toByte)).isEmpty)
+    // RunLength: mixed literal/repeat round-trip + spec vectors
+    val mixed = ("aaaaabcdefgggggggggggghi" + "x" * 300).getBytes("US-ASCII")
+    assert(Pdf.runLengthDecode(Pdf.runLengthEncode(mixed))
+      .map(_.toSeq) == Some(mixed.toSeq))
+    assert(Pdf.runLengthDecode(Array[Byte](2, 'a', 'b', 'c'))
+      .map(_.toSeq) == Some("abc".getBytes("US-ASCII").toSeq))
+    assert(Pdf.runLengthDecode(Array[Byte](254.toByte, 'z'))
+      .map(_.toSeq) == Some(Seq.fill(3)('z'.toByte)))
+    // truncated literal run / truncated repeat run degrade; EOD stops
+    assert(Pdf.runLengthDecode(Array[Byte](5, 1, 2)).isEmpty)
+    assert(Pdf.runLengthDecode(Array[Byte](200.toByte)).isEmpty)
+    assert(Pdf.runLengthDecode(Array[Byte](0, 'q', 128.toByte, 9, 9))
+      .map(_.toSeq) == Some(Seq('q'.toByte)))
+    // end-to-end: the four content-stream lanes + the LZW ObjStm twin
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu"
+    val expected = "Doc 5 (pdf) A\n" +
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa\n" +
+      "lambda mu"
+    for (mode <- Seq(0, 1, 2, 3)) {
+      val pdf = Pdf.fixturePdfLzw(5L, text, mode)
+      val sdoc = new String(pdf, ISO_8859_1)
+      if (mode == 2) assert(sdoc.contains("/RunLengthDecode"))
+      else assert(sdoc.contains("/LZWDecode"))
+      if (mode == 1) assert(sdoc.contains("/Predictor 12"))
+      if (mode == 3) assert(sdoc.contains("/EarlyChange 0"))
+      val r = Pdf.parse(pdf)
+      assert(r.text == expected, s"mode=$mode got '${r.text}'")
+    }
+    val objstm = Pdf.fixturePdfCidObjStm(5L, text, predictor = true,
+      lzw = true)
+    val so = new String(objstm, ISO_8859_1)
+    assert(so.contains("/LZWDecode") && so.contains("/Predictor 12") &&
+      so.contains("/ObjStm") && !so.contains("/Type0"))
+    val ro = Pdf.parse(objstm)
+    assert(ro.xrefOk && ro.nStreams == 3, ro)
+    assert(ro.text == expected.replace("(pdf)", "(cid)"), s"got '${ro.text}'")
+    // a CORRUPT LZW content stream degrades to no text
+    val bad = ("9 0 obj << /Length 2 /Filter /LZWDecode >> stream\n")
+      .getBytes(ISO_8859_1) ++ Array(0x81.toByte, 0x00.toByte) ++
+      "\nendstream endobj\n".getBytes(ISO_8859_1)
+    assert(Pdf.parse(bad).text == "")
+    // an /EarlyChange value outside {0,1} is unreadable: stream drops
+    val badEc = ("9 0 obj << /Length 4 /Filter /LZWDecode" +
+      " /DecodeParms << /EarlyChange 2 >> >> stream\nXXXX\n" +
+      "endstream endobj\n").getBytes(ISO_8859_1)
+    assert(Pdf.parse(badEc).text == "")
+  }
+
   test("xref-stream trailers: /Root, /ID, /Encrypt resolve through startxref") {
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu"
