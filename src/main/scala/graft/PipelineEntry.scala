@@ -2697,6 +2697,39 @@ object PipelineEntry {
       Pdf.extractTexts(pdfs).orderBy("id")
     }),
 
+    // P161 — PDF image XObjects into the multimodal family (the r18
+    // verdict's #4: DCT/JPEG image XObjects are prime crawl payload,
+    // and javax.imageio already decodes JPEG — this closes the edge
+    // between the PDF door and the image near-dup family): every
+    // %3==0 doc plants ONE deterministic JPEG through BOTH doors — a
+    // standalone media row and a PDF /Subtype /Image XObject (even
+    // ids bare /DCTDecode, odd ids an AHx→DCT cascade) — the other
+    // docs ride image-free PDFs; extractImages recovers the embedded
+    // bytes and the SHARED dHash + banded-hamming join must pair the
+    // two doors exactly (identical bytes ⇒ hamming 0). Oracle: the
+    // pair list closed-form from the planting rule.
+    "p161_pdf_images" -> ((s, dir) => {
+      import s.implicits._
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+      val standalone = base.flatMap { case (id, _) =>
+        if (id % 3 == 0) Some((id * 10, Multimodal.dhashImageJpeg(id)))
+        else None
+      }.toDF("id", "payload")
+      val pdfs = base.mapPartitions(_.map { case (id, t) =>
+        (id, if (id % 3 == 0)
+               Pdf.fixturePdfImage(id, t, Multimodal.dhashImageJpeg(id),
+                 (id % 2).toInt)
+             else Pdf.fixturePdf(id, t))
+      }).toDF("id", "payload")
+      val embedded = Pdf.extractImages(pdfs)
+        .select((col("id") * 10 + 1 + col("image_idx")).as("id"),
+          col("payload"))
+      Dedup.hammingPairs64(Multimodal.imageDHashes(s,
+          standalone.unionByName(embedded)))
+        .orderBy("id_a", "id_b")
+    }),
+
     // P155 — redirect edges (every real crawl is full of 3xx
     // captures; URL dedup collapses chains against them and frontiers
     // follow them): response records with a redirect status and a
@@ -6285,6 +6318,14 @@ SELECT doc_id AS id, TRUE AS xref_ok,
   (CASE WHEN doc_id % 5 = 4 THEN 3 ELSE 1 END)::BIGINT AS n_streams,
   length(text)::BIGINT AS n_chars, text
 FROM e ORDER BY id""",
+
+    // p161: the cross-door pairs closed-form from the planting rule —
+    // identical bytes through two doors pair at hamming 0; a decode,
+    // cascade, or extraction slip on EITHER door loses its row.
+    "p161_pdf_images" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT doc_id * 10 AS id_a, doc_id * 10 + 1 AS id_b, 0::BIGINT AS hamming
+FROM documents WHERE doc_id % 3 = 0 ORDER BY id_a, id_b""",
 
     // p158: the decoded paragraph built closed-form — numeric decimal
     // + hex, Latin-1 and typographic names, nbsp-to-space

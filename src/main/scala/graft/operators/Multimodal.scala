@@ -497,6 +497,26 @@ object Multimodal {
    * hashes are reproducible from `expectedDHash` with zero tolerance.
    */
   def dhashImagePng(docId: Long, variant: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dhashImageBuffered(docId, variant), "png", out)
+    out.toByteArray
+  }
+
+  /** JPEG twin of [[dhashImagePng]] variant 0 — the DCTDecode payload
+   * class PDFs embed (p161). JPEG is LOSSY, so its decoded pixels are
+   * not the generated integers; the fixture therefore plants the SAME
+   * BYTES through both doors (standalone media table and PDF image
+   * XObject) — identical bytes hash identically, so the cross-door
+   * pair is exact regardless of codec artifacts. Deterministic within
+   * a JVM (one ImageIO JPEG writer, fixed default quality). */
+  def dhashImageJpeg(docId: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dhashImageBuffered(docId, 0), "jpg", out)
+    out.toByteArray
+  }
+
+  private def dhashImageBuffered(docId: Long, variant: Int)
+      : java.awt.image.BufferedImage = {
     val w = DHashGridW * 8
     val h = DHashGridH * 8
     val img = new java.awt.image.BufferedImage(
@@ -519,9 +539,7 @@ object Multimodal {
       y += 1
     }
     img.setRGB(0, 0, w, h, px, 0, w)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
+    img
   }
 
   /**

@@ -125,8 +125,11 @@ object Pdf {
    * under the per-object key when the file is encrypted, inflate when
    * FlateDecode. None for other filters / corrupt data / unsupported
    * crypt — the stream then contributes nothing rather than garbage. */
-  private def decodeStream(s: String, kwAt: Int,
-                           crypt: Crypt): Option[Array[Byte]] = {
+  /** `dropLastFilters` > 0 leaves that many TRAILING /Filter entries
+   * un-applied (r19: image XObjects hand the final DCTDecode's JPEG
+   * bytes to javax.imageio instead of decoding it here). */
+  private def decodeStream(s: String, kwAt: Int, crypt: Crypt,
+                           dropLastFilters: Int = 0): Option[Array[Byte]] = {
     val end = s.indexOf("endstream", kwAt)
     if (end < 0) return None
     // keyword must be followed by EOL per spec; data starts after it
@@ -191,7 +194,8 @@ object Pdf {
     if (dict.contains("/Predictor") &&
       !parms.exists(_.isDefined)) return None
     rawOpt.flatMap { raw =>
-      filters.zip(parms).foldLeft(Option(raw)) { case (acc, (f, pm)) =>
+      filters.dropRight(dropLastFilters).zip(parms)
+        .foldLeft(Option(raw)) { case (acc, (f, pm)) =>
         acc.flatMap(d => f match {
           case "FlateDecode" | "Fl" => inflate(d)
           case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
@@ -1399,6 +1403,61 @@ object Pdf {
       .toDF("id", "xref_ok", "n_streams", "n_chars", "text")
   }
 
+  /** DCT (JPEG) image XObjects of one document (r19 — images are
+   * prime crawl payload and the missing edge between the PDF door and
+   * the image near-dup family): every stream whose dict declares
+   * `/Subtype /Image` and whose FINAL filter is DCTDecode is
+   * decrypted and transport-decoded through the shared pipeline
+   * (ASCIIHex/ASCII85/Flate/LZW/RunLength cascades compose exactly as
+   * for text streams), and the remaining bytes — a complete JFIF
+   * stream — return as-is: javax.imageio decodes JPEG natively, so
+   * dHash + the banded hamming join pair a PDF-embedded image with
+   * its standalone twin. Other image compressions (JPXDecode, CCITT,
+   * JBIG2, raw samples) stay out of the subset — no bytes, never
+   * garbage. Document order preserved. */
+  private[graft] def extractImageBytes(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val s = new String(bytes, ISO_8859_1)
+    val crypt = resolveCrypt(s)
+    val out = Seq.newBuilder[Array[Byte]]
+    var i = s.indexOf("stream")
+    while (i >= 0) {
+      val end = s.indexOf("endstream", i)
+      if (end < 0) i = -1
+      else {
+        val objAt = s.lastIndexOf("obj", i)
+        val dict = if (objAt >= 0) s.substring(objAt, i) else ""
+        if (ImageSubtypeRe.findFirstIn(dict).isDefined &&
+          parseFilters(dict).lastOption
+            .exists(f => f == "DCTDecode" || f == "DCT"))
+          decodeStream(s, i, crypt, dropLastFilters = 1).foreach(out += _)
+        i = s.indexOf("stream", end + 9)
+      }
+    }
+    out.result()
+  }
+  private val ImageSubtypeRe = """/Subtype\s*/Image(?![A-Za-z0-9])""".r
+
+  /** Batched twin of [[extractTexts]] for embedded images: one row
+   * per extracted DCT image — (id, image_idx, payload) — ready for
+   * `Multimodal.imageDHashes`. Parser failures on malformed PDFs
+   * contribute zero rows, never a task-killing exception. Scale
+   * shape: per-row CPU inside mapPartitions where the PDF bytes
+   * landed; payloads never cross a shuffle. */
+  def extractImages(pdfs: DataFrame, bytesCol: String = "payload",
+                    idCol: String = "id"): DataFrame = {
+    val spark = pdfs.sparkSession
+    import spark.implicits._
+    pdfs.select(col(idCol).cast("long").as("id"), col(bytesCol).as("b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        val imgs = try extractImageBytes(b) catch {
+          case scala.util.control.NonFatal(_) => Seq.empty[Array[Byte]]
+        }
+        imgs.iterator.zipWithIndex.map { case (p, k) => (id, k.toLong, p) }
+      })
+      .toDF("id", "image_idx", "payload")
+  }
+
   // ------------------------------------------------------------ fixture
 
   /**
@@ -1467,6 +1526,57 @@ object Pdf {
   def fixturePdfLzw(docId: Long, text: String, mode: Int): Array[Byte] =
     buildPdf(docId, text, encrypt = None, cid = false,
       filterMode = 6 + (mode % 4))
+
+  /** [[fixturePdf]] plus an embedded DCT image XObject (r19, p161):
+   * the page's /Resources carries /XObject << /Im1 >>, the content
+   * stream paints it after the text (`cm` + `Do`), and the image
+   * stream holds `jpeg` under mode 0 = bare /DCTDecode or mode 1 =
+   * an /ASCIIHexDecode→/DCTDecode cascade (the transport filters
+   * must apply BEFORE the JPEG bytes surface). */
+  def fixturePdfImage(docId: Long, text: String, jpeg: Array[Byte],
+                      mode: Int): Array[Byte] = {
+    val (ops, _) = contentOps(docId, text, cid = false)
+    val content = deflate(
+      (ops + "\nq 144 0 0 128 100 600 cm /Im1 Do Q").getBytes(ISO_8859_1))
+    val (ipay, ifilt) = (mode % 2) match {
+      case 1 => ((jpeg.map("%02X".format(_)).mkString + ">")
+        .getBytes(ISO_8859_1), "/Filter [/ASCIIHexDecode /DCTDecode]")
+      case _ => (jpeg, "/Filter /DCTDecode")
+    }
+    val objs: Seq[Array[Byte]] = Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        .getBytes(ISO_8859_1),
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        .getBytes(ISO_8859_1),
+      ("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> " +
+        "/XObject << /Im1 6 0 R >> >> >> endobj\n").getBytes(ISO_8859_1),
+      (s"4 0 obj << /Length ${content.length} /Filter /FlateDecode" +
+        " >> stream\n").getBytes(ISO_8859_1) ++ content ++
+        "\nendstream endobj\n".getBytes(ISO_8859_1),
+      ("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+        " >> endobj\n").getBytes(ISO_8859_1),
+      (s"6 0 obj << /Type /XObject /Subtype /Image /Width 72" +
+        s" /Height 64 /ColorSpace /DeviceRGB /BitsPerComponent 8" +
+        s" $ifilt /Length ${ipay.length} >> stream\n")
+        .getBytes(ISO_8859_1) ++ ipay ++
+        "\nendstream endobj\n".getBytes(ISO_8859_1))
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
+    w("%PDF-1.4\n")
+    val offsets = new Array[Int](objs.length + 1)
+    objs.zipWithIndex.foreach { case (o, k) =>
+      offsets(k + 1) = out.size()
+      out.write(o)
+    }
+    val xrefAt = out.size()
+    w(s"xref\n0 ${objs.length + 1}\n")
+    w("0000000000 65535 f \n")
+    (1 to objs.length).foreach(k => w(f"${offsets(k)}%010d 00000 n \n"))
+    w(s"trailer << /Size ${objs.length + 1} /Root 1 0 R >>" +
+      s"\nstartxref\n$xrefAt\n%%%%EOF\n")
+    out.toByteArray
+  }
 
   /** PDF 1.5-style twin of [[fixturePdfCid]]: the PAGE dict (with its
    * /Resources /Font map), the Type0 font, and the CIDFontType2

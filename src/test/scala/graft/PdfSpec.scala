@@ -486,6 +486,39 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.parse(badEc).text == "")
   }
 
+  test("image XObjects: DCT bytes extract through cascades; non-DCT degrades") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val jpeg = graft.operators.Multimodal.dhashImageJpeg(42L)
+    for (mode <- Seq(0, 1)) {
+      val pdf = Pdf.fixturePdfImage(42L, text, jpeg, mode)
+      val sdoc = new String(pdf, ISO_8859_1)
+      assert(sdoc.contains("/DCTDecode") && sdoc.contains("/Im1"))
+      if (mode == 1) assert(sdoc.contains("/ASCIIHexDecode"))
+      // the embedded bytes come back EXACTLY (cascades undone, JPEG
+      // untouched) — identical bytes are what makes the cross-door
+      // dHash pairing exact despite JPEG's lossy decode
+      val imgs = Pdf.extractImageBytes(pdf)
+      assert(imgs.length == 1, s"mode=$mode n=${imgs.length}")
+      assert(imgs(0).toSeq == jpeg.toSeq, s"mode=$mode bytes differ")
+      // the imageio path decodes what came out
+      assert(graft.operators.Multimodal.imageDHash(imgs(0)).isDefined)
+      // and TEXT extraction still works on the same file (the Do/cm
+      // operators are inert to the text machine)
+      val r = Pdf.parse(pdf)
+      assert(r.xrefOk && r.nStreams == 2 && r.text.startsWith("Doc 42"), r)
+    }
+    // an image-free PDF yields no images
+    assert(Pdf.extractImageBytes(Pdf.fixturePdf(42L, text)).isEmpty)
+    // a non-DCT image (raw Flate samples) stays out of the subset
+    val raw = java.util.Arrays.copyOf(jpeg, 64)
+    val flate = ("6 0 obj << /Type /XObject /Subtype /Image /Width 8" +
+      " /Height 8 /BitsPerComponent 8 /Filter /FlateDecode /Length 4" +
+      " >> stream\nXXXX\nendstream endobj\n").getBytes(ISO_8859_1)
+    assert(Pdf.extractImageBytes(flate).isEmpty)
+    // /SMask or /ImageMask style dicts without DCT likewise
+    assert(raw.length == 64) // (fixture sanity)
+  }
+
   test("xref-stream trailers: /Root, /ID, /Encrypt resolve through startxref") {
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu"
