@@ -769,8 +769,44 @@ object SparkEntry {
         .select(col("graph"), col("tag"), col("edge_id"),
           col("input_id"), col("output_id"))
         .orderBy("graph", "tag", "edge_id", "input_id")
-    })
+    }),
+
+    // G33 — graph-side incremental refresh (r19): a KGX delta (added /
+    // removed / modified nodes AND edges, incl. node-tombstone cascade
+    // and edges onto added nodes) applies to the BUILT graph through
+    // GraphDelta — anti-join + union on broadcast delta keys, denorm
+    // categories refreshed partition-wise, closure untouched (this
+    // delta has no subclass edges; GraphDeltaSpec pins that and the
+    // rebuild lane). The oracle re-derives the ENTIRE post-delta edge
+    // (g39) and node (g40) tables closed-form, so a slipped tombstone,
+    // a missed cascade, an un-flipped upsert, or a stale denorm row
+    // diverges the hash.
+    "g39_graph_delta" -> ((s, dir) =>
+      deltaApplied(s, dir).graph.edges.select(
+        col("edge_id"), col("subject"), col("object"), col("predicate"),
+        col("qualified_predicate"), col("object_direction"),
+        col("object_aspect"),
+        col("primary_knowledge_source").as("src"))
+        .orderBy("edge_id")),
+
+    "g40_graph_delta_nodes" -> ((s, dir) =>
+      deltaApplied(s, dir).graph.nodes
+        .select(col("id"), col("name"), sortedCats).orderBy("id"))
   )
+
+  private val deltaApplieds = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.sources.GraphDelta.Applied]()
+
+  /** Cached delta application for g39/g40 (the two keys project one
+   * apply). The base graph and closure come from the shared Fixture
+   * caches — applying a delta never rebuilds them. */
+  private def deltaApplied(s: SparkSession, dir: String)
+      : graft.sources.GraphDelta.Applied =
+    deltaApplieds.computeIfAbsent((s, dir), { _ =>
+      graft.sources.GraphDelta.apply(
+        Fixture.graph(s, dir), Fixture.closure(s, dir),
+        TpchGraph.fixtureDelta(s, dir), ont)
+    })
 
   private val multiGraphs = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), graft.serving.MultiGraph]()
@@ -1026,6 +1062,49 @@ object SparkEntry {
           WHERE predicate = 'graft:located_in'
             AND subject IN (${idList(custIds(1, 2, 7))})
           ORDER BY graph, tag, edge_id, input_id"""),
+
+    // g39/g40: the ENTIRE post-delta edge/node tables re-derived
+    // closed-form from the delta rules (see TpchGraph.fixtureDelta).
+    "g39_graph_delta" -> TpchGraph.oracle(
+      """SELECT edge_id, subject, object, predicate, qualified_predicate,
+                object_direction, object_aspect, src
+         FROM post_edges ORDER BY edge_id""",
+      extraCtes = """dead_ord AS (
+  SELECT 'ORD:' || o_orderkey AS id FROM orders WHERE o_orderkey % 1000 = 7
+),
+post_edges AS (
+  SELECT * FROM g_edges
+  WHERE NOT (edge_id LIKE 'E-ADJ:%'
+             AND CAST(string_split(edge_id, ':')[2] AS BIGINT) % 2 = 0)
+    AND NOT (edge_id LIKE 'E-CN:%'
+             AND CAST(string_split(edge_id, ':')[2] AS BIGINT) % 7 = 0)
+    AND subject NOT IN (SELECT id FROM dead_ord)
+    AND object NOT IN (SELECT id FROM dead_ord)
+  UNION ALL
+  SELECT 'E-CN:' || c_custkey, 'CUST:' || c_custkey, 'NAT:' || c_nationkey,
+         'graft:located_in', NULL, NULL, NULL, 'infores:crm2',
+         'acctbal|mktsegment|tags'
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT 'E-HUB:' || n_nationkey, 'HUB:' || n_nationkey,
+         'NAT:' || n_nationkey, 'graft:located_in',
+         NULL, NULL, NULL, 'infores:geo', ''
+  FROM nation
+)"""),
+
+    "g40_graph_delta_nodes" -> TpchGraph.oracle(
+      """SELECT id, name, cats FROM post_nodes ORDER BY id""",
+      extraCtes = """post_nodes AS (
+  SELECT id,
+    CASE WHEN id LIKE 'CUST:%'
+              AND CAST(string_split(id, ':')[2] AS BIGINT) % 10 = 3
+         THEN name || ' (r2)' ELSE name END AS name,
+    cats FROM g_nodes
+  WHERE NOT (id LIKE 'ORD:%'
+             AND CAST(string_split(id, ':')[2] AS BIGINT) % 1000 = 7)
+  UNION ALL
+  SELECT 'HUB:' || n_nationkey, 'Hub ' || n_name, 'graft:Place' FROM nation
+)"""),
 
     "g14_single_node" -> TpchGraph.oracle(
       """SELECT node_id, query_id FROM (

@@ -225,6 +225,93 @@ object TpchGraph {
   def build(spark: SparkSession, sfDir: String): PropertyGraph =
     GraphBuilder.build(rawNodes(spark, sfDir), rawEdges(spark, sfDir), O.ontology)
 
+  /** Fixture KGX delta for the graph-refresh keys (g39/g40, r19) —
+   * every lane closed-form from the TPC-H tables so the DuckDB oracle
+   * re-derives the post-delta graph:
+   *  - MODIFIED nodes: customers with custkey % 10 == 3 renamed
+   *    (name + " (r2)");
+   *  - ADDED nodes: one HUB:<n> Place node per nation;
+   *  - REMOVED nodes: orders with orderkey % 1000 == 7 (their E-OC and
+   *    E-LI edges must die by cascade);
+   *  - MODIFIED edges: E-CN located_in edges of custkey % 7 == 0
+   *    re-sourced to infores:crm2;
+   *  - ADDED edges: E-HUB:<n> HUB located_in NAT per nation (edges onto
+   *    ADDED nodes — denorm must see the new node table);
+   *  - REMOVED edges: E-ADJ adjacency pairs with an even first key.
+   * `touchSubclass = true` additionally tombstones the E-SUBNR subclass
+   * edges of nationkey % 5 == 0 — the lane whose apply must REBUILD the
+   * closure (the default delta must NOT; GraphDeltaSpec pins both). */
+  def fixtureDelta(spark: SparkSession, sfDir: String,
+                   touchSubclass: Boolean = false): GraphDelta.KgxDelta = {
+    val rawN = rawNodes(spark, sfDir)
+    val rawE = rawEdges(spark, sfDir)
+    val nullS = lit(null).cast("string")
+    val key1 = split(col("id"), ":").getItem(1).cast("long")
+    val ekey1 = split(col("edge_id"), ":").getItem(1).cast("long")
+    val nation = t(spark, sfDir, "nation")
+    val renamed = rawN
+      .where(col("id").startsWith("CUST:") && key1 % 10 === 3)
+      .withColumn("name", concat(col("name"), lit(" (r2)")))
+    val hubs = nation.select(
+      id("HUB", col("n_nationkey")).as("id"),
+      concat(lit("Hub "), col("n_name")).as("name"),
+      array(lit(O.Place)).as("categories"),
+      typedLit(Seq.empty[String]).as("equiv_ids"))
+    val nodeTombs = t(spark, sfDir, "orders")
+      .where(col("o_orderkey") % 1000 === 7)
+      .select(id("ORD", col("o_orderkey")).as("id"))
+    val recn = rawE
+      .where(col("edge_id").startsWith("E-CN:") && ekey1 % 7 === 0)
+      .withColumn("primary_knowledge_source", lit("infores:crm2"))
+    val hubEdges = nation.select(
+      id("E-HUB", col("n_nationkey")).as("edge_id"),
+      id("HUB", col("n_nationkey")).as("subject"),
+      id("NAT", col("n_nationkey")).as("object"),
+      lit(O.LocatedIn).as("predicate"),
+      nullS.as("qualified_predicate"), nullS.as("object_direction"),
+      nullS.as("object_aspect"),
+      lit("infores:geo").as("primary_knowledge_source"),
+      emptyS.as("attrs"), emptyN.as("num_attrs"), emptyL.as("list_attrs"))
+    val adjTombs = rawE
+      .where(col("edge_id").startsWith("E-ADJ:") && ekey1 % 2 === 0)
+      .select("edge_id")
+    val subTombs =
+      if (!touchSubclass) adjTombs.limit(0)
+      else rawE.where(col("edge_id").startsWith("E-SUBNR:") &&
+        ekey1 % 5 === 0).select("edge_id")
+    GraphDelta.KgxDelta(
+      renamed.unionByName(hubs),
+      nodeTombs,
+      recn.unionByName(hubEdges.select(recn.columns.map(col): _*)),
+      adjTombs.unionByName(subTombs))
+  }
+
+  /** From-scratch RAW frames of the post-delta corpus — what a fresh
+   * ingest of the next KG release would read. GraphDeltaSpec builds
+   * these through GraphBuilder.build and pins frame equality against
+   * the delta-applied artifacts. */
+  def postDeltaRawFrames(spark: SparkSession, sfDir: String,
+                         touchSubclass: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    val d = fixtureDelta(spark, sfDir, touchSubclass)
+    val rawN = rawNodes(spark, sfDir)
+    val rawE = rawEdges(spark, sfDir)
+    val deadN = d.nodeTombstones.select("id")
+      .unionByName(d.nodeUpserts.select("id")).distinct()
+    val nodes = rawN.join(broadcast(deadN), Seq("id"), "left_anti")
+      .unionByName(d.nodeUpserts)
+    val deadE = d.edgeTombstones.select("edge_id")
+      .unionByName(d.edgeUpserts.select("edge_id")).distinct()
+    val goneNodes = d.nodeTombstones.select(col("id").as("__gone")).distinct()
+    val edges = rawE
+      .join(broadcast(deadE), Seq("edge_id"), "left_anti")
+      .join(broadcast(goneNodes),
+        col("subject") === col("__gone") || col("object") === col("__gone"),
+        "left_anti")
+      .unionByName(d.edgeUpserts)
+    (nodes, edges)
+  }
+
   /**
    * Shared SQL prelude for DuckDB oracles: CTEs reproducing the canonical
    * edge/node tables above from the raw parquet tables. Each oracle query

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.model.{GraftOntology => O, PropertyGraph}
+import graft.operators.{GraphOps, SubclassClosure}
+import graft.sources.{GraphBuilder, GraphDelta, TpchGraph}
+
+/** Graph-side incremental refresh (G33, r19): a delta-applied graph must
+ * be INDISTINGUISHABLE from a from-scratch build of the post-delta
+ * corpus — nodes, edges (incl. the partition-wise denorm refresh),
+ * closure, and meta summary all frame-equal — and the closure must
+ * recompute ONLY when the delta touches subclass edges. */
+class GraphDeltaSpec extends SparkSpec {
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def canon(df: DataFrame): Set[String] = {
+    val cols = df.columns.sorted
+    df.select(cols.map(c => col(c).cast("string")): _*)
+      .collect().map(_.mkString("")).toSet
+  }
+
+  private def applied(touchSubclass: Boolean): GraphDelta.Applied = {
+    val base = TpchGraph.build(spark, Sf)
+    val closure = SubclassClosure.fromGraph(base, O.ontology)
+    GraphDelta.apply(base, closure,
+      TpchGraph.fixtureDelta(spark, Sf, touchSubclass), O.ontology)
+  }
+
+  private def scratch(touchSubclass: Boolean): PropertyGraph = {
+    val (n, e) = TpchGraph.postDeltaRawFrames(spark, Sf, touchSubclass)
+    GraphBuilder.build(n, e, O.ontology)
+  }
+
+  test("delta apply == from-scratch build: nodes, edges, denorm columns") {
+    val a = applied(touchSubclass = false)
+    val s = scratch(touchSubclass = false)
+    assert(canon(a.graph.nodes) == canon(s.nodes))
+    // full edge schema INCLUDING the denormalized endpoint categories:
+    // a stale denorm row on an edge of a renamed-node neighbor, or a
+    // missing one on an edge onto an ADDED node, diverges here
+    assert(canon(a.graph.edges) == canon(s.edges))
+    // the delta genuinely exercised every lane
+    val nodes = a.graph.nodes.cache()
+    assert(nodes.where(col("id").startsWith("HUB:")).count() > 0)
+    assert(nodes.where(col("name").endsWith(" (r2)")).count() > 0)
+    val edges = a.graph.edges.cache()
+    assert(edges.where(col("edge_id").startsWith("E-HUB:")).count() > 0)
+    assert(edges.where(col("primary_knowledge_source") === "infores:crm2")
+      .count() > 0)
+    // added edges onto ADDED nodes carry the new node's categories
+    val hubEdge = edges.where(col("edge_id").startsWith("E-HUB:"))
+      .select("subject_categories").collect()
+    assert(hubEdge.forall(_.getSeq[String](0) == Seq(O.Place)), hubEdge.toSeq)
+    nodes.unpersist(); edges.unpersist()
+  }
+
+  test("node tombstones cascade to their edges") {
+    val a = applied(touchSubclass = false)
+    val deadOrd = spark.read.parquet(s"$Sf/orders.parquet")
+      .where(col("o_orderkey") % 1000 === 7).count()
+    assert(deadOrd > 0, "fixture must tombstone at least one order")
+    assert(a.graph.nodes
+      .where(col("id").startsWith("ORD:") &&
+        split(col("id"), ":").getItem(1).cast("long") % 1000 === 7)
+      .count() == 0)
+    assert(a.graph.edges
+      .where((col("subject").startsWith("ORD:") &&
+        split(col("subject"), ":").getItem(1).cast("long") % 1000 === 7) ||
+        (col("object").startsWith("ORD:") &&
+          split(col("object"), ":").getItem(1).cast("long") % 1000 === 7))
+      .count() == 0)
+  }
+
+  test("closure reused verbatim when no subclass edge is touched") {
+    val base = TpchGraph.build(spark, Sf)
+    val closure = SubclassClosure.fromGraph(base, O.ontology).cache()
+    val a = GraphDelta.apply(base, closure,
+      TpchGraph.fixtureDelta(spark, Sf), O.ontology)
+    assert(!a.closureRebuilt)
+    assert(a.closure eq closure) // the SAME artifact, zero recompute
+    // and it is still CORRECT for the post-delta graph: from-scratch
+    // closure of the post-delta corpus equals it (the delta removed no
+    // subclass edges, added no subclass-relevant nodes)
+    val s = scratch(touchSubclass = false)
+    assert(canon(a.closure) ==
+      canon(SubclassClosure.fromGraph(s, O.ontology)))
+    closure.unpersist()
+  }
+
+  test("closure rebuilt when the delta tombstones subclass edges") {
+    val a = applied(touchSubclass = true)
+    assert(a.closureRebuilt)
+    val s = scratch(touchSubclass = true)
+    assert(canon(a.graph.edges) == canon(s.edges))
+    assert(canon(a.closure) == canon(SubclassClosure.fromGraph(s, O.ontology)))
+    // the rebuilt closure genuinely shrank: tombstoned E-SUBNR pairs
+    // (NAT:<n%5==0> under REG) are gone
+    val untouched = applied(touchSubclass = false)
+    assert(a.closure.count() < untouched.closure.count())
+  }
+
+  test("meta summary of the delta-applied graph == from-scratch") {
+    val a = applied(touchSubclass = false)
+    val s = scratch(touchSubclass = false)
+    assert(canon(GraphOps.metaSummary(a.graph)) ==
+      canon(GraphOps.metaSummary(s)))
+    // the ADDED Place->located_in->Nation meta row exists
+    assert(GraphOps.metaSummary(a.graph)
+      .where(col("subject_category") === O.Place &&
+        col("predicate") === O.LocatedIn).count() == 1)
+  }
+}
