@@ -415,8 +415,12 @@ object Pdf {
       }
       if (nbits < width) { // bitstream exhausted
         // lenient on missing EOD only when at a clean inter-code
-        // boundary (≤7 residual pad bits, all zero)
-        return if (acc == 0) Some(out.toByteArray) else None
+        // boundary: byte-alignment pad is AT MOST 7 bits and all zero.
+        // nbits >= 8 means a whole byte of an unfinished code remains —
+        // a TRUNCATED stream, which must degrade even when its
+        // consumed prefix bits are zero (review-caught: a cut mid-way
+        // into literal code 0 returned partial text as complete)
+        return if (nbits < 8 && acc == 0) Some(out.toByteArray) else None
       }
       val code = ((acc >>> (nbits - width)) & ((1L << width) - 1)).toInt
       nbits -= width

@@ -81,18 +81,22 @@ object GraphDelta {
       .where(col("predicate") === sub).isEmpty
     if (upTouch) return true
     val baseSub = base.edges.where(col("predicate") === sub)
-    // a tombstoned edge_id that names a subclass edge
+    // a tombstoned edge_id that names a subclass edge, OR an upsert that
+    // REPLACES one with a non-subclass row (review-caught: the replaced
+    // base row leaves the direct-pair set even though the incoming row
+    // is not subclass)
+    val deadIds = delta.edgeTombstones.select("edge_id")
+      .unionByName(delta.edgeUpserts.select("edge_id"))
     val tombTouch = !baseSub
-      .join(broadcast(delta.edgeTombstones.select("edge_id")),
-        Seq("edge_id"), "left_semi").isEmpty
+      .join(broadcast(deadIds), Seq("edge_id"), "left_semi").isEmpty
     if (tombTouch) return true
     // a node cascade that kills a subclass edge
-    val deadIds = delta.nodeTombstones.select(col("id")).distinct()
+    val deadNodeIds = delta.nodeTombstones.select(col("id")).distinct()
     !baseSub
-      .join(broadcast(deadIds.withColumnRenamed("id", "subject")),
+      .join(broadcast(deadNodeIds.withColumnRenamed("id", "subject")),
         Seq("subject"), "left_semi")
       .unionAll(baseSub
-        .join(broadcast(deadIds.withColumnRenamed("id", "object")),
+        .join(broadcast(deadNodeIds.withColumnRenamed("id", "object")),
           Seq("object"), "left_semi"))
       .isEmpty
   }

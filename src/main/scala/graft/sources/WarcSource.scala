@@ -146,10 +146,14 @@ object WarcSource {
   }
   // quote-aware tag capture (advisor-caught: a plain [^>] run stopped
   // at a '>' INSIDE a quoted attribute value, so
-  // <meta content="a > b" charset=big5> lost its declared charset
-  // while the HTML5 prescan handles quoted '>' correctly)
+  // <meta content="a > b" charset=big5> lost its declared charset).
+  // Quotes open a span ONLY in value position (right after '='), like
+  // the HTML5 prescan — a bare apostrophe in an unquoted value
+  // (content=O'Brien) must neither truncate the capture nor pair with
+  // a later quote and overrun the real tag end (review-caught)
   private val MetaTagRe =
-    """(?is)<meta\b((?:"[^"]{0,500}+"|'[^']{0,500}+'|[^>"']){0,500}+)""".r
+    ("""(?is)<meta\b((?:=\s*+"[^"]{0,500}+"|=\s*+'[^']{0,500}+'""" +
+      """|[^>]){0,500}+)""").r
   private val AttrRe =
     """([a-zA-Z-]++)\s*+=\s*+("[^"]*+"|'[^']*+'|[^\s>"']++)""".r
 

@@ -14,10 +14,10 @@ import graft.sources.{GraphBuilder, GraphDelta, TpchGraph}
 class GraphDeltaSpec extends SparkSpec {
   private val Sf = "/root/testdata/sf0.001"
 
-  private def canon(df: DataFrame): Set[String] = {
+  private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
     df.select(cols.map(c => col(c).cast("string")): _*)
-      .collect().map(_.mkString("")).toSet
+      .collect().map(_.mkString("")).toSeq.sorted
   }
 
   private def applied(touchSubclass: Boolean): GraphDelta.Applied = {
@@ -98,6 +98,25 @@ class GraphDeltaSpec extends SparkSpec {
     // (NAT:<n%5==0> under REG) are gone
     val untouched = applied(touchSubclass = false)
     assert(a.closure.count() < untouched.closure.count())
+  }
+
+  test("closure rebuilt when an upsert REPLACES a subclass edge") {
+    // review-caught: an upsert that re-keys an existing subclass edge
+    // to a NON-subclass predicate removes a direct pair — the closure
+    // must rebuild even though the incoming row is not subclass
+    val base = TpchGraph.build(spark, Sf)
+    val closure = SubclassClosure.fromGraph(base, O.ontology)
+    val d0 = TpchGraph.fixtureDelta(spark, Sf)
+    val flip = base.edges
+      .where(col("edge_id").startsWith("E-SUBNR:") &&
+        split(col("edge_id"), ":").getItem(1).cast("long") % 5 === 0)
+      .select(graft.model.PropertyGraph.EdgeCols.map(col): _*)
+      .withColumn("predicate", lit(O.PartOf))
+    val d = d0.copy(edgeUpserts =
+      d0.edgeUpserts.unionByName(flip, allowMissingColumns = true))
+    val a = GraphDelta.apply(base, closure, d, O.ontology)
+    assert(a.closureRebuilt)
+    assert(a.closure.count() < closure.count())
   }
 
   test("meta summary of the delta-applied graph == from-scratch") {

@@ -437,6 +437,16 @@ class PdfSpec extends SparkSpec {
     // malformed: a first code referencing an undefined table slot
     // (9-bit 258 = bytes 0x81 0x00) degrades, never garbage
     assert(Pdf.lzwDecode(Array(0x81.toByte, 0x00.toByte)).isEmpty)
+    // TRUNCATED streams degrade even when the cut code's consumed
+    // prefix bits are zero (review-caught: >=8 residual bits is an
+    // unfinished code, not byte-alignment pad).
+    // The explicit shape: a lone zero byte is 8 residual bits — an
+    // unfinished 9-bit code, NOT byte-alignment pad -> must degrade
+    assert(Pdf.lzwDecode(Array[Byte](0)).isEmpty)
+    // while <=7 residual zero bits after complete codes stay lenient
+    // (missing EOD): 2 bytes = one 9-bit literal + 7 zero pad bits
+    assert(Pdf.lzwDecode(Array[Byte](0x30, 0x80.toByte))
+      .map(_.toSeq) == Some(Seq('a'.toByte)))
     // RunLength: mixed literal/repeat round-trip + spec vectors
     val mixed = ("aaaaabcdefgggggggggggghi" + "x" * 300).getBytes("US-ASCII")
     assert(Pdf.runLengthDecode(Pdf.runLengthEncode(mixed))

@@ -573,6 +573,19 @@ class WarcSourceSpec extends SparkSpec {
       "charset=windows-1252></head><body>€uro café</body></html>"
     assert(decodeText(quotedGt.getBytes("windows-1252"), "text/html")
       .contains("€uro café"))
+    // quotes open a span ONLY in value position (review-caught): a
+    // bare apostrophe in an UNQUOTED value must not truncate the
+    // capture before a later charset attribute...
+    val apos = "<html><head><meta name=a content=O'Brien " +
+      "charset=windows-1252></head><body>€uro café</body></html>"
+    assert(decodeText(apos.getBytes("windows-1252"), "text/html")
+      .contains("€uro café"))
+    // ...nor pair with a later quote, overrun the real tag end, and
+    // harvest a bogus charset from body text
+    val overrun = "<html><head><meta content=don't></head>" +
+      "<body>use charset=big5 y'all — café</body></html>"
+    assert(decodeText(overrun.getBytes("UTF-8"), "text/html")
+      .contains("café"))
     // a BOM-less utf-16 LABEL is an authoring error: HTML5 remaps it
     // to UTF-8 — decoding 8-bit bytes as UTF-16 would be CJK garbage
     // (review-caught)
