@@ -830,6 +830,41 @@ object ScaleSmoke {
         mg.releaseAll()
       }
     }
+
+    // Graph-side incremental refresh (G33, r19): the claim a weekly KG
+    // drop banks on — applying a delta-sized change costs delta-scale
+    // work, NOT a wholesale rebuild. Measures (a) from-scratch build of
+    // the post-delta corpus (nodes + denorm edges + closure + meta, all
+    // materialized) vs (b) GraphDelta.apply on an ALREADY-BUILT base
+    // (closure untouched by this delta — the common case), same outputs
+    // materialized. At 100 TB (a) scales with the corpus while (b)
+    // scales with the delta + the touched partitions.
+    if (sections.contains("delta")) {
+      import graft.sources.{GraphBuilder, GraphDelta, TpchGraph}
+      val O = graft.model.GraftOntology
+      val base = TpchGraph.build(spark, sfDir)
+      base.nodes.cache().count(); base.edges.cache().count()
+      val baseClosure = operators.SubclassClosure
+        .fromGraph(base, O.ontology).cache()
+      baseClosure.count() // base artifacts warm: the serving state
+      def mat(nodes: DataFrame, edges: DataFrame, closure: DataFrame): Long = {
+        val g = graft.model.PropertyGraph(nodes, edges)
+        nodes.count() + edges.count() + closure.count() +
+          operators.GraphOps.metaSummary(g).count()
+      }
+      time("delta: fresh rebuild") {
+        val (n, e) = TpchGraph.postDeltaRawFrames(spark, sfDir)
+        val g = GraphBuilder.build(n, e, O.ontology)
+        mat(g.nodes, g.edges,
+          operators.SubclassClosure.fromGraph(g, O.ontology))
+      }
+      time("delta: apply") {
+        val a = GraphDelta.apply(base, baseClosure,
+          TpchGraph.fixtureDelta(spark, sfDir), O.ontology)
+        require(!a.closureRebuilt)
+        mat(a.graph.nodes, a.graph.edges, a.closure)
+      }
+    }
     spark.stop()
   }
 }
