@@ -128,18 +128,28 @@ object GraphDelta {
         Seq("object"), "left_anti")
       .select(base.edges.columns.map(col): _*) // restore column order
     // denorm refresh is needed only where an endpoint's categories may
-    // have changed — i.e. the upserted node ids. ONE broadcast
-    // nested-loop semi/anti pair on the OR of the two endpoint
-    // equalities (delta-small inner side): a per-endpoint semi-join
-    // union would need a distinct, which Spark refuses on the
-    // map-typed attr columns
-    val changed = delta.nodeUpserts.select(col("id").as("__cid")).distinct()
-    val endpointHit =
-      col("subject") === col("__cid") || col("object") === col("__cid")
-    val touched = survivors
-      .join(broadcast(changed), endpointHit, "left_semi")
-    val untouched = survivors
-      .join(broadcast(changed), endpointHit, "left_anti")
+    // have changed — i.e. the upserted node ids. TWO broadcast HASH
+    // left-joins stamp per-endpoint marker columns in one pass; the
+    // touched/untouched split is then a cheap filter on the markers.
+    // (The first cut used one nested-loop semi/anti pair on the OR of
+    // the endpoint equalities — ScaleSmoke measured it at survivors ×
+    // changed-ids comparisons, 2.5x SLOWER than a fresh rebuild at
+    // sf0.1, the exact wholesale cost this module exists to avoid. A
+    // per-endpoint semi-join union was no option either: the dedup it
+    // needs is a set operation Spark refuses on map-typed columns.)
+    val changed = delta.nodeUpserts.select(col("id")).distinct()
+    val marked = survivors
+      .join(broadcast(changed.select(col("id").as("subject"),
+        lit(true).as("__ts"))), Seq("subject"), "left")
+      .join(broadcast(changed.select(col("id").as("object"),
+        lit(true).as("__to"))), Seq("object"), "left")
+    val touched = marked
+      .where(col("__ts").isNotNull || col("__to").isNotNull)
+      .drop("__ts", "__to")
+    val untouched = marked
+      .where(col("__ts").isNull && col("__to").isNull)
+      .drop("__ts", "__to")
+      .select(survivors.columns.map(col): _*)
     val plain = PropertyGraph.EdgeCols.map(col)
     val incoming = GraphBuilder.pruneEmptyAttrs(
       GraphBuilder.canonicalizeEdges(delta.edgeUpserts, ont))
