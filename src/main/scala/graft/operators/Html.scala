@@ -605,17 +605,29 @@ object Html {
           .cast("long") * 10000 >=
           size(toks).cast("long") * minStopwordBp
       }
-    val kept = filter(blocks, s =>
+    def keptOf(bs: Column): Column = filter(bs, s =>
       length(s.getField("text")) >= minChars &&
         length(s.getField("link")).cast("long") * 10000 <=
           length(s.getField("text")).cast("long") * maxLinkBp &&
         stopwordPass(s.getField("text")))
-    pages.select(
-      col(idCol).cast("long").as("id"),
-      size(blocks).cast("long").as("n_blocks"),
-      size(kept).cast("long").as("n_kept"),
-      array_join(transform(kept, s => s.getField("text")), "\n")
-        .as("main_text"))
+    // the block array and the kept filter each materialize ONCE per
+    // row behind their own projection boundary: composed into the
+    // final select, `blocks` (the expensive split+clean tree) inlined
+    // into all three consumers and `kept` into two — 3x the scan work
+    // per page, caught by the PlanAuditSpec board sweep when the r19
+    // cleanInline swap made the duplication visible as repeated
+    // decode_html_entities nodes. CollapseProject's cost guard keeps a
+    // multiply-referenced non-cheap alias materialized.
+    pages
+      .select(col(idCol).cast("long").as("id"), blocks.as("__blocks"))
+      .select(col("id"), col("__blocks"),
+        keptOf(col("__blocks")).as("__kept"))
+      .select(
+        col("id"),
+        size(col("__blocks")).cast("long").as("n_blocks"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(transform(col("__kept"), s => s.getField("text")), "\n")
+          .as("main_text"))
   }
 
   def extractTables(pages: DataFrame, idCol: String = "doc_id",
