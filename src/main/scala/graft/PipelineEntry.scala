@@ -2716,6 +2716,10 @@ object PipelineEntry {
         if (id % 3 == 0) Some((id * 10, Multimodal.dhashImageJpeg(id)))
         else None
       }.toDF("id", "payload")
+      // dhashImageJpeg is deliberately called again here (fixture CPU
+      // is doubled but trivial): within one JVM the ImageIO JPEG
+      // encoder is deterministic, so the two doors carry identical
+      // bytes — which is the property the hamming-0 oracle checks
       val pdfs = base.mapPartitions(_.map { case (id, t) =>
         (id, if (id % 3 == 0)
                Pdf.fixturePdfImage(id, t, Multimodal.dhashImageJpeg(id),

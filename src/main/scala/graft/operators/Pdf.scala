@@ -241,12 +241,17 @@ object Pdf {
     val none: Seq[Option[PredParms]] = Seq.fill(nFilters)(None)
     ParmsRe.findFirstMatchIn(dict) match {
       case None =>
+        // the legal bare-null form ('/DecodeParms null', emitted by
+        // template-based writers) means NO parms — decode normally
+        // (review-caught: the guard below was dropping such streams)
+        if (NullParmsRe.findFirstIn(dict).isDefined) Some(none)
         // mirror the /Filter guard (advisor-caught): a /DecodeParms
         // (or /DP) key PRESENT but not in a shape ParmsRe reads — an
         // indirect "/DecodeParms 12 0 R", an oversized literal — may
         // hide a predictor; decoding without un-predicting would emit
         // garbage, so the stream drops
-        if (ParmsKeyRe.findFirstIn(dict).isDefined) None else Some(none)
+        else if (ParmsKeyRe.findFirstIn(dict).isDefined) None
+        else Some(none)
       case Some(m) =>
         val tok = m.group(1)
         // an entry matters when it carries a key that changes decoding
@@ -305,6 +310,7 @@ object Pdf {
   private val ParmsRe =
     """/(?:DecodeParms|DP)\s*(\[[^\]]{0,1000}+\]|<<[^<>]{0,500}+>>)""".r
   private val ParmsKeyRe = """/(?:DecodeParms|DP)(?![A-Za-z0-9])""".r
+  private val NullParmsRe = """/(?:DecodeParms|DP)\s+null(?![A-Za-z0-9])""".r
   private val ParmsEntryRe = """null|<<[^<>]{0,500}+>>""".r
 
   /** Undo a stream predictor on filter OUTPUT (ISO 32000-1 §7.4.4.4):
@@ -419,7 +425,11 @@ object Pdf {
         // nbits >= 8 means a whole byte of an unfinished code remains —
         // a TRUNCATED stream, which must degrade even when its
         // consumed prefix bits are zero (review-caught: a cut mid-way
-        // into literal code 0 returned partial text as complete)
+        // into literal code 0 returned partial text as complete).
+        // A missing-EOD stream padded with ONE-bits also degrades —
+        // deliberate: nonzero residual bits are indistinguishable from
+        // a truncated nonzero code, and the no-garbage policy wins
+        // over leniency for that (rare) writer shape.
         return if (nbits < 8 && acc == 0) Some(out.toByteArray) else None
       }
       val code = ((acc >>> (nbits - width)) & ((1L << width) - 1)).toInt
@@ -538,8 +548,10 @@ object Pdf {
           rep = if (b(lit) == b(lit - 1)) rep + 1 else 1
           lit += 1
         }
+        // (rep==3 needs >=3 iterations, so lit >= i+4 before and
+        // >= i+1 after the subtraction — the literal run is never
+        // empty)
         if (rep == 3) lit -= 3 // leave the repeat for the next run
-        if (lit == i) lit = i + 1
         out.write(lit - i - 1); out.write(b, i, lit - i); i = lit
       }
     }
@@ -1565,6 +1577,17 @@ object Pdf {
         s" $ifilt /Length ${ipay.length} >> stream\n")
         .getBytes(ISO_8859_1) ++ ipay ++
         "\nendstream endobj\n".getBytes(ISO_8859_1))
+    assemblePdf(objs)
+  }
+
+  /** Assemble a DENSE 1..N object sequence into a classic-xref PDF:
+   * header, objects at recorded offsets, correct xref table, trailer
+   * (+ optional extra trailer entries). Shared by buildPdf and
+   * fixturePdfImage (review-caught triplication; fixturePdfCidObjStm
+   * keeps its own assembly — its numbering is SPARSE, with gaps for
+   * the ObjStm-resident objects). */
+  private def assemblePdf(objs: Seq[Array[Byte]],
+                          extraTrailer: String = ""): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
     w("%PDF-1.4\n")
@@ -1577,7 +1600,7 @@ object Pdf {
     w(s"xref\n0 ${objs.length + 1}\n")
     w("0000000000 65535 f \n")
     (1 to objs.length).foreach(k => w(f"${offsets(k)}%010d 00000 n \n"))
-    w(s"trailer << /Size ${objs.length + 1} /Root 1 0 R >>" +
+    w(s"trailer << /Size ${objs.length + 1} /Root 1 0 R$extraTrailer >>" +
       s"\nstartxref\n$xrefAt\n%%%%EOF\n")
     out.toByteArray
   }
@@ -2070,24 +2093,10 @@ object Pdf {
       fontObj.getBytes(ISO_8859_1)
     ) ++ encInfo.map(_._4.getBytes(ISO_8859_1)).toSeq ++
       v5Info.map(_._3.getBytes(ISO_8859_1)).toSeq ++ cidObjs
-    val out = new java.io.ByteArrayOutputStream()
-    def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
-    w("%PDF-1.4\n")
-    val offsets = new Array[Int](objs.length + 1)
-    objs.zipWithIndex.foreach { case (o, k) =>
-      offsets(k + 1) = out.size()
-      out.write(o)
-    }
-    val xrefAt = out.size()
-    w(s"xref\n0 ${objs.length + 1}\n")
-    w("0000000000 65535 f \n")
-    (1 to objs.length).foreach(k => w(f"${offsets(k)}%010d 00000 n \n"))
     val encTrailer = encInfo.map(_._3).orElse(v5Info.map(_._2))
       .map(id0 => s" /Encrypt 6 0 R /ID [<${hex(id0)}> <${hex(id0)}>]")
       .getOrElse("")
-    w(s"trailer << /Size ${objs.length + 1} /Root 1 0 R$encTrailer >>" +
-      s"\nstartxref\n$xrefAt\n%%%%EOF\n")
-    out.toByteArray
+    assemblePdf(objs, encTrailer)
   }
 
   private def esc(s: String): String =

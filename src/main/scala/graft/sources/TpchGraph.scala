@@ -302,12 +302,19 @@ object TpchGraph {
       .unionByName(d.nodeUpserts)
     val deadE = d.edgeTombstones.select("edge_id")
       .unionByName(d.edgeUpserts.select("edge_id")).distinct()
-    val goneNodes = d.nodeTombstones.select(col("id").as("__gone")).distinct()
+    // two sequential HASH anti-joins, not one OR-condition join: the
+    // latter plans as a BroadcastNestedLoopJoin costing |edges| x
+    // |tombstones| comparisons (review-caught — it sat inside
+    // ScaleSmoke's timed rebuild arm and inflated the baseline the
+    // delta-apply win is measured against)
+    val goneNodes = d.nodeTombstones.select(col("id")).distinct()
     val edges = rawE
       .join(broadcast(deadE), Seq("edge_id"), "left_anti")
-      .join(broadcast(goneNodes),
-        col("subject") === col("__gone") || col("object") === col("__gone"),
-        "left_anti")
+      .join(broadcast(goneNodes.withColumnRenamed("id", "subject")),
+        Seq("subject"), "left_anti")
+      .join(broadcast(goneNodes.withColumnRenamed("id", "object")),
+        Seq("object"), "left_anti")
+      .select(rawE.columns.map(col): _*)
       .unionByName(d.edgeUpserts)
     (nodes, edges)
   }

@@ -653,6 +653,13 @@ class PdfSpec extends SparkSpec {
       .getBytes(ISO_8859_1) ++ body1 ++
       "\nendstream endobj\n".getBytes(ISO_8859_1)
     assert(Pdf.parse(wholeIndDp).text == "")
+    // ...but the legal bare-null form means NO parms and must DECODE
+    // (review-caught: the indirect-value guard was over-dropping it)
+    val nullParms = (s"9 0 obj << /Length ${body1.length} /Filter" +
+      " /FlateDecode /DecodeParms null >> stream\n")
+      .getBytes(ISO_8859_1) ++ body1 ++
+      "\nendstream endobj\n".getBytes(ISO_8859_1)
+    assert(Pdf.parse(nullParms).text == "ok", Pdf.parse(nullParms).text)
   }
 
   test("/ObjStm: compressed-resident page + font dicts resolve (PDF 1.5 CID path)") {
