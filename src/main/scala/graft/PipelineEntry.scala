@@ -2734,6 +2734,39 @@ object PipelineEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // P162 — RAW-SAMPLE PDF image XObjects (p161's sibling for the
+    // PNG-converted class real writers embed: Flate or LZW over
+    // /DeviceRGB samples, usually with PNG Predictor 15 at /Colors 3
+    // image geometry — decodable pure-JDK through the EXISTING filter
+    // + predictor pipeline, no codec needed): every %3==1 doc plants
+    // the dHash fixture image through BOTH doors — a standalone PNG
+    // and a PDF raw-sample XObject (even ids Flate+Predictor-15, odd
+    // ids LZW) — and both doors decode LOSSLESSLY to the same pixels,
+    // so the pair lands at hamming 0 with the hash equal to the
+    // closed-form expectedDHash. Oracle: the pair list from the
+    // planting rule.
+    "p162_pdf_image_raw" -> ((s, dir) => {
+      import s.implicits._
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+      val standalone = base.flatMap { case (id, _) =>
+        if (id % 3 == 1) Some((id * 10, Multimodal.dhashImagePng(id, 0)))
+        else None
+      }.toDF("id", "payload")
+      val pdfs = base.flatMap { case (id, t) =>
+        if (id % 3 == 1)
+          Some((id, Pdf.fixturePdfImageRaw(id, t,
+            Multimodal.dhashImageRgbBytes(id), 72, 64, (id % 2).toInt)))
+        else None
+      }.toDF("id", "payload")
+      val embedded = Pdf.extractImages(pdfs)
+        .select((col("id") * 10 + 1 + col("image_idx")).as("id"),
+          col("payload"))
+      Dedup.hammingPairs64(Multimodal.imageDHashes(s,
+          standalone.unionByName(embedded)))
+        .orderBy("id_a", "id_b")
+    }),
+
     // P155 — redirect edges (every real crawl is full of 3xx
     // captures; URL dedup collapses chains against them and frontiers
     // follow them): response records with a redirect status and a
@@ -6330,6 +6363,13 @@ FROM e ORDER BY id""",
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
 SELECT doc_id * 10 AS id_a, doc_id * 10 + 1 AS id_b, 0::BIGINT AS hamming
 FROM documents WHERE doc_id % 3 = 0 ORDER BY id_a, id_b""",
+
+    // p162: p161's closed form on the %3==1 lane — lossless raw-sample
+    // decode means identical pixels through both doors, hamming 0.
+    "p162_pdf_image_raw" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT doc_id * 10 AS id_a, doc_id * 10 + 1 AS id_b, 0::BIGINT AS hamming
+FROM documents WHERE doc_id % 3 = 1 ORDER BY id_a, id_b""",
 
     // p158: the decoded paragraph built closed-form — numeric decimal
     // + hex, Latin-1 and typographic names, nbsp-to-space

@@ -515,6 +515,25 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Row-major 8-bit RGB samples of the variant-0 dHash fixture image
+   * — the raw-sample PDF image lane (p162) embeds exactly these, so
+   * any LOSSLESS decode path yields exactly [[expectedDHash]]. */
+  def dhashImageRgbBytes(docId: Long): Array[Byte] = {
+    val img = dhashImageBuffered(docId, 0)
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < px.length) {
+      out(i * 3) = ((px(i) >> 16) & 0xff).toByte
+      out(i * 3 + 1) = ((px(i) >> 8) & 0xff).toByte
+      out(i * 3 + 2) = (px(i) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
   private def dhashImageBuffered(docId: Long, variant: Int)
       : java.awt.image.BufferedImage = {
     val w = DHashGridW * 8

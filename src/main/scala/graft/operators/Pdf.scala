@@ -1442,16 +1442,69 @@ object Pdf {
       else {
         val objAt = s.lastIndexOf("obj", i)
         val dict = if (objAt >= 0) s.substring(objAt, i) else ""
-        if (ImageSubtypeRe.findFirstIn(dict).isDefined &&
-          parseFilters(dict).lastOption
-            .exists(f => f == "DCTDecode" || f == "DCT"))
-          decodeStream(s, i, crypt, dropLastFilters = 1).foreach(out += _)
+        if (ImageSubtypeRe.findFirstIn(dict).isDefined)
+          parseFilters(dict).lastOption match {
+            case Some("DCTDecode" | "DCT") =>
+              // JPEG: undo the transport filters, hand the JFIF bytes
+              // to the imageio path as-is
+              decodeStream(s, i, crypt, dropLastFilters = 1).foreach(out += _)
+            case Some("FlateDecode" | "Fl" | "LZWDecode" | "LZW") =>
+              // raw-sample images (the PNG-converted class, r19):
+              // the FULL pipeline decodes to unpredicted samples —
+              // predictors ride the same aligned /DecodeParms, with
+              // /Colors 3 geometry — and the declared geometry wraps
+              // them into a real PNG for the shared imageio path
+              decodeStream(s, i, crypt)
+                .flatMap(rawSamplesToPng(dict, _)).foreach(out += _)
+            case _ => // JPX/CCITT/JBIG2/raw: no pure-JDK path
+          }
         i = s.indexOf("stream", end + 9)
       }
     }
     out.result()
   }
   private val ImageSubtypeRe = """/Subtype\s*/Image(?![A-Za-z0-9])""".r
+
+  /** Wrap DECODED raw image samples into a PNG via the declared
+   * geometry: 8-bit /DeviceRGB (3 components) or /DeviceGray (1).
+   * None — never a wrong image — when the geometry is unreadable,
+   * out-of-subset (other colorspaces, other bit depths), implausible
+   * (> 64 MP), or the sample count does not match w*h*ncomp. */
+  private def rawSamplesToPng(dict: String,
+                              samples: Array[Byte]): Option[Array[Byte]] = {
+    val ncomp =
+      if ("""/ColorSpace\s*/DeviceRGB(?![A-Za-z0-9])""".r
+        .findFirstIn(dict).isDefined) 3
+      else if ("""/ColorSpace\s*/DeviceGray(?![A-Za-z0-9])""".r
+        .findFirstIn(dict).isDefined) 1
+      else return None
+    for {
+      w <- intOf(dict, "Width", 0).filter(_ > 0)
+      h <- intOf(dict, "Height", 0).filter(_ > 0)
+      bpc <- intOf(dict, "BitsPerComponent", 8).filter(_ == 8)
+      _ <- Option(bpc).filter(_ => w.toLong * h <= (64L << 20))
+      _ <- Option(w).filter(_ => samples.length.toLong == w.toLong * h * ncomp)
+    } yield {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](w * h)
+      var k = 0
+      var p = 0
+      while (p < px.length) {
+        val (r, g, b) =
+          if (ncomp == 3)
+            (samples(k) & 0xff, samples(k + 1) & 0xff, samples(k + 2) & 0xff)
+          else { val v = samples(k) & 0xff; (v, v, v) }
+        px(p) = (r << 16) | (g << 8) | b
+        k += ncomp
+        p += 1
+      }
+      img.setRGB(0, 0, w, h, px, 0, w)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
 
   /** Batched twin of [[extractTexts]] for embedded images: one row
    * per extracted DCT image — (id, image_idx, payload) — ready for
@@ -1574,6 +1627,47 @@ object Pdf {
         " >> endobj\n").getBytes(ISO_8859_1),
       (s"6 0 obj << /Type /XObject /Subtype /Image /Width 72" +
         s" /Height 64 /ColorSpace /DeviceRGB /BitsPerComponent 8" +
+        s" $ifilt /Length ${ipay.length} >> stream\n")
+        .getBytes(ISO_8859_1) ++ ipay ++
+        "\nendstream endobj\n".getBytes(ISO_8859_1))
+    assemblePdf(objs)
+  }
+
+  /** Raw-sample twin of [[fixturePdfImage]] (r19, p162 — the
+   * PNG-converted class real writers embed): the image XObject holds
+   * `rgb` (row-major 8-bit /DeviceRGB samples) under mode 0 =
+   * FlateDecode with PNG Predictor 15 at the REAL image geometry
+   * (/Colors 3 /Columns w, bpp-3 left neighbors) or mode 1 =
+   * LZWDecode without prediction. Lossless both ways: extraction
+   * recovers the exact samples, so the dHash equals the closed-form
+   * `expectedDHash`. */
+  def fixturePdfImageRaw(docId: Long, text: String, rgb: Array[Byte],
+                         w: Int, h: Int, mode: Int): Array[Byte] = {
+    require(rgb.length == w * h * 3, "rgb must be w*h*3 samples")
+    val (ops, _) = contentOps(docId, text, cid = false)
+    val content = deflate(
+      (ops + s"\nq $w 0 0 $h 100 600 cm /Im1 Do Q").getBytes(ISO_8859_1))
+    val (ipay, ifilt) = (mode % 2) match {
+      case 1 => (lzwEncode(rgb), "/Filter /LZWDecode")
+      case _ => (deflate(pngPredictEncode(rgb, w * 3, bpp = 3)),
+        "/Filter /FlateDecode /DecodeParms << /Predictor 15" +
+          s" /Colors 3 /BitsPerComponent 8 /Columns $w >>")
+    }
+    val objs: Seq[Array[Byte]] = Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        .getBytes(ISO_8859_1),
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        .getBytes(ISO_8859_1),
+      ("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> " +
+        "/XObject << /Im1 6 0 R >> >> >> endobj\n").getBytes(ISO_8859_1),
+      (s"4 0 obj << /Length ${content.length} /Filter /FlateDecode" +
+        " >> stream\n").getBytes(ISO_8859_1) ++ content ++
+        "\nendstream endobj\n".getBytes(ISO_8859_1),
+      ("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+        " >> endobj\n").getBytes(ISO_8859_1),
+      (s"6 0 obj << /Type /XObject /Subtype /Image /Width $w" +
+        s" /Height $h /ColorSpace /DeviceRGB /BitsPerComponent 8" +
         s" $ifilt /Length ${ipay.length} >> stream\n")
         .getBytes(ISO_8859_1) ++ ipay ++
         "\nendstream endobj\n".getBytes(ISO_8859_1))
@@ -1827,8 +1921,14 @@ object Pdf {
    * `columns` bytes): the per-row filter tag CYCLES 0→4 so every
    * unfilter arm (None/Sub/Up/Average/Paeth) is load-bearing in a
    * round-trip; the final row may be partial, as real encoders emit. */
+  /** `columns` is the row size in BYTES; `bpp` the bytes-per-pixel
+   * the left-neighbor predictors step by (1 for the byte-stream
+   * fixtures, colors*bpc/8 for real image geometry — r19's raw RGB
+   * image lane encodes with bpp = 3, matching unpredict's read of
+   * /Colors 3 /BitsPerComponent 8). */
   private[graft] def pngPredictEncode(data: Array[Byte],
-                                      columns: Int): Array[Byte] = {
+                                      columns: Int,
+                                      bpp: Int = 1): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(
       data.length + data.length / columns + 1)
     var prev = new Array[Int](columns)
@@ -1843,9 +1943,9 @@ object Pdf {
       while (j < n) { cur(j) = data(r + j) & 0xff; j += 1 }
       j = 0
       while (j < n) {
-        val a = if (j >= 1) cur(j - 1) else 0
+        val a = if (j >= bpp) cur(j - bpp) else 0
         val b = prev(j)
-        val c = if (j >= 1) prev(j - 1) else 0
+        val c = if (j >= bpp) prev(j - bpp) else 0
         val enc = tag match {
           case 0 => cur(j)
           case 1 => cur(j) - a

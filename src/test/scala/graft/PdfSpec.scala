@@ -517,6 +517,35 @@ class PdfSpec extends SparkSpec {
       val r = Pdf.parse(pdf)
       assert(r.xrefOk && r.nStreams == 2 && r.text.startsWith("Doc 42"), r)
     }
+    // raw-sample lanes (r19, p162): Flate+Predictor-15 at REAL image
+    // geometry (/Colors 3, bpp-3 left neighbors) and LZW — both
+    // LOSSLESS, so the extracted image's dHash equals the closed-form
+    // expectedDHash exactly
+    val rgb = graft.operators.Multimodal.dhashImageRgbBytes(42L)
+    for (mode <- Seq(0, 1)) {
+      val pdf = Pdf.fixturePdfImageRaw(42L, text, rgb, 72, 64, mode)
+      val sdoc = new String(pdf, ISO_8859_1)
+      if (mode == 0) assert(sdoc.contains("/Predictor 15") &&
+        sdoc.contains("/Colors 3"))
+      else assert(sdoc.contains("/LZWDecode"))
+      val imgs = Pdf.extractImageBytes(pdf)
+      assert(imgs.length == 1, s"raw mode=$mode n=${imgs.length}")
+      assert(graft.operators.Multimodal.imageDHash(imgs(0)) ==
+        Some(graft.operators.Multimodal.expectedDHash(42L)),
+        s"raw mode=$mode dhash")
+      val r = Pdf.parse(pdf)
+      assert(r.xrefOk && r.text.startsWith("Doc 42"), r)
+    }
+    // a geometry/sample-count mismatch degrades — no wrong image
+    val short = java.util.Arrays.copyOf(rgb, rgb.length - 3)
+    val bad = Pdf.fixturePdfImageRaw(42L, text,
+      java.util.Arrays.copyOf(short, rgb.length), 72, 64, 1)
+    // (same length, zero-padded tail: still extracts — length is the
+    // guard, content is free) — now a DECLARED-size mismatch:
+    val lying = new String(Pdf.fixturePdfImageRaw(42L, text, rgb, 72, 64, 1),
+      ISO_8859_1).replace("/Width 72", "/Width 71").getBytes(ISO_8859_1)
+    assert(Pdf.extractImageBytes(lying).isEmpty)
+    assert(Pdf.extractImageBytes(bad).length == 1)
     // an image-free PDF yields no images
     assert(Pdf.extractImageBytes(Pdf.fixturePdf(42L, text)).isEmpty)
     // a non-DCT image (raw Flate samples) stays out of the subset
