@@ -2740,8 +2740,11 @@ object PipelineEntry {
     // image geometry — decodable pure-JDK through the EXISTING filter
     // + predictor pipeline, no codec needed): every %3==1 doc plants
     // the dHash fixture image through BOTH doors — a standalone PNG
-    // and a PDF raw-sample XObject (even ids Flate+Predictor-15, odd
-    // ids LZW) — and both doors decode LOSSLESSLY to the same pixels,
+    // and a PDF raw-sample XObject (lanes cycle Flate+Predictor-15
+    // RGB / LZW RGB / Flate+Predictor-15 /DeviceGray by (id/3) % 3
+    // over the %3==1 ids) — and both doors decode LOSSLESSLY to the same
+    // pixels (the fixture is grayscale, so the gray lane reproduces
+    // them too),
     // so the pair lands at hamming 0 with the hash equal to the
     // closed-form expectedDHash. Oracle: the pair list from the
     // planting rule.
@@ -2756,7 +2759,8 @@ object PipelineEntry {
       val pdfs = base.flatMap { case (id, t) =>
         if (id % 3 == 1)
           Some((id, Pdf.fixturePdfImageRaw(id, t,
-            Multimodal.dhashImageRgbBytes(id), 72, 64, (id % 2).toInt)))
+            Multimodal.dhashImageRgbBytes(id), 72, 64,
+            ((id / 3) % 3).toInt)))
         else None
       }.toDF("id", "payload")
       val embedded = Pdf.extractImages(pdfs)

@@ -1637,8 +1637,10 @@ object Pdf {
    * PNG-converted class real writers embed): the image XObject holds
    * `rgb` (row-major 8-bit /DeviceRGB samples) under mode 0 =
    * FlateDecode with PNG Predictor 15 at the REAL image geometry
-   * (/Colors 3 /Columns w, bpp-3 left neighbors) or mode 1 =
-   * LZWDecode without prediction. Lossless both ways: extraction
+   * (/Colors 3 /Columns w, bpp-3 left neighbors), mode 1 =
+   * LZWDecode without prediction, or mode 2 = /DeviceGray (the red
+   * channel — the fixture is grayscale, r=g=b) under
+   * Flate+Predictor-15 /Colors 1. Lossless all ways: extraction
    * recovers the exact samples, so the dHash equals the closed-form
    * `expectedDHash`. */
   def fixturePdfImageRaw(docId: Long, text: String, rgb: Array[Byte],
@@ -1647,11 +1649,17 @@ object Pdf {
     val (ops, _) = contentOps(docId, text, cid = false)
     val content = deflate(
       (ops + s"\nq $w 0 0 $h 100 600 cm /Im1 Do Q").getBytes(ISO_8859_1))
-    val (ipay, ifilt) = (mode % 2) match {
-      case 1 => (lzwEncode(rgb), "/Filter /LZWDecode")
+    val (ipay, ifilt, cspace) = (mode % 3) match {
+      case 1 => (lzwEncode(rgb), "/Filter /LZWDecode", "/DeviceRGB")
+      case 2 =>
+        val gray = Array.tabulate[Byte](w * h)(i => rgb(i * 3))
+        (deflate(pngPredictEncode(gray, w, bpp = 1)),
+          "/Filter /FlateDecode /DecodeParms << /Predictor 15" +
+            s" /Colors 1 /BitsPerComponent 8 /Columns $w >>",
+          "/DeviceGray")
       case _ => (deflate(pngPredictEncode(rgb, w * 3, bpp = 3)),
         "/Filter /FlateDecode /DecodeParms << /Predictor 15" +
-          s" /Colors 3 /BitsPerComponent 8 /Columns $w >>")
+          s" /Colors 3 /BitsPerComponent 8 /Columns $w >>", "/DeviceRGB")
     }
     val objs: Seq[Array[Byte]] = Seq(
       "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
@@ -1667,7 +1675,7 @@ object Pdf {
       ("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
         " >> endobj\n").getBytes(ISO_8859_1),
       (s"6 0 obj << /Type /XObject /Subtype /Image /Width $w" +
-        s" /Height $h /ColorSpace /DeviceRGB /BitsPerComponent 8" +
+        s" /Height $h /ColorSpace $cspace /BitsPerComponent 8" +
         s" $ifilt /Length ${ipay.length} >> stream\n")
         .getBytes(ISO_8859_1) ++ ipay ++
         "\nendstream endobj\n".getBytes(ISO_8859_1))

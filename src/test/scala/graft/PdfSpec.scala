@@ -522,12 +522,14 @@ class PdfSpec extends SparkSpec {
     // LOSSLESS, so the extracted image's dHash equals the closed-form
     // expectedDHash exactly
     val rgb = graft.operators.Multimodal.dhashImageRgbBytes(42L)
-    for (mode <- Seq(0, 1)) {
+    for (mode <- Seq(0, 1, 2)) {
       val pdf = Pdf.fixturePdfImageRaw(42L, text, rgb, 72, 64, mode)
       val sdoc = new String(pdf, ISO_8859_1)
       if (mode == 0) assert(sdoc.contains("/Predictor 15") &&
-        sdoc.contains("/Colors 3"))
-      else assert(sdoc.contains("/LZWDecode"))
+        sdoc.contains("/Colors 3") && sdoc.contains("/DeviceRGB"))
+      if (mode == 1) assert(sdoc.contains("/LZWDecode"))
+      if (mode == 2) assert(sdoc.contains("/DeviceGray") &&
+        sdoc.contains("/Colors 1"))
       val imgs = Pdf.extractImageBytes(pdf)
       assert(imgs.length == 1, s"raw mode=$mode n=${imgs.length}")
       assert(graft.operators.Multimodal.imageDHash(imgs(0)) ==
