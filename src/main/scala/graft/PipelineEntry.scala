@@ -2771,6 +2771,50 @@ object PipelineEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // P163 — crawl-to-PDF-image composition (closes the loop the two
+    // doors opened separately: p111 proved byte-exact binary transit
+    // for PNG payloads, p124 the crawl→PDF TEXT pipeline, p161 the
+    // PDF→image edge — this rides the p161 fixture PDFs as
+    // application/pdf BINARY response payloads through a real
+    // .warc.gz round-trip and runs extractImages on the RECOVERED
+    // body_bytes): a UTF-8 decode anywhere in transit corrupts the
+    // JPEG inside the PDF inside the WARC, dHash gives None, and the
+    // pairs vanish — so hash-matching p161's oracle proves the whole
+    // chain. Scale shape inherits all three parents': one task per
+    // segment, payloads never cross a shuffle.
+    "p163_warc_pdf_images" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.WarcSource
+      val out = s"/root/repo/target/warc-pdfimg-${dir.replaceAll("[^0-9.]", "")}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+      val standalone = base.flatMap { case (id, _) =>
+        if (id % 3 == 0) Some((id * 10, Multimodal.dhashImageJpeg(id)))
+        else None
+      }.toDF("id", "payload")
+      val pdfs = base.flatMap { case (id, t) =>
+        if (id % 3 == 0)
+          Some((id, Pdf.fixturePdfImage(id, t,
+            Multimodal.dhashImageJpeg(id), (id % 2).toInt)))
+        else None
+      }.toDF("id", "payload")
+      WarcSource.export(pdfs, out, docsPerFile = 100, idCol = "id",
+        bytesCol = Some("payload"), mime = "application/pdf")
+      val recovered = WarcSource.records(s, out)
+        .where(col("warc_type") === "response" && col("body").isNull)
+        .select(
+          regexp_extract(col("record_id"), ":doc:(\\d+)>$", 1)
+            .cast("long").as("id"),
+          col("body_bytes").as("payload"))
+      val embedded = Pdf.extractImages(recovered)
+        .select((col("id") * 10 + 1 + col("image_idx")).as("id"),
+          col("payload"))
+      Dedup.hammingPairs64(Multimodal.imageDHashes(s,
+          standalone.unionByName(embedded)))
+        .orderBy("id_a", "id_b")
+    }),
+
     // P155 — redirect edges (every real crawl is full of 3xx
     // captures; URL dedup collapses chains against them and frontiers
     // follow them): response records with a redirect status and a
@@ -6364,6 +6408,14 @@ FROM e ORDER BY id""",
     // identical bytes through two doors pair at hamming 0; a decode,
     // cascade, or extraction slip on EITHER door loses its row.
     "p161_pdf_images" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT doc_id * 10 AS id_a, doc_id * 10 + 1 AS id_b, 0::BIGINT AS hamming
+FROM documents WHERE doc_id % 3 = 0 ORDER BY id_a, id_b""",
+
+    // p163: exactly p161's closed form — the WARC transit must be
+    // INVISIBLE (byte-exact binary round-trip), so the pair list is
+    // unchanged.
+    "p163_warc_pdf_images" ->
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
 SELECT doc_id * 10 AS id_a, doc_id * 10 + 1 AS id_b, 0::BIGINT AS hamming
 FROM documents WHERE doc_id % 3 = 0 ORDER BY id_a, id_b""",
