@@ -119,6 +119,19 @@ class GraphDeltaSpec extends SparkSpec {
     assert(a.closure.count() < closure.count())
   }
 
+  test("delta plans: broadcast HASH joins only, no nested loops") {
+    // the first cut's OR-condition endpoint join planned as a
+    // BroadcastNestedLoopJoin — survivors x changed-ids comparisons,
+    // measured 2.5x slower than a fresh rebuild at sf0.1. Pin the
+    // physical strategy so a regression fails a spec, not a bench.
+    val a = applied(touchSubclass = false)
+    for (df <- Seq(a.graph.nodes, a.graph.edges)) {
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin"), phys.take(2000))
+      assert(!phys.contains("CartesianProduct"), phys.take(2000))
+    }
+  }
+
   test("meta summary of the delta-applied graph == from-scratch") {
     val a = applied(touchSubclass = false)
     val s = scratch(touchSubclass = false)
