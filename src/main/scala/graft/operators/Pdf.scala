@@ -444,6 +444,7 @@ object Pdf {
           else if (code == next && prev != null) prev :+ prev(0) // KwKwK
           else return None // undefined code: corrupt stream
         out.write(entry, 0, entry.length)
+        if (out.size() > MaxDecodedStream) return None // bomb: degrade
         if (prev != null && next < 4096) {
           table(next) = prev :+ entry(0); next += 1
         }
@@ -526,6 +527,7 @@ object Pdf {
         while (k > 0) { out.write(d(i)); k -= 1 }
         i += 1
       }
+      if (out.size() > MaxDecodedStream) return None // bomb: degrade
     }
     Some(out.toByteArray)
   }
@@ -1219,6 +1221,14 @@ object Pdf {
   // text instead of falling back to EOL trimming.
   private val LengthRe = """/Length\s+(\d++)(?!\s+\d+\s+R)""".r
 
+  /** Decompression-bomb bound for ONE decoded stream (r19,
+   * review-caught: a ~65 KB crafted deflate/LZW body expanding
+   * unbounded would OOM the task before any geometry guard runs;
+   * WarcSource's transport decode has the same cap for the same
+   * reason). Real content streams and raw image samples live far
+   * below it; exceeding it degrades the stream. */
+  private val MaxDecodedStream: Long = 64L << 20
+
   private def inflate(raw: Array[Byte]): Option[Array[Byte]] = {
     val inf = new java.util.zip.Inflater()
     try {
@@ -1229,6 +1239,7 @@ object Pdf {
         val n = inf.inflate(buf)
         if (n > 0) out.write(buf, 0, n)
         else if (n == 0 && !inf.finished()) return None // stalled: corrupt
+        if (out.size() > MaxDecodedStream) return None // bomb: degrade
       }
       if (inf.finished()) Some(out.toByteArray) else None
     } catch {
@@ -1434,6 +1445,13 @@ object Pdf {
   private[graft] def extractImageBytes(bytes: Array[Byte]): Seq[Array[Byte]] = {
     val s = new String(bytes, ISO_8859_1)
     val crypt = resolveCrypt(s)
+    // object numbers referenced as SOFT MASKS ('/SMask 12 0 R'): an
+    // alpha mask is /Subtype /Image, 8-bit /DeviceGray, Flate — every
+    // raw-branch guard passes — but it is not CONTENT; extracting it
+    // shifts image ids and its near-constant gradient dHashes collide
+    // across unrelated documents (review-caught). Skip mask targets.
+    val maskObjs: Set[Int] =
+      SMaskRefRe.findAllMatchIn(s).map(_.group(1).toInt).toSet
     val out = Seq.newBuilder[Array[Byte]]
     var i = s.indexOf("stream")
     while (i >= 0) {
@@ -1442,18 +1460,25 @@ object Pdf {
       else {
         val objAt = s.lastIndexOf("obj", i)
         val dict = if (objAt >= 0) s.substring(objAt, i) else ""
-        if (ImageSubtypeRe.findFirstIn(dict).isDefined)
+        val isMask =
+          // stencil masks are 1-bit non-content by definition
+          ImageMaskRe.findFirstIn(dict).isDefined ||
+            objHeader(s, objAt).exists(h => maskObjs.contains(h._1))
+        if (ImageSubtypeRe.findFirstIn(dict).isDefined && !isMask)
           parseFilters(dict).lastOption match {
             case Some("DCTDecode" | "DCT") =>
               // JPEG: undo the transport filters, hand the JFIF bytes
               // to the imageio path as-is
               decodeStream(s, i, crypt, dropLastFilters = 1).foreach(out += _)
-            case Some("FlateDecode" | "Fl" | "LZWDecode" | "LZW") =>
-              // raw-sample images (the PNG-converted class, r19):
-              // the FULL pipeline decodes to unpredicted samples —
-              // predictors ride the same aligned /DecodeParms, with
-              // /Colors 3 geometry — and the declared geometry wraps
-              // them into a real PNG for the shared imageio path
+            case Some("FlateDecode" | "Fl" | "LZWDecode" | "LZW" |
+                      "RunLengthDecode" | "RL" |
+                      "ASCIIHexDecode" | "AHx" | "ASCII85Decode" | "A85") =>
+              // raw-sample images (the PNG-converted class, r19): any
+              // FINAL filter the pipeline fully decodes yields raw
+              // samples — predictors ride the same aligned
+              // /DecodeParms, with /Colors 3 geometry — and the
+              // declared geometry wraps them into a real PNG for the
+              // shared imageio path
               decodeStream(s, i, crypt)
                 .flatMap(rawSamplesToPng(dict, _)).foreach(out += _)
             case _ => // JPX/CCITT/JBIG2/raw: no pure-JDK path
@@ -1464,14 +1489,22 @@ object Pdf {
     out.result()
   }
   private val ImageSubtypeRe = """/Subtype\s*/Image(?![A-Za-z0-9])""".r
+  private val SMaskRefRe = """/SMask\s+(\d{1,9})\s+\d+\s+R(?![A-Za-z0-9])""".r
+  private val ImageMaskRe = """/ImageMask\s+true(?![A-Za-z0-9])""".r
+  private val DecodeArrayRe = """/Decode\s*\[""".r
 
   /** Wrap DECODED raw image samples into a PNG via the declared
    * geometry: 8-bit /DeviceRGB (3 components) or /DeviceGray (1).
    * None — never a wrong image — when the geometry is unreadable,
-   * out-of-subset (other colorspaces, other bit depths), implausible
-   * (> 64 MP), or the sample count does not match w*h*ncomp. */
+   * out-of-subset (other colorspaces, other bit depths, a /Decode
+   * remap array — samples stored inverted/rescaled would extract as a
+   * WRONG image, review-caught), implausible (> 16 MP — a ~65 KB
+   * crafted deflate expanding to a 64 MP canvas would otherwise
+   * allocate ~0.5 GB of int[]+image per stream, review-caught), or
+   * the sample count does not match w*h*ncomp. */
   private def rawSamplesToPng(dict: String,
                               samples: Array[Byte]): Option[Array[Byte]] = {
+    if (DecodeArrayRe.findFirstIn(dict).isDefined) return None
     val ncomp =
       if ("""/ColorSpace\s*/DeviceRGB(?![A-Za-z0-9])""".r
         .findFirstIn(dict).isDefined) 3
@@ -1482,7 +1515,7 @@ object Pdf {
       w <- intOf(dict, "Width", 0).filter(_ > 0)
       h <- intOf(dict, "Height", 0).filter(_ > 0)
       bpc <- intOf(dict, "BitsPerComponent", 8).filter(_ == 8)
-      _ <- Option(bpc).filter(_ => w.toLong * h <= (64L << 20))
+      _ <- Option(bpc).filter(_ => w.toLong * h <= (16L << 20))
       _ <- Option(w).filter(_ => samples.length.toLong == w.toLong * h * ncomp)
     } yield {
       val img = new java.awt.image.BufferedImage(
@@ -1604,63 +1637,23 @@ object Pdf {
    * must apply BEFORE the JPEG bytes surface). */
   def fixturePdfImage(docId: Long, text: String, jpeg: Array[Byte],
                       mode: Int): Array[Byte] = {
-    val (ops, _) = contentOps(docId, text, cid = false)
-    val content = deflate(
-      (ops + "\nq 144 0 0 128 100 600 cm /Im1 Do Q").getBytes(ISO_8859_1))
     val (ipay, ifilt) = (mode % 2) match {
       case 1 => ((jpeg.map("%02X".format(_)).mkString + ">")
         .getBytes(ISO_8859_1), "/Filter [/ASCIIHexDecode /DCTDecode]")
       case _ => (jpeg, "/Filter /DCTDecode")
     }
-    val objs: Seq[Array[Byte]] = Seq(
-      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
-        .getBytes(ISO_8859_1),
-      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
-        .getBytes(ISO_8859_1),
-      ("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
-        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> " +
-        "/XObject << /Im1 6 0 R >> >> >> endobj\n").getBytes(ISO_8859_1),
-      (s"4 0 obj << /Length ${content.length} /Filter /FlateDecode" +
-        " >> stream\n").getBytes(ISO_8859_1) ++ content ++
-        "\nendstream endobj\n".getBytes(ISO_8859_1),
-      ("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
-        " >> endobj\n").getBytes(ISO_8859_1),
-      (s"6 0 obj << /Type /XObject /Subtype /Image /Width 72" +
-        s" /Height 64 /ColorSpace /DeviceRGB /BitsPerComponent 8" +
-        s" $ifilt /Length ${ipay.length} >> stream\n")
-        .getBytes(ISO_8859_1) ++ ipay ++
-        "\nendstream endobj\n".getBytes(ISO_8859_1))
-    assemblePdf(objs)
+    imagePdf(docId, text, 72, 64, "/DeviceRGB", ifilt, ipay)
   }
 
-  /** Raw-sample twin of [[fixturePdfImage]] (r19, p162 — the
-   * PNG-converted class real writers embed): the image XObject holds
-   * `rgb` (row-major 8-bit /DeviceRGB samples) under mode 0 =
-   * FlateDecode with PNG Predictor 15 at the REAL image geometry
-   * (/Colors 3 /Columns w, bpp-3 left neighbors), mode 1 =
-   * LZWDecode without prediction, or mode 2 = /DeviceGray (the red
-   * channel — the fixture is grayscale, r=g=b) under
-   * Flate+Predictor-15 /Colors 1. Lossless all ways: extraction
-   * recovers the exact samples, so the dHash equals the closed-form
-   * `expectedDHash`. */
-  def fixturePdfImageRaw(docId: Long, text: String, rgb: Array[Byte],
-                         w: Int, h: Int, mode: Int): Array[Byte] = {
-    require(rgb.length == w * h * 3, "rgb must be w*h*3 samples")
+  /** Shared scaffold of the image-XObject fixtures (p161/p162 —
+   * review-caught duplication): the fixturePdf object chain plus an
+   * /Im1 XObject painted after the text, assembled dense. */
+  private def imagePdf(docId: Long, text: String, w: Int, h: Int,
+                       cspace: String, ifilt: String,
+                       ipay: Array[Byte]): Array[Byte] = {
     val (ops, _) = contentOps(docId, text, cid = false)
     val content = deflate(
       (ops + s"\nq $w 0 0 $h 100 600 cm /Im1 Do Q").getBytes(ISO_8859_1))
-    val (ipay, ifilt, cspace) = (mode % 3) match {
-      case 1 => (lzwEncode(rgb), "/Filter /LZWDecode", "/DeviceRGB")
-      case 2 =>
-        val gray = Array.tabulate[Byte](w * h)(i => rgb(i * 3))
-        (deflate(pngPredictEncode(gray, w, bpp = 1)),
-          "/Filter /FlateDecode /DecodeParms << /Predictor 15" +
-            s" /Colors 1 /BitsPerComponent 8 /Columns $w >>",
-          "/DeviceGray")
-      case _ => (deflate(pngPredictEncode(rgb, w * 3, bpp = 3)),
-        "/Filter /FlateDecode /DecodeParms << /Predictor 15" +
-          s" /Colors 3 /BitsPerComponent 8 /Columns $w >>", "/DeviceRGB")
-    }
     val objs: Seq[Array[Byte]] = Seq(
       "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
         .getBytes(ISO_8859_1),
@@ -1680,6 +1673,34 @@ object Pdf {
         .getBytes(ISO_8859_1) ++ ipay ++
         "\nendstream endobj\n".getBytes(ISO_8859_1))
     assemblePdf(objs)
+  }
+
+  /** Raw-sample twin of [[fixturePdfImage]] (r19, p162 — the
+   * PNG-converted class real writers embed): the image XObject holds
+   * `rgb` (row-major 8-bit /DeviceRGB samples) under mode 0 =
+   * FlateDecode with PNG Predictor 15 at the REAL image geometry
+   * (/Colors 3 /Columns w, bpp-3 left neighbors), mode 1 =
+   * LZWDecode without prediction, or mode 2 = /DeviceGray (the red
+   * channel — the fixture is grayscale, r=g=b) under
+   * Flate+Predictor-15 /Colors 1. Lossless all ways: extraction
+   * recovers the exact samples, so the dHash equals the closed-form
+   * `expectedDHash`. */
+  def fixturePdfImageRaw(docId: Long, text: String, rgb: Array[Byte],
+                         w: Int, h: Int, mode: Int): Array[Byte] = {
+    require(rgb.length == w * h * 3, "rgb must be w*h*3 samples")
+    val (ipay, ifilt, cspace) = (mode % 3) match {
+      case 1 => (lzwEncode(rgb), "/Filter /LZWDecode", "/DeviceRGB")
+      case 2 =>
+        val gray = Array.tabulate[Byte](w * h)(i => rgb(i * 3))
+        (deflate(pngPredictEncode(gray, w, bpp = 1)),
+          "/Filter /FlateDecode /DecodeParms << /Predictor 15" +
+            s" /Colors 1 /BitsPerComponent 8 /Columns $w >>",
+          "/DeviceGray")
+      case _ => (deflate(pngPredictEncode(rgb, w * 3, bpp = 3)),
+        "/Filter /FlateDecode /DecodeParms << /Predictor 15" +
+          s" /Colors 3 /BitsPerComponent 8 /Columns $w >>", "/DeviceRGB")
+    }
+    imagePdf(docId, text, w, h, cspace, ifilt, ipay)
   }
 
   /** Assemble a DENSE 1..N object sequence into a classic-xref PDF:
@@ -1925,15 +1946,14 @@ object Pdf {
     (content, cmap, (header + "\n" + joined).getBytes(ISO_8859_1), first)
   }
 
-  /** PNG-predict `data` (writer side, 8-bit single-component rows of
-   * `columns` bytes): the per-row filter tag CYCLES 0→4 so every
-   * unfilter arm (None/Sub/Up/Average/Paeth) is load-bearing in a
-   * round-trip; the final row may be partial, as real encoders emit. */
-  /** `columns` is the row size in BYTES; `bpp` the bytes-per-pixel
-   * the left-neighbor predictors step by (1 for the byte-stream
-   * fixtures, colors*bpc/8 for real image geometry — r19's raw RGB
-   * image lane encodes with bpp = 3, matching unpredict's read of
-   * /Colors 3 /BitsPerComponent 8). */
+  /** PNG-predict `data` (writer side): the per-row filter tag CYCLES
+   * 0→4 so every unfilter arm (None/Sub/Up/Average/Paeth) is
+   * load-bearing in a round-trip; the final row may be partial, as
+   * real encoders emit. `columns` is the row size in BYTES; `bpp` the
+   * bytes-per-pixel the left-neighbor predictors step by (1 for the
+   * byte-stream fixtures, colors*bpc/8 for real image geometry —
+   * r19's raw RGB image lane encodes with bpp = 3, matching
+   * unpredict's read of /Colors 3 /BitsPerComponent 8). */
   private[graft] def pngPredictEncode(data: Array[Byte],
                                       columns: Int,
                                       bpp: Int = 1): Array[Byte] = {

@@ -550,14 +550,46 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.extractImageBytes(bad).length == 1)
     // an image-free PDF yields no images
     assert(Pdf.extractImageBytes(Pdf.fixturePdf(42L, text)).isEmpty)
-    // a non-DCT image (raw Flate samples) stays out of the subset
-    val raw = java.util.Arrays.copyOf(jpeg, 64)
+    // raw-sample guards (raw Flate IS in the subset since r19, so
+    // these pin the DEGRADES): corrupt deflate and missing /ColorSpace
     val flate = ("6 0 obj << /Type /XObject /Subtype /Image /Width 8" +
       " /Height 8 /BitsPerComponent 8 /Filter /FlateDecode /Length 4" +
       " >> stream\nXXXX\nendstream endobj\n").getBytes(ISO_8859_1)
     assert(Pdf.extractImageBytes(flate).isEmpty)
-    // /SMask or /ImageMask style dicts without DCT likewise
-    assert(raw.length == 64) // (fixture sanity)
+    // a /Decode remap array means the stored samples are not the
+    // rendered ones — no image, never a WRONG one (review-caught)
+    val inverted = new String(
+      Pdf.fixturePdfImageRaw(42L, text, rgb, 72, 64, 0), ISO_8859_1)
+      .replace("/BitsPerComponent 8", "/BitsPerComponent 8 /Decode [1 0]")
+      .getBytes(ISO_8859_1)
+    assert(Pdf.extractImageBytes(inverted).isEmpty)
+    // a stencil mask (/ImageMask true) and an /SMask TARGET are not
+    // content — both skipped (review-caught: an alpha mask passes
+    // every raw-branch guard and its gradient dHash collides across
+    // unrelated docs)
+    val stencil = new String(
+      Pdf.fixturePdfImageRaw(42L, text, rgb, 72, 64, 2), ISO_8859_1)
+      .replace("/ColorSpace /DeviceGray",
+        "/ColorSpace /DeviceGray /ImageMask true").getBytes(ISO_8859_1)
+    assert(Pdf.extractImageBytes(stencil).isEmpty)
+    val masked = new String(
+      Pdf.fixturePdfImageRaw(42L, text, rgb, 72, 64, 2), ISO_8859_1)
+      .replace("/Contents 4 0 R", "/Contents 4 0 R /SMask 6 0 R")
+      .getBytes(ISO_8859_1)
+    assert(Pdf.extractImageBytes(masked).isEmpty)
+    // RunLength-final raw samples are in the subset too (the same
+    // pipeline decodes them)
+    val rlGray = Array.tabulate[Byte](72 * 64)(i => rgb(i * 3))
+    val rlPdf = ("6 0 obj << /Type /XObject /Subtype /Image /Width 72" +
+      " /Height 64 /ColorSpace /DeviceGray /BitsPerComponent 8" +
+      " /Filter /RunLengthDecode /Length " +
+      s"${Pdf.runLengthEncode(rlGray).length} >> stream\n")
+      .getBytes(ISO_8859_1) ++ Pdf.runLengthEncode(rlGray) ++
+      "\nendstream endobj\n".getBytes(ISO_8859_1)
+    val rlImgs = Pdf.extractImageBytes(rlPdf)
+    assert(rlImgs.length == 1)
+    assert(graft.operators.Multimodal.imageDHash(rlImgs(0)) ==
+      Some(graft.operators.Multimodal.expectedDHash(42L)))
   }
 
   test("xref-stream trailers: /Root, /ID, /Encrypt resolve through startxref") {
