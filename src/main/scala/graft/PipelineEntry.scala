@@ -2771,6 +2771,32 @@ object PipelineEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // P164 — MP3 frame metadata (MP3 is the dominant crawl AUDIO
+    // format; the WAV/MJPEG/MP4/WebP walks covered the other
+    // containers): a pure-JDK frame walk — optional ID3v2 skip
+    // (syncsafe size), then MPEG-1 Layer III headers back-to-back,
+    // frame length from the published bitrate/sample-rate tables —
+    // yields (first-frame bitrate, VBR flag, sample rate, channels,
+    // frame count, exact-integer duration). Lanes vary every header
+    // field: bitrate index 1..9 by id%9, all three sample rates by
+    // id%3, an ID3v2 tag on id%3==0 (the skip is load-bearing), VBR
+    // alternation on id%5==0, and a padding bit cycling by frame. The
+    // oracle re-derives every field closed-form from the published
+    // tables — a frame-length slip desyncs the walk and kills rows.
+    "p164_mp3_metadata" -> ((s, dir) => {
+      import s.implicits._
+      val audio = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.generateMp3(
+            nFrames = 2 + (id % 7).toInt,
+            brIdx = 1 + (id % 9).toInt,
+            srIdx = (id % 3).toInt,
+            id3Size = if (id % 3 == 0) (50 + id % 40).toInt else 0,
+            vbr = id % 5 == 0))
+        }).toDF("id", "payload")
+      Multimodal.mp3MetadataFrame(s, audio).orderBy("id")
+    }),
+
     // P163 — crawl-to-PDF-image composition (closes the loop the two
     // doors opened separately: p111 proved byte-exact binary transit
     // for PNG payloads, p124 the crawl→PDF TEXT pipeline, p161 the
@@ -6411,6 +6437,21 @@ FROM e ORDER BY id""",
       s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
 SELECT doc_id * 10 AS id_a, doc_id * 10 + 1 AS id_b, 0::BIGINT AS hamming
 FROM documents WHERE doc_id % 3 = 0 ORDER BY id_a, id_b""",
+
+    // p164: every field re-derived from the published MPEG-1 Layer III
+    // tables and the fixture formulas — exact integer duration.
+    "p164_mp3_metadata" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT doc_id AS id,
+  ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[
+    (1 + doc_id % 9)::INT]::BIGINT AS bitrate_kbps,
+  (doc_id % 5 = 0) AS is_vbr,
+  ([44100,48000,32000])[(doc_id % 3 + 1)::INT]::BIGINT AS sample_rate,
+  1::BIGINT AS channels,
+  (2 + doc_id % 7)::BIGINT AS n_frames,
+  ((2 + doc_id % 7) * 1152000
+    // ([44100,48000,32000])[(doc_id % 3 + 1)::INT])::BIGINT AS duration_ms
+FROM documents ORDER BY id""",
 
     // p163: exactly p161's closed form — the WARC transit must be
     // INVISIBLE (byte-exact binary round-trip), so the pair list is

@@ -192,6 +192,133 @@ object Multimodal {
   def wavSample(i: Int, seed: Int): Short =
     (((i.toLong * 2654435761L + seed * 97L) % 65536L) - 32768L).toShort
 
+  // ------------------------------------------- MP3 frame metadata (P164)
+
+  /** MPEG-1 Layer III bitrates (kbps) by header index 1..14 and sample
+   * rates (Hz) by index 0..2 — the published header tables (ISO/IEC
+   * 11172-3; the layout every public MP3-frame reference documents). */
+  private val Mp3Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320)
+  private val Mp3SampleRates = Array(44100, 48000, 32000)
+
+  /**
+   * MP3 container metadata (P164 — MP3 is the dominant crawl audio
+   * format; WAV p76 and the MJPEG/MP4 video walks cover the other
+   * lanes): a pure-JDK frame walk in the house RIFF/BMFF style, no
+   * decoder. An optional leading ID3v2 tag (10-byte header, syncsafe
+   * 28-bit size) is skipped, then MPEG-1 Layer III frames parse
+   * back-to-back: 11 sync bits, version/layer fields, the bitrate and
+   * sample-rate table indexes, the padding bit — frame length =
+   * 144 * bitrate / sampleRate + padding, 1152 samples per frame, so
+   * duration_ms = nFrames * 1152000 / sampleRate, all exact integers.
+   * Returns (bitrate_kbps of the FIRST frame, is_vbr — any frame
+   * differing, sample_rate, channels, n_frames, duration_ms); None
+   * when no valid first frame exists (not an MP3). The walk STOPS at
+   * the first malformed header (truncated capture: metadata of the
+   * intact prefix, the lenient reading every indexer uses); free-form
+   * junk between frames is out of subset — absent, never wrong.
+   */
+  def mp3Metadata(payload: Array[Byte])
+      : Option[(Int, Boolean, Int, Int, Long, Long)] = {
+    var i = 0
+    // ID3v2: "ID3" + version(2) + flags(1) + syncsafe size(4)
+    if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
+      payload(2) == '3') {
+      val size = ((payload(6) & 0x7f) << 21) | ((payload(7) & 0x7f) << 14) |
+        ((payload(8) & 0x7f) << 7) | (payload(9) & 0x7f)
+      i = math.min(10L + size, payload.length.toLong).toInt
+    }
+    var nFrames = 0L
+    var firstKbps = 0
+    var vbr = false
+    var rate = 0
+    var channels = 0
+    var done = false
+    while (!done && i + 4 <= payload.length) {
+      val h = ((payload(i) & 0xff) << 24) | ((payload(i + 1) & 0xff) << 16) |
+        ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)
+      val sync = (h >>> 21) == 0x7ff
+      val version = (h >>> 19) & 3 // 3 = MPEG-1
+      val layer = (h >>> 17) & 3 // 1 = Layer III
+      val brIdx = (h >>> 12) & 0xf
+      val srIdx = (h >>> 10) & 3
+      val padding = (h >>> 9) & 1
+      val mode = (h >>> 6) & 3 // 3 = mono
+      if (!sync || version != 3 || layer != 1 || brIdx == 0 ||
+        brIdx == 15 || srIdx == 3) done = true
+      else {
+        val kbps = Mp3Bitrates(brIdx)
+        val sr = Mp3SampleRates(srIdx)
+        val frameLen = 144 * kbps * 1000 / sr + padding
+        if (i + frameLen > payload.length) done = true // truncated frame
+        else {
+          if (nFrames == 0) { firstKbps = kbps; rate = sr
+            channels = if (mode == 3) 1 else 2 }
+          else if (kbps != firstKbps) vbr = true
+          nFrames += 1
+          i += frameLen
+        }
+      }
+    }
+    if (nFrames == 0) None
+    else Some((firstKbps, vbr, rate, channels, nFrames,
+      nFrames * 1152000L / rate))
+  }
+
+  /** Deterministic MP3 fixture: `nFrames` MPEG-1 Layer III frames
+   * (zeroed payloads — the walk never decodes audio), mono, with an
+   * optional ID3v2 tag of `id3Size` content bytes and an optional VBR
+   * lane (every other frame one bitrate index up). Header fields are
+   * exact, so [[mp3Metadata]]'s output is closed-form. */
+  def generateMp3(nFrames: Int, brIdx: Int, srIdx: Int,
+                  id3Size: Int = 0, vbr: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Size > 0) {
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(4); out.write(0); out.write(0) // v2.4, no flags
+      out.write((id3Size >> 21) & 0x7f); out.write((id3Size >> 14) & 0x7f)
+      out.write((id3Size >> 7) & 0x7f); out.write(id3Size & 0x7f)
+      var k = 0
+      while (k < id3Size) { out.write(0x41 + k % 26); k += 1 }
+    }
+    var f = 0
+    while (f < nFrames) {
+      val bi = if (vbr && f % 2 == 1) brIdx + 1 else brIdx
+      val kbps = Mp3Bitrates(bi)
+      val sr = Mp3SampleRates(srIdx)
+      val padding = f % 3 match { case 0 => 1; case _ => 0 }
+      val frameLen = 144 * kbps * 1000 / sr + padding
+      // header: sync(11) | version 11 | layer 01 | no-protection 1 |
+      // brIdx(4) | srIdx(2) | padding | private 0 | mode 11 (mono) ...
+      val h = (0x7ff << 21) | (3 << 19) | (1 << 17) | (1 << 16) |
+        (bi << 12) | (srIdx << 10) | (padding << 9) | (3 << 6)
+      out.write((h >>> 24) & 0xff); out.write((h >>> 16) & 0xff)
+      out.write((h >>> 8) & 0xff); out.write(h & 0xff)
+      var k = 4
+      while (k < frameLen) { out.write(0); k += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Batched frame twin of [[mp3Metadata]]: one row per parseable MP3
+   * — (id, bitrate_kbps, is_vbr, sample_rate, channels, n_frames,
+   * duration_ms); non-MP3 payloads drop. */
+  def mp3MetadataFrame(spark: SparkSession, audio: DataFrame,
+                       idCol: String = "id",
+                       payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    audio.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        mp3Metadata(payload).map { case (kbps, vbr, sr, ch, nf, ms) =>
+          (id, kbps.toLong, vbr, sr.toLong, ch.toLong, nf, ms)
+        }
+      })
+      .toDF("id", "bitrate_kbps", "is_vbr", "sample_rate", "channels",
+        "n_frames", "duration_ms")
+  }
+
   /**
    * Deterministic PNG generator (for tests/fixtures): pixel (x, y) of
    * image `seed` is a pure function of (x, y, seed), encoded by the JDK

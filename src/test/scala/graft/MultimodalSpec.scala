@@ -500,6 +500,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Mp4.parse(moov).tracks.isEmpty)
   }
 
+  test("mp3: frame walk, ID3v2 skip, VBR flag, truncation and junk degrades") {
+    import graft.operators.Multimodal._
+    // CBR, no tag: every field closed-form; duration is exact-integer
+    val cbr = generateMp3(nFrames = 5, brIdx = 9, srIdx = 0)
+    assert(mp3Metadata(cbr) == Some((128, false, 44100, 1, 5L,
+      5L * 1152000 / 44100)))
+    // ID3v2 tag skipped via the syncsafe size; fields unchanged
+    val tagged = generateMp3(nFrames = 5, brIdx = 9, srIdx = 0,
+      id3Size = 321)
+    assert(mp3Metadata(tagged) == mp3Metadata(cbr))
+    // VBR: alternating bitrate index flips the flag; first frame's
+    // bitrate reported
+    val vbr = generateMp3(nFrames = 4, brIdx = 5, srIdx = 1, vbr = true)
+    assert(mp3Metadata(vbr) == Some((64, true, 48000, 1, 4L,
+      4L * 1152000 / 48000)))
+    // a truncated capture yields the intact PREFIX's metadata
+    val cut = java.util.Arrays.copyOf(cbr, cbr.length - 10)
+    assert(mp3Metadata(cut).map(_._5) == Some(4L))
+    // junk and WAV payloads are not MP3s
+    assert(mp3Metadata("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(mp3Metadata(Array.fill[Byte](64)(0x41)).isEmpty)
+    assert(mp3Metadata(generateWav(100, 8000, 1)).isEmpty)
+    // an ID3 tag with NO frames after it is metadata-free, not a song
+    assert(mp3Metadata(generateMp3(nFrames = 0, brIdx = 9, srIdx = 0,
+      id3Size = 64)).isEmpty)
+  }
+
   test("webp: all three container shapes parse; ANMF payloads don't shadow") {
     // fixture round-trips across lanes and ids (dims/alpha/frames all
     // follow the closed form)
