@@ -2797,6 +2797,28 @@ object PipelineEntry {
       Multimodal.mp3MetadataFrame(s, audio).orderBy("id")
     }),
 
+    // P165 — JPEG EXIF metadata (the columns image-corpus curation
+    // filters and joins on — orientation for decode-free rotation
+    // normalization, capture time, camera make/model; LAION-class
+    // datasets ship them): pure-JDK marker-segment walk to the APP1
+    // Exif payload, then the TIFF IFD0 inside — BOTH byte orders
+    // (halves ride II and MM), ASCII values in BOTH storage shapes
+    // (make > 4 bytes at a TIFF offset, model <= 4 inline), the
+    // orientation SHORT endian-sensitive. The same payload still
+    // decodes through imageio (APP1 is skippable), so metadata and
+    // the dHash family read one artifact. Oracle: every field from
+    // the fixture formulas closed-form.
+    "p165_jpeg_exif" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val dt = f"2026:08:${1 + id % 28}%02d ${id % 24}%02d:00:00"
+          (id, Multimodal.jpegWithExif(id, (1 + id % 8).toInt, dt,
+            s"Cam${id % 5}", s"M${id % 7}", id % 2 == 0))
+        }).toDF("id", "payload")
+      Multimodal.jpegExifFrame(s, imgs).orderBy("id")
+    }),
+
     // P163 — crawl-to-PDF-image composition (closes the loop the two
     // doors opened separately: p111 proved byte-exact binary transit
     // for PNG payloads, p124 the crawl→PDF TEXT pipeline, p161 the
@@ -6451,6 +6473,17 @@ SELECT doc_id AS id,
   (2 + doc_id % 7)::BIGINT AS n_frames,
   ((2 + doc_id % 7) * 1152000
     // ([44100,48000,32000])[(doc_id % 3 + 1)::INT])::BIGINT AS duration_ms
+FROM documents ORDER BY id""",
+
+    // p165: every EXIF field re-derived from the fixture formulas —
+    // a byte-order, offset-vs-inline, or IFD-geometry slip diverges.
+    "p165_jpeg_exif" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT doc_id AS id, (1 + doc_id % 8)::BIGINT AS orientation,
+  '2026:08:' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0') || ' '
+    || lpad((doc_id % 24)::VARCHAR, 2, '0') || ':00:00' AS datetime,
+  'Cam' || (doc_id % 5) AS make,
+  'M' || (doc_id % 7) AS model
 FROM documents ORDER BY id""",
 
     // p163: exactly p161's closed form — the WARC transit must be

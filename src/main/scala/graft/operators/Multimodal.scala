@@ -319,6 +319,205 @@ object Multimodal {
         "n_frames", "duration_ms")
   }
 
+  // ------------------------------------------- JPEG EXIF metadata (P165)
+
+  /**
+   * EXIF metadata of a JPEG (P165 — the metadata image-corpus curation
+   * actually filters and joins on: orientation for decode-free
+   * rotation normalization, capture time, camera make/model; LAION-
+   * class datasets ship these columns): a pure-JDK walk, no imageio —
+   * JPEG marker segments to the APP1 "Exif\0\0" payload, then the
+   * TIFF structure inside (public: JEITA CP-3451 / TIFF 6.0): byte
+   * order II/MM (both real — phones write II, classic cameras MM),
+   * magic 42, IFD0 entries of (tag, type, count, value-or-offset)
+   * with ASCII values > 4 bytes living at offsets into the TIFF
+   * block. Reads orientation (0x0112 SHORT), DateTime (0x0132 ASCII),
+   * Make (0x010F), Model (0x0110). Absent tags yield 0/null; a
+   * malformed TIFF block, out-of-bounds offset, or missing APP1
+   * yields None — absent metadata, never wrong. The walk stops at
+   * SOS (entropy-coded data follows; APPn segments precede it by
+   * spec).
+   */
+  def jpegExif(payload: Array[Byte])
+      : Option[(Int, String, String, String)] = {
+    if (payload.length < 4 || payload(0) != 0xFF.toByte ||
+      payload(1) != 0xD8.toByte) return None
+    var i = 2
+    while (i + 4 <= payload.length) {
+      if (payload(i) != 0xFF.toByte) return None
+      val marker = payload(i + 1) & 0xff
+      if (marker == 0xDA || marker == 0xD9) return None // SOS/EOI
+      else if ((marker >= 0xD0 && marker <= 0xD7) || marker == 0x01)
+        i += 2 // standalone markers carry no length
+      else {
+        val len = ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > payload.length) return None
+        if (marker == 0xE1 && len >= 10 &&
+          payload(i + 4) == 'E' && payload(i + 5) == 'x' &&
+          payload(i + 6) == 'i' && payload(i + 7) == 'f' &&
+          payload(i + 8) == 0 && payload(i + 9) == 0)
+          return parseTiffIfd0(payload, i + 10, len - 8)
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  private def parseTiffIfd0(b: Array[Byte], off: Int, len: Int)
+      : Option[(Int, String, String, String)] = {
+    if (len < 12) return None
+    val end = off + len
+    val le =
+      if (b(off) == 'I' && b(off + 1) == 'I') true
+      else if (b(off) == 'M' && b(off + 1) == 'M') false
+      else return None
+    def u16(o: Int): Int =
+      if (o < off || o + 2 > end) -1
+      else if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (o < off || o + 4 > end) -1L
+      else if (le) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    if (u16(off + 2) != 42) return None
+    val ifdOff = u32(off + 4)
+    if (ifdOff < 0 || off + ifdOff + 2 > end) return None
+    val ifd = (off + ifdOff).toInt
+    val n = u16(ifd)
+    if (n < 0 || ifd + 2 + n * 12 > end) return None
+    var orientation = 0
+    var datetime: String = null
+    var make: String = null
+    var model: String = null
+    def ascii(valOff: Int, count: Long): String = {
+      // count includes the terminating NUL; values > 4 bytes live at
+      // a TIFF-block offset, <= 4 inline in the value field
+      val at =
+        if (count <= 4) valOff
+        else {
+          val o = u32(valOff)
+          if (o < 0 || off + o + count > end) return null
+          (off + o).toInt
+        }
+      if (count < 1 || at + count > end) return null
+      val sb = new java.lang.StringBuilder()
+      var k = 0
+      while (k < count - 1 && b(at + k) != 0) {
+        sb.append((b(at + k) & 0xff).toChar); k += 1
+      }
+      sb.toString
+    }
+    var e = 0
+    while (e < n) {
+      val at = ifd + 2 + e * 12
+      val tag = u16(at)
+      val typ = u16(at + 2)
+      val count = u32(at + 4)
+      val valOff = at + 8
+      tag match {
+        case 0x0112 if typ == 3 && count == 1 => orientation = u16(valOff)
+        case 0x0132 if typ == 2 => datetime = ascii(valOff, count)
+        case 0x010F if typ == 2 => make = ascii(valOff, count)
+        case 0x0110 if typ == 2 => model = ascii(valOff, count)
+        case _ =>
+      }
+      e += 1
+    }
+    Some((orientation, datetime, make, model))
+  }
+
+  /** Batched frame twin of [[jpegExif]]: one row per JPEG with a
+   * parseable EXIF block — (id, orientation, datetime, make, model);
+   * EXIF-less or non-JPEG payloads drop. */
+  def jpegExifFrame(spark: SparkSession, images: DataFrame,
+                    idCol: String = "id",
+                    payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    images.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        jpegExif(payload).map { case (o, dt, mk, md) =>
+          (id, o.toLong, dt, mk, md)
+        }
+      })
+      .toDF("id", "orientation", "datetime", "make", "model")
+  }
+
+  /** Build an EXIF APP1 segment (fixture writer): TIFF block in the
+   * requested byte order with IFD0 entries Make/Model/Orientation/
+   * DateTime in ascending tag order, ASCII values > 4 bytes at
+   * offsets, <= 4 inline — the two storage shapes the reader must
+   * handle. */
+  def exifApp1(orientation: Int, datetime: String, make: String,
+               model: String, littleEndian: Boolean): Array[Byte] = {
+    val mk = make + "\u0000"
+    val md = model + "\u0000"
+    val dt = datetime + "\u0000"
+    val entries = 4
+    val dataStart = 8 + 2 + entries * 12 + 4 // header + count + ifd + next
+    val tiff = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (littleEndian) { tiff.write(v & 0xff); tiff.write((v >> 8) & 0xff) }
+      else { tiff.write((v >> 8) & 0xff); tiff.write(v & 0xff) }
+    def w32(v: Int): Unit =
+      if (littleEndian) { tiff.write(v & 0xff); tiff.write((v >> 8) & 0xff)
+        tiff.write((v >> 16) & 0xff); tiff.write((v >> 24) & 0xff) }
+      else { tiff.write((v >> 24) & 0xff); tiff.write((v >> 16) & 0xff)
+        tiff.write((v >> 8) & 0xff); tiff.write(v & 0xff) }
+    tiff.write(if (littleEndian) 'I' else 'M')
+    tiff.write(if (littleEndian) 'I' else 'M')
+    w16(42); w32(8) // IFD0 at offset 8
+    w16(entries)
+    var dataOff = dataStart
+    val pending = new java.io.ByteArrayOutputStream()
+    def asciiEntry(tag: Int, s: String): Unit = {
+      w16(tag); w16(2); w32(s.length)
+      if (s.length <= 4) {
+        var k = 0
+        while (k < 4) { tiff.write(if (k < s.length) s.charAt(k) else 0); k += 1 }
+      } else {
+        w32(dataOff); dataOff += s.length
+        var k = 0
+        while (k < s.length) { pending.write(s.charAt(k)); k += 1 }
+      }
+    }
+    asciiEntry(0x010F, mk) // ascending tag order per TIFF 6.0
+    asciiEntry(0x0110, md)
+    w16(0x0112); w16(3); w32(1) // orientation SHORT
+    if (littleEndian) { tiff.write(orientation & 0xff)
+      tiff.write((orientation >> 8) & 0xff); tiff.write(0); tiff.write(0) }
+    else { tiff.write((orientation >> 8) & 0xff)
+      tiff.write(orientation & 0xff); tiff.write(0); tiff.write(0) }
+    asciiEntry(0x0132, dt)
+    w32(0) // no next IFD
+    pending.toByteArray.foreach(v => tiff.write(v.toInt))
+    val t = tiff.toByteArray
+    val seg = new java.io.ByteArrayOutputStream()
+    seg.write(0xFF); seg.write(0xE1)
+    val len = 2 + 6 + t.length
+    seg.write((len >> 8) & 0xff); seg.write(len & 0xff)
+    "Exif".foreach(c => seg.write(c)); seg.write(0); seg.write(0)
+    seg.write(t, 0, t.length)
+    seg.toByteArray
+  }
+
+  /** The dHash fixture JPEG with an EXIF APP1 spliced after SOI —
+   * imageio still decodes it (APPn segments are skippable), so the
+   * SAME payload serves both the metadata walk and the dHash family. */
+  def jpegWithExif(docId: Long, orientation: Int, datetime: String,
+                   make: String, model: String,
+                   littleEndian: Boolean): Array[Byte] = {
+    val jpeg = dhashImageJpeg(docId)
+    val app1 = exifApp1(orientation, datetime, make, model, littleEndian)
+    val out = new Array[Byte](jpeg.length + app1.length)
+    out(0) = jpeg(0); out(1) = jpeg(1) // SOI
+    System.arraycopy(app1, 0, out, 2, app1.length)
+    System.arraycopy(jpeg, 2, out, 2 + app1.length, jpeg.length - 2)
+    out
+  }
+
   /**
    * Deterministic PNG generator (for tests/fixtures): pixel (x, y) of
    * image `seed` is a pure function of (x, y, seed), encoded by the JDK

@@ -17,7 +17,7 @@ class GraphDeltaSpec extends SparkSpec {
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
     df.select(cols.map(c => col(c).cast("string")): _*)
-      .collect().map(_.mkString("")).toSeq.sorted
+      .collect().map(_.mkString("\u0001")).toSeq.sorted
   }
 
   private def applied(touchSubclass: Boolean): GraphDelta.Applied = {

@@ -527,6 +527,29 @@ class MultimodalSpec extends SparkSpec {
       id3Size = 64)).isEmpty)
   }
 
+  test("jpeg exif: both byte orders, both ASCII shapes, imageio coexistence") {
+    import graft.operators.Multimodal._
+    for (le <- Seq(true, false)) {
+      val j = jpegWithExif(7L, 6, "2026:08:16 12:34:56", "CamCo", "M1", le)
+      // make (6 bytes incl NUL) rides the OFFSET shape, model (3) the
+      // INLINE shape; orientation is an endian-sensitive SHORT
+      assert(jpegExif(j) ==
+        Some((6, "2026:08:16 12:34:56", "CamCo", "M1")), s"le=$le")
+      // the APP1 splice is invisible to the pixel path: imageio still
+      // decodes and the dHash equals the un-spliced fixture's
+      assert(imageDHash(j) == imageDHash(dhashImageJpeg(7L)), s"le=$le")
+    }
+    // EXIF-less JPEG, non-JPEG, and truncated APP1 all yield None
+    assert(jpegExif(dhashImageJpeg(7L)).isEmpty)
+    assert(jpegExif("not a jpeg".getBytes("US-ASCII")).isEmpty)
+    val whole = jpegWithExif(7L, 1, "2026:01:01 00:00:00", "C", "M", true)
+    assert(jpegExif(java.util.Arrays.copyOf(whole, 40)).isEmpty)
+    // a bad TIFF magic degrades (corrupt EXIF, never wrong values)
+    val corrupt = whole.clone()
+    corrupt(12) = 0x7F // inside the TIFF header
+    assert(jpegExif(corrupt) != jpegExif(whole))
+  }
+
   test("webp: all three container shapes parse; ANMF payloads don't shadow") {
     // fixture round-trips across lanes and ids (dims/alpha/frames all
     // follow the closed form)
