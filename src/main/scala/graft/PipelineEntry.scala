@@ -2797,6 +2797,28 @@ object PipelineEntry {
       Multimodal.mp3MetadataFrame(s, audio).orderBy("id")
     }),
 
+    // P166 — ID3v2 text frames (the audio twin of the EXIF walk:
+    // title/artist/album are what audio-corpus curation joins on):
+    // pure-JDK tag walk over BOTH tag versions (halves ride v2.4
+    // syncsafe frame sizes and v2.3 plain 32-bit — a real-world
+    // divergence) and all FOUR text encodings (ISO-8859-1 / UTF-16
+    // BOM / UTF-16BE / UTF-8 by id%4); the tag rides in front of real
+    // MPEG frames, so the p164 walk and this one read ONE payload.
+    // Oracle: every field from the fixture formulas closed-form.
+    "p166_id3_tags" -> ((s, dir) => {
+      import s.implicits._
+      val audio = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val tag = Multimodal.id3v2(
+            ver = if (id % 2 == 0) 4 else 3,
+            title = s"Track $id", artist = s"Artist ${id % 50}",
+            album = s"Album ${id % 20}", enc = (id % 4).toInt)
+          (id, tag ++ Multimodal.generateMp3(nFrames = 2, brIdx = 9,
+            srIdx = 0))
+        }).toDF("id", "payload")
+      Multimodal.id3TagsFrame(s, audio).orderBy("id")
+    }),
+
     // P165 — JPEG EXIF metadata (the columns image-corpus curation
     // filters and joins on — orientation for decode-free rotation
     // normalization, capture time, camera make/model; LAION-class
@@ -6473,6 +6495,15 @@ SELECT doc_id AS id,
   (2 + doc_id % 7)::BIGINT AS n_frames,
   ((2 + doc_id % 7) * 1152000
     // ([44100,48000,32000])[(doc_id % 3 + 1)::INT])::BIGINT AS duration_ms
+FROM documents ORDER BY id""",
+
+    // p166: the tag fields re-derived closed-form — a version-size,
+    // encoding, or frame-walk slip diverges rows.
+    "p166_id3_tags" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT doc_id AS id, 'Track ' || doc_id AS title,
+  'Artist ' || (doc_id % 50) AS artist,
+  'Album ' || (doc_id % 20) AS album
 FROM documents ORDER BY id""",
 
     // p165: every EXIF field re-derived from the fixture formulas —

@@ -319,6 +319,128 @@ object Multimodal {
         "n_frames", "duration_ms")
   }
 
+  // ------------------------------------------- ID3v2 text frames (P166)
+
+  /**
+   * ID3v2 text frames of an MP3 (P166 — the audio twin of the EXIF
+   * walk: title/artist/album are what audio-corpus curation joins
+   * on): a pure-JDK tag walk (public: id3.org ID3v2.3/2.4 informal
+   * standards) — the 10-byte header's syncsafe size bounds the tag,
+   * then frames of (4-char id, size — SYNCSAFE in v2.4, plain 32-bit
+   * BE in v2.3 (a real-world divergence readers must honor), 2 flag
+   * bytes, payload). Text frames carry a leading encoding byte: 0 =
+   * ISO-8859-1, 1 = UTF-16 with BOM, 2 = UTF-16BE, 3 = UTF-8 — all
+   * four decode via the JDK. Reads TIT2 (title), TPE1 (artist), TALB
+   * (album); a zero byte where a frame id should start is padding
+   * (end of frames). None when there is no ID3v2 header or none of
+   * the three frames parses — absent metadata, never wrong. */
+  def id3Tags(payload: Array[Byte]): Option[(String, String, String)] = {
+    if (payload.length < 10 || payload(0) != 'I' || payload(1) != 'D' ||
+      payload(2) != '3') return None
+    val ver = payload(3) & 0xff
+    if (ver != 3 && ver != 4) return None
+    def syncsafe(o: Int): Int =
+      ((payload(o) & 0x7f) << 21) | ((payload(o + 1) & 0x7f) << 14) |
+        ((payload(o + 2) & 0x7f) << 7) | (payload(o + 3) & 0x7f)
+    val end = math.min(10L + syncsafe(6), payload.length.toLong).toInt
+    var title: String = null
+    var artist: String = null
+    var album: String = null
+    var i = 10
+    var done = false
+    while (!done && i + 10 <= end) {
+      if (payload(i) == 0) done = true // padding region
+      else {
+        val id = new String(payload, i, 4, "US-ASCII")
+        val fsize =
+          if (ver == 4) syncsafe(i + 4)
+          else ((payload(i + 4) & 0xff) << 24) |
+            ((payload(i + 5) & 0xff) << 16) |
+            ((payload(i + 6) & 0xff) << 8) | (payload(i + 7) & 0xff)
+        if (fsize < 0 || i + 10 + fsize > end) done = true
+        else {
+          if ((id == "TIT2" || id == "TPE1" || id == "TALB") && fsize >= 1) {
+            val cs = (payload(i + 10) & 0xff) match {
+              case 0 => "ISO-8859-1"
+              case 1 => "UTF-16" // BOM-led
+              case 2 => "UTF-16BE"
+              case 3 => "UTF-8"
+              case _ => null
+            }
+            if (cs != null) {
+              var t = new String(payload, i + 11, fsize - 1, cs)
+              while (t.nonEmpty && t.last == '\u0000') t = t.init
+              id match {
+                case "TIT2" => title = t
+                case "TPE1" => artist = t
+                case _ => album = t
+              }
+            }
+          }
+          i += 10 + fsize
+        }
+      }
+    }
+    if (title == null && artist == null && album == null) None
+    else Some((title, artist, album))
+  }
+
+  /** Batched frame twin of [[id3Tags]]: (id, title, artist, album);
+   * tag-less payloads drop. */
+  def id3TagsFrame(spark: SparkSession, audio: DataFrame,
+                   idCol: String = "id",
+                   payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    audio.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        id3Tags(payload).map { case (t, a, al) => (id, t, a, al) }
+      })
+      .toDF("id", "title", "artist", "album")
+  }
+
+  /** ID3v2 fixture writer: a v2.`ver` tag with TIT2/TPE1/TALB text
+   * frames in encoding `enc` (0/1/2/3) plus trailing padding, sized
+   * and framed exactly as [[id3Tags]] reads — v2.4 syncsafe frame
+   * sizes, v2.3 plain 32-bit. */
+  def id3v2(ver: Int, title: String, artist: String, album: String,
+            enc: Int, padding: Int = 16): Array[Byte] = {
+    require(ver == 3 || ver == 4, "ID3v2.3 or v2.4")
+    def encode(s: String): Array[Byte] = enc match {
+      case 0 => s.getBytes("ISO-8859-1")
+      case 1 => Array(0xFE.toByte, 0xFF.toByte) ++ s.getBytes("UTF-16BE")
+      case 2 => s.getBytes("UTF-16BE")
+      case _ => s.getBytes("UTF-8")
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    def frame(fid: String, text: String): Unit = {
+      val data = encode(text)
+      val fsize = 1 + data.length
+      fid.foreach(c => body.write(c))
+      if (ver == 4) {
+        body.write((fsize >> 21) & 0x7f); body.write((fsize >> 14) & 0x7f)
+        body.write((fsize >> 7) & 0x7f); body.write(fsize & 0x7f)
+      } else {
+        body.write((fsize >> 24) & 0xff); body.write((fsize >> 16) & 0xff)
+        body.write((fsize >> 8) & 0xff); body.write(fsize & 0xff)
+      }
+      body.write(0); body.write(0) // flags
+      body.write(if (enc > 3) 3 else enc)
+      body.write(data, 0, data.length)
+    }
+    frame("TIT2", title); frame("TPE1", artist); frame("TALB", album)
+    var k = 0
+    while (k < padding) { body.write(0); k += 1 }
+    val b = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(ver); out.write(0); out.write(0)
+    out.write((b.length >> 21) & 0x7f); out.write((b.length >> 14) & 0x7f)
+    out.write((b.length >> 7) & 0x7f); out.write(b.length & 0x7f)
+    out.write(b, 0, b.length)
+    out.toByteArray
+  }
+
   // ------------------------------------------- JPEG EXIF metadata (P165)
 
   /**

@@ -527,6 +527,27 @@ class MultimodalSpec extends SparkSpec {
       id3Size = 64)).isEmpty)
   }
 
+  test("id3v2: both versions, all four encodings, padding, composition") {
+    import graft.operators.Multimodal._
+    for (ver <- Seq(3, 4); enc <- 0 to 3) {
+      // non-ASCII but <= U+00FF, so even the ISO-8859-1 lane
+      // round-trips the exact strings
+      val tag = id3v2(ver, "Tïtle", "Ärtist", "Albúm", enc)
+      assert(id3Tags(tag) == Some(("Tïtle", "Ärtist", "Albúm")),
+        s"ver=$ver enc=$enc")
+      // composition: the tag in front of real frames — BOTH walks read
+      val payload = tag ++ generateMp3(nFrames = 3, brIdx = 9, srIdx = 0)
+      assert(id3Tags(payload) == Some(("Tïtle", "Ärtist", "Albúm")))
+      assert(mp3Metadata(payload).map(_._5) == Some(3L), s"ver=$ver enc=$enc")
+    }
+    // tag-less, truncated, and non-ID3 payloads yield none
+    assert(id3Tags(generateMp3(3, 9, 0)).isEmpty)
+    val t = id3v2(4, "A", "B", "C", 3)
+    assert(id3Tags(java.util.Arrays.copyOf(t, 14)).isEmpty)
+    assert(id3Tags("ID3 but not really a tag at all".getBytes("US-ASCII"))
+      .isEmpty)
+  }
+
   test("jpeg exif: both byte orders, both ASCII shapes, imageio coexistence") {
     import graft.operators.Multimodal._
     for (le <- Seq(true, false)) {
