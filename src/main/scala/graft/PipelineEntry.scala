@@ -2797,6 +2797,39 @@ object PipelineEntry {
       Multimodal.mp3MetadataFrame(s, audio).orderBy("id")
     }),
 
+    // P167 — EXIF-orientation-normalized dedup (what p165's
+    // orientation column is FOR: a phone photo stored rotated with
+    // orientation=6 and its upright twin are the same image, but
+    // their raw dHashes differ in ~half the bits — orientation-blind
+    // dedup misses every rotated duplicate): normalizeOrientation
+    // decodes, reads the EXIF tag, applies the display transform
+    // (all 8 JEITA values — rotations, flips, transposes), re-encodes
+    // PNG losslessly; the SHARED dHash + hamming join then pairs the
+    // stored-rotated capture with its upright twin at distance 0.
+    // The fixture's cell design makes every dHash comparison decisive
+    // by >= 80 gray levels, so single-JPEG DC error cannot flip a
+    // bit — the pairing is exact by construction, not by tolerance.
+    // Lanes cycle orientations 2/3/5/6/7/8 over the %3==2 docs.
+    "p167_exif_orientation" -> ((s, dir) => {
+      import s.implicits._
+      val lanes = Seq(2, 3, 5, 6, 7, 8)
+      val imgs = docs(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          if (id % 3 == 2) {
+            val o = lanes(((id / 3) % 6).toInt)
+            Seq((id * 10, Multimodal.orientJpeg(id, 1)),
+              (id * 10 + 1, Multimodal.orientJpeg(id, o)))
+          } else Nil
+        }.toDF("id", "payload")
+      val normalized = imgs.select(col("id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, p) =>
+          Multimodal.normalizeOrientation(p).map((id, _))
+        }).toDF("id", "payload")
+      Dedup.hammingPairs64(Multimodal.imageDHashes(s, normalized))
+        .orderBy("id_a", "id_b")
+    }),
+
     // P166 — ID3v2 text frames (the audio twin of the EXIF walk:
     // title/artist/album are what audio-corpus curation joins on):
     // pure-JDK tag walk over BOTH tag versions (halves ride v2.4
@@ -6496,6 +6529,14 @@ SELECT doc_id AS id,
   ((2 + doc_id % 7) * 1152000
     // ([44100,48000,32000])[(doc_id % 3 + 1)::INT])::BIGINT AS duration_ms
 FROM documents ORDER BY id""",
+
+    // p167: each upright/rotated pair lands at hamming 0 — a
+    // transform-direction, dimension-swap, or EXIF-read slip breaks
+    // most rows (half the bits flip under a wrong rotation).
+    "p167_exif_orientation" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet'))
+SELECT doc_id * 10 AS id_a, doc_id * 10 + 1 AS id_b, 0::BIGINT AS hamming
+FROM documents WHERE doc_id % 3 = 2 ORDER BY id_a, id_b""",
 
     // p166: the tag fields re-derived closed-form — a version-size,
     // encoding, or frame-walk slip diverges rows.

@@ -319,6 +319,153 @@ object Multimodal {
         "n_frames", "duration_ms")
   }
 
+  // --------------------------------- EXIF orientation normalize (P167)
+
+  /** Apply an EXIF orientation's DISPLAY transform to a pixel array
+   * (JEITA CP-3451 Table 4 semantics: the stored image becomes the
+   * upright one): 1 identity, 2 flip-H, 3 rot180, 4 flip-V,
+   * 5 transpose, 6 rot90 CW, 7 transverse, 8 rot270 CW. Returns
+   * (pixels, width, height) — 5..8 swap the dims. */
+  private[graft] def orientToDisplay(px: Array[Int], w: Int, h: Int,
+                                     o: Int): (Array[Int], Int, Int) = {
+    if (o <= 1 || o > 8) return (px, w, h)
+    val swap = o >= 5
+    val dw = if (swap) h else w
+    val dh = if (swap) w else h
+    val out = new Array[Int](px.length)
+    var dy = 0
+    while (dy < dh) {
+      var dx = 0
+      while (dx < dw) {
+        val (sx, sy) = o match {
+          case 2 => (w - 1 - dx, dy)
+          case 3 => (w - 1 - dx, h - 1 - dy)
+          case 4 => (dx, h - 1 - dy)
+          case 5 => (dy, dx)
+          case 6 => (dy, h - 1 - dx) // stored rotated 90 CW to display
+          case 7 => (w - 1 - dy, h - 1 - dx)
+          case _ => (w - 1 - dy, dx) // 8: rotate 270 CW
+        }
+        out(dy * dw + dx) = px(sy * w + sx)
+        dx += 1
+      }
+      dy += 1
+    }
+    (out, dw, dh)
+  }
+
+  /** The orientation whose display transform INVERTS `o`'s (fixture
+   * side: store = inverse-display of upright). Only 6/8 differ. */
+  private[graft] def inverseOrientation(o: Int): Int = o match {
+    case 6 => 8
+    case 8 => 6
+    case x => x
+  }
+
+  /**
+   * EXIF-orientation-normalized image bytes (P167 — the LAION-style
+   * decode-level normalization BEFORE perceptual hashing: a phone
+   * photo stored rotated with orientation=6 and its upright twin are
+   * the SAME image, but their raw dHashes differ in ~half the bits,
+   * so orientation-blind dedup misses every rotated duplicate):
+   * decode via imageio, read the EXIF orientation (JPEG APP1; absent
+   * or invalid = 1), apply the display transform, re-encode PNG
+   * (lossless — downstream hashing sees exact upright pixels). None
+   * when the payload doesn't decode. */
+  def normalizeOrientation(payload: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val o = jpegExif(payload).map(_._1).filter(v => v >= 1 && v <= 8)
+          .getOrElse(1)
+        val (px, dw, dh) =
+          orientToDisplay(img.getRGB(0, 0, w, h, null, 0, w), w, h, o)
+        val upright = new java.awt.image.BufferedImage(
+          dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        upright.setRGB(0, 0, dw, dh, px, 0, dw)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(upright, "png", out)
+        Some(out.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Cell gray of the ORIENTATION fixture — engineered so every dHash
+   * comparison is decisive by >= 80 gray levels (odd columns pinned
+   * at 120, even columns 40 or 200 by a per-(doc,cell) bit), leaving
+   * double-JPEG DC error (~±8) no near-tie bits to flip, while ~40
+   * independent bits per doc keep cross-doc hashes ~28 bits apart. */
+  def orientCellGray(docId: Long, cx: Int, cy: Int): Int =
+    if (cx % 2 == 1) 120
+    else {
+      var z = docId * 0x9E3779B97F4A7C15L + cx * 0xC2B2AE3D27D4EB4FL +
+        cy * 0x165667B19E3779F9L
+      z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+      z ^= z >>> 27
+      if ((z & 1L) == 0L) 40 else 200
+    }
+
+  /** The dHash [[normalizeOrientation]] + [[imageDHash]] must produce
+   * for ANY orientation lane of doc `docId` — closed-form from the
+   * cell formula (specs recompute it; the oracle uses the pair list). */
+  def expectedOrientDHash(docId: Long): Long = {
+    var hash = 0L
+    var bit = 0
+    var cy = 0
+    while (cy < DHashGridH) {
+      var cx = 0
+      while (cx < DHashGridW - 1) {
+        if (orientCellGray(docId, cx, cy) < orientCellGray(docId, cx + 1, cy))
+          hash |= 1L << bit
+        bit += 1
+        cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
+  /** JPEG of the orientation fixture STORED under `orientation`: the
+   * upright 72x64 cell image is inverse-transformed, JPEG-encoded,
+   * and (when orientation != 1) an EXIF APP1 carrying the tag is
+   * spliced after SOI — exactly what a camera writes. */
+  def orientJpeg(docId: Long, orientation: Int): Array[Byte] = {
+    val w = DHashGridW * 8
+    val h = DHashGridH * 8
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = orientCellGray(docId, x / 8, y / 8)
+        px(y * w + x) = (v << 16) | (v << 8) | v
+        x += 1
+      }
+      y += 1
+    }
+    val (sp, sw, sh) = orientToDisplay(px, w, h,
+      inverseOrientation(orientation))
+    val img = new java.awt.image.BufferedImage(
+      sw, sh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, sw, sh, sp, 0, sw)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val jpeg = out.toByteArray
+    if (orientation == 1) jpeg
+    else {
+      val app1 = exifApp1(orientation, "2026:08:16 00:00:00", "Cam", "M",
+        littleEndian = orientation % 2 == 0)
+      val spliced = new Array[Byte](jpeg.length + app1.length)
+      spliced(0) = jpeg(0); spliced(1) = jpeg(1)
+      System.arraycopy(app1, 0, spliced, 2, app1.length)
+      System.arraycopy(jpeg, 2, spliced, 2 + app1.length, jpeg.length - 2)
+      spliced
+    }
+  }
+
   // ------------------------------------------- ID3v2 text frames (P166)
 
   /**

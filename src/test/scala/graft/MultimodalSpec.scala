@@ -548,6 +548,32 @@ class MultimodalSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("exif orientation: all 8 lanes normalize to the closed-form hash") {
+    import graft.operators.Multimodal._
+    val want = expectedOrientDHash(11L)
+    for (o <- 1 to 8) {
+      val stored = orientJpeg(11L, o)
+      if (o >= 5) { // dims swapped on the wire for transposing lanes
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(stored))
+        assert(img.getWidth == 64 && img.getHeight == 72, s"o=$o")
+      }
+      val normalized = normalizeOrientation(stored)
+      assert(normalized.isDefined, s"o=$o")
+      assert(imageDHash(normalized.get) == Some(want), s"o=$o")
+      // WITHOUT normalization the rotated lanes hash far away — the
+      // gap this operator exists to close
+      if (o >= 5)
+        assert(imageDHash(stored).exists(h =>
+          java.lang.Long.bitCount(h ^ want) > 3), s"o=$o raw")
+    }
+    // a PNG (no EXIF walk) and an EXIF-less JPEG normalize as identity
+    assert(normalizeOrientation(dhashImagePng(11L, 0))
+      .flatMap(imageDHash) == Some(expectedDHash(11L)))
+    // junk does not normalize
+    assert(normalizeOrientation("junk".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("jpeg exif: both byte orders, both ASCII shapes, imageio coexistence") {
     import graft.operators.Multimodal._
     for (le <- Seq(true, false)) {
