@@ -2797,6 +2797,52 @@ object PipelineEntry {
       Multimodal.mp3MetadataFrame(s, audio).orderBy("id")
     }),
 
+    // P168 — subtitle/caption parsing (the text half of video-text
+    // corpus curation: WebVTT and SRT carry the aligned transcripts
+    // caption datasets train on): one row per cue with exact-integer
+    // millisecond bounds, the whole parse codegen'd Column work (cue
+    // split, positional timing-line find, regexp timestamp decompose)
+    // — one scan, one generator, no UDF, no shuffle. Halves ride VTT
+    // (header block, cue-id lines, dot milliseconds, a settings
+    // suffix on the timing line) and SRT (index lines, comma
+    // milliseconds); the id/index lines must NOT leak into the text.
+    // Oracle re-derives every cue closed-form.
+    "p168_subtitles" -> ((s, dir) => {
+      val id = col("doc_id")
+      val j = col("j")
+      val startMs = (id * 7 + j * 3) * 1000 + pmod(id, lit(1000))
+      val endMs = startMs + 2000 + j * 500
+      def ts(ms: org.apache.spark.sql.Column, comma: Boolean) = {
+        def fld(d: Long, m: Long) =
+          pmod((ms / d).cast("long"), lit(m)) // floor-div then wrap
+        format_string(if (comma) "%02d:%02d:%02d,%03d"
+          else "%02d:%02d:%02d.%03d",
+          (ms / 3600000).cast("long"), fld(60000, 60), fld(1000, 60),
+          pmod(ms, lit(1000)))
+      }
+      val vtt = concat(lit("cue-"), j, lit("\n"),
+        ts(startMs, comma = false), lit(" --> "),
+        ts(endMs, comma = false), lit(" align:start\n"),
+        lit("line one of cue "), j, lit("\n"),
+        lit("and doc "), id, lit(" line two"))
+      val srt = concat((j + 1).cast("string"), lit("\n"),
+        ts(startMs, comma = true), lit(" --> "), ts(endMs, comma = true),
+        lit("\nline one of cue "), j, lit("\nand doc "), id,
+        lit(" line two"))
+      val body = docs(s, dir).select(id,
+        explode(sequence(lit(0L), pmod(id, lit(4)))).as("j"))
+        .groupBy("doc_id")
+        .agg(concat_ws("\n\n",
+          array_sort(collect_list(struct(col("j"),
+            when(pmod(id, lit(2)) === 0, vtt).otherwise(srt).as("c"))))
+            .getField("c")).as("cues"))
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit("WEBVTT\n\n"), col("cues")))
+            .otherwise(col("cues")).as("body"))
+      Subtitles.cues(body).orderBy("id", "cue_idx")
+    }),
+
     // P167 — EXIF-orientation-normalized dedup (what p165's
     // orientation column is FOR: a phone photo stored rotated with
     // orientation=6 and its upright twin are the same image, but
@@ -6529,6 +6575,19 @@ SELECT doc_id AS id,
   ((2 + doc_id % 7) * 1152000
     // ([44100,48000,32000])[(doc_id % 3 + 1)::INT])::BIGINT AS duration_ms
 FROM documents ORDER BY id""",
+
+    // p168: every cue re-derived closed-form — a timestamp-decompose,
+    // settings-suffix, header-block, or id-line-leak slip diverges.
+    "p168_subtitles" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+c AS (SELECT doc_id, t.j FROM documents,
+        unnest(generate_series(0, doc_id % 4)) AS t(j)),
+e AS (SELECT doc_id AS id, j, (doc_id % 2 = 0) AS isvtt,
+        (doc_id*7 + j*3)*1000 + doc_id % 1000 AS sms FROM c)
+SELECT id, (j + CASE WHEN isvtt THEN 1 ELSE 0 END)::BIGINT AS cue_idx,
+  sms::BIGINT AS start_ms, (sms + 2000 + j*500)::BIGINT AS end_ms,
+  'line one of cue ' || j || ' and doc ' || id || ' line two' AS text
+FROM e ORDER BY id, cue_idx""",
 
     // p167: each upright/rotated pair lands at hamming 0 — a
     // transform-direction, dimension-swap, or EXIF-read slip breaks
