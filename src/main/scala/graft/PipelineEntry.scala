@@ -2797,6 +2797,49 @@ object PipelineEntry {
       Multimodal.mp3MetadataFrame(s, audio).orderBy("id")
     }),
 
+    // P169 — canonical-link + OpenGraph extraction feeding
+    // canonical-aware URL dedup (the key URL dedup SHOULD group on:
+    // a page's own <link rel=canonical> collapses print/mobile/
+    // tracking variants the fetch URL cannot — the C4/CCNet-class
+    // practice; og:title/description are the page's self-description):
+    // quarters ride an ABSOLUTE shared canonical (groups of three
+    // fetch URLs collapse to one key — the is_kept window keeps the
+    // min), a ROOT-RELATIVE self canonical (resolution through the
+    // link graph's base-aware chain is load-bearing), and two
+    // canonical-less lanes falling back to the page URL; og:title
+    // alternates property=/name= spellings, og:description rides
+    // thirds. Oracle re-derives every field + the window verdict.
+    "p169_canonical_meta" -> ((s, dir) => {
+      val id = col("doc_id")
+      val h = pmod(id, lit(50))
+      val own = concat(lit("https://Site-"), h, lit(".example.com/p/"),
+        id, lit("?b=2&a=1"))
+      val canonTag =
+        when(id % 4 === 0,
+          concat(lit("<link rel=\"canonical\" " +
+            "href=\"https://Canon.example.org/c/"),
+            id - pmod(id, lit(12)), lit("\">")))
+        .when(id % 4 === 2,
+          concat(lit("<link href='/self/"), id, lit("' rel=canonical>")))
+        .otherwise(lit("<link rel=\"stylesheet\" href=\"/s.css\">"))
+      val ogTitle = when(id % 2 === 0,
+          concat(lit("<meta property=\"og:title\" content=\"T "), id,
+            lit("\">")))
+        .otherwise(concat(lit("<meta name=og:title content=\"T "), id,
+          lit("\">")))
+      val ogDesc = when(id % 3 === 0,
+        concat(lit("<meta property=\"og:description\" content=\"D "),
+          pmod(id, lit(7)), lit("\">"))).otherwise(lit(""))
+      val pages = docs(s, dir).select(id, own.as("url"),
+        concat(lit("<html><head>"), canonTag, ogTitle, ogDesc,
+          lit("</head><body><p>x</p></body></html>")).as("html"))
+      import org.apache.spark.sql.expressions.Window
+      Html.canonicalMeta(pages)
+        .withColumn("is_kept", col("id") ===
+          min(col("id")).over(Window.partitionBy(col("effective_key"))))
+        .orderBy("id")
+    }),
+
     // P168 — subtitle/caption parsing (the text half of video-text
     // corpus curation: WebVTT and SRT carry the aligned transcripts
     // caption datasets train on): one row per cue with exact-integer
@@ -6575,6 +6618,28 @@ SELECT doc_id AS id,
   ((2 + doc_id % 7) * 1152000
     // ([44100,48000,32000])[(doc_id % 3 + 1)::INT])::BIGINT AS duration_ms
 FROM documents ORDER BY id""",
+
+    // p169: fields + the dedup window verdict re-derived closed-form —
+    // a rel-token, attr-order, resolution, or first-wins slip diverges.
+    "p169_canonical_meta" ->
+      s"""WITH documents AS (SELECT * FROM read_parquet('$Sf/documents.parquet')),
+e AS (SELECT doc_id AS id,
+  'site-' || (doc_id % 50) || '.example.com/p/' || doc_id
+    || '?a=1&b=2' AS page_url,
+  CASE WHEN doc_id % 4 = 0
+         THEN 'canon.example.org/c/' || (doc_id - doc_id % 12)
+       WHEN doc_id % 4 = 2
+         THEN 'site-' || (doc_id % 50) || '.example.com/self/' || doc_id
+       ELSE NULL END AS canonical_url,
+  'T ' || doc_id AS og_title,
+  CASE WHEN doc_id % 3 = 0 THEN 'D ' || (doc_id % 7)
+       ELSE NULL END AS og_description
+ FROM documents),
+k AS (SELECT *, coalesce(canonical_url, page_url) AS effective_key FROM e)
+SELECT id, page_url, canonical_url, og_title, og_description,
+  effective_key,
+  id = min(id) OVER (PARTITION BY effective_key) AS is_kept
+FROM k ORDER BY id""",
 
     // p168: every cue re-derived closed-form — a timestamp-decompose,
     // settings-suffix, header-block, or id-line-leak slip diverges.

@@ -210,6 +210,63 @@ object Html {
     struct(has("noindex").as("noindex"), has("nofollow").as("nofollow"))
   }
 
+  // ----------------------------------- canonical link + OpenGraph (P169)
+
+  private val LinkTagPattern: String = "(?is)<link\\b" + AttrWalk + "/?>"
+
+  /**
+   * Canonical-URL + OpenGraph metadata (P169 — what URL-level dedup
+   * SHOULD key on: a page's own `<link rel=canonical>` collapses the
+   * print/mobile/tracking variants the fetch URL cannot, which is why
+   * C4/CCNet-class pipelines prefer it; og:title/og:description are
+   * the page's self-description — prime quality and near-dup
+   * signals):
+   *  - `canonical_url`: the FIRST `<link rel=canonical href=...>` in
+   *    document order (as indexers take it), `rel` matched as an
+   *    exact token in its space-separated list, the href resolved
+   *    through the SAME base-aware chain + canonicalization as the
+   *    link graph so every URL key lives in one space; null when
+   *    absent or unresolvable.
+   *  - `og_title` / `og_description`: the first
+   *    `<meta property="og:...">` content — the `name=` spelling is
+   *    honored too (real pages carry both).
+   *  - `effective_key`: canonical when present else the page's own
+   *    canonicalized URL — the key canonical-aware dedup groups on.
+   * Plan shape: linkGraph's discipline — per-page derivations in one
+   * projection, no generator needed (all four outputs are firsts, not
+   * explosions), no shuffle.
+   */
+  def canonicalMeta(pages: DataFrame, idCol: String = "doc_id",
+                    urlCol: String = "url",
+                    htmlCol: String = "html"): DataFrame = {
+    def firstOrNull(arr: Column): Column = get(arr, lit(0))
+    val links = regexp_extract_all(col("__html"), lit(LinkTagPattern), lit(0))
+    val canonHref = firstOrNull(transform(
+      filter(links, t => lower(attrOf(t, "link", "rel"))
+        .rlike("(^|\\s)canonical(\\s|$)")),
+      t => attrOf(t, "link", "href")))
+    val metas = regexp_extract_all(col("__html"), lit(MetaTagPattern), lit(0))
+    def og(prop: String): Column = firstOrNull(transform(
+      filter(metas, m =>
+        lower(attrOf(m, "meta", "property")) === s"og:$prop" ||
+          lower(attrOf(m, "meta", "name")) === s"og:$prop"),
+      m => attrOf(m, "meta", "content")))
+    pages
+      .select(col(idCol).cast("long").as("id"),
+        UrlOps.canonicalizeUrl(col(urlCol)).as("page_url"),
+        basePartsOf(col(urlCol), col(htmlCol)).as("__bp"),
+        col(htmlCol).as("__html"))
+      .select(col("id"), col("page_url"),
+        when(canonHref.isNotNull && canonHref =!= "",
+          UrlOps.canonicalizeUrl(resolveWithDir(
+            col("__bp").getField("bhost"), col("__bp").getField("bdir"),
+            col("page_url"), canonHref))).as("canonical_url"),
+        og("title").as("og_title"),
+        og("description").as("og_description"))
+      .withColumn("effective_key",
+        coalesce(nullif(col("canonical_url"), lit("")), col("page_url")))
+  }
+
   /** Followable hrefs of a page: every `<a>` OPEN tag (same per-tag
    * coverage as `extractLinks` — unclosed anchors still count), minus
    * those whose `rel` list carries `nofollow` (exact token, either

@@ -687,6 +687,32 @@ class HtmlSpec extends SparkSpec {
     assert(mc.split("\n").contains(phrase), mc)
   }
 
+  test("canonicalMeta: first wins, rel token exact, base-aware, og spellings") {
+    def meta(html: String): (String, String, String) = {
+      val r = Html.canonicalMeta(Seq((1L, "https://Site-1.com/p?b=2&a=1",
+        html)).toDF("doc_id", "url", "html")).collect()(0)
+      (r.getAs[String]("canonical_url"), r.getAs[String]("og_title"),
+        r.getAs[String]("effective_key"))
+    }
+    // first canonical wins (document order, as indexers take it); the
+    // rel list may carry other tokens; 'canonicalize' is NOT the token
+    val multi = "<head><link rel=\"alternate canonical\" href=\"/a\">" +
+      "<link rel=canonical href=/b>" +
+      "<link rel=canonicalize href=/x></head>"
+    assert(meta(multi)._1 == "site-1.com/a")
+    // a <base href> re-roots a relative canonical (same chain as the
+    // link graph)
+    val based = "<head><base href=\"https://Other.org/d/x\">" +
+      "<link rel=canonical href=\"p2\"></head>"
+    assert(meta(based)._1 == "other.org/d/p2")
+    // og: property= and name= both honored; first wins; effective_key
+    // falls back to the page URL when no canonical exists
+    val og = "<head><meta name=\"og:title\" content=\"A\">" +
+      "<meta property=\"og:title\" content=\"B\"></head>"
+    val (c, t, k) = meta(og)
+    assert(c == null && t == "A" && k == "site-1.com/p?a=1&b=2")
+  }
+
   test("governedLinks: rel=nofollow drops the anchor, either attr order") {
     val h = "<a href=\"/a\">1</a> <a rel=\"nofollow\" href=\"/b\">2</a> " +
       "<a href=\"/c\" rel=nofollow>3</a> <a href=\"/d\" rel=\"me tag\">4</a> " +
