@@ -232,9 +232,11 @@ object Html {
    *    honored too (real pages carry both).
    *  - `effective_key`: canonical when present else the page's own
    *    canonicalized URL — the key canonical-aware dedup groups on.
-   * Plan shape: linkGraph's discipline — per-page derivations in one
-   * projection, no generator needed (all four outputs are firsts, not
-   * explosions), no shuffle.
+   * Plan shape: linkGraph's discipline — the link/meta walks land as
+   * `__canon_href`/`__og_*` in their OWN select (the CollapseProject
+   * cost guard then keeps each regexp walk evaluated once even though
+   * `__canon_href` is referenced three times above it), no generator
+   * needed (all four outputs are firsts, not explosions), no shuffle.
    */
   def canonicalMeta(pages: DataFrame, idCol: String = "doc_id",
                     urlCol: String = "url",
@@ -256,13 +258,16 @@ object Html {
         UrlOps.canonicalizeUrl(col(urlCol)).as("page_url"),
         basePartsOf(col(urlCol), col(htmlCol)).as("__bp"),
         col(htmlCol).as("__html"))
-      .select(col("id"), col("page_url"),
-        when(canonHref.isNotNull && canonHref =!= "",
-          UrlOps.canonicalizeUrl(resolveWithDir(
-            col("__bp").getField("bhost"), col("__bp").getField("bdir"),
-            col("page_url"), canonHref))).as("canonical_url"),
+      .select(col("id"), col("page_url"), col("__bp"),
+        canonHref.as("__canon_href"),
         og("title").as("og_title"),
         og("description").as("og_description"))
+      .select(col("id"), col("page_url"),
+        when(col("__canon_href").isNotNull && col("__canon_href") =!= "",
+          UrlOps.canonicalizeUrl(resolveWithDir(
+            col("__bp").getField("bhost"), col("__bp").getField("bdir"),
+            col("page_url"), col("__canon_href")))).as("canonical_url"),
+        col("og_title"), col("og_description"))
       .withColumn("effective_key",
         coalesce(nullif(col("canonical_url"), lit("")), col("page_url")))
   }
