@@ -2712,20 +2712,24 @@ object PipelineEntry {
       import s.implicits._
       val base = docs(s, dir).select(col("doc_id"), col("text"))
         .as[(Long, String)]
-      val standalone = base.flatMap { case (id, _) =>
-        if (id % 3 == 0) Some((id * 10, Multimodal.dhashImageJpeg(id)))
-        else None
-      }.toDF("id", "payload")
-      // dhashImageJpeg is deliberately called again here (fixture CPU
-      // is doubled but trivial): within one JVM the ImageIO JPEG
-      // encoder is deterministic, so the two doors carry identical
-      // bytes — which is the property the hamming-0 oracle checks
-      val pdfs = base.mapPartitions(_.map { case (id, t) =>
-        (id, if (id % 3 == 0)
-               Pdf.fixturePdfImage(id, t, Multimodal.dhashImageJpeg(id),
-                 (id % 2).toInt)
-             else Pdf.fixturePdf(id, t))
-      }).toDF("id", "payload")
+      // ONE JPEG encode per doc, BOTH doors emitted from the same
+      // closure evaluation, and the tagged frame eagerly
+      // localCheckpoint'ed so the two consumers read one
+      // materialization: the hamming-0 oracle must pin extraction
+      // being byte-exact, NOT the ImageIO encoder producing identical
+      // bytes across executor JVMs (advice-caught — on a
+      // heterogeneous cluster two independent encodes could differ).
+      val lanes = base.mapPartitions(_.flatMap { case (id, t) =>
+        if (id % 3 == 0) {
+          val jpeg = Multimodal.dhashImageJpeg(id)
+          Iterator(
+            (0, id * 10, jpeg),
+            (1, id, Pdf.fixturePdfImage(id, t, jpeg, (id % 2).toInt)))
+        } else Iterator((1, id, Pdf.fixturePdf(id, t)))
+      }).toDF("tag", "id", "payload").localCheckpoint()
+      val standalone = lanes.where(col("tag") === 0)
+        .select("id", "payload")
+      val pdfs = lanes.where(col("tag") === 1).select("id", "payload")
       val embedded = Pdf.extractImages(pdfs)
         .select((col("id") * 10 + 1 + col("image_idx")).as("id"),
           col("payload"))
@@ -2981,16 +2985,20 @@ object PipelineEntry {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
       val base = docs(s, dir).select(col("doc_id"), col("text"))
         .as[(Long, String)]
-      val standalone = base.flatMap { case (id, _) =>
-        if (id % 3 == 0) Some((id * 10, Multimodal.dhashImageJpeg(id)))
-        else None
-      }.toDF("id", "payload")
-      val pdfs = base.flatMap { case (id, t) =>
-        if (id % 3 == 0)
-          Some((id, Pdf.fixturePdfImage(id, t,
-            Multimodal.dhashImageJpeg(id), (id % 2).toInt)))
-        else None
-      }.toDF("id", "payload")
+      // Same single-encode discipline as p161: one JPEG per doc rides
+      // both doors from one closure evaluation, localCheckpoint'ed so
+      // neither consumer re-runs the encoder (advice-caught).
+      val lanes = base.mapPartitions(_.flatMap { case (id, t) =>
+        if (id % 3 == 0) {
+          val jpeg = Multimodal.dhashImageJpeg(id)
+          Iterator(
+            (0, id * 10, jpeg),
+            (1, id, Pdf.fixturePdfImage(id, t, jpeg, (id % 2).toInt)))
+        } else Iterator.empty
+      }).toDF("tag", "id", "payload").localCheckpoint()
+      val standalone = lanes.where(col("tag") === 0)
+        .select("id", "payload")
+      val pdfs = lanes.where(col("tag") === 1).select("id", "payload")
       WarcSource.export(pdfs, out, docsPerFile = 100, idCol = "id",
         bytesCol = Some("payload"), mime = "application/pdf")
       val recovered = WarcSource.records(s, out)

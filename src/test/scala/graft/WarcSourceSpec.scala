@@ -236,6 +236,39 @@ class WarcSourceSpec extends SparkSpec {
     assert(WarcSource.cdxLookup(index, Nil).count() == 0)
   }
 
+  test("cdxLookup: key canonicalization is driver-side — zero Spark jobs") {
+    // The point-lookup API must not pay a scheduling round-trip to
+    // surt its own literal arguments (r19-verdict-caught): the batch
+    // rides a LocalRelation, ConvertToLocalRelation folds the
+    // deterministic surtKey projection at optimization time, and the
+    // collect is a driver-side LocalTableScan. Pin: construct BOTH
+    // probe shapes, then run one sentinel job — listener events are
+    // delivered in order, so when the sentinel's start arrives, any
+    // job the construction had launched would already be counted.
+    val index = Seq(("org,example)/doc/1", "example.org/doc/1"))
+      .toDF("urlkey", "url")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      WarcSource.cdxLookup(index,
+        (0 until 4).map(i => s"https://example.org/doc/$i"))
+      WarcSource.cdxLookup(index,
+        (0 until 40).map(i => s"https://example.org/doc/$i"))
+      spark.sparkContext.parallelize(Seq(1)).count() // sentinel
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobs.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(jobs.get() == 1,
+        s"expected only the sentinel job, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("cdxDiff: added/removed/changed/same classification on urlkey") {
     val prev = Seq(
       ("com,a)/1", "d1"), ("com,a)/1", "d0"), // multi-capture: max = d1
