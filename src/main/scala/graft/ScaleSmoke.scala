@@ -864,6 +864,52 @@ object ScaleSmoke {
         require(!a.closureRebuilt)
         mat(a.graph.nodes, a.graph.edges, a.closure)
       }
+      // WRITE-path pruning — the second half of the G33 claim: at write
+      // level only the touched partition files rewrite (the untouched
+      // ones carry over physically; the reference re-streams everything
+      // per boot, plover.py:725, so it has no write level to prune).
+      // Both arms land the SAME post-delta zone-map table; the rebuild
+      // arm pays a full sorted write, the apply arm pays footer reads +
+      // the touched-subset rewrite.
+      locally {
+        import graft.sources.GraphStore
+        val storeDir = java.nio.file.Paths.get("target/scale-delta-store")
+        org.apache.commons.io.FileUtils.deleteQuietly(storeDir.toFile)
+        java.nio.file.Files.createDirectories(storeDir)
+        val tdir = storeDir.resolve("edges.parquet")
+        base.edges.sort(org.apache.spark.sql.functions.col("subject"))
+          .write.parquet(tdir.toString)
+        val stored = graft.model.PropertyGraph(
+          base.nodes, spark.read.parquet(tdir.toString))
+        val delta = TpchGraph.fixtureDelta(spark, sfDir)
+        val a = GraphDelta.apply(stored, baseClosure, delta, O.ontology)
+        val t0 = System.nanoTime()
+        val touched = GraphDelta.touchedEdgeKeys(
+          stored, delta, O.ontology, "subject")
+        val stats = GraphStore.deltaRewrite(
+          spark, tdir, "subject", touched, a.graph.edges)
+        val applySec = (System.nanoTime() - t0) / 1e9
+        val rdir = storeDir.resolve("edges_rebuild.parquet")
+        val t1 = System.nanoTime()
+        val (n2, e2) = TpchGraph.postDeltaRawFrames(spark, sfDir)
+        val g2 = GraphBuilder.build(n2, e2, O.ontology)
+        g2.edges.sort(org.apache.spark.sql.functions.col("subject"))
+          .write.parquet(rdir.toString)
+        val rebuildSec = (System.nanoTime() - t1) / 1e9
+        def dirBytes(p: java.nio.file.Path): Long = {
+          val s = java.nio.file.Files.walk(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala
+              .filter(java.nio.file.Files.isRegularFile(_))
+              .map(java.nio.file.Files.size).sum
+          } finally s.close()
+        }
+        println(f"delta write: apply rewrote ${stats.filesRewritten}/" +
+          f"${stats.filesTotal} files ${stats.bytesWritten / 1e6}%.2f MB " +
+          f"(carried ${stats.bytesCarried / 1e6}%.2f MB) $applySec%.2f s; " +
+          f"rebuild wrote ${dirBytes(rdir) / 1e6}%.2f MB $rebuildSec%.2f s")
+      }
     }
     spark.stop()
   }

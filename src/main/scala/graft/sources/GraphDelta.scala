@@ -161,6 +161,50 @@ object GraphDelta {
     untouched.unionByName(redenorm)
   }
 
+  /** Cluster keys of the NODES store table (clustered by `id`) the
+   * delta adds, removes, or modifies — [[GraphStore.deltaRewrite]]'s
+   * pruning input. Driver-bounded: exactly the delta's own key set. */
+  def touchedNodeIds(delta: KgxDelta): Seq[String] =
+    delta.nodeTombstones.select(col("id"))
+      .unionByName(delta.nodeUpserts.select(col("id")))
+      .distinct().collect().map(_.getString(0)).toSeq
+
+  /**
+   * Cluster keys of an EDGES store table (clustered by `keyCol` —
+   * `subject` for the forward table, `object` for edges_by_object)
+   * whose rows the delta adds, removes, or modifies:
+   *  - upserted/tombstoned edge_ids name rows wherever their BASE row
+   *    sits (one broadcast semi-join lookup — an upsert may also MOVE
+   *    an edge to a new key, so the canonicalized incoming rows'
+   *    keys count too);
+   *  - a dead or upserted node touches its edges on BOTH sides: the
+   *    same-side key is the node id itself, the other side needs the
+   *    base lookup (cascade deletes + the partition-wise denorm
+   *    refresh both rewrite those rows).
+   * Driver-bounded: the collect is the distinct key set of the rows
+   * the apply itself must rewrite — delta-scale by definition.
+   */
+  def touchedEdgeKeys(base: PropertyGraph, delta: KgxDelta,
+                      ont: Ontology, keyCol: String): Seq[String] = {
+    val otherCol = if (keyCol == "subject") "object" else "subject"
+    val nodeKeys = delta.nodeTombstones.select(col("id"))
+      .unionByName(delta.nodeUpserts.select(col("id"))).distinct()
+    val byEdgeId = delta.edgeTombstones.select(col("edge_id"))
+      .unionByName(delta.edgeUpserts.select(col("edge_id"))).distinct()
+    val oldRows = base.edges
+      .join(broadcast(byEdgeId), Seq("edge_id"), "left_semi")
+      .select(col(keyCol).as("k"))
+    val viaOther = base.edges
+      .join(broadcast(nodeKeys.withColumnRenamed("id", otherCol)),
+        Seq(otherCol), "left_semi")
+      .select(col(keyCol).as("k"))
+    val newRows = GraphBuilder.canonicalizeEdges(delta.edgeUpserts, ont)
+      .select(col(keyCol).as("k"))
+    nodeKeys.select(col("id").as("k"))
+      .unionByName(oldRows).unionByName(viaOther).unionByName(newRows)
+      .distinct().collect().map(_.getString(0)).toSeq
+  }
+
   /** Apply the whole delta: nodes, edges (denorm partition-wise),
    * closure (only when subclass edges changed), meta summary (always —
    * the caller derives it from the returned graph; it is one cheap

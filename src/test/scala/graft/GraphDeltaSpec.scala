@@ -132,6 +132,82 @@ class GraphDeltaSpec extends SparkSpec {
     }
   }
 
+  test("store delta rewrite: untouched partition files carry physically") {
+    import graft.sources.GraphStore
+    // a zone-map store table: globally range-partitioned + sorted on
+    // subject, many files so the fixture delta leaves most untouched
+    val dir = java.nio.file.Paths.get(
+      "target/test-delta-store/edges.parquet")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      dir.getParent.toFile)
+    java.nio.file.Files.createDirectories(dir.getParent)
+    val base0 = TpchGraph.build(spark, Sf)
+    base0.edges.repartitionByRange(16, col("subject"))
+      .sortWithinPartitions("subject")
+      .write.parquet(dir.toString)
+    def listing(): Map[String, (Long, java.nio.file.attribute.FileTime)] = {
+      val s = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => p.getFileName.toString ->
+            ((java.nio.file.Files.size(p),
+              java.nio.file.Files.getLastModifiedTime(p))))
+          .toMap
+      } finally s.close()
+    }
+    val before = listing()
+    assert(before.size >= 8, s"want a multi-file store, got $before")
+    // apply the delta against the STORED table (the serving shape)
+    val base = PropertyGraph(base0.nodes, spark.read.parquet(dir.toString))
+    val delta = TpchGraph.fixtureDelta(spark, Sf)
+    val closure = SubclassClosure.fromGraph(base, O.ontology)
+    val a = GraphDelta.apply(base, closure, delta, O.ontology)
+    val touched = GraphDelta.touchedEdgeKeys(
+      base, delta, O.ontology, "subject")
+    assert(touched.nonEmpty)
+    val stats = GraphStore.deltaRewrite(
+      spark, dir, "subject", touched, a.graph.edges)
+    val after = listing()
+    // the delta is key-local: some files rewrote, MOST carried — and
+    // every carried file is PHYSICALLY the same file (name+size+mtime),
+    // the 100-TB differentiator vs wholesale rewrite
+    assert(stats.filesRewritten > 0, stats.toString)
+    assert(stats.filesCarried > 0, stats.toString)
+    assert(stats.filesTotal == before.size, stats.toString)
+    val carried = after.keySet.intersect(before.keySet)
+      .filter(k => after(k) == before(k))
+    assert(carried.size == stats.filesCarried,
+      s"$stats vs physically-identical ${carried.size}")
+    assert(stats.bytesCarried == carried.map(k => before(k)._1).sum)
+    // and the swapped table IS the post-delta corpus: frame-equal to a
+    // from-scratch build (stale carried row or lost insert diverges)
+    val s = scratch(touchSubclass = false)
+    assert(canon(spark.read.parquet(dir.toString)) == canon(s.edges))
+  }
+
+  test("store delta rewrite: nodes table via touchedNodeIds") {
+    import graft.sources.GraphStore
+    val dir = java.nio.file.Paths.get(
+      "target/test-delta-store/nodes.parquet")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    java.nio.file.Files.createDirectories(dir.getParent)
+    val base0 = TpchGraph.build(spark, Sf)
+    base0.nodes.repartitionByRange(16, col("id"))
+      .sortWithinPartitions("id")
+      .write.parquet(dir.toString)
+    val base = PropertyGraph(spark.read.parquet(dir.toString), base0.edges)
+    val delta = TpchGraph.fixtureDelta(spark, Sf)
+    val newNodes = GraphDelta.applyNodes(base, delta, O.ontology)
+    val stats = GraphStore.deltaRewrite(spark, dir, "id",
+      GraphDelta.touchedNodeIds(delta), newNodes)
+    assert(stats.filesRewritten > 0 && stats.filesCarried > 0,
+      stats.toString)
+    val s = scratch(touchSubclass = false)
+    assert(canon(spark.read.parquet(dir.toString)) == canon(s.nodes))
+  }
+
   test("meta summary of the delta-applied graph == from-scratch") {
     val a = applied(touchSubclass = false)
     val s = scratch(touchSubclass = false)
