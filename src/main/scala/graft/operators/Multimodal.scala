@@ -371,17 +371,32 @@ object Multimodal {
    * decode via imageio, read the EXIF orientation (JPEG APP1; absent
    * or invalid = 1), apply the display transform, re-encode PNG
    * (lossless — downstream hashing sees exact upright pixels). None
-   * when the payload doesn't decode, or when it declares > 16 MP —
-   * the same decode-bomb ceiling as Pdf.rawSamplesToPng: past the
-   * cap this method would allocate several w*h int copies (getRGB,
-   * the transform output, the BufferedImage) before any other
-   * guard. */
+   * when the payload doesn't decode, or when its HEADER declares
+   * > 16 MP — the same decode-bomb ceiling as Pdf.rawSamplesToPng,
+   * checked via ImageReader.getWidth/getHeight BEFORE the decode
+   * allocates anything (review-caught: a post-ImageIO.read check
+   * guards nothing — the raster is already allocated), sparing the
+   * several additional w*h int copies (getRGB, the transform output,
+   * the upright BufferedImage) too. */
   def normalizeOrientation(payload: Array[Byte]): Option[Array[Byte]] =
     try {
-      val img = javax.imageio.ImageIO.read(
+      val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
+      val img: java.awt.image.BufferedImage =
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              if (reader.getWidth(0).toLong * reader.getHeight(0) >
+                (16L << 20)) null
+              else reader.read(0)
+            } finally reader.dispose()
+          }
+        } finally iis.close()
       if (img == null) None
-      else if (img.getWidth.toLong * img.getHeight > (16L << 20)) None
       else {
         val w = img.getWidth
         val h = img.getHeight

@@ -45,11 +45,6 @@ object GraphStore {
   private def root: Path =
     Paths.get(sys.env.getOrElse("SPARK_GRAFT_STORE", "target/graph-store"))
 
-  /** Physical parquet dir of table `name` for corpus `sfDir` (the
-   * delta-rewrite path and its specs address files directly). */
-  def tablePath(sfDir: String, name: String): Path =
-    root.resolve(md5(sfDir)).resolve(s"$name.parquet")
-
   private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
 
   private def md5(s: String): String =
@@ -180,14 +175,24 @@ object GraphStore {
    * Correctness contract: `touchedKeys` must cover every cluster key
    * whose rows the delta adds, removes, or modifies
    * ([[GraphDelta.touchedNodeIds]] / [[GraphDelta.touchedEdgeKeys]]
-   * derive them); keys must be non-null strings. All comparisons —
-   * the driver-side range checks here and the Spark-side range filter
-   * — use unsigned UTF-8 byte order, the same order parquet's BINARY
-   * statistics use. Files without usable key statistics are treated
-   * as touched (conservative: extra rewrite, never a stale row).
-   * Equal boundary keys can span adjacent files after a sorted write,
-   * so untouched files whose range overlaps a touched file's are
-   * cascaded into the rewrite set until disjoint.
+   * derive them). All comparisons — the driver-side range checks here
+   * and the Spark-side range filter — use unsigned UTF-8 byte order,
+   * the same order parquet's BINARY statistics use. NULL cluster keys
+   * are handled, not assumed away: any file whose footer reports null
+   * keys is rewritten, and the staged subset explicitly includes
+   * null-keyed rows — so null rows land exactly once (review-caught:
+   * three-valued logic would otherwise silently DROP them from
+   * `NOT(range-OR)`). A file whose footer lacks usable key statistics
+   * gets its real range from ONE bounded data scan of that single
+   * file — it must be rewritten anyway, and a scanned range (unlike a
+   * blind "treat as touched") still participates in the
+   * equal-boundary cascade below, so a boundary key it shares with an
+   * untouched neighbor cannot fall through the carried/staged split
+   * (review-caught row-loss scenario); an unreadable file fails the
+   * rewrite LOUDLY rather than risking silent loss. Equal boundary
+   * keys can span adjacent files after a sorted write, so untouched
+   * files whose range overlaps a rewritten file's are cascaded into
+   * the rewrite set until disjoint.
    *
    * Scale posture: O(files) footer reads + a rewrite job over the
    * touched subset; the untouched-range filter is an OR of bounded
@@ -206,65 +211,91 @@ object GraphStore {
                    touchedKeys: Seq[String],
                    postDelta: DataFrame): DeltaWriteStats = synchronized {
     import scala.jdk.CollectionConverters._
-    import org.apache.spark.sql.functions.{col, lit, not}
+    import org.apache.spark.sql.functions.{col, lit, max => smax,
+      min => smin, not, sum, when}
     require(Files.isDirectory(tableDir), s"no store table at $tableDir")
     def utf8(s: String): Array[Byte] = s.getBytes("UTF-8")
     def cmp(a: Array[Byte], b: Array[Byte]): Int =
       java.util.Arrays.compareUnsigned(a, b)
-    // Per part file: its key range from footer statistics, or a
-    // verdict when no range applies — ZeroRow files have nothing to go
-    // stale (carry); StatsGap files might (rewrite, conservative).
-    sealed trait Range
-    final case class Keys(min: Array[Byte], max: Array[Byte]) extends Range
-    case object ZeroRow extends Range
-    case object StatsGap extends Range
-    final case class PartFile(path: Path, size: Long, range: Range)
-    val parts: Seq[Path] = {
-      val s = Files.list(tableDir)
+    def partFiles(dir: Path): Seq[Path] = {
+      val s = Files.list(dir)
       try s.iterator().asScala.filter { p =>
         val n = p.getFileName.toString
         n.startsWith("part-") && n.endsWith(".parquet")
       }.toSeq.sortBy(_.getFileName.toString)
       finally s.close()
     }
+    // Per part file: key range over the non-null rows (None = no
+    // non-null rows), whether any null keys exist, whether it is
+    // row-free. Footer statistics answer all three without a data
+    // read; a file whose footer can't (missing chunk, unset null
+    // count, corrupt) pays ONE bounded scan of itself for the same
+    // facts — it will be rewritten regardless, and having its REAL
+    // range keeps it in the equal-boundary cascade (a blind
+    // treat-as-touched could strand a boundary key shared with a
+    // carried neighbor). An unreadable file throws: loud, never lossy.
+    final case class PartFile(path: Path, size: Long,
+                              range: Option[(Array[Byte], Array[Byte])],
+                              hasNulls: Boolean, zeroRow: Boolean)
     val hconf = spark.sparkContext.hadoopConfiguration
-    val infos: Seq[PartFile] = parts.map { p =>
-      val range: Range =
+    val infos: Seq[PartFile] = partFiles(tableDir).map { p =>
+      val fromFooter: Option[PartFile] =
         try {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             new org.apache.hadoop.fs.Path(p.toUri), hconf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try {
             val blocks = r.getFooter.getBlocks.asScala.toSeq
-            if (blocks.isEmpty) ZeroRow
+            if (blocks.isEmpty)
+              Some(PartFile(p, Files.size(p), None, hasNulls = false,
+                zeroRow = true))
             else {
               val perBlock = blocks.map { b =>
                 b.getColumns.asScala
                   .find(_.getPath.toDotString == keyCol)
                   .flatMap { c =>
                     val st = c.getStatistics
-                    if (st == null || !st.hasNonNullValue) None
-                    else Some((
-                      st.genericGetMin
+                    if (st == null || !st.isNumNullsSet) None
+                    else if (st.hasNonNullValue) Some((
+                      Some((st.genericGetMin
                         .asInstanceOf[org.apache.parquet.io.api.Binary]
                         .getBytes,
-                      st.genericGetMax
-                        .asInstanceOf[org.apache.parquet.io.api.Binary]
-                        .getBytes))
+                        st.genericGetMax
+                          .asInstanceOf[org.apache.parquet.io.api.Binary]
+                          .getBytes)), st.getNumNulls > 0))
+                    else if (st.getNumNulls == b.getRowCount)
+                      Some((None, true)) // legit all-null block
+                    else None // no min/max yet rows non-null: gap
                   }
               }
-              if (perBlock.exists(_.isEmpty)) StatsGap
+              if (perBlock.exists(_.isEmpty)) None // footer can't answer
               else {
-                val (mn, mx) = perBlock.flatten
-                  .reduce((a, b) => (
-                    if (cmp(a._1, b._1) <= 0) a._1 else b._1,
-                    if (cmp(a._2, b._2) >= 0) a._2 else b._2))
-                Keys(mn, mx)
+                val ranges = perBlock.flatten.flatMap(_._1)
+                val range = ranges.reduceOption((a, b) => (
+                  if (cmp(a._1, b._1) <= 0) a._1 else b._1,
+                  if (cmp(a._2, b._2) >= 0) a._2 else b._2))
+                Some(PartFile(p, Files.size(p), range,
+                  hasNulls = perBlock.flatten.exists(_._2),
+                  zeroRow = false))
               }
             }
           } finally r.close()
-        } catch { case scala.util.control.NonFatal(_) => StatsGap }
-      PartFile(p, Files.size(p), range)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      fromFooter.getOrElse {
+        // footer gap: one bounded scan of this single file (throws on
+        // an unreadable file — loud beats lossy)
+        val row = spark.read.parquet(p.toString)
+          .agg(smin(col(keyCol)), smax(col(keyCol)),
+            sum(when(col(keyCol).isNull, 1L).otherwise(0L)),
+            sum(lit(1L))).head()
+        val nRows = if (row.isNullAt(3)) 0L else row.getLong(3)
+        val range =
+          if (row.isNullAt(0)) None
+          else Some((utf8(row.getString(0)), utf8(row.getString(1))))
+        PartFile(p, Files.size(p), range,
+          hasNulls = !row.isNullAt(2) && row.getLong(2) > 0,
+          zeroRow = nRows == 0L)
+      }
     }
     val sortedKeys = touchedKeys.distinct.map(utf8).sortWith(cmp(_, _) < 0)
     def rangeHasKey(min: Array[Byte], max: Array[Byte]): Boolean = {
@@ -275,50 +306,42 @@ object GraphStore {
       }
       lo < sortedKeys.length && cmp(sortedKeys(lo), max) <= 0
     }
-    val keep = infos.filter(_.range == ZeroRow)
-    var touched = infos.filter(f => f.range match {
-      case Keys(mn, mx) => rangeHasKey(mn, mx)
-      case StatsGap => true
-      case ZeroRow => false
-    })
-    var untouched = infos.filter(f => f.range match {
-      case Keys(mn, mx) => !rangeHasKey(mn, mx)
-      case _ => false
-    })
-    // equal-boundary cascade: an untouched range overlapping a touched
-    // one joins the rewrite set (sorted writes split equal keys across
-    // file boundaries)
+    val keep = infos.filter(_.zeroRow)
+    // null-holding files always rewrite: their null rows must ride the
+    // staged isNull arm exactly once (an untouched file may hold NO
+    // nulls, so carried rows and staged nulls never overlap)
+    def initiallyTouched(f: PartFile): Boolean = !f.zeroRow &&
+      (f.hasNulls || f.range.exists(r => rangeHasKey(r._1, r._2)))
+    var touched = infos.filter(initiallyTouched)
+    var untouched = infos.filterNot(f => f.zeroRow || initiallyTouched(f))
+    // equal-boundary cascade: an untouched range overlapping a
+    // rewritten file's range joins the rewrite set (sorted writes
+    // split equal keys across file boundaries)
     var moved = true
     while (moved) {
       val (stay, move) = untouched.partition { u =>
-        val Keys(umn, umx) = u.range
-        !touched.exists(t => t.range match {
-          case Keys(tmn, tmx) =>
-            cmp(tmn, umx) <= 0 && cmp(umn, tmx) <= 0
-          case _ => false
+        val (umn, umx) = u.range.get // untouched ⇒ non-null rows exist
+        !touched.exists(_.range.exists { case (tmn, tmx) =>
+          cmp(tmn, umx) <= 0 && cmp(umn, tmx) <= 0
         })
       }
       moved = move.nonEmpty
       if (moved) { touched = touched ++ move; untouched = stay }
     }
     val untouchedPred = untouched
-      .map(_.range.asInstanceOf[Keys])
-      .map(k => col(keyCol) >= lit(new String(k.min, "UTF-8")) &&
-        col(keyCol) <= lit(new String(k.max, "UTF-8")))
+      .map(_.range.get)
+      .map(k => col(keyCol) >= lit(new String(k._1, "UTF-8")) &&
+        col(keyCol) <= lit(new String(k._2, "UTF-8")))
       .reduceOption(_ || _).getOrElse(lit(false))
     val staging = tableDir.resolveSibling(
       tableDir.getFileName.toString + ".delta-tmp")
     org.apache.commons.io.FileUtils.deleteQuietly(staging.toFile)
-    postDelta.where(not(untouchedPred)).sort(col(keyCol))
+    // null-keyed rows are NOT covered by any range: include them
+    // explicitly (NOT(null-valued predicate) would silently drop them)
+    postDelta.where(not(untouchedPred) || col(keyCol).isNull)
+      .sort(col(keyCol))
       .write.mode("overwrite").parquet(staging.toString)
-    val staged: Seq[Path] = {
-      val s = Files.list(staging)
-      try s.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("part-") && n.endsWith(".parquet")
-      }.toSeq
-      finally s.close()
-    }
+    val staged: Seq[Path] = partFiles(staging)
     val bytesWritten = staged.map(Files.size).sum
     touched.foreach(f => Files.delete(f.path))
     staged.foreach { p =>

@@ -208,6 +208,36 @@ class GraphDeltaSpec extends SparkSpec {
     assert(canon(spark.read.parquet(dir.toString)) == canon(s.nodes))
   }
 
+  test("store delta rewrite: null cluster keys land exactly once") {
+    // review-caught: NOT(range-OR) is null for null keys under
+    // three-valued logic — null rows would silently vanish from the
+    // staged subset. The contract: null-holding files always rewrite
+    // and the staging filter includes isNull, so null rows appear
+    // exactly once, while non-null untouched ranges still carry.
+    import graft.sources.GraphStore
+    import spark.implicits._
+    val dir = java.nio.file.Paths.get(
+      "target/test-delta-store/nullkeys.parquet")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    java.nio.file.Files.createDirectories(dir.getParent)
+    val base = (Seq((null: String, "n1"), (null: String, "n2")) ++
+      (0 until 64).map(i => (f"K$i%03d", s"v$i"))).toDF("k", "v")
+    // nulls sort FIRST: file 1 holds them (+ smallest keys)
+    base.repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .write.parquet(dir.toString)
+    // delta: modify one high key — far from the null-holding file
+    val post = base.withColumn("v",
+      when(col("k") === "K055", lit("v55-new")).otherwise(col("v")))
+    val stats = GraphStore.deltaRewrite(spark, dir, "k",
+      Seq("K055"), post)
+    assert(stats.filesCarried > 0, stats.toString) // ranges still carry
+    val got = spark.read.parquet(dir.toString)
+    assert(got.count() == 66) // no loss, no duplication
+    assert(got.where(col("k").isNull).count() == 2)
+    assert(got.where(col("v") === "v55-new").count() == 1)
+    assert(got.where(col("v") === "v55").count() == 0)
+  }
+
   test("meta summary of the delta-applied graph == from-scratch") {
     val a = applied(touchSubclass = false)
     val s = scratch(touchSubclass = false)
