@@ -514,11 +514,19 @@ object HashExpressions {
     override def dataType: DataType = StringType
     override def prettyName: String = "decode_html_entities"
 
+    // addReferenceObj + instance call, NOT a $cls.evalStatic static call:
+    // a NESTED companion object gets no Java static forwarders, so the
+    // static spelling failed janino compilation and silently demoted
+    // every stage carrying this expression to non-codegen execution —
+    // plus one failed (uncached) compile attempt per execution
+    // (r20 profiling catch; the other expressions here always used the
+    // reference pattern).
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val cls = classOf[DecodeHtmlEntities].getName
+      val ref = ctx.addReferenceObj("decodeHtmlEntities", this,
+        classOf[DecodeHtmlEntities].getName)
       val javaType = CodeGenerator.javaType(dataType)
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = ($javaType) $cls.evalStatic($c);")
+        s"${ev.value} = ($javaType) $ref.nullSafeEval($c);")
     }
 
     override def nullSafeEval(input: Any): Any =
@@ -683,11 +691,13 @@ object HashExpressions {
     override def dataType: DataType = StringType
     override def prettyName: String = "byte_alphabet"
 
+    // reference pattern, not $cls.evalStatic — see DecodeHtmlEntities
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val cls = classOf[ByteAlphabet].getName
+      val ref = ctx.addReferenceObj("byteAlphabet", this,
+        classOf[ByteAlphabet].getName)
       val javaType = CodeGenerator.javaType(dataType)
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = ($javaType) $cls.evalStatic($c);")
+        s"${ev.value} = ($javaType) $ref.nullSafeEval($c);")
     }
 
     override def nullSafeEval(input: Any): Any = ByteAlphabet.evalStatic(input)
@@ -711,11 +721,13 @@ object HashExpressions {
     override def dataType: DataType = StringType
     override def prettyName: String = "byte_alphabet_inverse"
 
+    // reference pattern, not $cls.evalStatic — see DecodeHtmlEntities
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val cls = classOf[ByteAlphabetInverse].getName
+      val ref = ctx.addReferenceObj("byteAlphabetInverse", this,
+        classOf[ByteAlphabetInverse].getName)
       val javaType = CodeGenerator.javaType(dataType)
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = ($javaType) $cls.evalStatic($c);")
+        s"${ev.value} = ($javaType) $ref.nullSafeEval($c);")
     }
 
     override def nullSafeEval(input: Any): Any =
