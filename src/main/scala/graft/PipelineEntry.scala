@@ -122,13 +122,34 @@ object PipelineEntry {
    * in session conf). */
   private val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  /** Commit-cost tuning (r20, measured via StreamProbe durationMs): the
+   * default RocksDB commit takes a FULL snapshot (checkpoint + zip +
+   * upload) of every partition's store on EVERY micro-batch — the
+   * state-operator commit was the single largest slice of each drain's
+   * addBatch (p75: 2.0–3.8 s summed commit per batch against ~2.3 s
+   * addBatch wall). Changelog checkpointing writes only the batch's
+   * change set at commit and defers snapshots to the background
+   * maintenance thread — the documented production posture for
+   * large-state/low-latency streams (at 100 TB state a per-batch full
+   * snapshot is untenable). trackTotalNumberOfRows=false drops the
+   * get-per-put bookkeeping that exists only to report numRowsTotal —
+   * metrics-only, results identical. Both restored after the drain. */
+  private val RocksDbTuning = Map(
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      -> "true",
+    "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+      -> "false")
   private def withRocksDbState[T](s: SparkSession)(body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, RocksDbProvider)
-    try body finally prev match {
-      case Some(p) => s.conf.set(key, p)
-      case None => s.conf.unset(key)
+    val keys = "spark.sql.streaming.stateStore.providerClass" +:
+      RocksDbTuning.keys.toSeq
+    val prev = keys.map(k => k -> s.conf.getOption(k)).toMap
+    s.conf.set(keys.head, RocksDbProvider)
+    RocksDbTuning.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally keys.foreach { k =>
+      prev(k) match {
+        case Some(p) => s.conf.set(k, p)
+        case None => s.conf.unset(k)
+      }
     }
   }
 
