@@ -49,11 +49,12 @@ object StreamProbe {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSeq)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
-    for ((name, fn) <- named) {
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "1").toInt
+    for (r <- 1 to reps; (name, fn) <- named) {
       val t0 = System.nanoTime()
       try {
         val n = fn(spark, sfDir).count()
-        println(f"[streamprobe] $name total=${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+        println(f"[streamprobe] $name rep=$r total=${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
       } catch { case e: Throwable =>
         println(s"[streamprobe] $name ERROR ${e.getMessage}")
       }

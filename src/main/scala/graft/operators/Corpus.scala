@@ -759,18 +759,38 @@ object Corpus {
    * Structured Streaming unchanged (the streaming pipeline key), where
    * the dedup becomes a hash-keyed streaming aggregation instead of a
    * window. Returns (id, final_text, n_tokens, content_hash). */
+  private def rowBarrier(df: DataFrame): DataFrame = RowBarrier(df)
+
   def curationStages(docs: DataFrame, minWords: Int = 50,
                      stopwords: Seq[String] = TextAnalysis.GopherStopwords,
                      textCol: String = "text",
                      idCol: String = "doc_id"): DataFrame = {
-    val lf = TextAnalysis.lineFilter(docs, textCol = textCol, idCol = idCol)
+    // Barrier discipline (r20, measured): without the two barriers the
+    // verdict filters PUSH DOWN through every stage projection,
+    // substituting the full line-filter→clean→redact expression chain
+    // into the condition per referenced metric — the formatted plan
+    // carried SIXTEEN copies of the chain, i.e. ~16 evaluations of the
+    // whole regex cascade per input row. The flag-where and the
+    // passes-where now reference GENERATE OUTPUT, which pushdown cannot
+    // cross, and the in-between stages are single-reference projections
+    // the CollapseProject cost guard already keeps apart: the chain and
+    // the tokenization each evaluate ONCE per row. Both barriers are
+    // stateless Generates, so the composition stays streaming-legal
+    // (p58/p75 drain it unchanged).
+    val lf = rowBarrier(
+      TextAnalysis.lineFilter(docs, textCol = textCol, idCol = idCol)
+        .select(col("id"), col("has_lorem"), col("has_braces"),
+          col("n_kept"), col("filtered_text")))
       .where(!col("has_lorem") && !col("has_braces") && col("n_kept") > 0)
     val cl = TextAnalysis.cleaned(lf, textCol = "filtered_text", idCol = "id")
     val rd = TextAnalysis.redacted(cl, textCol = "clean_text", idCol = "id")
     val gp = TextAnalysis.gopherRules(rd, minWords = minWords,
       stopwords = stopwords, textCol = "redacted_text", idCol = "id",
       passthrough = Seq("redacted_text"))
-    gp.where(col("passes"))
+    rowBarrier(
+      gp.select(col("id"), col("redacted_text"), col("n_words"),
+        col("passes")))
+      .where(col("passes"))
       .select(col("id"), col("redacted_text").as("final_text"),
         col("n_words").as("n_tokens"))
       .withColumn("content_hash", md5(col("final_text")))

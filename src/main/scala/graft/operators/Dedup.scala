@@ -41,6 +41,25 @@ private[operators] object SelfJoinMaterialize {
   }
 }
 
+/** Row-preserving plan barrier (the langIdApply one-element-explode
+ * dodge, generalized): pack the row into a struct, explode the
+ * 1-element array, unpack. The Generate blocks BOTH duplication
+ * mechanisms Catalyst has for heavy projected trees — CollapseProject
+ * inlining, and filter-PUSHDOWN substitution, which rewrites a pushed
+ * condition by inlining every referenced alias's whole expression tree
+ * (so a `where` over k computed columns evaluates each column's chain
+ * again inside the filter). A filter above the barrier references
+ * generator output, which pushdown cannot cross. Row set, values, and
+ * ordering semantics are identical; the Generate codegens and is
+ * streaming-legal. Cost: one struct pack/unpack per row. */
+private[graft] object RowBarrier {
+  def apply(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    df.select(explode(array(struct(cols.map(col): _*))).as("__rb"))
+      .select(cols.map(c => col("__rb." + c).as(c)): _*)
+  }
+}
+
 /** Session-level registry of operator-materialized frames (see
  * SelfJoinMaterialize) with an explicit drop point for long-running
  * processes. */

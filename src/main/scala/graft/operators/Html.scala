@@ -256,8 +256,11 @@ object Html {
     pages
       .select(col(idCol).cast("long").as("id"),
         UrlOps.canonicalizeUrl(col(urlCol)).as("page_url"),
-        basePartsOf(col(urlCol), col(htmlCol)).as("__bp"),
+        extractBase(col(htmlCol)).as("__base"),
         col(htmlCol).as("__html"))
+      .select(col("id"), col("page_url"),
+        basePartsOfStaged(col("page_url"), col("__base")).as("__bp"),
+        col("__html"))
       .select(col("id"), col("page_url"), col("__bp"),
         canonHref.as("__canon_href"),
         og("title").as("og_title"),
@@ -303,14 +306,19 @@ object Html {
     pages
       .where(!metaRobots(col(htmlCol)).getField("nofollow"))
       .select(UrlOps.canonicalizeUrl(col(urlCol)).as("src_url"),
-        basePartsOf(col(urlCol), col(htmlCol)).as("__bp"),
+        extractBase(col(htmlCol)).as("__base"),
         col(htmlCol).as("__html"))
+      .select(col("src_url"),
+        basePartsOfStaged(col("src_url"), col("__base")).as("__bp"),
+        col("__html"))
       .select(col("src_url"), col("__bp"),
         explode(governedLinks(col("__html"))).as("__href"))
       .select(col("src_url"),
         UrlOps.canonicalizeUrl(resolveWithDir(
           col("__bp").getField("bhost"), col("__bp").getField("bdir"),
           col("src_url"), col("__href"))).as("dst_url"))
+      // same barrier-before-filter discipline as linkGraph (r20)
+      .transform(RowBarrier(_))
       .where(col("dst_url") =!= col("src_url") && col("dst_url") =!= "")
       .distinct()
 
@@ -445,8 +453,11 @@ object Html {
       // internal fan-out compounding on top: a 16M-character plan and
       // a 100x slowdown on p95/p98 — the r14 regression.)
       .select(UrlOps.canonicalizeUrl(col(urlCol)).as("src_url"),
-        basePartsOf(col(urlCol), col(htmlCol)).as("__bp"),
+        extractBase(col(htmlCol)).as("__base"),
         col(htmlCol).as("__html"))
+      .select(col("src_url"),
+        basePartsOfStaged(col("src_url"), col("__base")).as("__bp"),
+        col("__html"))
       // the explode rides a SEPARATE select so the per-page columns sit
       // BELOW the Generate (a select that carries the explode parks its
       // other aliases in a Project ABOVE it, back in pushdown reach)
@@ -456,19 +467,28 @@ object Html {
         UrlOps.canonicalizeUrl(resolveWithDir(
           col("__bp").getField("bhost"), col("__bp").getField("bdir"),
           col("src_url"), col("__href"))).as("dst_url"))
+      // barrier before the self-loop filter (r20): a filter over the
+      // dst_url ALIAS pushes down by substituting the whole
+      // resolve+canonicalize chain into each conjunct — the formatted
+      // plan carried the chain in the Filter (2x) AND the Project (1x),
+      // i.e. up to 3 evaluations per edge. Above the barrier the filter
+      // references generator output, which pushdown cannot cross: the
+      // chain evaluates once per edge.
+      .transform(RowBarrier(_))
       .where(col("dst_url") =!= col("src_url") && col("dst_url") =!= "")
       .distinct()
 
-  /** baseParts over raw page columns (canonicalizes the page first),
-   * as ONE struct so a call site computes the expensive base
-   * derivation exactly once per page (verdict-caught: aliasing ._1
-   * and ._2 separately wrote the whole derivation tree twice into the
-   * projection, leaving dedup to codegen CSE). The struct alias lives
-   * below the Generate; consumers above extract cheap getFields, and
-   * CollapseProject's cost guard keeps a twice-referenced non-cheap
-   * alias from re-inlining. */
-  private def basePartsOf(url: Column, html: Column): Column = {
-    val (h, d) = baseParts(UrlOps.canonicalizeUrl(url), extractBase(html))
+  /** baseParts-as-struct over PRE-STAGED columns — the canonical page URL and
+   * the raw `<base href>` as plain attributes (r20): baseParts
+   * references its canonPage argument ~8x and its baseHref ~3x, so
+   * composing the canonicalize/extract trees in directly re-embeds
+   * them per reference (the one-select basePartsOf projection measured
+   * 156 host-extract markers / 88 KB of plan for p95). Staged, the
+   * producer select computes each tree once, the CollapseProject cost
+   * guard keeps the multi-referenced non-cheap aliases in their own
+   * projection, and this struct fans out over cheap attributes. */
+  private def basePartsOfStaged(canonPage: Column, baseHref: Column): Column = {
+    val (h, d) = baseParts(canonPage, baseHref)
     struct(h.as("bhost"), d.as("bdir"))
   }
 
@@ -556,8 +576,11 @@ object Html {
       regexp_extract(col("__a"), hrefPattern("a"), 1), "^[\"']", "")
     pages
       .select(UrlOps.canonicalizeUrl(col(urlCol)).as("src_url"),
-        basePartsOf(col(urlCol), col(htmlCol)).as("__bp"),
+        extractBase(col(htmlCol)).as("__base"),
         col(htmlCol).as("__html"))
+      .select(col("src_url"),
+        basePartsOfStaged(col("src_url"), col("__base")).as("__bp"),
+        col("__html"))
       .select(col("src_url"), col("__bp"),
         explode(regexp_extract_all(col("__html"),
           lit(AnchorElemPattern), lit(0))).as("__a"))
@@ -566,6 +589,11 @@ object Html {
           col("__bp").getField("bhost"), col("__bp").getField("bdir"),
           col("src_url"), href)).as("dst_url"),
         cleanInline(col("__a")).as("anchor"))
+      // same barrier-before-filter discipline as linkGraph (r20): the
+      // where over the dst_url and anchor ALIASES otherwise re-inlines
+      // the resolve+canonicalize chain (2x) and the cleanInline chain
+      // (1x) into the pushed filter condition
+      .transform(RowBarrier(_))
       .where(col("dst_url") =!= col("src_url") && col("dst_url") =!= "" &&
         col("anchor") =!= "")
   }
@@ -757,15 +785,29 @@ object Html {
    * distinct ignores it), then a single domain-keyed aggregation.
    * No join, no window; the edge list never materializes twice.
    */
+  /** Input contract: `edges` carries CANONICAL URLs (linkGraph output —
+   * its only production source); the domain cut therefore skips
+   * re-canonicalization (idempotent on canonical input, and the
+   * canonicalize chain is a dozen regexp nodes per reference).
+   *
+   * Plan shape (r20, guide §2.4): the src-side and dst-side rows are
+   * emitted by ONE 2-element explode per edge, not a union of two
+   * selects over the edge derivation — a union re-EXECUTES the whole
+   * child per branch (no exchange reuse across re-analyzed branches),
+   * which for p98 meant the entire linkGraph regex pipeline ran twice
+   * per execution (verified in the formatted plan: two full
+   * Scan→Generate→distinct subtrees under the Union; now one). */
   def domainSignals(edges: DataFrame, srcCol: String = "src_url",
                     dstCol: String = "dst_url"): DataFrame =
     edges
-      .select(UrlOps.registeredDomain(col(srcCol)).as("domain"),
-        col(srcCol).as("page"), lit(1L).as("out_e"), lit(0L).as("in_e"))
-      .unionAll(edges.select(
-        UrlOps.registeredDomain(col(dstCol)).as("domain"),
-        lit(null).cast("string").as("page"),
-        lit(0L).as("out_e"), lit(1L).as("in_e")))
+      .select(explode(array(
+        struct(UrlOps.registeredDomainOfCanonical(col(srcCol)).as("domain"),
+          col(srcCol).as("page"), lit(1L).as("out_e"), lit(0L).as("in_e")),
+        struct(UrlOps.registeredDomainOfCanonical(col(dstCol)).as("domain"),
+          lit(null).cast("string").as("page"),
+          lit(0L).as("out_e"), lit(1L).as("in_e")))).as("__r"))
+      .select(col("__r.domain").as("domain"), col("__r.page").as("page"),
+        col("__r.out_e").as("out_e"), col("__r.in_e").as("in_e"))
       .groupBy("domain")
       .agg(countDistinct(col("page")).as("n_pages"),
         sum(col("out_e")).as("out_degree"),

@@ -98,9 +98,20 @@ object UrlOps {
    * not split on :8080). Native expressions only: the suffix test is a
    * single regexp alternation over `TwoLevelSuffixes`.
    */
-  def registeredDomain(url: Column): Column = {
+  def registeredDomain(url: Column): Column =
+    registeredDomainOfCanonical(canonicalizeUrl(url))
+
+  /** `registeredDomain` over an ALREADY-canonical URL (what linkGraph
+   * emits): skips the re-canonicalization. canonicalizeUrl is
+   * idempotent, so on canonical input this is result-identical — but
+   * the canonicalize chain is a dozen regexp nodes, and a consumer
+   * that derives per-edge domains from canonical edge lists (p98 pays
+   * it once per union side per edge) wants the host cut alone (r20,
+   * guide §2.3: don't re-compute what the producer already
+   * normalized). */
+  private[operators] def registeredDomainOfCanonical(canon: Column): Column = {
     val host = regexp_replace(
-      regexp_extract(canonicalizeUrl(url), "^([^/?]*)", 1), ":[0-9]+$", "")
+      regexp_extract(canon, "^([^/?]*)", 1), ":[0-9]+$", "")
     val twoLevel = TwoLevelSuffixes.map(_.replace(".", "\\.")).mkString("|")
     val labels = when(host.rlike(s"\\.($twoLevel)$$"), 3).otherwise(2)
     // keep the last `labels` dot-separated labels of the host

@@ -611,12 +611,21 @@ class PlanAuditSpec extends SparkSpec {
     // htmlToText: a pure projection — no Join, no Exchange, no Generate
     val pt = plan(pages.select(Html.htmlToText(col("html")).as("t")))
     assert(!pt.contains("Join") && !pt.contains("Exchange"), pt)
-    // linkGraph: one Generate (the href explode) and exactly the
-    // distinct's aggregation pair — no joins anywhere
+    // linkGraph: exactly two Generates — the href explode plus the
+    // r20 RowBarrier before the self-loop filter (which keeps the
+    // filter from re-inlining the resolve+canonicalize chain; a third
+    // Generate would mean an accidental explosion crept in) — and
+    // exactly the distinct's aggregation pair; no joins anywhere
     val pl = plan(Html.linkGraph(pages))
     assert(!pl.contains("Join"), pl)
-    assert("Generate".r.findAllIn(pl).size == 1, pl)
+    assert("Generate".r.findAllIn(pl).size == 2, pl)
     assert(pl.contains("HashAggregate"), pl)
+    // the barrier did its job: the filter condition references the
+    // generated attributes, not a re-inlined canonicalize chain — the
+    // chain's host-extract marker appears in the plan ONCE per
+    // consumer projection, never inside a Filter
+    val filterBlocks = pl.split("\n").filter(_.contains("Filter"))
+    assert(!filterBlocks.exists(_.contains("[^/?]*")), pl)
     // robots filtering: the per-host rule arrays BROADCAST into ONE
     // left join and the longest-match verdict is a narrow expression —
     // the corpus side never shuffles at all
