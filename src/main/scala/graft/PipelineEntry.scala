@@ -3490,13 +3490,18 @@ object PipelineEntry {
       val (streamDir, tag) = streamingSourceDir(dir, "events.parquet")
       val stream = graft.streaming.EventStream.read(s, streamDir)
       val name = "p15_sessions_" + tag
-      withStreamShuffle(s) {
+      // per-USER session state grows with the user population —
+      // corpus-scale, the same class as p58/p75/p81's dedup state, so
+      // it runs under the RocksDB + changelog-commit posture too (r20;
+      // previously HDFS-backed, whose per-batch full-map copy + commit
+      // was the drain's largest slice in the StreamProbe breakdown)
+      withStreamShuffle(s) { withRocksDbState(s) {
         val q = graft.streaming.EventStream
           .sessionize(s, stream, gapMinutes = 30, timeout = GroupStateTimeout.NoTimeout())
           .writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-      }
+      } }
       s.table(name).select(col("user_id"), col("session_idx"), col("n_events"),
         unix_micros(col("session_start")).as("start_us"),
         unix_micros(col("session_end")).as("end_us"),
@@ -3514,14 +3519,18 @@ object PipelineEntry {
       val (streamDir, tag) = streamingSourceDir(dir, "events.parquet")
       val stream = graft.streaming.EventStream.read(s, streamDir)
       val name = "p18_windows_" + tag
-      withStreamShuffle(s) {
+      // per-EVENT-ID dedup state is corpus-scale (it grows with the
+      // stream, exactly p58/p75/p81's class) — RocksDB + changelog
+      // commit, not the heap-bounded HDFS store (r20; the HDFS store's
+      // summed state commit was 3-22 s/batch in the StreamProbe runs)
+      withStreamShuffle(s) { withRocksDbState(s) {
         val q = graft.streaming.EventStream
           .windowedCounts(graft.streaming.EventStream.deduped(stream),
             widthMinutes = 60, watermark = "")
           .writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-      }
+      } }
       s.table(name).select(
         unix_micros(col("window_start")).as("window_us"),
         col("event_type"), col("n_events"), col("total_value"))

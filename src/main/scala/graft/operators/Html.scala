@@ -348,11 +348,18 @@ object Html {
    *     per href — beyond real-page depth; RE2-safe, no lookaround),
    *     with `../` past the host clamped to the root as browsers do.
    */
-  def resolveHref(pageUrl: Column, href: Column): Column = {
-    val canon = UrlOps.canonicalizeUrl(pageUrl)
-    resolveWithDir(regexp_extract(canon, "^([^/?]*)", 1),
-      dirOf(regexp_extract(canon, "^([^?]*)", 1)), canon, href)
-  }
+  def resolveHref(pageUrl: Column, href: Column): Column =
+    resolveHrefFromCanonical(UrlOps.canonicalizeUrl(pageUrl), href)
+
+  /** `resolveHref` over an ALREADY-canonical page URL (r20 staging
+   * companion — see surtKeyOfCanonical): the resolution references its
+   * canonical page 4x, so composing canonicalizeUrl in re-embeds the
+   * chain per reference; producers that staged the canonical form as a
+   * column resolve from the attribute. */
+  private[graft] def resolveHrefFromCanonical(canonPage: Column,
+                                              href: Column): Column =
+    resolveWithDir(regexp_extract(canonPage, "^([^/?]*)", 1),
+      dirOf(regexp_extract(canonPage, "^([^?]*)", 1)), canonPage, href)
 
   /** `resolveHref` honoring a page-level `<base href>` (extractBase):
    * when non-null, the base — itself resolved against the page, since

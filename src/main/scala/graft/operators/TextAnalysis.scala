@@ -29,13 +29,26 @@ object TextAnalysis {
   def languageId(docs: DataFrame,
                  stopwords: Map[String, Seq[String]] = TF.DefaultStopwords,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = TF.tokens(col(textCol))
-    val scores = TF.languageScores(toks, stopwords)
-    val hitCols = scores.map { case (lang, c) =>
-      c.cast("long").as(s"${lang}_hits")
-    }
-    docs.select(
-      (col(idCol).as("id") +: TF.predictedLanguage(scores).as("predicted_lang") +: hitCols): _*)
+    // Staged in three selects (r20): predictedLanguage's argmax fold
+    // embeds each accumulated score TWICE per step (condition +
+    // otherwise), so composing the per-language filter counts in
+    // directly re-embedded the tokenize+filter trees up to 2^|langs|/2
+    // times (16 copies in p08/p91/p102 plans). Tokens and the hit
+    // counts land as their own aliases — the CollapseProject cost
+    // guard keeps multi-referenced non-cheap aliases apart — and the
+    // fold duplicates only cheap attribute references. Same columns,
+    // same values (the fold compares the identical long counts).
+    val langs = stopwords.toSeq.sortBy(_._1).map(_._1)
+    docs
+      .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__toks"))
+      .select(col("id") +:
+        TF.languageScores(col("__toks"), stopwords).map { case (lang, c) =>
+          c.cast("long").as(s"${lang}_hits") }: _*)
+      .select(
+        (col("id") +:
+          TF.predictedLanguage(langs.map(l => l -> col(s"${l}_hits")))
+            .as("predicted_lang") +:
+          langs.map(l => col(s"${l}_hits"))): _*)
   }
 
   /**

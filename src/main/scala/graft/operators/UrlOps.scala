@@ -72,8 +72,17 @@ object UrlOps {
    * form, SURT lowercases the PATH too — CDX lookup keys are
    * case-folded end to end.
    */
-  def surtKey(url: Column): Column = {
-    val canon = canonicalizeUrl(url)
+  def surtKey(url: Column): Column = surtKeyOfCanonical(canonicalizeUrl(url))
+
+  /** `surtKey` over an ALREADY-canonical URL — the staging companion of
+   * `registeredDomainOfCanonical` (r20): the key derivation references
+   * its canonical input 3x, so composing `canonicalizeUrl` in directly
+   * re-embeds the whole dozen-regex chain per reference. Producers that
+   * already computed the canonical form (cdxIndex emits BOTH the urlkey
+   * and the canonical url per capture) stage it as a column and derive
+   * the key from the attribute. Idempotence of canonicalizeUrl makes
+   * this result-identical on canonical input. */
+  private[graft] def surtKeyOfCanonical(canon: Column): Column = {
     val host = regexp_replace(
       regexp_extract(canon, "^([^/?]*)", 1), ":[0-9]+$", "")
     val rest = substring(canon,
@@ -141,7 +150,12 @@ object UrlOps {
       .partitionBy("domain")
       .orderBy(col(qualityCol).desc, col(idCol).asc)
     docs
-      .withColumn("domain", registeredDomain(col(urlCol)))
+      // canonical form staged before the domain cut (r20): the cut
+      // references its canonical input several times, so the composed
+      // registeredDomain re-embedded the canonicalize chain per
+      // reference (30 copies in p79's plan); staged, it evaluates once
+      .withColumn("__canon", canonicalizeUrl(col(urlCol)))
+      .withColumn("domain", registeredDomainOfCanonical(col("__canon")))
       .withColumn("domain_rank", row_number().over(w))
       .where(col("domain_rank") <= k)
       .select(col(idCol), col("domain"), col("domain_rank"))

@@ -552,10 +552,16 @@ object WarcSource {
    * body (the real index uses sha1 of the raw payload; same role,
    * stronger hash).
    */
+  // The canonical url is STAGED in its own select and the urlkey derived
+  // from the attribute (r20): surtKey references its canonical input 3x,
+  // so the composed form re-embedded the whole canonicalize chain per
+  // reference (~4 copies per capture incl. the url column itself);
+  // staged, the chain evaluates once and the CollapseProject cost guard
+  // keeps the projections apart. Result-identical (canonicalizeUrl is
+  // idempotent; here it is simply computed once).
   def cdxIndex(records: DataFrame): DataFrame =
     records.where(col("warc_type") === "response")
       .select(
-        graft.operators.UrlOps.surtKey(col("target_uri")).as("urlkey"),
         graft.operators.UrlOps.canonicalizeUrl(col("target_uri")).as("url"),
         col("status").cast("long").as("status"),
         // hash the RAW body bytes, not the decoded text: identical for
@@ -564,6 +570,9 @@ object WarcSource {
         // body = null) a real digest instead of null
         sha2(col("body_bytes"), 256).as("digest"),
         octet_length(col("body_bytes")).cast("long").as("n_bytes"))
+      .select(
+        graft.operators.UrlOps.surtKeyOfCanonical(col("url")).as("urlkey"),
+        col("url"), col("status"), col("digest"), col("n_bytes"))
 
   /**
    * CDX capture table INCLUDING `revisit` records — the crawl-time
@@ -590,14 +599,18 @@ object WarcSource {
     val header = when(
       col("payload_digest").isNotNull && col("payload_digest") =!= "",
       regexp_replace(col("payload_digest"), "^[A-Za-z0-9-]+:", ""))
+    // same urlkey-from-staged-canonical discipline as cdxIndex (r20)
     records.where(col("warc_type").isin("response", "revisit"))
       .select(
-        graft.operators.UrlOps.surtKey(col("target_uri")).as("urlkey"),
         graft.operators.UrlOps.canonicalizeUrl(col("target_uri")).as("url"),
         col("warc_type").as("kind"),
         col("status").cast("long").as("status"),
         coalesce(header, sha2(col("body_bytes"), 256)).as("digest"),
         octet_length(col("body_bytes")).cast("long").as("n_bytes"))
+      .select(
+        graft.operators.UrlOps.surtKeyOfCanonical(col("url")).as("urlkey"),
+        col("url"), col("kind"), col("status"), col("digest"),
+        col("n_bytes"))
   }
 
   /**
@@ -788,6 +801,11 @@ object WarcSource {
    * parsed; the status/header filter prunes before any expression
    * work. Pure codegen'd Column logic, no UDF.
    */
+  // Staged like cdxIndex (r20): the canonical capture URL is computed
+  // once, the Location resolves FROM that attribute, and the final
+  // canonicalization fans out over the small resolved attribute — the
+  // composed form re-embedded the canonicalize chain per internal
+  // reference (~280 host-extract copies, a 170 kB plan for p155).
   def redirectEdges(records: DataFrame): DataFrame =
     records.where(col("warc_type") === "response" &&
         col("status").between(300L, 399L) &&
@@ -795,10 +813,16 @@ object WarcSource {
       .select(
         graft.operators.UrlOps.canonicalizeUrl(col("target_uri"))
           .as("src_url"),
-        graft.operators.UrlOps.canonicalizeUrl(
-          graft.operators.Html.resolveHref(col("target_uri"),
-            element_at(col("http_headers"), "location"))).as("dst_url"),
+        element_at(col("http_headers"), "location").as("__loc"),
         col("status").cast("long").as("status"))
+      .select(col("src_url"),
+        graft.operators.Html.resolveHrefFromCanonical(
+          col("src_url"), col("__loc")).as("__resolved"),
+        col("status"))
+      .select(col("src_url"),
+        graft.operators.UrlOps.canonicalizeUrl(col("__resolved"))
+          .as("dst_url"),
+        col("status"))
 
   /**
    * Write a [[watRecords]] frame as `.warc.wat.gz` segment files (the
