@@ -205,13 +205,28 @@ object KgxSource {
   /** Write a PropertyGraph as KGX TSV files under `dir`/nodes, `dir`/edges.
    * Arrays join on the configured delimiter; attr maps flatten into one
    * column per `attrColumns` entry. */
+  /** Scale-adaptive export spread (r20, the batch `spread` rule applied
+   * to the WRITE side): the store's cached frames carry a handful of
+   * partitions at fixture scale, so the per-row attr rendering + gzip
+   * of the export — and every downstream re-ingest of the unsplittable
+   * .gz parts — ran on 3 of 32 cores (guide §6: task count follows
+   * file count for gzip). Round-robin to the cluster width when the
+   * input is narrower; a corpus-scale graph already has >= cores
+   * partitions and this no-ops. Row-to-file assignment changes, row
+   * SET does not — KGX readers take the directory as a whole. */
+  private def spreadForWrite(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   def writeTsv(graph: PropertyGraph, dir: String,
                attrColumns: Seq[String] = Nil,
                cfg: KgxConfig = KgxConfig(), compress: Boolean = false): Unit = {
     val writerOpts = Map("sep" -> "\t", "header" -> "true", "emptyValue" -> "") ++
       (if (compress) Map("compression" -> "gzip") else Map.empty)
-    val nodes = graph.nodes.select(col("id"), col("name"),
-      concat_ws(cfg.arrayDelimiter, col("categories")).as(cfg.categoriesProperty))
+    val nodes = spreadForWrite(graph.nodes.select(col("id"), col("name"),
+      concat_ws(cfg.arrayDelimiter, col("categories")).as(cfg.categoriesProperty)))
     nodes.write.mode("overwrite").options(writerOpts).csv(s"$dir/nodes")
     val attrCols = attrColumns.map { c =>
       coalesce(
@@ -220,12 +235,12 @@ object KgxSource {
         concat_ws(cfg.arrayDelimiter, element_at(col("list_attrs"), c))
       ).as(c)
     }
-    val edges = graph.edges.select(
+    val edges = spreadForWrite(graph.edges.select(
       (Seq(col("edge_id").as("id"), col("subject"), col("object"), col("predicate"),
         col("qualified_predicate"),
         col("object_direction").as("qualified_object_direction"),
         col("object_aspect").as("qualified_object_aspect"),
-        col("primary_knowledge_source")) ++ attrCols): _*)
+        col("primary_knowledge_source")) ++ attrCols): _*))
     edges.write.mode("overwrite").options(writerOpts).csv(s"$dir/edges")
   }
 
