@@ -297,11 +297,32 @@ object Bench {
     // Detail file: env-overridable path, and never let an unwritable CWD
     // abort the run after all queries already completed — the stdout line
     // is the contract, the file is best-effort.
+    //
+    // The default path is RUN-STAMPED (cpus + wall clock) rather than a
+    // fixed name: the round-20 driver ran the bench twice per round (32
+    // then 8 cores) and the second run clobbered the first's per-query
+    // detail, leaving PERF_r20.per_query/scaling EMPTY — one noisy total
+    // was the round's only ground truth. A per-run file keyed by the run
+    // itself can never be overwritten; the stdout line carries its exact
+    // path in "detail". (Embedding the 209-key p50 map in the stdout line
+    // instead would blow the driver's 2000-char tail capture and turn the
+    // WHOLE line unparseable — measured: the r20 tail is exactly 2000
+    // chars with the ~700-char compact line barely inside it.) The legacy
+    // fixed path is still written for any consumer that hardcodes it.
     val detailRef =
       try {
-        val detailPath = java.nio.file.Paths.get(
-          sys.env.getOrElse("SPARK_GRAFT_DETAIL", "bench_detail.json"))
+        val stamped = sys.env.get("SPARK_GRAFT_DETAIL").getOrElse {
+          val ts = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+            .format(new java.util.Date())
+          s"bench_detail_c${cpus}_$ts.json"
+        }
+        val detailPath = java.nio.file.Paths.get(stamped)
         java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
+        try
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get("bench_detail.json"),
+            detail.getBytes("UTF-8"))
+        catch { case _: Throwable => () }
         jstr(detailPath.toAbsolutePath.toString)
       } catch { case _: Throwable => "null" }
     // The stdout line is COMPACT (r10 advice #4): totals + errors + host
