@@ -39,8 +39,20 @@ object UrlOps {
    *   4. query: drop tracking params, sort the survivors bytewise
    *      (param order never identifies a page), drop the `?` when
    *      nothing survives.
+   *
+   * r21: served by the native expression `canonicalize_url` (ONE plan
+   * node — guide §7.2: the composed ~15-primitive tree internally
+   * references its sub-results ~6x, so every Catalyst substitution
+   * re-embedded the whole regex chain per reference; as a single node
+   * the fan-out is structurally impossible). The composed builder below
+   * is kept as the spec'd equivalence twin — UrlExpressionsSpec asserts
+   * native == composed bit-for-bit, and the DuckDB oracles (which
+   * mirror the composed tree) are untouched.
    */
-  def canonicalizeUrl(url: Column): Column = {
+  def canonicalizeUrl(url: Column): Column =
+    graft.functions.UrlExpressions.canonicalizeUrl(url)
+
+  private[graft] def canonicalizeUrlComposed(url: Column): Column = {
     val noFrag = regexp_replace(trim(url), "#.*$", "")
     val noScheme = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.\\-]*://", "")
     val rawHost = regexp_extract(noScheme, "^([^/?]*)", 1)

@@ -736,7 +736,12 @@ class PlanAuditSpec extends SparkSpec {
       "max_multiplicity", "rolling_window_hashes", "bpe_encode",
       "bpe_encode_fast", "vocab_score", "backoff_score", "interp_score",
       "dsir_score", "langid_vote", "map_probe", "set_probe",
-      "decode_html_entities")
+      "decode_html_entities",
+      // r21: the URL canonicalizer as ONE node — the sweep now pins the
+      // whole family's fan-out (VERDICT r20 #4 done-criterion: <= 5
+      // copies family-wide; measured max is p90's 4 = corpus canonical +
+      // bench-side canonical + the anti-join's two key references)
+      "canonicalize_url")
     // Default bounds: a healthy single-operator plan is a few thousand
     // chars; 150k flags only genuine blowups. A native expression
     // should appear once per (train|apply) stage — duplication past 4
@@ -755,22 +760,12 @@ class PlanAuditSpec extends SparkSpec {
       "p39_contamination_bloom" -> 2300000,
       "p59_incremental_bloom" -> 2300000,
       // wide per-domain metric rollup over canonicalized-URL
-      // expressions (r13-audited shape); scales with the metric count
-      "p98_domain_signals" -> 300000,
-      // linkGraph's base-aware resolution chain (p95 measures ~116k,
-      // same audited shape) plus the anchor-clean expression; the
-      // filter and aggregation reference the dst chain exactly as
-      // linkGraph's do — honest size, not reference fan-out. Raised
-      // 180k -> 200k in r18: the strict attribute walk's quoted
-      // alternatives grew for correctness (quote-spanning values with
-      // terminator lookaheads + length caps; advice+review-caught),
-      // measured 180.5k
-      "p137_anchor_text" -> 200000,
-      // redirect target resolution is the SAME resolveHref chain
-      // linkGraph inlines, wrapped once more in canonicalizeUrl (the
-      // Location must land in the link graph's key space) — measured
-      // ~169k, the p95/p137 audited shape, not reference fan-out
-      "p155_redirect_edges" -> 190000)
+      // expressions (r13-audited shape); scales with the metric count.
+      // r21: the native canonicalize_url node collapsed these three
+      // below the 150k default (p98 formatted plan 26k -> 15k, p137
+      // 43k -> 14k, p155 11k -> 5k; plans/r21/) — exemptions dropped so
+      // a reappearing chain blowup trips the default cap again.
+      )
     // Documented exemptions (key, native) -> count: repeats that scale
     // with a CONFIG constant or the request batch, never with data or
     // downstream reference fanout.
