@@ -189,6 +189,34 @@ object PipelineEntry {
   private def streamingDocsDir(dir: String): (String, String) =
     streamingSourceDir(dir, "documents.parquet")
 
+  /** Once-per-corpus streaming spool (r21, r20-verdict #5): the
+   * `streamingDocsSplitDir` write-once discipline generalized to the
+   * streaming keys whose SOURCE fixture must first be exported in a
+   * non-parquet shape (WET/WARC segments, sitemap parquet). The export
+   * is a pure function of the corpus dir, so deleting and re-writing it
+   * on every call only re-measured the batch export, not the drain under
+   * test — the same repeat-reuse posture the bench already applies to
+   * batch keys via the prepared-plan cache. The STREAM itself (a fresh
+   * query, fresh temp checkpoint, full re-drain) still runs per call.
+   * Keyed by an md5 of the corpus dir (collision-safe across corpora);
+   * the sentinel lives BESIDE the spool so no file source ever lists it.
+   * Bump `stem` when the export shape changes — a stale spool must never
+   * masquerade as the new shape. */
+  private def spooledOnce(dir: String, stem: String)
+                         (write: String => Unit): (String, String) = {
+    import java.nio.file.{Files, Paths}
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val out = Paths.get(s"/root/repo/target/$stem-$tag")
+    val sentinel = Paths.get(s"/root/repo/target/$stem-$tag.ok")
+    if (!Files.exists(sentinel)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(out.toFile)
+      write(out.toString)
+      Files.write(sentinel, stem.getBytes("UTF-8"))
+    }
+    (out.toString, tag)
+  }
+
   /** Multi-file streaming source: the corpus split into `parts` parquet
    * files (written once per sf dir, reused after), so maxFilesPerTrigger=1
    * yields genuinely separate micro-batches — the fixture for drain modes
@@ -1788,11 +1816,13 @@ object PipelineEntry {
     "p110_streaming_cdx" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       import graft.sources.WarcSource
-      val tag = dir.replaceAll("[^0-9]", "_")
-      val out = s"/root/repo/target/cdx-stream-$tag"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
-      WarcSource.export(pageUrls(docs(s, dir)), out, docsPerFile = 100,
-        urlCol = Some("url"))
+      // WARC segment spool is a pure function of the corpus — written
+      // once per sf dir (spooledOnce), so each call measures the DRAIN,
+      // not a repeated batch export (r21, r20-verdict #5)
+      val (out, tag) = spooledOnce(dir, "cdx-stream") { o =>
+        WarcSource.export(pageUrls(docs(s, dir)), o, docsPerFile = 100,
+          urlCol = Some("url"))
+      }
       val name = "p110_cdx_" + tag
       val q = WarcSource.cdxIndex(WarcSource.recordsStream(s, out))
         .writeStream.format("memory").queryName(name)
@@ -1808,10 +1838,10 @@ object PipelineEntry {
     "p99_streaming_wet" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       import graft.sources.WarcSource
-      val tag = dir.replaceAll("[^0-9]", "_")
-      val out = s"/root/repo/target/wet-stream-$tag"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
-      WarcSource.export(docs(s, dir), out, docsPerFile = 100, wet = true)
+      // once-per-corpus WET spool (r21, r20-verdict #5) — see p110
+      val (out, tag) = spooledOnce(dir, "wet-stream") { o =>
+        WarcSource.export(docs(s, dir), o, docsPerFile = 100, wet = true)
+      }
       val recovered = WarcSource.recordsStream(s, out)
         .where(col("warc_type") === "conversion")
         .select(
@@ -3463,11 +3493,11 @@ object PipelineEntry {
     // p99/p110 convention).
     "p126_streaming_sitemaps" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val tag = dir.replaceAll("[^0-9]", "_")
-      val out = s"/root/repo/target/sitemaps-stream-$tag"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
       val sm = sitemapDocs(docs(s, dir))
-      sm.repartition(8).write.mode("overwrite").parquet(out)
+      // once-per-corpus sitemap-doc spool (r21, r20-verdict #5) — see p110
+      val (out, tag) = spooledOnce(dir, "sitemaps-stream") { o =>
+        sm.repartition(8).write.mode("overwrite").parquet(o)
+      }
       val name = "p126_sitemaps_" + tag
       val q = UrlOps.parseSitemaps(
           s.readStream.schema(sm.schema).parquet(out), siteCol = "site_id")
