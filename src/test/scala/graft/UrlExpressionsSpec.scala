@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
  * Column tree it replaced (`UrlOps.canonicalizeUrlComposed`) — the DuckDB
  * oracles mirror the composed tree, so any divergence here is an oracle
  * break, not a style preference. Covers an adversarial battery (the
- * regex/locale/sort edge cases where a hand evaluator could drift) and
- * the full sf0.001 fixture corpus URL + WARC target_uri populations. */
+ * regex/locale/sort edge cases where a hand evaluator could drift), the
+ * pipeline's synthetic URL shapes, and the full sf0.001 corpus TEXT fed
+ * in as garbage URLs (real multi-line unicode at corpus width). */
 class UrlExpressionsSpec extends SparkSpec {
 
   import spark.implicits._
